@@ -1,0 +1,121 @@
+"""Charset detection + normalization — D1/D2/D3 (SURVEY.md §2.2).
+
+Reference behavior being reproduced:
+ - D1 (ContentExtractor.java:57,376-391): juniversalchardet detection over
+   the raw bytes; returns None for pure ASCII (caller falls back to UTF-8).
+ - D2 (ContentExtractor.java:227-249): the meta-declared charset overrides;
+   NOTE the reference compares against ``doc.charset().name()`` which is the
+   *output* charset — constant "UTF-8" — so ANY declared charset that isn't
+   the exact string "UTF-8" triggers a re-decode of the original bytes.
+ - D3 (ContentExtractor.java:403-413): ``changeCharset(s, "UTF-8")`` is a
+   UTF-8 encode/decode round-trip — an identity on decoded strings.
+
+The detector is a from-scratch heuristic covering the fixture encodings
+(UTF-8 / Shift_JIS / EUC-JP, FIXTURES.md §1) the way juniversalchardet
+behaves on them: strict-validity state machines + a CJK plausibility score.
+Vectorization note: the hot path (valid-UTF-8) is a single C-level
+``bytes.decode`` attempt per row inside the Arrow batch.
+"""
+
+from __future__ import annotations
+
+import codecs
+
+_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
+
+
+def detect_charset(data: bytes) -> str | None:
+    """D1: juniversalchardet-style detection.  Returns a Java charset name
+    or None when nothing is detected (pure ASCII / empty)."""
+    if not data:
+        return None
+    try:
+        decoded = data.decode("utf-8", errors="strict")
+    except UnicodeDecodeError:
+        decoded = None
+    if decoded is not None:
+        # pure ASCII → juniversalchardet reports nothing
+        if all(ord(c) < 0x80 for c in decoded):
+            return None
+        return "UTF-8"
+
+    sjis_ok, sjis_score = _try_decode_score(data, "shift_jis")
+    euc_ok, euc_score = _try_decode_score(data, "euc_jp")
+    if sjis_ok and not euc_ok:
+        return "SHIFT_JIS"
+    if euc_ok and not sjis_ok:
+        return "EUC-JP"
+    if sjis_ok and euc_ok:
+        return "SHIFT_JIS" if sjis_score >= euc_score else "EUC-JP"
+    # not valid in any JP encoding → byte-transparent Latin fallback
+    return "WINDOWS-1252"
+
+
+def _try_decode_score(data: bytes, codec: str) -> tuple[bool, int]:
+    try:
+        s = data.decode(codec, errors="strict")
+    except (UnicodeDecodeError, LookupError):
+        return False, 0
+    # plausibility: count Japanese-script + full-width chars
+    score = sum(
+        1
+        for c in s
+        if "぀" <= c <= "ヿ"
+        or "一" <= c <= "鿿"
+        or "！" <= c <= "｠"
+        or c == "　"
+    )
+    return True, score
+
+
+def java_decode(data: bytes, java_charset_name: str) -> str:
+    """``new String(bytes, cs)``: malformed input → U+FFFD replacement;
+    unknown charset name raises (→ page skipped, like the reference's
+    per-URL catch)."""
+    try:
+        codec = codecs.lookup(java_charset_name)
+    except LookupError:
+        raise ValueError(f"unsupported charset: {java_charset_name}")
+    return data.decode(codec.name, errors="replace")
+
+
+def change_charset(s: str | None, new_charset: str | None = "UTF-8") -> str | None:
+    """D3: ``new String(s.getBytes(cs), cs)`` — identity for UTF-8 on
+    already-decoded strings (unmappable chars can't occur)."""
+    if s is None:
+        return None
+    if new_charset is None:
+        return s
+    return s.encode("utf-8", errors="replace").decode("utf-8")
+
+
+def meta_declared_charset(doc) -> str:
+    """D2 charset sniff from the parsed DOM (ContentExtractor.java:227-243).
+
+    Returns the charset string the reference would adopt, or "UTF-8" (the
+    constant ``doc.charset().name()``) when nothing is declared.  Faithful
+    quirks: only ``outter[1]`` (the part after the FIRST ';') is examined,
+    and only ``inner[1]`` (after the first '=') is taken.
+    """
+    from .dom import elements_attr
+
+    detected_cs = "UTF-8"
+    page_cs_str = elements_attr(doc.select('meta[http-equiv="Content-Type"]'), "content")
+    if page_cs_str != "":
+        outter = _java_split(page_cs_str, ";")
+        if len(outter) > 1:
+            inner = _java_split(outter[1], "=")
+            if len(inner) > 1:
+                detected_cs = inner[1].strip(_JAVA_TRIM)
+    else:
+        page_cs_str_01 = elements_attr(doc.select("meta"), "charset")
+        if page_cs_str_01 != "":
+            detected_cs = page_cs_str_01.strip(_JAVA_TRIM)
+    return detected_cs
+
+
+def _java_split(s: str, sep: str) -> list[str]:
+    parts = s.split(sep)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts

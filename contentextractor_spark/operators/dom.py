@@ -657,7 +657,11 @@ class _AttrValue(_Evaluator):
         self.value = value.strip().lower()
 
     def matches(self, el: Element) -> bool:
-        return el.has_attr(self.key) and el.attr(self.key).strip().lower() == self.value
+        # Java String.trim (chars <= U+0020), then equalsIgnoreCase
+        if not el.has_attr(self.key):
+            return False
+        v = el.attr(self.key).strip("".join(chr(c) for c in range(0x21)))
+        return v.lower() == self.value
 
 
 class _AttrRegex(_Evaluator):

@@ -1,0 +1,181 @@
+"""DOM-level boilerplate removal — tagFiltering (ContentExtractor.java:267-360).
+
+Runs the reference's F1–F8 sub-operators **in order** (each mutates the
+tree) and returns the non-pretty serialized body HTML (F9), or None for a
+missing body — exactly the reference's contract
+(``tagFiltering(Element) -> String`` returning null at :269-271).
+
+Java-regex → Python translations applied here (the reference patterns use
+Java ``\\s`` = ASCII-only and ``\\d`` = [0-9]; Python's are Unicode-aware,
+e.g. Python ``\\d`` matches full-width ０-９ which would change F7):
+every ``\\s`` is spelled ``[ \\t\\n\\x0B\\f\\r]`` and every ``\\d`` is
+``[0-9]``.
+
+Error semantics are faithful: conditions that throw in Java (removing an
+already-detached node, fractional px font sizes, valueless style
+declarations) raise here; the per-document wrapper maps them to a skipped
+page just like the reference's per-URL try/catch
+(ContentExtractor.java:200-207).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..functions.entities import unescape_html4
+from .dom import Element
+
+# strip class used by F1 (ContentExtractor.java:282,286): Java \s + a literal
+# U+00A0 (byte-verified in the reference source).
+_F1_STRIP_RE = re.compile("[ \t\n\x0b\f\r\u00a0]")
+
+# F3 (ContentExtractor.java:307)
+ID_REGEX = (
+    "(?i)(header|footer|ft|side|links|keywords|calendar|calender|rule"
+    "|attention|banner|bn|navi|recommend|plugin|[_-]+ad[_-]+|^ad[_-]+"
+    "|[_-]+ad$){1}"
+)
+# F4 (ContentExtractor.java:309)
+CLASS_REGEX = (
+    "(?i)(header|footer|links|calendar|calender|no_display|nodisplay|rule"
+    "|attention|banner|bn|navi|month|recommend|plugin|[_-]+ad[_-]+|^ad[_-]+"
+    "|[_-]+ad$){1}"
+)
+# F5 (ContentExtractor.java:311) — Java [\s] spelled out
+STYLE_HIDDEN_REGEX = (
+    "(?i)(display[ \\t\\n\\x0B\\f\\r]*:[ \\t\\n\\x0B\\f\\r]*none"
+    "|visible[ \\t\\n\\x0B\\f\\r]*:[ \\t\\n\\x0B\\f\\r]*hidden){1}"
+)
+# F7 (ContentExtractor.java:332) — Java \d spelled [0-9]
+PAGINATION_REGEX = (
+    "前[0-9]+|次[0-9]+|最新[0-9]+|^[0-9]+$|前へ|次へ|戻る|トップページ|ホーム"
+    "|記事|もっと見る|利用規約|案内|問い合わせ|プライバシー|スマホ版"
+)
+# F6 blacklists (ContentExtractor.java:313,315-316)
+TAG_BLACKLIST_1 = (
+    "select, noscript, head, header, script, style, footer, aside, time, "
+    "small, h1, h2, h3, h4, h5, h6"
+)
+TAG_BLACKLIST_2 = "form, iframe, textarea, input"
+
+_INT_RE = re.compile(r"[+-]?[0-9]+")
+_DOUBLE_RE = re.compile(
+    r"[ \t\n\x0b\f\r]*[+-]?([0-9]+\.?[0-9]*|\.[0-9]+)([eE][+-]?[0-9]+)?[fFdD]?[ \t\n\x0b\f\r]*"
+)
+
+
+def _java_parse_int(s: str) -> int:
+    """Integer.parseInt — no whitespace tolerance, no fraction."""
+    if not _INT_RE.fullmatch(s):
+        raise ValueError(f'For input string: "{s}"')
+    return int(s)
+
+
+def _java_parse_double(s: str) -> float:
+    """Double.parseDouble — trims whitespace, allows f/d suffix."""
+    if not _DOUBLE_RE.fullmatch(s):
+        raise ValueError(f'For input string: "{s}"')
+    return float(s.strip(" \t\n\x0b\f\r").rstrip("fFdD"))
+
+
+def _java_split_drop_trailing(s: str, sep: str) -> list[str]:
+    """Java String.split(sep) (limit 0): trailing empty strings removed."""
+    parts = s.split(sep)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+def _strip_f1(s: str) -> str:
+    return _F1_STRIP_RE.sub("", s)
+
+
+def remove_link_blocks(body: Element) -> None:
+    """F1 (ContentExtractor.java:275-299): link-density block removal."""
+    link_blocks = body.select("div:has(a), span:has(a), ul:has(a)")
+    for node in link_blocks:
+        child_of_a = 0
+        a_txt_num = 0
+        e_a = node.select("a")
+        for a in e_a:
+            child_of_a += len(a.get_all_elements()) - 1
+            a_txt_num += len(_strip_f1(unescape_html4(a.text())))
+        node_txt = _strip_f1(unescape_html4(node.text()))
+        # keep blocks with >= 100 chars of non-link text
+        if len(node_txt) - a_txt_num >= 100:
+            continue
+        direct_a_num = len(node.select(">a"))
+        a_num = len(e_a)
+        br_node_num = len(node.select("br"))
+        span_node_num = len(node.select("span"))
+        child_node_num = max(
+            float(a_num),
+            float(
+                len(node.get_all_elements()) - 1 - child_of_a - a_num
+                + direct_a_num - br_node_num - span_node_num
+            ),
+        )
+        if a_num / child_node_num > 0.5:
+            node.remove()
+
+
+def remove_topic_blocks(body: Element) -> None:
+    """F2 (ContentExtractor.java:302-305): remove the *parent* of a
+    div whose own text is exactly トピックス."""
+    for node in body.select("div:matchesOwn(^トピックス$)"):
+        parent = node.parent
+        if parent is None:
+            raise ValueError("node.parent() is null (NPE in reference)")
+        parent.remove()
+
+
+def remove_by_selector(body: Element, query: str) -> None:
+    for node in body.select(query):
+        node.remove()
+
+
+def remove_small_fonts(body: Element) -> None:
+    """F8 (ContentExtractor.java:334-357): drop nodes with inline
+    font-size < 10px / 7.5pt / 0.625em.  Faithful error behavior: a
+    fractional px value or a bare `font-size` without a colon raises."""
+    for node in body.select("[style~=(?i)(font-size){1}]"):
+        declarations = _java_split_drop_trailing(node.attr("style").lower(), ";")
+        for style in declarations:
+            if "font-size" not in style:
+                continue
+            key_val = style.split(":")
+            if len(key_val) < 2:
+                raise IndexError("style declaration has no value (AIOOBE in reference)")
+            val = key_val[1].strip(
+                "".join(chr(c) for c in range(0x21))
+            )  # Java trim
+            if len(val) < 2:
+                raise IndexError("font-size value shorter than unit (SIOOBE in reference)")
+            unit = val[-2:]
+            font_size = val[:-2]
+            if unit == "px":
+                if _java_parse_int(font_size) < 10:
+                    node.remove()
+            elif unit == "pt":
+                if _java_parse_double(font_size) < 7.5:
+                    node.remove()
+            elif unit == "em":
+                if _java_parse_double(font_size) < 0.625:
+                    node.remove()
+
+
+def tag_filtering(body: Element | None) -> str | None:
+    """The full F1–F9 cascade (ContentExtractor.java:267-360)."""
+    if body is None:
+        return None
+    remove_link_blocks(body)                                   # F1
+    remove_topic_blocks(body)                                  # F2
+    remove_by_selector(body, f"[id~={ID_REGEX}]")              # F3
+    remove_by_selector(body, f"[class~={CLASS_REGEX}]")        # F4
+    remove_by_selector(body, f"[style~={STYLE_HIDDEN_REGEX}]")  # F5
+    remove_by_selector(body, TAG_BLACKLIST_1)                  # F6
+    remove_by_selector(body, TAG_BLACKLIST_2)                  # F6
+    remove_by_selector(body, "span[data-tipso]")               # F6
+    remove_by_selector(body, f"a:matches({PAGINATION_REGEX})")  # F7
+    remove_small_fonts(body)                                   # F8
+    return body.outer_html()                                   # F9 (non-pretty)
