@@ -1,0 +1,257 @@
+"""Spark assembly of the extraction pipeline (SURVEY.md §3 "Spark lifecycle").
+
+Plan shape — ONE narrow stage after ONE explicit shuffle:
+
+    scan(url, html[, lang])                       ← column-pruned parquet/Iceberg
+      → repartition(P, xxhash64(url, SALT))      ← the only shuffle; full-url
+                                                    hash ⇒ skewed hosts spread
+                                                    uniformly (north rule:
+                                                    salted repartitioning)
+      → mapInPandas(extract_batch)               ← Arrow-batched, iterator API;
+                                                    all per-doc state stays in
+                                                    the Python worker
+      → write output + derive lineage            ← per-bucket metrics enable
+                                                    idempotent resume by
+                                                    anti-join
+
+Why this scales to 10^12 docs / 100 TB:
+ - no wide aggregation, no join in the hot path — shuffle volume is exactly
+   one pass over (url, html);
+ - Arrow batch size is bounded (ARROW_BATCH_ROWS) so a batch of ~10-500 KB
+   pages fits executor memory; giant-page value skew is contained to one
+   batch, not one partition (full-url hashing randomizes placement);
+ - lineage rows are tiny (one per bucket) — the resume anti-join broadcasts.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..extractor import EXTRACTOR_VERSION, extract_document
+
+# Arrow batch sizing (SURVEY.md §4.2): default 10k rows/batch would hold
+# ~1-5 GB of raw HTML — OOM.  512 rows × ~100 KB ≈ 50 MB per batch.
+ARROW_BATCH_ROWS = 512
+SALT_SEED = 42
+
+SPAN_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("start_line", IntegerType()),
+            StructField("end_line", IntegerType()),
+            StructField("char_start", IntegerType()),
+            StructField("char_end", IntegerType()),
+        ]
+    )
+)
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("title", StringType()),
+        StructField("description", StringType()),
+        StructField("keywords", StringType()),
+        StructField("main_text", StringType()),
+        StructField("spans", SPAN_TYPE),
+        StructField("keyword_list", StringType()),
+        StructField("threshold", IntegerType()),
+        StructField("status", StringType()),
+        StructField("bucket_id", IntegerType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+LINEAGE_SCHEMA = StructType(
+    [
+        StructField("bucket_id", IntegerType()),
+        StructField("partition_id", IntegerType()),
+        StructField("url_min", StringType()),
+        StructField("url_max", StringType()),
+        StructField("row_count", LongType()),
+        StructField("error_count", LongType()),
+        StructField("extractor_version", StringType()),
+        StructField("status", StringType()),
+        StructField("ts", TimestampType()),
+    ]
+)
+
+
+def build_spark(
+    app: str = "contentextractor-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+) -> SparkSession:
+    """Session with the scale-relevant knobs set (AQE, Arrow batching)."""
+    b = SparkSession.builder.appName(app)
+    if master:
+        b = b.master(master)
+    return (
+        b.config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.sql.files.maxPartitionBytes", "268435456")
+        .getOrCreate()
+    )
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body — runs on executors; one Arrow batch at a time so
+    per-batch memory stays bounded regardless of input partition size."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+
+    for pdf in batches:
+        n = len(pdf)
+        if n == 0:
+            continue
+        rows = {
+            "url": pdf["url"].astype(str),
+            "title": [],
+            "description": [],
+            "keywords": [],
+            "main_text": [],
+            "spans": [],
+            "keyword_list": [],
+            "threshold": [],
+            "status": [],
+        }
+        for data in pdf["html"]:
+            res = extract_document(bytes(data) if data is not None else b"")
+            rows["title"].append(res.title)
+            rows["description"].append(res.description)
+            rows["keywords"].append(res.keywords)
+            rows["main_text"].append(res.main_text)
+            rows["spans"].append(
+                [
+                    {
+                        "start_line": s[0],
+                        "end_line": s[1],
+                        "char_start": s[2],
+                        "char_end": s[3],
+                    }
+                    for s in res.spans
+                ]
+            )
+            rows["keyword_list"].append(res.keyword_list)
+            rows["threshold"].append(res.threshold)
+            rows["status"].append(res.status)
+        out = pd.DataFrame(rows)
+        out["bucket_id"] = pdf["bucket_id"].values
+        out["partition_id"] = pid
+        yield out
+
+
+def extract_pages(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """The flagship operator: pages(url, html, ...) → extraction columns.
+
+    Bucketing: bucket_id = pmod(xxhash64(url, SALT), num_buckets).  Hashing
+    the FULL url (not the host) spreads skewed hosts across all buckets —
+    the "salted repartitioning for skewed hosts" of the north rule; SALT
+    decorrelates from any upstream xxhash64 layout.  repartition() on the
+    bucket column is the pipeline's only shuffle.
+    """
+    keyed = pages.select("url", "html").withColumn(
+        "bucket_id",
+        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
+            "int"
+        ),
+    )
+    partitioned = keyed.repartition(num_buckets, F.col("bucket_id"))
+    return partitioned.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+
+
+def lineage_metrics(extracted: DataFrame) -> DataFrame:
+    """Per-bucket lineage/metrics rows (north rule: partition id, url range,
+    row counts, extractor-version hash).  Derived from the output with one
+    tiny aggregation — no executor-side side channel needed."""
+    return extracted.groupBy("bucket_id").agg(
+        F.first("partition_id").alias("partition_id"),
+        F.min("url").alias("url_min"),
+        F.max("url").alias("url_max"),
+        F.count(F.lit(1)).alias("row_count"),
+        F.sum(F.when(F.col("status") != "ok", 1).otherwise(0)).alias("error_count"),
+        F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
+        F.lit("done").alias("status"),
+        F.current_timestamp().alias("ts"),
+    )
+
+
+def resume_filter(
+    pages: DataFrame, lineage: DataFrame, num_buckets: int = 32
+) -> DataFrame:
+    """Idempotent resume (SURVEY.md §4.2): drop pages whose bucket already
+    has a `done` lineage row for the current extractor version.  The lineage
+    side is tiny → broadcast anti-join, no extra shuffle of the big side."""
+    done = (
+        lineage.filter(
+            (F.col("status") == "done")
+            & (F.col("extractor_version") == EXTRACTOR_VERSION)
+        )
+        .select("bucket_id")
+        .distinct()
+    )
+    keyed = pages.withColumn(
+        "bucket_id",
+        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
+            "int"
+        ),
+    )
+    return keyed.join(F.broadcast(done), "bucket_id", "left_anti").drop("bucket_id")
+
+
+def run_extraction(
+    spark: SparkSession,
+    pages: DataFrame,
+    output_path: str | None = None,
+    lineage_path: str | None = None,
+    num_buckets: int = 32,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end job: (optionally resume-filtered) extract + lineage write.
+
+    At 100 TB the writes are partitioned by bucket_id so a re-run targets
+    only missing buckets; with Iceberg both writes become a single
+    transactional `writeTo(...).append()` each.
+    """
+    if lineage_path is not None:
+        try:
+            existing = spark.read.parquet(lineage_path)
+            pages = resume_filter(pages, existing, num_buckets)
+        except Exception:
+            pass  # no lineage yet → full run
+    extracted = extract_pages(pages, num_buckets=num_buckets)
+    if output_path is not None:
+        extracted.write.mode("append").partitionBy("bucket_id").parquet(output_path)
+        extracted = spark.read.parquet(output_path)
+    lineage = lineage_metrics(extracted)
+    if lineage_path is not None:
+        lineage.write.mode("append").parquet(lineage_path)
+        lineage = spark.read.parquet(lineage_path)
+    return extracted, lineage

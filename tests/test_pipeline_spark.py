@@ -1,0 +1,123 @@
+"""Spark end-to-end pipeline tests: extraction stage, lineage, resume.
+
+Differential check: the Spark mapInPandas output must equal the driver-side
+per-document oracle (extract_document) row for row — Arrow round-trip
+equality (SURVEY.md §5.2-3/4).
+"""
+
+import pytest
+
+from contentextractor_spark.extractor import extract_document
+from contentextractor_spark.plans.pipeline import (
+    PAGES_SCHEMA,
+    extract_pages,
+    lineage_metrics,
+    resume_filter,
+    run_extraction,
+)
+from contentextractor_spark.sources.pages import generate_pages
+
+N = 120
+
+
+@pytest.fixture(scope="module")
+def pages_pdf():
+    return generate_pages(N, seed=42)
+
+
+@pytest.fixture(scope="module")
+def pages_df(spark, pages_pdf):
+    df = spark.createDataFrame(pages_pdf, schema=PAGES_SCHEMA)
+    df.cache().count()
+    return df
+
+
+def test_generator_deterministic(pages_pdf):
+    again = generate_pages(N, seed=42)
+    assert list(again["url"]) == list(pages_pdf["url"])
+    assert all(a == b for a, b in zip(again["html"], pages_pdf["html"]))
+
+
+def test_generator_host_skew(pages_pdf):
+    hosts = pages_pdf["url"].str.extract(r"https://([^/]+)/")[0]
+    counts = hosts.value_counts()
+    # Zipf(1.2): top host should dominate
+    assert counts.iloc[0] > N / 10
+
+
+def test_extract_pages_rows_and_schema(spark, pages_df):
+    out = extract_pages(pages_df, num_buckets=8)
+    rows = out.collect()
+    assert len(rows) == N
+    names = out.schema.names
+    assert names[:5] == ["url", "title", "description", "keywords", "main_text"]
+    ok = [r for r in rows if r.status == "ok"]
+    assert len(ok) == N  # synthetic archetypes never hit error paths
+    nonempty = [r for r in rows if r.main_text]
+    assert len(nonempty) > N * 0.5
+
+
+def test_spark_matches_driver_oracle(spark, pages_df, pages_pdf):
+    """Byte-identical per url: Spark output == per-doc oracle."""
+    out = {r.url: r for r in extract_pages(pages_df, num_buckets=8).collect()}
+    assert len(out) == N
+    for _, row in pages_pdf.iterrows():
+        oracle = extract_document(bytes(row["html"]))
+        got = out[row["url"]]
+        assert got.main_text == oracle.main_text, row["url"]
+        assert got.title == oracle.title
+        assert got.keyword_list == oracle.keyword_list
+        assert [
+            (s.start_line, s.end_line, s.char_start, s.char_end) for s in got.spans
+        ] == oracle.spans
+
+
+def test_lineage_metrics(spark, pages_df):
+    extracted = extract_pages(pages_df, num_buckets=8)
+    lineage = lineage_metrics(extracted).collect()
+    assert sum(r.row_count for r in lineage) == N
+    assert all(r.status == "done" for r in lineage)
+    assert all(r.url_min <= r.url_max for r in lineage)
+    assert len(lineage) <= 8
+
+
+def test_resume_filter_drops_done_buckets(spark, pages_df):
+    extracted = extract_pages(pages_df, num_buckets=8)
+    lineage = lineage_metrics(extracted)
+    remaining = resume_filter(pages_df, lineage, num_buckets=8)
+    assert remaining.count() == 0  # everything done
+
+    # partial lineage: keep only buckets NOT yet done
+    partial = lineage.filter("bucket_id < 4")
+    remaining2 = resume_filter(pages_df, partial, num_buckets=8)
+    from pyspark.sql import functions as F
+
+    left = remaining2.withColumn(
+        "b", F.pmod(F.xxhash64("url", F.lit(42)), F.lit(8)).cast("int")
+    )
+    assert left.filter("b < 4").count() == 0
+    assert remaining2.count() > 0
+
+
+def test_run_extraction_end_to_end(spark, pages_df, tmp_path):
+    out_path = str(tmp_path / "out")
+    lin_path = str(tmp_path / "lineage")
+    extracted, lineage = run_extraction(
+        spark, pages_df, output_path=out_path, lineage_path=lin_path, num_buckets=8
+    )
+    assert extracted.count() == N
+    total = sum(r.row_count for r in lineage.collect())
+    assert total == N
+
+    # resume: second run must process 0 new rows (idempotent)
+    extracted2, lineage2 = run_extraction(
+        spark, pages_df, output_path=out_path, lineage_path=lin_path, num_buckets=8
+    )
+    assert extracted2.count() == N  # output unchanged — no duplicate appends
+
+
+def test_explain_single_shuffle(spark, pages_df):
+    """Plan audit: exactly one Exchange below the Python map stage."""
+    out = extract_pages(pages_df, num_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
