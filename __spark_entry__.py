@@ -1,38 +1,427 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: full HTML main-content extraction
+(decode → DOM → tagFiltering → text-density) over pages synthesized from
+sf0.001 documents, via one repartition + one mapInPandas stage.
+
+``queries()`` — one entry per implemented operator family:
+ * extraction (SURVEY.md §2: T1-T15, F1-F9, D1-D3, P1-P3, K1-K2) — the
+   non-SQL core, checked rows-only here and byte-level in tests/;
+   `extract_roundtrip` additionally routes the FULL extraction pipeline
+   through a DuckDB-predictable fixture so the extraction path itself is
+   value-checked by the driver;
+ * training-data pipeline ops (dedup exact/MinHash-LSH/SimHash/Jaccard/
+   embedding-cosine, ANN top-k, language-ID, quality, token counts,
+   fingerprints, multimodal plumbing) — oracle-checked where expressible.
+
+All oracle-checked queries avoid engine-specific hashes (md5/sha256 only),
+use integer outputs where possible, and round the few doubles to 4dp.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from contentextractor_spark.functions import analysis as A  # noqa: E402
+from contentextractor_spark.plans.pipeline import (  # noqa: E402
+    PAGES_SCHEMA,
+    extract_pages,
+    lineage_metrics,
+)
+from contentextractor_spark.sources.pages import generate_pages  # noqa: E402
+
+FLAGSHIP_N_PAGES = 200
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _synthetic_pages(spark: SparkSession, n: int = FLAGSHIP_N_PAGES) -> DataFrame:
+    return spark.createDataFrame(generate_pages(n, seed=42), schema=PAGES_SCHEMA)
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """Wrap documents.text in a minimal page so the FULL extraction pipeline
+    runs over DuckDB-predictable input (oracle: main_text == trim(text)).
+    The density gate needs >= 18 kept chars (round(len/4+0.5) >= 5)."""
+    eligible = docs.filter(
+        F.length(F.regexp_replace("text", " ", "")) >= 18
+    )
+    return eligible.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body><div><p>"),
+                F.col("text"),
+                F.lit("</p></div></body></html>"),
+            ),
+            "UTF-8",
+        ).alias("html"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on /root/testdata/sf0.001: full extraction pipeline."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages = _docs_as_pages(_docs(spark, sf_dir))
+    out = extract_pages(pages, num_buckets=8)
+    return out.select("url", "title", "main_text", "threshold", "status")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def extract_roundtrip(spark, sf_dir):
+        pages = _docs_as_pages(_docs(spark, sf_dir))
+        out = extract_pages(pages, num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"), "main_text"
+        )
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def extract_flagship(spark, sf_dir):
+        out = extract_pages(_synthetic_pages(spark), num_buckets=8)
+        return out.select(
+            "url", "title", "description", "keywords", "main_text",
+            "keyword_list", "threshold", "status",
+        )
+
+    def extract_spans(spark, sf_dir):
+        out = extract_pages(_synthetic_pages(spark), num_buckets=8)
+        return out.select(
+            "url",
+            F.size("spans").alias("n_spans"),
+            F.coalesce(
+                F.aggregate(
+                    F.transform(
+                        "spans", lambda s: s["char_end"] - s["char_start"]
+                    ),
+                    F.lit(0),
+                    lambda acc, v: acc + v,
+                ),
+                F.lit(0),
+            ).alias("span_chars"),
+        )
+
+    def extract_lineage(spark, sf_dir):
+        out = extract_pages(_synthetic_pages(spark), num_buckets=8)
+        return lineage_metrics(out).select(
+            "bucket_id", "url_min", "url_max", "row_count", "error_count",
+            "extractor_version", "status",
+        )
+
+    def docs_per_lang(spark, sf_dir):
+        return (
+            _docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+        )
+
+    def doc_length_stats(spark, sf_dir):
+        return (
+            _docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(
+                F.min("n_chars").alias("min_chars"),
+                F.max("n_chars").alias("max_chars"),
+                F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            )
+        )
+
+    def token_counts(spark, sf_dir):
+        return A.token_counts(_docs(spark, sf_dir))
+
+    def lang_id(spark, sf_dir):
+        return A.lang_id(_docs(spark, sf_dir))
+
+    def quality_scores(spark, sf_dir):
+        return A.quality_scores(_docs(spark, sf_dir))
+
+    def fingerprints(spark, sf_dir):
+        return A.fingerprints(_docs(spark, sf_dir))
+
+    def dedup_exact(spark, sf_dir):
+        return A.dedup_exact(_docs(spark, sf_dir))
+
+    def minhash_signatures(spark, sf_dir):
+        return A.minhash_signatures(_docs(spark, sf_dir), k=4, n=3)
+
+    def minhash_lsh_buckets(spark, sf_dir):
+        return A.minhash_lsh_buckets(_docs(spark, sf_dir), k=4, n=3)
+
+    def ngram_jaccard_pairs(spark, sf_dir):
+        return A.jaccard_pairs(
+            _docs(spark, sf_dir), n=3, min_intersection=2, max_shingle_freq=100
+        )
+
+    def simhash(spark, sf_dir):
+        return A.simhash(_docs(spark, sf_dir), bits=48)
+
+    def knn_bruteforce(spark, sf_dir):
+        return A.knn_bruteforce(_emb(spark, sf_dir), n_queries=10, k=5)
+
+    def embedding_neardup(spark, sf_dir):
+        return A.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.35)
+
+    def embedding_lsh_buckets(spark, sf_dir):
+        return A.embedding_lsh_buckets(_emb(spark, sf_dir), n_planes=8)
+
+    def media_features(spark, sf_dir):
+        from contentextractor_spark.operators.multimodal import media_features as mf
+
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("media_type"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        return mf(media).select(
+            "media_id", "media_type", "n_bytes", "content_hash",
+            "width", "height", "status",
+        )
+
+    def frame_sample_plan(spark, sf_dir):
+        from contentextractor_spark.operators.multimodal import frame_sample_plan as fsp
+
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"), F.col("n_chars").alias("n_frames")
+        )
+        return fsp(media, every_n=10).select(
+            "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
+        )
+
+    return {
+        "extract_roundtrip": extract_roundtrip,
+        "extract_flagship": extract_flagship,
+        "extract_spans": extract_spans,
+        "extract_lineage": extract_lineage,
+        "docs_per_lang": docs_per_lang,
+        "doc_length_stats": doc_length_stats,
+        "token_counts": token_counts,
+        "lang_id": lang_id,
+        "quality_scores": quality_scores,
+        "fingerprints": fingerprints,
+        "dedup_exact": dedup_exact,
+        "minhash_signatures": minhash_signatures,
+        "minhash_lsh_buckets": minhash_lsh_buckets,
+        "ngram_jaccard_pairs": ngram_jaccard_pairs,
+        "simhash": simhash,
+        "knn_bruteforce": knn_bruteforce,
+        "embedding_neardup": embedding_neardup,
+        "embedding_lsh_buckets": embedding_lsh_buckets,
+        "media_features": media_features,
+        "frame_sample_plan": frame_sample_plan,
+    }
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 2),
+                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
+    FROM w WHERE len(ws) >= 3))
+"""
+
+_SIG_CTE = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(
+        f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(4)
+    )
+    + " FROM sh GROUP BY doc_id)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "extract_roundtrip": """
+            SELECT doc_id, trim(text) AS main_text
+            FROM documents
+            WHERE length(replace(text, ' ', '')) >= 18
+        """,
+        "docs_per_lang": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "doc_length_stats": """
+            SELECT lang, min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+                       AS n_distinct_tokens
+            FROM documents
+        """,
+        "lang_id": """
+            SELECT doc_id, cjk_chars, latin_chars,
+                   CASE WHEN cjk_chars > latin_chars THEN 'cjk'
+                        ELSE 'latin' END AS pred_lang
+            FROM (
+              SELECT doc_id,
+                CAST(length(regexp_replace(text, '[^一-鿿぀-ゟ゠-ヿ]', '', 'g')) AS INT)
+                    AS cjk_chars,
+                CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT)
+                    AS latin_chars
+              FROM documents)
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   round(alpha * 100.0 / (n + 1), 4) AS alpha_pct,
+                   round((n - nt + 1) * 1.0 / nt, 4) AS mean_token_len,
+                   CAST(sh AS INT) AS stopword_hits
+            FROM (
+              SELECT doc_id, length(text) AS n,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS alpha,
+                len(string_split(text, ' ')) AS nt,
+                len(list_filter(string_split(text, ' '),
+                    w -> w IN ('the','a','of','and','to'))) AS sh
+              FROM documents)
+        """,
+        "fingerprints": """
+            SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fingerprint
+            FROM documents
+        """,
+        "dedup_exact": """
+            SELECT doc_id, md5(text) AS content_hash,
+                   CAST(row_number() OVER (PARTITION BY md5(text)
+                        ORDER BY doc_id) AS INT) AS copy_rank,
+                   CASE WHEN row_number() OVER (PARTITION BY md5(text)
+                        ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_duplicate
+            FROM documents
+        """,
+        "minhash_signatures": f"""
+            WITH {_SHINGLE_CTE}
+            SELECT doc_id,
+                   min(md5('0:' || shingle)) AS mh0,
+                   min(md5('1:' || shingle)) AS mh1,
+                   min(md5('2:' || shingle)) AS mh2,
+                   min(md5('3:' || shingle)) AS mh3
+            FROM sh GROUP BY doc_id
+        """,
+        "minhash_lsh_buckets": f"""
+            WITH {_SHINGLE_CTE}, {_SIG_CTE},
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig)
+            SELECT band, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS min_doc_id
+            FROM bands GROUP BY band, bucket HAVING count(*) > 1
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH {_SHINGLE_CTE},
+            freq AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= 100),
+            rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+                     JOIN freq USING (shingle)),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS intersection
+              FROM rare a JOIN rare b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2)
+            SELECT doc_a, doc_b, intersection,
+                   CAST(sa.sz + sb.sz - intersection AS BIGINT) AS union_sz
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+        """,
+        "simhash": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            tb AS (
+              SELECT doc_id, md5(tok) AS h,
+                     unnest(generate_series(0, 47)) AS p
+              FROM tok),
+            bits AS (
+              SELECT doc_id, p,
+                CAST(floor((strpos('0123456789abcdef',
+                       substr(h, CAST(floor(p / 4) AS INT) + 1, 1)) - 1)
+                     / power(2.0, p % 4)) AS BIGINT) % 2 AS bit
+              FROM tb),
+            per_bit AS (
+              SELECT doc_id, p, sum(bit * 2 - 1) AS s
+              FROM bits GROUP BY doc_id, p)
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0
+                        THEN CAST(power(2.0, p) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS simhash
+            FROM per_bit GROUP BY doc_id
+        """,
+        "knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id,
+                              CAST(embedding AS DOUBLE[]) AS qe
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id,
+                         CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+            scored AS (
+              SELECT query_id, neighbor_id,
+                     list_cosine_similarity(qe, ce) AS cos
+              FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY cos DESC, neighbor_id ASC) AS rank, cos
+              FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+                   round(cos, 4) AS cos_sim
+            FROM ranked WHERE rank <= 5
+        """,
+        "embedding_neardup": """
+            SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])) AS cos
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+            WHERE cos >= 0.35
+        """,
+        "media_features": """
+            SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                   'image' AS media_type,
+                   CAST(strlen(text) AS BIGINT) AS n_bytes,
+                   substr(sha256(text), 1, 16) AS content_hash,
+                   CAST(((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1))
+                      * 4 + 64 AS INT) AS width,
+                   CAST(((strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1))
+                      * 4 + 64 AS INT) AS height,
+                   'ok:fake-decode' AS status
+            FROM documents
+        """,
+        "frame_sample_plan": """
+            SELECT doc_id AS media_id,
+                   CAST(unnest(generate_series(0, CAST(n_chars AS BIGINT) - 1, 10))
+                        AS INT) AS frame_idx
+            FROM documents
+        """,
+        # extract_flagship / extract_spans / extract_lineage /
+        # embedding_lsh_buckets: non-SQL-expressible (full DOM+density
+        # pipeline / 64-dim hyperplane folds) → rows-only checks.
+    }

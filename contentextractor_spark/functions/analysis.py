@@ -1,0 +1,326 @@
+"""Training-data pipeline operators over the documents/embeddings tables.
+
+These are the large-scale corpus-curation operators a 100 TB training-data
+pipeline needs on top of extraction: deduplication (exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding cosine), similarity search (brute-force
+top-k + LSH-bucketed scale path), and text analysis (language-ID, quality
+scoring, token counting, fingerprinting).
+
+Design rules:
+ - everything is built-in `pyspark.sql.functions` (JVM-side, codegen'd) —
+   NO Python UDFs anywhere in this module;
+ - every op is DuckDB-oracle-expressible (hashes via md5, MinHash via
+   lexicographic min over md5(seed||shingle), SimHash bits via hex-digit
+   arithmetic) so the driver can value-check them;
+ - scale notes per op: shuffles are keyed on high-cardinality columns
+   (doc_id, shingle) and skew-guarded (stop-shingle frequency cap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + distinct-token count per document."""
+    words = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram/char-class language heuristic: CJK char count vs Latin."""
+    cjk = F.length(F.regexp_replace("text", "[^一-鿿぀-ゟ゠-ヿ]", ""))
+    latin = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    return docs.select(
+        "doc_id",
+        cjk.alias("cjk_chars"),
+        latin.alias("latin_chars"),
+        F.when(cjk > latin, "cjk").otherwise("latin").alias("pred_lang"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Cheap quality signals: alpha ratio, mean token length, stopword hits."""
+    n = F.length("text")
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin("the", "a", "of", "and", "to"))
+    )
+    return docs.select(
+        "doc_id",
+        F.round(alpha * 100.0 / (n + 1), 4).alias("alpha_pct"),
+        F.round((n - n_tokens + 1) * 1.0 / n_tokens, 4).alias("mean_token_len"),
+        stop_hits.alias("stopword_hits"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprint: 64-bit prefix of md5 over normalized text."""
+    norm = F.lower(F.trim(F.col("text")))
+    return docs.select(
+        "doc_id", F.substring(F.md5(norm), 1, 16).alias("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup via content-hash groupBy: rank copies, keep rank 1.
+    Scale: shuffles on md5(text) — uniformly distributed, no skew."""
+    h = F.md5(F.col("text"))
+    w = Window.partitionBy(h).orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        h.alias("content_hash"),
+        F.row_number().over(w).alias("copy_rank"),
+    ).withColumn("is_duplicate", (F.col("copy_rank") > 1).cast("int"))
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Word n-gram shingles, DISTINCT per (doc_id, shingle)."""
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+    return (
+        docs.filter(F.size(words) >= n)
+        .select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, k: int = 4, n: int = 3) -> DataFrame:
+    """MinHash: k independent permutations simulated by md5(seed:shingle);
+    the signature element is the lexicographic min (md5 is uniform, so min
+    over the hex string is a valid minwise hash — and it is reproducible in
+    any engine with md5, unlike xxhash64)."""
+    sh = shingles(docs, n=n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_buckets(docs: DataFrame, k: int = 4, n: int = 3) -> DataFrame:
+    """LSH banding (band size 2): docs sharing a band bucket are near-dup
+    candidates.  Emits candidate buckets with >1 member.  Scale: the
+    band-bucket groupBy shuffles on the banded hash — high cardinality."""
+    sig = minhash_signatures(docs, k=k, n=n)
+    bands = []
+    for b in range(k // 2):
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(
+                    "bucket"
+                ),
+            )
+        )
+    all_bands = bands[0]
+    for extra in bands[1:]:
+        all_bands = all_bands.unionByName(extra)
+    return (
+        all_bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    min_intersection: int = 2,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via shingle self-join.
+
+    Integer-only output (intersection, union sizes) — float-free for
+    cross-engine verification.  Skew guard: shingles occurring in more than
+    `max_shingle_freq` docs are dropped (stop-shingles) so the self-join
+    can't quadratically blow up on a common phrase at 100 TB.
+    """
+    sh = shingles(docs, n=n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    inter = (
+        a.join(b, F.col("a.shingle") == F.col("b.shingle"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("intersection"))
+        .filter(F.col("intersection") >= min_intersection)
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "intersection",
+            (F.col("sz_a") + F.col("sz_b") - F.col("intersection")).alias("union_sz"),
+        )
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
+    """SimHash over distinct tokens: md5-derived bit planes, majority vote
+    per bit, folded into a BIGINT.  Fully engine-portable: bit p of token t
+    is (hexval(md5(t)[p/4]) >> (p%4)) & 1.
+
+    Scale: explodes docs × tokens × bits — at 10^12 docs run on the
+    *deduplicated* token stream and reduce by partial aggregation (the
+    groupBy(doc_id, p) is map-side combinable)."""
+    words = F.array_distinct(F.split(F.col("text"), " "))
+    tok = docs.select("doc_id", F.explode(words).alias("tok"))
+    h = F.md5(F.col("tok"))
+    p = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("p")
+    tok_bits = tok.select("doc_id", h.alias("h"), p)
+    # (hexval(h[p/4]) >> (p%4)) & 1, written with pow-arithmetic so the
+    # identical formula runs in any SQL engine (variable shift amounts
+    # aren't portable); instr/substring with column args via expr.
+    tok_bits = tok_bits.withColumn(
+        "bit",
+        F.expr(
+            f"cast(floor((instr('{HEX_DIGITS}', "
+            "substring(h, cast(floor(p / 4) as int) + 1, 1)) - 1) "
+            "/ power(2.0, p % 4)) as bigint) % 2"
+        ),
+    )
+    per_bit = tok_bits.groupBy("doc_id", "p").agg(
+        F.sum(F.col("bit") * 2 - 1).alias("s")
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.pow(F.lit(2.0), F.col("p")).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
+    return dot / (na * nb)
+
+
+def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k: queries (vec_id < n_queries) × corpus.
+
+    The query side is tiny → broadcast it; the corpus streams through one
+    narrow projection.  At 10^12 rows this is the exact-scoring baseline;
+    the scale path is embedding_lsh_buckets below."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _cosine(F.col("qe"), F.col("ce")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold (exact O(n²) —
+    correctness baseline; LSH variant is the scale path)."""
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").cast("array<double>").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").cast("array<double>").alias("eb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def embedding_lsh_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
+    """Random-hyperplane LSH: sign-bit signature over deterministic
+    md5-derived hyperplanes (plane p, dim d has component ±1 from a bit of
+    md5(p:d)).  Docs sharing a signature are ANN candidates — the candidate
+    join shrinks the O(n²) search to per-bucket blocks at 10^12 scale."""
+    import hashlib as _hl
+
+    dims = emb.select(F.size("embedding").alias("d")).limit(1)
+    ndim = dims.collect()[0]["d"]
+
+    def _plane_component(p: int, d: int) -> float:
+        # bit 0 of md5("p:d")[0] — deterministic ±1, engine-independent
+        return 1.0 if _hl.md5(f"{p}:{d}".encode()).digest()[0] & 1 else -1.0
+
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        comps = F.array(
+            *[F.lit(_plane_component(p, d)) for d in range(ndim)]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), comps, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig + F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(0)
+    return (
+        emb.select("vec_id", sig.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )

@@ -1,0 +1,141 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Image/audio/video payloads are carried as `binary` columns with typed
+metadata, processed by Arrow-batched ``mapInPandas`` — the same executor
+pattern as HTML extraction, so the partitioning/skew story is shared.
+
+The actual codec step (image decode / resample / frame-sample) needs
+libraries not present in this container; it is stubbed behind
+``decode_media`` which raises ``NotImplementedError`` unless
+``deterministic_fake=True``, in which case a seed-stable fake feature
+vector is derived from the bytes (sha256-based) — the Spark-side plumbing
+(schema, batch shape, UDF signature, partitioning) is fully real and
+tested either way.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_FEATURE_DIM = 16
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_hash", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("features", ArrayType(FloatType())),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def decode_media(
+    data: bytes, media_type: str, deterministic_fake: bool = False
+) -> dict:
+    """Decode one media payload → metadata + feature vector.
+
+    Real decode requires PIL/ffmpeg/torchaudio — NOT available here; the
+    deterministic fake derives every field from sha256(bytes) so tests and
+    the Spark plumbing are fully exercised with stable values.
+    """
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not available in this environment; "
+            "pass deterministic_fake=True to exercise the pipeline plumbing"
+        )
+    digest = hashlib.sha256(data).digest()
+    arr = np.frombuffer(digest[:MEDIA_FEATURE_DIM], dtype=np.uint8)
+    features = (arr.astype(np.float32) / 255.0).tolist()
+    return {
+        "media_type": media_type,
+        "n_bytes": len(data),
+        "content_hash": digest.hex()[:16],
+        "width": int(digest[0]) * 4 + 64,
+        "height": int(digest[1]) * 4 + 64,
+        "features": features,
+        "status": "ok:fake-decode",
+    }
+
+
+def media_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
+    """mapInPandas stage over (media_id, media_type, payload:binary).
+
+    Batch shape mirrors the extraction stage: iterator API, bounded Arrow
+    batches, per-row error isolation."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = {k.name: [] for k in MEDIA_SCHEMA.fields}
+            for mid, mtype, payload in zip(
+                pdf[id_col], pdf["media_type"], pdf["payload"]
+            ):
+                try:
+                    d = decode_media(
+                        bytes(payload) if payload is not None else b"",
+                        str(mtype),
+                        deterministic_fake=True,
+                    )
+                except Exception as e:  # noqa: BLE001
+                    d = {
+                        "media_type": str(mtype),
+                        "n_bytes": 0,
+                        "content_hash": "",
+                        "width": 0,
+                        "height": 0,
+                        "features": [],
+                        "status": f"error:{type(e).__name__}",
+                    }
+                out["media_id"].append(str(mid))
+                for k in (
+                    "media_type",
+                    "n_bytes",
+                    "content_hash",
+                    "width",
+                    "height",
+                    "features",
+                    "status",
+                ):
+                    out[k].append(d[k])
+            yield pd.DataFrame(out)
+
+    cols = media.select(
+        media[id_col].cast("string").alias("media_id"),
+        "media_type",
+        "payload",
+    )
+    return cols.mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling *plan*: expands (media_id, n_frames) into frame
+    indices JVM-side (no Python) — the decode of each frame would be the
+    stubbed codec step."""
+    from pyspark.sql import functions as F
+
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+        ).alias("frame_idx"),
+    )
