@@ -35,7 +35,7 @@ def detect_charset(data: bytes) -> str | None:
         decoded = None
     if decoded is not None:
         # pure ASCII → juniversalchardet reports nothing
-        if all(ord(c) < 0x80 for c in decoded):
+        if decoded.isascii():
             return None
         return "UTF-8"
 

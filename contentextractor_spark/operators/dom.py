@@ -58,6 +58,7 @@ _BOOLEAN_ATTRS = frozenset(
 )
 
 _JSOUP_WS = " \t\n\f\r"  # StringUtil.isWhitespace
+_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
 
 
 class Node:
@@ -132,7 +133,7 @@ class Element(Node):
             yield node
             # push children reversed so leftmost pops first
             stack.extend(
-                c for c in reversed(node.children) if isinstance(c, Element)
+                [c for c in reversed(node.children) if isinstance(c, Element)]
             )
 
     def get_all_elements(self) -> list["Element"]:
@@ -197,7 +198,7 @@ class Element(Node):
                     last_ws[0] = True
                 stack.extend(reversed(node.children))
         # Java String.trim at the end (jsoup uses .trim())
-        return "".join(accum).strip("".join(chr(c) for c in range(0x21)))
+        return "".join(accum).strip(_JAVA_TRIM_CHARS)
 
     def own_text(self) -> str:
         """jsoup Element.ownText(): direct text children normalized; a space
@@ -233,7 +234,7 @@ class Element(Node):
                 if not last_ws[0] and accum:
                     accum.append(" ")
                     last_ws[0] = True
-        return "".join(accum).strip("".join(chr(c) for c in range(0x21)))
+        return "".join(accum).strip(_JAVA_TRIM_CHARS)
 
     # -- select ----------------------------------------------------------
     def select(self, query: str) -> list["Element"]:
@@ -276,7 +277,7 @@ class Document(Element):
                     else:
                         out.append(ch)
                         last_white = False
-                return "".join(out).strip("".join(chr(c) for c in range(0x21)))
+                return "".join(out).strip(_JAVA_TRIM_CHARS)
         return ""
 
 
@@ -660,7 +661,7 @@ class _AttrValue(_Evaluator):
         # Java String.trim (chars <= U+0020), then equalsIgnoreCase
         if not el.has_attr(self.key):
             return False
-        v = el.attr(self.key).strip("".join(chr(c) for c in range(0x21)))
+        v = el.attr(self.key).strip(_JAVA_TRIM_CHARS)
         return v.lower() == self.value
 
 
@@ -805,17 +806,57 @@ def _split_groups(query: str) -> list[str]:
     return [g for g in groups if g]
 
 
+_SELECTOR_CACHE: dict[str, tuple] = {}
+
+
+def _simplify(ev: _And) -> _Evaluator:
+    return ev.evals[0] if len(ev.evals) == 1 else ev
+
+
+def _compile_query(query: str) -> tuple:
+    """Compile + memoize a selector (hot path: the same ~10 reference
+    queries run per document; parsing them once per process, not once per
+    page, is a large constant-factor win at 100 TB).  Tag-only groups
+    (e.g. the F6 blacklists, "a", "br", "span") compile to a frozenset
+    membership test instead of evaluator dispatch."""
+    cached = _SELECTOR_CACHE.get(query)
+    if cached is None:
+        q = query.strip()
+        if q.startswith(">"):
+            inner = _parse_compound(q[1:].strip())
+            if len(inner.evals) == 1 and isinstance(inner.evals[0], _Tag):
+                cached = ("child_tag", inner.evals[0].name)
+            else:
+                cached = ("child", _simplify(inner))
+        else:
+            groups = [_parse_compound(g) for g in _split_groups(q)]
+            if all(
+                len(g.evals) == 1 and isinstance(g.evals[0], _Tag) for g in groups
+            ):
+                cached = ("tags", frozenset(g.evals[0].name for g in groups))
+            else:
+                cached = ("desc", [_simplify(g) for g in groups])
+        _SELECTOR_CACHE[query] = cached
+    return cached
+
+
 def select(root: Element, query: str) -> list[Element]:
     """jsoup Element.select: document-order matches within root's subtree,
     root itself included (Collector.collect traverses from root)."""
-    query = query.strip()
-    if query.startswith(">"):
+    kind, compiled = _compile_query(query)
+    if kind == "tags":
+        return [el for el in root.iter_elements() if el.tag in compiled]
+    if kind == "child_tag":
+        return [
+            c for c in root.children if isinstance(c, Element) and c.tag == compiled
+        ]
+    if kind == "child":
         # relative child combinator (ContentExtractor.java:295 node.select(">a"))
-        inner = _parse_compound(query[1:].strip())
+        inner = compiled
         return [
             c for c in root.children if isinstance(c, Element) and inner.matches(c)
         ]
-    evaluators = [_parse_compound(g) for g in _split_groups(query)]
+    evaluators = compiled
     out: list[Element] = []
     for el in root.iter_elements():
         for ev in evaluators:
