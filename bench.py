@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Benchmark harness — prints ONE JSON line.
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>,
+     "docs_per_sec": <flagship extraction throughput>, ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[<n>] parallelism (default 32)
+  SPARK_GRAFT_BENCH_ONLY  comma list of query names to run (default: all)
+
+The flagship metric is documents/sec of the end-to-end extraction stage
+(decode → DOM → tagFiltering → text-density) over a deterministic synthetic
+Common-Crawl-style pages table sized 200k×sf rows (cached parquet, seed 42).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from contentextractor_spark.functions import analysis as A  # noqa: E402
+from contentextractor_spark.plans.pipeline import build_spark, extract_pages  # noqa: E402
+from contentextractor_spark.sources.pages import write_pages_parquet  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "_bench_cache")
+NUM_BUCKETS = int(os.environ.get("SPARK_GRAFT_NUM_BUCKETS", "64"))  # fixed across parallelism levels → identical job for scaling
+
+
+def sf_of(path: str) -> float:
+    m = re.search(r"sf([0-9.]+)", path)
+    return float(m.group(1)) if m else 0.1
+
+
+def pages_parquet(n: int) -> str:
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"pages_{n}_v2")
+    if not os.path.exists(path):
+        write_pages_parquet(path, n, seed=42, n_files=32)
+    return path
+
+
+def main() -> None:
+    sf = sf_of(SF_DIR)
+    n_pages = int(os.environ.get("SPARK_GRAFT_N_PAGES", "0")) or max(
+        200, int(200_000 * sf)
+    )
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    selected = set(only.split(",")) if only else None
+
+    spark = build_spark(
+        app=f"cx-bench-{CPUS}",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    pages = spark.read.parquet(pages_parquet(n_pages))
+    docs.count(), emb.count(), pages.count()  # warm the scan / JVM
+    # warm the Python workers (imports + Arrow init) — we measure
+    # steady-state throughput, not process cold-start
+    extract_pages(pages.limit(64 * CPUS), num_buckets=NUM_BUCKETS).count()
+
+    def docs_as_pages():
+        eligible = docs.filter(F.length(F.regexp_replace("text", " ", "")) >= 18)
+        return eligible.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><div><p>"),
+                    F.col("text"),
+                    F.lit("</p></div></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+
+    bench_queries = {
+        "extract_pages": lambda: extract_pages(pages, num_buckets=NUM_BUCKETS).count(),
+        "extract_roundtrip": lambda: extract_pages(
+            docs_as_pages(), num_buckets=NUM_BUCKETS
+        ).count(),
+        "dedup_exact": lambda: A.dedup_exact(docs).count(),
+        "minhash_signatures": lambda: A.minhash_signatures(docs, k=4, n=3).count(),
+        "ngram_jaccard_pairs": lambda: A.jaccard_pairs(docs).count(),
+        "simhash": lambda: A.simhash(docs, bits=48).count(),
+        "knn_bruteforce": lambda: A.knn_bruteforce(emb, n_queries=10, k=5).count(),
+        "token_counts": lambda: A.token_counts(docs).count(),
+        "lang_id": lambda: A.lang_id(docs).count(),
+        "quality_scores": lambda: A.quality_scores(docs).count(),
+    }
+
+    times: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        if selected is not None and name not in selected:
+            continue
+        t0 = time.time()
+        fn()
+        times[name] = round(time.time() - t0, 3)
+
+    extract_sec = times.get("extract_pages")
+    docs_per_sec = round(n_pages / extract_sec, 1) if extract_sec else None
+    out = {
+        "metric": "end-to-end extraction + corpus-ops wall time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "docs_per_sec": docs_per_sec,
+        "n_pages": n_pages,
+        "cpus": CPUS,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,8 +44,10 @@ from pyspark.sql.types import (
 from ..extractor import EXTRACTOR_VERSION, extract_document
 
 # Arrow batch sizing (SURVEY.md §4.2): default 10k rows/batch would hold
-# ~1-5 GB of raw HTML — OOM.  512 rows × ~100 KB ≈ 50 MB per batch.
-ARROW_BATCH_ROWS = 512
+# ~1 GB of raw HTML per in-flight batch — OOM risk; tiny batches pay a
+# per-batch pipe/flush tax (measured: 512→3.5k docs/s, 1024→8k docs/s on
+# 32 cores).  1024 rows × ~120 KB worst-case page ≈ 125 MB per batch.
+ARROW_BATCH_ROWS = 1024
 SALT_SEED = 42
 
 SPAN_TYPE = ArrayType(

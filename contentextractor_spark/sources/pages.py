@@ -165,24 +165,33 @@ def generate_pages(n: int, seed: int = 42, n_hosts: int = 50) -> pd.DataFrame:
     )
 
 
-def write_pages_parquet(path: str, n: int, seed: int = 42) -> str:
-    """Materialize a pages table as parquet (bench/test helper)."""
+def write_pages_parquet(path: str, n: int, seed: int = 42, n_files: int = 32) -> str:
+    """Materialize a pages table as a parquet *directory* of n_files files —
+    a single fat file would make the Spark scan (and the shuffle-map side)
+    single-task; real crawl tables are many-file, so the bench input should
+    be too."""
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     df = generate_pages(n, seed=seed)
-    table = pa.Table.from_pandas(
-        df,
-        schema=pa.schema(
-            [
-                ("url", pa.string()),
-                ("warc_ts", pa.timestamp("us")),
-                ("html", pa.binary()),
-                ("text", pa.string()),
-                ("lang", pa.string()),
-            ]
-        ),
-        preserve_index=False,
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+        ]
     )
-    pq.write_table(table, path)
+    os.makedirs(path, exist_ok=True)
+    n_files = max(1, min(n_files, n))
+    chunk = (n + n_files - 1) // n_files
+    for i in range(n_files):
+        part = df.iloc[i * chunk:(i + 1) * chunk]
+        if len(part) == 0:
+            break
+        table = pa.Table.from_pandas(part, schema=schema, preserve_index=False)
+        pq.write_table(table, os.path.join(path, f"part-{i:05d}.parquet"))
     return path

@@ -1,0 +1,143 @@
+"""Structured Streaming surface of the engine.
+
+The reference is batch-only (SURVEY.md §2.7: no streaming), but the
+production shape of a crawl-extraction pipeline is incremental: pages land
+in the table continuously and extraction keeps up.  This module exposes the
+SAME per-document extraction as a streaming stage — the mapInPandas UDF is
+stateless, so it composes with readStream unchanged — plus the standard
+windowed/watermarked aggregation and an applyInPandasWithState custom
+stateful operator over the `events` stream table.
+
+Scale notes: checkpointing makes the stream exactly-once into the sink;
+maxFilesPerTrigger bounds per-micro-batch memory exactly like the Arrow
+batch cap bounds per-task memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..plans.pipeline import EXTRACT_SCHEMA, PAGES_SCHEMA, _extract_batches
+
+
+def read_pages_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 4
+) -> DataFrame:
+    """Incremental scan of a pages directory (parquet landing zone)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def stream_extract(pages_stream: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """Streaming extraction: identical semantics to the batch stage — the
+    same _extract_batches function — so batch/stream parity is by
+    construction (tested in tests/test_streaming.py)."""
+    keyed = pages_stream.select("url", "html").withColumn(
+        "bucket_id",
+        F.pmod(F.xxhash64(F.col("url"), F.lit(42)), F.lit(num_buckets)).cast("int"),
+    )
+    return keyed.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
+
+
+def write_stream(
+    extracted: DataFrame, output_dir: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Exactly-once parquet sink with checkpoint; availableNow drains the
+    backlog then stops (used by tests + backfill runs)."""
+    w = (
+        extracted.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def windowed_event_counts(events_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window aggregation over the events stream:
+    late rows beyond the watermark are dropped, state is bounded."""
+    # parquet landing zones often carry TIMESTAMP_NTZ; watermarks need
+    # an instant-typed column
+    events_stream = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+# --- custom stateful operator: per-user running session stats -------------
+
+SESSION_STATE_SCHEMA = StructType(
+    [StructField("n_events", LongType()), StructField("last_ts", TimestampType())]
+)
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events_total", LongType()),
+        StructField("last_ts", TimestampType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def _session_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    total = 0
+    last_ts = None
+    if state.exists:
+        total, last_ts = state.get
+    for pdf in pdfs:
+        total += len(pdf)
+        mx = pdf["ts"].max()
+        if last_ts is None or (mx is not pd.NaT and mx > last_ts):
+            last_ts = mx
+    state.update((total, last_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events_total": [total],
+            "last_ts": [last_ts],
+            "status": ["active"],
+        }
+    )
+
+
+def running_user_stats(events_stream: DataFrame) -> DataFrame:
+    """applyInPandasWithState: arbitrary per-key running state — the
+    'custom stateful operator' escape hatch for semantics windows can't
+    express (SURVEY.md has no counterpart; this is the Spark-native idiom)."""
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        _session_fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,108 @@
+"""Structured Streaming parity + stateful-operator tests."""
+
+import os
+
+import pytest
+
+from contentextractor_spark.plans.pipeline import PAGES_SCHEMA, extract_pages
+from contentextractor_spark.sources.pages import generate_pages
+from contentextractor_spark.streaming.stream import (
+    read_pages_stream,
+    running_user_stats,
+    stream_extract,
+    windowed_event_counts,
+    write_stream,
+)
+
+N = 60
+
+
+def test_stream_extract_matches_batch(spark, tmp_path):
+    pdf = generate_pages(N, seed=42)
+    batch_df = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # land the pages as two parquet files (two micro-batch candidates)
+    batch_df.repartition(2).write.parquet(in_dir)
+
+    stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = write_stream(stream_extract(stream, num_buckets=8), out_dir, ckpt)
+    q.awaitTermination(120)
+
+    got = {r.url: r.main_text for r in spark.read.parquet(out_dir).collect()}
+    want = {
+        r.url: r.main_text for r in extract_pages(batch_df, num_buckets=8).collect()
+    }
+    assert got == want  # streaming == batch, byte-identical per url
+
+    # restart with same checkpoint: no new data → no duplicate rows
+    q2 = write_stream(stream_extract(read_pages_stream(spark, in_dir), 8), out_dir, ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(out_dir).count() == N
+
+
+def test_windowed_event_counts(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev")
+    events.write.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(events.schema).parquet(in_dir)
+    )
+    agg = windowed_event_counts(stream)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wincounts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode only emits windows the watermark has passed; compare the
+    # closed ones against the batch computation
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in spark.sql("select * from wincounts").collect()
+    }
+    from pyspark.sql import functions as F
+
+    want_df = (
+        events.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("s"),
+        )
+        .select(F.col("window.start").alias("ws"), "event_type", "n", "s")
+    )
+    want = {(r.ws, r.event_type): (r.n, r.s) for r in want_df.collect()}
+    assert set(got) <= set(want)
+    for k, v in got.items():
+        assert want[k] == v
+    assert len(got) > 0
+
+
+def test_running_user_stats_stateful(spark, tmp_path):
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    in_dir = str(tmp_path / "ev2")
+    events.write.parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    q = (
+        running_user_stats(stream)
+        .writeStream.format("memory")
+        .queryName("userstats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select user_id, max(n_events_total) as n from userstats group by user_id"
+    ).collect()
+    got = {r.user_id: r.n for r in rows}
+    want = {
+        r.user_id: r.n
+        for r in events.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
+    }
+    assert got == want
