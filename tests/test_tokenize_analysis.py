@@ -1,0 +1,157 @@
+"""K1/K2 tokenizer goldens + analysis-operator unit checks."""
+
+import pandas as pd
+import pytest
+
+from contentextractor_spark.functions.tokenize import (
+    keyword_list,
+    keyword_list_series,
+    keyword_tokens,
+    tokenize,
+)
+
+
+def test_tokenize_script_runs():
+    assert tokenize("hello world") == ["hello", "world"]
+    assert tokenize("日本語のテキスト") == ["日本語", "の", "テキスト"]
+    assert tokenize("mixedテキストtext") == ["mixed", "テキスト", "text"]
+
+
+def test_tokenize_katakana_chouon():
+    assert tokenize("データベース") == ["データベース"]
+
+
+def test_keyword_filter_len_and_digits():
+    assert keyword_tokens("a bb 12 ３４ hello") == ["bb", "hello"]
+
+
+def test_keyword_list_trailing_comma():
+    assert keyword_list("hello world x") == "hello,world,"
+    assert keyword_list("") == ""
+
+
+def test_keyword_list_keeps_duplicates_in_order():
+    assert keyword_list("spark spark fast") == "spark,spark,fast,"
+
+
+def test_keyword_list_series_matches_scalar():
+    texts = pd.Series(["hello world", "日本語テキスト 12", None, ""])
+    got = keyword_list_series(texts)
+    assert got[0] == keyword_list("hello world")
+    assert got[1] == keyword_list("日本語テキスト 12")
+    assert got[2] == ""
+    assert got[3] == ""
+
+
+# ---------- Spark analysis ops: structural invariants ----------
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_dedup_exact_partitions_rows(spark, docs):
+    from contentextractor_spark.functions.analysis import dedup_exact
+
+    out = dedup_exact(docs)
+    assert out.count() == docs.count()
+    # rank-1 rows = number of distinct texts
+    distinct = docs.selectExpr("count(distinct text) c").collect()[0].c
+    assert out.filter("copy_rank = 1").count() == distinct
+
+
+def test_minhash_band_containment(spark, docs):
+    """Property: docs with identical text MUST share every band bucket."""
+    from pyspark.sql import functions as F
+
+    from contentextractor_spark.functions.analysis import minhash_signatures
+
+    dup = docs.limit(5).union(docs.limit(5))  # force exact dups
+    sig = minhash_signatures(dup, k=4)
+    # identical text → identical signature; 5 unique docs → 5 unique sigs
+    assert sig.select("mh0", "mh1", "mh2", "mh3").distinct().count() == 5
+    assert sig.count() == 5  # groupBy doc_id collapses the union dups
+
+
+def test_simhash_similar_texts_close(spark):
+    """SimHash property: near-identical texts differ in few bits."""
+    from contentextractor_spark.functions.analysis import simhash
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog near the river bank",
+                "the quick brown fox jumps over the lazy dog near the river edge",
+                "completely different words about spark engines and parquet files",
+            ],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r.doc_id: r.simhash for r in simhash(df, bits=48).collect()}
+    d12 = bin(got[1] ^ got[2]).count("1")
+    d13 = bin(got[1] ^ got[3]).count("1")
+    assert d12 < d13
+
+
+def test_knn_rank_properties(spark):
+    from contentextractor_spark.functions.analysis import knn_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = knn_bruteforce(emb, n_queries=5, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(5))
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == [1, 2, 3]
+        sims = [r.cos_sim for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_embedding_lsh_bucket_count(spark):
+    from contentextractor_spark.functions.analysis import embedding_lsh_buckets
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = embedding_lsh_buckets(emb, n_planes=8)
+    rows = out.collect()
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    assert all(0 <= r.bucket < 256 for r in rows)
+
+
+def test_media_features_deterministic(spark, docs):
+    from pyspark.sql import functions as F
+
+    from contentextractor_spark.operators.multimodal import media_features
+
+    media = docs.limit(20).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    a = {r.media_id: r for r in media_features(media).collect()}
+    b = {r.media_id: r for r in media_features(media).collect()}
+    assert len(a) == 20
+    for k in a:
+        assert a[k].content_hash == b[k].content_hash
+        assert len(a[k].features) == 16
+        assert a[k].status == "ok:fake-decode"
+
+
+def test_decode_media_stub_raises_without_fake():
+    from contentextractor_spark.operators.multimodal import decode_media
+
+    with pytest.raises(NotImplementedError):
+        decode_media(b"xx", "image")
+
+
+def test_frame_sample_plan(spark):
+    from contentextractor_spark.operators.multimodal import frame_sample_plan
+
+    pdf = pd.DataFrame({"media_id": [1, 2], "n_frames": [25, 5]})
+    df = spark.createDataFrame(pdf)
+    rows = frame_sample_plan(df, every_n=10).collect()
+    got = sorted((r.media_id, r.frame_idx) for r in rows)
+    assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
