@@ -1,0 +1,95 @@
+"""Remaining reference sources/sinks (SURVEY.md §2.1).
+
+S1 — CSV url-list scan (ContentExtractor.java:90,95-99 / :168,178-179):
+     the reference drives extraction from an `id,url` CSV read line by
+     line; here it is a proper DataFrame scan that joins against the page
+     store (the batch reframing of the reference's per-row HBase Get, S3).
+
+S5 — XML sink (ContentExtractor.java:170,189-196,209): the forTest path
+     writes one `<document id url>` element per page wrapped in
+     `<?xml?><data>…</data>`.  Reproduced byte-faithfully for parity
+     artifacts; at scale you'd write parquet and render XML only for
+     downstream consumers that need it.
+
+S3/S4 (HBase get/put) map to the input-table scan and output-table write of
+plans/pipeline.run_extraction — a point-get keyed store has no 10^12-scale
+analog other than the bucketed table itself (SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+URL_LIST_SCHEMA = StructType(
+    [StructField("id", StringType()), StructField("url", StringType())]
+)
+
+
+def read_url_list(spark: SparkSession, path: str) -> DataFrame:
+    """S1: `id,url` CSV → DataFrame.  The reference splits on ',' with no
+    quoting/escaping (ContentExtractor.java:99,179); mirror that."""
+    lines = spark.read.text(path)
+    parts = F.split(F.col("value"), ",")
+    return lines.select(
+        parts.getItem(0).alias("id"),
+        F.trim(parts.getItem(1)).alias("url"),  # tokens[1].trim() at :182
+    )
+
+
+def lookup_pages(url_list: DataFrame, pages: DataFrame) -> DataFrame:
+    """S3 reframed: the reference's per-url HBase Get becomes one join of
+    the url list against the page store.  The list side is small →
+    broadcast; the store side never shuffles."""
+    return pages.join(F.broadcast(url_list.select("id", "url")), "url", "inner")
+
+
+def _xml_escape_header(s: str) -> str:
+    # the reference writes title/description/keywords raw (no escaping);
+    # faithful — this is a parity artifact, not a robust XML writer
+    return s
+
+
+def fortest_xml(rows) -> str:
+    """S5: render extraction rows exactly like forTest
+    (ContentExtractor.java:170,189-196,209).
+
+    rows: iterable of objects/dicts with id, url, title, description,
+    keywords, main_text.  Quirks kept: the `<main>` element is only
+    populated when main_text is non-empty; elements are newline-separated
+    exactly as the Java writes them.
+    """
+    out = ['<?xml version="1.0" encoding="utf-8"?>\n<data>']
+    for r in rows:
+        get = r.get if isinstance(r, dict) else lambda k, _r=r: getattr(_r, k)
+        out.append(
+            f'\n<document id="{get("id")}" url="{get("url")}">\n'
+            f"<title>{_xml_escape_header(get('title'))}</title>\n"
+            f"<description>{_xml_escape_header(get('description'))}</description>\n"
+            f"<keywords>{_xml_escape_header(get('keywords'))}</keywords>\n"
+        )
+        main_text = get("main_text")
+        if main_text != "":
+            out.append(f"<main>\n{main_text}\n</main>\n</document>\n")
+        else:
+            out.append("<main></main>\n</document>\n")
+    out.append("</data>")
+    return "".join(out)
+
+
+def write_fortest_xml(extracted: DataFrame, path: str, id_col: str = "url") -> None:
+    """Collects to the driver (parity tool for small runs only — the 100 TB
+    path writes the parquet output table of plans/pipeline)."""
+    rows = [
+        {
+            "id": r[id_col],
+            "url": r["url"],
+            "title": r["title"],
+            "description": r["description"],
+            "keywords": r["keywords"],
+            "main_text": r["main_text"],
+        }
+        for r in extracted.collect()
+    ]
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(fortest_xml(rows))
