@@ -121,3 +121,14 @@ def test_explain_single_shuffle(spark, pages_df):
     out = extract_pages(pages_df, num_buckets=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_explain_column_pruning_reaches_scan(spark, tmp_path, pages_pdf):
+    """Plan audit: the parquet scan must read ONLY (url, html) — warc_ts /
+    text / lang are pruned (SURVEY.md §4.2 'just don't select(*)')."""
+    path = str(tmp_path / "pages_pq")
+    spark.createDataFrame(pages_pdf, schema=PAGES_SCHEMA).write.parquet(path)
+    pages = spark.read.parquet(path)
+    out = extract_pages(pages, num_buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<url:string,html:binary>" in plan, plan
