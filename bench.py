@@ -45,8 +45,13 @@ def sf_of(path: str) -> float:
 def pages_parquet(n: int) -> str:
     os.makedirs(CACHE_DIR, exist_ok=True)
     path = os.path.join(CACHE_DIR, f"pages_{n}_v2")
-    if not os.path.exists(path):
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):  # absent or partially-written → regenerate
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         write_pages_parquet(path, n, seed=42, n_files=32)
+        open(marker, "w").close()
     return path
 
 
