@@ -66,16 +66,28 @@ def extract_from_html(html: str, raw: bytes | None = None) -> DocumentExtract:
     # D2: meta-declared charset recheck (ContentExtractor.java:227-249).
     # doc.charset().name() is the constant output charset "UTF-8", so any
     # declared value != "UTF-8" (exact string compare) re-decodes raw bytes.
-    detected_cs = meta_declared_charset(doc)
+    metas = doc.select("meta")
+    detected_cs = meta_declared_charset(doc, metas)
     if detected_cs != "UTF-8" and raw is not None:
         html = java_decode(raw, detected_cs)  # raises on unknown charset
         html = change_charset(html, "UTF-8")
         doc = parse_xml(html)
+        metas = doc.select("meta")
 
-    # P1-P3 (ContentExtractor.java:253-255)
+    # P1-P3 (ContentExtractor.java:253-255); one meta pass for both lookups
+    # (jsoup [name="x"]: Java-trimmed, case-insensitive value compare)
     title = doc.title()
-    description = elements_attr(doc.select('meta[name="description"]'), "content")
-    keywords = elements_attr(doc.select('meta[name="keywords"]'), "content")
+    _jt = "".join(chr(c) for c in range(0x21))
+
+    def _named(value: str) -> list:
+        return [
+            m
+            for m in metas
+            if m.attrs.get("name", "").strip(_jt).lower() == value
+        ]
+
+    description = elements_attr(_named("description"), "content")
+    keywords = elements_attr(_named("keywords"), "content")
 
     # body → tagFiltering (F1-F9)
     body = doc.select_first("body")

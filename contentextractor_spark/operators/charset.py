@@ -89,18 +89,30 @@ def change_charset(s: str | None, new_charset: str | None = "UTF-8") -> str | No
     return s.encode("utf-8", errors="replace").decode("utf-8")
 
 
-def meta_declared_charset(doc) -> str:
+def meta_declared_charset(doc, metas: list | None = None) -> str:
     """D2 charset sniff from the parsed DOM (ContentExtractor.java:227-243).
 
     Returns the charset string the reference would adopt, or "UTF-8" (the
     constant ``doc.charset().name()``) when nothing is declared.  Faithful
     quirks: only ``outter[1]`` (the part after the FIRST ';') is examined,
     and only ``inner[1]`` (after the first '=') is taken.
+
+    ``metas``: pre-collected doc.select("meta") result, so callers that
+    also read description/keywords traverse the document once.
     """
     from .dom import elements_attr
 
+    if metas is None:
+        metas = doc.select("meta")
+    # meta[http-equiv="Content-Type"]: attr-value compare is Java-trimmed +
+    # case-insensitive (jsoup AttributeWithValue)
+    http_equiv = [
+        m
+        for m in metas
+        if m.attrs.get("http-equiv", "").strip(_JAVA_TRIM).lower() == "content-type"
+    ]
     detected_cs = "UTF-8"
-    page_cs_str = elements_attr(doc.select('meta[http-equiv="Content-Type"]'), "content")
+    page_cs_str = elements_attr(http_equiv, "content")
     if page_cs_str != "":
         outter = _java_split(page_cs_str, ";")
         if len(outter) > 1:
@@ -108,7 +120,7 @@ def meta_declared_charset(doc) -> str:
             if len(inner) > 1:
                 detected_cs = inner[1].strip(_JAVA_TRIM)
     else:
-        page_cs_str_01 = elements_attr(doc.select("meta"), "charset")
+        page_cs_str_01 = elements_attr(metas, "charset")
         if page_cs_str_01 != "":
             detected_cs = page_cs_str_01.strip(_JAVA_TRIM)
     return detected_cs

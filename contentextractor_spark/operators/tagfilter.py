@@ -177,6 +177,56 @@ def remove_by_selector(body: Element, query: str) -> None:
         node.remove()
 
 
+# Precompiled F3/F4/F5 predicates (Pattern.find semantics).
+_ID_RE = re.compile(ID_REGEX)
+_CLASS_RE = re.compile(CLASS_REGEX)
+_STYLE_HIDDEN_RE = re.compile(STYLE_HIDDEN_REGEX)
+_BLACKLIST_TAGS = frozenset(
+    t.strip() for t in (TAG_BLACKLIST_1 + ", " + TAG_BLACKLIST_2).split(",")
+)
+
+
+def remove_attr_and_tag_filtered(body: Element) -> None:
+    """F3+F4+F5 fused into one traversal, then F6 (two tag blacklists +
+    span[data-tipso]) fused into another.
+
+    End-state equivalence with the reference's five sequential selects:
+    all predicates here are *intrinsic* (attributes / tag name — never text
+    or structure), so no removal can change a later predicate's verdict;
+    removing the same node set in any order detaches the same nodes.  The
+    reference's later selects simply never revisit already-detached nodes,
+    which the single-list dedup reproduces.  (F7 is NOT fused: its
+    :matches() reads subtree text, which F6 removals can change.)
+    """
+    to_remove: list[Element] = []
+    for el in body.iter_elements():
+        attrs = el.attrs
+        if not attrs:
+            continue
+        v = attrs.get("id")
+        if v is not None and _ID_RE.search(v):
+            to_remove.append(el)
+            continue
+        v = attrs.get("class")
+        if v is not None and _CLASS_RE.search(v):
+            to_remove.append(el)
+            continue
+        v = attrs.get("style")
+        if v is not None and _STYLE_HIDDEN_RE.search(v):
+            to_remove.append(el)
+    for el in to_remove:
+        el.remove()
+
+    to_remove = []
+    for el in body.iter_elements():
+        if el.tag in _BLACKLIST_TAGS or (
+            el.tag == "span" and "data-tipso" in el.attrs
+        ):
+            to_remove.append(el)
+    for el in to_remove:
+        el.remove()
+
+
 def remove_small_fonts(body: Element) -> None:
     """F8 (ContentExtractor.java:334-357): drop nodes with inline
     font-size < 10px / 7.5pt / 0.625em.  Faithful error behavior: a
@@ -211,12 +261,7 @@ def tag_filtering(body: Element | None) -> str | None:
         return None
     remove_link_blocks(body)                                   # F1
     remove_topic_blocks(body)                                  # F2
-    remove_by_selector(body, f"[id~={ID_REGEX}]")              # F3
-    remove_by_selector(body, f"[class~={CLASS_REGEX}]")        # F4
-    remove_by_selector(body, f"[style~={STYLE_HIDDEN_REGEX}]")  # F5
-    remove_by_selector(body, TAG_BLACKLIST_1)                  # F6
-    remove_by_selector(body, TAG_BLACKLIST_2)                  # F6
-    remove_by_selector(body, "span[data-tipso]")               # F6
+    remove_attr_and_tag_filtered(body)                         # F3-F6 fused
     remove_by_selector(body, f"a:matches({PAGINATION_REGEX})")  # F7
     remove_small_fonts(body)                                   # F8
     return body.outer_html()                                   # F9 (non-pretty)
