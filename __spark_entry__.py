@@ -158,6 +158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_exact(spark, sf_dir):
         return A.dedup_exact(_docs(spark, sf_dir))
 
+    def rolling_fingerprints(spark, sf_dir):
+        return A.rolling_fingerprints(_docs(spark, sf_dir))
+
     def minhash_signatures(spark, sf_dir):
         return A.minhash_signatures(_docs(spark, sf_dir), k=4, n=3)
 
@@ -215,6 +218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
+        "rolling_fingerprints": rolling_fingerprints,
         "dedup_exact": dedup_exact,
         "minhash_signatures": minhash_signatures,
         "minhash_lsh_buckets": minhash_lsh_buckets,
@@ -302,6 +306,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": """
             SELECT doc_id, substr(md5(lower(trim(text))), 1, 16) AS fingerprint
+            FROM documents
+        """,
+        "rolling_fingerprints": """
+            SELECT doc_id,
+                   list_reduce(
+                     list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                         w -> CAST((strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(w), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(w), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(w), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(w), 8, 1)) - 1) * 1 AS BIGINT))),
+                     (a, b) -> (a * 31 + b) % 1000000007
+                   ) AS rolling_fp
             FROM documents
         """,
         "dedup_exact": """

@@ -75,6 +75,35 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+# token hash for the rolling fingerprint: value of the first 8 hex digits
+# of md5(token) — pure arithmetic, identical in any engine with md5+strpos.
+_HV_EXPR = " + ".join(
+    f"(cast(instr('{HEX_DIGITS}', substring(md5(w), {d + 1}, 1)) as bigint) - 1)"
+    f" * cast({16 ** (7 - d)} as bigint)"
+    for d in range(8)
+)
+
+ROLLING_B = 31
+ROLLING_M = 1_000_000_007
+
+
+def rolling_fingerprints(docs: DataFrame) -> DataFrame:
+    """Karp–Rabin rolling hash over the token stream:
+    h = fold(tokens, 0, (acc, t) -> (acc*B + hv(t)) mod M).
+
+    Order-sensitive (unlike the md5 content hash) — equal prefixes share
+    hash prefixes, the standard building block for shift-tolerant dup
+    detection.  Engine-portable: the identical fold runs in DuckDB via
+    list_reduce (oracle-checked)."""
+    hashed = F.expr(f"transform(split(text, ' '), w -> ({_HV_EXPR}))")
+    fold = F.aggregate(
+        hashed,
+        F.lit(0).cast("long"),
+        lambda acc, v: (acc * ROLLING_B + v) % ROLLING_M,
+    )
+    return docs.select("doc_id", fold.alias("rolling_fp"))
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------

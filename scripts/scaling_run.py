@@ -33,16 +33,23 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_N_PAGES=str(N_PAGES),
         SPARK_GRAFT_NUM_BUCKETS=str(NUM_BUCKETS),
     )
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env,
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd=REPO,
-    )
-    line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    last_err = None
+    for attempt in range(2):
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env,
+            capture_output=True,
+            text=True,
+            cwd=REPO,
+        )
+        if proc.returncode == 0:
+            line = [
+                l for l in proc.stdout.strip().splitlines() if l.startswith("{")
+            ][-1]
+            return json.loads(line)
+        last_err = proc.stderr[-2000:]
+        print(f"bench cpus={cpus} attempt {attempt} failed:\n{last_err}", file=sys.stderr)
+    raise RuntimeError(f"bench failed at cpus={cpus}: {last_err}")
 
 
 def _pool_work(htmls):
