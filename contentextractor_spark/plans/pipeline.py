@@ -108,11 +108,18 @@ def build_spark(
     shuffle_partitions: int = 32,
 ) -> SparkSession:
     """Session with the scale-relevant knobs set (AQE, Arrow batching)."""
+    import os as _os
+
     b = SparkSession.builder.appName(app)
     if master:
         b = b.master(master)
     return (
-        b.config("spark.sql.adaptive.enabled", "true")
+        # local mode defaults to a 1g JVM heap — 32 concurrent parquet
+        # reader tasks with ~100 KB binary cells need far more headroom
+        b.config(
+            "spark.driver.memory", _os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+        )
+        .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
