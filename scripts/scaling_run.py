@@ -77,18 +77,21 @@ def run_control(nproc: int, htmls) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-    # the sandbox shows high run-to-run variance (shared host); take the
-    # best of N reps per level — the standard least-interference estimator —
-    # with levels interleaved so drift hits all levels equally
-    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
-    results = {}
+    # the sandbox shows high run-to-run variance (shared host); the primary
+    # N→4N pair gets median-of-reps with levels interleaved so drift hits
+    # both levels equally; the full-machine supplement gets one rep
+    reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
+    samples: dict[int, list[dict]] = {4: [], 16: [], 8: [], 32: []}
     for _ in range(reps):
-        for cpus in (4, 16, 8, 32):
-            r = run_bench(cpus, sf_dir)
-            prev = results.get(cpus)
-            if prev is None or r["docs_per_sec"] > prev["docs_per_sec"]:
-                results[cpus] = r
+        for cpus in (4, 16):
+            samples[cpus].append(run_bench(cpus, sf_dir))
+    for cpus in (8, 32):
+        samples[cpus].append(run_bench(cpus, sf_dir))
 
+    def median_result(rs: list[dict]) -> dict:
+        return sorted(rs, key=lambda r: r["docs_per_sec"])[len(rs) // 2]
+
+    results = {c: median_result(rs) for c, rs in samples.items()}
     tp = {c: results[c]["docs_per_sec"] for c in results}
     eff_4_16 = round((tp[16] / tp[4]) / 4.0, 3)
     eff_8_32 = round((tp[32] / tp[8]) / 4.0, 3)
