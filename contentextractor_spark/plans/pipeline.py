@@ -264,3 +264,71 @@ def run_extraction(
         lineage.write.mode("append").parquet(lineage_path)
         lineage = spark.read.parquet(lineage_path)
     return extracted, lineage
+
+
+# --- S6 debug side-channels (SURVEY.md §2.1) --------------------------------
+
+DEBUG_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("density", ArrayType(IntegerType())),
+        StructField("blocks", ArrayType(
+            StructType(
+                [
+                    StructField("start_line", IntegerType()),
+                    StructField("end_line", IntegerType()),
+                    StructField("block_max", IntegerType()),
+                    StructField("block_sum", IntegerType()),
+                ]
+            )
+        )),
+        StructField("threshold", IntegerType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def _debug_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..extractor import decode_html, extract_from_html
+    from ..functions.textextract import parse as _te_parse
+    from ..operators.dom import parse_xml as _parse_xml
+    from ..operators.tagfilter import tag_filtering as _tf
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        out = {"url": [], "density": [], "blocks": [], "threshold": [], "status": []}
+        for url, data in zip(pdf["url"], pdf["html"]):
+            density, blocks, threshold, status = [], [], -1, "ok"
+            try:
+                html = decode_html(bytes(data) if data is not None else b"")
+                body_html = _tf(_parse_xml(html).select_first("body"))
+                if body_html is not None:
+                    res = _te_parse(body_html)
+                    density = [int(x) for x in res.density]
+                    blocks = [
+                        {
+                            "start_line": b[0],
+                            "end_line": b[1],
+                            "block_max": int(b[2]),
+                            "block_sum": int(b[3]),
+                        }
+                        for b in res.blocks
+                    ]
+                    threshold = res.threshold
+            except Exception as e:  # noqa: BLE001
+                status = f"error:{type(e).__name__}"
+            out["url"].append(str(url))
+            out["density"].append(density)
+            out["blocks"].append(blocks)
+            out["threshold"].append(threshold)
+            out["status"].append(status)
+        yield pd.DataFrame(out)
+
+
+def extract_debug_channels(pages: DataFrame) -> DataFrame:
+    """S6 (TextExtract.java:39-41,113-115,295,316,320): the reference dumps
+    per-url density/block/f2 CSVs to local files for manual inspection.
+    The Spark-native equivalent: the same per-document arrays emitted as a
+    queryable side table — never executor-local file writes."""
+    return pages.select("url", "html").mapInPandas(_debug_batches, schema=DEBUG_SCHEMA)
