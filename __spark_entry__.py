@@ -184,6 +184,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embedding_lsh_buckets(spark, sf_dir):
         return A.embedding_lsh_buckets(_emb(spark, sf_dir), n_planes=8)
 
+    def ivf_topk(spark, sf_dir):
+        return A.ivf_topk(_emb(spark, sf_dir), n_queries=10, k=5, n_lists=8, nprobe=3)
+
     def media_features(spark, sf_dir):
         from contentextractor_spark.operators.multimodal import media_features as mf
 
@@ -227,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": knn_bruteforce,
         "embedding_neardup": embedding_neardup,
         "embedding_lsh_buckets": embedding_lsh_buckets,
+        "ivf_topk": ivf_topk,
         "media_features": media_features,
         "frame_sample_plan": frame_sample_plan,
     }
@@ -436,6 +440,6 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         # extract_flagship / extract_spans / extract_lineage /
-        # embedding_lsh_buckets: non-SQL-expressible (full DOM+density
-        # pipeline / 64-dim hyperplane folds) → rows-only checks.
+        # embedding_lsh_buckets / ivf_topk: non-SQL-expressible (full
+        # DOM+density pipeline / hyperplane folds / KMeans) → rows-only.
     }

@@ -155,3 +155,38 @@ def test_frame_sample_plan(spark):
     rows = frame_sample_plan(df, every_n=10).collect()
     got = sorted((r.media_id, r.frame_idx) for r in rows)
     assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """Invariant: IVF with nprobe == n_lists degenerates to exact search."""
+    from contentextractor_spark.functions.analysis import ivf_topk, knn_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_bruteforce(emb, n_queries=5, k=3).collect()
+    }
+    full_probe = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_topk(emb, n_queries=5, k=3, n_lists=4, nprobe=4).collect()
+    }
+    assert full_probe == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    from contentextractor_spark.functions.analysis import ivf_topk, knn_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        r.query_id: set()
+        for r in knn_bruteforce(emb, n_queries=10, k=5).collect()
+    }
+    for r in knn_bruteforce(emb, n_queries=10, k=5).collect():
+        exact[r.query_id].add(r.neighbor_id)
+    approx = {q: set() for q in exact}
+    for r in ivf_topk(emb, n_queries=10, k=5, n_lists=8, nprobe=3).collect():
+        approx[r.query_id].add(r.neighbor_id)
+    recalls = [
+        len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3  # partial probe: bounded loss
