@@ -266,6 +266,25 @@ def run_extraction(
     return extracted, lineage
 
 
+# --- bucketed table layout (Iceberg bucket(N, url) stand-in) ----------------
+
+def write_bucketed_table(
+    df: DataFrame, table: str, num_buckets: int = 32, key: str = "url"
+) -> None:
+    """Persist with Spark bucketing — the sandbox stand-in for Iceberg's
+    ``bucket(N, url)`` partition transform (north rule layout).  Two tables
+    bucketed the same way join WITHOUT a shuffle (co-located join); the
+    resume anti-join and any url-keyed enrichment join become shuffle-free.
+    """
+    (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+    )
+
+
 # --- S6 debug side-channels (SURVEY.md §2.1) --------------------------------
 
 DEBUG_SCHEMA = StructType(

@@ -132,3 +132,30 @@ def test_explain_column_pruning_reaches_scan(spark, tmp_path, pages_pdf):
     out = extract_pages(pages, num_buckets=8)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<url:string,html:binary>" in plan, plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark, pages_df):
+    """Iceberg-layout stand-in: two url-bucketed tables sort-merge join with
+    ZERO Exchange in the plan (co-located join)."""
+    from pyspark.sql import functions as F
+
+    from contentextractor_spark.plans.pipeline import (
+        extract_pages,
+        write_bucketed_table,
+    )
+
+    extracted = extract_pages(pages_df, num_buckets=8).select("url", "main_text")
+    write_bucketed_table(pages_df.select("url", "lang"), "pages_meta_b", 8)
+    write_bucketed_table(extracted, "extracted_b", 8)
+    a = spark.table("pages_meta_b")
+    b = spark.table("extracted_b")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, "url")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == pages_df.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS pages_meta_b")
+        spark.sql("DROP TABLE IF EXISTS extracted_b")
