@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from contentextractor_spark.functions import analysis as A  # noqa: E402
+from contentextractor_spark.functions import events as E  # noqa: E402
 from contentextractor_spark.plans.pipeline import (  # noqa: E402
     PAGES_SCHEMA,
     extract_pages,
@@ -45,6 +46,10 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
 def _synthetic_pages(spark: SparkSession, n: int = FLAGSHIP_N_PAGES) -> DataFrame:
@@ -187,6 +192,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ivf_topk(spark, sf_dir):
         return A.ivf_topk(_emb(spark, sf_dir), n_queries=10, k=5, n_lists=8, nprobe=3)
 
+    def events_hourly(spark, sf_dir):
+        return E.hourly_event_counts(_events(spark, sf_dir))
+
+    def events_sessionize(spark, sf_dir):
+        return E.sessionize(_events(spark, sf_dir), gap_minutes=30)
+
+    def events_top_users(spark, sf_dir):
+        return E.top_users_by_value(_events(spark, sf_dir), k=10)
+
     def media_features(spark, sf_dir):
         from contentextractor_spark.operators.multimodal import media_features as mf
 
@@ -231,6 +245,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": embedding_neardup,
         "embedding_lsh_buckets": embedding_lsh_buckets,
         "ivf_topk": ivf_topk,
+        "events_hourly": events_hourly,
+        "events_sessionize": events_sessionize,
+        "events_top_users": events_top_users,
         "media_features": media_features,
         "frame_sample_plan": frame_sample_plan,
     }
@@ -418,6 +435,48 @@ def oracle_sql() -> dict[str, str]:
                                             CAST(b.embedding AS DOUBLE[])) AS cos
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
             WHERE cos >= 0.35
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "events_sessionize": """
+            WITH lagged AS (
+              SELECT user_id, event_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS prev_ts
+              FROM events),
+            flagged AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR ts - prev_ts > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM lagged),
+            sessioned AS (
+              SELECT user_id, ts,
+                     sum(new_session) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS session_idx
+              FROM flagged)
+            SELECT user_id, CAST(session_idx AS INT) AS session_idx,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM sessioned GROUP BY user_id, session_idx
+        """,
+        "events_top_users": """
+            SELECT user_id, total_value, n_events, CAST(rank AS INT) AS rank
+            FROM (
+              SELECT user_id, total_value, n_events,
+                     row_number() OVER (ORDER BY total_value DESC, user_id ASC)
+                         AS rank
+              FROM (
+                SELECT user_id, round(sum(value), 4) AS total_value,
+                       CAST(count(*) AS BIGINT) AS n_events
+                FROM events GROUP BY user_id))
+            WHERE rank <= 10
         """,
         "media_features": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

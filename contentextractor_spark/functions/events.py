@@ -1,0 +1,77 @@
+"""Event-stream analytics (batch form of the streaming ops).
+
+The reference has no cross-document aggregation at all (SURVEY.md §2.7);
+these are the standard time-window / ranking-window / sessionization
+operators a corpus-ingest pipeline needs for its event telemetry, each
+expressible in ANSI SQL so the driver's DuckDB oracle value-checks them.
+The streaming twins (watermarked windows, applyInPandasWithState) live in
+streaming/stream.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+
+def hourly_event_counts(events: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windows: count + value sum per (hour, event_type)."""
+    return (
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds `gap_minutes`.  Pure window functions —
+    interval arithmetic on naive timestamps is timezone-free, so the
+    identical logic runs in any engine."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.withColumn("prev_ts", F.lag("ts").over(w))
+    flagged = lagged.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | F.expr(f"ts - prev_ts > INTERVAL '{gap_minutes}' MINUTE"),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_idx", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sessioned.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select(
+            "user_id",
+            F.col("session_idx").cast("int").alias("session_idx"),
+            "n_events",
+            "session_start",
+            "session_end",
+        )
+    )
+
+
+def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
+    """Ranking window: top-k users by total event value (deterministic
+    tiebreak on user_id)."""
+    totals = events.groupBy("user_id").agg(
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
