@@ -30,6 +30,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from contentextractor_spark.functions import analysis as A  # noqa: E402
 from contentextractor_spark.functions import events as E  # noqa: E402
+from contentextractor_spark.functions import relational as R  # noqa: E402
 from contentextractor_spark.plans.pipeline import (  # noqa: E402
     PAGES_SCHEMA,
     extract_pages,
@@ -201,6 +202,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_top_users(spark, sf_dir):
         return E.top_users_by_value(_events(spark, sf_dir), k=10)
 
+    def tpch_pricing_summary(spark, sf_dir):
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        return R.pricing_summary(li)
+
+    def tpch_top_suppliers(spark, sf_dir):
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        su = spark.read.parquet(os.path.join(sf_dir, "supplier.parquet"))
+        return R.top_suppliers(li, su, k=10)
+
+    def tpch_region_revenue(spark, sf_dir):
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.region_revenue(
+            rd("lineitem"), rd("orders"), rd("customer"), rd("nation"), rd("region")
+        )
+
     def media_features(spark, sf_dir):
         from contentextractor_spark.operators.multimodal import media_features as mf
 
@@ -248,6 +264,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "events_top_users": events_top_users,
+        "tpch_pricing_summary": tpch_pricing_summary,
+        "tpch_top_suppliers": tpch_top_suppliers,
+        "tpch_region_revenue": tpch_region_revenue,
         "media_features": media_features,
         "frame_sample_plan": frame_sample_plan,
     }
@@ -477,6 +496,43 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) AS BIGINT) AS n_events
                 FROM events GROUP BY user_id))
             WHERE rank <= 10
+        """,
+        "tpch_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_c,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_base_c,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_c,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_top_suppliers": """
+            SELECT s_suppkey, s_name, revenue_c, CAST(rank AS INT) AS rank
+            FROM (
+              SELECT s_suppkey, s_name, revenue_c,
+                     row_number() OVER (ORDER BY revenue_c DESC, s_suppkey ASC)
+                         AS rank
+              FROM (
+                SELECT s_suppkey, s_name,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                           AS BIGINT)) AS BIGINT) AS revenue_c
+                FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                GROUP BY s_suppkey, s_name))
+            WHERE rank <= 10
+        """,
+        "tpch_region_revenue": """
+            SELECT r_name,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS revenue_c,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name
         """,
         "media_features": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,
