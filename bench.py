@@ -28,6 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from contentextractor_spark.functions import analysis as A  # noqa: E402
+from contentextractor_spark.functions import events as E  # noqa: E402
+from contentextractor_spark.functions import relational as R  # noqa: E402
 from contentextractor_spark.plans.pipeline import build_spark, extract_pages  # noqa: E402
 from contentextractor_spark.sources.pages import write_pages_parquet  # noqa: E402
 
@@ -103,8 +105,16 @@ def main() -> None:
         "simhash": lambda: A.simhash(docs, bits=48).count(),
         "knn_bruteforce": lambda: A.knn_bruteforce(emb, n_queries=10, k=5).count(),
         "token_counts": lambda: A.token_counts(docs).count(),
+        "rolling_fingerprints": lambda: A.rolling_fingerprints(docs).count(),
         "lang_id": lambda: A.lang_id(docs).count(),
         "quality_scores": lambda: A.quality_scores(docs).count(),
+        "tpch_region_revenue": lambda: R.region_revenue(
+            *(spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
+              for t in ("lineitem", "orders", "customer", "nation", "region"))
+        ).count(),
+        "events_sessionize": lambda: E.sessionize(
+            spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+        ).count(),
     }
 
     times: dict[str, float] = {}

@@ -159,3 +159,53 @@ def test_bucketed_tables_join_without_shuffle(spark, pages_df):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS pages_meta_b")
         spark.sql("DROP TABLE IF EXISTS extracted_b")
+
+
+def test_bucket_balance_under_host_skew(spark):
+    """The Zipf(1.2) host skew must NOT translate into bucket skew: full-url
+    hashing spreads the hot host uniformly (north rule salting)."""
+    from pyspark.sql import functions as F
+
+    pdf = generate_pages(2000, seed=42)
+    df = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    counts = [
+        r.n
+        for r in df.select(
+            F.pmod(F.xxhash64("url", F.lit(42)), F.lit(16)).cast("int").alias("b")
+        )
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert len(counts) == 16
+    assert max(counts) / min(counts) < 1.8  # near-uniform despite Zipf hosts
+    # while the HOST distribution itself is wildly skewed:
+    hosts = pdf["url"].str.extract(r"https://([^/]+)/")[0].value_counts()
+    assert hosts.iloc[0] / hosts.iloc[-1] > 10
+
+
+def test_pipeline_error_isolation_and_lineage_count(spark):
+    """A poisoned page (fractional px font size throws in the reference)
+    becomes a status=error row and a lineage error_count — the job survives."""
+    import pandas as pd
+
+    bad = '<html><body><span style="font-size:9.5px">x</span></body></html>'
+    good = "<html><body><div><p>perfectly fine content line with many words here</p></div></body></html>"
+    pdf = pd.DataFrame(
+        {
+            "url": pd.Series(["https://a/bad", "https://a/good"], dtype="string"),
+            "warc_ts": pd.Series([pd.Timestamp("2026-01-01")] * 2),
+            "html": pd.Series([bad.encode(), good.encode()], dtype=object),
+            "text": pd.Series(["", ""], dtype="string"),
+            "lang": pd.Series(["en", "en"], dtype="string"),
+        }
+    )
+    df = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    out = extract_pages(df, num_buckets=2)
+    rows = {r.url: r for r in out.collect()}
+    assert rows["https://a/bad"].status == "error:ValueError"
+    assert rows["https://a/bad"].main_text == ""
+    assert rows["https://a/good"].status == "ok"
+    assert rows["https://a/good"].main_text != ""
+    lineage = lineage_metrics(out)
+    assert sum(r.error_count for r in lineage.collect()) == 1
