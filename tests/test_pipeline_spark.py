@@ -209,3 +209,18 @@ def test_pipeline_error_isolation_and_lineage_count(spark):
     assert rows["https://a/good"].main_text != ""
     lineage = lineage_metrics(out)
     assert sum(r.error_count for r in lineage.collect()) == 1
+
+
+def test_resume_version_bump_reprocesses(spark, pages_df):
+    """Lineage rows are keyed by (bucket, extractor_version): bumping the
+    version invalidates every `done` row → full reprocess (north star:
+    idempotent resume tied to the extractor-version hash)."""
+    from pyspark.sql import functions as F
+
+    extracted = extract_pages(pages_df, num_buckets=8)
+    lineage = lineage_metrics(extracted)
+    # same version → nothing left
+    assert resume_filter(pages_df, lineage, num_buckets=8).count() == 0
+    # old lineage from a previous extractor version → everything reprocessed
+    stale = lineage.withColumn("extractor_version", F.lit("cx-spark-0.0.1"))
+    assert resume_filter(pages_df, stale, num_buckets=8).count() == N
