@@ -202,6 +202,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_top_users(spark, sf_dir):
         return E.top_users_by_value(_events(spark, sf_dir), k=10)
 
+    def docs_rollup(spark, sf_dir):
+        # grouping-sets coverage: ROLLUP(lang, source) counts
+        return (
+            _docs(spark, sf_dir)
+            .rollup("lang", "source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars"))
+        )
+
+    def token_set_ops(spark, sf_dir):
+        # set-operation coverage: distinct tokens of en-docs EXCEPT fr-docs,
+        # INTERSECT with es-docs counts
+        docs = _docs(spark, sf_dir)
+        tok = lambda lg: (
+            docs.filter(F.col("lang") == lg)
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .distinct()
+        )
+        only_en = tok("en").exceptAll(tok("fr")).distinct()
+        en_and_es = tok("en").intersect(tok("es"))
+        return (
+            only_en.withColumn("set_kind", F.lit("en_minus_fr"))
+            .unionByName(en_and_es.withColumn("set_kind", F.lit("en_and_es")))
+            .groupBy("set_kind")
+            .agg(F.count(F.lit(1)).alias("n_tokens"))
+        )
+
+    def docs_above_lang_avg(spark, sf_dir):
+        # subquery-style coverage: docs longer than their language's average
+        docs = _docs(spark, sf_dir)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("lang")
+        return (
+            docs.withColumn("lang_avg", F.avg("n_chars").over(w))
+            .filter(F.col("n_chars") > F.col("lang_avg"))
+            .select("doc_id", "lang", "n_chars")
+        )
+
     def tpch_pricing_summary(spark, sf_dir):
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
         return R.pricing_summary(li)
@@ -264,6 +303,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "events_top_users": events_top_users,
+        "docs_rollup": docs_rollup,
+        "token_set_ops": token_set_ops,
+        "docs_above_lang_avg": docs_above_lang_avg,
         "tpch_pricing_summary": tpch_pricing_summary,
         "tpch_top_suppliers": tpch_top_suppliers,
         "tpch_region_revenue": tpch_region_revenue,
@@ -496,6 +538,34 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) AS BIGINT) AS n_events
                 FROM events GROUP BY user_id))
             WHERE rank <= 10
+        """,
+        "docs_rollup": """
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "token_set_ops": """
+            WITH tok_en AS (SELECT DISTINCT unnest(string_split(text,' ')) AS tok
+                            FROM documents WHERE lang = 'en'),
+                 tok_fr AS (SELECT DISTINCT unnest(string_split(text,' ')) AS tok
+                            FROM documents WHERE lang = 'fr'),
+                 tok_es AS (SELECT DISTINCT unnest(string_split(text,' ')) AS tok
+                            FROM documents WHERE lang = 'es'),
+                 u AS (
+                   SELECT 'en_minus_fr' AS set_kind, tok
+                   FROM (SELECT tok FROM tok_en EXCEPT SELECT tok FROM tok_fr)
+                   UNION ALL
+                   SELECT 'en_and_es' AS set_kind, tok
+                   FROM (SELECT tok FROM tok_en INTERSECT SELECT tok FROM tok_es))
+            SELECT set_kind, CAST(count(*) AS BIGINT) AS n_tokens
+            FROM u GROUP BY set_kind
+        """,
+        "docs_above_lang_avg": """
+            SELECT doc_id, lang, n_chars FROM (
+              SELECT doc_id, lang, n_chars,
+                     avg(n_chars) OVER (PARTITION BY lang) AS lang_avg
+              FROM documents)
+            WHERE n_chars > lang_avg
         """,
         "tpch_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
