@@ -16,6 +16,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+import os as _os
+
+from .functions.fused import fused_parse
 from .functions.javacompat import java_trim
 from .functions.textextract import parse as textextract_parse
 from .functions.tokenize import keyword_list as keyword_fold
@@ -26,9 +29,12 @@ from .operators.charset import (
     meta_declared_charset,
 )
 from .operators.dom import elements_attr, parse_xml
-from .operators.tagfilter import tag_filtering
+from .operators.tagfilter import tag_filtering_dom
 
 EXTRACTOR_VERSION = "cx-spark-0.1.0"
+
+# CX_NO_FUSED=1 disables the DOM→lines fast path (A/B + debugging escape)
+USE_FUSED = _os.environ.get("CX_NO_FUSED", "") != "1"
 
 
 @dataclass
@@ -89,15 +95,23 @@ def extract_from_html(html: str, raw: bytes | None = None) -> DocumentExtract:
     description = elements_attr(_named("description"), "content")
     keywords = elements_attr(_named("keywords"), "content")
 
-    # body → tagFiltering (F1-F9)
+    # body → tagFiltering (F1-F8)
     body = doc.select_first("body")
-    body_html = tag_filtering(body)
+    filtered = tag_filtering_dom(body)
 
-    if body_html is None:
+    if filtered is None:
         # forTest: result[3]==null → main_text stays "" (:186-188)
         return DocumentExtract(title=title, description=description, keywords=keywords)
 
-    res = textextract_parse(body_html)
+    # Fast path: DOM→lines fusion (functions/fused.py) — byte-identical to
+    # F9 serialize + T1-T8 re-lex by construction + differential tests; the
+    # fused walk bails (None) on documents whose attr values contain < or >
+    # where the reference regexes have match-leak behavior.
+    res = None
+    if USE_FUSED:
+        res = fused_parse(filtered)
+    if res is None:
+        res = textextract_parse(filtered.outer_html())
     main_text = java_trim(res.text)  # T15, forTest path (:188)
     return DocumentExtract(
         title=title,

@@ -255,8 +255,9 @@ def remove_small_fonts(body: Element) -> None:
                     node.remove()
 
 
-def tag_filtering(body: Element | None) -> str | None:
-    """The full F1–F9 cascade (ContentExtractor.java:267-360)."""
+def tag_filtering_dom(body: Element | None) -> Element | None:
+    """F1–F8 (ContentExtractor.java:267-357), returning the mutated DOM —
+    lets the DOM→lines fused path skip serialization (F9)."""
     if body is None:
         return None
     remove_link_blocks(body)                                   # F1
@@ -264,4 +265,12 @@ def tag_filtering(body: Element | None) -> str | None:
     remove_attr_and_tag_filtered(body)                         # F3-F6 fused
     remove_by_selector(body, f"a:matches({PAGINATION_REGEX})")  # F7
     remove_small_fonts(body)                                   # F8
+    return body
+
+
+def tag_filtering(body: Element | None) -> str | None:
+    """The full F1–F9 cascade (ContentExtractor.java:267-360)."""
+    body = tag_filtering_dom(body)
+    if body is None:
+        return None
     return body.outer_html()                                   # F9 (non-pretty)
