@@ -86,6 +86,11 @@ def test_fused_handles_br_chains():
         "<br><meta x><br>dense",
         "x<br></meta><br>y",
         "<broke /><br>z",
+        # regression (found by the 30k fuzz): the chain's trailing [ws]*
+        # consumes a ws-PREFIX of the following text token
+        "<br><br>　dense line with many words here ok",
+        "<br> <br>  partially indented text after chain",
+        "<br>　 mixed　ws single br keeps prefix",
     ]
     for html in cases:
         doc = parse_xml(html)
