@@ -119,6 +119,9 @@ def media_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                     out[k].append(d[k])
             yield pd.DataFrame(out)
 
+    from ..plans.pipeline import ensure_pyfiles
+
+    ensure_pyfiles(media.sparkSession)
     cols = media.select(
         media[id_col].cast("string").alias("media_id"),
         "media_type",

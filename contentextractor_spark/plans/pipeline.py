@@ -129,6 +129,42 @@ def build_spark(
     )
 
 
+_PYFILES_SHIPPED: set[str] = set()
+
+
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to executors via addPyFile (the programmatic twin
+    of `spark-submit --py-files`).  Driver-side sys.path edits do NOT reach
+    Python workers — without this, running the pipeline from a cwd outside
+    the repo fails with ModuleNotFoundError in the executors."""
+    import os
+    import tempfile
+    import zipfile
+
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _PYFILES_SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"cx_spark_pyfiles_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(root, fn)
+                        rel = os.path.relpath(
+                            full, os.path.dirname(pkg_dir)
+                        )
+                        zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    _PYFILES_SHIPPED.add(key)
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body — runs on executors; one Arrow batch at a time so
     per-batch memory stays bounded regardless of input partition size."""
@@ -187,6 +223,7 @@ def extract_pages(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
     decorrelates from any upstream xxhash64 layout.  repartition() on the
     bucket column is the pipeline's only shuffle.
     """
+    ensure_pyfiles(pages.sparkSession)
     keyed = pages.select("url", "html").withColumn(
         "bucket_id",
         F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
@@ -350,4 +387,5 @@ def extract_debug_channels(pages: DataFrame) -> DataFrame:
     per-url density/block/f2 CSVs to local files for manual inspection.
     The Spark-native equivalent: the same per-document arrays emitted as a
     queryable side table — never executor-local file writes."""
+    ensure_pyfiles(pages.sparkSession)
     return pages.select("url", "html").mapInPandas(_debug_batches, schema=DEBUG_SCHEMA)

@@ -47,6 +47,9 @@ def stream_extract(pages_stream: DataFrame, num_buckets: int = 32) -> DataFrame:
     """Streaming extraction: identical semantics to the batch stage — the
     same _extract_batches function — so batch/stream parity is by
     construction (tested in tests/test_streaming.py)."""
+    from ..plans.pipeline import ensure_pyfiles
+
+    ensure_pyfiles(pages_stream.sparkSession)
     keyed = pages_stream.select("url", "html").withColumn(
         "bucket_id",
         F.pmod(F.xxhash64(F.col("url"), F.lit(42)), F.lit(num_buckets)).cast("int"),
