@@ -222,6 +222,68 @@ def jaccard_pairs(
     )
 
 
+def dedup_components(
+    docs: DataFrame,
+    n: int = 3,
+    min_intersection: int = 2,
+    max_shingle_freq: int = 100,
+    max_iter: int = 15,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the n-gram
+    Jaccard candidate graph, via iterative min-label propagation
+    (label(v) ← min(label(v), min over neighbors) until fixpoint).
+
+    Output: (doc_id, component) where component = min doc_id in the
+    connected component — exactly reproducible in SQL with a recursive
+    transitive closure, so the driver value-checks it.
+
+    Scale: each round is one shuffle on doc_id; rounds = graph diameter
+    (near-dup clusters are near-cliques → a handful).  At 10^12 nodes
+    switch to the large-star/small-star variant; the loop structure is
+    identical."""
+    edges = jaccard_pairs(docs, n, min_intersection, max_shingle_freq).select(
+        "doc_a", "doc_b"
+    )
+    sym = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .cache()
+    )
+    labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    for _ in range(max_iter):
+        neigh_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("component").alias("nmin"))
+        )
+        # localCheckpoint: eager + truncates lineage — without it every
+        # round's plan nests the previous rounds' joins and analysis time
+        # explodes exponentially
+        new_labels = (
+            labels.join(neigh_min, labels.doc_id == F.col("nid"), "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nmin"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("nl")
+            .join(labels.alias("ol"), "doc_id")
+            .filter(F.col("nl.component") != F.col("ol.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select("doc_id", F.col("component").cast("long").alias("component"))
+
+
 def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
     """SimHash over distinct tokens: md5-derived bit planes, majority vote
     per bit, folded into a BIGINT.  Fully engine-portable: bit p of token t
