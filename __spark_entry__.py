@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fingerprints(spark, sf_dir):
         return A.fingerprints(_docs(spark, sf_dir))
 
+    def token_rarity(spark, sf_dir):
+        return A.token_rarity(_docs(spark, sf_dir))
+
     def dedup_exact(spark, sf_dir):
         return A.dedup_exact(_docs(spark, sf_dir))
 
@@ -293,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
+        "token_rarity": token_rarity,
         "rolling_fingerprints": rolling_fingerprints,
         "dedup_exact": dedup_exact,
         "minhash_signatures": minhash_signatures,
@@ -403,6 +407,18 @@ def oracle_sql() -> dict[str, str]:
                      (a, b) -> (a * 31 + b) % 1000000007
                    ) AS rolling_fp
             FROM documents
+        """,
+        "token_rarity": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df
+                    FROM tok GROUP BY tok)
+            SELECT doc_id, CAST(sum(df) AS BIGINT) AS sum_df,
+                   CAST(min(df) AS BIGINT) AS min_df,
+                   CAST(count(*) AS BIGINT) AS n_distinct_tokens
+            FROM tok JOIN dfc USING (tok)
+            GROUP BY doc_id
         """,
         "dedup_exact": """
             SELECT doc_id, md5(text) AS content_hash,

@@ -104,6 +104,30 @@ def rolling_fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fold.alias("rolling_fp"))
 
 
+def token_rarity(docs: DataFrame) -> DataFrame:
+    """Corpus-statistics quality signal: per document, the sum and min of
+    the corpus-wide document frequencies of its distinct tokens.  Low
+    min_df ⇒ the doc contains corpus-rare tokens (OOV/noise indicator);
+    integer-only so cross-engine checks are exact.
+
+    Scale: the DF table is a map-side-combinable groupBy; the join back is
+    on token (high cardinality, no skew guard needed beyond AQE)."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        tok.join(df_counts, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("df").alias("sum_df"),
+            F.min("df").alias("min_df"),
+            F.count(F.lit(1)).alias("n_distinct_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
