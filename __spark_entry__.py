@@ -551,7 +551,8 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   round(sum(value), 4) AS sum_value
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_c
             FROM events GROUP BY 1, 2
         """,
         "events_sessionize": """
@@ -579,13 +580,15 @@ def oracle_sql() -> dict[str, str]:
             FROM sessioned GROUP BY user_id, session_idx
         """,
         "events_top_users": """
-            SELECT user_id, total_value, n_events, CAST(rank AS INT) AS rank
+            SELECT user_id, total_value_c, n_events, CAST(rank AS INT) AS rank
             FROM (
-              SELECT user_id, total_value, n_events,
-                     row_number() OVER (ORDER BY total_value DESC, user_id ASC)
+              SELECT user_id, total_value_c, n_events,
+                     row_number() OVER (ORDER BY total_value_c DESC, user_id ASC)
                          AS rank
               FROM (
-                SELECT user_id, round(sum(value), 4) AS total_value,
+                SELECT user_id,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                           AS total_value_c,
                        CAST(count(*) AS BIGINT) AS n_events
                 FROM events GROUP BY user_id))
             WHERE rank <= 10

@@ -276,6 +276,7 @@ def dedup_components(
         .cache()
     )
     labels = docs.select("doc_id", F.col("doc_id").alias("component"))
+    changed = 0
     for _ in range(max_iter):
         neigh_min = (
             sym.join(labels, sym.src == labels.doc_id)
@@ -305,6 +306,14 @@ def dedup_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # a chain with graph diameter > max_iter would otherwise return
+        # silently wrong labels (diverging from the transitive-closure
+        # oracle); fail loudly — callers raise max_iter, they don't guess
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter"
+        )
     return labels.select("doc_id", F.col("component").cast("long").alias("component"))
 
 

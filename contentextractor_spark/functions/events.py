@@ -14,6 +14,14 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def _value_cents(col):
+    """Event values are money-like (2dp); sum them in integer cents so the
+    total is exact and association-order-free — a double sum near a 4dp
+    rounding boundary can flip between engines (partial aggregation order
+    differs), flaking a value-hash gate.  Same pattern as relational._cents."""
+    return F.round(col * 100).cast("long")
+
+
 def hourly_event_counts(events: DataFrame) -> DataFrame:
     """Tumbling 1-hour windows: count + value sum per (hour, event_type)."""
     return (
@@ -23,7 +31,7 @@ def hourly_event_counts(events: DataFrame) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.sum(_value_cents(F.col("value"))).alias("sum_value_c"),
         )
     )
 
@@ -67,10 +75,10 @@ def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
     """Ranking window: top-k users by total event value (deterministic
     tiebreak on user_id)."""
     totals = events.groupBy("user_id").agg(
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.sum(_value_cents(F.col("value"))).alias("total_value_c"),
         F.count(F.lit(1)).alias("n_events"),
     )
-    w = Window.orderBy(F.col("total_value").desc(), F.col("user_id").asc())
+    w = Window.orderBy(F.col("total_value_c").desc(), F.col("user_id").asc())
     return (
         totals.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)

@@ -287,11 +287,19 @@ def run_extraction(
     transactional `writeTo(...).append()` each.
     """
     if lineage_path is not None:
+        from pyspark.errors import AnalysisException
+
         try:
             existing = spark.read.parquet(lineage_path)
             pages = resume_filter(pages, existing, num_buckets)
-        except Exception:
-            pass  # no lineage yet → full run
+        except AnalysisException as e:
+            # ONLY "lineage doesn't exist yet" means full run; a corrupt or
+            # unreadable lineage table must fail loudly — at 100 TB silently
+            # ignoring it would trigger a full recompute (and duplicate
+            # output rows under mode=append)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            # else: no lineage yet → full run
     extracted = extract_pages(pages, num_buckets=num_buckets)
     if output_path is not None:
         extracted.write.mode("append").partitionBy("bucket_id").parquet(output_path)

@@ -84,13 +84,15 @@ def windowed_event_counts(events_stream: DataFrame, watermark: str = "10 minutes
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 4).alias("sum_value"),
+            # integer cents, like the batch twin: exact under any partial-agg
+            # association order (a rounded double sum is not)
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
         )
         .select(
             F.col("window.start").alias("window_start"),
             "event_type",
             "n_events",
-            "sum_value",
+            "sum_value_c",
         )
     )
 

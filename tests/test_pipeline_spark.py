@@ -224,3 +224,21 @@ def test_resume_version_bump_reprocesses(spark, pages_df):
     # old lineage from a previous extractor version → everything reprocessed
     stale = lineage.withColumn("extractor_version", F.lit("cx-spark-0.0.1"))
     assert resume_filter(pages_df, stale, num_buckets=8).count() == N
+
+
+def test_resume_corrupt_lineage_raises(spark, pages_df, tmp_path):
+    """ADVICE r1: a corrupt lineage table must fail LOUDLY — only
+    path-not-found may silently mean 'no lineage yet → full run'."""
+    lin_path = tmp_path / "lineage"
+    lin_path.mkdir()
+    (lin_path / "part-00000.parquet").write_bytes(b"this is not parquet")
+    with pytest.raises(Exception) as ei:
+        run_extraction(spark, pages_df, lineage_path=str(lin_path), num_buckets=8)
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+
+
+def test_resume_absent_lineage_full_run(spark, pages_df, tmp_path):
+    extracted, _ = run_extraction(
+        spark, pages_df, lineage_path=str(tmp_path / "never_written"), num_buckets=8
+    )
+    assert extracted.count() == N

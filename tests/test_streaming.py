@@ -63,7 +63,7 @@ def test_windowed_event_counts(spark, tmp_path):
     # append mode only emits windows the watermark has passed; compare the
     # closed ones against the batch computation
     got = {
-        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        (r.window_start, r.event_type): (r.n_events, r.sum_value_c)
         for r in spark.sql("select * from wincounts").collect()
     }
     from pyspark.sql import functions as F
@@ -72,7 +72,7 @@ def test_windowed_event_counts(spark, tmp_path):
         events.groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 4).alias("s"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("s"),
         )
         .select(F.col("window.start").alias("ws"), "event_type", "n", "s")
     )

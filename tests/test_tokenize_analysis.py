@@ -190,3 +190,19 @@ def test_ivf_partial_probe_recall(spark):
         len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
     ]
     assert sum(recalls) / len(recalls) >= 0.3  # partial probe: bounded loss
+
+
+def test_dedup_components_nonconvergence_raises(spark):
+    """ADVICE r1: a chain whose graph diameter exceeds max_iter must fail
+    loudly, not return silently wrong component labels."""
+    from contentextractor_spark.functions.analysis import dedup_components
+
+    # chain: doc i shares a 3-gram bridge with doc i+1 only
+    rows = []
+    for i in range(6):
+        rows.append((i, f"bridge{i} link{i} word{i} bridge{i+1} link{i+1} word{i+1}"))
+    chain = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(chain, min_intersection=1, max_iter=1)
+    ok = dedup_components(chain, min_intersection=1, max_iter=15)
+    assert {r.component for r in ok.collect()} == {0}
