@@ -57,24 +57,87 @@ def _synthetic_pages(spark: SparkSession, n: int = FLAGSHIP_N_PAGES) -> DataFram
     return spark.createDataFrame(generate_pages(n, seed=42), schema=PAGES_SCHEMA)
 
 
-def _docs_as_pages(docs: DataFrame) -> DataFrame:
-    """Wrap documents.text in a minimal page so the FULL extraction pipeline
-    runs over DuckDB-predictable input (oracle: main_text == trim(text)).
-    The density gate needs >= 18 kept chars (round(len/4+0.5) >= 5)."""
-    eligible = docs.filter(
-        F.length(F.regexp_replace("text", " ", "")) >= 18
-    )
-    return eligible.select(
+# The extraction density alphabet (TextExtract.java:300-301): ASCII \w +
+# full-width digits/upper/lower + CJK + kana.  The eligibility gate counts
+# THESE chars (not merely non-space), and excludes texts hitting the T14
+# skip regex — so the `main_text == trim(text)` oracle holds by construction
+# for any alphabet, not just the current ASCII fixtures (ADVICE r1).
+_KEEP_NEG = "[^a-zA-Z0-9_０-９Ａ-Ｚａ-ｚ一-鿿぀-ゟ゠-ヿ]"
+_SKIP_RE = "(記事一覧|利用規約|Copyright)"
+# SQL twin of the gate (DuckDB regexp_replace needs the 'g' flag)
+_ELIGIBLE_SQL = (
+    "length(regexp_replace(text, '[^a-zA-Z0-9_０-９Ａ-Ｚａ-ｚ一-鿿぀-ゟ゠-ヿ]', '', 'g')) >= 18"
+    " AND NOT regexp_matches(text, '(記事一覧|利用規約|Copyright)')"
+)
+
+
+def _eligible(docs: DataFrame) -> DataFrame:
+    """Docs whose text survives the full pipeline verbatim: >= 18 kept-set
+    chars (single-block threshold round(len/4+0.5) >= MIN_TOKENS=5) and no
+    skip-regex hit (T14 drops those lines)."""
+    kept = F.length(F.regexp_replace("text", _KEEP_NEG, ""))
+    return docs.filter((kept >= 18) & ~F.col("text").rlike(_SKIP_RE))
+
+
+def _pages_from_inner(docs: DataFrame, inner) -> DataFrame:
+    """(doc_id, <html><body><div><p>{inner}</p></div></body></html>) pages."""
+    return docs.select(
         F.col("doc_id").cast("string").alias("url"),
         F.encode(
             F.concat(
                 F.lit("<html><body><div><p>"),
-                F.col("text"),
+                inner,
                 F.lit("</p></div></body></html>"),
             ),
             "UTF-8",
         ).alias("html"),
     )
+
+
+def _docs_as_pages(docs: DataFrame) -> DataFrame:
+    """Wrap documents.text in a minimal page so the FULL extraction pipeline
+    runs over DuckDB-predictable input (oracle: main_text == trim(text))."""
+    return _pages_from_inner(_eligible(docs), F.col("text"))
+
+
+# --- adversarial pages (VERDICT r1 #1): the same trim(text) oracle, but the
+# pipeline must EARN it — each wrapper leaks into main_text (breaking the
+# value hash) if the named operator is stubbed out or regresses. ------------
+
+# F2: parent-of-トピックス removal (ContentExtractor.java:302-305).  The junk
+# line is ~630 dense chars, denser than nearly every fixture doc: if it
+# leaks, it forms the max-density block and evicts the real text from the
+# two-block threshold.
+_TOPIC_BLOCK = "<div><div>トピックス</div><p>" + "topicjunk" * 70 + "</p></div>"
+# F1/F3-F8 inline junk INSIDE the text's own <p>: any leak lands on the same
+# emitted line as the text, so a single surviving span breaks the hash.  The
+# non-link junk totals >100 kept chars, which also pins F1's keep-verdict on
+# the wrapping <div> (node_txt - a_txt >= 100) independent of text length.
+_INLINE_JUNK = (
+    '<span style="font-size:9px">tinyfontjunkthatmustvanish</span>'      # F8
+    '<span style="display:none">hiddenstylejunkthatmustvanish</span>'    # F5
+    '<span id="ad_block_1">idregexjunkthatmustvanish</span>'             # F3
+    '<span class="navi">classregexjunkthatmustvanish</span>'             # F4
+    "<script>scriptjunkthatmustvanish</script>"                          # F6
+    '<span data-tipso="tip">tipsojunkthatmustvanish</span>'              # F6
+    '<span><a href="/a">farmlinkone</a><a href="/b">farmlinktwo</a></span>'  # F1
+    '<a href="/next">次へ</a>'                                            # F7
+)
+
+# T8: HTML-4.0 entities the emitted line must carry through unescaped.
+_ENT_HTML = " &amp; &lt;b&gt; &copy;&nbsp;&hellip;"
+_ENT_TEXT = " & <b> © …"
+
+# D1/D2: a fixed JP suffix so the non-UTF-8 decode is observable.
+_JP_SUFFIX = "　日本語のテキスト確認"
+_ASCII_RE = "^[ -~]*$"
+_SJIS_PRE = "<html><body><div><p>".encode("shift_jis")
+_SJIS_POST = (_JP_SUFFIX + "</p></div></body></html>").encode("shift_jis")
+_ISO2022_PRE = (
+    '<html><head><meta http-equiv="Content-Type" '
+    'content="text/html; charset=ISO-2022-JP"></head><body><div><p>'
+).encode("ascii")
+_ISO2022_POST = (_JP_SUFFIX + "</p></div></body></html>").encode("iso2022_jp")
 
 
 # ---------------------------------------------------------------------------
@@ -96,6 +159,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(
             F.col("url").cast("long").alias("doc_id"), "main_text"
         )
+
+    def extract_boilerplate(spark, sf_dir):
+        # F1-F8 adversarial: topic block + inline link-farm/hidden/id/class/
+        # script/tipso/small-font/pagination junk the pipeline must remove
+        docs = _eligible(_docs(spark, sf_dir))
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body>" + _TOPIC_BLOCK + "<div><p>" + _INLINE_JUNK),
+                    F.col("text"),
+                    F.lit("</p></div></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        out = extract_pages(pages, num_buckets=8)
+        return out.select(F.col("url").cast("long").alias("doc_id"), "main_text")
+
+    def extract_br_runs(spark, sf_dir):
+        # T3/T4 adversarial: a 5-<br> run (mixed whitespace incl U+3000) in
+        # place of the first space must collapse to ONE newline; the first
+        # word alone would be sub-threshold if the run left a block gap
+        docs = _eligible(_docs(spark, sf_dir))
+        head = F.expr("substring(text, 1, instr(text, ' ') - 1)")
+        tail = F.expr("substring(text, instr(text, ' ') + 1)")
+        kept_len = lambda c: F.length(F.regexp_replace(c, _KEEP_NEG, ""))
+        docs = docs.filter(
+            (F.instr(F.col("text"), " ") >= 2)
+            & (kept_len(head) >= 1)
+            & (kept_len(tail) >= 1)
+        )
+        inner = F.concat(head, F.lit("<br><br>　 <br/><br ><br>"), tail)
+        out = extract_pages(_pages_from_inner(docs, inner), num_buckets=8)
+        return out.select(F.col("url").cast("long").alias("doc_id"), "main_text")
+
+    def extract_entities(spark, sf_dir):
+        # T8 adversarial: HTML-4.0 entities appended to the text line must
+        # unescape AFTER tag-strip (the literal <b> stays in the output)
+        docs = _eligible(_docs(spark, sf_dir))
+        inner = F.concat(F.col("text"), F.lit(_ENT_HTML))
+        out = extract_pages(_pages_from_inner(docs, inner), num_buckets=8)
+        return out.select(F.col("url").cast("long").alias("doc_id"), "main_text")
+
+    def _jp_encoded_pages(docs, pre: bytes, post: bytes):
+        return docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.concat(
+                F.lit(bytearray(pre)),
+                F.encode(F.col("text"), "US-ASCII"),
+                F.lit(bytearray(post)),
+            ).alias("html"),
+        )
+
+    def extract_sjis_detect(spark, sf_dir):
+        # D1 adversarial: Shift_JIS bytes, NO meta declaration — only the
+        # byte-level detector can decode the JP suffix correctly
+        docs = _eligible(_docs(spark, sf_dir)).filter(F.col("text").rlike(_ASCII_RE))
+        pages = _jp_encoded_pages(docs, _SJIS_PRE, _SJIS_POST)
+        out = extract_pages(pages, num_buckets=8)
+        return out.select(F.col("url").cast("long").alias("doc_id"), "main_text")
+
+    def extract_iso2022jp(spark, sf_dir):
+        # D1(ESC sniff)/D2(meta override) adversarial: ISO-2022-JP is pure
+        # 7-bit, so a naive ASCII check would mojibake the suffix
+        docs = _eligible(_docs(spark, sf_dir)).filter(F.col("text").rlike(_ASCII_RE))
+        pages = _jp_encoded_pages(docs, _ISO2022_PRE, _ISO2022_POST)
+        out = extract_pages(pages, num_buckets=8)
+        return out.select(F.col("url").cast("long").alias("doc_id"), "main_text")
+
+    def extract_utf16_roundtrip(spark, sf_dir):
+        # D1 adversarial: UTF-16LE with BOM — every byte pair is non-UTF-8
+        docs = _eligible(_docs(spark, sf_dir))
+        page = F.concat(
+            F.lit("<html><body><div><p>"),
+            F.col("text"),
+            F.lit(_JP_SUFFIX + "</p></div></body></html>"),
+        )
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.concat(
+                F.lit(bytearray(b"\xff\xfe")), F.encode(page, "UTF-16LE")
+            ).alias("html"),
+        )
+        out = extract_pages(pages, num_buckets=8)
+        return out.select(F.col("url").cast("long").alias("doc_id"), "main_text")
 
     def extract_flagship(spark, sf_dir):
         out = extract_pages(_synthetic_pages(spark), num_buckets=8)
@@ -287,6 +436,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         "extract_roundtrip": extract_roundtrip,
+        "extract_boilerplate": extract_boilerplate,
+        "extract_br_runs": extract_br_runs,
+        "extract_entities": extract_entities,
+        "extract_sjis_detect": extract_sjis_detect,
+        "extract_iso2022jp": extract_iso2022jp,
+        "extract_utf16_roundtrip": extract_utf16_roundtrip,
         "extract_flagship": extract_flagship,
         "extract_spans": extract_spans,
         "extract_lineage": extract_lineage,
@@ -347,10 +502,47 @@ _SIG_CTE = (
 
 def oracle_sql() -> dict[str, str]:
     return {
-        "extract_roundtrip": """
+        "extract_roundtrip": f"""
             SELECT doc_id, trim(text) AS main_text
             FROM documents
-            WHERE length(replace(text, ' ', '')) >= 18
+            WHERE {_ELIGIBLE_SQL}
+        """,
+        "extract_boilerplate": f"""
+            SELECT doc_id, trim(text) AS main_text
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
+        """,
+        "extract_br_runs": f"""
+            SELECT doc_id,
+                   substr(text, 1, instr(text, ' ') - 1) || chr(10)
+                       || trim(substr(text, instr(text, ' ') + 1)) AS main_text
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
+              AND instr(text, ' ') >= 2
+              AND length(regexp_replace(substr(text, 1, instr(text, ' ') - 1),
+                    '{_KEEP_NEG}', '', 'g')) >= 1
+              AND length(regexp_replace(substr(text, instr(text, ' ') + 1),
+                    '{_KEEP_NEG}', '', 'g')) >= 1
+        """,
+        "extract_entities": f"""
+            SELECT doc_id, trim(text || '{_ENT_TEXT}') AS main_text
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
+        """,
+        "extract_sjis_detect": f"""
+            SELECT doc_id, trim(text || '{_JP_SUFFIX}') AS main_text
+            FROM documents
+            WHERE {_ELIGIBLE_SQL} AND regexp_matches(text, '{_ASCII_RE}')
+        """,
+        "extract_iso2022jp": f"""
+            SELECT doc_id, trim(text || '{_JP_SUFFIX}') AS main_text
+            FROM documents
+            WHERE {_ELIGIBLE_SQL} AND regexp_matches(text, '{_ASCII_RE}')
+        """,
+        "extract_utf16_roundtrip": f"""
+            SELECT doc_id, trim(text || '{_JP_SUFFIX}') AS main_text
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
         """,
         "docs_per_lang": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,

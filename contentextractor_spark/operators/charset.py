@@ -26,9 +26,21 @@ _JAVA_TRIM = "".join(chr(c) for c in range(0x21))
 
 def detect_charset(data: bytes) -> str | None:
     """D1: juniversalchardet-style detection.  Returns a Java charset name
-    or None when nothing is detected (pure ASCII / empty)."""
+    or None when nothing is detected (pure ASCII / empty).
+
+    Breadth beyond the JP fixtures (juniversalchardet also reports these,
+    ContentExtractor.java:376-391 streams all bytes through it):
+     - UTF-16 via BOM ("UTF-16" rather than -LE/-BE so the decoder consumes
+       the BOM, matching Java's BOM-aware UnicodeDecoder);
+     - ISO-2022-JP via its escape sequences — the encoding is pure 7-bit,
+       so without this sniff it would pass the ASCII check and mojibake.
+    """
     if not data:
         return None
+    if data.startswith(b"\xff\xfe") or data.startswith(b"\xfe\xff"):
+        return "UTF-16"
+    if b"\x1b$B" in data or b"\x1b$@" in data or b"\x1b(J" in data:
+        return "ISO-2022-JP"
     try:
         decoded = data.decode("utf-8", errors="strict")
     except UnicodeDecodeError:

@@ -189,3 +189,35 @@ def test_error_status_fractional_px():
 
 def test_decode_html_fallback_utf8():
     assert decode_html(b"plain") == "plain"
+
+
+def test_detect_iso2022jp_escape_sniff():
+    from contentextractor_spark.operators.charset import detect_charset
+
+    data = "こんにちは世界".encode("iso2022_jp")
+    assert data.decode("ascii", errors="strict")  # pure 7-bit on the wire
+    assert detect_charset(data) == "ISO-2022-JP"
+    assert decode_html(data) == "こんにちは世界"
+
+
+def test_detect_utf16_bom_both_endians():
+    from contentextractor_spark.operators.charset import detect_charset
+
+    s = "日本語 and ascii"
+    le = b"\xff\xfe" + s.encode("utf-16-le")
+    be = b"\xfe\xff" + s.encode("utf-16-be")
+    assert detect_charset(le) == "UTF-16"
+    assert detect_charset(be) == "UTF-16"
+    # BOM is consumed (Java BOM-aware UnicodeDecoder behavior)
+    assert decode_html(le) == s
+    assert decode_html(be) == s
+
+
+def test_detect_utf8_bom_stays_utf8():
+    from contentextractor_spark.operators.charset import detect_charset
+
+    data = b"\xef\xbb\xbf" + "abc".encode("utf-8")
+    # juniversalchardet reports UTF-8; Java's UTF-8 decoder KEEPS the BOM
+    # char (U+FEFF) — faithful
+    assert detect_charset(data) == "UTF-8"
+    assert decode_html(data) == "﻿abc"
