@@ -345,6 +345,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def embedding_lsh_buckets(spark, sf_dir):
         return A.embedding_lsh_buckets(_emb(spark, sf_dir), n_planes=8)
 
+    def embedding_neardup_lsh(spark, sf_dir):
+        return A.embedding_neardup_lsh(
+            _emb(spark, sf_dir), threshold=0.35, n_bands=6, band_bits=3
+        )
+
     def ivf_topk(spark, sf_dir):
         return A.ivf_topk(_emb(spark, sf_dir), n_queries=10, k=5, n_lists=8, nprobe=3)
 
@@ -462,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_bruteforce": knn_bruteforce,
         "embedding_neardup": embedding_neardup,
         "embedding_lsh_buckets": embedding_lsh_buckets,
+        "embedding_neardup_lsh": embedding_neardup_lsh,
         "ivf_topk": ivf_topk,
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
@@ -732,6 +738,60 @@ def oracle_sql() -> dict[str, str]:
                    round(cos, 4) AS cos_sim
             FROM ranked WHERE rank <= 5
         """,
+        "embedding_lsh_buckets": """
+            WITH dots AS (
+              SELECT vec_id, p,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(generate_series(1, len(embedding)), i ->
+                         CAST(embedding[i] AS DOUBLE) *
+                         (CASE WHEN (strpos('0123456789abcdef',
+                                 substr(md5(p || ':' || CAST(i - 1 AS VARCHAR)),
+                                        2, 1)) - 1) % 2 = 1
+                               THEN 1.0 ELSE -1.0 END))),
+                       (a, b) -> a + b) AS dot
+              FROM embeddings, (SELECT unnest(generate_series(0, 7)) AS p) _p),
+            sig AS (
+              SELECT vec_id,
+                     CAST(sum(CASE WHEN dot > 0
+                          THEN CAST(power(2.0, p) AS BIGINT) ELSE 0 END)
+                          AS BIGINT) AS bucket
+              FROM dots GROUP BY vec_id)
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_vecs,
+                   min(vec_id) AS min_vec_id
+            FROM sig GROUP BY bucket
+        """,
+        "embedding_neardup_lsh": """
+            WITH dots AS (
+              SELECT vec_id, p,
+                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                       list_transform(generate_series(1, len(embedding)), i ->
+                         CAST(embedding[i] AS DOUBLE) *
+                         (CASE WHEN (strpos('0123456789abcdef',
+                                 substr(md5(p || ':' || CAST(i - 1 AS VARCHAR)),
+                                        2, 1)) - 1) % 2 = 1
+                               THEN 1.0 ELSE -1.0 END))),
+                       (a, b) -> a + b) AS dot
+              FROM embeddings, (SELECT unnest(generate_series(0, 17)) AS p) _p),
+            bands AS (
+              SELECT vec_id, CAST(floor(p / 3) AS INT) AS band,
+                     CAST(sum(CASE WHEN dot > 0
+                          THEN CAST(power(2.0, p % 3) AS BIGINT) ELSE 0 END)
+                          AS BIGINT) AS bkey
+              FROM dots GROUP BY 1, 2),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bkey = b.bkey
+               AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM (
+              SELECT id_a, id_b,
+                     list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])) AS cos
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = id_a
+              JOIN embeddings eb ON eb.vec_id = id_b)
+            WHERE cos >= 0.35
+        """,
         "embedding_neardup": """
             SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -870,7 +930,7 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS frame_idx
             FROM documents
         """,
-        # extract_flagship / extract_spans / extract_lineage /
-        # embedding_lsh_buckets / ivf_topk: non-SQL-expressible (full
-        # DOM+density pipeline / hyperplane folds / KMeans) → rows-only.
+        # extract_flagship / extract_spans / extract_lineage / ivf_topk:
+        # non-SQL-expressible (full DOM+density pipeline / KMeans) →
+        # rows-only check.
     }

@@ -206,3 +206,26 @@ def test_dedup_components_nonconvergence_raises(spark):
         dedup_components(chain, min_intersection=1, max_iter=1)
     ok = dedup_components(chain, min_intersection=1, max_iter=15)
     assert {r.component for r in ok.collect()} == {0}
+
+
+def test_embedding_neardup_lsh_recall_and_precision(spark):
+    """The banded-LSH pair producer (the 10^12-scale path) must emit a
+    SUBSET of the exact O(n²) pairs (precision 1.0 after re-scoring) with
+    usable recall on the fixture."""
+    from contentextractor_spark.functions.analysis import (
+        embedding_neardup_lsh,
+        embedding_neardup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, 0.35).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(emb, 0.35, n_bands=6, band_bits=3).collect()
+    }
+    assert lsh <= exact  # re-scored candidates: no false positives
+    recall = len(lsh) / max(1, len(exact))
+    # document the measured operating point; regression-guard it
+    assert recall >= 0.5, f"recall {recall:.3f} (|exact|={len(exact)})"
