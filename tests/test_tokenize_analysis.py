@@ -229,3 +229,13 @@ def test_embedding_neardup_lsh_recall_and_precision(spark):
     recall = len(lsh) / max(1, len(exact))
     # document the measured operating point; regression-guard it
     assert recall >= 0.5, f"recall {recall:.3f} (|exact|={len(exact)})"
+
+
+def test_jaccard_persist_path_equal(spark, docs):
+    """persist_shingles=True (the >=100x-scale flip, VERDICT r1 #5) must be
+    a pure execution-strategy choice: identical pairs either way."""
+    from contentextractor_spark.functions.analysis import jaccard_pairs
+
+    base = {tuple(r) for r in jaccard_pairs(docs).collect()}
+    cached = {tuple(r) for r in jaccard_pairs(docs, persist_shingles=True).collect()}
+    assert base == cached and len(base) > 0
