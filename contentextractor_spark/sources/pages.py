@@ -128,27 +128,46 @@ def generate_pages(n: int, seed: int = 42, n_hosts: int = 50) -> pd.DataFrame:
     langs = rng.choice(["ja", "en", "mixed"], size=n, p=[0.6, 0.3, 0.1])
     encodings = rng.choice(["utf-8", "shift_jis", "euc_jp"], size=n, p=[0.9, 0.05, 0.05])
     archetypes = rng.choice([1, 2, 3, 4, 5, 9, 6], size=n, p=[0.3, 0.1, 0.15, 0.1, 0.1, 0.05, 0.2])
+    # D1-breadth archetypes (round 2): sprinkle ISO-2022-JP (meta-declared,
+    # 7-bit wire form) and UTF-16LE-with-BOM pages.  Deterministic index
+    # override of already-ja utf-8 pages — the rng stream and every other
+    # page's bytes stay identical to round 1.
+    encodings = [str(e) for e in encodings]  # numpy '<U9' would truncate
+    for i in range(n):
+        if langs[i] == "ja" and encodings[i] == "utf-8":
+            if i % 53 == 11:
+                encodings[i] = "iso2022_jp"
+            elif i % 53 == 37:
+                encodings[i] = "utf16"
 
     urls, ts, htmls, out_lang = [], [], [], []
     for i in range(n):
         host = f"site{host_idx[i]:02d}.example.jp"
         lang = str(langs[i])
         enc = str(encodings[i])
-        if enc != "utf-8":
-            lang = "ja"  # JP encodings carry JP pages
+        if enc in ("shift_jis", "euc_jp"):
+            lang = "ja"  # JP-limited encodings carry JP pages
         page = render_archetype(rng, int(archetypes[i]), lang)
-        if enc != "utf-8":
-            cs_name = "Shift_JIS" if enc == "shift_jis" else "EUC-JP"
+        if enc in ("shift_jis", "euc_jp", "iso2022_jp"):
+            cs_name = {
+                "shift_jis": "Shift_JIS",
+                "euc_jp": "EUC-JP",
+                "iso2022_jp": "ISO-2022-JP",
+            }[enc]
             page = page.replace(
                 "<head>",
                 f'<head><meta http-equiv="Content-Type" '
                 f'content="text/html; charset={cs_name}">',
                 1,
             )
-        try:
-            data = page.encode(enc)
-        except UnicodeEncodeError:
-            data = page.encode("utf-8")
+        if enc == "utf16":
+            # BOM + LE body; no meta — only the BOM sniff can decode it
+            data = b"\xff\xfe" + page.encode("utf-16-le")
+        else:
+            try:
+                data = page.encode(enc)
+            except UnicodeEncodeError:
+                data = page.encode("utf-8")
         urls.append(f"https://{host}/p{i}")
         ts.append(EPOCH + _dt.timedelta(seconds=i))
         htmls.append(data)
