@@ -98,6 +98,7 @@ LINEAGE_SCHEMA = StructType(
         StructField("extractor_version", StringType()),
         StructField("status", StringType()),
         StructField("ts", TimestampType()),
+        StructField("run_id", StringType()),  # commit token (exactly-once read)
     ]
 )
 
@@ -237,7 +238,13 @@ def extract_pages(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
 def lineage_metrics(extracted: DataFrame) -> DataFrame:
     """Per-bucket lineage/metrics rows (north rule: partition id, url range,
     row counts, extractor-version hash).  Derived from the output with one
-    tiny aggregation — no executor-side side channel needed."""
+    tiny aggregation — no executor-side side channel needed.  When the
+    output carries a run_id (run_extraction), it is propagated so readers
+    can commit-filter (see read_committed_output)."""
+    run_id = (
+        F.first("run_id") if "run_id" in extracted.columns
+        else F.lit(None).cast("string")
+    )
     return extracted.groupBy("bucket_id").agg(
         F.first("partition_id").alias("partition_id"),
         F.min("url").alias("url_min"),
@@ -247,6 +254,7 @@ def lineage_metrics(extracted: DataFrame) -> DataFrame:
         F.lit(EXTRACTOR_VERSION).alias("extractor_version"),
         F.lit("done").alias("status"),
         F.current_timestamp().alias("ts"),
+        run_id.alias("run_id"),
     )
 
 
@@ -300,15 +308,47 @@ def run_extraction(
             if "PATH_NOT_FOUND" not in str(e):
                 raise
             # else: no lineage yet → full run
-    extracted = extract_pages(pages, num_buckets=num_buckets)
+    import uuid
+
+    run_id = uuid.uuid4().hex
+    extracted = extract_pages(pages, num_buckets=num_buckets).withColumn(
+        "run_id", F.lit(run_id)
+    )
     if output_path is not None:
         extracted.write.mode("append").partitionBy("bucket_id").parquet(output_path)
-        extracted = spark.read.parquet(output_path)
-    lineage = lineage_metrics(extracted)
+        written = spark.read.parquet(output_path)
+        # lineage describes THIS batch only (rows actually just written) —
+        # the commit record for (bucket_id, run_id)
+        extracted = written
+        batch = written.filter(F.col("run_id") == run_id)
+    else:
+        batch = extracted
+    lineage = lineage_metrics(batch)
     if lineage_path is not None:
         lineage.write.mode("append").parquet(lineage_path)
         lineage = spark.read.parquet(lineage_path)
+        if output_path is not None:
+            # exactly-once read contract: only rows whose (bucket_id,
+            # run_id) has a lineage commit row are visible.  A crash
+            # BETWEEN the two appends leaves orphan output rows with a
+            # run_id absent from lineage; the next resume reprocesses the
+            # bucket and the orphans stay invisible — no duplicates, no
+            # transactions needed (Iceberg's single atomic append is the
+            # one-line upgrade).  The semi-join side is the tiny lineage
+            # table → broadcast, no shuffle of the big side.
+            extracted = read_committed_output(spark, output_path, lineage_path)
     return extracted, lineage
+
+
+def read_committed_output(
+    spark: SparkSession, output_path: str, lineage_path: str
+) -> DataFrame:
+    """Committed view of the output table: semi-join against the lineage
+    commit records on (bucket_id, run_id), dropping orphan rows from a run
+    that died between the output append and the lineage append."""
+    out = spark.read.parquet(output_path)
+    commits = spark.read.parquet(lineage_path).select("bucket_id", "run_id").distinct()
+    return out.join(F.broadcast(commits), ["bucket_id", "run_id"], "left_semi")
 
 
 # --- bucketed table layout (Iceberg bucket(N, url) stand-in) ----------------

@@ -242,3 +242,30 @@ def test_resume_absent_lineage_full_run(spark, pages_df, tmp_path):
         spark, pages_df, lineage_path=str(tmp_path / "never_written"), num_buckets=8
     )
     assert extracted.count() == N
+
+
+def test_crash_between_appends_leaves_no_duplicates(spark, pages_df, tmp_path):
+    """ADVICE r1: output append succeeded, lineage append lost (crash
+    window) → the committed read must hide the orphan rows and a re-run
+    must restore exactly-once output."""
+    from pyspark.sql import functions as F
+
+    from contentextractor_spark.plans.pipeline import read_committed_output
+
+    out_path, lin_path = str(tmp_path / "out"), str(tmp_path / "lineage")
+    # simulate the dying first run: write output WITH a run_id, no lineage
+    orphan = extract_pages(pages_df, num_buckets=8).withColumn(
+        "run_id", F.lit("deadrun")
+    )
+    orphan.write.mode("append").partitionBy("bucket_id").parquet(out_path)
+
+    # recovery run: resume sees no lineage → full run, appends everything
+    extracted, lineage = run_extraction(
+        spark, pages_df, output_path=out_path, lineage_path=lin_path, num_buckets=8
+    )
+    assert spark.read.parquet(out_path).count() == 2 * N  # orphans on disk
+    committed = read_committed_output(spark, out_path, lin_path)
+    assert committed.count() == N  # but invisible to readers
+    assert extracted.count() == N
+    assert committed.filter("run_id = 'deadrun'").count() == 0
+    assert sum(r.row_count for r in lineage.collect()) == N
