@@ -104,6 +104,9 @@ def main() -> None:
         "ngram_jaccard_pairs": lambda: A.jaccard_pairs(docs).count(),
         "simhash": lambda: A.simhash(docs, bits=48).count(),
         "knn_bruteforce": lambda: A.knn_bruteforce(emb, n_queries=10, k=5).count(),
+        "embedding_neardup_lsh": lambda: A.embedding_neardup_lsh(
+            emb, threshold=0.35, n_bands=6, band_bits=3
+        ).count(),
         "token_counts": lambda: A.token_counts(docs).count(),
         "rolling_fingerprints": lambda: A.rolling_fingerprints(docs).count(),
         "lang_id": lambda: A.lang_id(docs).count(),
