@@ -145,7 +145,14 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Word n-gram shingles, DISTINCT per (doc_id, shingle)."""
+    """Word n-gram shingles, DISTINCT per (doc_id, shingle).
+
+    The dedup is per-document, so it happens BEFORE the explode with
+    array_distinct — a narrow per-row op.  A post-explode `.distinct()`
+    would shuffle the entire exploded shingle stream (corpus × shingles
+    rows) just to remove within-doc repeats; at 100 TB that shuffle is the
+    single largest data movement in the dedup family, and it's free to
+    skip."""
     words = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
     grams = F.transform(
@@ -154,10 +161,8 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
             " ", *[F.element_at(words, i + j) for j in range(n)]
         ),
     )
-    return (
-        docs.filter(F.size(words) >= n)
-        .select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
+    return docs.filter(F.size(words) >= n).select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
     )
 
 
