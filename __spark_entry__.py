@@ -263,6 +263,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = extract_pages(pages, num_buckets=8)
         return out.select(F.col("url").cast("long").alias("doc_id"), "main_text")
 
+    def extract_spans_roundtrip(spark, sf_dir):
+        # span bookkeeping value-check: the trivial wrapper yields exactly
+        # one block whose char extent is len(java_trim(text)) + 1 ("\n")
+        pages = _docs_as_pages(_docs(spark, sf_dir))
+        out = extract_pages(pages, num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.size("spans").alias("n_spans"),
+            F.aggregate(
+                F.transform("spans", lambda s: s["char_end"] - s["char_start"]),
+                F.lit(0),
+                lambda acc, v: acc + v,
+            ).alias("span_chars"),
+            F.col("spans")[0]["start_line"].alias("first_start_line"),
+            F.col("spans")[0]["end_line"].alias("first_end_line"),
+            "threshold",
+        )
+
+    def extract_keywords(spark, sf_dir):
+        # K2 fold through the FULL pipeline; on clean ASCII words the
+        # morphological analyzer provably degrades to word tokens, so the
+        # fold is SQL-expressible: words with len > 1, non-numeric, each
+        # with a trailing comma
+        docs = _eligible(_docs(spark, sf_dir)).filter(
+            F.col("text").rlike("^[A-Za-z0-9_ ]*$")
+        )
+        out = extract_pages(_pages_from_inner(docs, F.col("text")), num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"), "keyword_list"
+        )
+
+    def extract_debug_density(spark, sf_dir):
+        # S6 debug side-channel value-check: the trivial page's density
+        # array is [d, d, 0, 0, 0] with d = round(kept_len/4 + 0.5) (T11)
+        from contentextractor_spark.plans.pipeline import extract_debug_channels
+
+        pages = _docs_as_pages(_docs(spark, sf_dir))
+        out = extract_debug_channels(pages)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.posexplode("density"),
+        ).select(
+            "doc_id",
+            F.col("pos").alias("line_idx"),
+            F.col("col").cast("long").alias("density"),
+        )
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -379,6 +426,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_top_users(spark, sf_dir):
         return E.top_users_by_value(_events(spark, sf_dir), k=10)
 
+    def events_asof_join(spark, sf_dir):
+        return E.asof_latest(_events(spark, sf_dir), ref_type="view")
+
     def docs_rollup(spark, sf_dir):
         # grouping-sets coverage: ROLLUP(lang, source) counts
         return (
@@ -459,6 +509,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": extract_roundtrip,
         "extract_boilerplate": extract_boilerplate,
+        "extract_spans_roundtrip": extract_spans_roundtrip,
+        "extract_keywords": extract_keywords,
+        "extract_debug_density": extract_debug_density,
         "extract_br_runs": extract_br_runs,
         "extract_entities": extract_entities,
         "extract_sjis_detect": extract_sjis_detect,
@@ -489,6 +542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "events_sessionize": events_sessionize,
         "events_top_users": events_top_users,
+        "events_asof_join": events_asof_join,
         "docs_rollup": docs_rollup,
         "token_set_ops": token_set_ops,
         "docs_above_lang_avg": docs_above_lang_avg,
@@ -533,6 +587,44 @@ def oracle_sql() -> dict[str, str]:
         "extract_boilerplate": f"""
             SELECT doc_id, trim(text) AS main_text
             FROM documents
+            WHERE {_ELIGIBLE_SQL}
+        """,
+        "extract_spans_roundtrip": f"""
+            SELECT doc_id,
+                   CAST(1 AS INT) AS n_spans,
+                   CAST(length(trim(text)) + 1 AS INT) AS span_chars,
+                   CAST(1 AS INT) AS first_start_line,
+                   CAST(2 AS INT) AS first_end_line,
+                   CAST(greatest(5, floor(
+                     length(regexp_replace(text,
+                       '[^a-zA-Z0-9_０-９Ａ-Ｚａ-ｚ一-鿿぀-ゟ゠-ヿ]', '', 'g'))
+                     / 4.0 + 0.5)) AS INT) AS threshold
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
+        """,
+        "extract_keywords": f"""
+            SELECT doc_id,
+                   list_aggregate(
+                     list_transform(
+                       list_filter(string_split(trim(text), ' '),
+                         w -> length(w) > 1
+                              AND NOT regexp_matches(w, '^[0-9]+$')),
+                       w -> w || ','),
+                     'string_agg', '') AS keyword_list
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
+              AND regexp_matches(text, '^[A-Za-z0-9_ ]*$')
+        """,
+        "extract_debug_density": f"""
+            SELECT doc_id, CAST(line_idx AS INT) AS line_idx,
+                   CAST(CASE WHEN line_idx <= 1 THEN
+                     floor(length(regexp_replace(text,
+                       '[^a-zA-Z0-9_０-９Ａ-Ｚａ-ｚ一-鿿぀-ゟ゠-ヿ]', '', 'g'))
+                       / 4.0 + 0.5)
+                   ELSE 0 END AS BIGINT) AS density
+            FROM documents,
+                 -- 9 padded lines (T6 close pad + T9 tail pad) → 6 windows
+                 (SELECT unnest(generate_series(0, 5)) AS line_idx) _i
             WHERE {_ELIGIBLE_SQL}
         """,
         "extract_br_runs": f"""
@@ -861,6 +953,15 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) AS BIGINT) AS n_events
                 FROM events GROUP BY user_id))
             WHERE rank <= 10
+        """,
+        "events_asof_join": """
+            WITH ref AS (
+              SELECT user_id, ts, event_id FROM events
+              WHERE event_type = 'view')
+            SELECT e.event_id, r.event_id AS asof_event_id,
+                   r.ts AS asof_ts
+            FROM events e ASOF LEFT JOIN ref r
+              ON e.user_id = r.user_id AND e.ts >= r.ts
         """,
         "docs_rollup": """
             SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,

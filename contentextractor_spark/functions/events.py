@@ -71,6 +71,40 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def asof_latest(events: DataFrame, ref_type: str = "view") -> DataFrame:
+    """AS-OF join (an operator Spark lacks natively): for every event, the
+    most recent event of `ref_type` by the same user at-or-before its ts.
+
+    Implemented as ONE partition-sort window (carry-forward of the last
+    reference row) rather than a range join: a single shuffle on user_id,
+    no join, no per-probe scan — the classic scale-safe as-of plan.  At
+    equal timestamps the reference row sorts first, matching SQL
+    ``ASOF JOIN ... ON probe.ts >= ref.ts`` semantics (a reference event is
+    its own match).  DuckDB's native ASOF LEFT JOIN is the oracle."""
+    is_ref = F.col("event_type") == ref_type
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(is_ref, F.col("event_id")).alias("ref_id"),
+        F.when(is_ref, F.col("ts")).alias("ref_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(
+            F.col("ts"),
+            F.when(F.col("ref_id").isNotNull(), 0).otherwise(1),
+            F.col("event_id"),
+        )
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return tagged.select(
+        "event_id",
+        F.last("ref_id", ignorenulls=True).over(w).alias("asof_event_id"),
+        F.last("ref_ts", ignorenulls=True).over(w).alias("asof_ts"),
+    )
+
+
 def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
     """Ranking window: top-k users by total event value (deterministic
     tiebreak on user_id)."""
