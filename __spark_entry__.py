@@ -141,6 +141,14 @@ _INLINE_JUNK = (
     '<a href="/next">次へ</a>'                                            # F7
 )
 
+# T13/T14 multi-block selection: junk paragraphs with EXACT kept-lengths
+# 22 → density 6 and 30 → density 8.  With the text block denser than both,
+# cal_threshold returns the max (n=2: d[1]; n=3: the idx=n-1 promotion), so
+# ONLY the text block survives selection — if threshold selection breaks,
+# a junk block is emitted and the hash breaks.
+_BLOCK_J1 = "<div><p>" + "j" * 22 + "</p></div>"   # density 6
+_BLOCK_J2 = "<div><p>" + "k" * 30 + "</p></div>"   # density 8
+
 # T8: HTML-4.0 entities the emitted line must carry through unescaped.
 _ENT_HTML = " &amp; &lt;b&gt; &copy;&nbsp;&hellip;"
 _ENT_TEXT = " & <b> © …"
@@ -262,6 +270,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         out = extract_pages(pages, num_buckets=8)
         return out.select(F.col("url").cast("long").alias("doc_id"), "main_text")
+
+    def _blocksel_pages(spark, sf_dir, junk_html: str, min_kept: int):
+        docs = _eligible(_docs(spark, sf_dir)).filter(
+            F.length(F.regexp_replace("text", _KEEP_NEG, "")) >= min_kept
+        )
+        return docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body>" + junk_html + "<div><p>"),
+                    F.col("text"),
+                    F.lit("</p></div></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+
+    def extract_block_select2(spark, sf_dir):
+        # n=2 maxima path: threshold = larger max (cal_threshold d[1]) —
+        # the density-6 junk block must be dropped by selection, not by DOM
+        # filtering (kept >= 26 ⇒ text density >= 7 > 6)
+        pages = _blocksel_pages(spark, sf_dir, _BLOCK_J1, 26)
+        out = extract_pages(pages, num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"), "main_text", "threshold"
+        )
+
+    def extract_block_select3(spark, sf_dir):
+        # n=3 maxima path: the idx = n-1 promotion makes threshold the max;
+        # junk blocks at densities 6 and 8 both drop (kept >= 34 ⇒ >= 9)
+        pages = _blocksel_pages(spark, sf_dir, _BLOCK_J1 + _BLOCK_J2, 34)
+        out = extract_pages(pages, num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"), "main_text", "threshold"
+        )
 
     def extract_spans_roundtrip(spark, sf_dir):
         # span bookkeeping value-check: the trivial wrapper yields exactly
@@ -509,6 +552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_roundtrip": extract_roundtrip,
         "extract_boilerplate": extract_boilerplate,
+        "extract_block_select2": extract_block_select2,
+        "extract_block_select3": extract_block_select3,
         "extract_spans_roundtrip": extract_spans_roundtrip,
         "extract_keywords": extract_keywords,
         "extract_debug_density": extract_debug_density,
@@ -588,6 +633,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, trim(text) AS main_text
             FROM documents
             WHERE {_ELIGIBLE_SQL}
+        """,
+        "extract_block_select2": f"""
+            SELECT doc_id, trim(text) AS main_text,
+                   CAST(floor(
+                     length(regexp_replace(text,
+                       '[^a-zA-Z0-9_０-９Ａ-Ｚａ-ｚ一-鿿぀-ゟ゠-ヿ]', '', 'g'))
+                     / 4.0 + 0.5) AS INT) AS threshold
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
+              AND length(regexp_replace(text,
+                    '[^a-zA-Z0-9_０-９Ａ-Ｚａ-ｚ一-鿿぀-ゟ゠-ヿ]', '', 'g')) >= 26
+        """,
+        "extract_block_select3": f"""
+            SELECT doc_id, trim(text) AS main_text,
+                   CAST(floor(
+                     length(regexp_replace(text,
+                       '[^a-zA-Z0-9_０-９Ａ-Ｚａ-ｚ一-鿿぀-ゟ゠-ヿ]', '', 'g'))
+                     / 4.0 + 0.5) AS INT) AS threshold
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
+              AND length(regexp_replace(text,
+                    '[^a-zA-Z0-9_０-９Ａ-Ｚａ-ｚ一-鿿぀-ゟ゠-ヿ]', '', 'g')) >= 34
         """,
         "extract_spans_roundtrip": f"""
             SELECT doc_id,

@@ -160,3 +160,25 @@ def test_iso2022_trap_needs_sniff_or_meta(monkeypatch):
         extractor, "meta_declared_charset", lambda doc, metas=None: "UTF-8"
     )
     assert extract_document(_page_iso2022(TEXT)).main_text != want  # trap springs
+
+
+def _page_blocks(text: str, junk_html: str) -> bytes:
+    return (
+        "<html><body>" + junk_html + "<div><p>" + text + "</p></div></body></html>"
+    ).encode("utf-8")
+
+
+def test_block_selection_positive_and_trap(monkeypatch):
+    # TEXT kept-length 52 → density 14 > junk densities 6/8: only TEXT emits
+    text = "the quick brown fox jumps over the lazy dog once more and again"
+    for junk in (entry_mod._BLOCK_J1, entry_mod._BLOCK_J1 + entry_mod._BLOCK_J2):
+        assert extract_document(_page_blocks(text, junk)).main_text == text
+
+    # stub T13 to the MIN_TOKENS floor → junk blocks pass selection → leak
+    from contentextractor_spark.functions import fused, textextract
+
+    monkeypatch.setattr(textextract, "cal_threshold", lambda maxima: 5)
+    monkeypatch.setattr(fused, "cal_threshold", lambda maxima: 5, raising=False)
+    monkeypatch.setattr(extractor, "USE_FUSED", False)
+    got = extract_document(_page_blocks(text, entry_mod._BLOCK_J1)).main_text
+    assert got != text and "jjjj" in got
