@@ -239,3 +239,40 @@ def test_jaccard_persist_path_equal(spark, docs):
     base = {tuple(r) for r in jaccard_pairs(docs).collect()}
     cached = {tuple(r) for r in jaccard_pairs(docs, persist_shingles=True).collect()}
     assert base == cached and len(base) > 0
+
+
+def test_asof_plan_single_shuffle_and_semantics(spark):
+    """asof_latest: one Exchange (the user_id sort-partition), no join
+    operator in the plan; carry-forward semantics spot-checked."""
+    import datetime as dt
+
+    from contentextractor_spark.functions.events import asof_latest
+
+    rows = [
+        (1, dt.datetime(2026, 1, 1, 0, 0, 0), 7, "view", 0.0, ""),
+        (2, dt.datetime(2026, 1, 1, 0, 5, 0), 7, "click", 0.0, ""),
+        (3, dt.datetime(2026, 1, 1, 0, 9, 0), 7, "view", 0.0, ""),
+        (4, dt.datetime(2026, 1, 1, 0, 9, 0), 7, "click", 0.0, ""),  # tie: >= matches
+        (5, dt.datetime(2026, 1, 1, 0, 1, 0), 8, "click", 0.0, ""),  # no prior view
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    out = {r.event_id: r.asof_event_id for r in asof_latest(ev, "view").collect()}
+    assert out == {1: 1, 2: 1, 3: 3, 4: 3, 5: None}
+
+    plan = asof_latest(ev, "view")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
+def test_neardup_lsh_plan_no_cartesian(spark):
+    from contentextractor_spark.functions.analysis import embedding_neardup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = (
+        embedding_neardup_lsh(emb, 0.35)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
