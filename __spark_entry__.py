@@ -500,13 +500,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def docs_above_lang_avg(spark, sf_dir):
-        # subquery-style coverage: docs longer than their language's average
+        # subquery-style coverage: docs longer than their language's average.
+        # NOT a Window.partitionBy("lang") — a 5-partition window would put
+        # the whole corpus on 5 tasks at 100 TB; the tiny per-lang aggregate
+        # broadcasts back instead (map-side combinable, no skewed sort)
         docs = _docs(spark, sf_dir)
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("lang")
+        avgs = docs.groupBy("lang").agg(F.avg("n_chars").alias("lang_avg"))
         return (
-            docs.withColumn("lang_avg", F.avg("n_chars").over(w))
+            docs.join(F.broadcast(avgs), "lang")
             .filter(F.col("n_chars") > F.col("lang_avg"))
             .select("doc_id", "lang", "n_chars")
         )

@@ -146,3 +146,17 @@ def running_user_stats(events_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_events_stream(
+    events_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exactly-once ingest dedup: dropDuplicatesWithinWatermark on
+    the event key.  State is BOUNDED — a key's dedup record ages out once
+    the watermark passes it, so 10^12-event streams don't accrete unbounded
+    state the way a plain dropDuplicates would; duplicates arriving later
+    than the watermark are the documented (and alert-able) escape."""
+    s = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return s.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )

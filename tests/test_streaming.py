@@ -106,3 +106,26 @@ def test_running_user_stats_stateful(spark, tmp_path):
         for r in events.groupBy("user_id").count().withColumnRenamed("count", "n").collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from contentextractor_spark.streaming.stream import dedup_events_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(500)
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    # duplicated ingest: every event arrives twice
+    events.write.mode("append").parquet(in_dir)
+    events.write.mode("append").parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    q = (
+        dedup_events_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 500
+    assert got.select("event_id").distinct().count() == 500
