@@ -540,6 +540,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "width", "height", "status",
         )
 
+    def media_resize_plan(spark, sf_dir):
+        from contentextractor_spark.operators.multimodal import (
+            media_features as mf,
+            resize_plan,
+        )
+
+        media = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("image").alias("media_type"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+        return resize_plan(mf(media), max_side=256)
+
+    def doc_length_quantiles(spark, sf_dir):
+        # exact interpolated percentiles per language (both engines use
+        # linear interpolation at (n-1)*q)
+        return (
+            _docs(spark, sf_dir)
+            .groupBy("lang")
+            .agg(
+                F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50"),
+                F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90"),
+                F.round(F.expr("percentile(n_chars, 0.99)"), 4).alias("p99"),
+            )
+        )
+
     def frame_sample_plan(spark, sf_dir):
         from contentextractor_spark.operators.multimodal import frame_sample_plan as fsp
 
@@ -596,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_top_suppliers": tpch_top_suppliers,
         "tpch_region_revenue": tpch_region_revenue,
         "media_features": media_features,
+        "media_resize_plan": media_resize_plan,
+        "doc_length_quantiles": doc_length_quantiles,
         "frame_sample_plan": frame_sample_plan,
     }
 
@@ -1109,6 +1137,35 @@ def oracle_sql() -> dict[str, str]:
                       * 4 + 64 AS INT) AS height,
                    'ok:fake-decode' AS status
             FROM documents
+        """,
+        "media_resize_plan": """
+            WITH dims AS (
+              SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                     ((strpos('0123456789abcdef', substr(sha256(text), 1, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(sha256(text), 2, 1)) - 1))
+                      * 4 + 64 AS w,
+                     ((strpos('0123456789abcdef', substr(sha256(text), 3, 1)) - 1) * 16
+                      + (strpos('0123456789abcdef', substr(sha256(text), 4, 1)) - 1))
+                      * 4 + 64 AS h
+              FROM documents),
+            scaled AS (
+              SELECT media_id, w, h,
+                     least(1.0, 256.0 / greatest(CAST(w AS DOUBLE),
+                                                 CAST(h AS DOUBLE))) AS s
+              FROM dims)
+            SELECT media_id,
+                   CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
+                   CAST(greatest(1, floor(w * s)) AS INT) AS dst_w,
+                   CAST(greatest(1, floor(h * s)) AS INT) AS dst_h,
+                   round(s, 6) AS scale
+            FROM scaled
+        """,
+        "doc_length_quantiles": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 4) AS p50,
+                   round(quantile_cont(n_chars, 0.9), 4) AS p90,
+                   round(quantile_cont(n_chars, 0.99), 4) AS p99
+            FROM documents GROUP BY lang
         """,
         "frame_sample_plan": """
             SELECT doc_id AS media_id,

@@ -142,3 +142,29 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+def resize_plan(
+    media: DataFrame, max_side: int = 256, id_col: str = "media_id"
+) -> DataFrame:
+    """Image resize *plan*: aspect-preserving fit of (width, height) into a
+    max_side box, computed JVM-side from the typed metadata — the actual
+    pixel resample is the stubbed codec step.  Downscale only (scale capped
+    at 1.0, the training-pipeline convention); integer dims via truncation
+    toward zero on the scaled size, floored at 1.
+
+    Scale: pure narrow projection — no shuffle, no Python."""
+    from pyspark.sql import functions as F
+
+    w, h = F.col("width").cast("double"), F.col("height").cast("double")
+    scale = F.least(
+        F.lit(1.0), F.lit(float(max_side)) / F.greatest(w, h)
+    )
+    return media.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.col("width").cast("int").alias("src_w"),
+        F.col("height").cast("int").alias("src_h"),
+        F.greatest(F.lit(1), (w * scale).cast("int")).alias("dst_w"),
+        F.greatest(F.lit(1), (h * scale).cast("int")).alias("dst_h"),
+        F.round(scale, 6).alias("scale"),
+    )
