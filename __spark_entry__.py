@@ -472,6 +472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_asof_join(spark, sf_dir):
         return E.asof_latest(_events(spark, sf_dir), ref_type="view")
 
+    def events_type_totals_salted(spark, sf_dir):
+        return E.type_totals_salted(_events(spark, sf_dir), n_salts=16)
+
     def docs_rollup(spark, sf_dir):
         # grouping-sets coverage: ROLLUP(lang, source) counts
         return (
@@ -615,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": events_sessionize,
         "events_top_users": events_top_users,
         "events_asof_join": events_asof_join,
+        "events_type_totals_salted": events_type_totals_salted,
         "docs_rollup": docs_rollup,
         "token_set_ops": token_set_ops,
         "docs_above_lang_avg": docs_above_lang_avg,
@@ -1049,6 +1053,12 @@ def oracle_sql() -> dict[str, str]:
                        CAST(count(*) AS BIGINT) AS n_events
                 FROM events GROUP BY user_id))
             WHERE rank <= 10
+        """,
+        "events_type_totals_salted": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_value_c
+            FROM events GROUP BY event_type
         """,
         "events_asof_join": """
             WITH ref AS (

@@ -81,7 +81,12 @@ def main() -> None:
     extract_pages(pages.limit(64 * CPUS), num_buckets=NUM_BUCKETS).count()
 
     def docs_as_pages():
-        eligible = docs.filter(F.length(F.regexp_replace("text", " ", "")) >= 18)
+        # same eligibility gate as __spark_entry__._eligible (kept alphabet)
+        keep_neg = "[^a-zA-Z0-9_０-９Ａ-Ｚａ-ｚ一-鿿぀-ゟ゠-ヿ]"
+        eligible = docs.filter(
+            (F.length(F.regexp_replace("text", keep_neg, "")) >= 18)
+            & ~F.col("text").rlike("(記事一覧|利用規約|Copyright)")
+        )
         return eligible.select(
             F.col("doc_id").cast("string").alias("url"),
             F.encode(

@@ -71,6 +71,29 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
+def type_totals_salted(events: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Two-phase (salted) aggregation over a LOW-cardinality skewed key:
+    with ~5 event types, a naive groupBy("event_type") reduces 10^12 rows
+    onto 5 reducer tasks.  Phase 1 groups by (event_type, salt) — n_salts×
+    the parallelism with map-side combine; phase 2 merges the tiny partials.
+    Result is exactly the plain groupBy (oracle-checked) — the salt is pure
+    execution strategy.
+
+    (Extraction handles the same problem for skewed HOSTS by hashing the
+    full url; this is the aggregation-side twin.)"""
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(n_salts))
+    partial = (
+        events.groupBy("event_type", salt.alias("salt"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_value_cents(F.col("value"))).alias("v"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("n").alias("n_events"), F.sum("v").alias("sum_value_c")
+    )
+
+
 def asof_latest(events: DataFrame, ref_type: str = "view") -> DataFrame:
     """AS-OF join (an operator Spark lacks natively): for every event, the
     most recent event of `ref_type` by the same user at-or-before its ts.
