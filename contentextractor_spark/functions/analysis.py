@@ -144,6 +144,27 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     ).withColumn("is_duplicate", (F.col("copy_rank") > 1).cast("int"))
 
 
+def _gram_array(n: int):
+    """array<string> of word n-grams of `text` (with within-doc repeats)."""
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words, i + j) for j in range(n)]
+        ),
+    )
+
+
+def shingle_set_sizes(docs: DataFrame, n: int = 3) -> DataFrame:
+    """|distinct shingles| per doc as a NARROW projection — no explode, no
+    shuffle (the whole per-doc set statistic is computable in place)."""
+    words = F.split(F.col("text"), " ")
+    return docs.filter(F.size(words) >= n).select(
+        "doc_id", F.size(F.array_distinct(_gram_array(n))).alias("sz")
+    )
+
+
 def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """Word n-gram shingles, DISTINCT per (doc_id, shingle).
 
@@ -154,15 +175,8 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     single largest data movement in the dedup family, and it's free to
     skip."""
     words = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
-        ),
-    )
     return docs.filter(F.size(words) >= n).select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("shingle")
+        "doc_id", F.explode(F.array_distinct(_gram_array(n))).alias("shingle")
     )
 
 
@@ -236,7 +250,9 @@ def jaccard_pairs(
     rare = sh.join(
         freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # |shingle set| per doc is a narrow per-row statistic — computing it
+    # from `sh` would re-explode the corpus a third time just to count
+    sizes = shingle_set_sizes(docs, n=n)
     a = rare.alias("a")
     b = rare.alias("b")
     inter = (
