@@ -353,6 +353,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("col").cast("long").alias("density"),
         )
 
+    def curation_pipeline(spark, sf_dir):
+        # the composed consumer flow: extract → exact-dedup on extracted
+        # text → language-ID → quality gate → canonical curated rows.
+        # Every stage is the REAL operator (not a re-derivation), and the
+        # whole chain is value-checked end-to-end by one SQL oracle.
+        pages = _docs_as_pages(_docs(spark, sf_dir))
+        out = extract_pages(pages, num_buckets=8).select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("main_text").alias("text"),
+        )
+        deduped = A.dedup_exact(out).filter(F.col("is_duplicate") == 0)
+        docs2 = deduped.join(out, "doc_id").select("doc_id", "text")
+        scored = A.quality_scores(docs2).join(
+            A.lang_id(docs2).select("doc_id", "pred_lang"), "doc_id"
+        )
+        return scored.filter(F.col("alpha_pct") >= 50.0).select(
+            "doc_id", "pred_lang", "alpha_pct", "stopword_hits"
+        )
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -592,6 +611,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_sjis_detect": extract_sjis_detect,
         "extract_iso2022jp": extract_iso2022jp,
         "extract_utf16_roundtrip": extract_utf16_roundtrip,
+        "curation_pipeline": curation_pipeline,
         "extract_flagship": extract_flagship,
         "extract_spans": extract_spans,
         "extract_lineage": extract_lineage,
@@ -758,6 +778,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, trim(text || '{_JP_SUFFIX}') AS main_text
             FROM documents
             WHERE {_ELIGIBLE_SQL}
+        """,
+        "curation_pipeline": f"""
+            WITH extracted AS (
+              SELECT doc_id, trim(text) AS t FROM documents
+              WHERE {_ELIGIBLE_SQL}),
+            canonical AS (
+              SELECT doc_id, t FROM (
+                SELECT doc_id, t,
+                       row_number() OVER (PARTITION BY md5(t)
+                            ORDER BY doc_id) AS rnk
+                FROM extracted)
+              WHERE rnk = 1),
+            scored AS (
+              SELECT doc_id,
+                round(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) * 100.0
+                      / (length(t) + 1), 4) AS alpha_pct,
+                CAST(len(list_filter(string_split(t, ' '),
+                     w -> w IN ('the','a','of','and','to'))) AS INT)
+                     AS stopword_hits,
+                CASE WHEN length(regexp_replace(t, '[^一-鿿぀-ゟ゠-ヿ]', '', 'g'))
+                          > length(regexp_replace(t, '[^a-zA-Z]', '', 'g'))
+                     THEN 'cjk' ELSE 'latin' END AS pred_lang
+              FROM canonical)
+            SELECT doc_id, pred_lang, alpha_pct, stopword_hits
+            FROM scored WHERE alpha_pct >= 50.0
         """,
         "docs_per_lang": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
