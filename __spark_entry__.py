@@ -462,6 +462,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_components(spark, sf_dir):
         return A.dedup_components(_docs(spark, sf_dir))
 
+    def dedup_components_lss(spark, sf_dir):
+        return A.dedup_components_lss(_docs(spark, sf_dir))
+
     def knn_bruteforce(spark, sf_dir):
         return A.knn_bruteforce(_emb(spark, sf_dir), n_queries=10, k=5)
 
@@ -629,6 +632,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
         "simhash": simhash,
         "dedup_components": dedup_components,
+        "dedup_components_lss": dedup_components_lss,
         "knn_bruteforce": knn_bruteforce,
         "embedding_neardup": embedding_neardup,
         "embedding_lsh_buckets": embedding_lsh_buckets,
@@ -943,6 +947,37 @@ def oracle_sql() -> dict[str, str]:
             FROM per_bit GROUP BY doc_id
         """,
         "dedup_components": """
+            WITH RECURSIVE
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, shingle FROM (
+                SELECT doc_id,
+                       unnest(list_transform(generate_series(1, len(ws) - 2),
+                              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                           AS shingle
+                FROM w WHERE len(ws) >= 3)),
+            freq AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= 100),
+            rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+                     JOIN freq USING (shingle)),
+            e AS (
+              SELECT a.doc_id AS a, b.doc_id AS b
+              FROM rare a JOIN rare b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+            SELECT d.doc_id,
+                   CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
+                       AS component
+            FROM documents d
+            LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+              ON m.src = d.doc_id
+        """,
+        "dedup_components_lss": """
             WITH RECURSIVE
             w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             sh AS (

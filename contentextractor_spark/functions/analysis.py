@@ -347,6 +347,80 @@ def dedup_components(
     return labels.select("doc_id", F.col("component").cast("long").alias("component"))
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in MapReduce
+    and Beyond'): every node's strictly-LARGER neighbors attach to the min
+    of its closed neighborhood.  Edges arrive/leave canonical (hi > lo)."""
+    sym = edges.select(
+        F.col("hi").alias("u"), F.col("lo").alias("v")
+    ).unionByName(edges.select(F.col("lo").alias("u"), F.col("hi").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("mn"))
+    m = F.least(F.col("mn"), F.col("u"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("hi"), m.alias("lo"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: every node's SMALLER neighbors (and itself) attach
+    to the min of the neighborhood.  Directed larger→smaller, so grouping
+    by hi sees exactly the smaller neighbors."""
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    d = edges.join(mins, "hi")
+    to_min = d.filter(F.col("lo") != F.col("m")).select(
+        F.col("lo").alias("hi"), F.col("m").alias("lo")
+    )
+    center = d.select("hi", F.col("m").alias("lo"))
+    return to_min.unionByName(center).distinct()
+
+
+def dedup_components_lss(
+    docs: DataFrame,
+    n: int = 3,
+    min_intersection: int = 2,
+    max_shingle_freq: int = 100,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate clusters via the ALTERNATING large-star/small-star
+    algorithm — the 10^12-node variant of dedup_components: O(log n) rounds
+    regardless of graph diameter (min-label propagation needs O(diameter)
+    rounds), and every round's shuffle is keyed on node id with per-node
+    output degree bounded by the star contraction.
+
+    Same output contract as dedup_components ((doc_id, component=min id in
+    component), same DuckDB transitive-closure oracle); chain-graph test
+    exercises the diameter >> rounds case."""
+    edges = jaccard_pairs(docs, n, min_intersection, max_shingle_freq).select(
+        F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")
+    ).distinct().localCheckpoint()
+    for _ in range(max_iter):
+        e1 = _large_star(edges).localCheckpoint()
+        e2 = _small_star(e1).localCheckpoint()
+        stable = (
+            e2.count() == edges.count()
+            and e2.exceptAll(edges).count() == 0
+        )
+        edges = e2
+        if stable:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_components_lss did not converge in {max_iter} rounds"
+        )
+    roots = edges.groupBy("hi").agg(F.min("lo").alias("component"))
+    return docs.select("doc_id").join(
+        roots, docs["doc_id"] == roots["hi"], "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id"))
+        .cast("long")
+        .alias("component"),
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
     """SimHash over distinct tokens: md5-derived bit planes, majority vote
     per bit, folded into a BIGINT.  Fully engine-portable: bit p of token t

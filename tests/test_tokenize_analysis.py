@@ -276,3 +276,26 @@ def test_neardup_lsh_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_lss_components_match_propagation_on_chain(spark):
+    """Large-star/small-star must equal min-label propagation — including on
+    a chain whose diameter exceeds the LSS round count (O(log n) rounds)."""
+    from contentextractor_spark.functions.analysis import (
+        dedup_components,
+        dedup_components_lss,
+    )
+
+    rows = [(i, f"b{i} l{i} w{i} b{i+1} l{i+1} w{i+1}") for i in range(10)]
+    rows += [(100 + i, f"x{i} y{i} z{i} q{i} r{i} s{i}") for i in range(4)]  # singletons
+    chain = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(
+        (r.doc_id, r.component)
+        for r in dedup_components(chain, min_intersection=1, max_iter=20).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.component)
+        for r in dedup_components_lss(chain, min_intersection=1).collect()
+    )
+    assert a == b
+    assert dict(b)[9] == 0  # whole chain collapsed to the min id
