@@ -442,6 +442,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_exact(spark, sf_dir):
         return A.dedup_exact(_docs(spark, sf_dir))
 
+    def chunk_docs(spark, sf_dir):
+        return A.chunk_documents(_docs(spark, sf_dir), chunk_tokens=64, overlap=8)
+
     def rolling_fingerprints(spark, sf_dir):
         return A.rolling_fingerprints(_docs(spark, sf_dir))
 
@@ -627,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_rarity": token_rarity,
         "rolling_fingerprints": rolling_fingerprints,
         "dedup_exact": dedup_exact,
+        "chunk_docs": chunk_docs,
         "minhash_signatures": minhash_signatures,
         "minhash_lsh_buckets": minhash_lsh_buckets,
         "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -883,6 +887,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN row_number() OVER (PARTITION BY md5(text)
                         ORDER BY doc_id) > 1 THEN 1 ELSE 0 END AS is_duplicate
             FROM documents
+        """,
+        "chunk_docs": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            st AS (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws), 56)) AS s
+                   FROM w)
+            SELECT doc_id,
+                   CAST(floor((s - 1) / 56.0) AS INT) AS chunk_idx,
+                   CAST(len(list_slice(ws, s, s + 63)) AS INT)
+                       AS n_chunk_tokens,
+                   array_to_string(list_slice(ws, s, s + 63), ' ')
+                       AS chunk_text
+            FROM st
         """,
         "minhash_signatures": f"""
             WITH {_SHINGLE_CTE}

@@ -128,6 +128,35 @@ def token_rarity(docs: DataFrame) -> DataFrame:
     )
 
 
+def chunk_documents(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 8
+) -> DataFrame:
+    """Training-data chunking: fixed-size token windows with overlap, the
+    standard pre-tokenization step before packing sequences.  Entirely
+    JVM-side (sequence → transform/slice → explode): one narrow stage, no
+    Python, no shuffle; chunk boundaries are deterministic functions of the
+    row, so the op is embarrassingly parallel at any scale."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(1), F.size(words), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.alias("chunk_idx"),
+            F.array_join(F.slice(words, s, chunk_tokens), " ").alias("chunk_text"),
+            F.size(F.slice(words, s, chunk_tokens)).alias("n_chunk_tokens"),
+        ),
+    )
+    return docs.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.col("c.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("c.chunk_text").alias("chunk_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
