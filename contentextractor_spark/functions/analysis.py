@@ -568,6 +568,7 @@ def ivf_topk(
     n_lists: int = 8,
     nprobe: int = 3,
     seed: int = 42,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF approximate nearest neighbors: KMeans coarse quantizer
     (pyspark.ml) partitions the corpus into n_lists inverted lists; each
@@ -593,9 +594,13 @@ def ivf_topk(
         F.col("embedding").cast("array<double>").alias("emb_d"),
         array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
     )
+    # at 10^12 rows the quantizer fits on a sample — list quality changes
+    # smoothly with fit_fraction, and full-probe exactness is UNAFFECTED
+    # (assignment still covers every vector)
+    fit_df = vecs if fit_fraction is None else vecs.sample(fit_fraction, seed=seed)
     model = KMeans(
         k=n_lists, seed=seed, featuresCol="features", predictionCol="list_id"
-    ).fit(vecs)
+    ).fit(fit_df)
     assigned = model.transform(vecs).select("vec_id", "emb_d", "list_id")
 
     spark = emb.sparkSession

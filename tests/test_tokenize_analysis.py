@@ -299,3 +299,22 @@ def test_lss_components_match_propagation_on_chain(spark):
     )
     assert a == b
     assert dict(b)[9] == 0  # whole chain collapsed to the min id
+
+
+def test_ivf_sampled_fit_full_probe_still_exact(spark):
+    """Fitting the quantizer on a sample (the 10^12-scale path) must not
+    break full-probe exactness — every vector is still assigned and every
+    list probed."""
+    from contentextractor_spark.functions.analysis import ivf_topk, knn_bruteforce
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = sorted(
+        tuple(r) for r in knn_bruteforce(emb, n_queries=5, k=3).collect()
+    )
+    sampled = sorted(
+        tuple(r)
+        for r in ivf_topk(
+            emb, n_queries=5, k=3, n_lists=4, nprobe=4, fit_fraction=0.3
+        ).collect()
+    )
+    assert exact == sampled
