@@ -555,6 +555,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rd("lineitem"), rd("orders"), rd("customer"), rd("nation"), rd("region")
         )
 
+    def tpch_promo_share(spark, sf_dir):
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        pt = spark.read.parquet(os.path.join(sf_dir, "part.parquet"))
+        return R.promo_revenue_share(li, pt)
+
+    def tpch_shipping_priority(spark, sf_dir):
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.shipping_priority(rd("lineitem"), rd("orders"), rd("customer"), k=10)
+
     def media_features(spark, sf_dir):
         from contentextractor_spark.operators.multimodal import media_features as mf
 
@@ -653,6 +662,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_pricing_summary": tpch_pricing_summary,
         "tpch_top_suppliers": tpch_top_suppliers,
         "tpch_region_revenue": tpch_region_revenue,
+        "tpch_promo_share": tpch_promo_share,
+        "tpch_shipping_priority": tpch_shipping_priority,
         "media_features": media_features,
         "media_resize_plan": media_resize_plan,
         "doc_length_quantiles": doc_length_quantiles,
@@ -1231,6 +1242,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        "tpch_promo_share": """
+            SELECT p_brand,
+                   CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                        AS BIGINT)) AS BIGINT) AS total_revenue_c,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "tpch_shipping_priority": """
+            SELECT l_orderkey, revenue_c, o_orderdate, o_orderpriority,
+                   CAST(rank AS INT) AS rank
+            FROM (
+              SELECT l_orderkey, revenue_c, o_orderdate, o_orderpriority,
+                     row_number() OVER (ORDER BY revenue_c DESC,
+                                        l_orderkey ASC) AS rank
+              FROM (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                            * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+                FROM lineitem GROUP BY l_orderkey) rv
+              JOIN orders ON l_orderkey = o_orderkey)
+            WHERE rank <= 10
         """,
         "media_features": """
             SELECT CAST(doc_id AS VARCHAR) AS media_id,

@@ -85,3 +85,50 @@ def region_revenue(
             F.count(F.lit(1)).alias("n_lineitems"),
         )
     )
+
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q14-shaped: promo vs total discounted revenue per part brand.
+    Integer-cent numerator and denominator instead of the ratio — exact
+    cross-engine; the part dimension broadcasts."""
+    disc_c = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type").startswith("PROMO"), disc_c).otherwise(
+        F.lit(0).cast("long")
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+            lineitem.l_partkey == F.col("p_partkey"),
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.sum(promo).alias("promo_revenue_c"),
+            F.sum(disc_c).alias("total_revenue_c"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
+def shipping_priority(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H Q3-shaped: top-k orders by revenue with priority context.
+    Orders/customer broadcast; the fact table shuffles once for the
+    per-order aggregation."""
+    rev = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            .alias("revenue_c")
+        )
+    )
+    joined = rev.join(
+        F.broadcast(orders.select("o_orderkey", "o_orderdate", "o_orderpriority")),
+        rev.l_orderkey == F.col("o_orderkey"),
+    )
+    w = Window.orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+    return (
+        joined.select("l_orderkey", "revenue_c", "o_orderdate", "o_orderpriority")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
