@@ -562,7 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def tpch_shipping_priority(spark, sf_dir):
         rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
-        return R.shipping_priority(rd("lineitem"), rd("orders"), rd("customer"), k=10)
+        return R.shipping_priority(rd("lineitem"), rd("orders"), k=10)
 
     def media_features(spark, sf_dir):
         from contentextractor_spark.operators.multimodal import media_features as mf

@@ -110,7 +110,7 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
 
 
 def shipping_priority(
-    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
+    lineitem: DataFrame, orders: DataFrame, k: int = 10
 ) -> DataFrame:
     """TPC-H Q3-shaped: top-k orders by revenue with priority context.
     Orders/customer broadcast; the fact table shuffles once for the
