@@ -1050,7 +1050,8 @@ def oracle_sql() -> dict[str, str]:
             ranked AS (
               SELECT query_id, neighbor_id,
                      row_number() OVER (PARTITION BY query_id
-                         ORDER BY cos DESC, neighbor_id ASC) AS rank, cos
+                         ORDER BY round(cos, 4) DESC, neighbor_id ASC)
+                         AS rank, cos
               FROM scored)
             SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
                    round(cos, 4) AS cos_sim

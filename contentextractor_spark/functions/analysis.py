@@ -531,8 +531,12 @@ def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
             _cosine(F.col("qe"), F.col("ce")).alias("cos"),
         )
     )
+    # rank on the ROUNDED cosine (the value the oracle hashes): two engines
+    # can disagree on the last ulp of a near-tie pair, which would swap
+    # ranks while both round to the same 4dp — id tiebreak keeps the
+    # ordering deterministic and cross-engine identical (ADVICE r1)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
+        F.round("cos", 4).desc(), F.col("neighbor_id").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -640,8 +644,12 @@ def ivf_topk(
             _cosine(F.col("qe"), F.col("emb_d")).alias("cos"),
         )
     )
+    # rank on the ROUNDED cosine (the value the oracle hashes): two engines
+    # can disagree on the last ulp of a near-tie pair, which would swap
+    # ranks while both round to the same 4dp — id tiebreak keeps the
+    # ordering deterministic and cross-engine identical (ADVICE r1)
     w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
+        F.round("cos", 4).desc(), F.col("neighbor_id").asc()
     )
     return (
         cand.withColumn("rank", F.row_number().over(w))
