@@ -1109,7 +1109,7 @@ def oracle_sql() -> dict[str, str]:
               FROM cand
               JOIN embeddings ea ON ea.vec_id = id_a
               JOIN embeddings eb ON eb.vec_id = id_b)
-            WHERE cos >= 0.35
+            WHERE round(cos, 4) >= 0.35
         """,
         "embedding_neardup": """
             SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM (
@@ -1117,7 +1117,7 @@ def oracle_sql() -> dict[str, str]:
                      list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                             CAST(b.embedding AS DOUBLE[])) AS cos
               FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
-            WHERE cos >= 0.35
+            WHERE round(cos, 4) >= 0.35
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -560,7 +560,9 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8) -> DataFrame
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", _cosine(F.col("ea"), F.col("eb")).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+        # threshold on the ROUNDED value the oracle hashes: a boundary pair
+        # differing in the last ulp across engines must not flip inclusion
+        .filter(F.round("cos", 4) >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
     )
 
@@ -795,6 +797,6 @@ def embedding_neardup_lsh(
         pairs.join(ea, "id_a")
         .join(eb, "id_b")
         .select("id_a", "id_b", (dot / (F.col("na") * F.col("nb"))).alias("cos"))
-        .filter(F.col("cos") >= threshold)
+        .filter(F.round("cos", 4) >= threshold)  # boundary-safe (see above)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
     )
