@@ -88,3 +88,33 @@ def print_digest():  # helper for intentional regeneration
     pages = generate_pages(30, seed=42)
     folds = [extract_document(bytes(h)).keyword_list for h in pages["html"]]
     print(hashlib.sha256("\x00".join(folds).encode()).hexdigest())
+
+
+def test_analyzer_surface_concatenation_property():
+    """Property: analyze() surfaces, concatenated, equal the input with
+    non-token chars removed — no character is lost, duplicated, or
+    reordered by segmentation (hypothesis over the fixture alphabet)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    alphabet = (
+        "abz09_ 　、。！"
+        "日本語記事内容文化技術経済のはをにです高く新しいテキスト"
+        "あいうかきートピックス"
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=80))
+    def check(text):
+        import re
+
+        from contentextractor_spark.functions.lexicon import (
+            _ANY_TOKEN_RE,
+            analyze,
+        )
+
+        token_chars = "".join(_ANY_TOKEN_RE.findall(text))
+        surfaces = "".join(s for s, _, _ in analyze(text))
+        assert surfaces == token_chars
+
+    check()
