@@ -427,6 +427,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def token_counts(spark, sf_dir):
         return A.token_counts(_docs(spark, sf_dir))
 
+    def token_counts_bpe(spark, sf_dir):
+        return A.token_counts_bpe(_docs(spark, sf_dir))
+
     def lang_id(spark, sf_dir):
         return A.lang_id(_docs(spark, sf_dir))
 
@@ -633,6 +636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docs_per_lang": docs_per_lang,
         "doc_length_stats": doc_length_stats,
         "token_counts": token_counts,
+        "token_counts_bpe": token_counts_bpe,
         "lang_id": lang_id,
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -838,6 +842,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
                    CAST(len(list_distinct(string_split(text, ' '))) AS INT)
                        AS n_distinct_tokens
+            FROM documents
+        """,
+        "token_counts_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS INT)
+                       AS n_bpe_tokens,
+                   CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens
             FROM documents
         """,
         "lang_id": """

@@ -38,6 +38,25 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer approximation, lookahead-free so the identical
+# pattern runs under Java regex (Spark) and RE2 (DuckDB): letter runs,
+# single digits (numbers split per digit, as byte-BPE pre-tokenizers do),
+# and single non-alphanumeric marks.
+BPE_ISH_PATTERN = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+
+
+def token_counts_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: the subword-budget estimator for context
+    packing (whitespace counts underestimate; this approximates a byte-BPE
+    pre-tokenizer's segment count).  One regexp_count per row — narrow,
+    JVM-side."""
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
+        F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """n-gram/char-class language heuristic: CJK char count vs Latin."""
     cjk = F.length(F.regexp_replace("text", "[^一-鿿぀-ゟ゠-ヿ]", ""))
