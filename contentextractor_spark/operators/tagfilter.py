@@ -92,19 +92,6 @@ def _strip_f1(s: str) -> str:
     return _F1_STRIP_RE.sub("", s)
 
 
-def _mark_has_a(body: Element) -> set[int]:
-    """One pass computing {id(el)} for elements with an <a> strict
-    descendant — replaces per-element :has(a) subtree scans (O(n²) → O(n·h))."""
-    marked: set[int] = set()
-    for el in body.iter_elements():
-        if el.tag == "a":
-            p = el.parent
-            while p is not None and id(p) not in marked:
-                marked.add(id(p))
-                p = p.parent
-    return marked
-
-
 def _subtree_stats(node: Element) -> tuple[int, list[Element], int, int]:
     """Single DFS: (descendant element count, a-descendants in preorder,
     br count, span count) — replaces four selects per F1 candidate."""
@@ -128,14 +115,22 @@ def _subtree_stats(node: Element) -> tuple[int, list[Element], int, int]:
 
 def remove_link_blocks(body: Element) -> None:
     """F1 (ContentExtractor.java:275-299): link-density block removal.
-    Candidate discovery and per-node counts are fused single-pass
-    traversals; the arithmetic is verbatim reference semantics."""
-    marked = _mark_has_a(body)
-    link_blocks = [
-        el
-        for el in body.iter_elements()
-        if el.tag in ("div", "span", "ul") and id(el) in marked
-    ]
+    Candidate discovery and the :has(a) marking share ONE preorder pass
+    (an <a> is visited after its ancestors, so every candidate is already
+    collected when its subtree marks it); per-node counts are a fused
+    single-pass traversal; the arithmetic is verbatim reference semantics."""
+    marked: set[int] = set()
+    candidates: list[Element] = []
+    for el in body.iter_elements():
+        t = el.tag
+        if t == "a":
+            p = el.parent
+            while p is not None and id(p) not in marked:
+                marked.add(id(p))
+                p = p.parent
+        elif t in ("div", "span", "ul"):
+            candidates.append(el)
+    link_blocks = [el for el in candidates if id(el) in marked]
     for node in link_blocks:
         n_desc, e_a, br_node_num, span_node_num = _subtree_stats(node)
         child_of_a = 0
@@ -198,27 +193,26 @@ def remove_attr_and_tag_filtered(body: Element) -> None:
     which the single-list dedup reproduces.  (F7 is NOT fused: its
     :matches() reads subtree text, which F6 removals can change.)
     """
+    # ONE collection pass: the F3/F4/F5 attribute predicates and the F6 tag
+    # blacklist are all intrinsic, so the union set removed in document
+    # order detaches exactly the nodes the reference's sequential selects
+    # detach (a node matching several predicates is collected once)
     to_remove: list[Element] = []
     for el in body.iter_elements():
         attrs = el.attrs
-        if not attrs:
-            continue
-        v = attrs.get("id")
-        if v is not None and _ID_RE.search(v):
-            to_remove.append(el)
-            continue
-        v = attrs.get("class")
-        if v is not None and _CLASS_RE.search(v):
-            to_remove.append(el)
-            continue
-        v = attrs.get("style")
-        if v is not None and _STYLE_HIDDEN_RE.search(v):
-            to_remove.append(el)
-    for el in to_remove:
-        el.remove()
-
-    to_remove = []
-    for el in body.iter_elements():
+        if attrs:
+            v = attrs.get("id")
+            if v is not None and _ID_RE.search(v):
+                to_remove.append(el)
+                continue
+            v = attrs.get("class")
+            if v is not None and _CLASS_RE.search(v):
+                to_remove.append(el)
+                continue
+            v = attrs.get("style")
+            if v is not None and _STYLE_HIDDEN_RE.search(v):
+                to_remove.append(el)
+                continue
         if el.tag in _BLACKLIST_TAGS or (
             el.tag == "span" and "data-tipso" in el.attrs
         ):
