@@ -164,6 +164,22 @@ _ISO2022_PRE = (
 ).encode("ascii")
 _ISO2022_POST = (_JP_SUFFIX + "</p></div></body></html>").encode("iso2022_jp")
 
+# the GAUNTLET: every trap at once — Shift_JIS bytes + meta override +
+# topic block + inline F1-F8 junk + a 5-<br> run + entities + JP suffix.
+# main_text = first_word \n ltrim(rest) + entities + suffix iff D1/D2,
+# F1-F8, T3/T4 and T8 all work together on one page.
+_GAUNTLET_PRE = (
+    '<html><head><meta http-equiv="Content-Type" '
+    'content="text/html; charset=Shift_JIS"></head><body>'
+    + _TOPIC_BLOCK
+    + "<div><p>"
+    + _INLINE_JUNK
+).encode("shift_jis")
+_GAUNTLET_BR = "<br><br>　 <br/><br ><br>".encode("shift_jis")
+_GAUNTLET_POST = (
+    _ENT_HTML + _JP_SUFFIX + "</p></div></body></html>"
+).encode("shift_jis")
+
 
 # ---------------------------------------------------------------------------
 # queries
@@ -352,6 +368,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("pos").alias("line_idx"),
             F.col("col").cast("long").alias("density"),
         )
+
+    def extract_gauntlet(spark, sf_dir):
+        docs = _eligible(_docs(spark, sf_dir)).filter(F.col("text").rlike(_ASCII_RE))
+        head = F.expr("substring(text, 1, instr(text, ' ') - 1)")
+        tail = F.expr("substring(text, instr(text, ' ') + 1)")
+        kept_len = lambda c: F.length(F.regexp_replace(c, _KEEP_NEG, ""))
+        docs = docs.filter(
+            (F.instr(F.col("text"), " ") >= 2)
+            & (kept_len(head) >= 1)
+            & (kept_len(tail) >= 1)
+        )
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.concat(
+                F.lit(bytearray(_GAUNTLET_PRE)),
+                F.encode(head, "US-ASCII"),
+                F.lit(bytearray(_GAUNTLET_BR)),
+                F.encode(tail, "US-ASCII"),
+                F.lit(bytearray(_GAUNTLET_POST)),
+            ).alias("html"),
+        )
+        out = extract_pages(pages, num_buckets=8)
+        return out.select(F.col("url").cast("long").alias("doc_id"), "main_text")
 
     def curation_pipeline(spark, sf_dir):
         # the composed consumer flow: extract → exact-dedup on extracted
@@ -629,6 +668,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_sjis_detect": extract_sjis_detect,
         "extract_iso2022jp": extract_iso2022jp,
         "extract_utf16_roundtrip": extract_utf16_roundtrip,
+        "extract_gauntlet": extract_gauntlet,
         "curation_pipeline": curation_pipeline,
         "extract_flagship": extract_flagship,
         "extract_spans": extract_spans,
@@ -801,6 +841,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, trim(text || '{_JP_SUFFIX}') AS main_text
             FROM documents
             WHERE {_ELIGIBLE_SQL}
+        """,
+        "extract_gauntlet": f"""
+            SELECT doc_id,
+                   substr(text, 1, instr(text, ' ') - 1) || chr(10)
+                     || ltrim(substr(text, instr(text, ' ') + 1))
+                     || '{_ENT_TEXT}' || '{_JP_SUFFIX}' AS main_text
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
+              AND regexp_matches(text, '{_ASCII_RE}')
+              AND instr(text, ' ') >= 2
+              AND length(regexp_replace(substr(text, 1, instr(text, ' ') - 1),
+                    '{_KEEP_NEG}', '', 'g')) >= 1
+              AND length(regexp_replace(substr(text, instr(text, ' ') + 1),
+                    '{_KEEP_NEG}', '', 'g')) >= 1
         """,
         "curation_pipeline": f"""
             WITH extracted AS (
