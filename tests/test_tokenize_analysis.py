@@ -318,3 +318,38 @@ def test_ivf_sampled_fit_full_probe_still_exact(spark):
         ).collect()
     )
     assert exact == sampled
+
+
+def test_chunk_documents_edges(spark):
+    from contentextractor_spark.functions.analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"w{i}" for i in range(130)))],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, chunk_tokens=64, overlap=8).collect()
+    short = [r for r in out if r.doc_id == 1]
+    assert len(short) == 1 and short[0].n_chunk_tokens == 3
+    long = sorted((r.chunk_idx, r.n_chunk_tokens) for r in out if r.doc_id == 2)
+    # starts at 1, 57, 113 → lengths 64, 64, 18; consecutive chunks overlap by 8
+    assert long == [(0, 64), (1, 64), (2, 18)]
+    rows = {r.chunk_idx: r.chunk_text.split(" ") for r in out if r.doc_id == 2}
+    assert rows[0][-8:] == rows[1][:8]
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        chunk_documents(docs, chunk_tokens=8, overlap=8)
+
+
+def test_resize_plan_edges(spark):
+    from contentextractor_spark.operators.multimodal import resize_plan
+
+    media = spark.createDataFrame(
+        [("a", 64, 64), ("b", 1084, 64), ("c", 64, 1084)],
+        ["media_id", "width", "height"],
+    )
+    out = {r.media_id: r for r in resize_plan(media, max_side=256).collect()}
+    assert (out["a"].dst_w, out["a"].dst_h, out["a"].scale) == (64, 64, 1.0)  # no upscale
+    assert out["b"].dst_w == 256 and 1 <= out["b"].dst_h <= 64
+    assert out["c"].dst_h == 256 and 1 <= out["c"].dst_w <= 64
