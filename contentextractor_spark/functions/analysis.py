@@ -232,7 +232,16 @@ def minhash_signatures(docs: DataFrame, k: int = 4, n: int = 3) -> DataFrame:
     """MinHash: k independent permutations simulated by md5(seed:shingle);
     the signature element is the lexicographic min (md5 is uniform, so min
     over the hex string is a valid minwise hash — and it is reproducible in
-    any engine with md5, unlike xxhash64)."""
+    any engine with md5, unlike xxhash64).
+
+    Plan note (measured BOTH ways, round 2): a "no-shuffle" formulation via
+    array_min(transform(arr, md5(...))) looks narrow but is ~5× SLOWER —
+    Spark evaluates higher-order functions interpreted, per element, while
+    the explode + groupBy(min) path runs md5 inside whole-stage codegen
+    with map-side partial aggregation (shuffle rows are docs × k minima,
+    not docs × shingles).  Beware count()-based timing: column pruning
+    skips the hash computation entirely and makes the narrow form look
+    fast."""
     sh = shingles(docs, n=n)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
@@ -245,21 +254,24 @@ def minhash_lsh_buckets(docs: DataFrame, k: int = 4, n: int = 3) -> DataFrame:
     """LSH banding (band size 2): docs sharing a band bucket are near-dup
     candidates.  Emits candidate buckets with >1 member.  Scale: the
     band-bucket groupBy shuffles on the banded hash — high cardinality."""
+    # one projection over the aggregate (a barrier Catalyst cannot inline
+    # band expressions through), instead of a union of per-band selects
+    # that plans the signature aggregation once per band
     sig = minhash_signatures(docs, k=k, n=n)
-    bands = []
-    for b in range(k // 2):
-        bands.append(
-            sig.select(
-                "doc_id",
+    band_structs = F.array(
+        *[
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(
                     "bucket"
                 ),
             )
-        )
-    all_bands = bands[0]
-    for extra in bands[1:]:
-        all_bands = all_bands.unionByName(extra)
+            for b in range(k // 2)
+        ]
+    )
+    all_bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
     return (
         all_bands.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
