@@ -99,30 +99,36 @@ def main() -> None:
             ).alias("html"),
         )
 
+    def force(df):
+        """Full evaluation: .count() lets Catalyst prune columns and skip
+        the very expressions being benchmarked (narrow projections would
+        time the bare scan); the noop sink materializes every column."""
+        df.write.format("noop").mode("overwrite").save()
+
     bench_queries = {
-        "extract_pages": lambda: extract_pages(pages, num_buckets=NUM_BUCKETS).count(),
-        "extract_roundtrip": lambda: extract_pages(
-            docs_as_pages(), num_buckets=NUM_BUCKETS
-        ).count(),
-        "dedup_exact": lambda: A.dedup_exact(docs).count(),
-        "minhash_signatures": lambda: A.minhash_signatures(docs, k=4, n=3).count(),
-        "ngram_jaccard_pairs": lambda: A.jaccard_pairs(docs).count(),
-        "simhash": lambda: A.simhash(docs, bits=48).count(),
-        "knn_bruteforce": lambda: A.knn_bruteforce(emb, n_queries=10, k=5).count(),
-        "embedding_neardup_lsh": lambda: A.embedding_neardup_lsh(
-            emb, threshold=0.35, n_bands=6, band_bits=3
-        ).count(),
-        "token_counts": lambda: A.token_counts(docs).count(),
-        "rolling_fingerprints": lambda: A.rolling_fingerprints(docs).count(),
-        "lang_id": lambda: A.lang_id(docs).count(),
-        "quality_scores": lambda: A.quality_scores(docs).count(),
-        "tpch_region_revenue": lambda: R.region_revenue(
+        "extract_pages": lambda: force(extract_pages(pages, num_buckets=NUM_BUCKETS)),
+        "extract_roundtrip": lambda: force(
+            extract_pages(docs_as_pages(), num_buckets=NUM_BUCKETS)
+        ),
+        "dedup_exact": lambda: force(A.dedup_exact(docs)),
+        "minhash_signatures": lambda: force(A.minhash_signatures(docs, k=4, n=3)),
+        "ngram_jaccard_pairs": lambda: force(A.jaccard_pairs(docs)),
+        "simhash": lambda: force(A.simhash(docs, bits=48)),
+        "knn_bruteforce": lambda: force(A.knn_bruteforce(emb, n_queries=10, k=5)),
+        "embedding_neardup_lsh": lambda: force(
+            A.embedding_neardup_lsh(emb, threshold=0.35, n_bands=6, band_bits=3)
+        ),
+        "token_counts": lambda: force(A.token_counts(docs)),
+        "rolling_fingerprints": lambda: force(A.rolling_fingerprints(docs)),
+        "lang_id": lambda: force(A.lang_id(docs)),
+        "quality_scores": lambda: force(A.quality_scores(docs)),
+        "tpch_region_revenue": lambda: force(R.region_revenue(
             *(spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet"))
               for t in ("lineitem", "orders", "customer", "nation", "region"))
-        ).count(),
-        "events_sessionize": lambda: E.sessionize(
+        )),
+        "events_sessionize": lambda: force(E.sessionize(
             spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
-        ).count(),
+        )),
     }
 
     times: dict[str, float] = {}

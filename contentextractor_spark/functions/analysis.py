@@ -486,41 +486,37 @@ def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
     per bit, folded into a BIGINT.  Fully engine-portable: bit p of token t
     is (hexval(md5(t)[p/4]) >> (p%4)) & 1.
 
-    Scale analysis (measured, round 2 — VERDICT r1 suggested un-exploding
-    the bit planes): the explode(sequence(0,47)) looks like a 48× row blowup
-    but NEVER reaches the shuffle — groupBy(doc_id, p) partially aggregates
-    below the Exchange (plan-verified), so shuffle rows are docs × 48 in
-    BOTH formulations.  The explode only streams through the map side,
-    where one tight single-aggregate codegen loop beats 48 wide aggregate
-    buffers 3× (0.56s vs 1.7-2.6s steady-state at sf0.1 local[32]; a
-    conv()+shift/mask 48-agg variant and a floor(double-div) variant both
-    lost).  Keep the explode; see CLAUDE.md anti-lessons."""
+    Scale analysis (measured honestly in round 2 with a noop sink —
+    .count()-based timing had been pruning the aggregate expressions and
+    flipping the comparison): the un-exploded form wins 2.5× (1.9-2.1s vs
+    4.7s full-eval at sf0.1 local[32]).  One conv() parses all 12 hex
+    digits of md5(token) into a long per token row; the 48 per-bit majority
+    votes are integer shift+mask SUM aggregates over one groupBy(doc_id)
+    (map-side combinable), so neither the map side nor the shuffle ever
+    sees a docs × tokens × bits row stream."""
     words = F.array_distinct(F.split(F.col("text"), " "))
     tok = docs.select("doc_id", F.explode(words).alias("tok"))
-    h = F.md5(F.col("tok"))
-    p = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("p")
-    tok_bits = tok.select("doc_id", h.alias("h"), p)
-    # (hexval(h[p/4]) >> (p%4)) & 1, written with pow-arithmetic so the
-    # identical formula runs in any SQL engine (variable shift amounts
-    # aren't portable); instr/substring with column args via expr.
-    tok_bits = tok_bits.withColumn(
-        "bit",
-        F.expr(
-            f"cast(floor((instr('{HEX_DIGITS}', "
-            "substring(h, cast(floor(p / 4) as int) + 1, 1)) - 1) "
-            "/ power(2.0, p % 4)) as bigint) % 2"
-        ),
-    )
-    per_bit = tok_bits.groupBy("doc_id", "p").agg(
-        F.sum(F.col("bit") * 2 - 1).alias("s")
-    )
-    return per_bit.groupBy("doc_id").agg(
+    n_digits = bits // 4
+    packed = F.conv(F.substring(F.md5("tok"), 1, n_digits), 16, 10).cast("long")
+    tok = tok.select("doc_id", packed.alias("b"))
+    # conv() puts hex digit d at bits [4*(n_digits-1-d), +3]; the simhash
+    # bit p lives in digit p//4 at in-digit weight p%4
+    aggs = [
         F.sum(
-            F.when(
-                F.col("s") > 0, F.pow(F.lit(2.0), F.col("p")).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.shiftright(
+                F.col("b"), 4 * (n_digits - 1 - p // 4) + p % 4
+            ).bitwiseAND(F.lit(1))
+        ).alias(f"c{p}")
+        for p in range(bits)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*aggs, F.count(F.lit(1)).alias("n_tok"))
+    # majority vote: sum(±1) > 0  ⟺  2·(ones count) > token count
+    sim = F.lit(0).cast("long")
+    for p in range(bits):
+        sim = sim + F.when(
+            F.col(f"c{p}") * 2 > F.col("n_tok"), F.lit(1 << p).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return per_doc.select("doc_id", sim.alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
