@@ -204,28 +204,21 @@ def _gram_array(n: int):
     )
 
 
-def shingle_set_sizes(docs: DataFrame, n: int = 3) -> DataFrame:
-    """|distinct shingles| per doc as a NARROW projection — no explode, no
-    shuffle (the whole per-doc set statistic is computable in place)."""
+def shingles(docs: DataFrame, n: int = 3, dedup: bool = True) -> DataFrame:
+    """Word n-gram shingles; dedup=True gives DISTINCT (doc_id, shingle).
+
+    Honest-measurement note (round 2, noop sink): deduping with
+    array_distinct BEFORE the explode looks shuffle-free but loses ~2× —
+    Spark evaluates higher-order functions interpreted per element and
+    array_distinct is quadratic on string arrays, while the post-explode
+    .distinct() shuffle dedups in codegen'd hash aggregation.  Consumers
+    whose aggregate is duplicate-insensitive (MinHash: min over a multiset
+    equals min over the set) pass dedup=False and skip the cost entirely."""
     words = F.split(F.col("text"), " ")
-    return docs.filter(F.size(words) >= n).select(
-        "doc_id", F.size(F.array_distinct(_gram_array(n))).alias("sz")
+    sh = docs.filter(F.size(words) >= n).select(
+        "doc_id", F.explode(_gram_array(n)).alias("shingle")
     )
-
-
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Word n-gram shingles, DISTINCT per (doc_id, shingle).
-
-    The dedup is per-document, so it happens BEFORE the explode with
-    array_distinct — a narrow per-row op.  A post-explode `.distinct()`
-    would shuffle the entire exploded shingle stream (corpus × shingles
-    rows) just to remove within-doc repeats; at 100 TB that shuffle is the
-    single largest data movement in the dedup family, and it's free to
-    skip."""
-    words = F.split(F.col("text"), " ")
-    return docs.filter(F.size(words) >= n).select(
-        "doc_id", F.explode(F.array_distinct(_gram_array(n))).alias("shingle")
-    )
+    return sh.distinct() if dedup else sh
 
 
 def minhash_signatures(docs: DataFrame, k: int = 4, n: int = 3) -> DataFrame:
@@ -234,15 +227,14 @@ def minhash_signatures(docs: DataFrame, k: int = 4, n: int = 3) -> DataFrame:
     over the hex string is a valid minwise hash — and it is reproducible in
     any engine with md5, unlike xxhash64).
 
-    Plan note (measured BOTH ways, round 2): a "no-shuffle" formulation via
-    array_min(transform(arr, md5(...))) looks narrow but is ~5× SLOWER —
-    Spark evaluates higher-order functions interpreted, per element, while
-    the explode + groupBy(min) path runs md5 inside whole-stage codegen
-    with map-side partial aggregation (shuffle rows are docs × k minima,
-    not docs × shingles).  Beware count()-based timing: column pruning
-    skips the hash computation entirely and makes the narrow form look
-    fast."""
-    sh = shingles(docs, n=n)
+    Plan notes (measured with full evaluation, round 2):
+     - min over a multiset equals min over the set, so the shingle stream
+       is NOT deduplicated here — no distinct shuffle at all; map-side
+       combine reduces the stream to docs × k minima before the exchange;
+     - an array_min(transform(md5)) "no-shuffle" formulation is ~5× slower
+       (higher-order functions evaluate interpreted per element; the
+       explode + groupBy(min) runs md5 inside whole-stage codegen)."""
+    sh = shingles(docs, n=n, dedup=False)
     aggs = [
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh{i}")
         for i in range(k)
@@ -284,7 +276,7 @@ def jaccard_pairs(
     n: int = 3,
     min_intersection: int = 2,
     max_shingle_freq: int = 100,
-    persist_shingles: bool = False,
+    persist_shingles: bool = True,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shingle self-join.
 
@@ -294,12 +286,11 @@ def jaccard_pairs(
     can't quadratically blow up on a common phrase at 100 TB.
 
     persist_shingles: the shingle set feeds three branches (freq, candidate
-    join, sizes).  Measured at sf0.1 (5k docs), persisting costs MORE than
-    recomputing the cheap explode (12.0s vs 8.6s) — so the default is off.
-    The choice flips with scale: at ~100× the corpus, re-exploding the
-    corpus three times dominates and the MEMORY_AND_DISK cache wins; pass
-    True there (parameterized per VERDICT r1 #5 rather than hard-coding the
-    sf0.1 winner).
+    join, sizes).  Measured with FULL evaluation (noop sink — the earlier
+    count()-based numbers that favored recomputation were hollow), the
+    MEMORY_AND_DISK cache wins already at sf0.1 (5.2-6.1s vs 5.8-8.3s) and
+    wins harder at scale, so the default is now ON; pass False to trade
+    memory for recomputation on small inputs.
     """
     sh = shingles(docs, n=n)
     if persist_shingles:
@@ -310,9 +301,7 @@ def jaccard_pairs(
     rare = sh.join(
         freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
     )
-    # |shingle set| per doc is a narrow per-row statistic — computing it
-    # from `sh` would re-explode the corpus a third time just to count
-    sizes = shingle_set_sizes(docs, n=n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = rare.alias("a")
     b = rare.alias("b")
     inter = (
