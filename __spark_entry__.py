@@ -369,6 +369,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("col").cast("long").alias("density"),
         )
 
+    def extract_title_meta(spark, sf_dir):
+        # P1-P3 value-check through the full pipeline: title / description /
+        # keywords built from the doc's first word, recovered byte-exact
+        docs = _eligible(_docs(spark, sf_dir)).filter(
+            F.col("text").rlike("^[A-Za-z0-9_ ]*$") & (F.instr("text", " ") >= 2)
+        )
+        head = F.expr("substring(text, 1, instr(text, ' ') - 1)")
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><head><title>"),
+                    head,
+                    F.lit('</title><meta name="description" content="about '),
+                    head,
+                    F.lit('"><meta name="keywords" content="k1,k2,k3">'),
+                    F.lit("</head><body><div><p>"),
+                    F.col("text"),
+                    F.lit("</p></div></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        out = extract_pages(pages, num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            "title", "description", "keywords", "main_text",
+        )
+
+    def extract_debug_blocks(spark, sf_dir):
+        # S6 blocks side-channel + T12 segmentation value-check: the trivial
+        # page yields exactly one block (1,2) with max=d and sum=kept_len
+        from contentextractor_spark.plans.pipeline import extract_debug_channels
+
+        pages = _docs_as_pages(_docs(spark, sf_dir))
+        out = extract_debug_channels(pages)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.explode("blocks").alias("b"),
+            "threshold",
+        ).select(
+            "doc_id",
+            F.col("b.start_line").alias("start_line"),
+            F.col("b.end_line").alias("end_line"),
+            F.col("b.block_max").alias("block_max"),
+            F.col("b.block_sum").alias("block_sum"),
+            "threshold",
+        )
+
     def extract_gauntlet(spark, sf_dir):
         docs = _eligible(_docs(spark, sf_dir)).filter(F.col("text").rlike(_ASCII_RE))
         head = F.expr("substring(text, 1, instr(text, ' ') - 1)")
@@ -668,6 +717,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_sjis_detect": extract_sjis_detect,
         "extract_iso2022jp": extract_iso2022jp,
         "extract_utf16_roundtrip": extract_utf16_roundtrip,
+        "extract_title_meta": extract_title_meta,
+        "extract_debug_blocks": extract_debug_blocks,
         "extract_gauntlet": extract_gauntlet,
         "curation_pipeline": curation_pipeline,
         "extract_flagship": extract_flagship,
@@ -841,6 +892,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, trim(text || '{_JP_SUFFIX}') AS main_text
             FROM documents
             WHERE {_ELIGIBLE_SQL}
+        """,
+        "extract_title_meta": f"""
+            SELECT doc_id,
+                   substr(text, 1, instr(text, ' ') - 1) AS title,
+                   'about ' || substr(text, 1, instr(text, ' ') - 1)
+                       AS description,
+                   'k1,k2,k3' AS keywords,
+                   trim(text) AS main_text
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
+              AND regexp_matches(text, '^[A-Za-z0-9_ ]*$')
+              AND instr(text, ' ') >= 2
+        """,
+        "extract_debug_blocks": f"""
+            SELECT doc_id,
+                   CAST(1 AS INT) AS start_line, CAST(2 AS INT) AS end_line,
+                   CAST(floor(kept / 4.0 + 0.5) AS INT) AS block_max,
+                   CAST(kept AS INT) AS block_sum,
+                   CAST(greatest(5, floor(kept / 4.0 + 0.5)) AS INT)
+                       AS threshold
+            FROM (
+              SELECT doc_id,
+                     length(regexp_replace(text,
+                       '[^a-zA-Z0-9_０-９Ａ-Ｚａ-ｚ一-鿿぀-ゟ゠-ヿ]', '', 'g'))
+                       AS kept
+              FROM documents
+              WHERE {_ELIGIBLE_SQL})
         """,
         "extract_gauntlet": f"""
             SELECT doc_id,
