@@ -242,10 +242,20 @@ def minhash_signatures(docs: DataFrame, k: int = 4, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_buckets(docs: DataFrame, k: int = 4, n: int = 3) -> DataFrame:
+def minhash_lsh_buckets(
+    docs: DataFrame, k: int = 4, n: int = 3, max_bucket_size: int | None = None
+) -> DataFrame:
     """LSH banding (band size 2): docs sharing a band bucket are near-dup
     candidates.  Emits candidate buckets with >1 member.  Scale: the
-    band-bucket groupBy shuffles on the banded hash — high cardinality."""
+    band-bucket groupBy shuffles on the banded hash — high cardinality.
+
+    max_bucket_size (VERDICT r2 #3): a degenerate bucket (boilerplate-heavy
+    corpus where thousands of docs share a band) makes the downstream
+    |bucket|² candidate join quadratic again.  With the cap set, buckets
+    larger than it are EXCLUDED from this candidate feed — the same skew
+    guard as jaccard_pairs' max_shingle_freq.  Dropped buckets are not
+    silent: `minhash_lsh_overflow` returns them as a queryable DataFrame
+    so a pipeline materializes the overflow count alongside the pairs."""
     # one projection over the aggregate (a barrier Catalyst cannot inline
     # band expressions through), instead of a union of per-band selects
     # that plans the signature aggregation once per band
@@ -264,11 +274,25 @@ def minhash_lsh_buckets(docs: DataFrame, k: int = 4, n: int = 3) -> DataFrame:
     all_bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    return (
+    out = (
         all_bands.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
+    if max_bucket_size is not None:
+        out = out.filter(F.col("n_docs") <= max_bucket_size)
+    return out
+
+
+def minhash_lsh_overflow(
+    docs: DataFrame, k: int = 4, n: int = 3, max_bucket_size: int = 1000
+) -> DataFrame:
+    """The buckets minhash_lsh_buckets DROPS under max_bucket_size — the
+    loud side of the skew guard.  A pipeline materializes this next to the
+    candidate feed; a non-empty result is the signal to raise band bits or
+    investigate boilerplate."""
+    full = minhash_lsh_buckets(docs, k=k, n=n, max_bucket_size=None)
+    return full.filter(F.col("n_docs") > max_bucket_size)
 
 
 def jaccard_pairs(
@@ -277,6 +301,7 @@ def jaccard_pairs(
     min_intersection: int = 2,
     max_shingle_freq: int = 100,
     persist_shingles: bool = True,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via shingle self-join.
 
@@ -291,12 +316,20 @@ def jaccard_pairs(
     MEMORY_AND_DISK cache wins already at sf0.1 (5.2-6.1s vs 5.8-8.3s) and
     wins harder at scale, so the default is now ON; pass False to trade
     memory for recomputation on small inputs.
+
+    cache_handle (ADVICE r2): the persisted shingle DataFrame stays pinned
+    until GC/ContextCleaner because this function cannot know when the lazy
+    result is materialized.  Callers that DO materialize (dedup_components,
+    bench loops) pass a list here; the persisted handle is appended so they
+    can .unpersist() it afterwards.
     """
     sh = shingles(docs, n=n)
     if persist_shingles:
         from pyspark import StorageLevel
 
         sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handle is not None:
+            cache_handle.append(sh)
     freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(
         freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
@@ -344,9 +377,10 @@ def dedup_components(
     (near-dup clusters are near-cliques → a handful).  At 10^12 nodes
     switch to the large-star/small-star variant; the loop structure is
     identical."""
-    edges = jaccard_pairs(docs, n, min_intersection, max_shingle_freq).select(
-        "doc_a", "doc_b"
-    )
+    _shingle_cache: list = []
+    edges = jaccard_pairs(
+        docs, n, min_intersection, max_shingle_freq, cache_handle=_shingle_cache
+    ).select("doc_a", "doc_b")
     sym = (
         edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .unionByName(
@@ -385,6 +419,8 @@ def dedup_components(
         if changed == 0:
             break
     sym.unpersist()
+    for _df in _shingle_cache:
+        _df.unpersist()
     if changed != 0:
         # a chain with graph diameter > max_iter would otherwise return
         # silently wrong labels (diverging from the transitive-closure
@@ -441,17 +477,39 @@ def dedup_components_lss(
 
     Same output contract as dedup_components ((doc_id, component=min id in
     component), same DuckDB transitive-closure oracle); chain-graph test
-    exercises the diameter >> rounds case."""
-    edges = jaccard_pairs(docs, n, min_intersection, max_shingle_freq).select(
+    exercises the diameter >> rounds case.
+
+    Convergence check (VERDICT r2 #9, one job per round instead of three):
+    each round computes a commutative (count, xxhash64-sum) digest of the
+    edge set — the previous round's digest is remembered, so no job ever
+    re-touches the old edges.  A digest match triggers ONE exact exceptAll
+    confirmation (runs once, at the stable round) so a 2^-64 hash collision
+    can never silently truncate the contraction."""
+    _shingle_cache: list = []
+    edges = jaccard_pairs(
+        docs, n, min_intersection, max_shingle_freq, cache_handle=_shingle_cache
+    ).select(
         F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")
     ).distinct().localCheckpoint()
+    for _df in _shingle_cache:  # localCheckpoint is eager — shingles done
+        _df.unpersist()
+
+    def _digest(df):
+        # pmod before the sum: raw xxhash64 sums overflow LongType (ANSI
+        # mode raises); mod-1e9+7 keeps the sum exact to ~9e9 edges
+        row = df.select(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.pmod(F.xxhash64("hi", "lo"), F.lit(1_000_000_007))).alias("s"),
+        ).collect()[0]
+        return (row.c, row.s)
+
+    prev = _digest(edges)
     for _ in range(max_iter):
         e1 = _large_star(edges).localCheckpoint()
         e2 = _small_star(e1).localCheckpoint()
-        stable = (
-            e2.count() == edges.count()
-            and e2.exceptAll(edges).count() == 0
-        )
+        cur = _digest(e2)
+        stable = cur == prev and e2.exceptAll(edges).count() == 0
+        prev = cur
         edges = e2
         if stable:
             break
@@ -583,6 +641,52 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8) -> DataFrame
     )
 
 
+def _probe_lists(qdf: DataFrame, centers_df: DataFrame, nprobe: int) -> DataFrame:
+    """(query_id, qe, list_id): each query's nprobe nearest lists by squared
+    L2 against the tiny broadcast centers table.  Deterministic tiebreak on
+    list_id; the window partitions on query_id (high cardinality — every
+    vector when used for assignment), so no single-task sort at scale."""
+    sqdist = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("center"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("list_id").asc()
+    )
+    return (
+        qdf.crossJoin(F.broadcast(centers_df))
+        .select("query_id", "qe", "list_id", sqdist.alias("dist"))
+        .withColumn("probe_rank", F.row_number().over(wp))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qe", "list_id")
+    )
+
+
+def _ivf_search(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
+    """Shared IVF probe→rescore: join probe lists against the inverted
+    lists, exact-cosine re-score, top-k per query with the rounded-cosine
+    deterministic ranking (ADVICE r1 — the value the oracle hashes)."""
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "list_id")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _cosine(F.col("qe"), F.col("emb_d")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 4).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,
@@ -633,47 +737,63 @@ def ivf_topk(
     qdf = vecs.select(
         F.col("vec_id").alias("query_id"), F.col("emb_d").alias("qe")
     ).filter(F.col("query_id") < n_queries)
+    probes = _probe_lists(qdf, centers_df, nprobe)
+    return _ivf_search(assigned, probes, k)
 
-    # probe assignment: queries × centers (centers broadcast), keep the
-    # nprobe nearest lists per query (squared-L2, deterministic tiebreak)
-    sqdist = F.aggregate(
-        F.zip_with(F.col("qe"), F.col("center"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    wp = Window.partitionBy("query_id").orderBy(
-        F.col("dist").asc(), F.col("list_id").asc()
-    )
-    probes = (
-        qdf.crossJoin(F.broadcast(centers_df))
-        .select("query_id", "qe", "list_id", sqdist.alias("dist"))
-        .withColumn("probe_rank", F.row_number().over(wp))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select("query_id", "qe", "list_id")
-    )
 
-    cand = (
-        F.broadcast(probes)
-        .join(assigned, "list_id")
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .select(
-            "query_id",
-            F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qe"), F.col("emb_d")).alias("cos"),
-        )
+def _fixed_centers(n_lists: int, ndim: int) -> list[list[float]]:
+    """Deterministic IVF centers: component (c, d) ← (byte0(md5("c:d")) -
+    128) / 128 ∈ [-1, 1).  Division by a power of two is exact in binary
+    floats, and DuckDB rebuilds the identical value from md5's hex text —
+    so list assignment is bit-reproducible cross-engine."""
+    import hashlib as _hl
+
+    return [
+        [
+            (_hl.md5(f"{c}:{d}".encode()).digest()[0] - 128) / 128.0
+            for d in range(ndim)
+        ]
+        for c in range(n_lists)
+    ]
+
+
+def ivf_fixed_centers_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 3,
+) -> DataFrame:
+    """ivf_topk's ORACLE TWIN (VERDICT r2 #6): identical probe/rescore code
+    (_probe_lists + _ivf_search are shared), but the coarse quantizer is a
+    fixed md5-derived center matrix instead of a KMeans fit — every step is
+    ANSI-SQL-expressible, so the driver hash-checks the full IVF search
+    path (assignment, probe selection, inverted-list join, rescore, top-k)
+    that ivf_topk could only rows-check.
+
+    Assignment reuses _probe_lists with nprobe=1 over ALL vectors: the
+    argmin window partitions on vec_id (high cardinality), one shuffle."""
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
     )
-    # rank on the ROUNDED cosine (the value the oracle hashes): two engines
-    # can disagree on the last ulp of a near-tie pair, which would swap
-    # ranks while both round to the same 4dp — id tiebreak keeps the
-    # ordering deterministic and cross-engine identical (ADVICE r1)
-    w = Window.partitionBy("query_id").orderBy(
-        F.round("cos", 4).desc(), F.col("neighbor_id").asc()
+    centers_df = emb.sparkSession.createDataFrame(
+        [(i, row) for i, row in enumerate(_fixed_centers(n_lists, _ndim(emb)))],
+        "list_id int, center array<double>",
     )
-    return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos_sim"))
+    assigned = _probe_lists(
+        vecs.select(F.col("vec_id").alias("query_id"), F.col("emb_d").alias("qe")),
+        centers_df,
+        nprobe=1,
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("qe").alias("emb_d"),
+        "list_id",
     )
+    qdf = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("emb_d").alias("qe")
+    ).filter(F.col("query_id") < n_queries)
+    probes = _probe_lists(qdf, centers_df, nprobe)
+    return _ivf_search(assigned, probes, k)
 
 
 def _hyperplane_components(n_planes: int, ndim: int) -> list[list[float]]:
@@ -695,26 +815,32 @@ def _ndim(emb: DataFrame) -> int:
     return emb.select(F.size("embedding").alias("d")).limit(1).collect()[0]["d"]
 
 
-def _hyperplane_dots(n_planes: int, ndim: int):
-    """array<double> column of the n_planes hyperplane dot products.
+_PLANE_DOTS_EXPR = (
+    "transform(__planes, c -> "
+    "aggregate(zip_with(cast(embedding as array<double>), c, "
+    "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v))"
+)
 
-    The component matrix is embedded as ONE literal nested array (computed
-    once driver-side — per-row md5(p:d) would cost ndim × n_planes hashes
-    per vector); the fold (init 0.0, left-to-right) matches DuckDB's
-    list_reduce(list_prepend(0.0, ...)) EXACTLY, so the sign decisions are
-    bit-reproducible cross-engine, not merely approximately equal."""
+
+def _with_plane_dots(emb: DataFrame, n_planes: int, ndim: int) -> DataFrame:
+    """emb plus a `dots` column: the n_planes hyperplane dot products.
+
+    The component matrix rides in as a ONE-ROW broadcast crossJoin instead
+    of inline literals (VERDICT r2 #4): at dim 768 × 18 planes the literal
+    form put ~14k float literals in the expression tree — catalyst
+    analysis/codegen bloat that scales with ndim.  The broadcast form is a
+    single BroadcastNestedLoopJoin of one row (no shuffle, no per-row hash
+    cost) and the plan size is O(1) in ndim.  The fold itself is unchanged
+    (init 0.0, left-to-right), so the sign decisions stay bit-reproducible
+    against DuckDB's list_reduce(list_prepend(0.0, ...)) oracle."""
     comps = _hyperplane_components(n_planes, ndim)
-    comps_sql = (
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{v:.1f}D" for v in row) + ")" for row in comps
-        )
-        + ")"
+    planes_df = emb.sparkSession.createDataFrame(
+        [(comps,)], "__planes array<array<double>>"
     )
-    return F.expr(
-        f"transform({comps_sql}, c -> "
-        "aggregate(zip_with(cast(embedding as array<double>), c, "
-        "(x, y) -> x * y), cast(0.0 as double), (acc, v) -> acc + v))"
+    return (
+        emb.crossJoin(F.broadcast(planes_df))
+        .withColumn("dots", F.expr(_PLANE_DOTS_EXPR))
+        .drop("__planes")
     )
 
 
@@ -724,7 +850,6 @@ def embedding_lsh_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
     the candidate join shrinks the O(n²) search to per-bucket blocks at
     10^12 scale.  Oracle-checked (the DuckDB side rebuilds the identical
     hyperplanes from md5)."""
-    dots = _hyperplane_dots(n_planes, _ndim(emb))
     bucket = F.expr(
         f"aggregate(transform(sequence(0, {n_planes - 1}), p -> "
         "case when element_at(dots, p + 1) > cast(0.0 as double) "
@@ -732,10 +857,49 @@ def embedding_lsh_buckets(emb: DataFrame, n_planes: int = 8) -> DataFrame:
         "cast(0 as bigint), (a, b) -> a + b)"
     )
     return (
-        emb.select("vec_id", dots.alias("dots"))
+        _with_plane_dots(emb, n_planes, _ndim(emb))
+        .select("vec_id", "dots")
         .select("vec_id", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def _embedding_bands(emb: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
+    """(vec_id, band, bkey) rows: the banded sign-bit LSH signature."""
+    n_planes = n_bands * band_bits
+    band_structs = F.expr(
+        f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band, "
+        f"aggregate(transform(sequence(0, {band_bits - 1}), j -> "
+        f"case when element_at(dots, b * {band_bits} + j + 1) > cast(0.0 as double) "
+        "then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end), "
+        "cast(0 as bigint), (a, x) -> a + x) AS bkey))"
+    )
+    return (
+        _with_plane_dots(emb, n_planes, _ndim(emb))
+        .select("vec_id", "dots")
+        .select("vec_id", F.explode(band_structs).alias("bb"))
+        .select(
+            "vec_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+        )
+    )
+
+
+def embedding_lsh_overflow(
+    emb: DataFrame,
+    n_bands: int = 6,
+    band_bits: int = 3,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """The (band, bkey) buckets embedding_neardup_lsh DROPS under
+    max_bucket_size — the loud side of the skew guard.  Materialize this
+    next to the pair feed; non-empty means a degenerate vector cluster
+    (e.g. zero-norm embeddings) was excluded from candidate generation."""
+    return (
+        _embedding_bands(emb, n_bands, band_bits)
+        .groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") > max_bucket_size)
     )
 
 
@@ -744,6 +908,7 @@ def embedding_neardup_lsh(
     threshold: float = 0.8,
     n_bands: int = 6,
     band_bits: int = 3,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup PAIRS at scale (VERDICT r1 #2): banded
     random-hyperplane LSH candidates + exact cosine re-score.
@@ -761,21 +926,25 @@ def embedding_neardup_lsh(
 
     Measured on the sf0.01 fixture (dim-64, threshold 0.35): 6×3 bands →
     recall 0.815 overall, 1.000 for pairs with cos ≥ 0.5; 9×2 → 0.996
-    overall (but 4× the candidate volume); 4×4 → 0.561."""
-    n_planes = n_bands * band_bits
-    dots = _hyperplane_dots(n_planes, _ndim(emb))
-    band_structs = F.expr(
-        f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band, "
-        f"aggregate(transform(sequence(0, {band_bits - 1}), j -> "
-        f"case when element_at(dots, b * {band_bits} + j + 1) > cast(0.0 as double) "
-        "then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end), "
-        "cast(0 as bigint), (a, x) -> a + x) AS bkey))"
-    )
-    bands = (
-        emb.select("vec_id", dots.alias("dots"))
-        .select("vec_id", F.explode(band_structs).alias("bb"))
-        .select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
-    )
+    overall (but 4× the candidate volume); 4×4 → 0.561.
+
+    max_bucket_size (VERDICT r2 #3): bounds the per-bucket self-join — a
+    degenerate bucket (near-zero-norm cluster, constant embeddings) would
+    otherwise make one bucket's |b|² quadratic again.  Oversized buckets
+    are excluded from candidate generation; `embedding_lsh_overflow`
+    returns exactly the dropped buckets so the drop is observable, never
+    silent.  Recall within the cap is unaffected (pairs in small buckets
+    are untouched)."""
+    bands = _embedding_bands(emb, n_bands, band_bits)
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("__n_in_bucket")
+        )
+        bands = (
+            bands.join(sizes, ["band", "bkey"])
+            .filter(F.col("__n_in_bucket") <= max_bucket_size)
+            .drop("__n_in_bucket")
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (

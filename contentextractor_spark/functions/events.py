@@ -103,7 +103,14 @@ def asof_latest(events: DataFrame, ref_type: str = "view") -> DataFrame:
     no join, no per-probe scan — the classic scale-safe as-of plan.  At
     equal timestamps the reference row sorts first, matching SQL
     ``ASOF JOIN ... ON probe.ts >= ref.ts`` semantics (a reference event is
-    its own match).  DuckDB's native ASOF LEFT JOIN is the oracle."""
+    its own match).  DuckDB's native ASOF LEFT JOIN is the oracle.
+
+    Tie invariant (ADVICE r2): among MULTIPLE reference events at the same
+    (user_id, ts), this picks the LARGEST event_id — refs sort event_id-asc
+    inside the carry-forward window, so the last one seen wins.  The oracle
+    makes the same choice explicitly (refs pre-deduped to max(event_id) per
+    (user_id, ts) before the ASOF join), so exact-ts ties can never flake
+    the hash gate; `test_asof_tie_determinism` pins the behavior."""
     is_ref = F.col("event_type") == ref_type
     tagged = events.select(
         "event_id",

@@ -76,8 +76,12 @@ def keyword_list(text: str) -> str:
 
 def keyword_list_series(texts: pd.Series) -> pd.Series:
     """Batch form (Arrow-batch granularity).  The analyzer is per-document
-    Python like the DOM walk it accompanies; the regex fast path is only
-    byte-compatible on OOV-only text, so correctness wins here."""
+    Python like the DOM walk it accompanies.  Honors the same
+    CX_KEYWORD_REGEX=1 escape hatch as the scalar form (ADVICE r2: the two
+    folds must never diverge under the documented A/B flag) — the regex
+    path uses vectorized str.findall-equivalent mapping."""
+    if not _USE_LEXICON:
+        return texts.fillna("").map(keyword_list_regex)
     from .lexicon import keyword_fold_kuromoji
 
     return texts.fillna("").map(keyword_fold_kuromoji)

@@ -304,8 +304,10 @@ def run_extraction(
             # ONLY "lineage doesn't exist yet" means full run; a corrupt or
             # unreadable lineage table must fail loudly — at 100 TB silently
             # ignoring it would trigger a full recompute (and duplicate
-            # output rows under mode=append)
-            if "PATH_NOT_FOUND" not in str(e):
+            # output rows under mode=append).  Structured error class, not
+            # message substring (ADVICE r2): the rendered text is not a
+            # stable API across Spark versions.
+            if e.getCondition() != "PATH_NOT_FOUND":
                 raise
             # else: no lineage yet → full run
     import uuid

@@ -173,6 +173,28 @@ def test_ivf_full_probe_equals_bruteforce(spark):
     assert full_probe == exact
 
 
+def test_ivf_fixed_centers_full_probe_equals_bruteforce(spark):
+    """The oracle twin shares the invariant: full probe ⇒ exact search —
+    list assignment never loses a candidate when every list is probed."""
+    from contentextractor_spark.functions.analysis import (
+        ivf_fixed_centers_topk,
+        knn_bruteforce,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in knn_bruteforce(emb, n_queries=5, k=3).collect()
+    }
+    full_probe = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_fixed_centers_topk(
+            emb, n_queries=5, k=3, n_lists=4, nprobe=4
+        ).collect()
+    }
+    assert full_probe == exact
+
+
 def test_ivf_partial_probe_recall(spark):
     from contentextractor_spark.functions.analysis import ivf_topk, knn_bruteforce
 
@@ -275,7 +297,15 @@ def test_neardup_lsh_plan_no_cartesian(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # the ONLY nested-loop joins allowed are the one-row planes-matrix
+    # broadcasts (de-literal hyperplanes, r3; the bands subplan appears on
+    # both sides of the candidate self-join, so up to two); the candidate
+    # join itself must be a hash/sort-merge join on (band, bkey), never
+    # vector×vector
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            assert "Cross" in line  # the planes crossJoin, build side = 1 row
 
 
 def test_lss_components_match_propagation_on_chain(spark):
@@ -353,3 +383,114 @@ def test_resize_plan_edges(spark):
     assert (out["a"].dst_w, out["a"].dst_h, out["a"].scale) == (64, 64, 1.0)  # no upscale
     assert out["b"].dst_w == 256 and 1 <= out["b"].dst_h <= 64
     assert out["c"].dst_h == 256 and 1 <= out["c"].dst_w <= 64
+
+
+# ---------- LSH skew guards + de-literal hyperplanes (round 3) ----------
+
+def test_embedding_lsh_bucket_cap_bounds_pathological_bucket(spark):
+    """All-identical embeddings put EVERY vector in one bucket per band —
+    the |b|² worst case.  With max_bucket_size set the candidate volume
+    drops to zero and embedding_lsh_overflow loudly reports the dropped
+    buckets; with the cap at no-op the pairs are all there."""
+    from contentextractor_spark.functions.analysis import (
+        embedding_lsh_overflow,
+        embedding_neardup_lsh,
+    )
+
+    n = 40
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)],
+        "vec_id: long, embedding: array<float>",
+    )
+    uncapped = embedding_neardup_lsh(emb, threshold=0.5, n_bands=2, band_bits=2)
+    assert uncapped.count() == n * (n - 1) // 2  # the quadratic blowup
+
+    capped = embedding_neardup_lsh(
+        emb, threshold=0.5, n_bands=2, band_bits=2, max_bucket_size=10
+    )
+    assert capped.count() == 0  # every bucket oversized → excluded
+
+    overflow = embedding_lsh_overflow(
+        emb, n_bands=2, band_bits=2, max_bucket_size=10
+    ).collect()
+    assert len(overflow) == 2  # one degenerate bucket per band
+    assert all(r.n_vecs == n for r in overflow)
+
+
+def test_embedding_lsh_cap_noop_keeps_pairs(spark):
+    """Guard at a no-op level returns EXACTLY the unguarded pairs (the
+    driver-oracle query runs unguarded; this proves the param is pure
+    execution strategy at generous settings)."""
+    from contentextractor_spark.functions.analysis import embedding_neardup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = embedding_neardup_lsh(emb, threshold=0.35, n_bands=6, band_bits=3)
+    capped = embedding_neardup_lsh(
+        emb, threshold=0.35, n_bands=6, band_bits=3, max_bucket_size=10**6
+    )
+    assert base.exceptAll(capped).count() == 0
+    assert capped.exceptAll(base).count() == 0
+
+
+def test_minhash_lsh_bucket_cap_and_overflow(spark):
+    """All-identical texts collapse into one bucket per band; the cap
+    excludes it from the candidate feed and the overflow query reports it."""
+    from contentextractor_spark.functions.analysis import (
+        minhash_lsh_buckets,
+        minhash_lsh_overflow,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text everywhere") for i in range(30)],
+        "doc_id: long, text: string",
+    )
+    full = minhash_lsh_buckets(docs, k=4, n=3)
+    assert full.count() == 2  # k=4, band size 2 → 2 bands, one bucket each
+    assert minhash_lsh_buckets(docs, k=4, n=3, max_bucket_size=10).count() == 0
+    overflow = minhash_lsh_overflow(docs, k=4, n=3, max_bucket_size=10).collect()
+    assert len(overflow) == 2 and all(r.n_docs == 30 for r in overflow)
+
+
+def test_hyperplane_plan_size_constant_in_dim(spark):
+    """De-literal check (VERDICT r2 #5): at dim 512 × 18 planes the plan
+    must NOT embed ~9k float literals — the planes matrix rides in a
+    one-row broadcast.  Assert the optimized plan stays small and the
+    query actually executes."""
+    import numpy as np
+
+    from contentextractor_spark.functions.analysis import embedding_lsh_buckets
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(512)]) for i in range(20)]
+    emb = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = embedding_lsh_buckets(emb, n_planes=18)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan) < 20_000, f"plan bloat: {len(plan)} chars"
+    assert "-1.0" not in plan  # no inline component literals
+    assert sum(r.n_vecs for r in out.collect()) == 20
+
+
+def test_asof_tie_determinism(spark):
+    """Two reference events at the SAME (user_id, ts): the carry-forward
+    picks the larger event_id — the invariant the DuckDB oracle now
+    enforces by pre-deduping refs to max(event_id) per (user_id, ts)."""
+    from datetime import datetime
+
+    from contentextractor_spark.functions.events import asof_latest
+
+    t0 = datetime(2024, 1, 1, 12, 0, 0)
+    t1 = datetime(2024, 1, 1, 12, 5, 0)
+    events = spark.createDataFrame(
+        [
+            (1, 100, t0, "view"),   # two refs, same user, same ts
+            (2, 100, t0, "view"),
+            (3, 100, t1, "click"),  # probe strictly after the tie
+            (4, 100, t0, "click"),  # probe AT the tie ts
+        ],
+        "event_id: long, user_id: long, ts: timestamp, event_type: string",
+    )
+    got = {r.event_id: r.asof_event_id for r in asof_latest(events, "view").collect()}
+    assert got[3] == 2  # max event_id among the tied refs
+    assert got[4] == 2
+    assert got[1] == 1  # a ref is its own match (>= semantics)...
+    assert got[2] == 2  # ...except a LATER tied ref supersedes an earlier one
