@@ -611,6 +611,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ivf_topk(spark, sf_dir):
         return A.ivf_topk(_emb(spark, sf_dir), n_queries=10, k=5, n_lists=8, nprobe=3)
 
+    def embedding_neardup_lsh_capped(spark, sf_dir):
+        # the skew guard ACTIVE and value-checked: cap 60 really drops
+        # buckets at sf0.01 (sizes run 39-87), so the hash match proves the
+        # guarded candidate set — not just the no-op setting
+        return A.embedding_neardup_lsh(
+            _emb(spark, sf_dir),
+            threshold=0.35,
+            n_bands=6,
+            band_bits=3,
+            max_bucket_size=60,
+        )
+
+    def embedding_lsh_overflow(spark, sf_dir):
+        # the LOUD side of the guard: exactly the buckets the cap dropped
+        return A.embedding_lsh_overflow(
+            _emb(spark, sf_dir), n_bands=6, band_bits=3, max_bucket_size=60
+        )
+
+    def minhash_lsh_capped(spark, sf_dir):
+        # cap 2 drops the n_docs=3 buckets at sf0.01 — guard active
+        return A.minhash_lsh_buckets(
+            _docs(spark, sf_dir), k=4, n=3, max_bucket_size=2
+        )
+
     def ivf_fixed_topk(spark, sf_dir):
         # ivf_topk's oracle twin: same probe/rescore code, fixed md5-derived
         # centers instead of a KMeans fit — fully hash-checkable
@@ -762,6 +786,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frame_sample_plan": frame_sample_plan,
         "ivf_fixed_topk": ivf_fixed_topk,
         "extract_spans_multiblock": extract_spans_multiblock,
+        "embedding_neardup_lsh_capped": embedding_neardup_lsh_capped,
+        "embedding_lsh_overflow": embedding_lsh_overflow,
+        "minhash_lsh_capped": minhash_lsh_capped,
         # ------------------------------------------------------------------
         "extract_roundtrip": extract_roundtrip,
         "extract_boilerplate": extract_boilerplate,
@@ -837,6 +864,29 @@ _SIG_CTE = (
     )
     + " FROM sh GROUP BY doc_id)"
 )
+
+# 6-band × 3-bit hyperplane LSH signature (18 planes), shared by the
+# embedding_neardup_lsh / _capped / overflow oracles — identical md5-derived
+# planes and fold order as the Spark side (analysis._with_plane_dots)
+_EMB_BANDS_CTE = """
+dots AS (
+  SELECT vec_id, p,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, len(embedding)), i ->
+             CAST(embedding[i] AS DOUBLE) *
+             (CASE WHEN (strpos('0123456789abcdef',
+                     substr(md5(p || ':' || CAST(i - 1 AS VARCHAR)),
+                            2, 1)) - 1) % 2 = 1
+                   THEN 1.0 ELSE -1.0 END))),
+           (a, b) -> a + b) AS dot
+  FROM embeddings, (SELECT unnest(generate_series(0, 17)) AS p) _p),
+bands AS (
+  SELECT vec_id, CAST(floor(p / 3) AS INT) AS band,
+         CAST(sum(CASE WHEN dot > 0
+              THEN CAST(power(2.0, p % 3) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bkey
+  FROM dots GROUP BY 1, 2)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1142,6 +1192,17 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) AS min_doc_id
             FROM bands GROUP BY band, bucket HAVING count(*) > 1
         """,
+        "minhash_lsh_capped": f"""
+            WITH {_SHINGLE_CTE}, {_SIG_CTE},
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig)
+            SELECT band, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+                   min(doc_id) AS min_doc_id
+            FROM bands GROUP BY band, bucket
+            HAVING count(*) > 1 AND count(*) <= 2
+        """,
         "ngram_jaccard_pairs": f"""
             WITH {_SHINGLE_CTE},
             freq AS (SELECT shingle FROM sh GROUP BY shingle
@@ -1289,24 +1350,8 @@ def oracle_sql() -> dict[str, str]:
                    min(vec_id) AS min_vec_id
             FROM sig GROUP BY bucket
         """,
-        "embedding_neardup_lsh": """
-            WITH dots AS (
-              SELECT vec_id, p,
-                     list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                       list_transform(generate_series(1, len(embedding)), i ->
-                         CAST(embedding[i] AS DOUBLE) *
-                         (CASE WHEN (strpos('0123456789abcdef',
-                                 substr(md5(p || ':' || CAST(i - 1 AS VARCHAR)),
-                                        2, 1)) - 1) % 2 = 1
-                               THEN 1.0 ELSE -1.0 END))),
-                       (a, b) -> a + b) AS dot
-              FROM embeddings, (SELECT unnest(generate_series(0, 17)) AS p) _p),
-            bands AS (
-              SELECT vec_id, CAST(floor(p / 3) AS INT) AS band,
-                     CAST(sum(CASE WHEN dot > 0
-                          THEN CAST(power(2.0, p % 3) AS BIGINT) ELSE 0 END)
-                          AS BIGINT) AS bkey
-              FROM dots GROUP BY 1, 2),
+        "embedding_neardup_lsh": f"""
+            WITH {_EMB_BANDS_CTE},
             cand AS (
               SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
               FROM bands a JOIN bands b
@@ -1320,6 +1365,32 @@ def oracle_sql() -> dict[str, str]:
               JOIN embeddings ea ON ea.vec_id = id_a
               JOIN embeddings eb ON eb.vec_id = id_b)
             WHERE round(cos, 4) >= 0.35
+        """,
+        "embedding_neardup_lsh_capped": f"""
+            WITH {_EMB_BANDS_CTE},
+            bsz AS (SELECT band, bkey, count(*) AS nb
+                    FROM bands GROUP BY band, bkey),
+            kept AS (SELECT b.vec_id, b.band, b.bkey
+                     FROM bands b JOIN bsz USING (band, bkey)
+                     WHERE nb <= 60),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM kept a JOIN kept b
+                ON a.band = b.band AND a.bkey = b.bkey
+               AND a.vec_id < b.vec_id)
+            SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM (
+              SELECT id_a, id_b,
+                     list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])) AS cos
+              FROM cand
+              JOIN embeddings ea ON ea.vec_id = id_a
+              JOIN embeddings eb ON eb.vec_id = id_b)
+            WHERE round(cos, 4) >= 0.35
+        """,
+        "embedding_lsh_overflow": f"""
+            WITH {_EMB_BANDS_CTE}
+            SELECT band, bkey, CAST(count(*) AS BIGINT) AS n_vecs
+            FROM bands GROUP BY band, bkey HAVING count(*) > 60
         """,
         "embedding_neardup": """
             SELECT id_a, id_b, round(cos, 4) AS cos_sim FROM (

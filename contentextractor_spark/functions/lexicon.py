@@ -1,12 +1,14 @@
-"""Bundled mini-lexicon + Kuromoji-style morphological analysis — K1/K2
+"""Bundled lexicon + Kuromoji-style morphological analysis — K1/K2
 (SURVEY.md §2.6; ContentExtractor.java:77-80,115-128).
 
 The reference drives ``JapaneseTokenizer(..., Mode.NORMAL)`` (Kuromoji) and
 keeps tokens whose part-of-speech contains 名詞 (noun) but not 数 (numeral),
 or contains 形容詞 (adjective), folding the BASE FORM when the token is
 inflected (BaseFormAttribute).  The full IPADIC/NEologd lexicon is ~400k
-entries and unavailable here; this module bundles a small lexicon covering
-the fixture/archetype vocabulary and reproduces the *mechanism* exactly:
+entries and unavailable here; this module reproduces the *mechanism*
+exactly over a bundled IPADIC-convention subset (lexicon_data.py, a few
+thousand surface forms: closed classes enumerated, open-class conjugation
+paradigms expanded like IPADIC's own per-surface rows):
 
  - longest-match segmentation against the lexicon (greedy ≈ NORMAL-mode
    Viterbi on a vocabulary this sparse — no competing splits exist);
@@ -17,17 +19,40 @@ the fixture/archetype vocabulary and reproduces the *mechanism* exactly:
  - the K2 filter verbatim: (POS contains 名詞 and not 数) or POS contains
    形容詞; SURFACE length > 1; emit base form if present else surface.
 
-Documented divergence: vocabulary OUTSIDE this lexicon segments as whole
-script runs rather than IPADIC morphemes.  The lexicon is data, not code —
-extending it to full IPADIC is a file swap.
+Scaling the lexicon without scaling the match cost (measured round 3, 374
+JA archetype docs, identical output on all three):
+ - round-2 flat longest-first regex alternation: O(n_entries) branch tests
+   per attempt — fine at 60 entries, 4.0 ms/doc at 2.4k;
+ - trie-shaped regex (prefix-sharing, greedy-optional ends): still 4.0
+   ms/doc — sre tests top-level branches LINEARLY, and a 600-first-char
+   trie pays that at every token boundary;
+ - DICT-PROBE longest match (this implementation): per boundary, probe the
+   few entry lengths that exist for the first char against the lexicon
+   hash — 1.0 ms/doc, no regex compile, O(probes) independent of entry
+   count.  Script-run scanning stays C-level (_ANY_TOKEN_RE); the r2
+   anti-lesson about per-char Python CLASSIFICATION loops (5.4 ms/doc)
+   does not apply to hash probes at boundaries, as measured.
+
+Documented divergence: vocabulary OUTSIDE the subset segments as whole
+script runs rather than IPADIC morphemes (and an OOV compound whose PREFIX
+is a lexicon entry splits after that entry).  The lexicon is data, not
+code — extending it further is a lexicon_data.py edit.
+
+CX_LEXICON=mini reverts to the round-2 ~60-entry mini lexicon (A/B
+escape hatch, same mechanism).
 """
 
 from __future__ import annotations
 
-# surface → (part_of_speech, base_form or None)
-# POS strings follow IPADIC's comma-joined convention (the reference does
-# substring containment checks on them, so prefixes suffice).
-LEXICON: dict[str, tuple[str, str | None]] = {
+import os
+import re as _re
+
+from .lexicon_data import build_lexicon
+
+# surface → (part_of_speech, base_form or None).  POS strings follow
+# IPADIC's comma-joined convention (the reference does substring containment
+# checks on them, so prefixes suffice).
+MINI_LEXICON: dict[str, tuple[str, str | None]] = {
     # --- particles (助詞) — dropped by the K2 filter --------------------
     "は": ("助詞,係助詞", None),
     "が": ("助詞,格助詞", None),
@@ -94,19 +119,29 @@ LEXICON: dict[str, tuple[str, str | None]] = {
     "一覧": ("名詞,一般", None),
 }
 
-_MAX_ENTRY_LEN = max(len(k) for k in LEXICON)
+LEXICON: dict[str, tuple[str, str | None]] = (
+    MINI_LEXICON
+    if os.environ.get("CX_LEXICON", "") == "mini"
+    else build_lexicon()
+)
 
-# perf indexes: a random-vocabulary char has no entry starting with it, so
-# one set probe replaces _MAX_ENTRY_LEN substring allocations per position
-_BY_FIRST: dict[str, list[str]] = {}
-for _k in LEXICON:
-    _BY_FIRST.setdefault(_k[0], []).append(_k)
-for _v in _BY_FIRST.values():
-    _v.sort(key=len, reverse=True)
-_MULTI_FIRST = frozenset(k[0] for k in LEXICON if len(k) >= 2)
+
 _ALL_FIRST = frozenset(k[0] for k in LEXICON)
 
-import re as _re
+# per-first-char DESCENDING tuples of entry lengths that exist — the probe
+# schedule for longest-match (typically 1-3 probes per boundary)
+_LENS_BY_FIRST: dict[str, tuple[int, ...]] = {}
+_LENS_MULTI_BY_FIRST: dict[str, tuple[int, ...]] = {}
+for _k in LEXICON:
+    _LENS_BY_FIRST.setdefault(_k[0], set()).add(len(_k))  # type: ignore[attr-defined]
+    if len(_k) >= 2:
+        _LENS_MULTI_BY_FIRST.setdefault(_k[0], set()).add(len(_k))  # type: ignore[attr-defined]
+_LENS_BY_FIRST = {
+    c: tuple(sorted(s, reverse=True)) for c, s in _LENS_BY_FIRST.items()
+}
+_LENS_MULTI_BY_FIRST = {
+    c: tuple(sorted(s, reverse=True)) for c, s in _LENS_MULTI_BY_FIRST.items()
+}
 
 # script-class runs for unknown-word grouping (Kuromoji char categories);
 # leftmost alternation = class of the run's first char, greedy to class end.
@@ -119,28 +154,7 @@ _ANY_TOKEN_RE = _re.compile(
     r"|[一-鿿々]+"
     r"|[０-９Ａ-Ｚａ-ｚ]+"
 )
-_MULTI_FIRST_RE = (
-    _re.compile("[" + "".join(_re.escape(c) for c in sorted(_MULTI_FIRST)) + "]")
-    if _MULTI_FIRST
-    else None
-)
 _PURE_DIGITS_RE = _re.compile(r"[0-9０-９]+\Z")
-
-# master scanner: lexicon entries (longest-first, so alternation = longest
-# match) beat script runs at the same position; one C-level search per TOKEN
-# instead of any per-char Python work
-_LEX_ALT = "|".join(
-    _re.escape(k) for k in sorted(LEXICON, key=len, reverse=True)
-)
-_MASTER_RE = _re.compile(f"(?P<lex>{_LEX_ALT})|(?P<run>{_ANY_TOKEN_RE.pattern})")
-# first embedded multi-char entry inside an unknown run, as one C-level scan
-_MULTI_ENTRY_RE = _re.compile(
-    "|".join(
-        _re.escape(k)
-        for k in sorted(LEXICON, key=len, reverse=True)
-        if len(k) >= 2
-    )
-)
 
 
 def analyze(text: str) -> list[tuple[str, str, str | None]]:
@@ -149,30 +163,52 @@ def analyze(text: str) -> list[tuple[str, str, str | None]]:
     (of length >= 2) begins (single-char entries like particles do NOT
     split a run — Kuromoji keeps OOV compounds whole rather than splitting
     on an embedded particle character).  Whitespace and symbols are skipped
-    (Kuromoji discards them via its punctuation categories)."""
+    (Kuromoji discards them via its punctuation categories).
+
+    Longest-match is a hash probe, not a regex: at each token boundary,
+    try the entry lengths that exist for the first char (descending) — an
+    embedded entry may CROSS the run's class boundary (問い合わせ =
+    kanji+hiragana), so probes slice the full text, not the run."""
     out: list[tuple[str, str, str | None]] = []
     pos, n = 0, len(text)
-    next_entry = -1  # memoized start of the next embedded multi-char entry;
-    # recomputed only when the scan passes it, so the split search costs one
-    # amortized pass over the text instead of O(runs × tail) rescans
+    search = _ANY_TOKEN_RE.search
+    lens_get = _LENS_BY_FIRST.get
+    multi_get = _LENS_MULTI_BY_FIRST.get
+    in_lex = LEXICON.__contains__
     while pos < n:
-        m = _MASTER_RE.search(text, pos)
+        m = search(text, pos)
         if m is None:
             break
-        if m.lastgroup == "lex":
-            s = m.group()
-            p, b = LEXICON[s]
-            out.append((s, p, b))
-            pos = m.end()
+        i = m.start()
+        entry = None
+        lens = lens_get(text[i])
+        if lens:
+            for ln in lens:
+                if ln <= n - i:
+                    s = text[i : i + ln]
+                    if in_lex(s):
+                        entry = s
+                        break
+        if entry is not None:
+            p, b = LEXICON[entry]
+            out.append((entry, p, b))
+            pos = i + len(entry)
             continue
-        i, run_end = m.start(), m.end()
-        if next_entry < i + 1:
-            # unbounded search: an embedded entry may CROSS the run's class
-            # boundary (問い合わせ = kanji+hiragana); only its START must
-            # lie inside this run
-            s2 = _MULTI_ENTRY_RE.search(text, i + 1)
-            next_entry = s2.start() if s2 is not None else n
-        j = next_entry if next_entry < run_end else run_end
+        run_end = m.end()
+        j = run_end
+        q = i + 1
+        while q < run_end:
+            ml = multi_get(text[q])
+            if ml:
+                hit = False
+                for ln in ml:
+                    if ln <= n - q and in_lex(text[q : q + ln]):
+                        hit = True
+                        break
+                if hit:
+                    j = q
+                    break
+            q += 1
         surface = text[i:j]
         if _PURE_DIGITS_RE.match(surface):
             out.append((surface, "名詞,数", None))
