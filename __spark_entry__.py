@@ -611,6 +611,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ivf_topk(spark, sf_dir):
         return A.ivf_topk(_emb(spark, sf_dir), n_queries=10, k=5, n_lists=8, nprobe=3)
 
+    def repetition_signals(spark, sf_dir):
+        return A.repetition_signals(_docs(spark, sf_dir))
+
+    def pii_scrub(spark, sf_dir):
+        # the corpus text is digit/@-free (verified), so deterministic PII
+        # is INJECTED per doc and the oracle predicts the redacted literal —
+        # the scrubber must remove exactly what was planted, nothing else
+        docs = _docs(spark, sf_dir)
+        injected = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1-555-"),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+                F.lit(" ip 10.0."),
+                F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+                F.lit(".7 end"),
+            ).alias("text"),
+        )
+        return A.pii_scrub(injected)
+
+    def chunk_hash_dedup(spark, sf_dir):
+        return A.chunk_hash_dedup(_docs(spark, sf_dir), chunk_tokens=32, overlap=0)
+
+    def train_split_assign(spark, sf_dir):
+        return A.train_split_assign(_docs(spark, sf_dir), val_pct=10, test_pct=10)
+
     def embedding_neardup_lsh_capped(spark, sf_dir):
         # the skew guard ACTIVE and value-checked: cap 60 really drops
         # buckets at sf0.01 (sizes run 39-87), so the hash match proves the
@@ -789,6 +818,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_lsh_capped": embedding_neardup_lsh_capped,
         "embedding_lsh_overflow": embedding_lsh_overflow,
         "minhash_lsh_capped": minhash_lsh_capped,
+        "repetition_signals": repetition_signals,
+        "pii_scrub": pii_scrub,
+        "chunk_hash_dedup": chunk_hash_dedup,
+        "train_split_assign": train_split_assign,
         # ------------------------------------------------------------------
         "extract_roundtrip": extract_roundtrip,
         "extract_boilerplate": extract_boilerplate,
@@ -1172,6 +1205,86 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(list_slice(ws, s, s + 63), ' ')
                        AS chunk_text
             FROM st
+        """,
+        "repetition_signals": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            uni AS (SELECT doc_id, unnest(ws) AS g FROM w),
+            bi AS (SELECT doc_id,
+                          unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i+1])) AS g
+                   FROM w WHERE len(ws) >= 2),
+            tri AS (SELECT doc_id,
+                           unnest(list_transform(generate_series(1, len(ws) - 2),
+                                  i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))
+                              AS g
+                    FROM w WHERE len(ws) >= 3),
+            mu AS (SELECT doc_id, max(c) AS m FROM (
+                     SELECT doc_id, g, count(*) AS c FROM uni GROUP BY 1, 2)
+                   GROUP BY doc_id),
+            mb AS (SELECT doc_id, max(c) AS m FROM (
+                     SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2)
+                   GROUP BY doc_id),
+            mt AS (SELECT doc_id, max(c) AS m FROM (
+                     SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2)
+                   GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(len(string_split(d.text, ' ')) AS INT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(d.text, ' '))) AS INT)
+                       AS n_distinct_tokens,
+                   CAST(COALESCE(mu.m, 0) AS BIGINT) AS max_unigram_count,
+                   CAST(COALESCE(mb.m, 0) AS BIGINT) AS max_bigram_count,
+                   CAST(COALESCE(mt.m, 0) AS BIGINT) AS max_trigram_count
+            FROM documents d
+            LEFT JOIN mu ON mu.doc_id = d.doc_id
+            LEFT JOIN mb ON mb.doc_id = d.doc_id
+            LEFT JOIN mt ON mt.doc_id = d.doc_id
+        """,
+        "pii_scrub": """
+            -- predicted-literal oracle: the scrubber must redact EXACTLY
+            -- the injected email/phone/ip and leave the PII-free corpus
+            -- text untouched
+            SELECT doc_id,
+                   text || ' contact <EMAIL> or <PHONE> ip <IP> end'
+                       AS clean_text,
+                   CAST(1 AS INT) AS n_emails,
+                   CAST(1 AS INT) AS n_ips,
+                   CAST(1 AS INT) AS n_phones
+            FROM documents
+        """,
+        "chunk_hash_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            st AS (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws), 32)) AS s
+                   FROM w),
+            hashed AS (
+              SELECT doc_id,
+                     CAST(floor((s - 1) / 32.0) AS INT) AS chunk_idx,
+                     md5(array_to_string(list_slice(ws, s, s + 31), ' '))
+                         AS chunk_hash
+              FROM st),
+            freq AS (SELECT chunk_hash, count(*) AS n FROM hashed
+                     GROUP BY chunk_hash)
+            SELECT h.doc_id, h.chunk_idx, h.chunk_hash,
+                   CAST(CASE WHEN f.n > 1 THEN 1 ELSE 0 END AS INT)
+                       AS is_dup_chunk
+            FROM hashed h JOIN freq f USING (chunk_hash)
+        """,
+        "train_split_assign": """
+            WITH b AS (
+              SELECT doc_id,
+                     (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                         AS bucket
+              FROM documents)
+            SELECT doc_id, CAST(bucket AS INT) AS split_bucket,
+                   CASE WHEN bucket < 204 THEN 'train'
+                        WHEN bucket < 230 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b
         """,
         "minhash_signatures": f"""
             WITH {_SHINGLE_CTE}

@@ -176,6 +176,145 @@ def chunk_documents(
     )
 
 
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    adapted from line/paragraph fractions to the word stream): the count of
+    the most frequent word bigram and trigram plus token totals — a
+    document dominated by one repeated n-gram is template/spam boilerplate.
+    Integer-only (callers derive fractions) so cross-engine checks are
+    exact.
+
+    Scale: one explode per n-gram order into a map-side-combinable
+    two-level aggregation (count per (doc, gram) → max per doc); shuffles
+    key on (doc_id, gram) — high cardinality, no skew guard needed."""
+    words = F.split(F.col("text"), " ")
+    uni = docs.select("doc_id", F.explode(words).alias("g"))
+    # size guard like shingles(): sequence(1, size-(n-1)) DESCENDS when the
+    # doc is shorter than n tokens and element_at would go out of bounds
+    bi = docs.filter(F.size(words) >= 2).select(
+        "doc_id", F.explode(_gram_array(2)).alias("g")
+    )
+    tri = docs.filter(F.size(words) >= 3).select(
+        "doc_id", F.explode(_gram_array(3)).alias("g")
+    )
+
+    def _max_count(tok: DataFrame, out: str) -> DataFrame:
+        per_gram = tok.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+        return per_gram.groupBy("doc_id").agg(F.max("c").alias(out))
+
+    base = docs.select(
+        "doc_id",
+        F.size(words).alias("n_tokens"),
+        F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
+    )
+    return (
+        base.join(_max_count(uni, "max_unigram_count"), "doc_id", "left")
+        .join(_max_count(bi, "max_bigram_count"), "doc_id", "left")
+        .join(_max_count(tri, "max_trigram_count"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.coalesce("max_unigram_count", F.lit(0)).cast("long").alias(
+                "max_unigram_count"
+            ),
+            F.coalesce("max_bigram_count", F.lit(0)).cast("long").alias(
+                "max_bigram_count"
+            ),
+            F.coalesce("max_trigram_count", F.lit(0)).cast("long").alias(
+                "max_trigram_count"
+            ),
+        )
+    )
+
+
+# PII patterns: spelled [0-9] (Spark \\d ≠ DuckDB \\d), lookahead-free so the
+# identical pattern runs under Java regex and RE2.  Order matters: emails
+# first (their local parts can contain digits), then dotted IPv4 quads, then
+# bare digit/hyphen phone runs.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+PII_IPV4 = (
+    "[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?[.]"
+    "[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?"
+)
+PII_PHONE = "[+]?[0-9][0-9()\\- ]{6,}[0-9]"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction for training corpora: emails → <EMAIL>, IPv4 → <IP>,
+    phone-like digit runs → <PHONE>, with per-kind match counts (the audit
+    trail a compliance pipeline needs).  Pure regexp_replace/regexp_count —
+    JVM-side, embarrassingly parallel, no shuffle."""
+    t = F.col(text_col)
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IPV4))
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE))
+    clean = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        n_emails.cast("int").alias("n_emails"),
+        n_ips.cast("int").alias("n_ips"),
+        n_phones.cast("int").alias("n_phones"),
+    )
+
+
+def chunk_hash_dedup(
+    docs: DataFrame, chunk_tokens: int = 32, overlap: int = 0
+) -> DataFrame:
+    """C4-style span-level dedup: chunk every document (reusing
+    chunk_documents), md5 each chunk, and mark a chunk duplicated when the
+    same hash appears anywhere else in the corpus (other doc OR other
+    offset).  Downstream filters drop is_dup_chunk=1 rows from training
+    batches without touching the unique remainder of the document —
+    finer-grained than whole-doc dedup, the standard mid-ground.
+
+    Scale: one shuffle keyed on the chunk hash (md5 — uniform); the
+    per-hash count broadcasts back via the aggregate join.  No windows."""
+    chunks = chunk_documents(docs, chunk_tokens=chunk_tokens, overlap=overlap)
+    hashed = chunks.select(
+        "doc_id", "chunk_idx", F.md5(F.col("chunk_text")).alias("chunk_hash")
+    )
+    freq = hashed.groupBy("chunk_hash").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        hashed.join(freq, "chunk_hash")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "chunk_hash",
+            (F.col("n_copies") > 1).cast("int").alias("is_dup_chunk"),
+        )
+    )
+
+
+def train_split_assign(
+    docs: DataFrame, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-free hash bucket:
+    bucket = first byte of md5(doc_id) (0-255), split on integer
+    thresholds.  Hash-based (not rand()) so the split is reproducible
+    across runs, engines, and repartitions — the property a training
+    pipeline actually needs from its split.  No shuffle (narrow projection).
+    """
+    if val_pct + test_pct >= 100:
+        raise ValueError("val_pct + test_pct must be < 100")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    train_max = 256 * (100 - val_pct - test_pct) // 100
+    val_max = 256 * (100 - test_pct) // 100
+    return docs.select(
+        "doc_id",
+        bucket.alias("split_bucket"),
+        F.when(bucket < train_max, "train")
+        .when(bucket < val_max, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------

@@ -494,3 +494,85 @@ def test_asof_tie_determinism(spark):
     assert got[4] == 2
     assert got[1] == 1  # a ref is its own match (>= semantics)...
     assert got[2] == 2  # ...except a LATER tied ref supersedes an earlier one
+
+
+# ---------- round-3 pipeline ops: repetition / PII / chunk-dedup / split ----
+
+def test_repetition_signals_values(spark):
+    from contentextractor_spark.functions.analysis import repetition_signals
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam"),          # one unigram dominates
+            (2, "a b a b a b"),                  # bigram "a b" ×3
+            (3, "x"),                            # single token, no bi/tri
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(docs).collect()}
+    assert got[1].max_unigram_count == 4
+    assert got[1].max_bigram_count == 3          # "spam spam" ×3
+    assert got[1].n_distinct_tokens == 1
+    assert got[2].max_bigram_count == 3          # "a b" at offsets 0,2,4
+    assert got[2].max_trigram_count == 2         # "a b a" ×2
+    assert got[3].n_tokens == 1
+    assert got[3].max_bigram_count == 0 and got[3].max_trigram_count == 0
+
+
+def test_pii_scrub_patterns(spark):
+    from contentextractor_spark.functions.analysis import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail a.b+c_d@sub.example.org now"),
+            (2, "call +81 3 1234 5678 today"),
+            (3, "host 192.168.0.1 and 8.8.8.8"),
+            (4, "clean text with no pii at all"),
+            (5, "edge 1.2.3.4.5 trailing"),  # 5 octets: quad + stray .5
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].clean_text == "mail <EMAIL> now" and got[1].n_emails == 1
+    assert got[2].clean_text == "call <PHONE> today" and got[2].n_phones == 1
+    assert got[3].clean_text == "host <IP> and <IP>" and got[3].n_ips == 2
+    assert got[4].clean_text == docs.collect()[3].text
+    assert got[4].n_emails == got[4].n_ips == got[4].n_phones == 0
+    assert got[5].clean_text.startswith("edge <IP>")
+
+
+def test_chunk_hash_dedup_marks_cross_doc_spans(spark):
+    from contentextractor_spark.functions.analysis import chunk_hash_dedup
+
+    shared = " ".join(f"w{i}" for i in range(32))
+    uniq_a = " ".join(f"a{i}" for i in range(32))
+    uniq_b = " ".join(f"b{i}" for i in range(32))
+    docs = spark.createDataFrame(
+        [(1, shared + " " + uniq_a), (2, shared + " " + uniq_b)],
+        "doc_id: long, text: string",
+    )
+    got = {(r.doc_id, r.chunk_idx): r.is_dup_chunk
+           for r in chunk_hash_dedup(docs, chunk_tokens=32, overlap=0).collect()}
+    assert got[(1, 0)] == 1 and got[(2, 0)] == 1  # the shared 32-token span
+    assert got[(1, 1)] == 0 and got[(2, 1)] == 0  # the unique remainders
+
+
+def test_train_split_deterministic_and_proportional(spark):
+    from contentextractor_spark.functions.analysis import train_split_assign
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in train_split_assign(docs).collect()}
+    b = {r.doc_id: r.split for r in
+         train_split_assign(docs.repartition(7)).collect()}
+    assert a == b  # content-hash split: repartition-invariant
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.70 < c["train"] / 2000 < 0.88
+    assert 0.05 < c["val"] / 2000 < 0.16
+    assert 0.05 < c["test"] / 2000 < 0.16
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        train_split_assign(docs, val_pct=60, test_pct=50)
