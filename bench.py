@@ -129,6 +129,12 @@ def main() -> None:
         "events_sessionize": lambda: force(E.sessionize(
             spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
         )),
+        # r3 curation ops
+        "repetition_signals": lambda: force(A.repetition_signals(docs)),
+        "chunk_hash_dedup": lambda: force(
+            A.chunk_hash_dedup(docs, chunk_tokens=32, overlap=0)
+        ),
+        "pii_scrub": lambda: force(A.pii_scrub(docs)),
     }
 
     times: dict[str, float] = {}

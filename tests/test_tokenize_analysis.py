@@ -576,3 +576,56 @@ def test_train_split_deterministic_and_proportional(spark):
 
     with _pt.raises(ValueError):
         train_split_assign(docs, val_pct=60, test_pct=50)
+
+
+def test_pii_scrub_plan_no_shuffle_and_idempotent(spark, docs):
+    from pyspark.sql import functions as F
+
+    from contentextractor_spark.functions.analysis import pii_scrub
+
+    out = pii_scrub(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # narrow projection, embarrassingly parallel
+    # idempotence: scrubbing already-scrubbed text changes nothing
+    again = pii_scrub(
+        out.select("doc_id", F.col("clean_text").alias("text"))
+    )
+    diff = (
+        out.select("doc_id", "clean_text")
+        .exceptAll(again.select("doc_id", "clean_text"))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_train_split_plan_no_shuffle(spark, docs):
+    from contentextractor_spark.functions.analysis import train_split_assign
+
+    plan = (
+        train_split_assign(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_chunk_hash_dedup_single_shuffle(spark, docs):
+    from contentextractor_spark.functions.analysis import chunk_hash_dedup
+
+    plan = (
+        chunk_hash_dedup(docs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one Exchange for the per-hash count, one to co-locate the join side —
+    # never more (no windows, no sorts beyond the join)
+    assert plan.count("Exchange") <= 3, plan
+
+
+def test_repetition_signal_invariants(spark, docs):
+    from contentextractor_spark.functions.analysis import repetition_signals
+
+    rows = repetition_signals(docs.limit(50)).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert 1 <= r.max_unigram_count <= r.n_tokens
+        assert r.max_bigram_count <= max(0, r.n_tokens - 1)
+        assert r.max_trigram_count <= r.max_bigram_count or r.n_tokens < 3
