@@ -640,6 +640,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def train_split_assign(spark, sf_dir):
         return A.train_split_assign(_docs(spark, sf_dir), val_pct=10, test_pct=10)
 
+    def pack_sequences(spark, sf_dir):
+        return A.pack_sequences(_docs(spark, sf_dir), capacity=256, n_groups=32)
+
+    def winnowing_fingerprints(spark, sf_dir):
+        return A.winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+
     def embedding_neardup_lsh_capped(spark, sf_dir):
         # the skew guard ACTIVE and value-checked: cap 60 really drops
         # buckets at sf0.01 (sizes run 39-87), so the hash match proves the
@@ -822,6 +828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": pii_scrub,
         "chunk_hash_dedup": chunk_hash_dedup,
         "train_split_assign": train_split_assign,
+        "pack_sequences": pack_sequences,
+        "winnowing_fingerprints": winnowing_fingerprints,
         # ------------------------------------------------------------------
         "extract_roundtrip": extract_roundtrip,
         "extract_boilerplate": extract_boilerplate,
@@ -897,6 +905,14 @@ _SIG_CTE = (
     )
     + " FROM sh GROUP BY doc_id)"
 )
+
+# bigint value of the first 8 hex digits of md5(gram) — the same integer
+# Spark's conv(substring(md5(g), 1, 8), 16, 10) produces (winnowing oracle)
+_HV_GRAM_SQL = "CAST(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(gram), {d + 1}, 1)) - 1)"
+    f" * {16 ** (7 - d)}"
+    for d in range(8)
+) + " AS BIGINT)"
 
 # 6-band × 3-bit hyperplane LSH signature (18 planes), shared by the
 # embedding_neardup_lsh / _capped / overflow oracles — identical md5-derived
@@ -1270,6 +1286,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN f.n > 1 THEN 1 ELSE 0 END AS INT)
                        AS is_dup_chunk
             FROM hashed h JOIN freq f USING (chunk_hash)
+        """,
+        "pack_sequences": """
+            WITH sized AS (
+              SELECT doc_id,
+                     CAST(((strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                        + (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 32
+                          AS INT) AS pack_group,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+              FROM documents),
+            c AS (
+              SELECT doc_id, pack_group, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY pack_group ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS cb
+              FROM sized)
+            SELECT doc_id, pack_group, n_tokens,
+                   CAST(floor(cb / 256.0) AS BIGINT) AS bin_id
+            FROM c
+        """,
+        "winnowing_fingerprints": f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            g AS (
+              SELECT doc_id, i - 1 AS pos,
+                     ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+              FROM (SELECT doc_id, ws,
+                           unnest(generate_series(1, len(ws) - 2)) AS i
+                    FROM w WHERE len(ws) >= 3)),
+            k AS (
+              SELECT doc_id, pos,
+                     ({_HV_GRAM_SQL}) * 65536 + pos AS key
+              FROM g),
+            win AS (
+              SELECT doc_id,
+                     min(key) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wkey,
+                     count(*) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+              FROM k)
+            SELECT DISTINCT doc_id,
+                   CAST(wkey % 65536 AS INT) AS fp_pos,
+                   CAST(wkey // 65536 AS BIGINT) AS fp_hash
+            FROM win WHERE wn = 4
         """,
         "train_split_assign": """
             WITH b AS (

@@ -184,47 +184,46 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     Integer-only (callers derive fractions) so cross-engine checks are
     exact.
 
-    Scale: one explode per n-gram order into a map-side-combinable
-    two-level aggregation (count per (doc, gram) → max per doc); shuffles
-    key on (doc_id, gram) — high cardinality, no skew guard needed."""
+    Scale: ONE tagged gram stream (order ∈ {1,2,3}) through one
+    map-side-combinable two-level aggregation — count per (doc, order,
+    gram) → conditional max per doc — then a single join back to the
+    narrow token totals.  Shuffles key on (doc_id, order, gram): high
+    cardinality, no skew guard needed."""
     words = F.split(F.col("text"), " ")
-    uni = docs.select("doc_id", F.explode(words).alias("g"))
-    # size guard like shingles(): sequence(1, size-(n-1)) DESCENDS when the
-    # doc is shorter than n tokens and element_at would go out of bounds
-    bi = docs.filter(F.size(words) >= 2).select(
-        "doc_id", F.explode(_gram_array(2)).alias("g")
-    )
-    tri = docs.filter(F.size(words) >= 3).select(
-        "doc_id", F.explode(_gram_array(3)).alias("g")
-    )
 
-    def _max_count(tok: DataFrame, out: str) -> DataFrame:
-        per_gram = tok.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
-        return per_gram.groupBy("doc_id").agg(F.max("c").alias(out))
+    def _grams(order: int) -> DataFrame:
+        arr = words if order == 1 else _gram_array(order)
+        # size guard like shingles(): sequence(1, size-(n-1)) DESCENDS when
+        # the doc is shorter than n tokens and element_at goes out of bounds
+        src = docs if order == 1 else docs.filter(F.size(words) >= order)
+        return src.select(
+            "doc_id", F.lit(order).alias("ord"), F.explode(arr).alias("g")
+        )
 
+    grams = _grams(1).unionByName(_grams(2)).unionByName(_grams(3))
+    per_gram = grams.groupBy("doc_id", "ord", "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    maxes = per_gram.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("ord") == o, F.col("c"))).alias(name)
+            for o, name in (
+                (1, "mu"), (2, "mb"), (3, "mt"),
+            )
+        ]
+    )
     base = docs.select(
         "doc_id",
         F.size(words).alias("n_tokens"),
         F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
     )
-    return (
-        base.join(_max_count(uni, "max_unigram_count"), "doc_id", "left")
-        .join(_max_count(bi, "max_bigram_count"), "doc_id", "left")
-        .join(_max_count(tri, "max_trigram_count"), "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_tokens",
-            "n_distinct_tokens",
-            F.coalesce("max_unigram_count", F.lit(0)).cast("long").alias(
-                "max_unigram_count"
-            ),
-            F.coalesce("max_bigram_count", F.lit(0)).cast("long").alias(
-                "max_bigram_count"
-            ),
-            F.coalesce("max_trigram_count", F.lit(0)).cast("long").alias(
-                "max_trigram_count"
-            ),
-        )
+    return base.join(maxes, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.coalesce("mu", F.lit(0)).cast("long").alias("max_unigram_count"),
+        F.coalesce("mb", F.lit(0)).cast("long").alias("max_bigram_count"),
+        F.coalesce("mt", F.lit(0)).cast("long").alias("max_trigram_count"),
     )
 
 
@@ -312,6 +311,88 @@ def train_split_assign(
         .when(bucket < val_max, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, capacity: int = 256, n_groups: int = 32
+) -> DataFrame:
+    """Streaming sequence packing: assign documents to fixed-token-budget
+    training bins.  Docs are split into n_groups independent packing
+    streams by md5 bucket (deterministic, engine-portable); within a
+    stream, docs are taken in doc_id order and bin_id = floor(tokens-so-far
+    / capacity) — the standard streaming approximation of first-fit (a doc
+    may straddle a bin boundary; bins hold ≈capacity tokens).
+
+    Scale: the running sum windows on group (orderBy doc_id) — n_groups
+    bounds the parallelism of the packing stage, so set it ≈ the cluster's
+    task slots; each stream is an independent sequential pack, which is
+    exactly the semantics packing needs (a GLOBAL order would serialize the
+    corpus through one task)."""
+    words = F.split(F.col("text"), " ")
+    group = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("int"),
+        F.lit(n_groups),
+    )
+    sized = docs.select(
+        "doc_id", group.alias("pack_group"), F.size(words).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("pack_group")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return sized.select(
+        "doc_id",
+        "pack_group",
+        "n_tokens",
+        F.floor(cum_before / capacity).cast("long").alias("bin_id"),
+    )
+
+
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 3, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
+    the MOSS algorithm): hash every word k-gram, slide a w-window over the
+    hash sequence, keep each window's minimum; the DISTINCT selected
+    (position, hash) pairs are the fingerprint set.  Guarantees any shared
+    substring of ≥ w+k-1 words produces a shared fingerprint — the
+    shift-tolerant dedup primitive between exact hashing and MinHash.
+
+    Ties break to the LEFTMOST minimal hash via an integer composite key
+    (hash * 2^16 + pos, pos < 65536), which keeps the whole computation in
+    exact bigint arithmetic on both engines.  Scale: one explode + one
+    window partitioned on doc_id (high cardinality) + distinct — no joins.
+    """
+    if w < 1:
+        raise ValueError("w must be >= 1")
+    words = F.split(F.col("text"), " ")
+    grams = docs.filter(F.size(words) >= k).select(
+        "doc_id", F.posexplode(_gram_array(k)).alias("pos", "g")
+    )
+    h = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
+    keyed = grams.select(
+        "doc_id", "pos", (h * F.lit(65536) + F.col("pos")).alias("key")
+    )
+    win = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    )
+    winners = keyed.select(
+        "doc_id",
+        F.min("key").over(win).alias("wkey"),
+        F.count(F.lit(1)).over(win).alias("wn"),
+    ).filter(F.col("wn") == w)  # complete windows only (the 2003 definition)
+    return (
+        winners.select("doc_id", "wkey")
+        .distinct()
+        .select(
+            "doc_id",
+            (F.col("wkey") % 65536).cast("int").alias("fp_pos"),
+            F.floor(F.col("wkey") / 65536).cast("long").alias("fp_hash"),
+        )
     )
 
 

@@ -629,3 +629,58 @@ def test_repetition_signal_invariants(spark, docs):
         assert 1 <= r.max_unigram_count <= r.n_tokens
         assert r.max_bigram_count <= max(0, r.n_tokens - 1)
         assert r.max_trigram_count <= r.max_bigram_count or r.n_tokens < 3
+
+
+def test_pack_sequences_streaming_invariants(spark, docs):
+    from contentextractor_spark.functions.analysis import pack_sequences
+
+    out = pack_sequences(docs, capacity=256, n_groups=8).collect()
+    assert len(out) == docs.count()  # every doc assigned exactly once
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.pack_group, []).append(r)
+    for g, rows in by_group.items():
+        rows.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rows:
+            assert r.bin_id == cum // 256  # the streaming-pack definition
+            cum += r.n_tokens
+        # bins are contiguous from 0
+        bins = sorted({r.bin_id for r in rows})
+        assert bins == list(range(len(bins)))
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    """Schleimer et al. guarantee: a shared word run of length >= w+k-1
+    (here 4+3-1=6) always yields at least one shared fingerprint HASH."""
+    from contentextractor_spark.functions.analysis import winnowing_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 words
+    docs = spark.createDataFrame(
+        [
+            (1, "one two " + shared + " seven eight"),
+            (2, "x1 y2 z3 " + shared),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        "doc_id: long, text: string",
+    )
+    fps = winnowing_fingerprints(docs, k=3, w=4).collect()
+    sets = {}
+    for r in fps:
+        sets.setdefault(r.doc_id, set()).add(r.fp_hash)
+    assert sets[1] & sets[2], "shared 6-word run must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    # positions are within each doc's k-gram range
+    for r in fps:
+        assert r.fp_pos >= 0
+
+
+def test_winnowing_short_doc_empty(spark):
+    from contentextractor_spark.functions.analysis import winnowing_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, "just five little words here"), (2, "a b")],
+        "doc_id: long, text: string",
+    )
+    # doc 1: 5 words -> 3 k-grams -> no complete w=4 window; doc 2: no grams
+    assert winnowing_fingerprints(docs, k=3, w=4).count() == 0
