@@ -184,46 +184,42 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     Integer-only (callers derive fractions) so cross-engine checks are
     exact.
 
-    Scale: ONE tagged gram stream (order ∈ {1,2,3}) through one
-    map-side-combinable two-level aggregation — count per (doc, order,
-    gram) → conditional max per doc — then a single join back to the
-    narrow token totals.  Shuffles key on (doc_id, order, gram): high
-    cardinality, no skew guard needed."""
+    Scale (measured at sf0.1, noop sink): the naive plan shuffles every
+    GRAM STRING to its (doc, gram) reducer — ~1.6k grams/doc × the corpus,
+    the biggest shuffle in the bench (11.3 s).  Instead, repartition the
+    DOCS by doc_id once (one row per doc — megabytes, not the gram
+    stream): hash partitioning on doc_id SATISFIES the clustering
+    requirement of every downstream groupBy whose keys include doc_id
+    (subset-key clustering) and of the doc_id joins, so the gram
+    aggregations and the join back to the token totals all run with ZERO
+    further Exchange — the one doc shuffle is ReusedExchange'd across the
+    four subtrees (plan-audited).  Measured 11.3 s → 2.4 s."""
     words = F.split(F.col("text"), " ")
+    rep = docs.select("doc_id", "text").repartition("doc_id")
 
-    def _grams(order: int) -> DataFrame:
-        arr = words if order == 1 else _gram_array(order)
-        # size guard like shingles(): sequence(1, size-(n-1)) DESCENDS when
-        # the doc is shorter than n tokens and element_at goes out of bounds
-        src = docs if order == 1 else docs.filter(F.size(words) >= order)
-        return src.select(
-            "doc_id", F.lit(order).alias("ord"), F.explode(arr).alias("g")
+    def _max_count(order: int, out: str) -> DataFrame:
+        per_gram = _gram_stream(rep, order).groupBy("doc_id", "g").agg(
+            F.count(F.lit(1)).alias("c")
         )
+        return per_gram.groupBy("doc_id").agg(F.max("c").alias(out))
 
-    grams = _grams(1).unionByName(_grams(2)).unionByName(_grams(3))
-    per_gram = grams.groupBy("doc_id", "ord", "g").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    maxes = per_gram.groupBy("doc_id").agg(
-        *[
-            F.max(F.when(F.col("ord") == o, F.col("c"))).alias(name)
-            for o, name in (
-                (1, "mu"), (2, "mb"), (3, "mt"),
-            )
-        ]
-    )
-    base = docs.select(
+    base = rep.select(
         "doc_id",
         F.size(words).alias("n_tokens"),
         F.size(F.array_distinct(words)).alias("n_distinct_tokens"),
     )
-    return base.join(maxes, "doc_id", "left").select(
-        "doc_id",
-        "n_tokens",
-        "n_distinct_tokens",
-        F.coalesce("mu", F.lit(0)).cast("long").alias("max_unigram_count"),
-        F.coalesce("mb", F.lit(0)).cast("long").alias("max_bigram_count"),
-        F.coalesce("mt", F.lit(0)).cast("long").alias("max_trigram_count"),
+    return (
+        base.join(_max_count(1, "mu"), "doc_id", "left")
+        .join(_max_count(2, "mb"), "doc_id", "left")
+        .join(_max_count(3, "mt"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct_tokens",
+            F.coalesce("mu", F.lit(0)).cast("long").alias("max_unigram_count"),
+            F.coalesce("mb", F.lit(0)).cast("long").alias("max_bigram_count"),
+            F.coalesce("mt", F.lit(0)).cast("long").alias("max_trigram_count"),
+        )
     )
 
 
@@ -369,10 +365,7 @@ def winnowing_fingerprints(
     """
     if w < 1:
         raise ValueError("w must be >= 1")
-    words = F.split(F.col("text"), " ")
-    grams = docs.filter(F.size(words) >= k).select(
-        "doc_id", F.posexplode(_gram_array(k)).alias("pos", "g")
-    )
+    grams = _gram_stream(docs, k, with_pos=True)
     h = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
     keyed = grams.select(
         "doc_id", "pos", (h * F.lit(65536) + F.col("pos")).alias("key")
@@ -412,15 +405,41 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     ).withColumn("is_duplicate", (F.col("copy_rank") > 1).cast("int"))
 
 
-def _gram_array(n: int):
-    """array<string> of word n-grams of `text` (with within-doc repeats)."""
+def _gram_stream(src: DataFrame, n: int, with_pos: bool = False) -> DataFrame:
+    """(doc_id[, pos], g): the exploded word n-gram stream of `text`.
+
+    Built WITHOUT higher-order lambdas (measured r3, sf0.1 noop: the
+    transform-based gram array costs 5.1 s where this form costs 0.8 —
+    sre-style per-element interpretation again): arrays_zip the word array
+    with its shifted slices (plain JVM array ops), explode the struct
+    stream, and assemble the gram with a codegen'd row-level concat_ws
+    AFTER the explode.  Tail structs whose last field is null (incomplete
+    n-tuples) are filtered out; intermediate fields can't be null because
+    the zipped arrays are suffixes of the same word array."""
     words = F.split(F.col("text"), " ")
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + j) for j in range(n)]
-        ),
+    if n == 1:
+        if with_pos:
+            return src.select(
+                "doc_id", F.posexplode(words).alias("pos", "g")
+            )
+        return src.select("doc_id", F.explode(words).alias("g"))
+    arrs = [words] + [
+        F.slice(words, i + 1, F.greatest(F.size(words) - i, F.lit(1)))
+        for i in range(1, n)
+    ]
+    z = F.arrays_zip(*arrs)
+    fields = [F.col("s").getItem(str(i)) for i in range(n)]
+    filtered = src.filter(F.size(words) >= n)
+    if with_pos:
+        exploded = filtered.select(
+            "doc_id", F.posexplode(z).alias("pos", "s")
+        )
+        return exploded.filter(fields[n - 1].isNotNull()).select(
+            "doc_id", "pos", F.concat_ws(" ", *fields).alias("g")
+        )
+    exploded = filtered.select("doc_id", F.explode(z).alias("s"))
+    return exploded.filter(fields[n - 1].isNotNull()).select(
+        "doc_id", F.concat_ws(" ", *fields).alias("g")
     )
 
 
@@ -434,10 +453,7 @@ def shingles(docs: DataFrame, n: int = 3, dedup: bool = True) -> DataFrame:
     .distinct() shuffle dedups in codegen'd hash aggregation.  Consumers
     whose aggregate is duplicate-insensitive (MinHash: min over a multiset
     equals min over the set) pass dedup=False and skip the cost entirely."""
-    words = F.split(F.col("text"), " ")
-    sh = docs.filter(F.size(words) >= n).select(
-        "doc_id", F.explode(_gram_array(n)).alias("shingle")
-    )
+    sh = _gram_stream(docs, n).withColumnRenamed("g", "shingle")
     return sh.distinct() if dedup else sh
 
 
