@@ -21,9 +21,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-HEX_DIGITS = "0123456789abcdef"
-
-
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -94,14 +91,6 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
-# token hash for the rolling fingerprint: value of the first 8 hex digits
-# of md5(token) — pure arithmetic, identical in any engine with md5+strpos.
-_HV_EXPR = " + ".join(
-    f"(cast(instr('{HEX_DIGITS}', substring(md5(w), {d + 1}, 1)) as bigint) - 1)"
-    f" * cast({16 ** (7 - d)} as bigint)"
-    for d in range(8)
-)
-
 ROLLING_B = 31
 ROLLING_M = 1_000_000_007
 
@@ -113,8 +102,16 @@ def rolling_fingerprints(docs: DataFrame) -> DataFrame:
     Order-sensitive (unlike the md5 content hash) — equal prefixes share
     hash prefixes, the standard building block for shift-tolerant dup
     detection.  Engine-portable: the identical fold runs in DuckDB via
-    list_reduce (oracle-checked)."""
-    hashed = F.expr(f"transform(split(text, ' '), w -> ({_HV_EXPR}))")
+    list_reduce (oracle-checked).
+
+    The token hash is the bigint value of md5's first 8 hex digits via ONE
+    conv() per token (measured r3: the per-digit strpos arithmetic ran md5
+    8× per token inside the interpreted lambda — 1.2 s vs 0.26 s at sf0.1,
+    identical values)."""
+    hashed = F.expr(
+        "transform(split(text, ' '), "
+        "w -> cast(conv(substring(md5(w), 1, 8), 16, 10) as bigint))"
+    )
     fold = F.aggregate(
         hashed,
         F.lit(0).cast("long"),
