@@ -684,3 +684,37 @@ def test_winnowing_short_doc_empty(spark):
     )
     # doc 1: 5 words -> 3 k-grams -> no complete w=4 window; doc 2: no grams
     assert winnowing_fingerprints(docs, k=3, w=4).count() == 0
+
+
+def test_gram_stream_differential_vs_python(spark):
+    """_gram_stream (arrays_zip form) must equal naive Python n-grams for
+    any token list — including empty tokens from repeated spaces and docs
+    shorter than n (hypothesis over a small alphabet)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from contentextractor_spark.functions.analysis import _gram_stream
+
+    texts_strategy = st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(texts_strategy)
+    def check(texts):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+        )
+        for n in (1, 2, 3):
+            got = sorted(
+                (r.doc_id, r.pos, r.g)
+                for r in _gram_stream(docs, n, with_pos=True).collect()
+            )
+            expected = []
+            for i, t in enumerate(texts):
+                ws = t.split(" ")
+                for p in range(len(ws) - n + 1):
+                    expected.append((i, p, " ".join(ws[p : p + n])))
+            assert got == sorted(expected), (n, texts)
+
+    check()
