@@ -1319,7 +1319,7 @@ def oracle_sql() -> dict[str, str]:
                     FROM w WHERE len(ws) >= 3)),
             k AS (
               SELECT doc_id, pos,
-                     ({_HV_GRAM_SQL}) * 65536 + pos AS key
+                     ({_HV_GRAM_SQL}) * 2147483648 + pos AS key
               FROM g),
             win AS (
               SELECT doc_id,
@@ -1329,8 +1329,8 @@ def oracle_sql() -> dict[str, str]:
                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
               FROM k)
             SELECT DISTINCT doc_id,
-                   CAST(wkey % 65536 AS INT) AS fp_pos,
-                   CAST(wkey // 65536 AS BIGINT) AS fp_hash
+                   CAST(wkey % 2147483648 AS INT) AS fp_pos,
+                   CAST(wkey // 2147483648 AS BIGINT) AS fp_hash
             FROM win WHERE wn = 4
         """,
         "train_split_assign": """

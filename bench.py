@@ -105,6 +105,14 @@ def main() -> None:
         time the bare scan); the noop sink materializes every column."""
         df.write.format("noop").mode("overwrite").save()
 
+    def _run_jaccard():
+        # unpersist the shingle cache after timing — otherwise it stays
+        # pinned while every later query is measured (r3 review finding)
+        handle: list = []
+        force(A.jaccard_pairs(docs, cache_handle=handle))
+        for df in handle:
+            df.unpersist()
+
     bench_queries = {
         "extract_pages": lambda: force(extract_pages(pages, num_buckets=NUM_BUCKETS)),
         "extract_roundtrip": lambda: force(
@@ -112,7 +120,7 @@ def main() -> None:
         ),
         "dedup_exact": lambda: force(A.dedup_exact(docs)),
         "minhash_signatures": lambda: force(A.minhash_signatures(docs, k=4, n=3)),
-        "ngram_jaccard_pairs": lambda: force(A.jaccard_pairs(docs)),
+        "ngram_jaccard_pairs": lambda: _run_jaccard(),
         "simhash": lambda: force(A.simhash(docs, bits=48)),
         "knn_bruteforce": lambda: force(A.knn_bruteforce(emb, n_queries=10, k=5)),
         "embedding_neardup_lsh": lambda: force(

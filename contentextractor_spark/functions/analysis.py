@@ -229,7 +229,12 @@ PII_IPV4 = (
     "[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?[.]"
     "[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?"
 )
-PII_PHONE = "[+]?[0-9][0-9()\\- ]{6,}[0-9]"
+# NO space inside the phone class (r3 review): with a space allowed, any
+# space-separated digit list ("scores: 10 20 30 40") merges into one
+# <PHONE> and non-PII content is destroyed.  Precision over recall for a
+# training-corpus scrubber — a space-separated phone is a recall miss, a
+# false redaction is corpus damage.
+PII_PHONE = "[+]?[0-9][0-9()\\-]{5,}[0-9]"
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -359,16 +364,18 @@ def winnowing_fingerprints(
     shift-tolerant dedup primitive between exact hashing and MinHash.
 
     Ties break to the LEFTMOST minimal hash via an integer composite key
-    (hash * 2^16 + pos, pos < 65536), which keeps the whole computation in
-    exact bigint arithmetic on both engines.  Scale: one explode + one
-    window partitioned on doc_id (high cardinality) + distinct — no joins.
-    """
+    (hash * 2^31 + pos): hash < 2^32 so the key tops out below 2^63 —
+    exact bigint arithmetic on both engines for documents up to 2^31
+    k-grams (a 2-billion-word document; the 2^16 shift of an earlier draft
+    silently corrupted fingerprints past position 65,535).  Scale: one
+    explode + one window partitioned on doc_id (high cardinality) +
+    distinct — no joins."""
     if w < 1:
         raise ValueError("w must be >= 1")
     grams = _gram_stream(docs, k, with_pos=True)
     h = F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long")
     keyed = grams.select(
-        "doc_id", "pos", (h * F.lit(65536) + F.col("pos")).alias("key")
+        "doc_id", "pos", (h * F.lit(2147483648) + F.col("pos")).alias("key")
     )
     win = (
         Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
@@ -383,8 +390,10 @@ def winnowing_fingerprints(
         .distinct()
         .select(
             "doc_id",
-            (F.col("wkey") % 65536).cast("int").alias("fp_pos"),
-            F.floor(F.col("wkey") / 65536).cast("long").alias("fp_hash"),
+            (F.col("wkey") % 2147483648).cast("int").alias("fp_pos"),
+            # shiftright, not floor(x / 2^31): double division is only
+            # exact below 2^53 and wkey legitimately reaches 2^63
+            F.shiftright(F.col("wkey"), 31).alias("fp_hash"),
         )
     )
 
@@ -521,12 +530,17 @@ def minhash_lsh_buckets(
 
 
 def minhash_lsh_overflow(
-    docs: DataFrame, k: int = 4, n: int = 3, max_bucket_size: int = 1000
+    docs: DataFrame, k: int = 4, n: int = 3, *, max_bucket_size: int
 ) -> DataFrame:
     """The buckets minhash_lsh_buckets DROPS under max_bucket_size — the
     loud side of the skew guard.  A pipeline materializes this next to the
     candidate feed; a non-empty result is the signal to raise band bits or
-    investigate boilerplate."""
+    investigate boilerplate.
+
+    max_bucket_size is REQUIRED (keyword-only) and must be the SAME value
+    the paired candidate producer was called with — a defaulted cap here
+    would report buckets as "dropped" that an uncapped producer kept
+    (r3 review finding)."""
     full = minhash_lsh_buckets(docs, k=k, n=n, max_bucket_size=None)
     return full.filter(F.col("n_docs") > max_bucket_size)
 
@@ -1125,12 +1139,17 @@ def embedding_lsh_overflow(
     emb: DataFrame,
     n_bands: int = 6,
     band_bits: int = 3,
-    max_bucket_size: int = 1000,
+    *,
+    max_bucket_size: int,
 ) -> DataFrame:
     """The (band, bkey) buckets embedding_neardup_lsh DROPS under
     max_bucket_size — the loud side of the skew guard.  Materialize this
     next to the pair feed; non-empty means a degenerate vector cluster
-    (e.g. zero-norm embeddings) was excluded from candidate generation."""
+    (e.g. zero-norm embeddings) was excluded from candidate generation.
+
+    max_bucket_size is REQUIRED (keyword-only) and must match the paired
+    producer's cap — a default here would let the audit trail disagree
+    with what was actually dropped (r3 review finding)."""
     return (
         _embedding_bands(emb, n_bands, band_bits)
         .groupBy("band", "bkey")

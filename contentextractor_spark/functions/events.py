@@ -105,33 +105,51 @@ def asof_latest(events: DataFrame, ref_type: str = "view") -> DataFrame:
     ``ASOF JOIN ... ON probe.ts >= ref.ts`` semantics (a reference event is
     its own match).  DuckDB's native ASOF LEFT JOIN is the oracle.
 
-    Tie invariant (ADVICE r2): among MULTIPLE reference events at the same
-    (user_id, ts), this picks the LARGEST event_id — refs sort event_id-asc
-    inside the carry-forward window, so the last one seen wins.  The oracle
-    makes the same choice explicitly (refs pre-deduped to max(event_id) per
-    (user_id, ts) before the ASOF join), so exact-ts ties can never flake
-    the hash gate; `test_asof_tie_determinism` pins the behavior."""
+    Tie invariant (ADVICE r2, corrected r3 after a review found the two
+    sides disagreed for a tied ref matching itself): EVERY event at a tied
+    (user_id, ts) — including the smaller tied ref — matches the ref with
+    max(event_id) at that ts.  Implemented as separate MARKER rows (one
+    per ref event) unioned with the probe rows: at equal ts all markers
+    sort before all probes and among themselves by event_id asc, so the
+    carry-forward's "last seen" is exactly max(event_id) — no dedup
+    aggregation needed, still ONE shuffle and zero joins (plan-audited).
+    The oracle makes the identical choice (refs pre-deduped to
+    max(event_id) per (user_id, ts) before its ASOF join);
+    `test_asof_tie_determinism` pins the behavior."""
     is_ref = F.col("event_type") == ref_type
-    tagged = events.select(
-        "event_id",
+    markers = events.filter(is_ref).select(
+        F.lit(None).cast("long").alias("out_id"),
         "user_id",
         "ts",
-        F.when(is_ref, F.col("event_id")).alias("ref_id"),
-        F.when(is_ref, F.col("ts")).alias("ref_ts"),
+        F.col("event_id").alias("sort_id"),
+        F.col("event_id").alias("ref_id"),
+        F.col("ts").alias("ref_ts"),
     )
+    probes = events.select(
+        F.col("event_id").alias("out_id"),
+        "user_id",
+        "ts",
+        F.col("event_id").alias("sort_id"),
+        F.lit(None).cast("long").alias("ref_id"),
+        F.lit(None).cast("timestamp").alias("ref_ts"),
+    )
+    tagged = probes.unionByName(markers)
     w = (
         Window.partitionBy("user_id")
         .orderBy(
             F.col("ts"),
             F.when(F.col("ref_id").isNotNull(), 0).otherwise(1),
-            F.col("event_id"),
+            F.col("sort_id"),
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    return tagged.select(
-        "event_id",
-        F.last("ref_id", ignorenulls=True).over(w).alias("asof_event_id"),
-        F.last("ref_ts", ignorenulls=True).over(w).alias("asof_ts"),
+    return (
+        tagged.select(
+            F.col("out_id").alias("event_id"),
+            F.last("ref_id", ignorenulls=True).over(w).alias("asof_event_id"),
+            F.last("ref_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        )
+        .filter(F.col("event_id").isNotNull())  # drop the marker rows
     )
 
 

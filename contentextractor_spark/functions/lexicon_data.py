@@ -138,7 +138,7 @@ _NOUNS_GENERAL = (
     "行事 伝統 習慣 宗教 神社 寺院 教会 信仰 祈り 建物 建築 住宅 家屋 部屋 "
     "玄関 台所 寝室 風呂 庭園 公園 広場 施設 設備 装置 機械 機器 道具 器具 "
     "材料 素材 金属 木材 石油 石炭 電力 電気 電子 原子 分子 物質 物体 重力 "
-    "温度 湿度 圧力 変数 エネルギー 資源 燃料 発電 工場 工業 農業 漁業"
+    "温度 湿度 圧力 変数 エネルギー 資源 燃料 発電 工場 工業 農業 漁業 "
     "林業 鉱業 農家 農村 都会 田舎 人口 住民 市民 国民 民族 移民 難民 福祉 "
     "年金 保険 介護 支援 援助 協力 参加 活動 運営 管理 監督 指導 指示 命令 "
     "要求 要望 希望 期待 不安 心配 恐怖 喜び 悲しみ 怒り 驚き 笑顔 涙声 "

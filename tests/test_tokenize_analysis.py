@@ -492,8 +492,12 @@ def test_asof_tie_determinism(spark):
     got = {r.event_id: r.asof_event_id for r in asof_latest(events, "view").collect()}
     assert got[3] == 2  # max event_id among the tied refs
     assert got[4] == 2
-    assert got[1] == 1  # a ref is its own match (>= semantics)...
-    assert got[2] == 2  # ...except a LATER tied ref supersedes an earlier one
+    # EVERY event at the tied ts matches the deduped marker (max event_id),
+    # including the smaller tied ref itself — this is exactly what the
+    # oracle's pre-deduped ASOF join computes (r3 review fix: the previous
+    # carry-forward let ref 1 match itself, diverging from the oracle)
+    assert got[1] == 2
+    assert got[2] == 2
 
 
 # ---------- round-3 pipeline ops: repetition / PII / chunk-dedup / split ----
@@ -525,10 +529,15 @@ def test_pii_scrub_patterns(spark):
     docs = spark.createDataFrame(
         [
             (1, "mail a.b+c_d@sub.example.org now"),
-            (2, "call +81 3 1234 5678 today"),
+            (2, "call +81-3-1234-5678 today"),
             (3, "host 192.168.0.1 and 8.8.8.8"),
             (4, "clean text with no pii at all"),
             (5, "edge 1.2.3.4.5 trailing"),  # 5 octets: quad + stray .5
+            # precision-first: a space-separated digit LIST must survive
+            # (the r2 draft's space-in-class pattern merged it into one
+            # <PHONE>); the price is that space-separated phones are a
+            # documented recall miss
+            (6, "scores were 10 20 30 40 points"),
         ],
         "doc_id: long, text: string",
     )
@@ -539,6 +548,8 @@ def test_pii_scrub_patterns(spark):
     assert got[4].clean_text == docs.collect()[3].text
     assert got[4].n_emails == got[4].n_ips == got[4].n_phones == 0
     assert got[5].clean_text.startswith("edge <IP>")
+    assert got[6].clean_text == "scores were 10 20 30 40 points"
+    assert got[6].n_phones == 0
 
 
 def test_chunk_hash_dedup_marks_cross_doc_spans(spark):
