@@ -129,3 +129,52 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.read.parquet(out_dir)
     assert got.count() == 500
     assert got.select("event_id").distinct().count() == 500
+
+
+def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
+    """pii_scrub and train_split_assign are stateless narrow projections —
+    they must run UNCHANGED on a streaming DataFrame and agree with the
+    batch result (the contract that lets the curation pipeline move to a
+    readStream ingest without rewrites)."""
+    from contentextractor_spark.functions.analysis import (
+        pii_scrub,
+        train_split_assign,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    in_dir = str(tmp_path / "docs")
+    docs.write.parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+
+    q = (
+        pii_scrub(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.clean_text for r in spark.sql("SELECT * FROM pii_stream").collect()
+    }
+    want = {r.doc_id: r.clean_text for r in pii_scrub(spark.read.parquet(in_dir)).collect()}
+    assert got == want
+
+    q2 = (
+        train_split_assign(stream)
+        .writeStream.format("memory")
+        .queryName("split_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r.doc_id: r.split for r in spark.sql("SELECT * FROM split_stream").collect()
+    }
+    want2 = {
+        r.doc_id: r.split
+        for r in train_split_assign(spark.read.parquet(in_dir)).collect()
+    }
+    assert got2 == want2
