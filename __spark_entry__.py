@@ -640,6 +640,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def train_split_assign(spark, sf_dir):
         return A.train_split_assign(_docs(spark, sf_dir), val_pct=10, test_pct=10)
 
+    def decontaminate(spark, sf_dir):
+        # benchmark set = the first 20 docs (every one contaminates itself,
+        # plus any genuine cross-doc 3-gram overlap — both value-checked)
+        docs = _docs(spark, sf_dir)
+        bench = docs.filter(F.col("doc_id") < 20)
+        return A.decontaminate(docs, bench, n=3, min_overlap=2)
+
     def pack_sequences(spark, sf_dir):
         return A.pack_sequences(_docs(spark, sf_dir), capacity=256, n_groups=32)
 
@@ -830,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_split_assign": train_split_assign,
         "pack_sequences": pack_sequences,
         "winnowing_fingerprints": winnowing_fingerprints,
+        "decontaminate": decontaminate,
         # ------------------------------------------------------------------
         "extract_roundtrip": extract_roundtrip,
         "extract_boilerplate": extract_boilerplate,
@@ -1286,6 +1294,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN f.n > 1 THEN 1 ELSE 0 END AS INT)
                        AS is_dup_chunk
             FROM hashed h JOIN freq f USING (chunk_hash)
+        """,
+        "decontaminate": f"""
+            WITH {_SHINGLE_CTE},
+            bsh AS (SELECT doc_id AS bench_id, shingle FROM sh
+                    WHERE doc_id < 20)
+            SELECT c.doc_id, b.bench_id,
+                   CAST(count(*) AS BIGINT) AS overlap
+            FROM sh c JOIN bsh b USING (shingle)
+            GROUP BY c.doc_id, b.bench_id
+            HAVING count(*) >= 2
         """,
         "pack_sequences": """
             WITH sized AS (

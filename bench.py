@@ -143,6 +143,9 @@ def main() -> None:
             A.chunk_hash_dedup(docs, chunk_tokens=32, overlap=0)
         ),
         "pii_scrub": lambda: force(A.pii_scrub(docs)),
+        "decontaminate": lambda: force(
+            A.decontaminate(docs, docs.filter(F.col("doc_id") < 20))
+        ),
     }
 
     times: dict[str, float] = {}

@@ -608,6 +608,32 @@ def jaccard_pairs(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    min_overlap: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing ≥
+    min_overlap distinct word n-grams with any benchmark item — the
+    standard train/test leakage check (GPT-3 §C, PaLM §7) run before
+    training.  Output: (doc_id, bench_id, overlap) per contaminated pair.
+
+    Scale: the benchmark side is SMALL by nature (eval suites are
+    thousands of items, the corpus is 10^12 docs) — its shingle set
+    broadcasts, so the corpus stream joins map-side with NO shuffle of
+    corpus shingles; the only exchange is the per-(doc, bench) overlap
+    aggregation, bounded by actual hits."""
+    corpus_sh = shingles(docs, n=n)
+    bench_sh = shingles(bench, n=n).withColumnRenamed("doc_id", "bench_id")
+    return (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("overlap"))
+        .filter(F.col("overlap") >= min_overlap)
+    )
+
+
 def dedup_components(
     docs: DataFrame,
     n: int = 3,

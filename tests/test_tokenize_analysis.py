@@ -729,3 +729,37 @@ def test_gram_stream_differential_vs_python(spark):
             assert got == sorted(expected), (n, texts)
 
     check()
+
+
+def test_decontaminate_flags_planted_leak(spark):
+    """A corpus doc that embeds a benchmark item's 6-word span must be
+    flagged with overlap >= 4 (6 words -> 4 shared 3-grams); disjoint docs
+    must not appear."""
+    from contentextractor_spark.functions.analysis import decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    leak_span = "quick brown fox jumps over the"  # 6 words from the bench
+    docs = spark.createDataFrame(
+        [
+            (100, "intro words " + leak_span + " closing remarks here"),
+            (101, "totally unrelated text about spark query planning"),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame(
+        [(1, bench_text)], "doc_id: long, text: string"
+    )
+    got = {(r.doc_id, r.bench_id): r.overlap
+           for r in decontaminate(docs, bench, n=3, min_overlap=2).collect()}
+    assert got == {(100, 1): 4}
+
+
+def test_decontaminate_plan_broadcasts_bench(spark, docs):
+    from contentextractor_spark.functions.analysis import decontaminate
+
+    bench = docs.limit(5)
+    plan = (
+        decontaminate(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # corpus shingles never shuffle for the join
