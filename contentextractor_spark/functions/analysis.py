@@ -234,7 +234,7 @@ PII_IPV4 = (
 # <PHONE> and non-PII content is destroyed.  Precision over recall for a
 # training-corpus scrubber — a space-separated phone is a recall miss, a
 # false redaction is corpus damage.
-PII_PHONE = "[+]?[0-9][0-9()\\-]{5,}[0-9]"
+PII_PHONE = "[+]?[0-9][0-9()\\-]{6,}[0-9]"  # >= 8 chars, same floor as r2
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -621,15 +621,18 @@ def decontaminate(
 
     Scale: the benchmark side is SMALL by nature (eval suites are
     thousands of items, the corpus is 10^12 docs) — its shingle set
-    broadcasts, so the corpus stream joins map-side with NO shuffle of
-    corpus shingles; the only exchange is the per-(doc, bench) overlap
-    aggregation, bounded by actual hits."""
-    corpus_sh = shingles(docs, n=n)
+    broadcasts, and the corpus side joins RAW (dedup=False: a per-doc
+    .distinct() would shuffle the entire corpus shingle stream below the
+    join, contradicting this very paragraph — caught by an r3 review of
+    the executed plan).  countDistinct over the join HITS gives the same
+    distinct-overlap counts, so the only corpus-wide exchange is the
+    post-join aggregation, bounded by actual contamination volume."""
+    corpus_sh = shingles(docs, n=n, dedup=False)
     bench_sh = shingles(bench, n=n).withColumnRenamed("doc_id", "bench_id")
     return (
         corpus_sh.join(F.broadcast(bench_sh), "shingle")
         .groupBy("doc_id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("overlap"))
+        .agg(F.countDistinct("shingle").alias("overlap"))
         .filter(F.col("overlap") >= min_overlap)
     )
 

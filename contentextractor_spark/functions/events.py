@@ -117,39 +117,50 @@ def asof_latest(events: DataFrame, ref_type: str = "view") -> DataFrame:
     max(event_id) per (user_id, ts) before its ASOF join);
     `test_asof_tie_determinism` pins the behavior."""
     is_ref = F.col("event_type") == ref_type
-    markers = events.filter(is_ref).select(
-        F.lit(None).cast("long").alias("out_id"),
-        "user_id",
-        "ts",
-        F.col("event_id").alias("sort_id"),
-        F.col("event_id").alias("ref_id"),
-        F.col("ts").alias("ref_ts"),
-    )
-    probes = events.select(
+    # ONE scan: each event row explodes into its probe struct plus, for ref
+    # events, a marker struct (a unioned second projection would scan the
+    # source twice — r3 review).  The explicit is_marker flag — not a null
+    # event_id sentinel — keeps genuine null-event_id input rows in the
+    # output (row-preserving contract).
+    probe = F.struct(
+        F.lit(False).alias("is_marker"),
         F.col("event_id").alias("out_id"),
-        "user_id",
-        "ts",
         F.col("event_id").alias("sort_id"),
         F.lit(None).cast("long").alias("ref_id"),
         F.lit(None).cast("timestamp").alias("ref_ts"),
     )
-    tagged = probes.unionByName(markers)
+    marker = F.struct(
+        F.lit(True).alias("is_marker"),
+        F.lit(None).cast("long").alias("out_id"),
+        F.col("event_id").alias("sort_id"),
+        F.col("event_id").alias("ref_id"),
+        F.col("ts").alias("ref_ts"),
+    )
+    tagged = events.select(
+        "user_id",
+        "ts",
+        F.explode(
+            F.when(is_ref, F.array(probe, marker)).otherwise(F.array(probe))
+        ).alias("r"),
+    ).select("user_id", "ts", "r.*")
     w = (
         Window.partitionBy("user_id")
         .orderBy(
             F.col("ts"),
-            F.when(F.col("ref_id").isNotNull(), 0).otherwise(1),
+            F.when(F.col("is_marker"), 0).otherwise(1),
             F.col("sort_id"),
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     return (
         tagged.select(
+            "is_marker",
             F.col("out_id").alias("event_id"),
             F.last("ref_id", ignorenulls=True).over(w).alias("asof_event_id"),
             F.last("ref_ts", ignorenulls=True).over(w).alias("asof_ts"),
         )
-        .filter(F.col("event_id").isNotNull())  # drop the marker rows
+        .filter(~F.col("is_marker"))
+        .drop("is_marker")
     )
 
 

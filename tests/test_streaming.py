@@ -154,7 +154,7 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "pii stream did not finish in 120 s"
     got = {
         r.doc_id: r.clean_text for r in spark.sql("SELECT * FROM pii_stream").collect()
     }
@@ -169,7 +169,7 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    assert q2.awaitTermination(120), "split stream did not finish in 120 s"
     got2 = {
         r.doc_id: r.split for r in spark.sql("SELECT * FROM split_stream").collect()
     }

@@ -286,6 +286,9 @@ def test_asof_plan_single_shuffle_and_semantics(spark):
     plan = asof_latest(ev, "view")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Join" not in plan
+    # ONE pass over the source: the marker rows come from a conditional
+    # explode, not a second unioned projection (r3 review)
+    assert plan.count("Scan ExistingRDD") + plan.count("FileScan") == 1
 
 
 def test_neardup_lsh_plan_no_cartesian(spark):
