@@ -640,6 +640,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def train_split_assign(spark, sf_dir):
         return A.train_split_assign(_docs(spark, sf_dir), val_pct=10, test_pct=10)
 
+    def canonicalize_urls(spark, sf_dir):
+        # deterministic MESSY urls synthesized per doc (mixed-case host,
+        # default port, utm params, fragment); the oracle predicts the
+        # canonical literal — the op must strip exactly the noise
+        docs = _docs(spark, sf_dir)
+        messy = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://Example"),
+                F.pmod(F.col("doc_id"), F.lit(50)).cast("string"),
+                F.lit(".COM:443/Path/"),
+                F.col("doc_id").cast("string"),
+                F.lit("?utm_source=feed&id="),
+                F.col("doc_id").cast("string"),
+                F.lit("&utm_campaign=x#frag"),
+            ).alias("url"),
+        )
+        return A.canonicalize_urls(messy).select("doc_id", "canonical_url")
+
+    def mixture_weights(spark, sf_dir):
+        return A.mixture_weights(_docs(spark, sf_dir))
+
     def decontaminate(spark, sf_dir):
         # benchmark set = the first 20 docs (every one contaminates itself,
         # plus any genuine cross-doc 3-gram overlap — both value-checked)
@@ -838,6 +860,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": pack_sequences,
         "winnowing_fingerprints": winnowing_fingerprints,
         "decontaminate": decontaminate,
+        "canonicalize_urls": canonicalize_urls,
+        "mixture_weights": mixture_weights,
         # ------------------------------------------------------------------
         "extract_roundtrip": extract_roundtrip,
         "extract_boilerplate": extract_boilerplate,
@@ -1294,6 +1318,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN f.n > 1 THEN 1 ELSE 0 END AS INT)
                        AS is_dup_chunk
             FROM hashed h JOIN freq f USING (chunk_hash)
+        """,
+        "canonicalize_urls": """
+            -- predicted-literal oracle: the canonicalizer must produce
+            -- exactly this for the synthesized messy url
+            SELECT doc_id,
+                   'https://example' || CAST(doc_id % 50 AS VARCHAR) ||
+                   '.com/Path/' || CAST(doc_id AS VARCHAR) ||
+                   '?id=' || CAST(doc_id AS VARCHAR) AS canonical_url
+            FROM documents
+        """,
+        "mixture_weights": """
+            WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY lang),
+            q AS (SELECT lang, n_docs,
+                         CAST(round(sqrt(n_docs) * 10000) AS BIGINT) AS w_q
+                  FROM c)
+            SELECT lang, n_docs,
+                   round(w_q / (SELECT CAST(sum(w_q) AS DOUBLE) FROM q), 6)
+                       AS weight
+            FROM q
         """,
         "decontaminate": f"""
             WITH {_SHINGLE_CTE},

@@ -608,6 +608,61 @@ def jaccard_pairs(
     )
 
 
+def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """URL canonicalization for corpus dedup keys: lowercase scheme+host,
+    strip the scheme's default port (:80 / :443), drop the fragment and
+    utm_* tracking params, default an empty path to '/'.  Path and
+    remaining query params keep their case and order (canonicalization
+    must never merge genuinely different resources).
+
+    Pure regexp_extract/replace — engine-portable (no parse_url, which
+    DuckDB lacks), narrow projection, no shuffle."""
+    u = F.col(url_col)
+    scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
+        .otherwise(hostport)
+    )
+    rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    # drop utm_* params, then tidy separators left behind
+    no_utm = F.regexp_replace(rest, "utm_[A-Za-z0-9_]*=[^&#]*&?", "")
+    tidy = F.regexp_replace(
+        F.regexp_replace(no_utm, "[?&]+$", ""), "[?]&", "?"
+    )
+    path = F.when(tidy == "", F.lit("/")).otherwise(tidy)
+    return df.withColumn(
+        "canonical_url", F.concat(scheme, F.lit("://"), host, path)
+    )
+
+
+def mixture_weights(docs: DataFrame, scale: int = 10_000) -> DataFrame:
+    """Multilingual sampling-temperature weights (alpha = 0.5): per
+    language, weight ∝ sqrt(n_docs) — the standard mixing rule that
+    up-samples low-resource slices.  sqrt is correctly-rounded in IEEE-754
+    (bit-identical across engines, unlike pow), and the per-lang square
+    roots are QUANTIZED to integers (×scale, rounded) before the global
+    sum so the normalization is association-order-free — the whole result
+    is exactly reproducible in any engine.
+
+    Scale: one tiny two-level aggregation; the broadcast of the scalar
+    total is implicit in the cross join of a one-row aggregate."""
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    q = counts.withColumn(
+        "w_q", F.round(F.sqrt(F.col("n_docs")) * scale).cast("long")
+    )
+    total = q.agg(F.sum("w_q").alias("w_total"))
+    return (
+        q.crossJoin(F.broadcast(total))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(F.col("w_q") / F.col("w_total"), 6).alias("weight"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

@@ -766,3 +766,36 @@ def test_decontaminate_plan_broadcasts_bench(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # corpus shingles never shuffle for the join
+
+
+def test_canonicalize_urls_edges(spark):
+    from contentextractor_spark.functions.analysis import canonicalize_urls
+
+    urls = [
+        (1, "HTTP://WWW.Site.ORG:80/a/B?x=1&utm_source=s&y=2#frag"),
+        (2, "https://host.com:443"),               # default port, empty path
+        (3, "https://host.com:8443/x"),            # NON-default port kept
+        (4, "http://h.io/?utm_a=1&utm_b=2"),       # only-utm query
+        (5, "https://h.io/p?utm_x=1&keep=2"),      # utm first, keep second
+        (6, "https://CaSe.Com/KeepCase?Q=Mixed"),  # path/query case kept
+    ]
+    df = spark.createDataFrame(urls, "doc_id: long, url: string")
+    got = {r.doc_id: r.canonical_url
+           for r in canonicalize_urls(df).collect()}
+    assert got[1] == "http://www.site.org/a/B?x=1&y=2"
+    assert got[2] == "https://host.com/"
+    assert got[3] == "https://host.com:8443/x"
+    assert got[4] == "http://h.io/"
+    assert got[5] == "https://h.io/p?keep=2"
+    assert got[6] == "https://case.com/KeepCase?Q=Mixed"
+
+
+def test_mixture_weights_properties(spark, docs):
+    from contentextractor_spark.functions.analysis import mixture_weights
+
+    rows = mixture_weights(docs).collect()
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    # sqrt mixing: low-resource langs get MORE than proportional weight
+    total = sum(r.n_docs for r in rows)
+    smallest = min(rows, key=lambda r: r.n_docs)
+    assert smallest.weight > smallest.n_docs / total
