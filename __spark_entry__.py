@@ -495,6 +495,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "pred_lang", "alpha_pct", "stopword_hits"
         )
 
+    def curation_full(spark, sf_dir):
+        # the r3 composed flow — extraction → PII scrub → exact dedup →
+        # repetition gate → language-ID → quality gate → split assignment.
+        # PII is PLANTED inside the page body so extraction must carry it
+        # and the scrubber must remove exactly it; every stage is the real
+        # operator and ONE SQL oracle value-checks the whole chain.
+        docs = _eligible(_docs(spark, sf_dir))
+        inner = F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com now"),
+        )
+        out = extract_pages(_pages_from_inner(docs, inner), num_buckets=8).select(
+            F.col("url").cast("long").alias("doc_id"),
+            F.col("main_text").alias("text"),
+        )
+        scrubbed = A.pii_scrub(out).select(
+            "doc_id", F.col("clean_text").alias("text"), "n_emails"
+        )
+        keep = A.dedup_exact(scrubbed.select("doc_id", "text")).filter(
+            F.col("is_duplicate") == 0
+        )
+        docs2 = keep.join(scrubbed, "doc_id").select("doc_id", "text", "n_emails")
+        rep = A.repetition_signals(docs2.select("doc_id", "text"))
+        # repetition gate: no single token may exceed 20% of the doc
+        gated = docs2.join(
+            rep.filter(F.col("max_unigram_count") * 5 <= F.col("n_tokens")).select(
+                "doc_id", "n_tokens", "max_unigram_count"
+            ),
+            "doc_id",
+        )
+        scored = A.quality_scores(gated.select("doc_id", "text")).join(
+            A.lang_id(gated.select("doc_id", "text")).select("doc_id", "pred_lang"),
+            "doc_id",
+        )
+        split = A.train_split_assign(gated.select("doc_id", "text")).select(
+            "doc_id", "split"
+        )
+        return (
+            gated.select("doc_id", "n_tokens", "max_unigram_count", "n_emails")
+            .join(scored.filter(F.col("alpha_pct") >= 50.0), "doc_id")
+            .join(split, "doc_id")
+            .select(
+                "doc_id", "pred_lang", "split", "alpha_pct",
+                "n_tokens", "max_unigram_count", "n_emails",
+            )
+        )
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -862,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": decontaminate,
         "canonicalize_urls": canonicalize_urls,
         "mixture_weights": mixture_weights,
+        "curation_full": curation_full,
         # ------------------------------------------------------------------
         "extract_roundtrip": extract_roundtrip,
         "extract_boilerplate": extract_boilerplate,
@@ -1155,6 +1205,60 @@ def oracle_sql() -> dict[str, str]:
               FROM canonical)
             SELECT doc_id, pred_lang, alpha_pct, stopword_hits
             FROM scored WHERE alpha_pct >= 50.0
+        """,
+        "curation_full": f"""
+            WITH scrubbed AS (
+              -- extraction roundtrip + planted email redacted: the suffix
+              -- is IDENTICAL post-scrub, so dedup groups match raw dedup
+              SELECT doc_id,
+                     trim(text) || ' contact <EMAIL> now' AS t,
+                     CAST(1 AS INT) AS n_emails
+              FROM documents WHERE {_ELIGIBLE_SQL}),
+            canonical AS (
+              SELECT doc_id, t, n_emails FROM (
+                SELECT doc_id, t, n_emails,
+                       row_number() OVER (PARTITION BY md5(t)
+                            ORDER BY doc_id) AS rnk
+                FROM scrubbed)
+              WHERE rnk = 1),
+            toks AS (SELECT doc_id, string_split(t, ' ') AS ws
+                     FROM canonical),
+            rep AS (
+              SELECT c.doc_id,
+                     CAST(len(ws) AS INT) AS n_tokens,
+                     CAST((SELECT max(cnt) FROM (
+                        SELECT count(*) AS cnt
+                        FROM unnest(ws) AS u(g) GROUP BY g)) AS BIGINT)
+                         AS max_unigram_count
+              FROM canonical c JOIN toks USING (doc_id)),
+            gated AS (
+              SELECT c.doc_id, c.t, c.n_emails, r.n_tokens,
+                     r.max_unigram_count
+              FROM canonical c JOIN rep r USING (doc_id)
+              WHERE r.max_unigram_count * 5 <= r.n_tokens),
+            scored AS (
+              SELECT doc_id, t, n_emails, n_tokens, max_unigram_count,
+                round(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) * 100.0
+                      / (length(t) + 1), 4) AS alpha_pct,
+                CASE WHEN length(regexp_replace(t, '[^一-鿿぀-ゟ゠-ヿ]', '', 'g'))
+                          > length(regexp_replace(t, '[^a-zA-Z]', '', 'g'))
+                     THEN 'cjk' ELSE 'latin' END AS pred_lang
+              FROM gated),
+            sp AS (
+              SELECT doc_id,
+                     (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                         AS bucket
+              FROM scored)
+            SELECT s.doc_id, s.pred_lang,
+                   CASE WHEN sp.bucket < 204 THEN 'train'
+                        WHEN sp.bucket < 230 THEN 'val'
+                        ELSE 'test' END AS split,
+                   s.alpha_pct, s.n_tokens, s.max_unigram_count, s.n_emails
+            FROM scored s JOIN sp USING (doc_id)
+            WHERE s.alpha_pct >= 50.0
         """,
         "docs_per_lang": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
