@@ -626,10 +626,18 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         .otherwise(hostport)
     )
     rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
-    # drop utm_* params, then tidy separators left behind
-    no_utm = F.regexp_replace(rest, "utm_[A-Za-z0-9_]*=[^&#]*&?", "")
+    # drop utm_* params ANCHORED at a separator (a param merely containing
+    # 'utm_' mid-name, e.g. xutm_a=1, must survive), then tidy the
+    # separators left behind
+    no_utm = F.regexp_replace(
+        rest, "([?&])utm_[A-Za-z0-9_]*=[^&#]*", "$1"
+    )
     tidy = F.regexp_replace(
-        F.regexp_replace(no_utm, "[?&]+$", ""), "[?]&", "?"
+        F.regexp_replace(
+            F.regexp_replace(no_utm, "&&+", "&"), "[?]&", "?"
+        ),
+        "[?&]+$",
+        "",
     )
     path = F.when(tidy == "", F.lit("/")).otherwise(tidy)
     return df.withColumn(

@@ -778,6 +778,8 @@ def test_canonicalize_urls_edges(spark):
         (4, "http://h.io/?utm_a=1&utm_b=2"),       # only-utm query
         (5, "https://h.io/p?utm_x=1&keep=2"),      # utm first, keep second
         (6, "https://CaSe.Com/KeepCase?Q=Mixed"),  # path/query case kept
+        (7, "https://h.io/p?xutm_a=1"),            # utm_ MID-NAME must survive
+        (8, "https://h.io/p?utm_a=1&utm_b=2&x=2"), # consecutive utm params
     ]
     df = spark.createDataFrame(urls, "doc_id: long, url: string")
     got = {r.doc_id: r.canonical_url
@@ -788,6 +790,8 @@ def test_canonicalize_urls_edges(spark):
     assert got[4] == "http://h.io/"
     assert got[5] == "https://h.io/p?keep=2"
     assert got[6] == "https://case.com/KeepCase?Q=Mixed"
+    assert got[7] == "https://h.io/p?xutm_a=1"
+    assert got[8] == "https://h.io/p?x=2"
 
 
 def test_mixture_weights_properties(spark, docs):
