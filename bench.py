@@ -146,6 +146,12 @@ def main() -> None:
         "decontaminate": lambda: force(
             A.decontaminate(docs, docs.filter(F.col("doc_id") < 20))
         ),
+        "winnowing_fingerprints": lambda: force(
+            A.winnowing_fingerprints(docs, k=3, w=4)
+        ),
+        "pack_sequences": lambda: force(
+            A.pack_sequences(docs, capacity=256, n_groups=32)
+        ),
     }
 
     times: dict[str, float] = {}
