@@ -121,3 +121,34 @@ def test_analyzer_surface_concatenation_property():
         assert surfaces == token_chars
 
     check()
+
+
+def test_conjugation_paradigm_segmentation():
+    """r3 IPADIC-subset paradigms: inflected verbs/adjectives segment as
+    stem(base-form) + auxiliary, exactly Kuromoji's rows."""
+    assert analyze("書いた") == [("書い", "動詞,自立", "書く"), ("た", "助動詞", None)]
+    assert analyze("食べました") == [
+        ("食べ", "動詞,自立", "食べる"),
+        ("まし", "助動詞", "ます"),
+        ("た", "助動詞", None),
+    ]
+    assert analyze("新しかった") == [
+        ("新しかっ", "形容詞,自立", "新しい"),
+        ("た", "助動詞", None),
+    ]
+
+
+def test_conjugated_adjective_folds_to_base():
+    assert keyword_fold_kuromoji("新しかった技術") == "新しい,技術,"
+
+
+def test_onbin_verb_dropped_nouns_kept():
+    # 使っ (促音便 of 使う) recognized and dropped as a verb; the OOV
+    # katakana compound and the サ変 noun are kept whole
+    assert keyword_fold_kuromoji("データベースを使った検索") == "データベース,検索,"
+
+
+def test_reference_filter_on_real_sentence():
+    # 本 is a single-char surface (dropped by len>1), 読ん/します are verbs
+    # (dropped by POS), 勉強 is an OOV kanji run kept as a noun
+    assert keyword_fold_kuromoji("本を読んで勉強します") == "勉強,"
