@@ -643,6 +643,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_components_lss(spark, sf_dir):
         return A.dedup_components_lss(_docs(spark, sf_dir))
 
+    def dedup_components_minhash(spark, sf_dir):
+        # the full-scale dedup composition: MinHash banding → bucket star
+        # edges (linear volume) → large-star/small-star components
+        return A.dedup_components_minhash(_docs(spark, sf_dir), k=4, n=3)
+
     def knn_bruteforce(spark, sf_dir):
         return A.knn_bruteforce(_emb(spark, sf_dir), n_queries=10, k=5)
 
@@ -912,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonicalize_urls": canonicalize_urls,
         "mixture_weights": mixture_weights,
         "curation_full": curation_full,
+        "dedup_components_minhash": dedup_components_minhash,
         # ------------------------------------------------------------------
         "extract_roundtrip": extract_roundtrip,
         "extract_boilerplate": extract_boilerplate,
@@ -1637,6 +1643,31 @@ def oracle_sql() -> dict[str, str]:
               FROM rare a JOIN rare b
                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2 HAVING count(*) >= 2),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+            SELECT d.doc_id,
+                   CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
+                       AS component
+            FROM documents d
+            LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+              ON m.src = d.doc_id
+        """,
+        "dedup_components_minhash": f"""
+            WITH RECURSIVE {_SHINGLE_CTE}, {_SIG_CTE},
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig),
+            hubs AS (
+              SELECT band, bucket, min(doc_id) AS hub
+              FROM bands GROUP BY band, bucket HAVING count(*) > 1),
+            e AS (
+              SELECT DISTINCT m.doc_id AS a, h.hub AS b
+              FROM bands m JOIN hubs h USING (band, bucket)
+              WHERE m.doc_id <> h.hub),
             sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
             reach(src, dst) AS (
               SELECT a, b FROM sym

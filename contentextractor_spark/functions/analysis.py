@@ -835,6 +835,15 @@ def dedup_components_lss(
     ).distinct().localCheckpoint()
     for _df in _shingle_cache:  # localCheckpoint is eager — shingles done
         _df.unpersist()
+    return _lss_components(docs, edges, max_iter, "dedup_components_lss")
+
+
+def _lss_components(
+    docs: DataFrame, edges: DataFrame, max_iter: int, opname: str
+) -> DataFrame:
+    """Alternating large-star/small-star contraction over canonical
+    (hi > lo) edges; returns (doc_id, component = min id in component)
+    covering EVERY doc (isolated docs label themselves)."""
 
     def _digest(df):
         # pmod before the sum: raw xxhash64 sums overflow LongType (ANSI
@@ -856,9 +865,7 @@ def dedup_components_lss(
         if stable:
             break
     else:
-        raise RuntimeError(
-            f"dedup_components_lss did not converge in {max_iter} rounds"
-        )
+        raise RuntimeError(f"{opname} did not converge in {max_iter} rounds")
     roots = edges.groupBy("hi").agg(F.min("lo").alias("component"))
     return docs.select("doc_id").join(
         roots, docs["doc_id"] == roots["hi"], "left"
@@ -868,6 +875,54 @@ def dedup_components_lss(
         .cast("long")
         .alias("component"),
     )
+
+
+def dedup_components_minhash(
+    docs: DataFrame,
+    k: int = 4,
+    n: int = 3,
+    max_bucket_size: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """THE full-scale dedup composition: MinHash banding → bucket STAR
+    edges → large-star/small-star connected components.  Every document in
+    an LSH bucket connects to the bucket's min doc_id — edge volume is
+    LINEAR in bucket size (never the |bucket|² pair join), which is what
+    makes LSH-based dedup tractable at 10^12 docs; the optional
+    max_bucket_size guard drops degenerate buckets like the pair producer
+    does.  Components are identical to pairwise-edge components because a
+    star covers the same connectivity as the bucket's clique.
+
+    Output contract matches dedup_components ((doc_id, component = min id
+    in the component)); the DuckDB oracle rebuilds the bands and runs the
+    recursive transitive closure over the same star edges."""
+    buckets = minhash_lsh_buckets(docs, k=k, n=n, max_bucket_size=max_bucket_size)
+    sig = minhash_signatures(docs, k=k, n=n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(k // 2)
+        ]
+    )
+    membership = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    edges = (
+        membership.join(buckets.select("band", "bucket", "min_doc_id"),
+                        ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("min_doc_id"))
+        .select(
+            F.col("doc_id").alias("hi"), F.col("min_doc_id").alias("lo")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    return _lss_components(docs, edges, max_iter, "dedup_components_minhash")
 
 
 def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:

@@ -803,3 +803,39 @@ def test_mixture_weights_properties(spark, docs):
     total = sum(r.n_docs for r in rows)
     smallest = min(rows, key=lambda r: r.n_docs)
     assert smallest.weight > smallest.n_docs / total
+
+
+def test_dedup_components_minhash_star_connectivity(spark):
+    """Star edges must give the same components as the bucket clique:
+    three identical docs share every band bucket -> one component labeled
+    by the min id; an unrelated doc stays its own component."""
+    from contentextractor_spark.functions.analysis import (
+        dedup_components_minhash,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(7, same), (3, same), (9, same),
+         (5, "completely different words that share no shingles at all ok")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r.component
+           for r in dedup_components_minhash(docs, k=4, n=3).collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 5: 5}
+
+
+def test_dedup_components_minhash_bucket_cap(spark):
+    """With the cap below the degenerate bucket size, the cluster is NOT
+    merged (guard active) — mirroring the pair producer's skew guard."""
+    from contentextractor_spark.functions.analysis import (
+        dedup_components_minhash,
+    )
+
+    same = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [(i, same) for i in range(12)], "doc_id: long, text: string"
+    )
+    capped = {r.doc_id: r.component
+              for r in dedup_components_minhash(
+                  docs, k=4, n=3, max_bucket_size=5).collect()}
+    assert all(capped[i] == i for i in range(12))  # all dropped -> singletons
