@@ -487,6 +487,30 @@ def minhash_signatures(docs: DataFrame, k: int = 4, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
+def _band_membership(docs: DataFrame, k: int, n: int) -> DataFrame:
+    """(doc_id, band, bucket): MinHash band-bucket membership, band size 2.
+    ONE projection over the signature aggregate (a barrier Catalyst cannot
+    inline band expressions through) — the single source of the bucket
+    hash for minhash_lsh_buckets AND dedup_components_minhash, so the two
+    can never drift apart (r3 review: a copy-paste divergence would have
+    made the components join silently match nothing)."""
+    sig = minhash_signatures(docs, k=k, n=n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(k // 2)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
 def minhash_lsh_buckets(
     docs: DataFrame, k: int = 4, n: int = 3, max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -501,26 +525,9 @@ def minhash_lsh_buckets(
     guard as jaccard_pairs' max_shingle_freq.  Dropped buckets are not
     silent: `minhash_lsh_overflow` returns them as a queryable DataFrame
     so a pipeline materializes the overflow count alongside the pairs."""
-    # one projection over the aggregate (a barrier Catalyst cannot inline
-    # band expressions through), instead of a union of per-band selects
-    # that plans the signature aggregation once per band
-    sig = minhash_signatures(docs, k=k, n=n)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(
-                    "bucket"
-                ),
-            )
-            for b in range(k // 2)
-        ]
-    )
-    all_bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
     out = (
-        all_bands.groupBy("band", "bucket")
+        _band_membership(docs, k, n)
+        .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
     )
@@ -616,10 +623,18 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     must never merge genuinely different resources).
 
     Pure regexp_extract/replace — engine-portable (no parse_url, which
-    DuckDB lacks), narrow projection, no shuffle."""
+    DuckDB lacks), narrow projection, no shuffle.
+
+    Inputs without a scheme:// prefix pass through UNCHANGED (r3 review:
+    collapsing non-matching inputs would have merged every schemeless URL
+    under one key — exactly the false merge canonicalization must avoid);
+    userinfo, if present, is preserved verbatim (case-sensitive per RFC
+    3986) — only scheme and host are lowercased."""
     u = F.col(url_col)
     scheme = F.lower(F.regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.lower(F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    authority = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    userinfo = F.regexp_extract(authority, "^([^@]*@)", 1)  # kept verbatim
+    hostport = F.lower(F.regexp_replace(authority, "^[^@]*@", ""))
     host = (
         F.when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
         .when(scheme == "http", F.regexp_replace(hostport, ":80$", ""))
@@ -627,10 +642,11 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
     rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
     # drop utm_* params ANCHORED at a separator (a param merely containing
-    # 'utm_' mid-name, e.g. xutm_a=1, must survive), then tidy the
-    # separators left behind
+    # 'utm_' mid-name, e.g. xutm_a=1, must survive); the value part is
+    # optional (bare '?utm_source' tracking tokens occur in the wild);
+    # then tidy the separators left behind
     no_utm = F.regexp_replace(
-        rest, "([?&])utm_[A-Za-z0-9_]*=[^&#]*", "$1"
+        rest, "([?&])utm_[A-Za-z0-9_]*(=[^&#]*)?", "$1"
     )
     tidy = F.regexp_replace(
         F.regexp_replace(
@@ -641,7 +657,10 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
     path = F.when(tidy == "", F.lit("/")).otherwise(tidy)
     return df.withColumn(
-        "canonical_url", F.concat(scheme, F.lit("://"), host, path)
+        "canonical_url",
+        F.when(scheme == "", u).otherwise(
+            F.concat(scheme, F.lit("://"), userinfo, host, path)
+        ),
     )
 
 
@@ -896,24 +915,24 @@ def dedup_components_minhash(
     Output contract matches dedup_components ((doc_id, component = min id
     in the component)); the DuckDB oracle rebuilds the bands and runs the
     recursive transitive closure over the same star edges."""
-    buckets = minhash_lsh_buckets(docs, k=k, n=n, max_bucket_size=max_bucket_size)
-    sig = minhash_signatures(docs, k=k, n=n)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))).alias(
-                    "bucket"
-                ),
-            )
-            for b in range(k // 2)
-        ]
+    from pyspark import StorageLevel
+
+    # membership feeds BOTH the hub aggregation and the edge join —
+    # persist it so the shingle→signature aggregation runs once, not
+    # twice; the eager localCheckpoint on edges below materializes it,
+    # after which it is released
+    membership = _band_membership(docs, k, n).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    membership = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    hubs = (
+        membership.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
+        .filter(F.col("n_docs") > 1)
     )
+    if max_bucket_size is not None:
+        hubs = hubs.filter(F.col("n_docs") <= max_bucket_size)
     edges = (
-        membership.join(buckets.select("band", "bucket", "min_doc_id"),
+        membership.join(hubs.select("band", "bucket", "min_doc_id"),
                         ["band", "bucket"])
         .filter(F.col("doc_id") != F.col("min_doc_id"))
         .select(
@@ -922,6 +941,7 @@ def dedup_components_minhash(
         .distinct()
         .localCheckpoint()
     )
+    membership.unpersist()
     return _lss_components(docs, edges, max_iter, "dedup_components_minhash")
 
 

@@ -794,14 +794,22 @@ def test_canonicalize_urls_edges(spark):
     assert got[8] == "https://h.io/p?x=2"
 
 
-def test_mixture_weights_properties(spark, docs):
+def test_mixture_weights_properties(spark):
     from contentextractor_spark.functions.analysis import mixture_weights
 
+    # crafted SKEWED counts (the up-sampling property is vacuous — equality
+    # — on uniform counts, so don't depend on the shared fixture's shape)
+    docs = spark.createDataFrame(
+        [(i, "en" if i < 900 else ("fr" if i < 990 else "km"))
+         for i in range(1000)],
+        "doc_id: long, lang: string",
+    )
     rows = mixture_weights(docs).collect()
     assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
     # sqrt mixing: low-resource langs get MORE than proportional weight
     total = sum(r.n_docs for r in rows)
     smallest = min(rows, key=lambda r: r.n_docs)
+    assert smallest.lang == "km" and smallest.n_docs == 10
     assert smallest.weight > smallest.n_docs / total
 
 
@@ -839,3 +847,22 @@ def test_dedup_components_minhash_bucket_cap(spark):
               for r in dedup_components_minhash(
                   docs, k=4, n=3, max_bucket_size=5).collect()}
     assert all(capped[i] == i for i in range(12))  # all dropped -> singletons
+
+
+def test_canonicalize_urls_passthrough_and_userinfo(spark):
+    """r3 review: schemeless inputs must pass through unchanged (NOT merge
+    under ':///'); userinfo keeps its case; bare utm tokens are stripped."""
+    from contentextractor_spark.functions.analysis import canonicalize_urls
+
+    urls = [
+        (1, "www.example.com/a"),                  # schemeless
+        (2, "//cdn.host/b"),                       # protocol-relative
+        (3, "https://Alice@H.io/x"),               # userinfo case kept
+        (4, "https://h.io/p?utm_source&x=1"),      # valueless utm token
+    ]
+    df = spark.createDataFrame(urls, "doc_id: long, url: string")
+    got = {r.doc_id: r.canonical_url for r in canonicalize_urls(df).collect()}
+    assert got[1] == "www.example.com/a"
+    assert got[2] == "//cdn.host/b"
+    assert got[3] == "https://Alice@h.io/x"
+    assert got[4] == "https://h.io/p?x=1"
