@@ -93,3 +93,32 @@ def write_fortest_xml(extracted: DataFrame, path: str, id_col: str = "url") -> N
     ]
     with open(path, "w", encoding="utf-8") as f:
         f.write(fortest_xml(rows))
+
+
+def write_training_shards(
+    docs: DataFrame,
+    path: str,
+    docs_per_shard: int = 1000,
+    n_range_partitions: int | None = None,
+    fmt: str = "json",
+) -> None:
+    """Shard the curated corpus for training loaders: JSONL (or parquet)
+    files with a BOUNDED record count per file via Spark's native
+    maxRecordsPerFile, range-partitioned on doc_id so shard membership is
+    deterministic and ordered (loaders can seed-shuffle shard lists
+    reproducibly).
+
+    Scale: range partitioning samples doc_id bounds (one lightweight job),
+    then every executor writes its own shards — no driver involvement in
+    the data path.  Pass n_range_partitions ≈ corpus_size / (shards_per
+    task × docs_per_shard) at scale; default leaves the ceiling to
+    maxRecordsPerFile alone."""
+    out = docs
+    if n_range_partitions is not None:
+        out = docs.repartitionByRange(n_range_partitions, "doc_id")
+    (
+        out.write.option("maxRecordsPerFile", docs_per_shard)
+        .mode("overwrite")
+        .format(fmt)
+        .save(path)
+    )

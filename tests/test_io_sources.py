@@ -57,3 +57,33 @@ def test_fortest_xml_shape():
     # empty main shortcut (:196)
     assert "<main></main>\n</document>" in xml
     assert '<document id="1" url="https://a/x">' in xml
+
+
+def test_write_training_shards_bounded_and_roundtrip(spark, tmp_path):
+    import glob
+    import json
+
+    from contentextractor_spark.sources.io import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n = docs.count()
+    path = str(tmp_path / "shards")
+    write_training_shards(docs, path, docs_per_shard=100, n_range_partitions=2)
+
+    files = sorted(glob.glob(path + "/part-*.json"))
+    assert len(files) >= n // 100  # sharding actually happened
+    per_file = []
+    for fp in files:
+        with open(fp, encoding="utf-8") as f:
+            rows = [json.loads(l) for l in f if l.strip()]
+        per_file.append(len(rows))
+    assert all(c <= 100 for c in per_file)  # the bound holds per shard
+    assert sum(per_file) == n
+
+    back = spark.read.json(path)
+    assert back.count() == n
+    a = {r.doc_id: r.text for r in docs.collect()}
+    b = {r.doc_id: r.text for r in back.collect()}
+    assert a == b  # lossless roundtrip

@@ -866,3 +866,49 @@ def test_canonicalize_urls_passthrough_and_userinfo(spark):
     assert got[2] == "//cdn.host/b"
     assert got[3] == "https://Alice@h.io/x"
     assert got[4] == "https://h.io/p?x=1"
+
+
+def test_pii_scrub_identity_on_clean_text_property(spark):
+    """Property: on text with no digits/@ (no PII can exist), pii_scrub is
+    the identity — it must never corrupt clean content (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from contentextractor_spark.functions.analysis import pii_scrub
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.text(alphabet="abc .-()", min_size=0, max_size=40),
+                    min_size=1, max_size=5))
+    def check(texts):
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+        )
+        rows = pii_scrub(df).collect()
+        for r in rows:
+            assert r.clean_text == texts[r.doc_id]
+            assert r.n_emails == r.n_ips == r.n_phones == 0
+
+    check()
+
+
+def test_canonicalize_urls_idempotent(spark):
+    """Property: canonicalization is idempotent — applying it to its own
+    output changes nothing (a second pass has nothing left to strip)."""
+    from pyspark.sql import functions as F
+
+    from contentextractor_spark.functions.analysis import canonicalize_urls
+
+    urls = [
+        (1, "HTTP://WWW.Site.ORG:80/a/B?x=1&utm_source=s&y=2#frag"),
+        (2, "https://host.com:443"),
+        (3, "https://Alice@H.io/x?utm_a&k=2"),
+        (4, "www.example.com/a"),
+        (5, "https://h.io/p?utm_a=1&utm_b=2&x=2"),
+    ]
+    df = spark.createDataFrame(urls, "doc_id: long, url: string")
+    once = canonicalize_urls(df).select(
+        "doc_id", F.col("canonical_url").alias("url")
+    )
+    twice = canonicalize_urls(once)
+    mismatched = twice.filter(F.col("url") != F.col("canonical_url")).count()
+    assert mismatched == 0
