@@ -510,8 +510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         # localCheckpoint: the extraction feeds both sides of the dedup
         # join and four downstream operators — without it the mapInPandas
-        # extraction re-executes per branch (same fix as _flagship_extracted,
-        # VERDICT r1 #7)
+        # extraction re-executes per branch (same DON'T-RE-EXTRACT concern
+        # as VERDICT r1 #7; mechanism differs from _flagship_extracted's
+        # session-keyed persist — this one is per-call, lineage-truncating)
         out = extract_pages(_pages_from_inner(docs, inner), num_buckets=8).select(
             F.col("url").cast("long").alias("doc_id"),
             F.col("main_text").alias("text"),

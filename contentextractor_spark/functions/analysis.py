@@ -512,7 +512,11 @@ def _band_membership(docs: DataFrame, k: int, n: int) -> DataFrame:
 
 
 def minhash_lsh_buckets(
-    docs: DataFrame, k: int = 4, n: int = 3, max_bucket_size: int | None = None
+    docs: DataFrame,
+    k: int = 4,
+    n: int = 3,
+    max_bucket_size: int | None = None,
+    membership: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding (band size 2): docs sharing a band bucket are near-dup
     candidates.  Emits candidate buckets with >1 member.  Scale: the
@@ -524,9 +528,14 @@ def minhash_lsh_buckets(
     larger than it are EXCLUDED from this candidate feed — the same skew
     guard as jaccard_pairs' max_shingle_freq.  Dropped buckets are not
     silent: `minhash_lsh_overflow` returns them as a queryable DataFrame
-    so a pipeline materializes the overflow count alongside the pairs."""
+    so a pipeline materializes the overflow count alongside the pairs.
+
+    membership: pass a precomputed _band_membership frame (e.g. a
+    persisted one) to share the signature aggregation with another
+    consumer — dedup_components_minhash does, so bucket semantics can
+    never drift between the candidate feed and the components join."""
     out = (
-        _band_membership(docs, k, n)
+        (membership if membership is not None else _band_membership(docs, k, n))
         .groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
         .filter(F.col("n_docs") > 1)
@@ -645,8 +654,11 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     # 'utm_' mid-name, e.g. xutm_a=1, must survive); the value part is
     # optional (bare '?utm_source' tracking tokens occur in the wild);
     # then tidy the separators left behind
+    # consume the WHOLE param name ([^=&#]*), not just its word-char
+    # prefix — 'utm_source%5B%5D=a' must be removed entirely, never
+    # truncated to a residual '?%5B%5D=a' that falsely merges URLs
     no_utm = F.regexp_replace(
-        rest, "([?&])utm_[A-Za-z0-9_]*(=[^&#]*)?", "$1"
+        rest, "([?&])utm_[^=&#]*(=[^&#]*)?", "$1"
     )
     tidy = F.regexp_replace(
         F.regexp_replace(
@@ -924,13 +936,11 @@ def dedup_components_minhash(
     membership = _band_membership(docs, k, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    hubs = (
-        membership.groupBy("band", "bucket")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc_id"))
-        .filter(F.col("n_docs") > 1)
+    # hub selection IS minhash_lsh_buckets over the shared membership —
+    # one definition of bucket/cap semantics, never a drifting copy
+    hubs = minhash_lsh_buckets(
+        docs, k=k, n=n, max_bucket_size=max_bucket_size, membership=membership
     )
-    if max_bucket_size is not None:
-        hubs = hubs.filter(F.col("n_docs") <= max_bucket_size)
     edges = (
         membership.join(hubs.select("band", "bucket", "min_doc_id"),
                         ["band", "bucket"])

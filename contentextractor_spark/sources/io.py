@@ -99,26 +99,38 @@ def write_training_shards(
     docs: DataFrame,
     path: str,
     docs_per_shard: int = 1000,
-    n_range_partitions: int | None = None,
+    n_partitions: int | None = None,
     fmt: str = "json",
+    mode: str = "error",
 ) -> None:
     """Shard the curated corpus for training loaders: JSONL (or parquet)
     files with a BOUNDED record count per file via Spark's native
-    maxRecordsPerFile, range-partitioned on doc_id so shard membership is
-    deterministic and ordered (loaders can seed-shuffle shard lists
-    reproducibly).
+    maxRecordsPerFile.
 
-    Scale: range partitioning samples doc_id bounds (one lightweight job),
-    then every executor writes its own shards — no driver involvement in
-    the data path.  Pass n_range_partitions ≈ corpus_size / (shards_per
-    task × docs_per_shard) at scale; default leaves the ceiling to
-    maxRecordsPerFile alone."""
+    Determinism: partitioning is HASH on doc_id (pmod(xxhash64)) — not
+    repartitionByRange, whose sampled bounds differ per run — and rows are
+    sorted by doc_id within each partition, so regenerating from identical
+    input reproduces identical doc→shard membership and in-file order
+    (what a loader's resume/replay keyed on shard identity needs).
+
+    mode follows Spark semantics and DEFAULTS TO 'error' (existing output
+    raises); pass mode='overwrite' explicitly to replace a shard dir.
+
+    Scale: executors write their own shards, the driver never touches the
+    data path.  Pass n_partitions ≈ corpus_size / (shards_per_task ×
+    docs_per_shard); default keeps the input partitioning and lets
+    maxRecordsPerFile bound file sizes alone."""
+    from pyspark.sql import functions as F
+
     out = docs
-    if n_range_partitions is not None:
-        out = docs.repartitionByRange(n_range_partitions, "doc_id")
+    if n_partitions is not None:
+        out = docs.repartition(
+            n_partitions, F.pmod(F.xxhash64("doc_id"), F.lit(n_partitions))
+        )
     (
-        out.write.option("maxRecordsPerFile", docs_per_shard)
-        .mode("overwrite")
+        out.sortWithinPartitions("doc_id")
+        .write.option("maxRecordsPerFile", docs_per_shard)
+        .mode(mode)
         .format(fmt)
         .save(path)
     )

@@ -70,7 +70,7 @@ def test_write_training_shards_bounded_and_roundtrip(spark, tmp_path):
     )
     n = docs.count()
     path = str(tmp_path / "shards")
-    write_training_shards(docs, path, docs_per_shard=100, n_range_partitions=2)
+    write_training_shards(docs, path, docs_per_shard=100, n_partitions=2, mode="overwrite")
 
     files = sorted(glob.glob(path + "/part-*.json"))
     assert len(files) >= n // 100  # sharding actually happened
@@ -87,3 +87,26 @@ def test_write_training_shards_bounded_and_roundtrip(spark, tmp_path):
     a = {r.doc_id: r.text for r in docs.collect()}
     b = {r.doc_id: r.text for r in back.collect()}
     assert a == b  # lossless roundtrip
+
+    # determinism: regenerating into a second dir yields byte-identical
+    # per-file doc_id sequences (hash partitioning + within-partition sort)
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(docs, path2, docs_per_shard=100, n_partitions=2,
+                          mode="overwrite")
+    def shard_map(p):
+        out = {}
+        for fp in sorted(glob.glob(p + "/part-*.json")):
+            with open(fp, encoding="utf-8") as f:
+                name = fp.split("/")[-1]
+                parts = name.split("-")
+                key = (parts[1], parts[-1])  # (part idx, cNNN.json); uuid varies
+                out[key] = [
+                    json.loads(l)["doc_id"] for l in f if l.strip()
+                ]
+        return out
+    assert shard_map(path) == shard_map(path2)
+
+    # default mode is 'error': re-writing the same path must raise
+    import pytest as _pt
+    with _pt.raises(Exception):
+        write_training_shards(docs, path, docs_per_shard=100)
