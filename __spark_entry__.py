@@ -1210,7 +1210,7 @@ def oracle_sql() -> dict[str, str]:
                 CAST(len(list_filter(string_split(t, ' '),
                      w -> w IN ('the','a','of','and','to'))) AS INT)
                      AS stopword_hits,
-                CASE WHEN length(regexp_replace(t, '[^一-鿿぀-ゟ゠-ヿ]', '', 'g'))
+                CASE WHEN length(regexp_replace(t, '[^一-鿿぀-ゟ゠-ヿ가-힣]', '', 'g'))
                           > length(regexp_replace(t, '[^a-zA-Z]', '', 'g'))
                      THEN 'cjk' ELSE 'latin' END AS pred_lang
               FROM canonical)
@@ -1251,7 +1251,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, t, n_emails, n_tokens, max_unigram_count,
                 round(length(regexp_replace(t, '[^a-zA-Z]', '', 'g')) * 100.0
                       / (length(t) + 1), 4) AS alpha_pct,
-                CASE WHEN length(regexp_replace(t, '[^一-鿿぀-ゟ゠-ヿ]', '', 'g'))
+                CASE WHEN length(regexp_replace(t, '[^一-鿿぀-ゟ゠-ヿ가-힣]', '', 'g'))
                           > length(regexp_replace(t, '[^a-zA-Z]', '', 'g'))
                      THEN 'cjk' ELSE 'latin' END AS pred_lang
               FROM gated),
@@ -1302,7 +1302,7 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'latin' END AS pred_lang
             FROM (
               SELECT doc_id,
-                CAST(length(regexp_replace(text, '[^一-鿿぀-ゟ゠-ヿ]', '', 'g')) AS INT)
+                CAST(length(regexp_replace(text, '[^一-鿿぀-ゟ゠-ヿ가-힣]', '', 'g')) AS INT)
                     AS cjk_chars,
                 CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INT)
                     AS latin_chars
@@ -1359,7 +1359,8 @@ def oracle_sql() -> dict[str, str]:
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents),
             st AS (SELECT doc_id, ws,
-                          unnest(generate_series(1, len(ws), 56)) AS s
+                          unnest(generate_series(1, greatest(len(ws) - 8, 1),
+                                 56)) AS s
                    FROM w)
             SELECT doc_id,
                    CAST(floor((s - 1) / 56.0) AS INT) AS chunk_idx,
@@ -1467,11 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": """
             WITH sized AS (
               SELECT doc_id,
-                     CAST(((strpos('0123456789abcdef',
-                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                        + (strpos('0123456789abcdef',
-                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) % 32
-                          AS INT) AS pack_group,
+                     CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1) * 1) % 32 AS INT) AS pack_group,
                      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
               FROM documents),
             c AS (
@@ -1562,7 +1559,7 @@ def oracle_sql() -> dict[str, str]:
             rare AS (SELECT sh.doc_id, sh.shingle FROM sh
                      JOIN freq USING (shingle)),
             sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
-                      FROM sh GROUP BY doc_id),
+                      FROM rare GROUP BY doc_id),
             inter AS (
               SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                      CAST(count(*) AS BIGINT) AS intersection

@@ -55,8 +55,10 @@ def token_counts_bpe(docs: DataFrame) -> DataFrame:
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    """n-gram/char-class language heuristic: CJK char count vs Latin."""
-    cjk = F.length(F.regexp_replace("text", "[^一-鿿぀-ゟ゠-ヿ]", ""))
+    """n-gram/char-class language heuristic: CJK char count vs Latin.
+    The CJK class covers Unified Ideographs, kana, AND Hangul syllables —
+    Korean previously fell through to 'latin' (r3 full-file review)."""
+    cjk = F.length(F.regexp_replace("text", "[^一-鿿぀-ゟ゠-ヿ가-힣]", ""))
     latin = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
     return docs.select(
         "doc_id",
@@ -157,11 +159,19 @@ def chunk_documents(
         raise ValueError("overlap must be smaller than chunk_tokens")
     step = chunk_tokens - overlap
     words = F.split(F.col("text"), " ")
+    # start bound size-overlap (not size): a start beyond it yields a chunk
+    # FULLY CONTAINED in its predecessor (tail length <= overlap), which
+    # would enter training twice (r3 full-file review); greatest(...,1)
+    # keeps single-chunk docs
     exploded = docs.select(
         "doc_id",
         words.alias("ws"),
         F.posexplode(
-            F.sequence(F.lit(1), F.size(words), F.lit(step))
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.size(words) - overlap, F.lit(1)),
+                F.lit(step),
+            )
         ).alias("chunk_idx", "s"),
     )
     sl = F.slice(F.col("ws"), F.col("s"), F.lit(chunk_tokens))
@@ -229,12 +239,15 @@ PII_IPV4 = (
     "[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?[.]"
     "[0-9][0-9]?[0-9]?[.][0-9][0-9]?[0-9]?"
 )
-# NO space inside the phone class (r3 review): with a space allowed, any
-# space-separated digit list ("scores: 10 20 30 40") merges into one
-# <PHONE> and non-PII content is destroyed.  Precision over recall for a
-# training-corpus scrubber — a space-separated phone is a recall miss, a
-# false redaction is corpus damage.
-PII_PHONE = "[+]?[0-9][0-9()\\-]{6,}[0-9]"  # >= 8 chars, same floor as r2
+# Precision over recall for a training-corpus scrubber — a missed phone is
+# a recall miss, a false redaction is corpus damage (r3 reviews ×2):
+#  - NO space inside the pattern (a space-separated digit list
+#    "scores: 10 20 30 40" must not merge into one <PHONE>);
+#  - a phone is either a CONTIGUOUS 8-15 digit run or 3-6 digit groups
+#    joined by ()/- separators — a single hyphenated pair like the year
+#    range "2010-2020" is NOT redacted (one separator is not a phone).
+#    Known accepted FP: ISBN-like 4+-group hyphenations look like phones.
+PII_PHONE = "[+]?[0-9]{8,15}|[+]?[(]?[0-9]{1,4}([()\\-][0-9]{1,4}){2,5}"
 
 
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -331,11 +344,15 @@ def pack_sequences(
     would serialize the corpus through one task; packing quality is
     unaffected by the number of streams since bins never span streams)."""
     words = F.split(F.col("text"), " ")
+    # 8 hex digits (2^32 values), not one byte: a single-byte hash caps the
+    # distinct groups at 256 no matter what n_groups asks for — at the
+    # documented tens-of-thousands-of-streams scale that silently funnels
+    # ~n/256 rows through each window task (r3 full-file review)
     group = F.pmod(
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10)
-        .cast("int"),
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
         F.lit(n_groups),
-    )
+    ).cast("int")
     sized = docs.select(
         "doc_id", group.alias("pack_group"), F.size(words).alias("n_tokens")
     )
@@ -534,6 +551,11 @@ def minhash_lsh_buckets(
     persisted one) to share the signature aggregation with another
     consumer — dedup_components_minhash does, so bucket semantics can
     never drift between the candidate feed and the components join."""
+    if k % 2:
+        raise ValueError(
+            "k must be even (band size 2) — an odd k would pay for a "
+            "signature element the bands silently ignore"
+        )
     out = (
         (membership if membership is not None else _band_membership(docs, k, n))
         .groupBy("band", "bucket")
@@ -546,7 +568,12 @@ def minhash_lsh_buckets(
 
 
 def minhash_lsh_overflow(
-    docs: DataFrame, k: int = 4, n: int = 3, *, max_bucket_size: int
+    docs: DataFrame,
+    k: int = 4,
+    n: int = 3,
+    *,
+    max_bucket_size: int,
+    membership: DataFrame | None = None,
 ) -> DataFrame:
     """The buckets minhash_lsh_buckets DROPS under max_bucket_size — the
     loud side of the skew guard.  A pipeline materializes this next to the
@@ -556,8 +583,12 @@ def minhash_lsh_overflow(
     max_bucket_size is REQUIRED (keyword-only) and must be the SAME value
     the paired candidate producer was called with — a defaulted cap here
     would report buckets as "dropped" that an uncapped producer kept
-    (r3 review finding)."""
-    full = minhash_lsh_buckets(docs, k=k, n=n, max_bucket_size=None)
+    (r3 review finding).  Pass the shared persisted `membership` frame to
+    avoid recomputing the corpus-wide signature aggregation when run
+    alongside the candidate feed."""
+    full = minhash_lsh_buckets(
+        docs, k=k, n=n, max_bucket_size=None, membership=membership
+    )
     return full.filter(F.col("n_docs") > max_bucket_size)
 
 
@@ -600,7 +631,12 @@ def jaccard_pairs(
     rare = sh.join(
         freq.filter(F.col("df") <= max_shingle_freq).select("shingle"), "shingle"
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    # sizes over the SAME stop-filtered universe as the intersection —
+    # mixing rare-only intersections with all-shingle sizes deflates the
+    # implied Jaccard of boilerplate-heavy near-dups (two identical docs
+    # whose overlap is partly stop-shingles scored 0.43 instead of 1.0;
+    # r3 full-file review)
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = rare.alias("a")
     b = rare.alias("b")
     inter = (
@@ -650,24 +686,26 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
         .otherwise(hostport)
     )
     rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
-    # drop utm_* params ANCHORED at a separator (a param merely containing
-    # 'utm_' mid-name, e.g. xutm_a=1, must survive); the value part is
-    # optional (bare '?utm_source' tracking tokens occur in the wild);
-    # then tidy the separators left behind
-    # consume the WHOLE param name ([^=&#]*), not just its word-char
-    # prefix — 'utm_source%5B%5D=a' must be removed entirely, never
-    # truncated to a residual '?%5B%5D=a' that falsely merges URLs
+    # utm stripping applies to the QUERY segment only — '&' is legal inside
+    # a PATH (RFC 3986), so '/a&utm_ref=1/b' must survive untouched; within
+    # the query, params are matched ANCHORED at a separator (xutm_a=1
+    # survives), the name is consumed WHOLE ([^=&#]*, so utm_source%5B%5D
+    # never leaves a residual that falsely merges URLs), and the value is
+    # optional (bare '?utm_source' tokens occur in the wild)
+    path_part = F.regexp_extract(rest, "^([^?]*)", 1)
+    query_part = F.regexp_extract(rest, "([?].*)$", 1)
     no_utm = F.regexp_replace(
-        rest, "([?&])utm_[^=&#]*(=[^&#]*)?", "$1"
+        query_part, "([?&])utm_[^=&#]*(=[^&#]*)?", "$1"
     )
-    tidy = F.regexp_replace(
+    query_tidy = F.regexp_replace(
         F.regexp_replace(
             F.regexp_replace(no_utm, "&&+", "&"), "[?]&", "?"
         ),
         "[?&]+$",
         "",
     )
-    path = F.when(tidy == "", F.lit("/")).otherwise(tidy)
+    combined = F.concat(path_part, query_tidy)
+    path = F.when(combined == "", F.lit("/")).otherwise(combined)
     return df.withColumn(
         "canonical_url",
         F.when(scheme == "", u).otherwise(
@@ -968,6 +1006,10 @@ def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
     votes are integer shift+mask SUM aggregates over one groupBy(doc_id)
     (map-side combinable), so neither the map side nor the shuffle ever
     sees a docs × tokens × bits row stream."""
+    if bits % 4 or not 4 <= bits <= 60:
+        # 16 hex digits would overflow signed long in conv() and a 1<<63
+        # weight literal cannot be a LongType — fail loudly, not wrongly
+        raise ValueError("bits must be a multiple of 4 in [4, 60]")
     words = F.array_distinct(F.split(F.col("text"), " "))
     tok = docs.select("doc_id", F.explode(words).alias("tok"))
     n_digits = bits // 4
@@ -1318,6 +1360,7 @@ def embedding_lsh_overflow(
     band_bits: int = 3,
     *,
     max_bucket_size: int,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """The (band, bkey) buckets embedding_neardup_lsh DROPS under
     max_bucket_size — the loud side of the skew guard.  Materialize this
@@ -1326,9 +1369,10 @@ def embedding_lsh_overflow(
 
     max_bucket_size is REQUIRED (keyword-only) and must match the paired
     producer's cap — a default here would let the audit trail disagree
-    with what was actually dropped (r3 review finding)."""
+    with what was actually dropped (r3 review finding).  Pass a shared
+    `bands` frame to skip recomputing the banded signatures."""
     return (
-        _embedding_bands(emb, n_bands, band_bits)
+        (bands if bands is not None else _embedding_bands(emb, n_bands, band_bits))
         .groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
         .filter(F.col("n_vecs") > max_bucket_size)

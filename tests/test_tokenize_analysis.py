@@ -912,3 +912,77 @@ def test_canonicalize_urls_idempotent(spark):
     twice = canonicalize_urls(once)
     mismatched = twice.filter(F.col("url") != F.col("canonical_url")).count()
     assert mismatched == 0
+
+
+def test_pii_phone_ranges_not_redacted(spark):
+    """r3 full-file review: a single hyphenated pair (year range) is not a
+    phone; contiguous long digit runs and multi-group numbers are."""
+    from contentextractor_spark.functions.analysis import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "budget for 2010-2020 grew fast"),
+            (2, "call 5551234567 now"),
+            (3, "fax (03)1234-5678 listed"),
+            (4, "code 12-34 short"),
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].clean_text == "budget for 2010-2020 grew fast"
+    assert got[1].n_phones == 0
+    assert got[2].clean_text == "call <PHONE> now" and got[2].n_phones == 1
+    assert got[3].clean_text == "fax <PHONE> listed" and got[3].n_phones == 1
+    assert got[4].clean_text == "code 12-34 short" and got[4].n_phones == 0
+
+
+def test_canonicalize_urls_ampersand_in_path(spark):
+    """'&' is legal inside a PATH — 'utm_' after a path ampersand must
+    survive; only query params are stripped (r3 full-file review)."""
+    from contentextractor_spark.functions.analysis import canonicalize_urls
+
+    df = spark.createDataFrame(
+        [(1, "https://h.io/a&utm_ref=1/b?q=1"),
+         (2, "https://h.io/a&utm_ref=1/b?utm_x=2&q=1")],
+        "doc_id: long, url: string",
+    )
+    got = {r.doc_id: r.canonical_url for r in canonicalize_urls(df).collect()}
+    assert got[1] == "https://h.io/a&utm_ref=1/b?q=1"
+    assert got[2] == "https://h.io/a&utm_ref=1/b?q=1"
+
+
+def test_chunk_documents_no_contained_tail(spark):
+    """A final chunk whose tokens all lie inside the previous chunk must
+    NOT be emitted (it would enter training twice) — 120 tokens with
+    chunk=64/overlap=8 previously produced a third chunk of 8 tokens
+    fully contained in chunk 1 (r3 full-file review)."""
+    from contentextractor_spark.functions.analysis import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(120)))], "doc_id: long, text: string"
+    )
+    rows = sorted(
+        (r.chunk_idx, r.n_chunk_tokens)
+        for r in chunk_documents(docs, chunk_tokens=64, overlap=8).collect()
+    )
+    assert rows == [(0, 64), (1, 64)]  # starts 1, 57; NO contained third chunk
+
+
+def test_jaccard_consistent_universe_on_boilerplate(spark):
+    """Identical docs whose shingles are partly stop-shingles must imply
+    jaccard 1.0 — sizes and intersections live in the same stop-filtered
+    universe (r3 full-file review: mixed universes scored 0.43)."""
+    from contentextractor_spark.functions.analysis import jaccard_pairs
+
+    boiler = "common boiler plate words here"     # shared by ALL docs → stop
+    uniq = "alpha beta gamma delta epsilon zeta"  # shared by just the pair
+    docs = spark.createDataFrame(
+        [(i, boiler + f" filler{i} pad{i}") for i in range(3, 20)]
+        + [(1, uniq + " " + boiler), (2, uniq + " " + boiler)],
+        "doc_id: long, text: string",
+    )
+    pairs = {(r.doc_a, r.doc_b): (r.intersection, r.union_sz)
+             for r in jaccard_pairs(docs, n=3, min_intersection=2,
+                                    max_shingle_freq=10).collect()}
+    inter, union = pairs[(1, 2)]
+    assert inter == union  # identical rare-shingle sets → jaccard exactly 1
