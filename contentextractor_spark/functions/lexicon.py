@@ -45,9 +45,16 @@ escape hatch, same mechanism).
 from __future__ import annotations
 
 import os
-import re as _re
 
 from .lexicon_data import build_lexicon
+
+# the script-class run scanner and numeral test are shared with the regex
+# fold (tokenize.py) — importing (not copying) them is what makes the
+# pure-OOV fast path in keyword_fold_kuromoji provably equivalent to
+# keyword_list_regex: both paths segment with the SAME compiled pattern.
+# No cycle: tokenize.py imports this module only lazily inside functions.
+from .tokenize import TOKEN_RE as _ANY_TOKEN_RE
+from .tokenize import _PURE_DIGITS
 
 # surface → (part_of_speech, base_form or None).  POS strings follow
 # IPADIC's comma-joined convention (the reference does substring containment
@@ -143,20 +150,6 @@ _LENS_MULTI_BY_FIRST = {
     c: tuple(sorted(s, reverse=True)) for c, s in _LENS_MULTI_BY_FIRST.items()
 }
 
-# script-class runs for unknown-word grouping (Kuromoji char categories);
-# leftmost alternation = class of the run's first char, greedy to class end.
-# All scanning is C-level regex — a per-char Python class loop costs ~5µs/char
-# and made the fold dominate the extraction hot path (measured).
-_ANY_TOKEN_RE = _re.compile(
-    r"[A-Za-z0-9_]+"
-    r"|[ぁ-ゖー]+"
-    r"|[ァ-ヺヽヾー]+"
-    r"|[一-鿿々]+"
-    r"|[０-９Ａ-Ｚａ-ｚ]+"
-)
-_PURE_DIGITS_RE = _re.compile(r"[0-9０-９]+\Z")
-
-
 def analyze(text: str) -> list[tuple[str, str, str | None]]:
     """Segment into (surface, pos, base_form) morphemes: longest lexicon
     match first, else a script-class run that stops where a lexicon match
@@ -210,7 +203,7 @@ def analyze(text: str) -> list[tuple[str, str, str | None]]:
                     break
             q += 1
         surface = text[i:j]
-        if _PURE_DIGITS_RE.match(surface):
+        if _PURE_DIGITS.fullmatch(surface):
             out.append((surface, "名詞,数", None))
         else:
             out.append((surface, "名詞,一般", None))

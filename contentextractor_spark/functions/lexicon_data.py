@@ -133,14 +133,14 @@ _NOUNS_GENERAL = (
     "午前 午後 夜間 朝食 昼食 夕食 料理 食事 食品 食料 野菜 果物 肉類 魚類 "
     "飲料 酒類 病気 健康 医療 医者 病院 薬品 治療 手術 予防 検査 診断 症状 "
     "身体 頭部 心臓 血液 皮膚 筋肉 骨格 神経 脳波 精神 心理 睡眠 運動 "
-    "スポーツ 野球 サッカー テニス 水泳 競技 選手 監督 試合 勝利 敗北 優勝 "
+    "スポーツ 野球 サッカー テニス 水泳 競技 選手 試合 勝利 敗北 優勝 "
     "記録 得点 観客 応援 趣味 娯楽 旅行 観光 宿泊 ホテル 旅館 温泉 祭り "
     "行事 伝統 習慣 宗教 神社 寺院 教会 信仰 祈り 建物 建築 住宅 家屋 部屋 "
     "玄関 台所 寝室 風呂 庭園 公園 広場 施設 設備 装置 機械 機器 道具 器具 "
     "材料 素材 金属 木材 石油 石炭 電力 電気 電子 原子 分子 物質 物体 重力 "
     "温度 湿度 圧力 変数 エネルギー 資源 燃料 発電 工場 工業 農業 漁業 "
     "林業 鉱業 農家 農村 都会 田舎 人口 住民 市民 国民 民族 移民 難民 福祉 "
-    "年金 保険 介護 支援 援助 協力 参加 活動 運営 管理 監督 指導 指示 命令 "
+    "年金 保険 介護 支援 援助 協力 参加 活動 運営 管理 指導 指示 命令 "
     "要求 要望 希望 期待 不安 心配 恐怖 喜び 悲しみ 怒り 驚き 笑顔 涙声 "
     "インターネット ネット ウェブ サイト ページ ブログ メール アドレス "
     "パソコン コンピュータ ソフト ソフトウェア ハードウェア アプリ データ "
@@ -198,8 +198,11 @@ _NOUNS_ADVERBIAL = (
     "直前 今後 本日 結局 全部 一部 大半 多数 少数 複数 単数"
 ).split()
 
-# 名詞,数 — numerals (excluded by the reference's 数 test)
-_NUMERALS = list("一二三四五六七八九十百千万億兆〇") + (
+# 名詞,数 — numerals (excluded by the reference's 数 test).  〇 (U+3007)
+# is deliberately absent: it belongs to no TOKEN_RE script class, so the
+# analyzer never probes at it — a 〇 row would be unreachable dead data
+# that only pollutes the first-char probe tables.
+_NUMERALS = list("一二三四五六七八九十百千万億兆") + (
     "一つ 二つ 三つ 四つ 五つ 六つ 七つ 八つ 九つ"
 ).split()
 
@@ -254,21 +257,40 @@ def _expand_adjective(base: str) -> dict[str, Entry]:
     return out
 
 
+def _kept_by_filter(pos: str) -> bool:
+    """The K2 filter outcome for a POS string (lexicon.py applies it to
+    tokens; here it classifies ROWS for the collision audit below)."""
+    return ("名詞" in pos and "数" not in pos) or "形容詞" in pos
+
+
+# Cross-class collision policy: one surface, one row — when a hand-listed
+# noun and a generated paradigm form (or closed-class row) share a surface,
+# the merge below is last-writer-wins, which silently flipped two KEPT
+# nouns to DROPPED rows in round 3 (喜び clobbered by _expand_godan('喜ぶ'),
+# よう by the 助動詞 row).  The curated noun row wins at any kept/drop
+# flip — Kuromoji would disambiguate by context, and on web text the
+# deverbal-noun / 〜のような readings the curator listed are the ones the
+# reference's filter keeps.  build_lexicon AUDITS this set exactly: a new
+# flip (or a stale entry here) raises at import, never shadows silently.
+_NOUN_WINS = frozenset({"喜び", "よう"})
+
+
 def build_lexicon() -> dict[str, Entry]:
     """The full generated lexicon: surface → (pos, base_form)."""
-    lex: dict[str, Entry] = {}
+    listed: dict[str, Entry] = {}
     for w in _NOUNS_GENERAL:
-        lex[w] = ("名詞,一般", None)
+        listed[w] = ("名詞,一般", None)
     for w in _NOUNS_SAHEN:
-        lex[w] = ("名詞,サ変接続", None)
+        listed[w] = ("名詞,サ変接続", None)
     for w in _NOUNS_PROPER:
-        lex[w] = ("名詞,固有名詞,地域", None)
+        listed[w] = ("名詞,固有名詞,地域", None)
     for w in _NOUNS_HIJIRITSU:
-        lex[w] = ("名詞,非自立,一般", None)
+        listed[w] = ("名詞,非自立,一般", None)
     for w in _NOUNS_ADVERBIAL:
-        lex[w] = ("名詞,副詞可能", None)
+        listed[w] = ("名詞,副詞可能", None)
     for w in _NUMERALS:
-        lex[w] = ("名詞,数", None)
+        listed[w] = ("名詞,数", None)
+    lex: dict[str, Entry] = dict(listed)
     for base in _GODAN:
         lex.update(_expand_godan(base))
     for base in _ICHIDAN:
@@ -295,4 +317,19 @@ def build_lexicon() -> dict[str, Entry]:
     lex.setdefault("トピックス", ("名詞,一般", None))
     lex.setdefault("問い合わせ", ("名詞,サ変接続", None))
     lex.setdefault("問い合せ", ("名詞,サ変接続", None))
+    # collision audit: every kept/drop flip against a curated noun row must
+    # be acknowledged in _NOUN_WINS (where the noun row is restored), and
+    # _NOUN_WINS must not carry stale surfaces — exact set equality
+    flips = {
+        s
+        for s, e in listed.items()
+        if _kept_by_filter(lex[s][0]) != _kept_by_filter(e[0])
+    }
+    if flips != set(_NOUN_WINS):
+        raise AssertionError(
+            "lexicon kept/drop collision audit failed; unacknowledged or "
+            f"stale surfaces: {sorted(flips ^ set(_NOUN_WINS))}"
+        )
+    for s in flips:
+        lex[s] = listed[s]
     return lex
