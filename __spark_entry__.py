@@ -193,7 +193,89 @@ def entry(spark: SparkSession) -> DataFrame:
     return out.select("url", "title", "main_text", "threshold", "status")
 
 
+def _pdf_pages_sql(docs: DataFrame) -> DataFrame:
+    """Spark-SQL twin of pdfparse.build_pdf([line1, line2],
+    reverse_stream=True): an honest single-page PDF (REAL xref byte
+    offsets, computed with length arithmetic) whose content stream emits
+    the lower line FIRST — only a layout-aware extractor recovers reading
+    order.  Byte-identical to the Python builder (differential-tested in
+    tests/test_pdfparse.py).  line1 = 'Document <doc_id>', line2 = text;
+    input must be ASCII (no parens/backslash → no string escaping needed).
+    """
+    from contentextractor_spark.operators.pdfparse import FIXED_OBJS
+
+    line1 = F.concat(F.lit("Document "), F.col("doc_id").cast("string"))
+    line2 = F.col("text")
+    stream = F.concat(
+        F.lit("BT\n/F1 12 Tf\n1 0 0 1 72 704 Tm\n("),
+        line2,
+        F.lit(") Tj\n1 0 0 1 72 720 Tm\n("),
+        line1,
+        F.lit(") Tj\nET"),
+    )
+    slen = F.length(stream)  # ASCII ⇒ chars == bytes
+    head = "%PDF-1.4\n"
+    objs = [o.decode("latin-1") for o in FIXED_OBJS]
+    o1s = "1 0 obj\n" + objs[0] + "\nendobj\n"
+    o2s = "2 0 obj\n" + objs[1] + "\nendobj\n"
+    o3s = "3 0 obj\n" + objs[2] + "\nendobj\n"
+    o4_pre = "4 0 obj\n<< /Length "
+    o4_mid = " >>\nstream\n"
+    o4_post = "\nendstream\nendobj\n"
+    o5s = "5 0 obj\n" + objs[3] + "\nendobj\n"
+    off = [len(head)]
+    for part in (o1s, o2s, o3s):
+        off.append(off[-1] + len(part))
+    # variable offsets: obj5 follows the stream object, xref follows obj5
+    slen_digits = F.length(slen.cast("string"))
+    off5 = (
+        F.lit(off[3] + len(o4_pre) + len(o4_mid) + len(o4_post))
+        + slen_digits
+        + slen
+    )
+    xref_pos = off5 + F.lit(len(o5s))
+    pdf_str = F.concat(
+        F.lit(head + o1s + o2s + o3s + o4_pre),
+        slen.cast("string"),
+        F.lit(o4_mid),
+        stream,
+        F.lit(o4_post + o5s),
+        F.lit("xref\n0 6\n0000000000 65535 f \n"),
+        F.lit("".join(f"{o:010d} 00000 n \n" for o in off)),
+        F.format_string("%010d 00000 n \n", off5),
+        F.lit("trailer\n<< /Size 6 /Root 1 0 R >>\nstartxref\n"),
+        xref_pos.cast("string"),
+        F.lit("\n%%EOF\n"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.encode(pdf_str, "UTF-8").alias("pdf"),
+    )
+
+
+# safe PDF-literal alphabet: no ( ) \ — the SQL builder skips escaping
+_PDF_SAFE_RE = "^[A-Za-z0-9_ ]+$"
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def pdf_extract_roundtrip(spark, sf_dir):
+        # PDF/layout member of the extraction family (north rule): build
+        # honest PDFs from document text with the two lines emitted in
+        # REVERSE stream order; the extractor must FlateDecode-free parse
+        # objects, walk the page tree, and reassemble reading order by
+        # layout (y desc) — a stream-order concatenation hash-mismatches.
+        from contentextractor_spark.plans.pipeline import extract_pdf_pages
+
+        docs = _docs(spark, sf_dir).filter(F.col("text").rlike(_PDF_SAFE_RE))
+        out = extract_pdf_pages(_pdf_pages_sql(docs), num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            "text",
+            "n_pages",
+            "n_objects",
+            "status",
+        )
+
     def extract_roundtrip(spark, sf_dir):
         pages = _docs_as_pages(_docs(spark, sf_dir))
         out = extract_pages(pages, num_buckets=8)
@@ -899,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver caps how many queries it value-checks per round, these
         # must not starve behind the long-green ones
         # ------------------------------------------------------------------
+        "pdf_extract_roundtrip": pdf_extract_roundtrip,
         "tpch_promo_share": tpch_promo_share,
         "tpch_shipping_priority": tpch_shipping_priority,
         "media_resize_plan": media_resize_plan,
@@ -1033,6 +1116,19 @@ bands AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # the PDF builder places 'Document <id>' ABOVE the text but emits it
+        # SECOND in the content stream — the expected text below is the
+        # layout-reassembled reading order, not stream order
+        "pdf_extract_roundtrip": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'Document ' || CAST(doc_id AS VARCHAR) || chr(10) || text
+                     AS text,
+                   CAST(1 AS INTEGER) AS n_pages,
+                   CAST(5 AS INTEGER) AS n_objects,
+                   'ok' AS status
+            FROM documents
+            WHERE regexp_matches(text, '^[A-Za-z0-9_ ]+$')
+        """,
         "extract_roundtrip": f"""
             SELECT doc_id, trim(text) AS main_text
             FROM documents

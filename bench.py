@@ -152,7 +152,18 @@ def main() -> None:
         "pack_sequences": lambda: force(
             A.pack_sequences(docs, capacity=256, n_groups=32)
         ),
+        "pdf_extract": lambda: force(_pdf_extract()),
     }
+
+    def _pdf_extract():
+        # PDF/layout path: SQL-built honest PDFs (reverse-stream layout)
+        # through the stdlib parser — same shape as the driver oracle row
+        from __spark_entry__ import _PDF_SAFE_RE, _pdf_pages_sql
+
+        from contentextractor_spark.plans.pipeline import extract_pdf_pages
+
+        pdocs = docs.filter(F.col("text").rlike(_PDF_SAFE_RE))
+        return extract_pdf_pages(_pdf_pages_sql(pdocs), num_buckets=NUM_BUCKETS)
 
     times: dict[str, float] = {}
     for name, fn in bench_queries.items():

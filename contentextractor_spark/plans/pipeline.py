@@ -235,6 +235,66 @@ def extract_pages(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
     return partitioned.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
 
+PDF_EXTRACT_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+        StructField("n_pages", IntegerType()),
+        StructField("n_objects", IntegerType()),
+        StructField("status", StringType()),
+        StructField("bucket_id", IntegerType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+
+def _extract_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body for PDF extraction — same bounded-batch discipline
+    as _extract_batches (one Arrow batch of raw bytes in flight per task)."""
+    from pyspark import TaskContext
+
+    from ..operators.pdfparse import extract_pdf
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        rows: dict[str, list] = {"text": [], "n_pages": [], "n_objects": [], "status": []}
+        for data in pdf["pdf"]:
+            res = extract_pdf(bytes(data) if data is not None else b"")
+            rows["text"].append(res.text)
+            rows["n_pages"].append(res.n_pages)
+            rows["n_objects"].append(res.n_objects)
+            rows["status"].append(res.status)
+        out = pd.DataFrame({"url": pdf["url"].astype(str), **rows})
+        out["bucket_id"] = pdf["bucket_id"].values
+        out["partition_id"] = pid
+        yield out
+
+
+def extract_pdf_pages(docs: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """PDF/layout member of the extraction family (north rule: "HTML
+    boilerplate strip, PDF/layout parse, DOM heuristics"): docs(url,
+    pdf:binary) → (url, text, n_pages, n_objects, status, ...).
+
+    Identical scale shape to extract_pages — column-pruned scan →
+    one salted repartition on pmod(xxhash64(url, SALT)) → mapInPandas
+    (operators/pdfparse.py, stdlib-only parser) — so every plan-level
+    property argued there (bounded Arrow batches, skew spread, single
+    shuffle) carries over unchanged."""
+    ensure_pyfiles(docs.sparkSession)
+    keyed = docs.select("url", "pdf").withColumn(
+        "bucket_id",
+        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
+            "int"
+        ),
+    )
+    partitioned = keyed.repartition(num_buckets, F.col("bucket_id"))
+    return partitioned.mapInPandas(_extract_pdf_batches, schema=PDF_EXTRACT_SCHEMA)
+
+
 def lineage_metrics(extracted: DataFrame) -> DataFrame:
     """Per-bucket lineage/metrics rows (north rule: partition id, url range,
     row counts, extractor-version hash).  Derived from the output with one

@@ -1,0 +1,234 @@
+"""PDF/layout-parse operator (operators/pdfparse.py): from-scratch parser
+goldens, layout reassembly, robustness, and the Spark/SQL-builder twin
+differential (north rule: "HTML boilerplate strip, PDF/layout parse, DOM
+heuristics" — this is the PDF member)."""
+
+import zlib
+
+import pytest
+
+from contentextractor_spark.operators.pdfparse import (
+    PdfResult,
+    assemble_layout,
+    build_pdf,
+    extract_pdf,
+    extract_text_spans,
+)
+
+
+def test_roundtrip_basic():
+    pdf = build_pdf(["Hello World", "second line", "third one"])
+    res = extract_pdf(pdf)
+    assert res.text == "Hello World\nsecond line\nthird one"
+    assert (res.n_pages, res.n_objects, res.status) == (1, 5, "ok")
+
+
+def test_reverse_stream_layout_reorder():
+    # the content stream emits the BOTTOM line first; reading order must
+    # come from positions (y desc), not stream order
+    pdf = build_pdf(["first", "second", "third"], reverse_stream=True)
+    assert extract_pdf(pdf).text == "first\nsecond\nthird"
+
+
+def test_flate_decode():
+    pdf = build_pdf(["compressed body", "line two"], compress=True)
+    assert extract_pdf(pdf).text == "compressed body\nline two"
+    assert zlib.compress(b"x") is not None  # stdlib only — no external lib
+
+
+def test_literal_string_escapes():
+    pdf = build_pdf([r"par(en) back\slash", "done"])
+    assert extract_pdf(pdf).text == "par(en) back\\slash\ndone"
+
+
+def test_not_pdf_and_garbage():
+    assert extract_pdf(b"") == PdfResult("", 0, 0, "not_pdf")
+    assert extract_pdf(b"plain text") == PdfResult("", 0, 0, "not_pdf")
+    assert extract_pdf(b"%PDF-1.4 then nothing").status == "no_pages"
+
+
+def test_in_stream_object_tokens_do_not_shadow():
+    # page text containing 'N 0 obj' / 'trailer' tokens must not be parsed
+    # as body objects (scan-based parsing skips stream extents)
+    pdf = build_pdf(["evil 4 0 obj 99 stream", "trailer fake", "1 0 obj 7"])
+    res = extract_pdf(pdf)
+    assert res.text == "evil 4 0 obj 99 stream\ntrailer fake\n1 0 obj 7"
+    assert res.status == "ok" and res.n_objects == 5
+
+
+def test_tj_kerning_space_heuristic():
+    # adjustments ≤ -180/1000 em read as encoded spaces; smaller ones don't
+    spans = extract_text_spans(
+        b"BT 1 0 0 1 72 700 Tm [(Wo) -50 (rd) -250 (gap)] TJ ET"
+    )
+    assert spans == [(72.0, 700.0, "Word gap")]
+
+
+def test_quote_operators_advance_lines():
+    text = assemble_layout(
+        extract_text_spans(b"BT 12 TL 1 0 0 1 72 700 Tm (a) Tj (b) ' 1 2 (c) \" ET")
+    )
+    assert text == "a\nb\nc"
+
+
+def test_hex_and_utf16_strings():
+    cs = (
+        b"BT 1 0 0 1 0 700 Tm <48656C6C6F> Tj "
+        b"1 0 0 1 0 680 Tm <FEFF00E9> Tj ET"
+    )
+    assert assemble_layout(extract_text_spans(cs)) == "Hello\né"
+
+
+def test_same_line_spans_ordered_by_x():
+    cs = b"BT 1 0 0 1 200 700 Tm (right) Tj 1 0 0 1 72 700 Tm (left) Tj ET"
+    assert assemble_layout(extract_text_spans(cs)) == "left right"
+
+
+def test_td_relative_positioning_and_tstar():
+    cs = b"BT 14 TL 72 700 Td (one) Tj T* (two) Tj 0 -20 Td (three) Tj ET"
+    assert assemble_layout(extract_text_spans(cs)) == "one\ntwo\nthree"
+
+
+def test_multipage_and_multistream():
+    # hand-built two-page doc; page 2 content split across TWO streams
+    # (spec: array /Contents concatenates with whitespace)
+    def obj(num, body, stream=None):
+        out = f"{num} 0 obj\n{body}".encode()
+        if stream is not None:
+            out += b"\nstream\n" + stream + b"\nendstream"
+        return out + b"\nendobj\n"
+
+    s1 = b"BT 1 0 0 1 72 700 Tm (page one) Tj ET"
+    s2a = b"BT 1 0 0 1 72 700 Tm (page) Tj"
+    s2b = b" 1 0 0 1 110 700 Tm (two) Tj ET"
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += obj(2, "<< /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >>")
+    pdf += obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>")
+    pdf += obj(4, "<< /Type /Page /Parent 2 0 R /Contents [6 0 R 7 0 R] >>")
+    pdf += obj(5, f"<< /Length {len(s1)} >>", s1)
+    pdf += obj(6, f"<< /Length {len(s2a)} >>", s2a)
+    pdf += obj(7, f"<< /Length {len(s2b)} >>", s2b)
+    pdf += b"trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    res = extract_pdf(pdf)
+    assert res.text == "page one\n\npage two"
+    assert res.n_pages == 2 and res.status == "ok"
+
+
+def test_incremental_update_last_object_wins():
+    # an appended body redefining object 5 (the content stream here) must
+    # shadow the original, like a full-rewrite save would
+    def obj(num, body, stream=None):
+        out = f"{num} 0 obj\n{body}".encode()
+        if stream is not None:
+            out += b"\nstream\n" + stream + b"\nendstream"
+        return out + b"\nendobj\n"
+
+    s_old = b"BT 1 0 0 1 72 700 Tm (old) Tj ET"
+    s_new = b"BT 1 0 0 1 72 700 Tm (new) Tj ET"
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    pdf += obj(3, "<< /Type /Page /Parent 2 0 R /Contents 5 0 R >>")
+    pdf += obj(5, f"<< /Length {len(s_old)} >>", s_old)
+    pdf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n"
+    pdf += obj(5, f"<< /Length {len(s_new)} >>", s_new)  # incremental update
+    pdf += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf(pdf).text == "new"
+
+
+def test_encrypted_flagged():
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"9 0 obj\n<< /Filter /Standard >>\nendobj\n"
+        b"trailer\n<< /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n"
+    )
+    res = extract_pdf(pdf)
+    assert res.status == "encrypted" and res.text == ""
+
+
+def test_unsupported_filter_degrades_to_empty_page():
+    s = b"unreadable"
+    pdf = b"%PDF-1.4\n"
+    pdf += b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+    pdf += b"2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"
+    pdf += b"3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+    pdf += (
+        b"4 0 obj\n<< /Length 10 /Filter /DCTDecode >>\nstream\n"
+        + s
+        + b"\nendstream\nendobj\n"
+    )
+    pdf += b"trailer\n<< /Size 5 /Root 1 0 R >>\n%%EOF\n"
+    res = extract_pdf(pdf)
+    assert res.text == "" and res.n_pages == 1 and res.status == "ok"
+
+
+def test_missing_root_falls_back_to_flat_page_scan():
+    pdf = (
+        b"%PDF-1.4\n"
+        b"3 0 obj\n<< /Type /Page /Contents 4 0 R >>\nendobj\n"
+        b"4 0 obj\n<< /Length 33 >>\nstream\n"
+        b"BT 1 0 0 1 0 0 Tm (orphan) Tj ET\nendstream\nendobj\n"
+        b"%%EOF\n"
+    )
+    res = extract_pdf(pdf)
+    assert res.text == "orphan" and res.status == "no_root_fallback"
+
+
+def test_sql_builder_differential(spark):
+    """The Spark-SQL PDF builder in __spark_entry__ must stay byte-identical
+    to build_pdf(..., reverse_stream=True) — same objects, same offsets,
+    same xref."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __spark_entry__ import _pdf_pages_sql
+
+    texts = ["hello world", "x", "a" * 300 + " tail"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    rows = {r["url"]: bytes(r["pdf"]) for r in _pdf_pages_sql(df).collect()}
+    for i, t in enumerate(texts):
+        expected = build_pdf([f"Document {i}", t], reverse_stream=True)
+        assert rows[str(i)] == expected, f"doc {i} diverged"
+
+
+def test_extract_pdf_pages_spark_roundtrip(spark):
+    from contentextractor_spark.plans.pipeline import extract_pdf_pages
+
+    docs = [
+        ("u1", build_pdf(["alpha beta", "gamma"], reverse_stream=True)),
+        ("u2", build_pdf(["compressed stuff"], compress=True)),
+        ("u3", b"not a pdf at all"),
+        ("u4", None),
+    ]
+    df = spark.createDataFrame(docs, "url string, pdf binary")
+    out = {
+        r["url"]: (r["text"], r["n_pages"], r["status"])
+        for r in extract_pdf_pages(df, num_buckets=4).collect()
+    }
+    assert out["u1"] == ("alpha beta\ngamma", 1, "ok")
+    assert out["u2"] == ("compressed stuff", 1, "ok")
+    assert out["u3"] == ("", 0, "not_pdf")
+    assert out["u4"] == ("", 0, "not_pdf")
+
+
+def test_extract_pdf_pages_plan_shape(spark):
+    """Plan audit: one repartition (bucket hash) feeding mapInPandas — no
+    join, no wide agg, no collect (same contract as extract_pages)."""
+    from contentextractor_spark.plans.pipeline import extract_pdf_pages
+
+    df = spark.createDataFrame(
+        [("u", build_pdf(["x y"]))], "url string, pdf binary"
+    )
+    plan = extract_pdf_pages(df, num_buckets=4)._jdf.queryExecution().toString()
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") <= 2  # bucket repartition (+AQE read)
+    assert "Join" not in plan
+
+
+@pytest.mark.parametrize("n_lines", [1, 2, 7])
+def test_line_count_property(n_lines):
+    lines = [f"line number {i}" for i in range(n_lines)]
+    assert extract_pdf(build_pdf(lines)).text == "\n".join(lines)
