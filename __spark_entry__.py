@@ -256,6 +256,46 @@ def _pdf_pages_sql(docs: DataFrame) -> DataFrame:
 # safe PDF-literal alphabet: no ( ) \ — the SQL builder skips escaping
 _PDF_SAFE_RE = "^[A-Za-z0-9_ ]+$"
 
+_WARC_DATE = "2024-01-01T00:00:00Z"
+
+
+def _warc_segments_sql(docs: DataFrame, n_segments: int = 50) -> DataFrame:
+    """Spark-SQL twin of sources/warc.build_warc: ~n_segments multi-record
+    WARC buffers, each holding the HTML-wrapped pages of pmod(doc_id)-
+    grouped documents (sorted record order → deterministic bytes;
+    byte-compatibility differential-tested in tests/test_warc.py).
+    Content-Length counts BYTES (octet_length) — the html wrap carries the
+    doc text verbatim, CJK included."""
+    html = F.concat(
+        F.lit("<html><body><div><p>"),
+        F.col("text"),
+        F.lit("</p></div></body></html>"),
+    )
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"), html
+    )
+    rec = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        F.col("doc_id").cast("string"),
+        F.lit("\r\nWARC-Date: " + _WARC_DATE + "\r\nContent-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"),
+        http,
+        F.lit("\r\n\r\n"),
+    )
+    return (
+        docs.select(
+            F.pmod(F.col("doc_id"), F.lit(n_segments)).alias("seg_id"),
+            rec.alias("rec"),
+        )
+        .groupBy("seg_id")
+        .agg(
+            F.encode(
+                F.concat_ws("", F.sort_array(F.collect_list("rec"))), "UTF-8"
+            ).alias("warc")
+        )
+    )
+
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pdf_extract_roundtrip(spark, sf_dir):
@@ -274,6 +314,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n_pages",
             "n_objects",
             "status",
+        )
+
+    def warc_extract_roundtrip(spark, sf_dir):
+        # S-family breadth: WARC container → pages flat-map → FULL HTML
+        # extraction, end to end.  ~50 multi-record archive buffers explode
+        # back to one page per document (the flat-map must frame records by
+        # Content-Length — bodies contain arbitrary text) and the pipeline
+        # must then recover trim(text) byte-exactly, same as
+        # extract_roundtrip but through the ingestion edge.
+        from contentextractor_spark.sources.warc import warc_to_pages
+
+        docs = _eligible(_docs(spark, sf_dir))
+        pages = warc_to_pages(_warc_segments_sql(docs))
+        out = extract_pages(pages, num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"), "main_text"
         )
 
     def extract_roundtrip(spark, sf_dir):
@@ -982,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # must not starve behind the long-green ones
         # ------------------------------------------------------------------
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
+        "warc_extract_roundtrip": warc_extract_roundtrip,
         "tpch_promo_share": tpch_promo_share,
         "tpch_shipping_priority": tpch_shipping_priority,
         "media_resize_plan": media_resize_plan,
@@ -1128,6 +1185,13 @@ def oracle_sql() -> dict[str, str]:
                    'ok' AS status
             FROM documents
             WHERE regexp_matches(text, '^[A-Za-z0-9_ ]+$')
+        """,
+        # same oracle as extract_roundtrip — the WARC container round-trips
+        # the html bytes verbatim, so the extraction result is identical
+        "warc_extract_roundtrip": f"""
+            SELECT doc_id, trim(text) AS main_text
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
         """,
         "extract_roundtrip": f"""
             SELECT doc_id, trim(text) AS main_text

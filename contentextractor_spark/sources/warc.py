@@ -1,0 +1,288 @@
+"""WARC (ISO 28500) source reader — the container format Common-Crawl-style
+page stores are ingested FROM.  The north rule's input is an Iceberg table
+of pages; this source is the ingestion edge that produces that table from
+raw crawl archives, so the engine covers the pipeline one step upstream of
+`extract_pages`.
+
+Pure stdlib.  A WARC file is a sequence of records:
+
+    WARC/1.0\r\n
+    WARC-Type: response\r\n
+    WARC-Target-URI: <url>\r\n
+    WARC-Date: 2024-01-01T00:00:00Z\r\n
+    Content-Length: <n>\r\n
+    \r\n
+    <n payload bytes — for response records an HTTP message:
+     status line + headers + \r\n\r\n + body>
+    \r\n\r\n
+
+Real crawl archives store each record as its own gzip member, concatenated
+(".warc.gz"); `iter_warc_records` transparently handles plain and
+member-gzipped input (gzip magic sniff + per-member decompression).
+
+Semantics:
+ - Content-Length is authoritative for the payload extent (bodies may
+   contain \\r\\n\\r\\n sequences — no delimiter scanning inside payloads);
+   a record whose declared length overruns the buffer is dropped as
+   truncated rather than mis-framed.
+ - only WARC-Type: response records yield pages (request/metadata/warcinfo
+   records are skipped, like every crawl consumer does);
+ - the HTTP header block is stripped; the body is returned as RAW BYTES —
+   charset decoding belongs to the extraction pipeline's D1/D2 operators,
+   which must see original bytes (decoding here would corrupt SJIS pages).
+ - HTTP Transfer-Encoding: chunked bodies are de-chunked (crawlers store
+   the wire form); Content-Encoding gzip/deflate payloads are inflated.
+
+Spark shape: `warc_to_pages` is a flat-map (mapInPandas yielding MORE rows
+than input) over a binary column of archive segments — one shuffle-free
+narrow stage; the result feeds `extract_pages` unchanged.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+_CRLF2 = b"\r\n\r\n"
+
+
+@dataclass
+class WarcRecord:
+    warc_type: str
+    target_uri: str
+    warc_date: str
+    http_status: int | None
+    payload: bytes  # HTTP body for response records, raw payload otherwise
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    """Header block → {lower-name: value}; duplicate names keep the first
+    (sufficient for the framing headers used here)."""
+    headers: dict[str, str] = {}
+    for line in block.split(b"\r\n"):
+        if b":" not in line:
+            continue
+        name, _, value = line.partition(b":")
+        key = name.strip().decode("latin-1").lower()
+        if key not in headers:
+            headers[key] = value.strip().decode("latin-1")
+    return headers
+
+
+def _dechunk(body: bytes) -> bytes:
+    """RFC 7230 chunked transfer decoding; malformed input returns the
+    bytes as-is (crawl archives contain plenty of broken servers)."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = body.find(b"\r\n", pos)
+        if nl < 0:
+            return bytes(body) if not out else bytes(out)
+        size_tok = body[pos:nl].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return bytes(body) if not out else bytes(out)
+        if size == 0:
+            return bytes(out)
+        start = nl + 2
+        out += body[start : start + size]
+        pos = start + size + 2  # skip chunk + CRLF
+        if pos > len(body):
+            return bytes(out)
+
+
+def _inflate(body: bytes, encoding: str) -> bytes:
+    try:
+        if encoding == "gzip":
+            return gzip.decompress(body)
+        if encoding == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:  # raw-deflate servers (missing zlib header)
+                return zlib.decompress(body, -zlib.MAX_WBITS)
+    except (OSError, zlib.error):
+        pass
+    return body
+
+
+def _split_http(payload: bytes) -> tuple[int | None, bytes]:
+    """HTTP response message → (status, body) with de-chunking and
+    content-decoding applied; non-HTTP payloads pass through."""
+    if not payload.startswith(b"HTTP/"):
+        return None, payload
+    sep = payload.find(_CRLF2)
+    if sep < 0:
+        return None, b""
+    head = payload[:sep]
+    body = payload[sep + 4 :]
+    status_line = head.split(b"\r\n", 1)[0]
+    parts = status_line.split()
+    status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else None
+    headers = _parse_headers(head.split(b"\r\n", 1)[1] if b"\r\n" in head else b"")
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    enc = headers.get("content-encoding", "").strip().lower()
+    if enc in ("gzip", "deflate"):
+        body = _inflate(body, enc)
+    return status, body
+
+
+def _gunzip_members(data: bytes) -> bytes:
+    """Concatenated gzip members → concatenated plaintext (the .warc.gz
+    layout).  gzip.decompress already walks members; stream fallback for
+    trailing garbage."""
+    try:
+        return gzip.decompress(data)
+    except OSError:
+        out = bytearray()
+        with io.BytesIO(data) as fh:
+            while True:
+                start = fh.tell()
+                try:
+                    with gzip.GzipFile(fileobj=fh) as gz:
+                        out += gz.read()
+                except OSError:
+                    break
+                if fh.tell() == start:
+                    break
+        return bytes(out)
+
+
+def iter_warc_records(data: bytes) -> Iterator[WarcRecord]:
+    """Parse one archive buffer (plain or member-gzipped) into records.
+    Content-Length frames each payload; truncated tails are dropped."""
+    if data[:2] == b"\x1f\x8b":
+        data = _gunzip_members(data)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        start = data.find(b"WARC/", pos)
+        if start < 0:
+            return
+        head_end = data.find(_CRLF2, start)
+        if head_end < 0:
+            return
+        head = data[start:head_end]
+        headers = _parse_headers(head.split(b"\r\n", 1)[1] if b"\r\n" in head else b"")
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            pos = head_end + 4
+            continue
+        payload_start = head_end + 4
+        payload_end = payload_start + length
+        if payload_end > n:  # truncated record — never mis-frame
+            return
+        payload = data[payload_start:payload_end]
+        wtype = headers.get("warc-type", "")
+        status: int | None = None
+        if wtype == "response":
+            status, payload = _split_http(payload)
+        yield WarcRecord(
+            warc_type=wtype,
+            target_uri=headers.get("warc-target-uri", ""),
+            warc_date=headers.get("warc-date", ""),
+            http_status=status,
+            payload=payload,
+        )
+        pos = payload_end
+
+
+WARC_PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("http_status", StringType()),
+    ]
+)
+
+
+def warc_to_pages(segments: DataFrame, data_col: str = "warc") -> DataFrame:
+    """Flat-map archive segments(id, warc:binary) → pages(url, warc_ts,
+    html, http_status).  Narrow stage (no shuffle): each segment explodes
+    into its response records inside one mapInPandas pass; feed the result
+    straight to extract_pages, whose salted repartition is then the
+    pipeline's only shuffle.  Only 2xx response records become pages
+    (parity with crawl consumers; others carry no usable body)."""
+    import pandas as pd
+
+    from ..plans.pipeline import ensure_pyfiles
+
+    ensure_pyfiles(segments.sparkSession)
+
+    def explode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {
+                "url": [],
+                "warc_ts": [],
+                "html": [],
+                "http_status": [],
+            }
+            for data in pdf[data_col]:
+                if data is None:
+                    continue
+                for rec in iter_warc_records(bytes(data)):
+                    if rec.warc_type != "response":
+                        continue
+                    if rec.http_status is None or not (
+                        200 <= rec.http_status < 300
+                    ):
+                        continue
+                    rows["url"].append(rec.target_uri)
+                    ts = pd.to_datetime(
+                        rec.warc_date, utc=True, errors="coerce", format="ISO8601"
+                    )
+                    rows["warc_ts"].append(
+                        None if ts is pd.NaT else ts.tz_localize(None)
+                    )
+                    rows["html"].append(rec.payload)
+                    rows["http_status"].append(str(rec.http_status))
+            yield pd.DataFrame(rows)
+
+    return segments.select(data_col).mapInPandas(explode, schema=WARC_PAGES_SCHEMA)
+
+
+def build_warc(
+    records: list[tuple[str, str, bytes]],
+    gzip_members: bool = False,
+    content_type: str = "text/html",
+) -> bytes:
+    """Deterministic archive builder for tests/fixtures: records =
+    [(url, iso_date, body)] → response records with an HTTP/1.1 200
+    message.  The Spark-SQL twin in __spark_entry__.py must stay
+    byte-compatible (differential-tested)."""
+    out = bytearray()
+    for url, date, body in records:
+        http = (
+            b"HTTP/1.1 200 OK\r\nContent-Type: "
+            + content_type.encode("latin-1")
+            + b"\r\n\r\n"
+            + body
+        )
+        rec = (
+            b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            b"WARC-Target-URI: " + url.encode("latin-1") + b"\r\n"
+            b"WARC-Date: " + date.encode("latin-1") + b"\r\n"
+            b"Content-Length: " + str(len(http)).encode("latin-1") + b"\r\n"
+            b"\r\n" + http + b"\r\n\r\n"
+        )
+        if gzip_members:
+            out += gzip.compress(rec)
+        else:
+            out += rec
+    return bytes(out)
