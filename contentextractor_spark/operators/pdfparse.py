@@ -52,6 +52,9 @@ _DELIM = b"()<>[]{}/%"
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
 _TRAILER_RE = re.compile(rb"trailer\b")
 _STREAM_RE = re.compile(rb"stream\r?\n?")
+_NUMBER_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_REF_TAIL_RE = re.compile(rb"\s+(\d+)\s+R\b")
+_OPERATOR_RE = re.compile(rb"[A-Za-z'\"*]{1,3}")
 
 
 @dataclass
@@ -197,17 +200,20 @@ class _Lexer:
         raise ValueError("unterminated literal string")
 
     def _parse_number_or_ref(self):
+        # pattern.match(data, pos) — NEVER d[pos:] slices, which copy the
+        # remaining buffer per token and turn parsing quadratic (measured:
+        # 2× stream size → 6.5× time before this was caught in review)
         d = self.data
-        m = re.match(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)", d[self.pos :])
+        m = _NUMBER_RE.match(d, self.pos)
         if m is None:
             raise ValueError(f"bad token at {self.pos}: {d[self.pos:self.pos+8]!r}")
         tok = m.group(0)
-        end = self.pos + len(tok)
+        end = m.end()
         # 'N G R' indirect reference lookahead (only for integer tokens)
         if b"." not in tok:
-            m2 = re.match(rb"\s+(\d+)\s+R\b", d[end:])
+            m2 = _REF_TAIL_RE.match(d, end)
             if m2 is not None:
-                self.pos = end + m2.end()
+                self.pos = m2.end()
                 return Ref(int(tok), int(m2.group(1)))
         self.pos = end
         return float(tok) if b"." in tok else int(tok)
@@ -344,6 +350,13 @@ class _Doc:
 
     def content_bytes(self, page: dict) -> bytes:
         contents = page.get("/Contents")
+        if isinstance(contents, Ref):
+            # an indirect /Contents may point at an ARRAY object (real
+            # writers emit this); resolve first, keep the Ref only when it
+            # names the stream itself
+            entry = self.objects.get(contents.num)
+            if entry is not None and entry[1] is None and isinstance(entry[0], list):
+                contents = entry[0]
         refs = contents if isinstance(contents, list) else [contents]
         parts: list[bytes] = []
         for r in refs:
@@ -426,14 +439,14 @@ def extract_text_spans(content: bytes) -> list[tuple[float, float, str]]:
             except ValueError:
                 lex.pos += 1
             continue
-        # operator word
-        m = re.match(rb"[A-Za-z'\"*]{1,3}", content[lex.pos :])
+        # operator word (position-anchored match — no tail copies)
+        m = _OPERATOR_RE.match(content, lex.pos)
         if m is None:
             lex.pos += 1
             stack.clear()
             continue
         op = m.group(0)
-        lex.pos += len(op)
+        lex.pos = m.end()
         if op == b"BT":
             x = y = 0.0
             leading = 0.0
@@ -472,8 +485,13 @@ def extract_text_spans(content: bytes) -> list[tuple[float, float, str]]:
                 if isinstance(el, bytes):
                     show(el)
                 elif (
-                    isinstance(el, (int, float)) and el <= TJ_SPACE_THRESHOLD
+                    isinstance(el, (int, float))
+                    and el <= TJ_SPACE_THRESHOLD
+                    and cur is not None
                 ):
+                    # only a gap BETWEEN glyphs is a space; a leading
+                    # adjustment (optical alignment) must not open a
+                    # whitespace-only span
                     show(b" ")
         stack.clear()
     return [(s.x, s.y, s.text()) for s in spans if s.text()]

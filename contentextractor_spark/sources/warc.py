@@ -41,7 +41,6 @@ narrow stage; the result feeds `extract_pages` unchanged.
 from __future__ import annotations
 
 import gzip
-import io
 import zlib
 from collections.abc import Iterator
 from dataclasses import dataclass
@@ -95,6 +94,9 @@ def _dechunk(body: bytes) -> bytes:
             size = int(size_tok, 16)
         except ValueError:
             return bytes(body) if not out else bytes(out)
+        if size < 0:  # int(b'-6', 16) parses — without this guard the
+            # cursor walks backwards and the loop never terminates
+            return bytes(body) if not out else bytes(out)
         if size == 0:
             return bytes(out)
         start = nl + 2
@@ -113,7 +115,7 @@ def _inflate(body: bytes, encoding: str) -> bytes:
                 return zlib.decompress(body)
             except zlib.error:  # raw-deflate servers (missing zlib header)
                 return zlib.decompress(body, -zlib.MAX_WBITS)
-    except (OSError, zlib.error):
+    except (OSError, EOFError, zlib.error):  # EOFError: truncated gzip
         pass
     return body
 
@@ -124,10 +126,16 @@ def _split_http(payload: bytes) -> tuple[int | None, bytes]:
     if not payload.startswith(b"HTTP/"):
         return None, payload
     sep = payload.find(_CRLF2)
-    if sep < 0:
-        return None, b""
-    head = payload[:sep]
-    body = payload[sep + 4 :]
+    if sep >= 0:
+        head, body = payload[:sep], payload[sep + 4 :]
+    else:
+        # bare-LF servers exist in crawl archives; better a page with
+        # LF-normalized headers than a silently dropped record
+        sep = payload.find(b"\n\n")
+        if sep < 0:
+            return None, b""
+        head = payload[:sep].replace(b"\n", b"\r\n")
+        body = payload[sep + 2 :]
     status_line = head.split(b"\r\n", 1)[0]
     parts = status_line.split()
     status = int(parts[1]) if len(parts) >= 2 and parts[1].isdigit() else None
@@ -142,22 +150,26 @@ def _split_http(payload: bytes) -> tuple[int | None, bytes]:
 
 def _gunzip_members(data: bytes) -> bytes:
     """Concatenated gzip members → concatenated plaintext (the .warc.gz
-    layout).  gzip.decompress already walks members; stream fallback for
-    trailing garbage."""
+    layout).  gzip.decompress walks clean member chains; the fallback
+    decompresses member-by-member with decompressobj + unused_data so a
+    truncated tail or trailing garbage costs only the broken member, never
+    the valid ones (gzip.GzipFile.read() would raise AFTER consuming good
+    members, losing everything).  EOFError (truncated stream) is not an
+    OSError — both are caught."""
     try:
         return gzip.decompress(data)
-    except OSError:
+    except (OSError, EOFError):
         out = bytearray()
-        with io.BytesIO(data) as fh:
-            while True:
-                start = fh.tell()
-                try:
-                    with gzip.GzipFile(fileobj=fh) as gz:
-                        out += gz.read()
-                except OSError:
-                    break
-                if fh.tell() == start:
-                    break
+        rest = data
+        while rest[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)  # gzip wrapper
+            try:
+                out += d.decompress(rest)
+            except zlib.error:
+                break
+            if not d.eof:  # truncated final member — drop it
+                break
+            rest = d.unused_data
         return bytes(out)
 
 

@@ -228,6 +228,50 @@ def test_extract_pdf_pages_plan_shape(spark):
     assert "Join" not in plan
 
 
+def test_indirect_contents_array_resolved():
+    # /Contents may be a ref to an ARRAY object (real writers emit this);
+    # it must resolve, not silently yield empty text (r3 review finding)
+    def obj(num, body, stream=None):
+        out = f"{num} 0 obj\n{body}".encode()
+        if stream is not None:
+            out += b"\nstream\n" + stream + b"\nendstream"
+        return out + b"\nendobj\n"
+
+    s1 = b"BT 1 0 0 1 72 700 Tm (indirect) Tj ET"
+    pdf = b"%PDF-1.4\n"
+    pdf += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    pdf += obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    pdf += obj(3, "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>")
+    pdf += obj(6, "[4 0 R]")
+    pdf += obj(4, f"<< /Length {len(s1)} >>", s1)
+    pdf += b"trailer\n<< /Size 7 /Root 1 0 R >>\n%%EOF\n"
+    assert extract_pdf(pdf).text == "indirect"
+
+
+def test_leading_tj_adjustment_no_phantom_space():
+    spans = extract_text_spans(
+        b"BT 1 0 0 1 72 700 Tm (A) Tj 1 0 0 1 100 700 Tm [ -250 (Word) ] TJ ET"
+    )
+    assert spans == [(72.0, 700.0, "A"), (100.0, 700.0, "Word")]
+    assert assemble_layout(spans) == "A Word"  # single joiner space
+
+
+def test_parse_time_scales_linearly():
+    # position-anchored regex matching — tail-slice copies made parsing
+    # quadratic (r3 review: 2x size → 6.5x time); pin ≲ 2.5x per doubling
+    import time
+
+    def t(n):
+        pdf = build_pdf([f"line {i} with padding text" for i in range(n)])
+        t0 = time.time()
+        extract_pdf(pdf)
+        return time.time() - t0
+
+    t(500)  # warm
+    t1, t2 = t(2000), t(4000)
+    assert t2 / max(t1, 1e-9) < 3.5, (t1, t2)
+
+
 @pytest.mark.parametrize("n_lines", [1, 2, 7])
 def test_line_count_property(n_lines):
     lines = [f"line number {i}" for i in range(n_lines)]

@@ -110,6 +110,45 @@ def test_utf8_body_byte_length():
     assert _recs(w)[0].payload == body
 
 
+def test_negative_chunk_size_terminates():
+    # int(b'-6', 16) parses; without the guard the de-chunk cursor walks
+    # backwards forever (r3 review finding — verified hang)
+    from contentextractor_spark.sources.warc import _dechunk
+
+    assert _dechunk(b"-6\r\nAAAAAAAAAAAA") == b"-6\r\nAAAAAAAAAAAA"
+
+
+def test_truncated_gzip_member_no_crash():
+    # EOFError (not an OSError) from a cut .warc.gz must not escape the
+    # reader; valid earlier members survive
+    w = build_warc(
+        [("u1", "d", b"alpha"), ("u2", "d", b"beta")], gzip_members=True
+    )
+    assert [r.target_uri for r in _recs(w[:-5])] == ["u1", "u2"]
+    assert _recs(w[: len(w) // 2 - 3])[0].target_uri == "u1"
+
+
+def test_gzip_members_with_trailing_garbage_salvaged():
+    from contentextractor_spark.sources.warc import _gunzip_members
+
+    g = gzip.compress(b"one") + gzip.compress(b"two") + b"NOT GZIP"
+    assert _gunzip_members(g) == b"onetwo"
+
+
+def test_lf_only_http_headers_not_dropped():
+    http = b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n<p>lf page</p>"
+    rec = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: u\r\n"
+        b"WARC-Date: d\r\nContent-Length: "
+        + str(len(http)).encode()
+        + b"\r\n\r\n"
+        + http
+        + b"\r\n\r\n"
+    )
+    r = _recs(rec)[0]
+    assert r.http_status == 200 and r.payload == b"<p>lf page</p>"
+
+
 def test_warc_to_pages_spark(spark):
     w1 = build_warc(
         [
