@@ -50,6 +50,10 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the driver builds its own session; pin its timezone so hour
+    # truncation / timestamp rendering match DuckDB's naive-timestamp view
+    # on any host TZ (build_spark pins the same for in-repo sessions)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 

@@ -116,7 +116,18 @@ def asof_latest(events: DataFrame, ref_type: str = "view") -> DataFrame:
     The oracle makes the identical choice (refs pre-deduped to
     max(event_id) per (user_id, ts) before its ASOF join);
     `test_asof_tie_determinism` pins the behavior."""
-    is_ref = F.col("event_type") == ref_type
+    # Null-safety contract (r3 review): the oracle's ASOF JOIN predicate
+    # (e.user_id = r.user_id AND e.ts >= r.ts) can never match a ref with
+    # NULL user_id or NULL ts, so such refs must not produce markers —
+    # Spark's partitionBy would otherwise group NULL users together and a
+    # NULL-ts marker would sort first and leak into every probe.  Probe
+    # rows stay row-preserving regardless (they just get NULL asof cols,
+    # exactly what the LEFT ASOF join emits).
+    is_ref = (
+        (F.col("event_type") == ref_type)
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
     # ONE scan: each event row explodes into its probe struct plus, for ref
     # events, a marker struct (a unioned second projection would scan the
     # source twice — r3 review).  The explicit is_marker flag — not a null
@@ -152,12 +163,22 @@ def asof_latest(events: DataFrame, ref_type: str = "view") -> DataFrame:
         )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # ONE atomic carry: last(struct) over marker rows only.  Two
+    # independent last(col, ignorenulls) calls desync on a marker whose
+    # ref_id is NULL — id skipped, ts taken — pairing an id and ts that
+    # belong to different events (r3 review).  The struct is NULL exactly
+    # on probe rows (skipped) and carried whole on markers, NULL fields
+    # included.
+    ref = F.last(
+        F.when(F.col("is_marker"), F.struct("ref_id", "ref_ts")),
+        ignorenulls=True,
+    ).over(w)
     return (
         tagged.select(
             "is_marker",
             F.col("out_id").alias("event_id"),
-            F.last("ref_id", ignorenulls=True).over(w).alias("asof_event_id"),
-            F.last("ref_ts", ignorenulls=True).over(w).alias("asof_ts"),
+            ref["ref_id"].alias("asof_event_id"),
+            ref["ref_ts"].alias("asof_ts"),
         )
         .filter(~F.col("is_marker"))
         .drop("is_marker")

@@ -122,6 +122,11 @@ def build_spark(
         )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # pin the session timezone: date_trunc/window boundaries and
+        # timestamp rendering must not depend on the host TZ (a
+        # fractional-offset host would shift hour edges vs the DuckDB
+        # oracle's naive-timestamp truncation)
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))

@@ -29,7 +29,13 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..plans.pipeline import EXTRACT_SCHEMA, PAGES_SCHEMA, _extract_batches
+from ..functions.events import _value_cents
+from ..plans.pipeline import (
+    EXTRACT_SCHEMA,
+    PAGES_SCHEMA,
+    SALT_SEED,
+    _extract_batches,
+)
 
 
 def read_pages_stream(
@@ -50,9 +56,14 @@ def stream_extract(pages_stream: DataFrame, num_buckets: int = 32) -> DataFrame:
     from ..plans.pipeline import ensure_pyfiles
 
     ensure_pyfiles(pages_stream.sparkSession)
+    # SALT_SEED shared with the batch path — a diverging literal would land
+    # streamed rows in different bucket_ids than resume_filter /
+    # read_committed_output compute for the same urls
     keyed = pages_stream.select("url", "html").withColumn(
         "bucket_id",
-        F.pmod(F.xxhash64(F.col("url"), F.lit(42)), F.lit(num_buckets)).cast("int"),
+        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
+            "int"
+        ),
     )
     return keyed.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
@@ -84,9 +95,9 @@ def windowed_event_counts(events_stream: DataFrame, watermark: str = "10 minutes
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            # integer cents, like the batch twin: exact under any partial-agg
-            # association order (a rounded double sum is not)
-            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_value_c"),
+            # the batch twin's cents fold, imported — exact under any
+            # partial-agg association order (a rounded double sum is not)
+            F.sum(_value_cents(F.col("value"))).alias("sum_value_c"),
         )
         .select(
             F.col("window.start").alias("window_start"),
@@ -122,7 +133,11 @@ def _session_fn(
     for pdf in pdfs:
         total += len(pdf)
         mx = pdf["ts"].max()
-        if last_ts is None or (mx is not pd.NaT and mx > last_ts):
+        if pd.isna(mx):  # all-null chunk contributes no timestamp — and a
+            # NaT must NEVER enter last_ts ('mx > NaT' is always False, so
+            # real timestamps would be locked out forever; r3 review)
+            continue
+        if last_ts is None or pd.isna(last_ts) or mx > last_ts:
             last_ts = mx
     state.update((total, last_ts))
     yield pd.DataFrame(

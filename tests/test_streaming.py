@@ -108,6 +108,39 @@ def test_running_user_stats_stateful(spark, tmp_path):
     assert got == want
 
 
+def test_session_fn_nat_never_poisons_last_ts():
+    """r3 review: an all-null-ts chunk made last_ts = NaT, and 'mx > NaT'
+    is always False — real timestamps were locked out forever."""
+    import pandas as pd
+
+    from contentextractor_spark.streaming.stream import _session_fn
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    t = pd.Timestamp("2024-01-01 12:00:00")
+    chunks = [
+        pd.DataFrame({"ts": pd.to_datetime([None, None])}),  # NaT-only first
+        pd.DataFrame({"ts": [t, t - pd.Timedelta(minutes=5)]}),
+    ]
+    state = FakeState()
+    out = list(_session_fn((7,), iter(chunks), state))
+    assert state.value == (4, t)
+    assert out[0]["last_ts"][0] == t
+
+    # NaT persisted by an older run must also be displaced, not sticky
+    class FakeState2(FakeState):
+        exists = True
+        get = (2, pd.NaT)
+
+    state2 = FakeState2()
+    list(_session_fn((7,), iter([chunks[1]]), state2))
+    assert state2.value == (4, t)
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     from contentextractor_spark.streaming.stream import dedup_events_stream
 

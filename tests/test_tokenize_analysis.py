@@ -503,6 +503,47 @@ def test_asof_tie_determinism(spark):
     assert got[2] == 2
 
 
+def test_asof_null_safety_matches_oracle_semantics(spark):
+    """r3 review: null ref_id must not desync the (id, ts) pair; null-ts
+    and null-user refs can never match under the oracle's join predicate
+    (e.user = r.user AND e.ts >= r.ts), so they produce no markers."""
+    from datetime import datetime
+
+    from contentextractor_spark.functions.events import asof_latest
+
+    t = [datetime(2024, 1, 1, 12, m, 0) for m in range(6)]
+    events = spark.createDataFrame(
+        [
+            # user 1: null-id ref between two real refs — the carry must
+            # stay PAIRED: probe at t3 sees (None, t2), not (10, t2)
+            (10, 1, t[0], "view"),
+            (None, 1, t[2], "view"),
+            (30, 1, t[3], "click"),
+            (31, 1, t[4], "view"),
+            (32, 1, t[5], "click"),
+            # user 2: a null-TS ref must never leak into later probes
+            (40, 2, None, "view"),
+            (41, 2, t[1], "click"),
+            # null-user rows: no marker, no match (oracle equality join
+            # semantics), rows still present in the output
+            (50, None, t[0], "view"),
+            (51, None, t[1], "click"),
+        ],
+        "event_id: long, user_id: long, ts: timestamp, event_type: string",
+    )
+    rows = {
+        r.event_id: (r.asof_event_id, r.asof_ts)
+        for r in asof_latest(events, "view").collect()
+        if r.event_id is not None
+    }
+    assert rows[30] == (None, t[2])  # atomic pair from the null-id marker
+    assert rows[32] == (31, t[4])    # later real ref takes over
+    assert rows[41] == (None, None)  # null-ts ref matches nothing
+    assert rows[51] == (None, None)  # null-user probe matches nothing
+    assert rows[50] == (None, None)
+    assert len(asof_latest(events, "view").collect()) == 9  # row-preserving
+
+
 # ---------- round-3 pipeline ops: repetition / PII / chunk-dedup / split ----
 
 def test_repetition_signals_values(spark):
