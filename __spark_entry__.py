@@ -2176,8 +2176,11 @@ def oracle_sql() -> dict[str, str]:
               FROM dims)
             SELECT media_id,
                    CAST(w AS INT) AS src_w, CAST(h AS INT) AS src_h,
-                   CAST(greatest(1, floor(w * s)) AS INT) AS dst_w,
-                   CAST(greatest(1, floor(h * s)) AS INT) AS dst_h,
+                   -- round-half-up via floor(x + 0.5), matching resize_plan
+                   -- (w*s lands at max_side - epsilon in doubles; CAST
+                   -- would round in DuckDB but truncate in Spark)
+                   CAST(greatest(1, floor(w * s + 0.5)) AS INT) AS dst_w,
+                   CAST(greatest(1, floor(h * s + 0.5)) AS INT) AS dst_h,
                    round(s, 6) AS scale
             FROM scaled
         """,

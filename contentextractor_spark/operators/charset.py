@@ -88,6 +88,14 @@ def java_decode(data: bytes, java_charset_name: str) -> str:
         codec = codecs.lookup(java_charset_name)
     except LookupError:
         raise ValueError(f"unsupported charset: {java_charset_name}")
+    if codec.name == "utf-16" and not data.startswith(
+        (b"\xff\xfe", b"\xfe\xff")
+    ):
+        # endianness default divergence (r3 review): for BOM-less input
+        # Java's UTF-16 charset decodes BIG-endian, Python's utf-16 codec
+        # LITTLE-endian — a meta-declared charset=UTF-16 page without a
+        # BOM would byte-swap into mojibake here
+        return data.decode("utf-16-be", errors="replace")
     return data.decode(codec.name, errors="replace")
 
 

@@ -87,8 +87,11 @@ def media_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
             if len(pdf) == 0:
                 continue
             out = {k.name: [] for k in MEDIA_SCHEMA.fields}
+            # the select below renames id_col → media_id before the UDF
+            # runs; reading pdf[id_col] here raised KeyError for any
+            # non-default id column (r3 review)
             for mid, mtype, payload in zip(
-                pdf[id_col], pdf["media_type"], pdf["payload"]
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
                 try:
                     d = decode_media(
@@ -106,7 +109,7 @@ def media_features(media: DataFrame, id_col: str = "media_id") -> DataFrame:
                         "features": [],
                         "status": f"error:{type(e).__name__}",
                     }
-                out["media_id"].append(str(mid))
+                out["media_id"].append(None if mid is None else str(mid))
                 for k in (
                     "media_type",
                     "n_bytes",
@@ -136,12 +139,14 @@ def frame_sample_plan(media: DataFrame, every_n: int = 10) -> DataFrame:
     stubbed codec step."""
     from pyspark.sql import functions as F
 
-    return media.select(
-        "media_id",
-        F.explode(
-            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
-        ).alias("frame_idx"),
-    )
+    # sequence(0, -1, n) THROWS on illegal boundaries — a single
+    # zero-frame row would abort the whole job (r3 review); an empty array
+    # explodes to no rows, exactly what SQL generate_series yields
+    idxs = F.when(
+        F.col("n_frames") >= 1,
+        F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n)),
+    ).otherwise(F.array().cast("array<int>"))
+    return media.select("media_id", F.explode(idxs).alias("frame_idx"))
 
 
 def resize_plan(
@@ -150,8 +155,12 @@ def resize_plan(
     """Image resize *plan*: aspect-preserving fit of (width, height) into a
     max_side box, computed JVM-side from the typed metadata — the actual
     pixel resample is the stubbed codec step.  Downscale only (scale capped
-    at 1.0, the training-pipeline convention); integer dims via truncation
-    toward zero on the scaled size, floored at 1.
+    at 1.0, the training-pipeline convention); integer dims via
+    round-half-up (floor(x + 0.5) — engine-agnostic, unlike CAST which
+    rounds in DuckDB and truncates in Spark), floored at 1.  Half-up, not
+    truncation: w·(max_side/w) lands at max_side − ε in doubles for ~11%
+    of widths, and truncating violated the fit-to-max_side contract by one
+    pixel (r3 review).
 
     Scale: pure narrow projection — no shuffle, no Python."""
     from pyspark.sql import functions as F
@@ -164,7 +173,7 @@ def resize_plan(
         F.col(id_col).cast("string").alias("media_id"),
         F.col("width").cast("int").alias("src_w"),
         F.col("height").cast("int").alias("src_h"),
-        F.greatest(F.lit(1), (w * scale).cast("int")).alias("dst_w"),
-        F.greatest(F.lit(1), (h * scale).cast("int")).alias("dst_h"),
+        F.greatest(F.lit(1), F.floor(w * scale + 0.5).cast("int")).alias("dst_w"),
+        F.greatest(F.lit(1), F.floor(h * scale + 0.5).cast("int")).alias("dst_h"),
         F.round(scale, 6).alias("scale"),
     )

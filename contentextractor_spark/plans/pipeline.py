@@ -152,21 +152,21 @@ def ensure_pyfiles(spark: SparkSession) -> None:
     if key in _PYFILES_SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    zip_path = os.path.join(
-        tempfile.gettempdir(), f"cx_spark_pyfiles_{os.getpid()}.zip"
-    )
-    if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                if "__pycache__" in root:
-                    continue
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(root, fn)
-                        rel = os.path.relpath(
-                            full, os.path.dirname(pkg_dir)
-                        )
-                        zf.write(full, rel)
+    # ALWAYS build a fresh private zip (mkstemp: unique name, 0600): a
+    # predictable pid-keyed path reused a stale zip after package edits —
+    # executors silently ran old code — and was pre-creatable by another
+    # local user (r3 review).  One zip per application; pennies.
+    fd, zip_path = tempfile.mkstemp(prefix="cx_spark_pyfiles_", suffix=".zip")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in files:
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.relpath(full, os.path.dirname(pkg_dir))
+                    zf.write(full, rel)
     sc.addPyFile(zip_path)
     _PYFILES_SHIPPED.add(key)
 
@@ -184,7 +184,9 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if n == 0:
             continue
         rows = {
-            "url": pdf["url"].astype(str),
+            # astype(str) would turn a NULL url into the literal 'None',
+            # corrupting output keys and lineage url ranges (r3 review)
+            "url": [None if u is None else str(u) for u in pdf["url"]],
             "title": [],
             "description": [],
             "keywords": [],
@@ -273,7 +275,9 @@ def _extract_pdf_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             rows["n_pages"].append(res.n_pages)
             rows["n_objects"].append(res.n_objects)
             rows["status"].append(res.status)
-        out = pd.DataFrame({"url": pdf["url"].astype(str), **rows})
+        out = pd.DataFrame(
+            {"url": [None if u is None else str(u) for u in pdf["url"]], **rows}
+        )
         out["bucket_id"] = pdf["bucket_id"].values
         out["partition_id"] = pid
         yield out
@@ -306,11 +310,12 @@ def lineage_metrics(extracted: DataFrame) -> DataFrame:
     tiny aggregation — no executor-side side channel needed.  When the
     output carries a run_id (run_extraction), it is propagated so readers
     can commit-filter (see read_committed_output)."""
-    run_id = (
-        F.first("run_id") if "run_id" in extracted.columns
-        else F.lit(None).cast("string")
+    has_run_id = "run_id" in extracted.columns
+    run_id = F.first("run_id") if has_run_id else F.lit(None).cast("string")
+    n_runs = (
+        F.countDistinct("run_id") if has_run_id else F.lit(0).cast("long")
     )
-    return extracted.groupBy("bucket_id").agg(
+    agg = extracted.groupBy("bucket_id").agg(
         F.first("partition_id").alias("partition_id"),
         F.min("url").alias("url_min"),
         F.max("url").alias("url_max"),
@@ -320,7 +325,26 @@ def lineage_metrics(extracted: DataFrame) -> DataFrame:
         F.lit("done").alias("status"),
         F.current_timestamp().alias("ts"),
         run_id.alias("run_id"),
+        n_runs.alias("_n_runs"),
     )
+    # a lineage row is a COMMIT RECORD for exactly one run: aggregating a
+    # multi-run table would stamp counts spanning every run with an
+    # arbitrary first() run_id — possibly COMMITTING orphan rows a crashed
+    # run left behind (r3 review).  Same shuffle, zero extra jobs; the
+    # filter both forces the check and keeps it un-prunable.
+    return agg.filter(
+        F.assert_true(
+            F.col("_n_runs") <= 1,
+            F.concat(
+                F.lit("lineage_metrics: bucket "),
+                F.col("bucket_id").cast("string"),
+                F.lit(
+                    " spans multiple run_ids — refusing to emit a commit "
+                    "record over a mixed-run table (filter to one run first)"
+                ),
+            ),
+        ).isNull()
+    ).drop("_n_runs")
 
 
 def resume_filter(
@@ -390,6 +414,13 @@ def run_extraction(
         batch = written.filter(F.col("run_id") == run_id)
     else:
         batch = extracted
+        if lineage_path is not None:
+            # without a persist the lineage write below runs the full
+            # extraction once and the caller's materialization runs it
+            # AGAIN — the parquet re-read plays this role in the
+            # output_path branch (r3 review)
+            batch = extracted.persist()
+            extracted = batch
     lineage = lineage_metrics(batch)
     if lineage_path is not None:
         lineage.write.mode("append").parquet(lineage_path)

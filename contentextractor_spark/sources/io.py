@@ -31,10 +31,13 @@ def read_url_list(spark: SparkSession, path: str) -> DataFrame:
     quoting/escaping (ContentExtractor.java:99,179); mirror that."""
     lines = spark.read.text(path)
     parts = F.split(F.col("value"), ",")
-    return lines.select(
-        parts.getItem(0).alias("id"),
-        F.trim(parts.getItem(1)).alias("url"),  # tokens[1].trim() at :182
+    # tokens[1].trim() at :182 — Java String.trim strips EVERY char
+    # <= U+0020 (tabs, CR, controls), not just ASCII space like F.trim
+    # (r3 review: a tab-padded url kept its tabs and missed the page join)
+    java_trim = F.regexp_replace(
+        parts.getItem(1), "^[\\x00-\\x20]+|[\\x00-\\x20]+$", ""
     )
+    return lines.select(parts.getItem(0).alias("id"), java_trim.alias("url"))
 
 
 def lookup_pages(url_list: DataFrame, pages: DataFrame) -> DataFrame:
@@ -120,8 +123,6 @@ def write_training_shards(
     data path.  Pass n_partitions ≈ corpus_size / (shards_per_task ×
     docs_per_shard); default keeps the input partitioning and lets
     maxRecordsPerFile bound file sizes alone."""
-    from pyspark.sql import functions as F
-
     out = docs
     if n_partitions is not None:
         out = docs.repartition(

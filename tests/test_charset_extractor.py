@@ -213,6 +213,19 @@ def test_detect_utf16_bom_both_endians():
     assert decode_html(be) == s
 
 
+def test_java_decode_bomless_utf16_is_big_endian():
+    # Java's UTF-16 charset defaults BOM-less input to BIG-endian; Python's
+    # utf-16 codec to little-endian (r3 review) — a meta-declared UTF-16
+    # page without a BOM must decode like Java, not byte-swap
+    from contentextractor_spark.operators.charset import java_decode
+
+    s = "日本語テキスト"
+    assert java_decode(s.encode("utf-16-be"), "UTF-16") == s
+    # BOM'd input keeps its declared endianness either way
+    assert java_decode(b"\xff\xfe" + s.encode("utf-16-le"), "UTF-16") == s
+    assert java_decode(b"\xfe\xff" + s.encode("utf-16-be"), "UTF-16") == s
+
+
 def test_detect_utf8_bom_stays_utf8():
     from contentextractor_spark.operators.charset import detect_charset
 

@@ -15,6 +15,16 @@ def test_read_url_list(spark, tmp_path):
     assert rows == {"1": "https://a.example/x", "2": "https://b.example/y"}
 
 
+def test_read_url_list_java_trim_strips_tabs_and_controls(spark, tmp_path):
+    # Java String.trim strips every char <= U+0020 — F.trim (space only)
+    # left tab padding on the url and the page-store join missed (r3
+    # review)
+    p = tmp_path / "url2.csv"
+    p.write_text("1,\thttps://a.example/x\t\n2,\x0bhttps://b.example/y\r")
+    rows = {r.id: r.url for r in read_url_list(spark, str(p)).collect()}
+    assert rows == {"1": "https://a.example/x", "2": "https://b.example/y"}
+
+
 def test_lookup_pages_is_broadcast_join(spark, tmp_path):
     from contentextractor_spark.plans.pipeline import PAGES_SCHEMA
     from contentextractor_spark.sources.pages import generate_pages

@@ -81,6 +81,24 @@ def test_lineage_metrics(spark, pages_df):
     assert len(lineage) <= 8
 
 
+def test_lineage_metrics_refuses_mixed_run_table(spark, pages_df):
+    """A lineage row is a commit record for ONE run: over a table mixing
+    run_ids, first('run_id') could stamp counts spanning every run with an
+    orphan run's id — committing rows a crashed run left behind (r3
+    review).  The aggregation must raise, not guess."""
+    from pyspark.sql import functions as F
+
+    extracted = extract_pages(pages_df, num_buckets=4)
+    mixed = extracted.withColumn("run_id", F.lit("run_a")).unionAll(
+        extracted.withColumn("run_id", F.lit("run_b"))
+    )
+    with pytest.raises(Exception, match="spans multiple run_ids"):
+        lineage_metrics(mixed).collect()
+    # single-run tables are unaffected
+    one = lineage_metrics(extracted.withColumn("run_id", F.lit("run_a")))
+    assert all(r.run_id == "run_a" for r in one.collect())
+
+
 def test_resume_filter_drops_done_buckets(spark, pages_df):
     extracted = extract_pages(pages_df, num_buckets=8)
     lineage = lineage_metrics(extracted)

@@ -157,6 +157,54 @@ def test_frame_sample_plan(spark):
     assert got == [(1, 0), (1, 10), (1, 20), (2, 0)]
 
 
+def test_frame_sample_plan_zero_frames_yields_no_rows(spark):
+    # sequence(0, -1, n) throws on illegal boundaries: one zero-frame row
+    # aborted the whole job before the guard (r3 review); SQL
+    # generate_series yields no rows — match it
+    from contentextractor_spark.operators.multimodal import frame_sample_plan
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2, 3], "n_frames": [0, 15, 0]})
+    )
+    got = sorted(
+        (r.media_id, r.frame_idx)
+        for r in frame_sample_plan(df, every_n=10).collect()
+    )
+    assert got == [(2, 0), (2, 10)]
+
+
+def test_media_features_custom_id_col(spark, docs):
+    # the UDF reads the RENAMED media_id column; pdf[id_col] raised
+    # KeyError for any non-default id column (r3 review)
+    from pyspark.sql import functions as F
+
+    from contentextractor_spark.operators.multimodal import media_features
+
+    media = docs.limit(5).select(
+        F.col("doc_id").alias("img_id"),
+        F.lit("image").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+    rows = media_features(media, id_col="img_id").collect()
+    assert len(rows) == 5 and all(r.status == "ok:fake-decode" for r in rows)
+
+
+def test_resize_plan_fits_max_side_exactly(spark):
+    # w·(max_side/w) lands at max_side − ε in doubles for ~11% of widths;
+    # truncation produced 255 (r3 review) — half-up restores the contract:
+    # the larger dimension of any downscaled image equals max_side
+    from contentextractor_spark.operators.multimodal import resize_plan
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [1, 2, 3], "width": [322, 347, 512], "height": [100, 60, 256]}
+        )
+    )
+    rows = {r.media_id: r for r in resize_plan(df, max_side=256).collect()}
+    assert rows["1"].dst_w == 256 and rows["2"].dst_w == 256
+    assert rows["3"].dst_w == 256 and rows["3"].dst_h == 128
+
+
 def test_ivf_full_probe_equals_bruteforce(spark):
     """Invariant: IVF with nprobe == n_lists degenerates to exact search."""
     from contentextractor_spark.functions.analysis import ivf_topk, knn_bruteforce
