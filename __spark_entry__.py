@@ -863,6 +863,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def mixture_weights(spark, sf_dir):
         return A.mixture_weights(_docs(spark, sf_dir))
 
+    def stratified_sample(spark, sf_dir):
+        # deterministic md5-bucket subsampling, per-language fractions
+        # quantized to 1/256 — the oracle recomputes the identical bucket
+        out = A.stratified_sample(
+            _docs(spark, sf_dir), {"en": 0.5, "ja": 0.25}, default=0.75
+        )
+        return out.select("doc_id", "lang", "sample_bucket")
+
+    def domain_stats(spark, sf_dir):
+        # per-host aggregation over deterministic synthesized urls (37
+        # hosts, mixed-case + userinfo + port noise the extractor strips)
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            "n_chars",
+            "lang",
+            F.concat(
+                F.lit("https://User@Host"),
+                F.pmod(F.col("doc_id"), F.lit(37)).cast("string"),
+                F.lit(".Example.com:8443/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        return A.domain_stats(docs)
+
     def decontaminate(spark, sf_dir):
         # benchmark set = the first 20 docs (every one contaminates itself,
         # plus any genuine cross-doc 3-gram overlap — both value-checked)
@@ -1043,6 +1067,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------------------------------------------------------------------
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
         "warc_extract_roundtrip": warc_extract_roundtrip,
+        "stratified_sample": stratified_sample,
+        "domain_stats": domain_stats,
         "tpch_promo_share": tpch_promo_share,
         "tpch_shipping_priority": tpch_shipping_priority,
         "media_resize_plan": media_resize_plan,
@@ -1189,6 +1215,32 @@ def oracle_sql() -> dict[str, str]:
                    'ok' AS status
             FROM documents
             WHERE regexp_matches(text, '^[A-Za-z0-9_ ]+$')
+        """,
+        # bucket = first byte of md5('sample:' || doc_id); thresholds are
+        # round(frac*256): en 128, ja 64, default 192
+        "stratified_sample": """
+            WITH b AS (
+              SELECT doc_id, lang,
+                     (strpos('0123456789abcdef',
+                        substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                   + (strpos('0123456789abcdef',
+                        substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                         AS bucket
+              FROM documents)
+            SELECT doc_id, lang, CAST(bucket AS INT) AS sample_bucket
+            FROM b
+            WHERE bucket < CASE lang WHEN 'en' THEN 128
+                                     WHEN 'ja' THEN 64
+                                     ELSE 192 END
+        """,
+        "domain_stats": """
+            SELECT 'host' || CAST(doc_id % 37 AS VARCHAR) || '.example.com'
+                     AS host,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+            FROM documents
+            GROUP BY host
         """,
         # same oracle as extract_roundtrip — the WARC container round-trips
         # the html bytes verbatim, so the extraction result is identical

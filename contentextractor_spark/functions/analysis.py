@@ -740,6 +740,68 @@ def mixture_weights(docs: DataFrame, scale: int = 10_000) -> DataFrame:
     )
 
 
+def stratified_sample(
+    docs: DataFrame, fractions: dict[str, float], default: float = 1.0
+) -> DataFrame:
+    """Deterministic per-language subsampling: keep a doc iff its hash
+    bucket falls under the language's keep-fraction.  Bucket = first byte
+    of md5('sample:' || doc_id) (0-255; the 'sample:' salt decorrelates
+    from train_split_assign's buckets), so fractions are QUANTIZED to
+    1/256 — round(frac*256) buckets kept, documented and engine-exact.
+    Hash-based, not rand(): the same doc set is selected across runs,
+    engines, and repartitions — what corpus-mixture construction needs.
+    No shuffle (narrow filter); composes with mixture_weights (which says
+    how much to sample; this op does the sampling)."""
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))),
+            1,
+            2,
+        ),
+        16,
+        10,
+    ).cast("int")
+    thresh = F.lit(int(round(default * 256)))
+    for lang, frac in sorted(fractions.items()):
+        thresh = F.when(
+            F.col("lang") == lang, F.lit(int(round(frac * 256)))
+        ).otherwise(thresh)
+    return docs.withColumn("sample_bucket", bucket).filter(
+        F.col("sample_bucket") < thresh
+    )
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host corpus stats (docs, chars, languages) — the aggregation a
+    crawl-curation dashboard runs first.  Host = lowercased authority
+    minus userinfo/port (regexp, engine-portable like canonicalize_urls).
+
+    Scale note: host skew (one giant domain) does NOT need salting here —
+    partial aggregation (map-side combine) collapses each task's rows to
+    one partial per host before the shuffle, so the reducer for a hot host
+    receives n_tasks rows, not n_docs.  Salting is for when the PER-GROUP
+    state is large (collects) or the group count is tiny
+    (events.type_totals_salted); counts/sums over many hosts are the
+    benign case."""
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1),
+            "^[^@]*@|:[0-9]*$",
+            "",
+        )
+    )
+    return (
+        df.select(host.alias("host"), "n_chars", "lang")
+        .filter(F.col("host") != "")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_chars").cast("long")).alias("sum_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,

@@ -592,6 +592,65 @@ def test_asof_null_safety_matches_oracle_semantics(spark):
     assert len(asof_latest(events, "view").collect()) == 9  # row-preserving
 
 
+def test_stratified_sample_deterministic_and_fractional(spark, docs):
+    from contentextractor_spark.functions.analysis import stratified_sample
+
+    fr = {"en": 0.5, "ja": 0.25}
+    a = {r.doc_id for r in stratified_sample(docs, fr, default=0.75).collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(docs.repartition(7), fr, default=0.75).collect()
+    }
+    assert a == b  # repartition-invariant (hash-based, not rand())
+    n = docs.count()
+    assert 0 < len(a) < n
+    # per-lang keep-rates hover near their fractions (1/256 quantized)
+    en_total = docs.filter("lang = 'en'").count()
+    en_kept = len(
+        {r.doc_id for r in stratified_sample(docs, fr).filter("lang='en'").collect()}
+    )
+    if en_total >= 50:
+        assert 0.3 < en_kept / en_total < 0.7
+
+
+def test_stratified_sample_buckets_independent_of_split(spark, docs):
+    # the 'sample:' salt decorrelates sampling from train_split_assign —
+    # otherwise sampling would systematically favor the train split
+    from contentextractor_spark.functions.analysis import (
+        stratified_sample,
+        train_split_assign,
+    )
+
+    sample_b = {
+        r.doc_id: r.sample_bucket
+        for r in stratified_sample(docs, {}, default=1.0).collect()
+    }
+    split_b = {
+        r.doc_id: r.split_bucket for r in train_split_assign(docs).collect()
+    }
+    diff = sum(1 for d in sample_b if sample_b[d] != split_b[d])
+    assert diff > len(sample_b) * 0.9
+
+
+def test_domain_stats_strips_noise_and_aggregates(spark):
+    from contentextractor_spark.functions.analysis import domain_stats
+
+    rows = [
+        (1, 100, "en", "https://User@Host1.Example.COM:8443/a"),
+        (2, 50, "ja", "http://host1.example.com/b"),
+        (3, 10, "en", "https://other.net/c"),
+        (4, 5, "en", "no-scheme-url"),  # dropped: no authority
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, n_chars int, lang string, url string"
+    )
+    got = {r.host: (r.n_docs, r.sum_chars, r.n_langs) for r in domain_stats(df).collect()}
+    assert got == {
+        "host1.example.com": (2, 150, 2),
+        "other.net": (1, 10, 1),
+    }
+
+
 # ---------- round-3 pipeline ops: repetition / PII / chunk-dedup / split ----
 
 def test_repetition_signals_values(spark):
