@@ -19,7 +19,11 @@ from dataclasses import dataclass, field
 import os as _os
 
 from .functions.fused import fused_parse
-from .functions.javacompat import java_trim
+from .functions.javacompat import (
+    JAVA_TRIM_CHARS,
+    java_equals_ignore_case,
+    java_trim,
+)
 from .functions.textextract import parse as textextract_parse
 from .functions.tokenize import keyword_list as keyword_fold
 from .operators.charset import (
@@ -83,13 +87,16 @@ def extract_from_html(html: str, raw: bytes | None = None) -> DocumentExtract:
     # P1-P3 (ContentExtractor.java:253-255); one meta pass for both lookups
     # (jsoup [name="x"]: Java-trimmed, case-insensitive value compare)
     title = doc.title()
-    _jt = "".join(chr(c) for c in range(0x21))
 
     def _named(value: str) -> list:
+        # jsoup AttributeWithValue: Java-trim + equalsIgnoreCase (r3
+        # review: .lower() misses one-to-many mappings like Turkish İ)
         return [
             m
             for m in metas
-            if m.attrs.get("name", "").strip(_jt).lower() == value
+            if java_equals_ignore_case(
+                m.attrs.get("name", "").strip(JAVA_TRIM_CHARS), value
+            )
         ]
 
     description = elements_attr(_named("description"), "content")

@@ -21,7 +21,10 @@ from __future__ import annotations
 
 import codecs
 
-_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
+from ..functions.javacompat import (
+    JAVA_TRIM_CHARS as _JAVA_TRIM,
+    java_split_drop_trailing as _java_split,
+)
 
 
 def detect_charset(data: bytes) -> str | None:
@@ -146,8 +149,3 @@ def meta_declared_charset(doc, metas: list | None = None) -> str:
     return detected_cs
 
 
-def _java_split(s: str, sep: str) -> list[str]:
-    parts = s.split(sep)
-    while parts and parts[-1] == "":
-        parts.pop()
-    return parts

@@ -58,7 +58,10 @@ _BOOLEAN_ATTRS = frozenset(
 )
 
 _JSOUP_WS = " \t\n\f\r"  # StringUtil.isWhitespace
-_JAVA_TRIM_CHARS = "".join(chr(c) for c in range(0x21))
+from ..functions.javacompat import (  # noqa: E402
+    JAVA_TRIM_CHARS as _JAVA_TRIM_CHARS,
+    java_equals_ignore_case as _java_equals_ignore_case,
+)
 
 
 class Node:
@@ -658,11 +661,13 @@ class _AttrValue(_Evaluator):
         self.value = value.strip().lower()
 
     def matches(self, el: Element) -> bool:
-        # Java String.trim (chars <= U+0020), then equalsIgnoreCase
+        # Java String.trim (chars <= U+0020), then equalsIgnoreCase —
+        # per-char SIMPLE case mapping, not Python full lowercase (Turkish
+        # İ expands under .lower() and would miss; r3 review)
         if not el.has_attr(self.key):
             return False
         v = el.attr(self.key).strip(_JAVA_TRIM_CHARS)
-        return v.lower() == self.value
+        return _java_equals_ignore_case(v, self.value)
 
 
 class _AttrRegex(_Evaluator):

@@ -23,9 +23,11 @@ from __future__ import annotations
 import re
 
 from ..functions.entities import unescape_html4
+from ..functions.javacompat import (
+    JAVA_TRIM_CHARS as _JAVA_TRIM,
+    java_split_drop_trailing as _java_split_drop_trailing,
+)
 from .dom import Element
-
-_JAVA_TRIM = "".join(chr(c) for c in range(0x21))
 
 # strip class used by F1 (ContentExtractor.java:282,286): Java \s + a literal
 # U+00A0 (byte-verified in the reference source).
@@ -67,25 +69,39 @@ _DOUBLE_RE = re.compile(
 
 
 def _java_parse_int(s: str) -> int:
-    """Integer.parseInt — no whitespace tolerance, no fraction."""
+    """Integer.parseInt — no whitespace tolerance, no fraction, and the
+    32-BIT range check: a font-size of 9999999999px overflows int in Java
+    (NumberFormatException → page skipped via the per-URL catch); Python
+    int() succeeding would keep the node and silently diverge (r3
+    review)."""
     if not _INT_RE.fullmatch(s):
         raise ValueError(f'For input string: "{s}"')
-    return int(s)
+    v = int(s)
+    if not (-(2**31) <= v <= 2**31 - 1):
+        raise ValueError(f'For input string: "{s}"')
+    return v
+
+
+# Java HexFloatingPointLiteral: 0x hex-digits [. hex-digits] p exponent
+_HEX_DOUBLE_RE = re.compile(
+    r"[ \t\n\x0b\f\r]*[+-]?0[xX]"
+    r"([0-9a-fA-F]+\.?[0-9a-fA-F]*|\.[0-9a-fA-F]+)"
+    r"[pP][+-]?[0-9]+[fFdD]?[ \t\n\x0b\f\r]*"
+)
 
 
 def _java_parse_double(s: str) -> float:
-    """Double.parseDouble — trims whitespace, allows f/d suffix."""
+    """Double.parseDouble — trims whitespace, allows f/d suffix, and
+    accepts Java's hex-float literals (0x1.8p1 == 3.0; r3 review: these
+    parsed in Java but raised here, flipping a removable node into a
+    page-level error)."""
+    if _HEX_DOUBLE_RE.fullmatch(s):
+        return float.fromhex(
+            s.strip(" \t\n\x0b\f\r").rstrip("fFdD").lower()
+        )
     if not _DOUBLE_RE.fullmatch(s):
         raise ValueError(f'For input string: "{s}"')
     return float(s.strip(" \t\n\x0b\f\r").rstrip("fFdD"))
-
-
-def _java_split_drop_trailing(s: str, sep: str) -> list[str]:
-    """Java String.split(sep) (limit 0): trailing empty strings removed."""
-    parts = s.split(sep)
-    while parts and parts[-1] == "":
-        parts.pop()
-    return parts
 
 
 def _strip_f1(s: str) -> str:

@@ -180,6 +180,41 @@ def test_f8_other_units_ignored():
     assert len(b.select("span")) == 1
 
 
+def test_f8_int_overflow_raises_like_java():
+    # Integer.parseInt("9999999999") overflows 32-bit int in Java
+    # (NumberFormatException → page-level error); Python int() succeeding
+    # silently kept the node before the range check (r3 review)
+    b = body_of('<body><span style="font-size:9999999999px">x</span></body>')
+    with pytest.raises(ValueError):
+        remove_small_fonts(b)
+
+
+def test_f8_hex_float_parses_like_java():
+    # Double.parseDouble accepts hex-float literals: 0x1.8p1 == 3.0 < 7.5
+    # → node removed (the old decimal-only regex raised a page error)
+    b = body_of('<body><span style="font-size:0x1.8p1pt">gone</span>'
+                '<span style="font-size:0x1.8p3pt">keep</span></body>')
+    remove_small_fonts(b)
+    out = b.outer_html()
+    assert "gone" not in out and "keep" in out
+
+
+def test_meta_name_equals_ignore_case_turkish_dotted_i():
+    # jsoup [name=description] uses Java equalsIgnoreCase (simple per-char
+    # case map): 'DESCRİPTİON' matches; Python .lower() expands İ to two
+    # chars and missed (r3 review)
+    from contentextractor_spark.extractor import extract_document
+
+    html = (
+        '<html><head><title>t</title>'
+        '<meta name="DESCRİPTİON" content="found-it">'
+        "</head><body><div><p>some body text here for density</p></div>"
+        "</body></html>"
+    ).encode("utf-8")
+    res = extract_document(html)
+    assert res.description == "found-it"
+
+
 # ---------- contract ----------
 
 def test_tagfiltering_null_body():
