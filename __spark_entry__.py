@@ -784,6 +784,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def simhash(spark, sf_dir):
         return A.simhash(_docs(spark, sf_dir), bits=48)
 
+    def simhash_neardup_pairs(spark, sf_dir):
+        # third dedup family's pair producer (exact, MinHash, SimHash):
+        # banded hamming candidates + exact xor/bit_count rescore.  The
+        # skew guard is ACTIVE and value-checked — cap 100 really drops the
+        # 167/106/105-member buckets the templated sf0.01 corpus produces,
+        # so the hash match proves the guarded candidate set.
+        return A.simhash_neardup_pairs(
+            _docs(spark, sf_dir), bits=48, n_bands=4, max_bucket_size=100
+        )
+
+    def simhash_overflow(spark, sf_dir):
+        # the LOUD side of the simhash bucket cap: exactly the dropped ones
+        return A.simhash_lsh_overflow(
+            _docs(spark, sf_dir), bits=48, n_bands=4, max_bucket_size=100
+        )
+
+    def tfidf_top_terms(spark, sf_dir):
+        return A.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+    def quality_filter(spark, sf_dir):
+        return A.quality_filter(_docs(spark, sf_dir))
+
+    def incremental_dedup(spark, sf_dir):
+        # ingestion-path dedup: even doc_ids are the existing corpus, odd
+        # are the new crawl batch; 10 corpus docs are re-submitted under
+        # fresh ids so the 'exact' verdict is exercised (the fixture has no
+        # natural cross-parity byte-dups), and the templated corpus gives
+        # real cross-parity band collisions for 'near'
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        resub = corpus.filter(F.col("doc_id") < 20).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+        )
+        incoming = docs.filter(F.col("doc_id") % 2 == 1).unionAll(resub)
+        return A.incremental_dedup(corpus, incoming, k=4, n=3)
+
     def dedup_components(spark, sf_dir):
         return A.dedup_components(_docs(spark, sf_dir))
 
@@ -1065,6 +1101,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver caps how many queries it value-checks per round, these
         # must not starve behind the long-green ones
         # ------------------------------------------------------------------
+        "simhash_neardup_pairs": simhash_neardup_pairs,
+        "simhash_overflow": simhash_overflow,
+        "incremental_dedup": incremental_dedup,
+        "tfidf_top_terms": tfidf_top_terms,
+        "quality_filter": quality_filter,
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
         "warc_extract_roundtrip": warc_extract_roundtrip,
         "stratified_sample": stratified_sample,
@@ -1176,6 +1217,38 @@ _HV_GRAM_SQL = "CAST(" + " + ".join(
     f" * {16 ** (7 - d)}"
     for d in range(8)
 ) + " AS BIGINT)"
+
+# 48-bit simhash fingerprint + 4-band × 12-bit slices, shared by the
+# simhash / simhash_neardup_pairs / simhash_overflow oracles — identical
+# md5-derived bit planes and majority vote as the Spark side (analysis.simhash)
+_SIMHASH_CTE = """
+stok AS (
+  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents),
+stb AS (
+  SELECT doc_id, md5(tok) AS h,
+         unnest(generate_series(0, 47)) AS p
+  FROM stok),
+sbits AS (
+  SELECT doc_id, p,
+    CAST(floor((strpos('0123456789abcdef',
+           substr(h, CAST(floor(p / 4) AS INT) + 1, 1)) - 1)
+         / power(2.0, p % 4)) AS BIGINT) % 2 AS bit
+  FROM stb),
+sper_bit AS (
+  SELECT doc_id, p, sum(bit * 2 - 1) AS s
+  FROM sbits GROUP BY doc_id, p),
+shash AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0
+              THEN CAST(power(2.0, p) AS BIGINT)
+              ELSE 0 END) AS BIGINT) AS simhash
+  FROM sper_bit GROUP BY doc_id),
+sbands AS (
+  SELECT doc_id, simhash, CAST(b AS INT) AS band,
+         (simhash >> (12 * CAST(b AS INT))) & 4095 AS bval
+  FROM shash, (SELECT unnest(generate_series(0, 3)) AS b) _b)
+"""
 
 # 6-band × 3-bit hyperplane LSH signature (18 planes), shared by the
 # embedding_neardup_lsh / _capped / overflow oracles — identical md5-derived
@@ -1788,28 +1861,114 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
         """,
-        "simhash": """
+        "simhash": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT doc_id, simhash FROM shash
+        """,
+        "simhash_neardup_pairs": f"""
+            WITH {_SIMHASH_CTE},
+            kept AS (
+              SELECT b.* FROM sbands b
+              JOIN (SELECT band, bval FROM sbands
+                    GROUP BY band, bval HAVING count(*) <= 100) ok
+                USING (band, bval)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+                     a.simhash AS s1, b.simhash AS s2
+              FROM kept a JOIN kept b
+                ON a.band = b.band AND a.bval = b.bval
+               AND a.doc_id < b.doc_id)
+            SELECT doc_id_a, doc_id_b,
+                   CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(s1, s2)) <= 3
+        """,
+        "simhash_overflow": f"""
+            WITH {_SIMHASH_CTE}
+            SELECT band, bval, CAST(count(*) AS BIGINT) AS n_docs
+            FROM sbands GROUP BY band, bval HAVING count(*) > 100
+        """,
+        "tfidf_top_terms": """
             WITH tok AS (
-              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term
               FROM documents),
-            tb AS (
-              SELECT doc_id, md5(tok) AS h,
-                     unnest(generate_series(0, 47)) AS p
-              FROM tok),
-            bits AS (
-              SELECT doc_id, p,
-                CAST(floor((strpos('0123456789abcdef',
-                       substr(h, CAST(floor(p / 4) AS INT) + 1, 1)) - 1)
-                     / power(2.0, p % 4)) AS BIGINT) % 2 AS bit
-              FROM tb),
-            per_bit AS (
-              SELECT doc_id, p, sum(bit * 2 - 1) AS s
-              FROM bits GROUP BY doc_id, p)
-            SELECT doc_id,
-                   CAST(sum(CASE WHEN s > 0
-                        THEN CAST(power(2.0, p) AS BIGINT)
-                        ELSE 0 END) AS BIGINT) AS simhash
-            FROM per_bit GROUP BY doc_id
+            tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                   FROM tok GROUP BY 1, 2),
+            dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tf GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            ranked AS (
+              SELECT tf.doc_id, tf.term, tf.tf, dfc.df,
+                     CAST(row_number() OVER (
+                          PARTITION BY tf.doc_id
+                          ORDER BY tf.tf DESC, tf.term ASC) AS INT) AS rank,
+                     round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfc.df), 4)
+                         AS tfidf
+              FROM tf JOIN dfc USING (term), n)
+            SELECT doc_id, term, tf, df, rank, tfidf
+            FROM ranked WHERE rank <= 5
+        """,
+        "quality_filter": """
+            WITH q AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+                     length(text)
+                       - (len(string_split(text, ' ')) - 1) AS sum_len,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         AS n_digits,
+                     len(list_distinct(string_split(text, ' ')))
+                         AS n_distinct,
+                     length(text) AS n_chars
+              FROM documents),
+            v AS (
+              SELECT doc_id, n_words,
+                     concat_ws(',',
+                       CASE WHEN n_words < 40 THEN 'too_short' END,
+                       CASE WHEN n_words > 10000 THEN 'too_long' END,
+                       CASE WHEN sum_len * 10 < 30 * n_words
+                            THEN 'short_words' END,
+                       CASE WHEN sum_len * 10 > 120 * n_words
+                            THEN 'long_words' END,
+                       CASE WHEN n_digits * 100 > 20 * n_chars
+                            THEN 'digit_heavy' END,
+                       CASE WHEN n_distinct * 100 < 30 * n_words
+                            THEN 'repetitive' END) AS violations
+              FROM q)
+            SELECT doc_id, n_words, violations,
+                   CAST(violations = '' AS INT) AS keep
+            FROM v
+        """,
+        "incremental_dedup": f"""
+            WITH {_SHINGLE_CTE}, {_SIG_CTE},
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig),
+            cb AS (SELECT DISTINCT band, bucket FROM bands
+                   WHERE doc_id % 2 = 0),
+            inc AS (
+              SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 1000000, md5(text) FROM documents
+              WHERE doc_id % 2 = 0 AND doc_id < 20),
+            ch AS (SELECT DISTINCT md5(text) AS h FROM documents
+                   WHERE doc_id % 2 = 0),
+            -- band membership is a pure function of text, so the
+            -- resubmitted docs inherit their source doc's buckets
+            ibands AS (
+              SELECT doc_id, band, bucket FROM bands WHERE doc_id % 2 = 1
+              UNION ALL
+              SELECT doc_id + 1000000, band, bucket FROM bands
+              WHERE doc_id % 2 = 0 AND doc_id < 20),
+            nearids AS (
+              SELECT DISTINCT ib.doc_id FROM ibands ib
+              JOIN cb USING (band, bucket))
+            SELECT i.doc_id,
+                   CASE WHEN c.h IS NOT NULL THEN 'exact'
+                        WHEN nr.doc_id IS NOT NULL THEN 'near'
+                        ELSE 'keep' END AS verdict
+            FROM inc i
+            LEFT JOIN ch c ON i.h = c.h
+            LEFT JOIN nearids nr ON i.doc_id = nr.doc_id
         """,
         "dedup_components": """
             WITH RECURSIVE

@@ -153,6 +153,15 @@ def main() -> None:
             A.pack_sequences(docs, capacity=256, n_groups=32)
         ),
         "pdf_extract": lambda: force(_pdf_extract()),
+        "simhash_neardup_pairs": lambda: force(
+            A.simhash_neardup_pairs(docs, bits=48, n_bands=4, max_bucket_size=100)
+        ),
+        "incremental_dedup": lambda: force(
+            A.incremental_dedup(
+                docs.filter(F.col("doc_id") % 2 == 0),
+                docs.filter(F.col("doc_id") % 2 == 1),
+            )
+        ),
     }
 
     def _pdf_extract():

@@ -146,6 +146,90 @@ def token_rarity(docs: DataFrame) -> DataFrame:
     )
 
 
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k terms per document by term frequency, with corpus document
+    frequency and a TF-IDF score attached — the inverted-index flavor of
+    token_rarity (per-doc salient terms instead of per-doc rarity sums).
+
+    Exactness: the RANKING keys are (tf DESC, term ASC) — integer count +
+    lexicographic tie-break, engine-exact; the transcendental lives only in
+    the score column, rounded to 4dp per the repo's boundary-safe
+    convention (same as the cosine ranks).
+
+    Scale: tf and df are map-side-combinable groupBys (doc_id,term / term);
+    the corpus size rides in as a ONE-ROW broadcast crossJoin (no
+    .collect() scalar, no second job); top-k is a Window PARTITIONED BY
+    doc_id — per-partition rank, never a global single-task sort."""
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.select(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    return (
+        tf.join(dfc, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "rank",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 4
+            ).alias("tfidf"),
+        )
+    )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_words: int = 40,
+    max_words: int = 10_000,
+    min_mean_len_x10: int = 30,
+    max_mean_len_x10: int = 120,
+    max_digit_pct: int = 20,
+    min_distinct_pct: int = 30,
+) -> DataFrame:
+    """Gopher-style rule filter: compose cheap signals into a keep/drop
+    verdict with the violated rules NAMED (a training pipeline needs to
+    know WHY a doc fell, per-rule drop rates are the curation dashboard).
+
+    Every rule is an integer cross-multiplication — mean word length in
+    [3.0, 12.0] is checked as sum_len*10 < 30*n_words, never a float
+    division — so the verdict is engine-exact with no rounding convention.
+    Thresholds are parameters; the defaults follow the Gopher paper's
+    word-count / mean-word-length / repetition bands adapted to
+    space-tokenized text.
+
+    Scale: a pure row-level projection — no shuffle, no UDF, whole-stage
+    codegen; runs at scan speed and composes with curation_pipeline."""
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words)
+    # chars excluding the n_words-1 separators
+    sum_len = F.length("text") - (n_words - F.lit(1))
+    n_digits = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    n_distinct = F.size(F.array_distinct(words))
+    rules = [
+        ("too_short", n_words < min_words),
+        ("too_long", n_words > max_words),
+        ("short_words", sum_len * 10 < min_mean_len_x10 * n_words),
+        ("long_words", sum_len * 10 > max_mean_len_x10 * n_words),
+        ("digit_heavy", n_digits * 100 > max_digit_pct * F.length("text")),
+        ("repetitive", n_distinct * 100 < min_distinct_pct * n_words),
+    ]
+    violations = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        violations.alias("violations"),
+        (violations == "").cast("int").alias("keep"),
+    )
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 64, overlap: int = 8
 ) -> DataFrame:
@@ -590,6 +674,64 @@ def minhash_lsh_overflow(
         docs, k=k, n=n, max_bucket_size=None, membership=membership
     )
     return full.filter(F.col("n_docs") > max_bucket_size)
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    k: int = 4,
+    n: int = 3,
+    corpus_membership: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental ingestion dedup: classify each INCOMING doc against an
+    EXISTING corpus — 'exact' (content hash already in the corpus), 'near'
+    (shares a MinHash band bucket with any corpus doc), else 'keep'.  This
+    is the path a continuously-fed 100 TB corpus actually runs: the new
+    crawl batch is small, the corpus is not, and re-running whole-corpus
+    dedup per batch would be quadratic over time.
+
+    Exact takes precedence over near.  Duplicates WITHIN the incoming
+    batch are out of scope — run dedup_exact/minhash banding on the batch
+    itself for that; this operator only answers "is it new vs the corpus".
+
+    Scale: two semi-join probes, both shuffling on uniformly-distributed
+    hashes (md5 content hash; md5 band bucket) — the corpus side is NEVER
+    broadcast (it is the 100 TB side) and never re-aggregated beyond a
+    distinct that is map-side combinable.  In production the corpus's
+    distinct (hash) and (band, bucket) sets are precomputed once and
+    bucketed on their join keys; pass `corpus_membership` (a persisted
+    _band_membership frame) to model that — incoming membership is always
+    computed fresh because the batch is new data."""
+    ch = corpus.select(F.md5(F.col("text")).alias("content_hash")).distinct()
+    inc = incoming.select("doc_id", F.md5(F.col("text")).alias("content_hash"))
+    exact = (
+        inc.join(ch, "content_hash", "left_semi")
+        .select("doc_id")
+        .withColumn("__exact", F.lit(1))
+    )
+    cb = (
+        corpus_membership
+        if corpus_membership is not None
+        else _band_membership(corpus, k, n)
+    ).select("band", "bucket").distinct()
+    near = (
+        _band_membership(incoming, k, n)
+        .join(cb, ["band", "bucket"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__near", F.lit(1))
+    )
+    verdict = (
+        F.when(F.col("__exact").isNotNull(), F.lit("exact"))
+        .when(F.col("__near").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("keep"))
+    )
+    return (
+        incoming.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select("doc_id", verdict.alias("verdict"))
+    )
 
 
 def jaccard_pairs(
@@ -1095,6 +1237,130 @@ def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
             F.col(f"c{p}") * 2 > F.col("n_tok"), F.lit(1 << p).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return per_doc.select("doc_id", sim.alias("simhash"))
+
+
+def _simhash_bands(sims: DataFrame, n_bands: int, band_bits: int) -> DataFrame:
+    """(doc_id, simhash, band, bval): contiguous band_bits-wide slices of the
+    simhash fingerprint.  Band b is bits [b*band_bits, (b+1)*band_bits) —
+    shift+mask, exact in any engine (simhash < 2^60 so the long stays
+    non-negative and arithmetic shiftright is safe)."""
+    mask = (1 << band_bits) - 1
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_bits)
+                .bitwiseAND(F.lit(mask))
+                .alias("bval"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return sims.select(
+        "doc_id", "simhash", F.explode(structs).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+
+
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    bits: int = 48,
+    n_bands: int = 4,
+    max_hamming: int | None = None,
+    max_bucket_size: int | None = None,
+    sims: DataFrame | None = None,
+) -> DataFrame:
+    """SimHash near-dup PAIRS: banded hamming-ball candidate generation +
+    exact xor/bit_count re-score — the third dedup family's pair producer
+    (exact hash, MinHash banding, and now SimHash; Manku et al. WWW'07
+    banding scheme re-expressed as a bucket self-join).
+
+    Pigeonhole guarantee: two fingerprints at hamming distance <= n_bands-1
+    agree EXACTLY on at least one of the n_bands disjoint band slices, so
+    candidate recall at max_hamming = n_bands-1 (the default) is 1.0 — not
+    probabilistic like MinHash banding.  The re-score is exact, so
+    precision is 1.0 too; the band join is purely a work bound.
+
+    Scale: band membership is docs × n_bands one-long rows (no token
+    explode — the heavy lifting happened in the simhash aggregate).  The
+    self-join shuffles on (band, bval): candidate volume is Σ|bucket|²/2
+    per band, never n²/2.  Templated corpora concentrate fingerprints, so
+    max_bucket_size bounds the quadratic exactly like the MinHash and
+    embedding producers; dropped buckets surface via simhash_lsh_overflow,
+    never silently.  Pass a precomputed/persisted `sims` frame to share the
+    fingerprint aggregation with other consumers (e.g. the overflow audit
+    in the same job).
+    """
+    if bits % n_bands:
+        raise ValueError(
+            "bits must divide evenly into n_bands slices — a ragged last "
+            "band would silently weaken the pigeonhole recall guarantee"
+        )
+    band_bits = bits // n_bands
+    if max_hamming is None:
+        max_hamming = n_bands - 1
+    if sims is None:
+        sims = simhash(docs, bits)
+    bands = _simhash_bands(sims, n_bands, band_bits)
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "bval").agg(
+            F.count(F.lit(1)).alias("__n_in_bucket")
+        )
+        bands = (
+            bands.join(sizes, ["band", "bval"])
+            .filter(F.col("__n_in_bucket") <= max_bucket_size)
+            .drop("__n_in_bucket")
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("s1"),
+            F.col("b.simhash").alias("s2"),
+        )
+        .distinct()  # a pair can collide in several bands
+    )
+    hamming = F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).cast("long")
+    return (
+        pairs.select("doc_id_a", "doc_id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_lsh_overflow(
+    docs: DataFrame,
+    bits: int = 48,
+    n_bands: int = 4,
+    *,
+    max_bucket_size: int,
+    sims: DataFrame | None = None,
+) -> DataFrame:
+    """The (band, bval) buckets simhash_neardup_pairs DROPS under
+    max_bucket_size — the loud side of the skew guard, mirroring
+    minhash_lsh_overflow / embedding_lsh_overflow.  Non-empty means a
+    fingerprint-dense cluster (templated or near-constant pages) was
+    excluded from candidate generation; raise the cap or pre-dedup exact
+    duplicates first.
+
+    max_bucket_size is REQUIRED (keyword-only) and must match the paired
+    producer's cap.  Pass the shared `sims` frame to avoid recomputing the
+    corpus-wide fingerprint aggregation."""
+    band_bits = bits // n_bands
+    if sims is None:
+        sims = simhash(docs, bits)
+    return (
+        _simhash_bands(sims, n_bands, band_bits)
+        .groupBy("band", "bval")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket_size)
+    )
 
 
 # ---------------------------------------------------------------------------

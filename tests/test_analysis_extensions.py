@@ -1,0 +1,230 @@
+"""SimHash near-dup pair producer: pigeonhole recall guarantee, exact
+rescore precision, and the bucket-size skew guard.
+
+The banding scheme is Manku et al. WWW'07: two 48-bit fingerprints at
+hamming distance <= n_bands-1 agree exactly on at least one of the
+n_bands disjoint 12-bit slices, so candidate recall at the default
+max_hamming = n_bands-1 is deterministic (1.0), unlike MinHash banding.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from contentextractor_spark.functions import analysis as A
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # templated docs: a shared base vocabulary with per-doc mutations, so
+    # simhash distances spread across the 0..48 range with a cluster of
+    # true near-dups (single-token edits of the same page)
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = []
+    for d in range(40):
+        words = base.split()
+        # mutate d%7 tokens deterministically
+        for j in range(d % 7):
+            words[(d * 5 + j * 11) % len(words)] = f"m{d}_{j}"
+        rows.append((d, " ".join(words)))
+    # plus 10 unrelated docs
+    for d in range(40, 50):
+        rows.append((d, " ".join(f"z{d}_{i}" for i in range(30))))
+    return rows
+
+
+def _exact_pairs(spark, rows, max_hamming):
+    """Brute-force all-pairs hamming over the same simhash fingerprints."""
+    sims = A.simhash(_docs(spark, rows), bits=48)
+    a = sims.select(F.col("doc_id").alias("doc_id_a"), F.col("simhash").alias("s1"))
+    b = sims.select(F.col("doc_id").alias("doc_id_b"), F.col("simhash").alias("s2"))
+    return {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in a.crossJoin(b)
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.bit_count(F.col("s1").bitwiseXOR(F.col("s2")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .collect()
+    }
+
+
+def test_recall_and_precision_vs_bruteforce(spark, corpus):
+    # pigeonhole: EVERY pair at hamming <= 3 must be found (recall 1.0);
+    # exact rescore: NOTHING above 3 survives (precision 1.0)
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in A.simhash_neardup_pairs(
+            _docs(spark, corpus), bits=48, n_bands=4
+        ).collect()
+    }
+    want = _exact_pairs(spark, corpus, max_hamming=3)
+    assert want, "fixture produced no near-dup pairs — weakened test"
+    assert got == want
+
+
+def test_wider_hamming_needs_more_bands(spark, corpus):
+    # max_hamming=5 with 6 bands (8 bits each): the guarantee extends
+    got = {
+        (r.doc_id_a, r.doc_id_b)
+        for r in A.simhash_neardup_pairs(
+            _docs(spark, corpus), bits=48, n_bands=6, max_hamming=5
+        ).collect()
+    }
+    want = {(a, b) for a, b, _ in _exact_pairs(spark, corpus, max_hamming=5)}
+    assert got == want
+
+
+def test_bucket_cap_drops_degenerate_bucket_loudly(spark):
+    # pathological corpus: 30 identical docs -> one bucket of 30 in every
+    # band; cap 10 must produce ZERO pairs and a non-empty overflow audit
+    rows = [(d, "same text for every document here") for d in range(30)]
+    docs = _docs(spark, rows)
+    capped = A.simhash_neardup_pairs(docs, bits=48, n_bands=4, max_bucket_size=10)
+    assert capped.count() == 0
+    over = A.simhash_lsh_overflow(docs, bits=48, n_bands=4, max_bucket_size=10)
+    overflow = over.collect()
+    assert len(overflow) == 4  # one saturated bucket per band
+    assert all(r.n_docs == 30 for r in overflow)
+    # and with the cap off, the quadratic volume is really there
+    assert (
+        A.simhash_neardup_pairs(docs, bits=48, n_bands=4).count() == 30 * 29 // 2
+    )
+
+
+def test_shared_sims_frame_not_recomputed(spark, corpus):
+    # passing a precomputed sims frame yields identical output (the shared
+    # aggregation contract the producer/overflow pair relies on)
+    docs = _docs(spark, corpus)
+    sims = A.simhash(docs, bits=48)
+    direct = A.simhash_neardup_pairs(docs, bits=48, n_bands=4).collect()
+    shared = A.simhash_neardup_pairs(docs, bits=48, n_bands=4, sims=sims).collect()
+    assert sorted(map(tuple, direct)) == sorted(map(tuple, shared))
+
+
+def test_ragged_bands_raise(spark, corpus):
+    with pytest.raises(ValueError):
+        A.simhash_neardup_pairs(_docs(spark, corpus), bits=48, n_bands=5)
+
+
+# ---------------------------------------------------------------------------
+# incremental (ingestion-path) dedup
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_dedup_verdicts(spark):
+    corpus = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (4, "totally unrelated corpus document here"),
+        ],
+    )
+    incoming = _docs(
+        spark,
+        [
+            (101, "alpha beta gamma delta epsilon zeta"),  # byte-exact
+            (103, "one two three four five six EIGHT"),  # near (shares bands)
+            (105, "nothing like anything in the corpus at all"),  # keep
+        ],
+    )
+    got = {
+        r.doc_id: r.verdict
+        for r in A.incremental_dedup(corpus, incoming, k=4, n=3).collect()
+    }
+    assert got[101] == "exact"
+    assert got[105] == "keep"
+    # 103 must not be 'exact'; 'near' depends on band collision which the
+    # shared 5-shingle prefix guarantees for at least one band at k=4
+    assert got[103] in ("near", "keep")
+    assert len(got) == 3
+
+
+def test_incremental_dedup_exact_wins_over_near(spark):
+    # a byte-exact duplicate also collides on every band — verdict must
+    # still be 'exact' (precedence), and each incoming doc appears ONCE
+    corpus = _docs(spark, [(0, "alpha beta gamma delta epsilon zeta")])
+    incoming = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    rows = A.incremental_dedup(corpus, incoming).collect()
+    assert [(r.doc_id, r.verdict) for r in rows] == [(1, "exact")]
+
+
+def test_quality_filter_each_rule_fires(spark):
+    # 60 distinct 4-char ALPHABETIC words (digits would fire digit_heavy)
+    long_ok = " ".join(
+        f"wd{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(60)
+    )
+    rows = [
+        (0, long_ok),  # keep
+        (1, "just a few words"),  # too_short
+        (2, " ".join("a b" for _ in range(40))),  # short_words (mean len 1)
+        (3, " ".join("w" * 18 + chr(97 + i % 26) + chr(97 + i // 26)
+                     for i in range(50))),  # long_words (distinct 20-char)
+        (4, " ".join("1234" for _ in range(50))),  # digit_heavy (+repetitive)
+        (5, " ".join("same" for _ in range(60))),  # repetitive
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r.doc_id: (r.violations, r.keep)
+        for r in A.quality_filter(df).collect()
+    }
+    assert got[0] == ("", 1)
+    assert got[1] == ("too_short", 0)
+    # mean length 1 AND only 2 distinct words of 80 — both rules fire, in
+    # the fixed rule order
+    assert got[2] == ("short_words,repetitive", 0)
+    assert got[3][0] == "long_words"
+    assert "digit_heavy" in got[4][0] and "repetitive" in got[4][0]
+    assert got[5] == ("repetitive", 0)
+
+
+def test_tfidf_ranking_deterministic_and_partitioned(spark):
+    rows = [
+        (0, "apple apple apple banana banana cherry"),
+        (1, "banana cherry cherry dates dates dates"),
+        (2, "apple unique1 unique2 unique3 unique4 unique5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = A.tfidf_top_terms(df, k=2)
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df) for r in out.collect()}
+    # doc 0: apple tf=3 first, banana tf=2 second
+    assert got[(0, 1)] == ("apple", 3, 2)
+    assert got[(0, 2)] == ("banana", 2, 2)
+    # doc 2: five tf=1 singles + apple tf=1 — lexicographic tie-break
+    assert got[(2, 1)][0] == "apple"
+    assert got[(2, 2)][0] == "unique1"
+    # plan audit: the rank window is PARTITIONED by doc_id — the only
+    # single-partition exchange allowed is the one-row corpus-count scalar
+    # (tiny by construction), never a whole-corpus single-task sort (the
+    # r2 verdict's top-k anti-pattern)
+    # AdaptiveSparkPlan prints Final + Initial sections — audit the final
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "hashpartitioning(doc_id" in final
+    assert final.count("Exchange SinglePartition") <= 1
+
+
+def test_incremental_dedup_shared_corpus_membership(spark):
+    # the precomputed-corpus-membership path (production: persisted and
+    # bucketed once, probed per batch) agrees with the fresh computation
+    from contentextractor_spark.functions.analysis import _band_membership
+
+    corpus = _docs(
+        spark,
+        [(0, "alpha beta gamma delta epsilon zeta"), (2, "x y z w v u t")],
+    )
+    incoming = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta")])
+    fresh = A.incremental_dedup(corpus, incoming).collect()
+    shared = A.incremental_dedup(
+        corpus, incoming, corpus_membership=_band_membership(corpus, 4, 3)
+    ).collect()
+    assert sorted(map(tuple, fresh)) == sorted(map(tuple, shared))
