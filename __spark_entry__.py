@@ -800,6 +800,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), bits=48, n_bands=4, max_bucket_size=100
         )
 
+    def dedup_components_simhash(spark, sf_dir):
+        # SimHash family's cluster composition, cap active like the pair row
+        return A.dedup_components_simhash(
+            _docs(spark, sf_dir), bits=48, n_bands=4, max_bucket_size=100
+        )
+
     def tfidf_top_terms(spark, sf_dir):
         return A.tfidf_top_terms(_docs(spark, sf_dir), k=5)
 
@@ -1104,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_neardup_pairs": simhash_neardup_pairs,
         "simhash_overflow": simhash_overflow,
         "incremental_dedup": incremental_dedup,
+        "dedup_components_simhash": dedup_components_simhash,
         "tfidf_top_terms": tfidf_top_terms,
         "quality_filter": quality_filter,
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
@@ -1886,6 +1893,33 @@ def oracle_sql() -> dict[str, str]:
             WITH {_SIMHASH_CTE}
             SELECT band, bval, CAST(count(*) AS BIGINT) AS n_docs
             FROM sbands GROUP BY band, bval HAVING count(*) > 100
+        """,
+        "dedup_components_simhash": f"""
+            WITH RECURSIVE {_SIMHASH_CTE},
+            kept AS (
+              SELECT b.* FROM sbands b
+              JOIN (SELECT band, bval FROM sbands
+                    GROUP BY band, bval HAVING count(*) <= 100) ok
+                USING (band, bval)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb,
+                     a.simhash AS s1, b.simhash AS s2
+              FROM kept a JOIN kept b
+                ON a.band = b.band AND a.bval = b.bval
+               AND a.doc_id < b.doc_id),
+            e AS (SELECT pa AS a, pb AS b FROM cand
+                  WHERE bit_count(xor(s1, s2)) <= 3),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+            SELECT d.doc_id,
+                   CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
+                       AS component
+            FROM documents d
+            LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+              ON m.src = d.doc_id
         """,
         "tfidf_top_terms": """
             WITH tok AS (

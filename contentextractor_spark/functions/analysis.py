@@ -1197,6 +1197,43 @@ def dedup_components_minhash(
     return _lss_components(docs, edges, max_iter, "dedup_components_minhash")
 
 
+def dedup_components_simhash(
+    docs: DataFrame,
+    bits: int = 48,
+    n_bands: int = 4,
+    max_hamming: int | None = None,
+    max_bucket_size: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the SimHash hamming graph: rescored pairs →
+    edges → large-star/small-star.  Completes the dedup-to-clusters story
+    for the third family (exact → copy groups, MinHash → bucket-star
+    components, SimHash → THIS).
+
+    Unlike the MinHash composition, the linear STAR-edge trick does NOT
+    apply: bucket co-membership alone over-connects (two fingerprints can
+    share one 12-bit band slice while 20 bits apart overall), and the
+    exact hamming rescore is inherently pairwise.  Edge volume is the
+    capped pair volume (Σ|bucket|²/2 bounded by max_bucket_size), not
+    linear — the honest trade for clustering by a TRUE distance threshold
+    instead of bucket connectivity.
+
+    Output contract matches dedup_components: (doc_id, component = min
+    doc_id reachable via pairs at hamming <= max_hamming)."""
+    pairs = simhash_neardup_pairs(
+        docs,
+        bits=bits,
+        n_bands=n_bands,
+        max_hamming=max_hamming,
+        max_bucket_size=max_bucket_size,
+    )
+    # pairs emit doc_id_a < doc_id_b; the LSS convention is (hi, lo)
+    edges = pairs.select(
+        F.col("doc_id_b").alias("hi"), F.col("doc_id_a").alias("lo")
+    ).localCheckpoint()
+    return _lss_components(docs, edges, max_iter, "dedup_components_simhash")
+
+
 def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
     """SimHash over distinct tokens: md5-derived bit planes, majority vote
     per bit, folded into a BIGINT.  Fully engine-portable: bit p of token t

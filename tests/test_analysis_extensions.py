@@ -115,6 +115,32 @@ def test_ragged_bands_raise(spark, corpus):
         A.simhash_neardup_pairs(_docs(spark, corpus), bits=48, n_bands=5)
 
 
+def test_components_match_unionfind_over_pairs(spark, corpus):
+    # differential: the LSS composition must equal a driver-side union-find
+    # over the exact same pair set (min-id labeling)
+    docs = _docs(spark, corpus)
+    pairs = A.simhash_neardup_pairs(docs, bits=48, n_bands=4).collect()
+    parent = {d: d for d, _ in corpus}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.doc_id_a), find(r.doc_id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+    got = {
+        r.doc_id: r.component
+        for r in A.dedup_components_simhash(docs, bits=48, n_bands=4).collect()
+    }
+    assert got == want
+    assert len({v for v in want.values()}) < len(want)  # fixture really clusters
+
+
 # ---------------------------------------------------------------------------
 # incremental (ingestion-path) dedup
 # ---------------------------------------------------------------------------

@@ -211,3 +211,25 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
         for r in train_split_assign(spark.read.parquet(in_dir)).collect()
     }
     assert got2 == want2
+
+    # quality_filter is row-level integer arithmetic — same contract
+    from contentextractor_spark.functions.analysis import quality_filter
+
+    q3 = (
+        quality_filter(stream)
+        .writeStream.format("memory")
+        .queryName("qf_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q3.awaitTermination(120), "quality stream did not finish in 120 s"
+    got3 = {
+        (r.doc_id, r.violations, r.keep)
+        for r in spark.sql("SELECT * FROM qf_stream").collect()
+    }
+    want3 = {
+        (r.doc_id, r.violations, r.keep)
+        for r in quality_filter(spark.read.parquet(in_dir)).collect()
+    }
+    assert got3 == want3
