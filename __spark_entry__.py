@@ -812,6 +812,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quality_filter(spark, sf_dir):
         return A.quality_filter(_docs(spark, sf_dir))
 
+    def inverted_index(spark, sf_dir):
+        # caps ACTIVE: min_df prunes singletons, max_postings really
+        # truncates (fixture dfs run into the hundreds) while df keeps the
+        # true count — the no-silent-caps contract is what's value-checked
+        return A.inverted_index(
+            _docs(spark, sf_dir), min_df=2, max_postings=8
+        )
+
+    def term_search(spark, sf_dir):
+        return A.term_search(
+            _docs(spark, sf_dir), ["query", "window", "scan"]
+        )
+
     def incremental_dedup(spark, sf_dir):
         # ingestion-path dedup: even doc_ids are the existing corpus, odd
         # are the new crawl batch; 10 corpus docs are re-submitted under
@@ -1113,6 +1126,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_simhash": dedup_components_simhash,
         "tfidf_top_terms": tfidf_top_terms,
         "quality_filter": quality_filter,
+        "inverted_index": inverted_index,
+        "term_search": term_search,
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
         "warc_extract_roundtrip": warc_extract_roundtrip,
         "stratified_sample": stratified_sample,
@@ -1970,6 +1985,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, violations,
                    CAST(violations = '' AS INT) AS keep
             FROM v
+        """,
+        "inverted_index": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+            SELECT term, CAST(count(*) AS BIGINT) AS df,
+                   list_slice(list(doc_id ORDER BY doc_id), 1, 8) AS postings
+            FROM tok GROUP BY term HAVING count(*) >= 2
+        """,
+        "term_search": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+            SELECT doc_id FROM tok
+            WHERE term IN ('query', 'scan', 'window')
+            GROUP BY doc_id HAVING count(*) = 3
         """,
         "incremental_dedup": f"""
             WITH {_SHINGLE_CTE}, {_SIG_CTE},

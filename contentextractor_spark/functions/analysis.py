@@ -230,6 +230,66 @@ def quality_filter(
     )
 
 
+def inverted_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    max_df: int | None = None,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Classic IR inverted index as a DataFrame: term → (df, postings[]),
+    postings sorted ascending.  df always reports the TRUE document
+    frequency, so a truncated posting list (max_postings) is detectable by
+    the consumer — never a silent cap.
+
+    Scale: the distinct (doc_id, term) stream is one map-side-combinable
+    groupBy(term).  Posting lists are where term skew lives — a stopword's
+    list is the corpus; that is a data property, not a shuffle property,
+    and the guards are max_df (drop stopword terms outright — an IR index
+    rarely wants them) and max_postings (bound the array payload).  With
+    both unset this degrades to term-partitioned full lists, which is
+    exactly what a posting-file writer would range-partition out."""
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    )
+    agg = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )
+    if min_df > 1:
+        agg = agg.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        agg = agg.filter(F.col("df") <= max_df)
+    if max_postings is not None:
+        agg = agg.withColumn(
+            "postings", F.slice(F.col("postings"), 1, max_postings)
+        )
+    return agg
+
+
+def term_search(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """Conjunctive (AND) term query: doc_ids containing ALL the given
+    terms.  The posting-intersection of inverted_index, expressed directly
+    over the corpus: explode distinct tokens, keep query terms, count
+    matches per doc, require all of them.  One filtered explode + one
+    map-side-combinable groupBy — the filter prunes the token stream to
+    |terms| tokens per doc BEFORE the shuffle, so the exchange carries at
+    most docs × |terms| rows regardless of vocabulary size."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("term_search needs at least one term")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("term"),
+    ).filter(F.col("term").isin(uniq))
+    return (
+        tok.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .filter(F.col("n_hit") == len(uniq))
+        .select("doc_id")
+    )
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 64, overlap: int = 8
 ) -> DataFrame:

@@ -239,6 +239,33 @@ def test_tfidf_ranking_deterministic_and_partitioned(spark):
     assert final.count("Exchange SinglePartition") <= 1
 
 
+def test_inverted_index_caps_and_search(spark):
+    rows = [
+        (0, "alpha beta gamma"),
+        (1, "alpha beta"),
+        (2, "alpha gamma gamma"),  # duplicate token counts once
+        (3, "alpha delta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    idx = {r.term: (r.df, r.postings) for r in A.inverted_index(df).collect()}
+    assert idx["alpha"] == (4, [0, 1, 2, 3])
+    assert idx["gamma"] == (2, [0, 2])
+    assert idx["delta"] == (1, [3])
+    # caps: df keeps the TRUE count while postings truncate (no silent cap)
+    capped = {
+        r.term: (r.df, r.postings)
+        for r in A.inverted_index(df, min_df=2, max_postings=2).collect()
+    }
+    assert "delta" not in capped
+    assert capped["alpha"] == (4, [0, 1])
+    # conjunctive search = posting intersection
+    hits = {r.doc_id for r in A.term_search(df, ["alpha", "gamma"]).collect()}
+    assert hits == {0, 2}
+    # duplicate query terms must not demand a double hit
+    hits2 = {r.doc_id for r in A.term_search(df, ["beta", "beta"]).collect()}
+    assert hits2 == {0, 1}
+
+
 def test_incremental_dedup_shared_corpus_membership(spark):
     # the precomputed-corpus-membership path (production: persisted and
     # bucketed once, probed per batch) agrees with the fresh computation
