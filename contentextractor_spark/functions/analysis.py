@@ -1395,6 +1395,12 @@ def simhash_neardup_pairs(
     band_bits = bits // n_bands
     if max_hamming is None:
         max_hamming = n_bands - 1
+    elif max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the pigeonhole guarantee of "
+            f"n_bands-1={n_bands - 1} — pairs beyond it would be silently "
+            "missed; raise n_bands instead"
+        )
     if sims is None:
         sims = simhash(docs, bits)
     bands = _simhash_bands(sims, n_bands, band_bits)
@@ -1449,6 +1455,13 @@ def simhash_lsh_overflow(
     max_bucket_size is REQUIRED (keyword-only) and must match the paired
     producer's cap.  Pass the shared `sims` frame to avoid recomputing the
     corpus-wide fingerprint aggregation."""
+    if bits % n_bands:
+        # same validation as the paired producer — an audit over a banding
+        # scheme no producer can run would report meaningless buckets
+        raise ValueError(
+            "bits must divide evenly into n_bands slices — a ragged last "
+            "band would silently weaken the pigeonhole recall guarantee"
+        )
     band_bits = bits // n_bands
     if sims is None:
         sims = simhash(docs, bits)

@@ -113,6 +113,17 @@ def test_shared_sims_frame_not_recomputed(spark, corpus):
 def test_ragged_bands_raise(spark, corpus):
     with pytest.raises(ValueError):
         A.simhash_neardup_pairs(_docs(spark, corpus), bits=48, n_bands=5)
+    # the overflow audit enforces the same scheme validation as its twin
+    with pytest.raises(ValueError):
+        A.simhash_lsh_overflow(
+            _docs(spark, corpus), bits=50, n_bands=4, max_bucket_size=10
+        )
+    # max_hamming beyond the pigeonhole guarantee fails loudly, never a
+    # silently-incomplete pair set
+    with pytest.raises(ValueError):
+        A.simhash_neardup_pairs(
+            _docs(spark, corpus), bits=48, n_bands=4, max_hamming=6
+        )
 
 
 def test_components_match_unionfind_over_pairs(spark, corpus):
