@@ -812,6 +812,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quality_filter(spark, sf_dir):
         return A.quality_filter(_docs(spark, sf_dir))
 
+    def bm25_search(spark, sf_dir):
+        return A.bm25_search(
+            _docs(spark, sf_dir), ["query", "scan", "window"], k=15
+        )
+
+    def dedup_components_embedding(spark, sf_dir):
+        # fourth dedup family's cluster composition; cap active like the
+        # embedding_neardup_lsh_capped row it feeds from
+        return A.dedup_components_embedding(
+            _emb(spark, sf_dir),
+            threshold=0.35,
+            n_bands=6,
+            band_bits=3,
+            max_bucket_size=60,
+        )
+
     def inverted_index(spark, sf_dir):
         # caps ACTIVE: min_df prunes singletons, max_postings really
         # truncates (fixture dfs run into the hundreds) while df keeps the
@@ -1128,6 +1144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": quality_filter,
         "inverted_index": inverted_index,
         "term_search": term_search,
+        "bm25_search": bm25_search,
+        "dedup_components_embedding": dedup_components_embedding,
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
         "warc_extract_roundtrip": warc_extract_roundtrip,
         "stratified_sample": stratified_sample,
@@ -1985,6 +2003,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, violations,
                    CAST(violations = '' AS INT) AS keep
             FROM v
+        """,
+        "bm25_search": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS dl
+              FROM documents),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(dl) AS BIGINT) AS total_dl FROM base),
+            tf AS (
+              SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, dl, unnest(ws) AS term FROM base)
+              WHERE term IN ('query', 'scan', 'window')
+              GROUP BY 1, 2, 3),
+            dfs AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT doc_id, unnest(ws) AS term FROM base)
+              WHERE term IN ('query', 'scan', 'window')
+              GROUP BY term),
+            contribs AS (
+              SELECT tf.doc_id,
+                     tf.term,
+                     ln(CAST(1.0 AS DOUBLE)
+                        + (s.n_docs - dfs.df + CAST(0.5 AS DOUBLE))
+                          / (dfs.df + CAST(0.5 AS DOUBLE)))
+                     * (tf.tf * CAST(2.2 AS DOUBLE))
+                     / (tf.tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * tf.dl * s.n_docs
+                             / s.total_dl)) AS c
+              FROM tf JOIN dfs USING (term), stats s),
+            scored AS (
+              SELECT doc_id,
+                     round(COALESCE(sum(CASE WHEN term = 'query' THEN c END), 0)
+                         + COALESCE(sum(CASE WHEN term = 'scan' THEN c END), 0)
+                         + COALESCE(sum(CASE WHEN term = 'window' THEN c END), 0),
+                         4) AS score
+              FROM contribs GROUP BY doc_id),
+            ranked AS (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER (
+                          ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+              FROM scored)
+            SELECT doc_id, score, rank FROM ranked WHERE rank <= 15
+        """,
+        "dedup_components_embedding": f"""
+            WITH RECURSIVE {_EMB_BANDS_CTE},
+            bsz AS (SELECT band, bkey, count(*) AS nb
+                    FROM bands GROUP BY band, bkey),
+            kept AS (SELECT b.vec_id, b.band, b.bkey
+                     FROM bands b JOIN bsz USING (band, bkey)
+                     WHERE nb <= 60),
+            cand AS (
+              SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM kept a JOIN kept b
+                ON a.band = b.band AND a.bkey = b.bkey
+               AND a.vec_id < b.vec_id),
+            e AS (
+              SELECT id_a AS a, id_b AS b FROM (
+                SELECT id_a, id_b,
+                       list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                              CAST(eb.embedding AS DOUBLE[]))
+                           AS cos
+                FROM cand
+                JOIN embeddings ea ON ea.vec_id = id_a
+                JOIN embeddings eb ON eb.vec_id = id_b)
+              WHERE round(cos, 4) >= 0.35),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+            SELECT v.vec_id,
+                   CAST(LEAST(v.vec_id, COALESCE(m.mn, v.vec_id)) AS BIGINT)
+                       AS component
+            FROM embeddings v
+            LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
+              ON m.src = v.vec_id
         """,
         "inverted_index": """
             WITH tok AS (

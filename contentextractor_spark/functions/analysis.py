@@ -290,6 +290,74 @@ def term_search(docs: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def bm25_search(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked retrieval (disjunctive): score every doc containing at
+    least one query term, return the top-k.  Lucene-form idf
+    (ln(1 + (N-df+0.5)/(df+0.5)), never negative) with standard tf/length
+    normalization.
+
+    Exactness: each (doc, term) has exactly ONE tf row, so per-term
+    contributions come out of conditional aggregates and are added in
+    FIXED term order — the float sum can never depend on row order.  Rank
+    keys are (round(score,4) DESC, doc_id ASC), the knn convention: both
+    engines rank the ROUNDED value, so a sub-4dp drift cannot flip the
+    order.
+
+    Scale: the term filter prunes the token stream BEFORE the tf shuffle
+    (≤ docs × |terms| rows); N and total length ride in as a ONE-ROW
+    broadcast crossJoin; top-k is orderBy().limit(k) —
+    TakeOrderedAndProject, never a global window sort — with rank derived
+    over the k survivors."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("bm25_search needs at least one term")
+    words = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", words.alias("ws"), F.size(words).alias("dl"))
+    stats = base.select(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    tok = base.select(
+        "doc_id", "dl", F.explode("ws").alias("term")
+    ).filter(F.col("term").isin(uniq))
+    tf = tok.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfs = (
+        base.select(F.explode(F.array_distinct("ws")).alias("term"))
+        .filter(F.col("term").isin(uniq))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    joined = tf.join(dfs, "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm = F.lit(1.0 - b) + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col(
+        "total_dl"
+    )
+    contrib = idf * (F.col("tf") * (k1 + 1)) / (F.col("tf") + F.lit(k1) * norm)
+    per_term = [
+        F.sum(F.when(F.col("term") == t, contrib)).alias(f"__c{i}")
+        for i, t in enumerate(uniq)
+    ]
+    scored = joined.groupBy("doc_id").agg(*per_term)
+    score = F.lit(0.0)
+    for i in range(len(uniq)):  # fixed addition order, never row order
+        score = score + F.coalesce(F.col(f"__c{i}"), F.lit(0.0))
+    ranked = scored.select(
+        "doc_id", F.round(score, 4).alias("score")
+    )
+    order = [F.col("score").desc(), F.col("doc_id").asc()]
+    topk = ranked.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def chunk_documents(
     docs: DataFrame, chunk_tokens: int = 64, overlap: int = 8
 ) -> DataFrame:
@@ -1292,6 +1360,39 @@ def dedup_components_simhash(
         F.col("doc_id_b").alias("hi"), F.col("doc_id_a").alias("lo")
     ).localCheckpoint()
     return _lss_components(docs, edges, max_iter, "dedup_components_simhash")
+
+
+def dedup_components_embedding(
+    emb: DataFrame,
+    threshold: float = 0.8,
+    n_bands: int = 6,
+    band_bits: int = 3,
+    max_bucket_size: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the embedding cosine graph — the FOURTH
+    dedup family's cluster composition (exact copies, MinHash bucket-star,
+    SimHash hamming, and now semantic near-dups): capped banded-LSH pairs
+    with exact cosine rescore feed the large-star/small-star solver.
+
+    Like the SimHash composition (and unlike MinHash), the rescore is
+    pairwise, so edge volume is the capped pair volume — clustering by a
+    TRUE similarity threshold.  Output: (vec_id, component = min vec_id
+    reachable via pairs at cos >= threshold)."""
+    pairs = embedding_neardup_lsh(
+        emb,
+        threshold=threshold,
+        n_bands=n_bands,
+        band_bits=band_bits,
+        max_bucket_size=max_bucket_size,
+    )
+    # id_a < id_b by the join condition; LSS wants (hi, lo)
+    edges = pairs.select(
+        F.col("id_b").alias("hi"), F.col("id_a").alias("lo")
+    ).localCheckpoint()
+    nodes = emb.select(F.col("vec_id").alias("doc_id"))
+    out = _lss_components(nodes, edges, max_iter, "dedup_components_embedding")
+    return out.select(F.col("doc_id").alias("vec_id"), "component")
 
 
 def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:

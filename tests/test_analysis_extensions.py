@@ -277,6 +277,85 @@ def test_inverted_index_caps_and_search(spark):
     assert hits2 == {0, 1}
 
 
+def test_bm25_prefers_rare_terms_and_plans_topk(spark):
+    rows = [
+        (0, "rare common common common"),
+        (1, "common common common common"),
+        (2, "rare rare common filler1"),
+        (3, "filler2 filler3 filler4 filler5"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = A.bm25_search(df, ["rare", "common"], k=3)
+    rows_out = out.collect()
+    ranked = [r.doc_id for r in sorted(rows_out, key=lambda r: r.rank)]
+    # doc 2 (two 'rare' hits) must outrank doc 1 (only the ubiquitous
+    # 'common'); doc 3 (no hits) must be absent entirely
+    assert ranked[0] == 2
+    assert 3 not in ranked
+    assert ranked.index(2) < ranked.index(1)
+    # top-k plan: TakeOrderedAndProject, never a global window sort of
+    # the full scored set (the r2 verdict's anti-pattern)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_duplicate_and_empty_terms(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta")], "doc_id bigint, text string"
+    )
+    a = A.bm25_search(df, ["alpha", "alpha", "beta"]).collect()
+    b = A.bm25_search(df, ["alpha", "beta"]).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    with pytest.raises(ValueError):
+        A.bm25_search(df, [])
+
+
+def test_embedding_components_match_unionfind(spark):
+    import random
+
+    rng = random.Random(7)
+    # three planted clusters of near-identical vectors + noise singles
+    rows = []
+    vid = 0
+    for c in range(3):
+        center = [rng.uniform(-1, 1) for _ in range(16)]
+        for _ in range(4):
+            rows.append(
+                (vid, [x + rng.uniform(-0.01, 0.01) for x in center])
+            )
+            vid += 1
+    for _ in range(6):
+        rows.append((vid, [rng.uniform(-1, 1) for _ in range(16)]))
+        vid += 1
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>"
+    )
+    pairs = A.embedding_neardup_lsh(
+        emb, threshold=0.9, n_bands=6, band_bits=3
+    ).collect()
+    parent = {v: v for v, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.id_a), find(r.id_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {v: find(v) for v in parent}
+    got = {
+        r.vec_id: r.component
+        for r in A.dedup_components_embedding(
+            emb, threshold=0.9, n_bands=6, band_bits=3
+        ).collect()
+    }
+    assert got == want
+    assert len(set(want.values())) < len(want)  # clusters really formed
+
+
 def test_incremental_dedup_shared_corpus_membership(spark):
     # the precomputed-corpus-membership path (production: persisted and
     # bucketed once, probed per batch) agrees with the fresh computation
