@@ -812,6 +812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def quality_filter(spark, sf_dir):
         return A.quality_filter(_docs(spark, sf_dir))
 
+    def unigram_surprisal(spark, sf_dir):
+        return A.unigram_surprisal(_docs(spark, sf_dir))
+
     def bm25_search(spark, sf_dir):
         return A.bm25_search(
             _docs(spark, sf_dir), ["query", "scan", "window"], k=15
@@ -1146,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_search": term_search,
         "bm25_search": bm25_search,
         "dedup_components_embedding": dedup_components_embedding,
+        "unigram_surprisal": unigram_surprisal,
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
         "warc_extract_roundtrip": warc_extract_roundtrip,
         "stratified_sample": stratified_sample,
@@ -2003,6 +2007,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, violations,
                    CAST(violations = '' AS INT) AS keep
             FROM v
+        """,
+        "unigram_surprisal": """
+            WITH tok AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+                   FROM tok GROUP BY 1, 2),
+            uni AS (SELECT tok, CAST(sum(n) AS BIGINT) AS cnt
+                    FROM dt GROUP BY tok),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_toks FROM uni),
+            j AS (
+              SELECT dt.doc_id, dt.n,
+                     CAST(floor(-ln(CAST(cnt AS DOUBLE) / total_toks)
+                                * 1000000.0) AS BIGINT) AS micro
+              FROM dt JOIN uni USING (tok), tot)
+            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                   CAST(sum(n * micro) AS BIGINT) AS surprisal_micronats,
+                   CAST(sum(n * micro) AS BIGINT)
+                       // CAST(sum(n) AS BIGINT) AS mean_micronats
+            FROM j GROUP BY doc_id
         """,
         "bm25_search": """
             WITH base AS (

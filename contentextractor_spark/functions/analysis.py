@@ -290,6 +290,55 @@ def term_search(docs: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def unigram_surprisal(docs: DataFrame) -> DataFrame:
+    """LM-based quality scoring against the corpus's own unigram model
+    (the CCNet idea with the corpus standing in for the external LM): per
+    document, total and mean token surprisal -ln(count(tok)/total_tokens).
+    High mean surprisal ⇒ the doc is unlike the corpus (OOV noise, rare
+    boilerplate); low ⇒ generic.
+
+    Exactness: floats summed per doc would depend on row order — instead
+    each token's surprisal is quantized driver-free to integer MICRO-NATS
+    (floor(-ln(p) * 1e6)), and integers sum exactly in any order.  The
+    mean is an integer division (Spark div ≡ DuckDB //), so every output
+    column is engine-exact with no rounding convention.
+
+    Scale: one map-side-combinable groupBy builds the unigram table, the
+    corpus total rides in as a one-row broadcast crossJoin, and the join
+    back is on token — the token_rarity shape with a quantized-log payload
+    (the ln runs once per (doc, distinct-token) row, never inside an
+    interpreted per-element lambda)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    # per (doc, token) counts so ln() runs once per distinct pair, and the
+    # corpus-wide unigram counts from the same stream
+    dt = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    uni = dt.groupBy("tok").agg(F.sum("n").alias("cnt"))
+    total = uni.select(F.sum("cnt").alias("total_toks"))
+    micro = F.floor(
+        -F.log(F.col("cnt") / F.col("total_toks")) * F.lit(1_000_000.0)
+    ).cast("long")
+    joined = dt.join(uni, "tok").crossJoin(F.broadcast(total))
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n")).alias("n_tokens"),
+            F.sum(F.col("n") * micro).alias("surprisal_micronats"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "surprisal_micronats",
+            # integer division (Spark `div` ≡ DuckDB `//` on positives) —
+            # no double round-trip, no truncate-vs-round convention at all
+            F.expr("surprisal_micronats div n_tokens").alias(
+                "mean_micronats"
+            ),
+        )
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     terms: list[str],

@@ -356,6 +356,22 @@ def test_embedding_components_match_unionfind(spark):
     assert len(set(want.values())) < len(want)  # clusters really formed
 
 
+def test_unigram_surprisal_orders_rarity(spark):
+    rows = [
+        (0, "common common common common"),
+        (1, "common common common oddity"),  # one corpus-rare token
+        (2, "weird1 weird2 weird3 weird4"),  # all singletons
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.doc_id: r for r in A.unigram_surprisal(df).collect()}
+    assert got[0].n_tokens == 4
+    # rarer content ⇒ strictly higher mean surprisal
+    assert got[0].mean_micronats < got[1].mean_micronats < got[2].mean_micronats
+    # integer invariants: mean is the floor of total/n
+    for r in got.values():
+        assert r.mean_micronats == r.surprisal_micronats // r.n_tokens
+
+
 def test_incremental_dedup_shared_corpus_membership(spark):
     # the precomputed-corpus-membership path (production: persisted and
     # bucketed once, probed per batch) agrees with the fresh computation
