@@ -815,6 +815,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def unigram_surprisal(spark, sf_dir):
         return A.unigram_surprisal(_docs(spark, sf_dir))
 
+    def pagerank_links(spark, sf_dir):
+        # deterministic synthetic link graph over the doc-id space (3
+        # out-links per doc via an affine map mod N — no external data),
+        # ranked with the integer micro-prob PageRank; N is data-driven
+        # via a one-row broadcast so the same query runs at every sf
+        docs = _docs(spark, sf_dir).select("doc_id")
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        dsts = F.array(
+            *[
+                (F.col("doc_id") * 31 + 7 * j) % F.col("n")
+                for j in (1, 2, 3)
+            ]
+        )
+        edges = (
+            docs.crossJoin(F.broadcast(n))
+            .select(F.col("doc_id").alias("src"), F.explode(dsts).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        return A.pagerank(edges, iters=3)
+
     def bm25_search(spark, sf_dir):
         return A.bm25_search(
             _docs(spark, sf_dir), ["query", "scan", "window"], k=15
@@ -1150,6 +1170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search": bm25_search,
         "dedup_components_embedding": dedup_components_embedding,
         "unigram_surprisal": unigram_surprisal,
+        "pagerank_links": pagerank_links,
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
         "warc_extract_roundtrip": warc_extract_roundtrip,
         "stratified_sample": stratified_sample,
@@ -2007,6 +2028,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, violations,
                    CAST(violations = '' AS INT) AS keep
             FROM v
+        """,
+        "pagerank_links": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+            e AS (
+              SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 31 + 7 * j) % n.nn AS dst
+                FROM documents, n, (SELECT unnest([1, 2, 3]) AS j) js)
+              WHERE src <> dst),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY src),
+            p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes),
+            c1 AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p0 p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            p1 AS (SELECT nodes.node,
+                          CAST(150000 + (COALESCE(c1.m, 0) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c1 ON c1.node = nodes.node),
+            c2 AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p1 p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            p2 AS (SELECT nodes.node,
+                          CAST(150000 + (COALESCE(c2.m, 0) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c2 ON c2.node = nodes.node),
+            c3 AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p2 p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            p3 AS (SELECT nodes.node,
+                          CAST(150000 + (COALESCE(c3.m, 0) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c3 ON c3.node = nodes.node)
+            SELECT node, p AS rank_micro FROM p3
         """,
         "unigram_surprisal": """
             WITH tok AS (

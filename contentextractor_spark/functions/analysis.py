@@ -290,6 +290,60 @@ def term_search(docs: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85) -> DataFrame:
+    """Integer-arithmetic PageRank over an edge list (src, dst) — the
+    classic web-graph ranking a Common-Crawl pipeline runs over its host
+    link graph, expressed so every engine computes BIT-IDENTICAL ranks.
+
+    All arithmetic is integer micro-probabilities: p0 = 1e6 per node;
+    p_{t+1}(v) = (100-d)/100 * 1e6  +  d * Σ_{u→v} (p_t(u) div outdeg(u))
+    div 100 — integer division at each step, so sums are order-free and
+    cross-engine exact (the float formulation would drift with row order).
+    Dangling mass is dropped (documented simplification — the standard
+    redistribute adds one scalar broadcast per round if needed).
+
+    Scale: outdeg is one map-side-combinable groupBy computed ONCE; each
+    iteration is one join on src (contributions) + one groupBy on dst —
+    the same bounded-round shuffle pattern as the LSS component solver,
+    with localCheckpoint cutting lineage per round.  Nodes = src ∪ dst;
+    sinks keep the teleport term every round."""
+    if not 1 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [1, 100]")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    teleport = (100 - damping_pct) * 10_000  # (1-d) * 1e6, integer
+    pr = nodes.select("node", F.lit(1_000_000).cast("long").alias("p"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("p div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        pr = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(
+                        f"(coalesce(in_mass, 0L) * {damping_pct}) div 100"
+                    )
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select("node", F.col("p").alias("rank_micro"))
+
+
 def unigram_surprisal(docs: DataFrame) -> DataFrame:
     """LM-based quality scoring against the corpus's own unigram model
     (the CCNet idea with the corpus standing in for the external LM): per

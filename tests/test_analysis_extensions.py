@@ -372,6 +372,24 @@ def test_unigram_surprisal_orders_rarity(spark):
         assert r.mean_micronats == r.surprisal_micronats // r.n_tokens
 
 
+def test_pagerank_hand_computed(spark):
+    # 1→2, 3→2, 2→1; p0 = 1e6; teleport 150000; d = 85/100
+    # iter1: p(2)=150000+85%·2e6=1850000; p(1)=1000000; p(3)=150000
+    # iter2: p(1)=150000+85%·1850000=1722500;
+    #        p(2)=150000+85%·1150000=1127500; p(3)=150000
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (2, 1)], "src bigint, dst bigint"
+    )
+    got = {r.node: r.rank_micro for r in A.pagerank(edges, iters=2).collect()}
+    assert got == {1: 1722500, 2: 1127500, 3: 150000}
+    # determinism across repartitionings (integer arithmetic is order-free)
+    got2 = {
+        r.node: r.rank_micro
+        for r in A.pagerank(edges.repartition(7), iters=2).collect()
+    }
+    assert got2 == got
+
+
 def test_incremental_dedup_shared_corpus_membership(spark):
     # the precomputed-corpus-membership path (production: persisted and
     # bucketed once, probed per batch) agrees with the fresh computation
