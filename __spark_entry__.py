@@ -815,6 +815,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def unigram_surprisal(spark, sf_dir):
         return A.unigram_surprisal(_docs(spark, sf_dir))
 
+    def _link_pages_sql(docs):
+        # two <a href> per page, hosts affine in doc_id — the hrefs the
+        # extractor must recover are SQL-predictable by construction
+        h1 = ((F.col("doc_id") * 7 + 1) % 37).cast("string")
+        h2 = ((F.col("doc_id") * 7 + 2) % 37).cast("string")
+        return docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"),
+                    F.col("text"),
+                    F.lit('</p><a href="h'),
+                    h1,
+                    F.lit('.example/x">l</a><a href="h'),
+                    h2,
+                    F.lit('.example/x">l</a></body></html>'),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+
+    def extract_links_roundtrip(spark, sf_dir):
+        # link extraction through the REAL pipeline shape (salted
+        # repartition → mapInPandas flat-map over the DOM parse): both
+        # hrefs must come back in document order per page
+        from contentextractor_spark.plans.pipeline import extract_links
+
+        out = extract_links(_link_pages_sql(_docs(spark, sf_dir)), num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"), "href", "link_idx"
+        )
+
+    def pagerank_extracted_hosts(spark, sf_dir):
+        # the composed web-graph story: pages → DOM link extraction →
+        # host parse → integer PageRank.  The oracle never sees HTML — it
+        # predicts the edges from the same affine construction, so a wrong
+        # href ANYWHERE upstream shifts some host's rank and the hash
+        from contentextractor_spark.plans.pipeline import extract_links
+
+        out = extract_links(_link_pages_sql(_docs(spark, sf_dir)), num_buckets=8)
+        host = F.regexp_extract("href", "^h([0-9]+)\\.example", 1).cast("long")
+        edges = out.select(
+            F.col("url").cast("long").alias("src"),
+            (host + 1000000000).alias("dst"),
+        )
+        return A.pagerank(edges, iters=2)
+
     def pagerank_links(spark, sf_dir):
         # deterministic synthetic link graph over the doc-id space (3
         # out-links per doc via an affine map mod N — no external data),
@@ -1171,6 +1218,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_embedding": dedup_components_embedding,
         "unigram_surprisal": unigram_surprisal,
         "pagerank_links": pagerank_links,
+        "extract_links_roundtrip": extract_links_roundtrip,
+        "pagerank_extracted_hosts": pagerank_extracted_hosts,
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
         "warc_extract_roundtrip": warc_extract_roundtrip,
         "stratified_sample": stratified_sample,
@@ -2028,6 +2077,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_words, violations,
                    CAST(violations = '' AS INT) AS keep
             FROM v
+        """,
+        "extract_links_roundtrip": """
+            SELECT doc_id,
+                   'h' || CAST((doc_id * 7 + 1) % 37 AS VARCHAR)
+                       || '.example/x' AS href,
+                   CAST(0 AS INT) AS link_idx
+            FROM documents
+            UNION ALL
+            SELECT doc_id,
+                   'h' || CAST((doc_id * 7 + 2) % 37 AS VARCHAR)
+                       || '.example/x' AS href,
+                   CAST(1 AS INT) AS link_idx
+            FROM documents
+        """,
+        "pagerank_extracted_hosts": """
+            WITH e AS (
+              SELECT doc_id AS src,
+                     1000000000 + (doc_id * 7 + 1) % 37 AS dst
+              FROM documents
+              UNION ALL
+              SELECT doc_id, 1000000000 + (doc_id * 7 + 2) % 37
+              FROM documents),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY src),
+            p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes),
+            c1 AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p0 p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            p1 AS (SELECT nodes.node,
+                          CAST(150000 + (COALESCE(c1.m, 0) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c1 ON c1.node = nodes.node),
+            c2 AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p1 p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            p2 AS (SELECT nodes.node,
+                          CAST(150000 + (COALESCE(c2.m, 0) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c2 ON c2.node = nodes.node)
+            SELECT node, p AS rank_micro FROM p2
         """,
         "pagerank_links": """
             WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),

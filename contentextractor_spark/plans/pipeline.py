@@ -304,6 +304,85 @@ def extract_pdf_pages(docs: DataFrame, num_buckets: int = 32) -> DataFrame:
     return partitioned.mapInPandas(_extract_pdf_batches, schema=PDF_EXTRACT_SCHEMA)
 
 
+LINKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("href", StringType()),
+        StructField("link_idx", IntegerType()),
+        StructField("bucket_id", IntegerType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+
+def _extract_link_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: page → one row per <a href>, in DOCUMENT ORDER
+    (the DOM walk is preorder DFS, so link_idx is layout-stable).  Same
+    bounded-batch discipline as _extract_batches; a page that fails to
+    decode or parse contributes zero links (per-URL catch-all, mirroring
+    the reference's extractor error contract)."""
+    from pyspark import TaskContext
+
+    from ..extractor import decode_html
+    from ..operators.dom import parse_xml
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        urls: list = []
+        hrefs: list = []
+        idxs: list = []
+        buckets: list = []
+        for u, data, bucket in zip(pdf["url"], pdf["html"], pdf["bucket_id"]):
+            try:
+                html = decode_html(bytes(data) if data is not None else b"")
+                doc = parse_xml(html)
+                found = [
+                    el.attr("href")
+                    for el in doc.iter_elements()
+                    if el.tag == "a" and el.has_attr("href")
+                ]
+            except Exception:  # noqa: BLE001 — per-URL catch-all
+                found = []
+            us = None if u is None else str(u)
+            for i, h in enumerate(found):
+                urls.append(us)
+                hrefs.append(h)
+                idxs.append(i)
+                buckets.append(bucket)
+        if urls:
+            yield pd.DataFrame(
+                {
+                    "url": urls,
+                    "href": hrefs,
+                    "link_idx": idxs,
+                    "bucket_id": buckets,
+                    "partition_id": pid,
+                }
+            )
+
+
+def extract_links(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """Link extraction — pages(url, html) → one row per <a href>, the feed
+    for the host link graph (canonicalize_urls → domain grouping →
+    analysis.pagerank).  Identical scale shape to extract_pages: pruned
+    scan → ONE salted repartition → mapInPandas flat-map; output volume is
+    links-per-page bounded per Arrow batch, and the flat-map never
+    shuffles."""
+    ensure_pyfiles(pages.sparkSession)
+    keyed = pages.select("url", "html").withColumn(
+        "bucket_id",
+        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
+            "int"
+        ),
+    )
+    partitioned = keyed.repartition(num_buckets, F.col("bucket_id"))
+    return partitioned.mapInPandas(_extract_link_batches, schema=LINKS_SCHEMA)
+
+
 def lineage_metrics(extracted: DataFrame) -> DataFrame:
     """Per-bucket lineage/metrics rows (north rule: partition id, url range,
     row counts, extractor-version hash).  Derived from the output with one

@@ -390,6 +390,29 @@ def test_pagerank_hand_computed(spark):
     assert got2 == got
 
 
+def test_extract_links_order_and_poison_pages(spark):
+    from contentextractor_spark.plans.pipeline import extract_links
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "1",
+                "<html><body><a href='first'>x</a><p>mid</p>"
+                "<div><a href='second'>y</a></div>"
+                "<a name='no-href'>z</a></body></html>".encode(),
+            ),
+            ("2", b"\xff\xfe\x00garbage not a page \x00\x00"),
+            ("3", None),
+            ("4", "<p>no links at all</p>".encode()),
+        ],
+        "url string, html binary",
+    )
+    rows = extract_links(pages, num_buckets=4).collect()
+    got = {(r.url, r.link_idx): r.href for r in rows}
+    # document order preserved; anchor without href skipped
+    assert got == {("1", 0): "first", ("1", 1): "second"}
+
+
 def test_incremental_dedup_shared_corpus_membership(spark):
     # the precomputed-corpus-membership path (production: persisted and
     # bucketed once, probed per batch) agrees with the fresh computation
