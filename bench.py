@@ -162,7 +162,28 @@ def main() -> None:
                 docs.filter(F.col("doc_id") % 2 == 1),
             )
         ),
+        "extract_links": lambda: force(_extract_links()),
+        "pagerank": lambda: force(_pagerank()),
     }
+
+    def _extract_links():
+        from contentextractor_spark.plans.pipeline import extract_links
+
+        return extract_links(pages, num_buckets=NUM_BUCKETS)
+
+    def _pagerank():
+        # deterministic affine link graph over the doc-id space, 3 rounds
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        dsts = F.array(
+            *[(F.col("doc_id") * 31 + 7 * j) % F.col("n") for j in (1, 2, 3)]
+        )
+        edges = (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .select(F.col("doc_id").alias("src"), F.explode(dsts).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        return A.pagerank(edges, iters=3)
 
     def _pdf_extract():
         # PDF/layout path: SQL-built honest PDFs (reverse-stream layout)
