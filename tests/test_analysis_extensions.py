@@ -413,6 +413,39 @@ def test_extract_links_order_and_poison_pages(spark):
     assert got == {("1", 0): "first", ("1", 1): "second"}
 
 
+def test_new_op_plan_shapes(spark):
+    """Pin the scale-relevant plan properties of the session's ops: semi
+    joins where semi joins are claimed, and no single-task sort or
+    unexpected single-partition exchange beyond the documented one-row
+    scalar aggregates."""
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(20)],
+        "doc_id bigint, text string",
+    )
+
+    def final_plan(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.split("== Initial Plan ==")[0]
+
+    inc = A.incremental_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+    p = final_plan(inc)
+    assert "LeftSemi" in p  # both probes are semi joins, corpus never built
+    assert "Exchange SinglePartition" not in p
+
+    p = final_plan(A.unigram_surprisal(docs))
+    # the corpus-total scalar is the ONLY single-partition exchange
+    assert p.count("Exchange SinglePartition") <= 1
+
+    p = final_plan(A.inverted_index(docs, min_df=1))
+    assert "Exchange SinglePartition" not in p
+
+    p = final_plan(A.term_search(docs, ["w1", "w2"]))
+    assert "Exchange SinglePartition" not in p
+
+
 def test_incremental_dedup_shared_corpus_membership(spark):
     # the precomputed-corpus-membership path (production: persisted and
     # bucketed once, probed per batch) agrees with the fresh computation
