@@ -820,6 +820,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # extractor must recover are SQL-predictable by construction
         h1 = ((F.col("doc_id") * 7 + 1) % 37).cast("string")
         h2 = ((F.col("doc_id") * 7 + 2) % 37).cast("string")
+        # a NULL text would null-propagate through concat into a NULL html
+        # page (zero links) while the oracle predicted two — guard BOTH
+        # sides identically (r3 session-2 review)
+        docs = docs.filter(F.col("text").isNotNull())
         return docs.select(
             F.col("doc_id").cast("string").alias("url"),
             F.encode(
@@ -2083,22 +2087,22 @@ def oracle_sql() -> dict[str, str]:
                    'h' || CAST((doc_id * 7 + 1) % 37 AS VARCHAR)
                        || '.example/x' AS href,
                    CAST(0 AS INT) AS link_idx
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
             UNION ALL
             SELECT doc_id,
                    'h' || CAST((doc_id * 7 + 2) % 37 AS VARCHAR)
                        || '.example/x' AS href,
                    CAST(1 AS INT) AS link_idx
-            FROM documents
+            FROM documents WHERE text IS NOT NULL
         """,
         "pagerank_extracted_hosts": """
             WITH e AS (
               SELECT doc_id AS src,
                      1000000000 + (doc_id * 7 + 1) % 37 AS dst
-              FROM documents
+              FROM documents WHERE text IS NOT NULL
               UNION ALL
               SELECT doc_id, 1000000000 + (doc_id * 7 + 2) % 37
-              FROM documents),
+              FROM documents WHERE text IS NOT NULL),
             nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
             od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
                    FROM e GROUP BY src),

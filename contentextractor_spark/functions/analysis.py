@@ -309,12 +309,21 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85) -> DataFra
     sinks keep the teleport term every round."""
     if not 1 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [1, 100]")
+    # materialize the edge list ONCE — every iteration's checkpoint job
+    # references edges through nodes, outdeg, AND the contribution join,
+    # so a lazy (or expensive, e.g. extract_links-fed) edges subtree would
+    # re-execute ~4× per round; a non-deterministic source could even
+    # disagree with itself within one round (r3 session-2 review)
+    edges = edges.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint()
     teleport = (100 - damping_pct) * 10_000  # (1-d) * 1e6, integer
     pr = nodes.select("node", F.lit(1_000_000).cast("long").alias("p"))
     for _ in range(iters):
@@ -353,9 +362,14 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
 
     Exactness: floats summed per doc would depend on row order — instead
     each token's surprisal is quantized driver-free to integer MICRO-NATS
-    (floor(-ln(p) * 1e6)), and integers sum exactly in any order.  The
-    mean is an integer division (Spark div ≡ DuckDB //), so every output
-    column is engine-exact with no rounding convention.
+    (floor(-ln(p) * 1e6)), and integers sum exactly in any order; the
+    mean is an integer division (Spark div ≡ DuckDB //).  Residual risk,
+    stated honestly: the quantization removes ORDER sensitivity, not the
+    transcendental itself — JVM Math.log and libm log are each 1-ulp
+    accurate but not identical, so a token whose -ln(p)·1e6 lands within
+    ~1e-9 of an integer could floor differently across engines (per-token
+    probability ~1e-9; grows with vocabulary).  No boundary case exists
+    in the shipped fixtures (oracle-green at sf0.001 and sf0.01).
 
     Scale: one map-side-combinable groupBy builds the unigram table, the
     corpus total rides in as a one-row broadcast crossJoin, and the join
