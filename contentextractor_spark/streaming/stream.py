@@ -68,6 +68,26 @@ def stream_extract(pages_stream: DataFrame, num_buckets: int = 32) -> DataFrame:
     return keyed.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
 
+def stream_extract_links(pages_stream: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """Streaming link extraction: the SAME _extract_link_batches flat-map
+    as the batch stage, so the host link graph can be fed incrementally as
+    pages land (batch/stream parity by construction, tested)."""
+    from ..plans.pipeline import (
+        LINKS_SCHEMA,
+        _extract_link_batches,
+        ensure_pyfiles,
+    )
+
+    ensure_pyfiles(pages_stream.sparkSession)
+    keyed = pages_stream.select("url", "html").withColumn(
+        "bucket_id",
+        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
+            "int"
+        ),
+    )
+    return keyed.mapInPandas(_extract_link_batches, schema=LINKS_SCHEMA)
+
+
 def write_stream(
     extracted: DataFrame, output_dir: str, checkpoint_dir: str, available_now: bool = True
 ):

@@ -44,6 +44,37 @@ def test_stream_extract_matches_batch(spark, tmp_path):
     assert spark.read.parquet(out_dir).count() == N
 
 
+def test_stream_extract_links_matches_batch(spark, tmp_path):
+    from contentextractor_spark.plans.pipeline import extract_links
+    from contentextractor_spark.streaming.stream import stream_extract_links
+
+    pdf = generate_pages(40, seed=7)
+    batch_df = spark.createDataFrame(pdf, schema=PAGES_SCHEMA)
+    in_dir = str(tmp_path / "lin")
+    batch_df.repartition(2).write.parquet(in_dir)
+
+    stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+    q = (
+        stream_extract_links(stream, num_buckets=8)
+        .writeStream.format("memory")
+        .queryName("links_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "links stream did not finish in 120 s"
+    got = {
+        (r.url, r.link_idx, r.href)
+        for r in spark.sql("SELECT * FROM links_stream").collect()
+    }
+    want = {
+        (r.url, r.link_idx, r.href)
+        for r in extract_links(batch_df, num_buckets=8).collect()
+    }
+    assert want, "fixture pages produced no links — parity check weakened"
+    assert got == want  # streaming == batch link rows
+
+
 def test_windowed_event_counts(spark, tmp_path):
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     in_dir = str(tmp_path / "ev")
