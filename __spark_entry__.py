@@ -815,6 +815,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def unigram_surprisal(spark, sf_dir):
         return A.unigram_surprisal(_docs(spark, sf_dir))
 
+    def quantize_embeddings(spark, sf_dir):
+        return A.quantize_embeddings(_emb(spark, sf_dir))
+
+    def quantized_knn(spark, sf_dir):
+        return A.quantized_knn(_emb(spark, sf_dir), n_queries=10, k=5)
+
     def _link_pages_sql(docs):
         # two <a href> per page, hosts affine in doc_id — the hrefs the
         # extractor must recover are SQL-predictable by construction
@@ -1224,6 +1230,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_links": pagerank_links,
         "extract_links_roundtrip": extract_links_roundtrip,
         "pagerank_extracted_hosts": pagerank_extracted_hosts,
+        "quantize_embeddings": quantize_embeddings,
+        "quantized_knn": quantized_knn,
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
         "warc_extract_roundtrip": warc_extract_roundtrip,
         "stratified_sample": stratified_sample,
@@ -2124,6 +2132,49 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS p
                    FROM nodes LEFT JOIN c2 ON c2.node = nodes.node)
             SELECT node, p AS rank_micro FROM p2
+        """,
+        "quantize_embeddings": """
+            SELECT vec_id, round(mx, 4) AS scale,
+                   CASE WHEN mx = 0
+                        THEN list_transform(e, x -> CAST(0 AS INT))
+                        ELSE list_transform(e, x ->
+                             CAST(round(x * 127.0 / mx) AS INT)) END AS qvec
+            FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                         list_aggregate(
+                           list_transform(CAST(embedding AS DOUBLE[]),
+                                          x -> abs(x)), 'max') AS mx
+                  FROM embeddings)
+        """,
+        "quantized_knn": """
+            WITH q AS (
+              SELECT vec_id,
+                     CASE WHEN mx = 0
+                          THEN list_transform(e, x -> CAST(0 AS INT))
+                          ELSE list_transform(e, x ->
+                               CAST(round(x * 127.0 / mx) AS INT)) END AS qvec
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                           list_aggregate(
+                             list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> abs(x)), 'max') AS mx
+                    FROM embeddings)),
+            qn AS (SELECT vec_id, CAST(qvec AS DOUBLE[]) AS qd,
+                          sqrt(list_dot_product(CAST(qvec AS DOUBLE[]),
+                                                CAST(qvec AS DOUBLE[]))) AS nrm
+                   FROM q),
+            scored AS (
+              SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                     list_dot_product(a.qd, b.qd) / (a.nrm * b.nrm) AS cos
+              FROM qn a CROSS JOIN qn b
+              WHERE a.vec_id < 10 AND a.vec_id <> b.vec_id),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY round(cos, 4) DESC, neighbor_id ASC)
+                         AS rank, cos
+              FROM scored)
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+                   round(cos, 4) AS cos_q
+            FROM ranked WHERE rank <= 5
         """,
         "pagerank_links": """
             WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),

@@ -1695,6 +1695,79 @@ def simhash_lsh_overflow(
 # similarity search over embeddings
 # ---------------------------------------------------------------------------
 
+def quantize_embeddings(emb: DataFrame) -> DataFrame:
+    """Symmetric int8 scalar quantization: per-vector scale = max|x|, and
+    q_i = round(x_i * 127 / scale) ∈ [-127, 127] — the memory-side lever
+    for ANN at 10^12 vectors (float32→int8 cuts the vector payload 4×,
+    which at 100 TB is the difference between spilling and not).
+
+    Engine-exact: Spark round (HALF_UP on doubles = half away from zero)
+    matches DuckDB round, and the zero-vector degenerates to all-zero
+    q with scale 0 on both engines (guarded CASE, no division by zero).
+    Row-level projection — no shuffle, codegen'd."""
+    e = F.col("embedding").cast("array<double>")
+    mx = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    qvec = F.when(mx == 0.0, F.transform(e, lambda x: F.lit(0))).otherwise(
+        F.transform(e, lambda x: F.round(x * 127.0 / mx).cast("int"))
+    )
+    return emb.select(
+        "vec_id",
+        F.round(mx, 4).alias("scale"),
+        qvec.alias("qvec"),
+    )
+
+
+def quantized_knn(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Cosine top-k over int8-QUANTIZED vectors: the dot products are
+    INTEGER folds (≤ 127²·ndim per pair — exact in any order, no float
+    drift), norms and the final cosine are then identical doubles on both
+    engines, and ranking follows the knn convention (round(cos,4) DESC,
+    neighbor_id).  Same broadcast-query / corpus-streams-once shape as
+    knn_bruteforce; the quantization error vs exact cosine is what the
+    recall test measures."""
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    # per-vector norms ONCE (the neardup-LSH lesson: recomputing both
+    # norms per PAIR triples the fold arithmetic)
+    q = quantize_embeddings(emb).select(
+        "vec_id",
+        "qvec",
+        F.sqrt(idot(F.col("qvec"), F.col("qvec"))).alias("nrm"),
+    )
+    queries = q.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qvec").alias("qa"),
+        F.col("nrm").alias("na"),
+    )
+    corpus = q.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("qvec").alias("qb"),
+        F.col("nrm").alias("nb"),
+    )
+    pairs = F.broadcast(queries).crossJoin(corpus).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    cos = idot(F.col("qa"), F.col("qb")) / (F.col("na") * F.col("nb"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(cos, 4).desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(cos, 4).alias("cos_q"),
+        )
+    )
+
+
 def _cosine(a, b):
     dot = F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
