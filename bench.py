@@ -164,6 +164,7 @@ def main() -> None:
         ),
         "extract_links": lambda: force(_extract_links()),
         "pagerank": lambda: force(_pagerank()),
+        "quantized_knn": lambda: force(A.quantized_knn(emb, n_queries=10, k=5)),
     }
 
     def _extract_links():
