@@ -45,6 +45,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
 
+def pagerank_edges_sql(docs: DataFrame) -> DataFrame:
+    """Deterministic affine link graph over the doc-id space: 3 out-links
+    per doc, dst = (doc_id*31 + 7j) mod N, self-loops dropped; N is
+    data-driven via a one-row broadcast so the same construction runs at
+    every sf.  ONE definition shared by the pagerank_links driver row AND
+    bench.py — a drifting copy would silently bench a different workload
+    than the driver checks (r3 session-2 review)."""
+    n = docs.select(F.count(F.lit(1)).alias("n"))
+    dsts = F.array(
+        *[(F.col("doc_id") * 31 + 7 * j) % F.col("n") for j in (1, 2, 3)]
+    )
+    return (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(F.col("doc_id").alias("src"), F.explode(dsts).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -873,24 +892,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.pagerank(edges, iters=2)
 
     def pagerank_links(spark, sf_dir):
-        # deterministic synthetic link graph over the doc-id space (3
-        # out-links per doc via an affine map mod N — no external data),
-        # ranked with the integer micro-prob PageRank; N is data-driven
-        # via a one-row broadcast so the same query runs at every sf
-        docs = _docs(spark, sf_dir).select("doc_id")
-        n = docs.select(F.count(F.lit(1)).alias("n"))
-        dsts = F.array(
-            *[
-                (F.col("doc_id") * 31 + 7 * j) % F.col("n")
-                for j in (1, 2, 3)
-            ]
-        )
-        edges = (
-            docs.crossJoin(F.broadcast(n))
-            .select(F.col("doc_id").alias("src"), F.explode(dsts).alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
-        return A.pagerank(edges, iters=3)
+        # the shared affine link graph (pagerank_edges_sql — no external
+        # data), ranked with the integer micro-prob PageRank
+        return A.pagerank(pagerank_edges_sql(_docs(spark, sf_dir)), iters=3)
 
     def bm25_search(spark, sf_dir):
         return A.bm25_search(
@@ -2138,7 +2142,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN mx = 0
                         THEN list_transform(e, x -> CAST(0 AS INT))
                         ELSE list_transform(e, x ->
-                             CAST(round(x * 127.0 / mx) AS INT)) END AS qvec
+                             CAST(round(x * CAST(127.0 AS DOUBLE) / mx)
+                                  AS INT)) END AS qvec
             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                          list_aggregate(
                            list_transform(CAST(embedding AS DOUBLE[]),
@@ -2151,16 +2156,20 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN mx = 0
                           THEN list_transform(e, x -> CAST(0 AS INT))
                           ELSE list_transform(e, x ->
-                               CAST(round(x * 127.0 / mx) AS INT)) END AS qvec
+                               CAST(round(x * CAST(127.0 AS DOUBLE) / mx)
+                                    AS INT)) END AS qvec
               FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                            list_aggregate(
                              list_transform(CAST(embedding AS DOUBLE[]),
                                             x -> abs(x)), 'max') AS mx
                     FROM embeddings)),
-            qn AS (SELECT vec_id, CAST(qvec AS DOUBLE[]) AS qd,
-                          sqrt(list_dot_product(CAST(qvec AS DOUBLE[]),
-                                                CAST(qvec AS DOUBLE[]))) AS nrm
-                   FROM q),
+            qn AS (SELECT * FROM (
+                     SELECT vec_id, CAST(qvec AS DOUBLE[]) AS qd,
+                            sqrt(list_dot_product(CAST(qvec AS DOUBLE[]),
+                                                  CAST(qvec AS DOUBLE[])))
+                                AS nrm
+                     FROM q)
+                   WHERE nrm > 0),
             scored AS (
               SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                      list_dot_product(a.qd, b.qd) / (a.nrm * b.nrm) AS cos

@@ -173,18 +173,11 @@ def main() -> None:
         return extract_links(pages, num_buckets=NUM_BUCKETS)
 
     def _pagerank():
-        # deterministic affine link graph over the doc-id space, 3 rounds
-        n = docs.select(F.count(F.lit(1)).alias("n"))
-        dsts = F.array(
-            *[(F.col("doc_id") * 31 + 7 * j) % F.col("n") for j in (1, 2, 3)]
-        )
-        edges = (
-            docs.select("doc_id")
-            .crossJoin(F.broadcast(n))
-            .select(F.col("doc_id").alias("src"), F.explode(dsts).alias("dst"))
-            .filter(F.col("src") != F.col("dst"))
-        )
-        return A.pagerank(edges, iters=3)
+        # the SAME graph the driver row checks (shared constructor — a
+        # drifting copy would bench a different workload), 3 rounds
+        from __spark_entry__ import pagerank_edges_sql
+
+        return A.pagerank(pagerank_edges_sql(docs), iters=3)
 
     def _pdf_extract():
         # PDF/layout path: SQL-built honest PDFs (reverse-stream layout)

@@ -1706,11 +1706,22 @@ def quantize_embeddings(emb: DataFrame) -> DataFrame:
     q with scale 0 on both engines (guarded CASE, no division by zero).
     Row-level projection — no shuffle, codegen'd."""
     e = F.col("embedding").cast("array<double>")
-    mx = F.array_max(F.transform(e, lambda x: F.abs(x)))
-    qvec = F.when(mx == 0.0, F.transform(e, lambda x: F.lit(0))).otherwise(
-        F.transform(e, lambda x: F.round(x * 127.0 / mx).cast("int"))
+    # mx must be a BOUND COLUMN before the quantizing lambda references it:
+    # embedded directly, the interpreted per-element transform re-evaluates
+    # the whole array_max(transform(abs)) for EVERY element — O(ndim²)
+    # work per row (the rolling_fp per-digit-md5 trap, r3 session-2 review)
+    with_mx = emb.select(
+        "vec_id",
+        e.alias("e"),
+        F.array_max(F.transform(e, lambda x: F.abs(x))).alias("mx"),
     )
-    return emb.select(
+    mx = F.col("mx")
+    qvec = F.when(
+        mx == 0.0, F.transform(F.col("e"), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(F.col("e"), lambda x: F.round(x * 127.0 / mx).cast("int"))
+    )
+    return with_mx.select(
         "vec_id",
         F.round(mx, 4).alias("scale"),
         qvec.alias("qvec"),
@@ -1733,11 +1744,18 @@ def quantized_knn(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
         )
 
     # per-vector norms ONCE (the neardup-LSH lesson: recomputing both
-    # norms per PAIR triples the fold arithmetic)
-    q = quantize_embeddings(emb).select(
-        "vec_id",
-        "qvec",
-        F.sqrt(idot(F.col("qvec"), F.col("qvec"))).alias("nrm"),
+    # norms per PAIR triples the fold arithmetic).  Zero-norm vectors —
+    # the degenerate case quantize_embeddings guards — have no cosine
+    # direction and are EXCLUDED from both sides (a 0/0 here would be
+    # Spark NULL vs DuckDB NaN, a silent cross-engine divergence)
+    q = (
+        quantize_embeddings(emb)
+        .select(
+            "vec_id",
+            "qvec",
+            F.sqrt(idot(F.col("qvec"), F.col("qvec"))).alias("nrm"),
+        )
+        .filter(F.col("nrm") > 0.0)
     )
     queries = q.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),

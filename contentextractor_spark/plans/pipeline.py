@@ -222,6 +222,21 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield out
 
 
+def salted_bucket(df: DataFrame, payload_col: str, num_buckets: int) -> DataFrame:
+    """(url, payload) + bucket_id = pmod(xxhash64(url, SALT_SEED), n) — the
+    ONE definition of the bucket key.  extract_pages / extract_pdf_pages /
+    extract_links and both streaming stages share it, so the salt-parity
+    invariant (resume_filter / read_committed_output must compute the same
+    bucket for the same url as the stage that wrote it) is structural,
+    never four hand-synced copies (r3 session-2 review)."""
+    return df.select("url", payload_col).withColumn(
+        "bucket_id",
+        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
+            "int"
+        ),
+    )
+
+
 def extract_pages(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
     """The flagship operator: pages(url, html, ...) → extraction columns.
 
@@ -232,12 +247,7 @@ def extract_pages(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
     bucket column is the pipeline's only shuffle.
     """
     ensure_pyfiles(pages.sparkSession)
-    keyed = pages.select("url", "html").withColumn(
-        "bucket_id",
-        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
-            "int"
-        ),
-    )
+    keyed = salted_bucket(pages, "html", num_buckets)
     partitioned = keyed.repartition(num_buckets, F.col("bucket_id"))
     return partitioned.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
@@ -294,12 +304,7 @@ def extract_pdf_pages(docs: DataFrame, num_buckets: int = 32) -> DataFrame:
     property argued there (bounded Arrow batches, skew spread, single
     shuffle) carries over unchanged."""
     ensure_pyfiles(docs.sparkSession)
-    keyed = docs.select("url", "pdf").withColumn(
-        "bucket_id",
-        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
-            "int"
-        ),
-    )
+    keyed = salted_bucket(docs, "pdf", num_buckets)
     partitioned = keyed.repartition(num_buckets, F.col("bucket_id"))
     return partitioned.mapInPandas(_extract_pdf_batches, schema=PDF_EXTRACT_SCHEMA)
 
@@ -373,12 +378,7 @@ def extract_links(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
     links-per-page bounded per Arrow batch, and the flat-map never
     shuffles."""
     ensure_pyfiles(pages.sparkSession)
-    keyed = pages.select("url", "html").withColumn(
-        "bucket_id",
-        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
-            "int"
-        ),
-    )
+    keyed = salted_bucket(pages, "html", num_buckets)
     partitioned = keyed.repartition(num_buckets, F.col("bucket_id"))
     return partitioned.mapInPandas(_extract_link_batches, schema=LINKS_SCHEMA)
 

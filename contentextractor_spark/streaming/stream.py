@@ -33,7 +33,6 @@ from ..functions.events import _value_cents
 from ..plans.pipeline import (
     EXTRACT_SCHEMA,
     PAGES_SCHEMA,
-    SALT_SEED,
     _extract_batches,
 )
 
@@ -53,18 +52,12 @@ def stream_extract(pages_stream: DataFrame, num_buckets: int = 32) -> DataFrame:
     """Streaming extraction: identical semantics to the batch stage — the
     same _extract_batches function — so batch/stream parity is by
     construction (tested in tests/test_streaming.py)."""
-    from ..plans.pipeline import ensure_pyfiles
+    from ..plans.pipeline import ensure_pyfiles, salted_bucket
 
     ensure_pyfiles(pages_stream.sparkSession)
-    # SALT_SEED shared with the batch path — a diverging literal would land
-    # streamed rows in different bucket_ids than resume_filter /
-    # read_committed_output compute for the same urls
-    keyed = pages_stream.select("url", "html").withColumn(
-        "bucket_id",
-        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
-            "int"
-        ),
-    )
+    # salted_bucket IS the batch path's keying — salt parity with
+    # resume_filter / read_committed_output is structural
+    keyed = salted_bucket(pages_stream, "html", num_buckets)
     return keyed.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
 
@@ -76,15 +69,11 @@ def stream_extract_links(pages_stream: DataFrame, num_buckets: int = 32) -> Data
         LINKS_SCHEMA,
         _extract_link_batches,
         ensure_pyfiles,
+        salted_bucket,
     )
 
     ensure_pyfiles(pages_stream.sparkSession)
-    keyed = pages_stream.select("url", "html").withColumn(
-        "bucket_id",
-        F.pmod(F.xxhash64(F.col("url"), F.lit(SALT_SEED)), F.lit(num_buckets)).cast(
-            "int"
-        ),
-    )
+    keyed = salted_bucket(pages_stream, "html", num_buckets)
     return keyed.mapInPandas(_extract_link_batches, schema=LINKS_SCHEMA)
 
 
