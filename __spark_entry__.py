@@ -710,6 +710,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def curation_v3(spark, sf_dir):
+        # the session-2 composed flow: extraction → Gopher rule gate
+        # (quality_filter, keep only clean docs) → corpus-LM surprisal
+        # gate (unigram stats over the SURVIVING set — set-dependent, so
+        # any upstream gate error shifts every downstream value) →
+        # simhash fingerprint → deterministic split.  Every stage is the
+        # real operator; ONE SQL oracle value-checks the whole chain.
+        docs = _eligible(_docs(spark, sf_dir))
+        out = (
+            extract_pages(_docs_as_pages(docs), num_buckets=8)
+            .select(
+                F.col("url").cast("long").alias("doc_id"),
+                F.col("main_text").alias("text"),
+            )
+            .localCheckpoint()  # feeds four operators — never re-extract
+        )
+        qf = (
+            A.quality_filter(out)
+            .filter(F.col("keep") == 1)
+            .select("doc_id", "n_words")
+        )
+        kept = out.join(qf, "doc_id")
+        surp = A.unigram_surprisal(kept.select("doc_id", "text"))
+        gated = kept.join(
+            surp.filter(F.col("mean_micronats") <= 8_000_000).select(
+                "doc_id", "mean_micronats"
+            ),
+            "doc_id",
+        )
+        sh = A.simhash(gated.select("doc_id", "text"), bits=48)
+        split = A.train_split_assign(gated.select("doc_id", "text")).select(
+            "doc_id", "split"
+        )
+        return (
+            gated.select("doc_id", "n_words", "mean_micronats")
+            .join(sh, "doc_id")
+            .join(split, "doc_id")
+        )
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -1236,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_extracted_hosts": pagerank_extracted_hosts,
         "quantize_embeddings": quantize_embeddings,
         "quantized_knn": quantized_knn,
+        "curation_v3": curation_v3,
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
         "warc_extract_roundtrip": warc_extract_roundtrip,
         "stratified_sample": stratified_sample,
@@ -2136,6 +2176,66 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS p
                    FROM nodes LEFT JOIN c2 ON c2.node = nodes.node)
             SELECT node, p AS rank_micro FROM p2
+        """,
+        "curation_v3": f"""
+            WITH base AS (
+              SELECT doc_id, trim(text) AS text FROM documents
+              WHERE {_ELIGIBLE_SQL}),
+            qual AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+                     length(text)
+                       - (len(string_split(text, ' ')) - 1) AS sum_len,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         AS n_digits,
+                     len(list_distinct(string_split(text, ' ')))
+                         AS n_distinct,
+                     length(text) AS n_chars
+              FROM base),
+            kept AS (
+              SELECT b.doc_id, b.text, q.n_words
+              FROM base b JOIN qual q USING (doc_id)
+              WHERE NOT (q.n_words < 40 OR q.n_words > 10000
+                         OR q.sum_len * 10 < 30 * q.n_words
+                         OR q.sum_len * 10 > 120 * q.n_words
+                         OR q.n_digits * 100 > 20 * q.n_chars
+                         OR q.n_distinct * 100 < 30 * q.n_words)),
+            dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                         FROM kept)
+                   GROUP BY 1, 2),
+            uni AS (SELECT tok, CAST(sum(n) AS BIGINT) AS cnt
+                    FROM dt GROUP BY tok),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_toks FROM uni),
+            sj AS (SELECT dt.doc_id, dt.n,
+                          CAST(floor(-ln(CAST(cnt AS DOUBLE) / total_toks)
+                                     * 1000000.0) AS BIGINT) AS micro
+                   FROM dt JOIN uni USING (tok), tot),
+            surp AS (SELECT doc_id,
+                            CAST(sum(n * micro) AS BIGINT)
+                                // CAST(sum(n) AS BIGINT) AS mean_micronats
+                     FROM sj GROUP BY doc_id),
+            gated AS (SELECT k.doc_id, k.text, k.n_words, s.mean_micronats
+                      FROM kept k JOIN surp s USING (doc_id)
+                      WHERE s.mean_micronats <= 8000000),
+            {_SIMHASH_CTE.replace('FROM documents', 'FROM gated')},
+            spl AS (SELECT doc_id,
+                           CASE WHEN bucket < 204 THEN 'train'
+                                WHEN bucket < 230 THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM (SELECT doc_id,
+                                 (strpos('0123456789abcdef',
+                                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                                  - 1) * 16
+                               + (strpos('0123456789abcdef',
+                                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
+                                  - 1) AS bucket
+                          FROM gated))
+            SELECT g.doc_id, g.n_words, g.mean_micronats,
+                   shash.simhash, spl.split
+            FROM gated g
+            JOIN shash USING (doc_id)
+            JOIN spl USING (doc_id)
         """,
         "quantize_embeddings": """
             SELECT vec_id, round(mx, 4) AS scale,
