@@ -165,6 +165,18 @@ def main() -> None:
         "extract_links": lambda: force(_extract_links()),
         "pagerank": lambda: force(_pagerank()),
         "quantized_knn": lambda: force(A.quantized_knn(emb, n_queries=10, k=5)),
+        "tfidf_top_terms": lambda: force(A.tfidf_top_terms(docs, k=5)),
+        "quality_filter": lambda: force(A.quality_filter(docs)),
+        "unigram_surprisal": lambda: force(A.unigram_surprisal(docs)),
+        "bm25_search": lambda: force(
+            A.bm25_search(docs, ["query", "scan", "window"], k=15)
+        ),
+        "inverted_index": lambda: force(
+            A.inverted_index(docs, min_df=2, max_postings=8)
+        ),
+        "dedup_components_simhash": lambda: force(
+            A.dedup_components_simhash(docs, bits=48, n_bands=4, max_bucket_size=100)
+        ),
     }
 
     def _extract_links():
