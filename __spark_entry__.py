@@ -717,9 +717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any upstream gate error shifts every downstream value) →
         # simhash fingerprint → deterministic split.  Every stage is the
         # real operator; ONE SQL oracle value-checks the whole chain.
-        docs = _eligible(_docs(spark, sf_dir))
+        # _docs_as_pages applies the eligibility gate itself — no outer
+        # _eligible (a redundant second regexp pass, r3 session-2 review)
         out = (
-            extract_pages(_docs_as_pages(docs), num_buckets=8)
+            extract_pages(_docs_as_pages(_docs(spark, sf_dir)), num_buckets=8)
             .select(
                 F.col("url").cast("long").alias("doc_id"),
                 F.col("main_text").alias("text"),
@@ -738,7 +739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "doc_id", "mean_micronats"
             ),
             "doc_id",
-        )
+        ).localCheckpoint()  # three consumers — compute the gate chain once
         sh = A.simhash(gated.select("doc_id", "text"), bits=48)
         split = A.train_split_assign(gated.select("doc_id", "text")).select(
             "doc_id", "split"
@@ -1389,12 +1390,88 @@ _HV_GRAM_SQL = "CAST(" + " + ".join(
 ) + " AS BIGINT)"
 
 # 48-bit simhash fingerprint + 4-band × 12-bit slices, shared by the
-# simhash / simhash_neardup_pairs / simhash_overflow oracles — identical
-# md5-derived bit planes and majority vote as the Spark side (analysis.simhash)
-_SIMHASH_CTE = """
+# simhash / simhash_neardup_pairs / simhash_overflow / curation_v3 oracles —
+# identical md5-derived bit planes and majority vote as the Spark side
+# (analysis.simhash).  Parameterized by source relation: post-hoc string
+# surgery on the CTE literal would silently no-op if the text drifted
+# (r3 session-2 review).
+def _simhash_cte(src: str = "documents") -> str:
+    return _SIMHASH_CTE_TEMPLATE.replace("{SRC}", src)
+
+
+def _surprisal_cte(src: str = "documents") -> str:
+    """dt→uni→tot→sj→surp chain for unigram_surprisal, parameterized by
+    source relation — shared by the standalone oracle and curation_v3 so
+    the micro-nat quantization and integer-division mean cannot drift."""
+    return f"""
+            dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                         FROM {src})
+                   GROUP BY 1, 2),
+            uni AS (SELECT tok, CAST(sum(n) AS BIGINT) AS cnt
+                    FROM dt GROUP BY tok),
+            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_toks FROM uni),
+            sj AS (SELECT dt.doc_id, dt.n,
+                          CAST(floor(-ln(CAST(cnt AS DOUBLE) / total_toks)
+                                     * 1000000.0) AS BIGINT) AS micro
+                   FROM dt JOIN uni USING (tok), tot),
+            surp AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+                            CAST(sum(n * micro) AS BIGINT)
+                                AS surprisal_micronats,
+                            CAST(sum(n * micro) AS BIGINT)
+                                // CAST(sum(n) AS BIGINT) AS mean_micronats
+                     FROM sj GROUP BY doc_id)"""
+
+
+def _split_cte(src: str = "documents") -> str:
+    """md5-bucket split assignment CTE — shared by train_split_assign's
+    oracle and curation_v3 (one definition of the 204/230 thresholds)."""
+    return f"""
+            spl AS (SELECT doc_id, CAST(bucket AS INT) AS split_bucket,
+                           CASE WHEN bucket < 204 THEN 'train'
+                                WHEN bucket < 230 THEN 'val'
+                                ELSE 'test' END AS split
+                    FROM (SELECT doc_id,
+                                 (strpos('0123456789abcdef',
+                                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                                  - 1) * 16
+                               + (strpos('0123456789abcdef',
+                                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
+                                  - 1) AS bucket
+                          FROM {src}))"""
+
+
+def _qf_cols_sql(src: str) -> str:
+    """The quality_filter signal projection (n_words/sum_len/n_digits/
+    n_distinct/n_chars) over a source relation."""
+    return f"""
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_words,
+                     length(text)
+                       - (len(string_split(text, ' ')) - 1) AS sum_len,
+                     length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         AS n_digits,
+                     len(list_distinct(string_split(text, ' ')))
+                         AS n_distinct,
+                     length(text) AS n_chars
+              FROM {src}"""
+
+
+# the rule disjunction, interpolating the SAME constants the Spark
+# defaults use (analysis.QF_*)
+_QF_BAD_SQL = (
+    f"(n_words < {A.QF_MIN_WORDS} OR n_words > {A.QF_MAX_WORDS}"
+    f" OR sum_len * 10 < {A.QF_MIN_MEAN_LEN_X10} * n_words"
+    f" OR sum_len * 10 > {A.QF_MAX_MEAN_LEN_X10} * n_words"
+    f" OR n_digits * 100 > {A.QF_MAX_DIGIT_PCT} * n_chars"
+    f" OR n_distinct * 100 < {A.QF_MIN_DISTINCT_PCT} * n_words)"
+)
+
+
+_SIMHASH_CTE_TEMPLATE = """
 stok AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
-  FROM documents),
+  FROM {SRC}),
 stb AS (
   SELECT doc_id, md5(tok) AS h,
          unnest(generate_series(0, 47)) AS p
@@ -1966,20 +2043,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(wkey // 2147483648 AS BIGINT) AS fp_hash
             FROM win WHERE wn = 4
         """,
-        "train_split_assign": """
-            WITH b AS (
-              SELECT doc_id,
-                     (strpos('0123456789abcdef',
-                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
-                   + (strpos('0123456789abcdef',
-                        substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
-                         AS bucket
-              FROM documents)
-            SELECT doc_id, CAST(bucket AS INT) AS split_bucket,
-                   CASE WHEN bucket < 204 THEN 'train'
-                        WHEN bucket < 230 THEN 'val'
-                        ELSE 'test' END AS split
-            FROM b
+        "train_split_assign": f"""
+            WITH {_split_cte('documents')}
+            SELECT doc_id, split_bucket, split FROM spl
         """,
         "minhash_signatures": f"""
             WITH {_SHINGLE_CTE}
@@ -2032,11 +2098,11 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
         """,
         "simhash": f"""
-            WITH {_SIMHASH_CTE}
+            WITH {_simhash_cte()}
             SELECT doc_id, simhash FROM shash
         """,
         "simhash_neardup_pairs": f"""
-            WITH {_SIMHASH_CTE},
+            WITH {_simhash_cte()},
             kept AS (
               SELECT b.* FROM sbands b
               JOIN (SELECT band, bval FROM sbands
@@ -2053,12 +2119,12 @@ def oracle_sql() -> dict[str, str]:
             FROM cand WHERE bit_count(xor(s1, s2)) <= 3
         """,
         "simhash_overflow": f"""
-            WITH {_SIMHASH_CTE}
+            WITH {_simhash_cte()}
             SELECT band, bval, CAST(count(*) AS BIGINT) AS n_docs
             FROM sbands GROUP BY band, bval HAVING count(*) > 100
         """,
         "dedup_components_simhash": f"""
-            WITH RECURSIVE {_SIMHASH_CTE},
+            WITH RECURSIVE {_simhash_cte()},
             kept AS (
               SELECT b.* FROM sbands b
               JOIN (SELECT band, bval FROM sbands
@@ -2104,30 +2170,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, tf, df, rank, tfidf
             FROM ranked WHERE rank <= 5
         """,
-        "quality_filter": """
-            WITH q AS (
-              SELECT doc_id,
-                     CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-                     length(text)
-                       - (len(string_split(text, ' ')) - 1) AS sum_len,
-                     length(regexp_replace(text, '[^0-9]', '', 'g'))
-                         AS n_digits,
-                     len(list_distinct(string_split(text, ' ')))
-                         AS n_distinct,
-                     length(text) AS n_chars
-              FROM documents),
+        "quality_filter": f"""
+            WITH q AS ({_qf_cols_sql('documents')}),
             v AS (
               SELECT doc_id, n_words,
                      concat_ws(',',
-                       CASE WHEN n_words < 40 THEN 'too_short' END,
-                       CASE WHEN n_words > 10000 THEN 'too_long' END,
-                       CASE WHEN sum_len * 10 < 30 * n_words
+                       CASE WHEN n_words < {A.QF_MIN_WORDS}
+                            THEN 'too_short' END,
+                       CASE WHEN n_words > {A.QF_MAX_WORDS}
+                            THEN 'too_long' END,
+                       CASE WHEN sum_len * 10 < {A.QF_MIN_MEAN_LEN_X10} * n_words
                             THEN 'short_words' END,
-                       CASE WHEN sum_len * 10 > 120 * n_words
+                       CASE WHEN sum_len * 10 > {A.QF_MAX_MEAN_LEN_X10} * n_words
                             THEN 'long_words' END,
-                       CASE WHEN n_digits * 100 > 20 * n_chars
+                       CASE WHEN n_digits * 100 > {A.QF_MAX_DIGIT_PCT} * n_chars
                             THEN 'digit_heavy' END,
-                       CASE WHEN n_distinct * 100 < 30 * n_words
+                       CASE WHEN n_distinct * 100 < {A.QF_MIN_DISTINCT_PCT} * n_words
                             THEN 'repetitive' END) AS violations
               FROM q)
             SELECT doc_id, n_words, violations,
@@ -2181,56 +2239,17 @@ def oracle_sql() -> dict[str, str]:
             WITH base AS (
               SELECT doc_id, trim(text) AS text FROM documents
               WHERE {_ELIGIBLE_SQL}),
-            qual AS (
-              SELECT doc_id,
-                     CAST(len(string_split(text, ' ')) AS INT) AS n_words,
-                     length(text)
-                       - (len(string_split(text, ' ')) - 1) AS sum_len,
-                     length(regexp_replace(text, '[^0-9]', '', 'g'))
-                         AS n_digits,
-                     len(list_distinct(string_split(text, ' ')))
-                         AS n_distinct,
-                     length(text) AS n_chars
-              FROM base),
+            qual AS ({_qf_cols_sql('base')}),
             kept AS (
               SELECT b.doc_id, b.text, q.n_words
               FROM base b JOIN qual q USING (doc_id)
-              WHERE NOT (q.n_words < 40 OR q.n_words > 10000
-                         OR q.sum_len * 10 < 30 * q.n_words
-                         OR q.sum_len * 10 > 120 * q.n_words
-                         OR q.n_digits * 100 > 20 * q.n_chars
-                         OR q.n_distinct * 100 < 30 * q.n_words)),
-            dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
-                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-                         FROM kept)
-                   GROUP BY 1, 2),
-            uni AS (SELECT tok, CAST(sum(n) AS BIGINT) AS cnt
-                    FROM dt GROUP BY tok),
-            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_toks FROM uni),
-            sj AS (SELECT dt.doc_id, dt.n,
-                          CAST(floor(-ln(CAST(cnt AS DOUBLE) / total_toks)
-                                     * 1000000.0) AS BIGINT) AS micro
-                   FROM dt JOIN uni USING (tok), tot),
-            surp AS (SELECT doc_id,
-                            CAST(sum(n * micro) AS BIGINT)
-                                // CAST(sum(n) AS BIGINT) AS mean_micronats
-                     FROM sj GROUP BY doc_id),
+              WHERE NOT {_QF_BAD_SQL}),
+            {_surprisal_cte('kept')},
             gated AS (SELECT k.doc_id, k.text, k.n_words, s.mean_micronats
                       FROM kept k JOIN surp s USING (doc_id)
                       WHERE s.mean_micronats <= 8000000),
-            {_SIMHASH_CTE.replace('FROM documents', 'FROM gated')},
-            spl AS (SELECT doc_id,
-                           CASE WHEN bucket < 204 THEN 'train'
-                                WHEN bucket < 230 THEN 'val'
-                                ELSE 'test' END AS split
-                    FROM (SELECT doc_id,
-                                 (strpos('0123456789abcdef',
-                                    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
-                                  - 1) * 16
-                               + (strpos('0123456789abcdef',
-                                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
-                                  - 1) AS bucket
-                          FROM gated))
+            {_simhash_cte('gated')},
+            {_split_cte('gated')}
             SELECT g.doc_id, g.n_words, g.mean_micronats,
                    shash.simhash, spl.split
             FROM gated g
@@ -2323,25 +2342,10 @@ def oracle_sql() -> dict[str, str]:
                    FROM nodes LEFT JOIN c3 ON c3.node = nodes.node)
             SELECT node, p AS rank_micro FROM p3
         """,
-        "unigram_surprisal": """
-            WITH tok AS (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS tok
-              FROM documents),
-            dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
-                   FROM tok GROUP BY 1, 2),
-            uni AS (SELECT tok, CAST(sum(n) AS BIGINT) AS cnt
-                    FROM dt GROUP BY tok),
-            tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_toks FROM uni),
-            j AS (
-              SELECT dt.doc_id, dt.n,
-                     CAST(floor(-ln(CAST(cnt AS DOUBLE) / total_toks)
-                                * 1000000.0) AS BIGINT) AS micro
-              FROM dt JOIN uni USING (tok), tot)
-            SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
-                   CAST(sum(n * micro) AS BIGINT) AS surprisal_micronats,
-                   CAST(sum(n * micro) AS BIGINT)
-                       // CAST(sum(n) AS BIGINT) AS mean_micronats
-            FROM j GROUP BY doc_id
+        "unigram_surprisal": f"""
+            WITH {_surprisal_cte('documents')}
+            SELECT doc_id, n_tokens, surprisal_micronats, mean_micronats
+            FROM surp
         """,
         "bm25_search": """
             WITH base AS (

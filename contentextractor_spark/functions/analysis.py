@@ -183,14 +183,26 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+# default rule thresholds — module constants so the DuckDB oracles (the
+# standalone quality_filter row AND curation_v3's gate) interpolate the
+# SAME numbers the Spark defaults use; a literal edited in one place
+# cannot silently diverge from the other (r3 session-2 review)
+QF_MIN_WORDS = 40
+QF_MAX_WORDS = 10_000
+QF_MIN_MEAN_LEN_X10 = 30
+QF_MAX_MEAN_LEN_X10 = 120
+QF_MAX_DIGIT_PCT = 20
+QF_MIN_DISTINCT_PCT = 30
+
+
 def quality_filter(
     docs: DataFrame,
-    min_words: int = 40,
-    max_words: int = 10_000,
-    min_mean_len_x10: int = 30,
-    max_mean_len_x10: int = 120,
-    max_digit_pct: int = 20,
-    min_distinct_pct: int = 30,
+    min_words: int = QF_MIN_WORDS,
+    max_words: int = QF_MAX_WORDS,
+    min_mean_len_x10: int = QF_MIN_MEAN_LEN_X10,
+    max_mean_len_x10: int = QF_MAX_MEAN_LEN_X10,
+    max_digit_pct: int = QF_MAX_DIGIT_PCT,
+    min_distinct_pct: int = QF_MIN_DISTINCT_PCT,
 ) -> DataFrame:
     """Gopher-style rule filter: compose cheap signals into a keep/drop
     verdict with the violated rules NAMED (a training pipeline needs to
