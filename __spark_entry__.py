@@ -874,6 +874,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def unigram_surprisal(spark, sf_dir):
         return A.unigram_surprisal(_docs(spark, sf_dir))
 
+    def corpus_report(spark, sf_dir):
+        return A.corpus_report(_docs(spark, sf_dir))
+
     def quantize_embeddings(spark, sf_dir):
         return A.quantize_embeddings(_emb(spark, sf_dir))
 
@@ -1277,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": quantize_embeddings,
         "quantized_knn": quantized_knn,
         "curation_v3": curation_v3,
+        "corpus_report": corpus_report,
         "pdf_extract_roundtrip": pdf_extract_roundtrip,
         "warc_extract_roundtrip": warc_extract_roundtrip,
         "stratified_sample": stratified_sample,
@@ -2234,6 +2238,30 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS p
                    FROM nodes LEFT JOIN c2 ON c2.node = nodes.node)
             SELECT node, p AS rank_micro FROM p2
+        """,
+        "corpus_report": f"""
+            WITH q AS ({_qf_cols_sql('documents')}),
+            keepf AS (SELECT doc_id, n_words,
+                             CASE WHEN {_QF_BAD_SQL} THEN 0 ELSE 1 END
+                                 AS keep
+                      FROM q),
+            de AS (SELECT doc_id,
+                          CASE WHEN row_number() OVER (
+                               PARTITION BY md5(text) ORDER BY doc_id) > 1
+                               THEN 1 ELSE 0 END AS is_duplicate
+                   FROM documents),
+            b AS (SELECT doc_id, lang, length(text) AS n_chars
+                  FROM documents)
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(k.n_words) AS BIGINT) AS total_words,
+                   CAST(sum(de.is_duplicate) AS BIGINT) AS n_exact_dups,
+                   CAST(sum(k.keep) AS BIGINT) AS n_quality_keep,
+                   CAST(sum(b.n_chars) AS BIGINT)
+                       // CAST(count(*) AS BIGINT) AS mean_chars
+            FROM b
+            JOIN keepf k USING (doc_id)
+            JOIN de USING (doc_id)
+            GROUP BY lang
         """,
         "curation_v3": f"""
             WITH base AS (

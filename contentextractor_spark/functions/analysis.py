@@ -146,6 +146,42 @@ def token_rarity(docs: DataFrame) -> DataFrame:
     )
 
 
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """Per-language data-card row — the summary a curation run publishes
+    alongside its output shards: doc count, token volume, exact-duplicate
+    count, quality-keep count, and mean doc length.  Composes the real
+    operators (quality_filter rules, dedup_exact ranking) rather than
+    re-deriving signals, and every column is integer (counts, sums,
+    integer-division mean) so the report is engine-exact.
+
+    Scale: two narrow projections + one window (partitioned by content
+    hash) feeding ONE map-side-combinable groupBy(lang) — the report adds
+    no shuffle beyond what dedup_exact already does."""
+    qf = quality_filter(docs).select("doc_id", "n_words", "keep")
+    de = dedup_exact(docs).select("doc_id", "is_duplicate")
+    base = docs.select("doc_id", "lang", F.length("text").alias("n_chars"))
+    return (
+        base.join(qf, "doc_id")
+        .join(de, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("is_duplicate").cast("long").alias("n_exact_dups"),
+            F.sum("keep").cast("long").alias("n_quality_keep"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "n_exact_dups",
+            "n_quality_keep",
+            F.expr("total_chars div n_docs").alias("mean_chars"),
+        )
+    )
+
+
 def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     """Top-k terms per document by term frequency, with corpus document
     frequency and a TF-IDF score attached — the inverted-index flavor of
