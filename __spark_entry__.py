@@ -878,7 +878,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.corpus_report(_docs(spark, sf_dir))
 
     def quantize_embeddings(spark, sf_dir):
-        return A.quantize_embeddings(_emb(spark, sf_dir))
+        # qvec is flattened to a CSV string for the driver: its pandas
+        # canonicalizer sort_values() cannot hash list cells (r3 verdict —
+        # the only failure mode of this row).  The operator itself keeps
+        # the typed array<int> column for downstream use.
+        q = A.quantize_embeddings(_emb(spark, sf_dir))
+        return q.select(
+            "vec_id",
+            "scale",
+            F.array_join(F.col("qvec").cast("array<string>"), ",").alias(
+                "qvec_csv"
+            ),
+        )
 
     def quantized_knn(spark, sf_dir):
         return A.quantized_knn(_emb(spark, sf_dir), n_queries=10, k=5)
@@ -958,9 +969,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def inverted_index(spark, sf_dir):
         # caps ACTIVE: min_df prunes singletons, max_postings really
         # truncates (fixture dfs run into the hundreds) while df keeps the
-        # true count — the no-silent-caps contract is what's value-checked
-        return A.inverted_index(
-            _docs(spark, sf_dir), min_df=2, max_postings=8
+        # true count — the no-silent-caps contract is what's value-checked.
+        # postings flattened to CSV for the driver (its pandas canonicalizer
+        # cannot hash list cells — r3 verdict); the operator keeps the
+        # typed array<bigint>.
+        idx = A.inverted_index(_docs(spark, sf_dir), min_df=2, max_postings=8)
+        return idx.select(
+            "term",
+            "df",
+            F.array_join(F.col("postings").cast("array<string>"), ",").alias(
+                "postings_csv"
+            ),
         )
 
     def term_search(spark, sf_dir):
@@ -2286,11 +2305,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quantize_embeddings": """
             SELECT vec_id, round(mx, 4) AS scale,
-                   CASE WHEN mx = 0
-                        THEN list_transform(e, x -> CAST(0 AS INT))
-                        ELSE list_transform(e, x ->
-                             CAST(round(x * CAST(127.0 AS DOUBLE) / mx)
-                                  AS INT)) END AS qvec
+                   array_to_string(
+                     CASE WHEN mx = 0
+                          THEN list_transform(e, x -> CAST(0 AS INT))
+                          ELSE list_transform(e, x ->
+                               CAST(round(x * CAST(127.0 AS DOUBLE) / mx)
+                                    AS INT)) END, ',') AS qvec_csv
             FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
                          list_aggregate(
                            list_transform(CAST(embedding AS DOUBLE[]),
@@ -2457,7 +2477,9 @@ def oracle_sql() -> dict[str, str]:
               SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS term
               FROM documents)
             SELECT term, CAST(count(*) AS BIGINT) AS df,
-                   list_slice(list(doc_id ORDER BY doc_id), 1, 8) AS postings
+                   array_to_string(
+                     list_slice(list(doc_id ORDER BY doc_id), 1, 8),
+                     ',') AS postings_csv
             FROM tok GROUP BY term HAVING count(*) >= 2
         """,
         "term_search": """
