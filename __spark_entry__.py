@@ -964,6 +964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_bands=6,
             band_bits=3,
             max_bucket_size=60,
+            rescore="fold",  # oracle twin needs DuckDB list_reduce fold order
         )
 
     def inverted_index(spark, sf_dir):
@@ -1022,8 +1023,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.embedding_lsh_buckets(_emb(spark, sf_dir), n_planes=8)
 
     def embedding_neardup_lsh(spark, sf_dir):
+        # rescore="fold": the oracle's DuckDB list_reduce matches the
+        # sequential fold's summation order exactly; production (and bench)
+        # default to the vectorized numpy rescore (r4 split)
         return A.embedding_neardup_lsh(
-            _emb(spark, sf_dir), threshold=0.35, n_bands=6, band_bits=3
+            _emb(spark, sf_dir),
+            threshold=0.35,
+            n_bands=6,
+            band_bits=3,
+            rescore="fold",
         )
 
     def ivf_topk(spark, sf_dir):
@@ -1127,6 +1135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_bands=6,
             band_bits=3,
             max_bucket_size=60,
+            rescore="fold",  # oracle twin needs DuckDB list_reduce fold order
         )
 
     def embedding_lsh_overflow(spark, sf_dir):

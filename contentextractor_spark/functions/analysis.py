@@ -8,7 +8,11 @@ scoring, token counting, fingerprinting).
 
 Design rules:
  - everything is built-in `pyspark.sql.functions` (JVM-side, codegen'd) —
-   NO Python UDFs anywhere in this module;
+   NO Python UDFs anywhere in this module, with ONE sanctioned exception:
+   the vectorized Arrow pandas-UDF cosine rescore (`_pair_cos_numpy`),
+   the production scale path for the embedding pair producers (r3 verdict
+   #2 — the interpreted F.aggregate fold remains only as the
+   oracle-exact twin whose fold order matches DuckDB list_reduce);
  - every op is DuckDB-oracle-expressible (hashes via md5, MinHash via
    lexicographic min over md5(seed||shingle), SimHash bits via hex-digit
    arithmetic) so the driver can value-check them;
@@ -18,6 +22,8 @@ Design rules:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -1534,6 +1540,7 @@ def dedup_components_embedding(
     band_bits: int = 3,
     max_bucket_size: int | None = None,
     max_iter: int = 25,
+    rescore: str = "numpy",
 ) -> DataFrame:
     """Connected components of the embedding cosine graph — the FOURTH
     dedup family's cluster composition (exact copies, MinHash bucket-star,
@@ -1550,6 +1557,7 @@ def dedup_components_embedding(
         n_bands=n_bands,
         band_bits=band_bits,
         max_bucket_size=max_bucket_size,
+        rescore=rescore,
     )
     # id_a < id_b by the join condition; LSS wants (hi, lo)
     edges = pairs.select(
@@ -2174,12 +2182,43 @@ def embedding_lsh_overflow(
     )
 
 
+def _pair_cos_numpy():
+    """Vectorized cosine over (ea, eb) array columns: one numpy einsum per
+    Arrow batch instead of an interpreted per-element lambda fold — the
+    10-100× cheaper production rescore (r3 verdict #2; the repo's own
+    measurements show higher-order lambdas are interpreted per element).
+
+    Numerically: einsum's SIMD/pairwise summation order differs from the
+    sequential left-to-right F.aggregate fold, so a cosine within ~1e-13
+    of a 4dp rounding boundary COULD round differently than the fold/
+    DuckDB-list_reduce path — that is why the oracle twins keep the fold
+    (rescore="fold") and the differential test pins fixture-wide equality.
+    Degenerate zero-norm vectors divide to ±inf/NaN exactly as Spark's
+    IEEE double division does on the fold path."""
+
+    @F.pandas_udf("double")
+    def _pair_cos(ea: pd.Series, eb: pd.Series) -> pd.Series:
+        if len(ea) == 0:
+            return pd.Series([], dtype="float64")
+        a = np.stack(ea.to_numpy())
+        b = np.stack(eb.to_numpy())
+        dots = np.einsum("ij,ij->i", a, b)
+        den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
+            np.einsum("ij,ij->i", b, b)
+        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return pd.Series(dots / den)
+
+    return _pair_cos
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     threshold: float = 0.8,
     n_bands: int = 6,
     band_bits: int = 3,
     max_bucket_size: int | None = None,
+    rescore: str = "numpy",
 ) -> DataFrame:
     """Embedding near-dup PAIRS at scale (VERDICT r1 #2): banded
     random-hyperplane LSH candidates + exact cosine re-score.
@@ -2205,7 +2244,15 @@ def embedding_neardup_lsh(
     are excluded from candidate generation; `embedding_lsh_overflow`
     returns exactly the dropped buckets so the drop is observable, never
     silent.  Recall within the cap is unaffected (pairs in small buckets
-    are untouched)."""
+    are untouched).
+
+    rescore (r3 verdict #2): "numpy" (default — production) computes the
+    exact cosine in a vectorized Arrow pandas UDF; "fold" keeps the
+    sequential F.aggregate/zip_with fold whose summation ORDER matches
+    DuckDB list_reduce exactly — the oracle twins pass rescore="fold".
+    Both paths compute the same exact cosine; they can differ only when a
+    value sits within float-summation-order noise (~1e-13) of a 4dp
+    rounding boundary (differential-tested equal on the fixtures)."""
     bands = _embedding_bands(emb, n_bands, band_bits)
     if max_bucket_size is not None:
         sizes = bands.groupBy("band", "bkey").agg(
@@ -2228,8 +2275,29 @@ def embedding_neardup_lsh(
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
         .distinct()  # a pair can collide in several bands
     )
-    # per-vector norms once (candidates are ~|bucket|² pairs — recomputing
-    # both norms per PAIR would triple the rescore arithmetic)
+    if rescore == "numpy":
+        # scale path: norms fold into the same einsum batch — per-pair
+        # norm recompute is vectorized O(pairs×dim) numpy, not an
+        # interpreted lambda, so the norms-once join trick below buys
+        # nothing here and would add two extra array shuffles
+        pe = emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("e")
+        )
+        ea = pe.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+        eb = pe.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+        cos = _pair_cos_numpy()(F.col("ea"), F.col("eb"))
+        return (
+            pairs.join(ea, "id_a")
+            .join(eb, "id_b")
+            .select("id_a", "id_b", cos.alias("cos"))
+            .filter(F.round("cos", 4) >= threshold)
+            .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+        )
+    if rescore != "fold":
+        raise ValueError(f"rescore must be 'numpy' or 'fold', got {rescore!r}")
+    # oracle path: per-vector norms once (candidates are ~|bucket|² pairs —
+    # recomputing both norms per PAIR would triple the interpreted-lambda
+    # rescore arithmetic)
     norm = F.sqrt(
         F.aggregate(
             F.col("e"), F.lit(0.0), lambda acc, v: acc + v * v

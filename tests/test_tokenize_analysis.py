@@ -301,6 +301,27 @@ def test_embedding_neardup_lsh_recall_and_precision(spark):
     assert recall >= 0.5, f"recall {recall:.3f} (|exact|={len(exact)})"
 
 
+def test_embedding_rescore_numpy_equals_fold(spark):
+    """r4 rescore split: the vectorized numpy pandas-UDF scale path must
+    emit the identical (pair, cos_sim) set as the oracle-exact sequential
+    fold on the fixture — summation-order noise can only bite within
+    ~1e-13 of a 4dp boundary, which the fixture does not sit on."""
+    from contentextractor_spark.functions.analysis import embedding_neardup_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    fold = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_lsh(emb, 0.35, rescore="fold").collect()
+    }
+    vec = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in embedding_neardup_lsh(emb, 0.35, rescore="numpy").collect()
+    }
+    assert len(fold) > 0 and fold == vec
+    with pytest.raises(ValueError, match="rescore"):
+        embedding_neardup_lsh(emb, 0.35, rescore="bogus")
+
+
 def test_jaccard_persist_path_equal(spark, docs):
     """persist_shingles=True (the >=100x-scale flip, VERDICT r1 #5) must be
     a pure execution-strategy choice: identical pairs either way."""
