@@ -950,6 +950,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data), ranked with the integer micro-prob PageRank
         return A.pagerank(pagerank_edges_sql(_docs(spark, sf_dir)), iters=3)
 
+    def pagerank_dangling(spark, sf_dir):
+        # r3 verdict #5: the affine graph with the top-10 doc_ids demoted
+        # to pure sinks (they receive edges via the modular map but emit
+        # none).  redistribute_dangling=True provably moves the sink mass:
+        # with drop semantics every sink would rank exactly teleport
+        # (150000 micro-probs); the hash check pins the redistributed
+        # values instead
+        docs = _docs(spark, sf_dir)
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        dsts = F.array(
+            *[(F.col("doc_id") * 31 + 7 * j) % F.col("n") for j in (1, 2, 3)]
+        )
+        edges = (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .filter(F.col("doc_id") < F.col("n") - 10)
+            .select(F.col("doc_id").alias("src"), F.explode(dsts).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        return A.pagerank(edges, iters=2, redistribute_dangling=True)
+
     def bm25_search(spark, sf_dir):
         return A.bm25_search(
             _docs(spark, sf_dir), ["query", "scan", "window"], k=15
@@ -1055,7 +1076,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
                 F.lit(" ip 10.0."),
                 F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
-                F.lit(".7 end"),
+                # r4: a planted JP-style SPACED phone — the r3 recall miss
+                # the zero-anchored PII_PHONE_SPACED pass now catches
+                F.lit(".7 tel 090 1234 "),
+                F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"), 4, "0"),
+                F.lit(" end"),
             ).alias("text"),
         )
         return A.pii_scrub(injected)
@@ -1291,6 +1316,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the driver caps how many queries it value-checks per round, these
         # must not starve behind the long-green ones
         # ------------------------------------------------------------------
+        "pagerank_dangling": pagerank_dangling,
         "simhash_neardup_pairs": simhash_neardup_pairs,
         "simhash_overflow": simhash_overflow,
         "incremental_dedup": incremental_dedup,
@@ -1977,11 +2003,11 @@ def oracle_sql() -> dict[str, str]:
             -- the injected email/phone/ip and leave the PII-free corpus
             -- text untouched
             SELECT doc_id,
-                   text || ' contact <EMAIL> or <PHONE> ip <IP> end'
+                   text || ' contact <EMAIL> or <PHONE> ip <IP> tel <PHONE> end'
                        AS clean_text,
                    CAST(1 AS INT) AS n_emails,
                    CAST(1 AS INT) AS n_ips,
-                   CAST(1 AS INT) AS n_phones
+                   CAST(2 AS INT) AS n_phones
             FROM documents
         """,
         "chunk_hash_dedup": """
@@ -2398,6 +2424,50 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS p
                    FROM nodes LEFT JOIN c3 ON c3.node = nodes.node)
             SELECT node, p AS rank_micro FROM p3
+        """,
+        # 2 unrolled rounds with per-round sink-mass redistribution: sh_t =
+        # (Σ p_t over nodes with no out-edges) // n_nodes added to every
+        # node's in-mass pre-damping — all-integer, matches Spark's
+        # redistribute_dangling one-row broadcast exactly
+        "pagerank_dangling": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+            e AS (
+              SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 31 + 7 * j) % n.nn AS dst,
+                       n.nn AS nn
+                FROM documents, n, (SELECT unnest([1, 2, 3]) AS j) js)
+              WHERE src <> dst AND src < nn - 10),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY src),
+            p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes),
+            s1 AS (SELECT CAST(COALESCE(sum(p), 0) AS BIGINT)
+                          // (SELECT c FROM nc) AS sh
+                   FROM p0 WHERE node NOT IN (SELECT src FROM od)),
+            c1 AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p0 p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            p1 AS (SELECT nodes.node,
+                          CAST(150000 + ((COALESCE(c1.m, 0)
+                               + (SELECT sh FROM s1)) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c1 ON c1.node = nodes.node),
+            s2 AS (SELECT CAST(COALESCE(sum(p), 0) AS BIGINT)
+                          // (SELECT c FROM nc) AS sh
+                   FROM p1 WHERE node NOT IN (SELECT src FROM od)),
+            c2 AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p1 p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            p2 AS (SELECT nodes.node,
+                          CAST(150000 + ((COALESCE(c2.m, 0)
+                               + (SELECT sh FROM s2)) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c2 ON c2.node = nodes.node)
+            SELECT node, p AS rank_micro FROM p2
         """,
         "unigram_surprisal": f"""
             WITH {_surprisal_cte('documents')}

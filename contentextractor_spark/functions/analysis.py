@@ -160,9 +160,12 @@ def corpus_report(docs: DataFrame) -> DataFrame:
     re-deriving signals, and every column is integer (counts, sums,
     integer-division mean) so the report is engine-exact.
 
-    Scale: two narrow projections + one window (partitioned by content
-    hash) feeding ONE map-side-combinable groupBy(lang) — the report adds
-    no shuffle beyond what dedup_exact already does."""
+    Scale (ADVICE r3 correction): beyond dedup_exact's own content-hash
+    window, the two inner joins on doc_id each add an exchange unless AQE
+    happens to reuse a partitioning — three doc_id-keyed shuffles total
+    feeding the final map-side-combinable groupBy(lang).  All are
+    high-cardinality uniform keys, so they scale; they are just not
+    free."""
     qf = quality_filter(docs).select("doc_id", "n_words", "keep")
     de = dedup_exact(docs).select("doc_id", "is_duplicate")
     base = docs.select("doc_id", "lang", F.length("text").alias("n_chars"))
@@ -196,7 +199,13 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     Exactness: the RANKING keys are (tf DESC, term ASC) — integer count +
     lexicographic tie-break, engine-exact; the transcendental lives only in
     the score column, rounded to 4dp per the repo's boundary-safe
-    convention (same as the cosine ranks).
+    convention (same as the cosine ranks).  Residual risk in the HASHED
+    score column (ADVICE r3, same class unigram_surprisal documents): the
+    4dp round removes none of ln()'s own 1-ulp cross-engine wiggle, so a
+    tf·ln(n/df) value landing within ~1e-13·|x| of a 4dp boundary could
+    round differently across engines.  No boundary case exists in the
+    shipped fixtures; if a future fixture change trips a hash mismatch
+    here with matching rows/ranks, this is the first thing to check.
 
     Scale: tf and df are map-side-combinable groupBys (doc_id,term / term);
     the corpus size rides in as a ONE-ROW broadcast crossJoin (no
@@ -344,7 +353,12 @@ def term_search(docs: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
-def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_pct: int = 85,
+    redistribute_dangling: bool = False,
+) -> DataFrame:
     """Integer-arithmetic PageRank over an edge list (src, dst) — the
     classic web-graph ranking a Common-Crawl pipeline runs over its host
     link graph, expressed so every engine computes BIT-IDENTICAL ranks.
@@ -353,8 +367,21 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85) -> DataFra
     p_{t+1}(v) = (100-d)/100 * 1e6  +  d * Σ_{u→v} (p_t(u) div outdeg(u))
     div 100 — integer division at each step, so sums are order-free and
     cross-engine exact (the float formulation would drift with row order).
-    Dangling mass is dropped (documented simplification — the standard
-    redistribute adds one scalar broadcast per round if needed).
+
+    redistribute_dangling (r3 verdict #5): with False, sink mass is
+    DROPPED (ranks not comparable to textbook PageRank on graphs with
+    sinks); with True, each round adds Σ_{v dangling} p_t(v) div n_nodes
+    to every node's in-mass before damping — computed as one one-row
+    broadcast per round (left-anti agg over outdeg, no driver collect),
+    still all-integer and order-free.  n_nodes is one count job at build.
+
+    Overflow bound (ADVICE r3): the update multiplies in_mass by
+    damping_pct before the div, so a single node's in-mass must stay
+    below (2^63-1)/damping_pct ≈ 1.1e17 micro-probs — total graph mass is
+    ~n·1e6, so a hub absorbing ALL mass overflows only past ~10^11 nodes
+    (ANSI mode raises loudly, never wraps).  Beyond that, shrink p0 or
+    rescale per round; dividing before multiplying would lose the exact
+    integer semantics.
 
     Scale: outdeg is one map-side-combinable groupBy computed ONCE; each
     iteration is one join on src (contributions) + one groupBy on dst —
@@ -379,6 +406,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85) -> DataFra
         F.count(F.lit(1)).alias("outdeg")
     ).localCheckpoint()
     teleport = (100 - damping_pct) * 10_000  # (1-d) * 1e6, integer
+    n_nodes = nodes.count() if redistribute_dangling else None
     pr = nodes.select("node", F.lit(1_000_000).cast("long").alias("p"))
     for _ in range(iters):
         contrib = (
@@ -391,16 +419,28 @@ def pagerank(edges: DataFrame, iters: int = 3, damping_pct: int = 85) -> DataFra
             .groupBy("node")
             .agg(F.sum("c").alias("in_mass"))
         )
-        pr = (
-            nodes.join(contrib, "node", "left")
-            .select(
-                "node",
-                (
-                    F.lit(teleport).cast("long")
-                    + F.expr(
-                        f"(coalesce(in_mass, 0L) * {damping_pct}) div 100"
+        nxt = nodes.join(contrib, "node", "left")
+        if redistribute_dangling:
+            # per-node share of this round's sink mass: one one-row
+            # broadcast (the LSS-digest shape), integer div — every node
+            # (including the sinks themselves) receives it pre-damping
+            share = (
+                pr.join(outdeg, pr["node"] == outdeg["src"], "left_anti")
+                .agg(
+                    F.expr(f"coalesce(sum(p), 0L) div {n_nodes}").alias(
+                        "__share"
                     )
-                ).alias("p"),
+                )
+            )
+            mass = F.expr(
+                f"((coalesce(in_mass, 0L) + __share) * {damping_pct}) div 100"
+            )
+            nxt = nxt.crossJoin(F.broadcast(share))
+        else:
+            mass = F.expr(f"(coalesce(in_mass, 0L) * {damping_pct}) div 100")
+        pr = (
+            nxt.select(
+                "node", (F.lit(teleport).cast("long") + mass).alias("p")
             )
             .localCheckpoint()
         )
@@ -632,19 +672,43 @@ PII_IPV4 = (
 #    Known accepted FP: ISBN-like 4+-group hyphenations look like phones.
 PII_PHONE = "[+]?[0-9]{8,15}|[+]?[(]?[0-9]{1,4}([()\\-][0-9]{1,4}){2,5}"
 
+# Spaced phones (r3 verdict #6) — precision-first: every alternative is
+# anchored on a leading-zero group or an international +, because the
+# spaced-format locales (JP 090 1234 5678 / 03 1234 5678, FR 06 12 34 56 78,
+# UK 020 7946 0958) all dial with a leading 0, while the digit LISTS the r2
+# trap protects ("scores were 10 20 30 40 points") virtually never start a
+# token with 0.  Shapes: fully-spaced single digits (≥8 digits total),
+# pair-groups (0X + 4 pairs), 0-prefix + two 3-4 digit groups, and
+# +CC + 2-4 groups.  \b is ASCII word boundary in BOTH Java regex and
+# DuckDB's RE2 (no lookahead — RE2 has none).  A leading-zero enumeration
+# ("0 1 2 3 4 5 6 7") is the documented residual false-positive; a
+# NON-zero-led spaced phone ("90 1234 5678") is the documented recall miss.
+PII_PHONE_SPACED = (
+    "\\b0(( [0-9]){7,13}"
+    "|[0-9]( [0-9]{2}){4}"
+    "|[0-9]{1,3}( [0-9]{3,4}){2})\\b"
+    "|[+][0-9]{1,3}( [0-9]{1,4}){2,4}\\b"
+)
+
 
 def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """PII redaction for training corpora: emails → <EMAIL>, IPv4 → <IP>,
-    phone-like digit runs → <PHONE>, with per-kind match counts (the audit
-    trail a compliance pipeline needs).  Pure regexp_replace/regexp_count —
-    JVM-side, embarrassingly parallel, no shuffle."""
+    phone-like digit runs → <PHONE> (contiguous/hyphenated AND the
+    zero-anchored spaced shapes — see PII_PHONE_SPACED), with per-kind
+    match counts (the audit trail a compliance pipeline needs).  Pure
+    regexp_replace/regexp_count — JVM-side, embarrassingly parallel, no
+    shuffle.  The spaced pass runs LAST on already-redacted text so the
+    two phone patterns cannot double-count one span."""
     t = F.col(text_col)
     n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
     after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
     n_ips = F.regexp_count(after_email, F.lit(PII_IPV4))
     after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
-    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE))
-    clean = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    after_phone = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE)) + F.regexp_count(
+        after_phone, F.lit(PII_PHONE_SPACED)
+    )
+    clean = F.regexp_replace(after_phone, PII_PHONE_SPACED, "<PHONE>")
     return docs.select(
         "doc_id",
         clean.alias("clean_text"),
@@ -1853,12 +1917,34 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
-def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+MAX_KNN_BRUTEFORCE_ROWS = 1_000_000
+"""knn_bruteforce refusal bound: the corpus streams once (linear), but the
+per-pair interpreted cosine fold prices each row ~µs-scale — beyond 10^6
+vectors this is the wrong tool vs ivf_topk/quantized_knn, so refuse loudly
+(mirrors the LSH producers' loud-cap convention; r3 verdict #4)."""
+
+
+def knn_bruteforce(
+    emb: DataFrame, n_queries: int = 10, k: int = 5, *, force: bool = False
+) -> DataFrame:
     """Brute-force cosine top-k: queries (vec_id < n_queries) × corpus.
 
     The query side is tiny → broadcast it; the corpus streams through one
-    narrow projection.  At 10^12 rows this is the exact-scoring baseline;
-    the scale path is embedding_lsh_buckets below."""
+    narrow projection.  This is the exact-scoring baseline; the scale
+    paths are ivf_topk / quantized_knn / embedding_lsh_buckets.  Guarded:
+    refuses (one count job) above MAX_KNN_BRUTEFORCE_ROWS corpus rows
+    unless force=True — nothing else stops a user pointing the O(n·q)
+    interpreted rescore at a real corpus (r3 verdict #4)."""
+    if not force:
+        n = emb.count()
+        if n > MAX_KNN_BRUTEFORCE_ROWS:
+            raise ValueError(
+                f"knn_bruteforce refused: corpus has {n} rows > "
+                f"MAX_KNN_BRUTEFORCE_ROWS={MAX_KNN_BRUTEFORCE_ROWS}. This is "
+                "the exact-scoring BASELINE (linear scan, interpreted "
+                "per-pair cosine); use ivf_topk/quantized_knn at scale, or "
+                "pass force=True to override."
+            )
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qe"),
@@ -1891,9 +1977,30 @@ def knn_bruteforce(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame
     )
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.8) -> DataFrame:
+MAX_EXACT_PAIR_ROWS = 20_000
+"""embedding_neardup_pairs refusal bound: n²/2 scored pairs means 2·10^8
+candidate cosines at 20k rows — already an hour-class job with the
+interpreted fold, and quadratic beyond.  Loud refusal, not a silent cap."""
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.8, *, force: bool = False
+) -> DataFrame:
     """Embedding-cosine near-dup pairs above a threshold (exact O(n²) —
-    correctness baseline; LSH variant is the scale path)."""
+    correctness baseline; LSH variant is the scale path).  Guarded: refuses
+    (one count job) above MAX_EXACT_PAIR_ROWS corpus rows unless
+    force=True — the API previously let a user point the full crossJoin at
+    a real corpus (r3 verdict #4)."""
+    if not force:
+        n = emb.count()
+        if n > MAX_EXACT_PAIR_ROWS:
+            raise ValueError(
+                f"embedding_neardup_pairs refused: corpus has {n} rows > "
+                f"MAX_EXACT_PAIR_ROWS={MAX_EXACT_PAIR_ROWS} (≈{n*(n-1)//2} "
+                "candidate pairs). This is the exact O(n²) correctness "
+                "baseline; use embedding_neardup_lsh at scale, or pass "
+                "force=True to override."
+            )
     a = emb.select(
         F.col("vec_id").alias("id_a"),
         F.col("embedding").cast("array<double>").alias("ea"),

@@ -390,6 +390,37 @@ def test_pagerank_hand_computed(spark):
     assert got2 == got
 
 
+def test_pagerank_dangling_redistribution_hand_computed(spark):
+    """r3 verdict #5: 1→2 with 2 a pure sink, n_nodes=2.
+    iter1: share = 1e6 div 2 = 500000;
+           p(1) = 150000 + (500000·85) div 100            = 575000
+           p(2) = 150000 + ((1000000+500000)·85) div 100  = 1425000
+    iter2: share = 1425000 div 2 = 712500;
+           p(1) = 150000 + (712500·85) div 100            = 755625
+           p(2) = 150000 + ((575000+712500)·85) div 100   = 1244375"""
+    edges = spark.createDataFrame([(1, 2)], "src bigint, dst bigint")
+    got = {
+        r.node: r.rank_micro
+        for r in A.pagerank(
+            edges, iters=2, redistribute_dangling=True
+        ).collect()
+    }
+    assert got == {1: 755625, 2: 1244375}
+    # drop semantics by contrast: node 1 collapses to pure teleport
+    dropped = {
+        r.node: r.rank_micro for r in A.pagerank(edges, iters=2).collect()
+    }
+    assert dropped[1] == 150000 and dropped[2] < got[2]
+    # order-free: identical under repartitioning
+    got2 = {
+        r.node: r.rank_micro
+        for r in A.pagerank(
+            edges.repartition(5), iters=2, redistribute_dangling=True
+        ).collect()
+    }
+    assert got2 == got
+
+
 def test_extract_links_order_and_poison_pages(spark):
     from contentextractor_spark.plans.pipeline import extract_links
 

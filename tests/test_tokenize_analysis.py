@@ -322,6 +322,28 @@ def test_embedding_rescore_numpy_equals_fold(spark):
         embedding_neardup_lsh(emb, 0.35, rescore="bogus")
 
 
+def test_exact_pair_baselines_refuse_above_bound(spark, monkeypatch):
+    """r3 verdict #4: the O(n²) exact-pair baseline and the linear-scan
+    brute-force knn must REFUSE loudly above their documented corpus
+    bounds unless force=True — mirroring the LSH producers' loud-cap
+    convention."""
+    from contentextractor_spark.functions import analysis as A
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    monkeypatch.setattr(A, "MAX_EXACT_PAIR_ROWS", 3)
+    monkeypatch.setattr(A, "MAX_KNN_BRUTEFORCE_ROWS", 3)
+    with pytest.raises(ValueError, match="embedding_neardup_pairs refused"):
+        A.embedding_neardup_pairs(emb, 0.5)
+    with pytest.raises(ValueError, match="knn_bruteforce refused"):
+        A.knn_bruteforce(emb, n_queries=2, k=2)
+    # force=True overrides the refusal and the plans still evaluate
+    assert A.embedding_neardup_pairs(emb, 0.5, force=True).count() > 0
+    assert A.knn_bruteforce(emb, n_queries=2, k=2, force=True).count() > 0
+
+
 def test_jaccard_persist_path_equal(spark, docs):
     """persist_shingles=True (the >=100x-scale flip, VERDICT r1 #5) must be
     a pure execution-strategy choice: identical pairs either way."""
@@ -722,6 +744,34 @@ def test_pii_scrub_patterns(spark):
     assert got[5].clean_text.startswith("edge <IP>")
     assert got[6].clean_text == "scores were 10 20 30 40 points"
     assert got[6].n_phones == 0
+
+
+def test_pii_spaced_phone_patterns(spark):
+    """r3 verdict #6: zero-anchored spaced phones are now redacted; the r2
+    digit-list trap stays green (no token starts with 0 there), and a
+    non-zero-led spaced number remains the documented recall miss."""
+    from contentextractor_spark.functions.analysis import pii_scrub
+
+    docs = spark.createDataFrame(
+        [
+            (1, "tel 090 1234 5678 now"),            # JP mobile, spaced
+            (2, "nums 0 3 1 2 3 4 5 6 7 8 done"),    # fully spaced digits
+            (3, "fr 06 12 34 56 78 ok"),             # FR pair groups
+            (4, "scores were 10 20 30 40 points"),   # the precision trap
+            (5, "list 90 1234 5678 stays"),          # recall miss: no 0/+
+            (6, "call +81-3-1234-5678 or 090 1234 5678"),  # both kinds
+            (7, "version 0 1 2 released"),           # short: below 8 digits
+        ],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert got[1].clean_text == "tel <PHONE> now" and got[1].n_phones == 1
+    assert got[2].clean_text == "nums <PHONE> done" and got[2].n_phones == 1
+    assert got[3].clean_text == "fr <PHONE> ok" and got[3].n_phones == 1
+    assert got[4].clean_text == docs.collect()[3].text and got[4].n_phones == 0
+    assert got[5].clean_text == docs.collect()[4].text and got[5].n_phones == 0
+    assert got[6].clean_text == "call <PHONE> or <PHONE>" and got[6].n_phones == 2
+    assert got[7].clean_text == docs.collect()[6].text and got[7].n_phones == 0
 
 
 def test_chunk_hash_dedup_marks_cross_doc_spans(spark):
