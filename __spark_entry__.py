@@ -1085,6 +1085,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.pii_scrub(injected)
 
+    def substring_dedup(spark, sf_dir):
+        # fifth dedup family (Lee et al. suffix-array semantics as shared
+        # k-gram runs); the templated corpus guarantees real cross-doc
+        # duplicated substrings at every sf
+        return A.substring_dedup_spans(
+            _docs(spark, sf_dir), k=4, min_grams=2
+        )
+
+    def substring_scrub(spark, sf_dir):
+        # the apply side: duplicated spans removed from ALL occurrences,
+        # text rebuilt lambda-free, removal counts auditable
+        return A.substring_scrub(_docs(spark, sf_dir), k=4, min_grams=2)
+
     def chunk_hash_dedup(spark, sf_dir):
         return A.chunk_hash_dedup(_docs(spark, sf_dir), chunk_tokens=32, overlap=0)
 
@@ -1317,6 +1330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # must not starve behind the long-green ones
         # ------------------------------------------------------------------
         "pagerank_dangling": pagerank_dangling,
+        "substring_dedup": substring_dedup,
+        "substring_scrub": substring_scrub,
         "simhash_neardup_pairs": simhash_neardup_pairs,
         "simhash_overflow": simhash_overflow,
         "incremental_dedup": incremental_dedup,
@@ -1497,6 +1512,32 @@ def _split_cte(src: str = "documents") -> str:
                                     substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
                                   - 1) AS bucket
                           FROM {src}))"""
+
+
+def _substr_runs_cte(src: str = "documents", k: int = 4) -> str:
+    """Shared-k-gram duplicated-run CTE chain (w → g → f → sh → r → runs)
+    — ONE definition for the substring_dedup and substring_scrub oracles
+    (the fifth dedup family; parameterized per the r3 shared-CTE rule).
+    Positions are 0-based token offsets to match Spark's posexplode."""
+    return f"""
+            w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
+            g AS (SELECT doc_id, s - 1 AS pos,
+                         md5(array_to_string(
+                             list_slice(ws, s, s + {k - 1}), ' ')) AS gh
+                  FROM (SELECT doc_id, ws,
+                               unnest(generate_series(1, len(ws) - {k - 1}))
+                                   AS s
+                        FROM w)),
+            f AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+            sh AS (SELECT g.doc_id, g.pos FROM g JOIN f USING (gh)),
+            r AS (SELECT doc_id, pos,
+                         pos - row_number() OVER (PARTITION BY doc_id
+                                                  ORDER BY pos) AS grp
+                  FROM sh),
+            runs AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
+                            CAST(count(*) AS BIGINT) AS n_grams,
+                            CAST(count(*) + {k - 1} AS BIGINT) AS span_tokens
+                     FROM r GROUP BY doc_id, grp HAVING count(*) >= 2)"""
 
 
 def _qf_cols_sql(src: str) -> str:
@@ -2009,6 +2050,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INT) AS n_ips,
                    CAST(2 AS INT) AS n_phones
             FROM documents
+        """,
+        "substring_dedup": f"""
+            WITH {_substr_runs_cte('documents', 4)}
+            SELECT doc_id, run_start, n_grams, span_tokens FROM runs
+        """,
+        "substring_scrub": f"""
+            WITH {_substr_runs_cte('documents', 4)},
+            t AS (SELECT doc_id, s - 1 AS pos, ws[s] AS tok
+                  FROM (SELECT doc_id, ws,
+                               unnest(generate_series(1, len(ws))) AS s
+                        FROM w)),
+            cov AS (SELECT DISTINCT t.doc_id, t.pos
+                    FROM t JOIN runs ON runs.doc_id = t.doc_id
+                     AND t.pos >= runs.run_start
+                     AND t.pos < runs.run_start + runs.span_tokens),
+            kept AS (SELECT t.doc_id, t.pos, t.tok FROM t
+                     WHERE NOT EXISTS (SELECT 1 FROM cov
+                                       WHERE cov.doc_id = t.doc_id
+                                         AND cov.pos = t.pos)),
+            agg AS (SELECT doc_id,
+                           string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                           CAST(count(*) AS BIGINT) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT w.doc_id,
+                   COALESCE(agg.clean_text, '') AS clean_text,
+                   CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept_tokens,
+                   CAST(len(w.ws) - COALESCE(agg.n_kept, 0) AS BIGINT)
+                       AS n_removed_tokens
+            FROM w LEFT JOIN agg USING (doc_id)
         """,
         "chunk_hash_dedup": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

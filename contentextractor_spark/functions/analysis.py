@@ -746,6 +746,115 @@ def chunk_hash_dedup(
     )
 
 
+def substring_dedup_spans(
+    docs: DataFrame, k: int = 4, min_grams: int = 2, min_copies: int = 2
+) -> DataFrame:
+    """Exact-substring dedup spans — the FIFTH dedup family (r3 verdict
+    #10), the Lee et al. 2022 "Deduplicating Training Data Makes Language
+    Models Better" operation re-shaped for Spark: a single global suffix
+    array is inherently sequential, but its OUTPUT — every maximal
+    duplicated substring — is equivalently found as maximal runs of
+    consecutive duplicated token k-grams.  A run of L consecutive shared
+    k-gram positions is an exact duplicated substring of L+k-1 tokens;
+    with min_grams=m this detects precisely the duplicated substrings of
+    >= m+k-1 tokens (tune k+min_grams-1 where Lee et al. use 50).
+
+    "Duplicated" = the k-gram occurs >= min_copies times corpus-wide,
+    other doc OR other offset — the chunk_hash_dedup convention, and the
+    suffix-array semantics (a substring repeated within one document is a
+    duplicate).  Output: (doc_id, run_start, n_grams, span_tokens) per
+    maximal run, positions 0-based token offsets.
+
+    Exactness: md5 gram keys + integer positions + the pos−row_number
+    island trick — no floats anywhere.
+
+    Scale: the gram stream is the measured-fast arrays_zip form
+    (_gram_stream); duplication is ONE map-side-combinable groupBy on the
+    md5 key (uniform — no skew guard needed, unlike raw shingles) + a
+    semi join back; run detection is a window PARTITIONED BY doc_id
+    (high cardinality, never a global sort).  Fixture-free of the
+    suffix-array's O(corpus) memory: state per task is one partition of
+    grams."""
+    grams = _gram_stream(docs, k, with_pos=True).select(
+        "doc_id", "pos", F.md5(F.col("g")).alias("gh")
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") >= min_copies)
+        .select("gh")
+    )
+    shared = grams.join(dup, "gh", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (
+        shared.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").cast("long").alias("run_start"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .filter(F.col("n_grams") >= min_grams)
+        .select(
+            "doc_id",
+            "run_start",
+            "n_grams",
+            (F.col("n_grams") + F.lit(k - 1)).cast("long").alias("span_tokens"),
+        )
+    )
+
+
+def substring_scrub(
+    docs: DataFrame, k: int = 4, min_grams: int = 2, min_copies: int = 2
+) -> DataFrame:
+    """Apply substring_dedup_spans: drop every token covered by a
+    duplicated run and rebuild the text.  Policy: ALL occurrences are
+    removed (not keep-first) — keep-first needs a global occurrence
+    order, which would reintroduce exactly the total-order dependence
+    this module's order-free conventions exist to avoid; Lee et al. keep
+    one copy, so this is the stricter variant, stated openly.
+
+    Rebuild is lambda-free (the r3 interpreted-transform trap): kept
+    tokens aggregate as array_sort(collect_list(struct(pos, tok))) and
+    the token field is pulled with GetArrayStructFields (`st.tok`), both
+    codegen'd.  Coverage is a doc_id join + range filter (runs per doc
+    are few); fully-scrubbed docs survive with empty text via the left
+    join from the original corpus."""
+    spans = substring_dedup_spans(docs, k, min_grams, min_copies)
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    covered = (
+        toks.join(spans, "doc_id")
+        .filter(
+            (F.col("pos") >= F.col("run_start"))
+            & (F.col("pos") < F.col("run_start") + F.col("span_tokens"))
+        )
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    agg = kept.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("st"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    rebuilt = agg.select(
+        "doc_id",
+        F.concat_ws(" ", F.col("st.tok")).alias("clean_text"),
+        F.col("n_kept"),
+    )
+    orig = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_orig")
+    )
+    return orig.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept_tokens"),
+        (F.col("n_orig") - F.coalesce("n_kept", F.lit(0).cast("long"))).alias(
+            "n_removed_tokens"
+        ),
+    )
+
+
 def train_split_assign(
     docs: DataFrame, val_pct: int = 10, test_pct: int = 10
 ) -> DataFrame:

@@ -774,6 +774,45 @@ def test_pii_spaced_phone_patterns(spark):
     assert got[7].clean_text == docs.collect()[6].text and got[7].n_phones == 0
 
 
+def test_substring_dedup_spans_planted(spark):
+    """Fifth dedup family (r3 verdict #10): an 8-token substring shared by
+    two docs at different offsets, plus a within-doc 5-token repeat, must
+    surface as exact maximal runs; the unique doc stays span-free."""
+    from contentextractor_spark.functions.analysis import (
+        substring_dedup_spans,
+        substring_scrub,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 a3 " + shared + " a4 a5"),
+            (2, "b1 " + shared + " b2 b3 b4 b5 b6"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+            (4, "rep1 rep2 rep3 rep4 rep5 x y rep1 rep2 rep3 rep4 rep5"),
+        ],
+        "doc_id: long, text: string",
+    )
+    spans = {
+        (r.doc_id, r.run_start): (r.n_grams, r.span_tokens)
+        for r in substring_dedup_spans(docs, k=4, min_grams=2).collect()
+    }
+    # 8 shared tokens → 5 consecutive shared 4-gram positions
+    assert spans == {
+        (1, 3): (5, 8),
+        (2, 1): (5, 8),
+        (4, 0): (2, 5),
+        (4, 7): (2, 5),
+    }
+    scrub = {r.doc_id: r for r in substring_scrub(docs, k=4, min_grams=2).collect()}
+    assert scrub[1].clean_text == "a1 a2 a3 a4 a5"
+    assert scrub[1].n_removed_tokens == 8
+    assert scrub[2].clean_text == "b1 b2 b3 b4 b5 b6"
+    assert scrub[3].n_removed_tokens == 0 and scrub[3].clean_text.startswith("c1")
+    # ALL occurrences of the within-doc repeat go (documented policy)
+    assert scrub[4].clean_text == "x y" and scrub[4].n_removed_tokens == 10
+
+
 def test_chunk_hash_dedup_marks_cross_doc_spans(spark):
     from contentextractor_spark.functions.analysis import chunk_hash_dedup
 
