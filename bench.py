@@ -177,6 +177,10 @@ def main() -> None:
         "dedup_components_simhash": lambda: force(
             A.dedup_components_simhash(docs, bits=48, n_bands=4, max_bucket_size=100)
         ),
+        # r4: fifth dedup family — scrub subsumes the span producer
+        "substring_scrub": lambda: force(
+            A.substring_scrub(docs, k=4, min_grams=2)
+        ),
     }
 
     def _extract_links():

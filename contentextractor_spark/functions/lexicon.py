@@ -33,6 +33,11 @@ JA archetype docs, identical output on all three):
    anti-lesson about per-char Python CLASSIFICATION loops (5.4 ms/doc)
    does not apply to hash probes at boundaries, as measured.
 
+Round-4 growth measurement (same host protocol, 1500 archetype docs,
+best-of-3 after warm-up): full extraction 1.94 ms/doc at 6,235 entries vs
+1.66 with CX_LEXICON=mini — fold delta 0.28 ms/doc, flat vs the 2,367-entry
+r3 lexicon (0.29), confirming probe cost is entry-count-independent.
+
 Documented divergence: vocabulary OUTSIDE the subset segments as whole
 script runs rather than IPADIC morphemes (and an OOV compound whose PREFIX
 is a lexicon entry splits after that entry).  The lexicon is data, not

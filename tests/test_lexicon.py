@@ -88,10 +88,40 @@ def test_archetype_corpus_fold_regression():
     assert digest == PINNED_DIGEST, digest
 
 
-# r3: regenerated for the IPADIC-subset lexicon (2,367 entries, dict-probe
-# analyzer — see lexicon.py header for the measured A/B); the r2 mini-lexicon
-# digest was e079059fa1ffebe79caa0bcfc2efc2fb77d93d98daaa340c374f877d861c35db
-PINNED_DIGEST = "03833bcbd5b59ce03d55d0137427fbb68b94c6bdc8205d17549528e51747d1f1"
+# r4: regenerated for the grown lexicon (6,235 entries — r3 #7 increment:
+# wider open classes + 形容動詞語幹 + katakana loanwords + proper nouns).
+# r3 (2,367 entries) was
+# 03833bcbd5b59ce03d55d0137427fbb68b94c6bdc8205d17549528e51747d1f1; the r2
+# mini-lexicon digest was
+# e079059fa1ffebe79caa0bcfc2efc2fb77d93d98daaa340c374f877d861c35db
+PINNED_DIGEST = "fddf839d225ed5450ab338661ab890b9cca7efe12af1ebf43c7d2cf6a57dfe95"
+
+
+def test_lexicon_no_fused_entries():
+    """The word lists are implicit string concatenation — a line missing
+    its trailing space FUSES the last word of one line with the first of
+    the next (漁業+林業 happened in r3).  Audit the SOURCE: inside every
+    parenthesized implicit-concat word-list block, each fragment except
+    the block's last must end with a space."""
+    import inspect
+    import re
+
+    from contentextractor_spark.functions import lexicon_data
+
+    src = inspect.getsource(lexicon_data)
+    # fragments: full-line string literals that are part of a ( ... ).split()
+    # block — i.e. lines of the form   "<words>"   with no trailing comma
+    lines = src.split("\n")
+    for i, ln in enumerate(lines):
+        m = re.fullmatch(r'\s*"([^"]*)"\s*', ln)
+        if not m:
+            continue
+        nxt = lines[i + 1].strip() if i + 1 < len(lines) else ""
+        if nxt.startswith('"'):  # another fragment follows → must end ' '
+            assert m.group(1).endswith(" "), (
+                f"lexicon_data.py line {i + 1} lacks its trailing space — "
+                f"would fuse across lines: ...{m.group(1)[-12:]!r}"
+            )
 
 
 def print_digest():  # helper for intentional regeneration
