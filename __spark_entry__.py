@@ -1325,64 +1325,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ------------------------------------------------------------------
-        # never-driver-checked-yet queries FIRST (VERDICT r2 missing #1): if
-        # the driver caps how many queries it value-checks per round, these
-        # must not starve behind the long-green ones
+        # ORDERING INVARIANT (VERDICT r2 #1 / r3 #8): stalest-first.  The
+        # driver may cap how many queries it value-checks per round, so the
+        # dict lists never-driver-checked entries first, then the rows whose
+        # last green check is oldest (r2), then the freshly-r3-checked set.
+        # Regenerate after each round from CORRECTNESS_r0*.json keys.
         # ------------------------------------------------------------------
+        # never driver-checked:
         "pagerank_dangling": pagerank_dangling,
         "substring_dedup": substring_dedup,
         "substring_scrub": substring_scrub,
-        "simhash_neardup_pairs": simhash_neardup_pairs,
-        "simhash_overflow": simhash_overflow,
-        "incremental_dedup": incremental_dedup,
-        "dedup_components_simhash": dedup_components_simhash,
-        "tfidf_top_terms": tfidf_top_terms,
-        "quality_filter": quality_filter,
-        "inverted_index": inverted_index,
-        "term_search": term_search,
-        "bm25_search": bm25_search,
-        "dedup_components_embedding": dedup_components_embedding,
-        "unigram_surprisal": unigram_surprisal,
-        "pagerank_links": pagerank_links,
-        "extract_links_roundtrip": extract_links_roundtrip,
-        "pagerank_extracted_hosts": pagerank_extracted_hosts,
-        "quantize_embeddings": quantize_embeddings,
-        "quantized_knn": quantized_knn,
-        "curation_v3": curation_v3,
-        "corpus_report": corpus_report,
-        "pdf_extract_roundtrip": pdf_extract_roundtrip,
-        "warc_extract_roundtrip": warc_extract_roundtrip,
-        "stratified_sample": stratified_sample,
-        "domain_stats": domain_stats,
-        "tpch_promo_share": tpch_promo_share,
-        "tpch_shipping_priority": tpch_shipping_priority,
-        "media_resize_plan": media_resize_plan,
-        "doc_length_quantiles": doc_length_quantiles,
-        "tpch_top_suppliers": tpch_top_suppliers,
-        "tpch_region_revenue": tpch_region_revenue,
-        "media_features": media_features,
-        "frame_sample_plan": frame_sample_plan,
-        "ivf_fixed_topk": ivf_fixed_topk,
-        "extract_spans_multiblock": extract_spans_multiblock,
-        "embedding_neardup_lsh_capped": embedding_neardup_lsh_capped,
-        "embedding_lsh_overflow": embedding_lsh_overflow,
-        "minhash_lsh_capped": minhash_lsh_capped,
-        "repetition_signals": repetition_signals,
-        "pii_scrub": pii_scrub,
-        "chunk_hash_dedup": chunk_hash_dedup,
-        "train_split_assign": train_split_assign,
-        "pack_sequences": pack_sequences,
-        "winnowing_fingerprints": winnowing_fingerprints,
-        "decontaminate": decontaminate,
-        "canonicalize_urls": canonicalize_urls,
-        "mixture_weights": mixture_weights,
-        "curation_full": curation_full,
-        "dedup_components_minhash": dedup_components_minhash,
-        # ------------------------------------------------------------------
-        "extract_roundtrip": extract_roundtrip,
-        "extract_boilerplate": extract_boilerplate,
-        "extract_block_select2": extract_block_select2,
-        "extract_block_select3": extract_block_select3,
+        # last checked in round 2 (stalest greens):
         "extract_spans_roundtrip": extract_spans_roundtrip,
         "extract_keywords": extract_keywords,
         "extract_debug_density": extract_debug_density,
@@ -1429,6 +1382,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_set_ops": token_set_ops,
         "docs_above_lang_avg": docs_above_lang_avg,
         "tpch_pricing_summary": tpch_pricing_summary,
+        # last checked in round 3:
+        "simhash_neardup_pairs": simhash_neardup_pairs,
+        "simhash_overflow": simhash_overflow,
+        "incremental_dedup": incremental_dedup,
+        "dedup_components_simhash": dedup_components_simhash,
+        "tfidf_top_terms": tfidf_top_terms,
+        "quality_filter": quality_filter,
+        "inverted_index": inverted_index,
+        "term_search": term_search,
+        "bm25_search": bm25_search,
+        "dedup_components_embedding": dedup_components_embedding,
+        "unigram_surprisal": unigram_surprisal,
+        "pagerank_links": pagerank_links,
+        "extract_links_roundtrip": extract_links_roundtrip,
+        "pagerank_extracted_hosts": pagerank_extracted_hosts,
+        "quantize_embeddings": quantize_embeddings,
+        "quantized_knn": quantized_knn,
+        "curation_v3": curation_v3,
+        "corpus_report": corpus_report,
+        "pdf_extract_roundtrip": pdf_extract_roundtrip,
+        "warc_extract_roundtrip": warc_extract_roundtrip,
+        "stratified_sample": stratified_sample,
+        "domain_stats": domain_stats,
+        "tpch_promo_share": tpch_promo_share,
+        "tpch_shipping_priority": tpch_shipping_priority,
+        "media_resize_plan": media_resize_plan,
+        "doc_length_quantiles": doc_length_quantiles,
+        "tpch_top_suppliers": tpch_top_suppliers,
+        "tpch_region_revenue": tpch_region_revenue,
+        "media_features": media_features,
+        "frame_sample_plan": frame_sample_plan,
+        "ivf_fixed_topk": ivf_fixed_topk,
+        "extract_spans_multiblock": extract_spans_multiblock,
+        "embedding_neardup_lsh_capped": embedding_neardup_lsh_capped,
+        "embedding_lsh_overflow": embedding_lsh_overflow,
+        "minhash_lsh_capped": minhash_lsh_capped,
+        "repetition_signals": repetition_signals,
+        "pii_scrub": pii_scrub,
+        "chunk_hash_dedup": chunk_hash_dedup,
+        "train_split_assign": train_split_assign,
+        "pack_sequences": pack_sequences,
+        "winnowing_fingerprints": winnowing_fingerprints,
+        "decontaminate": decontaminate,
+        "canonicalize_urls": canonicalize_urls,
+        "mixture_weights": mixture_weights,
+        "curation_full": curation_full,
+        "dedup_components_minhash": dedup_components_minhash,
+        "extract_roundtrip": extract_roundtrip,
+        "extract_boilerplate": extract_boilerplate,
+        "extract_block_select2": extract_block_select2,
+        "extract_block_select3": extract_block_select3,
     }
 
 
