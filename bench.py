@@ -78,15 +78,14 @@ BAND_MAX_S = {
     "incremental_dedup": 3.5,
     "extract_links": 3.0,
     "pagerank": 6.0,
-    "quantized_knn": 4.0,
+    "quantized_knn": 4.5,
     "tfidf_top_terms": 4.0,
     "quality_filter": 1.0,
     "unigram_surprisal": 2.5,
     "bm25_search": 3.0,
     "inverted_index": 1.0,
     "dedup_components_simhash": 15.0,
-    # substring_scrub: new in r4 — no recorded band yet; first artifact
-    # establishes it (no re-run trigger until then)
+    "substring_scrub": 6.0,  # measured 4.3 s quiet (r4 first record)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
