@@ -321,6 +321,39 @@ def _warc_segments_sql(docs: DataFrame, n_segments: int = 50) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    def hll_registers(spark, sf_dir):
+        # r4 sketch family: HyperLogLog register table over the 3-gram
+        # stream (m = 256 rows however large the corpus — the mergeable
+        # cardinality sketch you union across crawls before sizing a
+        # dedup shuffle)
+        return A.hll_registers(_docs(spark, sf_dir), p=8, n=3)
+
+    def hll_estimate(spark, sf_dir):
+        # one-row integer-arithmetic HLL estimate + linear-counting
+        # small-range correction (micro-nat ln, surprisal convention)
+        return A.hll_estimate(_docs(spark, sf_dir), p=8, n=3)
+
+    def cms_topk(spark, sf_dir):
+        # count-min heavy-hitter terms (stop-word / boilerplate detector):
+        # 4x512 integer sketch, est >= true one-sided error surfaced by
+        # carrying the exact count alongside.  n=1 because the fixture's
+        # 3-grams are near-uniform (max count 8) — the unigram stream has
+        # true heavy hitters for the sketch to find; at real scale you
+        # size w to the target universe instead.
+        return A.cms_topk(_docs(spark, sf_dir), n=1, d=4, w=512, k=20)
+
+    def pq_codes(spark, sf_dir):
+        # r4 ANN: product-quantization encoding — 64 floats → 8 nibble
+        # codes per vector (the 64x memory lever past int8's 4x); fixed
+        # md5 codebooks make the argmin oracle-exact
+        return A.pq_codes(_emb(spark, sf_dir), m=8, n_centroids=16)
+
+    def pq_topk(spark, sf_dir):
+        # asymmetric-distance top-k over the PQ codes (ADC): per-query
+        # m x 16 lookup table, fixed-order table-entry sums, knn rank
+        # convention
+        return A.pq_topk(_emb(spark, sf_dir), n_queries=10, k=5, m=8, n_centroids=16)
+
     def pdf_extract_roundtrip(spark, sf_dir):
         # PDF/layout member of the extraction family (north rule): build
         # honest PDFs from document text with the two lines emitted in
@@ -1332,6 +1365,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Regenerate after each round from CORRECTNESS_r0*.json keys.
         # ------------------------------------------------------------------
         # never driver-checked:
+        "hll_registers": hll_registers,
+        "hll_estimate": hll_estimate,
+        "cms_topk": cms_topk,
+        "pq_codes": pq_codes,
+        "pq_topk": pq_topk,
         "pagerank_dangling": pagerank_dangling,
         "substring_dedup": substring_dedup,
         "substring_scrub": substring_scrub,
@@ -1465,6 +1503,89 @@ _HV_GRAM_SQL = "CAST(" + " + ".join(
     f" * {16 ** (7 - d)}"
     for d in range(8)
 ) + " AS BIGINT)"
+
+
+def _hex_int_sql(expr: str, start: int, nd: int) -> str:
+    """DuckDB bigint from hex digits [start, start+nd) of `expr` (1-based)
+    — the integer Spark's conv(substring(expr, start, nd), 16, 10)
+    produces.  Generalizes _HV_GRAM_SQL (r4 sketch oracles)."""
+    return "CAST(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {start + d}, 1)) - 1)"
+        f" * {16 ** (nd - 1 - d)}"
+        for d in range(nd)
+    ) + " AS BIGINT)"
+
+
+def _gram_occ_cte(src: str = "documents", n: int = 3) -> str:
+    """Word n-gram OCCURRENCE stream (multiset — no DISTINCT, unlike
+    _SHINGLE_CTE): the DuckDB twin of analysis._gram_stream(src, n).
+    n=1 is the bare token stream (no length filter, same as Spark's
+    explode(split))."""
+    if n == 1:
+        return f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
+gs AS (SELECT unnest(ws) AS g FROM w)
+"""
+    gram = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(n))
+    return f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
+gs AS (SELECT unnest(list_transform(generate_series(1, len(ws) - {n - 1}),
+              i -> {gram})) AS g
+       FROM w WHERE len(ws) >= {n})
+"""
+
+
+def _pq_ctes(m: int = 8, n_centroids: int = 16, sublen: int = 8) -> str:
+    """Shared PQ oracle prefix (cen/sv/dist/codes CTE bodies) — the DuckDB
+    twin of analysis._pq_codebook/_pq_subvectors/pq_codes.  Centroid
+    component (s, c, d) rebuilt from md5 hex text exactly like the IVF
+    fixed centers; the squared-L2 fold mirrors analysis._pq_sqdist term
+    by term (list_prepend(0.0) + left fold)."""
+    byte0 = _hex_int_sql(
+        "md5(CAST(s AS VARCHAR) || ':' || CAST(c AS VARCHAR) || ':'"
+        " || CAST(d - 1 AS VARCHAR))", 1, 2,
+    )
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform(generate_series(1, {sublen}), i ->"
+        " (subv[i] - center[i]) * (subv[i] - center[i]))),"
+        " (a, b) -> a + b)"
+    )
+    return f"""
+cen AS (
+  SELECT s, c, list_transform(generate_series(1, {sublen}), d ->
+    (CAST({byte0} AS DOUBLE) - 128) / 128) AS center
+  FROM (SELECT unnest(generate_series(0, {m - 1})) AS s)
+  CROSS JOIN (SELECT unnest(generate_series(0, {n_centroids - 1})) AS c)),
+sv AS (
+  SELECT vec_id, s, list_transform(generate_series(1, {sublen}), i ->
+    CAST(embedding[s * {sublen} + i] AS DOUBLE)) AS subv
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(0, {m - 1})) AS s)),
+dist AS (
+  SELECT vec_id, s, c, {fold} AS d2
+  FROM sv JOIN cen USING (s)),
+codes AS (
+  SELECT vec_id, s, c AS code FROM (
+    SELECT vec_id, s, c,
+           row_number() OVER (PARTITION BY vec_id, s
+               ORDER BY d2 ASC, c ASC) AS rn
+    FROM dist)
+  WHERE rn = 1)
+"""
+
+
+# (register, rho) per gram — the DuckDB twin of analysis._hll_reg_rho(p=8):
+# register = first 2 hex digits of md5(g); rho = 33 - bitlength of the next
+# 8 hex digits as a 32-bit word (format('{:b}') renders "0" for 0, same as
+# Spark's conv, so the w = 0 convention matches).  Shared by both HLL
+# oracles (parameterize, never copy — r3 helper convention).
+_HLL_H_CTE = (
+    f"h AS (SELECT {_hex_int_sql('md5(g)', 1, 2)} AS register,\n"
+    f"              CAST(33 - length(format('{{:b}}',\n"
+    f"                   {_hex_int_sql('md5(g)', 3, 8)})) AS BIGINT) AS rho\n"
+    f"       FROM gs)"
+)
 
 # 48-bit simhash fingerprint + 4-band × 12-bit slices, shared by the
 # simhash / simhash_neardup_pairs / simhash_overflow / curation_v3 oracles —
@@ -1626,6 +1747,102 @@ bands AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # ------------------------------------------------------------------
+        # r4 product quantization — fixed md5 codebooks, fold-order-exact
+        # distances, fixed-subspace-order ADC sums
+        # ------------------------------------------------------------------
+        "pq_codes": f"""
+            WITH {_pq_ctes()}
+            SELECT vec_id, CAST(s AS INT) AS sub, CAST(code AS INT) AS code
+            FROM codes
+        """,
+        "pq_topk": f"""
+            WITH {_pq_ctes()},
+            qsv AS (SELECT vec_id AS query_id, s, subv
+                    FROM sv WHERE vec_id < 10),
+            adc AS (SELECT query_id, s, c AS code,
+                           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(generate_series(1, 8), i -> (subv[i] - center[i]) * (subv[i] - center[i]))), (a, b) -> a + b) AS pdist
+                    FROM qsv JOIN cen USING (s)),
+            j AS (SELECT a.query_id, codes.vec_id AS neighbor_id,
+                         codes.s AS s, a.pdist
+                  FROM codes JOIN adc a
+                    ON a.s = codes.s AND a.code = codes.code
+                  WHERE a.query_id <> codes.vec_id),
+            d AS (SELECT query_id, neighbor_id,
+                         sum(CASE WHEN s = 0 THEN pdist END) + sum(CASE WHEN s = 1 THEN pdist END) + sum(CASE WHEN s = 2 THEN pdist END) + sum(CASE WHEN s = 3 THEN pdist END) + sum(CASE WHEN s = 4 THEN pdist END) + sum(CASE WHEN s = 5 THEN pdist END) + sum(CASE WHEN s = 6 THEN pdist END) + sum(CASE WHEN s = 7 THEN pdist END) AS dist
+                  FROM j GROUP BY query_id, neighbor_id)
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+                   round(dist, 4) AS pqdist
+            FROM (
+              SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY round(dist, 4) ASC, neighbor_id ASC) AS rank
+              FROM d)
+            WHERE rank <= 5
+        """,
+        # ------------------------------------------------------------------
+        # r4 sketch family: md5-derived integer hashes end to end, so every
+        # register / counter / rank is bit-exact cross-engine
+        # ------------------------------------------------------------------
+        "hll_registers": f"""
+            WITH {_gram_occ_cte()},
+            {_HLL_H_CTE}
+            SELECT register, CAST(max(rho) AS BIGINT) AS max_rho
+            FROM h GROUP BY register
+        """,
+        "hll_estimate": f"""
+            WITH {_gram_occ_cte()},
+            {_HLL_H_CTE},
+            regs AS (SELECT register, max(rho) AS max_rho
+                     FROM h GROUP BY register),
+            f AS (SELECT count(*) AS n_filled,
+                         CAST(sum(CAST(pow(2, 32 - max_rho) AS BIGINT))
+                              AS BIGINT) AS s_filled
+                  FROM regs),
+            s AS (SELECT CAST(256 AS BIGINT) AS m,
+                         CAST(256 - n_filled AS BIGINT) AS n_empty,
+                         CAST(s_filled + (256 - n_filled) * 4294967296
+                              AS BIGINT) AS s_scaled
+                  FROM f),
+            e AS (SELECT m, n_empty, s_scaled,
+                         CAST(({A._hll_alpha_micro(256)}
+                               * ((256 * 256 * 4294967296) // s_scaled))
+                              // 1000000 AS BIGINT) AS est_hll,
+                         CAST(CASE WHEN n_empty > 0 THEN
+                              (256 * CAST(floor(1000000 *
+                                   ln(256 / CAST(n_empty AS DOUBLE)))
+                                   AS BIGINT)) // 1000000
+                              END AS BIGINT) AS est_linear
+                  FROM s)
+            SELECT m, n_empty, s_scaled, est_hll, est_linear,
+                   CAST(CASE WHEN n_empty > 0 AND est_hll <= 640
+                        THEN est_linear ELSE est_hll END AS BIGINT) AS est
+            FROM e
+        """,
+        "cms_topk": f"""
+            WITH {_gram_occ_cte(n=1)},
+            rws AS (SELECT unnest(generate_series(0, 3)) AS r),
+            occ AS (SELECT g, r,
+                           {_hex_int_sql("md5(CAST(r AS VARCHAR) || ':' || g)", 1, 8)}
+                           % 512 AS col
+                    FROM gs CROSS JOIN rws),
+            sketch AS (SELECT r, col, count(*) AS cnt
+                       FROM occ GROUP BY r, col),
+            grams AS (SELECT g, count(*) AS true_cnt FROM gs GROUP BY g),
+            probes AS (SELECT g, true_cnt, r,
+                              {_hex_int_sql("md5(CAST(r AS VARCHAR) || ':' || g)", 1, 8)}
+                              % 512 AS col
+                       FROM grams CROSS JOIN rws),
+            mn AS (SELECT g, true_cnt, min(cnt) AS est_min
+                   FROM probes JOIN sketch USING (r, col)
+                   GROUP BY g, true_cnt),
+            rk AS (SELECT g AS gram, CAST(est_min AS BIGINT) AS est,
+                          CAST(true_cnt AS BIGINT) AS true_cnt,
+                          CAST(row_number() OVER (ORDER BY est_min DESC, g)
+                               AS INT) AS rank
+                   FROM mn)
+            SELECT gram, est, true_cnt, rank FROM rk WHERE rank <= 20
+        """,
         # the PDF builder places 'Document <id>' ABOVE the text but emits it
         # SECOND in the content stream — the expected text below is the
         # layout-reassembled reading order, not stream order

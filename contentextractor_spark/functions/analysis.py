@@ -2540,3 +2540,356 @@ def embedding_neardup_lsh(
         .filter(F.round("cos", 4) >= threshold)  # boundary-safe (see above)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketches (r4): fixed-size distributed summaries — the 100 TB tools for
+# sizing and steering the expensive exact jobs (HLL cardinality before
+# provisioning a dedup shuffle; CMS heavy hitters for stop-shingle /
+# boilerplate lists without a full-vocabulary groupBy).  Both are built
+# from md5-derived integer hashes so the DuckDB oracles reproduce every
+# register and counter bit-for-bit; all aggregation is integer and
+# map-side combinable.
+# ---------------------------------------------------------------------------
+
+def _hll_alpha_micro(m: int) -> int:
+    """HyperLogLog bias constant alpha_m = 0.7213/(1 + 1.079/m) (Flajolet
+    et al. 2007, m >= 128), fixed-point in micro-units so the estimate is
+    integer arithmetic end to end — one module-level constant shared with
+    the oracle SQL (the QF_* convention)."""
+    return round(1_000_000 * 0.7213 / (1 + 1.079 / m))
+
+
+def _hll_reg_rho(p: int):
+    """(register, rho) column pair for the gram column `g`.
+
+    register = first p/4 hex digits of md5(g)  (p must be a multiple of 4
+    so the register is a whole-hex-digit prefix — keeps both engines on
+    substring arithmetic instead of bit twiddling);
+    w        = next 8 hex digits as a 32-bit integer;
+    rho      = 33 - bitlength(w), i.e. 1 + count of leading zeros in w's
+               32-bit representation.  Convention: w = 0 yields bitlength
+               1 (both engines render "0") hence rho = 32 — a truncated
+               variant of the textbook rho = 33, identical cross-engine
+               and hit with probability 2^-32 per gram.
+    """
+    if p % 4 != 0 or not 4 <= p <= 12:
+        raise ValueError(f"p must be 4, 8, or 12 (whole hex digits), got {p}")
+    reg = F.expr(f"cast(conv(substring(md5(g), 1, {p // 4}), 16, 10) as bigint)")
+    # hex → binary directly; conv strips leading zeros, so length IS the
+    # bitlength of the 32-bit word ("0" for w = 0, length 1 → rho 32)
+    rho = F.expr(
+        f"cast(33 - length(conv(substring(md5(g), {p // 4 + 1}, 8), 16, 2))"
+        " as bigint)"
+    )
+    return reg, rho
+
+
+def hll_registers(docs: DataFrame, p: int = 8, n: int = 3) -> DataFrame:
+    """HyperLogLog register table over the word n-gram stream: register →
+    max(rho).  This IS the sketch — m = 2^p rows regardless of corpus
+    size, mergeable across any partitioning of the input by the same
+    groupBy(max), which is exactly how you union per-crawl sketches at
+    scale without touching raw data again.
+
+    Scale: one map-side-combinable groupBy over the gram stream; the
+    exchange carries at most m rows per mapper.  No floats anywhere."""
+    reg, rho = _hll_reg_rho(p)
+    return (
+        _gram_stream(docs, n)
+        .select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(docs: DataFrame, p: int = 8, n: int = 3) -> DataFrame:
+    """One-row HyperLogLog cardinality estimate from hll_registers.
+
+    Integer end to end (the micro-unit convention): with S = sum over all
+    m registers of 2^(32 - max_rho) (empty registers contribute 2^32,
+    i.e. rho = 0), the raw estimate is
+
+        est_hll = alpha_micro * ((m^2 * 2^32) div S) div 10^6
+
+    — divisions ordered so every intermediate fits LongType for p <= 12
+    (m^2*2^32 = 2^(2p+32) <= 2^56; div S >= m first, then the ~2^20
+    alpha multiply).  Small-range correction (linear counting): when
+    empty registers exist and est_hll <= 5m/2,
+
+        est_linear = m * floor(10^6 * ln(m / n_empty)) div 10^6 .
+
+    The ln() is the one transcendental; its micro-nat floor carries the
+    same residual 1-ulp boundary risk unigram_surprisal documents.  `est`
+    selects linear counting under the standard condition, else est_hll.
+
+    Accuracy: sigma ~ 1.04/sqrt(m) — 6.5% at p=8; the fixture test checks
+    the estimate lands within 3 sigma of the exact distinct count."""
+    m = 1 << p
+    alpha = _hll_alpha_micro(m)
+    regs = hll_registers(docs, p=p, n=n)
+    filled = regs.agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum(F.expr("cast(pow(2, 32 - max_rho) as bigint)")).alias("s_filled"),
+    )
+    return filled.select(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("n_filled")).cast("long").alias("n_empty"),
+        F.expr(f"s_filled + ({m} - n_filled) * 4294967296").alias("s_scaled"),
+    ).select(
+        "m",
+        "n_empty",
+        "s_scaled",
+        F.expr(
+            f"{alpha} * (({m}L * {m}L * 4294967296L) div s_scaled) div 1000000"
+        ).alias("est_hll"),
+        F.expr(
+            f"case when n_empty > 0 then"
+            f" {m} * cast(floor(1000000 * ln({m} / cast(n_empty as double))) as bigint)"
+            f" div 1000000 else null end"
+        ).alias("est_linear"),
+    ).select(
+        "m",
+        "n_empty",
+        "s_scaled",
+        "est_hll",
+        "est_linear",
+        F.expr(
+            f"case when n_empty > 0 and est_hll <= {5 * m} div 2"
+            f" then est_linear else est_hll end"
+        ).alias("est"),
+    )
+
+
+def cms_sketch(docs: DataFrame, n: int = 3, d: int = 4, w: int = 512) -> DataFrame:
+    """Count-min sketch of the word n-gram OCCURRENCE stream (multiset,
+    not per-doc distinct): d x w counters, cell (i, col_i(g)) summed over
+    every occurrence, col_i(g) = int(md5(i ++ ':' ++ g)[:8 hex]) mod w.
+
+    The d hash rows ride as one codegen'd array-of-structs explode (no
+    higher-order lambdas — the r3 measured catalog); the sketch itself is
+    a map-side-combinable groupBy whose exchange carries at most d*w rows
+    per mapper, and the result (<= d*w rows total) is broadcast-sized by
+    construction, which is the point: at 100 TB the sketch fits in one
+    executor's L2."""
+    stream = _gram_stream(docs, n)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.expr(
+                    f"cast(conv(substring(md5('{i}:' || g), 1, 8), 16, 10)"
+                    f" % {w} as int)"
+                ).alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+    return (
+        stream.select(F.explode(cells).alias("c"))
+        .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_topk(
+    docs: DataFrame,
+    n: int = 3,
+    d: int = 4,
+    w: int = 512,
+    k: int = 20,
+) -> DataFrame:
+    """Heavy-hitter n-grams by count-min estimate: est(g) = min over the d
+    rows of sketch[i, col_i(g)], ranked (est DESC, gram ASC) — the
+    stop-shingle / boilerplate-phrase detector, all-integer so the rank
+    and estimate are engine-exact.
+
+    The candidate set here is the corpus's distinct grams (exact at test
+    scale and it makes est >= true verifiable per gram); at 100 TB you
+    keep the sketch and probe it with a rolled-up or sampled candidate
+    stream instead — the probe side is a broadcast join against <= d*w
+    cells either way, so only candidate enumeration changes.  true_cnt is
+    retained alongside est to surface the sketch's one-sided error
+    (est >= true always; equality iff no collisions on the min row)."""
+    sketch = cms_sketch(docs, n=n, d=d, w=w)
+    grams = _gram_stream(docs, n).groupBy("g").agg(
+        F.count(F.lit(1)).alias("true_cnt")
+    )
+    probes = grams.select(
+        "g",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.expr(
+                            f"cast(conv(substring(md5('{i}:' || g), 1, 8), 16,"
+                            f" 10) % {w} as int)"
+                        ).alias("col"),
+                    )
+                    for i in range(d)
+                ]
+            )
+        ).alias("c"),
+    ).select("g", "true_cnt", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    est = (
+        probes.join(F.broadcast(sketch), ["row", "col"])
+        .groupBy("g", "true_cnt")
+        .agg(F.min("cnt").alias("est"))
+    )
+    # top-k via orderBy().limit(k) → TakeOrderedAndProject (the r3 top-k
+    # convention: per-partition heads + one k-row merge, never an Exchange
+    # SinglePartition), rank derived over the k survivors
+    top = est.orderBy(F.col("est").desc(), F.col("g")).limit(k)
+    wnd = Window.orderBy(F.col("est").desc(), F.col("g"))
+    return top.withColumn("rank", F.row_number().over(wnd)).select(
+        F.col("g").alias("gram"), "est", "true_cnt", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (r4): the memory lever past int8 — 64-dim float
+# vectors compress to m 4-bit codes (64x vs float32) and distance becomes
+# m table lookups (ADC, Jégou et al. 2011).  Codebooks are fixed
+# md5-derived matrices (the _fixed_centers convention) so encoding,
+# lookup tables, and ranks are all oracle-exact cross-engine.
+# ---------------------------------------------------------------------------
+
+def _pq_codebook(m: int, n_centroids: int, sublen: int) -> list[tuple[int, int, list[float]]]:
+    """(sub, cid, center[sublen]) rows; component (s, c, d) ←
+    (byte0(md5("s:c:d")) - 128) / 128 — dyadic rationals, bit-identical
+    when DuckDB rebuilds them from md5 hex text."""
+    import hashlib as _hl
+
+    return [
+        (s, c, [
+            (_hl.md5(f"{s}:{c}:{d}".encode()).digest()[0] - 128) / 128.0
+            for d in range(sublen)
+        ])
+        for s in range(m)
+        for c in range(n_centroids)
+    ]
+
+
+def _pq_subvectors(emb: DataFrame, m: int, sublen: int) -> DataFrame:
+    """(vec_id, sub, subv): each vector sliced into m contiguous
+    subvectors — one codegen'd posexplode over an array of slices, no
+    higher-order lambdas."""
+    slices = F.array(
+        *[F.slice(F.col("emb_d"), s * sublen + 1, sublen) for s in range(m)]
+    )
+    return (
+        emb.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
+        )
+        .select("vec_id", F.posexplode(slices).alias("sub", "subv"))
+    )
+
+
+def _pq_sqdist(a: str, b: str):
+    """Fold-order-exact squared L2 between two array columns (matches
+    DuckDB list_reduce over list_prepend(0.0, ...) term by term — the
+    oracle-anchoring fold; see the r3 rule about NOT swapping these for
+    numpy)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_codes(emb: DataFrame, m: int = 8, n_centroids: int = 16) -> DataFrame:
+    """PQ encoding: (vec_id, sub, code) — each subvector's nearest
+    codebook centroid by squared L2, ties broken on cid.
+
+    Scale: the codebook (m * n_centroids rows) broadcasts; candidates are
+    corpus × n_centroids per subspace but the argmin window partitions on
+    (vec_id, sub) — high cardinality, no single-task sort; the encoded
+    corpus is integer codes only (the 64x memory lever: 64 floats → 8
+    nibbles per vector)."""
+    ndim = _ndim(emb)
+    if ndim % m != 0:
+        raise ValueError(f"ndim {ndim} not divisible by m {m}")
+    sublen = ndim // m
+    cb = emb.sparkSession.createDataFrame(
+        _pq_codebook(m, n_centroids, sublen),
+        "sub int, cid int, center array<double>",
+    )
+    sub = _pq_subvectors(emb, m, sublen)
+    wc = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("cid").asc()
+    )
+    return (
+        sub.join(F.broadcast(cb), "sub")
+        .select("vec_id", "sub", "cid", _pq_sqdist("subv", "center").alias("d2"))
+        .withColumn("rn", F.row_number().over(wc))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sub", F.col("cid").alias("code"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    n_centroids: int = 16,
+) -> DataFrame:
+    """Asymmetric-distance top-k over the PQ-encoded corpus: each query
+    builds an m x n_centroids lookup table of exact subvector distances
+    (ADC — the query side stays unquantized), a neighbor's distance is
+    the sum of its m table entries, rank is (round(dist,4) ASC,
+    neighbor_id) — the knn convention.
+
+    Exactness: each table entry is the shared fold; the per-neighbor sum
+    adds the m entries in FIXED subspace order via conditional aggregates
+    (the bm25 trick — each (query, neighbor, sub) group has exactly one
+    row), so no row-order float drift.  Scale: the lookup tables are
+    n_queries * m * n_centroids rows (broadcast); the join against codes
+    is the only corpus-sized shuffle and carries integers + one double."""
+    ndim = _ndim(emb)
+    sublen = ndim // m
+    cb = emb.sparkSession.createDataFrame(
+        _pq_codebook(m, n_centroids, sublen),
+        "sub int, cid int, center array<double>",
+    )
+    codes = pq_codes(emb, m=m, n_centroids=n_centroids)
+    qsub = _pq_subvectors(emb.filter(F.col("vec_id") < n_queries), m, sublen)
+    adc = (
+        qsub.join(F.broadcast(cb), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            F.col("cid").alias("code"),
+            _pq_sqdist("subv", "center").alias("pdist"),
+        )
+    )
+    joined = codes.join(F.broadcast(adc), ["sub", "code"]).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    # fixed-order sum over subspaces: d0 + d1 + ... + d(m-1)
+    per_sub = [
+        F.sum(F.when(F.col("sub") == s, F.col("pdist"))).alias(f"d{s}")
+        for s in range(m)
+    ]
+    total = None
+    for s in range(m):
+        term = F.col(f"d{s}")
+        total = term if total is None else total + term
+    dists = (
+        joined.groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(*per_sub)
+        .select("query_id", "neighbor_id", total.alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("dist", 4).asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        dists.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("dist", 4).alias("pqdist")
+        )
+    )

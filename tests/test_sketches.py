@@ -1,0 +1,108 @@
+"""r4 sketch family: HyperLogLog cardinality + count-min heavy hitters.
+
+Property tests (the Spark↔DuckDB parity of the driver rows is covered by
+test_entry_oracle): HLL accuracy within the published 3-sigma bound,
+register-table mergeability (the reason the sketch exists at 100 TB),
+the md5-derived register/rho convention against a hashlib reimplementation,
+and CMS's one-sided error (est >= true for every candidate).
+"""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from contentextractor_spark.functions import analysis as A
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # ~6k distinct 3-grams: enough to exercise most of the 256 registers
+    rows = []
+    for d in range(80):
+        toks = [f"t{(d * 37 + i * (d % 11 + 1)) % 900}" for i in range(80)]
+        rows.append((d, " ".join(toks)))
+    return _docs(spark, rows)
+
+
+def _exact_distinct_3grams(corpus) -> int:
+    return (
+        A.shingles(corpus, n=3, dedup=True)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+
+
+def test_hll_estimate_within_3_sigma(corpus):
+    exact = _exact_distinct_3grams(corpus)
+    est = A.hll_estimate(corpus, p=8, n=3).collect()[0]["est"]
+    sigma = 1.04 / math.sqrt(256)
+    assert abs(est - exact) <= 3 * sigma * exact, (est, exact)
+
+
+def test_hll_registers_merge(corpus, spark):
+    """Union-merge semantics: max-combining the register tables of two
+    disjoint halves equals the register table of the whole corpus — the
+    property that lets per-crawl sketches aggregate without re-reading
+    raw data."""
+    full = {
+        (r["register"], r["max_rho"])
+        for r in A.hll_registers(corpus, p=8, n=3).collect()
+    }
+    a = A.hll_registers(corpus.filter(F.col("doc_id") % 2 == 0), p=8, n=3)
+    b = A.hll_registers(corpus.filter(F.col("doc_id") % 2 == 1), p=8, n=3)
+    merged = {
+        (r["register"], r["max_rho"])
+        for r in a.unionAll(b)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .collect()
+    }
+    assert merged == full
+
+
+def test_register_rho_convention(spark):
+    """Pin the hash convention against a hashlib reimplementation:
+    register = first 2 hex digits of md5(g); rho = 33 - bitlength of the
+    next 8 hex digits (w = 0 → rho 32, the documented truncated variant)."""
+    grams = ["alpha beta gamma", "x y z", "one two three"]
+    docs = _docs(spark, [(i, g) for i, g in enumerate(grams)])
+    got = {
+        r["register"]: r["max_rho"]
+        for r in A.hll_registers(docs, p=8, n=3).collect()
+    }
+    expected: dict[int, int] = {}
+    for g in grams:
+        h = hashlib.md5(g.encode()).hexdigest()
+        reg = int(h[:2], 16)
+        w = int(h[2:10], 16)
+        rho = 33 - w.bit_length() if w else 32
+        expected[reg] = max(expected.get(reg, 0), rho)
+    assert got == expected
+
+
+def test_cms_one_sided_error_and_top1(corpus):
+    """est >= true for EVERY candidate (count-min never underestimates),
+    and the sketch's top-1 is the exact top-1 when the estimate gap
+    exceeds collision noise."""
+    n_vocab = (
+        A._gram_stream(corpus, 1).select("g").distinct().count()
+    )
+    rows = A.cms_topk(corpus, n=1, d=4, w=2048, k=n_vocab).collect()
+    assert len(rows) == n_vocab
+    assert all(r["est"] >= r["true_cnt"] for r in rows)
+    top = min(rows, key=lambda r: r["rank"])
+    exact_top = max(rows, key=lambda r: (r["true_cnt"], -r["rank"]))
+    assert top["true_cnt"] == exact_top["true_cnt"]
+
+
+def test_cms_sketch_is_fixed_size(corpus):
+    d, w = 4, 64
+    cells = A.cms_sketch(corpus, n=1, d=d, w=w).count()
+    assert cells <= d * w
