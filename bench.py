@@ -232,6 +232,13 @@ def main() -> None:
         "substring_scrub": lambda: force(
             A.substring_scrub(docs, k=4, min_grams=2)
         ),
+        # r4 sketches + trained PQ (entry-query configurations)
+        "hll_estimate": lambda: force(A.hll_estimate(docs, p=8, n=3)),
+        "cms_topk": lambda: force(A.cms_topk(docs, n=1, d=4, w=512, k=20)),
+        "pq_topk": lambda: force(
+            A.pq_topk(emb, n_queries=10, k=5, m=16, n_centroids=64,
+                      iters=2, shortlist=50)
+        ),
     }
 
     def _extract_links():

@@ -87,19 +87,31 @@ def test_register_rho_convention(spark):
     assert got == expected
 
 
-def test_cms_one_sided_error_and_top1(corpus):
-    """est >= true for EVERY candidate (count-min never underestimates),
-    and the sketch's top-1 is the exact top-1 when the estimate gap
-    exceeds collision noise."""
+def test_cms_one_sided_error_and_top1(corpus, spark):
+    """est >= true for EVERY candidate (count-min never underestimates)
+    on the near-uniform corpus, and on a skewed corpus — where heavy
+    hitters actually exist, i.e. the frequency gap exceeds collision
+    noise — the sketch's top-1 is the exact top-1."""
     n_vocab = (
         A._gram_stream(corpus, 1).select("g").distinct().count()
     )
     rows = A.cms_topk(corpus, n=1, d=4, w=2048, k=n_vocab).collect()
     assert len(rows) == n_vocab
     assert all(r["est"] >= r["true_cnt"] for r in rows)
-    top = min(rows, key=lambda r: r["rank"])
-    exact_top = max(rows, key=lambda r: (r["true_cnt"], -r["rank"]))
-    assert top["true_cnt"] == exact_top["true_cnt"]
+
+    # skewed corpus: "hh" dominates (30 occurrences/doc), tail tokens ~1
+    skewed = _docs(
+        spark,
+        [
+            (d, " ".join(["hh"] * 30 + [f"tail{(d * 17 + i) % 400}" for i in range(20)]))
+            for d in range(50)
+        ],
+    )
+    top = min(
+        A.cms_topk(skewed, n=1, d=4, w=2048, k=5).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert top["gram"] == "hh" and top["true_cnt"] == 1500
 
 
 def test_cms_sketch_is_fixed_size(corpus):
