@@ -2661,6 +2661,24 @@ def hll_estimate(docs: DataFrame, p: int = 8, n: int = 3) -> DataFrame:
     )
 
 
+def _cms_cells(d: int, w: int):
+    """The d (row, col) hash cells for gram column `g` as one codegen'd
+    array-of-structs (shared by the batch sketch, the probe side, and the
+    streaming twin — one hash definition, three consumers)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                F.expr(
+                    f"cast(conv(substring(md5('{i}:' || g), 1, 8), 16, 10)"
+                    f" % {w} as int)"
+                ).alias("col"),
+            )
+            for i in range(d)
+        ]
+    )
+
+
 def cms_sketch(docs: DataFrame, n: int = 3, d: int = 4, w: int = 512) -> DataFrame:
     """Count-min sketch of the word n-gram OCCURRENCE stream (multiset,
     not per-doc distinct): d x w counters, cell (i, col_i(g)) summed over
@@ -2673,20 +2691,8 @@ def cms_sketch(docs: DataFrame, n: int = 3, d: int = 4, w: int = 512) -> DataFra
     construction, which is the point: at 100 TB the sketch fits in one
     executor's L2."""
     stream = _gram_stream(docs, n)
-    cells = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("row"),
-                F.expr(
-                    f"cast(conv(substring(md5('{i}:' || g), 1, 8), 16, 10)"
-                    f" % {w} as int)"
-                ).alias("col"),
-            )
-            for i in range(d)
-        ]
-    )
     return (
-        stream.select(F.explode(cells).alias("c"))
+        stream.select(F.explode(_cms_cells(d, w)).alias("c"))
         .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
         .groupBy("row", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2717,22 +2723,7 @@ def cms_topk(
         F.count(F.lit(1)).alias("true_cnt")
     )
     probes = grams.select(
-        "g",
-        "true_cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("row"),
-                        F.expr(
-                            f"cast(conv(substring(md5('{i}:' || g), 1, 8), 16,"
-                            f" 10) % {w} as int)"
-                        ).alias("col"),
-                    )
-                    for i in range(d)
-                ]
-            )
-        ).alias("c"),
+        "g", "true_cnt", F.explode(_cms_cells(d, w)).alias("c")
     ).select("g", "true_cnt", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
     est = (
         probes.join(F.broadcast(sketch), ["row", "col"])

@@ -184,3 +184,47 @@ def dedup_events_stream(
     return s.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming sketches (r4): the batch sketch aggregations ARE their own
+# streaming merge operators — HLL's groupBy(register).max(rho) and CMS's
+# groupBy(row, col).count() are associative+commutative over any split of
+# the input, so the streaming state is bounded by the sketch size (m rows
+# / d*w cells) no matter how long the stream runs.  This is the property
+# that makes sketches the 100 TB cardinality/frequency tools: a crawl
+# stream keeps a 256-row HLL state forever instead of a distinct-set.
+# ---------------------------------------------------------------------------
+
+def stream_hll_registers(docs_stream: DataFrame, p: int = 8, n: int = 3) -> DataFrame:
+    """Streaming HyperLogLog register table over a `documents`-shaped
+    stream (doc_id, text).  Identical expressions to the batch
+    analysis.hll_registers (shared _hll_reg_rho), so stream == batch on
+    the same rows by construction — tested.  Use outputMode
+    'complete'/'update': state is exactly m = 2^p rows."""
+    from ..functions.analysis import _gram_stream, _hll_reg_rho
+
+    reg, rho = _hll_reg_rho(p)
+    return (
+        _gram_stream(docs_stream, n)
+        .select(reg.alias("register"), rho.alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def stream_cms_sketch(
+    docs_stream: DataFrame, n: int = 1, d: int = 4, w: int = 512
+) -> DataFrame:
+    """Streaming count-min sketch over a documents stream: bounded state
+    (<= d*w counter rows), same _cms_cells hash definition as the batch
+    sketch, so stream == batch on the same rows — tested."""
+    from ..functions.analysis import _cms_cells, _gram_stream
+
+    return (
+        _gram_stream(docs_stream, n)
+        .select(F.explode(_cms_cells(d, w)).alias("c"))
+        .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )

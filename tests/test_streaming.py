@@ -264,3 +264,65 @@ def test_stateless_curation_ops_run_on_streams(spark, tmp_path):
         for r in quality_filter(spark.read.parquet(in_dir)).collect()
     }
     assert got3 == want3
+
+
+def test_stream_sketches_match_batch(spark, tmp_path):
+    """r4: the sketch aggregations are their own streaming merge operators
+    — HLL registers and the CMS counter table computed over a 2-file
+    stream (complete mode, bounded state) must equal the batch sketch on
+    the same rows."""
+    from contentextractor_spark.functions import analysis as A
+    from contentextractor_spark.streaming.stream import (
+        stream_cms_sketch,
+        stream_hll_registers,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    in_dir = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(in_dir)  # two micro-batch candidates
+    batch = spark.read.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+
+    q = (
+        stream_hll_registers(stream, p=8, n=3)
+        .writeStream.format("memory")
+        .queryName("hll_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "hll stream did not finish"
+    got = {
+        (r.register, r.max_rho)
+        for r in spark.sql("SELECT * FROM hll_stream").collect()
+    }
+    want = {
+        (r.register, r.max_rho)
+        for r in A.hll_registers(batch, p=8, n=3).collect()
+    }
+    assert got == want
+    assert len(got) <= 256  # bounded state: never more than m rows
+
+    q2 = (
+        stream_cms_sketch(stream, n=1, d=4, w=64)
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(120), "cms stream did not finish"
+    got2 = {
+        (r.row, r.col, r.cnt)
+        for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    want2 = {
+        (r.row, r.col, r.cnt)
+        for r in A.cms_sketch(batch, n=1, d=4, w=64).collect()
+    }
+    assert got2 == want2
+    assert len(got2) <= 4 * 64
