@@ -359,6 +359,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_queries=10, k=5, m=16, n_centroids=64, iters=2, shortlist=50,
         )
 
+    def ivfpq_topk(spark, sf_dir):
+        # the composed 100 TB ANN path (FAISS IVFPQ): fixed-center coarse
+        # routing (nprobe 3 of 8 lists) over trained PQ codes + exact
+        # rescore — measured 0.82 recall@5 vs exact (the routing caps it;
+        # full-scan pq_topk is 0.94)
+        return A.ivfpq_topk(_emb(spark, sf_dir))
+
     def pdf_extract_roundtrip(spark, sf_dir):
         # PDF/layout member of the extraction family (north rule): build
         # honest PDFs from document text with the two lines emitted in
@@ -1375,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_topk": cms_topk,
         "pq_codes": pq_codes,
         "pq_topk": pq_topk,
+        "ivfpq_topk": ivfpq_topk,
         "pagerank_dangling": pagerank_dangling,
         "substring_dedup": substring_dedup,
         "substring_scrub": substring_scrub,
@@ -1604,6 +1612,46 @@ codes AS (SELECT vec_id, s, cid AS code FROM (
     return "".join(parts)
 
 
+def _ivf_coarse_ctes(n_lists: int = 8, nq: int = 10, nprobe: int = 3) -> str:
+    """Coarse-quantizer CTEs (ccen/cdist/cassigned/cprobes/cand) for the
+    IVFPQ oracle — the same fixed md5 centers and (d2, list) argmin as
+    the ivf_fixed_topk oracle's inline CTEs, renamed to avoid colliding
+    with the PQ codebook CTEs."""
+    byte0 = _hex_int_sql("md5(c || ':' || CAST(d - 1 AS VARCHAR))", 1, 2)
+    return f"""
+ccen AS (
+  SELECT c, list_transform(generate_series(1,
+      (SELECT len(embedding) FROM embeddings LIMIT 1)),
+    d -> (CAST({byte0} AS DOUBLE) - 128) / 128) AS center
+  FROM (SELECT unnest(generate_series(0, {n_lists - 1})) AS c)),
+cdist AS (
+  SELECT vec_id, c,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_transform(generate_series(1, len(embedding)), i ->
+             (CAST(embedding[i] AS DOUBLE) - center[i])
+           * (CAST(embedding[i] AS DOUBLE) - center[i]))),
+           (x, y) -> x + y) AS d2
+  FROM embeddings CROSS JOIN ccen),
+cassigned AS (
+  SELECT vec_id, c AS list_id FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2 ASC, c ASC) AS rn
+    FROM cdist)
+  WHERE rn = 1),
+cprobes AS (
+  SELECT vec_id AS query_id, c AS list_id FROM (
+    SELECT vec_id, c,
+           row_number() OVER (PARTITION BY vec_id
+               ORDER BY d2 ASC, c ASC) AS rn
+    FROM cdist WHERE vec_id < {nq})
+  WHERE rn <= {nprobe}),
+cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM cprobes p JOIN cassigned a USING (list_id))
+"""
+
+
 # (register, rho) per gram — the DuckDB twin of analysis._hll_reg_rho(p=8):
 # register = first 2 hex digits of md5(g); rho = 33 - bitlength of the next
 # 8 hex digits as a 32-bit word (format('{:b}') renders "0" for 0, same as
@@ -1798,6 +1846,51 @@ def oracle_sql() -> dict[str, str]:
                          ON adc.s = codes.s AND adc.code = codes.code
                        WHERE query_id <> codes.vec_id
                        GROUP BY query_id, codes.vec_id),
+            short AS (SELECT query_id, neighbor_id FROM (
+                        SELECT query_id, neighbor_id,
+                               row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adcd ASC, neighbor_id ASC) AS srn
+                        FROM coarse)
+                      WHERE srn <= 50),
+            ex AS (SELECT query_id, neighbor_id,
+                          list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(generate_series(1,
+                                len(eq.embedding)), i ->
+                              (CAST(eq.embedding[i] AS DOUBLE)
+                               - CAST(en.embedding[i] AS DOUBLE))
+                            * (CAST(eq.embedding[i] AS DOUBLE)
+                               - CAST(en.embedding[i] AS DOUBLE)))),
+                            (x, y) -> x + y) AS dist
+                   FROM short
+                   JOIN embeddings eq ON eq.vec_id = short.query_id
+                   JOIN embeddings en ON en.vec_id = short.neighbor_id)
+            SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+                   round(dist, 4) AS pqdist
+            FROM (
+              SELECT query_id, neighbor_id, dist,
+                     row_number() OVER (PARTITION BY query_id
+                         ORDER BY round(dist, 4) ASC, neighbor_id ASC)
+                         AS rank
+              FROM ex)
+            WHERE rank <= 5
+        """,
+        "ivfpq_topk": f"""
+            WITH {_pq_train_ctes()},
+            {_ivf_coarse_ctes()},
+            qsq AS (SELECT vec_id AS query_id, s, subq
+                    FROM sq WHERE vec_id < 10),
+            adc AS (SELECT query_id, s, cid AS code,
+                           {_pq_fold_int("subq", "cen", 4)} AS pdist
+                    FROM qsq JOIN cen2 USING (s)),
+            coarse AS (SELECT a.query_id, codes.vec_id AS neighbor_id,
+                              sum(pdist) AS adcd, count(*) AS m_joined
+                       FROM codes
+                       JOIN cand ON cand.vec_id = codes.vec_id
+                       JOIN adc a ON a.query_id = cand.query_id
+                                 AND a.s = codes.s AND a.code = codes.code
+                       WHERE a.query_id <> codes.vec_id
+                       GROUP BY a.query_id, codes.vec_id
+                       HAVING count(*) = 16),
             short AS (SELECT query_id, neighbor_id FROM (
                         SELECT query_id, neighbor_id,
                                row_number() OVER (PARTITION BY query_id

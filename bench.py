@@ -239,6 +239,7 @@ def main() -> None:
             A.pq_topk(emb, n_queries=10, k=5, m=16, n_centroids=64,
                       iters=2, shortlist=50)
         ),
+        "ivfpq_topk": lambda: force(A.ivfpq_topk(emb)),
     }
 
     def _extract_links():

@@ -2998,3 +2998,110 @@ def _pq_sqdist(a: str, b: str):
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_lists: int = 8,
+    nprobe: int = 3,
+    m: int = 16,
+    n_centroids: int = 64,
+    iters: int = 2,
+    shortlist: int = 50,
+    q: int = PQ_Q,
+) -> DataFrame:
+    """IVF + PQ composed — the shape a 100 TB ANN service actually runs
+    (FAISS IVFPQ): route each query to nprobe of n_lists coarse
+    partitions (fixed md5 centers, the oracle-exact ivf_fixed twin), scan
+    ONLY those lists' PQ codes with the integer ADC tables, then exact-
+    rescore the shortlist.  Corpus-sized work drops from |corpus| ADC
+    sums (pq_topk) to sum of probed-list sizes, and the probed data is
+    integer codes — raw vectors are touched only for shortlist rows.
+
+    Composition is by reuse, not reimplementation: coarse routing shares
+    _fixed_centers/_probe_lists with ivf_fixed_centers_topk; encoding and
+    ADC share pq_train_codebook/_pq_assign/_pq_int_sqdist with pq_topk;
+    the rescore is the same order-exact fold.  Rank convention: integer
+    (adc, vec_id) for the shortlist, (round(dist,4), neighbor_id) for
+    the final k."""
+    ndim = _ndim(emb)
+    sublen = ndim // m
+    # --- coarse quantizer: assignment (nprobe=1 over all) + query probes
+    vecs = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb_d")
+    )
+    centers_df = emb.sparkSession.createDataFrame(
+        [(i, row) for i, row in enumerate(_fixed_centers(n_lists, ndim))],
+        "list_id int, center array<double>",
+    )
+    assigned = _probe_lists(
+        vecs.select(F.col("vec_id").alias("query_id"), F.col("emb_d").alias("qe")),
+        centers_df,
+        nprobe=1,
+    ).select(F.col("query_id").alias("vec_id"), "list_id")
+    qdf = vecs.select(
+        F.col("vec_id").alias("query_id"), F.col("emb_d").alias("qe")
+    ).filter(F.col("query_id") < n_queries)
+    probes = _probe_lists(qdf, centers_df, nprobe).select("query_id", "list_id")
+    # --- PQ side: trained codebook, corpus codes, query ADC tables
+    cen = pq_train_codebook(emb, m=m, n_centroids=n_centroids, iters=iters, q=q)
+    subq = _pq_subq(emb, m, sublen, q)
+    codes = _pq_assign(subq, cen).select(
+        "vec_id", "sub", F.col("cid").alias("code")
+    )
+    qsub = _pq_subq(emb.filter(F.col("vec_id") < n_queries), m, sublen, q)
+    adc = qsub.join(F.broadcast(cen), "sub").select(
+        F.col("vec_id").alias("query_id"),
+        "sub",
+        F.col("cid").alias("code"),
+        _pq_int_sqdist("subq", "cen").alias("pdist"),
+    )
+    # --- candidates: only vectors in a probed list of that query
+    cand = F.broadcast(probes).join(assigned, "list_id").select(
+        "query_id", "vec_id"
+    )
+    coarse = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(adc), ["query_id", "sub", "code"])
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("pdist").alias("adc"), F.count(F.lit(1)).alias("__m"))
+        .filter(F.col("__m") == m)  # guard: all m subspaces joined
+        .drop("__m")
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    short = (
+        coarse.withColumn("srn", F.row_number().over(ws))
+        .filter(F.col("srn") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    ed = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    exact = (
+        short.join(
+            ed.select(F.col("vec_id").alias("query_id"), F.col("e").alias("qe")),
+            "query_id",
+        )
+        .join(
+            ed.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("e").alias("ne")
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", _pq_sqdist("qe", "ne").alias("dist"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.round("dist", 4).asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "rank", F.round("dist", 4).alias("pqdist")
+        )
+    )

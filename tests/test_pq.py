@@ -120,3 +120,22 @@ def test_rank_spread_init_uses_data_points(spark):
         src_vec = (c * 10) // 5  # rank-spread pick
         want = [round(src_vec / 10 * 4096)] * 4
         assert cb[(0, c)] == want and cb[(1, c)] == want
+
+
+def test_ivfpq_recall_on_clustered(emb):
+    """IVF routing composed over the PQ codes: on clustered data the
+    nprobe lists contain the true neighbors (same-cluster vectors land in
+    the same coarse list), so composed recall stays high."""
+    df, M = emb
+    res = A.ivfpq_topk(df, n_queries=10, k=5, n_lists=4, nprobe=2,
+                       m=8, n_centroids=16, iters=2, shortlist=50).collect()
+    byq = {}
+    for r in res:
+        byq.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = tot = 0
+    for q in range(10):
+        d = ((M - M[q]) ** 2).sum(-1)
+        true = [i for i in np.argsort(d, kind="stable") if i != q][:5]
+        hits += len(byq.get(q, set()) & set(true))
+        tot += 5
+    assert hits / tot >= 0.8, hits / tot
