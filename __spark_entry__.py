@@ -366,6 +366,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # full-scan pq_topk is 0.94)
         return A.ivfpq_topk(_emb(spark, sf_dir))
 
+    def bloom_decontaminate(spark, sf_dir):
+        # fixed-size-bitmap leakage check: bench side (doc_id < 20, the
+        # decontaminate convention) compresses to a 3x4096 partitioned
+        # bloom; bloom_hits >= exact_hits carried per doc so the false-
+        # positive margin is observable, never silent
+        docs = _docs(spark, sf_dir)
+        return A.bloom_decontaminate(
+            docs, docs.filter(F.col("doc_id") < 20), n=3, n_hashes=3,
+            n_bits=4096,
+        )
+
     def pdf_extract_roundtrip(spark, sf_dir):
         # PDF/layout member of the extraction family (north rule): build
         # honest PDFs from document text with the two lines emitted in
@@ -1383,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_codes": pq_codes,
         "pq_topk": pq_topk,
         "ivfpq_topk": ivfpq_topk,
+        "bloom_decontaminate": bloom_decontaminate,
         "pagerank_dangling": pagerank_dangling,
         "substring_dedup": substring_dedup,
         "substring_scrub": substring_scrub,
@@ -1537,12 +1549,12 @@ def _gram_occ_cte(src: str = "documents", n: int = 3) -> str:
     if n == 1:
         return f"""
 w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
-gs AS (SELECT unnest(ws) AS g FROM w)
+gs AS (SELECT doc_id, unnest(ws) AS g FROM w)
 """
     gram = " || ' ' || ".join(f"ws[i+{j}]" if j else "ws[i]" for j in range(n))
     return f"""
 w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
-gs AS (SELECT unnest(list_transform(generate_series(1, len(ws) - {n - 1}),
+gs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - {n - 1}),
               i -> {gram})) AS g
        FROM w WHERE len(ws) >= {n})
 """
@@ -1824,6 +1836,28 @@ bands AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bloom_decontaminate": f"""
+            WITH {_gram_occ_cte()},
+            rws AS (SELECT unnest(generate_series(0, 2)) AS r),
+            bex AS (SELECT DISTINCT g FROM gs WHERE doc_id < 20),
+            bpos AS (SELECT DISTINCT r,
+                            {_hex_int_sql("md5(CAST(r AS VARCHAR) || ':' || g)", 1, 8)}
+                            % 4096 AS col
+                     FROM bex CROSS JOIN rws),
+            pr AS (SELECT doc_id, g, r,
+                          {_hex_int_sql("md5(CAST(r AS VARCHAR) || ':' || g)", 1, 8)}
+                          % 4096 AS col
+                   FROM gs CROSS JOIN rws),
+            pos AS (SELECT doc_id, g
+                    FROM pr JOIN bpos USING (r, col)
+                    GROUP BY doc_id, g
+                    HAVING count(DISTINCT r) = 3)
+            SELECT doc_id,
+                   CAST(count(DISTINCT g) AS BIGINT) AS bloom_hits,
+                   CAST(count(DISTINCT CASE WHEN g IN (SELECT g FROM bex)
+                        THEN g END) AS BIGINT) AS exact_hits
+            FROM pos GROUP BY doc_id
+        """,
         # ------------------------------------------------------------------
         # r4 product quantization — fixed md5 codebooks, fold-order-exact
         # distances, fixed-subspace-order ADC sums

@@ -240,6 +240,9 @@ def main() -> None:
                       iters=2, shortlist=50)
         ),
         "ivfpq_topk": lambda: force(A.ivfpq_topk(emb)),
+        "bloom_decontaminate": lambda: force(
+            A.bloom_decontaminate(docs, docs.filter(F.col("doc_id") < 20))
+        ),
     }
 
     def _extract_links():

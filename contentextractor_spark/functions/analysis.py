@@ -3105,3 +3105,64 @@ def ivfpq_topk(
             "query_id", "neighbor_id", "rank", F.round("dist", 4).alias("pqdist")
         )
     )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    n_hashes: int = 3,
+    n_bits: int = 4096,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the fixed-size variant of
+    `decontaminate`: the bench side compresses to a partitioned bloom
+    bitmap (n_hashes rows x n_bits cols, reusing the _cms_cells hash
+    definition) whose broadcast is <= n_hashes * n_bits SET-POSITION rows
+    no matter how many shingles the eval suite has; `decontaminate`
+    broadcasts the bench shingle set itself, which grows with the suite.
+
+    A corpus shingle is a bloom POSITIVE when all n_hashes of its
+    positions are set.  Bloom positives include false positives by
+    design, so the result carries both counts per document —
+    (doc_id, bloom_hits, exact_hits), bloom_hits >= exact_hits — making
+    the FP rate observable instead of silent (the no-silent-caps
+    convention).  At the entry defaults the fixture measures a nonzero
+    FP margin, which is the honest behavior of a 12-kbit filter; size
+    n_bits to the bench shingle count for a target FP rate
+    (~(fill_ratio)^n_hashes per probe).
+
+    Scale: bench positions and the exact shingle set both broadcast; the
+    corpus-side exchange is one (doc_id, g) aggregation bounded by the
+    actual hit volume — no corpus-wide shuffle of the shingle stream."""
+    bench_sh = shingles(bench, n=n).select("shingle")
+    bloom = (
+        bench_sh.select(F.col("shingle").alias("g"))
+        .select(F.explode(_cms_cells(n_hashes, n_bits)).alias("c"))
+        .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .distinct()
+    )
+    exact = bench_sh.distinct().withColumnRenamed("shingle", "g")
+    corpus = _gram_stream(docs, n)
+    probes = corpus.select(
+        "doc_id", "g", F.explode(_cms_cells(n_hashes, n_bits)).alias("c")
+    ).select("doc_id", "g", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    positives = (
+        probes.join(F.broadcast(bloom), ["row", "col"])
+        .groupBy("doc_id", "g")
+        .agg(F.countDistinct("row").alias("nh"))
+        .filter(F.col("nh") == n_hashes)
+        .select("doc_id", "g")
+    )
+    flagged = positives.join(
+        F.broadcast(exact.withColumn("__exact", F.lit(1))), "g", "left"
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("bloom_hits"),
+            F.countDistinct(F.when(F.col("__exact") == 1, F.col("g"))).alias(
+                "exact_hits"
+            ),
+        )
+        .filter(F.col("bloom_hits") >= 1)
+    )

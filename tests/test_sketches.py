@@ -118,3 +118,29 @@ def test_cms_sketch_is_fixed_size(corpus):
     d, w = 4, 64
     cells = A.cms_sketch(corpus, n=1, d=d, w=w).count()
     assert cells <= d * w
+
+
+def test_bloom_decontaminate_never_misses(spark):
+    """The bloom guarantee: every document the EXACT decontaminate flags
+    (>=1 shared shingle with the bench) must appear in the bloom result
+    with exact_hits >= 1 — false positives allowed, false negatives
+    never; and bloom_hits >= exact_hits row by row."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(
+        120
+    )
+    from pyspark.sql import functions as F
+
+    bench = docs.filter(F.col("doc_id") < 10)
+    exact = {
+        r["doc_id"]
+        for r in A.decontaminate(docs, bench, n=3, min_overlap=1).collect()
+    }
+    bloom = {
+        r["doc_id"]: (r["bloom_hits"], r["exact_hits"])
+        for r in A.bloom_decontaminate(
+            docs, bench, n=3, n_hashes=3, n_bits=4096
+        ).collect()
+    }
+    assert exact <= set(bloom), exact - set(bloom)
+    assert all(b >= e for b, e in bloom.values())
+    assert all(bloom[d][1] >= 1 for d in exact)
