@@ -377,6 +377,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_bits=4096,
         )
 
+    def bpe_merges(spark, sf_dir):
+        # r4 tokenizer training: the original BPE recipe distributed —
+        # corpus compresses to word counts once, then 6 argmax-pair merge
+        # steps run on the vocabulary; the learned merge table is the row
+        return A.bpe_merges(_docs(spark, sf_dir), n_merges=6)
+
+    def bpe_token_counts(spark, sf_dir):
+        # apply the trained BPE by broadcast vocab lookup: per-doc token
+        # counts under the learned 6-merge vocabulary
+        return A.bpe_token_counts(_docs(spark, sf_dir), n_merges=6)
+
     def pdf_extract_roundtrip(spark, sf_dir):
         # PDF/layout member of the extraction family (north rule): build
         # honest PDFs from document text with the two lines emitted in
@@ -1395,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": pq_topk,
         "ivfpq_topk": ivfpq_topk,
         "bloom_decontaminate": bloom_decontaminate,
+        "bpe_merges": bpe_merges,
+        "bpe_token_counts": bpe_token_counts,
         "pagerank_dangling": pagerank_dangling,
         "substring_dedup": substring_dedup,
         "substring_scrub": substring_scrub,
@@ -1621,6 +1634,50 @@ codes AS (SELECT vec_id, s, cid AS code FROM (
                        ORDER BY {fold} ASC, p.cid ASC) AS rn
             FROM sq JOIN cen{iters} p USING (s))
           WHERE rn = 1)""")
+    return "".join(parts)
+
+
+def _bpe_fold_sql(prev: str) -> str:
+    """DuckDB twin of analysis._bpe_merge_fold over w{prev}'s symbol
+    string — greedy-leftmost single-merge application, lft/rgt captured
+    from the LEFT JOIN ON TRUE of that step's 1-row merge table."""
+    return (
+        "list_reduce(list_prepend('', string_split(s, chr(31))),"
+        " (acc, v) -> CASE"
+        " WHEN rgt IS NOT NULL AND v = rgt"
+        "  AND (acc = lft OR ends_with(acc, chr(31) || lft))"
+        " THEN CASE WHEN acc = lft THEN lft || rgt"
+        "      ELSE left(acc, length(acc) - length(lft) - 1)"
+        "           || chr(31) || lft || rgt END"
+        " ELSE CASE WHEN acc = '' THEN v"
+        "      ELSE acc || chr(31) || v END END)"
+    )
+
+
+def _bpe_ctes(n_merges: int = 6) -> str:
+    """Unrolled BPE training levels (the pagerank CTE convention): w0 =
+    char-split vocab with counts; per step t, pair stats p{t} → 1-row
+    argmax m{t} (pc DESC, a, b) → merged vocab w{t}.  Twin of
+    analysis._bpe_train."""
+    parts = ["""
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS g
+        FROM documents),
+w0 AS (SELECT g, CAST(count(*) AS BIGINT) AS wc,
+              array_to_string(list_transform(
+                  generate_series(1, length(g)), i -> g[i]), chr(31)) AS s
+       FROM tok GROUP BY g)"""]
+    for t in range(1, n_merges + 1):
+        parts.append(f""",
+pp{t} AS (SELECT wc, sy, unnest(generate_series(1, len(sy) - 1)) AS i
+          FROM (SELECT wc, string_split(s, chr(31)) AS sy FROM w{t - 1})
+          WHERE len(sy) >= 2),
+p{t} AS (SELECT sy[i] AS a, sy[i + 1] AS b,
+                CAST(sum(wc) AS BIGINT) AS pc
+         FROM pp{t} GROUP BY a, b),
+m{t} AS (SELECT {t} AS step, a AS lft, b AS rgt, pc
+         FROM p{t} ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+w{t} AS (SELECT g, wc, {_bpe_fold_sql(f"w{t - 1}")} AS s
+         FROM w{t - 1} LEFT JOIN m{t} ON TRUE)""")
     return "".join(parts)
 
 
@@ -1857,6 +1914,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT CASE WHEN g IN (SELECT g FROM bex)
                         THEN g END) AS BIGINT) AS exact_hits
             FROM pos GROUP BY doc_id
+        """,
+        "bpe_merges": f"""
+            WITH {_bpe_ctes(6)}
+            SELECT step, lft AS "left", rgt AS "right", pair_count
+            FROM (SELECT step, lft, rgt, pc AS pair_count FROM m1
+                  UNION ALL SELECT step, lft, rgt, pc FROM m2
+                  UNION ALL SELECT step, lft, rgt, pc FROM m3
+                  UNION ALL SELECT step, lft, rgt, pc FROM m4
+                  UNION ALL SELECT step, lft, rgt, pc FROM m5
+                  UNION ALL SELECT step, lft, rgt, pc FROM m6)
+        """,
+        "bpe_token_counts": f"""
+            WITH {_bpe_ctes(6)},
+            pw AS (SELECT g,
+                          CAST(length(s) - length(replace(s, chr(31), ''))
+                               + 1 AS BIGINT) AS n_sub
+                   FROM w6)
+            SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_tokens_bpe
+            FROM tok JOIN pw USING (g)
+            GROUP BY doc_id
         """,
         # ------------------------------------------------------------------
         # r4 product quantization — fixed md5 codebooks, fold-order-exact

@@ -243,6 +243,7 @@ def main() -> None:
         "bloom_decontaminate": lambda: force(
             A.bloom_decontaminate(docs, docs.filter(F.col("doc_id") < 20))
         ),
+        "bpe_token_counts": lambda: force(A.bpe_token_counts(docs, n_merges=6)),
     }
 
     def _extract_links():

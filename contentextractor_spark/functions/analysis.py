@@ -3166,3 +3166,144 @@ def bloom_decontaminate(
         )
         .filter(F.col("bloom_hits") >= 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (r4): the original byte-pair-encoding recipe
+# (Sennrich et al. 2016) in its distributed form.  The ONLY corpus-sized
+# stage is the word count (one map-side-combinable groupBy); everything
+# after — pair statistics, argmax, merge application — runs on the
+# VOCABULARY (distinct words x frequency), which is what makes BPE
+# trainable at 100 TB: the corpus compresses to word counts once, and
+# applying the learned merges to the corpus is a broadcast vocab join.
+#
+# Exactness: symbol sequences are chr(31)-joined strings folded by an
+# IDENTICAL greedy-leftmost string fold in Spark and DuckDB (list_reduce
+# with '' prepended); pair counts and ranks are integers; the argmax pair
+# tie-breaks (count DESC, left ASC, right ASC).  Symbols never contain
+# chr(31) (words come from whitespace tokenization).
+# ---------------------------------------------------------------------------
+
+def _bpe_merge_fold(syms_col: str, ma: str, mb: str) -> str:
+    """Spark SQL fold applying ONE merge (ma, mb) greedily left-to-right
+    over a symbol array, producing the chr(31)-joined merged string.
+    NULL ma/mb (no pair left to merge) degrades to a plain re-join."""
+    sep = "char(31)"
+    return (
+        f"aggregate({syms_col}, '', (acc, v) -> CASE"
+        f" WHEN {mb} IS NOT NULL AND v = {mb}"
+        f"  AND (acc = {ma} OR endswith(acc, concat({sep}, {ma})))"
+        f" THEN CASE WHEN acc = {ma} THEN concat({ma}, {mb})"
+        f"      ELSE concat(substring(acc, 1,"
+        f"           length(acc) - length({ma}) - 1),"
+        f"           {sep}, {ma}, {mb}) END"
+        f" ELSE CASE WHEN acc = '' THEN v"
+        f"      ELSE concat(acc, {sep}, v) END END)"
+    )
+
+
+def _bpe_adjacent_pairs(words: DataFrame) -> DataFrame:
+    """(a, b, wc): adjacent symbol pairs of each vocab word, weighted by
+    word count — the arrays_zip shifted-slice form (no lambdas)."""
+    syms = F.split(F.col("s"), "\x1f")
+    z = F.arrays_zip(
+        syms, F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(1)))
+    )
+    return (
+        words.filter(F.size(syms) >= 2)
+        .select("wc", F.explode(z).alias("p"))
+        .filter(F.col("p").getItem("1").isNotNull())
+        .select(
+            F.col("p").getItem("0").alias("a"),
+            F.col("p").getItem("1").alias("b"),
+            "wc",
+        )
+    )
+
+
+def _bpe_train(docs: DataFrame, n_merges: int):
+    """Returns (merge_steps, words): merge_steps is a list of 1-row DFs
+    (step, left, right, pair_count); words is the final vocab
+    (g, wc, s) with s the merged chr(31)-joined symbol string."""
+    vocab = (
+        _gram_stream(docs, 1)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    words = vocab.select(
+        "g",
+        "wc",
+        F.expr(
+            "array_join(transform(sequence(1, length(g)),"
+            " i -> substring(g, i, 1)), char(31))"
+        ).alias("s"),
+    ).localCheckpoint()
+    steps = []
+    for t in range(1, n_merges + 1):
+        pc = _bpe_adjacent_pairs(words).groupBy("a", "b").agg(
+            F.sum("wc").alias("pc")
+        )
+        top = (
+            pc.orderBy(F.col("pc").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .select(
+                F.lit(t).alias("step"),
+                F.col("a").alias("left"),
+                F.col("b").alias("right"),
+                F.col("pc").alias("pair_count"),
+            )
+            .localCheckpoint()
+        )
+        steps.append(top)
+        topd = top.select(
+            F.lit(1).alias("__k"),
+            F.col("left").alias("__ma"),
+            F.col("right").alias("__mb"),
+        )
+        words = (
+            words.withColumn("__k", F.lit(1))
+            .join(F.broadcast(topd), "__k", "left")
+            .select(
+                "g",
+                "wc",
+                F.expr(
+                    _bpe_merge_fold("split(s, char(31))", "__ma", "__mb")
+                ).alias("s"),
+            )
+        ).localCheckpoint()
+    return steps, words
+
+
+def bpe_merges(docs: DataFrame, n_merges: int = 6) -> DataFrame:
+    """The learned BPE merge table: (step, left, right, pair_count) —
+    n_merges rows, each the frequency-argmax adjacent symbol pair at that
+    step (ties on (left, right)).  Training state is vocabulary-sized;
+    see the module comment for the 100 TB decomposition."""
+    if n_merges < 1:
+        raise ValueError("n_merges must be >= 1")
+    steps, _ = _bpe_train(docs, n_merges)
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionAll(s)
+    return out
+
+
+def bpe_token_counts(docs: DataFrame, n_merges: int = 6) -> DataFrame:
+    """(doc_id, n_tokens_bpe): per-document token count under the trained
+    BPE vocabulary — corpus word stream joined against the broadcast
+    tokenized vocab (the standard apply-BPE-by-lookup), summed per doc.
+    The corpus is touched exactly twice (word count + this join), both
+    map-side-combinable."""
+    _, words = _bpe_train(docs, n_merges)
+    per_word = words.select(
+        "g",
+        F.expr(
+            "cast(length(s) - length(replace(s, char(31), '')) + 1 as bigint)"
+        ).alias("n_sub"),
+    )
+    return (
+        _gram_stream(docs, 1)
+        .join(F.broadcast(per_word), "g")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").alias("n_tokens_bpe"))
+    )

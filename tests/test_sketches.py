@@ -144,3 +144,44 @@ def test_bloom_decontaminate_never_misses(spark):
     assert exact <= set(bloom), exact - set(bloom)
     assert all(b >= e for b, e in bloom.values())
     assert all(bloom[d][1] >= 1 for d in exact)
+
+
+def _bpe_docs(spark, texts):
+    return _docs(spark, list(enumerate(texts)))
+
+
+def test_bpe_hand_golden(spark):
+    """Hand-computable training: 'aa ab aa' — pair (a,a) has weight 2 and
+    wins step 1; after merging, only (a,b) remains for step 2."""
+    docs = _bpe_docs(spark, ["aa ab aa"])
+    got = [(r["step"], r["left"], r["right"], r["pair_count"])
+           for r in A.bpe_merges(docs, n_merges=2).collect()]
+    assert got == [(1, "a", "a", 2), (2, "a", "b", 1)]
+    counts = {r["doc_id"]: r["n_tokens_bpe"]
+              for r in A.bpe_token_counts(docs, n_merges=2).collect()}
+    assert counts == {0: 3}  # aa→1, ab→1, aa→1
+
+
+def test_bpe_greedy_leftmost(spark):
+    """'aaa' under merge (a,a) must become [aa, a] (leftmost pair first,
+    no overlap), so the step-2 argmax is (aa, a)."""
+    docs = _bpe_docs(spark, ["aaa aaa"])
+    got = [(r["step"], r["left"], r["right"], r["pair_count"])
+           for r in A.bpe_merges(docs, n_merges=2).collect()]
+    assert got == [(1, "a", "a", 4), (2, "aa", "a", 2)]
+    counts = {r["doc_id"]: r["n_tokens_bpe"]
+              for r in A.bpe_token_counts(docs, n_merges=2).collect()}
+    assert counts == {0: 2}  # each 'aaa' is one token after both merges
+
+
+def test_bpe_merge_reduces_token_count(spark):
+    """More merges can never increase the corpus token count, and with 0
+    merges the count equals the character count of the word stream."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    c0 = {r["doc_id"]: r["n_tokens_bpe"]
+          for r in A.bpe_token_counts(docs, n_merges=0).collect()}
+    c4 = {r["doc_id"]: r["n_tokens_bpe"]
+          for r in A.bpe_token_counts(docs, n_merges=4).collect()}
+    assert set(c0) == set(c4)
+    assert all(c4[d] <= c0[d] for d in c0)
+    assert any(c4[d] < c0[d] for d in c0)
