@@ -2786,34 +2786,89 @@ def _pq_subq(emb: DataFrame, m: int, sublen: int, q: int = PQ_Q) -> DataFrame:
             for s in range(m)
         ]
     )
-    return emb.select("vec_id", F.posexplode(slices).alias("sub", "subq"))
+    out = emb.select("vec_id", F.posexplode(slices).alias("sub", "subq"))
+    # the downstream broadcast-join expands this stream x n_centroids; a
+    # narrow-input table (the sf fixtures arrive as ONE parquet partition)
+    # would run that expansion single-threaded — spread the cheap integer
+    # rows BEFORE the expansion (measured r4: 4.6 s -> sub-second assign).
+    # At real scale the input is already wide and this exchange is small
+    # relative to the expansion it parallelizes.
+    sc = emb.sparkSession.sparkContext
+    if emb.rdd.getNumPartitions() < sc.defaultParallelism:
+        out = out.repartition(sc.defaultParallelism, "vec_id", "sub")
+    return out
 
 
-def _pq_int_sqdist(a: str, b: str):
-    """Integer squared L2 between two array<bigint> columns — exact and
-    order-free (no float in sight)."""
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
+def _pq_int_sqdist(a: str, b: str, sublen: int):
+    """Integer squared L2 between two array<bigint> columns as an EXPLICIT
+    codegen'd sum (element_at terms) — integer addition is order-free, so
+    unlike the float oracle folds this can skip the interpreted
+    aggregate/zip_with lambda (measured r4: the lambda form put pq_topk
+    at 16.4 s at sf0.1; corpus x centroids x sublen interpreted evals are
+    the cost)."""
+    terms = " + ".join(
+        f"(element_at({a}, {i}) - element_at({b}, {i}))"
+        f" * (element_at({a}, {i}) - element_at({b}, {i}))"
+        for i in range(1, sublen + 1)
     )
+    return F.expr(f"cast({terms} as bigint)")
 
 
-def _pq_assign(subq: DataFrame, cen: DataFrame) -> DataFrame:
-    """(vec_id, sub, cid, subq): nearest centroid per subvector by integer
-    L2, ties on cid — the argmin window partitions on (vec_id, sub), high
-    cardinality, never a single-task sort."""
-    w = Window.partitionBy("vec_id", "sub").orderBy(
-        F.col("d2").asc(), F.col("cid").asc()
+_PQ_PACK = 1 << 20  # argmin packing shift; requires n_centroids < 2^20
+
+
+def _pq_assign(
+    subq: DataFrame, cen: DataFrame, sublen: int, with_components: bool = False
+) -> DataFrame:
+    """(vec_id, sub, cid): nearest centroid per subvector by integer L2,
+    ties on cid.
+
+    The argmin is min(d2 * 2^20 + cid) — ONE bigint min, which plans as a
+    fully codegen'd HashAggregate with a map-side partial combine, so the
+    corpus x n_centroids candidate stream reduces to one row per
+    (vec_id, sub) BEFORE any exchange.  Two rejected forms, both measured
+    r4 at sf0.1: a row_number window sorted the full candidate stream
+    (the sort, not the distance arithmetic, was the cost); min(struct(d2,
+    cid)) + first(subq) planned as SortAggregate + ObjectHashAggregate (a
+    struct Min has no mutable codegen buffer) — 9 Sorts in the ivfpq plan
+    and a 2.6x wall regression.  The packing is exact: d2 <= sublen*(2q)^2
+    stays under 2^43 for any real ndim, so packed < 2^63; min-packed =
+    (min d2, tie min cid), identical to the lexicographic tie-break the
+    DuckDB oracle replicates.
+
+    with_components=True adds c1..c{sublen} (the subvector values) to the
+    output — every candidate row of a group carries the identical
+    subvector, so first() is deterministic here, and first() over
+    fixed-width longs stays inside the same codegen'd HashAggregate (the
+    alternative, a join-back on (vec_id, sub), cost two extra shuffles
+    per training iteration)."""
+    comp = [
+        F.element_at("subq", i).alias(f"c{i}") for i in range(1, sublen + 1)
+    ]
+    cand = subq.join(F.broadcast(cen), "sub").select(
+        "vec_id",
+        "sub",
+        (
+            _pq_int_sqdist("subq", "cen", sublen) * F.lit(_PQ_PACK)
+            + F.col("cid")
+        ).alias("packed"),
+        *(comp if with_components else []),
     )
+    aggs = [F.min("packed").alias("packed")] + (
+        [F.first(f"c{i}").alias(f"c{i}") for i in range(1, sublen + 1)]
+        if with_components
+        else []
+    )
+    keep = [f"c{i}" for i in range(1, sublen + 1)] if with_components else []
     return (
-        subq.join(F.broadcast(cen), "sub")
+        cand.groupBy("vec_id", "sub")
+        .agg(*aggs)
         .select(
-            "vec_id", "sub", "cid", "subq", _pq_int_sqdist("subq", "cen").alias("d2")
+            "vec_id",
+            "sub",
+            (F.col("packed") % _PQ_PACK).cast("int").alias("cid"),
+            *keep,
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "d2")
     )
 
 
@@ -2843,6 +2898,8 @@ def pq_train_codebook(
     ndim = _ndim(emb)
     if ndim % m != 0:
         raise ValueError(f"ndim {ndim} not divisible by m {m}")
+    if n_centroids >= _PQ_PACK:
+        raise ValueError(f"n_centroids {n_centroids} >= packing bound {_PQ_PACK}")
     sublen = ndim // m
     subq = _pq_subq(emb, m, sublen, q).localCheckpoint()
     n = emb.select(F.count(F.lit(1)).alias("__n"))
@@ -2862,19 +2919,29 @@ def pq_train_codebook(
         .select("sub", "cid", F.col("subq").alias("cen"))
     ).localCheckpoint()
     for _ in range(iters):
-        assigned = _pq_assign(subq, cen)
+        assigned = _pq_assign(subq, cen, sublen, with_components=True)
+        # element-wise mean as ONE codegen'd hashagg: sublen per-index
+        # sums + a count, assembled index-ordered with F.array (an earlier
+        # posexplode -> groupBy(sub,cid,d) -> collect_list(struct) form
+        # cost an extra shuffle plus an ObjectHashAggregate per iteration)
         means = (
-            assigned.select(
-                "sub", "cid", F.posexplode(F.col("subq")).alias("d", "val")
-            )
-            .groupBy("sub", "cid", "d")
-            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("cnt"))
-            .groupBy("sub", "cid")
+            assigned.groupBy("sub", "cid")
             .agg(
-                F.expr(
-                    f"transform(array_sort(collect_list(struct(d, "
-                    f"(sm + {q} * cnt) div cnt - {q} as mv))), x -> x.mv)"
-                ).alias("new_cen")
+                F.count(F.lit(1)).alias("cnt"),
+                *[
+                    F.sum(f"c{i}").alias(f"s{i}")
+                    for i in range(1, sublen + 1)
+                ],
+            )
+            .select(
+                "sub",
+                "cid",
+                F.array(
+                    *[
+                        F.expr(f"(s{i} + {q} * cnt) div cnt - {q}")
+                        for i in range(1, sublen + 1)
+                    ]
+                ).alias("new_cen"),
             )
         )
         cen = (
@@ -2901,7 +2968,7 @@ def pq_codes(
     sublen = _ndim(emb) // m
     cen = pq_train_codebook(emb, m=m, n_centroids=n_centroids, iters=iters, q=q)
     subq = _pq_subq(emb, m, sublen, q)
-    return _pq_assign(subq, cen).select(
+    return _pq_assign(subq, cen, sublen).select(
         "vec_id", "sub", F.col("cid").alias("code")
     )
 
@@ -2933,7 +3000,7 @@ def pq_topk(
     sublen = _ndim(emb) // m
     cen = pq_train_codebook(emb, m=m, n_centroids=n_centroids, iters=iters, q=q)
     subq = _pq_subq(emb, m, sublen, q)
-    codes = _pq_assign(subq, cen).select(
+    codes = _pq_assign(subq, cen, sublen).select(
         "vec_id", "sub", F.col("cid").alias("code")
     )
     qsub = _pq_subq(emb.filter(F.col("vec_id") < n_queries), m, sublen, q)
@@ -2943,7 +3010,7 @@ def pq_topk(
             F.col("vec_id").alias("query_id"),
             "sub",
             F.col("cid").alias("code"),
-            _pq_int_sqdist("subq", "cen").alias("pdist"),
+            _pq_int_sqdist("subq", "cen", sublen).alias("pdist"),
         )
     )
     coarse = (
@@ -3048,7 +3115,7 @@ def ivfpq_topk(
     # --- PQ side: trained codebook, corpus codes, query ADC tables
     cen = pq_train_codebook(emb, m=m, n_centroids=n_centroids, iters=iters, q=q)
     subq = _pq_subq(emb, m, sublen, q)
-    codes = _pq_assign(subq, cen).select(
+    codes = _pq_assign(subq, cen, sublen).select(
         "vec_id", "sub", F.col("cid").alias("code")
     )
     qsub = _pq_subq(emb.filter(F.col("vec_id") < n_queries), m, sublen, q)
@@ -3056,7 +3123,7 @@ def ivfpq_topk(
         F.col("vec_id").alias("query_id"),
         "sub",
         F.col("cid").alias("code"),
-        _pq_int_sqdist("subq", "cen").alias("pdist"),
+        _pq_int_sqdist("subq", "cen", sublen).alias("pdist"),
     )
     # --- candidates: only vectors in a probed list of that query
     cand = F.broadcast(probes).join(assigned, "list_id").select(
