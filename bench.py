@@ -86,6 +86,15 @@ BAND_MAX_S = {
     "inverted_index": 1.0,
     "dedup_components_simhash": 15.0,
     "substring_scrub": 6.0,  # measured 4.3 s quiet (r4 first record)
+    # r4 sketches/PQ/bloom/BPE quiet samples (full protocolled run:
+    # hll 1.2, cms 2.6, pq 14.9 — warm-controlled 7.7, ivfpq 9.4 — warm
+    # 8.4, bloom 4.8, bpe 3.1)
+    "hll_estimate": 2.5,
+    "cms_topk": 4.0,
+    "pq_topk": 17.0,
+    "ivfpq_topk": 12.0,
+    "bloom_decontaminate": 6.5,
+    "bpe_token_counts": 4.5,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
