@@ -388,6 +388,74 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts under the learned 6-merge vocabulary
         return A.bpe_token_counts(_docs(spark, sf_dir), n_merges=6)
 
+    def bigram_surprisal(spark, sf_dir):
+        # r4 LM-filter tier above unigram_surprisal: interpolated-bigram
+        # perplexity (λ=90% bigram MLE + 10% unigram backoff), integer
+        # micro-nat sums — the KenLM-lite curation signal
+        return A.bigram_surprisal(_docs(spark, sf_dir), lambda_pct=90)
+
+    def decontaminate_fraction(spark, sf_dir):
+        # the GPT-3 §C rule proper: contaminated when ≥10% of a doc's
+        # DISTINCT 3-grams appear anywhere in the bench set (doc_id < 20,
+        # the decontaminate convention); every doc gets a verdict row
+        docs = _docs(spark, sf_dir)
+        return A.decontaminate_fraction(
+            docs, docs.filter(F.col("doc_id") < 20), n=3, max_pct=10
+        )
+
+    def host_rebalance(spark, sf_dir):
+        # per-host down-sampling toward an expected ≤5 docs/host over a
+        # deliberately skewed synthesized host map (every 3rd doc lands on
+        # host0 — the hot-domain shape C4-style rebalancing exists for);
+        # keep decisions are md5-bucket deterministic, never rand()
+        docs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.concat(
+                F.lit("https://User@Host"),
+                F.when(F.pmod("doc_id", 3) == 0, F.lit(0))
+                .otherwise(F.pmod("doc_id", 37))
+                .cast("string"),
+                F.lit(".Example.com:8443/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        return A.host_rebalance(docs, cap=5)
+
+    def kmeans_clusters(spark, sf_dir):
+        # r4: full-dimension integer-Lloyd k-means (topic bucketing /
+        # SemDeDup substrate) — same deterministic integer space as PQ
+        # training, so the oracle is the PQ CTE chain at m=1
+        return A.kmeans_clusters(_emb(spark, sf_dir), k=8, iters=2)
+
+    def semantic_dedup(spark, sf_dir):
+        # SemDeDup over a fixed 330-vector corpus: vec_id < 300 plus 30
+        # PLANTED identical copies (vec_id + 100000) — the copies MUST
+        # co-cluster with their originals (identical vectors assign
+        # identically) and drop at cos ≥ 0.9, so a stubbed pair stage
+        # fails loudly; fixed corpus size keeps the within-cluster pair
+        # volume flat across sf scales
+        emb = (
+            _emb(spark, sf_dir)
+            .filter(F.col("vec_id") < 300)
+            .select("vec_id", "embedding")
+        )
+        planted = emb.filter(F.col("vec_id") < 30).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+        return A.semantic_dedup(
+            emb.unionByName(planted), k=8, iters=2, threshold=0.9,
+            max_cluster_size=1000,
+        )
+
+    def semantic_dedup_overflow(spark, sf_dir):
+        # loud-cap companion (LSH overflow-twin convention): clusters the
+        # pair stage would skip at cap 60 — guaranteed non-empty at every
+        # driver scale (500 vectors / 8 clusters: pigeonhole forces a
+        # cluster over 60), so the cap demonstrably fires
+        return A.semantic_dedup_overflow(
+            _emb(spark, sf_dir), k=8, iters=2, max_cluster_size=60
+        )
+
     def pdf_extract_roundtrip(spark, sf_dir):
         # PDF/layout member of the extraction family (north rule): build
         # honest PDFs from document text with the two lines emitted in
@@ -1399,6 +1467,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Regenerate after each round from CORRECTNESS_r0*.json keys.
         # ------------------------------------------------------------------
         # never driver-checked:
+        "bigram_surprisal": bigram_surprisal,
+        "decontaminate_fraction": decontaminate_fraction,
+        "host_rebalance": host_rebalance,
+        "kmeans_clusters": kmeans_clusters,
+        "semantic_dedup": semantic_dedup,
+        "semantic_dedup_overflow": semantic_dedup_overflow,
         "hll_registers": hll_registers,
         "hll_estimate": hll_estimate,
         "cms_topk": cms_topk,
@@ -1585,7 +1659,8 @@ def _pq_fold_int(a: str, b: str, n: int) -> str:
 
 
 def _pq_train_ctes(m: int = 16, k: int = 64, iters: int = 2,
-                   sublen: int = 4, q: int = 4096) -> str:
+                   sublen: int = 4, q: int = 4096,
+                   src: str = "embeddings") -> str:
     """Shared PQ oracle prefix: quantized subvectors (sq), rank-spread
     init (cen0), `iters` unrolled integer-Lloyd levels (the pagerank
     unrolled-CTE convention — DuckDB recursive CTEs cannot aggregate),
@@ -1598,10 +1673,10 @@ sq AS (SELECT vec_id, s, list_transform(generate_series(1, {sublen}), i ->
          greatest(-{q}, least({q},
            CAST(round(CAST(embedding[s * {sublen} + i] AS DOUBLE) * {q})
                 AS BIGINT)))) AS subq
-       FROM embeddings CROSS JOIN subs),
-nn AS (SELECT count(*) AS n FROM embeddings),
+       FROM {src} CROSS JOIN subs),
+nn AS (SELECT count(*) AS n FROM {src}),
 rk AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rn
-       FROM embeddings),
+       FROM {src}),
 cs AS (SELECT unnest(generate_series(0, {k - 1})) AS c),
 cen0 AS (SELECT s, c AS cid, subq AS cen
          FROM sq JOIN rk USING (vec_id) CROSS JOIN cs CROSS JOIN nn
@@ -1893,6 +1968,116 @@ bands AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bigram_surprisal": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            gs AS (SELECT doc_id,
+                          unnest(list_transform(
+                              generate_series(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1])) AS g
+                   FROM w WHERE len(ws) >= 2),
+            dt AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS n
+                   FROM gs GROUP BY doc_id, g),
+            big AS (SELECT g, CAST(sum(n) AS BIGINT) AS c2
+                    FROM dt GROUP BY g),
+            ctx AS (SELECT split_part(g, ' ', 1) AS w1,
+                           CAST(sum(c2) AS BIGINT) AS c1
+                    FROM big GROUP BY w1),
+            tok AS (SELECT unnest(string_split(text, ' ')) AS w2
+                    FROM documents),
+            uni AS (SELECT w2, CAST(count(*) AS BIGINT) AS cu
+                    FROM tok GROUP BY w2),
+            tt AS (SELECT CAST(sum(cu) AS BIGINT) AS tt FROM uni),
+            -- p parenthesized EXACTLY as the Spark side: (λ/100)*(c2/c1)
+            -- + ((100-λ)/100)*(cu/tt); +,*,/ are IEEE-exact, only ln()
+            -- carries the documented 1-ulp residual
+            sc AS (SELECT dt.doc_id, dt.n,
+                          CAST(floor(-ln(
+                              (CAST(90 AS DOUBLE) / CAST(100 AS DOUBLE))
+                              * (CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE))
+                            + (CAST(10 AS DOUBLE) / CAST(100 AS DOUBLE))
+                              * (CAST(cu AS DOUBLE) / CAST(tt AS DOUBLE))
+                          ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS micro
+                   FROM dt
+                   JOIN big USING (g)
+                   JOIN ctx ON ctx.w1 = split_part(dt.g, ' ', 1)
+                   JOIN uni ON uni.w2 = split_part(dt.g, ' ', 2)
+                   CROSS JOIN tt)
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_bigrams,
+                   CAST(sum(n * micro) AS BIGINT) AS surprisal_micronats,
+                   CAST(sum(n * micro) // sum(n) AS BIGINT) AS mean_micronats
+            FROM sc GROUP BY doc_id
+        """,
+        "decontaminate_fraction": f"""
+            WITH {_SHINGLE_CTE},
+            bset AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+            fr AS (SELECT sh.doc_id,
+                          CAST(count(*) AS BIGINT) AS n_grams,
+                          CAST(sum(CASE WHEN b.shingle IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                   FROM sh LEFT JOIN bset b USING (shingle)
+                   GROUP BY sh.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(fr.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(fr.n_hit, 0) AS BIGINT) AS n_hit,
+                   CAST(CASE WHEN coalesce(fr.n_grams, 0) = 0 THEN 0
+                             WHEN coalesce(fr.n_hit, 0) * 100
+                                  >= coalesce(fr.n_grams, 0) * 10 THEN 1
+                             ELSE 0 END AS INT) AS contaminated
+            FROM documents d LEFT JOIN fr USING (doc_id)
+        """,
+        "host_rebalance": f"""
+            WITH hb AS (SELECT doc_id,
+                               'host' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                                              ELSE doc_id % 37 END AS VARCHAR)
+                               || '.example.com' AS host
+                        FROM documents),
+            hc AS (SELECT host, CAST(count(*) AS BIGINT) AS host_docs
+                   FROM hb GROUP BY host)
+            SELECT hb.doc_id, hb.host, hc.host_docs,
+                   CAST(CASE WHEN
+                       {_hex_int_sql("md5('hs:' || CAST(hb.doc_id AS VARCHAR))", 1, 5)}
+                       < least(1048576, (5 * 1048576) // hc.host_docs)
+                       THEN 1 ELSE 0 END AS INT) AS keep
+            FROM hb JOIN hc USING (host)
+        """,
+        "kmeans_clusters": f"""
+            WITH {_pq_train_ctes(m=1, k=8, iters=2, sublen=64)}
+            SELECT vec_id, CAST(code AS INT) AS cluster FROM codes
+        """,
+        "semantic_dedup": f"""
+            WITH semsrc AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
+              UNION ALL
+              SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings
+              WHERE vec_id < 30),
+            {_pq_train_ctes(m=1, k=8, iters=2, sublen=64, src="semsrc")},
+            ce AS (SELECT c.vec_id, c.code AS cluster, e.embedding
+                   FROM codes c JOIN semsrc e USING (vec_id)),
+            clsz AS (SELECT cluster, count(*) AS csz FROM ce GROUP BY cluster),
+            pe AS (SELECT ce.* FROM ce
+                   JOIN (SELECT cluster FROM clsz WHERE csz <= 1000) sm
+                   USING (cluster)),
+            pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                   FROM pe a JOIN pe b
+                     ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                   WHERE round(list_cosine_similarity(
+                             CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])), 4)
+                         >= CAST(0.9 AS DOUBLE)),
+            dr AS (SELECT DISTINCT id_b AS vec_id FROM pr)
+            SELECT c.vec_id, CAST(c.code AS INT) AS cluster,
+                   CAST(CASE WHEN dr.vec_id IS NOT NULL THEN 0 ELSE 1 END
+                        AS INT) AS keep
+            FROM codes c LEFT JOIN dr USING (vec_id)
+        """,
+        "semantic_dedup_overflow": f"""
+            WITH {_pq_train_ctes(m=1, k=8, iters=2, sublen=64)}
+            SELECT CAST(code AS INT) AS cluster,
+                   CAST(count(*) AS BIGINT) AS cluster_size
+            FROM codes GROUP BY code HAVING count(*) > 60
+        """,
         "bloom_decontaminate": f"""
             WITH {_gram_occ_cte()},
             rws AS (SELECT unnest(generate_series(0, 2)) AS r),

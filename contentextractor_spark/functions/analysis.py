@@ -501,6 +501,70 @@ def unigram_surprisal(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_surprisal(docs: DataFrame, lambda_pct: int = 90) -> DataFrame:
+    """Interpolated-bigram LM perplexity scoring (the KenLM-lite tier
+    above unigram_surprisal): per document, total and mean surprisal of
+    each bigram under p(w2|w1) = λ·c(w1w2)/c(w1·) + (1-λ)·c(w2)/T, with
+    the corpus as its own LM (the CCNet filter shape).  The backoff term
+    keeps p > 0 for every observed bigram, so ln is always defined.
+
+    Exactness (the unigram_surprisal convention): each bigram type's
+    surprisal quantizes to integer micro-nats (floor(-ln(p)·1e6)) and
+    integer sums are order-free; the mean is `div`.  The p arithmetic is
+    IEEE-exact and parenthesized IDENTICALLY in the DuckDB twin — +,*,/
+    are correctly rounded so only ln() itself carries the documented
+    ~1-ulp cross-engine residual (a value within ~1e-9·|x| of a floor
+    boundary could still flip; none in the shipped fixtures).
+
+    Scale: three map-side-combinable groupBys build the LM tables
+    (per-doc bigram types, corpus bigrams, contexts); the context table
+    derives from the corpus BIGRAM table (c(w1·) = Σ_w2 c(w1 w2) — rows
+    = distinct bigrams, not the token stream); unigrams reuse the same
+    stream's w2 side plus each doc's leading token, so T = total tokens
+    exactly; totals ride in as one-row broadcast crossJoins; joins are
+    on bigram/context/unigram keys — high-cardinality, uniform."""
+    if not 1 <= lambda_pct <= 99:
+        raise ValueError("lambda_pct must be in [1, 99]")
+    bg = _gram_stream(docs, 2)
+    dt = bg.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("n"))
+    big = dt.groupBy("g").agg(F.sum("n").alias("c2"))
+    ctx = big.select(
+        F.substring_index("g", " ", 1).alias("w1"), "c2"
+    ).groupBy("w1").agg(F.sum("c2").alias("c1"))
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w2"))
+    uni = tok.groupBy("w2").agg(F.count(F.lit(1)).alias("cu"))
+    total = uni.select(F.sum("cu").alias("tt"))
+    lam = F.lit(float(lambda_pct))
+    p = (
+        lam / F.lit(100.0) * (F.col("c2") / F.col("c1"))
+        + (F.lit(100.0) - lam) / F.lit(100.0) * (F.col("cu") / F.col("tt"))
+    )
+    micro = F.floor(-F.log(p) * F.lit(1_000_000.0)).cast("long")
+    joined = (
+        dt.withColumn("w1", F.substring_index("g", " ", 1))
+        .withColumn("w2", F.substring_index("g", " ", -1))
+        .join(big, "g")
+        .join(ctx, "w1")
+        .join(uni, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_bigrams"),
+            F.sum(F.col("n") * micro).alias("surprisal_micronats"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "surprisal_micronats",
+            F.expr("surprisal_micronats div n_bigrams").alias(
+                "mean_micronats"
+            ),
+        )
+    )
+
+
 def bm25_search(
     docs: DataFrame,
     terms: list[str],
@@ -1416,6 +1480,70 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+HOST_SAMPLE_SCALE = 1 << 20  # md5 5-hex-digit bucket space (2^20)
+
+
+def host_rebalance(
+    df: DataFrame, cap: int = 20, url_col: str = "url"
+) -> DataFrame:
+    """Per-host down-sampling toward an EXPECTED ≤ cap docs per host —
+    the C4/RefinedWeb-style rebalancing that stops a handful of giant
+    domains dominating the training mix.  Each doc keeps with probability
+    min(1, cap/host_docs), decided by its own md5 bucket, so the sample
+    is deterministic, repartition-invariant, and independent of row order
+    (the train_split_assign convention, not rand()).  Output: every doc
+    with (host, host_docs, keep).
+
+    Exactness: keep_u20 = min(2^20, cap·2^20 div host_docs) and the doc's
+    bucket = first 5 hex digits of md5('hs:'||doc_id) — all integer, both
+    engines identical (`div` ≡ `//` on non-negatives; cap·2^20 ≤ 2^63
+    for any real cap).
+
+    Scale: host_docs is one map-side-combinable groupBy (the domain_stats
+    skew note applies — counts don't need salting); the per-host keep
+    threshold joins back on host.  A hot host's join fan-out is its own
+    doc count — unavoidable since every doc needs a verdict — but the
+    payload is one integer column, and at 10^12 docs the host-count side
+    is ~10^8 rows: broadcastable if AQE doesn't pick it already.  An
+    exact per-host cap (rank < cap) would need a per-host window sort;
+    the expected-cap form is the standard trade."""
+    if cap < 1:
+        raise ValueError("cap must be >= 1")
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(
+                F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+            ),
+            "^[^@]*@|:[0-9]*$",
+            "",
+        )
+    )
+    based = df.select("doc_id", host.alias("host")).filter(F.col("host") != "")
+    counts = based.groupBy("host").agg(F.count(F.lit(1)).alias("host_docs"))
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit("hs:"), F.col("doc_id").cast("string"))), 1, 5),
+        16,
+        10,
+    ).cast("long")
+    return (
+        based.join(counts, "host")
+        .select(
+            "doc_id",
+            "host",
+            "host_docs",
+            (
+                bucket
+                < F.least(
+                    F.lit(HOST_SAMPLE_SCALE).cast("long"),
+                    F.expr(f"({cap} * {HOST_SAMPLE_SCALE}) div host_docs"),
+                )
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     bench: DataFrame,
@@ -1442,6 +1570,70 @@ def decontaminate(
         .groupBy("doc_id", "bench_id")
         .agg(F.countDistinct("shingle").alias("overlap"))
         .filter(F.col("overlap") >= min_overlap)
+    )
+
+
+def decontaminate_fraction(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    max_pct: int = 10,
+) -> DataFrame:
+    """Overlap-FRACTION decontamination — the GPT-3 §C / PaLM §7 rule
+    proper: a document is contaminated when ≥ max_pct% of its distinct
+    word n-grams appear anywhere in the benchmark set (vs `decontaminate`,
+    which reports absolute per-(doc, bench-item) overlap counts).  Output:
+    every doc with (n_grams, n_hit, contaminated) — docs too short to form
+    an n-gram carry (0, 0, 0).
+
+    Exactness: the threshold is the integer cross-multiplication
+    n_hit*100 >= n_grams*max_pct (the quality_filter convention — no
+    float percentage anywhere).
+
+    Scale: the benchmark's GLOBAL distinct shingle set broadcasts (eval
+    suites are small by nature); the fraction's denominator forces one
+    per-doc distinct over the corpus gram stream — that (doc_id, gram)
+    exchange is the honest price of an exact fraction (same cost class as
+    minhash signatures), and it is the ONLY corpus-wide shuffle: the hit
+    flag rides the broadcast left join, and the final groupBy(doc_id)
+    combines map-side."""
+    if not 1 <= max_pct <= 100:
+        raise ValueError("max_pct must be in [1, 100]")
+    corpus_sh = shingles(docs, n=n, dedup=True)
+    bset = (
+        shingles(bench, n=n)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1).cast("long"))
+    )
+    frac = (
+        corpus_sh.join(F.broadcast(bset), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0).cast("long"))).alias("n_hit"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(frac, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_grams", F.lit(0).cast("long")).alias("n_grams"),
+            F.coalesce("n_hit", F.lit(0).cast("long")).alias("n_hit"),
+            (
+                (F.coalesce("n_hit", F.lit(0)) * 100)
+                >= (F.coalesce("n_grams", F.lit(0)) * max_pct)
+            )
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .withColumn(
+            "contaminated",
+            F.when(F.col("n_grams") == 0, F.lit(0)).otherwise(
+                F.col("contaminated")
+            ),
+        )
     )
 
 
@@ -2126,6 +2318,189 @@ def embedding_neardup_pairs(
         # differing in the last ulp across engines must not flip inclusion
         .filter(F.round("cos", 4) >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+    )
+
+
+def kmeans_clusters(
+    emb: DataFrame, k: int = 8, iters: int = 2, q: int | None = None
+) -> DataFrame:
+    """(vec_id, cluster): full-dimension k-means over the embedding
+    column — the topic-bucketing primitive for data mixing and SemDeDup.
+    Lloyd in the SAME deterministic integer space as PQ training (clamped
+    micro-units, floor-div offset means, rank-spread init, (d2, cid)
+    argmin tie-break), so the oracle is the PQ training CTE chain
+    parameterized m=1 — but the Spark plan is the EXPLODE form, not
+    pq_codes(m=1): at full dimension the explicit per-element distance
+    sum becomes a ~64-term Add chain that Catalyst's constraint
+    propagation re-canonicalizes combinatorially (orderCommutative inside
+    InferFiltersFromConstraints — measured r4: minutes of optimizer spin
+    at 100% CPU for 500 vectors), while an exploded (vec_id, d, val)
+    stream keeps every expression small and every aggregate codegen'd
+    with map-side combine (the r2 minhash lesson, third appearance).
+
+    Per iteration: one broadcast join on d (corpus_dims × k rows, partial-
+    combined to corpus × k before the exchange), one packed-bigint argmin
+    (the _pq_assign convention), one means join+groupBy; centroids (k ×
+    ndim integer rows) localCheckpoint per round.  At 100 TB: train on a
+    sample, broadcast the centroids, encode distributed — identical to
+    the PQ scale note."""
+    q = q if q is not None else PQ_Q
+    if k >= _PQ_PACK:
+        raise ValueError(f"k {k} >= packing bound {_PQ_PACK}")
+    ndim = _ndim(emb)
+
+    def comp(i):
+        return (
+            f"cast(greatest(-{q}L, least({q}L,"
+            f" cast(round(cast(embedding[{i}] as double) * {q}) as bigint)))"
+            " as bigint)"
+        )
+
+    dims = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.expr(comp(i)) for i in range(ndim)])
+        ).alias("d", "val"),
+    )
+    # the training set (sample-sized at real scale) — checkpoint once so
+    # every iteration scans materialized integer rows
+    dims = dims.localCheckpoint()
+
+    def assign(cen):
+        d2 = (
+            dims.join(F.broadcast(cen), "d")
+            .select(
+                "vec_id",
+                "cid",
+                ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("t"),
+            )
+            .groupBy("vec_id", "cid")
+            .agg(F.sum("t").alias("d2"))
+        )
+        return (
+            d2.select(
+                "vec_id",
+                (F.col("d2") * F.lit(_PQ_PACK) + F.col("cid")).alias("packed"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("packed").alias("packed"))
+            .select(
+                "vec_id", (F.col("packed") % _PQ_PACK).cast("int").alias("cid")
+            )
+        )
+
+    n = emb.select(F.count(F.lit(1)).alias("__n"))
+    rk = dims.select("vec_id").distinct().withColumn(
+        "rn", F.row_number().over(Window.orderBy("vec_id"))
+    )
+    cids = emb.sparkSession.range(k).select(F.col("id").cast("int").alias("cid"))
+    cen = (
+        dims.join(rk, "vec_id")
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(cids), F.expr(f"rn = 1 + (cid * __n) div {k}"))
+        .select("cid", "d", F.col("val").alias("cval"))
+    ).localCheckpoint()
+    for _ in range(iters):
+        assigned = assign(cen)
+        means = (
+            dims.join(assigned, "vec_id")
+            .groupBy("cid", "d")
+            .agg(F.sum("val").alias("sm"), F.count(F.lit(1)).alias("cnt"))
+            .select(
+                "cid", "d", F.expr(f"(sm + {q} * cnt) div cnt - {q}").alias("mv")
+            )
+        )
+        cen = (
+            cen.join(means, ["cid", "d"], "left")
+            .select("cid", "d", F.coalesce("mv", "cval").alias("cval"))
+        ).localCheckpoint()
+    return assign(cen).select("vec_id", F.col("cid").alias("cluster"))
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.9,
+    max_cluster_size: int = 1000,
+    q: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embeddings with k-means, then WITHIN each cluster drop every vector
+    that has a smaller-id partner with cosine ≥ threshold — semantic
+    near-dup pruning without any corpus-wide pairwise pass.  The sixth
+    dedup family: exact / MinHash / SimHash / embedding-LSH / exact-
+    substring prune SYNTACTIC duplication; this prunes semantic
+    redundancy (same content re-worded) that none of them can see.
+    Output: every vector with (cluster, keep).
+
+    Survivor rule, stated precisely: keep(v) = 0 iff ∃u in v's cluster
+    with u < v and round(cos(u, v), 4) ≥ threshold — DIRECT similarity
+    to a smaller id, not transitive closure (the paper keeps one point
+    per ε-ball; min-id-partner is its deterministic, oracle-expressible
+    variant — a chain a~b~c with cos(a,c) < t keeps a AND c).
+
+    Scale: pair volume is Σ|cluster|²/2 bounded by max_cluster_size² per
+    cluster — the LSH producers' cap convention; clusters above the cap
+    are SKIPPED (their members keep=1) and surface loudly in the
+    semantic_dedup_overflow twin.  The cosine is the order-exact fold on
+    capped clusters (oracle exactness); at real scale raise k so
+    clusters shrink — cost is linear in k through the broadcast
+    centroid join."""
+    clusters = kmeans_clusters(emb, k=k, iters=iters, q=q)
+    sizes = clusters.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    small = sizes.filter(F.col("cluster_size") <= max_cluster_size).select(
+        "cluster"
+    )
+    ce = (
+        clusters.join(F.broadcast(small), "cluster")
+        .join(
+            emb.select(
+                "vec_id", F.col("embedding").cast("array<double>").alias("e")
+            ),
+            "vec_id",
+        )
+    )
+    a = ce.select("cluster", F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = ce.select("cluster", F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(F.round(_cosine(F.col("ea"), F.col("eb")), 4) >= threshold)
+        .select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(1))
+    )
+    return (
+        clusters.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("__drop").isNotNull(), F.lit(0))
+            .otherwise(F.lit(1))
+            .alias("keep"),
+        )
+    )
+
+
+def semantic_dedup_overflow(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    max_cluster_size: int = 1000,
+    q: int | None = None,
+) -> DataFrame:
+    """Loud-cap companion to semantic_dedup (the LSH overflow-twin
+    convention): clusters whose size exceeds max_cluster_size — their
+    members were NOT pair-checked and all kept.  A non-empty result says
+    raise k or the cap, not that the data is clean."""
+    return (
+        kmeans_clusters(emb, k=k, iters=iters, q=q)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .filter(F.col("cluster_size") > max_cluster_size)
     )
 
 
@@ -2943,7 +3318,14 @@ def pq_train_codebook(
                     ]
                 ).alias("new_cen"),
             )
-        )
+            # materialize BEFORE the cen join (m*K rows — trivial): with the
+            # raw plan, the join's constraint inference
+            # (InferFiltersFromConstraints) canonicalizes the sublen-term
+            # distance Add chain via orderCommutative over and over —
+            # measured r4: sublen=64 (kmeans_clusters) spun the optimizer
+            # for minutes at 100% CPU on 8 output rows; a checkpointed
+            # means is a plain scan and the join plans instantly
+        ).localCheckpoint()
         cen = (
             cen.join(means, ["sub", "cid"], "left")
             .select(

@@ -1,0 +1,171 @@
+"""r4 curation additions: bigram surprisal, overlap-fraction
+decontamination, per-host rebalancing, full-dim k-means + SemDeDup.
+
+Property tests — the Spark↔DuckDB value parity of every driver row is
+covered by test_entry_oracle; these check the semantics the oracle can't
+state (expected-cap behavior, planted-leak teeth, LM ordering,
+repartition invariance, planted semantic dups dropping).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from contentextractor_spark.functions import analysis as A
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+# --------------------------------------------------------------------------
+# host_rebalance
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def skewed_urls(spark):
+    # one hot host with 600 docs, 40 cold hosts with 10 each
+    rows = []
+    for d in range(1000):
+        host = "big.example.com" if d < 600 else f"h{d % 40}.example.com"
+        rows.append((d, f"https://{host}/p/{d}"))
+    return spark.createDataFrame(rows, "doc_id bigint, url string")
+
+
+def test_host_rebalance_caps_hot_host(skewed_urls):
+    out = A.host_rebalance(skewed_urls, cap=20)
+    hot = out.filter(F.col("host") == "big.example.com")
+    kept = hot.filter("keep = 1").count()
+    # expected 20 of 600; md5 buckets are uniform so 3-sigma of
+    # Binomial(600, 1/30) is ~13.4 — the cap binds, never exact
+    assert 5 <= kept <= 40, kept
+    # cold hosts (10 docs < cap 20): keep probability 1, no doc dropped
+    cold = out.filter(F.col("host") != "big.example.com")
+    assert cold.filter("keep = 0").count() == 0
+
+
+def test_host_rebalance_deterministic_and_repartition_invariant(skewed_urls):
+    a = {r["doc_id"]: r["keep"] for r in A.host_rebalance(skewed_urls, cap=20).collect()}
+    b = {
+        r["doc_id"]: r["keep"]
+        for r in A.host_rebalance(skewed_urls.repartition(7), cap=20).collect()
+    }
+    assert a == b
+
+
+# --------------------------------------------------------------------------
+# decontaminate_fraction
+# --------------------------------------------------------------------------
+
+
+def test_decontaminate_fraction_planted_and_clean(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    docs = _docs(
+        spark,
+        [
+            # doc 0: fully inside the bench item -> 100% of its 3-grams hit
+            (0, "alpha beta gamma delta"),
+            # doc 1: shares ONE 3-gram out of 8 (12.5% >= 10% -> contaminated)
+            (1, "x1 x2 alpha beta gamma x3 x4 x5 x6 x7"),
+            # doc 2: no overlap at all
+            (2, "p q r s t u v w"),
+            # doc 3: too short for any 3-gram
+            (3, "one two"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["contaminated"])
+        for r in A.decontaminate_fraction(docs, bench, n=3, max_pct=10).collect()
+    }
+    assert out[0] == (2, 2, 1)
+    assert out[1] == (8, 1, 1)
+    assert out[2] == (6, 0, 0)
+    assert out[3] == (0, 0, 0)
+
+
+def test_decontaminate_fraction_threshold_has_teeth(spark):
+    bench = _docs(spark, [(100, "alpha beta gamma delta epsilon")])
+    docs = _docs(spark, [(1, "x1 x2 alpha beta gamma x3 x4 x5 x6 x7")])
+    strict = A.decontaminate_fraction(docs, bench, n=3, max_pct=20).collect()[0]
+    assert strict["contaminated"] == 0  # 1/8 = 12.5% < 20%
+
+
+# --------------------------------------------------------------------------
+# bigram_surprisal
+# --------------------------------------------------------------------------
+
+
+def test_bigram_surprisal_orders_generic_below_noise(spark):
+    # a RARE CONTINUATION of a COMMON context is what a bigram model
+    # penalizes (a fully-unique bigram with a singleton context has
+    # conditional MLE 1.0 and scores LOW — the first version of this test
+    # got that wrong): corpus context 'a' almost always continues b/c,
+    # the planted doc continues it with q
+    rows = [(d, "a b a c a b a c") for d in range(20)]
+    rows.append((99, "a q"))
+    out = {
+        r["doc_id"]: r["mean_micronats"]
+        for r in A.bigram_surprisal(_docs(spark, rows)).collect()
+    }
+    assert out[99] == max(out.values())
+    assert out[0] < out[99]
+
+
+def test_bigram_surprisal_short_docs_absent(spark):
+    docs = _docs(spark, [(0, "solo"), (1, "two words")])
+    out = {r["doc_id"] for r in A.bigram_surprisal(docs).collect()}
+    assert out == {1}  # doc 0 has no bigram -> no row
+
+
+# --------------------------------------------------------------------------
+# kmeans_clusters + semantic_dedup
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def clustered_emb(spark):
+    # two tight blobs 2 apart in 8-dim space + exact duplicates of the
+    # first 5 vectors (ids 100+)
+    import math
+
+    rows = []
+    for v in range(40):
+        base = 0.5 if v % 2 == 0 else -0.5
+        vec = [base + 0.001 * ((v * 7 + d) % 5) for d in range(8)]
+        rows.append((v, vec))
+    for v in range(5):
+        rows.append((100 + v, rows[v][1]))
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_kmeans_separates_blobs_and_is_repartition_invariant(clustered_emb):
+    out = {r["vec_id"]: r["cluster"] for r in A.kmeans_clusters(clustered_emb, k=2, iters=2).collect()}
+    evens = {out[v] for v in range(0, 40, 2)}
+    odds = {out[v] for v in range(1, 40, 2)}
+    assert len(evens) == 1 and len(odds) == 1 and evens != odds
+    out2 = {
+        r["vec_id"]: r["cluster"]
+        for r in A.kmeans_clusters(clustered_emb.repartition(5), k=2, iters=2).collect()
+    }
+    assert out == out2
+
+
+def test_semantic_dedup_drops_planted_duplicates(clustered_emb):
+    out = {r["vec_id"]: r["keep"] for r in A.semantic_dedup(clustered_emb, k=2, iters=2, threshold=0.99).collect()}
+    # the blobs are TIGHT (±0.001 perturbations -> within-blob cos
+    # rounds to 1.0), so at threshold 0.99 each whole blob collapses to
+    # its min-id representative: only vec 0 (even blob) and vec 1 (odd
+    # blob) survive; every planted copy (id 100+) drops with them
+    for v in range(5):
+        assert out[100 + v] == 0, (v, out[100 + v])
+    assert out[0] == 1 and out[1] == 1
+    assert sum(out.values()) == 2 and len(out) == 45
+
+
+def test_semantic_dedup_cap_skips_and_overflow_reports(clustered_emb):
+    # cap below the blob size: no pairs computed anywhere -> all kept,
+    # and the overflow twin lists both clusters loudly
+    out = A.semantic_dedup(clustered_emb, k=2, iters=2, threshold=0.99, max_cluster_size=10)
+    assert out.filter("keep = 0").count() == 0
+    over = A.semantic_dedup_overflow(clustered_emb, k=2, iters=2, max_cluster_size=10)
+    assert over.count() == 2
