@@ -95,6 +95,11 @@ BAND_MAX_S = {
     "ivfpq_topk": 12.0,
     "bloom_decontaminate": 6.5,
     "bpe_token_counts": 4.5,
+    # r4 curation families (cold-session first samples: 3.9/2.4/2.4/4.6)
+    "bigram_surprisal": 5.5,
+    "decontaminate_fraction": 3.5,
+    "host_rebalance": 3.5,
+    "kmeans_clusters": 6.5,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -253,7 +258,20 @@ def main() -> None:
             A.bloom_decontaminate(docs, docs.filter(F.col("doc_id") < 20))
         ),
         "bpe_token_counts": lambda: force(A.bpe_token_counts(docs, n_merges=6)),
+        # r4 curation families (entry-query configurations)
+        "bigram_surprisal": lambda: force(A.bigram_surprisal(docs)),
+        "decontaminate_fraction": lambda: force(
+            A.decontaminate_fraction(docs, docs.filter(F.col("doc_id") < 20))
+        ),
+        "host_rebalance": lambda: force(_host_rebalance()),
+        "kmeans_clusters": lambda: force(A.kmeans_clusters(emb, k=8, iters=2)),
     }
+
+    def _host_rebalance():
+        # the SAME skewed synthesized host map the driver row checks
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["host_rebalance"](spark, SF_DIR)
 
     def _extract_links():
         from contentextractor_spark.plans.pipeline import extract_links
