@@ -84,3 +84,39 @@ def test_pq_train_global_rank_is_init_only(emb):
 
     cb = A.pq_train_codebook(emb, m=8, n_centroids=16, iters=1)
     assert cb.count() == 8 * 16
+
+
+def test_pq_assign_argmin_is_codegen_hashagg(emb):
+    """The packed-bigint argmin must plan as a codegen'd HashAggregate
+    with a map-side partial combine — min(struct) planned as
+    SortAggregate and first(array) as ObjectHashAggregate (measured r4:
+    9 Sorts in the ivfpq plan, 2.6x wall); the centroid side rides a
+    BroadcastExchange."""
+    from contentextractor_spark.functions import analysis as A
+
+    cen = A.pq_train_codebook(emb, m=8, n_centroids=16, iters=1)
+    sublen = A._ndim(emb) // 8
+    plan = _physical(A._pq_assign(A._pq_subq(emb, 8, sublen), cen, sublen))
+    assert "SortAggregate" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_kmeans_final_assign_plan_shape(emb):
+    """kmeans_clusters' returned plan (training already materialized via
+    localCheckpoint) must be: dims explode -> broadcast centroid join ->
+    two codegen'd hashaggs (d2 sum, packed argmin) — no sort-based
+    aggregate, no single-partition funnel.  The explode form exists
+    precisely because the explicit full-dim Add chain provokes
+    combinatorial optimizer canonicalization (documented in the
+    docstring); this pins the replacement's shape."""
+    from contentextractor_spark.functions import analysis as A
+
+    plan = _physical(A.kmeans_clusters(emb, k=4, iters=1))
+    assert "SortAggregate" not in plan, plan
+    assert "ObjectHashAggregate" not in plan, plan
+    assert "partial_min" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
