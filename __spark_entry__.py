@@ -1030,10 +1030,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.quantized_knn(_emb(spark, sf_dir), n_queries=10, k=5)
 
     def _link_pages_sql(docs):
-        # two <a href> per page, hosts affine in doc_id — the hrefs the
-        # extractor must recover are SQL-predictable by construction
+        # two <a href> per page, hosts affine in doc_id, anchor text =
+        # word slices of the doc text — hrefs AND anchors the extractor
+        # must recover are SQL-predictable by construction (r4: anchors
+        # feed host_anchor_terms)
         h1 = ((F.col("doc_id") * 7 + 1) % 37).cast("string")
         h2 = ((F.col("doc_id") * 7 + 2) % 37).cast("string")
+        ws = F.split("text", " ")
+        a1 = F.concat_ws(" ", F.slice(ws, 1, 2))
+        a2 = F.concat_ws(" ", F.slice(ws, 3, 2))
         # a NULL text would null-propagate through concat into a NULL html
         # page (zero links) while the oracle predicted two — guard BOTH
         # sides identically (r3 session-2 review)
@@ -1046,9 +1051,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.col("text"),
                     F.lit('</p><a href="h'),
                     h1,
-                    F.lit('.example/x">l</a><a href="h'),
+                    F.lit('.example/x">'),
+                    a1,
+                    F.lit('</a><a href="h'),
                     h2,
-                    F.lit('.example/x">l</a></body></html>'),
+                    F.lit('.example/x">'),
+                    a2,
+                    F.lit("</a></body></html>"),
                 ),
                 "UTF-8",
             ).alias("html"),
@@ -1064,6 +1073,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(
             F.col("url").cast("long").alias("doc_id"), "href", "link_idx"
         )
+
+    def host_anchor_terms(spark, sf_dir):
+        # r4 web-graph topical signal: pages → DOM link extraction (now
+        # carrying each <a>'s Jsoup-normalized text) → top-5 anchor terms
+        # per target host.  The oracle never sees HTML — it predicts the
+        # (host, anchor) stream from the same affine/word-slice page
+        # construction, so a wrong anchor ANYWHERE in the DOM text walk
+        # shifts a count and the hash
+        from contentextractor_spark.plans.pipeline import extract_links
+
+        out = extract_links(_link_pages_sql(_docs(spark, sf_dir)), num_buckets=8)
+        return A.host_anchor_terms(out, k=5)
+
+    def length_percentiles(spark, sf_dir):
+        # r4 data-card distribution row: exact nearest-rank p50/p90/p99 of
+        # n_chars per language via the histogram form (no corpus row sort)
+        return A.length_percentiles(_docs(spark, sf_dir))
 
     def pagerank_extracted_hosts(spark, sf_dir):
         # the composed web-graph story: pages → DOM link extraction →
@@ -1467,6 +1493,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Regenerate after each round from CORRECTNESS_r0*.json keys.
         # ------------------------------------------------------------------
         # never driver-checked:
+        "host_anchor_terms": host_anchor_terms,
+        "length_percentiles": length_percentiles,
         "bigram_surprisal": bigram_surprisal,
         "decontaminate_fraction": decontaminate_fraction,
         "host_rebalance": host_rebalance,
@@ -1968,6 +1996,53 @@ bands AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "host_anchor_terms": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents WHERE text IS NOT NULL),
+            -- the two links per page predicted from the builder: hosts
+            -- affine in doc_id, anchors = word slices (list_slice is
+            -- END-INCLUSIVE: [1,2] and [3,4] are the 2-word slices Spark
+            -- writes with F.slice(ws, 1, 2) / F.slice(ws, 3, 2))
+            ln AS (
+              SELECT 'h' || CAST((doc_id * 7 + 1) % 37 AS VARCHAR)
+                       || '.example' AS host,
+                     array_to_string(list_slice(ws, 1, 2), ' ') AS anchor
+              FROM w
+              UNION ALL
+              SELECT 'h' || CAST((doc_id * 7 + 2) % 37 AS VARCHAR)
+                       || '.example' AS host,
+                     array_to_string(list_slice(ws, 3, 4), ' ') AS anchor
+              FROM w),
+            tok AS (SELECT host, unnest(string_split(anchor, ' ')) AS term
+                    FROM ln),
+            cnts AS (SELECT host, term, CAST(count(*) AS BIGINT) AS n
+                     FROM tok WHERE term <> '' GROUP BY host, term),
+            rk AS (SELECT host, term, n,
+                          CAST(row_number() OVER (PARTITION BY host
+                              ORDER BY n DESC, term ASC) AS INT) AS rank
+                   FROM cnts)
+            SELECT host, term, n, rank FROM rk WHERE rank <= 5
+        """,
+        "length_percentiles": """
+            WITH hist AS (SELECT lang, CAST(n_chars AS BIGINT) AS len,
+                                 CAST(count(*) AS BIGINT) AS cnt
+                          FROM documents GROUP BY lang, len),
+            cum AS (SELECT lang, len,
+                           sum(cnt) OVER (PARTITION BY lang ORDER BY len
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+                           sum(cnt) OVER (PARTITION BY lang) AS n_docs
+                    FROM hist)
+            SELECT lang,
+                   CAST(max(n_docs) AS BIGINT) AS n_docs,
+                   CAST(min(CASE WHEN cum >= (50 * n_docs + 99) // 100
+                                 THEN len END) AS BIGINT) AS p50_chars,
+                   CAST(min(CASE WHEN cum >= (90 * n_docs + 99) // 100
+                                 THEN len END) AS BIGINT) AS p90_chars,
+                   CAST(min(CASE WHEN cum >= (99 * n_docs + 99) // 100
+                                 THEN len END) AS BIGINT) AS p99_chars
+            FROM cum GROUP BY lang
+        """,
         "bigram_surprisal": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents),

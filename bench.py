@@ -100,6 +100,8 @@ BAND_MAX_S = {
     "decontaminate_fraction": 3.5,
     "host_rebalance": 3.5,
     "kmeans_clusters": 6.5,
+    "host_anchor_terms": 6.0,   # warm 3.8 (cold-first 10.6 — DOM walk)
+    "length_percentiles": 2.5,  # warm 1.5
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -265,7 +267,18 @@ def main() -> None:
         ),
         "host_rebalance": lambda: force(_host_rebalance()),
         "kmeans_clusters": lambda: force(A.kmeans_clusters(emb, k=8, iters=2)),
+        "host_anchor_terms": lambda: force(_host_anchor_terms()),
+        "length_percentiles": lambda: force(A.length_percentiles(docs)),
     }
+
+    def _host_anchor_terms():
+        # pages -> DOM link extraction (with anchors) -> per-host top terms;
+        # the same composed shape the driver row checks
+        from contentextractor_spark.plans.pipeline import extract_links
+
+        return A.host_anchor_terms(
+            extract_links(docs_as_pages(), num_buckets=NUM_BUCKETS), k=5
+        )
 
     def _host_rebalance():
         # the SAME skewed synthesized host map the driver row checks

@@ -1480,6 +1480,80 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def host_anchor_terms(links: DataFrame, k: int = 5) -> DataFrame:
+    """(host, term, n, rank): top-k anchor-text terms per link TARGET host
+    — the classic web-graph topical signal (what the web calls a page is
+    often better evidence than what the page calls itself; anchor-text
+    aggregation is how search engines and crawl-quality pipelines use
+    it).  Input is the extract_links output (href, anchor).
+
+    Host = authority of the href with an optional scheme stripped,
+    lowercased (bare hrefs like 'h3.example/x' are the common in-crawl
+    case).  Empty tokens are dropped (an <a> with no text contributes
+    nothing).
+
+    Scale: one map-side-combinable groupBy((host, term)) over the token
+    stream, then a window PARTITIONED by host for the top-k (rank keys
+    (n DESC, term ASC) — integer + lexicographic, engine-exact); host
+    skew hits the window, not the count — the groupBy already collapsed
+    to distinct terms per host."""
+    host = F.lower(
+        F.regexp_extract(
+            F.col("href"),
+            "^(?:[A-Za-z][A-Za-z0-9+.-]*://)?([^/?#]*)",
+            1,
+        )
+    )
+    tok = (
+        links.select(host.alias("host"), F.explode(F.split("anchor", " ")).alias("term"))
+        .filter((F.col("host") != "") & (F.col("term") != ""))
+    )
+    counts = tok.groupBy("host", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("host").orderBy(F.col("n").desc(), F.col("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("host", "term", "n", "rank")
+    )
+
+
+def length_percentiles(docs: DataFrame, ps: tuple = (50, 90, 99)) -> DataFrame:
+    """(lang, n_docs, p50_chars, p90_chars, ...): exact nearest-rank
+    length percentiles per language — the data-card distribution row next
+    to domain_stats' totals.  Percentile p = the smallest length whose
+    cumulative count reaches ceil(p·n/100) (the nearest-rank method,
+    integer arithmetic only — no interpolation, no float).
+
+    Scale: this is the HISTOGRAM form, not a row sort — lengths collapse
+    to (lang, n_chars) counts first (map-side combine), the cumulative
+    window runs over DISTINCT length values per lang (bounded by the
+    value domain, not the corpus), and the final pick is one conditional
+    aggregate.  A row_number over raw docs would sort the corpus per
+    lang; this sorts at most |distinct lengths| rows."""
+    hist = docs.groupBy("lang", F.col("n_chars").cast("long").alias("len")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy("len")
+    tot = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "len",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(tot).alias("n_docs"),
+    )
+    aggs = [F.max("n_docs").alias("n_docs")]
+    for p in ps:
+        idx = F.expr(f"({p} * n_docs + 99) div 100")
+        aggs.append(
+            F.min(F.when(F.col("cum") >= idx, F.col("len"))).alias(
+                f"p{p}_chars"
+            )
+        )
+    return cum.groupBy("lang").agg(*aggs).select(
+        "lang", "n_docs", *[f"p{p}_chars" for p in ps]
+    )
+
+
 HOST_SAMPLE_SCALE = 1 << 20  # md5 5-hex-digit bucket space (2^20)
 
 

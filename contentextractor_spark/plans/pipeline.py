@@ -313,6 +313,7 @@ LINKS_SCHEMA = StructType(
     [
         StructField("url", StringType()),
         StructField("href", StringType()),
+        StructField("anchor", StringType()),
         StructField("link_idx", IntegerType()),
         StructField("bucket_id", IntegerType()),
         StructField("partition_id", IntegerType()),
@@ -339,6 +340,7 @@ def _extract_link_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
             continue
         urls: list = []
         hrefs: list = []
+        anchors: list = []
         idxs: list = []
         buckets: list = []
         for u, data, bucket in zip(pdf["url"], pdf["html"], pdf["bucket_id"]):
@@ -346,16 +348,17 @@ def _extract_link_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 html = decode_html(bytes(data) if data is not None else b"")
                 doc = parse_xml(html)
                 found = [
-                    el.attr("href")
+                    (el.attr("href"), el.text())
                     for el in doc.iter_elements()
                     if el.tag == "a" and el.has_attr("href")
                 ]
             except Exception:  # noqa: BLE001 — per-URL catch-all
                 found = []
             us = None if u is None else str(u)
-            for i, h in enumerate(found):
+            for i, (h, a) in enumerate(found):
                 urls.append(us)
                 hrefs.append(h)
+                anchors.append(a)
                 idxs.append(i)
                 buckets.append(bucket)
         if urls:
@@ -363,6 +366,7 @@ def _extract_link_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 {
                     "url": urls,
                     "href": hrefs,
+                    "anchor": anchors,
                     "link_idx": idxs,
                     "bucket_id": buckets,
                     "partition_id": pid,

@@ -169,3 +169,48 @@ def test_semantic_dedup_cap_skips_and_overflow_reports(clustered_emb):
     assert out.filter("keep = 0").count() == 0
     over = A.semantic_dedup_overflow(clustered_emb, k=2, iters=2, max_cluster_size=10)
     assert over.count() == 2
+
+
+# --------------------------------------------------------------------------
+# host_anchor_terms + length_percentiles
+# --------------------------------------------------------------------------
+
+
+def test_host_anchor_terms_counts_and_tiebreak(spark):
+    links = spark.createDataFrame(
+        [
+            ("1", "h1.example/x", "spark engine"),
+            ("2", "h1.example/y", "spark sql"),
+            ("3", "https://H1.example/z", "sql"),   # scheme + case fold
+            ("4", "h2.example/a", ""),              # empty anchor -> no terms
+            ("5", "h2.example/b", "solo"),
+        ],
+        "url string, href string, anchor string",
+    )
+    out = {
+        (r["host"], r["term"]): (r["n"], r["rank"])
+        for r in A.host_anchor_terms(links, k=2).collect()
+    }
+    # h1.example: spark=2, sql=2 (tie -> 'spark' < 'sql' lexicographic),
+    # engine=1 cut by k=2
+    assert out[("h1.example", "spark")] == (2, 1)
+    assert out[("h1.example", "sql")] == (2, 2)
+    assert ("h1.example", "engine") not in out
+    assert out[("h2.example", "solo")] == (1, 1)
+    assert len(out) == 3
+
+
+def test_length_percentiles_nearest_rank(spark):
+    # lang 'a': lengths 1..10 -> p50 = ceil(0.5*10)=5th value = 5,
+    # p90 = 9, p99 = ceil(9.9)=10th = 10
+    rows = [(d, "x", "a", d + 1) for d in range(10)]
+    rows.append((99, "x", "b", 7))  # singleton lang: every percentile = 7
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, n_chars bigint"
+    )
+    out = {
+        r["lang"]: (r["n_docs"], r["p50_chars"], r["p90_chars"], r["p99_chars"])
+        for r in A.length_percentiles(docs).collect()
+    }
+    assert out["a"] == (10, 5, 9, 10)
+    assert out["b"] == (1, 7, 7, 7)
