@@ -534,6 +534,39 @@ def read_committed_output(
 
 # --- bucketed table layout (Iceberg bucket(N, url) stand-in) ----------------
 
+def write_pages_by_crawl_date(pages: DataFrame, path: str) -> None:
+    """Crawl-date-partitioned page store — the INCREMENTAL half of the
+    north rule's Iceberg layout, next to write_bucketed_table's
+    bucket(N, url): Iceberg would declare ``days(warc_ts)``; the parquet
+    stand-in derives ``crawl_date`` and partitions by it (the same
+    directory layout Iceberg's transform produces).  At 10^12 rows this
+    is what makes per-crawl runs cheap: an extraction over one crawl
+    window prunes every other day AT THE SCAN (PartitionFilters — plan-
+    audited in tests/test_crawl_partitions.py) instead of filtering
+    100 TB row-by-row.  warc_ts stays as a column; crawl_date is derived,
+    not a move."""
+    (
+        pages.withColumn("crawl_date", F.to_date("warc_ts"))
+        .write.mode("overwrite")
+        .partitionBy("crawl_date")
+        .parquet(path)
+    )
+
+
+def read_pages_window(
+    spark: SparkSession, path: str, start_date: str, end_date: str
+) -> DataFrame:
+    """Read a crawl window with partition pruning: the predicate is on
+    the PARTITION column, so it lands in the scan's PartitionFilters and
+    non-matching crawl_date= directories are never opened.  Dates are
+    'YYYY-MM-DD' strings, both ends inclusive."""
+    df = spark.read.parquet(path)
+    return df.filter(
+        (F.col("crawl_date") >= F.lit(start_date).cast("date"))
+        & (F.col("crawl_date") <= F.lit(end_date).cast("date"))
+    )
+
+
 def write_bucketed_table(
     df: DataFrame, table: str, num_buckets: int = 32, key: str = "url"
 ) -> None:
