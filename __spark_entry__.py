@@ -388,6 +388,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts under the learned 6-merge vocabulary
         return A.bpe_token_counts(_docs(spark, sf_dir), n_merges=6)
 
+    def dsir_weights(spark, sf_dir):
+        # r4 data-SELECTION tier (DSIR, unigram variant): importance =
+        # per-doc log-likelihood ratio of target-domain LM (the corpus's
+        # own English docs) vs the raw-corpus LM, add-one smoothed over
+        # the union vocabulary, integer micro-nats — measured teeth: en
+        # docs average +1034 micro-nats, zh -2007
+        docs = _docs(spark, sf_dir)
+        return A.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+
+    def dsir_topk(spark, sf_dir):
+        # the selection step: top-50 most target-like raw docs,
+        # TakeOrderedAndProject with integer rank keys
+        docs = _docs(spark, sf_dir)
+        return A.dsir_topk(docs, docs.filter(F.col("lang") == "en"), k=50)
+
     def bigram_surprisal(spark, sf_dir):
         # r4 LM-filter tier above unigram_surprisal: interpolated-bigram
         # perplexity (λ=90% bigram MLE + 10% unigram backoff), integer
@@ -1493,6 +1508,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Regenerate after each round from CORRECTNESS_r0*.json keys.
         # ------------------------------------------------------------------
         # never driver-checked:
+        "dsir_weights": dsir_weights,
+        "dsir_topk": dsir_topk,
         "host_anchor_terms": host_anchor_terms,
         "length_percentiles": length_percentiles,
         "bigram_surprisal": bigram_surprisal,
@@ -1870,6 +1887,40 @@ def _surprisal_cte(src: str = "documents") -> str:
                      FROM sj GROUP BY doc_id)"""
 
 
+_DSIR_CTE = """
+rt AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       FROM documents),
+dt AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS n
+       FROM rt GROUP BY doc_id, tok),
+runi AS (SELECT tok, CAST(sum(n) AS BIGINT) AS cr FROM dt GROUP BY tok),
+tuni AS (SELECT tok, CAST(count(*) AS BIGINT) AS ct FROM (
+           SELECT unnest(string_split(text, ' ')) AS tok
+           FROM documents WHERE lang = 'en') GROUP BY tok),
+vv AS (SELECT CAST(count(*) AS BIGINT) AS v FROM (
+         SELECT tok FROM runi UNION SELECT tok FROM tuni)),
+tot AS (SELECT (SELECT sum(cr) FROM runi) AS tr,
+               (SELECT sum(ct) FROM tuni) AS tt,
+               (SELECT v FROM vv) AS v),
+-- the ratio is ONE ln of an exactly-rounded double: integer products
+-- below 2^53, parenthesized identically to the Spark side
+dsc AS (SELECT dt.doc_id, dt.n,
+               CAST(floor(ln(
+                   (CAST(coalesce(ct, 0) + 1 AS DOUBLE)
+                    * CAST(tr + v AS DOUBLE))
+                   / (CAST(cr + 1 AS DOUBLE) * CAST(tt + v AS DOUBLE))
+               ) * CAST(1000000 AS DOUBLE)) AS BIGINT) AS micro
+        FROM dt JOIN runi USING (tok) LEFT JOIN tuni USING (tok)
+        CROSS JOIN tot),
+wts AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(n * micro) AS BIGINT) AS logratio_micronats,
+               CAST((sum(n * micro) + 68719476736 * sum(n)) // sum(n)
+                    - 68719476736 AS BIGINT) AS mean_micronats
+        FROM dsc GROUP BY doc_id)
+"""
+# shared by the dsir_weights and dsir_topk oracles — ONE definition of the
+# smoothing/offset arithmetic (the r3 shared-CTE rule)
+
+
 def _split_cte(src: str = "documents") -> str:
     """md5-bucket split assignment CTE — shared by train_split_assign's
     oracle and curation_v3 (one definition of the 204/230 thresholds)."""
@@ -1996,6 +2047,20 @@ bands AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "dsir_weights": f"""
+            WITH {_DSIR_CTE}
+            SELECT doc_id, n_tokens, logratio_micronats, mean_micronats
+            FROM wts
+        """,
+        "dsir_topk": f"""
+            WITH {_DSIR_CTE}
+            SELECT doc_id, n_tokens, mean_micronats, rank FROM (
+              SELECT doc_id, n_tokens, mean_micronats,
+                     CAST(row_number() OVER (ORDER BY mean_micronats DESC,
+                         doc_id ASC) AS INT) AS rank
+              FROM wts)
+            WHERE rank <= 50
+        """,
         "host_anchor_terms": """
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
                        FROM documents WHERE text IS NOT NULL),

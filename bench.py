@@ -101,6 +101,7 @@ BAND_MAX_S = {
     "host_rebalance": 3.5,
     "kmeans_clusters": 6.5,
     "host_anchor_terms": 6.0,   # warm 3.8 (cold-first 10.6 — DOM walk)
+    "dsir_weights": 4.5,  # cold-first 3.6
     "length_percentiles": 2.5,  # warm 1.5
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
@@ -268,6 +269,9 @@ def main() -> None:
         "host_rebalance": lambda: force(_host_rebalance()),
         "kmeans_clusters": lambda: force(A.kmeans_clusters(emb, k=8, iters=2)),
         "host_anchor_terms": lambda: force(_host_anchor_terms()),
+        "dsir_weights": lambda: force(
+            A.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
+        ),
         "length_percentiles": lambda: force(A.length_percentiles(docs)),
     }
 

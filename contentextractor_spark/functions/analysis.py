@@ -1480,6 +1480,95 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def dsir_weights(raw: DataFrame, target: DataFrame) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
+    unigram variant): per raw document, the log-likelihood ratio of its
+    tokens under a target-domain unigram LM vs the raw-corpus LM — the
+    data-SELECTION tier above the quality filters (pick raw docs that
+    LOOK LIKE the target domain, e.g. upsample encyclopedic text from a
+    crawl).  Output: (doc_id, n_tokens, logratio_micronats,
+    mean_micronats); positive mean ⇒ target-like.
+
+    Exactness: add-one smoothing over the UNION vocabulary keeps both
+    probabilities defined for every raw token; the per-token ratio is
+    computed as ONE ln of an exactly-rounded double expression
+    ((c_t+1)·(T_r+V)) / ((c_r+1)·(T_t+V)) — integer products stay below
+    2^53 so the doubles are exact, and the DuckDB twin parenthesizes
+    identically — then floor-quantized to integer micro-nats and summed
+    order-free (the unigram_surprisal convention; same documented 1-ulp
+    ln() residual).
+
+    Scale: two map-side-combinable unigram tables (raw side from the
+    per-doc counts it needs anyway), scalar totals as one-row broadcast
+    crossJoins, one join per distinct (doc, token) pair.  The target
+    side is small by nature (a curated seed corpus); the raw side never
+    materializes more than its token-type stream."""
+    rt = raw.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dt = rt.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("n"))
+    runi = dt.groupBy("tok").agg(F.sum("n").alias("cr"))
+    tuni = (
+        target.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    vocab = (
+        runi.select("tok").unionByName(tuni.select("tok")).distinct()
+        .select(F.count(F.lit(1)).alias("v"))
+    )
+    totals = (
+        runi.select(F.sum("cr").alias("tr"))
+        .crossJoin(tuni.select(F.sum("ct").alias("tt")))
+        .crossJoin(vocab)
+    )
+    joined = (
+        dt.join(runi, "tok")
+        .join(tuni.withColumnRenamed("tok", "tok2"), dt["tok"] == F.col("tok2"), "left")
+        .crossJoin(F.broadcast(totals))
+    )
+    ratio = (
+        (F.coalesce("ct", F.lit(0)) + F.lit(1)).cast("double")
+        * (F.col("tr") + F.col("v")).cast("double")
+    ) / (
+        (F.col("cr") + F.lit(1)).cast("double")
+        * (F.col("tt") + F.col("v")).cast("double")
+    )
+    micro = F.floor(F.log(ratio) * F.lit(1_000_000.0)).cast("long")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * micro).alias("logratio_micronats"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "logratio_micronats",
+            # signed integer mean: the floor-div offset trick (the r4
+            # PQ-training lesson — Spark div truncates, DuckDB // floors;
+            # they agree only on non-negatives).  |per-token micro| is
+            # bounded by ln(max_count·max_total)·1e6 < 64e6, so B=2^36
+            # dominates any real corpus sum/count ratio
+            F.expr(
+                "(logratio_micronats + 68719476736 * n_tokens) div n_tokens"
+                " - 68719476736"
+            ).alias("mean_micronats"),
+        )
+    )
+
+
+def dsir_topk(raw: DataFrame, target: DataFrame, k: int = 100) -> DataFrame:
+    """The selection step: top-k raw docs by DSIR importance —
+    orderBy().limit(k) (TakeOrderedAndProject, the top-k convention;
+    never a global window sort), rank keys (mean_micronats DESC, doc_id
+    ASC) both integer so the order is engine-exact."""
+    w = dsir_weights(raw, target)
+    top = w.orderBy(F.col("mean_micronats").desc(), F.col("doc_id")).limit(k)
+    rw = Window.orderBy(F.col("mean_micronats").desc(), F.col("doc_id"))
+    return top.withColumn("rank", F.row_number().over(rw)).select(
+        "doc_id", "n_tokens", "mean_micronats", "rank"
+    )
+
+
 def host_anchor_terms(links: DataFrame, k: int = 5) -> DataFrame:
     """(host, term, n, rank): top-k anchor-text terms per link TARGET host
     — the classic web-graph topical signal (what the web calls a page is

@@ -214,3 +214,43 @@ def test_length_percentiles_nearest_rank(spark):
     }
     assert out["a"] == (10, 5, 9, 10)
     assert out["b"] == (1, 7, 7, 7)
+
+
+# --------------------------------------------------------------------------
+# DSIR importance resampling
+# --------------------------------------------------------------------------
+
+
+def test_dsir_ranks_target_like_docs_first(spark):
+    # target = 'code-like' docs; raw corpus mixes code-like and prose.
+    # Every code-like raw doc must out-rank every prose doc.
+    code = [
+        "def foo return x", "class bar def init", "import os def main",
+        "return self value def",
+    ]
+    prose = [
+        "the cat sat on the mat", "a long time ago in town",
+        "rain falls softly tonight", "children play in the park",
+    ]
+    rows = [(i, t) for i, t in enumerate(code + prose)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    target = spark.createDataFrame(
+        [(100, "def make thing return it"), (101, "import sys class app")],
+        "doc_id bigint, text string",
+    )
+    w = {r["doc_id"]: r["mean_micronats"] for r in A.dsir_weights(docs, target).collect()}
+    assert min(w[i] for i in range(4)) > max(w[i] for i in range(4, 8)), w
+    top = [r["doc_id"] for r in A.dsir_topk(docs, target, k=4).collect()]
+    assert set(top) == {0, 1, 2, 3}
+
+
+def test_dsir_signed_mean_division_is_floor(spark):
+    # a doc with NEGATIVE total log-ratio exercises the offset-div trick
+    # (Spark div truncates toward zero; the offset keeps the numerator
+    # non-negative so both engines floor) — mean must equal python's //
+    docs = spark.createDataFrame(
+        [(0, "zz yy zz xx"), (1, "aa bb aa")], "doc_id bigint, text string"
+    )
+    target = spark.createDataFrame([(9, "aa bb cc")], "doc_id bigint, text string")
+    for r in A.dsir_weights(docs, target).collect():
+        assert r["mean_micronats"] == r["logratio_micronats"] // r["n_tokens"], r
