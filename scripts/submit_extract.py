@@ -36,6 +36,11 @@ def main() -> None:
     ap.add_argument("--output", help="extracted output table path")
     ap.add_argument("--lineage", help="lineage/metrics table path")
     ap.add_argument("--num-buckets", type=int, default=256)
+    ap.add_argument(
+        "--since", help="crawl window start (YYYY-MM-DD, inclusive) — with a"
+        " crawl_date-partitioned input the window PRUNES at the scan"
+    )
+    ap.add_argument("--until", help="crawl window end (YYYY-MM-DD, inclusive)")
     ap.add_argument("--master", default=None, help="override master (local runs)")
     ap.add_argument(
         "--demo", action="store_true", help="run on synthetic pages into /tmp"
@@ -68,7 +73,18 @@ def main() -> None:
     if not (args.input and args.output and args.lineage):
         ap.error("--input/--output/--lineage required (or --demo)")
 
-    pages = spark.read.parquet(args.input)
+    if args.since or args.until:
+        # per-crawl incremental run: partition pruning via the crawl_date
+        # layout (write_pages_by_crawl_date) — PartitionFilters, never a
+        # row filter over the full store
+        from contentextractor_spark.plans.pipeline import read_pages_window
+
+        pages = read_pages_window(
+            spark, args.input, args.since or "0001-01-01",
+            args.until or "9999-12-31",
+        )
+    else:
+        pages = spark.read.parquet(args.input)
     extracted, lineage = run_extraction(
         spark,
         pages,

