@@ -388,6 +388,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts under the learned 6-merge vocabulary
         return A.bpe_token_counts(_docs(spark, sf_dir), n_merges=6)
 
+    def _robots_sql(spark, sf_dir):
+        # one robots.txt per synthesized host (doc_id % 7): a '*' section
+        # with a Disallow + longer Allow, a decoy per-bot section the
+        # parser must DISCARD, a comment, and CRLF endings — all
+        # SQL-predictable
+        hosts = _docs(spark, sf_dir).select(
+            F.pmod("doc_id", 7).cast("string").alias("h")
+        ).distinct()
+        return hosts.select(
+            F.concat(F.lit("h"), "h", F.lit(".example")).alias("host"),
+            F.concat(
+                F.lit("# robots for host "), "h",
+                F.lit("\r\nUser-agent: *\r\nDisallow: /private"), "h",
+                F.lit("/\r\nAllow: /private"), "h",
+                F.lit("/ok/\r\n\r\nUser-agent: evilbot\r\nDisallow: /\r\n"),
+            ).alias("robots_txt"),
+        )
+
+    def robots_rules(spark, sf_dir):
+        # r4 crawl-side gate: parse the '*' sections (sectioning window,
+        # comment strip, CRLF, case-insensitive fields; the evilbot
+        # section must NOT leak into the output)
+        return A.parse_robots(_robots_sql(spark, sf_dir))
+
+    def robots_filter(spark, sf_dir):
+        # longest-prefix-match verdicts: doc_id%3 picks a blocked path, a
+        # path re-allowed by the LONGER Allow rule, or an unmatched path
+        docs = _docs(spark, sf_dir)
+        h = F.pmod("doc_id", 7).cast("string")
+        path = (
+            F.when(F.pmod("doc_id", 3) == 0,
+                   F.concat(F.lit("/private"), h, F.lit("/x")))
+            .when(F.pmod("doc_id", 3) == 1,
+                  F.concat(F.lit("/private"), h, F.lit("/ok/y")))
+            .otherwise(F.lit("/public/z"))
+        )
+        urls = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://h"), h, F.lit(".example"), path).alias("url"),
+        )
+        return A.apply_robots(urls, A.parse_robots(_robots_sql(spark, sf_dir)))
+
     def dsir_weights(spark, sf_dir):
         # r4 data-SELECTION tier (DSIR, unigram variant): importance =
         # per-doc log-likelihood ratio of target-domain LM (the corpus's
@@ -1508,6 +1550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Regenerate after each round from CORRECTNESS_r0*.json keys.
         # ------------------------------------------------------------------
         # never driver-checked:
+        "robots_rules": robots_rules,
+        "robots_filter": robots_filter,
         "dsir_weights": dsir_weights,
         "dsir_topk": dsir_topk,
         "host_anchor_terms": host_anchor_terms,
@@ -2047,6 +2091,30 @@ bands AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "robots_rules": """
+            WITH hs AS (SELECT DISTINCT CAST(doc_id % 7 AS VARCHAR) AS h
+                        FROM documents)
+            SELECT 'h' || h || '.example' AS host, allow, path_prefix
+            FROM (
+              SELECT h, CAST(0 AS INT) AS allow,
+                     '/private' || h || '/' AS path_prefix FROM hs
+              UNION ALL
+              SELECT h, CAST(1 AS INT),
+                     '/private' || h || '/ok/' FROM hs)
+        """,
+        "robots_filter": """
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+                   CASE CAST(doc_id % 3 AS INT)
+                     WHEN 0 THEN '/private' || CAST(doc_id % 7 AS VARCHAR)
+                                 || '/x'
+                     WHEN 1 THEN '/private' || CAST(doc_id % 7 AS VARCHAR)
+                                 || '/ok/y'
+                     ELSE '/public/z' END AS path,
+                   CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS INT)
+                       AS allowed
+            FROM documents
+        """,
         "dsir_weights": f"""
             WITH {_DSIR_CTE}
             SELECT doc_id, n_tokens, logratio_micronats, mean_micronats

@@ -1480,6 +1480,119 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def parse_robots(robots: DataFrame) -> DataFrame:
+    """(host, allow, path_prefix): the generic-agent ('*') rules parsed
+    out of per-host robots.txt bodies — the crawl-side gate every web
+    pipeline needs before it fetches or even keeps a URL.  Input:
+    (host, robots_txt).
+
+    Parsing convention (the de-facto Google one, scoped): lines are
+    CRLF-tolerant; a 'User-agent:' line opens a section; Allow/Disallow
+    lines bind to their section; only sections for agent '*' are kept
+    (per-bot sections are parsed and discarded here — filter on the
+    agent column upstream if you need a specific bot); an EMPTY
+    Disallow value means "allow everything" (RFC 9309 §2.2.2) and emits
+    no rule; field names are case-insensitive; '#' comments and unknown
+    fields are ignored.
+
+    Scale: pure string ops + one per-host window (cumulative section
+    id, PARTITIONED by host — robots bodies are small, hosts are many);
+    no joins, no UDFs."""
+    lines = robots.select(
+        "host",
+        F.posexplode(F.split(F.col("robots_txt"), "\r?\n")).alias("ln", "line"),
+    ).select(
+        "host",
+        "ln",
+        F.regexp_replace("line", "#.*$", "").alias("line"),
+    )
+    typed = lines.select(
+        "host",
+        "ln",
+        F.trim(
+            F.regexp_extract("line", "(?i)^\\s*user-agent\\s*:\\s*(.*?)\\s*$", 1)
+        ).alias("agent"),
+        F.lower(
+            F.regexp_extract("line", "(?i)^\\s*(allow|disallow)\\s*:", 1)
+        ).alias("verb"),
+        F.trim(
+            F.regexp_extract(
+                "line", "(?i)^\\s*(?:allow|disallow)\\s*:\\s*(.*?)\\s*$", 1
+            )
+        ).alias("prefix"),
+    )
+    w = Window.partitionBy("host").orderBy("ln")
+    sec = typed.withColumn(
+        "sec",
+        F.sum(F.when(F.col("agent") != "", 1).otherwise(0)).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    agents = (
+        sec.filter(F.col("agent") != "")
+        .groupBy("host", "sec")
+        .agg(F.min("agent").alias("sec_agent"))
+    )
+    return (
+        sec.filter(F.col("verb") != "")
+        .filter(F.col("prefix") != "")  # empty Disallow = allow-all, no rule
+        .join(agents, ["host", "sec"])
+        .filter(F.col("sec_agent") == "*")
+        .select(
+            "host",
+            (F.col("verb") == "allow").cast("int").alias("allow"),
+            F.col("prefix").alias("path_prefix"),
+        )
+    )
+
+
+def apply_robots(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> DataFrame:
+    """(doc_id, host, path, allowed): verdict per URL under the parsed
+    '*' rules — LONGEST path-prefix match wins, allow wins a length tie
+    (the Google convention), no matching rule means allowed.
+
+    Scale: one join on host (the rules side is tiny per host — broadcast
+    it if small overall), then the argmax is the packed-bigint trick
+    (len(prefix)*2 + allow — the PQ argmin convention in max form) in a
+    map-side-combinable groupBy; no window over the URL stream."""
+    host = F.lower(
+        F.regexp_replace(
+            F.regexp_extract(
+                F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+            ),
+            "^[^@]*@|:[0-9]*$",
+            "",
+        )
+    )
+    path = F.regexp_extract(
+        F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1
+    )
+    base = urls.select(
+        "doc_id",
+        host.alias("host"),
+        F.when(path == "", F.lit("/")).otherwise(path).alias("path"),
+    )
+    j = base.join(rules, "host", "left")
+    matched = F.col("path_prefix").isNotNull() & F.col("path").startswith(
+        F.col("path_prefix")
+    )
+    packed = F.when(
+        matched, F.length("path_prefix") * 2 + F.col("allow")
+    ).cast("long")
+    return (
+        j.groupBy("doc_id", "host", "path")
+        .agg(F.max(packed).alias("__p"))
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.coalesce(
+                (F.col("__p") % 2).cast("int"), F.lit(1)
+            ).alias("allowed"),
+        )
+    )
+
+
 def dsir_weights(raw: DataFrame, target: DataFrame) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
     unigram variant): per raw document, the log-likelihood ratio of its

@@ -296,3 +296,51 @@ def test_dsir_bench_side_broadcasts(spark):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = _physical(A.dsir_weights(docs, docs.filter(F.col("lang") == "en")))
     assert plan.count("BroadcastExchange") >= 2, plan
+
+
+# --------------------------------------------------------------------------
+# robots.txt parse + longest-match filter
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def robots_rules(spark):
+    robots = spark.createDataFrame(
+        [
+            ("h0.example",
+             "User-agent: *\nDisallow: /private/\nAllow: /private/ok/\n\n"
+             "User-agent: evilbot\nDisallow: /"),
+            ("h1.example", "# all welcome\nUser-agent: *\nDisallow:\n"),
+            ("h2.example", "User-Agent: *\r\nDisallow: /  # block all\r\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    return A.parse_robots(robots)
+
+
+def test_parse_robots_sections_comments_crlf(robots_rules):
+    rules = {(r["host"], r["path_prefix"]): r["allow"] for r in robots_rules.collect()}
+    # the evilbot section must not leak; empty Disallow emits no rule;
+    # CRLF + trailing comment + case-insensitive field all parse
+    assert rules == {
+        ("h0.example", "/private/"): 0,
+        ("h0.example", "/private/ok/"): 1,
+        ("h2.example", "/"): 0,
+    }
+
+
+def test_apply_robots_longest_match_and_defaults(spark, robots_rules):
+    urls = spark.createDataFrame(
+        [
+            (0, "https://h0.example/private/x"),       # blocked
+            (1, "https://h0.example/private/ok/y"),    # longer Allow wins
+            (2, "https://h0.example/public"),          # no rule -> allow
+            (3, "https://h1.example/anything"),        # empty Disallow host
+            (4, "https://h2.example/whatever"),        # block-all host
+            (5, "https://h3.example/no-robots"),       # unknown host
+            (6, "https://h2.example"),                 # bare host -> path '/'
+        ],
+        "doc_id bigint, url string",
+    )
+    out = {r["doc_id"]: r["allowed"] for r in A.apply_robots(urls, robots_rules).collect()}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 0, 5: 1, 6: 0}
