@@ -388,6 +388,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # counts under the learned 6-merge vocabulary
         return A.bpe_token_counts(_docs(spark, sf_dir), n_merges=6)
 
+    _C4_LINES = (
+        "concat_ws('\\n', transform("
+        " sequence(0, cast(ceil(size(split(text, ' ')) / 6.0) as int) - 1),"
+        " i -> concat(concat_ws(' ', slice(split(text, ' '), i * 6 + 1, 6)),"
+        " case when pmod(doc_id + i, 2) = 0 then '.' else '' end)))"
+    )
+
+    def c4_line_filter(spark, sf_dir):
+        # r4 canonical web-text line filter (C4 §2.2) over SQL-built
+        # multi-line pages: words chunked into 6-word lines, alternate
+        # lines punctuated (doc_id+i parity), every 11th page planted
+        # with 'lorem ipsum' (page gate), every 7th with a punctuated
+        # javascript line (line gate must fire DESPITE the punctuation)
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        text2 = F.concat(
+            F.expr(_C4_LINES),
+            F.when(F.pmod("doc_id", 11) == 0, F.lit("\nlorem ipsum")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                (F.pmod("doc_id", 7) == 0) & (F.pmod("doc_id", 11) != 0),
+                F.lit("\nthis page uses javascript heavily right now."),
+            ).otherwise(F.lit("")),
+        )
+        return A.c4_line_filter(
+            docs.select("doc_id", text2.alias("text")), min_words=5,
+            min_kept_lines=3,
+        )
+
+    def ccnet_buckets(spark, sf_dir):
+        # r4 CCNet head/middle/tail perplexity terciles per language —
+        # nearest-rank tercile cuts by the histogram mechanics, bucket
+        # assignment via a broadcast threshold join
+        return A.ccnet_buckets(_docs(spark, sf_dir))
+
     def _robots_sql(spark, sf_dir):
         # one robots.txt per synthesized host (doc_id % 7): a '*' section
         # with a Disallow + longer Allow, a decoy per-bot section the
@@ -1550,6 +1585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Regenerate after each round from CORRECTNESS_r0*.json keys.
         # ------------------------------------------------------------------
         # never driver-checked:
+        "c4_line_filter": c4_line_filter,
+        "ccnet_buckets": ccnet_buckets,
         "robots_rules": robots_rules,
         "robots_filter": robots_filter,
         "dsir_weights": dsir_weights,
@@ -2091,6 +2128,62 @@ bands AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "c4_line_filter": """
+            WITH built AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                         generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 6.0) AS INT) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '), i * 6 + 1, i * 6 + 6), ' ')
+                              || CASE WHEN (doc_id + i) % 2 = 0 THEN '.' ELSE '' END),
+                       chr(10))
+                     || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum' ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0 AND doc_id % 11 <> 0
+                             THEN chr(10) || 'this page uses javascript heavily right now.'
+                             ELSE '' END AS text2
+              FROM documents WHERE text IS NOT NULL),
+            pages AS (SELECT * FROM built
+                      WHERE NOT contains(lower(text2), 'lorem ipsum')
+                        AND NOT contains(text2, '{')),
+            lns AS (SELECT doc_id, i - 1 AS pos, trim(l[i]) AS line FROM (
+                      SELECT doc_id, string_split(text2, chr(10)) AS l,
+                             unnest(generate_series(1,
+                                 len(string_split(text2, chr(10))))) AS i
+                      FROM pages)),
+            kept AS (SELECT * FROM lns
+                     WHERE regexp_matches(line, '[.!?"]$')
+                       AND len(string_split(line, ' ')) >= 5
+                       AND NOT contains(lower(line), 'javascript')),
+            cnts AS (SELECT doc_id, count(*) AS nk FROM kept GROUP BY doc_id)
+            SELECT k.doc_id, CAST(k.pos AS INT) AS pos, k.line
+            FROM kept k JOIN cnts USING (doc_id)
+            WHERE nk >= 3
+        """,
+        "ccnet_buckets": f"""
+            WITH {_surprisal_cte('documents')},
+            sc AS (SELECT s.doc_id, d.lang, s.mean_micronats
+                   FROM surp s JOIN documents d USING (doc_id)),
+            chist AS (SELECT lang, mean_micronats,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM sc GROUP BY 1, 2),
+            ccum AS (SELECT lang, mean_micronats,
+                            sum(cnt) OVER (PARTITION BY lang
+                                ORDER BY mean_micronats
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                            sum(cnt) OVER (PARTITION BY lang) AS n
+                     FROM chist),
+            cuts AS (SELECT lang,
+                            min(CASE WHEN cum >= (n + 2) // 3
+                                     THEN mean_micronats END) AS t1,
+                            min(CASE WHEN cum >= (2 * n + 2) // 3
+                                     THEN mean_micronats END) AS t2
+                     FROM ccum GROUP BY lang)
+            SELECT sc.doc_id, sc.lang, sc.mean_micronats,
+                   CASE WHEN sc.mean_micronats <= t1 THEN 'head'
+                        WHEN sc.mean_micronats <= t2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM sc JOIN cuts USING (lang)
+        """,
         "robots_rules": """
             WITH hs AS (SELECT DISTINCT CAST(doc_id % 7 AS VARCHAR) AS h
                         FROM documents)

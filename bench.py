@@ -103,6 +103,8 @@ BAND_MAX_S = {
     "host_anchor_terms": 6.0,   # warm 3.8 (cold-first 10.6 — DOM walk)
     "dsir_weights": 4.5,  # cold-first 3.6
     "robots_filter": 6.5,  # warm 5.6 — stage-count overhead, shapes audited
+    "c4_line_filter": 6.0,  # cold-first 4.5
+    "ccnet_buckets": 5.0,   # cold-first 3.6
     "length_percentiles": 2.5,  # warm 1.5
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
@@ -271,11 +273,18 @@ def main() -> None:
         "kmeans_clusters": lambda: force(A.kmeans_clusters(emb, k=8, iters=2)),
         "host_anchor_terms": lambda: force(_host_anchor_terms()),
         "robots_filter": lambda: force(_robots_filter()),
+        "c4_line_filter": lambda: force(_c4_line_filter()),
+        "ccnet_buckets": lambda: force(A.ccnet_buckets(docs)),
         "dsir_weights": lambda: force(
             A.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
         ),
         "length_percentiles": lambda: force(A.length_percentiles(docs)),
     }
+
+    def _c4_line_filter():
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["c4_line_filter"](spark, SF_DIR)
 
     def _robots_filter():
         # the SAME synthesized robots + url construction the driver checks

@@ -1480,6 +1480,93 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def c4_line_filter(
+    docs: DataFrame, min_words: int = 5, min_kept_lines: int = 3
+) -> DataFrame:
+    """C4 line/page cleaning (Raffel et al. 2020 §2.2) — the canonical
+    web-text line filter: keep lines ending in terminal punctuation
+    (. ! ? ") with ≥ min_words words and no 'javascript'; drop whole
+    pages containing 'lorem ipsum' or a curly brace; keep only pages
+    with ≥ min_kept_lines surviving lines.  Output: (doc_id, pos, line)
+    — the surviving lines themselves with their original positions, so
+    an oracle hash checks content, order, AND both gate levels (a
+    dropped page contributes no rows).
+
+    Scale: one explode + codegen'd row filters; the page gate is a
+    count window PARTITIONED by doc_id (one exchange); no collects, no
+    re-assembly aggregate (join kept lines back by (doc_id, pos) order
+    downstream if you need the cleaned text as one string)."""
+    pages = docs.filter(
+        ~F.lower(F.col("text")).contains("lorem ipsum")
+        & ~F.col("text").contains("{")
+    )
+    lines = pages.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "raw")
+    ).select("doc_id", "pos", F.trim("raw").alias("line"))
+    kept = lines.filter(
+        F.col("line").rlike('[.!?"]$')
+        & (F.size(F.split("line", " ")) >= min_words)
+        & ~F.lower(F.col("line")).contains("javascript")
+    )
+    w = Window.partitionBy("doc_id")
+    return (
+        kept.withColumn("__n", F.count(F.lit(1)).over(w))
+        .filter(F.col("__n") >= min_kept_lines)
+        .select("doc_id", "pos", "line")
+    )
+
+
+def ccnet_buckets(docs: DataFrame) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, split documents into head/middle/tail TERCILES of their
+    LM score — head (lowest mean surprisal under the corpus's own
+    unigram LM, standing in for the external KenLM) is the
+    highest-quality slice a curation run keeps or upsamples.  Output:
+    (doc_id, lang, mean_micronats, bucket).
+
+    Exactness: the scores are unigram_surprisal's integer micro-nats;
+    the tercile cuts are nearest-rank order statistics (t1 at
+    ceil(n/3), t2 at ceil(2n/3) — integer index arithmetic) computed by
+    the length_percentiles HISTOGRAM mechanics: cumulative window over
+    DISTINCT score values per lang, never a row sort over the corpus;
+    bucket assignment is a broadcast threshold join on lang."""
+    surp = unigram_surprisal(docs).select("doc_id", "mean_micronats")
+    scored = surp.join(docs.select("doc_id", "lang"), "doc_id")
+    hist = scored.groupBy("lang", "mean_micronats").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("lang").orderBy("mean_micronats")
+    tot = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang",
+        "mean_micronats",
+        F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.sum("cnt").over(tot).alias("n"),
+    )
+    cuts = cum.groupBy("lang").agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("mean_micronats"))
+        ).alias("t1"),
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("mean_micronats")
+            )
+        ).alias("t2"),
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "mean_micronats",
+            F.when(F.col("mean_micronats") <= F.col("t1"), F.lit("head"))
+            .when(F.col("mean_micronats") <= F.col("t2"), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+            .alias("bucket"),
+        )
+    )
+
+
 def parse_robots(robots: DataFrame) -> DataFrame:
     """(host, allow, path_prefix): the generic-agent ('*') rules parsed
     out of per-host robots.txt bodies — the crawl-side gate every web

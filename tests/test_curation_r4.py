@@ -344,3 +344,55 @@ def test_apply_robots_longest_match_and_defaults(spark, robots_rules):
     )
     out = {r["doc_id"]: r["allowed"] for r in A.apply_robots(urls, robots_rules).collect()}
     assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 0, 5: 1, 6: 0}
+
+
+# --------------------------------------------------------------------------
+# C4 line filter + CCNet perplexity buckets
+# --------------------------------------------------------------------------
+
+
+def test_c4_line_filter_all_four_gates(spark):
+    docs = _docs(
+        spark,
+        [
+            # doc 0: one unpunctuated line + one short line are dropped,
+            # three good lines survive
+            (0, "good line one two three.\nno punct line here at all\n"
+                "another fine line four five!\nthird good line is here.\n"
+                "short one."),
+            # doc 1: the javascript line is punctuated and long — only the
+            # content rule can drop it; three others survive
+            (1, "uses javascript library here today.\n"
+                "solid line one two three four.\nfine line two three four "
+                "five.\nmore line two three four five."),
+            # doc 2: page gate — lorem ipsum kills the whole page
+            (2, "lorem ipsum dolor sit amet.\ngood line one two three "
+                "four.\nsecond fine line here today.\nthird fine line here "
+                "today."),
+            # doc 3: fewer than 3 surviving lines -> page dropped
+            (3, "only one good line here today.\nnothing else survives"),
+        ],
+    )
+    out = {(r["doc_id"], r["pos"]) for r in A.c4_line_filter(docs).collect()}
+    assert out == {(0, 0), (0, 2), (0, 3), (1, 1), (1, 2), (1, 3)}
+
+
+def test_ccnet_buckets_are_balanced_terciles(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = A.ccnet_buckets(docs)
+    sizes = {
+        (r["lang"], r["bucket"]): r["cnt"]
+        for r in out.groupBy("lang", "bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    langs = {k[0] for k in sizes}
+    for lang in langs:
+        h, m, t = (sizes.get((lang, b), 0) for b in ("head", "middle", "tail"))
+        n = h + m + t
+        # nearest-rank terciles: each bucket within 1 of n/3 (ties on
+        # equal scores can shift more, but the fixture scores are distinct)
+        assert abs(h - n / 3) <= 1 and abs(m - n / 3) <= 1 and abs(t - n / 3) <= 1, (lang, h, m, t)
+    # head = LOWEST surprisal by construction
+    rows = out.filter(F.col("lang") == "en").collect()
+    hmax = max(r["mean_micronats"] for r in rows if r["bucket"] == "head")
+    tmin = min(r["mean_micronats"] for r in rows if r["bucket"] == "tail")
+    assert hmax < tmin
