@@ -977,6 +977,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(split, "doc_id")
         )
 
+    def curation_v4(spark, sf_dir):
+        # r4 session-2 composed flow, ONE SQL oracle for the whole chain:
+        # overlap-fraction decontamination gate → per-host rebalancing
+        # gate (host counts over the SURVIVORS — set-dependent) → Gopher
+        # quality gate → CCNet tercile bucketing whose corpus LM is built
+        # over the TRIPLE-gated set (any upstream gate error shifts every
+        # downstream surprisal and bucket) → keep head+middle.
+        docs = _docs(spark, sf_dir)
+        frac = A.decontaminate_fraction(
+            docs, docs.filter(F.col("doc_id") < 20), n=3, max_pct=10
+        )
+        g1 = docs.join(
+            frac.filter(F.col("contaminated") == 0).select("doc_id"), "doc_id"
+        )
+        ud = g1.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://h"),
+                F.when(F.pmod("doc_id", 3) == 0, F.lit(0))
+                .otherwise(F.pmod("doc_id", 37))
+                .cast("string"),
+                F.lit(".example/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        hr = A.host_rebalance(ud, cap=30)
+        g2 = g1.join(
+            hr.filter(F.col("keep") == 1).select("doc_id"), "doc_id"
+        )
+        qf = (
+            A.quality_filter(g2)
+            .filter(F.col("keep") == 1)
+            .select("doc_id", "n_words")
+        )
+        g3 = g2.join(qf, "doc_id").localCheckpoint()  # LM + output feed
+        cb = A.ccnet_buckets(g3.select("doc_id", "text", "lang"))
+        return (
+            cb.filter(F.col("bucket") != "tail")
+            .join(g3.select("doc_id", "n_words"), "doc_id")
+            .select("doc_id", "lang", "n_words", "mean_micronats", "bucket")
+        )
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -1585,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Regenerate after each round from CORRECTNESS_r0*.json keys.
         # ------------------------------------------------------------------
         # never driver-checked:
+        "curation_v4": curation_v4,
         "c4_line_filter": c4_line_filter,
         "ccnet_buckets": ccnet_buckets,
         "robots_rules": robots_rules,
@@ -2128,6 +2171,62 @@ bands AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "curation_v4": f"""
+            WITH {_SHINGLE_CTE},
+            bset AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+            fr AS (SELECT sh.doc_id,
+                          CAST(count(*) AS BIGINT) AS n_grams,
+                          CAST(sum(CASE WHEN b.shingle IS NOT NULL
+                                        THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+                   FROM sh LEFT JOIN bset b USING (shingle)
+                   GROUP BY sh.doc_id),
+            g1 AS (SELECT d.* FROM documents d LEFT JOIN fr USING (doc_id)
+                   WHERE coalesce(fr.n_grams, 0) = 0
+                      OR coalesce(fr.n_hit, 0) * 100
+                         < coalesce(fr.n_grams, 0) * 10),
+            hb AS (SELECT doc_id,
+                          'h' || CAST(CASE WHEN doc_id % 3 = 0 THEN 0
+                                      ELSE doc_id % 37 END AS VARCHAR)
+                          || '.example' AS host
+                   FROM g1),
+            hc AS (SELECT host, CAST(count(*) AS BIGINT) AS host_docs
+                   FROM hb GROUP BY host),
+            g2 AS (SELECT g1.* FROM g1
+                   JOIN hb USING (doc_id) JOIN hc USING (host)
+                   WHERE {_hex_int_sql(
+                       "md5('hs:' || CAST(hb.doc_id AS VARCHAR))", 1, 5)}
+                         < least(1048576, (30 * 1048576) // hc.host_docs)),
+            q AS ({_qf_cols_sql('g2')}),
+            qkeep AS (SELECT doc_id, n_words FROM q
+                      WHERE NOT {_QF_BAD_SQL}),
+            g3 AS (SELECT g2.doc_id, g2.text, g2.lang, qkeep.n_words
+                   FROM g2 JOIN qkeep USING (doc_id)),
+            g3t AS (SELECT doc_id, text FROM g3),
+            {_surprisal_cte('g3t')},
+            sc AS (SELECT s.doc_id, g.lang, g.n_words, s.mean_micronats
+                   FROM surp s JOIN g3 g USING (doc_id)),
+            chist AS (SELECT lang, mean_micronats,
+                             CAST(count(*) AS BIGINT) AS cnt
+                      FROM sc GROUP BY 1, 2),
+            ccum AS (SELECT lang, mean_micronats,
+                            sum(cnt) OVER (PARTITION BY lang
+                                ORDER BY mean_micronats
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum,
+                            sum(cnt) OVER (PARTITION BY lang) AS n
+                     FROM chist),
+            cuts AS (SELECT lang,
+                            min(CASE WHEN cum >= (n + 2) // 3
+                                     THEN mean_micronats END) AS t1,
+                            min(CASE WHEN cum >= (2 * n + 2) // 3
+                                     THEN mean_micronats END) AS t2
+                     FROM ccum GROUP BY lang)
+            SELECT sc.doc_id, sc.lang, sc.n_words, sc.mean_micronats,
+                   CASE WHEN sc.mean_micronats <= t1 THEN 'head'
+                        ELSE 'middle' END AS bucket
+            FROM sc JOIN cuts USING (lang)
+            WHERE sc.mean_micronats <= t2
+        """,
         "c4_line_filter": """
             WITH built AS (
               SELECT doc_id,

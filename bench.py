@@ -105,6 +105,7 @@ BAND_MAX_S = {
     "robots_filter": 6.5,  # warm 5.6 — stage-count overhead, shapes audited
     "c4_line_filter": 6.0,  # cold-first 4.5
     "ccnet_buckets": 5.0,   # cold-first 3.6
+    "curation_v4": 10.0,  # cold-first 8.5 (4-op composed chain)
     "length_percentiles": 2.5,  # warm 1.5
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
@@ -274,12 +275,18 @@ def main() -> None:
         "host_anchor_terms": lambda: force(_host_anchor_terms()),
         "robots_filter": lambda: force(_robots_filter()),
         "c4_line_filter": lambda: force(_c4_line_filter()),
+        "curation_v4": lambda: force(_curation_v4()),
         "ccnet_buckets": lambda: force(A.ccnet_buckets(docs)),
         "dsir_weights": lambda: force(
             A.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
         ),
         "length_percentiles": lambda: force(A.length_percentiles(docs)),
     }
+
+    def _curation_v4():
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["curation_v4"](spark, SF_DIR)
 
     def _c4_line_filter():
         from __spark_entry__ import queries as _entry_queries
