@@ -977,6 +977,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .join(split, "doc_id")
         )
 
+    def cdc_chunks(spark, sf_dir):
+        # r4 seventh dedup flavor: content-defined chunking (FastCDC at
+        # token granularity) — boundaries where the token hash's low 4
+        # bits are zero, so an insertion shifts only one chunk and every
+        # later fingerprint re-aligns (shift-tolerant, unlike the
+        # fixed-size chunk_hash_dedup)
+        return A.cdc_chunks(_docs(spark, sf_dir), mask_bits=4)
+
+    def cdc_chunk_dedup(spark, sf_dir):
+        # cross-document shared content-defined chunks (193 at sf0.001)
+        return A.cdc_chunk_dedup(_docs(spark, sf_dir), mask_bits=4)
+
+    def sitemap_urls(spark, sf_dir):
+        # r4 crawl-frontier feed: per-host sitemap XML (13 hosts; every
+        # 5th is a <sitemapindex> naming child sitemaps, the rest
+        # <urlset> with 2+h%3 page locs) through the REAL XML DOM — the
+        # oracle predicts every (host, pos, loc, is_index) row from the
+        # builder formula, so a mis-walked tree or out-of-order <loc>
+        # flips the hash
+        hosts = (
+            _docs(spark, sf_dir)
+            .select(F.pmod("doc_id", 13).alias("h"))
+            .distinct()
+        )
+        url_blocks = (
+            "array_join(transform(sequence(0, 1 + cast(h % 3 as int)),"
+            " i -> concat('<url><loc>https://h', h, '.example/p/', i,"
+            " '</loc><lastmod>2026-01-01</lastmod></url>')), '')"
+        )
+        idx_blocks = (
+            "array_join(transform(sequence(0, 1),"
+            " i -> concat('<sitemap><loc>https://h', h, '.example/sm-', i,"
+            " '.xml</loc></sitemap>')), '')"
+        )
+        xml = F.expr(
+            "case when h % 5 = 0 then"
+            f" concat('<sitemapindex>', {idx_blocks}, '</sitemapindex>')"
+            f" else concat('<urlset>', {url_blocks}, '</urlset>') end"
+        )
+        sm = hosts.select(
+            F.concat(F.lit("h"), F.col("h").cast("string"), F.lit(".example")).alias(
+                "host"
+            ),
+            xml.alias("xml"),
+        )
+        from contentextractor_spark.plans.pipeline import parse_sitemaps
+
+        return parse_sitemaps(sm)
+
     def curation_v4(spark, sf_dir):
         # r4 session-2 composed flow, ONE SQL oracle for the whole chain:
         # overlap-fraction decontamination gate → per-host rebalancing
@@ -1627,6 +1676,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Regenerate after each round from CORRECTNESS_r0*.json keys.
         # ------------------------------------------------------------------
         # never driver-checked:
+        "cdc_chunks": cdc_chunks,
+        "cdc_chunk_dedup": cdc_chunk_dedup,
+        "sitemap_urls": sitemap_urls,
         "curation_v4": curation_v4,
         "c4_line_filter": c4_line_filter,
         "ccnet_buckets": ccnet_buckets,
@@ -2045,6 +2097,36 @@ wts AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_tokens,
 # smoothing/offset arithmetic (the r3 shared-CTE rule)
 
 
+def _cdc_cte(mask: int = 16) -> str:
+    """tokh→chq→cloc→chks chain for the content-defined chunking oracles
+    — one definition of the boundary mask, chunk-id cumsum, and weighted
+    fingerprint (twin of analysis.cdc_chunks)."""
+    hv = _hex_int_sql("md5(w[i])", 1, 8)
+    return f"""
+            tokh AS (SELECT doc_id, i - 1 AS pos, {hv} AS hv FROM (
+                       SELECT doc_id, string_split(text, ' ') AS w,
+                              unnest(generate_series(1,
+                                  len(string_split(text, ' ')))) AS i
+                       FROM documents)),
+            chq AS (SELECT doc_id, pos, hv,
+                           coalesce(sum(CASE WHEN hv % {mask} = 0
+                                             THEN 1 ELSE 0 END)
+                               OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING), 0) AS chunk_id
+                    FROM tokh),
+            cloc AS (SELECT *, min(pos) OVER (PARTITION BY doc_id, chunk_id)
+                                AS cstart
+                     FROM chq),
+            chks AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                            CAST(min(pos) AS INT) AS start_pos,
+                            CAST(max(pos) AS INT) AS end_pos,
+                            CAST(count(*) AS BIGINT) AS n_tokens,
+                            CAST(sum(hv * (pos - cstart + 1)) AS BIGINT)
+                                AS fp
+                     FROM cloc GROUP BY doc_id, chunk_id)"""
+
+
 def _split_cte(src: str = "documents") -> str:
     """md5-bucket split assignment CTE — shared by train_split_assign's
     oracle and curation_v3 (one definition of the 204/230 thresholds)."""
@@ -2171,6 +2253,37 @@ bands AS (
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "cdc_chunks": f"""
+            WITH {_cdc_cte(16)}
+            SELECT doc_id, chunk_id, start_pos, end_pos, n_tokens, fp
+            FROM chks
+        """,
+        "cdc_chunk_dedup": f"""
+            WITH {_cdc_cte(16)}
+            SELECT fp, n_tokens,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_occurrences
+            FROM chks GROUP BY fp, n_tokens
+            HAVING count(DISTINCT doc_id) > 1
+        """,
+        "sitemap_urls": """
+            WITH hs AS (SELECT DISTINCT doc_id % 13 AS h FROM documents),
+            ex AS (SELECT h,
+                          unnest(generate_series(0,
+                              CASE WHEN h % 5 = 0 THEN 1
+                                   ELSE 1 + CAST(h % 3 AS INT) END)) AS i
+                   FROM hs)
+            SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+                   CAST(i AS INT) AS pos,
+                   CASE WHEN h % 5 = 0
+                        THEN 'https://h' || CAST(h AS VARCHAR)
+                             || '.example/sm-' || CAST(i AS VARCHAR) || '.xml'
+                        ELSE 'https://h' || CAST(h AS VARCHAR)
+                             || '.example/p/' || CAST(i AS VARCHAR) END AS loc,
+                   CAST(CASE WHEN h % 5 = 0 THEN 1 ELSE 0 END AS INT)
+                       AS is_index
+            FROM ex
+        """,
         "curation_v4": f"""
             WITH {_SHINGLE_CTE},
             bset AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),

@@ -106,6 +106,7 @@ BAND_MAX_S = {
     "c4_line_filter": 6.0,  # cold-first 4.5
     "ccnet_buckets": 5.0,   # cold-first 3.6
     "curation_v4": 10.0,  # cold-first 8.5 (4-op composed chain)
+    "cdc_chunk_dedup": 3.5,
     "length_percentiles": 2.5,  # warm 1.5
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
@@ -276,6 +277,7 @@ def main() -> None:
         "robots_filter": lambda: force(_robots_filter()),
         "c4_line_filter": lambda: force(_c4_line_filter()),
         "curation_v4": lambda: force(_curation_v4()),
+        "cdc_chunk_dedup": lambda: force(A.cdc_chunk_dedup(docs, mask_bits=4)),
         "ccnet_buckets": lambda: force(A.ccnet_buckets(docs)),
         "dsir_weights": lambda: force(
             A.dsir_weights(docs, docs.filter(F.col("lang") == "en"))

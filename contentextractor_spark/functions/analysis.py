@@ -128,6 +128,81 @@ def rolling_fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", fold.alias("rolling_fp"))
 
 
+def cdc_chunks(docs: DataFrame, mask_bits: int = 4) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync idea at token
+    granularity): a chunk boundary falls AFTER every token whose hash has
+    its low mask_bits zero, so expected chunk length is 2^mask_bits
+    tokens and — unlike fixed-size chunking (chunk_hash_dedup) — an
+    insertion shifts only the ONE chunk it lands in: every later chunk
+    re-aligns at the next content-defined boundary and keeps its
+    fingerprint.  Output: (doc_id, chunk_id, start_pos, end_pos,
+    n_tokens, fp).
+
+    The token hash is the repo's one-conv() md5-prefix convention (< 2^32)
+    and the chunk fingerprint is the order-free weighted integer sum
+    Σ hv·(local_pos+1) — position-sensitive WITHIN the chunk (a
+    permutation changes fp) yet an exact integer both engines sum in any
+    row order; |fp| < 2^32·len², far inside LongType for any real chunk.
+
+    Scale: one explode, two doc-partitioned windows (exclusive boundary
+    cumsum for the chunk id — high-cardinality partitions), one
+    map-side-combinable groupBy; everything codegen'd."""
+    if not 1 <= mask_bits <= 20:
+        raise ValueError("mask_bits must be in [1, 20]")
+    mask = (1 << mask_bits) - 1
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    chunked = tok.select(
+        "doc_id",
+        "pos",
+        "hv",
+        F.coalesce(
+            F.sum((F.col("hv") % (mask + 1) == 0).cast("long")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("chunk_id"),
+    )
+    wc = Window.partitionBy("doc_id", "chunk_id")
+    located = chunked.withColumn("cstart", F.min("pos").over(wc))
+    return (
+        located.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.max("pos").alias("end_pos"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.col("hv") * (F.col("pos") - F.col("cstart") + 1)
+            ).alias("fp"),
+        )
+    )
+
+
+def cdc_chunk_dedup(docs: DataFrame, mask_bits: int = 4) -> DataFrame:
+    """Cross-document shared content-defined chunks: (fp, n_tokens,
+    n_docs, n_occurrences) for every chunk fingerprint appearing in more
+    than one document — the shift-tolerant dedup signal fixed-size
+    chunk_hash_dedup cannot give (its chunks break on any insertion).
+    One map-side-combinable groupBy over cdc_chunks."""
+    ch = cdc_chunks(docs, mask_bits=mask_bits)
+    return (
+        ch.groupBy("fp", "n_tokens")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def token_rarity(docs: DataFrame) -> DataFrame:
     """Corpus-statistics quality signal: per document, the sum and min of
     the corpus-wide document frequencies of its distinct tokens.  Low

@@ -387,6 +387,69 @@ def extract_links(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
     return partitioned.mapInPandas(_extract_link_batches, schema=LINKS_SCHEMA)
 
 
+SITEMAP_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("pos", IntegerType()),
+        StructField("loc", StringType()),
+        StructField("is_index", IntegerType()),
+    ]
+)
+
+
+def _sitemap_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: sitemap XML → one row per <loc>, in document
+    order.  is_index=1 when the document root is <sitemapindex> (the locs
+    then name child sitemaps, not pages).  A body that fails to parse
+    contributes zero rows (the extractor error contract)."""
+    from ..operators.dom import parse_xml
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        hosts: list = []
+        poss: list = []
+        locs: list = []
+        idxs: list = []
+        for h, xml in zip(pdf["host"], pdf["xml"]):
+            try:
+                doc = parse_xml(xml if xml is not None else "")
+                root_index = any(
+                    el.tag == "sitemapindex" for el in doc.iter_elements()
+                )
+                found = [
+                    el.text()
+                    for el in doc.iter_elements()
+                    if el.tag == "loc"
+                ]
+            except Exception:  # noqa: BLE001 — per-row catch-all
+                found, root_index = [], False
+            for i, loc in enumerate(found):
+                hosts.append(None if h is None else str(h))
+                poss.append(i)
+                locs.append(loc)
+                idxs.append(1 if root_index else 0)
+        if hosts:
+            yield pd.DataFrame(
+                {"host": hosts, "pos": poss, "loc": locs, "is_index": idxs}
+            )
+
+
+def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
+    """Sitemap ingestion — (host, xml) → one row per <loc> (document
+    order), the crawl-frontier feed next to the robots gate
+    (analysis.parse_robots/apply_robots).  Runs through the SAME real
+    XML DOM the extractor uses, so namespace-free <urlset>/<sitemapindex>
+    bodies parse exactly like Jsoup XML mode.
+
+    Scale note: the sitemap table is per-HOST (orders of magnitude
+    smaller than pages), so no salted repartition — Spark's input split
+    already spreads it; if a pathological host ships a giant sitemap,
+    route through salted_bucket exactly like extract_links."""
+    ensure_pyfiles(sitemaps.sparkSession)
+    return sitemaps.mapInPandas(_sitemap_batches, schema=SITEMAP_SCHEMA)
+
+
 def lineage_metrics(extracted: DataFrame) -> DataFrame:
     """Per-bucket lineage/metrics rows (north rule: partition id, url range,
     row counts, extractor-version hash).  Derived from the output with one

@@ -396,3 +396,62 @@ def test_ccnet_buckets_are_balanced_terciles(spark):
     hmax = max(r["mean_micronats"] for r in rows if r["bucket"] == "head")
     tmin = min(r["mean_micronats"] for r in rows if r["bucket"] == "tail")
     assert hmax < tmin
+
+
+# --------------------------------------------------------------------------
+# content-defined chunking + sitemap parse
+# --------------------------------------------------------------------------
+
+
+def test_cdc_chunks_are_shift_tolerant(spark):
+    # doc 1 = doc 0 with ONE token inserted at the front: only the first
+    # chunk may differ; every later chunk re-aligns at the next
+    # content-defined boundary with an identical fingerprint
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    docs = _docs(spark, [(0, base), (1, "INSERTED " + base)])
+    ch = {(r["doc_id"], r["chunk_id"]): (r["fp"], r["n_tokens"])
+          for r in A.cdc_chunks(docs, mask_bits=2).collect()}
+    n0 = max(k[1] for k in ch if k[0] == 0) + 1
+    n1 = max(k[1] for k in ch if k[0] == 1) + 1
+    assert n0 == n1
+    for c in range(1, n0):
+        assert ch[(0, c)] == ch[(1, c)], c
+    assert ch[(0, 0)] != ch[(1, 0)]
+    shared = A.cdc_chunk_dedup(docs, mask_bits=2)
+    assert shared.count() == n0 - 1
+
+
+def test_cdc_fp_is_position_sensitive_within_chunk(spark):
+    # same multiset of tokens, different order -> different fingerprint
+    # (the weighted sum is order-free to COMPUTE but position-sensitive
+    # in VALUE)
+    docs = _docs(spark, [(0, "aa bb cc"), (1, "cc bb aa")])
+    fps = {r["doc_id"]: r["fp"]
+           for r in A.cdc_chunks(docs, mask_bits=20).collect()}
+    assert fps[0] != fps[1]
+
+
+def test_parse_sitemaps_urlset_index_and_garbage(spark):
+    from contentextractor_spark.plans.pipeline import parse_sitemaps
+
+    sm = spark.createDataFrame(
+        [
+            ("h0.example",
+             '<?xml version="1.0"?><urlset><url><loc>https://h0.example/p/1'
+             '</loc><lastmod>2026-01-01</lastmod></url>'
+             '<url><loc>https://h0.example/p/2</loc></url></urlset>'),
+            ("h1.example",
+             '<sitemapindex><sitemap><loc>https://h1.example/a.xml</loc>'
+             '</sitemap></sitemapindex>'),
+            ("h2.example", "total garbage, no locs at all"),
+        ],
+        "host string, xml string",
+    )
+    out = {(r["host"], r["pos"]): (r["loc"], r["is_index"])
+           for r in parse_sitemaps(sm).collect()}
+    assert out == {
+        ("h0.example", 0): ("https://h0.example/p/1", 0),
+        ("h0.example", 1): ("https://h0.example/p/2", 0),
+        ("h1.example", 0): ("https://h1.example/a.xml", 1),
+    }
