@@ -426,37 +426,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _robots_sql(spark, sf_dir):
         # one robots.txt per synthesized host (doc_id % 7): a '*' section
         # with a Disallow + longer Allow, a decoy per-bot section the
-        # parser must DISCARD, a comment, and CRLF endings — all
-        # SQL-predictable
+        # parser must DISCARD, an RFC 9309 GROUPED section ('*' first,
+        # then a named bot — the r4 ADVICE trap: a sectioning bug binds
+        # its rule only to the named bot and drops the '*' rule), a
+        # comment, and CRLF endings — all SQL-predictable.  The host is
+        # MIXED-CASE so the rules-side lowercase normalization has teeth
+        # (robots_filter joins these rules against lowercased URL hosts).
         hosts = _docs(spark, sf_dir).select(
             F.pmod("doc_id", 7).cast("string").alias("h")
         ).distinct()
         return hosts.select(
-            F.concat(F.lit("h"), "h", F.lit(".example")).alias("host"),
+            F.concat(F.lit("H"), "h", F.lit(".Example")).alias("host"),
             F.concat(
                 F.lit("# robots for host "), "h",
                 F.lit("\r\nUser-agent: *\r\nDisallow: /private"), "h",
                 F.lit("/\r\nAllow: /private"), "h",
                 F.lit("/ok/\r\n\r\nUser-agent: evilbot\r\nDisallow: /\r\n"),
+                F.lit("\r\nUser-agent: *\r\nUser-agent: otherbot"),
+                F.lit("\r\nDisallow: /group"), "h", F.lit("/\r\n"),
             ).alias("robots_txt"),
         )
 
     def robots_rules(spark, sf_dir):
-        # r4 crawl-side gate: parse the '*' sections (sectioning window,
-        # comment strip, CRLF, case-insensitive fields; the evilbot
-        # section must NOT leak into the output)
+        # r4 crawl-side gate: parse the '*' sections (group-start window,
+        # comment strip, CRLF, case-insensitive fields, lowercased host;
+        # the evilbot section must NOT leak and the grouped-'*' rule MUST)
         return A.parse_robots(_robots_sql(spark, sf_dir))
 
     def robots_filter(spark, sf_dir):
-        # longest-prefix-match verdicts: doc_id%3 picks a blocked path, a
-        # path re-allowed by the LONGER Allow rule, or an unmatched path
+        # longest-prefix-match verdicts: doc_id%4 picks a blocked path, a
+        # path re-allowed by the LONGER Allow rule, a path blocked by the
+        # grouped-'*' rule, or an unmatched path
         docs = _docs(spark, sf_dir)
         h = F.pmod("doc_id", 7).cast("string")
         path = (
-            F.when(F.pmod("doc_id", 3) == 0,
+            F.when(F.pmod("doc_id", 4) == 0,
                    F.concat(F.lit("/private"), h, F.lit("/x")))
-            .when(F.pmod("doc_id", 3) == 1,
+            .when(F.pmod("doc_id", 4) == 1,
                   F.concat(F.lit("/private"), h, F.lit("/ok/y")))
+            .when(F.pmod("doc_id", 4) == 2,
+                  F.concat(F.lit("/group"), h, F.lit("/z")))
             .otherwise(F.lit("/public/z"))
         )
         urls = docs.select(
@@ -1669,64 +1678,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # ------------------------------------------------------------------
-        # ORDERING INVARIANT (VERDICT r2 #1 / r3 #8): stalest-first.  The
-        # driver may cap how many queries it value-checks per round, so the
-        # dict lists never-driver-checked entries first, then the rows whose
-        # last green check is oldest (r2), then the freshly-r3-checked set.
-        # Regenerate after each round from CORRECTNESS_r0*.json keys.
+        # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
+        # cap how many queries it value-checks per round, so the dict lists
+        # latest-check-FAILED entries first, then never-driver-checked ones,
+        # then greens stalest-first (r2, r3, r4).  Regenerate after each
+        # round from CORRECTNESS_r0*.json keys (script in CLAUDE.md).
         # ------------------------------------------------------------------
-        # never driver-checked:
-        "cdc_chunks": cdc_chunks,
-        "cdc_chunk_dedup": cdc_chunk_dedup,
-        "sitemap_urls": sitemap_urls,
-        "curation_v4": curation_v4,
-        "c4_line_filter": c4_line_filter,
-        "ccnet_buckets": ccnet_buckets,
-        "robots_rules": robots_rules,
-        "robots_filter": robots_filter,
-        "dsir_weights": dsir_weights,
-        "dsir_topk": dsir_topk,
-        "host_anchor_terms": host_anchor_terms,
-        "length_percentiles": length_percentiles,
-        "bigram_surprisal": bigram_surprisal,
-        "decontaminate_fraction": decontaminate_fraction,
-        "host_rebalance": host_rebalance,
-        "kmeans_clusters": kmeans_clusters,
-        "semantic_dedup": semantic_dedup,
-        "semantic_dedup_overflow": semantic_dedup_overflow,
-        "hll_registers": hll_registers,
-        "hll_estimate": hll_estimate,
-        "cms_topk": cms_topk,
-        "pq_codes": pq_codes,
-        "pq_topk": pq_topk,
-        "ivfpq_topk": ivfpq_topk,
-        "bloom_decontaminate": bloom_decontaminate,
-        "bpe_merges": bpe_merges,
-        "bpe_token_counts": bpe_token_counts,
-        "pagerank_dangling": pagerank_dangling,
-        "substring_dedup": substring_dedup,
-        "substring_scrub": substring_scrub,
+        # latest driver check FAILED (r3 harness red; r4-fixed, locally green):
+        "inverted_index": inverted_index,
+        "quantize_embeddings": quantize_embeddings,
         # last checked in round 2 (stalest greens):
-        "extract_spans_roundtrip": extract_spans_roundtrip,
-        "extract_keywords": extract_keywords,
-        "extract_debug_density": extract_debug_density,
-        "extract_br_runs": extract_br_runs,
-        "extract_entities": extract_entities,
-        "extract_sjis_detect": extract_sjis_detect,
-        "extract_iso2022jp": extract_iso2022jp,
-        "extract_utf16_roundtrip": extract_utf16_roundtrip,
-        "extract_title_meta": extract_title_meta,
-        "extract_debug_blocks": extract_debug_blocks,
-        "extract_gauntlet": extract_gauntlet,
-        "curation_pipeline": curation_pipeline,
-        "extract_flagship": extract_flagship,
-        "extract_spans": extract_spans,
-        "extract_lineage": extract_lineage,
-        "docs_per_lang": docs_per_lang,
-        "doc_length_stats": doc_length_stats,
-        "token_counts": token_counts,
-        "token_counts_bpe": token_counts_bpe,
-        "lang_id": lang_id,
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
         "token_rarity": token_rarity,
@@ -1760,7 +1721,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_simhash": dedup_components_simhash,
         "tfidf_top_terms": tfidf_top_terms,
         "quality_filter": quality_filter,
-        "inverted_index": inverted_index,
         "term_search": term_search,
         "bm25_search": bm25_search,
         "dedup_components_embedding": dedup_components_embedding,
@@ -1768,7 +1728,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_links": pagerank_links,
         "extract_links_roundtrip": extract_links_roundtrip,
         "pagerank_extracted_hosts": pagerank_extracted_hosts,
-        "quantize_embeddings": quantize_embeddings,
         "quantized_knn": quantized_knn,
         "curation_v3": curation_v3,
         "corpus_report": corpus_report,
@@ -1804,6 +1763,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_boilerplate": extract_boilerplate,
         "extract_block_select2": extract_block_select2,
         "extract_block_select3": extract_block_select3,
+        # last checked in round 4 (freshest):
+        "cdc_chunks": cdc_chunks,
+        "cdc_chunk_dedup": cdc_chunk_dedup,
+        "sitemap_urls": sitemap_urls,
+        "curation_v4": curation_v4,
+        "c4_line_filter": c4_line_filter,
+        "ccnet_buckets": ccnet_buckets,
+        "robots_rules": robots_rules,
+        "robots_filter": robots_filter,
+        "dsir_weights": dsir_weights,
+        "dsir_topk": dsir_topk,
+        "host_anchor_terms": host_anchor_terms,
+        "length_percentiles": length_percentiles,
+        "bigram_surprisal": bigram_surprisal,
+        "decontaminate_fraction": decontaminate_fraction,
+        "host_rebalance": host_rebalance,
+        "kmeans_clusters": kmeans_clusters,
+        "semantic_dedup": semantic_dedup,
+        "semantic_dedup_overflow": semantic_dedup_overflow,
+        "hll_registers": hll_registers,
+        "hll_estimate": hll_estimate,
+        "cms_topk": cms_topk,
+        "pq_codes": pq_codes,
+        "pq_topk": pq_topk,
+        "ivfpq_topk": ivfpq_topk,
+        "bloom_decontaminate": bloom_decontaminate,
+        "bpe_merges": bpe_merges,
+        "bpe_token_counts": bpe_token_counts,
+        "pagerank_dangling": pagerank_dangling,
+        "substring_dedup": substring_dedup,
+        "substring_scrub": substring_scrub,
+        "extract_spans_roundtrip": extract_spans_roundtrip,
+        "extract_keywords": extract_keywords,
+        "extract_debug_density": extract_debug_density,
+        "extract_br_runs": extract_br_runs,
+        "extract_entities": extract_entities,
+        "extract_sjis_detect": extract_sjis_detect,
+        "extract_iso2022jp": extract_iso2022jp,
+        "extract_utf16_roundtrip": extract_utf16_roundtrip,
+        "extract_title_meta": extract_title_meta,
+        "extract_debug_blocks": extract_debug_blocks,
+        "extract_gauntlet": extract_gauntlet,
+        "curation_pipeline": curation_pipeline,
+        "extract_flagship": extract_flagship,
+        "extract_spans": extract_spans,
+        "extract_lineage": extract_lineage,
+        "docs_per_lang": docs_per_lang,
+        "doc_length_stats": doc_length_stats,
+        "token_counts": token_counts,
+        "token_counts_bpe": token_counts_bpe,
+        "lang_id": lang_id,
     }
 
 
@@ -2397,6 +2407,9 @@ def oracle_sql() -> dict[str, str]:
             FROM sc JOIN cuts USING (lang)
         """,
         "robots_rules": """
+            -- rules host is lower('H'||h||'.Example') — parse_robots
+            -- normalizes the mixed-case fixture host; the grouped
+            -- ('*' + otherbot) section contributes the /group rule
             WITH hs AS (SELECT DISTINCT CAST(doc_id % 7 AS VARCHAR) AS h
                         FROM documents)
             SELECT 'h' || h || '.example' AS host, allow, path_prefix
@@ -2405,19 +2418,24 @@ def oracle_sql() -> dict[str, str]:
                      '/private' || h || '/' AS path_prefix FROM hs
               UNION ALL
               SELECT h, CAST(1 AS INT),
-                     '/private' || h || '/ok/' FROM hs)
+                     '/private' || h || '/ok/' FROM hs
+              UNION ALL
+              SELECT h, CAST(0 AS INT),
+                     '/group' || h || '/' FROM hs)
         """,
         "robots_filter": """
             SELECT doc_id,
                    'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
-                   CASE CAST(doc_id % 3 AS INT)
+                   CASE CAST(doc_id % 4 AS INT)
                      WHEN 0 THEN '/private' || CAST(doc_id % 7 AS VARCHAR)
                                  || '/x'
                      WHEN 1 THEN '/private' || CAST(doc_id % 7 AS VARCHAR)
                                  || '/ok/y'
+                     WHEN 2 THEN '/group' || CAST(doc_id % 7 AS VARCHAR)
+                                 || '/z'
                      ELSE '/public/z' END AS path,
-                   CAST(CASE WHEN doc_id % 3 = 0 THEN 0 ELSE 1 END AS INT)
-                       AS allowed
+                   CAST(CASE WHEN doc_id % 4 IN (0, 2) THEN 0 ELSE 1 END
+                        AS INT) AS allowed
             FROM documents
         """,
         "dsir_weights": f"""

@@ -312,6 +312,14 @@ def robots_rules(spark):
              "User-agent: evilbot\nDisallow: /"),
             ("h1.example", "# all welcome\nUser-agent: *\nDisallow:\n"),
             ("h2.example", "User-Agent: *\r\nDisallow: /  # block all\r\n"),
+            # RFC 9309 grouped agent lines: '*' FIRST, named bot second —
+            # the r4 ADVICE trap (a per-line sectioner binds /grouped/
+            # only to somebot and drops the '*' rule)
+            ("h4.example",
+             "User-agent: *\nUser-agent: somebot\nDisallow: /grouped/\n\n"
+             "User-agent: nostar\nUser-agent: alsonostar\nDisallow: /x/"),
+            # mixed-case host must come out lowercased (fail-open guard)
+            ("H5.Example", "User-agent: *\nDisallow: /cased/"),
         ],
         "host string, robots_txt string",
     )
@@ -321,11 +329,15 @@ def robots_rules(spark):
 def test_parse_robots_sections_comments_crlf(robots_rules):
     rules = {(r["host"], r["path_prefix"]): r["allow"] for r in robots_rules.collect()}
     # the evilbot section must not leak; empty Disallow emits no rule;
-    # CRLF + trailing comment + case-insensitive field all parse
+    # CRLF + trailing comment + case-insensitive field all parse; a
+    # grouped-UA section containing '*' keeps its rules while an all-named
+    # group drops them; hosts are lowercased
     assert rules == {
         ("h0.example", "/private/"): 0,
         ("h0.example", "/private/ok/"): 1,
         ("h2.example", "/"): 0,
+        ("h4.example", "/grouped/"): 0,
+        ("h5.example", "/cased/"): 0,
     }
 
 
@@ -339,11 +351,14 @@ def test_apply_robots_longest_match_and_defaults(spark, robots_rules):
             (4, "https://h2.example/whatever"),        # block-all host
             (5, "https://h3.example/no-robots"),       # unknown host
             (6, "https://h2.example"),                 # bare host -> path '/'
+            (7, "https://h4.example/grouped/page"),    # grouped-'*' rule blocks
+            (8, "https://h4.example/x/page"),          # named-bots-only rule ignored
+            (9, "https://H5.Example/cased/q"),         # case-folded host match
         ],
         "doc_id bigint, url string",
     )
     out = {r["doc_id"]: r["allowed"] for r in A.apply_robots(urls, robots_rules).collect()}
-    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 0, 5: 1, 6: 0}
+    assert out == {0: 0, 1: 1, 2: 1, 3: 1, 4: 0, 5: 1, 6: 0, 7: 0, 8: 1, 9: 0}
 
 
 # --------------------------------------------------------------------------

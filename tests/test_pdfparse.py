@@ -258,14 +258,19 @@ def test_leading_tj_adjustment_no_phantom_space():
 
 def test_parse_time_scales_linearly():
     # position-anchored regex matching — tail-slice copies made parsing
-    # quadratic (r3 review: 2x size → 6.5x time); pin ≲ 2.5x per doubling
+    # quadratic (r3 review: 2x size → 6.5x time); pin ≲ 3.5x per doubling.
+    # r4 ADVICE de-flake: CPU time (process_time — immune to the host's
+    # documented 2-3x wall-clock throttle bursts) + best-of-3 samples.
     import time
 
     def t(n):
         pdf = build_pdf([f"line {i} with padding text" for i in range(n)])
-        t0 = time.time()
-        extract_pdf(pdf)
-        return time.time() - t0
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.process_time()
+            extract_pdf(pdf)
+            best = min(best, time.process_time() - t0)
+        return best
 
     t(500)  # warm
     t1, t2 = t(2000), t(4000)
