@@ -1084,6 +1084,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "keyword_list", "threshold", "status",
         )
 
+    def extract_committed(spark, sf_dir):
+        # VERDICT r4 #5: the flagship write→lineage→read_committed protocol
+        # under the SQL-predictable roundtrip corpus (oracle: eligible
+        # trim(text)), with TEETH beyond plain extraction:
+        #   (1) planted ORPHAN rows — a fake run_id with output rows but no
+        #       lineage commit record (a run that died between the two
+        #       appends) — must stay invisible to the committed read, or
+        #       the row count breaks;
+        #   (2) an immediate RESUME over the same pages must append nothing
+        #       (every bucket already has a done lineage row), or the
+        #       committed view gains duplicate rows and the hash breaks.
+        # The temp dir is leaked deliberately: the returned DataFrame reads
+        # output_path lazily, so it must outlive this call (small: one
+        # sf-dir extraction's parquet).
+        import tempfile
+
+        from contentextractor_spark.plans.pipeline import (
+            read_committed_output,
+            run_extraction,
+        )
+
+        base = tempfile.mkdtemp(prefix="cx_committed_")
+        out_p = os.path.join(base, "out")
+        lin_p = os.path.join(base, "lineage")
+        pages = _docs_as_pages(_docs(spark, sf_dir))
+        run_extraction(
+            spark, pages, output_path=out_p, lineage_path=lin_p, num_buckets=8
+        )
+        # materialize the orphan batch BEFORE appending (never read and
+        # append the same path in one job)
+        committed_now = spark.read.parquet(out_p)
+        orphan_rows = (
+            committed_now.withColumn("run_id", F.lit("deadbeef-orphan-run"))
+            .limit(37)
+            .collect()
+        )
+        spark.createDataFrame(orphan_rows, committed_now.schema).write.mode(
+            "append"
+        ).partitionBy("bucket_id").parquet(out_p)
+        run_extraction(  # resume: all buckets done → appends 0 rows
+            spark, pages, output_path=out_p, lineage_path=lin_p, num_buckets=8
+        )
+        committed = read_committed_output(spark, out_p, lin_p)
+        return committed.select(
+            F.col("url").cast("long").alias("doc_id"), "main_text"
+        )
+
     def extract_spans(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -1687,6 +1734,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # latest driver check FAILED (r3 harness red; r4-fixed, locally green):
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
+        # never driver-checked (new this round):
+        "extract_committed": extract_committed,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -2856,6 +2905,15 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_ELIGIBLE_SQL}
         """,
         "extract_roundtrip": f"""
+            SELECT doc_id, trim(text) AS main_text
+            FROM documents
+            WHERE {_ELIGIBLE_SQL}
+        """,
+        # same corpus/oracle as extract_roundtrip, but the Spark side goes
+        # through run_extraction's write→lineage→read_committed protocol
+        # with planted orphan rows and a forced resume — any commit-protocol
+        # drift (orphans leak, resume re-appends) breaks rows/hash
+        "extract_committed": f"""
             SELECT doc_id, trim(text) AS main_text
             FROM documents
             WHERE {_ELIGIBLE_SQL}
