@@ -4209,13 +4209,40 @@ def _bpe_train(docs: DataFrame, n_merges: int):
     return steps, words
 
 
-def bpe_merges(docs: DataFrame, n_merges: int = 6) -> DataFrame:
+MAX_BPE_MERGES = 1024
+"""bpe_merges refusal bound (VERDICT r4 #4, the pagerank-bound pattern):
+each merge step is DRIVER-SEQUENCED — two localCheckpointed vocab-sized
+jobs per step, inherently serial because step t's argmax depends on step
+t-1's merged vocabulary (batching 'non-overlapping' merges changes which
+NEW pairs exist at the next argmax, i.e. changes the learned table, so it
+is not an equivalence-preserving speedup and would break the sequential
+oracle).  Measured (sf0.01 docs, local[8], this host): n_merges=64 in
+49 s ≈ 0.77 s/merge after the one-off corpus word count — so a real 32k-
+merge vocab is ~7 h of driver latency, a latency wall, not a data-volume
+wall (per-step state stays vocabulary-sized at any corpus scale).  Above
+this bound use a dedicated single-node trainer on the word-count table
+(it fits: vocab × counts), then apply the merge table distributed via
+bpe_token_counts' broadcast-vocab join."""
+
+
+def bpe_merges(
+    docs: DataFrame, n_merges: int = 6, *, force: bool = False
+) -> DataFrame:
     """The learned BPE merge table: (step, left, right, pair_count) —
     n_merges rows, each the frequency-argmax adjacent symbol pair at that
     step (ties on (left, right)).  Training state is vocabulary-sized;
-    see the module comment for the 100 TB decomposition."""
+    see the module comment for the 100 TB decomposition and
+    MAX_BPE_MERGES for the driver-sequencing latency bound."""
     if n_merges < 1:
         raise ValueError("n_merges must be >= 1")
+    if n_merges > MAX_BPE_MERGES and not force:
+        raise ValueError(
+            f"bpe_merges refused: n_merges={n_merges} > "
+            f"MAX_BPE_MERGES={MAX_BPE_MERGES}. Each merge is a driver-"
+            "sequenced job pair (~0.77 s/merge measured) — train large "
+            "vocabularies single-node on the word-count table and apply "
+            "them distributed, or pass force=True to override."
+        )
     steps, _ = _bpe_train(docs, n_merges)
     out = steps[0]
     for s in steps[1:]:
@@ -4223,12 +4250,20 @@ def bpe_merges(docs: DataFrame, n_merges: int = 6) -> DataFrame:
     return out
 
 
-def bpe_token_counts(docs: DataFrame, n_merges: int = 6) -> DataFrame:
+def bpe_token_counts(
+    docs: DataFrame, n_merges: int = 6, *, force: bool = False
+) -> DataFrame:
     """(doc_id, n_tokens_bpe): per-document token count under the trained
     BPE vocabulary — corpus word stream joined against the broadcast
     tokenized vocab (the standard apply-BPE-by-lookup), summed per doc.
     The corpus is touched exactly twice (word count + this join), both
-    map-side-combinable."""
+    map-side-combinable.  Shares bpe_merges' MAX_BPE_MERGES bound."""
+    if n_merges > MAX_BPE_MERGES and not force:
+        raise ValueError(
+            f"bpe_token_counts refused: n_merges={n_merges} > "
+            f"MAX_BPE_MERGES={MAX_BPE_MERGES} (see bpe_merges), or pass "
+            "force=True to override."
+        )
     _, words = _bpe_train(docs, n_merges)
     per_word = words.select(
         "g",

@@ -80,9 +80,31 @@ def fortest_xml(rows) -> str:
     return "".join(out)
 
 
-def write_fortest_xml(extracted: DataFrame, path: str, id_col: str = "url") -> None:
+MAX_FORTEST_XML_ROWS = 100_000
+"""write_fortest_xml refusal bound (VERDICT r4 #8, the knn_bruteforce
+pattern): this sink COLLECTS every row to the driver and renders one
+in-memory XML string — a debug/parity artifact mirroring the reference's
+forTest file (ContentExtractor.java:170), not a data path.  100k rows of
+~KB-scale extracted text is already ~100 MB of driver heap; beyond that
+use the parquet output table of plans/pipeline (partitioned, distributed)
+and render XML per-partition if a file is truly needed."""
+
+
+def write_fortest_xml(
+    extracted: DataFrame, path: str, id_col: str = "url", *, force: bool = False
+) -> None:
     """Collects to the driver (parity tool for small runs only — the 100 TB
-    path writes the parquet output table of plans/pipeline)."""
+    path writes the parquet output table of plans/pipeline).  Guarded:
+    refuses above MAX_FORTEST_XML_ROWS unless force=True (limit-probe, not
+    a full count)."""
+    if not force:
+        bound = MAX_FORTEST_XML_ROWS
+        if extracted.limit(bound + 1).count() > bound:
+            raise ValueError(
+                f"write_fortest_xml refused: input exceeds {bound} rows "
+                "(existence probe). This sink collects to the driver; write "
+                "the parquet output table instead, or pass force=True."
+            )
     rows = [
         {
             "id": r[id_col],

@@ -120,3 +120,22 @@ def test_write_training_shards_bounded_and_roundtrip(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(Exception):
         write_training_shards(docs, path, docs_per_shard=100)
+
+
+def test_write_fortest_xml_refuses_above_bound(spark, tmp_path, monkeypatch):
+    """VERDICT r4 #8: the driver-collect XML sink must refuse loudly above
+    MAX_FORTEST_XML_ROWS unless force=True."""
+    import pytest
+
+    from contentextractor_spark.sources import io as cio
+
+    df = spark.createDataFrame(
+        [(str(i), str(i), "t", "d", "k", "m") for i in range(5)],
+        "url string, id string, title string, description string, "
+        "keywords string, main_text string",
+    )
+    monkeypatch.setattr(cio, "MAX_FORTEST_XML_ROWS", 3)
+    with pytest.raises(ValueError, match="write_fortest_xml refused"):
+        cio.write_fortest_xml(df, str(tmp_path / "a.xml"))
+    cio.write_fortest_xml(df, str(tmp_path / "b.xml"), force=True)
+    assert (tmp_path / "b.xml").read_text().count("<document") == 5

@@ -185,3 +185,17 @@ def test_bpe_merge_reduces_token_count(spark):
     assert set(c0) == set(c4)
     assert all(c4[d] <= c0[d] for d in c0)
     assert any(c4[d] < c0[d] for d in c0)
+
+
+def test_bpe_refuses_above_merge_bound(spark, monkeypatch):
+    """VERDICT r4 #4: the driver-sequenced merge loop must refuse above
+    MAX_BPE_MERGES unless force=True (the pagerank-bound pattern)."""
+    docs = _bpe_docs(spark, ["aa ab aa"])
+    monkeypatch.setattr(A, "MAX_BPE_MERGES", 1)
+    with pytest.raises(ValueError, match="bpe_merges refused"):
+        A.bpe_merges(docs, n_merges=2)
+    with pytest.raises(ValueError, match="bpe_token_counts refused"):
+        A.bpe_token_counts(docs, n_merges=2)
+    got = [(r["step"], r["left"], r["right"])
+           for r in A.bpe_merges(docs, n_merges=2, force=True).collect()]
+    assert got == [(1, "a", "a"), (2, "a", "b")]
