@@ -423,6 +423,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # assignment via a broadcast threshold join
         return A.ccnet_buckets(_docs(spark, sf_dir))
 
+    def _bp_built(spark, sf_dir):
+        # r5 onion-dedup fixture: every page gets a shared nav header,
+        # every even page a shared footer, and two content lines sliced
+        # from its own text — all SQL-predictable
+        docs = _docs(spark, sf_dir).filter(
+            F.col("text").isNotNull()
+            & (F.size(F.split("text", " ")) >= 6)
+        )
+        ws = F.split("text", " ")
+        l1 = F.concat_ws(" ", F.slice(ws, 1, 3))
+        l2 = F.concat_ws(
+            " ", F.expr("slice(split(text, ' '), 4, size(split(text, ' ')) - 3)")
+        )
+        text2 = F.concat(
+            F.lit("top nav menu login\n"), l1, F.lit("\n"), l2,
+            F.when(
+                F.pmod("doc_id", 2) == 0, F.lit("\n© example corp footer")
+            ).otherwise(F.lit("")),
+        )
+        return docs.select("doc_id", text2.alias("text"))
+
+    def boilerplate_lines(spark, sf_dir):
+        # r5 corpus-frequency boilerplate lines (CCNet onion-style): the
+        # planted header/footer must surface; content lines must not
+        return A.boilerplate_lines(_bp_built(spark, sf_dir), min_docs=50)
+
+    def scrub_boilerplate(spark, sf_dir):
+        # r5 scrub: rebuild every page without the corpus-boilerplate
+        # lines, order preserved, row count unchanged
+        return A.scrub_boilerplate_lines(_bp_built(spark, sf_dir), min_docs=50)
+
+    def latest_snapshot(spark, sf_dir):
+        # r5 recrawl dedup: 5 snapshots per canonical url, ts TIES on
+        # doc_id pairs (max doc_id must win), packed-bigint argmax
+        docs = _docs(spark, sf_dir)
+        snaps = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("u"), F.expr("doc_id div 5").cast("string")
+            ).alias("url"),
+            F.expr("((doc_id div 2) * 37) % 1000").alias("ts"),
+        )
+        return A.latest_snapshot(snaps, key_col="url", ts_col="ts",
+                                 id_col="doc_id")
+
+    def gopher_rules(spark, sf_dir):
+        # r5 extended Gopher format gates over planted violations:
+        # %13 pages are bullet lists, %11 all-ellipsis, %5 get a hash
+        # plant, %3 a stopword tail (so some pages pass every gate)
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        text2 = (
+            F.when(
+                F.pmod("doc_id", 13) == 0,
+                F.lit("- item one\n- item two\n- item three"),
+            )
+            .when(
+                F.pmod("doc_id", 11) == 0,
+                F.lit("first bit...\nsecond bit...\nthird thing..."),
+            )
+            .otherwise(
+                F.concat(
+                    F.expr(_C4_LINES),
+                    F.when(
+                        F.pmod("doc_id", 5) == 0,
+                        F.lit("\n##### ##### ##### ##### #####"),
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        F.pmod("doc_id", 3) == 0,
+                        F.lit("\nto of and that it is"),
+                    ).otherwise(F.lit("")),
+                )
+            )
+        )
+        return A.gopher_rules(docs.select("doc_id", text2.alias("text")))
+
     def _robots_sql(spark, sf_dir):
         # one robots.txt per synthesized host (doc_id % 7): a '*' section
         # with a Disallow + longer Allow, a decoy per-bot section the
@@ -1736,6 +1811,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
         "extract_committed": extract_committed,
+        "boilerplate_lines": boilerplate_lines,
+        "scrub_boilerplate": scrub_boilerplate,
+        "latest_snapshot": latest_snapshot,
+        "gopher_rules": gopher_rules,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -1869,6 +1948,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+# r5 onion-dedup page builder (shared by boilerplate_lines / scrub_
+# boilerplate): header + two content lines sliced from the doc's own text
+# + even-page footer; list_slice END-inclusive bounds mirror F.slice's
+# (start, LENGTH) args per the host_anchor_terms convention
+_BP_BUILT_CTE = """built AS (
+  SELECT doc_id,
+         'top nav menu login' || chr(10) ||
+         array_to_string(list_slice(ws, 1, 3), ' ') || chr(10) ||
+         array_to_string(list_slice(ws, 4, len(ws)), ' ') ||
+         CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || '© example corp footer' ELSE '' END AS text2
+  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE text IS NOT NULL
+          AND len(string_split(text, ' ')) >= 6))"""
 
 _SHINGLE_CTE = """
 w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -2428,6 +2522,125 @@ def oracle_sql() -> dict[str, str]:
             SELECT k.doc_id, CAST(k.pos AS INT) AS pos, k.line
             FROM kept k JOIN cnts USING (doc_id)
             WHERE nk >= 3
+        """,
+        # r5 onion-style boilerplate: shared CTE building the same pages
+        # (header + 2 sliced content lines + even-page footer); list_slice
+        # is END-inclusive — (1,3) and (4,len) mirror F.slice(ws,1,3)/
+        # F.slice(ws,4,size-3)
+        "boilerplate_lines": f"""
+            WITH {_BP_BUILT_CTE},
+            lns AS (SELECT doc_id, trim(l[i]) AS line FROM (
+                      SELECT doc_id, string_split(text2, chr(10)) AS l,
+                             unnest(generate_series(1,
+                                 len(string_split(text2, chr(10))))) AS i
+                      FROM built)),
+            d AS (SELECT DISTINCT doc_id, line FROM lns WHERE line <> '')
+            SELECT line, CAST(count(*) AS BIGINT) AS n_docs
+            FROM d GROUP BY line HAVING count(*) >= 50
+        """,
+        "scrub_boilerplate": f"""
+            WITH {_BP_BUILT_CTE},
+            lnsp AS (SELECT doc_id, i AS pos, trim(l[i]) AS line FROM (
+                       SELECT doc_id, string_split(text2, chr(10)) AS l,
+                              unnest(generate_series(1,
+                                  len(string_split(text2, chr(10))))) AS i
+                       FROM built)),
+            ne AS (SELECT doc_id, pos, line FROM lnsp WHERE line <> ''),
+            bp AS (SELECT line FROM (
+                     SELECT DISTINCT doc_id, line FROM ne)
+                   GROUP BY line HAVING count(*) >= 50),
+            kept AS (SELECT doc_id, pos, line FROM ne
+                     WHERE line NOT IN (SELECT line FROM bp)),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                    FROM ne GROUP BY doc_id),
+            reb AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY pos)
+                               AS text_clean,
+                           CAST(count(*) AS BIGINT) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(text_clean, '') AS text_clean,
+                   CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t.n_lines - coalesce(n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM tot t LEFT JOIN reb USING (doc_id)
+        """,
+        # r5 recrawl dedup: packed-bigint argmax (ts*2^20 + id), Spark
+        # div ≡ DuckDB // on the non-negative packed values
+        "latest_snapshot": """
+            WITH s AS (SELECT doc_id,
+                              'u' || CAST(doc_id // 5 AS VARCHAR) AS key,
+                              ((doc_id // 2) * 37) % 1000 AS ts
+                       FROM documents),
+            p AS (SELECT key, max(ts * 1048576 + doc_id) AS pk
+                  FROM s GROUP BY key)
+            SELECT key, CAST(pk % 1048576 AS BIGINT) AS doc_id,
+                   CAST(pk // 1048576 AS BIGINT) AS ts
+            FROM p
+        """,
+        # r5 extended Gopher gates: same planted pages, same integer
+        # cross-multiplications; rule order in concat_ws matches the
+        # Spark side exactly
+        "gopher_rules": """
+            WITH built AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0
+                     THEN '- item one' || chr(10) || '- item two'
+                          || chr(10) || '- item three'
+                     WHEN doc_id % 11 = 0
+                     THEN 'first bit...' || chr(10) || 'second bit...'
+                          || chr(10) || 'third thing...'
+                     ELSE array_to_string(list_transform(
+                         generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 6.0) AS INT) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '), i * 6 + 1, i * 6 + 6), ' ')
+                              || CASE WHEN (doc_id + i) % 2 = 0 THEN '.' ELSE '' END),
+                       chr(10))
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || '##### ##### ##### ##### #####'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || 'to of and that it is'
+                             ELSE '' END
+                END AS text2
+              FROM documents WHERE text IS NOT NULL),
+            feats AS (SELECT doc_id,
+              list_filter(string_split(replace(text2, chr(10), ' '), ' '),
+                          w -> w <> '') AS words,
+              list_filter(list_transform(string_split(text2, chr(10)),
+                          x -> trim(x)), x -> x <> '') AS lines,
+              length(text2) - length(replace(text2, '#', '')) AS n_hash,
+              len(string_split(text2, '...')) - 1 AS n_ellipsis
+              FROM built),
+            m AS (SELECT doc_id,
+              CAST(len(words) AS BIGINT) AS n_words,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              n_hash, n_ellipsis,
+              len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%'
+                  OR x LIKE '•%')) AS n_bullet,
+              len(list_filter(lines, x -> x LIKE '%...')) AS n_ell_end,
+              len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                  AS n_alpha,
+              len(list_intersect(list_distinct(words),
+                  ['the','be','to','of','and','that','have','with']))
+                  AS n_stop
+              FROM feats),
+            v AS (SELECT doc_id, n_words, n_lines,
+              concat_ws(',',
+                CASE WHEN (n_hash + n_ellipsis) * 100 > 10 * n_words
+                     THEN 'symbol_heavy' END,
+                CASE WHEN n_bullet * 100 > 90 * n_lines
+                     THEN 'bullet_heavy' END,
+                CASE WHEN n_ell_end * 100 > 30 * n_lines
+                     THEN 'ellipsis_heavy' END,
+                CASE WHEN n_alpha * 100 < 80 * n_words
+                     THEN 'non_alpha_words' END,
+                CASE WHEN n_stop < 2 THEN 'few_stopwords' END)
+                AS violations
+              FROM m)
+            SELECT doc_id, n_words, n_lines, violations,
+                   CAST(CASE WHEN violations = '' THEN 1 ELSE 0 END AS INT)
+                       AS keep
+            FROM v
         """,
         "ccnet_buckets": f"""
             WITH {_surprisal_cte('documents')},

@@ -108,6 +108,10 @@ BAND_MAX_S = {
     "curation_v4": 10.0,  # cold-first 8.5 (4-op composed chain)
     "cdc_chunk_dedup": 3.5,
     "length_percentiles": 2.5,  # warm 1.5
+    # r5 curation ops (cold-first 13.8/2.7/3.2; warm 1.2-4.8/0.7/2.1)
+    "scrub_boilerplate": 15.0,
+    "latest_snapshot": 4.5,
+    "gopher_rules": 5.5,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -283,7 +287,26 @@ def main() -> None:
             A.dsir_weights(docs, docs.filter(F.col("lang") == "en"))
         ),
         "length_percentiles": lambda: force(A.length_percentiles(docs)),
+        # r5 curation ops (entry-query configurations)
+        "scrub_boilerplate": lambda: force(_scrub_boilerplate()),
+        "latest_snapshot": lambda: force(_latest_snapshot()),
+        "gopher_rules": lambda: force(_gopher_rules()),
     }
+
+    def _scrub_boilerplate():
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["scrub_boilerplate"](spark, SF_DIR)
+
+    def _latest_snapshot():
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["latest_snapshot"](spark, SF_DIR)
+
+    def _gopher_rules():
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["gopher_rules"](spark, SF_DIR)
 
     def _curation_v4():
         from __spark_entry__ import queries as _entry_queries

@@ -1593,6 +1593,230 @@ def c4_line_filter(
     )
 
 
+def boilerplate_lines(docs: DataFrame, min_docs: int = 10) -> DataFrame:
+    """(line, n_docs): corpus-frequency boilerplate lines — the CCNet
+    "onion"-style cross-document signal (Wenzek et al. 2020 dedup stage):
+    a line that appears verbatim in >= min_docs DISTINCT documents is
+    navigation/footer/cookie boilerplate, not content.  This is the
+    corpus-level complement to the per-page DOM heuristics (F1-F8): a
+    "© example.com all rights reserved" line survives any single-page
+    filter but cannot survive a corpus frequency gate.
+
+    Scale: explode → DISTINCT (doc_id, line) (map-side combinable — a
+    page repeating its own footer contributes once) → groupBy(line)
+    count (map-side combinable again).  A hyper-common line is one hot
+    KEY with a partial-agg count, not a hot partition of rows.  No
+    windows, no joins."""
+    lines = (
+        docs.select("doc_id", F.explode(F.split("text", "\n")).alias("raw"))
+        .select("doc_id", F.trim("raw").alias("line"))
+        .filter(F.col("line") != "")
+        .distinct()
+    )
+    return (
+        lines.groupBy("line")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def scrub_boilerplate_lines(
+    docs: DataFrame, min_docs: int = 10, persist_lines: bool = False
+) -> DataFrame:
+    """(doc_id, text_clean, n_kept, n_removed): every document rebuilt
+    without the corpus-boilerplate lines (boilerplate_lines above), line
+    order preserved; documents whose every line was boilerplate survive
+    with text_clean = '' — the row count never changes, so downstream
+    joins keep working.
+
+    Scale: the exploded non-empty line stream feeds THREE consumers (the
+    boilerplate frequency agg, the anti-join probe side, and the per-doc
+    line totals) and re-executes for each (ReusedExchange=0 measured).
+    persist_lines=True pins it once (MEMORY_AND_DISK, the jaccard
+    persist_shingles knob): measured alternating A/B at sf0.1 local[32]
+    is a TIE (persist 2.34/1.48/1.17 s vs 1.68/1.38/1.21) because the
+    upstream here is a cheap parquet scan — flip it on when the upstream
+    is an expensive pipeline (extraction output), the same ≥100x-scale
+    rule the jaccard retraction established; default off so the plan
+    builder pins nothing.  The boilerplate side is the line set with
+    df >= min_docs — tiny relative to the corpus (bounded by the
+    distinct-common-line count, not the doc count) — and the anti-join
+    is left to AQE (the broadcast-hints-only-on-dimensions policy:
+    usually broadcast-sized but DERIVED from the big table, so let the
+    runtime decide from its actual size).  Reassembly is one
+    groupBy(doc_id) of (pos, line) structs with array_sort — order
+    restored without a window over the corpus."""
+    lines = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "raw")
+        )
+        .select("doc_id", "pos", F.trim("raw").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    if persist_lines:
+        from pyspark import StorageLevel
+
+        lines = lines.persist(StorageLevel.MEMORY_AND_DISK)
+    bp = (
+        lines.select("doc_id", "line")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(bp, "line", "left_anti")
+    n_lines = (
+        docs.select("doc_id")
+        .join(
+            lines.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("__n_lines")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("__n_lines", F.lit(0)).alias("__n_lines"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    return (
+        n_lines.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+            (F.col("__n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
+def latest_snapshot(
+    snaps: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    ts_bound: int = 2**42,
+) -> DataFrame:
+    """(key, id, ts): newest snapshot per canonical key — the recrawl
+    dedup every multi-crawl corpus needs (Common Crawl re-fetches a URL
+    every crawl; training wants one copy, the freshest).  Tie on ts →
+    max id wins (deterministic, engine-portable).
+
+    Scale: the argmax is the packed-bigint trick in max form
+    (ts * 2^20 + id — the PQ argmin convention), ONE map-side-combinable
+    groupBy; no window over the snapshot stream, no join-back (id and ts
+    decode from the packed value).  Requires integer ts < ts_bound and
+    0 <= id < 2^20 per key-group... no: id < 2^20 GLOBALLY — callers with
+    wider ids re-pack with a bigger shift (documented refusal below, the
+    winnowing decode lesson: shiftright decode, never float division)."""
+    ts = F.col(ts_col).cast("long")
+    idc = F.col(id_col).cast("long")
+    packed = F.when(
+        (ts >= 0) & (ts < F.lit(ts_bound)) & (idc >= 0) & (idc < F.lit(2**20)),
+        ts * F.lit(2**20) + idc,
+    )
+    agg = (
+        snaps.select(F.col(key_col).alias("key"), packed.alias("__p"))
+        .groupBy("key")
+        .agg(F.max("__p").alias("__p"))
+    )
+    # a NULL __p means some row violated the packing bounds — fail loudly
+    # rather than silently dropping it from the argmax
+    return agg.select(
+        "key",
+        F.when(
+            F.col("__p").isNull(),
+            F.raise_error(
+                F.lit(
+                    "latest_snapshot: ts/id outside packing bounds "
+                    f"(ts<{ts_bound}, id<2^20) — re-pack with a wider shift"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.col("__p") % F.lit(2**20))
+        .alias(id_col),
+        F.shiftright("__p", 20).alias(ts_col),
+    )
+
+
+GOPHER_MAX_SYMBOL_PCT = 10
+GOPHER_MAX_BULLET_PCT = 90
+GOPHER_MAX_ELLIPSIS_PCT = 30
+GOPHER_MIN_ALPHA_WORD_PCT = 80
+GOPHER_MIN_STOPWORD_HITS = 2
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher repetition/format rules (Rae et al. 2021, Table A1) that
+    quality_filter's length/digit bands do NOT cover: symbol-to-word
+    ratio (# and ...), bullet-point line fraction, ellipsis-ending line
+    fraction, fraction of words with an alphabetic character, and the
+    stopword-presence gate (>= 2 distinct of the/be/to/of/and/that/
+    have/with).  Output matches quality_filter's contract:
+    (doc_id, n_words, n_lines, violations, keep).
+
+    Every threshold is an integer cross-multiplication (the QF_*
+    convention — no float division anywhere), so the verdict is
+    engine-exact.  Scale: pure row-level projection over split arrays —
+    no shuffle, no UDF, whole-stage codegen."""
+    words = F.split(F.regexp_replace("text", "\n", " "), " ")
+    n_words = F.size(F.filter(words, lambda w: w != ""))
+    lines = F.filter(
+        F.transform(F.split("text", "\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n_lines = F.size(lines)
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ellipsis = F.size(F.split("text", "\\.\\.\\.")) - F.lit(1)
+    n_bullet = F.size(
+        F.filter(lines, lambda s: s.startswith("-") | s.startswith("*") | s.startswith("•"))
+    )
+    n_ell_end = F.size(F.filter(lines, lambda s: s.endswith("...")))
+    n_alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    )
+    rules = [
+        (
+            "symbol_heavy",
+            (n_hash + n_ellipsis) * 100 > GOPHER_MAX_SYMBOL_PCT * n_words,
+        ),
+        ("bullet_heavy", n_bullet * 100 > GOPHER_MAX_BULLET_PCT * n_lines),
+        ("ellipsis_heavy", n_ell_end * 100 > GOPHER_MAX_ELLIPSIS_PCT * n_lines),
+        (
+            "non_alpha_words",
+            n_alpha_words * 100 < GOPHER_MIN_ALPHA_WORD_PCT * n_words,
+        ),
+        ("few_stopwords", n_stop < GOPHER_MIN_STOPWORD_HITS),
+    ]
+    violations = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_lines.cast("bigint").alias("n_lines"),
+        violations.alias("violations"),
+        (violations == "").cast("int").alias("keep"),
+    )
+
+
 def ccnet_buckets(docs: DataFrame) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
     language, split documents into head/middle/tail TERCILES of their

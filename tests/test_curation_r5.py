@@ -1,0 +1,122 @@
+"""r5 curation operators: corpus-frequency boilerplate lines (onion-style),
+latest-snapshot recrawl dedup, and the extended Gopher format rules."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from contentextractor_spark.functions import analysis as A
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+@pytest.fixture(scope="module")
+def bp_docs(spark):
+    return _docs(
+        spark,
+        [
+            (0, "Home | About\ncontent zero unique text here.\n© example corp"),
+            (1, "Home | About\nmore unique content one.\n© example corp"),
+            (2, "Home | About\nthird doc body text.\n© example corp"),
+            (3, "Home | About\n© example corp"),
+            (4, "totally unique document four"),
+            # repeating a line WITHIN one doc counts that doc once
+            (5, "Home | About\nHome | About\nself repeat body"),
+        ],
+    )
+
+
+def test_boilerplate_lines_distinct_doc_frequency(bp_docs):
+    got = {r["line"]: r["n_docs"] for r in A.boilerplate_lines(bp_docs, 4).collect()}
+    assert got == {"Home | About": 5, "© example corp": 4}
+
+
+def test_scrub_preserves_order_and_row_count(bp_docs):
+    out = {
+        r["doc_id"]: (r["text_clean"], r["n_kept"], r["n_removed"])
+        for r in A.scrub_boilerplate_lines(bp_docs, 4).collect()
+    }
+    assert len(out) == 6  # row count never changes
+    assert out[0] == ("content zero unique text here.", 1, 2)
+    assert out[3] == ("", 0, 2)  # all-boilerplate doc survives, empty
+    assert out[4] == ("totally unique document four", 1, 0)
+    assert out[5] == ("self repeat body", 1, 2)  # both copies removed
+
+
+def test_scrub_multiline_order(spark):
+    docs = _docs(
+        spark,
+        [(i, "common header\nalpha {}\nbeta {}\ngamma {}".format(i, i, i))
+         for i in range(5)],
+    )
+    out = A.scrub_boilerplate_lines(docs, 5).filter(F.col("doc_id") == 2)
+    assert out.collect()[0]["text_clean"] == "alpha 2\nbeta 2\ngamma 2"
+
+
+def test_latest_snapshot_argmax_and_tiebreak(spark):
+    snaps = spark.createDataFrame(
+        [("u1", 0, 100), ("u1", 1, 300), ("u1", 2, 200),
+         ("u2", 3, 50), ("u2", 4, 50),      # ts tie -> max doc_id
+         ("u3", 9, 0)],
+        "url string, doc_id bigint, ts bigint",
+    )
+    got = {r["key"]: (r["doc_id"], r["ts"])
+           for r in A.latest_snapshot(snaps).collect()}
+    assert got == {"u1": (1, 300), "u2": (4, 50), "u3": (9, 0)}
+
+
+def test_latest_snapshot_refuses_out_of_bounds(spark):
+    snaps = spark.createDataFrame(
+        [("u1", 2**21, 5)], "url string, doc_id bigint, ts bigint"
+    )
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        A.latest_snapshot(snaps).collect()
+    assert "packing bounds" in str(ei.value)
+
+
+def test_gopher_rules_each_gate(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "the cat sat on the mat and that was that with style.\n"
+                "plain line of words to pad."),
+            (1, "# # # # # hash heavy but the and of that have with be to"),
+            (2, "- bullet one\n- bullet two\n- bullet three"),
+            (3, "trailing dots...\nmore dots...\nclean line here the and of"),
+            (4, "12345 67890 11111 22222 33333"),
+        ],
+    )
+    got = {r["doc_id"]: (r["violations"], r["keep"])
+           for r in A.gopher_rules(docs).collect()}
+    assert got[0] == ("", 1)
+    assert "symbol_heavy" in got[1][0] and got[1][1] == 0
+    assert "bullet_heavy" in got[2][0]
+    assert "ellipsis_heavy" in got[3][0]
+    assert "non_alpha_words" in got[4][0] and "few_stopwords" in got[4][0]
+
+
+def test_gopher_rules_no_shuffle(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        A.gopher_rules(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan, plan
+
+
+def test_scrub_persist_path_equal(spark, bp_docs):
+    """persist_lines=True must be a pure execution-strategy choice
+    (the jaccard persist_shingles contract): identical rows either way."""
+    base = {tuple(r) for r in A.scrub_boilerplate_lines(bp_docs, 4).collect()}
+    cached = {
+        tuple(r)
+        for r in A.scrub_boilerplate_lines(
+            bp_docs, 4, persist_lines=True
+        ).collect()
+    }
+    assert base == cached and len(base) == 6
