@@ -1152,6 +1152,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_id", "lang", "n_words", "mean_micronats", "bucket")
         )
 
+    def curation_v5(spark, sf_dir):
+        # r5 composed flow, ONE SQL oracle for the whole chain: onion
+        # line scrub → Gopher format gates over the SCRUBBED text →
+        # latest-snapshot recrawl dedup over the SURVIVORS.  The gates
+        # interact: the %5 hash-spam line appears in ~100 docs (≥ the
+        # min_docs=50 onion threshold) so the SCRUB removes it corpus-
+        # wide and those docs pass symbol_heavy — a broken scrub flips
+        # ~100 keep verdicts; the %13 bullet / %11 ellipsis plants sit
+        # in only ~38 docs each (below threshold), survive the scrub,
+        # and must be dropped by THEIR gates; which snapshot wins each
+        # url's argmax depends on every upstream verdict.
+        docs = _docs(spark, sf_dir).filter(
+            F.col("text").isNotNull()
+            & (F.size(F.split("text", " ")) >= 6)
+        )
+        ws = F.split("text", " ")
+        l1 = F.concat_ws(" ", F.slice(ws, 1, 3))
+        l2 = F.concat_ws(
+            " ", F.expr("slice(split(text, ' '), 4, size(split(text, ' ')) - 3)")
+        )
+        body = (
+            F.when(
+                F.pmod("doc_id", 13) == 0,
+                F.lit("- item one\n- item two\n- item three"),
+            )
+            .when(
+                F.pmod("doc_id", 11) == 0,
+                F.lit("first bit...\nsecond bit...\nthird thing..."),
+            )
+            .otherwise(
+                F.concat(
+                    l1, F.lit("\n"), l2,
+                    F.when(
+                        F.pmod("doc_id", 5) == 0,
+                        F.lit("\n##### ##### ##### ##### #####"),
+                    ).otherwise(F.lit("")),
+                )
+            )
+        )
+        text3 = F.concat(
+            F.lit("top nav menu login\n"), body,
+            F.when(
+                F.pmod("doc_id", 2) == 0, F.lit("\n© example corp footer")
+            ).otherwise(F.lit("")),
+        )
+        built = docs.select("doc_id", text3.alias("text"))
+        scrubbed = A.scrub_boilerplate_lines(built, min_docs=50)
+        gates = A.gopher_rules(
+            scrubbed.select("doc_id", F.col("text_clean").alias("text"))
+        )
+        # few_stopwords excluded: the synthetic vocabulary has only 'the'
+        # (documented accommodation — the oracle excludes it identically)
+        survivors = gates.filter(
+            ~F.col("violations").rlike(
+                "symbol_heavy|bullet_heavy|ellipsis_heavy|non_alpha_words"
+            )
+        ).select("doc_id")
+        snaps = survivors.select(
+            "doc_id",
+            F.concat(
+                F.lit("u"), F.expr("doc_id div 5").cast("string")
+            ).alias("url"),
+            F.expr("((doc_id div 2) * 37) % 1000").alias("ts"),
+        )
+        latest = A.latest_snapshot(snaps, key_col="url", ts_col="ts",
+                                   id_col="doc_id")
+        return latest.join(
+            scrubbed.select("doc_id", "n_kept", "n_removed"), "doc_id"
+        ).select("key", "doc_id", "ts", "n_kept", "n_removed")
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -1815,6 +1885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrub_boilerplate": scrub_boilerplate,
         "latest_snapshot": latest_snapshot,
         "gopher_rules": gopher_rules,
+        "curation_v5": curation_v5,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -2564,6 +2635,96 @@ def oracle_sql() -> dict[str, str]:
                    CAST(t.n_lines - coalesce(n_kept, 0) AS BIGINT)
                        AS n_removed
             FROM tot t LEFT JOIN reb USING (doc_id)
+        """,
+        # r5 composed chain: onion scrub → Gopher gates on the scrubbed
+        # text → latest-snapshot argmax over the survivors; one SQL
+        # oracle so any upstream verdict flip breaks the hash
+        "curation_v5": """
+            WITH built AS (
+              SELECT doc_id,
+                'top nav menu login' || chr(10) ||
+                CASE WHEN doc_id % 13 = 0
+                     THEN '- item one' || chr(10) || '- item two'
+                          || chr(10) || '- item three'
+                     WHEN doc_id % 11 = 0
+                     THEN 'first bit...' || chr(10) || 'second bit...'
+                          || chr(10) || 'third thing...'
+                     ELSE array_to_string(list_slice(ws, 1, 3), ' ')
+                          || chr(10)
+                          || array_to_string(list_slice(ws, 4, len(ws)), ' ')
+                          || CASE WHEN doc_id % 5 = 0
+                                  THEN chr(10)
+                                       || '##### ##### ##### ##### #####'
+                                  ELSE '' END
+                END ||
+                CASE WHEN doc_id % 2 = 0
+                     THEN chr(10) || '© example corp footer' ELSE '' END
+                    AS text2
+              FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                    FROM documents
+                    WHERE text IS NOT NULL
+                      AND len(string_split(text, ' ')) >= 6)),
+            lnsp AS (SELECT doc_id, i AS pos, trim(l[i]) AS line FROM (
+                       SELECT doc_id, string_split(text2, chr(10)) AS l,
+                              unnest(generate_series(1,
+                                  len(string_split(text2, chr(10))))) AS i
+                       FROM built)),
+            ne AS (SELECT doc_id, pos, line FROM lnsp WHERE line <> ''),
+            bp AS (SELECT line FROM (
+                     SELECT DISTINCT doc_id, line FROM ne)
+                   GROUP BY line HAVING count(*) >= 50),
+            kept AS (SELECT doc_id, pos, line FROM ne
+                     WHERE line NOT IN (SELECT line FROM bp)),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                    FROM ne GROUP BY doc_id),
+            reb AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY pos)
+                               AS text_clean,
+                           CAST(count(*) AS BIGINT) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            scrubbed AS (
+              SELECT t.doc_id,
+                     coalesce(text_clean, '') AS text_clean,
+                     CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+                     CAST(t.n_lines - coalesce(n_kept, 0) AS BIGINT)
+                         AS n_removed
+              FROM tot t LEFT JOIN reb USING (doc_id)),
+            feats AS (SELECT doc_id,
+              list_filter(string_split(replace(text_clean, chr(10), ' '),
+                          ' '), w -> w <> '') AS words,
+              list_filter(list_transform(string_split(text_clean, chr(10)),
+                          x -> trim(x)), x -> x <> '') AS lines,
+              length(text_clean) - length(replace(text_clean, '#', ''))
+                  AS n_hash,
+              len(string_split(text_clean, '...')) - 1 AS n_ellipsis
+              FROM scrubbed),
+            m AS (SELECT doc_id,
+              CAST(len(words) AS BIGINT) AS n_words,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              n_hash, n_ellipsis,
+              len(list_filter(lines, x -> x LIKE '-%' OR x LIKE '*%'
+                  OR x LIKE '•%')) AS n_bullet,
+              len(list_filter(lines, x -> x LIKE '%...')) AS n_ell_end,
+              len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                  AS n_alpha
+              FROM feats),
+            surv AS (SELECT doc_id FROM m
+                     WHERE NOT ((n_hash + n_ellipsis) * 100 > 10 * n_words)
+                       AND NOT (n_bullet * 100 > 90 * n_lines)
+                       AND NOT (n_ell_end * 100 > 30 * n_lines)
+                       AND NOT (n_alpha * 100 < 80 * n_words)),
+            snaps AS (SELECT doc_id,
+                             'u' || CAST(doc_id // 5 AS VARCHAR) AS key,
+                             ((doc_id // 2) * 37) % 1000 AS ts
+                      FROM surv),
+            p AS (SELECT key, max(ts * 1048576 + doc_id) AS pk
+                  FROM snaps GROUP BY key),
+            latest AS (SELECT key,
+                              CAST(pk % 1048576 AS BIGINT) AS doc_id,
+                              CAST(pk // 1048576 AS BIGINT) AS ts
+                       FROM p)
+            SELECT l.key, l.doc_id, l.ts, s.n_kept, s.n_removed
+            FROM latest l JOIN scrubbed s USING (doc_id)
         """,
         # r5 recrawl dedup: packed-bigint argmax (ts*2^20 + id), Spark
         # div ≡ DuckDB // on the non-negative packed values

@@ -112,6 +112,7 @@ BAND_MAX_S = {
     "scrub_boilerplate": 15.0,
     "latest_snapshot": 4.5,
     "gopher_rules": 5.5,
+    "curation_v5": 13.0,  # cold-first 11.8 (3-op composed chain)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -291,6 +292,7 @@ def main() -> None:
         "scrub_boilerplate": lambda: force(_scrub_boilerplate()),
         "latest_snapshot": lambda: force(_latest_snapshot()),
         "gopher_rules": lambda: force(_gopher_rules()),
+        "curation_v5": lambda: force(_curation_v5()),
     }
 
     def _scrub_boilerplate():
@@ -307,6 +309,11 @@ def main() -> None:
         from __spark_entry__ import queries as _entry_queries
 
         return _entry_queries()["gopher_rules"](spark, SF_DIR)
+
+    def _curation_v5():
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["curation_v5"](spark, SF_DIR)
 
     def _curation_v4():
         from __spark_entry__ import queries as _entry_queries
