@@ -228,3 +228,24 @@ def stream_cms_sketch(
         .groupBy("row", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def stream_latest_snapshot(
+    snaps_stream: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming newest-snapshot-per-key over a recrawl stream: the batch
+    latest_snapshot's packed-bigint argmax (ts*2^20 + id) IS its own
+    streaming merge — max() is associative+commutative over any split of
+    the stream, so state is ONE long per live key and a key's winner only
+    ever advances.  Identical packing to analysis.latest_snapshot, so
+    stream == batch on the same rows by construction — tested.  Use
+    outputMode 'complete'/'update'; at crawl scale the state is one row
+    per canonical URL (the same cardinality the batch job shuffles)."""
+    from ..functions.analysis import latest_snapshot
+
+    return latest_snapshot(
+        snaps_stream, key_col=key_col, ts_col=ts_col, id_col=id_col
+    )

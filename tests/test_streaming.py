@@ -326,3 +326,41 @@ def test_stream_sketches_match_batch(spark, tmp_path):
     }
     assert got2 == want2
     assert len(got2) <= 4 * 64
+
+
+def test_stream_latest_snapshot_matches_batch(spark, tmp_path):
+    """r5: the packed-bigint argmax is its own streaming merge — the
+    newest-snapshot winner over a 2-file stream (complete mode, one long
+    of state per key) must equal the batch latest_snapshot on the same
+    rows, including the ts-tie -> max-id break."""
+    from contentextractor_spark.functions import analysis as A
+    from contentextractor_spark.streaming.stream import stream_latest_snapshot
+
+    snaps = spark.createDataFrame(
+        [("u1", 0, 100), ("u1", 1, 300), ("u1", 2, 200),
+         ("u2", 3, 50), ("u2", 4, 50), ("u3", 9, 0)],
+        "url string, doc_id bigint, ts bigint",
+    )
+    in_dir = str(tmp_path / "snaps")
+    snaps.repartition(2).write.parquet(in_dir)
+    batch = spark.read.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(snaps.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_latest_snapshot(stream)
+        .writeStream.format("memory")
+        .queryName("latest_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "latest stream did not finish"
+    got = {
+        (r.key, r.doc_id, r.ts)
+        for r in spark.sql("SELECT * FROM latest_stream").collect()
+    }
+    want = {(r.key, r.doc_id, r.ts) for r in A.latest_snapshot(batch).collect()}
+    assert got == want == {("u1", 1, 300), ("u2", 4, 50), ("u3", 9, 0)}
