@@ -1579,6 +1579,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # edges (linear volume) → large-star/small-star components
         return A.dedup_components_minhash(_docs(spark, sf_dir), k=4, n=3)
 
+    def dedup_canonical(spark, sf_dir):
+        # r5 close of the dedup story: per MinHash component, the copy a
+        # curation run KEEPS — argmax n_chars, ties → min doc_id (packed-
+        # bigint argmax, one map-side groupBy)
+        docs = _docs(spark, sf_dir)
+        comps = A.dedup_components_minhash(docs, k=4, n=3)
+        scores = docs.select("doc_id", F.col("n_chars").alias("score"))
+        return A.component_canonical(comps, scores)
+
     def knn_bruteforce(spark, sf_dir):
         return A.knn_bruteforce(_emb(spark, sf_dir), n_queries=10, k=5)
 
@@ -1886,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "latest_snapshot": latest_snapshot,
         "gopher_rules": gopher_rules,
         "curation_v5": curation_v5,
+        "dedup_canonical": dedup_canonical,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -2071,6 +2081,38 @@ def _hex_int_sql(expr: str, start: int, nd: int) -> str:
         f" * {16 ** (nd - 1 - d)}"
         for d in range(nd)
     ) + " AS BIGINT)"
+
+
+def _minhash_comp_ctes() -> str:
+    """Shared WITH-RECURSIVE body for the MinHash dedup family: shingles →
+    4-hash signature → 2 bands → star edges → symmetric closure →
+    transitive closure → comp(doc_id, component).  Parameterized helper
+    per the oracle-reuse rule (never copy a composed CTE)."""
+    return f"""{_SHINGLE_CTE}, {_SIG_CTE},
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig),
+            hubs AS (
+              SELECT band, bucket, min(doc_id) AS hub
+              FROM bands GROUP BY band, bucket HAVING count(*) > 1),
+            e AS (
+              SELECT DISTINCT m.doc_id AS a, h.hub AS b
+              FROM bands m JOIN hubs h USING (band, bucket)
+              WHERE m.doc_id <> h.hub),
+            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+            comp AS (
+              SELECT d.doc_id,
+                     CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
+                         AS component
+              FROM documents d
+              LEFT JOIN (SELECT src, min(dst) AS mn
+                         FROM reach GROUP BY src) m
+                ON m.src = d.doc_id)"""
 
 
 def _gram_occ_cte(src: str = "documents", n: int = 3) -> str:
@@ -4354,29 +4396,24 @@ def oracle_sql() -> dict[str, str]:
               ON m.src = d.doc_id
         """,
         "dedup_components_minhash": f"""
-            WITH RECURSIVE {_SHINGLE_CTE}, {_SIG_CTE},
-            bands AS (
-              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
-              UNION ALL
-              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig),
-            hubs AS (
-              SELECT band, bucket, min(doc_id) AS hub
-              FROM bands GROUP BY band, bucket HAVING count(*) > 1),
-            e AS (
-              SELECT DISTINCT m.doc_id AS a, h.hub AS b
-              FROM bands m JOIN hubs h USING (band, bucket)
-              WHERE m.doc_id <> h.hub),
-            sym AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-            reach(src, dst) AS (
-              SELECT a, b FROM sym
-              UNION
-              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
-            SELECT d.doc_id,
-                   CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id)) AS BIGINT)
-                       AS component
-            FROM documents d
-            LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
-              ON m.src = d.doc_id
+            WITH RECURSIVE {_minhash_comp_ctes()}
+            SELECT doc_id, component FROM comp
+        """,
+        # r5: which copy of each component a curation run KEEPS — packed
+        # argmax (n_chars*2^20 + (2^20-1-doc_id): score argmax, min-id tie)
+        "dedup_canonical": f"""
+            WITH RECURSIVE {_minhash_comp_ctes()},
+            scp AS (SELECT c.component,
+                           d.n_chars * 1048576 + (1048575 - d.doc_id) AS p
+                    FROM comp c JOIN documents d USING (doc_id)),
+            agg AS (SELECT component, max(p) AS pk,
+                           CAST(count(*) AS BIGINT) AS n_members
+                    FROM scp GROUP BY component)
+            SELECT component,
+                   CAST(1048575 - (pk % 1048576) AS BIGINT) AS canonical_id,
+                   CAST(pk // 1048576 AS BIGINT) AS best_score,
+                   n_members
+            FROM agg
         """,
         "knn_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id,

@@ -113,6 +113,7 @@ BAND_MAX_S = {
     "latest_snapshot": 4.5,
     "gopher_rules": 5.5,
     "curation_v5": 13.0,  # cold-first 11.8 (3-op composed chain)
+    "dedup_canonical": 16.0,  # cold-first 14.3 (minhash components + argmax)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -293,6 +294,7 @@ def main() -> None:
         "latest_snapshot": lambda: force(_latest_snapshot()),
         "gopher_rules": lambda: force(_gopher_rules()),
         "curation_v5": lambda: force(_curation_v5()),
+        "dedup_canonical": lambda: force(_dedup_canonical()),
     }
 
     def _scrub_boilerplate():
@@ -309,6 +311,11 @@ def main() -> None:
         from __spark_entry__ import queries as _entry_queries
 
         return _entry_queries()["gopher_rules"](spark, SF_DIR)
+
+    def _dedup_canonical():
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["dedup_canonical"](spark, SF_DIR)
 
     def _curation_v5():
         from __spark_entry__ import queries as _entry_queries

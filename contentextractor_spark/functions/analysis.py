@@ -2619,6 +2619,57 @@ def dedup_components_embedding(
     return out.select(F.col("doc_id").alias("vec_id"), "component")
 
 
+def component_canonical(
+    components: DataFrame,
+    scores: DataFrame,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    max_id: int = 2**20,
+) -> DataFrame:
+    """(component, canonical_id, best_score, n_members): per dedup
+    component, the member a curation run KEEPS — argmax score, ties
+    broken by MIN id (the deterministic canonical-smallest convention).
+    This closes the dedup story: the component solvers say which docs
+    are the same; this says which copy survives.
+
+    Scale: join components to the (id, score) table on the id, then ONE
+    map-side-combinable groupBy(component) over a packed bigint —
+    score * 2^20 + (2^20-1-id), so max(packed) is simultaneously the
+    score argmax and (negated) the id tiebreak; id and score decode by
+    shiftright / pmod (the latest_snapshot pattern, min-tiebreak form).
+    Out-of-bounds ids/scores refuse loudly rather than silently losing
+    the argmax (raise_error, same contract as latest_snapshot)."""
+    sc = F.col(score_col).cast("long")
+    idc = F.col(id_col).cast("long")
+    packed = F.when(
+        (sc >= 0) & (sc < F.lit(2**42)) & (idc >= 0) & (idc < F.lit(max_id)),
+        sc * F.lit(max_id) + (F.lit(max_id - 1) - idc),
+    )
+    j = components.join(
+        scores.select(idc.alias(id_col), packed.alias("__p")), id_col
+    )
+    agg = j.groupBy("component").agg(
+        F.max("__p").alias("__p"),
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+    )
+    return agg.select(
+        "component",
+        F.when(
+            F.col("__p").isNull(),
+            F.raise_error(
+                F.lit(
+                    "component_canonical: score/id outside packing bounds "
+                    f"(score<2^42, id<{max_id}) — re-pack with a wider shift"
+                )
+            ).cast("long"),
+        )
+        .otherwise(F.lit(max_id - 1) - F.col("__p") % F.lit(max_id))
+        .alias("canonical_id"),
+        F.expr(f"__p div {max_id}").alias("best_score"),
+        "n_members",
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 48) -> DataFrame:
     """SimHash over distinct tokens: md5-derived bit planes, majority vote
     per bit, folded into a BIGINT.  Fully engine-portable: bit p of token t

@@ -120,3 +120,26 @@ def test_scrub_persist_path_equal(spark, bp_docs):
         ).collect()
     }
     assert base == cached and len(base) == 6
+
+
+def test_component_canonical_argmax_and_tiebreak(spark):
+    comps = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)],
+        "doc_id bigint, component bigint",
+    )
+    scores = spark.createDataFrame(
+        [(0, 10), (1, 99), (2, 99), (3, 5), (4, 7), (5, 7)],
+        "doc_id bigint, score bigint",
+    )
+    got = {r["component"]: (r["canonical_id"], r["best_score"], r["n_members"])
+           for r in A.component_canonical(comps, scores).collect()}
+    # comp 0: score tie 99 on docs 1,2 -> MIN id 1 wins
+    assert got == {0: (1, 99, 3), 3: (3, 5, 1), 4: (4, 7, 2)}
+
+
+def test_component_canonical_refuses_out_of_bounds(spark):
+    comps = spark.createDataFrame([(2**21, 0)], "doc_id bigint, component bigint")
+    scores = spark.createDataFrame([(2**21, 1)], "doc_id bigint, score bigint")
+    with pytest.raises(Exception) as ei:
+        A.component_canonical(comps, scores).collect()
+    assert "packing bounds" in str(ei.value)
