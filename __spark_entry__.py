@@ -1447,6 +1447,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("html"),
         )
 
+    def crawl_frontier(spark, sf_dir):
+        # r5 crawl-side composition through the REAL DOM link extraction:
+        # links → distinct targets + in-link counts → seen-set anti-join
+        # (the first 10 multiples of 10 mark their %37 hosts crawled —
+        # gcd(10,37)=1, so an unbounded seen set would cover ALL hosts and
+        # empty the frontier) → robots verdict
+        # over 37 mixed-case hosts (k%5==0 hosts Disallow the exact /x
+        # path the links carry — those targets must fall out)
+        from contentextractor_spark.plans.pipeline import extract_links
+
+        docs = _docs(spark, sf_dir)
+        links = extract_links(_link_pages_sql(docs), num_buckets=8)
+        seen = docs.filter(
+            (F.pmod("doc_id", 10) == 0) & (F.col("doc_id") < 100)
+        ).select(
+            F.concat(
+                F.lit("https://h"),
+                F.pmod("doc_id", 37).cast("string"),
+                F.lit(".example/x"),
+            ).alias("url")
+        )
+        hosts = docs.select(
+            F.pmod("doc_id", 37).cast("string").alias("k")
+        ).distinct()
+        robots = hosts.select(
+            F.concat(F.lit("H"), "k", F.lit(".Example")).alias("host"),
+            F.concat(
+                F.lit("User-agent: *\r\nDisallow: "),
+                F.when(
+                    F.col("k").cast("int") % 5 == 0, F.lit("/x")
+                ).otherwise(F.lit("/private/")),
+                F.lit("\r\n"),
+            ).alias("robots_txt"),
+        )
+        return A.crawl_frontier(links, seen, A.parse_robots(robots))
+
     def extract_links_roundtrip(spark, sf_dir):
         # link extraction through the REAL pipeline shape (salted
         # repartition → mapInPandas flat-map over the DOM parse): both
@@ -1896,6 +1932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_rules": gopher_rules,
         "curation_v5": curation_v5,
         "dedup_canonical": dedup_canonical,
+        "crawl_frontier": crawl_frontier,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -2767,6 +2804,38 @@ def oracle_sql() -> dict[str, str]:
                        FROM p)
             SELECT l.key, l.doc_id, l.ts, s.n_kept, s.n_removed
             FROM latest l JOIN scrubbed s USING (doc_id)
+        """,
+        # r5 crawl frontier: predicted links from the builder (the
+        # host_anchor_terms convention), every 10th doc's %37 host seen,
+        # k%5==0 hosts robots-blocked on the exact /x path
+        "crawl_frontier": """
+            WITH t AS (SELECT doc_id FROM documents WHERE text IS NOT NULL),
+            cand AS (
+              SELECT doc_id AS src,
+                     'https://h' || CAST((doc_id * 7 + 1) % 37 AS VARCHAR)
+                       || '.example/x' AS url
+              FROM t
+              UNION
+              SELECT doc_id,
+                     'https://h' || CAST((doc_id * 7 + 2) % 37 AS VARCHAR)
+                       || '.example/x'
+              FROM t),
+            counts AS (SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+                       FROM cand GROUP BY url),
+            seen AS (SELECT DISTINCT
+                            'https://h' || CAST(doc_id % 37 AS VARCHAR)
+                              || '.example/x' AS url
+                     FROM documents
+                     WHERE doc_id % 10 = 0 AND doc_id < 100),
+            new AS (SELECT * FROM counts
+                    WHERE url NOT IN (SELECT url FROM seen)),
+            k AS (SELECT url, n_refs,
+                         CAST(regexp_extract(url, 'https://h([0-9]+)', 1)
+                              AS BIGINT) AS kk
+                  FROM new)
+            SELECT url, 'h' || CAST(kk AS VARCHAR) || '.example' AS host,
+                   n_refs
+            FROM k WHERE kk % 5 <> 0
         """,
         # r5 recrawl dedup: packed-bigint argmax (ts*2^20 + id), Spark
         # div ≡ DuckDB // on the non-negative packed values

@@ -114,6 +114,7 @@ BAND_MAX_S = {
     "gopher_rules": 5.5,
     "curation_v5": 13.0,  # cold-first 11.8 (3-op composed chain)
     "dedup_canonical": 16.0,  # cold-first 14.3 (minhash components + argmax)
+    "crawl_frontier": 16.0,  # cold-first 14.2 (DOM link walk dominates)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -295,6 +296,7 @@ def main() -> None:
         "gopher_rules": lambda: force(_gopher_rules()),
         "curation_v5": lambda: force(_curation_v5()),
         "dedup_canonical": lambda: force(_dedup_canonical()),
+        "crawl_frontier": lambda: force(_crawl_frontier()),
     }
 
     def _scrub_boilerplate():
@@ -311,6 +313,11 @@ def main() -> None:
         from __spark_entry__ import queries as _entry_queries
 
         return _entry_queries()["gopher_rules"](spark, SF_DIR)
+
+    def _crawl_frontier():
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["crawl_frontier"](spark, SF_DIR)
 
     def _dedup_canonical():
         from __spark_entry__ import queries as _entry_queries

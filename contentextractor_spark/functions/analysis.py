@@ -2003,6 +2003,50 @@ def apply_robots(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> Dat
     )
 
 
+def crawl_frontier(
+    links: DataFrame,
+    seen: DataFrame,
+    rules: DataFrame,
+    href_col: str = "href",
+    src_col: str = "url",
+    scheme: str = "https://",
+) -> DataFrame:
+    """(url, host, n_refs): the next crawl batch — distinct link targets
+    that are (a) not yet crawled and (b) robots-allowed, with their
+    in-link counts as the standard frontier-priority signal.  Composes
+    the crawl-side primitives end to end: extracted links → dedup →
+    seen-set anti-join → parse_robots/apply_robots verdict.
+
+    Scale: distinct (src, target) then groupBy(target) count — both
+    map-side combinable, so a hub page linked from the whole crawl is a
+    hot KEY with partial aggregation, never a hot partition; the seen
+    set joins as a left_anti on the url (bucket both sides by url at
+    10^12 scale and it is co-located); robots verdicts ride
+    apply_robots' packed longest-match groupBy, keyed here by
+    xxhash64(url) (deterministic, so the verdict joins back without a
+    window or a collect)."""
+    cand = (
+        links.select(
+            F.col(src_col).alias("src"),
+            F.concat(F.lit(scheme), F.col(href_col)).alias("url"),
+        )
+        .distinct()
+    )
+    counts = cand.groupBy("url").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_refs")
+    )
+    new = counts.join(seen.select("url").distinct(), "url", "left_anti")
+    keyed = new.withColumn("doc_id", F.xxhash64("url"))
+    verdict = apply_robots(keyed.select("doc_id", "url"), rules)
+    return (
+        keyed.join(
+            verdict.filter(F.col("allowed") == 1).select("doc_id", "host"),
+            "doc_id",
+        )
+        .select("url", "host", "n_refs")
+    )
+
+
 def dsir_weights(raw: DataFrame, target: DataFrame) -> DataFrame:
     """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169,
     unigram variant): per raw document, the log-likelihood ratio of its

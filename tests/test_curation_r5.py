@@ -143,3 +143,32 @@ def test_component_canonical_refuses_out_of_bounds(spark):
     with pytest.raises(Exception) as ei:
         A.component_canonical(comps, scores).collect()
     assert "packing bounds" in str(ei.value)
+
+
+def test_crawl_frontier_composition(spark):
+    """Links -> dedup+count -> seen anti-join -> robots gate: a target
+    linked twice counts n_refs=2 (distinct SOURCES, not link rows); seen
+    and robots-blocked targets fall out; hosts case-fold."""
+    links = spark.createDataFrame(
+        [("p1", "a.example/x", "t", 0, 0, 0),
+         ("p1", "a.example/x", "t", 1, 0, 0),   # same page twice -> 1 source
+         ("p2", "a.example/x", "t", 0, 0, 0),
+         ("p2", "b.example/x", "t", 1, 0, 0),
+         ("p3", "c.example/x", "t", 0, 0, 0),   # seen
+         ("p3", "d.example/x", "t", 1, 0, 0)],  # robots-blocked
+        "url string, href string, anchor string, link_idx int, "
+        "bucket_id int, partition_id int",
+    )
+    seen = spark.createDataFrame([("https://c.example/x",)], "url string")
+    rules = A.parse_robots(
+        spark.createDataFrame(
+            [("D.Example", "User-agent: *\nDisallow: /x")],
+            "host string, robots_txt string",
+        )
+    )
+    got = {r["url"]: (r["host"], r["n_refs"])
+           for r in A.crawl_frontier(links, seen, rules).collect()}
+    assert got == {
+        "https://a.example/x": ("a.example", 2),
+        "https://b.example/x": ("b.example", 1),
+    }
