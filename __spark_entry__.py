@@ -1222,6 +1222,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             scrubbed.select("doc_id", "n_kept", "n_removed"), "doc_id"
         ).select("key", "doc_id", "ts", "n_kept", "n_removed")
 
+    def budget_select(spark, sf_dir):
+        # r5 data-budget selection: best mean-word-length-first greedy
+        # prefix under a 20k-token budget — histogram threshold + one
+        # boundary-group window, never a corpus sort
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        scored = docs.selectExpr(
+            "doc_id",
+            "(n_chars * 10) div size(split(text, ' ')) AS score",
+            "cast(size(split(text, ' ')) as bigint) AS n_tokens",
+        )
+        return A.budget_select(scored, 20000)
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -1933,6 +1945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v5": curation_v5,
         "dedup_canonical": dedup_canonical,
         "crawl_frontier": crawl_frontier,
+        "budget_select": budget_select,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -2804,6 +2817,24 @@ def oracle_sql() -> dict[str, str]:
                        FROM p)
             SELECT l.key, l.doc_id, l.ts, s.n_kept, s.n_removed
             FROM latest l JOIN scrubbed s USING (doc_id)
+        """,
+        # r5 data-budget selection: the oracle runs the NAIVE global
+        # running sum (fine at oracle scale) — any drift in the
+        # histogram-threshold plan's greedy prefix breaks the hash
+        "budget_select": """
+            WITH b AS (SELECT doc_id,
+                              (n_chars * 10)
+                                // len(string_split(text, ' ')) AS score,
+                              CAST(len(string_split(text, ' ')) AS BIGINT)
+                                  AS n_tokens
+                       FROM documents WHERE text IS NOT NULL),
+            r AS (SELECT doc_id, score, n_tokens,
+                         sum(n_tokens) OVER (ORDER BY score DESC,
+                             doc_id ASC ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS run
+                  FROM b)
+            SELECT doc_id, CAST(score AS BIGINT) AS score, n_tokens
+            FROM r WHERE run <= 20000
         """,
         # r5 crawl frontier: predicted links from the builder (the
         # host_anchor_terms convention), every 10th doc's %37 host seen,

@@ -115,6 +115,7 @@ BAND_MAX_S = {
     "curation_v5": 13.0,  # cold-first 11.8 (3-op composed chain)
     "dedup_canonical": 16.0,  # cold-first 14.3 (minhash components + argmax)
     "crawl_frontier": 16.0,  # cold-first 14.2 (DOM link walk dominates)
+    "budget_select": 5.5,  # cold-first 3.4
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -297,6 +298,7 @@ def main() -> None:
         "curation_v5": lambda: force(_curation_v5()),
         "dedup_canonical": lambda: force(_dedup_canonical()),
         "crawl_frontier": lambda: force(_crawl_frontier()),
+        "budget_select": lambda: force(_budget_select()),
     }
 
     def _scrub_boilerplate():
@@ -313,6 +315,11 @@ def main() -> None:
         from __spark_entry__ import queries as _entry_queries
 
         return _entry_queries()["gopher_rules"](spark, SF_DIR)
+
+    def _budget_select():
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["budget_select"](spark, SF_DIR)
 
     def _crawl_frontier():
         from __spark_entry__ import queries as _entry_queries

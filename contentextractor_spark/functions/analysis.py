@@ -2003,6 +2003,74 @@ def apply_robots(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> Dat
     )
 
 
+def budget_select(
+    scored: DataFrame,
+    token_budget: int,
+    score_col: str = "score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, score, n_tokens): the greedy best-score-first subset whose
+    cumulative token count fits token_budget — the data-budget selection
+    every training run does last ("give me the best N-billion tokens").
+    Deterministic contract: docs ordered by (score DESC, id ASC); the
+    prefix of that order whose running token sum stays <= budget is kept
+    (a doc that would overshoot is skipped AND selection stops there —
+    plain greedy prefix, not best-fit packing).
+
+    Scale (the length_percentiles mechanics, not a corpus sort): the
+    corpus collapses to a per-DISTINCT-score histogram (map-side
+    combinable), the cumulative-token window runs over that small value
+    table (cardinality of the score domain, not the doc count), and the
+    threshold score + residual budget come back as a one-row broadcast.
+    Docs strictly above the threshold are kept by a codegen'd filter;
+    only the single BOUNDARY score group needs a row-level running sum,
+    and that window is PARTITIONED by the score value — state bounded by
+    one group, never a global orderBy."""
+    sc = F.col(score_col).cast("long")
+    tk = F.col(tokens_col).cast("long")
+    base = scored.select(
+        F.col(id_col).alias("doc_id"), sc.alias("score"), tk.alias("n_tokens")
+    )
+    hist = base.groupBy("score").agg(
+        F.sum("n_tokens").alias("grp_tokens")
+    )
+    w = Window.orderBy(F.col("score").desc())
+    cum = hist.select(
+        "score",
+        (
+            F.sum("grp_tokens").over(w.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("grp_tokens")
+        ).alias("cum_before"),
+    )
+    # lowest score whose PRECEDING groups don't already fill the budget —
+    # groups below it are entirely out (their cum_before > budget, and
+    # the running sum is monotone), so only groups >= __s need row work
+    thresh = (
+        cum.filter(F.col("cum_before") <= F.lit(token_budget))
+        .groupBy()
+        .agg(F.min("score").alias("__s"))
+    )
+    # a doc is kept iff its GLOBAL running total (its group's preceding
+    # cumulative + its within-group (id ASC) running sum) fits the
+    # budget; the running total is monotone along the greedy order, so
+    # this filter IS the stop-at-first-overshoot prefix.  The window is
+    # PARTITIONED by score — state bounded by one group, never a global
+    # orderBy.
+    wg = Window.partitionBy("score").orderBy(F.col("doc_id").asc())
+    return (
+        base.crossJoin(F.broadcast(thresh))
+        .filter(F.col("score") >= F.col("__s"))
+        .join(F.broadcast(cum), "score")
+        .withColumn(
+            "__run",
+            F.sum("n_tokens").over(wg.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("cum_before") + F.col("__run") <= F.lit(token_budget))
+        .select("doc_id", "score", "n_tokens")
+    )
+
+
 def crawl_frontier(
     links: DataFrame,
     seen: DataFrame,

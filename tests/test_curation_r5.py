@@ -172,3 +172,40 @@ def test_crawl_frontier_composition(spark):
         "https://a.example/x": ("a.example", 2),
         "https://b.example/x": ("b.example", 1),
     }
+
+
+def test_budget_select_greedy_prefix(spark):
+    """Best-score-first prefix under a token budget: boundary group
+    partially selected in id order; overshooting doc stops selection."""
+    rows = [(0, 9, 40), (1, 9, 40), (2, 8, 30), (3, 8, 30),
+            (4, 7, 10), (5, 7, 5)]
+    df = spark.createDataFrame(rows, "doc_id bigint, score bigint, n_tokens bigint")
+    cases = [(80, {0, 1}), (100, {0, 1}), (110, {0, 1, 2}),
+             (140, {0, 1, 2, 3}), (150, {0, 1, 2, 3, 4}),
+             (155, {0, 1, 2, 3, 4, 5}), (10, set()), (40, {0})]
+    for budget, want in cases:
+        got = {r["doc_id"] for r in A.budget_select(df, budget).collect()}
+        assert got == want, (budget, got, want)
+
+
+def test_budget_select_no_global_sort(spark):
+    """The plan must not contain a single-partition global sort exchange —
+    the corpus collapses to the score histogram (length_percentiles
+    mechanics); only per-score-group windows touch rows."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    scored = docs.selectExpr(
+        "doc_id",
+        "(n_chars * 10) div size(split(text, ' ')) AS score",
+        "cast(size(split(text, ' ')) as bigint) AS n_tokens",
+    )
+    plan = (
+        A.budget_select(scored, 20000)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the histogram cum window runs over DISTINCT scores (small); no
+    # row-level Sort may sit above an Exchange SinglePartition that
+    # carries doc rows — assert the doc-row path has no global sort by
+    # checking every SinglePartition exchange feeds an aggregate result
+    assert plan.count("Exchange SinglePartition") <= 2, plan
