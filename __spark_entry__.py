@@ -1234,6 +1234,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.budget_select(scored, 20000)
 
+    def crawl_diff(spark, sf_dir):
+        # r5 crawl-over-crawl delta: old = all docs; new drops %11 urls
+        # (removed), rewrites %7 content (changed), and adds a parallel
+        # u<id>x namespace for %13 (added); unchanged rows must vanish
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        old = docs.select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            F.md5("text").alias("content_hash"),
+        )
+        new = docs.filter(F.pmod("doc_id", 11) != 0).select(
+            F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias("url"),
+            F.md5(
+                F.when(
+                    F.pmod("doc_id", 7) == 0, F.concat(F.col("text"), F.lit(" v2"))
+                ).otherwise(F.col("text"))
+            ).alias("content_hash"),
+        ).unionAll(
+            docs.filter(F.pmod("doc_id", 13) == 0).select(
+                F.concat(
+                    F.lit("u"), F.col("doc_id").cast("string"), F.lit("x")
+                ).alias("url"),
+                F.md5("text").alias("content_hash"),
+            )
+        )
+        return A.crawl_diff(old, new)
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -1946,6 +1972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_canonical": dedup_canonical,
         "crawl_frontier": crawl_frontier,
         "budget_select": budget_select,
+        "crawl_diff": crawl_diff,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -2817,6 +2844,29 @@ def oracle_sql() -> dict[str, str]:
                        FROM p)
             SELECT l.key, l.doc_id, l.ts, s.n_kept, s.n_removed
             FROM latest l JOIN scrubbed s USING (doc_id)
+        """,
+        # r5 crawl diff: same synthesized snapshots, plain SQL full-outer
+        "crawl_diff": """
+            WITH t AS (SELECT doc_id, text FROM documents
+                       WHERE text IS NOT NULL),
+            old AS (SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                           md5(text) AS h FROM t),
+            new AS (
+              SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+                     md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                              ELSE text END) AS h
+              FROM t WHERE doc_id % 11 <> 0
+              UNION ALL
+              SELECT 'u' || CAST(doc_id AS VARCHAR) || 'x', md5(text)
+              FROM t WHERE doc_id % 13 = 0),
+            j AS (SELECT coalesce(o.url, n.url) AS url, o.h AS ho, n.h AS hn
+                  FROM old o FULL OUTER JOIN new n ON o.url = n.url)
+            SELECT url,
+                   CASE WHEN ho IS NULL THEN 'added'
+                        WHEN hn IS NULL THEN 'removed'
+                        WHEN ho <> hn THEN 'changed' END AS status
+            FROM j
+            WHERE ho IS NULL OR hn IS NULL OR ho <> hn
         """,
         # r5 data-budget selection: the oracle runs the NAIVE global
         # running sum (fine at oracle scale) — any drift in the

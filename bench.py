@@ -116,6 +116,7 @@ BAND_MAX_S = {
     "dedup_canonical": 16.0,  # cold-first 14.3 (minhash components + argmax)
     "crawl_frontier": 16.0,  # cold-first 14.2 (DOM link walk dominates)
     "budget_select": 5.5,  # cold-first 3.4
+    "crawl_diff": 6.0,  # cold-first 3.8
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -299,6 +300,7 @@ def main() -> None:
         "dedup_canonical": lambda: force(_dedup_canonical()),
         "crawl_frontier": lambda: force(_crawl_frontier()),
         "budget_select": lambda: force(_budget_select()),
+        "crawl_diff": lambda: force(_crawl_diff()),
     }
 
     def _scrub_boilerplate():
@@ -315,6 +317,11 @@ def main() -> None:
         from __spark_entry__ import queries as _entry_queries
 
         return _entry_queries()["gopher_rules"](spark, SF_DIR)
+
+    def _crawl_diff():
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["crawl_diff"](spark, SF_DIR)
 
     def _budget_select():
         from __spark_entry__ import queries as _entry_queries

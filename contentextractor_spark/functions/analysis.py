@@ -2003,6 +2003,35 @@ def apply_robots(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> Dat
     )
 
 
+def crawl_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "url",
+    hash_col: str = "content_hash",
+) -> DataFrame:
+    """(url, status ∈ added|removed|changed): the crawl-over-crawl delta
+    — what a CDX-style index diff answers.  Unchanged URLs are filtered
+    out, so the output is delta-sized, not crawl-sized.
+
+    Scale: ONE full-outer join on the key; with both snapshot tables
+    bucketed by url (write_bucketed_table — the north rule's
+    bucket(N, url) layout) the join is co-located and shuffle-free, which
+    is the point of keeping crawl snapshots in the same bucketed layout.
+    Status is a codegen'd null/equality projection."""
+    o = old.select(F.col(key_col).alias("url"), F.col(hash_col).alias("__ho"))
+    n = new.select(F.col(key_col).alias("url"), F.col(hash_col).alias("__hn"))
+    j = o.join(n, "url", "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") != F.col("__hn"), F.lit("changed"))
+    )
+    return (
+        j.select("url", status.alias("status"))
+        .filter(F.col("status").isNotNull())
+    )
+
+
 def budget_select(
     scored: DataFrame,
     token_budget: int,

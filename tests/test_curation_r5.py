@@ -209,3 +209,15 @@ def test_budget_select_no_global_sort(spark):
     # carries doc rows — assert the doc-row path has no global sort by
     # checking every SinglePartition exchange feeds an aggregate result
     assert plan.count("Exchange SinglePartition") <= 2, plan
+
+
+def test_crawl_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("a", "h1"), ("b", "h2"), ("c", "h3")], "url string, content_hash string"
+    )
+    new = spark.createDataFrame(
+        [("a", "h1"), ("b", "hX"), ("d", "h4")], "url string, content_hash string"
+    )
+    got = {r["url"]: r["status"] for r in A.crawl_diff(old, new).collect()}
+    # 'a' unchanged -> absent; delta-sized output
+    assert got == {"b": "changed", "c": "removed", "d": "added"}
