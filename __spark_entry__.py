@@ -1260,6 +1260,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.crawl_diff(old, new)
 
+    def wet_roundtrip(spark, sf_dir):
+        # r5 S-family breadth: WET (extracted-text conversion records)
+        # egress -> ingestion roundtrip.  Teeth: (a) every 9th payload
+        # embeds a 'WARC/1.0' + header look-alike decoy, so only
+        # Content-Length framing recovers record boundaries; (b) each
+        # segment carries one RESPONSE record the conversion reader must
+        # skip; (c) ~25 records concatenate per segment in doc_id order.
+        from contentextractor_spark.sources.warc import (
+            to_wet_records,
+            wet_to_docs,
+        )
+
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        payload = F.when(
+            F.pmod("doc_id", 9) == 0,
+            F.concat(F.col("text"), F.lit(" WARC/1.0 Content-Length: 3")),
+        ).otherwise(F.col("text"))
+        wet = to_wet_records(
+            docs.select(
+                F.col("doc_id").cast("string").alias("url"),
+                payload.alias("text"),
+            )
+        ).withColumn("doc_id", F.col("url").cast("long"))
+        # decoy response record (fixed 24-octet HTTP message) per segment
+        decoy = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: ignore\r\nContent-Length: 24\r\n\r\n"
+            "HTTP/1.1 200 OK\r\n\r\ndecoy\r\n\r\n"
+        )
+        seg = (
+            wet.groupBy(F.expr("doc_id div 25").alias("seg"))
+            .agg(
+                F.concat(
+                    F.lit(decoy),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("doc_id", "wet"))
+                            ),
+                            lambda s: s["wet"],
+                        ),
+                        "",
+                    ),
+                ).alias("txt")
+            )
+            .select(F.encode("txt", "UTF-8").alias("wet"))
+        )
+        out = wet_to_docs(seg)
+        return out.select(F.col("url").cast("long").alias("doc_id"), "text")
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -1973,6 +2023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier": crawl_frontier,
         "budget_select": budget_select,
         "crawl_diff": crawl_diff,
+        "wet_roundtrip": wet_roundtrip,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -2844,6 +2895,14 @@ def oracle_sql() -> dict[str, str]:
                        FROM p)
             SELECT l.key, l.doc_id, l.ts, s.n_kept, s.n_removed
             FROM latest l JOIN scrubbed s USING (doc_id)
+        """,
+        # r5 WET roundtrip: payload passthrough (+ the %9 framing decoy)
+        "wet_roundtrip": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 9 = 0
+                        THEN text || ' WARC/1.0 Content-Length: 3'
+                        ELSE text END AS text
+            FROM documents WHERE text IS NOT NULL
         """,
         # r5 crawl diff: same synthesized snapshots, plain SQL full-outer
         "crawl_diff": """

@@ -117,6 +117,7 @@ BAND_MAX_S = {
     "crawl_frontier": 16.0,  # cold-first 14.2 (DOM link walk dominates)
     "budget_select": 5.5,  # cold-first 3.4
     "crawl_diff": 6.0,  # cold-first 3.8
+    "wet_roundtrip": 4.0,  # cold-first 1.9
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -301,6 +302,7 @@ def main() -> None:
         "crawl_frontier": lambda: force(_crawl_frontier()),
         "budget_select": lambda: force(_budget_select()),
         "crawl_diff": lambda: force(_crawl_diff()),
+        "wet_roundtrip": lambda: force(_wet_roundtrip()),
     }
 
     def _scrub_boilerplate():
@@ -317,6 +319,11 @@ def main() -> None:
         from __spark_entry__ import queries as _entry_queries
 
         return _entry_queries()["gopher_rules"](spark, SF_DIR)
+
+    def _wet_roundtrip():
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()["wet_roundtrip"](spark, SF_DIR)
 
     def _crawl_diff():
         from __spark_entry__ import queries as _entry_queries

@@ -298,3 +298,75 @@ def build_warc(
         else:
             out += rec
     return bytes(out)
+
+
+# --- WET (extracted-text conversion records) ---------------------------------
+
+def to_wet_records(
+    docs: "DataFrame",
+    url_col: str = "url",
+    text_col: str = "text",
+    date: str = "2024-01-01T00:00:00Z",
+) -> "DataFrame":
+    """(url, wet): one WET record string per document — the egress twin of
+    the crawl's WET files (WARC-Type: conversion, text payload, no HTTP
+    message).  Built in PURE SQL (concat + octet_length), so the writer is
+    a codegen'd projection: write the column with the text sink (or
+    concat per-partition) and the output is a valid WET file.
+    Content-Length counts UTF-8 OCTETS (octet_length), which is what the
+    byte-level reader frames on — multi-byte text stays exact."""
+    from pyspark.sql import functions as F
+
+    payload = F.col(text_col)
+    return docs.select(
+        F.col(url_col).alias("url"),
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: "),
+            F.col(url_col),
+            F.lit("\r\nWARC-Date: " + date + "\r\nContent-Length: "),
+            F.octet_length(payload).cast("string"),
+            F.lit("\r\n\r\n"),
+            payload,
+            F.lit("\r\n\r\n"),
+        ).alias("wet"),
+    )
+
+
+WET_DOCS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("text", StringType()),
+    ]
+)
+
+
+def wet_to_docs(segments: "DataFrame", data_col: str = "wet") -> "DataFrame":
+    """Flat-map WET archive segments(id, wet:binary) → (url, text): the
+    ingestion edge for pre-extracted crawl text.  Reuses the WARC
+    Content-Length framing (iter_warc_records) — payloads may contain
+    'WARC/' look-alikes and header-shaped text; only the length header
+    frames.  Narrow stage, no shuffle, same shape as warc_to_pages."""
+    from typing import Iterator as _Iter
+
+    import pandas as pd
+
+    from ..plans.pipeline import ensure_pyfiles
+
+    ensure_pyfiles(segments.sparkSession)
+
+    def explode(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            rows: dict[str, list] = {"url": [], "text": []}
+            for data in pdf[data_col]:
+                if data is None:
+                    continue
+                for rec in iter_warc_records(bytes(data)):
+                    if rec.warc_type != "conversion":
+                        continue
+                    rows["url"].append(rec.target_uri)
+                    rows["text"].append(
+                        rec.payload.decode("utf-8", errors="replace")
+                    )
+            yield pd.DataFrame(rows)
+
+    return segments.select(data_col).mapInPandas(explode, schema=WET_DOCS_SCHEMA)

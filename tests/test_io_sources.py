@@ -139,3 +139,34 @@ def test_write_fortest_xml_refuses_above_bound(spark, tmp_path, monkeypatch):
         cio.write_fortest_xml(df, str(tmp_path / "a.xml"))
     cio.write_fortest_xml(df, str(tmp_path / "b.xml"), force=True)
     assert (tmp_path / "b.xml").read_text().count("<document") == 5
+
+
+def test_wet_roundtrip_framing_and_type_filter(spark):
+    """WET egress -> ingestion: Content-Length framing must survive
+    payloads full of 'WARC/' and header look-alikes; response records in
+    the same buffer are skipped; multi-byte payloads frame on octets."""
+    from pyspark.sql import functions as F
+
+    from contentextractor_spark.sources.warc import to_wet_records, wet_to_docs
+
+    docs = spark.createDataFrame(
+        [("u1", "plain text"),
+         ("u2", "decoy WARC/1.0\r\nContent-Length: 2\r\n\r\nxx inside"),
+         ("u3", "日本語テキスト（multi-byte octets）")],
+        "url string, text string",
+    )
+    wet = to_wet_records(docs)
+    seg = wet.groupBy().agg(
+        F.concat_ws("", F.sort_array(F.collect_list("wet"))).alias("txt")
+    ).select(F.encode("txt", "UTF-8").alias("wet"))
+    got = {r["url"]: r["text"] for r in wet_to_docs(seg).collect()}
+    assert got == {r["url"]: r["text"] for r in docs.collect()}
+
+    # a response record in the same buffer is ignored by the WET reader
+    from contentextractor_spark.sources.warc import build_warc
+
+    mixed = build_warc([("http://x", "2024-01-01T00:00:00Z", b"<html/>")])
+    wet_bytes = "".join(r["wet"] for r in wet.collect()).encode("utf-8")
+    seg2 = spark.createDataFrame([(mixed + wet_bytes,)], "wet binary")
+    got2 = {r["url"] for r in wet_to_docs(seg2).collect()}
+    assert got2 == {"u1", "u2", "u3"}
