@@ -2001,6 +2001,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
         )
 
+    def url_blocklist(spark, sf_dir):
+        # r5 session-2: UT1-style domain blocklist gate over 4-label
+        # MIXED-CASE hosts w{0-2}.h{0-6}.Example.ORG.  The blocklist
+        # plants: a 3-label entry (h3 — subdomain suffix match), its
+        # trailing-dot duplicate (normalization + row-multiplication
+        # trap), a mixed-case 4-label exact host (w2.h5), a dead entry
+        # (example.net), and 'xample.org' — the label-boundary trap: a
+        # naive string-endswith matcher blocks EVERY host with it
+        # ('...example.org'.endswith('xample.org') is true), the
+        # label-suffix semantics must block none.
+        docs = _docs(spark, sf_dir)
+        urls = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://w"),
+                F.pmod("doc_id", 3).cast("string"),
+                F.lit(".h"),
+                F.pmod("doc_id", 7).cast("string"),
+                F.lit(".Example.ORG/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        bl = spark.range(1).select(
+            F.explode(
+                F.array(
+                    F.lit("h3.example.org"),
+                    F.lit("h3.example.org."),
+                    F.lit("W2.h5.Example.org"),
+                    F.lit("example.net"),
+                    F.lit("xample.org"),
+                )
+            ).alias("domain")
+        )
+        return A.domain_blocklist(urls, bl)
+
+    def jaccard_prefix(spark, sf_dir):
+        # r5 session-2: EXACT set-similarity join (PPJoin prefix filter).
+        # Token sets are arithmetic ('t'||(doc_id*7+j*13)%997, j=0..19) so
+        # the oracle can brute-force them; every %10 doc gets a planted
+        # near-copy (+1000000, j=1..20 — intersection 19, J=19/21≥0.6);
+        # residue arithmetic also yields ACCIDENTAL high-overlap pairs at
+        # doc_id deltas ≡ ±714·d (mod 997) — the oracle finds them by
+        # brute force, so the prefix filter's zero-false-negative claim
+        # is what the hash check actually tests.
+        docs = _docs(spark, sf_dir)
+        mk = (
+            "concat_ws(' ', transform(sequence({a}, {b}), "
+            "j -> concat('t', (doc_id*7 + j*13) % 997)))"
+        )
+        base = docs.select("doc_id", F.expr(mk.format(a=0, b=19)).alias("text"))
+        copies = docs.filter(F.pmod("doc_id", 10) == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(mk.format(a=1, b=20)).alias("text"),
+        )
+        return A.jaccard_prefix_pairs(base.unionByName(copies), (3, 5))
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -2024,6 +2080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "budget_select": budget_select,
         "crawl_diff": crawl_diff,
         "wet_roundtrip": wet_roundtrip,
+        "url_blocklist": url_blocklist,
+        "jaccard_prefix": jaccard_prefix,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -2926,6 +2984,63 @@ def oracle_sql() -> dict[str, str]:
                         WHEN ho <> hn THEN 'changed' END AS status
             FROM j
             WHERE ho IS NULL OR hn IS NULL OR ho <> hn
+        """,
+        # r5 session-2 UT1-style blocklist gate: the oracle matches by
+        # host = d OR host LIKE '%.'||d (label-boundary semantics — the
+        # planted 'xample.org' entry breaks any endswith matcher), picks
+        # the longest match, and normalizes case + trailing dots; the
+        # duplicate entry must not multiply rows
+        "url_blocklist": """
+            WITH urls AS (
+              SELECT doc_id,
+                     'https://w' || (doc_id % 3) || '.h' || (doc_id % 7)
+                       || '.Example.ORG/p/' || doc_id AS url,
+                     'w' || (doc_id % 3) || '.h' || (doc_id % 7)
+                       || '.example.org' AS host
+              FROM documents),
+            bl AS (
+              SELECT DISTINCT regexp_replace(lower(domain), '[.]$', '') AS d
+              FROM (VALUES ('h3.example.org'), ('h3.example.org.'),
+                           ('W2.h5.Example.org'), ('example.net'),
+                           ('xample.org')) AS t(domain)),
+            m AS (
+              SELECT u.doc_id, u.url, u.host, b.d
+              FROM urls u
+              LEFT JOIN bl b
+                ON u.host = b.d OR u.host LIKE '%.' || b.d)
+            SELECT doc_id, url, host,
+                   CAST(CASE WHEN max(d) IS NOT NULL THEN 1 ELSE 0 END
+                        AS INT) AS blocked,
+                   arg_max(d, length(d)) AS matched_domain
+            FROM m GROUP BY doc_id, url, host
+        """,
+        # r5 session-2 exact set-similarity join: the oracle is the NAIVE
+        # brute-force token self-join (exact at oracle scale) — the
+        # Spark side only ever joins PREFIX tokens, so a lossy prefix
+        # (wrong length formula, wrong global order, df cap leak) drops
+        # a pair and breaks the hash
+        "jaccard_prefix": """
+            WITH toks AS (
+              SELECT doc_id, 't' || ((doc_id*7 + j*13) % 997) AS tok
+              FROM documents, generate_series(0, 19) AS g(j)
+              UNION ALL
+              SELECT doc_id + 1000000, 't' || ((doc_id*7 + j*13) % 997)
+              FROM documents, generate_series(1, 20) AS g(j)
+              WHERE doc_id % 10 = 0),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS intersection
+              FROM toks a JOIN toks b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b, intersection,
+                   sa.sz + sb.sz - intersection AS union_sz
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = inter.doc_a
+            JOIN sizes sb ON sb.doc_id = inter.doc_b
+            WHERE 5 * intersection >= 3 * (sa.sz + sb.sz - intersection)
         """,
         # r5 data-budget selection: the oracle runs the NAIVE global
         # running sum (fine at oracle scale) — any drift in the

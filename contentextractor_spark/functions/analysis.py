@@ -1415,6 +1415,122 @@ def jaccard_pairs(
     )
 
 
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold: tuple[int, int] = (3, 5),
+    max_prefix_df: int | None = None,
+    persist_tokens: bool = True,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, intersection, union_sz): EVERY pair of docs whose
+    word-set Jaccard ≥ threshold — EXACT, no false negatives, unlike the
+    minhash/simhash/embedding LSH producers.  The scale trick is AllPairs
+    /PPJoin prefix filtering (Bayardo et al. WWW'07; Xiao et al. WWW'08):
+    under one global token order (document-frequency ASC, token ASC —
+    rarest first), any two sets with J ≥ t share a token within their
+    first |x| − ceil(t·|x|) + 1 tokens, so only PREFIX tokens are
+    self-joined; the survivors are verified with an exact intersection
+    count.  threshold is a RATIONAL (num, den) and every comparison is an
+    integer cross-multiplication (den·inter ≥ num·union) — float-free,
+    engine-exact, same convention as quality_filter.
+
+    Scale: candidate volume is Σ_prefix-tokens df², orders of magnitude
+    below jaccard_pairs' all-(rare-)shingle self-join because prefixes
+    hold each doc's RAREST tokens; the verify stage touches candidate
+    pairs only.  A size-ratio prune (den·min(|A|,|B|) ≥ num·max —
+    provably implied by J ≥ t) drops unverifiable candidates before the
+    intersection join.  Skew guard: max_prefix_df drops prefix tokens
+    with df above the cap from BOTH sides (the minhash loud-cap
+    convention — pairs whose only shared prefix token was dropped are
+    lost; jaccard_prefix_overflow discloses exactly which tokens and how
+    many docs are affected).  persist_tokens pins the exploded token set
+    (it feeds freq, sizes, prefix and both verify branches — the
+    jaccard_pairs persist rule)."""
+    num, den = threshold
+    if not (0 < num <= den):
+        raise ValueError(f"threshold must be a rational in (0,1]: {threshold}")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    if persist_tokens:
+        from pyspark import StorageLevel
+
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handle is not None:
+            cache_handle.append(toks)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(freq, "tok").join(sizes, "doc_id")
+    # prefix length p = sz − ceil(num·sz/den) + 1, all-integer ceil
+    # integer ceil via div (Spark div ≡ DuckDB // on positives)
+    p = F.expr(f"sz - (({num} * sz + {den} - 1) div {den}) + 1")
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    pref = ranked.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= p
+    )
+    if max_prefix_df is not None:
+        pref = pref.filter(F.col("df") <= max_prefix_df)
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"), "tok"
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"), "tok"
+    )
+    cand = (
+        pa.join(pb, "tok")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            den * F.least("sz_a", "sz_b") >= num * F.greatest("sz_a", "sz_b")
+        )
+        .select("doc_a", "doc_b", "sz_a", "sz_b")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    union_sz = F.col("sz_a") + F.col("sz_b") - F.col("intersection")
+    return (
+        inter.filter(den * F.col("intersection") >= num * union_sz)
+        .select("doc_a", "doc_b", "intersection", union_sz.alias("union_sz"))
+    )
+
+
+def jaccard_prefix_overflow(
+    docs: DataFrame,
+    threshold: tuple[int, int] = (3, 5),
+    max_prefix_df: int = 100,
+) -> DataFrame:
+    """(tok, df): the prefix tokens jaccard_prefix_pairs DROPS under
+    max_prefix_df — the loud-cap companion (minhash convention).  A pair
+    is lost only if EVERY shared prefix token is listed here; an empty
+    result certifies the capped run was still exact."""
+    num, den = threshold
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(freq, "tok").join(sizes, "doc_id")
+    # integer ceil via div (Spark div ≡ DuckDB // on positives)
+    p = F.expr(f"sz - (({num} * sz + {den} - 1) div {den}) + 1")
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") <= p) & (F.col("df") > max_prefix_df))
+        .select("tok", "df")
+        .distinct()
+    )
+
+
 def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     """URL canonicalization for corpus dedup keys: lowercase scheme+host,
     strip the scheme's default port (:80 / :443), drop the fragment and
@@ -2029,6 +2145,85 @@ def crawl_diff(
     return (
         j.select("url", status.alias("status"))
         .filter(F.col("status").isNotNull())
+    )
+
+
+MAX_BLOCKLIST_LEVELS = 6
+"""domain_blocklist suffix depth: blocklist entries are registrable
+domains (UT1-class lists top out at 4-5 labels), so 6 join levels cover
+them; an entry DEEPER than the configured depth could never match and is
+refused loudly instead of silently ignored."""
+
+
+def domain_blocklist(
+    urls: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    domain_col: str = "domain",
+    max_levels: int = MAX_BLOCKLIST_LEVELS,
+) -> DataFrame:
+    """(doc_id, url, host, blocked, matched_domain): UT1-style domain
+    blocklist gate with subdomain suffix semantics — an entry
+    'example.org' blocks 'example.org' and every subdomain
+    ('a.b.example.org'), never 'notexample.org'.  matched_domain is the
+    MOST SPECIFIC (longest-suffix) matching entry, null when clean; one
+    output row per input row, blocked ∈ {0,1}.
+
+    Scale: NO explode + re-group.  The host's k-label dot-suffixes
+    (k = 1..max_levels) are matched by max_levels independent BROADCAST
+    hash joins, deepest first — every join is map-side, so the gate adds
+    ZERO exchanges to the URL stream regardless of corpus size; the
+    blocklist (tens of MB for UT1-class lists) broadcasts once per depth
+    slice.  The blocklist side is deduplicated (distinct on its own tiny
+    shuffle) so repeated entries cannot multiply URL rows; entries with
+    more labels than max_levels are refused loudly (they could never
+    match — a silent no-op gate is worse than an error).  Hosts are
+    lowercased and trailing-dot-stripped on BOTH sides, so a mixed-case
+    list cannot fail open (the robots_filter lesson, ADVICE r4)."""
+    norm = lambda c: F.regexp_replace(F.lower(c), "[.]$", "")  # noqa: E731
+    bl = blocklist.select(norm(F.col(domain_col)).alias("__d")).distinct()
+    deep = bl.filter(
+        F.size(F.split("__d", "[.]")) > max_levels
+    ).limit(1).collect()
+    if deep:
+        raise ValueError(
+            f"domain_blocklist refused: entry {deep[0]['__d']!r} has more "
+            f"than max_levels={max_levels} labels and could never match; "
+            "raise max_levels to cover the deepest blocklist entry."
+        )
+    host = norm(
+        F.regexp_replace(
+            F.regexp_extract(
+                F.col(url_col), "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+            ),
+            "^[^@]*@|:[0-9]*$",
+            "",
+        )
+    )
+    out = urls.select(
+        "doc_id", F.col(url_col).alias("url"), host.alias("host")
+    )
+    labels = F.split("host", "[.]")
+    match_cols = []
+    for k in range(max_levels, 0, -1):  # deepest first => coalesce order
+        col = f"__m{k}"
+        slice_k = bl.filter(
+            F.size(F.split("__d", "[.]")) == k
+        ).select(F.col("__d").alias(col))
+        suffix_k = F.when(
+            F.size(labels) >= k, F.concat_ws(".", F.slice(labels, -k, k))
+        )
+        out = out.join(
+            F.broadcast(slice_k), suffix_k == F.col(col), "left"
+        )
+        match_cols.append(col)
+    matched = F.coalesce(*[F.col(c) for c in match_cols])
+    return out.select(
+        "doc_id",
+        "url",
+        "host",
+        matched.isNotNull().cast("int").alias("blocked"),
+        matched.alias("matched_domain"),
     )
 
 

@@ -1,0 +1,86 @@
+"""UT1-style domain blocklist gate: label-suffix semantics, longest-match
+specificity, normalization, the no-row-multiplication guarantee, the deep-
+entry refusal, and the broadcast-only join plan."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from contentextractor_spark.functions import analysis as A
+
+
+def _urls(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, url string")
+
+
+def _bl(spark, domains):
+    return spark.createDataFrame([(d,) for d in domains], "domain string")
+
+
+@pytest.fixture(scope="module")
+def gated(spark):
+    urls = _urls(
+        spark,
+        [
+            (0, "https://example.org/a"),            # exact match
+            (1, "https://a.b.example.org/x?q=1"),    # deep subdomain match
+            (2, "https://notexample.org/"),          # endswith trap: clean
+            (3, "https://Ads.Example.ORG:443/x"),    # case+port, deeper entry
+            (4, "https://clean.example.net/"),       # no entry at any depth
+            (5, "https://user@example.org./"),       # userinfo + trailing dot
+        ],
+    )
+    bl = _bl(
+        spark,
+        [
+            "example.org",
+            "EXAMPLE.ORG.",        # duplicate after normalization
+            "ads.example.org",     # deeper -> must win specificity on (3)
+            "xample.org",          # endswith trap entry
+        ],
+    )
+    return {
+        r["doc_id"]: (r["blocked"], r["matched_domain"])
+        for r in A.domain_blocklist(urls, bl).collect()
+    }
+
+
+def test_label_suffix_semantics(gated):
+    assert gated[0] == (1, "example.org")
+    assert gated[1] == (1, "example.org")
+    # 'notexample.org'.endswith('xample.org') is true — label-boundary
+    # matching must keep it clean
+    assert gated[2] == (0, None)
+    assert gated[4] == (0, None)
+
+
+def test_longest_match_wins_and_normalization(gated):
+    # ads.example.org matches BOTH entries; the deeper one is reported
+    assert gated[3] == (1, "ads.example.org")
+    # userinfo stripped, trailing host dot stripped -> still matches
+    assert gated[5] == (1, "example.org")
+
+
+def test_duplicate_entries_do_not_multiply_rows(spark):
+    urls = _urls(spark, [(i, f"https://h{i}.example.org/") for i in range(8)])
+    bl = _bl(spark, ["example.org", "EXAMPLE.ORG", "example.org."])
+    out = A.domain_blocklist(urls, bl)
+    assert out.count() == 8  # one row per input row, always
+
+
+def test_deep_entry_refused(spark):
+    urls = _urls(spark, [(0, "https://x.example.org/")])
+    bl = _bl(spark, ["a.b.c.d.e.f.example.org"])  # 8 labels > max_levels=6
+    with pytest.raises(ValueError, match="could never match"):
+        A.domain_blocklist(urls, bl)
+
+
+def test_plan_is_broadcast_only(spark):
+    # the URL stream must never shuffle: every depth join is a broadcast
+    # hash join (the only Exchanges allowed are the tiny blocklist-side
+    # distinct feeding BroadcastExchange)
+    urls = _urls(spark, [(0, "https://x.example.org/")])
+    bl = _bl(spark, ["example.org"])
+    plan = A.domain_blocklist(urls, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == A.MAX_BLOCKLIST_LEVELS, plan
