@@ -2036,6 +2036,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.domain_blocklist(urls, bl)
 
+    def nfc_normalize(spark, sf_dir):
+        # r5 session-2: UAX#15 NFC vs DuckDB's nfc_normalize — real
+        # cross-engine normalization, not a passthrough.  Plants:
+        # combining acute (e+U+0301 composes to é) on %2 docs, the
+        # U+212B angstrom singleton + Hangul jamo pair (composes to 가)
+        # on %3 docs; other rows exercise the ASCII fast path
+        # (changed=0 unless the base text itself is non-NFC).
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        built = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.pmod("doc_id", 2) == 0, F.lit(" cafe\u0301")
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.pmod("doc_id", 3) == 0,
+                    F.lit(" \u212b\u1100\u1161"),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return A.nfc_normalize(built)
+
     def jaccard_prefix(spark, sf_dir):
         # r5 session-2: EXACT set-similarity join (PPJoin prefix filter).
         # Token sets are arithmetic ('t'||(doc_id*7+j*13)%997, j=0..19) so
@@ -2082,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": wet_roundtrip,
         "url_blocklist": url_blocklist,
         "jaccard_prefix": jaccard_prefix,
+        "nfc_normalize": nfc_normalize,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -3013,6 +3037,26 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS blocked,
                    arg_max(d, length(d)) AS matched_domain
             FROM m GROUP BY doc_id, url, host
+        """,
+        # r5 session-2 NFC normalization: DuckDB's nfc_normalize is an
+        # independent UAX#15 implementation (utf8proc) vs Python's
+        # unicodedata — the hash check certifies real canonical
+        # composition on combining marks, the U+212B singleton, and
+        # Hangul jamo, plus identity on the ASCII fast path
+        "nfc_normalize": """
+            WITH built AS (
+              SELECT doc_id,
+                     text ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN ' cafe' || chr(769) ELSE '' END ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN ' ' || chr(8491) || chr(4352) || chr(4449)
+                          ELSE '' END AS t
+              FROM documents WHERE text IS NOT NULL)
+            SELECT doc_id, nfc_normalize(t) AS text_nfc,
+                   CAST(CASE WHEN nfc_normalize(t) <> t THEN 1 ELSE 0 END
+                        AS INT) AS changed
+            FROM built
         """,
         # r5 session-2 exact set-similarity join: the oracle is the NAIVE
         # brute-force token self-join (exact at oracle scale) — the

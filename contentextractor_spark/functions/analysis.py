@@ -1415,6 +1415,52 @@ def jaccard_pairs(
     )
 
 
+def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, text_nfc, changed): Unicode NFC normalization (UAX #15)
+    — the canonical-composition pass a multilingual corpus needs before
+    any exact/hash dedup (decomposed 'e'+U+0301 and composed U+00E9 are
+    the same text to a reader but different bytes to every dedup key,
+    tokenizer, and n-gram op in this package).  changed ∈ {0,1} flags
+    rows the pass actually rewrote, so callers can measure how dirty a
+    crawl slice is.
+
+    Engine exactness: Python's unicodedata and DuckDB's nfc_normalize
+    both implement UAX #15 canonical composition (verified on combining
+    marks, singleton decompositions like U+212B, and Hangul jamo) — the
+    oracle hash-checks real normalization output, not a stub.
+
+    Scale: the UDF is the slow path by design rule, so it is an
+    Arrow-batched pandas UDF (never row-at-a-time) with a PER-ROW ASCII
+    fast path inside the batch: NFC is the identity on ASCII, and
+    str.isascii is a C-level scan, so clean English crawl slices pay one
+    vectorized mask instead of a per-char normalization.  Narrow
+    projection, no shuffle."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        mask = s.map(lambda x: x is not None and not x.isascii())
+        if not mask.any():
+            return s
+        out = s.copy()
+        out[mask] = s[mask].map(lambda x: unicodedata.normalize("NFC", x))
+        return out
+
+    out = docs.select(
+        "doc_id",
+        F.col(text_col).alias("__orig"),
+        _nfc(F.col(text_col)).alias("text_nfc"),
+    )
+    return out.select(
+        "doc_id",
+        "text_nfc",
+        (F.col("text_nfc") != F.col("__orig")).cast("int").alias("changed"),
+    )
+
+
 def jaccard_prefix_pairs(
     docs: DataFrame,
     threshold: tuple[int, int] = (3, 5),
