@@ -2036,6 +2036,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.domain_blocklist(urls, bl)
 
+    def paragraph_dedup(spark, sf_dir):
+        # r5 session-2: first-occurrence exact paragraph dedup over the
+        # onion fixture — the shared nav header survives ONLY in the
+        # minimum doc_id that carries it, the footer only in the minimum
+        # even doc, content lines only at their first (doc_id, pos)
+        # occurrence (synthetic texts do repeat, so content lines have
+        # teeth too)
+        return A.paragraph_dedup(_bp_built(spark, sf_dir))
+
     def nfc_normalize(spark, sf_dir):
         # r5 session-2: UAX#15 NFC vs DuckDB's nfc_normalize — real
         # cross-engine normalization, not a passthrough.  Plants:
@@ -2106,6 +2115,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_blocklist": url_blocklist,
         "jaccard_prefix": jaccard_prefix,
         "nfc_normalize": nfc_normalize,
+        "paragraph_dedup": paragraph_dedup,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -3037,6 +3047,37 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS blocked,
                    arg_max(d, length(d)) AS matched_domain
             FROM m GROUP BY doc_id, url, host
+        """,
+        # r5 session-2 first-occurrence paragraph dedup: winner =
+        # min(doc_id*2^20 + pos) per exact trimmed paragraph (1-based
+        # pos here vs Spark's 0-based is a constant shift — the same
+        # lexicographic order, so the same winners)
+        "paragraph_dedup": f"""
+            WITH {_BP_BUILT_CTE},
+            lnsp AS (SELECT doc_id, i AS pos, trim(l[i]) AS line FROM (
+                       SELECT doc_id, string_split(text2, chr(10)) AS l,
+                              unnest(generate_series(1,
+                                  len(string_split(text2, chr(10))))) AS i
+                       FROM built)),
+            ne AS (SELECT doc_id, pos, line FROM lnsp WHERE line <> ''),
+            w AS (SELECT line, min(doc_id * 1048576 + pos) AS wp
+                  FROM ne GROUP BY line),
+            kept AS (SELECT ne.doc_id, ne.pos, ne.line
+                     FROM ne JOIN w ON ne.line = w.line
+                     WHERE ne.doc_id * 1048576 + ne.pos = w.wp),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                    FROM ne GROUP BY doc_id),
+            reb AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY pos)
+                               AS text_dedup,
+                           CAST(count(*) AS BIGINT) AS n_kept
+                    FROM kept GROUP BY doc_id)
+            SELECT t.doc_id,
+                   coalesce(text_dedup, '') AS text_dedup,
+                   CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+                   CAST(t.n_lines - coalesce(n_kept, 0) AS BIGINT)
+                       AS n_removed
+            FROM tot t LEFT JOIN reb USING (doc_id)
         """,
         # r5 session-2 NFC normalization: DuckDB's nfc_normalize is an
         # independent UAX#15 implementation (utf8proc) vs Python's

@@ -1415,6 +1415,94 @@ def jaccard_pairs(
     )
 
 
+def paragraph_dedup(docs: DataFrame, id_bound: int = 2**43) -> DataFrame:
+    """(doc_id, text_dedup, n_kept, n_removed): corpus-level EXACT
+    paragraph dedup, FIRST occurrence wins — the RefinedWeb/Falcon
+    paragraph-granularity pass: a trimmed non-empty paragraph survives
+    iff it is the globally first occurrence of that exact string in
+    (doc_id, pos) order; every later occurrence — across docs AND
+    repeats inside one doc — is removed.  Distinct from
+    scrub_boilerplate_lines: onion removal drops a corpus-frequent line
+    from EVERY doc (frequency-thresholded); this keeps exactly one copy
+    of everything, threshold-free.  Row count never changes; a doc whose
+    every paragraph is a later duplicate survives with text_dedup = ''.
+
+    Scale: the winner per paragraph is min(doc_id·2^20 + pos) — ONE
+    map-side-combinable groupBy over the exploded stream, no window, no
+    join-back for decode; survivors are an equality join of the stream
+    against the winner table on the paragraph (stream-sized, AQE decides
+    the strategy); reassembly is the scrub_boilerplate_lines
+    array_sort-of-structs shape.  Packing bounds (pos < 2^20 paragraphs
+    per doc, 0 ≤ doc_id < 2^43) are refused PER ROW with raise_error —
+    an out-of-bounds occurrence must never silently lose dedup."""
+    lim = 1 << 20
+    lines = (
+        docs.select(
+            "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "raw")
+        )
+        .select("doc_id", "pos", F.trim("raw").alias("line"))
+        .filter(F.col("line") != "")
+    )
+    packed = F.when(
+        (F.col("pos") < lim)
+        & (F.col("doc_id") >= 0)
+        & (F.col("doc_id") < F.lit(id_bound)),
+        F.col("doc_id") * lim + F.col("pos"),
+    )
+    stream = lines.select(
+        "doc_id",
+        "pos",
+        "line",
+        F.when(
+            packed.isNull(),
+            F.raise_error(
+                F.lit(
+                    "paragraph_dedup: doc_id/pos outside packing bounds "
+                    f"(0 <= doc_id < {id_bound}, pos < 2^20) — re-pack "
+                    "with a wider shift"
+                )
+            ).cast("long"),
+        )
+        .otherwise(packed)
+        .alias("__p"),
+    )
+    winners = stream.groupBy("line").agg(F.min("__p").alias("__w"))
+    kept = (
+        stream.join(winners, "line")
+        .filter(F.col("__p") == F.col("__w"))
+        .select("doc_id", "pos", "line")
+    )
+    n_lines = (
+        docs.select("doc_id")
+        .join(
+            stream.groupBy("doc_id").agg(
+                F.count(F.lit(1)).cast("bigint").alias("__n")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select("doc_id", F.coalesce("__n", F.lit(0)).alias("__n"))
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+    )
+    return n_lines.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        (F.col("__n") - F.coalesce("n_kept", F.lit(0)))
+        .cast("bigint")
+        .alias("n_removed"),
+    )
+
+
 def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, text_nfc, changed): Unicode NFC normalization (UAX #15)
     — the canonical-composition pass a multilingual corpus needs before
@@ -1888,16 +1976,25 @@ def latest_snapshot(
         ts * F.lit(2**20) + idc,
     )
     agg = (
-        snaps.select(F.col(key_col).alias("key"), packed.alias("__p"))
+        snaps.select(
+            F.col(key_col).alias("key"),
+            packed.alias("__p"),
+            # max() IGNORES nulls, so a violating row mixed into a group
+            # of valid rows would silently vanish from the argmax — carry
+            # an explicit violation flag through the aggregate (max over
+            # 0/1 is also its own streaming merge, so the stream twin
+            # keeps working)
+            packed.isNull().cast("int").alias("__bad"),
+        )
         .groupBy("key")
-        .agg(F.max("__p").alias("__p"))
+        .agg(F.max("__p").alias("__p"), F.max("__bad").alias("__bad"))
     )
-    # a NULL __p means some row violated the packing bounds — fail loudly
-    # rather than silently dropping it from the argmax
+    # ANY row outside the packing bounds (or with null ts/id) fails the
+    # whole query loudly rather than silently dropping from the argmax
     return agg.select(
         "key",
         F.when(
-            F.col("__p").isNull(),
+            F.col("__p").isNull() | (F.col("__bad") == 1),
             F.raise_error(
                 F.lit(
                     "latest_snapshot: ts/id outside packing bounds "

@@ -77,6 +77,19 @@ def test_latest_snapshot_refuses_out_of_bounds(spark):
     assert "packing bounds" in str(ei.value)
 
 
+def test_latest_snapshot_refuses_mixed_bad_row(spark):
+    # max() ignores nulls: a single out-of-bounds row mixed into a group
+    # of VALID rows must still fail loudly, not silently lose the argmax
+    # candidate (r5 session-2 fix — the flag aggregate)
+    snaps = spark.createDataFrame(
+        [("u1", 1, 100), ("u1", 2**21, 999), ("u2", 3, 50)],
+        "url string, doc_id bigint, ts bigint",
+    )
+    with pytest.raises(Exception) as ei:
+        A.latest_snapshot(snaps).collect()
+    assert "packing bounds" in str(ei.value)
+
+
 def test_gopher_rules_each_gate(spark):
     docs = _docs(
         spark,
@@ -221,3 +234,47 @@ def test_crawl_diff_statuses(spark):
     got = {r["url"]: r["status"] for r in A.crawl_diff(old, new).collect()}
     # 'a' unchanged -> absent; delta-sized output
     assert got == {"b": "changed", "c": "removed", "d": "added"}
+
+
+# ---------------------------------------------------------------------------
+# first-occurrence exact paragraph dedup (r5 session-2)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def pd_docs(spark):
+    return _docs(
+        spark,
+        [
+            (0, "shared header\nunique zero\nrepeat me\nrepeat me"),
+            (1, "shared header\nunique one"),
+            (2, "repeat me\nunique two"),
+            (3, "shared header"),          # everything a later dup -> ''
+            (4, "  shared header  \nspaced"),  # trims to the same paragraph
+        ],
+    )
+
+
+def test_paragraph_dedup_first_occurrence_wins(pd_docs):
+    from contentextractor_spark.functions import analysis as A2
+
+    out = {
+        r["doc_id"]: (r["text_dedup"], r["n_kept"], r["n_removed"])
+        for r in A2.paragraph_dedup(pd_docs).collect()
+    }
+    assert len(out) == 5  # row count preserved
+    # doc 0 holds the first occurrence of everything it contains; its own
+    # within-doc repeat of 'repeat me' is dropped
+    assert out[0] == ("shared header\nunique zero\nrepeat me", 3, 1)
+    assert out[1] == ("unique one", 1, 1)
+    assert out[2] == ("unique two", 1, 1)
+    assert out[3] == ("", 0, 1)
+    assert out[4] == ("spaced", 1, 1)
+
+
+def test_paragraph_dedup_refuses_out_of_bounds_ids(spark):
+    from contentextractor_spark.functions import analysis as A2
+
+    bad = _docs(spark, [(2**43, "some text"), (1, "other")])
+    with pytest.raises(Exception, match="packing bounds"):
+        A2.paragraph_dedup(bad).collect()
