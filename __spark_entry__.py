@@ -2036,6 +2036,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.domain_blocklist(urls, bl)
 
+    def script_profile(spark, sf_dir):
+        # r5 session-2: per-doc Unicode script composition.  Script
+        # snippets planted by residue (shared _SCRIPT_SNIPPETS constant
+        # — the SQL CASEs interpolate the same strings); ja-lang base
+        # docs already carry CJK so main_script flips there without any
+        # plant, and the digit plant rides with arabic (%13)
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        text2 = F.col("text")
+        parts = [text2]
+        for mod, snippet in _SCRIPT_SNIPPETS:
+            parts.append(
+                F.when(F.pmod("doc_id", mod) == 0, F.lit(snippet)).otherwise(
+                    F.lit("")
+                )
+            )
+        built = docs.select("doc_id", F.concat(*parts).alias("text"))
+        return A.script_profile(built)
+
     def paragraph_dedup(spark, sf_dir):
         # r5 session-2: first-occurrence exact paragraph dedup over the
         # onion fixture — the shared nav header survives ONLY in the
@@ -2116,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_prefix": jaccard_prefix,
         "nfc_normalize": nfc_normalize,
         "paragraph_dedup": paragraph_dedup,
+        "script_profile": script_profile,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -2254,6 +2273,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # boilerplate): header + two content lines sliced from the doc's own text
 # + even-page footer; list_slice END-inclusive bounds mirror F.slice's
 # (start, LENGTH) args per the host_anchor_terms convention
+_SCRIPT_SNIPPETS: list[tuple[int, str]] = [
+    (3, " 日本語テキスト"),   # CJK (kana+kanji)
+    (5, " русский текст"),  # cyrillic
+    (7, " 한국어"),                            # hangul syllables
+    (11, " ελληνικά"),  # greek
+    (13, " العربية 123"),    # arabic + digits
+]
+"""script_profile fixture plants, shared by the Spark builder and the SQL
+oracle (ONE set of strings — explicit escapes so encoding tools cannot
+normalize them)."""
+
+
+def _script_profile_sql() -> str:
+    """Oracle for script_profile, generated from the SAME SCRIPT_CLASSES
+    ranges and _SCRIPT_SNIPPETS plants the Spark side uses — no second
+    hand-maintained copy of the class tables."""
+    from contentextractor_spark.functions.analysis import SCRIPT_CLASSES
+
+    plants = " || ".join(
+        f"CASE WHEN doc_id % {m} = 0 THEN '{s}' ELSE '' END"
+        for m, s in _SCRIPT_SNIPPETS
+    )
+    count_cols = ",\n                     ".join(
+        f"CAST(length(t) - length(regexp_replace(t, '[{cls}]', '', 'g'))"
+        f" AS BIGINT) AS n_{name}"
+        for name, cls in SCRIPT_CLASSES
+    )
+    names = [name for name, _ in SCRIPT_CLASSES]
+    gr = "greatest(" + ", ".join(f"n_{n}" for n in names) + ")"
+    main_whens = "\n                    ".join(
+        f"WHEN n_{n} = {gr} THEN '{n}'" for n in names
+    )
+    minus_scripts = " - ".join(f"n_{n}" for n in names)
+    return f"""
+            WITH built AS (
+              SELECT doc_id, text || {plants} AS t
+              FROM documents WHERE text IS NOT NULL),
+            c AS (SELECT doc_id, CAST(length(t) AS BIGINT) AS n_total,
+                     {count_cols},
+                     CAST(length(t) - length(regexp_replace(t, '[0-9]',
+                          '', 'g')) AS BIGINT) AS n_digit,
+                     CAST(length(t) - length(regexp_replace(t,
+                          '[ \\t\\n\\r]', '', 'g')) AS BIGINT) AS n_space
+                  FROM built)
+            SELECT doc_id, {", ".join("n_" + n for n in names)},
+                   n_digit, n_space,
+                   n_total - n_digit - n_space - {minus_scripts} AS n_other,
+                   CASE WHEN {gr} = 0 THEN 'none'
+                    {main_whens}
+                   END AS main_script
+            FROM c
+        """
+
+
 _BP_BUILT_CTE = """built AS (
   SELECT doc_id,
          'top nav menu login' || chr(10) ||
@@ -3048,6 +3121,9 @@ def oracle_sql() -> dict[str, str]:
                    arg_max(d, length(d)) AS matched_domain
             FROM m GROUP BY doc_id, url, host
         """,
+        # r5 session-2 script composition: oracle generated from the SAME
+        # SCRIPT_CLASSES ranges + snippet plants as the Spark side
+        "script_profile": _script_profile_sql(),
         # r5 session-2 first-occurrence paragraph dedup: winner =
         # min(doc_id*2^20 + pos) per exact trimmed paragraph (1-based
         # pos here vs Spark's 0-based is a constant shift — the same

@@ -1415,6 +1415,73 @@ def jaccard_pairs(
     )
 
 
+SCRIPT_CLASSES: list[tuple[str, str]] = [
+    ("latin", "A-Za-zÀ-ɏ"),
+    ("cjk", "぀-ヿ㐀-䶿一-鿿"),
+    ("hangul", "ᄀ-ᇿ㄰-㆏가-힯"),
+    ("cyrillic", "Ѐ-ӿ"),
+    ("greek", "Ͱ-Ͽ"),
+    ("arabic", "؀-ۿ"),
+]
+"""Script classes for script_profile, PRIORITY-ORDERED (main_script ties
+resolve to the earlier entry).  BMP-only ranges so char-counting semantics
+agree across engines; both Java regex and RE2 accept literal-codepoint
+ranges inside a character class, so ONE definition feeds the Spark
+patterns and the DuckDB oracle."""
+
+
+def script_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_latin, n_cjk, n_hangul, n_cyrillic, n_greek, n_arabic,
+    n_digit, n_space, n_other, main_script): per-doc Unicode script
+    composition — the multilingual-corpus router (which tokenizer, which
+    lexicon, which lang-ID prior) and the mixed-script spam signal
+    (latin+cyrillic lookalike stuffing).  Counts are codepoint counts per
+    SCRIPT_CLASSES range; main_script is the priority-ordered argmax over
+    the script counts ('none' when all are zero).
+
+    Scale: a pure narrow projection — each count is
+    length(text) − length(regexp_replace(text, '[class]', '')), all
+    JVM-side codegen, no UDF, no shuffle; at 100 TB this pipelines with
+    the parquet scan."""
+    t = F.col(text_col)
+    total = F.length(t)
+    counts = {
+        name: (total - F.length(F.regexp_replace(t, f"[{cls}]", "")))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, cls in SCRIPT_CLASSES
+    }
+    n_digit = (total - F.length(F.regexp_replace(t, "[0-9]", ""))).cast(
+        "long"
+    )
+    n_space = (
+        total - F.length(F.regexp_replace(t, "[ \t\n\r]", ""))
+    ).cast("long")
+    base = docs.select(
+        "doc_id",
+        total.cast("long").alias("__total"),
+        *counts.values(),
+        n_digit.alias("n_digit"),
+        n_space.alias("n_space"),
+    )
+    script_cols = [F.col(f"n_{name}") for name, _ in SCRIPT_CLASSES]
+    mx = F.greatest(*script_cols)
+    main = F.when(mx == 0, F.lit("none"))
+    for name, _ in SCRIPT_CLASSES:
+        main = main.when(F.col(f"n_{name}") == mx, F.lit(name))
+    n_other = F.col("__total") - F.col("n_digit") - F.col("n_space")
+    for name, _ in SCRIPT_CLASSES:
+        n_other = n_other - F.col(f"n_{name}")
+    return base.select(
+        "doc_id",
+        *[f"n_{name}" for name, _ in SCRIPT_CLASSES],
+        "n_digit",
+        "n_space",
+        n_other.alias("n_other"),
+        main.alias("main_script"),
+    )
+
+
 def paragraph_dedup(docs: DataFrame, id_bound: int = 2**43) -> DataFrame:
     """(doc_id, text_dedup, n_kept, n_removed): corpus-level EXACT
     paragraph dedup, FIRST occurrence wins — the RefinedWeb/Falcon

@@ -36,3 +36,48 @@ def test_ascii_and_already_nfc_unchanged(normed):
 
 def test_null_passthrough(normed):
     assert normed[5] == (None, None)
+
+
+# ---------------------------------------------------------------------------
+# script_profile (r5 session-2) — shares this file's unicode-exactness theme
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def profiled(spark):
+    rows = [
+        (0, "hello world 42"),
+        (1, "日本語 abc"),        # CJK-dominant
+        (2, "ab ру"),               # latin==cyrillic tie -> latin
+        (3, "   "),                           # whitespace only -> none
+        (4, "\U0001F600\U0001F601 hi"),       # non-BMP emoji -> n_other
+        (5, "한국어"),            # hangul
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from contentextractor_spark.functions import analysis as A
+
+    return {r["doc_id"]: r.asDict() for r in A.script_profile(df).collect()}
+
+
+def test_script_counts(profiled):
+    r = profiled[0]
+    assert (r["n_latin"], r["n_digit"], r["n_space"], r["n_other"]) == (10, 2, 2, 0)
+    assert r["main_script"] == "latin"
+    r1 = profiled[1]
+    assert (r1["n_cjk"], r1["n_latin"], r1["main_script"]) == (3, 3, "latin")
+    # NB: 3-char tie resolves by priority order: latin precedes... no —
+    # SCRIPT_CLASSES order is latin first, so a 3-3 tie reports latin.
+    r5 = profiled[5]
+    assert (r5["n_hangul"], r5["main_script"]) == (3, "hangul")
+
+
+def test_tie_priority_and_none(profiled):
+    assert profiled[2]["main_script"] == "latin"  # 2-2 tie, latin first
+    assert profiled[3]["main_script"] == "none"
+    assert profiled[3]["n_space"] == 3
+
+
+def test_non_bmp_counts_as_other_codepoints(profiled):
+    r = profiled[4]
+    assert r["n_other"] == 2  # two emoji = two codepoints, both engines
+    assert r["n_latin"] == 2 and r["main_script"] == "latin"
