@@ -2036,6 +2036,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.domain_blocklist(urls, bl)
 
+    def extract_tables_roundtrip(spark, sf_dir):
+        # r5 session-2: table extraction through the REAL pipeline shape
+        # (salted repartition → mapInPandas over the DOM parse).  Each
+        # page: a 2x2 table (header row of <th>s — one fixed label, one
+        # affine in doc_id — and a data row of word-slice <td>s, the
+        # host_anchor_terms-proven-normalization-safe trick); every %9
+        # page adds a second 1x1 table that must get its own table_idx
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        from contentextractor_spark.plans.pipeline import extract_tables
+
+        ws = F.split("text", " ")
+        a1 = F.concat_ws(" ", F.slice(ws, 1, 2))
+        a2 = F.concat_ws(" ", F.slice(ws, 3, 2))
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"),
+                    F.col("text"),
+                    F.lit("</p><table><tr><th>name</th><th>w"),
+                    F.pmod("doc_id", 5).cast("string"),
+                    F.lit("</th></tr><tr><td>"),
+                    a1,
+                    F.lit("</td><td>"),
+                    a2,
+                    F.lit("</td></tr></table>"),
+                    F.when(
+                        F.pmod("doc_id", 9) == 0,
+                        F.concat(
+                            F.lit("<table><tr><td>extra "),
+                            F.col("doc_id").cast("string"),
+                            F.lit("</td></tr></table>"),
+                        ),
+                    ).otherwise(F.lit("")),
+                    F.lit("</body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        out = extract_tables(pages, num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            "table_idx",
+            "row_idx",
+            "col_idx",
+            "is_header",
+            "cell",
+        )
+
     def script_profile(spark, sf_dir):
         # r5 session-2: per-doc Unicode script composition.  Script
         # snippets planted by residue (shared _SCRIPT_SNIPPETS constant
@@ -2135,6 +2184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": nfc_normalize,
         "paragraph_dedup": paragraph_dedup,
         "script_profile": script_profile,
+        "extract_tables_roundtrip": extract_tables_roundtrip,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -3120,6 +3170,35 @@ def oracle_sql() -> dict[str, str]:
                         AS INT) AS blocked,
                    arg_max(d, length(d)) AS matched_domain
             FROM m GROUP BY doc_id, url, host
+        """,
+        # r5 session-2 table extraction roundtrip: every cell predicted
+        # from the SQL page builder — wrong walk order, a nested table
+        # leaking rows into its parent, or th/td confusion breaks the hash
+        "extract_tables_roundtrip": """
+            SELECT doc_id, CAST(0 AS INT) AS table_idx,
+                   CAST(0 AS INT) AS row_idx, CAST(0 AS INT) AS col_idx,
+                   CAST(1 AS INT) AS is_header, 'name' AS cell
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INT), CAST(0 AS INT), CAST(1 AS INT),
+                   CAST(1 AS INT), 'w' || CAST(doc_id % 5 AS VARCHAR)
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INT), CAST(1 AS INT), CAST(0 AS INT),
+                   CAST(0 AS INT),
+                   array_to_string(list_slice(string_split(text, ' '), 1, 2),
+                                   ' ')
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INT), CAST(1 AS INT), CAST(1 AS INT),
+                   CAST(0 AS INT),
+                   array_to_string(list_slice(string_split(text, ' '), 3, 4),
+                                   ' ')
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+                   CAST(0 AS INT), 'extra ' || CAST(doc_id AS VARCHAR)
+            FROM documents WHERE text IS NOT NULL AND doc_id % 9 = 0
         """,
         # r5 session-2 script composition: oracle generated from the SAME
         # SCRIPT_CLASSES ranges + snippet plants as the Spark side

@@ -387,6 +387,110 @@ def extract_links(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
     return partitioned.mapInPandas(_extract_link_batches, schema=LINKS_SCHEMA)
 
 
+TABLES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("table_idx", IntegerType()),
+        StructField("row_idx", IntegerType()),
+        StructField("col_idx", IntegerType()),
+        StructField("is_header", IntegerType()),
+        StructField("cell", StringType()),
+        StructField("bucket_id", IntegerType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+
+def _own_table_descendants(el):
+    """Preorder element descendants of `el`, NOT descending into nested
+    <table> subtrees (the nested table is still YIELDED — it gets its own
+    table_idx from the outer walk — but its rows/cells belong to it, not
+    to the enclosing table)."""
+    stack = [c for c in reversed(el.children) if c.__class__.__name__ == "Element"]
+    while stack:
+        n = stack.pop()
+        yield n
+        if n.tag != "table":
+            stack.extend(
+                [c for c in reversed(n.children) if c.__class__.__name__ == "Element"]
+            )
+
+
+def _extract_table_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: page → one row per table CELL, in document order
+    (tables numbered by preorder position — nested tables get their own
+    index; rows by <tr> order within their table, cells by <td>/<th>
+    order within their row).  Grid positions are PHYSICAL: colspan/
+    rowspan attributes do not shift later cells (documented — span
+    expansion is a presentation concern; training-data consumers want
+    the cell stream).  Cell text is jsoup-normalized Element.text(), so
+    a cell that CONTAINS a nested table also includes that table's text
+    (jsoup semantics).  A page that fails to decode or parse contributes
+    zero rows (the extractor error contract)."""
+    from pyspark import TaskContext
+
+    from ..extractor import decode_html
+    from ..operators.dom import parse_xml
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "url", "table_idx", "row_idx", "col_idx", "is_header",
+                "cell", "bucket_id",
+            )
+        }
+        for u, data, bucket in zip(pdf["url"], pdf["html"], pdf["bucket_id"]):
+            try:
+                html = decode_html(bytes(data) if data is not None else b"")
+                doc = parse_xml(html)
+                tables = [
+                    el for el in doc.iter_elements() if el.tag == "table"
+                ]
+            except Exception:  # noqa: BLE001 — per-URL catch-all
+                tables = []
+            us = None if u is None else str(u)
+            for t_idx, table in enumerate(tables):
+                trs = [
+                    n for n in _own_table_descendants(table) if n.tag == "tr"
+                ]
+                for r_idx, tr in enumerate(trs):
+                    cells = [
+                        n
+                        for n in _own_table_descendants(tr)
+                        if n.tag in ("td", "th")
+                    ]
+                    for c_idx, cell in enumerate(cells):
+                        cols["url"].append(us)
+                        cols["table_idx"].append(t_idx)
+                        cols["row_idx"].append(r_idx)
+                        cols["col_idx"].append(c_idx)
+                        cols["is_header"].append(1 if cell.tag == "th" else 0)
+                        cols["cell"].append(cell.text())
+                        cols["bucket_id"].append(bucket)
+        if cols["url"]:
+            out = pd.DataFrame(cols)
+            out["partition_id"] = pid
+            yield out
+
+
+def extract_tables(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """Table extraction — pages(url, html) → one row per table cell, the
+    structured-data feed (entity tables, infoboxes, data sheets) next to
+    extract_links.  Identical scale shape to extract_pages: pruned scan →
+    ONE salted repartition → mapInPandas flat-map; no shuffle after the
+    flat-map, output volume bounded per Arrow batch."""
+    ensure_pyfiles(pages.sparkSession)
+    keyed = salted_bucket(pages, "html", num_buckets)
+    partitioned = keyed.repartition(num_buckets, F.col("bucket_id"))
+    return partitioned.mapInPandas(_extract_table_batches, schema=TABLES_SCHEMA)
+
+
 SITEMAP_SCHEMA = StructType(
     [
         StructField("host", StringType()),
