@@ -2036,16 +2036,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.domain_blocklist(urls, bl)
 
-    def extract_tables_roundtrip(spark, sf_dir):
-        # r5 session-2: table extraction through the REAL pipeline shape
-        # (salted repartition → mapInPandas over the DOM parse).  Each
-        # page: a 2x2 table (header row of <th>s — one fixed label, one
-        # affine in doc_id — and a data row of word-slice <td>s, the
-        # host_anchor_terms-proven-normalization-safe trick); every %9
-        # page adds a second 1x1 table that must get its own table_idx
-        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-        from contentextractor_spark.plans.pipeline import extract_tables
-
+    def _table_pages_sql(docs):
+        # r5 session-2 table-page builder: a 2x2 table (header row of
+        # <th>s — one fixed label, one affine in doc_id — and a data row
+        # of word-slice <td>s, the host_anchor_terms-proven-
+        # normalization-safe trick); every %9 page adds a second 1x1
+        # HEADERLESS table that must get its own table_idx
+        docs = docs.filter(F.col("text").isNotNull())
         ws = F.split("text", " ")
         a1 = F.concat_ws(" ", F.slice(ws, 1, 2))
         a2 = F.concat_ws(" ", F.slice(ws, 3, 2))
@@ -2075,6 +2072,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "UTF-8",
             ).alias("html"),
         )
+        return pages
+
+    def extract_tables_roundtrip(spark, sf_dir):
+        # r5 session-2: table extraction through the REAL pipeline shape
+        # (salted repartition → mapInPandas over the DOM parse); every
+        # cell of every table predicted by the SQL builder
+        from contentextractor_spark.plans.pipeline import extract_tables
+
+        pages = _table_pages_sql(_docs(spark, sf_dir))
         out = extract_tables(pages, num_buckets=8)
         return out.select(
             F.col("url").cast("long").alias("doc_id"),
@@ -2083,6 +2089,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "col_idx",
             "is_header",
             "cell",
+        )
+
+    def table_kv(spark, sf_dir):
+        # r5 session-2 composition: extracted cells → header-keyed
+        # attribute pairs.  The %9 headerless table must vanish (no
+        # header row to key on)
+        from contentextractor_spark.plans.pipeline import extract_tables
+
+        pages = _table_pages_sql(_docs(spark, sf_dir))
+        out = A.table_kv(extract_tables(pages, num_buckets=8))
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            "table_idx",
+            "row_idx",
+            "key",
+            "value",
         )
 
     def script_profile(spark, sf_dir):
@@ -2185,6 +2207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": paragraph_dedup,
         "script_profile": script_profile,
         "extract_tables_roundtrip": extract_tables_roundtrip,
+        "table_kv": table_kv,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -3199,6 +3222,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), CAST(0 AS INT),
                    CAST(0 AS INT), 'extra ' || CAST(doc_id AS VARCHAR)
             FROM documents WHERE text IS NOT NULL AND doc_id % 9 = 0
+        """,
+        # r5 session-2 header-keyed pairs: the %9 headerless table must
+        # contribute NOTHING (no key row), the 2x2 table exactly two pairs
+        "table_kv": """
+            SELECT doc_id, CAST(0 AS INT) AS table_idx,
+                   CAST(1 AS INT) AS row_idx, 'name' AS key,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 2),
+                                   ' ') AS value
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INT), CAST(1 AS INT),
+                   'w' || CAST(doc_id % 5 AS VARCHAR),
+                   array_to_string(list_slice(string_split(text, ' '), 3, 4),
+                                   ' ')
+            FROM documents WHERE text IS NOT NULL
         """,
         # r5 session-2 script composition: oracle generated from the SAME
         # SCRIPT_CLASSES ranges + snippet plants as the Spark side

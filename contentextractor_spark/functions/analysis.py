@@ -1415,6 +1415,31 @@ def jaccard_pairs(
     )
 
 
+def table_kv(cells: DataFrame) -> DataFrame:
+    """(url, table_idx, row_idx, key, value): header-keyed attribute
+    pairs from extracted table cells (plans.pipeline.extract_tables) —
+    the infobox/spec-sheet shape a training pipeline wants from
+    structured pages.  Header = the <th> cells of row 0; each later
+    row's cells join to their header by col_idx.  Tables WITHOUT a
+    header row produce nothing (inner join — there is no key to name
+    the values); a data row wider than the header keeps only the keyed
+    columns.
+
+    Scale: one equi-join on (url, table_idx, col_idx) — the header side
+    is one row per table COLUMN (tiny vs the cell stream, usually
+    broadcast by AQE); both sides project off the same extraction
+    output, so no second page scan."""
+    headers = cells.filter(
+        (F.col("row_idx") == 0) & (F.col("is_header") == 1)
+    ).select("url", "table_idx", "col_idx", F.col("cell").alias("key"))
+    data = cells.filter(F.col("row_idx") > 0).select(
+        "url", "table_idx", "row_idx", "col_idx", F.col("cell").alias("value")
+    )
+    return data.join(headers, ["url", "table_idx", "col_idx"]).select(
+        "url", "table_idx", "row_idx", "key", "value"
+    )
+
+
 SCRIPT_CLASSES: list[tuple[str, str]] = [
     ("latin", "A-Za-zÀ-ɏ"),
     ("cjk", "぀-ヿ㐀-䶿一-鿿"),

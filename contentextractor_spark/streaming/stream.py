@@ -77,6 +77,23 @@ def stream_extract_links(pages_stream: DataFrame, num_buckets: int = 32) -> Data
     return keyed.mapInPandas(_extract_link_batches, schema=LINKS_SCHEMA)
 
 
+def stream_extract_tables(pages_stream: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """Streaming table extraction: the SAME _extract_table_batches
+    flat-map as the batch stage (plans.pipeline.extract_tables), so
+    structured-table feeds build incrementally as pages land —
+    batch/stream parity by construction, tested."""
+    from ..plans.pipeline import (
+        TABLES_SCHEMA,
+        _extract_table_batches,
+        ensure_pyfiles,
+        salted_bucket,
+    )
+
+    ensure_pyfiles(pages_stream.sparkSession)
+    keyed = salted_bucket(pages_stream, "html", num_buckets)
+    return keyed.mapInPandas(_extract_table_batches, schema=TABLES_SCHEMA)
+
+
 def write_stream(
     extracted: DataFrame, output_dir: str, checkpoint_dir: str, available_now: bool = True
 ):

@@ -364,3 +364,38 @@ def test_stream_latest_snapshot_matches_batch(spark, tmp_path):
     }
     want = {(r.key, r.doc_id, r.ts) for r in A.latest_snapshot(batch).collect()}
     assert got == want == {("u1", 1, 300), ("u2", 4, 50), ("u3", 9, 0)}
+
+
+def test_stream_extract_tables_matches_batch(spark, tmp_path):
+    from contentextractor_spark.plans.pipeline import extract_tables
+    from contentextractor_spark.streaming.stream import stream_extract_tables
+
+    rows = []
+    for i in range(12):
+        html = (
+            "<html><body><table><tr><th>k%d</th></tr>"
+            "<tr><td>v%d</td></tr></table>" % (i, i)
+            + ("<table><tr><td>x%d</td></tr></table>" % i if i % 3 == 0 else "")
+            + "</body></html>"
+        ).encode()
+        rows.append((f"u{i}", html))
+    rows.append(("bad", b"\xff\xfe not html"))
+    batch_df = spark.createDataFrame(rows, "url string, html binary")
+    in_dir = str(tmp_path / "tin")
+    batch_df.repartition(2).write.parquet(in_dir)
+
+    stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+    q = (
+        stream_extract_tables(stream, num_buckets=8)
+        .writeStream.format("memory")
+        .queryName("tables_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "tables stream did not finish in 120 s"
+    key = lambda r: (r.url, r.table_idx, r.row_idx, r.col_idx, r.is_header, r.cell)  # noqa: E731
+    got = {key(r) for r in spark.sql("SELECT * FROM tables_stream").collect()}
+    want = {key(r) for r in extract_tables(batch_df, num_buckets=8).collect()}
+    assert want, "fixture pages produced no table cells"
+    assert got == want  # streaming == batch cell rows

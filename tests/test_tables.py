@@ -77,3 +77,32 @@ def test_multiple_pages_batch():
     assert list(out["url"]) == ["a", "b"]
     assert list(out["cell"]) == ["x", "y"]
     assert list(out["bucket_id"]) == [0, 1]
+
+
+def test_table_kv_headerless_drops(spark):
+    # Spark-level composition: header-keyed pairs; headerless table gone
+    from contentextractor_spark.functions import analysis as A
+
+    cells = spark.createDataFrame(
+        [
+            ("u", 0, 0, 0, 1, "k1"),
+            ("u", 0, 0, 1, 1, "k2"),
+            ("u", 0, 1, 0, 0, "v1"),
+            ("u", 0, 1, 1, 0, "v2"),
+            ("u", 0, 2, 0, 0, "v3"),
+            ("u", 0, 2, 2, 0, "wide"),   # no header col 2 -> dropped
+            ("u", 1, 0, 0, 0, "nohdr"),  # is_header=0 row 0 -> no keys
+            ("u", 1, 1, 0, 0, "lost"),
+        ],
+        "url string, table_idx int, row_idx int, col_idx int, "
+        "is_header int, cell string",
+    )
+    got = {
+        (r.table_idx, r.row_idx, r.key): r.value
+        for r in A.table_kv(cells).collect()
+    }
+    assert got == {
+        (0, 1, "k1"): "v1",
+        (0, 1, "k2"): "v2",
+        (0, 2, "k1"): "v3",
+    }
