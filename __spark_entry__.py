@@ -2036,6 +2036,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.domain_blocklist(urls, bl)
 
+    def cdx_index(spark, sf_dir):
+        # r5 session-2: SURT-keyed CDX capture index.  Mixed-case
+        # multi-label hosts (case/label-reversal teeth), query kept,
+        # fragment dropped, every %11 row schemeless → NULL surt; the
+        # oracle PREDICTS the surt from the builder (never re-derives it
+        # with string functions).  shards=4 exercises the range-sorted
+        # shard layout on the real code path.
+        docs = _docs(spark, sf_dir)
+        d = F.col("doc_id")
+        snaps = docs.select(
+            "doc_id",
+            F.when(
+                F.pmod("doc_id", 11) == 0,
+                F.concat(F.lit("page-"), d.cast("string")),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("https://W"),
+                    F.pmod("doc_id", 3).cast("string"),
+                    F.lit(".h"),
+                    F.pmod("doc_id", 7).cast("string"),
+                    F.lit(".Example.ORG/p/"),
+                    d.cast("string"),
+                    F.lit("?q="),
+                    F.pmod("doc_id", 5).cast("string"),
+                    F.lit("#sec"),
+                )
+            )
+            .alias("url"),
+            ((d * 37) % 1000).cast("long").alias("ts"),
+            F.md5(F.concat(F.lit("d"), d.cast("string"))).alias("digest"),
+        )
+        return A.cdx_index(snaps, shards=4)
+
     def _table_pages_sql(docs):
         # r5 session-2 table-page builder: a 2x2 table (header row of
         # <th>s — one fixed label, one affine in doc_id — and a data row
@@ -2208,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_profile": script_profile,
         "extract_tables_roundtrip": extract_tables_roundtrip,
         "table_kv": table_kv,
+        "cdx_index": cdx_index,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -3222,6 +3257,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), CAST(0 AS INT),
                    CAST(0 AS INT), 'extra ' || CAST(doc_id AS VARCHAR)
             FROM documents WHERE text IS NOT NULL AND doc_id % 9 = 0
+        """,
+        # r5 session-2 CDX index: surt PREDICTED from the builder — a
+        # wrong label reversal, kept fragment, missed lowercase, or a
+        # schemeless row collapsing into a non-null key breaks the hash
+        "cdx_index": """
+            SELECT CASE WHEN doc_id % 11 = 0 THEN NULL
+                        ELSE 'org,example,h' || (doc_id % 7) || ',w'
+                             || (doc_id % 3) || ')/p/' || doc_id
+                             || '?q=' || (doc_id % 5) END AS surt,
+                   CAST((doc_id * 37) % 1000 AS BIGINT) AS ts,
+                   md5('d' || CAST(doc_id AS VARCHAR)) AS digest,
+                   CASE WHEN doc_id % 11 = 0 THEN 'page-' || doc_id
+                        ELSE 'https://W' || (doc_id % 3) || '.h'
+                             || (doc_id % 7) || '.Example.ORG/p/' || doc_id
+                             || '?q=' || (doc_id % 5) || '#sec' END AS url
+            FROM documents
         """,
         # r5 session-2 header-keyed pairs: the %9 headerless table must
         # contribute NOTHING (no key row), the 2x2 table exactly two pairs

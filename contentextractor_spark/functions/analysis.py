@@ -1415,6 +1415,72 @@ def jaccard_pairs(
     )
 
 
+def surt_key(url_col: str = "url"):
+    """Column expression: SURT (Sort-friendly URI Reordering Transform)
+    key — 'com,example,www)/path?query' — the Common Crawl / OpenWayback
+    CDX convention that makes one domain's URLs (and all its subdomains'
+    suffixes) lexicographically contiguous, so a sorted index range-scans
+    a site.  Convention here: host lowercased, userinfo/port/trailing-dot
+    stripped, labels reversed and comma-joined; path+query keep their
+    case (RFC 3986 — they are case-sensitive); fragment dropped; empty
+    path → '/'.  Schemeless inputs yield NULL (the canonicalize_urls
+    lesson: collapsing non-URLs into one key is a false merge)."""
+    u = F.col(url_col)
+    host = F.regexp_replace(
+        F.lower(
+            F.regexp_replace(
+                F.regexp_extract(
+                    u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+                ),
+                "^[^@]*@|:[0-9]*$",
+                "",
+            )
+        ),
+        "[.]$",
+        "",
+    )
+    rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    path = F.when(rest == "", F.lit("/")).otherwise(rest)
+    return F.when(
+        host != "",
+        F.concat(
+            F.array_join(F.reverse(F.split(host, "[.]")), ","),
+            F.lit(")"),
+            path,
+        ),
+    )
+
+
+def cdx_index(
+    snaps: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    shards: int | None = None,
+) -> DataFrame:
+    """(surt, ts, digest, url): a CDX-style capture index over crawl
+    snapshots — the lookup structure every wayback/dedup/recrawl workflow
+    queries ('all captures of this URL/prefix, in time order').
+
+    Scale: the projection is narrow and shuffle-free; pass `shards` to
+    ALSO materialize the canonical CDX layout — repartitionByRange(surt,
+    ts) + sortWithinPartitions — which makes each output shard a sorted,
+    binary-searchable run exactly like cdx-*.gz files (the range
+    partitioner runs one sampling pass, the documented cost of a global
+    order at scale; without `shards` no such job runs)."""
+    base = snaps.select(
+        surt_key(url_col).alias("surt"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(digest_col).alias("digest"),
+        F.col(url_col).alias("url"),
+    )
+    if shards is not None:
+        base = base.repartitionByRange(shards, "surt", "ts").sortWithinPartitions(
+            "surt", "ts"
+        )
+    return base
+
+
 def table_kv(cells: DataFrame) -> DataFrame:
     """(url, table_idx, row_idx, key, value): header-keyed attribute
     pairs from extracted table cells (plans.pipeline.extract_tables) —

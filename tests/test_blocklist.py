@@ -84,3 +84,41 @@ def test_plan_is_broadcast_only(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") == A.MAX_BLOCKLIST_LEVELS, plan
+
+
+# ---------------------------------------------------------------------------
+# SURT / CDX index (r5 session-2) — same host-normalization family
+# ---------------------------------------------------------------------------
+
+
+def test_surt_key_cases(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (0, "https://WWW.Example.ORG/Path/X?q=1#frag"),
+        (1, "http://user@a.b.example.com.:8080/"),
+        (2, "https://example.net"),          # empty path -> '/'
+        (3, "not a url"),                    # schemeless -> NULL
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string")
+    got = {r["doc_id"]: r["s"] for r in df.select("doc_id", A.surt_key().alias("s")).collect()}
+    assert got[0] == "org,example,www)/Path/X?q=1"   # path case kept
+    assert got[1] == "com,example,b,a)/"             # userinfo/port/trailing dot stripped
+    assert got[2] == "net,example)/"
+    assert got[3] is None
+
+
+def test_cdx_index_sharded_layout(spark):
+    rows = [(i, f"https://h{i % 3}.example.org/p/{i}", i * 7 % 50, f"dg{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string, ts bigint, digest string")
+    out = A.cdx_index(df, shards=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower(), plan  # the CDX shard layout
+    # shard-local sortedness: rows within each partition are (surt, ts)-ordered
+    parts = out.select("surt", "ts").rdd.glom().collect()
+    for p in parts:
+        keys = [(r["surt"], r["ts"]) for r in p]
+        assert keys == sorted(keys)
+    # no layout job when shards omitted
+    plan2 = A.cdx_index(df)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan2.lower(), plan2
