@@ -2036,6 +2036,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.domain_blocklist(urls, bl)
 
+    def sentence_split(spark, sf_dir):
+        # r5 session-2: naive-rule sentence segmentation over multi-
+        # sentence pages built from the C4 line fixture (alternating
+        # punctuated lines + a planted 'Dr. Smith' abbreviation that the
+        # documented naive rule MUST split — the oracle encodes the
+        # documented behavior, not an idealized one)
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        text2 = F.concat(
+            F.expr(_C4_LINES),
+            F.when(
+                F.pmod("doc_id", 7) == 0,
+                F.lit("\nDr. Smith arrived! Then left? Yes."),
+            ).otherwise(F.lit("")),
+        )
+        return A.sentence_split(docs.select("doc_id", text2.alias("text")))
+
     def cdx_index(spark, sf_dir):
         # r5 session-2: SURT-keyed CDX capture index.  Mixed-case
         # multi-label hosts (case/label-reversal teeth), query kept,
@@ -2243,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_tables_roundtrip": extract_tables_roundtrip,
         "table_kv": table_kv,
         "cdx_index": cdx_index,
+        "sentence_split": sentence_split,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -3257,6 +3274,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), CAST(0 AS INT),
                    CAST(0 AS INT), 'extra ' || CAST(doc_id AS VARCHAR)
             FROM documents WHERE text IS NOT NULL AND doc_id % 9 = 0
+        """,
+        # r5 session-2 sentence segmentation: the oracle applies the SAME
+        # documented naive rule (terminal punct + whitespace, explicit
+        # [ \t\n\r] class, marker split) — including the 'Dr. Smith'
+        # abbreviation split the docstring owns up to
+        "sentence_split": """
+            WITH built AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                         generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 6.0) AS INT) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '), i * 6 + 1, i * 6 + 6), ' ')
+                              || CASE WHEN (doc_id + i) % 2 = 0 THEN '.' ELSE '' END),
+                       chr(10))
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || 'Dr. Smith arrived! Then left? Yes.'
+                             ELSE '' END AS t
+              FROM documents WHERE text IS NOT NULL),
+            m AS (SELECT doc_id,
+                         regexp_replace(t, '([.!?])[ \t\n\r]+',
+                                        '\\1' || chr(1), 'g') AS t
+                  FROM built),
+            s AS (SELECT doc_id, i - 1 AS sent_pos, trim(l[i]) AS sentence
+                  FROM (SELECT doc_id, string_split(t, chr(1)) AS l,
+                               unnest(generate_series(1,
+                                   len(string_split(t, chr(1))))) AS i
+                        FROM m))
+            SELECT doc_id, CAST(sent_pos AS INT) AS sent_pos, sentence
+            FROM s WHERE sentence <> ''
         """,
         # r5 session-2 CDX index: surt PREDICTED from the builder — a
         # wrong label reversal, kept fragment, missed lowercase, or a

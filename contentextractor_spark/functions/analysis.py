@@ -1415,6 +1415,34 @@ def jaccard_pairs(
     )
 
 
+def sentence_split(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, sent_pos, sentence): naive-rule sentence segmentation —
+    a boundary after terminal punctuation ([.!?]) followed by whitespace
+    — the upstream of sequence packing / per-sentence dedup / alignment.
+    DELIBERATELY rule-naive (no abbreviation list: 'Dr. Smith' splits) —
+    the rule is engine-portable and deterministic, which a corpus op
+    needs more than linguistic perfection; swap the regex for a smarter
+    boundary model without touching the pipeline shape.  sent_pos is the
+    0-based position in the raw split (stable even after empty-piece
+    filtering); sentences are trimmed, empties dropped.
+
+    Scale: one regexp_replace (boundary marker U+0001 — control chars
+    are stripped by the extraction pipeline upstream, so no collision)
+    + posexplode; narrow, shuffle-free.  Whitespace spelled [ \\t\\n\\r]
+    — never \\s (Spark≠DuckDB class semantics, the [0-9] rule)."""
+    marked = F.regexp_replace(
+        F.col(text_col), "([.!?])[ \t\n\r]+", "$1\x01"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(marked, "\x01")).alias("sent_pos", "raw"),
+        )
+        .select("doc_id", "sent_pos", F.trim("raw").alias("sentence"))
+        .filter(F.col("sentence") != "")
+    )
+
+
 def surt_key(url_col: str = "url"):
     """Column expression: SURT (Sort-friendly URI Reordering Transform)
     key — 'com,example,www)/path?query' — the Common Crawl / OpenWayback

@@ -278,3 +278,37 @@ def test_paragraph_dedup_refuses_out_of_bounds_ids(spark):
     bad = _docs(spark, [(2**43, "some text"), (1, "other")])
     with pytest.raises(Exception, match="packing bounds"):
         A2.paragraph_dedup(bad).collect()
+
+
+def test_sentence_split_rule(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "One sentence. Two now! Three? And no terminal tail"),
+            (1, "Dr. Smith arrived.\nNewline boundary. trailing spaces.   "),
+            (2, "no punctuation at all"),
+            (3, "multi...   spaces. ok."),
+        ],
+    )
+    got = {}
+    for r in A.sentence_split(docs).collect():
+        got.setdefault(r["doc_id"], []).append((r["sent_pos"], r["sentence"]))
+    for v in got.values():
+        v.sort()
+    assert got[0] == [
+        (0, "One sentence."),
+        (1, "Two now!"),
+        (2, "Three?"),
+        (3, "And no terminal tail"),
+    ]
+    # documented naive rule: 'Dr. ' splits; trailing whitespace after the
+    # last '.' leaves an empty piece that is dropped
+    assert got[1] == [
+        (0, "Dr."),
+        (1, "Smith arrived."),
+        (2, "Newline boundary."),
+        (3, "trailing spaces."),
+    ]
+    assert got[2] == [(0, "no punctuation at all")]
+    # '...' + run of spaces is a boundary too (naive rule, documented)
+    assert got[3] == [(0, "multi..."), (1, "spaces."), (2, "ok.")]
