@@ -2036,6 +2036,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.domain_blocklist(urls, bl)
 
+    def curation_v6(spark, sf_dir):
+        # r5 session-2 composed chain giving the new ops set-dependent
+        # teeth: (1) NFC — originals carry a COMPOSED ' café' suffix,
+        # every %10 doc gets a +1000000 copy with the DECOMPOSED form;
+        # only correct NFC makes copy bodies byte-equal their originals,
+        # (2) script gate — %17 ids get a 300x CJK plant, keep
+        # main_script=='latin', (3) onion pagination + FIRST-OCCURRENCE
+        # paragraph dedup — the shared nav header survives once, copy
+        # bodies drop iff NFC composed them equal, (4) domain blocklist
+        # — %7==3 hosts drop.  Output pins the final text bytes by md5.
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        base = docs.select(
+            "doc_id", F.concat("text", F.lit(" caf\u00e9")).alias("text")
+        )
+        copies = docs.filter(F.pmod("doc_id", 10) == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat("text", F.lit(" cafe\u0301")).alias("text"),
+        )
+        normed = A.nfc_normalize(base.unionByName(copies))
+        planted = normed.select(
+            "doc_id",
+            F.concat(
+                "text_nfc",
+                F.when(
+                    F.pmod("doc_id", 17) == 0,
+                    F.concat(F.lit(" "), F.expr("repeat('日本語テキスト', 300)")),
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        latin = (
+            A.script_profile(planted)
+            .filter(F.col("main_script") == "latin")
+            .select("doc_id", "main_script")
+        )
+        gated = planted.join(latin, "doc_id")
+        pages = gated.select(
+            "doc_id",
+            "main_script",
+            F.concat(
+                F.lit("top nav menu login\n"),
+                "text",
+                F.when(
+                    F.pmod("doc_id", 2) == 0, F.lit("\n© example corp footer")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        deduped = A.paragraph_dedup(pages.select("doc_id", "text"))
+        urls = pages.select(
+            "doc_id",
+            "main_script",
+            F.concat(
+                F.lit("https://h"),
+                F.pmod("doc_id", 7).cast("string"),
+                F.lit(".example.org/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+        )
+        bl = spark.range(1).select(
+            F.explode(F.array(F.lit("h3.example.org"))).alias("domain")
+        )
+        allowed = A.domain_blocklist(urls, bl).filter(F.col("blocked") == 0)
+        return (
+            deduped.join(allowed.select("doc_id"), "doc_id")
+            .join(urls.select("doc_id", "main_script"), "doc_id")
+            .select(
+                "doc_id",
+                "main_script",
+                "n_kept",
+                "n_removed",
+                F.md5(F.encode("text_dedup", "UTF-8")).alias("fp"),
+            )
+        )
+
     def sentence_split(spark, sf_dir):
         # r5 session-2: naive-rule sentence segmentation over multi-
         # sentence pages built from the C4 line fixture (alternating
@@ -2260,6 +2333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_kv": table_kv,
         "cdx_index": cdx_index,
         "sentence_split": sentence_split,
+        "curation_v6": curation_v6,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -2408,6 +2482,87 @@ _SCRIPT_SNIPPETS: list[tuple[int, str]] = [
 """script_profile fixture plants, shared by the Spark builder and the SQL
 oracle (ONE set of strings — explicit escapes so encoding tools cannot
 normalize them)."""
+
+
+def _script_main_sql(tcol: str = "t") -> str:
+    """DuckDB expression for script_profile's main_script over column
+    `tcol` — generated from the SAME SCRIPT_CLASSES table (shared by the
+    script_profile and curation_v6 oracles)."""
+    from contentextractor_spark.functions.analysis import SCRIPT_CLASSES
+
+    counts = {
+        name: (
+            f"(length({tcol}) - length(regexp_replace({tcol}, "
+            f"'[{cls}]', '', 'g')))"
+        )
+        for name, cls in SCRIPT_CLASSES
+    }
+    gr = "greatest(" + ", ".join(counts.values()) + ")"
+    whens = " ".join(
+        f"WHEN {counts[n]} = {gr} THEN '{n}'" for n, _ in SCRIPT_CLASSES
+    )
+    return f"CASE WHEN {gr} = 0 THEN 'none' {whens} END"
+
+
+def _curation_v6_sql() -> str:
+    """Oracle for the session-2 composed chain: NFC → script gate →
+    onion pagination + first-occurrence paragraph dedup → blocklist
+    gate (builder-predicted: blocked ⇔ doc_id % 7 = 3)."""
+    return f"""
+            WITH base AS (
+              SELECT doc_id, text || ' caf' || chr(233) AS t
+              FROM documents WHERE text IS NOT NULL
+              UNION ALL
+              SELECT doc_id + 1000000, text || ' cafe' || chr(769)
+              FROM documents WHERE text IS NOT NULL AND doc_id % 10 = 0),
+            normed AS (SELECT doc_id, nfc_normalize(t) AS t FROM base),
+            planted AS (
+              SELECT doc_id,
+                     t || CASE WHEN doc_id % 17 = 0
+                               THEN ' ' || repeat('日本語テキスト', 300)
+                               ELSE '' END AS t
+              FROM normed),
+            gated AS (
+              SELECT * FROM (
+                SELECT doc_id, t, {_script_main_sql("t")} AS main_script
+                FROM planted)
+              WHERE main_script = 'latin'),
+            pages AS (
+              SELECT doc_id, main_script,
+                     'top nav menu login' || chr(10) || t ||
+                     CASE WHEN doc_id % 2 = 0
+                          THEN chr(10) || '© example corp footer'
+                          ELSE '' END AS text2
+              FROM gated),
+            lnsp AS (SELECT doc_id, i AS pos, trim(l[i]) AS line FROM (
+                       SELECT doc_id, string_split(text2, chr(10)) AS l,
+                              unnest(generate_series(1,
+                                  len(string_split(text2, chr(10))))) AS i
+                       FROM pages)),
+            ne AS (SELECT doc_id, pos, line FROM lnsp WHERE line <> ''),
+            w AS (SELECT line, min(doc_id * 1048576 + pos) AS wp
+                  FROM ne GROUP BY line),
+            kept AS (SELECT ne.doc_id, ne.pos, ne.line
+                     FROM ne JOIN w ON ne.line = w.line
+                     WHERE ne.doc_id * 1048576 + ne.pos = w.wp),
+            tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+                    FROM ne GROUP BY doc_id),
+            reb AS (SELECT doc_id,
+                           string_agg(line, chr(10) ORDER BY pos)
+                               AS text_dedup,
+                           CAST(count(*) AS BIGINT) AS n_kept
+                    FROM kept GROUP BY doc_id),
+            ded AS (SELECT t.doc_id,
+                           coalesce(text_dedup, '') AS text_dedup,
+                           CAST(coalesce(n_kept, 0) AS BIGINT) AS n_kept,
+                           CAST(t.n_lines - coalesce(n_kept, 0) AS BIGINT)
+                               AS n_removed
+                    FROM tot t LEFT JOIN reb USING (doc_id))
+            SELECT d.doc_id, p.main_script, d.n_kept, d.n_removed,
+                   md5(d.text_dedup) AS fp
+            FROM ded d JOIN pages p USING (doc_id)
+            WHERE d.doc_id % 7 <> 3
+        """
 
 
 def _script_profile_sql() -> str:
@@ -3275,6 +3430,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS INT), 'extra ' || CAST(doc_id AS VARCHAR)
             FROM documents WHERE text IS NOT NULL AND doc_id % 9 = 0
         """,
+        # r5 session-2 composed chain (NFC → script gate → paragraph
+        # dedup → blocklist): every stage is set-dependent, so a wrong
+        # verdict anywhere shifts fp/n_kept downstream and breaks the hash
+        "curation_v6": _curation_v6_sql(),
         # r5 session-2 sentence segmentation: the oracle applies the SAME
         # documented naive rule (terminal punct + whitespace, explicit
         # [ \t\n\r] class, marker split) — including the 'Dr. Smith'
