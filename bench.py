@@ -118,6 +118,12 @@ BAND_MAX_S = {
     "budget_select": 5.5,  # cold-first 3.4
     "crawl_diff": 6.0,  # cold-first 3.8
     "wet_roundtrip": 4.0,  # cold-first 1.9
+    # r5 session-2 quiet warm-session samples (local[32], sf0.1):
+    # script 0.8-1.0, nfc 0.3-2.0, paragraph 1.4-2.9, prefix-join 5.4-5.6
+    "jaccard_prefix_pairs": 10.0,
+    "nfc_normalize": 4.0,
+    "paragraph_dedup": 5.0,
+    "script_profile": 2.5,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -196,6 +202,28 @@ def main() -> None:
         for df in handle:
             df.unpersist()
 
+    def _run_jaccard_prefix():
+        # exact PPJoin over 3-gram SHINGLE sets (underscore-joined so the
+        # op's space tokenizer keeps them atomic).  Word-level sets are
+        # degenerate on this corpus (31-word vocabulary — the true pair
+        # output is quadratic, measured ~160 s at sf0.1 for millions of
+        # genuine J>=0.6 pairs); shingle sets are the realistic
+        # set-similarity workload.  cap 100 = the jaccard_pairs
+        # stop-shingle convention.
+        sh = A.shingles(docs, n=3).groupBy("doc_id").agg(
+            F.concat_ws(
+                " ", F.collect_list(F.regexp_replace("shingle", " ", "_"))
+            ).alias("text")
+        )
+        handle: list = []
+        force(
+            A.jaccard_prefix_pairs(
+                sh, (3, 5), max_prefix_df=100, cache_handle=handle
+            )
+        )
+        for df in handle:
+            df.unpersist()
+
     bench_queries = {
         "extract_pages": lambda: force(extract_pages(pages, num_buckets=NUM_BUCKETS)),
         "extract_roundtrip": lambda: force(
@@ -204,6 +232,10 @@ def main() -> None:
         "dedup_exact": lambda: force(A.dedup_exact(docs)),
         "minhash_signatures": lambda: force(A.minhash_signatures(docs, k=4, n=3)),
         "ngram_jaccard_pairs": lambda: _run_jaccard(),
+        "jaccard_prefix_pairs": lambda: _run_jaccard_prefix(),
+        "nfc_normalize": lambda: force(A.nfc_normalize(docs)),
+        "paragraph_dedup": lambda: force(A.paragraph_dedup(docs)),
+        "script_profile": lambda: force(A.script_profile(docs)),
         "simhash": lambda: force(A.simhash(docs, bits=48)),
         "knn_bruteforce": lambda: force(A.knn_bruteforce(emb, n_queries=10, k=5)),
         "embedding_neardup_lsh": lambda: force(

@@ -1807,13 +1807,32 @@ def jaccard_prefix_pairs(
         .select("doc_a", "doc_b", "sz_a", "sz_b")
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
-    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    # verify with per-pair array_intersect over each doc's token SET
+    # (collected once) — row volume stays |candidates|, never
+    # |candidates| x |tokens|: the original pair-x-token verify join
+    # exploded to ~10^9 intermediate rows on a dense corpus (measured
+    # 128 s at 5k docs / 31-word vocab; this form: see BENCH notes)
+    arrs = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("tok")).alias("__arr")
+    )
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b", "sz_a", "sz_b")
-        .agg(F.count(F.lit(1)).alias("intersection"))
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("__arr").alias("__aa")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("__arr").alias("__ab")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "sz_a",
+            "sz_b",
+            F.size(F.array_intersect("__aa", "__ab")).cast("long").alias(
+                "intersection"
+            ),
+        )
     )
     union_sz = F.col("sz_a") + F.col("sz_b") - F.col("intersection")
     return (
