@@ -2280,15 +2280,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.nfc_normalize(built)
 
-    def jaccard_prefix(spark, sf_dir):
-        # r5 session-2: EXACT set-similarity join (PPJoin prefix filter).
-        # Token sets are arithmetic ('t'||(doc_id*7+j*13)%997, j=0..19) so
-        # the oracle can brute-force them; every %10 doc gets a planted
-        # near-copy (+1000000, j=1..20 — intersection 19, J=19/21≥0.6);
-        # residue arithmetic also yields ACCIDENTAL high-overlap pairs at
-        # doc_id deltas ≡ ±714·d (mod 997) — the oracle finds them by
-        # brute force, so the prefix filter's zero-false-negative claim
-        # is what the hash check actually tests.
+    def _prefix_corpus(spark, sf_dir):
+        # arithmetic token sets ('t'||(doc_id*7+j*13)%997, j=0..19) the
+        # oracle can brute-force; every %10 doc gets a planted near-copy
+        # (+1000000, j=1..20 — intersection 19, J=19/21≥0.6); residue
+        # arithmetic also yields ACCIDENTAL high-overlap pairs at doc_id
+        # deltas ≡ ±714·d (mod 997)
         docs = _docs(spark, sf_dir)
         mk = (
             "concat_ws(' ', transform(sequence({a}, {b}), "
@@ -2299,7 +2296,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("doc_id") + 1000000).alias("doc_id"),
             F.expr(mk.format(a=1, b=20)).alias("text"),
         )
-        return A.jaccard_prefix_pairs(base.unionByName(copies), (3, 5))
+        # second-generation copies (j=2..21): J=19/21 vs copy1 but only
+        # 18/22 vs base — at t=0.9 the edge set is a PATH, so the
+        # components op needs real transitivity to merge all three
+        copies2 = docs.filter(F.pmod("doc_id", 20) == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.expr(mk.format(a=2, b=21)).alias("text"),
+        )
+        return base.unionByName(copies).unionByName(copies2)
+
+    def jaccard_prefix(spark, sf_dir):
+        # r5 session-2: EXACT set-similarity join (PPJoin prefix filter)
+        # — the brute-force oracle finds every true pair, so the zero-
+        # false-negative claim is what the hash check actually tests
+        return A.jaccard_prefix_pairs(_prefix_corpus(spark, sf_dir), (3, 5))
+
+    def dedup_components_prefix(spark, sf_dir):
+        # r5 session-2: connected components over the EXACT edge set —
+        # planted copies + residue-accidental chains merge into min-id
+        # components; oracle = brute-force pairs + recursive closure
+        return A.dedup_components_prefix(_prefix_corpus(spark, sf_dir), (9, 10))
 
     return {
         # ------------------------------------------------------------------
@@ -2326,6 +2342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_roundtrip": wet_roundtrip,
         "url_blocklist": url_blocklist,
         "jaccard_prefix": jaccard_prefix,
+        "dedup_components_prefix": dedup_components_prefix,
         "nfc_normalize": nfc_normalize,
         "paragraph_dedup": paragraph_dedup,
         "script_profile": script_profile,
@@ -2482,6 +2499,40 @@ _SCRIPT_SNIPPETS: list[tuple[int, str]] = [
 """script_profile fixture plants, shared by the Spark builder and the SQL
 oracle (ONE set of strings — explicit escapes so encoding tools cannot
 normalize them)."""
+
+
+def _prefix_pairs_ctes(num: int = 3, den: int = 5) -> str:
+    """Brute-force exact-Jaccard pair CTEs over the arithmetic token
+    corpus — shared by the jaccard_prefix and dedup_components_prefix
+    oracles (the oracle-reuse rule: one definition of the fixture and
+    the threshold arithmetic).  num/den = the Jaccard threshold."""
+    return f"""toks AS (
+              SELECT doc_id, 't' || ((doc_id*7 + j*13) % 997) AS tok
+              FROM documents, generate_series(0, 19) AS g(j)
+              UNION ALL
+              SELECT doc_id + 1000000, 't' || ((doc_id*7 + j*13) % 997)
+              FROM documents, generate_series(1, 20) AS g(j)
+              WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, 't' || ((doc_id*7 + j*13) % 997)
+              FROM documents, generate_series(2, 21) AS g(j)
+              WHERE doc_id % 20 = 0),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM toks GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS intersection
+              FROM toks a JOIN toks b
+                ON a.tok = b.tok AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            p AS (
+              SELECT doc_a, doc_b, intersection,
+                     sa.sz + sb.sz - intersection AS union_sz
+              FROM inter
+              JOIN sizes sa ON sa.doc_id = inter.doc_a
+              JOIN sizes sb ON sb.doc_id = inter.doc_b
+              WHERE {den} * intersection
+                    >= {num} * (sa.sz + sb.sz - intersection))"""
 
 
 def _script_main_sql(tcol: str = "t") -> str:
@@ -3552,28 +3603,35 @@ def oracle_sql() -> dict[str, str]:
         # Spark side only ever joins PREFIX tokens, so a lossy prefix
         # (wrong length formula, wrong global order, df cap leak) drops
         # a pair and breaks the hash
-        "jaccard_prefix": """
-            WITH toks AS (
-              SELECT doc_id, 't' || ((doc_id*7 + j*13) % 997) AS tok
-              FROM documents, generate_series(0, 19) AS g(j)
-              UNION ALL
-              SELECT doc_id + 1000000, 't' || ((doc_id*7 + j*13) % 997)
-              FROM documents, generate_series(1, 20) AS g(j)
-              WHERE doc_id % 10 = 0),
-            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
-                      FROM toks GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     CAST(count(*) AS BIGINT) AS intersection
-              FROM toks a JOIN toks b
-                ON a.tok = b.tok AND a.doc_id < b.doc_id
-              GROUP BY 1, 2)
-            SELECT doc_a, doc_b, intersection,
-                   sa.sz + sb.sz - intersection AS union_sz
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = inter.doc_a
-            JOIN sizes sb ON sb.doc_id = inter.doc_b
-            WHERE 5 * intersection >= 3 * (sa.sz + sb.sz - intersection)
+        "jaccard_prefix": f"""
+            WITH {_prefix_pairs_ctes()}
+            SELECT doc_a, doc_b, intersection, union_sz FROM p
+        """,
+        # r5 session-2 exact-edge dedup clustering: brute-force pairs →
+        # symmetric+transitive closure → min-id components over the full
+        # corpus (isolated docs label themselves)
+        "dedup_components_prefix": f"""
+            WITH RECURSIVE {_prefix_pairs_ctes(9, 10)},
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+                    UNION SELECT doc_b, doc_a FROM p),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+            ids AS (SELECT doc_id FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000 FROM documents
+                    WHERE doc_id % 10 = 0
+                    UNION ALL
+                    SELECT doc_id + 2000000 FROM documents
+                    WHERE doc_id % 20 = 0)
+            SELECT ids.doc_id,
+                   CAST(LEAST(ids.doc_id, COALESCE(m.mn, ids.doc_id))
+                        AS BIGINT) AS component
+            FROM ids
+            LEFT JOIN (SELECT src, min(dst) AS mn
+                       FROM reach GROUP BY src) m
+              ON m.src = ids.doc_id
         """,
         # r5 data-budget selection: the oracle runs the NAIVE global
         # running sum (fine at oracle scale) — any drift in the

@@ -202,6 +202,29 @@ def main() -> None:
         for df in handle:
             df.unpersist()
 
+    _prefix_input_memo: list = []
+
+    def _prefix_input():
+        # 3-gram shingle-set corpus, checkpointed ONCE: without the
+        # checkpoint the shingle groupBy above the op's persisted token
+        # cache is redundantly recomputed by concurrent stages (cache
+        # population is not synchronized across stages — measured 15-35 s
+        # vs 5.5 s at sf0.1 local[32]); the memo keeps the prep out of
+        # the re-run sample too
+        if not _prefix_input_memo:
+            _prefix_input_memo.append(
+                A.shingles(docs, n=3)
+                .groupBy("doc_id")
+                .agg(
+                    F.concat_ws(
+                        " ",
+                        F.collect_list(F.regexp_replace("shingle", " ", "_")),
+                    ).alias("text")
+                )
+                .localCheckpoint()
+            )
+        return _prefix_input_memo[0]
+
     def _run_jaccard_prefix():
         # exact PPJoin over 3-gram SHINGLE sets (underscore-joined so the
         # op's space tokenizer keeps them atomic).  Word-level sets are
@@ -210,15 +233,10 @@ def main() -> None:
         # genuine J>=0.6 pairs); shingle sets are the realistic
         # set-similarity workload.  cap 100 = the jaccard_pairs
         # stop-shingle convention.
-        sh = A.shingles(docs, n=3).groupBy("doc_id").agg(
-            F.concat_ws(
-                " ", F.collect_list(F.regexp_replace("shingle", " ", "_"))
-            ).alias("text")
-        )
         handle: list = []
         force(
             A.jaccard_prefix_pairs(
-                sh, (3, 5), max_prefix_df=100, cache_handle=handle
+                _prefix_input(), (3, 5), max_prefix_df=100, cache_handle=handle
             )
         )
         for df in handle:

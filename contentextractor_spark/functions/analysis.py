@@ -1689,6 +1689,40 @@ def paragraph_dedup(docs: DataFrame, id_bound: int = 2**43) -> DataFrame:
     )
 
 
+def dedup_components_prefix(
+    docs: DataFrame,
+    threshold: tuple[int, int] = (3, 5),
+    max_prefix_df: int | None = None,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over the EXACT similarity join: the
+    jaccard_prefix_pairs edge set → large-star/small-star components —
+    the dedup clustering to run when the threshold must be a GUARANTEE
+    (every pair with J ≥ t is an edge; the LSH families trade that for
+    bounded candidate volume).  Same output contract as the other
+    dedup_components_* ((doc_id, component = min id)); same loud-cap
+    story via max_prefix_df (a capped run's missed edges are exactly the
+    pairs whose every shared prefix token overflowed — disclosed by
+    jaccard_prefix_overflow).
+
+    Scale: edge volume equals the true near-dup pair count — on a
+    Zipf-vocabulary corpus that is sparse and this is the right tool; on
+    a degenerate dense corpus the TRUTH is quadratic and no exact method
+    outputs it faster (the jaccard_prefix_pairs measurement note) — use
+    the LSH families there."""
+    handle: list = []
+    pairs = jaccard_prefix_pairs(
+        docs, threshold, max_prefix_df=max_prefix_df, cache_handle=handle
+    )
+    edges = (
+        pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo"))
+        .localCheckpoint()
+    )
+    for df in handle:
+        df.unpersist()
+    return _lss_components(docs, edges, max_iter, "dedup_components_prefix")
+
+
 def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, text_nfc, changed): Unicode NFC normalization (UAX #15)
     — the canonical-composition pass a multilingual corpus needs before
