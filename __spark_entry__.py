@@ -2036,6 +2036,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.domain_blocklist(urls, bl)
 
+    def meta_robots(spark, sf_dir):
+        # r5 session-2: page-level robots-meta gate.  Directives by
+        # residue: %4==0 'noindex, follow', %4==1 'NOFOLLOW' (case
+        # fold), %4==2 no meta at all (content null), %4==3 'none'
+        # (≡ noindex+nofollow)
+        from contentextractor_spark.plans.pipeline import extract_meta_robots
+
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        meta = (
+            F.when(
+                F.pmod("doc_id", 4) == 0,
+                F.lit('<meta name="robots" content="noindex, follow">'),
+            )
+            .when(
+                F.pmod("doc_id", 4) == 1,
+                F.lit('<meta name="ROBOTS" content="NOFOLLOW">'),
+            )
+            .when(F.pmod("doc_id", 4) == 2, F.lit(""))
+            .otherwise(F.lit('<meta name="robots" content="none">'))
+        )
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><head>"),
+                    meta,
+                    F.lit("</head><body><p>"),
+                    F.col("text"),
+                    F.lit("</p></body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        out = extract_meta_robots(pages, num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            "noindex",
+            "nofollow",
+            "content",
+        )
+
     def curation_v6(spark, sf_dir):
         # r5 session-2 composed chain giving the new ops set-dependent
         # teeth: (1) NFC — originals carry a COMPOSED ' café' suffix,
@@ -2351,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_index": cdx_index,
         "sentence_split": sentence_split,
         "curation_v6": curation_v6,
+        "meta_robots": meta_robots,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -3480,6 +3522,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), CAST(0 AS INT),
                    CAST(0 AS INT), 'extra ' || CAST(doc_id AS VARCHAR)
             FROM documents WHERE text IS NOT NULL AND doc_id % 9 = 0
+        """,
+        # r5 session-2 robots-meta gate: verdicts + content predicted
+        # from the builder (case fold, 'none' expansion, null for
+        # meta-less pages)
+        "meta_robots": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 4 IN (0, 3) THEN 1 ELSE 0 END
+                        AS INT) AS noindex,
+                   CAST(CASE WHEN doc_id % 4 IN (1, 3) THEN 1 ELSE 0 END
+                        AS INT) AS nofollow,
+                   CASE WHEN doc_id % 4 = 0 THEN 'noindex, follow'
+                        WHEN doc_id % 4 = 1 THEN 'NOFOLLOW'
+                        WHEN doc_id % 4 = 3 THEN 'none' END AS content
+            FROM documents WHERE text IS NOT NULL
         """,
         # r5 session-2 composed chain (NFC → script gate → paragraph
         # dedup → blocklist): every stage is set-dependent, so a wrong

@@ -491,6 +491,89 @@ def extract_tables(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
     return partitioned.mapInPandas(_extract_table_batches, schema=TABLES_SCHEMA)
 
 
+META_ROBOTS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("noindex", IntegerType()),
+        StructField("nofollow", IntegerType()),
+        StructField("content", StringType()),
+        StructField("bucket_id", IntegerType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+
+def _extract_meta_robots_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: page → ONE row with its robots-meta verdict.
+    Directive semantics (the robots-meta convention): tokens are
+    comma-separated, trimmed, case-insensitive; 'none' ≡ noindex,
+    nofollow; 'all' asserts neither; multiple robots metas UNION their
+    directives (any noindex counts); `content` is the first robots
+    meta's content in document order, null when the page has none.  A
+    page that fails to decode/parse contributes zero rows (the
+    extractor error contract — a crashed page must not read as
+    'indexable')."""
+    from pyspark import TaskContext
+
+    from ..extractor import decode_html
+    from ..operators.dom import parse_xml
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        cols: dict[str, list] = {
+            k: [] for k in ("url", "noindex", "nofollow", "content", "bucket_id")
+        }
+        for u, data, bucket in zip(pdf["url"], pdf["html"], pdf["bucket_id"]):
+            try:
+                html = decode_html(bytes(data) if data is not None else b"")
+                doc = parse_xml(html)
+                contents = [
+                    el.attr("content")
+                    for el in doc.iter_elements()
+                    if el.tag == "meta"
+                    and el.attr("name").strip().lower() == "robots"
+                ]
+            except Exception:  # noqa: BLE001 — per-URL catch-all
+                continue
+            noindex = nofollow = 0
+            for c in contents:
+                for tok in (c or "").split(","):
+                    t = tok.strip().lower()
+                    if t in ("noindex", "none"):
+                        noindex = 1
+                    if t in ("nofollow", "none"):
+                        nofollow = 1
+            cols["url"].append(None if u is None else str(u))
+            cols["noindex"].append(noindex)
+            cols["nofollow"].append(nofollow)
+            cols["content"].append(contents[0] if contents else None)
+            cols["bucket_id"].append(bucket)
+        if cols["url"]:
+            out = pd.DataFrame(cols)
+            out["partition_id"] = pid
+            yield out
+
+
+def extract_meta_robots(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """Robots-meta verdicts — pages(url, html) → one row per parsed page
+    with (noindex, nofollow), the page-level compliance gate next to the
+    robots.txt path gate (analysis.apply_robots): corpora that honor
+    noindex filter on this column before training.  Same scale shape as
+    extract_pages: salted repartition → mapInPandas, no shuffle after."""
+    ensure_pyfiles(pages.sparkSession)
+    keyed = salted_bucket(pages, "html", num_buckets)
+    partitioned = keyed.repartition(num_buckets, F.col("bucket_id"))
+    return partitioned.mapInPandas(
+        _extract_meta_robots_batches, schema=META_ROBOTS_SCHEMA
+    )
+
+
 SITEMAP_SCHEMA = StructType(
     [
         StructField("host", StringType()),

@@ -106,3 +106,37 @@ def test_table_kv_headerless_drops(spark):
         (0, 1, "k2"): "v2",
         (0, 2, "k1"): "v3",
     }
+
+
+def test_meta_robots_semantics():
+    from contentextractor_spark.plans.pipeline import _extract_meta_robots_batches
+
+    pages = [
+        ("a", b'<html><head><meta name="robots" content="noindex, follow"></head></html>'),
+        ("b", b'<html><head><meta name="ROBOTS" content="NOFOLLOW"></head></html>'),
+        ("c", b"<html><head><title>t</title></head></html>"),
+        ("d", b'<html><head><meta name="robots" content="none"></head></html>'),
+        ("e", b'<html><head><meta name="robots" content="all"></head></html>'),
+        ("f", b'<html><head><meta name="robots" content="noindex">'
+              b'<meta name="robots" content="nofollow"></head></html>'),
+    ]
+    pdf = pd.DataFrame(
+        {
+            "url": [p[0] for p in pages],
+            "html": [p[1] for p in pages],
+            "bucket_id": [0] * len(pages),
+        }
+    )
+    out = pd.concat(
+        list(_extract_meta_robots_batches(iter([pdf]))), ignore_index=True
+    )
+    got = {
+        r.url: (r.noindex, r.nofollow, r.content)
+        for r in out.itertuples(index=False)
+    }
+    assert got["a"] == (1, 0, "noindex, follow")
+    assert got["b"] == (0, 1, "NOFOLLOW")        # case-insensitive
+    assert got["c"] == (0, 0, None)              # no meta -> indexable
+    assert got["d"] == (1, 1, "none")            # 'none' expands
+    assert got["e"] == (0, 0, "all")             # 'all' asserts neither
+    assert got["f"] == (1, 1, "noindex")         # union; first content
