@@ -88,13 +88,16 @@ def test_archetype_corpus_fold_regression():
     assert digest == PINNED_DIGEST, digest
 
 
-# r5 second increment: 11,811 entries (compound verbs, abstract/temporal
-# noun blocks, keiyodoshi, loans, adverbs).  Earlier digests: 10,177-entry
+# r5 session-2 increment (R5D): 12,699 entries (compound verbs,
+# deverbal-noun compounds, nature/health/calendar nouns, web/devops + ML
+# katakana, keiyodoshi, the adverb inventory).  Earlier digests:
+# 11,811-entry r5b 5aa32b91504832600582c9860807f848974eb5851724a70a92b6bd987aeb63d7;
+# 10,177-entry
 # r5a 3e7b9ab299dff705cf56bcfab626776713eeccba2d11e29c8fa53c58bfdf4b60;
 # r4 (6,235) fddf839d225ed5450ab338661ab890b9cca7efe12af1ebf43c7d2cf6a57dfe95;
 # r3 (2,367) 03833bcbd5b59ce03d55d0137427fbb68b94c6bdc8205d17549528e51747d1f1;
 # r2 mini e079059fa1ffebe79caa0bcfc2efc2fb77d93d98daaa340c374f877d861c35db
-PINNED_DIGEST = "5aa32b91504832600582c9860807f848974eb5851724a70a92b6bd987aeb63d7"
+PINNED_DIGEST = "962a7c2bf193e06337d2298bda219d781378dc0fe823343e422b304854e4a3bd"
 
 
 def test_lexicon_no_fused_entries():
