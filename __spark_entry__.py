@@ -2036,6 +2036,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.domain_blocklist(urls, bl)
 
+    def politeness_schedule(spark, sf_dir):
+        # r5 session-2 crawl planning: frontier urls over 7 hosts,
+        # priority = n_refs DESC then url ASC (ties planted via %13),
+        # MIXED-CASE delay table for h1/h3/h5 (2000ms), default 1000ms
+        docs = _docs(spark, sf_dir)
+        frontier = docs.select(
+            F.concat(
+                F.lit("https://h"),
+                F.pmod("doc_id", 7).cast("string"),
+                F.lit(".example/p/"),
+                F.col("doc_id").cast("string"),
+            ).alias("url"),
+            F.concat(
+                F.lit("h"), F.pmod("doc_id", 7).cast("string"),
+                F.lit(".Example"),
+            ).alias("host"),
+            F.pmod("doc_id", 13).cast("long").alias("n_refs"),
+        )
+        delays = spark.range(1).select(
+            F.explode(
+                F.array(F.lit("H1.example"), F.lit("h3.EXAMPLE"), F.lit("h5.example"))
+            ).alias("host")
+        ).withColumn("delay_ms", F.lit(2000))
+        return A.politeness_schedule(frontier, delays)
+
     def meta_robots(spark, sf_dir):
         # r5 session-2: page-level robots-meta gate.  Directives by
         # residue: %4==0 'noindex, follow', %4==1 'NOFOLLOW' (case
@@ -2393,6 +2418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sentence_split": sentence_split,
         "curation_v6": curation_v6,
         "meta_robots": meta_robots,
+        "politeness_schedule": politeness_schedule,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -3522,6 +3548,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(1 AS INT), CAST(0 AS INT), CAST(0 AS INT),
                    CAST(0 AS INT), 'extra ' || CAST(doc_id AS VARCHAR)
             FROM documents WHERE text IS NOT NULL AND doc_id % 9 = 0
+        """,
+        # r5 session-2 politeness schedule: per-host rank + offset; the
+        # mixed-case delay table must case-fold onto the crawl hosts
+        "politeness_schedule": """
+            WITH f AS (
+              SELECT 'https://h' || (doc_id % 7) || '.example/p/' || doc_id
+                       AS url,
+                     'h' || (doc_id % 7) || '.example' AS host,
+                     CAST(doc_id % 13 AS BIGINT) AS n_refs
+              FROM documents),
+            d AS (SELECT lower(h) AS host, 2000 AS delay_ms
+                  FROM (VALUES ('H1.example'), ('h3.EXAMPLE'),
+                               ('h5.example')) AS t(h)),
+            r AS (SELECT url, f.host, n_refs,
+                         row_number() OVER (PARTITION BY f.host
+                             ORDER BY n_refs DESC, url ASC) - 1 AS pos,
+                         coalesce(d.delay_ms, 1000) AS delay
+                  FROM f LEFT JOIN d ON d.host = f.host)
+            SELECT url, host, CAST(pos AS INT) AS position,
+                   CAST(pos * delay AS BIGINT) AS fetch_offset_ms
+            FROM r
         """,
         # r5 session-2 robots-meta gate: verdicts + content predicted
         # from the builder (case fold, 'none' expansion, null for

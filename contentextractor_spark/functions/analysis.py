@@ -2677,6 +2677,46 @@ def budget_select(
     )
 
 
+def politeness_schedule(
+    frontier: DataFrame,
+    delays: DataFrame | None = None,
+    default_delay_ms: int = 1000,
+) -> DataFrame:
+    """(url, host, position, fetch_offset_ms): a per-host fetch schedule
+    over a crawl frontier — position = priority rank within the host
+    (in-link count DESC, url ASC — deterministic), fetch_offset_ms =
+    position·delay so successive fetches of one host respect its
+    crawl-delay while different hosts proceed in parallel.  `delays` is
+    an optional (host, delay_ms) table (robots Crawl-delay, lowercased
+    hosts); missing hosts use default_delay_ms.
+
+    Scale: ONE shuffle on host with a per-host window (state bounded by
+    the host's frontier slice, never a global sort); the delay table is
+    host-cardinality (broadcast — explicit hint, it is a dimension by
+    construction).  The schedule is a plan, not a clock: the fetcher
+    maps offsets to wall time per executor."""
+    base = frontier.select("url", F.lower(F.col("host")).alias("host"), "n_refs")
+    if delays is not None:
+        d = delays.select(
+            F.lower(F.col("host")).alias("host"),
+            F.col("delay_ms").cast("long").alias("__d"),
+        )
+        base = base.join(F.broadcast(d), "host", "left")
+    else:
+        base = base.withColumn("__d", F.lit(None).cast("long"))
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_refs").desc(), F.col("url").asc()
+    )
+    pos = F.row_number().over(w) - 1
+    delay = F.coalesce(F.col("__d"), F.lit(int(default_delay_ms)))
+    return base.select(
+        "url",
+        "host",
+        pos.cast("int").alias("position"),
+        (pos * delay).cast("long").alias("fetch_offset_ms"),
+    )
+
+
 def crawl_frontier(
     links: DataFrame,
     seen: DataFrame,

@@ -312,3 +312,58 @@ def test_sentence_split_rule(spark):
     assert got[2] == [(0, "no punctuation at all")]
     # '...' + run of spaces is a boundary too (naive rule, documented)
     assert got[3] == [(0, "multi..."), (1, "spaces."), (2, "ok.")]
+
+
+def test_politeness_schedule_rank_offsets_and_casefold(spark):
+    """Per-host rank (n_refs DESC, url ASC), offset = position * delay;
+    the delay table case-folds onto crawl hosts; missing hosts take the
+    default; a tie on n_refs breaks by url ASC deterministically."""
+    frontier = spark.createDataFrame(
+        [("u/a", "H1.Example", 5), ("u/b", "h1.example", 5),  # tie -> url ASC
+         ("u/c", "h1.example", 9),                            # top of h1
+         ("u/d", "h2.example", 1), ("u/e", "h2.example", 3)],
+        "url string, host string, n_refs bigint",
+    )
+    delays = spark.createDataFrame(
+        [("h1.EXAMPLE", 2000)], "host string, delay_ms int"
+    )
+    got = {r["url"]: (r["host"], r["position"], r["fetch_offset_ms"])
+           for r in A.politeness_schedule(frontier, delays).collect()}
+    assert got == {
+        "u/c": ("h1.example", 0, 0),
+        "u/a": ("h1.example", 1, 2000),
+        "u/b": ("h1.example", 2, 4000),
+        "u/e": ("h2.example", 0, 0),
+        "u/d": ("h2.example", 1, 1000),
+    }
+    # no delay table at all -> every host uses the default
+    got2 = {r["url"]: r["fetch_offset_ms"]
+            for r in A.politeness_schedule(frontier, None,
+                                           default_delay_ms=500).collect()}
+    assert got2 == {"u/c": 0, "u/a": 500, "u/b": 1000, "u/e": 0, "u/d": 500}
+
+
+def test_politeness_schedule_plan_one_shuffle_broadcast_delays(spark):
+    """The delay join must be broadcast (host-cardinality dimension) and
+    the only row-carrying exchange is the host hash partition for the
+    window — no global sort, no shuffle join."""
+    frontier = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).selectExpr(
+        "'https://h' || (doc_id % 7) || '.example/p/' || doc_id AS url",
+        "'h' || (doc_id % 7) || '.example' AS host",
+        "cast(doc_id % 13 as bigint) AS n_refs",
+    )
+    delays = spark.createDataFrame(
+        [("h1.example", 2000)], "host string, delay_ms int"
+    )
+    plan = (
+        A.politeness_schedule(frontier, delays)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
