@@ -2061,6 +2061,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("delay_ms", F.lit(2000))
         return A.politeness_schedule(frontier, delays)
 
+    def containment_pairs(spark, sf_dir):
+        # r5 session-3: asymmetric (doc-in-doc) near-dup detection —
+        # den·inter >= num·min(sz) integer cross-multiplication; same
+        # skew-guarded shingle self-join as ngram_jaccard_pairs (the
+        # prefix filter is NOT sound for containment, see docstring).
+        # The raw corpus only yields symmetric (also-Jaccard) pairs, so
+        # plant doc-in-doc rows: doc d (d%17==0) concatenated with doc
+        # d+1 becomes doc_id d+1000000 — containment(d→planted) = 1.0
+        # while Jaccard ≈ sz_d/(sz_d+sz_{d+1}) < 0.7; a wrong filter
+        # direction or a least() mixup flips these rows.
+        docs = _docs(spark, sf_dir).select("doc_id", "text")
+        a = docs.filter(F.col("doc_id") % 17 == 0).alias("a")
+        b = docs.alias("b")
+        planted = a.join(
+            b, F.col("b.doc_id") == F.col("a.doc_id") + 1
+        ).select(
+            (F.col("a.doc_id") + 1000000).alias("doc_id"),
+            F.concat("a.text", F.lit(" "), "b.text").alias("text"),
+        )
+        return A.containment_pairs(
+            docs.unionByName(planted), n=3, threshold=(7, 10),
+            min_intersection=2, max_shingle_freq=100,
+        )
+
     def meta_robots(spark, sf_dir):
         # r5 session-2: page-level robots-meta gate.  Directives by
         # residue: %4==0 'noindex, follow', %4==1 'NOFOLLOW' (case
@@ -2419,6 +2443,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v6": curation_v6,
         "meta_robots": meta_robots,
         "politeness_schedule": politeness_schedule,
+        "containment_pairs": containment_pairs,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -2737,14 +2762,39 @@ _BP_BUILT_CTE = """built AS (
         WHERE text IS NOT NULL
           AND len(string_split(text, ' ')) >= 6))"""
 
-_SHINGLE_CTE = """
-w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+def _shingle_cte(src: str = "documents") -> str:
+    """w + sh CTEs — DuckDB twin of analysis._gram_stream(src, 3) as a
+    DISTINCT (doc_id, shingle) set, parameterized on the source relation
+    (containment_pairs unions planted doc-in-doc rows into it)."""
+    return f"""
+w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM {src}),
 sh AS (
   SELECT DISTINCT doc_id, shingle FROM (
     SELECT doc_id,
            unnest(list_transform(generate_series(1, len(ws) - 2),
                   i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS shingle
     FROM w WHERE len(ws) >= 3))
+"""
+
+
+_SHINGLE_CTE = _shingle_cte()
+
+# shared shingle self-join core (DuckDB twin of analysis._pair_intersections
+# at min_intersection=2, max_shingle_freq=100) — ngram_jaccard_pairs and
+# containment_pairs both build on it
+_PAIR_INTER_CTES = """
+            freq AS (SELECT shingle FROM sh GROUP BY shingle
+                     HAVING count(*) <= 100),
+            rare AS (SELECT sh.doc_id, sh.shingle FROM sh
+                     JOIN freq USING (shingle)),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+                      FROM rare GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     CAST(count(*) AS BIGINT) AS intersection
+              FROM rare a JOIN rare b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2 HAVING count(*) >= 2)
 """
 
 _SIG_CTE = (
@@ -4885,24 +4935,29 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(*) > 1 AND count(*) <= 2
         """,
         "ngram_jaccard_pairs": f"""
-            WITH {_SHINGLE_CTE},
-            freq AS (SELECT shingle FROM sh GROUP BY shingle
-                     HAVING count(*) <= 100),
-            rare AS (SELECT sh.doc_id, sh.shingle FROM sh
-                     JOIN freq USING (shingle)),
-            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
-                      FROM rare GROUP BY doc_id),
-            inter AS (
-              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                     CAST(count(*) AS BIGINT) AS intersection
-              FROM rare a JOIN rare b
-                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2 HAVING count(*) >= 2)
+            WITH {_SHINGLE_CTE}, {_PAIR_INTER_CTES}
             SELECT doc_a, doc_b, intersection,
                    CAST(sa.sz + sb.sz - intersection AS BIGINT) AS union_sz
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
+        """,
+        # containment: same core, filtered by den*inter >= num*min(sz);
+        # source = documents + planted doc-in-doc rows (entry comment)
+        "containment_pairs": f"""
+            WITH src AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT a.doc_id + 1000000, a.text || ' ' || b.text
+              FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+              WHERE a.doc_id % 17 = 0
+            ), {_shingle_cte('src')}, {_PAIR_INTER_CTES}
+            SELECT doc_a, doc_b, intersection,
+                   sa.sz AS sz_a, sb.sz AS sz_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE 10 * intersection >= 7 * least(sa.sz, sb.sz)
         """,
         "simhash": f"""
             WITH {_simhash_cte()}

@@ -1375,6 +1375,29 @@ def jaccard_pairs(
     bench loops) pass a list here; the persisted handle is appended so they
     can .unpersist() it afterwards.
     """
+    return _pair_intersections(
+        docs, n, min_intersection, max_shingle_freq, persist_shingles,
+        cache_handle,
+    ).select(
+        "doc_a",
+        "doc_b",
+        "intersection",
+        (F.col("sz_a") + F.col("sz_b") - F.col("intersection")).alias("union_sz"),
+    )
+
+
+def _pair_intersections(
+    docs: DataFrame,
+    n: int,
+    min_intersection: int,
+    max_shingle_freq: int,
+    persist_shingles: bool,
+    cache_handle: list | None,
+) -> DataFrame:
+    """(doc_a, doc_b, intersection, sz_a, sz_b) — the shared shingle
+    self-join core of jaccard_pairs and containment_pairs (integer-only;
+    sizes over the same stop-filtered universe as the intersection —
+    the r3 deflation fix)."""
     sh = shingles(docs, n=n)
     if persist_shingles:
         from pyspark import StorageLevel
@@ -1406,13 +1429,45 @@ def jaccard_pairs(
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            "intersection",
-            (F.col("sz_a") + F.col("sz_b") - F.col("intersection")).alias("union_sz"),
-        )
     )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: tuple[int, int] = (7, 10),
+    min_intersection: int = 2,
+    max_shingle_freq: int = 100,
+    persist_shingles: bool = True,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Broder CONTAINMENT near-dup pairs: max(|A∩B|/|A|, |A∩B|/|B|) =
+    |A∩B| / min(|A|, |B|) ≥ threshold.  Catches the asymmetric case
+    Jaccard misses — a short doc embedded verbatim in a much longer one
+    (quote farms, syndication with appended boilerplate, page + page-with-
+    comments): J = inter/union stays tiny when |B| ≫ |A| even though A is
+    fully contained.  threshold is a rational (num, den); the filter is
+    integer cross-multiplication den·inter ≥ num·min(sz_a, sz_b) — no
+    float, cross-engine exact.  Output (doc_a, doc_b, intersection,
+    sz_a, sz_b) integer-only; the consumer derives both directional
+    containments from the sizes.
+
+    Scale: the same skew-guarded shingle self-join as jaccard_pairs
+    (stop-shingles above max_shingle_freq dropped, so a common phrase
+    cannot quadratically blow up the join); candidate volume is bounded
+    by sum(df²) over kept shingles, independent of the containment
+    threshold.  Note the prefix filter used by jaccard_prefix_pairs is
+    NOT sound for containment (it bounds Jaccard, and containment has no
+    size lower-bound to prune with), hence the frequency-capped join."""
+    num, den = threshold
+    pairs = _pair_intersections(
+        docs, n, min_intersection, max_shingle_freq, persist_shingles,
+        cache_handle,
+    )
+    return pairs.filter(
+        F.lit(int(den)) * F.col("intersection")
+        >= F.lit(int(num)) * F.least("sz_a", "sz_b")
+    ).select("doc_a", "doc_b", "intersection", "sz_a", "sz_b")
 
 
 def sentence_split(docs: DataFrame, text_col: str = "text") -> DataFrame:

@@ -1244,3 +1244,48 @@ def test_jaccard_consistent_universe_on_boilerplate(spark):
                                     max_shingle_freq=10).collect()}
     inter, union = pairs[(1, 2)]
     assert inter == union  # identical rare-shingle sets → jaccard exactly 1
+
+
+def test_containment_pairs_catches_doc_in_doc(spark):
+    """A short doc embedded verbatim in a much longer one: containment
+    of the short side is 1.0 (flagged at t=0.7) while Jaccard is far
+    below 0.7 (jaccard_pairs at the same threshold arithmetic would
+    miss it); boundary is >= (a pair exactly AT num/den survives)."""
+    from contentextractor_spark.functions.analysis import (
+        containment_pairs,
+        jaccard_pairs,
+    )
+
+    short = " ".join(f"s{i}" for i in range(10))       # 8 shingles
+    filler = " ".join(f"f{i}" for i in range(40))      # unique filler
+    docs = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)],
+        "doc_id bigint, text string",
+    )
+    got = {(r["doc_a"], r["doc_b"]): (r["intersection"], r["sz_a"], r["sz_b"])
+           for r in containment_pairs(docs, threshold=(7, 10)).collect()}
+    assert (1, 2) in got
+    inter, sz_a, sz_b = got[(1, 2)]
+    assert inter == sz_a == 8          # every short-doc shingle contained
+    assert sz_b == 8 + 38 + 2          # filler shingles + 2 junction shingles
+    # Jaccard for the same pair is 8/48 = 0.167 — under any useful threshold
+    j = {(r["doc_a"], r["doc_b"]): (r["intersection"], r["union_sz"])
+         for r in jaccard_pairs(docs).collect()}
+    ji, ju = j[(1, 2)]
+    assert 10 * ji < 7 * ju
+    # boundary: containment exactly 7/10 must SURVIVE (>=, not >) —
+    # 7 of A's 10 shingles appear in B
+    a_words = [f"a{i}" for i in range(12)]             # 10 shingles
+    b_text = " ".join(a_words[:9]) + " " + " ".join(f"z{i}" for i in range(30))
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, b_text)], "doc_id bigint, text string"
+    )
+    got2 = {(r["doc_a"], r["doc_b"]): r["intersection"]
+            for r in containment_pairs(docs2, threshold=(7, 10)).collect()}
+    assert got2 == {(1, 2): 7}
+    # one word fewer shared -> 6/10 < 7/10 -> dropped
+    b_text3 = " ".join(a_words[:8]) + " " + " ".join(f"z{i}" for i in range(30))
+    docs3 = spark.createDataFrame(
+        [(1, " ".join(a_words)), (2, b_text3)], "doc_id bigint, text string"
+    )
+    assert containment_pairs(docs3, threshold=(7, 10)).count() == 0
