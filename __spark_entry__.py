@@ -2085,6 +2085,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_intersection=2, max_shingle_freq=100,
         )
 
+    def url_templates(spark, sf_dir):
+        # r5 session-3: path-template mining (crawler-trap detection).
+        # URL shapes by doc_id%5: /p/{id}, dated /2024/{m}/post-{id},
+        # low-cardinality /tag/t{k}, userinfo+port+mixed-case host with
+        # digits in the QUERY, and a schemeless row (host must be NULL,
+        # never merged with the real host); %251 plants rare one-off
+        # templates that min_count=2 must drop.
+        docs = _docs(spark, sf_dir)
+        h = F.pmod("doc_id", 7).cast("string")
+        did = F.col("doc_id").cast("string")
+        r = F.pmod("doc_id", 5)
+        url = (
+            F.when(
+                F.pmod("doc_id", 251) == 0,
+                F.concat(F.lit("https://h"), h, F.lit(".example/one-off-"),
+                         did, F.lit("-x")),
+            )
+            .when(r == 0, F.concat(F.lit("https://h"), h,
+                                   F.lit(".example/p/"), did))
+            .when(r == 1, F.concat(F.lit("https://h"), h, F.lit(".example/2024/"),
+                                   F.pmod("doc_id", 12).cast("string"),
+                                   F.lit("/post-"), did))
+            .when(r == 2, F.concat(F.lit("https://h"), h, F.lit(".example/tag/t"),
+                                   F.pmod("doc_id", 7).cast("string")))
+            .when(r == 3, F.concat(F.lit("https://u5@H"), h,
+                                   F.lit(".Example:8080/search?q=x"), did,
+                                   F.lit("&page="), did))
+            .otherwise(F.concat(F.lit("h"), h, F.lit(".example/p/"), did))
+        )
+        return A.url_templates(docs.select(url.alias("url")), min_count=2)
+
     def meta_robots(spark, sf_dir):
         # r5 session-2: page-level robots-meta gate.  Directives by
         # residue: %4==0 'noindex, follow', %4==1 'NOFOLLOW' (case
@@ -2444,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_robots": meta_robots,
         "politeness_schedule": politeness_schedule,
         "containment_pairs": containment_pairs,
+        "url_templates": url_templates,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -4941,6 +4973,51 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
+        """,
+        # url path-template mining: digit runs -> {n}; schemeless rows
+        # keep host NULL; min_count=2 drops the planted %251 one-offs
+        "url_templates": """
+            WITH u AS (
+              SELECT CASE
+                WHEN doc_id % 251 = 0 THEN
+                  'https://h' || (doc_id % 7) || '.example/one-off-'
+                    || doc_id || '-x'
+                WHEN doc_id % 5 = 0 THEN
+                  'https://h' || (doc_id % 7) || '.example/p/' || doc_id
+                WHEN doc_id % 5 = 1 THEN
+                  'https://h' || (doc_id % 7) || '.example/2024/'
+                    || (doc_id % 12) || '/post-' || doc_id
+                WHEN doc_id % 5 = 2 THEN
+                  'https://h' || (doc_id % 7) || '.example/tag/t'
+                    || (doc_id % 7)
+                WHEN doc_id % 5 = 3 THEN
+                  'https://u5@H' || (doc_id % 7) || '.Example:8080/search?q=x'
+                    || doc_id || '&page=' || doc_id
+                ELSE 'h' || (doc_id % 7) || '.example/p/' || doc_id
+              END AS url
+              FROM documents),
+            p AS (
+              SELECT url,
+                CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                     THEN lower(regexp_replace(regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                            '^[^@]*@', ''))
+                END AS host,
+                CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                     THEN regexp_replace(
+                       CASE WHEN regexp_extract(url,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+                              = ''
+                            THEN '/'
+                            ELSE regexp_extract(url,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+                       END, '[0-9]+', '{n}', 'g')
+                     ELSE regexp_replace(url, '[0-9]+', '{n}', 'g')
+                END AS template
+              FROM u)
+            SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
+                   min(url) AS example_url
+            FROM p GROUP BY host, template HAVING count(*) >= 2
         """,
         # containment: same core, filtered by den*inter >= num*min(sz);
         # source = documents + planted doc-in-doc rows (entry comment)

@@ -2013,6 +2013,50 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+def url_templates(
+    urls: DataFrame, url_col: str = "url", min_count: int = 1
+) -> DataFrame:
+    """(host, template, n_urls, example_url): URL path-template mining —
+    digit runs in the path+query collapse to '{n}', so /p/123 and /p/456
+    share one template.  The crawler-trap / infinite-space detector: a
+    template whose n_urls explodes (calendar pages, session ids, unbounded
+    pagination) marks a URL family the frontier should cap, and template
+    counts are the standard input to per-pattern crawl budgets
+    (IRLbot-style spam/trap control).
+
+    Host is lowercased (userinfo stripped, port kept — template mining
+    keys on the literal authority, canonicalization is canonicalize_urls'
+    job); schemeless inputs get host NULL and template over the whole
+    string (the cdx_index false-merge rule: never unify them with a real
+    host).  example_url = min(url) — deterministic, engine-portable.
+
+    Scale: narrow regexp projection + ONE groupBy on (host, template) —
+    map-side combinable, output cardinality is the template count, not the
+    URL count.  Digit class spelled [0-9] (Spark \\d ≠ DuckDB \\d)."""
+    u = F.col(url_col)
+    has_scheme = u.rlike("^[A-Za-z][A-Za-z0-9+.-]*://")
+    authority = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_replace(authority, "^[^@]*@", ""))
+    rest = F.regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1)
+    pathq = F.when(rest == "", F.lit("/")).otherwise(rest)
+    template = F.regexp_replace(
+        F.when(has_scheme, pathq).otherwise(u), "[0-9]+", "{n}"
+    )
+    return (
+        urls.select(
+            F.when(has_scheme, host).alias("host"),
+            template.alias("template"),
+            u.alias("__url"),
+        )
+        .groupBy("host", "template")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("__url").alias("example_url"),
+        )
+        .filter(F.col("n_urls") >= int(min_count))
+    )
+
+
 def mixture_weights(docs: DataFrame, scale: int = 10_000) -> DataFrame:
     """Multilingual sampling-temperature weights (alpha = 0.5): per
     language, weight ∝ sqrt(n_docs) — the standard mixing rule that

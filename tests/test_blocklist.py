@@ -122,3 +122,34 @@ def test_cdx_index_sharded_layout(spark):
     # no layout job when shards omitted
     plan2 = A.cdx_index(df)._jdf.queryExecution().executedPlan().toString()
     assert "rangepartitioning" not in plan2.lower(), plan2
+
+
+def test_url_templates_mining(spark):
+    """Digit runs collapse to {n} in path AND query; host case-folds with
+    userinfo stripped and port kept; schemeless rows get host NULL and are
+    never merged with the real host; min_count drops singletons;
+    example_url is min(url)."""
+    from contentextractor_spark.functions.analysis import url_templates
+
+    urls = spark.createDataFrame(
+        [("https://a.example/p/123",),
+         ("https://a.example/p/456?ref=9",),   # query digit differs -> new tpl
+         ("https://a.example/p/7",),
+         ("https://u@A.Example:8080/p/88",),   # userinfo+case+port
+         ("a.example/p/55",),                   # schemeless
+         ("a.example/p/66",),
+         ("https://b.example/one-off-3",)],     # singleton
+        "url string",
+    )
+    rows = {(r["host"], r["template"]): (r["n_urls"], r["example_url"])
+            for r in url_templates(urls, min_count=2).collect()}
+    assert rows == {
+        ("a.example", "/p/{n}"): (2, "https://a.example/p/123"),
+        (None, "a.example/p/{n}"): (2, "a.example/p/55"),
+    }
+    # min_count=1 keeps the query-digit, ported-host and singleton groups
+    all_rows = {(r["host"], r["template"]): r["n_urls"]
+                for r in url_templates(urls, min_count=1).collect()}
+    assert all_rows[("a.example", "/p/{n}?ref={n}")] == 1
+    assert all_rows[("a.example:8080", "/p/{n}")] == 1
+    assert all_rows[("b.example", "/one-off-{n}")] == 1
