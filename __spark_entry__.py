@@ -2116,6 +2116,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.url_templates(docs.select(url.alias("url")), min_count=2)
 
+    def lang_profile(spark, sf_dir):
+        # r5 session-3: per-sentence language profile / code-switch
+        # detection.  Plants by doc_id%4: 0 = raw text (single sentence),
+        # 1 = +1 CJK sentence (1:1 tie → pred latin, mixed), 2 = +3 CJK
+        # sentences (cjk majority, still mixed), 3 = pure CJK (cjk, not
+        # mixed).  Exercises majority both ways, the tie→latin
+        # convention, and both is_mixed outcomes.
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        r = F.pmod("doc_id", 4)
+        t = (
+            F.when(r == 1, F.concat("text", F.lit(". 日本語 テキスト")))
+            .when(r == 2, F.concat(
+                "text", F.lit(". 日本語 一. 日本語 二. 日本語 三")))
+            .when(r == 3, F.lit("日本語 テキスト 文章"))
+            .otherwise(F.col("text"))
+        )
+        return A.lang_profile(docs.select("doc_id", t.alias("text")))
+
     def meta_robots(spark, sf_dir):
         # r5 session-2: page-level robots-meta gate.  Directives by
         # residue: %4==0 'noindex, follow', %4==1 'NOFOLLOW' (case
@@ -2476,6 +2494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "politeness_schedule": politeness_schedule,
         "containment_pairs": containment_pairs,
         "url_templates": url_templates,
+        "lang_profile": lang_profile,
         # last checked in round 2 (stalest greens):
         "quality_scores": quality_scores,
         "fingerprints": fingerprints,
@@ -4973,6 +4992,48 @@ def oracle_sql() -> dict[str, str]:
             FROM inter
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
+        """,
+        # per-sentence language profile: sentence_split conventions
+        # (chr(1) marker, trim, empties dropped) + the lang_id char
+        # classes (A.CJK_CLASS interpolated — one definition); plants by
+        # doc_id%4 (entry comment)
+        "lang_profile": f"""
+            WITH built AS (
+              SELECT doc_id,
+                CASE WHEN doc_id % 4 = 1 THEN text || '. 日本語 テキスト'
+                     WHEN doc_id % 4 = 2
+                       THEN text || '. 日本語 一. 日本語 二. 日本語 三'
+                     WHEN doc_id % 4 = 3 THEN '日本語 テキスト 文章'
+                     ELSE text END AS t
+              FROM documents WHERE text IS NOT NULL),
+            m AS (SELECT doc_id,
+                         regexp_replace(t, '([.!?])[ \t\n\r]+',
+                                        '\\1' || chr(1), 'g') AS t
+                  FROM built),
+            s AS (SELECT doc_id, trim(l[i]) AS sentence
+                  FROM (SELECT doc_id, string_split(t, chr(1)) AS l,
+                               unnest(generate_series(1,
+                                   len(string_split(t, chr(1))))) AS i
+                        FROM m)),
+            cl AS (SELECT doc_id,
+                     CASE WHEN length(regexp_replace(sentence,
+                                 '[^{A.CJK_CLASS}]', '', 'g'))
+                             > length(regexp_replace(sentence,
+                                 '[^a-zA-Z]', '', 'g'))
+                          THEN 1 ELSE 0 END AS is_cjk
+                   FROM s WHERE sentence <> ''),
+            a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents,
+                         CAST(sum(is_cjk) AS BIGINT) AS n_cjk_sents
+                  FROM cl GROUP BY doc_id)
+            SELECT doc_id, n_sents, n_cjk_sents,
+                   CAST(n_sents - n_cjk_sents AS BIGINT) AS n_latin_sents,
+                   CASE WHEN 2 * n_cjk_sents > n_sents THEN 'cjk'
+                        ELSE 'latin' END AS pred_lang,
+                   CAST(CASE WHEN 5 * least(n_cjk_sents,
+                                            n_sents - n_cjk_sents)
+                                  >= n_sents
+                             THEN 1 ELSE 0 END AS INT) AS is_mixed
+            FROM a
         """,
         # url path-template mining: digit runs -> {n}; schemeless rows
         # keep host NULL; min_count=2 drops the planted %251 one-offs

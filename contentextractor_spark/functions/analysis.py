@@ -62,11 +62,17 @@ def token_counts_bpe(docs: DataFrame) -> DataFrame:
     )
 
 
+# CJK char class (Unified Ideographs, kana, Hangul syllables) — ONE
+# definition shared by lang_id, lang_profile, and their DuckDB oracles
+# (which interpolate this constant, never a second hand-typed copy)
+CJK_CLASS = "一-鿿぀-ゟ゠-ヿ가-힣"
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """n-gram/char-class language heuristic: CJK char count vs Latin.
     The CJK class covers Unified Ideographs, kana, AND Hangul syllables —
     Korean previously fell through to 'latin' (r3 full-file review)."""
-    cjk = F.length(F.regexp_replace("text", "[^一-鿿぀-ゟ゠-ヿ가-힣]", ""))
+    cjk = F.length(F.regexp_replace("text", f"[^{CJK_CLASS}]", ""))
     latin = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
     return docs.select(
         "doc_id",
@@ -1495,6 +1501,38 @@ def sentence_split(docs: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .select("doc_id", "sent_pos", F.trim("raw").alias("sentence"))
         .filter(F.col("sentence") != "")
+    )
+
+
+def lang_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_sents, n_cjk_sents, n_latin_sents, pred_lang, is_mixed):
+    per-SENTENCE language profile — each sentence_split sentence is
+    classified with lang_id's char classes (CJK count vs Latin count,
+    tie → latin), then folded per doc: pred_lang = majority sentence
+    label (tie → latin, matching lang_id's doc-level convention) and
+    is_mixed = 1 when the minority label holds ≥ 20% of sentences
+    (integer form 5·min ≥ n_sents).  Catches code-switched and
+    template-mixed pages a doc-level char count mislabels — the corpus
+    -curation gate before routing docs to per-language pipelines.
+
+    Docs whose text yields zero sentences (empty/whitespace) drop out —
+    the sentence_split contract.  Integer-only output; one groupBy on
+    doc_id (map-side combinable), classification is a narrow regexp
+    projection per sentence."""
+    sents = sentence_split(docs, text_col)
+    cjk = F.length(F.regexp_replace("sentence", f"[^{CJK_CLASS}]", ""))
+    latin = F.length(F.regexp_replace("sentence", "[^a-zA-Z]", ""))
+    per = sents.select(
+        "doc_id", F.when(cjk > latin, 1).otherwise(0).alias("is_cjk")
+    )
+    n = F.count(F.lit(1))
+    nc = F.sum("is_cjk")
+    return per.groupBy("doc_id").agg(
+        n.cast("long").alias("n_sents"),
+        nc.cast("long").alias("n_cjk_sents"),
+        (n - nc).cast("long").alias("n_latin_sents"),
+        F.when(2 * nc > n, "cjk").otherwise("latin").alias("pred_lang"),
+        (5 * F.least(nc, n - nc) >= n).cast("int").alias("is_mixed"),
     )
 
 

@@ -367,3 +367,32 @@ def test_politeness_schedule_plan_one_shuffle_broadcast_delays(spark):
     assert "SortMergeJoin" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_lang_profile_majority_tie_and_mixed(spark):
+    """Per-sentence labels fold to: majority pred_lang (tie → latin, the
+    lang_id convention), is_mixed at minority ≥ 20% (5·min ≥ n); empty-
+    text docs drop out (sentence_split contract)."""
+    docs = spark.createDataFrame(
+        [(0, "one latin sentence only"),
+         (1, "latin here. 日本語 テキスト"),                      # 1:1 tie
+         (2, "latin here. 日本語 一. 日本語 二. 日本語 三"),      # 1:3
+         (3, "日本語 テキスト 文章"),                              # pure cjk
+         (4, "a. b. c. d. 日本語"),                               # 4:1 -> 20% edge
+         (5, "a. b. c. d. e. 日本語"),                            # 5:1 -> 16% < 20%
+         (6, "   ")],
+        "doc_id bigint, text string",
+    )
+    from contentextractor_spark.functions.analysis import lang_profile
+
+    got = {r["doc_id"]: (r["n_sents"], r["n_cjk_sents"], r["pred_lang"],
+                         r["is_mixed"])
+           for r in lang_profile(docs).collect()}
+    assert got == {
+        0: (1, 0, "latin", 0),
+        1: (2, 1, "latin", 1),   # tie -> latin, mixed
+        2: (4, 3, "cjk", 1),
+        3: (1, 1, "cjk", 0),
+        4: (5, 1, "latin", 1),   # exactly 20% -> mixed (>=)
+        5: (6, 1, "latin", 0),   # under 20%
+    }
