@@ -124,6 +124,13 @@ BAND_MAX_S = {
     "nfc_normalize": 4.0,
     "paragraph_dedup": 5.0,
     "script_profile": 2.5,
+    # r5 session-3 (warm samples local[32] sf0.1: politeness 0.7-0.9
+    # cold-first 5.0; url_templates 0.45-1.1; lang_profile 0.66-1.2;
+    # containment 4.0-6.8 — the jaccard-shaped self-join)
+    "politeness_schedule": 5.5,
+    "url_templates": 3.0,
+    "lang_profile": 3.5,
+    "containment_pairs": 11.0,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -353,7 +360,24 @@ def main() -> None:
         "budget_select": lambda: force(_budget_select()),
         "crawl_diff": lambda: force(_crawl_diff()),
         "wet_roundtrip": lambda: force(_wet_roundtrip()),
+        # r5 session-3 ops (entry-query configurations)
+        "politeness_schedule": lambda: force(_entry_q("politeness_schedule")),
+        "url_templates": lambda: force(_entry_q("url_templates")),
+        "lang_profile": lambda: force(_entry_q("lang_profile")),
+        "containment_pairs": lambda: _run_containment(),
     }
+
+    def _entry_q(name):
+        from __spark_entry__ import queries as _entry_queries
+
+        return _entry_queries()[name](spark, SF_DIR)
+
+    def _run_containment():
+        # same unpersist discipline as _run_jaccard (shared shingle cache)
+        handle: list = []
+        force(A.containment_pairs(docs, cache_handle=handle))
+        for df in handle:
+            df.unpersist()
 
     def _scrub_boilerplate():
         from __spark_entry__ import queries as _entry_queries
