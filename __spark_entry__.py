@@ -1619,6 +1619,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data), ranked with the integer micro-prob PageRank
         return A.pagerank(pagerank_edges_sql(_docs(spark, sf_dir)), iters=3)
 
+    def hits_links(spark, sf_dir):
+        # Kleinberg hubs/authorities over the shared affine link graph —
+        # all-integer L1-normalized rounds (analysis.hits_scores), the
+        # PageRank companion for crawl-seed (hub) / content-host
+        # (authority) curation; oracle = 2 unrolled CTE rounds
+        return A.hits_scores(pagerank_edges_sql(_docs(spark, sf_dir)), iters=2)
+
     def pagerank_dangling(spark, sf_dir):
         # r3 verdict #5: the affine graph with the top-10 doc_ids demoted
         # to pure sinks (they receive edges via the modular map but emit
@@ -2468,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "hits_links": hits_links,
         "extract_committed": extract_committed,
         "boilerplate_lines": boilerplate_lines,
         "scrub_boilerplate": scrub_boilerplate,
@@ -5366,6 +5374,61 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS p
                    FROM nodes LEFT JOIN c3 ON c3.node = nodes.node)
             SELECT node, p AS rank_micro FROM p3
+        """,
+        # HITS: 2 unrolled rounds of the all-integer L1-normalized
+        # convention (h0 = 1e9 // n; a = raw*1e9 // Σraw) over the same
+        # affine graph — DISTINCT matches hits_scores' 0/1 adjacency
+        "hits_links": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+            e AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 31 + 7 * j) % n.nn AS dst
+                FROM documents, n, (SELECT unnest([1, 2, 3]) AS j) js)
+              WHERE src <> dst),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            nc AS (SELECT CAST(count(*) AS BIGINT) AS c FROM nodes),
+            h0 AS (SELECT node,
+                          CAST(1000000000 // (SELECT c FROM nc) AS BIGINT)
+                          AS h FROM nodes),
+            a1r AS (SELECT nodes.node, CAST(COALESCE(x.m, 0) AS BIGINT) AS raw
+                    FROM nodes LEFT JOIN (
+                      SELECT e.dst AS node, sum(h0.h) AS m
+                      FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst) x
+                      ON x.node = nodes.node),
+            a1 AS (SELECT node,
+                          CAST((raw * 1000000000)
+                               // (SELECT sum(raw) FROM a1r) AS BIGINT) AS a
+                   FROM a1r),
+            h1r AS (SELECT nodes.node, CAST(COALESCE(x.m, 0) AS BIGINT) AS raw
+                    FROM nodes LEFT JOIN (
+                      SELECT e.src AS node, sum(a1.a) AS m
+                      FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src) x
+                      ON x.node = nodes.node),
+            h1 AS (SELECT node,
+                          CAST((raw * 1000000000)
+                               // (SELECT sum(raw) FROM h1r) AS BIGINT) AS h
+                   FROM h1r),
+            a2r AS (SELECT nodes.node, CAST(COALESCE(x.m, 0) AS BIGINT) AS raw
+                    FROM nodes LEFT JOIN (
+                      SELECT e.dst AS node, sum(h1.h) AS m
+                      FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst) x
+                      ON x.node = nodes.node),
+            a2 AS (SELECT node,
+                          CAST((raw * 1000000000)
+                               // (SELECT sum(raw) FROM a2r) AS BIGINT) AS a
+                   FROM a2r),
+            h2r AS (SELECT nodes.node, CAST(COALESCE(x.m, 0) AS BIGINT) AS raw
+                    FROM nodes LEFT JOIN (
+                      SELECT e.src AS node, sum(a2.a) AS m
+                      FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src) x
+                      ON x.node = nodes.node),
+            h2 AS (SELECT node,
+                          CAST((raw * 1000000000)
+                               // (SELECT sum(raw) FROM h2r) AS BIGINT) AS h
+                   FROM h2r)
+            SELECT h2.node, h2.h AS hub_micro, a2.a AS auth_micro
+            FROM h2 JOIN a2 ON a2.node = h2.node
         """,
         # 2 unrolled rounds with per-round sink-mass redistribution: sh_t =
         # (Σ p_t over nodes with no out-edges) // n_nodes added to every

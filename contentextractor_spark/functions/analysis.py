@@ -530,6 +530,103 @@ def pagerank(
     return pr.select("node", F.col("p").alias("rank_micro"))
 
 
+def hits_scores(
+    edges: DataFrame, iters: int = 2, scale: int = 1_000_000_000
+) -> DataFrame:
+    """Integer-arithmetic HITS (Kleinberg hubs & authorities) over an edge
+    list (src, dst) — the classic companion to PageRank for web-graph
+    curation (authorities = well-cited content hosts, hubs = link
+    directories / crawl seeds), expressed so every engine computes
+    BIT-IDENTICAL scores.
+
+    Convention (all-integer, order-free): edges are dedup'd (classic HITS
+    adjacency is 0/1); h0 = scale div n_nodes for every node; each round
+        a_raw(v) = Σ_{u→v} h(u);   a(v) = (a_raw(v)·scale) div Σ a_raw
+        h_raw(u) = Σ_{u→v} a(v);   h(u) = (h_raw(u)·scale) div Σ h_raw
+    L1 normalization replaces the textbook L2 norm — sqrt is a
+    transcendental that would drift across engines, while integer L1
+    keeps every step exact and preserves the ranking (HITS scores are
+    scale-invariant); the eigenvector direction is unchanged.
+
+    Overflow bound: after any normalization every component ≤ scale and
+    the vector total ≤ scale, so raw·scale ≤ scale² = 1e18 < 2^63-1; the
+    h0 init divides scale by n_nodes so the FIRST un-normalized a_raw is
+    also ≤ scale.  Requires n_nodes ≤ scale (1e9 nodes at the default —
+    a host graph, not a page graph; raise `scale` bound-consciously).
+
+    Scale: same bounded-round shape as pagerank — per round two joins on
+    the edge endpoints + two map-side-combinable groupBys + two one-row
+    broadcast normalizers (the LSS-digest shape, no driver collect);
+    localCheckpoint per half-round cuts lineage (the pagerank lesson:
+    without it the edges subtree re-executes per round)."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    edges = edges.select("src", "dst").distinct().localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.select(
+            "node",
+            F.lit(0).cast("long").alias("hub_micro"),
+            F.lit(0).cast("long").alias("auth_micro"),
+        )
+    if n_nodes > scale:
+        raise ValueError(
+            f"hits_scores: {n_nodes} nodes exceeds scale={scale}; the "
+            "h0 = scale div n init would be 0 — raise scale (overflow "
+            "bound: scale^2 must stay below 2^63)"
+        )
+
+    def _normalize(raw: DataFrame, out_col: str) -> DataFrame:
+        # one-row broadcast total; (raw*scale) div total — each input
+        # component ≤ scale so the product ≤ scale² (bound above).  total
+        # ≥ 1 whenever edges is non-empty (every h/a vector keeps ≥ 1
+        # micro-unit of mass through the div floors at n ≤ scale).
+        s = raw.agg(F.sum("raw").alias("__s"))
+        return raw.crossJoin(F.broadcast(s)).select(
+            "node", F.expr(f"(raw * {scale}) div __s").alias(out_col)
+        )
+
+    h = nodes.select(
+        "node", F.lit(scale // n_nodes).cast("long").alias("h")
+    )
+    a = None
+    for _ in range(iters):
+        a_raw = (
+            edges.join(h, edges["src"] == h["node"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("raw"))
+            .select(F.col("dst").alias("node"), "raw")
+        )
+        a_full = nodes.join(a_raw, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        )
+        a = _normalize(a_full, "a").localCheckpoint()
+        h_raw = (
+            edges.join(a, edges["dst"] == a["node"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("raw"))
+            .select(F.col("src").alias("node"), "raw")
+        )
+        h_full = nodes.join(h_raw, "node", "left").select(
+            "node", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        )
+        h = _normalize(h_full, "h").localCheckpoint()
+    return (
+        h.join(a, "node")
+        .select(
+            "node",
+            F.col("h").alias("hub_micro"),
+            F.col("a").alias("auth_micro"),
+        )
+    )
+
+
 def unigram_surprisal(docs: DataFrame) -> DataFrame:
     """LM-based quality scoring against the corpus's own unigram model
     (the CCNet idea with the corpus standing in for the external LM): per

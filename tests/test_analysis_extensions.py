@@ -421,6 +421,44 @@ def test_pagerank_dangling_redistribution_hand_computed(spark):
     assert got2 == got
 
 
+def test_hits_hand_computed(spark):
+    """1→2, 3→2, 2→1; scale=1e9, n=3, h0 = 333333333 each.
+    iter1: a_raw = {1:333333333, 2:666666666, 3:0}, Σ=999999999
+           a = {1:333333333, 2:666666666, 3:0}
+           h_raw = {1:666666666, 2:333333333, 3:666666666}, Σ=1666666665
+           h = {1:400000000, 2:200000000, 3:400000000}
+    iter2: a = {1:200000000, 2:800000000, 3:0}
+           h = {1:444444444, 2:111111111, 3:444444444}
+    (python integer replica in the commit message's session log)"""
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (2, 1)], "src bigint, dst bigint"
+    )
+    got = {
+        r.node: (r.hub_micro, r.auth_micro)
+        for r in A.hits_scores(edges, iters=2).collect()
+    }
+    assert got == {
+        1: (444444444, 200000000),
+        2: (111111111, 800000000),
+        3: (444444444, 0),
+    }
+    # duplicate edges must not double-count (0/1 adjacency convention)
+    dup = spark.createDataFrame(
+        [(1, 2), (1, 2), (3, 2), (2, 1)], "src bigint, dst bigint"
+    )
+    got_dup = {
+        r.node: (r.hub_micro, r.auth_micro)
+        for r in A.hits_scores(dup, iters=2).collect()
+    }
+    assert got_dup == got
+    # order-free: identical under repartitioning
+    got2 = {
+        r.node: (r.hub_micro, r.auth_micro)
+        for r in A.hits_scores(edges.repartition(7), iters=2).collect()
+    }
+    assert got2 == got
+
+
 def test_extract_links_order_and_poison_pages(spark):
     from contentextractor_spark.plans.pipeline import extract_links
 
