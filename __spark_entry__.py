@@ -1886,6 +1886,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def events_sessionize(spark, sf_dir):
         return E.sessionize(_events(spark, sf_dir), gap_minutes=30)
 
+    def events_funnel(spark, sf_dir):
+        # ordered 5-step conversion funnel with strict-after per-user
+        # min-ts chaining (events.funnel), run over the FIRST EIGHTH of
+        # the stream (one-row broadcast count, no collect) so conversion
+        # actually thins per stage — over the full fixture every user
+        # reaches every step (150,150,150: a funnel that ignored the
+        # chaining would hash identically); measured counts at sf0.01 are
+        # 115/66/30/13/2, so the hash pins the chain semantics
+        ev = _events(spark, sf_dir)
+        n = ev.select(F.count(F.lit(1)).alias("__n"))
+        ev8 = (
+            ev.crossJoin(F.broadcast(n))
+            .filter(F.col("event_id") < F.expr("__n div 8"))
+            .drop("__n")
+        )
+        return E.funnel(
+            ev8, ["signup", "view", "purchase", "click", "error"]
+        )
+
     def events_top_users(spark, sf_dir):
         return E.top_users_by_value(_events(spark, sf_dir), k=10)
 
@@ -2476,6 +2495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
         "hits_links": hits_links,
+        "events_funnel": events_funnel,
         "extract_committed": extract_committed,
         "boilerplate_lines": boilerplate_lines,
         "scrub_boilerplate": scrub_boilerplate,
@@ -5429,6 +5449,46 @@ def oracle_sql() -> dict[str, str]:
                    FROM h2r)
             SELECT h2.node, h2.h AS hub_micro, a2.a AS auth_micro
             FROM h2 JOIN a2 ON a2.node = h2.node
+        """,
+        # funnel: per-user min-ts chaining, strict-after (>) semantics,
+        # over the first eighth of the stream (see the queries() note:
+        # the full fixture converts every user at every step)
+        "events_funnel": """
+            WITH ev AS (SELECT * FROM events
+                        WHERE event_id <
+                              (SELECT count(*) FROM events) // 8),
+            s1 AS (SELECT user_id, min(ts) AS t FROM ev
+                   WHERE event_type = 'signup' GROUP BY user_id),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+                   JOIN s1 ON s1.user_id = e.user_id
+                   WHERE e.event_type = 'view' AND e.ts > s1.t
+                   GROUP BY e.user_id),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+                   JOIN s2 ON s2.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t
+                   GROUP BY e.user_id),
+            s4 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+                   JOIN s3 ON s3.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > s3.t
+                   GROUP BY e.user_id),
+            s5 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+                   JOIN s4 ON s4.user_id = e.user_id
+                   WHERE e.event_type = 'error' AND e.ts > s4.t
+                   GROUP BY e.user_id)
+            SELECT CAST(1 AS BIGINT) AS step_idx, 'signup' AS step,
+                   CAST((SELECT count(*) FROM s1) AS BIGINT) AS users
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'view',
+                   CAST((SELECT count(*) FROM s2) AS BIGINT)
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'purchase',
+                   CAST((SELECT count(*) FROM s3) AS BIGINT)
+            UNION ALL
+            SELECT CAST(4 AS BIGINT), 'click',
+                   CAST((SELECT count(*) FROM s4) AS BIGINT)
+            UNION ALL
+            SELECT CAST(5 AS BIGINT), 'error',
+                   CAST((SELECT count(*) FROM s5) AS BIGINT)
         """,
         # 2 unrolled rounds with per-round sink-mass redistribution: sh_t =
         # (Σ p_t over nodes with no out-edges) // n_nodes added to every

@@ -185,6 +185,58 @@ def asof_latest(events: DataFrame, ref_type: str = "view") -> DataFrame:
     )
 
 
+def funnel(events: DataFrame, steps: list[str]) -> DataFrame:
+    """Ordered multi-step funnel: how many users perform step[0], then
+    step[1] STRICTLY AFTER their first step[0], then step[2] strictly
+    after that, … — the classic conversion query (signup → view →
+    purchase) over the events table.
+
+    Semantics: per user, t_1 = min ts of step 1; t_{i+1} = min ts of a
+    step-(i+1) event with ts > t_i.  Strict `>` so a step can never
+    satisfy two stages with one event at one instant; timestamps compare
+    as exact microsecond integers in both engines (no float drift).
+    Returns one row per step: (step_idx, step, users reached).
+
+    Scale: stage i is a pushed-down event_type filter (partition-prunable
+    on a type-partitioned event log) + a user_id equi-join against the
+    previous stage's per-user min — map-side-combinable groupBys, no
+    window over the full stream, no driver collect.  The per-step count
+    rows each re-evaluate their prefix chain (≤ len(steps) extra filtered
+    scans — bounded and tiny next to a sessionize window; localCheckpoint
+    would pin the plan builder, which composed callers must not pay)."""
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    counts = []
+    cur = None
+    for i, step in enumerate(steps):
+        ev = events.filter(F.col("event_type") == step).select(
+            "user_id", "ts"
+        )
+        if cur is None:
+            cur = ev.groupBy("user_id").agg(F.min("ts").alias("t"))
+        else:
+            cur = (
+                ev.join(
+                    cur.select("user_id", F.col("t").alias("prev_t")),
+                    "user_id",
+                )
+                .filter(F.col("ts") > F.col("prev_t"))
+                .groupBy("user_id")
+                .agg(F.min("ts").alias("t"))
+            )
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("users")).select(
+                F.lit(i + 1).cast("long").alias("step_idx"),
+                F.lit(step).alias("step"),
+                "users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionAll(c)
+    return out
+
+
 def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
     """Top-k users by total event value (deterministic tiebreak on user_id).
 

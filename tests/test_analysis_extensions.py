@@ -459,6 +459,40 @@ def test_hits_hand_computed(spark):
     assert got2 == got
 
 
+def test_funnel_hand_computed(spark):
+    """Strict-after semantics: u3's view at the SAME instant as its signup
+    must not count; u4's purchase BEFORE its qualifying view must not."""
+    from datetime import datetime as dt
+
+    from contentextractor_spark.functions.events import funnel
+
+    def t(m):
+        return dt(2024, 1, 1, 0, m)
+
+    rows = [
+        # u1 reaches all three steps
+        (1, t(1), "signup"), (1, t(2), "view"), (1, t(3), "purchase"),
+        # u2: view before signup ignored; view@3 counts; purchase@2 < t2
+        (2, t(1), "view"), (2, t(2), "signup"), (2, t(3), "view"),
+        (2, t(2), "purchase"),
+        # u3: view at the signup instant — strict > excludes it
+        (3, t(1), "signup"), (3, t(1), "view"), (3, t(5), "purchase"),
+        # u4: purchase precedes its qualifying view
+        (4, t(1), "signup"), (4, t(3), "view"), (4, t(2), "purchase"),
+        # u5 never signs up
+        (5, t(1), "view"), (5, t(2), "purchase"),
+    ]
+    events = spark.createDataFrame(
+        [(uid, ts, et) for uid, ts, et in rows],
+        "user_id bigint, ts timestamp, event_type string",
+    )
+    got = {
+        r.step: (r.step_idx, r.users)
+        for r in funnel(events, ["signup", "view", "purchase"]).collect()
+    }
+    assert got == {"signup": (1, 4), "view": (2, 3), "purchase": (3, 1)}
+
+
 def test_extract_links_order_and_poison_pages(spark):
     from contentextractor_spark.plans.pipeline import extract_links
 
