@@ -1442,6 +1442,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def minhash_lsh_buckets(spark, sf_dir):
         return A.minhash_lsh_buckets(_docs(spark, sf_dir), k=4, n=3)
 
+    def minhash_jaccard_est(spark, sf_dir):
+        # Broder estimator over the LSH candidate feed: matches/k equal
+        # signature components per within-bucket pair, quantized to
+        # micro-units — the triage stage between bucket candidates and
+        # the exact shingle-join verify
+        return A.minhash_jaccard_est(
+            _docs(spark, sf_dir), k=4, n=3, max_bucket_size=100
+        )
+
     def ngram_jaccard_pairs(spark, sf_dir):
         return A.jaccard_pairs(
             _docs(spark, sf_dir), n=3, min_intersection=2, max_shingle_freq=100
@@ -2496,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new this round):
         "hits_links": hits_links,
         "events_funnel": events_funnel,
+        "minhash_jaccard_est": minhash_jaccard_est,
         "extract_committed": extract_committed,
         "boilerplate_lines": boilerplate_lines,
         "scrub_boilerplate": scrub_boilerplate,
@@ -2904,16 +2914,22 @@ def _hex_int_sql(expr: str, start: int, nd: int) -> str:
     ) + " AS BIGINT)"
 
 
+# MinHash 2-band membership over _SIG_CTE — the DuckDB twin of
+# analysis._band_membership (k=4, band size 2).  Shared by the components
+# family AND minhash_jaccard_est so bucket semantics cannot drift.
+_BANDS_CTE = """bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig)"""
+
+
 def _minhash_comp_ctes() -> str:
     """Shared WITH-RECURSIVE body for the MinHash dedup family: shingles →
     4-hash signature → 2 bands → star edges → symmetric closure →
     transitive closure → comp(doc_id, component).  Parameterized helper
     per the oracle-reuse rule (never copy a composed CTE)."""
     return f"""{_SHINGLE_CTE}, {_SIG_CTE},
-            bands AS (
-              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
-              UNION ALL
-              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig),
+            {_BANDS_CTE},
             hubs AS (
               SELECT band, bucket, min(doc_id) AS hub
               FROM bands GROUP BY band, bucket HAVING count(*) > 1),
@@ -5489,6 +5505,34 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT CAST(5 AS BIGINT), 'error',
                    CAST((SELECT count(*) FROM s5) AS BIGINT)
+        """,
+        # Broder estimator: equal-component count over the shared band
+        # membership (bucket size in (1, 100]), micro-quantized div 4
+        "minhash_jaccard_est": f"""
+            WITH {_SHINGLE_CTE}, {_SIG_CTE},
+            {_BANDS_CTE},
+            ok AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+                   HAVING count(*) > 1 AND count(*) <= 100),
+            pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                           AND a.doc_id < b.doc_id
+              JOIN ok ON ok.band = a.band AND ok.bucket = a.bucket),
+            m AS (
+              SELECT p.doc_a, p.doc_b,
+                     CAST((CASE WHEN sa.mh0 = sb.mh0 THEN 1 ELSE 0 END
+                         + CASE WHEN sa.mh1 = sb.mh1 THEN 1 ELSE 0 END
+                         + CASE WHEN sa.mh2 = sb.mh2 THEN 1 ELSE 0 END
+                         + CASE WHEN sa.mh3 = sb.mh3 THEN 1 ELSE 0 END)
+                          AS BIGINT) AS matches
+              FROM pairs p
+              JOIN sig sa ON sa.doc_id = p.doc_a
+              JOIN sig sb ON sb.doc_id = p.doc_b)
+            SELECT doc_a, doc_b, matches,
+                   CAST((matches * 1000000) // 4 AS BIGINT)
+                       AS est_jaccard_micro
+            FROM m
         """,
         # 2 unrolled rounds with per-round sink-mass redistribution: sh_t =
         # (Σ p_t over nodes with no out-edges) // n_nodes added to every

@@ -1304,14 +1304,21 @@ def minhash_signatures(docs: DataFrame, k: int = 4, n: int = 3) -> DataFrame:
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def _band_membership(docs: DataFrame, k: int, n: int) -> DataFrame:
+def _band_membership(
+    docs: DataFrame, k: int, n: int, sig: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, band, bucket): MinHash band-bucket membership, band size 2.
     ONE projection over the signature aggregate (a barrier Catalyst cannot
     inline band expressions through) — the single source of the bucket
     hash for minhash_lsh_buckets AND dedup_components_minhash, so the two
     can never drift apart (r3 review: a copy-paste divergence would have
-    made the components join silently match nothing)."""
-    sig = minhash_signatures(docs, k=k, n=n)
+    made the components join silently match nothing).
+
+    sig: pass a precomputed (e.g. localCheckpointed) minhash_signatures
+    frame to share the signature aggregation with a consumer that also
+    joins the raw signatures (minhash_jaccard_est)."""
+    if sig is None:
+        sig = minhash_signatures(docs, k=k, n=n)
     band_structs = F.array(
         *[
             F.struct(
@@ -1390,6 +1397,81 @@ def minhash_lsh_overflow(
         docs, k=k, n=n, max_bucket_size=None, membership=membership
     )
     return full.filter(F.col("n_docs") > max_bucket_size)
+
+
+def minhash_jaccard_est(
+    docs: DataFrame,
+    k: int = 4,
+    n: int = 3,
+    max_bucket_size: int | None = 100,
+    checkpoint_sig: bool = True,
+) -> DataFrame:
+    """Signature-based Jaccard ESTIMATE for LSH candidate pairs: for every
+    within-bucket pair (doc_a < doc_b) of the banded MinHash index, the
+    fraction of equal signature components — the Broder estimator
+    E[matches/k] = J(a,b).  This is the triage step between the cheap
+    bucket feed and the expensive exact verify (ngram_jaccard_pairs): at
+    100 TB you rank candidates by the estimate and exact-verify only the
+    top slice, never touching the shingle streams of the rest.
+
+    Output: (doc_a, doc_b, matches, est_jaccard_micro) with the estimate
+    quantized to integer micro-units (matches·1e6 div k) — order-free and
+    cross-engine exact (no float division).
+
+    Skew/scale: candidate pairs come only from buckets with 1 < size ≤
+    max_bucket_size (the standard loud-overflow cap — pair volume stays
+    O(Σ cap·bucket) instead of quadratic); signatures are k fixed columns
+    so the per-pair compare is a column expression, never an array or a
+    per-element lambda.  checkpoint_sig=True localCheckpoints the
+    signature aggregate because FIVE consumers reference it (membership →
+    sizes, both self-join sides, and the two signature joins) — the
+    simhash_neardup_pairs lesson: without it the corpus-wide aggregation
+    re-executes per consumer (ReusedExchange does not fire across these
+    shapes)."""
+    if k % 2:
+        raise ValueError("k must be even (band size 2)")
+    sig = minhash_signatures(docs, k=k, n=n)
+    if checkpoint_sig:
+        sig = sig.localCheckpoint()
+    mem = _band_membership(docs, k, n, sig=sig)
+    ok = (
+        mem.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+    if max_bucket_size is not None:
+        ok = ok.filter(F.col("n_docs") <= max_bucket_size)
+    pairs = (
+        mem.alias("a")
+        .join(mem.alias("b"), ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .join(ok.select("band", "bucket"), ["band", "bucket"], "left_semi")
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"__a{i}") for i in range(k)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"__b{i}") for i in range(k)],
+    )
+    matches = sum(
+        F.when(F.col(f"__a{i}") == F.col(f"__b{i}"), 1).otherwise(0)
+        for i in range(k)
+    ).cast("long")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", matches.alias("matches"))
+        .withColumn(
+            "est_jaccard_micro", F.expr(f"(matches * 1000000) div {k}")
+        )
+    )
 
 
 def incremental_dedup(

@@ -459,6 +459,24 @@ def test_hits_hand_computed(spark):
     assert got2 == got
 
 
+def test_minhash_jaccard_est_identical_and_disjoint(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "one two three four five six seven"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = A.minhash_jaccard_est(docs, k=4, n=3).collect()
+    got = {(r.doc_a, r.doc_b): (r.matches, r.est_jaccard_micro) for r in rows}
+    # identical docs share every band bucket and every component
+    assert got[(1, 2)] == (4, 1_000_000)
+    # the disjoint doc can only appear via an md5 band collision — none
+    # on this fixture
+    assert all(3 not in pair for pair in got)
+
+
 def test_funnel_hand_computed(spark):
     """Strict-after semantics: u3's view at the SAME instant as its signup
     must not count; u4's purchase BEFORE its qualifying view must not."""
