@@ -1310,6 +1310,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = wet_to_docs(seg)
         return out.select(F.col("url").cast("long").alias("doc_id"), "text")
 
+    def wat_roundtrip(spark, sf_dir):
+        # completes the WARC/WET/WAT egress triple: deterministic affine
+        # outlinks (the pagerank graph's construction) -> WAT metadata
+        # records (JSON envelope via to_json) -> segment concat with a
+        # response-record decoy -> wat_to_links ingestion.  Teeth:
+        # (a) every anchor embeds a QUOTE and a BACKSLASH, so the JSON
+        #     escaping roundtrip must be real (a hand-rolled concat
+        #     corrupts every record);
+        # (b) every 9th doc's anchor also embeds a 'WARC/1.0' +
+        #     Content-Length header look-alike — only length framing
+        #     recovers boundaries;
+        # (c) each segment carries a response-type decoy record the
+        #     metadata reader must skip.
+        from contentextractor_spark.sources.warc import (
+            to_wat_records,
+            wat_to_links,
+        )
+
+        docs = _docs(spark, sf_dir)
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        j_structs = F.array(
+            *[
+                F.struct(
+                    ((F.col("doc_id") * 31 + 7 * j) % F.col("n")).alias("h"),
+                    F.lit(j).alias("j"),
+                )
+                for j in (1, 2, 3)
+            ]
+        )
+        anchor = F.concat(
+            F.lit('a"\\'),
+            F.col("doc_id").cast("string"),
+            F.lit("_"),
+            F.col("l.j").cast("string"),
+            F.when(
+                F.pmod("doc_id", 9) == 0,
+                F.lit(" WARC/1.0 Content-Length: 3"),
+            ).otherwise(F.lit("")),
+        )
+        links = (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .select("doc_id", F.explode(j_structs).alias("l"))
+            .select(
+                F.col("doc_id").cast("string").alias("url"),
+                F.concat(
+                    F.lit("https://h"),
+                    F.col("l.h").cast("string"),
+                    F.lit(".example/p"),
+                    F.col("l.j").cast("string"),
+                ).alias("href"),
+                anchor.alias("anchor"),
+            )
+        )
+        wat = to_wat_records(links).withColumn(
+            "doc_id", F.col("url").cast("long")
+        )
+        decoy = (
+            "WARC/1.0\r\nWARC-Type: response\r\n"
+            "WARC-Target-URI: ignore\r\nContent-Length: 24\r\n\r\n"
+            "HTTP/1.1 200 OK\r\n\r\ndecoy\r\n\r\n"
+        )
+        seg = (
+            wat.groupBy(F.expr("doc_id div 25").alias("seg"))
+            .agg(
+                F.concat(
+                    F.lit(decoy),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(F.struct("doc_id", "wat"))
+                            ),
+                            lambda s: s["wat"],
+                        ),
+                        "",
+                    ),
+                ).alias("txt")
+            )
+            .select(F.encode("txt", "UTF-8").alias("wat"))
+        )
+        out = wat_to_links(seg)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            "link_url",
+            "link_text",
+        )
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -2506,6 +2593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_links": hits_links,
         "events_funnel": events_funnel,
         "minhash_jaccard_est": minhash_jaccard_est,
+        "wat_roundtrip": wat_roundtrip,
         "extract_committed": extract_committed,
         "boilerplate_lines": boilerplate_lines,
         "scrub_boilerplate": scrub_boilerplate,
@@ -5533,6 +5621,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST((matches * 1000000) // 4 AS BIGINT)
                        AS est_jaccard_micro
             FROM m
+        """,
+        # WAT roundtrip must recover the PRE-JSON anchor strings exactly —
+        # quote+backslash prefix, affine hrefs, %9 WARC-lookalike suffix
+        "wat_roundtrip": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+            l AS (SELECT doc_id, j, (doc_id * 31 + 7 * j) % n.nn AS h
+                  FROM documents, n, (SELECT unnest([1, 2, 3]) AS j) js)
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   'https://h' || h || '.example/p' || j AS link_url,
+                   'a"\\' || doc_id || '_' || j ||
+                     CASE WHEN doc_id % 9 = 0
+                          THEN ' WARC/1.0 Content-Length: 3'
+                          ELSE '' END AS link_text
+            FROM l
         """,
         # 2 unrolled rounds with per-round sink-mass redistribution: sh_t =
         # (Σ p_t over nodes with no out-edges) // n_nodes added to every

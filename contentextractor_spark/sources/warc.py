@@ -332,6 +332,113 @@ def to_wet_records(
     )
 
 
+def to_wat_records(
+    links: "DataFrame",
+    url_col: str = "url",
+    href_col: str = "href",
+    anchor_col: str = "anchor",
+    date: str = "2024-01-01T00:00:00Z",
+) -> "DataFrame":
+    """(url, wat): one WAT metadata record per SOURCE url — the crawl's
+    link-metadata sidecar (WARC-Type: metadata, application/json payload
+    with the page's outlinks), completing the WARC/WET/WAT egress triple.
+
+    The JSON envelope is built with collect_list(struct) + F.to_json —
+    escaping (quotes, backslashes, control chars in anchor text) is the
+    JVM JSON writer's job, never a hand-rolled concat that would corrupt
+    the first adversarial anchor.  Envelope shape (subset of the Common
+    Crawl WAT layout): {"Envelope": {"WARC-Header-Metadata":
+    {"WARC-Target-URI": url}, "Payload-Metadata": {"Links": [{"url":
+    href, "text": anchor}, ...]}}}.
+
+    Scale: one map-side-combinable collect_list groupBy per page (bounded
+    by per-page outlink count), then a codegen'd projection — the record
+    header is pure concat with octet_length framing (UTF-8 octets, the
+    WET convention)."""
+    from pyspark.sql import functions as F
+
+    per_page = links.groupBy(F.col(url_col).alias("url")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(href_col).alias("url"),
+                    F.col(anchor_col).alias("text"),
+                )
+            )
+        ).alias("Links")
+    )
+    payload = F.to_json(
+        F.struct(
+            F.struct(
+                F.struct(
+                    F.col("url").alias("WARC-Target-URI")
+                ).alias("WARC-Header-Metadata"),
+                F.struct(F.col("Links")).alias("Payload-Metadata"),
+            ).alias("Envelope")
+        )
+    )
+    return per_page.select(
+        "url",
+        F.concat(
+            F.lit("WARC/1.0\r\nWARC-Type: metadata\r\nWARC-Target-URI: "),
+            F.col("url"),
+            F.lit(
+                "\r\nWARC-Date: "
+                + date
+                + "\r\nContent-Type: application/json\r\nContent-Length: "
+            ),
+            F.octet_length(payload).cast("string"),
+            F.lit("\r\n\r\n"),
+            payload,
+            F.lit("\r\n\r\n"),
+        ).alias("wat"),
+    )
+
+
+WAT_LINKS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("link_url", StringType()),
+        StructField("link_text", StringType()),
+    ]
+)
+
+
+def wat_to_links(segments: "DataFrame", data_col: str = "wat") -> "DataFrame":
+    """Flat-map WAT archive segments(wat:binary) → (url, link_url,
+    link_text): the ingestion edge for crawl link metadata.  Content-Length
+    framing via iter_warc_records (non-metadata records skipped), JSON
+    payloads decoded with a real JSON parser — the escaping roundtrip is
+    exact by construction.  Narrow stage, no shuffle."""
+    import json
+    from typing import Iterator as _Iter
+
+    import pandas as pd
+
+    from ..plans.pipeline import ensure_pyfiles
+
+    ensure_pyfiles(segments.sparkSession)
+
+    def explode(batches: "_Iter[pd.DataFrame]") -> "_Iter[pd.DataFrame]":
+        for pdf in batches:
+            rows: dict[str, list] = {"url": [], "link_url": [], "link_text": []}
+            for data in pdf[data_col]:
+                if data is None:
+                    continue
+                for rec in iter_warc_records(bytes(data)):
+                    if rec.warc_type != "metadata":
+                        continue
+                    env = json.loads(rec.payload.decode("utf-8"))["Envelope"]
+                    src = env["WARC-Header-Metadata"]["WARC-Target-URI"]
+                    for link in env["Payload-Metadata"]["Links"]:
+                        rows["url"].append(src)
+                        rows["link_url"].append(link["url"])
+                        rows["link_text"].append(link.get("text"))
+            yield pd.DataFrame(rows)
+
+    return segments.select(data_col).mapInPandas(explode, schema=WAT_LINKS_SCHEMA)
+
+
 WET_DOCS_SCHEMA = StructType(
     [
         StructField("url", StringType()),

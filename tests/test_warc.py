@@ -237,3 +237,42 @@ def test_warc_extraction_e2e(spark):
     }
     assert out["7"] == "alpha beta gamma delta epsilon zeta"
     assert out["8"] == ("日本語の記事の本文 " * 3).strip()
+
+
+def test_wat_roundtrip_adversarial_anchors(spark):
+    """WAT egress → ingestion recovers anchors containing JSON-hostile
+    characters (quote, backslash, newline) and a WARC header look-alike;
+    a non-metadata record in the same segment is skipped."""
+    from pyspark.sql import functions as F
+
+    from contentextractor_spark.sources.warc import (
+        to_wat_records,
+        wat_to_links,
+    )
+
+    links = spark.createDataFrame(
+        [
+            ("u1", "https://a.example/1", 'anch"or\\with\nhostiles'),
+            ("u1", "https://a.example/2", "plain"),
+            ("u2", "https://b.example/", "WARC/1.0 Content-Length: 3"),
+        ],
+        "url string, href string, anchor string",
+    )
+    wat = to_wat_records(links)
+    decoy = (
+        "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: x\r\n"
+        "Content-Length: 5\r\n\r\nhello\r\n\r\n"
+    )
+    seg = wat.agg(
+        F.concat(
+            F.lit(decoy), F.array_join(F.array_sort(F.collect_list("wat")), "")
+        ).alias("txt")
+    ).select(F.encode("txt", "UTF-8").alias("wat"))
+    got = {
+        (r.url, r.link_url): r.link_text for r in wat_to_links(seg).collect()
+    }
+    assert got == {
+        ("u1", "https://a.example/1"): 'anch"or\\with\nhostiles',
+        ("u1", "https://a.example/2"): "plain",
+        ("u2", "https://b.example/"): "WARC/1.0 Content-Length: 3",
+    }
