@@ -333,6 +333,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # small-range correction (micro-nat ln, surprisal convention)
         return A.hll_estimate(_docs(spark, sf_dir), p=8, n=3)
 
+    def hll_by_lang(spark, sf_dir):
+        # per-group sketch-groupBy: distinct 3-gram cardinality estimate
+        # PER LANGUAGE, m=256 registers per group, lang carried through
+        # the gram explode (no corpus join on the Spark side); the exact
+        # integer estimate projection is shared with the global row
+        return A.hll_estimate_by_group(
+            _docs(spark, sf_dir), group_col="lang", p=8, n=3
+        )
+
     def cms_topk(spark, sf_dir):
         # count-min heavy-hitter terms (stop-word / boilerplate detector):
         # 4x512 integer sketch, est >= true one-sided error surfaced by
@@ -2594,6 +2603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": events_funnel,
         "minhash_jaccard_est": minhash_jaccard_est,
         "wat_roundtrip": wat_roundtrip,
+        "hll_by_lang": hll_by_lang,
         "extract_committed": extract_committed,
         "boilerplate_lines": boilerplate_lines,
         "scrub_boilerplate": scrub_boilerplate,
@@ -3213,12 +3223,49 @@ cand AS (
 # 8 hex digits as a 32-bit word (format('{:b}') renders "0" for 0, same as
 # Spark's conv, so the w = 0 convention matches).  Shared by both HLL
 # oracles (parameterize, never copy — r3 helper convention).
-_HLL_H_CTE = (
-    f"h AS (SELECT {_hex_int_sql('md5(g)', 1, 2)} AS register,\n"
-    f"              CAST(33 - length(format('{{:b}}',\n"
-    f"                   {_hex_int_sql('md5(g)', 3, 8)})) AS BIGINT) AS rho\n"
-    f"       FROM gs)"
-)
+def _hll_h_cte(src: str = "gs", extra: str = "") -> str:
+    """(register, rho) CTE over a gram relation — the DuckDB twin of
+    analysis._hll_reg_rho (p=8).  extra: a group column carried through
+    (the per-group sketch)."""
+    sel = f"{extra}, " if extra else ""
+    return (
+        f"h AS (SELECT {sel}{_hex_int_sql('md5(g)', 1, 2)} AS register,\n"
+        f"              CAST(33 - length(format('{{:b}}',\n"
+        f"                   {_hex_int_sql('md5(g)', 3, 8)})) AS BIGINT) AS rho\n"
+        f"       FROM {src})"
+    )
+
+
+_HLL_H_CTE = _hll_h_cte()
+
+
+def _hll_est_tail_sql(keys: str = "") -> str:
+    """s→e→final-select chain over f(n_filled, s_filled[, keys]) — the
+    DuckDB twin of analysis._hll_estimate_projection at m=256.  `keys` is
+    a 'col, ' prefix carried through every stage ('' = the global
+    one-row form); shared by hll_estimate and hll_by_lang so the integer
+    formula cannot drift."""
+    alpha = A._hll_alpha_micro(256)
+    return f"""
+            s AS (SELECT {keys}CAST(256 AS BIGINT) AS m,
+                         CAST(256 - n_filled AS BIGINT) AS n_empty,
+                         CAST(s_filled + (256 - n_filled) * 4294967296
+                              AS BIGINT) AS s_scaled
+                  FROM f),
+            e AS (SELECT {keys}m, n_empty, s_scaled,
+                         CAST(({alpha}
+                               * ((256 * 256 * 4294967296) // s_scaled))
+                              // 1000000 AS BIGINT) AS est_hll,
+                         CAST(CASE WHEN n_empty > 0 THEN
+                              (256 * CAST(floor(1000000 *
+                                   ln(256 / CAST(n_empty AS DOUBLE)))
+                                   AS BIGINT)) // 1000000
+                              END AS BIGINT) AS est_linear
+                  FROM s)
+            SELECT {keys}m, n_empty, s_scaled, est_hll, est_linear,
+                   CAST(CASE WHEN n_empty > 0 AND est_hll <= 640
+                        THEN est_linear ELSE est_hll END AS BIGINT) AS est
+            FROM e"""
 
 # 48-bit simhash fingerprint + 4-band × 12-bit slices, shared by the
 # simhash / simhash_neardup_pairs / simhash_overflow / curation_v3 oracles —
@@ -4480,26 +4527,21 @@ def oracle_sql() -> dict[str, str]:
             f AS (SELECT count(*) AS n_filled,
                          CAST(sum(CAST(pow(2, 32 - max_rho) AS BIGINT))
                               AS BIGINT) AS s_filled
-                  FROM regs),
-            s AS (SELECT CAST(256 AS BIGINT) AS m,
-                         CAST(256 - n_filled AS BIGINT) AS n_empty,
-                         CAST(s_filled + (256 - n_filled) * 4294967296
-                              AS BIGINT) AS s_scaled
-                  FROM f),
-            e AS (SELECT m, n_empty, s_scaled,
-                         CAST(({A._hll_alpha_micro(256)}
-                               * ((256 * 256 * 4294967296) // s_scaled))
-                              // 1000000 AS BIGINT) AS est_hll,
-                         CAST(CASE WHEN n_empty > 0 THEN
-                              (256 * CAST(floor(1000000 *
-                                   ln(256 / CAST(n_empty AS DOUBLE)))
-                                   AS BIGINT)) // 1000000
-                              END AS BIGINT) AS est_linear
-                  FROM s)
-            SELECT m, n_empty, s_scaled, est_hll, est_linear,
-                   CAST(CASE WHEN n_empty > 0 AND est_hll <= 640
-                        THEN est_linear ELSE est_hll END AS BIGINT) AS est
-            FROM e
+                  FROM regs),{_hll_est_tail_sql()}
+        """,
+        # per-group HLL: the group column rides through the gram stream
+        # (oracle joins back to documents; same grouped max / estimate)
+        "hll_by_lang": f"""
+            WITH {_gram_occ_cte()},
+            gl AS (SELECT d.lang AS lang, gs.g AS g
+                   FROM gs JOIN documents d USING (doc_id)),
+            {_hll_h_cte(src="gl", extra="lang")},
+            regs AS (SELECT lang, register, max(rho) AS max_rho
+                     FROM h GROUP BY lang, register),
+            f AS (SELECT lang, count(*) AS n_filled,
+                         CAST(sum(CAST(pow(2, 32 - max_rho) AS BIGINT))
+                              AS BIGINT) AS s_filled
+                  FROM regs GROUP BY lang),{_hll_est_tail_sql("lang, ")}
         """,
         "cms_topk": f"""
             WITH {_gram_occ_cte(n=1)},

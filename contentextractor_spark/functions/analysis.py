@@ -1231,8 +1231,14 @@ def dedup_exact(docs: DataFrame) -> DataFrame:
     ).withColumn("is_duplicate", (F.col("copy_rank") > 1).cast("int"))
 
 
-def _gram_stream(src: DataFrame, n: int, with_pos: bool = False) -> DataFrame:
-    """(doc_id[, pos], g): the exploded word n-gram stream of `text`.
+def _gram_stream(
+    src: DataFrame,
+    n: int,
+    with_pos: bool = False,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """(doc_id[, *carry][, pos], g): the exploded word n-gram stream of
+    `text`.
 
     Built WITHOUT higher-order lambdas (measured r3, sf0.1 noop: the
     transform-based gram array costs 5.1 s where this form costs 0.8 —
@@ -1241,14 +1247,19 @@ def _gram_stream(src: DataFrame, n: int, with_pos: bool = False) -> DataFrame:
     stream, and assemble the gram with a codegen'd row-level concat_ws
     AFTER the explode.  Tail structs whose last field is null (incomplete
     n-tuples) are filtered out; intermediate fields can't be null because
-    the zipped arrays are suffixes of the same word array."""
+    the zipped arrays are suffixes of the same word array.
+
+    carry: extra src columns to keep on every gram row (e.g. a group key
+    for per-group sketches) — riding them through the explode is free,
+    where a join back to src on doc_id would add a corpus-wide shuffle."""
+    keep = ["doc_id", *carry]
     words = F.split(F.col("text"), " ")
     if n == 1:
         if with_pos:
             return src.select(
-                "doc_id", F.posexplode(words).alias("pos", "g")
+                *keep, F.posexplode(words).alias("pos", "g")
             )
-        return src.select("doc_id", F.explode(words).alias("g"))
+        return src.select(*keep, F.explode(words).alias("g"))
     arrs = [words] + [
         F.slice(words, i + 1, F.greatest(F.size(words) - i, F.lit(1)))
         for i in range(1, n)
@@ -1258,14 +1269,14 @@ def _gram_stream(src: DataFrame, n: int, with_pos: bool = False) -> DataFrame:
     filtered = src.filter(F.size(words) >= n)
     if with_pos:
         exploded = filtered.select(
-            "doc_id", F.posexplode(z).alias("pos", "s")
+            *keep, F.posexplode(z).alias("pos", "s")
         )
         return exploded.filter(fields[n - 1].isNotNull()).select(
-            "doc_id", "pos", F.concat_ws(" ", *fields).alias("g")
+            *keep, "pos", F.concat_ws(" ", *fields).alias("g")
         )
-    exploded = filtered.select("doc_id", F.explode(z).alias("s"))
+    exploded = filtered.select(*keep, F.explode(z).alias("s"))
     return exploded.filter(fields[n - 1].isNotNull()).select(
-        "doc_id", F.concat_ws(" ", *fields).alias("g")
+        *keep, F.concat_ws(" ", *fields).alias("g")
     )
 
 
@@ -4855,11 +4866,24 @@ def hll_estimate(docs: DataFrame, p: int = 8, n: int = 3) -> DataFrame:
         F.count(F.lit(1)).alias("n_filled"),
         F.sum(F.expr("cast(pow(2, 32 - max_rho) as bigint)")).alias("s_filled"),
     )
+    return _hll_estimate_projection(filled, m, alpha, keys=[])
+
+
+def _hll_estimate_projection(
+    filled: DataFrame, m: int, alpha: int, keys: list[str]
+) -> DataFrame:
+    """The integer HLL estimate formula over a (n_filled, s_filled) frame
+    — ONE definition shared by the global estimate and the per-group
+    variant so the micro-unit arithmetic (and its overflow-safe division
+    order) cannot drift between them.  `keys` are group columns carried
+    through unchanged (empty for the global one-row form)."""
     return filled.select(
+        *keys,
         F.lit(m).cast("long").alias("m"),
         (F.lit(m) - F.col("n_filled")).cast("long").alias("n_empty"),
         F.expr(f"s_filled + ({m} - n_filled) * 4294967296").alias("s_scaled"),
     ).select(
+        *keys,
         "m",
         "n_empty",
         "s_scaled",
@@ -4872,6 +4896,7 @@ def hll_estimate(docs: DataFrame, p: int = 8, n: int = 3) -> DataFrame:
             f" div 1000000 else null end"
         ).alias("est_linear"),
     ).select(
+        *keys,
         "m",
         "n_empty",
         "s_scaled",
@@ -4882,6 +4907,44 @@ def hll_estimate(docs: DataFrame, p: int = 8, n: int = 3) -> DataFrame:
             f" then est_linear else est_hll end"
         ).alias("est"),
     )
+
+
+def hll_registers_by_group(
+    docs: DataFrame, group_col: str = "lang", p: int = 8, n: int = 3
+) -> DataFrame:
+    """Per-group HyperLogLog register table: (group, register, max_rho) —
+    the sketch-groupBy you run at 100 TB instead of exact distinct-per-
+    group (distinct n-grams per language / per host): m = 2^p rows PER
+    GROUP however large the corpus, mergeable across crawls by the same
+    groupBy(group, register).agg(max).
+
+    The group column rides through the gram explode (_gram_stream carry=)
+    — no join back to the corpus; the exchange carries at most
+    groups × m rows per mapper after map-side combine."""
+    reg, rho = _hll_reg_rho(p)
+    gs = _gram_stream(docs, n, carry=(group_col,))
+    return (
+        gs.select(group_col, reg.alias("register"), rho.alias("rho"))
+        .groupBy(group_col, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_estimate_by_group(
+    docs: DataFrame, group_col: str = "lang", p: int = 8, n: int = 3
+) -> DataFrame:
+    """Per-group HLL cardinality estimates — hll_estimate's exact integer
+    formula (shared projection) applied per group of
+    hll_registers_by_group.  One output row per group; same small-range
+    linear-counting switch per group."""
+    m = 1 << p
+    alpha = _hll_alpha_micro(m)
+    regs = hll_registers_by_group(docs, group_col=group_col, p=p, n=n)
+    filled = regs.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_filled"),
+        F.sum(F.expr("cast(pow(2, 32 - max_rho) as bigint)")).alias("s_filled"),
+    )
+    return _hll_estimate_projection(filled, m, alpha, keys=[group_col])
 
 
 def _cms_cells(d: int, w: int):

@@ -199,3 +199,52 @@ def test_bpe_refuses_above_merge_bound(spark, monkeypatch):
     got = [(r["step"], r["left"], r["right"])
            for r in A.bpe_merges(docs, n_merges=2, force=True).collect()]
     assert got == [(1, "a", "a"), (2, "a", "b")]
+
+
+def test_hll_by_group_accuracy_and_merge(spark):
+    """Per-group estimates land within 3 sigma (1.04/sqrt(m)) of each
+    group's exact distinct 3-gram count, and the grouped register table
+    merges by groupBy(max) exactly like the global one."""
+    from pyspark.sql import functions as F
+
+    from contentextractor_spark.functions.analysis import (
+        hll_estimate_by_group,
+        hll_registers_by_group,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    est = {
+        r.lang: r.est
+        for r in hll_estimate_by_group(docs, "lang", p=8, n=3).collect()
+    }
+    exact = {
+        r.lang: r.d
+        for r in docs.select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(split(text,' '))-3),"
+                    " i -> concat_ws(' ', slice(split(text,' '), i+1, 3)))"
+                )
+            ).alias("g"),
+        )
+        .groupBy("lang")
+        .agg(F.countDistinct("g").alias("d"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for lang, d in exact.items():
+        sigma = 1.04 / (256 ** 0.5)
+        assert abs(est[lang] - d) <= 3 * sigma * d + 3, (lang, est[lang], d)
+    # mergeability: register tables from two halves union+max to the whole
+    regs_all = hll_registers_by_group(docs, "lang", p=8, n=3)
+    lo = hll_registers_by_group(docs.filter("doc_id % 2 = 0"), "lang", p=8, n=3)
+    hi = hll_registers_by_group(docs.filter("doc_id % 2 = 1"), "lang", p=8, n=3)
+    merged = (
+        lo.unionAll(hi)
+        .groupBy("lang", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, regs_all.collect())
+    )
