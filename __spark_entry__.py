@@ -1406,6 +1406,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "link_text",
         )
 
+    def jsonl_roundtrip(spark, sf_dir):
+        # columnar JSONL serde roundtrip (to_json -> from_json, both
+        # codegen'd JVM-side): every 7th doc's text gains a quote,
+        # backslash, tab and newline so the hash pins REAL JSON escaping
+        # in both directions (a naive concat writer or regex parser
+        # corrupts those rows)
+        from contentextractor_spark.sources.io import (
+            docs_to_jsonl,
+            jsonl_to_docs,
+        )
+
+        docs = _docs(spark, sf_dir)
+        hostile = F.when(
+            F.pmod("doc_id", 7) == 0,
+            F.lit(' quote:" backslash:\\ tab:\t nl:\n done'),
+        ).otherwise(F.lit(""))
+        src = docs.select(
+            "doc_id", "lang", F.concat(F.col("text"), hostile).alias("text")
+        )
+        out = jsonl_to_docs(
+            docs_to_jsonl(src), "doc_id bigint, lang string, text string"
+        )
+        return out
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -2604,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_jaccard_est": minhash_jaccard_est,
         "wat_roundtrip": wat_roundtrip,
         "hll_by_lang": hll_by_lang,
+        "jsonl_roundtrip": jsonl_roundtrip,
         "extract_committed": extract_committed,
         "boilerplate_lines": boilerplate_lines,
         "scrub_boilerplate": scrub_boilerplate,
@@ -5663,6 +5688,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST((matches * 1000000) // 4 AS BIGINT)
                        AS est_jaccard_micro
             FROM m
+        """,
+        # JSONL serde roundtrip: identity + the planted hostile suffix
+        "jsonl_roundtrip": """
+            SELECT doc_id, lang,
+                   text || CASE WHEN doc_id % 7 = 0
+                                THEN ' quote:" backslash:\\ tab:' || chr(9)
+                                     || ' nl:' || chr(10) || ' done'
+                                ELSE '' END AS text
+            FROM documents
         """,
         # WAT roundtrip must recover the PRE-JSON anchor strings exactly —
         # quote+backslash prefix, affine hrefs, %9 WARC-lookalike suffix

@@ -120,6 +120,31 @@ def write_fortest_xml(
         f.write(fortest_xml(rows))
 
 
+def docs_to_jsonl(
+    docs: DataFrame, cols: tuple[str, ...] = ("doc_id", "lang", "text")
+) -> DataFrame:
+    """(line): one JSON object string per document — the columnar form of
+    the JSONL exchange format every training loader reads.  F.to_json on
+    a struct, so escaping (quotes, backslashes, newlines, unicode) is the
+    JVM JSON writer's job and the projection stays in whole-stage codegen;
+    write the column with the text sink and the output is valid JSONL.
+    Pair with write_training_shards for the file-level egress."""
+    return docs.select(
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("line")
+    )
+
+
+def jsonl_to_docs(lines: DataFrame, schema: str) -> DataFrame:
+    """(…schema columns): parse a JSONL line column back into typed
+    columns — F.from_json (JVM Jackson parser, codegen'd), the ingestion
+    edge for JSONL corpora when they arrive as a column rather than files
+    (spark.read.json covers the file case).  Malformed lines yield a
+    null struct → null columns, never an executor crash."""
+    return lines.select(
+        F.from_json(F.col("line"), schema).alias("r")
+    ).select("r.*")
+
+
 def write_training_shards(
     docs: DataFrame,
     path: str,

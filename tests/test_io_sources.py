@@ -170,3 +170,24 @@ def test_wet_roundtrip_framing_and_type_filter(spark):
     seg2 = spark.createDataFrame([(mixed + wet_bytes,)], "wet binary")
     got2 = {r["url"] for r in wet_to_docs(seg2).collect()}
     assert got2 == {"u1", "u2", "u3"}
+
+
+def test_jsonl_serde_hostiles_and_malformed(spark):
+    from contentextractor_spark.sources.io import docs_to_jsonl, jsonl_to_docs
+
+    docs = spark.createDataFrame(
+        [(1, "en", 'a"b\\c\td\ne'), (2, "ja", "日本語")],
+        "doc_id bigint, lang string, text string",
+    )
+    lines = docs_to_jsonl(docs)
+    out = {
+        r.doc_id: (r.lang, r.text)
+        for r in jsonl_to_docs(
+            lines, "doc_id bigint, lang string, text string"
+        ).collect()
+    }
+    assert out == {1: ("en", 'a"b\\c\td\ne'), 2: ("ja", "日本語")}
+    # malformed lines become null columns, never an executor crash
+    bad = spark.createDataFrame([("{not json",)], "line string")
+    rows = jsonl_to_docs(bad, "doc_id bigint, text string").collect()
+    assert len(rows) == 1 and rows[0].doc_id is None and rows[0].text is None
