@@ -2599,6 +2599,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return base.unionByName(copies).unionByName(copies2)
 
+    def _editdist_corpus(spark, sf_dir):
+        # short ASCII strings over an a-j alphabet: base = 'qq' +
+        # letter-mapped 5 digits of (doc_id*37)%100000 (injective below
+        # 100k docs — no accidental exact dups in the base); every %10
+        # doc gets a 1-SUBSTITUTION twin (+1000000, 'z' at position 4 —
+        # 'z' is outside the alphabet so the edit is always real) and
+        # every %20 doc a 1-DELETION twin (+2000000, drops position 5).
+        # sub-vs-del distance is 2, so max_d=1 must exclude that pair;
+        # the shared 'qq' prefix makes gram 'qq' corpus-frequent — the
+        # rarest-first prefix order must push it last.  Value deltas of
+        # one digit also create ACCIDENTAL dist-1 base pairs, and two
+        # bases differing only in digit 2 collapse to IDENTICAL
+        # substitution twins (dist 0) — both legitimate outputs.
+        docs = _docs(spark, sf_dir)
+        base = docs.select(
+            "doc_id",
+            F.expr(
+                "concat('qq', translate(lpad(cast((doc_id*37) % 100000 "
+                "as string), 5, '0'), '0123456789', 'abcdefghij'))"
+            ).alias("text"),
+        )
+        subs = base.filter(F.pmod("doc_id", 10) == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.expr(
+                "concat(substring(text, 1, 3), 'z', substring(text, 5))"
+            ).alias("text"),
+        )
+        dels = base.filter(F.pmod("doc_id", 20) == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.expr(
+                "concat(substring(text, 1, 4), substring(text, 6))"
+            ).alias("text"),
+        )
+        return base.unionByName(subs).unionByName(dels)
+
+    def editdist_pairs(spark, sf_dir):
+        # r5 session-3: EXACT edit-distance similarity join (ED-Join
+        # q-gram prefix filter) — the oracle is the naive length-banded
+        # levenshtein self-join, so a lossy prefix (wrong L, wrong gram
+        # order, broken count filter) drops a pair and breaks the hash
+        return A.editdist_pairs(_editdist_corpus(spark, sf_dir), max_d=1, q=2)
+
     def jaccard_prefix(spark, sf_dir):
         # r5 session-2: EXACT set-similarity join (PPJoin prefix filter)
         # — the brute-force oracle finds every true pair, so the zero-
@@ -2623,6 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "editdist_pairs": editdist_pairs,
         "hits_links": hits_links,
         "events_funnel": events_funnel,
         "minhash_jaccard_est": minhash_jaccard_est,
@@ -4014,6 +4057,33 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_prefix": f"""
             WITH {_prefix_pairs_ctes()}
             SELECT doc_a, doc_b, intersection, union_sz FROM p
+        """,
+        # r5 session-3 exact edit-distance join: the oracle is the naive
+        # length-banded levenshtein self-join — the Spark side only ever
+        # joins ED-Join PREFIX q-grams, so any lossy filtering (prefix
+        # length, gram order, count/length filters) breaks the hash
+        "editdist_pairs": """
+            WITH src AS (
+              SELECT doc_id,
+                     'qq' || translate(lpad(CAST((doc_id*37) % 100000
+                                            AS VARCHAR), 5, '0'),
+                                       '0123456789', 'abcdefghij') AS t
+              FROM documents),
+            allr AS (
+              SELECT doc_id, t FROM src
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     substr(t, 1, 3) || 'z' || substr(t, 5)
+              FROM src WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, substr(t, 1, 4) || substr(t, 6)
+              FROM src WHERE doc_id % 20 = 0)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+            FROM allr a JOIN allr b
+              ON a.doc_id < b.doc_id
+             AND length(b.t) BETWEEN length(a.t) - 1 AND length(a.t) + 1
+            WHERE levenshtein(a.t, b.t) <= 1
         """,
         # r5 session-2 exact-edge dedup clustering: brute-force pairs →
         # symmetric+transitive closure → min-id components over the full

@@ -376,6 +376,89 @@ def quality_filter(
     )
 
 
+def hashed_linear_score(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    threshold_micro: int = 0,
+) -> DataFrame:
+    """(doc_id, n_feats, score_micro, keep): fastText-style hashed linear
+    model scoring — the mechanism behind model-based quality filtering
+    (DCLM / fastText classifiers): word unigram + bigram features are
+    hashed into n_buckets with the hashing trick, each bucket carries a
+    weight, and the doc score is the mean feature weight.  The weights
+    here are md5-derived integer micro-units (a deterministic stand-in —
+    the DELIVERABLE is the scoring plan: swap the range-derived weight
+    table for a trained model's and nothing else changes).
+
+    Scale design: the weight table is O(n_buckets) rows built from
+    spark.range and BROADCAST to the feature stream (never a shuffle on
+    the corpus side); features are one md5 + pmod per exploded gram (all
+    codegen — no interpreted lambdas, grams via _gram_stream); the score
+    is one map-side-combinable groupBy(sum, count).  Integer end to end:
+    weight = hex_int(md5('w:'||bucket), 8 digits) % 2001 − 1000 micro
+    units ∈ [−1000, 1000]; the signed mean uses the offset trick
+    ((s + 1000·n) div n − 1000 — Spark div truncates toward zero, DuckDB
+    // floors, they agree only on non-negatives: the r4 lesson).
+
+    Feature normalization is engine-exact by construction: strip every
+    non-ASCII-alnum run to one space (same regex both engines), THEN
+    lowercase — lower() on pure ASCII is identical everywhere, so unicode
+    case-folding differences can never leak into the hash.  Docs whose
+    text normalizes to empty have no features and are excluded."""
+    norm = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.trim(
+                F.lower(F.regexp_replace("text", "[^A-Za-z0-9]+", " "))
+            ).alias("text"),
+        )
+        .filter(F.col("text") != "")
+    )
+    feats = _gram_stream(norm, 1).unionByName(_gram_stream(norm, 2))
+    fb = feats.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+    spark = docs.sparkSession
+    weights = spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit("w:"), F.col("id").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(2001),
+            )
+            - 1000
+        ).alias("w_micro"),
+    )
+    agg = (
+        fb.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w_micro").alias("__s"),
+        )
+    )
+    score = F.expr("(__s + 1000 * n_feats) div n_feats - 1000")
+    return agg.select(
+        "doc_id",
+        "n_feats",
+        score.cast("long").alias("score_micro"),
+        (score >= threshold_micro).cast("int").alias("keep"),
+    )
+
+
 def inverted_index(
     docs: DataFrame,
     min_df: int = 1,
@@ -2183,6 +2266,205 @@ def jaccard_prefix_overflow(
         ranked.withColumn("__rn", F.row_number().over(w))
         .filter((F.col("__rn") <= p) & (F.col("df") > max_prefix_df))
         .select("tok", "df")
+        .distinct()
+    )
+
+
+def _editdist_grams(
+    docs: DataFrame, q: int, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, glen, gram) distinct positional-free q-gram stream with a
+    PER-ROW raise_error refusal for strings shorter than q — a string with
+    zero q-grams can never meet a join partner, so admitting one would
+    silently lose its pairs (the paragraph_dedup refusal contract).
+    glen = number of DISTINCT q-grams of the string (the count-filter
+    denominator)."""
+    grams = docs.select(
+        "doc_id",
+        F.when(
+            F.length(text_col) < q,
+            F.raise_error(
+                F.lit(
+                    f"editdist_pairs: a string shorter than q={q} has no "
+                    "q-grams and would silently lose every pair — filter "
+                    "short strings out or lower q"
+                )
+            ).cast("int"),
+        )
+        .otherwise(F.length(text_col) - q + 1)
+        .alias("__n"),
+        F.col(text_col).alias("__t"),
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform(sequence(1, __n), i -> substring(__t, i, {q}))")
+        ).alias("gram"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("glen"))
+    return grams.join(sizes, "doc_id")
+
+
+def editdist_pairs(
+    docs: DataFrame,
+    max_d: int = 1,
+    q: int = 2,
+    max_prefix_df: int | None = None,
+    text_col: str = "text",
+    max_short: int = 10_000,
+    *,
+    force: bool = False,
+) -> DataFrame:
+    """(doc_a, doc_b, dist): EVERY pair of strings within Levenshtein edit
+    distance ≤ max_d — EXACT, the string-edit sibling of
+    jaccard_prefix_pairs.  The scale trick is the ED-Join q-gram prefix
+    filter (Gravano et al. VLDB'01 count filtering; Xiao et al. PVLDB'08
+    prefix form): one edit destroys at most q of a string's q-grams, so
+    under set semantics |grams(a) \\ grams(b)| ≤ q·max_d whenever
+    ed(a,b) ≤ max_d, and two qualifying strings MUST share a gram within
+    their first L = q·max_d + 1 grams under one strict global gram order
+    (document-frequency ASC, gram ASC — rarest first).  Only prefix grams
+    are self-joined; survivors pass (1) the length filter
+    |len_a − len_b| ≤ max_d, (2) the count filter
+    |common grams| ≥ max(glen_a, glen_b) − q·max_d via one per-pair
+    array_intersect (the jaccard_prefix verify shape — row volume stays
+    |candidates|), and (3) the exact levenshtein(a, b) ≤ max_d verify —
+    Spark's levenshtein is codegen'd JVM with an early-exit threshold
+    form, and agrees with DuckDB's on every codepoint (both count unicode
+    codepoints; the oracle fixture stays ASCII regardless).
+
+    The prefix guarantee needs ≥ L DISTINCT grams per string — a
+    repetitive string ('aaaaa' has ONE distinct 3-gram) can sit within
+    distance d of a gram-disjoint partner (found by the brute-force
+    parity test, q=3/d=2), so strings with glen < L are routed through an
+    exact LENGTH-BANDED side path instead: each short string joins every
+    string whose length is within max_d (2·max_d+1 equality joins via a
+    sequence explode) and goes straight to the levenshtein verify.  Both
+    paths are lossless; their union is the exact answer.  The short side
+    is guarded with the knn_bruteforce limit-probe refusal (max_short,
+    force=True to override) because its candidate volume is
+    |short| × strings-per-length-band.
+
+    Scale: candidate volume is Σ_prefix-grams df² with prefixes holding
+    each string's RAREST grams — a shared boilerplate prefix ('qq…') lands
+    at the END of the order and never joins.  This targets SHORT strings
+    (titles, URLs, entity names); for document bodies use the shingle
+    producers.  Skew guard: max_prefix_df drops prefix grams with df
+    above the cap from BOTH sides (jaccard_prefix loud-cap convention —
+    editdist_overflow discloses the dropped grams; a pair is lost only if
+    EVERY shared prefix gram is capped)."""
+    if max_d < 1:
+        raise ValueError(f"max_d must be >= 1: {max_d}")
+    grams = _editdist_grams(docs, q, text_col)
+    lens = docs.select("doc_id", F.length(text_col).alias("len"))
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = grams.join(freq, "gram")
+    L = q * max_d + 1
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    pref = (
+        ranked.filter(F.col("glen") >= L)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= L)
+    )
+    if max_prefix_df is not None:
+        pref = pref.filter(F.col("df") <= max_prefix_df)
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("glen").alias("glen_a"), "gram"
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("glen").alias("glen_b"), "gram"
+    )
+    la = lens.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a"))
+    lb = lens.select(F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b"))
+    cand = (
+        pa.join(pb, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "glen_a", "glen_b")
+        .distinct()
+        .join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_d)
+    )
+    arrs = grams.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("gram")).alias("__arr")
+    )
+    counted = (
+        cand.join(
+            arrs.select(F.col("doc_id").alias("doc_a"), F.col("__arr").alias("__ga")),
+            "doc_a",
+        )
+        .join(
+            arrs.select(F.col("doc_id").alias("doc_b"), F.col("__arr").alias("__gb")),
+            "doc_b",
+        )
+        .filter(
+            F.size(F.array_intersect("__ga", "__gb"))
+            >= F.greatest("glen_a", "glen_b") - q * max_d
+        )
+        .select("doc_a", "doc_b")
+    )
+    # short path: strings whose DISTINCT gram count is below L get no
+    # prefix guarantee — length-band join against the whole corpus
+    short_ids = (
+        grams.select("doc_id", "glen").distinct().filter(F.col("glen") < L)
+    )
+    if not force:
+        _refuse_above(
+            short_ids,
+            max_short,
+            "editdist_pairs (short/repetitive-string side path)",
+            "Raise max_short, lower q, or pre-filter repetitive strings",
+        )
+    shorts = short_ids.join(lens, "doc_id").select(
+        F.col("doc_id").alias("__sid"),
+        F.explode(
+            F.sequence(F.col("len") - max_d, F.col("len") + max_d)
+        ).alias("len"),
+    )
+    short_cand = (
+        shorts.join(lens, "len")
+        .filter(F.col("__sid") != F.col("doc_id"))
+        .select(
+            F.least("__sid", "doc_id").alias("doc_a"),
+            F.greatest("__sid", "doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    ta = docs.select(F.col("doc_id").alias("doc_a"), F.col(text_col).alias("__ta"))
+    tb = docs.select(F.col("doc_id").alias("doc_b"), F.col(text_col).alias("__tb"))
+    return (
+        counted.unionByName(short_cand)
+        .distinct()
+        .join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("__ta", "__tb").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_d)
+    )
+
+
+def editdist_overflow(
+    docs: DataFrame,
+    max_d: int = 1,
+    q: int = 2,
+    max_prefix_df: int = 100,
+    text_col: str = "text",
+) -> DataFrame:
+    """(gram, df): prefix grams editdist_pairs DROPS under max_prefix_df —
+    the loud-cap companion (jaccard_prefix convention).  A pair is lost
+    only if EVERY shared prefix gram is listed here; empty ⇒ the capped
+    run was still exact."""
+    grams = _editdist_grams(docs, q, text_col)
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = grams.join(freq, "gram")
+    L = q * max_d + 1
+    w = Window.partitionBy("doc_id").orderBy("df", "gram")
+    return (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") <= L) & (F.col("df") > max_prefix_df))
+        .select("gram", "df")
         .distinct()
     )
 
