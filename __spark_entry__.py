@@ -2599,6 +2599,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return base.unionByName(copies).unionByName(copies2)
 
+    def hashed_linear_score(spark, sf_dir):
+        # r5 session-3: fastText-style hashed linear model scoring — the
+        # hashing-trick + broadcast-weight-join + integer-mean mechanism
+        # behind model-based quality filters (weights are md5-derived
+        # stand-ins; the plan is what a trained model would ride)
+        return A.hashed_linear_score(
+            _docs(spark, sf_dir), n_buckets=4096, threshold_micro=0
+        )
+
     def _editdist_corpus(spark, sf_dir):
         # short ASCII strings over an a-j alphabet: base = 'qq' +
         # letter-mapped 5 digits of (doc_id*37)%100000 (injective below
@@ -2666,6 +2675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
         "editdist_pairs": editdist_pairs,
+        "hashed_linear_score": hashed_linear_score,
         "hits_links": hits_links,
         "events_funnel": events_funnel,
         "minhash_jaccard_est": minhash_jaccard_est,
@@ -4057,6 +4067,44 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_prefix": f"""
             WITH {_prefix_pairs_ctes()}
             SELECT doc_a, doc_b, intersection, union_sz FROM p
+        """,
+        # r5 session-3 hashed linear scorer: the oracle replays the full
+        # hashing-trick pipeline — ASCII normalization, unigram+bigram
+        # features, md5 bucket, md5-derived weight table, offset-trick
+        # integer mean — so any drift in normalization, feature set, hash
+        # or signed-mean arithmetic breaks the hash
+        "hashed_linear_score": f"""
+            WITH norm AS (
+              SELECT doc_id,
+                     trim(lower(regexp_replace(text, '[^A-Za-z0-9]+',
+                                               ' ', 'g'))) AS t
+              FROM documents WHERE text IS NOT NULL),
+            nz AS (SELECT doc_id, string_split(t, ' ') AS ws
+                   FROM norm WHERE t <> ''),
+            feats AS (
+              SELECT doc_id, unnest(ws) AS g FROM nz
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1])) AS g
+              FROM nz WHERE len(ws) >= 2),
+            fb AS (SELECT doc_id,
+                          {_hex_int_sql("md5(g)", 1, 8)} % 4096 AS bucket
+                   FROM feats),
+            wt AS (SELECT CAST(i AS BIGINT) AS bucket,
+                          ({_hex_int_sql("md5('w:' || i)", 1, 8)} % 2001)
+                              - 1000 AS w
+                   FROM generate_series(0, 4095) AS s(i)),
+            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                           sum(w) AS s
+                    FROM fb JOIN wt USING (bucket) GROUP BY doc_id)
+            SELECT doc_id, n_feats,
+                   CAST((s + 1000 * n_feats) // n_feats - 1000
+                        AS BIGINT) AS score_micro,
+                   CAST(CASE WHEN (s + 1000 * n_feats) // n_feats - 1000
+                                  >= 0
+                        THEN 1 ELSE 0 END AS INT) AS keep
+            FROM agg
         """,
         # r5 session-3 exact edit-distance join: the oracle is the naive
         # length-banded levenshtein self-join — the Spark side only ever
