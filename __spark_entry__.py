@@ -2599,6 +2599,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return base.unionByName(copies).unionByName(copies2)
 
+    def epoch_shuffle(spark, sf_dir):
+        # r5 session-3: seeded global-shuffle plan for a training epoch —
+        # md5 permutation, hash shard, within-shard rank
+        return A.epoch_shuffle_plan(_docs(spark, sf_dir), n_shards=16)
+
+    def group_sample(spark, sf_dir):
+        # r5 session-3: deterministic fixed-k per-group sample (md5-rank)
+        return A.group_topk_sample(_docs(spark, sf_dir), k=7)
+
     def hashed_linear_score(spark, sf_dir):
         # r5 session-3: fastText-style hashed linear model scoring — the
         # hashing-trick + broadcast-weight-join + integer-mean mechanism
@@ -2676,6 +2685,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new this round):
         "editdist_pairs": editdist_pairs,
         "hashed_linear_score": hashed_linear_score,
+        "epoch_shuffle": epoch_shuffle,
+        "group_sample": group_sample,
         "hits_links": hits_links,
         "events_funnel": events_funnel,
         "minhash_jaccard_est": minhash_jaccard_est,
@@ -4067,6 +4078,33 @@ def oracle_sql() -> dict[str, str]:
         "jaccard_prefix": f"""
             WITH {_prefix_pairs_ctes()}
             SELECT doc_a, doc_b, intersection, union_sz FROM p
+        """,
+        # r5 session-3 epoch shuffle: the oracle replays the md5
+        # permutation + hash shard + within-shard rank — hex keys compare
+        # identically as ASCII in both engines
+        "epoch_shuffle": f"""
+            WITH keyed AS (
+              SELECT doc_id, md5('epoch0:' || doc_id) AS k,
+                     {_hex_int_sql("md5('epoch0:' || doc_id)", 1, 8)} % 16
+                         AS shard
+              FROM documents)
+            SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY shard
+                                           ORDER BY k, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM keyed
+        """,
+        # r5 session-3 fixed-k per-group sample: md5-rank permutation,
+        # rank kept so callers can tighten k without resampling
+        "group_sample": """
+            WITH r AS (
+              SELECT doc_id, lang,
+                     CAST(row_number() OVER (
+                          PARTITION BY lang
+                          ORDER BY md5('sample0:' || doc_id), doc_id)
+                          AS BIGINT) AS rk
+              FROM documents)
+            SELECT doc_id, lang, rk FROM r WHERE rk <= 7
         """,
         # r5 session-3 hashed linear scorer: the oracle replays the full
         # hashing-trick pipeline — ASCII normalization, unigram+bigram

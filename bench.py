@@ -131,6 +131,14 @@ BAND_MAX_S = {
     "url_templates": 3.0,
     "lang_profile": 3.5,
     "containment_pairs": 11.0,
+    # r5 session-3b: editdist warm-session persist A/B 4.5/6.4/12.6 s
+    # (persist wins every round: nopersist 8.0/17.9/35.9); the dense
+    # a-j gram alphabet of the fixture makes candidate volume the cost.
+    # linear_score warm 3.1-3.7 (cold-first 10.6); shuffle/sample sub-1s
+    "editdist_pairs": 15.0,
+    "hashed_linear_score": 8.0,
+    "epoch_shuffle": 2.5,
+    "group_sample": 2.5,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -365,6 +373,10 @@ def main() -> None:
         "url_templates": lambda: force(_entry_q("url_templates")),
         "lang_profile": lambda: force(_entry_q("lang_profile")),
         "containment_pairs": lambda: _run_containment(),
+        "editdist_pairs": lambda: force(_entry_q("editdist_pairs")),
+        "hashed_linear_score": lambda: force(_entry_q("hashed_linear_score")),
+        "epoch_shuffle": lambda: force(_entry_q("epoch_shuffle")),
+        "group_sample": lambda: force(_entry_q("group_sample")),
     }
 
     def _entry_q(name):

@@ -1208,6 +1208,70 @@ def train_split_assign(
     )
 
 
+def epoch_shuffle_plan(
+    docs: DataFrame, n_shards: int = 64, seed: str = "epoch0"
+) -> DataFrame:
+    """(doc_id, shard, pos): a seeded GLOBAL SHUFFLE plan for one training
+    epoch — the ordering op write_training_shards deliberately lacks (it
+    orders by doc_id for resume identity; a training run also needs epoch
+    order DECORRELATED from ingest order so consecutive batches don't
+    share a crawl host or date).  key = md5(seed:doc_id) is a
+    deterministic pseudo-random permutation: shard = first-8-hex-digits
+    integer % n_shards (even in expectation), pos = rank of key within
+    the shard.  Reshuffling an epoch = change the seed; reproducing one =
+    reuse it — never rand() (the train_split_assign rule).
+
+    Scale: ONE hash-partitioned exchange on shard + a within-partition
+    sort (the window partitions by shard, so no global sort and no
+    single-partition choke); everything else is a narrow md5 projection.
+    Cross-engine exactness: hex strings compare identically as ASCII in
+    Spark and DuckDB, and keys are unique per doc (doc_id is appended to
+    the ORDER BY as a formal tiebreak anyway)."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"), F.lit(n_shards)
+    )
+    keyed = docs.select(
+        "doc_id", shard.alias("shard"), key.alias("__k")
+    )
+    w = Window.partitionBy("shard").orderBy("__k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )
+
+
+def group_topk_sample(
+    docs: DataFrame,
+    k: int = 10,
+    group_col: str = "lang",
+    seed: str = "sample0",
+) -> DataFrame:
+    """(doc_id, <group_col>, rk): a deterministic FIXED-k sample per group
+    — the eval-set / inspection-sample builder.  stratified_sample keeps
+    an expected FRACTION per stratum (md5-bucket threshold, no shuffle);
+    this op keeps exactly min(k, |group|) rows per group, which needs a
+    rank and therefore one exchange on the group key.  Rank order is the
+    md5(seed:doc_id) permutation — reproducible across runs, engines and
+    repartitions, never rand() (the train_split_assign rule); rk is the
+    1-based rank so callers can tighten to any k' ≤ k without resampling.
+
+    Scale: window partitioned by the group column — per-group sort, no
+    global sort.  Group skew equals data skew on group_col; for a
+    pathological mega-group the md5-threshold pre-filter trick (keep only
+    keys below ~(k/|group|-quantile)) bounds the sort input, documented
+    here rather than built in because k is tiny in practice."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    keyed = docs.select("doc_id", group_col, key.alias("__k"))
+    w = Window.partitionBy(group_col).orderBy("__k", "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", group_col, "rk")
+    )
+
+
 def pack_sequences(
     docs: DataFrame, capacity: int = 256, n_groups: int = 32
 ) -> DataFrame:
@@ -2311,6 +2375,8 @@ def editdist_pairs(
     max_prefix_df: int | None = None,
     text_col: str = "text",
     max_short: int = 10_000,
+    persist_grams: bool = True,
+    cache_handle: list | None = None,
     *,
     force: bool = False,
 ) -> DataFrame:
@@ -2355,6 +2421,15 @@ def editdist_pairs(
     if max_d < 1:
         raise ValueError(f"max_d must be >= 1: {max_d}")
     grams = _editdist_grams(docs, q, text_col)
+    if persist_grams:
+        # the gram stream feeds freq, prefix, the verify arrays, the
+        # short-side probe AND its join — five consumers (the
+        # jaccard_prefix persist rule)
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handle is not None:
+            cache_handle.append(grams)
     lens = docs.select("doc_id", F.length(text_col).alias("len"))
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
     ranked = grams.join(freq, "gram")
