@@ -477,6 +477,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.latest_snapshot(snaps, key_col="url", ts_col="ts",
                                  id_col="doc_id")
 
+    def snapshot_retention(spark, sf_dir):
+        # r5 session-3: keep-last-N retention compaction — same 5-snaps-
+        # per-url tie-heavy fixture as latest_snapshot, n_keep=3 so the
+        # rank boundary cuts THROUGH a ts tie (max doc_id must win it)
+        docs = _docs(spark, sf_dir)
+        snaps = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("u"), F.expr("doc_id div 5").cast("string")
+            ).alias("url"),
+            F.expr("((doc_id div 2) * 37) % 1000").alias("ts"),
+        )
+        return A.snapshot_retention(snaps, n_keep=3, key_col="url",
+                                    ts_col="ts", id_col="doc_id")
+
     def gopher_rules(spark, sf_dir):
         # r5 extended Gopher format gates over planted violations:
         # %13 pages are bullet lists, %11 all-ellipsis, %5 get a hash
@@ -2687,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hashed_linear_score": hashed_linear_score,
         "epoch_shuffle": epoch_shuffle,
         "group_sample": group_sample,
+        "snapshot_retention": snapshot_retention,
         "hits_links": hits_links,
         "events_funnel": events_funnel,
         "minhash_jaccard_est": minhash_jaccard_est,
@@ -4259,6 +4275,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, CAST(pk % 1048576 AS BIGINT) AS doc_id,
                    CAST(pk // 1048576 AS BIGINT) AS ts
             FROM p
+        """,
+        # r5 session-3 retention compaction: rank twin of the packed
+        # argmax — ORDER BY ts DESC, doc_id DESC is exactly packed-DESC
+        # order (id < 2^20), so the tie convention is shared
+        "snapshot_retention": """
+            WITH s AS (SELECT doc_id,
+                              'u' || CAST(doc_id // 5 AS VARCHAR) AS key,
+                              ((doc_id // 2) * 37) % 1000 AS ts
+                       FROM documents),
+            r AS (SELECT key, doc_id, CAST(ts AS BIGINT) AS ts,
+                         CAST(row_number() OVER (PARTITION BY key
+                              ORDER BY ts DESC, doc_id DESC)
+                              AS BIGINT) AS rk
+                  FROM s)
+            SELECT key, doc_id, ts, rk FROM r WHERE rk <= 3
         """,
         # r5 extended Gopher gates: same planted pages, same integer
         # cross-multiplications; rule order in concat_ws matches the

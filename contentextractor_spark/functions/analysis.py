@@ -2931,6 +2931,58 @@ def latest_snapshot(
     )
 
 
+def snapshot_retention(
+    snaps: DataFrame,
+    n_keep: int = 3,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    ts_bound: int = 2**42,
+) -> DataFrame:
+    """(key, id, ts, rk): the newest n_keep snapshots per canonical key —
+    latest_snapshot's storage-management sibling (retention compaction for
+    a recrawl store keeps the last N versions for diffing/rollback, not
+    just the head).  rk = 1 is the newest; ties on ts break to max id
+    (the latest_snapshot convention, same packed ordering).
+
+    Scale: one window partitioned BY KEY (millions of keys → no global
+    sort, no single-partition choke; this is the group_topk_sample shape).
+    n_keep == 1 callers should prefer latest_snapshot, whose packed-argmax
+    form is a map-side-combinable groupBy with no window at all.  Packing
+    bounds are refused PER ROW with raise_error (paragraph_dedup contract
+    — a violating row must never silently drop from the ranking)."""
+    ts = F.col(ts_col).cast("long")
+    idc = F.col(id_col).cast("long")
+    packed = F.when(
+        (ts >= 0) & (ts < F.lit(ts_bound)) & (idc >= 0) & (idc < F.lit(2**20)),
+        ts * F.lit(2**20) + idc,
+    )
+    keyed = snaps.select(
+        F.col(key_col).alias("key"),
+        F.col(id_col).alias("__id"),
+        F.col(ts_col).alias("__ts"),
+        F.when(
+            packed.isNull(),
+            F.raise_error(
+                F.lit(
+                    "snapshot_retention: ts/id outside packing bounds "
+                    f"(ts<{ts_bound}, id<2^20) — re-pack with a wider shift"
+                )
+            ).cast("long"),
+        )
+        .otherwise(packed)
+        .alias("__p"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("__p").desc())
+    return (
+        keyed.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= n_keep)
+        .select(
+            "key", F.col("__id").alias(id_col), F.col("__ts").alias(ts_col), "rk"
+        )
+    )
+
+
 GOPHER_MAX_SYMBOL_PCT = 10
 GOPHER_MAX_BULLET_PCT = 90
 GOPHER_MAX_ELLIPSIS_PCT = 30

@@ -90,6 +90,46 @@ def test_latest_snapshot_refuses_mixed_bad_row(spark):
     assert "packing bounds" in str(ei.value)
 
 
+def test_snapshot_retention_rank_and_tiebreak(spark):
+    snaps = spark.createDataFrame(
+        [("u1", 0, 100), ("u1", 1, 300), ("u1", 2, 200), ("u1", 5, 150),
+         ("u2", 3, 50), ("u2", 4, 50), ("u2", 6, 50),  # all-tie group
+         ("u3", 9, 0)],
+        "url string, doc_id bigint, ts bigint",
+    )
+    got = {(r["key"], r["rk"]): (r["doc_id"], r["ts"])
+           for r in A.snapshot_retention(snaps, n_keep=2).collect()}
+    assert got == {
+        ("u1", 1): (1, 300), ("u1", 2): (2, 200),
+        ("u2", 1): (6, 50), ("u2", 2): (4, 50),  # ties break to max id
+        ("u3", 1): (9, 0),
+    }
+
+
+def test_snapshot_retention_head_equals_latest(spark):
+    # rk=1 rows must reproduce latest_snapshot exactly (shared packed
+    # ordering convention)
+    snaps = spark.createDataFrame(
+        [("u%d" % (i % 7), i, (i * 37) % 100) for i in range(50)],
+        "url string, doc_id bigint, ts bigint",
+    )
+    head = {(r["key"], r["doc_id"], r["ts"])
+            for r in A.snapshot_retention(snaps, n_keep=1).collect()}
+    latest = {(r["key"], r["doc_id"], r["ts"])
+              for r in A.latest_snapshot(snaps).collect()}
+    assert head == latest
+
+
+def test_snapshot_retention_refuses_out_of_bounds(spark):
+    snaps = spark.createDataFrame(
+        [("u1", 1, 100), ("u1", 2**21, 999)],
+        "url string, doc_id bigint, ts bigint",
+    )
+    with pytest.raises(Exception) as ei:
+        A.snapshot_retention(snaps).collect()
+    assert "packing bounds" in str(ei.value)
+
+
 def test_gopher_rules_each_gate(spark):
     docs = _docs(
         spark,
