@@ -2506,6 +2506,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pages
 
+    def extract_headings(spark, sf_dir):
+        # r5 session-3: document-outline extraction through the real
+        # pipeline shape.  Page grammar: optional h1 (SKIPPED on %11 docs
+        # — their outline numbers '0.x'), always an h2 'part one', a
+        # second h2 on %3 docs (shifts later h_idx AND the h3's parent
+        # number), an h3 on %4 docs — so sec strings depend on THREE
+        # interacting residues the oracle replays with CASEs
+        from contentextractor_spark.plans.pipeline import extract_headings
+
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        pages = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body>"),
+                    F.when(
+                        F.pmod("doc_id", 11) != 0,
+                        F.concat(
+                            F.lit("<h1>title w"),
+                            F.pmod("doc_id", 7).cast("string"),
+                            F.lit("</h1>"),
+                        ),
+                    ).otherwise(F.lit("")),
+                    F.lit("<p>"),
+                    F.col("text"),
+                    F.lit("</p><h2>part one</h2><p>filler</p>"),
+                    F.when(
+                        F.pmod("doc_id", 3) == 0, F.lit("<h2>part two</h2>")
+                    ).otherwise(F.lit("")),
+                    F.when(
+                        F.pmod("doc_id", 4) == 0,
+                        F.concat(
+                            F.lit("<h3>detail d"),
+                            F.pmod("doc_id", 5).cast("string"),
+                            F.lit("</h3>"),
+                        ),
+                    ).otherwise(F.lit("")),
+                    F.lit("</body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+        out = extract_headings(pages, num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            "h_idx",
+            "level",
+            "sec",
+            "text",
+        )
+
     def extract_tables_roundtrip(spark, sf_dir):
         # r5 session-2: table extraction through the REAL pipeline shape
         # (salted repartition → mapInPandas over the DOM parse); every
@@ -2703,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "epoch_shuffle": epoch_shuffle,
         "group_sample": group_sample,
         "snapshot_retention": snapshot_retention,
+        "extract_headings": extract_headings,
         "hits_links": hits_links,
         "events_funnel": events_funnel,
         "minhash_jaccard_est": minhash_jaccard_est,
@@ -4275,6 +4327,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, CAST(pk % 1048576 AS BIGINT) AS doc_id,
                    CAST(pk // 1048576 AS BIGINT) AS ts
             FROM p
+        """,
+        # r5 session-3 outline extraction: every heading row + its dotted
+        # section number predicted from the page grammar — three
+        # interacting residues (%11 h1 skip, %3 second h2, %4 h3) make
+        # h_idx and sec set-dependent
+        "extract_headings": """
+            WITH d AS (SELECT doc_id FROM documents
+                       WHERE text IS NOT NULL)
+            SELECT doc_id, CAST(0 AS INT) AS h_idx, CAST(1 AS INT) AS level,
+                   '1' AS sec,
+                   'title w' || CAST(doc_id % 7 AS VARCHAR) AS text
+            FROM d WHERE doc_id % 11 <> 0
+            UNION ALL
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END AS INT),
+                   CAST(2 AS INT),
+                   CASE WHEN doc_id % 11 = 0 THEN '0.1' ELSE '1.1' END,
+                   'part one'
+            FROM d
+            UNION ALL
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 2 END AS INT),
+                   CAST(2 AS INT),
+                   CASE WHEN doc_id % 11 = 0 THEN '0.2' ELSE '1.2' END,
+                   'part two'
+            FROM d WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id,
+                   CAST((CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END)
+                        + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                        + 1 AS INT),
+                   CAST(3 AS INT),
+                   (CASE WHEN doc_id % 11 = 0 THEN '0.' ELSE '1.' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN '2' ELSE '1' END)
+                   || '.1',
+                   'detail d' || CAST(doc_id % 5 AS VARCHAR)
+            FROM d WHERE doc_id % 4 = 0
         """,
         # r5 session-3 retention compaction: rank twin of the packed
         # argmax — ORDER BY ts DESC, doc_id DESC is exactly packed-DESC

@@ -574,6 +574,94 @@ def extract_meta_robots(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
     )
 
 
+HEADINGS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("h_idx", IntegerType()),
+        StructField("level", IntegerType()),
+        StructField("sec", StringType()),
+        StructField("text", StringType()),
+        StructField("bucket_id", IntegerType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+
+def _extract_heading_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: page → one row per h1–h6 heading in document
+    (preorder) order, with OUTLINE numbering: per-level counters — a
+    level-L heading increments counter[L], resets counters below, and
+    `sec` is the dotted join of counters 1..L.  A document that opens at
+    h2 (no h1 yet) numbers '0.1' — skipped levels keep their 0 rather
+    than inventing a parent ('1' then an h3 gives '1.0.1'), so the
+    numbering is a pure function of the heading sequence (what the SQL
+    oracle replays).  Heading text is jsoup-normalized Element.text().
+    A page that fails to decode or parse contributes zero rows (the
+    extractor error contract)."""
+    from pyspark import TaskContext
+
+    from ..extractor import decode_html
+    from ..operators.dom import parse_xml
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    tags = {f"h{i}": i for i in range(1, 7)}
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        cols: dict[str, list] = {
+            k: []
+            for k in ("url", "h_idx", "level", "sec", "text", "bucket_id")
+        }
+        for u, data, bucket in zip(pdf["url"], pdf["html"], pdf["bucket_id"]):
+            try:
+                html = decode_html(bytes(data) if data is not None else b"")
+                doc = parse_xml(html)
+                heads = [
+                    (tags[el.tag], el.text())
+                    for el in doc.iter_elements()
+                    if el.tag in tags
+                ]
+            except Exception:  # noqa: BLE001 — per-URL catch-all
+                heads = []
+            us = None if u is None else str(u)
+            counters = [0] * 7
+            for h_idx, (level, text) in enumerate(heads):
+                counters[level] += 1
+                for i in range(level + 1, 7):
+                    counters[i] = 0
+                cols["url"].append(us)
+                cols["h_idx"].append(h_idx)
+                cols["level"].append(level)
+                cols["sec"].append(
+                    ".".join(str(counters[i]) for i in range(1, level + 1))
+                )
+                cols["text"].append(text)
+                cols["bucket_id"].append(bucket)
+        if cols["url"]:
+            out = pd.DataFrame(cols)
+            out["partition_id"] = pid
+            yield out
+
+
+def extract_headings(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """Document-outline extraction — pages(url, html) → one row per
+    heading with its level and dotted section number: the structure feed
+    for section-aware chunking (split-on-heading beats split-on-bytes for
+    RAG/training windows) and per-section dedup.  Same scale shape as
+    extract_pages: pruned scan → ONE salted repartition → mapInPandas
+    flat-map, no shuffle after."""
+    ensure_pyfiles(pages.sparkSession)
+    keyed = salted_bucket(pages, "html", num_buckets)
+    partitioned = keyed.repartition(num_buckets, F.col("bucket_id"))
+    return partitioned.mapInPandas(
+        _extract_heading_batches, schema=HEADINGS_SCHEMA
+    )
+
+
 SITEMAP_SCHEMA = StructType(
     [
         StructField("host", StringType()),
