@@ -2506,17 +2506,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return pages
 
-    def extract_headings(spark, sf_dir):
-        # r5 session-3: document-outline extraction through the real
-        # pipeline shape.  Page grammar: optional h1 (SKIPPED on %11 docs
-        # — their outline numbers '0.x'), always an h2 'part one', a
-        # second h2 on %3 docs (shifts later h_idx AND the h3's parent
-        # number), an h3 on %4 docs — so sec strings depend on THREE
-        # interacting residues the oracle replays with CASEs
-        from contentextractor_spark.plans.pipeline import extract_headings
-
-        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
-        pages = docs.select(
+    def _heading_pages(docs):
+        # heading-page grammar (shared by extract_headings +
+        # heading_stats): optional h1 (SKIPPED on %11 docs — their
+        # outline numbers '0.x'), always an h2 'part one', a second h2
+        # on %3 docs (shifts later h_idx AND the h3's parent number),
+        # an h3 on %4 docs — sec strings depend on THREE interacting
+        # residues the oracles replay with CASEs
+        return docs.select(
             F.col("doc_id").cast("string").alias("url"),
             F.encode(
                 F.concat(
@@ -2548,13 +2545,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "UTF-8",
             ).alias("html"),
         )
-        out = extract_headings(pages, num_buckets=8)
+
+    def extract_headings(spark, sf_dir):
+        # r5 session-3: document-outline extraction through the real
+        # pipeline shape (salted repartition → mapInPandas DOM walk)
+        from contentextractor_spark.plans.pipeline import extract_headings
+
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        out = extract_headings(_heading_pages(docs), num_buckets=8)
         return out.select(
             F.col("url").cast("long").alias("doc_id"),
             "h_idx",
             "level",
             "sec",
             "text",
+        )
+
+    def heading_stats(spark, sf_dir):
+        # r5 session-3 composition: extracted outline → per-doc structure
+        # profile (heading count, max depth, top-level count) — the
+        # closed-form oracle means a walker drift in ANY residue branch
+        # shifts a count and breaks the hash
+        from contentextractor_spark.plans.pipeline import extract_headings
+
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        out = extract_headings(_heading_pages(docs), num_buckets=8)
+        return (
+            out.groupBy(F.col("url").cast("long").alias("doc_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_headings"),
+                F.max("level").alias("max_level"),
+                F.sum((F.col("level") == 1).cast("int")).alias("n_top"),
+            )
         )
 
     def extract_tables_roundtrip(spark, sf_dir):
@@ -2755,6 +2777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "group_sample": group_sample,
         "snapshot_retention": snapshot_retention,
         "extract_headings": extract_headings,
+        "heading_stats": heading_stats,
         "hits_links": hits_links,
         "events_funnel": events_funnel,
         "minhash_jaccard_est": minhash_jaccard_est,
@@ -4364,6 +4387,20 @@ def oracle_sql() -> dict[str, str]:
                    || '.1',
                    'detail d' || CAST(doc_id % 5 AS VARCHAR)
             FROM d WHERE doc_id % 4 = 0
+        """,
+        # r5 session-3 outline stats: closed-form per-doc profile of the
+        # same page grammar
+        "heading_stats": """
+            SELECT doc_id,
+                   CAST((CASE WHEN doc_id % 11 <> 0 THEN 1 ELSE 0 END) + 1
+                      + (CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_headings,
+                   CAST(CASE WHEN doc_id % 4 = 0 THEN 3 ELSE 2 END
+                        AS INT) AS max_level,
+                   CAST(CASE WHEN doc_id % 11 <> 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_top
+            FROM documents WHERE text IS NOT NULL
         """,
         # r5 session-3 retention compaction: rank twin of the packed
         # argmax — ORDER BY ts DESC, doc_id DESC is exactly packed-DESC

@@ -94,6 +94,26 @@ def stream_extract_tables(pages_stream: DataFrame, num_buckets: int = 32) -> Dat
     return keyed.mapInPandas(_extract_table_batches, schema=TABLES_SCHEMA)
 
 
+def stream_extract_headings(
+    pages_stream: DataFrame, num_buckets: int = 32
+) -> DataFrame:
+    """Streaming outline extraction: the SAME _extract_heading_batches
+    flat-map as the batch stage (plans.pipeline.extract_headings).
+    Outline numbering is per-page state inside one flat-map row-group, so
+    incremental arrival cannot change any page's numbering — parity by
+    construction, tested."""
+    from ..plans.pipeline import (
+        HEADINGS_SCHEMA,
+        _extract_heading_batches,
+        ensure_pyfiles,
+        salted_bucket,
+    )
+
+    ensure_pyfiles(pages_stream.sparkSession)
+    keyed = salted_bucket(pages_stream, "html", num_buckets)
+    return keyed.mapInPandas(_extract_heading_batches, schema=HEADINGS_SCHEMA)
+
+
 def write_stream(
     extracted: DataFrame, output_dir: str, checkpoint_dir: str, available_now: bool = True
 ):

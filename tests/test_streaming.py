@@ -366,6 +366,40 @@ def test_stream_latest_snapshot_matches_batch(spark, tmp_path):
     assert got == want == {("u1", 1, 300), ("u2", 4, 50), ("u3", 9, 0)}
 
 
+def test_stream_extract_headings_matches_batch(spark, tmp_path):
+    from contentextractor_spark.plans.pipeline import extract_headings
+    from contentextractor_spark.streaming.stream import stream_extract_headings
+
+    rows = []
+    for i in range(10):
+        html = (
+            "<html><body><h1>T%d</h1><h2>a</h2>" % i
+            + ("<h3>deep</h3>" if i % 2 == 0 else "")
+            + "<h2>b</h2></body></html>"
+        ).encode()
+        rows.append((f"u{i}", html))
+    rows.append(("bad", b"\xff\xfe not html"))
+    batch_df = spark.createDataFrame(rows, "url string, html binary")
+    in_dir = str(tmp_path / "hin")
+    batch_df.repartition(2).write.parquet(in_dir)
+
+    stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+    q = (
+        stream_extract_headings(stream, num_buckets=8)
+        .writeStream.format("memory")
+        .queryName("headings_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "headings stream did not finish in 120 s"
+    key = lambda r: (r.url, r.h_idx, r.level, r.sec, r.text)  # noqa: E731
+    got = {key(r) for r in spark.sql("SELECT * FROM headings_stream").collect()}
+    want = {key(r) for r in extract_headings(batch_df, num_buckets=8).collect()}
+    assert want, "fixture pages produced no heading rows"
+    assert got == want  # streaming == batch outline rows
+
+
 def test_stream_extract_tables_matches_batch(spark, tmp_path):
     from contentextractor_spark.plans.pipeline import extract_tables
     from contentextractor_spark.streaming.stream import stream_extract_tables
