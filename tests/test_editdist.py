@@ -145,3 +145,25 @@ def test_prefix_df_cap_discloses_loss(spark):
 def test_max_d_validation(planted):
     with pytest.raises(ValueError, match="max_d"):
         A.editdist_pairs(planted, max_d=0)
+
+
+def test_plan_no_cartesian_and_broadcast_weights(spark):
+    # editdist: candidate generation must be equality joins on gram /
+    # length — never a cartesian; hashed_linear_score: the O(n_buckets)
+    # weight table must ride a broadcast join, the corpus never shuffles
+    # for the lookup
+    rnd_rows = [(i, f"str{i:04d}x") for i in range(30)]
+    docs = _docs(spark, rnd_rows)
+    plan = (
+        A.editdist_pairs(docs, max_d=1, q=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+    lin = A.hashed_linear_score(docs)
+    lplan = lin._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in lplan, lplan
+    assert "CartesianProduct" not in lplan, lplan
