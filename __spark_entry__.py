@@ -2687,6 +2687,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return base.unionByName(copies).unionByName(copies2)
 
+    def vocab_growth(spark, sf_dir):
+        # r5 session-3: Heaps-law vocabulary-growth curve — cutoffs span
+        # sub-corpus to beyond-corpus at sf0.001 (plateau rows included)
+        return A.vocab_growth(
+            _docs(spark, sf_dir).filter(F.col("text").isNotNull()),
+            cutoffs=(125, 250, 500, 1000),
+        )
+
     def epoch_shuffle(spark, sf_dir):
         # r5 session-3: seeded global-shuffle plan for a training epoch —
         # md5 permutation, hash shard, within-shard rank
@@ -2759,6 +2767,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # components; oracle = brute-force pairs + recursive closure
         return A.dedup_components_prefix(_prefix_corpus(spark, sf_dir), (9, 10))
 
+    def component_histogram(spark, sf_dir):
+        # r5 session-3: dedup observability — cluster-size histogram over
+        # the exact components (size-1 rows = the unique docs)
+        labels = A.dedup_components_prefix(
+            _prefix_corpus(spark, sf_dir), (9, 10)
+        )
+        return A.component_histogram(labels)
+
+    def split_leakage(spark, sf_dir):
+        # r5 session-3: near-dup pairs crossing the hash-bucket
+        # train/val/test split — the leakage audit every benchmark-clean
+        # training set needs; pairs and split are both shared definitions
+        corpus = _prefix_corpus(spark, sf_dir)
+        pairs = A.jaccard_prefix_pairs(corpus, (3, 5))
+        splits = A.train_split_assign(corpus)
+        sa = splits.select(
+            F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")
+        )
+        sb = splits.select(
+            F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")
+        )
+        return (
+            pairs.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .select("doc_a", "doc_b", "split_a", "split_b")
+        )
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -2778,6 +2814,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_retention": snapshot_retention,
         "extract_headings": extract_headings,
         "heading_stats": heading_stats,
+        "vocab_growth": vocab_growth,
+        "component_histogram": component_histogram,
+        "split_leakage": split_leakage,
         "hits_links": hits_links,
         "events_funnel": events_funnel,
         "minhash_jaccard_est": minhash_jaccard_est,
@@ -2993,6 +3032,35 @@ def _prefix_pairs_ctes(num: int = 3, den: int = 5) -> str:
               JOIN sizes sb ON sb.doc_id = inter.doc_b
               WHERE {den} * intersection
                     >= {num} * (sa.sz + sb.sz - intersection))"""
+
+
+def _prefix_comp_ctes() -> str:
+    """WITH RECURSIVE chain ending in comp(doc_id, component) — the full
+    brute-force closure over the arithmetic corpus at threshold 9/10,
+    shared by the dedup_components_prefix and component_histogram oracles
+    (the oracle-reuse rule)."""
+    return f"""WITH RECURSIVE {_prefix_pairs_ctes(9, 10)},
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+                    UNION SELECT doc_b, doc_a FROM p),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
+            ids AS (SELECT doc_id FROM documents
+                    UNION ALL
+                    SELECT doc_id + 1000000 FROM documents
+                    WHERE doc_id % 10 = 0
+                    UNION ALL
+                    SELECT doc_id + 2000000 FROM documents
+                    WHERE doc_id % 20 = 0),
+            comp AS (
+              SELECT ids.doc_id,
+                     CAST(LEAST(ids.doc_id, COALESCE(m.mn, ids.doc_id))
+                          AS BIGINT) AS component
+              FROM ids
+              LEFT JOIN (SELECT src, min(dst) AS mn
+                         FROM reach GROUP BY src) m
+                ON m.src = ids.doc_id)"""
 
 
 def _script_main_sql(tcol: str = "t") -> str:
@@ -4170,6 +4238,23 @@ def oracle_sql() -> dict[str, str]:
             WITH {_prefix_pairs_ctes()}
             SELECT doc_a, doc_b, intersection, union_sz FROM p
         """,
+        # r5 session-3 Heaps curve: first-occurrence token table +
+        # correlated conditional counts per cutoff
+        "vocab_growth": """
+            WITH toks AS (SELECT doc_id,
+                                 unnest(string_split(text, ' ')) AS tok
+                          FROM documents WHERE text IS NOT NULL),
+            nz AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+            firsts AS (SELECT tok, min(doc_id) AS first_doc
+                       FROM nz GROUP BY tok),
+            c(cutoff) AS (VALUES (125), (250), (500), (1000))
+            SELECT CAST(cutoff AS BIGINT) AS cutoff,
+                   CAST((SELECT count(*) FROM firsts
+                         WHERE first_doc < cutoff) AS BIGINT) AS vocab,
+                   CAST((SELECT count(*) FROM nz
+                         WHERE doc_id < cutoff) AS BIGINT) AS tokens
+            FROM c
+        """,
         # r5 session-3 epoch shuffle: the oracle replays the md5
         # permutation + hash shard + within-shard rank — hex keys compare
         # identically as ASCII in both engines
@@ -4266,27 +4351,44 @@ def oracle_sql() -> dict[str, str]:
         # symmetric+transitive closure → min-id components over the full
         # corpus (isolated docs label themselves)
         "dedup_components_prefix": f"""
-            WITH RECURSIVE {_prefix_pairs_ctes(9, 10)},
-            sym AS (SELECT doc_a AS a, doc_b AS b FROM p
-                    UNION SELECT doc_b, doc_a FROM p),
-            reach(src, dst) AS (
-              SELECT a, b FROM sym
-              UNION
-              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a),
-            ids AS (SELECT doc_id FROM documents
-                    UNION ALL
-                    SELECT doc_id + 1000000 FROM documents
-                    WHERE doc_id % 10 = 0
-                    UNION ALL
-                    SELECT doc_id + 2000000 FROM documents
-                    WHERE doc_id % 20 = 0)
-            SELECT ids.doc_id,
-                   CAST(LEAST(ids.doc_id, COALESCE(m.mn, ids.doc_id))
-                        AS BIGINT) AS component
-            FROM ids
-            LEFT JOIN (SELECT src, min(dst) AS mn
-                       FROM reach GROUP BY src) m
-              ON m.src = ids.doc_id
+            {_prefix_comp_ctes()}
+            SELECT doc_id, component FROM comp
+        """,
+        # r5 session-3 dedup observability: cluster-size histogram over
+        # the SAME closure (shared comp CTE) — size-1 rows count uniques
+        "component_histogram": f"""
+            {_prefix_comp_ctes()}
+            SELECT size, CAST(count(*) AS BIGINT) AS n_components
+            FROM (SELECT component, CAST(count(*) AS BIGINT) AS size
+                  FROM comp GROUP BY component)
+            GROUP BY size
+        """,
+        # r5 session-3 split-leakage audit: exact near-dup pairs that
+        # CROSS the hash-bucket train/val/test split — the pairs CTE and
+        # the split arithmetic are both shared definitions
+        "split_leakage": f"""
+            WITH {_prefix_pairs_ctes(3, 5)},
+            sp AS (
+              SELECT doc_a, doc_b,
+                     {_hex_int_sql("md5(CAST(doc_a AS VARCHAR))", 1, 2)}
+                         AS ha,
+                     {_hex_int_sql("md5(CAST(doc_b AS VARCHAR))", 1, 2)}
+                         AS hb
+              FROM p)
+            SELECT doc_a, doc_b,
+                   CASE WHEN ha < 204 THEN 'train'
+                        WHEN ha < 230 THEN 'val'
+                        ELSE 'test' END AS split_a,
+                   CASE WHEN hb < 204 THEN 'train'
+                        WHEN hb < 230 THEN 'val'
+                        ELSE 'test' END AS split_b
+            FROM sp
+            WHERE (CASE WHEN ha < 204 THEN 'train'
+                        WHEN ha < 230 THEN 'val'
+                        ELSE 'test' END)
+               <> (CASE WHEN hb < 204 THEN 'train'
+                        WHEN hb < 230 THEN 'val'
+                        ELSE 'test' END)
         """,
         # r5 data-budget selection: the oracle runs the NAIVE global
         # running sum (fine at oracle scale) — any drift in the

@@ -1208,6 +1208,57 @@ def train_split_assign(
     )
 
 
+def vocab_growth(
+    docs: DataFrame, cutoffs: tuple[int, ...] = (125, 250, 500, 1000)
+) -> DataFrame:
+    """(cutoff, vocab, tokens): vocabulary-growth curve — distinct token
+    count over growing doc_id-ordered corpus prefixes, the Heaps-law
+    observability metric (a curve that flattens early signals a
+    templated/duplicated corpus; tokenizer sizing reads vocab at the
+    training-set cutoff).
+
+    Scale: NEVER a per-prefix distinct scan and never a cutoff×token
+    join — one groupBy(token) keeps each token's FIRST doc (min doc_id,
+    map-side combinable), then ALL cutoffs are conditional sums in ONE
+    aggregate pass over that token table (one row per distinct token,
+    tiny vs the corpus); cumulative token totals ride one aggregate over
+    the exploded stream.  The two 1-row aggregates cross-join (the benign
+    one-row BroadcastNestedLoopJoin pattern) and unpivot via an inline
+    struct array.  Adding a cutoff costs one column, not one scan."""
+    cuts = sorted(int(c) for c in cutoffs)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    vrow = firsts.agg(
+        *[
+            F.sum((F.col("first_doc") < c).cast("long")).alias(f"__v{i}")
+            for i, c in enumerate(cuts)
+        ]
+    )
+    trow = toks.agg(
+        *[
+            F.sum((F.col("doc_id") < c).cast("long")).alias(f"__t{i}")
+            for i, c in enumerate(cuts)
+        ]
+    )
+    packed = vrow.crossJoin(trow).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("long").alias("cutoff"),
+                        F.coalesce(F.col(f"__v{i}"), F.lit(0)).alias("vocab"),
+                        F.coalesce(F.col(f"__t{i}"), F.lit(0)).alias("tokens"),
+                    )
+                    for i, c in enumerate(cuts)
+                ]
+            )
+        ).alias("s")
+    )
+    return packed.select("s.cutoff", "s.vocab", "s.tokens")
+
+
 def epoch_shuffle_plan(
     docs: DataFrame, n_shards: int = 64, seed: str = "epoch0"
 ) -> DataFrame:
@@ -4111,6 +4162,23 @@ def dedup_components_embedding(
     nodes = emb.select(F.col("vec_id").alias("doc_id"))
     out = _lss_components(nodes, edges, max_iter, "dedup_components_embedding")
     return out.select(F.col("doc_id").alias("vec_id"), "component")
+
+
+def component_histogram(
+    labels: DataFrame, component_col: str = "component"
+) -> DataFrame:
+    """(size, n_components): the dedup observability report — how many
+    duplicate clusters of each size the corpus holds.  A heavy tail here
+    is the signal to tighten thresholds or caps BEFORE paying for the
+    full dedup write; size-1 components count the unique docs.  Two
+    map-side-combinable groupBys (component sizes, then the size
+    histogram) — no window, no join, output rows = distinct sizes."""
+    sizes = labels.groupBy(component_col).agg(
+        F.count(F.lit(1)).alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_components")
+    )
 
 
 def component_canonical(

@@ -80,3 +80,30 @@ def test_group_sample_small_group_kept_whole(spark):
     )
     out = {(r.doc_id, r.lang) for r in A.group_topk_sample(docs, k=5).collect()}
     assert out == {(0, "x"), (1, "x"), (2, "y")}
+
+
+def test_component_histogram(spark):
+    labels = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 5), (6, 5)],
+        "doc_id bigint, component bigint",
+    )
+    got = {
+        r.size: r.n_components
+        for r in A.component_histogram(labels).collect()
+    }
+    assert got == {3: 1, 1: 2, 2: 1}
+
+
+def test_vocab_growth_plateau_and_monotone(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 4} common") for i in range(10)],
+        "doc_id bigint, text string",
+    )
+    rows = {r.cutoff: (r.vocab, r.tokens)
+            for r in A.vocab_growth(docs, cutoffs=(2, 5, 100)).collect()}
+    # cutoff 2: docs 0,1 -> tokens {w0, w1, common} = 3 vocab, 4 tokens
+    assert rows[2] == (3, 4)
+    # cutoff 5: docs 0..4 -> {w0..w3, common} = 5 vocab, 10 tokens
+    assert rows[5] == (5, 10)
+    # beyond-corpus cutoff plateaus at the full corpus
+    assert rows[100] == (5, 20)
