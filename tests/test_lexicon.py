@@ -88,6 +88,10 @@ def test_archetype_corpus_fold_regression():
     assert digest == PINNED_DIGEST, digest
 
 
+# r5 session-3 increment (R5F): 13,827 entries (law/finance/medicine/
+# school/geo/arts nouns, business katakana, motion godan).  Earlier:
+# 13,646-entry
+# r5e 962a7c2bf193e06337d2298bda219d781378dc0fe823343e422b304854e4a3bd;
 # r5 session-2 increment (R5D): 12,699 entries (compound verbs,
 # deverbal-noun compounds, nature/health/calendar nouns, web/devops + ML
 # katakana, keiyodoshi, the adverb inventory).  Earlier digests:
@@ -97,7 +101,7 @@ def test_archetype_corpus_fold_regression():
 # r4 (6,235) fddf839d225ed5450ab338661ab890b9cca7efe12af1ebf43c7d2cf6a57dfe95;
 # r3 (2,367) 03833bcbd5b59ce03d55d0137427fbb68b94c6bdc8205d17549528e51747d1f1;
 # r2 mini e079059fa1ffebe79caa0bcfc2efc2fb77d93d98daaa340c374f877d861c35db
-PINNED_DIGEST = "962a7c2bf193e06337d2298bda219d781378dc0fe823343e422b304854e4a3bd"
+PINNED_DIGEST = "d7e9d3027419e01cb02ab63b37c7a849bab6de733292385abfbe21e14b7e8e0b"
 
 
 def test_lexicon_no_fused_entries():
