@@ -2795,6 +2795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_a", "doc_b", "split_a", "split_b")
         )
 
+    def events_retention(spark, sf_dir):
+        # r5 session-4: daily cohort retention triangle over the events
+        # stream — pure integer DATE arithmetic, counts only
+        return E.retention_cohorts(_events(spark, sf_dir))
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -2807,6 +2812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "events_retention": events_retention,
         "editdist_pairs": editdist_pairs,
         "hashed_linear_score": hashed_linear_score,
         "epoch_shuffle": epoch_shuffle,
@@ -6039,6 +6045,20 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # daily cohort retention: integer DATE arithmetic only (no epoch
+        # floats); users = cohort members active cohort_day+day_offset
+        "events_retention": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                     CAST(datediff('day', DATE '2024-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day
+                        FROM events),
+            co AS (SELECT user_id, min(day) AS cohort_day
+                   FROM ud GROUP BY user_id)
+            SELECT co.cohort_day, ud.day - co.cohort_day AS day_offset,
+                   CAST(count(*) AS BIGINT) AS users
+            FROM ud JOIN co ON co.user_id = ud.user_id
+            GROUP BY co.cohort_day, ud.day - co.cohort_day
+        """,
         "events_funnel": """
             WITH ev AS (SELECT * FROM events
                         WHERE event_id <

@@ -252,3 +252,38 @@ def top_users_by_value(events: DataFrame, k: int = 10) -> DataFrame:
     topk = totals.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def retention_cohorts(events: DataFrame, anchor: str = "2024-01-01") -> DataFrame:
+    """Cohort retention triangle: (cohort_day, day_offset, users) where
+    cohort_day = a user's first active day (integer days since `anchor`)
+    and `users` counts the cohort's members active again day_offset days
+    later — the classic product-analytics retention matrix, here the
+    crawl/labeling-team activity view over the events stream.
+
+    Cross-engine exactness: day indexing is pure DATE arithmetic
+    (Spark datediff(to_date(ts), anchor) == DuckDB
+    datediff('day', anchor, CAST(ts AS DATE)) — integer, no epoch
+    floats, no TZ ambiguity beyond the session-pinned UTC); all
+    aggregates are counts.
+
+    Scale: one distinct over (user_id, day) — map-side combinable and
+    the row bound is users x days, not events; the cohort table is a
+    second groupBy on the SAME user_id key (one exchange reused); the
+    join back is keyed on user_id (high-cardinality, uniform).  No
+    window over the corpus, no driver collect."""
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit(anchor))).cast("long")
+    user_days = events.select(
+        "user_id", day.alias("day")
+    ).distinct()
+    cohorts = user_days.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    return (
+        user_days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+    )

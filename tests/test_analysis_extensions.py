@@ -614,3 +614,32 @@ def test_incremental_dedup_shared_corpus_membership(spark):
         corpus, incoming, corpus_membership=_band_membership(corpus, 4, 3)
     ).collect()
     assert sorted(map(tuple, fresh)) == sorted(map(tuple, shared))
+
+
+def test_retention_cohorts_hand_computed(spark):
+    """Day-0 rows count the whole cohort; later offsets only returners;
+    multiple same-day events collapse (the distinct)."""
+    from datetime import datetime as dt
+
+    from contentextractor_spark.functions.events import retention_cohorts
+
+    rows = [
+        # u1: first day 0, returns days 1 and 3 (two events day 1 — dedup)
+        (1, dt(2024, 1, 1, 5), "a"), (1, dt(2024, 1, 2, 1), "a"),
+        (1, dt(2024, 1, 2, 23), "a"), (1, dt(2024, 1, 4, 0), "a"),
+        # u2: same cohort day 0, never returns
+        (2, dt(2024, 1, 1, 9), "a"),
+        # u3: cohort day 2, returns day 3 (offset 1)
+        (3, dt(2024, 1, 3, 0), "a"), (3, dt(2024, 1, 4, 12), "a"),
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id bigint, ts timestamp, event_type string"
+    )
+    got = {
+        (r.cohort_day, r.day_offset): r.users
+        for r in retention_cohorts(events).collect()
+    }
+    assert got == {
+        (0, 0): 2, (0, 1): 1, (0, 3): 1,
+        (2, 0): 1, (2, 1): 1,
+    }
