@@ -2795,6 +2795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_a", "doc_b", "split_a", "split_b")
         )
 
+    def pmi_collocations(spark, sf_dir):
+        # r5 session-4: top-k bigram collocations by integer-staged PMI
+        # lift (ln-free: ln is monotone, ranking needs no transcendental)
+        return A.pmi_collocations(_docs(spark, sf_dir), min_count=5, k=50)
+
     def events_retention(spark, sf_dir):
         # r5 session-4: daily cohort retention triangle over the events
         # stream — pure integer DATE arithmetic, counts only
@@ -2813,6 +2818,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
         "events_retention": events_retention,
+        "pmi_collocations": pmi_collocations,
         "editdist_pairs": editdist_pairs,
         "hashed_linear_score": hashed_linear_score,
         "epoch_shuffle": epoch_shuffle,
@@ -6045,6 +6051,40 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # PMI-lift collocations: all-integer staged divisions, ordered
+        # EXACTLY as the Spark expr (x1 = n_ab*1000*tu // ca, x2 = x1*tu
+        # // cb, lift = x2 // tb); `div` == `//` on positives
+        "pmi_collocations": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            gs AS (SELECT doc_id,
+                          unnest(list_transform(
+                              generate_series(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i+1])) AS g
+                   FROM w WHERE len(ws) >= 2),
+            big AS (SELECT g, CAST(count(*) AS BIGINT) AS n_ab
+                    FROM gs GROUP BY g HAVING count(*) >= 5),
+            tok AS (SELECT unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+            uni AS (SELECT w, CAST(count(*) AS BIGINT) AS cu
+                    FROM tok GROUP BY w),
+            tus AS (SELECT CAST(sum(cu) AS BIGINT) AS tu FROM uni),
+            tbs AS (SELECT CAST(count(*) AS BIGINT) AS tb FROM gs),
+            lifted AS (
+              SELECT big.g AS bigram, big.n_ab,
+                     CAST(((big.n_ab * 1000 * tu) // ua.cu * tu)
+                          // ub.cu // tb AS BIGINT) AS lift_milli
+              FROM big
+              JOIN uni ua ON ua.w = split_part(big.g, ' ', 1)
+              JOIN uni ub ON ub.w = split_part(big.g, ' ', 2)
+              CROSS JOIN tus CROSS JOIN tbs),
+            topk AS (SELECT * FROM lifted
+                     ORDER BY lift_milli DESC, bigram ASC LIMIT 50)
+            SELECT bigram, n_ab, lift_milli,
+                   CAST(row_number() OVER (ORDER BY lift_milli DESC,
+                                           bigram ASC) AS INT) AS rank
+            FROM topk
+        """,
         # daily cohort retention: integer DATE arithmetic only (no epoch
         # floats); users = cohort members active cohort_day+day_offset
         "events_retention": """

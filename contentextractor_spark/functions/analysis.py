@@ -828,6 +828,66 @@ def bigram_surprisal(docs: DataFrame, lambda_pct: int = 90) -> DataFrame:
     )
 
 
+def pmi_collocations(
+    docs: DataFrame, min_count: int = 5, k: int = 50
+) -> DataFrame:
+    """Top-k bigram collocations by pointwise-mutual-information LIFT —
+    the multiword-expression miner (tokenizer vocab candidates, named-
+    entity seeds) over the corpus bigram stream.
+
+    Exactness (all-integer, no ln): PMI = ln(lift) with
+        lift = p(ab) / (p(a)p(b)) = c_ab * tu^2 / (tb * c_a * c_b)
+    and ln is monotone, so ranking by integer-staged lift_milli IS the
+    PMI ranking with zero transcendentals.  Division order bounds every
+    intermediate in LongType AND the truncation error (HLL's
+    ordered-division convention):
+        x1 = (c_ab * 1000 * tu) div c_a     -- <= 1000*tu; rel err <
+                                               1/(1000*min_count)
+        x2 = (x1 * tu) div c_b              -- <= 1000*tu^2/c_b
+        lift_milli = x2 div tb
+    Overflow bound: needs c_ab*1000*tu < 2^63 and 1000*tu^2/c_b < 2^63 —
+    fine through ~10^7-token corpora per group; at 100 TB run per-shard
+    (the stat is a diagnostics top-k, not a corpus invariant) or raise
+    min_count so c_b is large.
+
+    Scale: two map-side-combinable groupBys (bigram, unigram counts);
+    the min_count filter lands on the BIGRAM COUNT table before any
+    join, so the joins only move surviving collocation candidates;
+    totals ride in as one-row broadcasts; top-k is orderBy().limit() →
+    TakeOrderedAndProject, rank derived over the k survivors."""
+    bg = _gram_stream(docs, 2)
+    big = (
+        bg.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    tok = docs.select(F.explode(F.split("text", " ")).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    tu = uni.select(F.sum("cu").alias("tu"))
+    tb = bg.select(F.count(F.lit(1)).alias("tb"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("cu").alias("ca"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("cu").alias("cb"))
+    lifted = (
+        big.withColumn("w1", F.substring_index("g", " ", 1))
+        .withColumn("w2", F.substring_index("g", " ", -1))
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(tu))
+        .crossJoin(F.broadcast(tb))
+        .select(
+            F.col("g").alias("bigram"),
+            "n_ab",
+            F.expr(
+                "((n_ab * 1000 * tu) div ca * tu) div cb div tb"
+            ).alias("lift_milli"),
+        )
+    )
+    order = [F.col("lift_milli").desc(), F.col("bigram").asc()]
+    topk = lifted.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
 def bm25_search(
     docs: DataFrame,
     terms: list[str],

@@ -643,3 +643,23 @@ def test_retention_cohorts_hand_computed(spark):
         (0, 0): 2, (0, 1): 1, (0, 3): 1,
         (2, 0): 1, (2, 1): 1,
     }
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """lift = c_ab*tu^2/(tb*ca*cb), integer-staged; min_count prunes
+    singleton bigrams before any join; rank ties break on bigram ASC."""
+    from contentextractor_spark.functions.analysis import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(0, "a b a b c d"), (1, "a b x y x y")],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r.bigram, r.n_ab, r.lift_milli, r.rank)
+        for r in pmi_collocations(docs, min_count=2, k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    # tu=12, tb=10; "a b": 3*1000*12//3=12000, *12//3=48000, //10=4800
+    #               "x y": 2*1000*12//2=12000, *12//2=72000, //10=7200
+    assert got == [("x y", 2, 7200, 1), ("a b", 3, 4800, 2)]
