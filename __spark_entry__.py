@@ -2795,6 +2795,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_a", "doc_b", "split_a", "split_b")
         )
 
+    def triangle_count(spark, sf_dir):
+        # r5 session-4: per-node triangle counts (degree-ordered
+        # orientation) over a ring+affine fixture graph — the (x, x+1,
+        # x+2) ring edges guarantee N triangles; the affine 31x+7 edges
+        # add irregular degree so the orientation tiebreak is exercised
+        docs = _docs(spark, sf_dir)
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        dsts = F.array(
+            (F.col("doc_id") + 1) % F.col("n"),
+            (F.col("doc_id") + 2) % F.col("n"),
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+        )
+        edges = (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        return A.triangle_counts(edges)
+
     def pmi_collocations(spark, sf_dir):
         # r5 session-4: top-k bigram collocations by integer-staged PMI
         # lift (ln-free: ln is monotone, ranking needs no transcendental)
@@ -2819,6 +2841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new this round):
         "events_retention": events_retention,
         "pmi_collocations": pmi_collocations,
+        "triangle_count": triangle_count,
         "editdist_pairs": editdist_pairs,
         "hashed_linear_score": hashed_linear_score,
         "epoch_shuffle": epoch_shuffle,
@@ -6051,6 +6074,47 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # triangle counting: degree-ordered orientation with the packed
+        # (deg*2^32+node) total-order key; UNION ALL degree stream and
+        # CASE orientation mirror the Spark side expression-for-expression
+        "triangle_count": """
+            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                        FROM documents),
+            e0 AS (SELECT doc_id AS src,
+                          CASE WHEN j = 1 THEN (doc_id + 1) % n
+                               WHEN j = 2 THEN (doc_id + 2) % n
+                               ELSE (doc_id * 31 + 7) % n END AS dst
+                   FROM documents, nn,
+                        (SELECT unnest([1, 2, 3]) AS j) js),
+            e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi
+                    FROM e1),
+            deg AS (SELECT node,
+                           CAST(count(*) AS BIGINT) * 4294967296 + node
+                               AS key
+                    FROM (SELECT lo AS node FROM und
+                          UNION ALL SELECT hi FROM und)
+                    GROUP BY node),
+            orient AS (SELECT CASE WHEN kl.key < kh.key THEN kl.key
+                                   ELSE kh.key END AS ku,
+                              CASE WHEN kl.key < kh.key THEN kh.key
+                                   ELSE kl.key END AS kv
+                       FROM und
+                       JOIN deg kl ON kl.node = und.lo
+                       JOIN deg kh ON kh.node = und.hi),
+            wed AS (SELECT a.ku AS u, a.kv AS v, b.kv AS w
+                    FROM orient a JOIN orient b
+                      ON a.ku = b.ku AND a.kv < b.kv),
+            tri AS (SELECT u, v, w FROM wed
+                    JOIN orient o ON o.ku = wed.v AND o.kv = wed.w),
+            nk AS (SELECT u AS key FROM tri
+                   UNION ALL SELECT v FROM tri
+                   UNION ALL SELECT w FROM tri)
+            SELECT CAST(key % 4294967296 AS BIGINT) AS node,
+                   CAST(count(*) AS BIGINT) AS triangles
+            FROM nk GROUP BY key
+        """,
         # PMI-lift collocations: all-integer staged divisions, ordered
         # EXACTLY as the Spark expr (x1 = n_ab*1000*tu // ca, x2 = x1*tu
         # // cb, lift = x2 // tb); `div` == `//` on positives

@@ -710,6 +710,85 @@ def hits_scores(
     )
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected link graph — the
+    clustering-coefficient numerator (link-farm / mutual-citation-ring
+    detection: organic web neighborhoods are triangle-sparse, spam rings
+    triangle-dense).
+
+    Algorithm: degree-ordered orientation (the MapReduce-era standard —
+    Suri & Vassilvitskii WWW'11 / Cohen's bucketing): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher,
+    which makes every oriented out-degree O(sqrt(m)) on ANY graph, so
+    the wedge self-join (the only superlinear step) is bounded by
+    sum(outdeg^2) <= m^1.5 instead of the unoriented sum(deg^2) that a
+    star host would blow up.  Each triangle is found exactly once (its
+    nodes form a chain in the total order).
+
+    Integer convention: the order key packs (degree, node) as
+    deg*2^32 + node — unique total order, no float, same expression in
+    the oracle.  Bounds: node < 2^32, deg < 2^31 (raise the shift for a
+    larger id space — the winnowing packing lesson: never narrow it).
+
+    Scale: canonical-edge distinct + one map-side-combinable degree
+    groupBy; the oriented edge table is localCheckpointed once and
+    reused by all three join legs (the pagerank lesson — without it the
+    degree subtree re-executes per leg); wedge join keyed on the wedge
+    apex, closing join on the (v, w) edge key — both equi-joins on
+    uniform keys, skew bounded by the orientation."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .union(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(
+            "node",
+            (F.col("deg") * F.lit(2**32) + F.col("node")).alias("key"),
+        )
+    )
+    klo = deg.select(F.col("node").alias("lo"), F.col("key").alias("klo"))
+    khi = deg.select(F.col("node").alias("hi"), F.col("key").alias("khi"))
+    oriented = (
+        und.join(klo, "lo")
+        .join(khi, "hi")
+        .select(
+            F.when(F.col("klo") < F.col("khi"), F.col("klo"))
+            .otherwise(F.col("khi"))
+            .alias("ku"),
+            F.when(F.col("klo") < F.col("khi"), F.col("khi"))
+            .otherwise(F.col("klo"))
+            .alias("kv"),
+        )
+        .localCheckpoint()
+    )
+    o1 = oriented.select(F.col("ku").alias("u"), F.col("kv").alias("v"))
+    o2 = oriented.select(F.col("ku").alias("u"), F.col("kv").alias("w"))
+    wedges = o1.join(o2, "u").filter(F.col("v") < F.col("w"))
+    closing = oriented.select(
+        F.col("ku").alias("v"), F.col("kv").alias("w")
+    )
+    tri = wedges.join(closing, ["v", "w"])
+    return (
+        tri.select(
+            F.explode(F.array("u", "v", "w")).alias("key")
+        )
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+        .select(
+            F.pmod(F.col("key"), F.lit(2**32)).cast("long").alias("node"),
+            "triangles",
+        )
+    )
+
+
 def unigram_surprisal(docs: DataFrame) -> DataFrame:
     """LM-based quality scoring against the corpus's own unigram model
     (the CCNet idea with the corpus standing in for the external LM): per

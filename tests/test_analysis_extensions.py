@@ -663,3 +663,21 @@ def test_pmi_collocations_hand_computed(spark):
     # tu=12, tb=10; "a b": 3*1000*12//3=12000, *12//3=48000, //10=4800
     #               "x y": 2*1000*12//2=12000, *12//2=72000, //10=7200
     assert got == [("x y", 2, 7200, 1), ("a b", 3, 4800, 2)]
+
+
+def test_triangle_counts_hand_computed(spark):
+    """K4 gives every member 3 triangles; duplicate/reversed edges
+    collapse via the canonical distinct; the dangling bridge adds none."""
+    from contentextractor_spark.functions.analysis import triangle_counts
+
+    edges = [
+        # triangle {0,1,2} with a duplicate and a reversed copy
+        (0, 1), (1, 2), (0, 2), (1, 0), (2, 1),
+        # bridge (no triangle)
+        (2, 3),
+        # K4 on {3,4,5,6}
+        (3, 4), (3, 5), (3, 6), (4, 5), (4, 6), (5, 6),
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 3: 3, 4: 3, 5: 3, 6: 3}
