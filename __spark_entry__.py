@@ -2795,6 +2795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_a", "doc_b", "split_a", "split_b")
         )
 
+    def dataset_digest(spark, sf_dir):
+        # r5 session-4: per-(lang, shard) order-free content digest —
+        # the snapshot-comparison primitive (count + 40-bit md5 sum)
+        return A.dataset_digest(_docs(spark, sf_dir), n_shards=16)
+
     def triangle_count(spark, sf_dir):
         # r5 session-4: per-node triangle counts (degree-ordered
         # orientation) over a ring+affine fixture graph — the (x, x+1,
@@ -2842,6 +2847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": events_retention,
         "pmi_collocations": pmi_collocations,
         "triangle_count": triangle_count,
+        "dataset_digest": dataset_digest,
         "editdist_pairs": editdist_pairs,
         "hashed_linear_score": hashed_linear_score,
         "epoch_shuffle": epoch_shuffle,
@@ -6074,6 +6080,17 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # per-(lang, shard) content digest: 40-bit md5 row hash summed
+        # (order-free); _hex_int_sql == Spark conv(substring(md5,1,10))
+        "dataset_digest": f"""
+            SELECT lang AS grp, doc_id % 16 AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum({_hex_int_sql(
+                       "md5(CAST(doc_id AS VARCHAR) || ':' || text)",
+                       1, 10)}) AS BIGINT) AS content_sum
+            FROM documents
+            GROUP BY lang, doc_id % 16
+        """,
         # triangle counting: degree-ordered orientation with the packed
         # (deg*2^32+node) total-order key; UNION ALL degree stream and
         # CASE orientation mirror the Spark side expression-for-expression

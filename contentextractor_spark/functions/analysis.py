@@ -5392,6 +5392,48 @@ def embedding_neardup_lsh(
     )
 
 
+def dataset_digest(
+    docs: DataFrame, n_shards: int = 16, group_col: str = "lang"
+) -> DataFrame:
+    """Per-(group, shard) order-free content digest — the dataset
+    versioning / drift-detection primitive: two snapshots of a corpus
+    are row-identical within a shard iff (n_rows, content_sum) match,
+    so a 100 TB refresh compares a few thousand digest rows instead of
+    re-reading either copy, and a mismatched shard pinpoints WHERE to
+    run the expensive row diff.
+
+    Row hash = first 10 hex digits of md5(doc_id || ':' || text) — 40
+    bits, so a LongType sum stays exact through 2^22 (~4M) rows per
+    shard; at larger shards raise n_shards (digests merge by addition:
+    the sum/count pair is a commutative monoid, exactly the
+    groupBy(max) HLL-register merge story but for exact equality).
+    Same 40-bit truncation in the DuckDB twin via _hex_int_sql.
+
+    Scale: one projection + one map-side-combinable groupBy on
+    (group, shard) — no join, no window, no distinct.  Shard =
+    pmod(doc_id, n_shards) keeps a row's digest cell stable across
+    snapshots so per-cell comparison is meaningful."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", "doc_id", "text")), 1, 10),
+        16,
+        10,
+    ).cast("long")
+    return (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.pmod(F.col("doc_id"), F.lit(n_shards)).alias("shard"),
+            h.alias("h"),
+        )
+        .groupBy("grp", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").alias("content_sum"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sketches (r4): fixed-size distributed summaries — the 100 TB tools for
 # sizing and steering the expensive exact jobs (HLL cardinality before

@@ -681,3 +681,32 @@ def test_triangle_counts_hand_computed(spark):
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
     got = {r.node: r.triangles for r in triangle_counts(df).collect()}
     assert got == {0: 1, 1: 1, 2: 1, 3: 3, 4: 3, 5: 3, 6: 3}
+
+
+def test_dataset_digest_detects_single_row_drift(spark):
+    """The versioning use-case: one edited row flips exactly its own
+    (grp, shard) cell's content_sum and nothing else; identical inputs
+    digest identically regardless of row order."""
+    from contentextractor_spark.functions.analysis import dataset_digest
+
+    rows = [(i, "en" if i % 2 == 0 else "ja", f"text {i}") for i in range(40)]
+    a = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    b = spark.createDataFrame(
+        list(reversed(rows)), "doc_id bigint, lang string, text string"
+    )
+    da = {(r.grp, r.shard): (r.n_rows, r.content_sum)
+          for r in dataset_digest(a, n_shards=4).collect()}
+    db = {(r.grp, r.shard): (r.n_rows, r.content_sum)
+          for r in dataset_digest(b, n_shards=4).collect()}
+    # lang follows doc_id parity, so en occupies even shards only and
+    # ja odd ones: 4 occupied cells, not 2x4
+    assert da == db and len(da) == 4
+
+    drifted = [(i, lang, "EDITED" if i == 7 else t) for i, lang, t in rows]
+    c = spark.createDataFrame(
+        drifted, "doc_id bigint, lang string, text string"
+    )
+    dc = {(r.grp, r.shard): (r.n_rows, r.content_sum)
+          for r in dataset_digest(c, n_shards=4).collect()}
+    changed = {k for k in da if da[k] != dc[k]}
+    assert changed == {("ja", 3)}  # doc 7: lang ja, 7 % 4 == 3
