@@ -2795,6 +2795,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_a", "doc_b", "split_a", "split_b")
         )
 
+    def redirect_resolve(spark, sf_dir):
+        # r5 session-4: pointer-doubling redirect resolution — doc x with
+        # x%16 != 0 redirects to x-1 (chains up to length 15, terminals
+        # at multiples of 16; rounds=4 covers 16 hops) plus a planted
+        # 2-cycle at (N, N+1) that must come back resolved=0
+        docs = _docs(spark, sf_dir)
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        base = docs.filter(F.col("doc_id") % 16 != 0).select(
+            F.col("doc_id").alias("src"),
+            (F.col("doc_id") - 1).alias("dst"),
+        )
+        cyc = n.select(
+            F.col("n").alias("src"), (F.col("n") + 1).alias("dst")
+        ).unionByName(
+            n.select(
+                (F.col("n") + 1).alias("src"), F.col("n").alias("dst")
+            )
+        )
+        return A.resolve_redirects(base.unionByName(cyc), rounds=4)
+
     def dataset_digest(spark, sf_dir):
         # r5 session-4: per-(lang, shard) order-free content digest —
         # the snapshot-comparison primitive (count + 40-bit md5 sum)
@@ -2848,6 +2868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_collocations": pmi_collocations,
         "triangle_count": triangle_count,
         "dataset_digest": dataset_digest,
+        "redirect_resolve": redirect_resolve,
         "editdist_pairs": editdist_pairs,
         "hashed_linear_score": hashed_linear_score,
         "epoch_shuffle": epoch_shuffle,
@@ -6080,6 +6101,31 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # redirect resolution: recursive chain walk capped at 16 steps
+        # (== Spark's 4 pointer-doubling rounds); final = packed
+        # (step, dst) argmax, terminals absorb; cycle rows cap out and
+        # come back unresolved
+        "redirect_resolve": """
+            WITH RECURSIVE nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                                  FROM documents),
+            red AS (SELECT doc_id AS src, doc_id - 1 AS dst
+                    FROM documents WHERE doc_id % 16 <> 0
+                    UNION ALL SELECT n, n + 1 FROM nn
+                    UNION ALL SELECT n + 1, n FROM nn),
+            r AS (SELECT src, dst, CAST(1 AS BIGINT) AS step FROM red
+                  UNION ALL
+                  SELECT r.src, m.dst, r.step + 1
+                  FROM r JOIN red m ON m.src = r.dst
+                  WHERE r.step < 16),
+            fin AS (SELECT src,
+                           CAST(max(step * 4294967296 + dst)
+                                % 4294967296 AS BIGINT) AS final
+                    FROM r GROUP BY src)
+            SELECT src, final,
+                   CAST(CASE WHEN final IN (SELECT src FROM red)
+                             THEN 0 ELSE 1 END AS INT) AS resolved
+            FROM fin
+        """,
         # per-(lang, shard) content digest: 40-bit md5 row hash summed
         # (order-free); _hex_int_sql == Spark conv(substring(md5,1,10))
         "dataset_digest": f"""

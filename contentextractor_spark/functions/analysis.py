@@ -3427,6 +3427,52 @@ def apply_robots(urls: DataFrame, rules: DataFrame, url_col: str = "url") -> Dat
     )
 
 
+def resolve_redirects(redirects: DataFrame, rounds: int = 4) -> DataFrame:
+    """Redirect-chain resolution over an (src, dst) redirect map (at most
+    ONE out-edge per src — the HTTP 3xx map; a multi-edge input would
+    multiply rows in the self-join, so upstream must dedup).  Returns
+    (src, final, resolved): `final` is the node reached after following
+    up to 2^rounds hops with terminals absorbing, `resolved` = 1 iff
+    `final` is not itself a redirecting node (longer chains and cycles
+    — redirect loops are common crawl pathology — report 0 rather than
+    spinning).
+
+    Pointer doubling: each round composes the map with itself
+    (m_{k+1}(x) = m_k(m_k(x)) via one self-join), so a length-L chain
+    resolves in ceil(log2 L) rounds instead of L sequential joins — at
+    crawl scale the difference between 4 shuffles and a 40-join driver
+    chain.  Each round localCheckpoints (the pagerank lesson: without
+    it round k re-executes the whole lineage of rounds 1..k-1).
+
+    The DuckDB twin walks the chain step-by-step (recursive CTE capped
+    at 2^rounds steps) and takes the packed (step, dst) argmax — same
+    absorbing semantics, so the results agree exactly."""
+    if rounds < 0:
+        raise ValueError("rounds must be >= 0")
+    m = redirects.select("src", "dst").localCheckpoint()
+    for _ in range(rounds):
+        m2 = m.select(
+            F.col("src").alias("j_src"), F.col("dst").alias("j_dst")
+        )
+        m = (
+            m.join(m2, m.dst == m2.j_src, "left")
+            .select("src", F.coalesce("j_dst", "dst").alias("dst"))
+            .localCheckpoint()
+        )
+    srcs = redirects.select(F.col("src").alias("dst")).distinct()
+    return (
+        m.join(srcs.withColumn("__is_src", F.lit(1)), "dst", "left")
+        .select(
+            "src",
+            F.col("dst").alias("final"),
+            F.when(F.col("__is_src").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("resolved"),
+        )
+    )
+
+
 def crawl_diff(
     old: DataFrame,
     new: DataFrame,

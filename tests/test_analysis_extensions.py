@@ -710,3 +710,25 @@ def test_dataset_digest_detects_single_row_drift(spark):
           for r in dataset_digest(c, n_shards=4).collect()}
     changed = {k for k in da if da[k] != dc[k]}
     assert changed == {("ja", 3)}  # doc 7: lang ja, 7 % 4 == 3
+
+
+def test_resolve_redirects_chain_cycle_and_cap(spark):
+    """Chains resolve to their terminal; a 2-cycle reports resolved=0;
+    a chain longer than 2^rounds stops mid-chain with resolved=0 and
+    completes once rounds covers it."""
+    from contentextractor_spark.functions.analysis import resolve_redirects
+
+    rows = [(5, 4), (4, 3), (3, 2), (2, 1), (1, 0), (10, 11), (11, 10)]
+    red = spark.createDataFrame(rows, "src bigint, dst bigint")
+
+    got2 = {r.src: (r.final, r.resolved)
+            for r in resolve_redirects(red, rounds=2).collect()}
+    # 4 hops: 5 -> 1 (still a redirector), cycle back at itself
+    assert got2[5] == (1, 0)
+    assert got2[4] == (0, 1) and got2[1] == (0, 1)
+    assert got2[10] == (10, 0) and got2[11] == (11, 0)
+
+    got3 = {r.src: (r.final, r.resolved)
+            for r in resolve_redirects(red, rounds=3).collect()}
+    assert got3[5] == (0, 1)
+    assert got3[10] == (10, 0)
