@@ -2795,6 +2795,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_a", "doc_b", "split_a", "split_b")
         )
 
+    def zipf_fit(spark, sf_dir):
+        # r5 session-4: Zipf slope/intercept over the top-256 terms —
+        # deci-milli-nat quantized lns + all-integer OLS
+        return A.zipf_fit(_docs(spark, sf_dir), top_n=256)
+
     def redirect_resolve(spark, sf_dir):
         # r5 session-4: pointer-doubling redirect resolution — doc x with
         # x%16 != 0 redirects to x-1 (chains up to length 15, terminals
@@ -2869,6 +2874,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": triangle_count,
         "dataset_digest": dataset_digest,
         "redirect_resolve": redirect_resolve,
+        "zipf_fit": zipf_fit,
         "editdist_pairs": editdist_pairs,
         "hashed_linear_score": hashed_linear_score,
         "epoch_shuffle": epoch_shuffle,
@@ -6101,6 +6107,54 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # Zipf OLS: deci-milli-nat quantized ln (x=ln rank, y=ln cnt),
+        # integer cross-products, positive-operand-only divisions with
+        # the +B*n offset (B=2^40) for the signed intercept mean
+        "zipf_fit": """
+            WITH uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+                         FROM (SELECT unnest(string_split(text, ' '))
+                                   AS tok FROM documents)
+                         GROUP BY tok),
+            top AS (SELECT * FROM uni
+                    ORDER BY cnt DESC, tok ASC LIMIT 256),
+            ranked AS (SELECT cnt,
+                              CAST(row_number() OVER (ORDER BY cnt DESC,
+                                   tok ASC) AS BIGINT) AS rank
+                       FROM top),
+            pts AS (SELECT
+                CAST(floor(ln(CAST(rank AS DOUBLE))
+                           * CAST(10000 AS DOUBLE)) AS BIGINT) AS x,
+                CAST(floor(ln(CAST(cnt AS DOUBLE))
+                           * CAST(10000 AS DOUBLE)) AS BIGINT) AS y
+                    FROM ranked),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM pts)
+            SELECT n AS n_terms,
+                   CASE WHEN n * sxy - sx * sy < 0 THEN
+                     -((abs(n * sxy - sx * sy) * 1000)
+                       // greatest((n * sxx - sx * sx) // 1000, 1))
+                   ELSE
+                     (abs(n * sxy - sx * sy) * 1000)
+                     // greatest((n * sxx - sx * sx) // 1000, 1)
+                   END AS slope_micro,
+                   (sy * 100
+                    + CASE WHEN n * sxy - sx * sy < 0 THEN
+                        ((abs(n * sxy - sx * sy) * 1000)
+                         // greatest((n * sxx - sx * sx) // 1000, 1)
+                         * sx * 100) // 1000000
+                      ELSE
+                        -(((abs(n * sxy - sx * sy) * 1000)
+                           // greatest((n * sxx - sx * sx) // 1000, 1)
+                           * sx * 100) // 1000000)
+                      END
+                    + 1099511627776 * n) // n - 1099511627776
+                       AS intercept_micro
+            FROM s
+        """,
         # redirect resolution: recursive chain walk capped at 16 steps
         # (== Spark's 4 pointer-doubling rounds); final = packed
         # (step, dst) argmax, terminals absorb; cycle rows cap out and

@@ -1347,6 +1347,82 @@ def train_split_assign(
     )
 
 
+def zipf_fit(docs: DataFrame, top_n: int = 256) -> DataFrame:
+    """Zipf's-law fit: OLS of ln(freq) on ln(rank) over the top_n most
+    frequent terms — the data-card vocabulary-shape statistic (natural
+    text slopes near -1; templated/synthetic or boilerplate-heavy
+    corpora diverge, so the slope is a cheap corpus-drift alarm).
+
+    Exactness: ln runs ONCE per surviving term and quantizes to integer
+    deci-milli-nats (floor(ln(v)*1e4) — the unigram_surprisal micro-nat
+    convention scaled so the OLS cross-products stay in LongType:
+    n*Σxy <= top_n^2 * (1.4e5)^2 ~ 1.3e15 at top_n=256); every sum and
+    cross-product after that is integer and order-free.  The divisions
+    keep every operand POSITIVE (Spark div truncates, DuckDB // floors
+    — they agree only on non-negatives, the r4 lesson):
+        s_abs = (|num| * 1000) div max(den div 1000, 1)
+        slope_micro = -s_abs  when num < 0
+        intercept_micro = (sy*100 -/+ (s_abs*sx*100) div 1e6
+                           + B*n) div n - B     with B = 2^40 >> |inner|/n
+    Residual: ln's own ~1-ulp cross-engine wiggle at floor boundaries
+    (documented in unigram_surprisal; none in the shipped fixtures).
+
+    Scale: one map-side-combinable term-count groupBy; top_n survives
+    via orderBy().limit() → TakeOrderedAndProject (never a corpus
+    sort); the rank window covers only the top_n rows; one single-row
+    aggregate ends the plan."""
+    if top_n < 2:
+        raise ValueError("top_n must be >= 2 (OLS needs distinct ranks)")
+    uni = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    order = [F.col("cnt").desc(), F.col("tok").asc()]
+    top = uni.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
+    ranked = top.withColumn("rank", F.row_number().over(w).cast("long"))
+    q = F.lit(10_000.0)
+    pts = ranked.select(
+        F.floor(F.log(F.col("rank").cast("double")) * q)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("cnt").cast("double")) * q)
+        .cast("long")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    B = 2**40
+    return sums.selectExpr(
+        "n AS n_terms",
+        "CASE WHEN n * sxy - sx * sy < 0 THEN "
+        "  -((abs(n * sxy - sx * sy) * 1000)"
+        "    div greatest((n * sxx - sx * sx) div 1000, 1)) "
+        "ELSE "
+        "  (abs(n * sxy - sx * sy) * 1000)"
+        "  div greatest((n * sxx - sx * sx) div 1000, 1) "
+        "END AS slope_micro",
+        # inner = sy*100 - slope*sx*100, staged with positive divisions
+        # and the +B*n offset so the final div sees positive operands
+        f"(sy * 100 "
+        f" + CASE WHEN n * sxy - sx * sy < 0 THEN "
+        f"     ((abs(n * sxy - sx * sy) * 1000)"
+        f"      div greatest((n * sxx - sx * sx) div 1000, 1)"
+        f"      * sx * 100) div 1000000 "
+        f"   ELSE "
+        f"     -(((abs(n * sxy - sx * sy) * 1000)"
+        f"        div greatest((n * sxx - sx * sx) div 1000, 1)"
+        f"        * sx * 100) div 1000000) "
+        f"   END + {B} * n) div n - {B} AS intercept_micro",
+    )
+
+
 def vocab_growth(
     docs: DataFrame, cutoffs: tuple[int, ...] = (125, 250, 500, 1000)
 ) -> DataFrame:

@@ -732,3 +732,43 @@ def test_resolve_redirects_chain_cycle_and_cap(spark):
             for r in resolve_redirects(red, rounds=3).collect()}
     assert got3[5] == (0, 1)
     assert got3[10] == (10, 0)
+
+
+def test_zipf_fit_matches_python_replica_and_slope(spark):
+    """An exact-Zipf corpus (count(i) = 2000//i) fits slope ~ -1; the
+    integer OLS pipeline must be bit-identical to a python replica of
+    the same quantization and staged divisions."""
+    import math
+
+    from contentextractor_spark.functions.analysis import zipf_fit
+
+    counts = {f"t{i:03d}": 2000 // i for i in range(1, 33)}
+    text = " ".join(tok for tok, c in counts.items() for _ in range(c))
+    docs = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    row = zipf_fit(docs, top_n=32).collect()[0]
+
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (
+            math.floor(math.log(r + 1) * 10000),
+            math.floor(math.log(c) * 10000),
+        )
+        for r, (_, c) in enumerate(ranked)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    s_abs = (abs(num) * 1000) // max(den // 1000, 1)
+    slope = -s_abs if num < 0 else s_abs
+    term = (s_abs * sx * 100) // 1000000
+    inner = sy * 100 + (term if num < 0 else -term)
+    B = 2**40
+    intercept = (inner + B * n) // n - B
+
+    assert (row.n_terms, row.slope_micro, row.intercept_micro) == (
+        n, slope, intercept,
+    )
+    assert -1_100_000 < row.slope_micro < -900_000
