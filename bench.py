@@ -139,6 +139,16 @@ BAND_MAX_S = {
     "hashed_linear_score": 8.0,
     "epoch_shuffle": 2.5,
     "group_sample": 2.5,
+    # r5 session-4 (warm samples local[32] sf0.1: retention 1.6-1.7,
+    # pmi 1.8-2.1, triangle 2.3-3.1, digest 0.5-0.8 — cold-first 16.6
+    # was the session's first parquet text-column touch, redirect
+    # 1.4-2.2, zipf 0.7-1.4)
+    "events_retention": 3.5,
+    "pmi_collocations": 4.5,
+    "triangle_count": 6.0,
+    "dataset_digest": 3.0,
+    "redirect_resolve": 4.5,
+    "zipf_fit": 3.0,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -377,6 +387,13 @@ def main() -> None:
         "hashed_linear_score": lambda: force(_entry_q("hashed_linear_score")),
         "epoch_shuffle": lambda: force(_entry_q("epoch_shuffle")),
         "group_sample": lambda: force(_entry_q("group_sample")),
+        # r5 session-4 ops (entry-query configurations)
+        "events_retention": lambda: force(_entry_q("events_retention")),
+        "pmi_collocations": lambda: force(_entry_q("pmi_collocations")),
+        "triangle_count": lambda: force(_entry_q("triangle_count")),
+        "dataset_digest": lambda: force(_entry_q("dataset_digest")),
+        "redirect_resolve": lambda: force(_entry_q("redirect_resolve")),
+        "zipf_fit": lambda: force(_entry_q("zipf_fit")),
     }
 
     def _entry_q(name):
