@@ -286,3 +286,21 @@ def stream_latest_snapshot(
     return latest_snapshot(
         snaps_stream, key_col=key_col, ts_col=ts_col, id_col=id_col
     )
+
+
+def stream_dataset_digest(
+    docs_stream: DataFrame, n_shards: int = 16, group_col: str = "lang"
+) -> DataFrame:
+    """Streaming per-(group, shard) content digest over a documents
+    stream: the batch dataset_digest's (count, sum-of-row-hashes) pair
+    is a commutative monoid, so the aggregation IS its own streaming
+    merge — state is one (count, sum) per live (group, shard) cell
+    (bounded: groups x n_shards rows), and stream == batch on the same
+    rows by construction (shared expressions) — tested.  The live-ingest
+    use: a continuously-maintained digest table that a downstream
+    snapshot comparison reads without rescanning the corpus."""
+    from ..functions.analysis import dataset_digest
+
+    return dataset_digest(
+        docs_stream, n_shards=n_shards, group_col=group_col
+    )

@@ -433,3 +433,42 @@ def test_stream_extract_tables_matches_batch(spark, tmp_path):
     want = {key(r) for r in extract_tables(batch_df, num_buckets=8).collect()}
     assert want, "fixture pages produced no table cells"
     assert got == want  # streaming == batch cell rows
+
+
+def test_stream_dataset_digest_matches_batch(spark, tmp_path):
+    """r5 s4: the (count, hash-sum) digest cell is a commutative monoid —
+    the streaming digest over a 2-file stream (complete mode, bounded
+    state: groups x shards rows) must equal the batch dataset_digest on
+    the same rows."""
+    from contentextractor_spark.functions import analysis as A
+    from contentextractor_spark.streaming.stream import stream_dataset_digest
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(80)
+    in_dir = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(in_dir)
+    batch = spark.read.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_dataset_digest(stream, n_shards=4)
+        .writeStream.format("memory")
+        .queryName("digest_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "digest stream did not finish"
+    got = {
+        (r.grp, r.shard, r.n_rows, r.content_sum)
+        for r in spark.sql("SELECT * FROM digest_stream").collect()
+    }
+    want = {
+        (r.grp, r.shard, r.n_rows, r.content_sum)
+        for r in A.dataset_digest(batch, n_shards=4).collect()
+    }
+    assert got == want
