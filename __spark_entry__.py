@@ -2795,6 +2795,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("doc_a", "doc_b", "split_a", "split_b")
         )
 
+    def _ring_affine_hub_edges(spark, sf_dir):
+        # shared r5 session-4 graph fixture: the triangle_count ring+
+        # affine edges PLUS 3 extra out-links on every doc_id%50==0 hub,
+        # so degree-dependent caps have something real to drop
+        docs = _docs(spark, sf_dir)
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        base = F.array(
+            (F.col("doc_id") + 1) % F.col("n"),
+            (F.col("doc_id") + 2) % F.col("n"),
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+        )
+        hub = F.array(
+            (F.col("doc_id") + 3) % F.col("n"),
+            (F.col("doc_id") + 4) % F.col("n"),
+            (F.col("doc_id") + 5) % F.col("n"),
+        )
+        dsts = F.when(
+            F.col("doc_id") % 50 == 0, F.concat(base, hub)
+        ).otherwise(base)
+        return (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+
+    def co_citation(spark, sf_dir):
+        # max_out=4 really bites: hubs carry outdeg ~6 and are dropped
+        # (audited by the overflow twin — the cap is driver-checked
+        # ACTIVE, the LSH-cap convention)
+        return A.co_citation_pairs(
+            _ring_affine_hub_edges(spark, sf_dir), max_out=4, min_count=1
+        )
+
+    def co_citation_overflow(spark, sf_dir):
+        return A.co_citation_overflow(
+            _ring_affine_hub_edges(spark, sf_dir), max_out=4
+        )
+
+    def degree_histogram(spark, sf_dir):
+        return A.degree_histogram(_ring_affine_hub_edges(spark, sf_dir))
+
     def zipf_fit(spark, sf_dir):
         # r5 session-4: Zipf slope/intercept over the top-256 terms —
         # deci-milli-nat quantized lns + all-integer OLS
@@ -2875,6 +2919,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_digest": dataset_digest,
         "redirect_resolve": redirect_resolve,
         "zipf_fit": zipf_fit,
+        "co_citation": co_citation,
+        "co_citation_overflow": co_citation_overflow,
+        "degree_histogram": degree_histogram,
         "editdist_pairs": editdist_pairs,
         "hashed_linear_score": hashed_linear_score,
         "epoch_shuffle": epoch_shuffle,
@@ -3051,6 +3098,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 # DuckDB oracles
 # ---------------------------------------------------------------------------
+
+_RING_AFFINE_HUB_CTE = """
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            e0 AS (SELECT doc_id AS src,
+                          CASE j WHEN 1 THEN (doc_id + 1) % n
+                                 WHEN 2 THEN (doc_id + 2) % n
+                                 WHEN 3 THEN (doc_id * 31 + 7) % n
+                                 WHEN 4 THEN (doc_id + 3) % n
+                                 WHEN 5 THEN (doc_id + 4) % n
+                                 ELSE (doc_id + 5) % n END AS dst
+                   FROM documents, nn,
+                        (SELECT unnest([1, 2, 3, 4, 5, 6]) AS j) js
+                   WHERE j <= 3 OR doc_id % 50 = 0),
+            e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e1 GROUP BY src)"""
+"""ring+affine+hub edge fixture (dedup'd directed edges + out-degrees) —
+ONE definition shared by the co_citation / co_citation_overflow /
+degree_histogram oracles, mirroring _ring_affine_hub_edges."""
+
 
 # r5 onion-dedup page builder (shared by boilerplate_lines / scrub_
 # boilerplate): header + two content lines sliced from the doc's own text
@@ -6107,6 +6174,34 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # co-citation with the out-degree cap ACTIVE (hubs outdeg>4
+        # dropped; the overflow twin lists them)
+        "co_citation": f"""
+            WITH {_RING_AFFINE_HUB_CTE},
+            keep AS (SELECT src FROM od WHERE outdeg <= 4),
+            e2 AS (SELECT e1.src, e1.dst FROM e1
+                   JOIN keep ON keep.src = e1.src)
+            SELECT a.dst AS dst_a, b.dst AS dst_b,
+                   CAST(count(*) AS BIGINT) AS n_sources
+            FROM e2 a JOIN e2 b ON a.src = b.src AND a.dst < b.dst
+            GROUP BY a.dst, b.dst
+            HAVING count(*) >= 1
+        """,
+        "co_citation_overflow": f"""
+            WITH {_RING_AFFINE_HUB_CTE}
+            SELECT src, outdeg FROM od WHERE outdeg > 4
+        """,
+        "degree_histogram": f"""
+            WITH {_RING_AFFINE_HUB_CTE},
+            idg AS (SELECT dst, CAST(count(*) AS BIGINT) AS indeg
+                    FROM e1 GROUP BY dst)
+            SELECT 'out' AS direction, outdeg AS degree,
+                   CAST(count(*) AS BIGINT) AS n_nodes
+            FROM od GROUP BY outdeg
+            UNION ALL
+            SELECT 'in', indeg, CAST(count(*) AS BIGINT)
+            FROM idg GROUP BY indeg
+        """,
         # Zipf OLS: deci-milli-nat quantized ln (x=ln rank, y=ln cnt),
         # integer cross-products, positive-operand-only divisions with
         # the +B*n offset (B=2^40) for the signed intercept mean

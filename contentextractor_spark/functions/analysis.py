@@ -789,6 +789,77 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """Web-graph degree distribution: (direction, degree, n_nodes) for
+    both out- and in-degree over the deduplicated directed edge list —
+    the first thing to look at before sizing any graph job (a power-law
+    tail here is WHY the co-citation/triangle producers carry caps).
+
+    Scale: two map-side-combinable groupBys per direction (node-count,
+    then histogram) — the second one's key space is the number of
+    DISTINCT degrees (tiny); no join, no window."""
+    e = edges.select("src", "dst").distinct()
+
+    def hist(col: str, tag: str) -> DataFrame:
+        return (
+            e.groupBy(F.col(col).alias("node"))
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .groupBy("degree")
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+            .select(F.lit(tag).alias("direction"), "degree", "n_nodes")
+        )
+
+    return hist("src", "out").unionByName(hist("dst", "in"))
+
+
+def _cocite_outdeg(edges: DataFrame) -> DataFrame:
+    e = edges.select("src", "dst").distinct()
+    return e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+
+
+def co_citation_pairs(
+    edges: DataFrame, max_out: int = 64, min_count: int = 1
+) -> DataFrame:
+    """Co-citation related-page discovery (Small 1973, the HITS-era
+    similarity): pages (a, b) are related when many sources link to
+    BOTH — (dst_a, dst_b, n_sources) for canonical dst_a < dst_b pairs
+    co-cited by >= min_count sources.
+
+    Skew guard (the LSH-cap convention): a source with outdeg d emits
+    d*(d-1)/2 pairs, so one link-farm hub with 10^5 out-links would
+    contribute 5*10^9 rows; sources with outdeg > max_out are DROPPED
+    from the pair join and reported loudly by the co_citation_overflow
+    twin — never silently truncated.  With the cap, pair volume is
+    <= sum(min(outdeg, max_out)^2)/2 — linear in edges for fixed
+    max_out.
+
+    Scale: distinct + one outdeg groupBy; the keep set joins back as a
+    semi-join on src; the pair self-join keys on src (bounded fan-out
+    by the cap); final groupBy on the pair key is map-side
+    combinable."""
+    if max_out < 2:
+        raise ValueError("max_out must be >= 2 (pairs need two dsts)")
+    e = edges.select("src", "dst").distinct()
+    keep = _cocite_outdeg(edges).filter(F.col("outdeg") <= max_out)
+    e2 = e.join(keep.select("src"), "src", "left_semi")
+    a = e2.select("src", F.col("dst").alias("dst_a"))
+    b = e2.select("src", F.col("dst").alias("dst_b"))
+    return (
+        a.join(b, "src")
+        .filter(F.col("dst_a") < F.col("dst_b"))
+        .groupBy("dst_a", "dst_b")
+        .agg(F.count(F.lit(1)).alias("n_sources"))
+        .filter(F.col("n_sources") >= min_count)
+    )
+
+
+def co_citation_overflow(edges: DataFrame, max_out: int = 64) -> DataFrame:
+    """The loud companion to co_citation_pairs' cap: (src, outdeg) of
+    every source the cap excluded, so a capped run is auditable instead
+    of silently lossy (the minhash/simhash overflow-twin convention)."""
+    return _cocite_outdeg(edges).filter(F.col("outdeg") > max_out)
+
+
 def unigram_surprisal(docs: DataFrame) -> DataFrame:
     """LM-based quality scoring against the corpus's own unigram model
     (the CCNet idea with the corpus standing in for the external LM): per

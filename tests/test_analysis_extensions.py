@@ -772,3 +772,43 @@ def test_zipf_fit_matches_python_replica_and_slope(spark):
         n, slope, intercept,
     )
     assert -1_100_000 < row.slope_micro < -900_000
+
+
+def test_co_citation_cap_and_counts(spark):
+    """Hand graph: two sources co-cite (1,2); the outdeg-5 hub is
+    dropped by max_out=4 and reported by the overflow twin; the
+    degree histogram counts both directions over dedup'd edges."""
+    from contentextractor_spark.functions.analysis import (
+        co_citation_overflow,
+        co_citation_pairs,
+        degree_histogram,
+    )
+
+    rows = [(100, d) for d in (1, 2, 3, 4, 5)] + [
+        (10, 1), (10, 2), (11, 1), (11, 2), (12, 2), (12, 3),
+        (10, 1),  # duplicate edge must not double-count
+    ]
+    edges = spark.createDataFrame(rows, "src bigint, dst bigint")
+
+    pairs = {
+        (r.dst_a, r.dst_b): r.n_sources
+        for r in co_citation_pairs(edges, max_out=4, min_count=1).collect()
+    }
+    assert pairs == {(1, 2): 2, (2, 3): 1}
+    assert {
+        (r.dst_a, r.dst_b)
+        for r in co_citation_pairs(edges, max_out=4, min_count=2).collect()
+    } == {(1, 2)}
+
+    over = [(r.src, r.outdeg)
+            for r in co_citation_overflow(edges, max_out=4).collect()]
+    assert over == [(100, 5)]
+
+    hist = {
+        (r.direction, r.degree): r.n_nodes
+        for r in degree_histogram(edges).collect()
+    }
+    assert hist == {
+        ("out", 2): 3, ("out", 5): 1,
+        ("in", 1): 2, ("in", 2): 1, ("in", 3): 1, ("in", 4): 1,
+    }
