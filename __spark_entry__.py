@@ -477,6 +477,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.latest_snapshot(snaps, key_col="url", ts_col="ts",
                                  id_col="doc_id")
 
+    def warc_revisit(spark, sf_dir):
+        # r5 session-4: fetch-time dedup — the latest_snapshot fixture's
+        # 5-fetches-per-url stream with a (doc_id%4) div 2 content digest
+        # (so each url group mixes identical and changed content) and ts
+        # TIES on doc_id pairs (min-id must win the 'response' slot)
+        docs = _docs(spark, sf_dir)
+        snaps = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("u"), F.expr("doc_id div 5").cast("string")
+            ).alias("url"),
+            F.expr("((doc_id div 2) * 37) % 1000").alias("ts"),
+            F.expr("(doc_id % 4) div 2").cast("string").alias("digest"),
+        )
+        return A.revisit_records(snaps)
+
     def snapshot_retention(spark, sf_dir):
         # r5 session-3: keep-last-N retention compaction — same 5-snaps-
         # per-url tie-heavy fixture as latest_snapshot, n_keep=3 so the
@@ -2920,6 +2936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve": redirect_resolve,
         "zipf_fit": zipf_fit,
         "co_citation": co_citation,
+        "warc_revisit": warc_revisit,
         "co_citation_overflow": co_citation_overflow,
         "degree_histogram": degree_histogram,
         "editdist_pairs": editdist_pairs,
@@ -6174,6 +6191,30 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # WARC revisit synthesis: packed min(ts*2^20+id) argmin per
+        # (url, digest); // 1048576 == shiftright(,20) on positives
+        "warc_revisit": """
+            WITH s AS (SELECT doc_id,
+                              'u' || CAST(doc_id // 5 AS VARCHAR) AS url,
+                              ((doc_id // 2) * 37) % 1000 AS ts,
+                              CAST((doc_id % 4) // 2 AS VARCHAR) AS digest
+                       FROM documents),
+            f AS (SELECT url, digest,
+                         CAST(min(ts * 1048576 + doc_id) AS BIGINT) AS fp
+                  FROM s GROUP BY url, digest)
+            SELECT s.url, s.doc_id, s.ts,
+                   CASE WHEN s.ts * 1048576 + s.doc_id = f.fp
+                        THEN 'response' ELSE 'revisit' END AS kind,
+                   CASE WHEN s.ts * 1048576 + s.doc_id = f.fp
+                        THEN NULL
+                        ELSE CAST(f.fp % 1048576 AS BIGINT) END
+                       AS refers_id,
+                   CASE WHEN s.ts * 1048576 + s.doc_id = f.fp
+                        THEN NULL
+                        ELSE CAST(f.fp // 1048576 AS BIGINT) END
+                       AS refers_ts
+            FROM s JOIN f ON f.url = s.url AND f.digest = s.digest
+        """,
         # co-citation with the out-degree cap ACTIVE (hubs outdeg>4
         # dropped; the overflow twin lists them)
         "co_citation": f"""

@@ -3268,6 +3268,77 @@ def latest_snapshot(
     )
 
 
+def revisit_records(
+    snaps: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+    ts_bound: int = 2**42,
+) -> DataFrame:
+    """WARC revisit-record synthesis — fetch-time dedup, the Common
+    Crawl 'revisit' record type: per (key, content digest) the FIRST
+    fetch (min ts; ts tie → min id) is the stored 'response', and every
+    later byte-identical fetch becomes a 'revisit' carrying
+    (refers_id, refers_ts) of the original, so storage holds one copy
+    of unchanged content per URL across crawls.
+
+    Packed argmin: min(ts*2^20 + id) — a min-min objective, so plain
+    min() IS the argmin (no 2^20-1-id complement needed, unlike the
+    component_canonical max-form).  Packing bounds refused PER ROW with
+    raise_error (the snapshot_retention contract: min() ignores nulls,
+    so a violating row must never silently drop from the ordering).
+
+    Scale: one map-side-combinable groupBy on (key, digest) + one
+    equi-join back on the same high-cardinality uniform key; no window,
+    no sort.  The firsts table is also exactly the 'what to store'
+    manifest at crawl time."""
+    ts = F.col(ts_col).cast("long")
+    idc = F.col(id_col).cast("long")
+    packed = F.when(
+        (ts >= 0) & (ts < F.lit(ts_bound)) & (idc >= 0) & (idc < F.lit(2**20)),
+        ts * F.lit(2**20) + idc,
+    )
+    guarded = snaps.select(
+        F.col(key_col).alias("key"),
+        F.col(digest_col).alias("digest"),
+        F.col(id_col).alias("__id"),
+        F.col(ts_col).alias("__ts"),
+        F.when(
+            packed.isNull(),
+            F.raise_error(
+                F.lit(
+                    "revisit_records: ts/id outside packing bounds "
+                    f"(ts<{ts_bound}, id<2^20) — re-pack with a wider shift"
+                )
+            ).cast("long"),
+        )
+        .otherwise(packed)
+        .alias("__p"),
+    )
+    firsts = guarded.groupBy("key", "digest").agg(
+        F.min("__p").alias("__f")
+    )
+    is_first = F.col("__p") == F.col("__f")
+    return (
+        guarded.join(firsts, ["key", "digest"])
+        .select(
+            F.col("key").alias(key_col),
+            F.col("__id").alias(id_col),
+            F.col("__ts").alias(ts_col),
+            F.when(is_first, F.lit("response"))
+            .otherwise(F.lit("revisit"))
+            .alias("kind"),
+            F.when(is_first, F.lit(None).cast("long"))
+            .otherwise(F.pmod("__f", F.lit(2**20)))
+            .alias("refers_id"),
+            F.when(is_first, F.lit(None).cast("long"))
+            .otherwise(F.shiftright("__f", 20))
+            .alias("refers_ts"),
+        )
+    )
+
+
 def snapshot_retention(
     snaps: DataFrame,
     n_keep: int = 3,

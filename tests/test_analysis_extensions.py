@@ -812,3 +812,42 @@ def test_co_citation_cap_and_counts(spark):
         ("out", 2): 3, ("out", 5): 1,
         ("in", 1): 2, ("in", 2): 1, ("in", 3): 1, ("in", 4): 1,
     }
+
+
+def test_revisit_records_first_fetch_and_tie(spark):
+    """First fetch per (url, digest) is the response (ts tie -> min id);
+    later identical fetches are revisits referring to it; changed
+    content opens a new response; out-of-bounds rows raise."""
+    from contentextractor_spark.functions.analysis import revisit_records
+
+    rows = [
+        # u1: two fetches of digest A at the SAME ts (ids 5, 3 — min id
+        # wins), a later identical fetch, then changed content
+        (5, "u1", 100, "A"), (3, "u1", 100, "A"), (7, "u1", 200, "A"),
+        (9, "u1", 300, "B"),
+        # u2: single fetch
+        (11, "u2", 50, "A"),
+    ]
+    snaps = spark.createDataFrame(
+        rows, "doc_id bigint, url string, ts bigint, digest string"
+    )
+    got = {
+        r.doc_id: (r.kind, r.refers_id, r.refers_ts)
+        for r in revisit_records(snaps).collect()
+    }
+    assert got == {
+        3: ("response", None, None),
+        5: ("revisit", 3, 100),
+        7: ("revisit", 3, 100),
+        9: ("response", None, None),
+        11: ("response", None, None),
+    }
+
+    bad = spark.createDataFrame(
+        [(2**21, "u1", 10, "A")],
+        "doc_id bigint, url string, ts bigint, digest string",
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="packing bounds"):
+        revisit_records(bad).collect()
