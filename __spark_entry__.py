@@ -1150,6 +1150,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return parse_sitemaps(sm)
 
+    def feed_urls(spark, sf_dir):
+        # r5 session-4: RSS/Atom discovery next to sitemap_urls — 11
+        # hosts, even h publish RSS (<item> with text <link>), odd h
+        # Atom (<entry> with self-closing <link href>), 1+h%3 items
+        # each, through the REAL XML DOM; the oracle predicts every
+        # (host, pos, link, title, kind) row from the builder formula
+        hosts = (
+            _docs(spark, sf_dir)
+            .select(F.pmod("doc_id", 11).alias("h"))
+            .distinct()
+        )
+        rss_items = (
+            "array_join(transform(sequence(0, cast(h % 3 as int)),"
+            " i -> concat('<item><title>T', h, '_', i, '</title>',"
+            " '<link>https://h', h, '.example/rss/', i, '</link>',"
+            " '</item>')), '')"
+        )
+        atom_entries = (
+            "array_join(transform(sequence(0, cast(h % 3 as int)),"
+            " i -> concat('<entry><title>A', h, '_', i, '</title>',"
+            " '<link href=\"https://h', h, '.example/atom/', i,"
+            " '\"/></entry>')), '')"
+        )
+        xml = F.expr(
+            "case when h % 2 = 0 then"
+            f" concat('<rss><channel>', {rss_items}, '</channel></rss>')"
+            f" else concat('<feed>', {atom_entries}, '</feed>') end"
+        )
+        feeds = hosts.select(
+            F.concat(
+                F.lit("h"), F.col("h").cast("string"), F.lit(".example")
+            ).alias("host"),
+            xml.alias("xml"),
+        )
+        from contentextractor_spark.plans.pipeline import parse_feeds
+
+        return parse_feeds(feeds)
+
     def curation_v4(spark, sf_dir):
         # r4 session-2 composed flow, ONE SQL oracle for the whole chain:
         # overlap-fraction decontamination gate → per-host rebalancing
@@ -2937,6 +2975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zipf_fit": zipf_fit,
         "co_citation": co_citation,
         "warc_revisit": warc_revisit,
+        "feed_urls": feed_urls,
         "co_citation_overflow": co_citation_overflow,
         "degree_histogram": degree_histogram,
         "editdist_pairs": editdist_pairs,
@@ -6191,6 +6230,29 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # RSS/Atom discovery: every row predicted from the builder
+        # formula (generate_series is end-INCLUSIVE == Spark sequence)
+        "feed_urls": """
+            WITH hs AS (SELECT DISTINCT doc_id % 11 AS h FROM documents),
+            it AS (SELECT h, unnest(generate_series(0, h % 3)) AS i
+                   FROM hs)
+            SELECT 'h' || CAST(h AS VARCHAR) || '.example' AS host,
+                   CAST(i AS INT) AS pos,
+                   CASE WHEN h % 2 = 0
+                        THEN 'https://h' || CAST(h AS VARCHAR)
+                             || '.example/rss/' || CAST(i AS VARCHAR)
+                        ELSE 'https://h' || CAST(h AS VARCHAR)
+                             || '.example/atom/' || CAST(i AS VARCHAR)
+                   END AS link,
+                   CASE WHEN h % 2 = 0
+                        THEN 'T' || CAST(h AS VARCHAR) || '_'
+                             || CAST(i AS VARCHAR)
+                        ELSE 'A' || CAST(h AS VARCHAR) || '_'
+                             || CAST(i AS VARCHAR)
+                   END AS title,
+                   CASE WHEN h % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind
+            FROM it
+        """,
         # WARC revisit synthesis: packed min(ts*2^20+id) argmin per
         # (url, digest); // 1048576 == shiftright(,20) on positives
         "warc_revisit": """

@@ -725,6 +725,74 @@ def parse_sitemaps(sitemaps: DataFrame) -> DataFrame:
     return sitemaps.mapInPandas(_sitemap_batches, schema=SITEMAP_SCHEMA)
 
 
+FEED_SCHEMA = StructType(
+    [
+        StructField("host", StringType()),
+        StructField("pos", IntegerType()),
+        StructField("link", StringType()),
+        StructField("title", StringType()),
+        StructField("kind", StringType()),
+    ]
+)
+
+
+def _feed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: RSS/Atom feed XML → one row per item/entry in
+    document order.  RSS: <item> with <link> TEXT; Atom: <entry> with
+    <link href=...> (self-closing — the XML parser never pushes it, so
+    a text-form link inside an Atom entry would be a different row: the
+    two conventions are structurally distinguishable, not sniffed from
+    a content-type header).  A body that fails to parse contributes
+    zero rows (the extractor error contract)."""
+    from ..operators.dom import parse_xml
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        out: dict[str, list] = {
+            "host": [], "pos": [], "link": [], "title": [], "kind": [],
+        }
+        for h, xml in zip(pdf["host"], pdf["xml"]):
+            try:
+                doc = parse_xml(xml if xml is not None else "")
+                els = list(doc.iter_elements())
+            except Exception:  # noqa: BLE001 — per-row catch-all
+                els = []
+            entries = [e for e in els if e.tag == "entry"]
+            kind = "atom"
+            if not entries:
+                entries = [e for e in els if e.tag == "item"]
+                kind = "rss"
+            for i, item in enumerate(entries):
+                link = title = None
+                for el in item.iter_elements():
+                    if el.tag == "link" and link is None:
+                        link = el.attr("href") if kind == "atom" else el.text()
+                    elif el.tag == "title" and title is None:
+                        title = el.text()
+                out["host"].append(None if h is None else str(h))
+                out["pos"].append(i)
+                out["link"].append(link)
+                out["title"].append(title)
+                out["kind"].append(kind)
+        if out["host"]:
+            yield pd.DataFrame(out)
+
+
+def parse_feeds(feeds: DataFrame) -> DataFrame:
+    """Feed ingestion — (host, xml) → one row per RSS <item> / Atom
+    <entry> in document order: the freshness-crawl discovery channel
+    next to parse_sitemaps (sitemaps enumerate the site; feeds announce
+    what changed today, which is what a recrawl scheduler actually
+    polls).  Runs through the same real XML DOM as the extractor.
+
+    Scale note: the parse_sitemaps argument verbatim — feed tables are
+    per-host, so the input split spreads them; a pathological host
+    routes through salted_bucket like extract_links."""
+    ensure_pyfiles(feeds.sparkSession)
+    return feeds.mapInPandas(_feed_batches, schema=FEED_SCHEMA)
+
+
 def lineage_metrics(extracted: DataFrame) -> DataFrame:
     """Per-bucket lineage/metrics rows (north rule: partition id, url range,
     row counts, extractor-version hash).  Derived from the output with one

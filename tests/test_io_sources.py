@@ -191,3 +191,37 @@ def test_jsonl_serde_hostiles_and_malformed(spark):
     bad = spark.createDataFrame([("{not json",)], "line string")
     rows = jsonl_to_docs(bad, "doc_id bigint, text string").collect()
     assert len(rows) == 1 and rows[0].doc_id is None and rows[0].text is None
+
+
+def test_feed_batches_rss_atom_and_poison():
+    """Walker-level (no Spark): RSS text links vs Atom href links, item
+    document order, missing title -> None, unparseable body -> zero
+    rows, unknown root -> zero rows."""
+    import pandas as pd
+
+    from contentextractor_spark.plans.pipeline import _feed_batches
+
+    rss = (
+        "<rss><channel><title>chan</title>"
+        "<item><title>one</title><link>https://a/1</link></item>"
+        "<item><link>https://a/2</link></item>"
+        "</channel></rss>"
+    )
+    atom = (
+        '<feed><title>feed-level</title>'
+        '<entry><title>e0</title><link href="https://b/0"/></entry>'
+        "</feed>"
+    )
+    batch = pd.DataFrame(
+        {
+            "host": ["a.example", "b.example", "c.example", "d.example"],
+            "xml": [rss, atom, "<html><p>not a feed</p></html>", None],
+        }
+    )
+    out = pd.concat(list(_feed_batches(iter([batch]))), ignore_index=True)
+    rows = [tuple(r) for r in out.itertuples(index=False)]
+    assert rows == [
+        ("a.example", 0, "https://a/1", "one", "rss"),
+        ("a.example", 1, "https://a/2", None, "rss"),
+        ("b.example", 0, "https://b/0", "e0", "atom"),
+    ]
