@@ -149,6 +149,12 @@ BAND_MAX_S = {
     "dataset_digest": 3.0,
     "redirect_resolve": 4.5,
     "zipf_fit": 3.0,
+    # r5 session-4b (warm samples local[32] sf0.1: co_citation 2.9/2.9,
+    # degree_histogram 1.1/1.3, warc_revisit 0.9/1.2, feed_urls 0.6/0.7)
+    "co_citation": 6.0,
+    "degree_histogram": 3.0,
+    "warc_revisit": 3.0,
+    "feed_urls": 2.5,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -394,6 +400,10 @@ def main() -> None:
         "dataset_digest": lambda: force(_entry_q("dataset_digest")),
         "redirect_resolve": lambda: force(_entry_q("redirect_resolve")),
         "zipf_fit": lambda: force(_entry_q("zipf_fit")),
+        "co_citation": lambda: force(_entry_q("co_citation")),
+        "degree_histogram": lambda: force(_entry_q("degree_histogram")),
+        "warc_revisit": lambda: force(_entry_q("warc_revisit")),
+        "feed_urls": lambda: force(_entry_q("feed_urls")),
     }
 
     def _entry_q(name):
