@@ -477,6 +477,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.latest_snapshot(snaps, key_col="url", ts_col="ts",
                                  id_col="doc_id")
 
+    def http_dates(spark, sf_dir):
+        # r5 session-4: RFC 1123 header normalization — synthesized
+        # Last-Modified strings (wrong weekday on purpose: RFC 7231
+        # receivers must tolerate it) with doc_id%17==0 malformed rows
+        # that must come back NULL, not kill the job
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        docs = _docs(spark, sf_dir)
+        months = (
+            "array('Jan','Feb','Mar','Apr','May','Jun',"
+            "'Jul','Aug','Sep','Oct','Nov','Dec')"
+        )
+        hdr = F.expr(
+            "case when doc_id % 17 = 0 then 'not-a-date' else"
+            " format_string('Mon, %02d %s 2024 %02d:%02d:%02d GMT',"
+            "  cast(doc_id % 28 + 1 as int),"
+            f"  element_at({months}, cast((doc_id div 28) % 12 as int) + 1),"
+            "  cast(doc_id % 24 as int), cast((doc_id * 7) % 60 as int),"
+            "  cast((doc_id * 13) % 60 as int)) end"
+        )
+        hdrs = docs.select("doc_id", hdr.alias("last_modified"))
+        return A.parse_http_dates(hdrs)
+
     def warc_revisit(spark, sf_dir):
         # r5 session-4: fetch-time dedup — the latest_snapshot fixture's
         # 5-fetches-per-url stream with a (doc_id%4) div 2 content digest
@@ -2976,6 +2998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "co_citation": co_citation,
         "warc_revisit": warc_revisit,
         "feed_urls": feed_urls,
+        "http_dates": http_dates,
         "co_citation_overflow": co_citation_overflow,
         "degree_histogram": degree_histogram,
         "editdist_pairs": editdist_pairs,
@@ -6230,6 +6253,31 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # RFC 1123 parsing, weekday-stripped (Spark cannot parse EEE;
+        # the field is redundant per RFC 7231) — measured identical
+        # epochs; malformed rows NULL via try_strptime
+        "http_dates": """
+            WITH hdrs AS (SELECT doc_id,
+                CASE WHEN doc_id % 17 = 0 THEN 'not-a-date' ELSE
+                  printf('Mon, %02d %s 2024 %02d:%02d:%02d GMT',
+                         doc_id % 28 + 1,
+                         ['Jan','Feb','Mar','Apr','May','Jun','Jul',
+                          'Aug','Sep','Oct','Nov','Dec']
+                             [(doc_id // 28) % 12 + 1],
+                         doc_id % 24, (doc_id * 7) % 60,
+                         (doc_id * 13) % 60)
+                END AS last_modified
+                FROM documents),
+            p AS (SELECT doc_id,
+                         CAST(epoch(try_strptime(
+                             regexp_replace(regexp_replace(last_modified,
+                                 '^[A-Za-z]+, ', ''), ' GMT$', ''),
+                             '%d %b %Y %H:%M:%S')) AS BIGINT) AS epoch
+                  FROM hdrs)
+            SELECT doc_id, epoch,
+                   CAST(epoch // 86400 AS BIGINT) AS day
+            FROM p
+        """,
         # RSS/Atom discovery: every row predicted from the builder
         # formula (generate_series is end-INCLUSIVE == Spark sequence)
         "feed_urls": """

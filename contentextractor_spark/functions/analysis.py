@@ -3268,6 +3268,41 @@ def latest_snapshot(
     )
 
 
+def parse_http_dates(
+    df: DataFrame, col: str = "last_modified", id_col: str = "doc_id"
+) -> DataFrame:
+    """RFC 1123 HTTP date parsing (Last-Modified / Date headers) to
+    integer epoch seconds — the crawl-metadata normalizer feeding
+    recency weighting and the crawl-date partition layout.
+
+    Engine-exact convention: Spark's post-3.0 DateTimeFormatter cannot
+    PARSE 'EEE' (day-of-week), and RFC 7231 receivers must tolerate a
+    wrong weekday anyway — the field is redundant — so BOTH engines
+    strip '^[A-Za-z]+, ' and ' GMT$' and parse 'dd MMM yyyy HH:mm:ss'
+    ('%d %b %Y %H:%M:%S' in DuckDB; measured identical epochs).
+    Unparseable or missing headers yield NULL epoch (try_to_timestamp —
+    a crawl-metadata consumer must fail open, not kill the job on one
+    malformed header).  `day` = epoch div 86400 for partition
+    bucketing; valid for epoch >= 0 (pre-1970 dates would hit the
+    truncate-vs-floor divide — not a crawl concern, documented).
+
+    Requires the session timezone pinned to UTC (build_spark does;
+    foreign sessions must set spark.sql.session.timeZone) so
+    unix_timestamp cannot shift by the host TZ.
+
+    Scale: pure row-level projection — regex + one datetime parse per
+    row, whole-stage codegen, no shuffle."""
+    core = F.regexp_replace(
+        F.regexp_replace(F.col(col), "^[A-Za-z]+, ", ""), " GMT$", ""
+    )
+    epoch = F.unix_timestamp(
+        F.try_to_timestamp(core, F.lit("dd MMM yyyy HH:mm:ss"))
+    )
+    return df.select(F.col(id_col), epoch.alias("epoch")).select(
+        id_col, "epoch", F.expr("epoch div 86400").alias("day")
+    )
+
+
 def revisit_records(
     snaps: DataFrame,
     key_col: str = "url",

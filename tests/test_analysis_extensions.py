@@ -851,3 +851,26 @@ def test_revisit_records_first_fetch_and_tie(spark):
 
     with _pytest.raises(Exception, match="packing bounds"):
         revisit_records(bad).collect()
+
+
+def test_parse_http_dates_known_values(spark):
+    """Known epochs, weekday tolerance (wrong weekday parses fine per
+    RFC 7231), malformed and NULL headers -> NULL epoch/day."""
+    from contentextractor_spark.functions.analysis import parse_http_dates
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [
+        (1, "Tue, 03 Jun 2025 17:05:09 GMT"),
+        (2, "Xxx, 01 Jan 1970 00:00:01 GMT"),  # nonsense weekday ok
+        (3, "garbage"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, last_modified string")
+    got = {r.doc_id: (r.epoch, r.day)
+           for r in parse_http_dates(df).collect()}
+    assert got == {
+        1: (1748970309, 1748970309 // 86400),
+        2: (1, 0),
+        3: (None, None),
+        4: (None, None),
+    }
