@@ -611,6 +611,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.apply_robots(urls, A.parse_robots(_robots_sql(spark, sf_dir)))
 
+    def robots_sitemaps(spark, sf_dir):
+        # r5 session-4: Sitemap directives (group-independent, per
+        # sitemaps.org) — mixed-case hosts and field names, a commented-
+        # out directive that must NOT extract, CRLF + bare-LF mixed
+        hosts = (
+            _docs(spark, sf_dir)
+            .select(F.pmod("doc_id", 9).alias("h"))
+            .distinct()
+        )
+        hs = F.col("h").cast("string")
+        body = F.concat(
+            F.lit("# robots preamble\r\nUser-agent: *\r\nDisallow: /x\r\n"),
+            F.lit("Sitemap: https://h"), hs, F.lit(".example/sitemap.xml\r\n"),
+            F.when(
+                F.col("h") % 2 == 0,
+                F.concat(
+                    F.lit("sitemap: https://h"), hs,
+                    F.lit(".example/extra.xml\n"),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit("# Sitemap: https://ignored.example/no.xml\n"),
+            F.when(
+                F.col("h") % 3 == 0,
+                F.concat(
+                    F.lit("SITEMAP: https://h"), hs,
+                    F.lit(".example/upper.xml\n"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+        robots = hosts.select(
+            F.concat(F.lit("H"), hs, F.lit(".Example")).alias("host"),
+            body.alias("robots_txt"),
+        )
+        return A.robots_sitemaps(robots)
+
     def dsir_weights(spark, sf_dir):
         # r4 data-SELECTION tier (DSIR, unigram variant): importance =
         # per-doc log-likelihood ratio of target-domain LM (the corpus's
@@ -2999,6 +3034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_revisit": warc_revisit,
         "feed_urls": feed_urls,
         "http_dates": http_dates,
+        "robots_sitemaps": robots_sitemaps,
         "co_citation_overflow": co_citation_overflow,
         "degree_histogram": degree_histogram,
         "editdist_pairs": editdist_pairs,
@@ -6253,6 +6289,47 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # Sitemap directives: comment-strip BEFORE match, strict
+        # lowercase 'sitemap:' prefix after trim, lowercased host,
+        # pos = row_number among surviving lines in document order
+        "robots_sitemaps": """
+            WITH hs AS (SELECT DISTINCT doc_id % 9 AS h FROM documents),
+            r AS (SELECT 'H' || CAST(h AS VARCHAR) || '.Example' AS host,
+                         '# robots preamble' || chr(13) || chr(10)
+                         || 'User-agent: *' || chr(13) || chr(10)
+                         || 'Disallow: /x' || chr(13) || chr(10)
+                         || 'Sitemap: https://h' || CAST(h AS VARCHAR)
+                         || '.example/sitemap.xml' || chr(13) || chr(10)
+                         || CASE WHEN h % 2 = 0 THEN
+                              'sitemap: https://h' || CAST(h AS VARCHAR)
+                              || '.example/extra.xml' || chr(10)
+                            ELSE '' END
+                         || '# Sitemap: https://ignored.example/no.xml'
+                         || chr(10)
+                         || CASE WHEN h % 3 = 0 THEN
+                              'SITEMAP: https://h' || CAST(h AS VARCHAR)
+                              || '.example/upper.xml' || chr(10)
+                            ELSE '' END AS robots_txt
+                  FROM hs),
+            p AS (SELECT lower(host) AS host,
+                         string_split(robots_txt, chr(10)) AS parts
+                  FROM r),
+            ls AS (SELECT host, parts,
+                          unnest(generate_series(1, len(parts))) AS ln
+                   FROM p),
+            cl AS (SELECT host, ln,
+                          trim(regexp_replace(regexp_replace(parts[ln],
+                              '#.*', ''), chr(13), '')) AS clean
+                   FROM ls),
+            keep AS (SELECT host, ln,
+                            trim(substr(clean, 9)) AS sitemap_url
+                     FROM cl WHERE lower(clean) LIKE 'sitemap:%')
+            SELECT host,
+                   CAST(row_number() OVER (PARTITION BY host ORDER BY ln)
+                        AS INT) AS pos,
+                   sitemap_url
+            FROM keep
+        """,
         # RFC 1123 parsing, weekday-stripped (Spark cannot parse EEE;
         # the field is redundant per RFC 7231) — measured identical
         # epochs; malformed rows NULL via try_strptime

@@ -3545,6 +3545,54 @@ def ccnet_buckets(docs: DataFrame) -> DataFrame:
     )
 
 
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", txt_col: str = "robots_txt"
+) -> DataFrame:
+    """Sitemap directives from robots.txt — the sitemaps.org extension
+    to RFC 9309, the zero-cost crawl-discovery channel next to
+    parse_sitemaps/parse_feeds.  Unlike Allow/Disallow, the Sitemap
+    field is GROUP-INDEPENDENT (it applies wherever it appears, not to
+    the enclosing User-agent group), so this is a separate line scan,
+    not a parse_robots extension.
+
+    Convention: CRLF-tolerant, comments ('#' to end of line) stripped
+    BEFORE matching (a commented-out directive must not extract),
+    field name case-insensitive, strict 'sitemap:' prefix after trim
+    (no space before the colon — same strictness as parse_robots
+    fields), host LOWERCASED (the apply_robots join convention).
+    pos = 1-based index among the host's surviving sitemap lines in
+    document order.
+
+    Scale: posexplode of the line split + row-level regex; the
+    row_number window partitions BY HOST over only the surviving
+    sitemap lines (a handful per host) — no corpus sort."""
+    lines = F.posexplode(F.split(F.col(txt_col), "\n"))
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("line"), "#.*", ""), "\r", ""
+        )
+    )
+    cleaned = (
+        robots.select(
+            F.lower(F.col(host_col)).alias("host"),
+            lines.alias("ln", "line"),
+        )
+        .select("host", "ln", clean.alias("clean"))
+        .filter(F.lower("clean").startswith("sitemap:"))
+        .select(
+            "host",
+            "ln",
+            F.trim(F.expr("substring(clean, 9)")).alias("sitemap_url"),
+        )
+    )
+    w = Window.partitionBy("host").orderBy("ln")
+    return cleaned.select(
+        "host",
+        F.row_number().over(w).cast("int").alias("pos"),
+        "sitemap_url",
+    )
+
+
 def parse_robots(robots: DataFrame) -> DataFrame:
     """(host, allow, path_prefix): the generic-agent ('*') rules parsed
     out of per-host robots.txt bodies — the crawl-side gate every web

@@ -874,3 +874,31 @@ def test_parse_http_dates_known_values(spark):
         3: (None, None),
         4: (None, None),
     }
+
+
+def test_robots_sitemaps_directive_scan(spark):
+    """Case-insensitive field, commented-out directive ignored, host
+    lowercased, document-order pos, CRLF tolerated, space-before-colon
+    rejected (strict prefix)."""
+    from contentextractor_spark.functions.analysis import robots_sitemaps
+
+    txt = (
+        "User-agent: *\r\n"
+        "Disallow: /\r\n"
+        "Sitemap: https://a.example/one.xml\r\n"
+        "# Sitemap: https://a.example/commented.xml\n"
+        "sitemap:   https://a.example/two.xml  \n"
+        "Sitemap : https://a.example/spaced.xml\n"
+        "SITEMAP: https://a.example/three.xml"
+    )
+    robots = spark.createDataFrame(
+        [("A.Example", txt), ("b.example", "User-agent: *\nDisallow: /")],
+        "host string, robots_txt string",
+    )
+    got = [(r.host, r.pos, r.sitemap_url)
+           for r in robots_sitemaps(robots).orderBy("host", "pos").collect()]
+    assert got == [
+        ("a.example", 1, "https://a.example/one.xml"),
+        ("a.example", 2, "https://a.example/two.xml"),
+        ("a.example", 3, "https://a.example/three.xml"),
+    ]
