@@ -818,7 +818,10 @@ def _cocite_outdeg(edges: DataFrame) -> DataFrame:
 
 
 def co_citation_pairs(
-    edges: DataFrame, max_out: int = 64, min_count: int = 1
+    edges: DataFrame,
+    max_out: int = 64,
+    min_count: int = 1,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Co-citation related-page discovery (Small 1973, the HITS-era
     similarity): pages (a, b) are related when many sources link to
@@ -835,12 +838,20 @@ def co_citation_pairs(
 
     Scale: distinct + one outdeg groupBy; the keep set joins back as a
     semi-join on src; the pair self-join keys on src (bounded fan-out
-    by the cap); final groupBy on the pair key is map-side
-    combinable."""
+    by the cap); final groupBy on the pair key is map-side combinable.
+    checkpoint=True (default) localCheckpoints the distinct'd edge
+    table — it feeds the degree aggregate, the semi-join probe AND both
+    self-join legs, and without the checkpoint the whole upstream edge
+    subtree re-executes 4x (measured in the fixture plan: 4 copies of
+    the edge builder; the simhash checkpoint_bands lesson)."""
     if max_out < 2:
         raise ValueError("max_out must be >= 2 (pairs need two dsts)")
     e = edges.select("src", "dst").distinct()
-    keep = _cocite_outdeg(edges).filter(F.col("outdeg") <= max_out)
+    if checkpoint:
+        e = e.localCheckpoint()
+    keep = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).filter(
+        F.col("outdeg") <= max_out
+    )
     e2 = e.join(keep.select("src"), "src", "left_semi")
     a = e2.select("src", F.col("dst").alias("dst_a"))
     b = e2.select("src", F.col("dst").alias("dst_b"))
