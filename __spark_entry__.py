@@ -477,6 +477,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.latest_snapshot(snaps, key_col="url", ts_col="ts",
                                  id_col="doc_id")
 
+    def curation_v7(spark, sf_dir):
+        # r5 session-4 composed crawl-lifecycle chain, ONE SQL oracle:
+        # fetch-time dedup (warc_revisit 'response' survivors) →
+        # Last-Modified recency gate (http_dates; malformed headers and
+        # pre-Jul-2024 docs drop) → Gopher quality gate → per-(lang,
+        # shard) dataset digest of the survivors.  The digest makes the
+        # whole chain set-dependent: any upstream verdict error moves
+        # some cell's (n_rows, content_sum).
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        docs = _docs(spark, sf_dir)
+        snaps = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("u"), F.expr("doc_id div 5").cast("string")
+            ).alias("url"),
+            F.expr("((doc_id div 2) * 37) % 1000").alias("ts"),
+            F.expr("(doc_id % 4) div 2").cast("string").alias("digest"),
+        )
+        resp = (
+            A.revisit_records(snaps)
+            .filter(F.col("kind") == "response")
+            .select("doc_id")
+        )
+        d1 = docs.join(resp, "doc_id")
+        months = (
+            "array('Jan','Feb','Mar','Apr','May','Jun',"
+            "'Jul','Aug','Sep','Oct','Nov','Dec')"
+        )
+        hdr = F.expr(
+            "case when doc_id % 17 = 0 then 'not-a-date' else"
+            " format_string('Mon, %02d %s 2024 %02d:%02d:%02d GMT',"
+            "  cast(doc_id % 28 + 1 as int),"
+            f"  element_at({months}, cast((doc_id div 28) % 12 as int) + 1),"
+            "  cast(doc_id % 24 as int), cast((doc_id * 7) % 60 as int),"
+            "  cast((doc_id * 13) % 60 as int)) end"
+        )
+        dated = (
+            A.parse_http_dates(d1.select("doc_id", hdr.alias("last_modified")))
+            .filter(F.col("day") >= 19905)  # 2024-07-01
+            .select("doc_id")
+        )
+        d2 = d1.join(dated, "doc_id")
+        kept = A.quality_filter(d2).filter(F.col("keep") == 1).select("doc_id")
+        d3 = d2.join(kept, "doc_id")
+        return A.dataset_digest(d3, n_shards=8)
+
     def http_dates(spark, sf_dir):
         # r5 session-4: RFC 1123 header normalization — synthesized
         # Last-Modified strings (wrong weekday on purpose: RFC 7231
@@ -3035,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_urls": feed_urls,
         "http_dates": http_dates,
         "robots_sitemaps": robots_sitemaps,
+        "curation_v7": curation_v7,
         "co_citation_overflow": co_citation_overflow,
         "degree_histogram": degree_histogram,
         "editdist_pairs": editdist_pairs,
@@ -6289,6 +6336,55 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # composed crawl-lifecycle chain: revisit 'response' dedup →
+        # Last-Modified recency (day >= 19905 == 2024-07-01, malformed
+        # NULL days drop) → quality gate → survivors' digest
+        "curation_v7": f"""
+            WITH s AS (SELECT doc_id,
+                              'u' || CAST(doc_id // 5 AS VARCHAR) AS url,
+                              ((doc_id // 2) * 37) % 1000 AS ts,
+                              CAST((doc_id % 4) // 2 AS VARCHAR) AS dg
+                       FROM documents),
+            fst AS (SELECT url, dg,
+                           CAST(min(ts * 1048576 + doc_id) AS BIGINT) AS fp
+                    FROM s GROUP BY url, dg),
+            resp AS (SELECT s.doc_id FROM s JOIN fst
+                       ON fst.url = s.url AND fst.dg = s.dg
+                     WHERE s.ts * 1048576 + s.doc_id = fst.fp),
+            d1 AS (SELECT d.* FROM documents d
+                   JOIN resp ON resp.doc_id = d.doc_id),
+            h AS (SELECT doc_id,
+                CASE WHEN doc_id % 17 = 0 THEN 'not-a-date' ELSE
+                  printf('Mon, %02d %s 2024 %02d:%02d:%02d GMT',
+                         doc_id % 28 + 1,
+                         ['Jan','Feb','Mar','Apr','May','Jun','Jul',
+                          'Aug','Sep','Oct','Nov','Dec']
+                             [(doc_id // 28) % 12 + 1],
+                         doc_id % 24, (doc_id * 7) % 60,
+                         (doc_id * 13) % 60)
+                END AS lm
+                FROM d1),
+            pe AS (SELECT doc_id,
+                          CAST(epoch(try_strptime(
+                              regexp_replace(regexp_replace(lm,
+                                  '^[A-Za-z]+, ', ''), ' GMT$', ''),
+                              '%d %b %Y %H:%M:%S')) AS BIGINT) AS ep
+                   FROM h),
+            d2 AS (SELECT d1.doc_id, d1.lang, d1.text
+                   FROM d1 JOIN pe ON pe.doc_id = d1.doc_id
+                   WHERE pe.ep IS NOT NULL AND pe.ep // 86400 >= 19905),
+            q AS ({_qf_cols_sql('d2')}),
+            d3 AS (SELECT d2.doc_id, d2.lang, d2.text
+                   FROM d2 JOIN q ON q.doc_id = d2.doc_id
+                   WHERE NOT {_QF_BAD_SQL})
+            SELECT lang AS grp, doc_id % 8 AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum({_hex_int_sql(
+                       "md5(CAST(doc_id AS VARCHAR) || ':' || text)",
+                       1, 10)}) AS BIGINT) AS content_sum
+            FROM d3
+            GROUP BY lang, doc_id % 8
+        """,
         # Sitemap directives: comment-strip BEFORE match, strict
         # lowercase 'sitemap:' prefix after trim, lowercased host,
         # pos = row_number among surviving lines in document order
