@@ -155,6 +155,7 @@ BAND_MAX_S = {
     "degree_histogram": 3.0,
     "warc_revisit": 3.0,
     "feed_urls": 2.5,
+    "curation_v7": 7.0,  # warm 3.5-3.7 (4-stage composed chain)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -404,6 +405,7 @@ def main() -> None:
         "degree_histogram": lambda: force(_entry_q("degree_histogram")),
         "warc_revisit": lambda: force(_entry_q("warc_revisit")),
         "feed_urls": lambda: force(_entry_q("feed_urls")),
+        "curation_v7": lambda: force(_entry_q("curation_v7")),
     }
 
     def _entry_q(name):
