@@ -477,6 +477,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.latest_snapshot(snaps, key_col="url", ts_col="ts",
                                  id_col="doc_id")
 
+    def kmv_sketches(spark, sf_dir):
+        # r5 session-4: bottom-k distinct-value sketch per lang — the
+        # set-operation-capable sketch next to HLL/CMS
+        return A.kmv_sketches(_docs(spark, sf_dir), k=32)
+
+    def kmv_estimate(spark, sf_dir):
+        # sub-k langs report EXACT counts (sketch == set), larger ones
+        # the (k-1)*2^40 div h_k estimator — both paths exercised
+        return A.kmv_estimate(_docs(spark, sf_dir), k=32)
+
+    def kmv_lang_jaccard(spark, sf_dir):
+        # pairwise lang-vocabulary resemblance from the merged sketches
+        return A.kmv_lang_jaccard(_docs(spark, sf_dir), k=32)
+
     def curation_v7(spark, sf_dir):
         # r5 session-4 composed crawl-lifecycle chain, ONE SQL oracle:
         # fetch-time dedup (warc_revisit 'response' survivors) →
@@ -3082,6 +3096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_dates": http_dates,
         "robots_sitemaps": robots_sitemaps,
         "curation_v7": curation_v7,
+        "kmv_sketches": kmv_sketches,
+        "kmv_estimate": kmv_estimate,
+        "kmv_lang_jaccard": kmv_lang_jaccard,
         "co_citation_overflow": co_citation_overflow,
         "degree_histogram": degree_histogram,
         "editdist_pairs": editdist_pairs,
@@ -3952,6 +3969,25 @@ def _substr_runs_cte(src: str = "documents", k: int = 4) -> str:
                             CAST(count(*) AS BIGINT) AS n_grams,
                             CAST(count(*) + {k - 1} AS BIGINT) AS span_tokens
                      FROM r GROUP BY doc_id, grp HAVING count(*) >= 2)"""
+
+
+def _kmv_ctes(k: int = 32) -> str:
+    """tok→hh→sk chain for the bottom-k sketch oracles — hash distinct
+    BEFORE ranking (a 40-bit collision cannot double-count), shared by
+    kmv_sketches / kmv_estimate / kmv_lang_jaccard."""
+    return f"""
+            tok AS (SELECT lang AS grp,
+                           unnest(string_split(text, ' ')) AS tok
+                    FROM documents),
+            hh AS (SELECT DISTINCT grp,
+                          {_hex_int_sql("md5(tok)", 1, 10)} AS hv
+                   FROM tok),
+            sk AS (SELECT grp, pos, hv FROM (
+                     SELECT grp, hv,
+                            CAST(row_number() OVER (PARTITION BY grp
+                                 ORDER BY hv) AS INT) AS pos
+                     FROM hh)
+                   WHERE pos <= {k})"""
 
 
 def _qf_cols_sql(src: str) -> str:
@@ -6336,6 +6372,55 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        "kmv_sketches": f"""
+            WITH {_kmv_ctes(32)}
+            SELECT grp, pos, hv FROM sk
+        """,
+        # sub-k groups report exact counts; divisions ordered to stay
+        # in LongType ((k-1)*2^40 ~ 3.4e13)
+        "kmv_estimate": f"""
+            WITH {_kmv_ctes(32)},
+            agg AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_kept,
+                           CAST(max(hv) AS BIGINT) AS hk
+                    FROM sk GROUP BY grp)
+            SELECT grp, n_kept,
+                   CASE WHEN n_kept < 32 THEN n_kept
+                        ELSE 31 * 1099511627776 // greatest(hk, 1)
+                   END AS distinct_est
+            FROM agg
+        """,
+        # KMV resemblance: k smallest of the union sketch, membership
+        # flags max-merged, integer milli estimate
+        "kmv_lang_jaccard": f"""
+            WITH {_kmv_ctes(32)},
+            grps AS (SELECT DISTINCT grp FROM sk),
+            pr AS (SELECT x.grp AS grp_a, y.grp AS grp_b
+                   FROM grps x JOIN grps y ON x.grp < y.grp),
+            un AS (SELECT grp_a, grp_b, hv,
+                          CAST(max(in_a) AS INT) AS in_a,
+                          CAST(max(in_b) AS INT) AS in_b
+                   FROM (
+                     SELECT pr.grp_a, pr.grp_b, s.hv,
+                            1 AS in_a, 0 AS in_b
+                     FROM pr JOIN sk s ON s.grp = pr.grp_a
+                     UNION ALL
+                     SELECT pr.grp_a, pr.grp_b, s.hv, 0, 1
+                     FROM pr JOIN sk s ON s.grp = pr.grp_b)
+                   GROUP BY grp_a, grp_b, hv),
+            unk AS (SELECT * FROM (
+                      SELECT grp_a, grp_b, in_a, in_b,
+                             CAST(row_number() OVER (
+                                  PARTITION BY grp_a, grp_b
+                                  ORDER BY hv) AS INT) AS pos
+                      FROM un)
+                    WHERE pos <= 32)
+            SELECT grp_a, grp_b,
+                   CAST(count(*) AS BIGINT) AS n_union,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+                   CAST(sum(in_a * in_b) * 1000 // count(*) AS BIGINT)
+                       AS jaccard_est_milli
+            FROM unk GROUP BY grp_a, grp_b
+        """,
         # composed crawl-lifecycle chain: revisit 'response' dedup →
         # Last-Modified recency (day >= 19905 == 2024-07-01, malformed
         # NULL days drop) → quality gate → survivors' digest

@@ -5750,6 +5750,126 @@ def embedding_neardup_lsh(
     )
 
 
+def kmv_sketches(
+    docs: DataFrame, k: int = 32, group_col: str = "lang"
+) -> DataFrame:
+    """Bottom-k (KMV / minimum-values) distinct-value sketch per group
+    over the token stream: the k smallest 40-bit md5 token hashes —
+    the third mergeable sketch next to HLL and CMS, and the one that
+    additionally supports SET operations (union/Jaccard between
+    sketches, kmv_lang_jaccard) that HLL registers cannot.
+
+    (grp, pos, hv): pos = 1-based rank of hv among the group's distinct
+    token hashes.  Hash = first 10 md5 hex digits (the dataset_digest
+    convention, _hex_int_sql twin); distinct applied on the HASH so a
+    40-bit collision cannot double-count in either engine.
+
+    Scale: the distinct is a map-side-combinable groupBy on
+    (group, hash); the rank window then sorts each group's DISTINCT
+    HASH table (vocabulary-sized, not corpus-sized) — the standard KMV
+    build.  For 10^8+-token vocabularies pre-filter with a static
+    threshold (hv < k * 2^40 div expected_min_distinct * safety) before
+    the window; not needed at these SFs, documented for scale."""
+    if k < 2:
+        raise ValueError("k must be >= 2 (the estimator needs h_k)")
+    hv = F.conv(F.substring(F.md5(F.col("tok")), 1, 10), 16, 10).cast(
+        "long"
+    )
+    hashes = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .select("grp", hv.alias("hv"))
+        .distinct()
+    )
+    w = Window.partitionBy("grp").orderBy("hv")
+    return (
+        hashes.withColumn("pos", F.row_number().over(w).cast("int"))
+        .filter(F.col("pos") <= k)
+        .select("grp", "pos", "hv")
+    )
+
+
+def kmv_estimate(
+    docs: DataFrame, k: int = 32, group_col: str = "lang"
+) -> DataFrame:
+    """KMV distinct-count estimate per group: (k-1) * 2^40 div h_k with
+    h_k = the k-th smallest hash (Bar-Yossef et al. 2002) — integer
+    division, engine-exact.  Groups with fewer than k distinct hashes
+    report their EXACT count (n_kept < k ⇒ the sketch IS the set).
+    Scale: kmv_sketches + one tiny per-group aggregate."""
+    sk = kmv_sketches(docs, k=k, group_col=group_col)
+    agg = sk.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.max("hv").alias("hk"),
+    )
+    return agg.select(
+        "grp",
+        "n_kept",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            F.expr(f"({k} - 1) * {2**40} div greatest(hk, 1)")
+        )
+        .alias("distinct_est"),
+    )
+
+
+def kmv_lang_jaccard(
+    docs: DataFrame, k: int = 32, group_col: str = "lang"
+) -> DataFrame:
+    """Pairwise group-vocabulary Jaccard estimates from the KMV
+    sketches: for groups (a < b), take the k smallest hashes of the
+    UNION of the two sketches; est = |members of that union-sketch
+    present in BOTH sketches| * 1000 div |union-sketch| (the standard
+    KMV resemblance estimator — on sub-k vocabularies it degenerates
+    to the EXACT Jaccard because the sketches are the sets).
+
+    Scale: sketches are k rows per group — the pair join is sketch x
+    sketch (tiny), never corpus-sized; groups = languages, so the pair
+    space is bounded."""
+    sk = kmv_sketches(docs, k=k, group_col=group_col).localCheckpoint()
+    # union stream per (grp_a, grp_b) pair: tag membership
+    ga = sk.select(F.col("grp").alias("grp_a"), F.col("hv").alias("hv"))
+    gb = sk.select(F.col("grp").alias("grp_b"), F.col("hv").alias("hv"))
+    grps = sk.select("grp").distinct()
+    pairs = (
+        grps.alias("x")
+        .join(grps.alias("y"), F.col("x.grp") < F.col("y.grp"))
+        .select(
+            F.col("x.grp").alias("grp_a"), F.col("y.grp").alias("grp_b")
+        )
+    )
+    un = (
+        pairs.join(ga, "grp_a")
+        .select("grp_a", "grp_b", "hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            pairs.join(gb, "grp_b").select(
+                "grp_a", "grp_b", "hv",
+                F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+            )
+        )
+        .groupBy("grp_a", "grp_b", "hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("hv")
+    unk = un.withColumn(
+        "pos", F.row_number().over(w).cast("int")
+    ).filter(F.col("pos") <= k)
+    return unk.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).alias("n_union"),
+        F.sum(
+            (F.col("in_a") * F.col("in_b")).cast("long")
+        ).alias("n_both"),
+    ).select(
+        "grp_a",
+        "grp_b",
+        "n_union",
+        "n_both",
+        F.expr("n_both * 1000 div n_union").alias("jaccard_est_milli"),
+    )
+
+
 def dataset_digest(
     docs: DataFrame, n_shards: int = 16, group_col: str = "lang"
 ) -> DataFrame:

@@ -248,3 +248,38 @@ def test_hll_by_group_accuracy_and_merge(spark):
     assert sorted(map(tuple, merged.collect())) == sorted(
         map(tuple, regs_all.collect())
     )
+
+
+def test_kmv_exact_on_subk_and_estimator_accuracy(spark):
+    """Sub-k groups report exact distinct counts and exact Jaccard (the
+    sketch IS the set); a 2000-token vocabulary estimates within the
+    KMV error envelope at k=32 (std ~ 1/sqrt(k-2) ~ 18%)."""
+    from contentextractor_spark.functions.analysis import (
+        kmv_estimate,
+        kmv_lang_jaccard,
+    )
+
+    small = spark.createDataFrame(
+        [
+            (0, "en", "a b c d"),
+            (1, "ja", "c d e f g h"),
+        ],
+        "doc_id bigint, lang string, text string",
+    )
+    est = {r.grp: (r.n_kept, r.distinct_est)
+           for r in kmv_estimate(small, k=32).collect()}
+    assert est == {"en": (4, 4), "ja": (6, 6)}
+    jac = kmv_lang_jaccard(small, k=32).collect()
+    assert len(jac) == 1
+    r = jac[0]
+    # |union|=8, |both|=2 -> exact jaccard 250 milli
+    assert (r.grp_a, r.grp_b, r.n_union, r.n_both,
+            r.jaccard_est_milli) == ("en", "ja", 8, 2, 250)
+
+    big = spark.createDataFrame(
+        [(0, "en", " ".join(f"w{i}" for i in range(2000)))],
+        "doc_id bigint, lang string, text string",
+    )
+    got = kmv_estimate(big, k=32).collect()[0]
+    assert got.n_kept == 32
+    assert 1000 < got.distinct_est < 4000, got.distinct_est
