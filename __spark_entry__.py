@@ -477,6 +477,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.latest_snapshot(snaps, key_col="url", ts_col="ts",
                                  id_col="doc_id")
 
+    def mirror_hosts(spark, sf_dir):
+        # r5 session-4: mirror detection — hosts h0..h19 partition the
+        # corpus; m0..m4 clone h0..h4's content (different ids, same
+        # text), the pairs the digest join must find
+        docs = _docs(spark, sf_dir)
+        hostify = lambda p: F.concat(  # noqa: E731
+            F.lit(p), F.pmod("doc_id", 20).cast("string")
+        )
+        base = docs.select(hostify("h").alias("host"), "text")
+        mirr = docs.filter(F.pmod("doc_id", 20) < 5).select(
+            hostify("m").alias("host"), "text"
+        )
+        return A.mirror_hosts(base.unionByName(mirr))
+
     def kmv_sketches(spark, sf_dir):
         # r5 session-4: bottom-k distinct-value sketch per lang — the
         # set-operation-capable sketch next to HLL/CMS
@@ -3096,6 +3110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "http_dates": http_dates,
         "robots_sitemaps": robots_sitemaps,
         "curation_v7": curation_v7,
+        "mirror_hosts": mirror_hosts,
         "kmv_sketches": kmv_sketches,
         "kmv_estimate": kmv_estimate,
         "kmv_lang_jaccard": kmv_lang_jaccard,
@@ -6372,6 +6387,25 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # mirror detection: per-host (n_docs, 40-bit text-hash sum)
+        # digest equality join; m0..m4 clone h0..h4
+        "mirror_hosts": f"""
+            WITH hd AS (
+              SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host, text
+              FROM documents
+              UNION ALL
+              SELECT 'm' || CAST(doc_id % 20 AS VARCHAR), text
+              FROM documents WHERE doc_id % 20 < 5),
+            dig AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum({_hex_int_sql("md5(text)", 1, 10)})
+                                AS BIGINT) AS content_sum
+                    FROM hd GROUP BY host)
+            SELECT a.host AS host_a, b.host AS host_b,
+                   a.n_docs, a.content_sum
+            FROM dig a JOIN dig b
+              ON a.n_docs = b.n_docs AND a.content_sum = b.content_sum
+             AND a.host < b.host
+        """,
         "kmv_sketches": f"""
             WITH {_kmv_ctes(32)}
             SELECT grp, pos, hv FROM sk

@@ -5870,6 +5870,52 @@ def kmv_lang_jaccard(
     )
 
 
+def mirror_hosts(docs: DataFrame, host_col: str = "host") -> DataFrame:
+    """Mirror-site detection: host pairs serving an IDENTICAL content
+    multiset — the crawl-budget killer (a mirrored wiki farm fetches N
+    times, trains once).  Per host: (n_docs, order-free sum of 40-bit
+    md5 TEXT hashes — ids and urls differ across mirrors, content does
+    not); hosts join on the exact (n_docs, content_sum) digest pair.
+
+    A digest collision (two different content sets summing equal) is
+    possible in principle — the output is a CANDIDATE pair list for a
+    cheap per-pair exact confirm, the LSH-producer contract (here the
+    false-positive rate is ~2^-40 per pair, and false NEGATIVES are
+    impossible: identical multisets always digest equal).
+
+    Scale: one groupBy(host) + one self-equi-join on the digest value —
+    the join side is hosts-sized, not docs-sized; no pair explosion
+    because equal-digest groups are mirror families (small)."""
+    h = F.conv(F.substring(F.md5(F.col("text")), 1, 10), 16, 10).cast(
+        "long"
+    )
+    dig = (
+        docs.select(F.col(host_col).alias("host"), h.alias("h"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("h").alias("content_sum"),
+        )
+    )
+    a = dig.select(
+        F.col("host").alias("host_a"), "n_docs", "content_sum"
+    )
+    b = dig.select(
+        F.col("host").alias("host_b"),
+        F.col("n_docs").alias("n_b"),
+        F.col("content_sum").alias("cs_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("n_docs") == F.col("n_b"))
+            & (F.col("content_sum") == F.col("cs_b"))
+            & (F.col("host_a") < F.col("host_b")),
+        )
+        .select("host_a", "host_b", "n_docs", "content_sum")
+    )
+
+
 def dataset_digest(
     docs: DataFrame, n_shards: int = 16, group_col: str = "lang"
 ) -> DataFrame:

@@ -902,3 +902,21 @@ def test_robots_sitemaps_directive_scan(spark):
         ("a.example", 2, "https://a.example/two.xml"),
         ("a.example", 3, "https://a.example/three.xml"),
     ]
+
+
+def test_mirror_hosts_finds_clones_only(spark):
+    """Exact content clones pair up regardless of doc ids; a host with
+    one changed doc must NOT pair; multiset semantics (duplicate doc
+    within a host counts twice)."""
+    from contentextractor_spark.functions.analysis import mirror_hosts
+
+    rows = [
+        ("a", "x"), ("a", "y"), ("a", "y"),     # multiset {x, y, y}
+        ("b", "y"), ("b", "x"), ("b", "y"),     # same multiset, reordered
+        ("c", "x"), ("c", "y"),                 # subset — no pair
+        ("d", "x"), ("d", "y"), ("d", "z"),     # one doc differs
+    ]
+    docs = spark.createDataFrame(rows, "host string, text string")
+    got = [(r.host_a, r.host_b, r.n_docs)
+           for r in mirror_hosts(docs).collect()]
+    assert got == [("a", "b", 3)]
