@@ -477,6 +477,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.latest_snapshot(snaps, key_col="url", ts_col="ts",
                                  id_col="doc_id")
 
+    def lsh_eval(spark, sf_dir):
+        # r5 session-4: the LSH calibration row — recall/precision of
+        # the shipped minhash bucket producer vs the shipped exact
+        # jaccard join at threshold 1/2, measured in-engine
+        return A.lsh_eval(_docs(spark, sf_dir), num=1, den=2)
+
     def mirror_hosts(spark, sf_dir):
         # r5 session-4: mirror detection — hosts h0..h19 partition the
         # corpus; m0..m4 clone h0..h4's content (different ids, same
@@ -3111,6 +3117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_sitemaps": robots_sitemaps,
         "curation_v7": curation_v7,
         "mirror_hosts": mirror_hosts,
+        "lsh_eval": lsh_eval,
         "kmv_sketches": kmv_sketches,
         "kmv_estimate": kmv_estimate,
         "kmv_lang_jaccard": kmv_lang_jaccard,
@@ -6387,6 +6394,43 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # LSH calibration: capped-bucket candidate pairs vs the exact
+        # jaccard join (shared sh/sig/inter CTEs) at threshold 1/2
+        "lsh_eval": f"""
+            WITH {_SHINGLE_CTE}, {_SIG_CTE},
+            bands AS (
+              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig),
+            okb AS (SELECT band, bucket FROM bands GROUP BY band, bucket
+                    HAVING count(*) > 1 AND count(*) <= 100),
+            cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                     FROM bands a
+                     JOIN bands b ON a.band = b.band
+                                 AND a.bucket = b.bucket
+                                 AND a.doc_id < b.doc_id
+                     JOIN okb ON okb.band = a.band
+                             AND okb.bucket = a.bucket),
+            {_PAIR_INTER_CTES},
+            truth AS (SELECT doc_a, doc_b FROM inter
+                      JOIN sizes sa ON sa.doc_id = doc_a
+                      JOIN sizes sb ON sb.doc_id = doc_b
+                      WHERE intersection * 2
+                            >= (sa.sz + sb.sz - intersection) * 1),
+            cnt AS (SELECT
+                (SELECT count(*) FROM truth) AS n_true,
+                (SELECT count(*) FROM cand) AS n_cand,
+                (SELECT count(*) FROM truth t JOIN cand c
+                   ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hit)
+            SELECT CAST(n_true AS BIGINT) AS n_true,
+                   CAST(n_cand AS BIGINT) AS n_cand,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   CAST(n_hit * 1000 // greatest(n_true, 1) AS BIGINT)
+                       AS recall_milli,
+                   CAST(n_hit * 1000 // greatest(n_cand, 1) AS BIGINT)
+                       AS precision_milli
+            FROM cnt
+        """,
         # mirror detection: per-host (n_docs, 40-bit text-hash sum)
         # digest equality join; m0..m4 clone h0..h4
         "mirror_hosts": f"""

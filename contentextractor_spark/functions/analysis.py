@@ -2038,6 +2038,82 @@ def incremental_dedup(
     )
 
 
+def lsh_eval(
+    docs: DataFrame,
+    num: int = 1,
+    den: int = 2,
+    k: int = 4,
+    n: int = 3,
+    max_bucket_size: int = 100,
+    min_intersection: int = 2,
+    max_shingle_freq: int = 100,
+) -> DataFrame:
+    """Measured-not-guessed LSH quality: ONE row (n_true, n_cand, n_hit,
+    recall_milli, precision_milli) scoring the MinHash band-bucket
+    candidate pair set against the exact shingle-Jaccard join at
+    threshold num/den — the calibration every 'LSH recall is fine'
+    claim should come from, computed IN the engine over the actual
+    corpus instead of quoted from a paper.
+
+    Honesty note: `truth` is the SHIPPED exact-join config (stop-shingle
+    cap, min_intersection prefilter included) and `cand` the shipped
+    bucket producer with its skew cap — this row measures the deployed
+    producer pair against each other, which is what the downstream
+    dedup consumes.  Threshold is the integer cross-multiplication
+    den*intersection >= num*union (the jaccard_prefix convention).
+
+    Scale: candidate pairs come from capped buckets (bounded volume);
+    the truth join is the documented exact-join path (refusal-guarded
+    upstream); the three counts reduce to one row via one-row
+    crossJoins — no collect."""
+    from pyspark import StorageLevel
+
+    mem = _band_membership(docs, k, n).persist(StorageLevel.MEMORY_AND_DISK)
+    ok = minhash_lsh_buckets(
+        docs, k=k, n=n, max_bucket_size=max_bucket_size, membership=mem
+    ).select("band", "bucket")
+    a = mem.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+    b = mem.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(ok, ["band", "bucket"])
+        .join(b, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    truth = (
+        jaccard_pairs(
+            docs,
+            n=n,
+            min_intersection=min_intersection,
+            max_shingle_freq=max_shingle_freq,
+        )
+        .filter(
+            F.col("intersection") * den >= F.col("union_sz") * num
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    mem.unpersist()
+    n_true = truth.select(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.select(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = truth.join(cand, ["doc_a", "doc_b"]).select(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .selectExpr(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            "n_hit * 1000 div greatest(n_true, 1) AS recall_milli",
+            "n_hit * 1000 div greatest(n_cand, 1) AS precision_milli",
+        )
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame,
     n: int = 3,

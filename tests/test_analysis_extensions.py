@@ -920,3 +920,23 @@ def test_mirror_hosts_finds_clones_only(spark):
     got = [(r.host_a, r.host_b, r.n_docs)
            for r in mirror_hosts(docs).collect()]
     assert got == [("a", "b", 3)]
+
+
+def test_lsh_eval_identical_docs_and_invariants(spark):
+    """Identical docs are always both truth and candidate (pigeonhole:
+    equal signatures share every band); counters satisfy
+    n_hit <= min(n_true, n_cand) and the milli ratios derive exactly."""
+    from contentextractor_spark.functions.analysis import lsh_eval
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta"),
+        (1, "alpha beta gamma delta epsilon zeta eta"),  # exact dup of 0
+        (2, "one two three four five six seven eight"),
+        (3, "unrelated corpus document completely different"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    r = lsh_eval(docs, num=1, den=2).collect()[0]
+    assert r.n_true >= 1 and r.n_cand >= 1 and r.n_hit >= 1
+    assert r.n_hit <= min(r.n_true, r.n_cand)
+    assert r.recall_milli == r.n_hit * 1000 // max(r.n_true, 1)
+    assert r.precision_milli == r.n_hit * 1000 // max(r.n_cand, 1)
