@@ -156,6 +156,11 @@ BAND_MAX_S = {
     "warc_revisit": 3.0,
     "feed_urls": 2.5,
     "curation_v7": 7.0,  # warm 3.5-3.7 (4-stage composed chain)
+    # r5 session-4c (warm sf0.1: mirror 1.5-1.6, kmv_jaccard 2.6,
+    # lsh_eval 14.2/16.1 — a 33.4 burst disclosed; exact-join bound)
+    "mirror_hosts": 3.5,
+    "kmv_lang_jaccard": 5.0,
+    "lsh_eval": 24.0,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -406,6 +411,9 @@ def main() -> None:
         "warc_revisit": lambda: force(_entry_q("warc_revisit")),
         "feed_urls": lambda: force(_entry_q("feed_urls")),
         "curation_v7": lambda: force(_entry_q("curation_v7")),
+        "mirror_hosts": lambda: force(_entry_q("mirror_hosts")),
+        "kmv_lang_jaccard": lambda: force(_entry_q("kmv_lang_jaccard")),
+        "lsh_eval": lambda: force(_entry_q("lsh_eval")),
     }
 
     def _entry_q(name):

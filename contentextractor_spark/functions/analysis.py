@@ -2082,12 +2082,14 @@ def lsh_eval(
         .distinct()
         .localCheckpoint()
     )
+    handle: list = []
     truth = (
         jaccard_pairs(
             docs,
             n=n,
             min_intersection=min_intersection,
             max_shingle_freq=max_shingle_freq,
+            cache_handle=handle,
         )
         .filter(
             F.col("intersection") * den >= F.col("union_sz") * num
@@ -2095,6 +2097,10 @@ def lsh_eval(
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
+    # both checkpoints above are eager — the shingle cache and the band
+    # membership are materialized into them and can be released now
+    for df in handle:
+        df.unpersist()
     mem.unpersist()
     n_true = truth.select(F.count(F.lit(1)).alias("n_true"))
     n_cand = cand.select(F.count(F.lit(1)).alias("n_cand"))
