@@ -143,6 +143,40 @@ def main():
             emb, threshold=0.35, n_bands=6, band_bits=3,
             max_bucket_size=60, rescore="numpy")))))
 
+    # family 4 (r5 s4): graph ops at 200k nodes / ~1M directed edges —
+    # the ring+affine+hub fixture scaled to the soak corpus; the
+    # triangle wedge join is the m^1.5-bounded step under test, the
+    # co-citation cap must drop the 4k hub sources loudly
+    def _soak_edges():
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        base = F.array(
+            (F.col("doc_id") + 1) % F.col("n"),
+            (F.col("doc_id") + 2) % F.col("n"),
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+        )
+        hub = F.array(
+            (F.col("doc_id") + 3) % F.col("n"),
+            (F.col("doc_id") + 4) % F.col("n"),
+            (F.col("doc_id") + 5) % F.col("n"),
+        )
+        dsts = F.when(F.col("doc_id") % 50 == 0, F.concat(base, hub)) \
+            .otherwise(base)
+        return (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .select(F.col("doc_id").alias("src"),
+                    F.explode(dsts).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+
+    rows.append(timed("triangle_count_200k", lambda: (
+        noop(A.triangle_counts(_soak_edges())))))
+    rows.append(timed("co_citation_cap4_200k", lambda: {
+        "capped_srcs": A.co_citation_overflow(
+            _soak_edges(), max_out=4).count(),
+        "pairs": A.co_citation_pairs(
+            _soak_edges(), max_out=4, min_count=1).count()}))
+
     # extraction at 200k pages (sf1): steady-state docs/s
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)).rsplit(
         "/scripts", 1)[0])
