@@ -477,6 +477,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.latest_snapshot(snaps, key_col="url", ts_col="ts",
                                  id_col="doc_id")
 
+    def stopword_lists(spark, sf_dir):
+        # r5 session-4: per-lang data-derived stop lists (df >= 60%)
+        return A.stopword_lists(_docs(spark, sf_dir), min_df_pct=60)
+
+    def shard_skew_report(spark, sf_dir):
+        # r5 session-4: pre-write skew audit under the epoch_shuffle
+        # shard convention; skew_milli stamped on every row
+        return A.shard_skew_report(_docs(spark, sf_dir), n_shards=32)
+
     def lsh_eval(spark, sf_dir):
         # r5 session-4: the LSH calibration row — recall/precision of
         # the shipped minhash bucket producer vs the shipped exact
@@ -3118,6 +3127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v7": curation_v7,
         "mirror_hosts": mirror_hosts,
         "lsh_eval": lsh_eval,
+        "stopword_lists": stopword_lists,
+        "shard_skew_report": shard_skew_report,
         "kmv_sketches": kmv_sketches,
         "kmv_estimate": kmv_estimate,
         "kmv_lang_jaccard": kmv_lang_jaccard,
@@ -6394,6 +6405,40 @@ def oracle_sql() -> dict[str, str]:
         # funnel: per-user min-ts chaining, strict-after (>) semantics,
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
+        # per-lang stopword lists: df*100 >= 60*n_docs integer gate
+        "stopword_lists": """
+            WITH dt AS (SELECT DISTINCT lang AS grp, doc_id, tok
+                        FROM (SELECT lang, doc_id,
+                                     unnest(string_split(text, ' ')) AS tok
+                              FROM documents)),
+            dfq AS (SELECT grp, tok, CAST(count(*) AS BIGINT) AS df
+                    FROM dt GROUP BY grp, tok),
+            nd AS (SELECT lang AS grp, CAST(count(*) AS BIGINT) AS n_docs
+                   FROM documents GROUP BY lang)
+            SELECT dfq.grp, dfq.tok, dfq.df, nd.n_docs
+            FROM dfq JOIN nd ON nd.grp = dfq.grp
+            WHERE dfq.df * 100 >= 60 * nd.n_docs
+        """,
+        # shard skew audit: epoch_shuffle shard convention, UTF-8 octet
+        # bytes, global max*1000 // mean stamped per row
+        "shard_skew_report": f"""
+            WITH per AS (SELECT
+                {_hex_int_sql(
+                    "md5('epoch0:' || CAST(doc_id AS VARCHAR))", 1, 8)}
+                    % 32 AS shard,
+                CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(sum(octet_length(CAST(text AS BLOB))) AS BIGINT)
+                    AS n_bytes
+                FROM documents GROUP BY 1),
+            tot AS (SELECT CAST(max(n_bytes) AS BIGINT) AS mx,
+                           CAST(sum(n_bytes) AS BIGINT) AS tb,
+                           CAST(count(*) AS BIGINT) AS ns
+                    FROM per)
+            SELECT shard, n_rows, n_bytes,
+                   CAST(mx * 1000 // greatest(tb // ns, 1) AS BIGINT)
+                       AS skew_milli
+            FROM per, tot
+        """,
         # LSH calibration: capped-bucket candidate pairs vs the exact
         # jaccard join (shared sh/sig/inter CTEs) at threshold 1/2
         "lsh_eval": f"""

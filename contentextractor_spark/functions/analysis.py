@@ -1556,6 +1556,91 @@ def vocab_growth(
     return packed.select("s.cutoff", "s.vocab", "s.tokens")
 
 
+def stopword_lists(
+    docs: DataFrame, min_df_pct: int = 60, group_col: str = "lang"
+) -> DataFrame:
+    """Per-group stopword candidates: tokens appearing in at least
+    min_df_pct% of the group's documents — the data-derived stop list
+    feeding stop-shingle caps, BM25 pruning and boilerplate heuristics
+    (a per-language list beats a shipped English one on a multilingual
+    corpus).
+
+    (grp, tok, df, n_docs): df = documents containing the token.
+    Threshold is the integer cross-multiplication df*100 >=
+    min_df_pct*n_docs.
+
+    Scale: one distinct on (group, doc, token) — map-side combinable,
+    bounded by docs x distinct-tokens-per-doc; one groupBy on
+    (group, token); the per-group doc counts ride in via a broadcast
+    join on the group key (groups = languages, tiny)."""
+    if not 1 <= min_df_pct <= 100:
+        raise ValueError("min_df_pct must be in [1, 100]")
+    dt = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            "doc_id",
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .distinct()
+    )
+    dfreq = dt.groupBy("grp", "tok").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    return (
+        dfreq.join(F.broadcast(nd), "grp")
+        .filter(F.col("df") * 100 >= F.lit(min_df_pct) * F.col("n_docs"))
+        .select("grp", "tok", "df", "n_docs")
+    )
+
+
+def shard_skew_report(docs: DataFrame, n_shards: int = 32) -> DataFrame:
+    """Writer-skew audit for a hash-sharded output: per-shard row and
+    byte counts under the epoch_shuffle shard convention
+    (first-8-hex(md5('epoch0:'||doc_id)) % n_shards), plus the global
+    skew ratio max_bytes*1000 div mean_bytes stamped on every row —
+    the pre-flight check before a 100 TB write (a shard at 3x mean is
+    a straggler task and an oversized output file).
+
+    Bytes = octet_length of text (UTF-8 octets — the WET
+    Content-Length convention), so the number is what the writer
+    actually emits, not a char count.
+
+    Scale: one map-side-combinable groupBy(shard); the one-row global
+    aggregate rides back as a broadcast crossJoin."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    key = F.md5(F.concat(F.lit("epoch0:"), F.col("doc_id").cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards),
+    )
+    per = (
+        docs.select(
+            shard.alias("shard"),
+            F.octet_length("text").cast("long").alias("b"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("b").alias("n_bytes"),
+        )
+    )
+    tot = per.select(
+        F.max("n_bytes").alias("__mx"),
+        F.sum("n_bytes").alias("__tb"),
+        F.count(F.lit(1)).alias("__ns"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_rows",
+        "n_bytes",
+        F.expr(
+            "__mx * 1000 div greatest(__tb div __ns, 1)"
+        ).alias("skew_milli"),
+    )
+
+
 def epoch_shuffle_plan(
     docs: DataFrame, n_shards: int = 64, seed: str = "epoch0"
 ) -> DataFrame:

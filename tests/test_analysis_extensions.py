@@ -940,3 +940,37 @@ def test_lsh_eval_identical_docs_and_invariants(spark):
     assert r.n_hit <= min(r.n_true, r.n_cand)
     assert r.recall_milli == r.n_hit * 1000 // max(r.n_true, 1)
     assert r.precision_milli == r.n_hit * 1000 // max(r.n_cand, 1)
+
+
+def test_stopword_lists_threshold(spark):
+    """df-threshold gate: 'the' in 3/4 en docs (75% >= 60) survives,
+    'rare' (25%) drops; groups threshold independently."""
+    from contentextractor_spark.functions.analysis import stopword_lists
+
+    rows = [
+        (0, "en", "the cat"), (1, "en", "the dog"),
+        (2, "en", "the rare bird"), (3, "en", "a fish"),
+        (4, "ja", "の 猫"), (5, "ja", "の 犬"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    got = {(r.grp, r.tok): (r.df, r.n_docs)
+           for r in stopword_lists(docs, min_df_pct=60).collect()}
+    assert got == {("en", "the"): (3, 4), ("ja", "の"): (2, 2)}
+
+
+def test_shard_skew_report_counts_and_ratio(spark):
+    """Row/byte counts partition the corpus exactly; skew_milli is
+    identical on every row and equals max*1000 // mean."""
+    from contentextractor_spark.functions.analysis import shard_skew_report
+
+    docs = spark.createDataFrame(
+        [(i, "x" * (10 + i % 3)) for i in range(100)],
+        "doc_id bigint, text string",
+    )
+    rows = shard_skew_report(docs, n_shards=4).collect()
+    assert sum(r.n_rows for r in rows) == 100
+    total = sum(r.n_bytes for r in rows)
+    assert total == sum(10 + i % 3 for i in range(100))
+    mx = max(r.n_bytes for r in rows)
+    mean = total // len(rows)
+    assert {r.skew_milli for r in rows} == {mx * 1000 // max(mean, 1)}
