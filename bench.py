@@ -161,6 +161,8 @@ BAND_MAX_S = {
     "mirror_hosts": 3.5,
     "kmv_lang_jaccard": 5.0,
     "lsh_eval": 24.0,
+    "stopword_lists": 3.5,      # warm 1.6-1.7
+    "shard_skew_report": 2.5,   # warm 0.9-1.3
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -414,6 +416,8 @@ def main() -> None:
         "mirror_hosts": lambda: force(_entry_q("mirror_hosts")),
         "kmv_lang_jaccard": lambda: force(_entry_q("kmv_lang_jaccard")),
         "lsh_eval": lambda: force(_entry_q("lsh_eval")),
+        "stopword_lists": lambda: force(_entry_q("stopword_lists")),
+        "shard_skew_report": lambda: force(_entry_q("shard_skew_report")),
     }
 
     def _entry_q(name):
