@@ -304,3 +304,15 @@ def stream_dataset_digest(
     return dataset_digest(
         docs_stream, n_shards=n_shards, group_col=group_col
     )
+
+
+def stream_parse_feeds(feeds_stream: DataFrame) -> DataFrame:
+    """Streaming RSS/Atom ingestion: the SAME _feed_batches flat-map as
+    the batch parse_feeds, so the freshness-crawl discovery channel can
+    run as a continuous poll loop (batch/stream parity by construction,
+    tested).  Feed tables are per-host and small — no salting needed
+    (the parse_sitemaps scale note)."""
+    from ..plans.pipeline import FEED_SCHEMA, _feed_batches, ensure_pyfiles
+
+    ensure_pyfiles(feeds_stream.sparkSession)
+    return feeds_stream.mapInPandas(_feed_batches, schema=FEED_SCHEMA)

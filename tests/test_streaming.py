@@ -472,3 +472,50 @@ def test_stream_dataset_digest_matches_batch(spark, tmp_path):
         for r in A.dataset_digest(batch, n_shards=4).collect()
     }
     assert got == want
+
+
+def test_stream_parse_feeds_matches_batch(spark, tmp_path):
+    """r5 s4: feed ingestion shares the batch flat-map — the streaming
+    rows over a 2-file stream must equal parse_feeds on the same rows."""
+    from contentextractor_spark.plans.pipeline import parse_feeds
+    from contentextractor_spark.streaming.stream import stream_parse_feeds
+
+    rows = [
+        (
+            f"h{i}.example",
+            (
+                "<rss><channel>"
+                + f"<item><title>t{i}</title><link>https://h{i}/x</link></item>"
+                + "</channel></rss>"
+                if i % 2 == 0
+                else "<feed>"
+                + f'<entry><title>a{i}</title><link href="https://h{i}/y"/></entry>'
+                + "</feed>"
+            ),
+        )
+        for i in range(12)
+    ]
+    feeds = spark.createDataFrame(rows, "host string, xml string")
+    in_dir = str(tmp_path / "feeds")
+    feeds.repartition(2).write.parquet(in_dir)
+    batch = spark.read.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_parse_feeds(stream)
+        .writeStream.format("memory")
+        .queryName("feeds_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "feed stream did not finish"
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM feeds_stream").collect()
+    }
+    want = {tuple(r) for r in parse_feeds(batch).collect()}
+    assert got == want and len(want) == 12
