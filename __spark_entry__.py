@@ -64,6 +64,39 @@ def pagerank_edges_sql(docs: DataFrame) -> DataFrame:
     )
 
 
+def _revisit_snaps(docs: DataFrame) -> DataFrame:
+    """The recrawl-fetch fixture shared by warc_revisit AND curation_v7
+    (one definition — the oracle-reuse rule): 5 fetches per url, ts TIES
+    on doc_id pairs, content digest (doc_id%4) div 2 so each url group
+    mixes identical and changed content."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("u"), F.expr("doc_id div 5").cast("string")
+        ).alias("url"),
+        F.expr("((doc_id div 2) * 37) % 1000").alias("ts"),
+        F.expr("(doc_id % 4) div 2").cast("string").alias("digest"),
+    )
+
+
+def _http_hdr_expr():
+    """RFC 1123 Last-Modified builder shared by http_dates AND
+    curation_v7: wrong weekday on purpose (RFC 7231 tolerance),
+    doc_id%17==0 malformed."""
+    months = (
+        "array('Jan','Feb','Mar','Apr','May','Jun',"
+        "'Jul','Aug','Sep','Oct','Nov','Dec')"
+    )
+    return F.expr(
+        "case when doc_id % 17 = 0 then 'not-a-date' else"
+        " format_string('Mon, %02d %s 2024 %02d:%02d:%02d GMT',"
+        "  cast(doc_id % 28 + 1 as int),"
+        f"  element_at({months}, cast((doc_id div 28) % 12 as int) + 1),"
+        "  cast(doc_id % 24 as int), cast((doc_id * 7) % 60 as int),"
+        "  cast((doc_id * 13) % 60 as int)) end"
+    )
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
@@ -530,34 +563,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # some cell's (n_rows, content_sum).
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         docs = _docs(spark, sf_dir)
-        snaps = docs.select(
-            "doc_id",
-            F.concat(
-                F.lit("u"), F.expr("doc_id div 5").cast("string")
-            ).alias("url"),
-            F.expr("((doc_id div 2) * 37) % 1000").alias("ts"),
-            F.expr("(doc_id % 4) div 2").cast("string").alias("digest"),
-        )
         resp = (
-            A.revisit_records(snaps)
+            A.revisit_records(_revisit_snaps(docs))
             .filter(F.col("kind") == "response")
             .select("doc_id")
         )
         d1 = docs.join(resp, "doc_id")
-        months = (
-            "array('Jan','Feb','Mar','Apr','May','Jun',"
-            "'Jul','Aug','Sep','Oct','Nov','Dec')"
-        )
-        hdr = F.expr(
-            "case when doc_id % 17 = 0 then 'not-a-date' else"
-            " format_string('Mon, %02d %s 2024 %02d:%02d:%02d GMT',"
-            "  cast(doc_id % 28 + 1 as int),"
-            f"  element_at({months}, cast((doc_id div 28) % 12 as int) + 1),"
-            "  cast(doc_id % 24 as int), cast((doc_id * 7) % 60 as int),"
-            "  cast((doc_id * 13) % 60 as int)) end"
-        )
         dated = (
-            A.parse_http_dates(d1.select("doc_id", hdr.alias("last_modified")))
+            A.parse_http_dates(
+                d1.select(
+                    "doc_id", _http_hdr_expr().alias("last_modified")
+                )
+            )
             .filter(F.col("day") >= 19905)  # 2024-07-01
             .select("doc_id")
         )
@@ -572,37 +589,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # receivers must tolerate it) with doc_id%17==0 malformed rows
         # that must come back NULL, not kill the job
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        docs = _docs(spark, sf_dir)
-        months = (
-            "array('Jan','Feb','Mar','Apr','May','Jun',"
-            "'Jul','Aug','Sep','Oct','Nov','Dec')"
+        return A.parse_http_dates(
+            _docs(spark, sf_dir).select(
+                "doc_id", _http_hdr_expr().alias("last_modified")
+            )
         )
-        hdr = F.expr(
-            "case when doc_id % 17 = 0 then 'not-a-date' else"
-            " format_string('Mon, %02d %s 2024 %02d:%02d:%02d GMT',"
-            "  cast(doc_id % 28 + 1 as int),"
-            f"  element_at({months}, cast((doc_id div 28) % 12 as int) + 1),"
-            "  cast(doc_id % 24 as int), cast((doc_id * 7) % 60 as int),"
-            "  cast((doc_id * 13) % 60 as int)) end"
-        )
-        hdrs = docs.select("doc_id", hdr.alias("last_modified"))
-        return A.parse_http_dates(hdrs)
 
     def warc_revisit(spark, sf_dir):
         # r5 session-4: fetch-time dedup — the latest_snapshot fixture's
         # 5-fetches-per-url stream with a (doc_id%4) div 2 content digest
         # (so each url group mixes identical and changed content) and ts
         # TIES on doc_id pairs (min-id must win the 'response' slot)
-        docs = _docs(spark, sf_dir)
-        snaps = docs.select(
-            "doc_id",
-            F.concat(
-                F.lit("u"), F.expr("doc_id div 5").cast("string")
-            ).alias("url"),
-            F.expr("((doc_id div 2) * 37) % 1000").alias("ts"),
-            F.expr("(doc_id % 4) div 2").cast("string").alias("digest"),
+        return A.revisit_records(
+            _revisit_snaps(_docs(spark, sf_dir))
         )
-        return A.revisit_records(snaps)
 
     def snapshot_retention(spark, sf_dir):
         # r5 session-3: keep-last-N retention compaction — same 5-snaps-
@@ -4004,6 +4004,34 @@ def _substr_runs_cte(src: str = "documents", k: int = 4) -> str:
                      FROM r GROUP BY doc_id, grp HAVING count(*) >= 2)"""
 
 
+_REVISIT_SNAPS_CTE = """s AS (SELECT doc_id,
+                     'u' || CAST(doc_id // 5 AS VARCHAR) AS url,
+                     ((doc_id // 2) * 37) % 1000 AS ts,
+                     CAST((doc_id % 4) // 2 AS VARCHAR) AS digest
+              FROM documents)"""
+"""Recrawl-fetch fixture CTE — ONE definition shared by the
+warc_revisit and curation_v7 oracles (mirrors _revisit_snaps)."""
+
+_HTTP_HDR_CASE = """CASE WHEN doc_id % 17 = 0 THEN 'not-a-date' ELSE
+                  printf('Mon, %02d %s 2024 %02d:%02d:%02d GMT',
+                         doc_id % 28 + 1,
+                         ['Jan','Feb','Mar','Apr','May','Jun','Jul',
+                          'Aug','Sep','Oct','Nov','Dec']
+                             [(doc_id // 28) % 12 + 1],
+                         doc_id % 24, (doc_id * 7) % 60,
+                         (doc_id * 13) % 60)
+                END"""
+"""Last-Modified builder expression — shared by the http_dates and
+curation_v7 oracles (mirrors _http_hdr_expr)."""
+
+_HTTP_EPOCH_SQL = """CAST(epoch(try_strptime(
+                             regexp_replace(regexp_replace({col},
+                                 '^[A-Za-z]+, ', ''), ' GMT$', ''),
+                             '%d %b %Y %H:%M:%S')) AS BIGINT)"""
+"""Weekday-stripped RFC 1123 parse to epoch — shared by the http_dates
+and curation_v7 oracles (mirrors parse_http_dates)."""
+
+
 def _kmv_ctes(k: int = 32) -> str:
     """tok→hh→sk chain for the bottom-k sketch oracles — hash distinct
     BEFORE ranking (a 40-bit collision cannot double-count), shared by
@@ -6443,10 +6471,7 @@ def oracle_sql() -> dict[str, str]:
         # jaccard join (shared sh/sig/inter CTEs) at threshold 1/2
         "lsh_eval": f"""
             WITH {_SHINGLE_CTE}, {_SIG_CTE},
-            bands AS (
-              SELECT doc_id, 0 AS band, md5(mh0 || mh1) AS bucket FROM sig
-              UNION ALL
-              SELECT doc_id, 1 AS band, md5(mh2 || mh3) AS bucket FROM sig),
+            {_BANDS_CTE},
             okb AS (SELECT band, bucket FROM bands GROUP BY band, bucket
                     HAVING count(*) > 1 AND count(*) <= 100),
             cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -6548,35 +6573,18 @@ def oracle_sql() -> dict[str, str]:
         # Last-Modified recency (day >= 19905 == 2024-07-01, malformed
         # NULL days drop) → quality gate → survivors' digest
         "curation_v7": f"""
-            WITH s AS (SELECT doc_id,
-                              'u' || CAST(doc_id // 5 AS VARCHAR) AS url,
-                              ((doc_id // 2) * 37) % 1000 AS ts,
-                              CAST((doc_id % 4) // 2 AS VARCHAR) AS dg
-                       FROM documents),
-            fst AS (SELECT url, dg,
+            WITH {_REVISIT_SNAPS_CTE},
+            fst AS (SELECT url, digest,
                            CAST(min(ts * 1048576 + doc_id) AS BIGINT) AS fp
-                    FROM s GROUP BY url, dg),
+                    FROM s GROUP BY url, digest),
             resp AS (SELECT s.doc_id FROM s JOIN fst
-                       ON fst.url = s.url AND fst.dg = s.dg
+                       ON fst.url = s.url AND fst.digest = s.digest
                      WHERE s.ts * 1048576 + s.doc_id = fst.fp),
             d1 AS (SELECT d.* FROM documents d
                    JOIN resp ON resp.doc_id = d.doc_id),
-            h AS (SELECT doc_id,
-                CASE WHEN doc_id % 17 = 0 THEN 'not-a-date' ELSE
-                  printf('Mon, %02d %s 2024 %02d:%02d:%02d GMT',
-                         doc_id % 28 + 1,
-                         ['Jan','Feb','Mar','Apr','May','Jun','Jul',
-                          'Aug','Sep','Oct','Nov','Dec']
-                             [(doc_id // 28) % 12 + 1],
-                         doc_id % 24, (doc_id * 7) % 60,
-                         (doc_id * 13) % 60)
-                END AS lm
-                FROM d1),
+            h AS (SELECT doc_id, {_HTTP_HDR_CASE} AS lm FROM d1),
             pe AS (SELECT doc_id,
-                          CAST(epoch(try_strptime(
-                              regexp_replace(regexp_replace(lm,
-                                  '^[A-Za-z]+, ', ''), ' GMT$', ''),
-                              '%d %b %Y %H:%M:%S')) AS BIGINT) AS ep
+                          {_HTTP_EPOCH_SQL.format(col="lm")} AS ep
                    FROM h),
             d2 AS (SELECT d1.doc_id, d1.lang, d1.text
                    FROM d1 JOIN pe ON pe.doc_id = d1.doc_id
@@ -6623,7 +6631,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM p),
             cl AS (SELECT host, ln,
                           trim(regexp_replace(regexp_replace(parts[ln],
-                              '#.*', ''), chr(13), '')) AS clean
+                              '#.*', ''), chr(13), '', 'g')) AS clean
                    FROM ls),
             keep AS (SELECT host, ln,
                             trim(substr(clean, 9)) AS sitemap_url
@@ -6637,23 +6645,13 @@ def oracle_sql() -> dict[str, str]:
         # RFC 1123 parsing, weekday-stripped (Spark cannot parse EEE;
         # the field is redundant per RFC 7231) — measured identical
         # epochs; malformed rows NULL via try_strptime
-        "http_dates": """
+        "http_dates": f"""
             WITH hdrs AS (SELECT doc_id,
-                CASE WHEN doc_id % 17 = 0 THEN 'not-a-date' ELSE
-                  printf('Mon, %02d %s 2024 %02d:%02d:%02d GMT',
-                         doc_id % 28 + 1,
-                         ['Jan','Feb','Mar','Apr','May','Jun','Jul',
-                          'Aug','Sep','Oct','Nov','Dec']
-                             [(doc_id // 28) % 12 + 1],
-                         doc_id % 24, (doc_id * 7) % 60,
-                         (doc_id * 13) % 60)
-                END AS last_modified
+                {_HTTP_HDR_CASE} AS last_modified
                 FROM documents),
             p AS (SELECT doc_id,
-                         CAST(epoch(try_strptime(
-                             regexp_replace(regexp_replace(last_modified,
-                                 '^[A-Za-z]+, ', ''), ' GMT$', ''),
-                             '%d %b %Y %H:%M:%S')) AS BIGINT) AS epoch
+                         {_HTTP_EPOCH_SQL.format(col="last_modified")}
+                             AS epoch
                   FROM hdrs)
             SELECT doc_id, epoch,
                    CAST(epoch // 86400 AS BIGINT) AS day
@@ -6684,12 +6682,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # WARC revisit synthesis: packed min(ts*2^20+id) argmin per
         # (url, digest); // 1048576 == shiftright(,20) on positives
-        "warc_revisit": """
-            WITH s AS (SELECT doc_id,
-                              'u' || CAST(doc_id // 5 AS VARCHAR) AS url,
-                              ((doc_id // 2) * 37) % 1000 AS ts,
-                              CAST((doc_id % 4) // 2 AS VARCHAR) AS digest
-                       FROM documents),
+        "warc_revisit": f"""
+            WITH {_REVISIT_SNAPS_CTE},
             f AS (SELECT url, digest,
                          CAST(min(ts * 1048576 + doc_id) AS BIGINT) AS fp
                   FROM s GROUP BY url, digest)

@@ -744,6 +744,10 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
     )
+    # per-row refusal on the packing bound (the latest_snapshot raise
+    # convention): a node >= 2^32 (e.g. an xxhash64-keyed graph) would
+    # silently collide with (deg+1, node-2^32) and corrupt counts
+    key_ok = (F.col("node") >= 0) & (F.col("node") < F.lit(2**32))
     deg = (
         und.select(F.col("lo").alias("node"))
         .union(und.select(F.col("hi").alias("node")))
@@ -751,7 +755,18 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("deg"))
         .select(
             "node",
-            (F.col("deg") * F.lit(2**32) + F.col("node")).alias("key"),
+            F.when(
+                key_ok, F.col("deg") * F.lit(2**32) + F.col("node")
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "triangle_counts: node id outside [0, 2^32) — "
+                        "re-key the graph or widen the packing shift"
+                    )
+                ).cast("long")
+            )
+            .alias("key"),
         )
     )
     klo = deg.select(F.col("node").alias("lo"), F.col("key").alias("klo"))
@@ -1606,6 +1621,12 @@ def shard_skew_report(docs: DataFrame, n_shards: int = 32) -> DataFrame:
     Content-Length convention), so the number is what the writer
     actually emits, not a char count.
 
+    The mean divides by n_shards — the WRITER'S shard count — not by
+    the number of occupied cells: in the degenerate case this audit
+    exists to catch (every doc hashing into one shard), an
+    occupied-cell mean would report skew 1.000 'balanced' while 31
+    empty shards go undetected (r5 s4 review finding).
+
     Scale: one map-side-combinable groupBy(shard); the one-row global
     aggregate rides back as a broadcast crossJoin."""
     if n_shards < 1:
@@ -1629,14 +1650,13 @@ def shard_skew_report(docs: DataFrame, n_shards: int = 32) -> DataFrame:
     tot = per.select(
         F.max("n_bytes").alias("__mx"),
         F.sum("n_bytes").alias("__tb"),
-        F.count(F.lit(1)).alias("__ns"),
     )
     return per.crossJoin(F.broadcast(tot)).select(
         "shard",
         "n_rows",
         "n_bytes",
         F.expr(
-            "__mx * 1000 div greatest(__tb div __ns, 1)"
+            f"__mx * 1000 div greatest(__tb div {n_shards}, 1)"
         ).alias("skew_milli"),
     )
 
@@ -3512,9 +3532,21 @@ def revisit_records(
         (ts >= 0) & (ts < F.lit(ts_bound)) & (idc >= 0) & (idc < F.lit(2**20)),
         ts * F.lit(2**20) + idc,
     )
+    def _notnull(col: str, alias: str):
+        # a NULL url/digest would form a NULL-key group that the
+        # null-unsafe join-back silently drops from the manifest —
+        # refuse loudly instead (the latest_snapshot gap class, r5 s4
+        # review finding)
+        return F.when(
+            F.col(col).isNull(),
+            F.raise_error(
+                F.lit(f"revisit_records: NULL {col} — keys must be non-null")
+            ),
+        ).otherwise(F.col(col)).alias(alias)
+
     guarded = snaps.select(
-        F.col(key_col).alias("key"),
-        F.col(digest_col).alias("digest"),
+        _notnull(key_col, "key"),
+        _notnull(digest_col, "digest"),
         F.col(id_col).alias("__id"),
         F.col(ts_col).alias("__ts"),
         F.when(
@@ -6106,8 +6138,21 @@ def dataset_digest(
     snapshots so per-cell comparison is meaningful."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    # F.concat, NOT concat_ws: the DuckDB twin's '||' is
+    # null-propagating, so a NULL text must hash to NULL in BOTH
+    # engines (sum skips it, count still counts the row) — concat_ws
+    # would silently hash 'id' on the Spark side only (r5 s4 review
+    # finding; latent until the first NULL-text row)
     h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", "doc_id", "text")), 1, 10),
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit(":"), F.col("text")
+                )
+            ),
+            1,
+            10,
+        ),
         16,
         10,
     ).cast("long")

@@ -310,9 +310,9 @@ def stream_parse_feeds(feeds_stream: DataFrame) -> DataFrame:
     """Streaming RSS/Atom ingestion: the SAME _feed_batches flat-map as
     the batch parse_feeds, so the freshness-crawl discovery channel can
     run as a continuous poll loop (batch/stream parity by construction,
-    tested).  Feed tables are per-host and small — no salting needed
-    (the parse_sitemaps scale note)."""
-    from ..plans.pipeline import FEED_SCHEMA, _feed_batches, ensure_pyfiles
+    tested).  Delegates to the batch function outright (the
+    stream_latest_snapshot pattern) so a future parse_feeds change —
+    e.g. salted routing — cannot skip the twin."""
+    from ..plans.pipeline import parse_feeds
 
-    ensure_pyfiles(feeds_stream.sparkSession)
-    return feeds_stream.mapInPandas(_feed_batches, schema=FEED_SCHEMA)
+    return parse_feeds(feeds_stream)

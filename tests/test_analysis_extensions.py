@@ -974,3 +974,53 @@ def test_shard_skew_report_counts_and_ratio(spark):
     mx = max(r.n_bytes for r in rows)
     mean = total // len(rows)
     assert {r.skew_milli for r in rows} == {mx * 1000 // max(mean, 1)}
+
+
+def test_review_fixes_r5s4(spark):
+    """r5 s4 review findings: (1) shard skew divides by the WRITER'S
+    shard count so empty shards surface; (2) revisit_records refuses
+    NULL keys loudly; (3) triangle_counts refuses node >= 2^32;
+    (4) dataset_digest NULL text hashes to NULL in Spark too (the
+    DuckDB '||' semantics), counted in n_rows but not content_sum."""
+    import pytest as _pytest
+
+    from contentextractor_spark.functions.analysis import (
+        dataset_digest,
+        revisit_records,
+        shard_skew_report,
+        triangle_counts,
+    )
+
+    # (1) one doc, 8 shards: 7 empty -> skew ~ 8000, never 1000
+    one = spark.createDataFrame([(0, "x" * 80)], "doc_id bigint, text string")
+    r = shard_skew_report(one, n_shards=8).collect()
+    assert len(r) == 1 and r[0].skew_milli == 80 * 1000 // (80 // 8)
+
+    # (2) NULL url refused
+    bad = spark.createDataFrame(
+        [(1, None, 10, "A")],
+        "doc_id bigint, url string, ts bigint, digest string",
+    )
+    with _pytest.raises(Exception, match="NULL url"):
+        revisit_records(bad).collect()
+
+    # (3) node outside the packing bound refused
+    wide = spark.createDataFrame(
+        [(2**32, 1), (1, 2)], "src bigint, dst bigint"
+    )
+    with _pytest.raises(Exception, match="outside \\[0, 2\\^32\\)"):
+        triangle_counts(wide).collect()
+
+    # (4) NULL text: row counted, hash skipped — matches '||' semantics
+    docs = spark.createDataFrame(
+        [(0, "en", "x"), (1, "en", None)],
+        "doc_id bigint, lang string, text string",
+    )
+    rows = dataset_digest(docs, n_shards=1).collect()
+    assert len(rows) == 1 and rows[0].n_rows == 2
+    only = dataset_digest(
+        spark.createDataFrame([(0, "en", "x")],
+                              "doc_id bigint, lang string, text string"),
+        n_shards=1,
+    ).collect()[0]
+    assert rows[0].content_sum == only.content_sum
