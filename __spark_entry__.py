@@ -2948,6 +2948,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return base.unionByName(subs).unionByName(dels)
 
+    def dedup_components_editdist(spark, sf_dir):
+        # r5 session-4: the editdist family's components row — LSS over
+        # the exact pair set on the shared fixture corpus
+        return A.dedup_components_editdist(
+            _editdist_corpus(spark, sf_dir), max_d=1, q=2
+        )
+
     def editdist_pairs(spark, sf_dir):
         # r5 session-3: EXACT edit-distance similarity join (ED-Join
         # q-gram prefix filter) — the oracle is the naive length-banded
@@ -3129,6 +3136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_eval": lsh_eval,
         "stopword_lists": stopword_lists,
         "shard_skew_report": shard_skew_report,
+        "dedup_components_editdist": dedup_components_editdist,
         "kmv_sketches": kmv_sketches,
         "kmv_estimate": kmv_estimate,
         "kmv_lang_jaccard": kmv_lang_jaccard,
@@ -4032,6 +4040,26 @@ _HTTP_EPOCH_SQL = """CAST(epoch(try_strptime(
 and curation_v7 oracles (mirrors parse_http_dates)."""
 
 
+_ED_CORPUS_CTES = """src AS (
+              SELECT doc_id,
+                     'qq' || translate(lpad(CAST((doc_id*37) % 100000
+                                            AS VARCHAR), 5, '0'),
+                                       '0123456789', 'abcdefghij') AS t
+              FROM documents),
+            allr AS (
+              SELECT doc_id, t FROM src
+              UNION ALL
+              SELECT doc_id + 1000000,
+                     substr(t, 1, 3) || 'z' || substr(t, 5)
+              FROM src WHERE doc_id % 10 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, substr(t, 1, 4) || substr(t, 6)
+              FROM src WHERE doc_id % 20 = 0)"""
+"""The editdist fixture corpus (base + substitution/deletion twins) —
+ONE definition shared by the editdist_pairs and
+dedup_components_editdist oracles (mirrors _editdist_corpus)."""
+
+
 def _kmv_ctes(k: int = 32) -> str:
     """tok→hh→sk chain for the bottom-k sketch oracles — hash distinct
     BEFORE ranking (a 40-bit collision cannot double-count), shared by
@@ -4718,28 +4746,42 @@ def oracle_sql() -> dict[str, str]:
         # length-banded levenshtein self-join — the Spark side only ever
         # joins ED-Join PREFIX q-grams, so any lossy filtering (prefix
         # length, gram order, count/length filters) breaks the hash
-        "editdist_pairs": """
-            WITH src AS (
-              SELECT doc_id,
-                     'qq' || translate(lpad(CAST((doc_id*37) % 100000
-                                            AS VARCHAR), 5, '0'),
-                                       '0123456789', 'abcdefghij') AS t
-              FROM documents),
-            allr AS (
-              SELECT doc_id, t FROM src
-              UNION ALL
-              SELECT doc_id + 1000000,
-                     substr(t, 1, 3) || 'z' || substr(t, 5)
-              FROM src WHERE doc_id % 10 = 0
-              UNION ALL
-              SELECT doc_id + 2000000, substr(t, 1, 4) || substr(t, 6)
-              FROM src WHERE doc_id % 20 = 0)
+        "editdist_pairs": f"""
+            WITH {_ED_CORPUS_CTES}
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
             FROM allr a JOIN allr b
               ON a.doc_id < b.doc_id
              AND length(b.t) BETWEEN length(a.t) - 1 AND length(a.t) + 1
             WHERE levenshtein(a.t, b.t) <= 1
+        """,
+        # editdist-family clustering: closure over the SAME brute-force
+        # levenshtein pair set (shared corpus CTE), min-id components,
+        # isolated strings label themselves
+        "dedup_components_editdist": f"""
+            WITH RECURSIVE {_ED_CORPUS_CTES},
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM allr a JOIN allr b
+                    ON a.doc_id < b.doc_id
+                   AND length(b.t) BETWEEN length(a.t) - 1
+                                       AND length(a.t) + 1
+                  WHERE levenshtein(a.t, b.t) <= 1),
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM p
+                    UNION SELECT doc_b, doc_a FROM p),
+            reach(srcn, dstn) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.srcn, s.b FROM reach r JOIN sym s ON r.dstn = s.a),
+            comp AS (
+              SELECT allr.doc_id,
+                     CAST(LEAST(allr.doc_id,
+                                COALESCE(m.mn, allr.doc_id))
+                          AS BIGINT) AS component
+              FROM allr
+              LEFT JOIN (SELECT srcn, min(dstn) AS mn
+                         FROM reach GROUP BY srcn) m
+                ON m.srcn = allr.doc_id)
+            SELECT doc_id, component FROM comp
         """,
         # r5 session-2 exact-edge dedup clustering: brute-force pairs →
         # symmetric+transitive closure → min-id components over the full

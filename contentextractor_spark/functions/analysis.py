@@ -2688,6 +2688,33 @@ def dedup_components_prefix(
     return _lss_components(docs, edges, max_iter, "dedup_components_prefix")
 
 
+def dedup_components_editdist(
+    docs: DataFrame,
+    max_d: int = 1,
+    q: int = 2,
+    max_iter: int = 25,
+    text_col: str = "text",
+) -> DataFrame:
+    """Connected components over the EXACT edit-distance join — the
+    editdist family's clustering row (every other pair family has one):
+    editdist_pairs edges → large-star/small-star components, same
+    output contract ((doc_id, component = min id), isolated docs label
+    themselves).  Use where the threshold is a typo/OCR-noise GUARANTEE
+    (titles, URLs, short fields) — the jaccard families own long-text
+    near-dup."""
+    handle: list = []
+    pairs = editdist_pairs(
+        docs, max_d=max_d, q=q, text_col=text_col, cache_handle=handle
+    )
+    edges = (
+        pairs.select(F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo"))
+        .localCheckpoint()
+    )
+    for df in handle:
+        df.unpersist()
+    return _lss_components(docs, edges, max_iter, "dedup_components_editdist")
+
+
 def nfc_normalize(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, text_nfc, changed): Unicode NFC normalization (UAX #15)
     — the canonical-composition pass a multilingual corpus needs before

@@ -167,3 +167,40 @@ def test_plan_no_cartesian_and_broadcast_weights(spark):
     lplan = lin._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in lplan, lplan
     assert "CartesianProduct" not in lplan, lplan
+
+
+def test_editdist_components_match_unionfind(spark):
+    """Differential: dedup_components_editdist must equal a driver-side
+    union-find over the exact pair set (min-id labels, isolated strings
+    label themselves)."""
+    from contentextractor_spark.functions.analysis import (
+        dedup_components_editdist,
+        editdist_pairs,
+    )
+
+    rows = [
+        (0, "abcde"), (1, "abcdx"), (2, "abcdy"),   # chain via 0-1, 0-2, 1-2
+        (3, "qqqqq"),                                # isolated
+        (4, "zzzz"), (5, "zzz"),                     # deletion pair
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    pairs = editdist_pairs(docs, max_d=1, q=2).collect()
+    parent = {d: d for d, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in pairs:
+        ra, rb = find(r.doc_a), find(r.doc_b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in parent}
+    got = {
+        r.doc_id: r.component
+        for r in dedup_components_editdist(docs, max_d=1, q=2).collect()
+    }
+    assert got == want
+    assert want[3] == 3 and want[5] == 4
