@@ -3108,6 +3108,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # stream — pure integer DATE arithmetic, counts only
         return E.retention_cohorts(_events(spark, sf_dir))
 
+    def phrase_search(spark, sf_dir):
+        # r5 session-5: positional phrase query (anchor-trick groupBy, no
+        # join) — 33 "table scan" occurrences at sf0.001, oracle replays
+        # the anchors via generate_subscripts
+        return A.phrase_search(_docs(spark, sf_dir), ["table", "scan"])
+
+    def crawl_depth(spark, sf_dir):
+        # r5 session-5: BFS hop levels from the %97 seed set over the
+        # shared affine link graph; frontier-form rounds, all-integer,
+        # oracle = 4 unrolled CTE levels (the pagerank convention)
+        docs = _docs(spark, sf_dir)
+        seeds = docs.select(F.col("doc_id").alias("node")).filter(
+            F.col("node") % 97 == 0
+        )
+        return A.bfs_levels(pagerank_edges_sql(docs), seeds, max_depth=4)
+
+    def weighted_sample(spark, sf_dir):
+        # r5 session-5: length-weighted deterministic Bernoulli subsample,
+        # P(keep) = min(n_chars, 300)/300 via salted-md5 cross-multiply
+        return A.weighted_sample(_docs(spark, sf_dir), w_max=300)
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3120,6 +3141,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "phrase_search": phrase_search,
+        "crawl_depth": crawl_depth,
+        "weighted_sample": weighted_sample,
         "events_retention": events_retention,
         "pmi_collocations": pmi_collocations,
         "triangle_count": triangle_count,
@@ -6476,6 +6500,70 @@ def oracle_sql() -> dict[str, str]:
         # over the first eighth of the stream (see the queries() note:
         # the full fixture converts every user at every step)
         # per-lang stopword lists: df*100 >= 60*n_docs integer gate
+        # positional phrase query: anchor = pos - slot, full match iff
+        # both slots present at one anchor (pos unique per slot)
+        "phrase_search": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok,
+                               generate_subscripts(string_split(text, ' '), 1)
+                                   - 1 AS pos
+                        FROM documents),
+            m AS (SELECT doc_id,
+                         pos - CASE tok WHEN 'table' THEN 0 ELSE 1 END
+                             AS anchor
+                  FROM tk WHERE tok IN ('table', 'scan')),
+            hits AS (SELECT doc_id, anchor FROM m WHERE anchor >= 0
+                     GROUP BY doc_id, anchor HAVING count(*) = 2)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                   CAST(min(anchor) AS BIGINT) AS first_pos
+            FROM hits GROUP BY doc_id
+        """,
+        # BFS levels over the shared affine graph, 4 unrolled rounds;
+        # each level expands only dist = r-1 (frontier form), min-merged
+        "crawl_depth": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+            e AS (
+              SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 31 + 7 * j) % n.nn AS dst
+                FROM documents, n, (SELECT unnest([1, 2, 3]) AS j) js)
+              WHERE src <> dst),
+            d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+                   FROM documents WHERE doc_id % 97 = 0),
+            d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                     SELECT node, dist FROM d0
+                     UNION ALL
+                     SELECT e.dst, d.dist + 1 FROM e
+                     JOIN d0 d ON d.node = e.src AND d.dist = 0)
+                   GROUP BY node),
+            d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                     SELECT node, dist FROM d1
+                     UNION ALL
+                     SELECT e.dst, d.dist + 1 FROM e
+                     JOIN d1 d ON d.node = e.src AND d.dist = 1)
+                   GROUP BY node),
+            d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                     SELECT node, dist FROM d2
+                     UNION ALL
+                     SELECT e.dst, d.dist + 1 FROM e
+                     JOIN d2 d ON d.node = e.src AND d.dist = 2)
+                   GROUP BY node),
+            d4 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                     SELECT node, dist FROM d3
+                     UNION ALL
+                     SELECT e.dst, d.dist + 1 FROM e
+                     JOIN d3 d ON d.node = e.src AND d.dist = 3)
+                   GROUP BY node)
+            SELECT node, dist FROM d4
+        """,
+        # weighted Bernoulli keep: u32(md5) * w_max < w * 2^32, all BIGINT
+        "weighted_sample": f"""
+            SELECT doc_id, CAST(least(n_chars, 300) AS BIGINT) AS w
+            FROM documents
+            WHERE {_hex_int_sql(
+                "md5('ws0:' || CAST(doc_id AS VARCHAR))", 1, 8)} * 300
+                  < CAST(least(n_chars, 300) AS BIGINT) * 4294967296
+        """,
         "stopword_lists": """
             WITH dt AS (SELECT DISTINCT lang AS grp, doc_id, tok
                         FROM (SELECT lang, doc_id,

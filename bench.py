@@ -163,6 +163,11 @@ BAND_MAX_S = {
     "lsh_eval": 24.0,
     "stopword_lists": 3.5,      # warm 1.6-1.7
     "shard_skew_report": 2.5,   # warm 0.9-1.3
+    # r5 session-5 (warm sf0.1 local[32]: phrase 1.05/1.07,
+    # crawl_depth 2.4/2.6 — 4 checkpointed BFS rounds, weighted 0.30)
+    "phrase_search": 3.0,
+    "crawl_depth": 6.0,
+    "weighted_sample": 1.5,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -418,6 +423,10 @@ def main() -> None:
         "lsh_eval": lambda: force(_entry_q("lsh_eval")),
         "stopword_lists": lambda: force(_entry_q("stopword_lists")),
         "shard_skew_report": lambda: force(_entry_q("shard_skew_report")),
+        # r5 session-5 ops
+        "phrase_search": lambda: force(_entry_q("phrase_search")),
+        "crawl_depth": lambda: force(_entry_q("crawl_depth")),
+        "weighted_sample": lambda: force(_entry_q("weighted_sample")),
     }
 
     def _entry_q(name):

@@ -7123,3 +7123,139 @@ def bpe_token_counts(
         .groupBy("doc_id")
         .agg(F.sum("n_sub").alias("n_tokens_bpe"))
     )
+
+
+def phrase_search(
+    docs: DataFrame, phrase: list[str], text_col: str = "text"
+) -> DataFrame:
+    """Positional phrase query: (doc_id, n_hits, first_pos) for every doc
+    containing the exact token sequence `phrase` — the positional-index
+    retrieval op the doc-level inverted_index/term_search pair cannot
+    answer (reference analogue: a Lucene PhraseQuery over the tokenized
+    text the extractor feeds downstream).
+
+    Anchor trick: an occurrence of phrase[i] at position p is evidence for
+    a phrase match starting at anchor = p - i; a full match at `anchor`
+    needs all k slots present, and since pos = anchor + i is unique per
+    slot, count(*) == k per (doc_id, anchor) is exact — repeated terms in
+    the phrase included (each (pos, i) pair is emitted separately).
+
+    Scale: the isin() filter prunes the exploded token stream to
+    phrase-term occurrences BEFORE any shuffle (pushed into the scan for
+    the common case), so the exchange carries only matches × k rows; the
+    two groupBys are map-side combinable; no join anywhere."""
+    if not phrase:
+        raise ValueError("phrase_search needs at least one term")
+    k = len(phrase)
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(text_col, " ")).alias("pos", "tok"),
+    ).filter(F.col("tok").isin(sorted(set(phrase))))
+    # slot table as a row-level array: slots[i] = i iff tok == phrase[i]
+    # (k elements, row-level — not the per-token interpreted-lambda trap)
+    slots = F.array(
+        *[
+            F.when(F.col("tok") == F.lit(t), F.lit(i))
+            for i, t in enumerate(phrase)
+        ]
+    )
+    m = (
+        tok.select("doc_id", "pos", F.explode(slots).alias("i"))
+        .filter(F.col("i").isNotNull())
+        .select("doc_id", (F.col("pos") - F.col("i")).alias("anchor"))
+        .filter(F.col("anchor") >= 0)
+    )
+    hits = (
+        m.groupBy("doc_id", "anchor")
+        .agg(F.count(F.lit(1)).alias("n_slots"))
+        .filter(F.col("n_slots") == k)
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.min("anchor").cast("long").alias("first_pos"),
+    )
+
+
+def bfs_levels(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 4
+) -> DataFrame:
+    """Crawl-depth BFS: (node, dist) = shortest hop distance from any seed,
+    bounded at max_depth — the frontier-discovery analysis a crawler runs
+    over its link graph to decide how deep a seed list actually reaches
+    (nodes beyond max_depth are absent, not null).
+
+    Frontier form: round r expands ONLY nodes first reached at r-1 (their
+    shortest distance is final — BFS invariant), unions the discoveries
+    into the distance table and re-mins.  All-integer, so cross-engine
+    exact; the oracle unrolls rounds as plain CTE levels (the pagerank
+    convention).
+
+    Scale: each round is one join (frontier × edges, AQE picks the
+    strategy as the frontier grows/shrinks) + one map-side-combinable
+    min-aggregate.  localCheckpoint per round cuts the lineage exactly
+    like pagerank's — without it round r re-executes every prior join
+    (measured 4× on the pagerank shape).  max_depth bounds the job chain;
+    a web-scale frontier crawl runs this with max_depth ~ 10-12."""
+    dist = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    for r in range(1, max_depth + 1):
+        frontier = dist.filter(F.col("dist") == r - 1).select(
+            F.col("node").alias("src")
+        )
+        nxt = edges.join(frontier, "src").select(
+            F.col("dst").alias("node"),
+            F.lit(r).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    w_max: int = 300,
+    salt: str = "ws0",
+) -> DataFrame:
+    """Deterministic weighted Bernoulli sample: keep each doc with
+    probability min(w, w_max) / w_max, decided by a salted md5 hash of the
+    doc_id — the quality-/length-weighted subsampling step of a training
+    mixture (upweight long docs, downweight stubs) made reproducible and
+    cross-engine exact.
+
+    Integer decision: u = first-8-hex(md5(salt:doc_id)) is uniform on
+    [0, 2^32); keep iff u * w_max < min(w, w_max) * 2^32 — one cross-
+    multiplication in LongType (≤ 2^32 · w_max ≈ 1.3e15 at w_max=300),
+    no float anywhere.  Changing `salt` draws an independent sample;
+    epoch-keyed salts give per-epoch resamples (the epoch_shuffle
+    convention).
+
+    Scale: stateless row-local projection + filter — no shuffle at all;
+    the filter sits directly on the scan."""
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = F.least(F.col(weight_col).cast("long"), F.lit(w_max))
+    return (
+        docs.select("doc_id", w.alias("w"), hv.alias("__hv"))
+        .filter(F.col("__hv") * w_max < F.col("w") * F.lit(4294967296))
+        .select("doc_id", "w")
+    )

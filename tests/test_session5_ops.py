@@ -1,0 +1,145 @@
+"""Unit tests for the r5 session-5 operators: phrase_search (positional
+retrieval), bfs_levels (crawl-depth BFS), weighted_sample (deterministic
+weighted Bernoulli subsampling)."""
+
+import pytest
+
+from contentextractor_spark.functions import analysis as A
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- phrase
+
+
+def test_phrase_basic_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c a b"),       # "a b" at 0 and 3
+            (1, "b a b a"),         # "a b" at 1
+            (2, "c c c"),           # no hit
+            (3, "a b"),             # hit at 0 exactly
+        ],
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.first_pos)
+        for r in A.phrase_search(docs, ["a", "b"]).collect()
+    }
+    assert out == {0: (2, 0), 1: (1, 1), 3: (1, 0)}
+
+
+def test_phrase_repeated_terms(spark):
+    # phrase with a repeated token: "a a" must need two ADJACENT a's
+    docs = _docs(
+        spark,
+        [
+            (0, "a a a"),    # anchors 0 and 1 (overlapping occurrences)
+            (1, "a b a"),    # no adjacent pair
+            (2, "b a a b"),  # anchor 1
+        ],
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.first_pos)
+        for r in A.phrase_search(docs, ["a", "a"]).collect()
+    }
+    assert out == {0: (2, 0), 2: (1, 1)}
+
+
+def test_phrase_three_terms_and_boundary(spark):
+    # match must not wrap: trailing prefix of the phrase is not a hit
+    docs = _docs(spark, [(0, "x y z"), (1, "y z x y")])
+    out = {r.doc_id: r.first_pos for r in
+           A.phrase_search(docs, ["x", "y", "z"]).collect()}
+    assert out == {0: 0}
+
+
+def test_phrase_empty_raises(spark):
+    with pytest.raises(ValueError):
+        A.phrase_search(_docs(spark, [(0, "a")]), [])
+
+
+# ---------------------------------------------------------------- BFS
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_bfs_levels_shortest_path_wins(spark):
+    # 0->1->2->3 chain plus a shortcut 0->3: dist(3) must be 1, not 3
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 3)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.dist for r in
+           A.bfs_levels(edges, seeds, max_depth=3).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 1}
+
+
+def test_bfs_levels_depth_bound_and_unreachable(spark):
+    # chain 0..5; max_depth=2 keeps nodes within 2 hops only; node 9 is
+    # disconnected and must be absent (not null)
+    edges = _edges(
+        spark, [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (9, 9)]
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.dist for r in
+           A.bfs_levels(edges, seeds, max_depth=2).collect()}
+    assert out == {0: 0, 1: 1, 2: 2}
+
+
+def test_bfs_levels_multi_seed_min(spark):
+    # two seeds; each node takes the closer one
+    edges = _edges(spark, [(0, 1), (1, 2), (5, 4), (4, 2)])
+    seeds = spark.createDataFrame([(0,), (5,)], "node long")
+    out = {r.node: r.dist for r in
+           A.bfs_levels(edges, seeds, max_depth=4).collect()}
+    assert out == {0: 0, 5: 0, 1: 1, 4: 1, 2: 2}
+
+
+def test_bfs_seed_dedup(spark):
+    # duplicate seed rows must not duplicate output rows
+    edges = _edges(spark, [(0, 1)])
+    seeds = spark.createDataFrame([(0,), (0,)], "node long")
+    rows = A.bfs_levels(edges, seeds, max_depth=1).collect()
+    assert sorted((r.node, r.dist) for r in rows) == [(0, 0), (1, 1)]
+
+
+# ------------------------------------------------------------- sampling
+
+
+def _wdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, n_chars long")
+
+
+def test_weighted_sample_full_weight_always_kept(spark):
+    # w >= w_max => P(keep) = 1: every such doc survives
+    docs = _wdocs(spark, [(i, 300 + i) for i in range(50)])
+    assert A.weighted_sample(docs, w_max=300).count() == 50
+
+
+def test_weighted_sample_zero_weight_never_kept(spark):
+    docs = _wdocs(spark, [(i, 0) for i in range(50)])
+    assert A.weighted_sample(docs, w_max=300).count() == 0
+
+
+def test_weighted_sample_deterministic_and_salted(spark):
+    docs = _wdocs(spark, [(i, 150) for i in range(200)])  # P = 1/2
+    a = {r.doc_id for r in A.weighted_sample(docs, w_max=300).collect()}
+    b = {r.doc_id for r in A.weighted_sample(docs, w_max=300).collect()}
+    assert a == b  # same salt => identical sample
+    c = {r.doc_id for r in
+         A.weighted_sample(docs, w_max=300, salt="ws1").collect()}
+    assert a != c  # independent draw
+    # P=1/2 over 200 docs: expect ~100, allow wide deterministic band
+    assert 60 <= len(a) <= 140
+
+
+def test_weighted_sample_monotone_in_weight(spark):
+    # raising every weight can only ADD docs (same salt, same hash)
+    lo = _wdocs(spark, [(i, 100) for i in range(200)])
+    hi = _wdocs(spark, [(i, 200) for i in range(200)])
+    a = {r.doc_id for r in A.weighted_sample(lo, w_max=300).collect()}
+    b = {r.doc_id for r in A.weighted_sample(hi, w_max=300).collect()}
+    assert a <= b
