@@ -3129,6 +3129,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # P(keep) = min(n_chars, 300)/300 via salted-md5 cross-multiply
         return A.weighted_sample(_docs(spark, sf_dir), w_max=300)
 
+    def embedding_lsh_eval(spark, sf_dir):
+        # r5 session-5: in-engine calibration of the embedding LSH
+        # producer (6×3 bands, cap 60) vs the exact cosine truth at
+        # t=0.35 — the lsh_eval pattern for the one family whose recall
+        # is probabilistic; truth via the production numpy rescore
+        return A.embedding_lsh_eval(_emb(spark, sf_dir))
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3144,6 +3151,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search": phrase_search,
         "crawl_depth": crawl_depth,
         "weighted_sample": weighted_sample,
+        "embedding_lsh_eval": embedding_lsh_eval,
         "events_retention": events_retention,
         "pmi_collocations": pmi_collocations,
         "triangle_count": triangle_count,
@@ -6555,6 +6563,39 @@ def oracle_sql() -> dict[str, str]:
                      JOIN d3 d ON d.node = e.src AND d.dist = 3)
                    GROUP BY node)
             SELECT node, dist FROM d4
+        """,
+        # embedding-LSH calibration: shipped capped candidate stage vs the
+        # exact cosine truth (list_cosine_similarity, 4dp inclusion)
+        "embedding_lsh_eval": f"""
+            WITH {_EMB_BANDS_CTE},
+            bsz AS (SELECT band, bkey, count(*) AS nb
+                    FROM bands GROUP BY band, bkey),
+            kept AS (SELECT b.vec_id, b.band, b.bkey
+                     FROM bands b JOIN bsz USING (band, bkey)
+                     WHERE nb <= 60),
+            cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                     FROM kept a JOIN kept b
+                       ON a.band = b.band AND a.bkey = b.bkey
+                      AND a.vec_id < b.vec_id),
+            truth AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+                      FROM embeddings a JOIN embeddings b
+                        ON a.vec_id < b.vec_id
+                      WHERE round(list_cosine_similarity(
+                              CAST(a.embedding AS DOUBLE[]),
+                              CAST(b.embedding AS DOUBLE[])), 4) >= 0.35),
+            cnt AS (SELECT
+                (SELECT count(*) FROM truth) AS n_true,
+                (SELECT count(*) FROM cand) AS n_cand,
+                (SELECT count(*) FROM truth t JOIN cand c
+                   ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hit)
+            SELECT CAST(n_true AS BIGINT) AS n_true,
+                   CAST(n_cand AS BIGINT) AS n_cand,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   CAST(n_hit * 1000 // greatest(n_true, 1) AS BIGINT)
+                       AS recall_milli,
+                   CAST(n_hit * 1000 // greatest(n_cand, 1) AS BIGINT)
+                       AS precision_milli
+            FROM cnt
         """,
         # weighted Bernoulli keep: u32(md5) * w_max < w * 2^32, all BIGINT
         "weighted_sample": f"""

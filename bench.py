@@ -168,6 +168,9 @@ BAND_MAX_S = {
     "phrase_search": 3.0,
     "crawl_depth": 6.0,
     "weighted_sample": 1.5,
+    # warm 14.3/20.7 — truth side is the exact 2M-pair numpy join at
+    # sf0.1 (2000 vecs); exact-join bound like lsh_eval
+    "embedding_lsh_eval": 32.0,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -427,6 +430,7 @@ def main() -> None:
         "phrase_search": lambda: force(_entry_q("phrase_search")),
         "crawl_depth": lambda: force(_entry_q("crawl_depth")),
         "weighted_sample": lambda: force(_entry_q("weighted_sample")),
+        "embedding_lsh_eval": lambda: force(_entry_q("embedding_lsh_eval")),
     }
 
     def _entry_q(name):

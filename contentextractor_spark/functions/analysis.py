@@ -5862,6 +5862,41 @@ def _pair_cos_numpy():
     return _pair_cos
 
 
+def _embedding_candidate_pairs(
+    emb: DataFrame,
+    n_bands: int,
+    band_bits: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """(id_a, id_b) distinct candidate pairs from the banded sign-bit LSH
+    buckets, oversized buckets excluded when max_bucket_size is set — the
+    candidate-generation stage of embedding_neardup_lsh, factored out so
+    embedding_lsh_eval scores EXACTLY the shipped producer (one
+    definition, the lsh_eval honesty rule)."""
+    bands = _embedding_bands(emb, n_bands, band_bits)
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "bkey").agg(
+            F.count(F.lit(1)).alias("__n_in_bucket")
+        )
+        bands = (
+            bands.join(sizes, ["band", "bkey"])
+            .filter(F.col("__n_in_bucket") <= max_bucket_size)
+            .drop("__n_in_bucket")
+        )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()  # a pair can collide in several bands
+    )
+
+
 def embedding_neardup_lsh(
     emb: DataFrame,
     threshold: float = 0.8,
@@ -5903,28 +5938,7 @@ def embedding_neardup_lsh(
     Both paths compute the same exact cosine; they can differ only when a
     value sits within float-summation-order noise (~1e-13) of a 4dp
     rounding boundary (differential-tested equal on the fixtures)."""
-    bands = _embedding_bands(emb, n_bands, band_bits)
-    if max_bucket_size is not None:
-        sizes = bands.groupBy("band", "bkey").agg(
-            F.count(F.lit(1)).alias("__n_in_bucket")
-        )
-        bands = (
-            bands.join(sizes, ["band", "bkey"])
-            .filter(F.col("__n_in_bucket") <= max_bucket_size)
-            .drop("__n_in_bucket")
-        )
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .distinct()  # a pair can collide in several bands
-    )
+    pairs = _embedding_candidate_pairs(emb, n_bands, band_bits, max_bucket_size)
     if rescore == "numpy":
         # scale path: norms fold into the same einsum batch — per-pair
         # norm recompute is vectorized O(pairs×dim) numpy, not an
@@ -7258,4 +7272,76 @@ def weighted_sample(
         docs.select("doc_id", w.alias("w"), hv.alias("__hv"))
         .filter(F.col("__hv") * w_max < F.col("w") * F.lit(4294967296))
         .select("doc_id", "w")
+    )
+
+
+def embedding_lsh_eval(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_bands: int = 6,
+    band_bits: int = 3,
+    max_bucket_size: int = 60,
+    *,
+    force: bool = False,
+) -> DataFrame:
+    """lsh_eval's twin for the EMBEDDING family: ONE row (n_true, n_cand,
+    n_hit, recall_milli, precision_milli) scoring the shipped banded
+    hyperplane-LSH candidate producer (cap active) against the exact
+    cosine-threshold truth set — the in-engine calibration for the one
+    near-dup family whose recall is genuinely probabilistic (MinHash
+    banding is pigeonhole-exact at its design distance; sign-bit LSH is
+    not: P(candidate) = 1-(1-(1-θ/π)^band_bits)^n_bands).
+
+    Honesty notes: `cand` is _embedding_candidate_pairs — the EXACT
+    candidate stage embedding_neardup_lsh consumes, cap included, not a
+    reimplementation.  `truth` uses the production numpy rescore (counts
+    only; the fixture differential pins numpy == fold == DuckDB
+    list_cosine_similarity at the 4dp inclusion boundary).  Precision
+    here is CANDIDATE precision (pre-rescore); the producer's output
+    precision is 1.0 by construction since it re-scores exactly.
+
+    Guarded like the other exact baselines: refuses above
+    MAX_EXACT_PAIR_ROWS corpus rows unless force=True — the truth side is
+    O(n²) and exists to calibrate a sample, never to run at corpus
+    scale."""
+    if not force:
+        _refuse_above(
+            emb,
+            MAX_EXACT_PAIR_ROWS,
+            "embedding_lsh_eval",
+            "The truth side is the exact O(n²) cosine join — calibrate "
+            "on a sample at scale,",
+        )
+    cand = _embedding_candidate_pairs(
+        emb, n_bands, band_bits, max_bucket_size
+    ).localCheckpoint()
+    pe = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    a = pe.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    b = pe.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    cos = _pair_cos_numpy()(F.col("ea"), F.col("eb"))
+    truth = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cos"))
+        .filter(F.round("cos", 4) >= threshold)
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    )
+    n_true = truth.select(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.select(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = truth.join(cand, ["id_a", "id_b"]).select(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .selectExpr(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            "n_hit * 1000 div greatest(n_true, 1) AS recall_milli",
+            "n_hit * 1000 div greatest(n_cand, 1) AS precision_milli",
+        )
     )

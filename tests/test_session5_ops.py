@@ -143,3 +143,29 @@ def test_weighted_sample_monotone_in_weight(spark):
     a = {r.doc_id for r in A.weighted_sample(lo, w_max=300).collect()}
     b = {r.doc_id for r in A.weighted_sample(hi, w_max=300).collect()}
     assert a <= b
+
+
+# -------------------------------------------------- embedding LSH eval
+
+
+def test_embedding_lsh_eval_identical_vectors_full_recall(spark):
+    # 6 identical vectors: 15 truth pairs at cos 1.0; identical vectors
+    # share every band key, so ALL truth pairs must be candidates
+    # 6 copies of `base` (15 pairs) + 3 colinear [0,0,0,k] vectors (3
+    # pairs, cos exactly 1.0) = 18 truth pairs at t=0.99; each clone/
+    # colinear group shares every band key, so all 18 must be candidates
+    base = [1.0, 0.5, -0.25, 0.125]
+    rows = [(i, base) for i in range(6)] + [
+        (10 + i, [0.0, 0.0, 0.0, float(i + 1)]) for i in range(3)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    r = A.embedding_lsh_eval(emb, threshold=0.99).collect()[0]
+    assert r.n_true == 18 and r.n_hit == 18 and r.recall_milli == 1000
+
+
+def test_embedding_lsh_eval_refuses_oversize(spark):
+    big = spark.range(A.MAX_EXACT_PAIR_ROWS + 1).selectExpr(
+        "id AS vec_id", "array(cast(id as double)) AS embedding"
+    )
+    with pytest.raises(ValueError, match="embedding_lsh_eval refused"):
+        A.embedding_lsh_eval(big)
