@@ -3136,6 +3136,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # is probabilistic; truth via the production numpy rescore
         return A.embedding_lsh_eval(_emb(spark, sf_dir))
 
+    def simhash_eval(spark, sf_dir):
+        # r5 session-5: the capped simhash producer (cap 100 — the driver
+        # row's config, which really drops 100+-member buckets on this
+        # templated fixture) vs the pigeonhole-complete uncapped truth —
+        # the cap's PAIR-level recall cost, completing the eval trio
+        return A.simhash_eval(
+            _docs(spark, sf_dir), bits=48, n_bands=4, max_bucket_size=100
+        )
+
+    def recrawl_priority(spark, sf_dir):
+        # r5 session-5: change-rate scheduling over the tie-heavy
+        # 5-fetches-per-url revisit fixture; (ts, doc_id) total order
+        # makes the transition count deterministic on ts ties
+        return A.recrawl_priority(_revisit_snaps(_docs(spark, sf_dir)))
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3152,6 +3167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_depth": crawl_depth,
         "weighted_sample": weighted_sample,
         "embedding_lsh_eval": embedding_lsh_eval,
+        "simhash_eval": simhash_eval,
+        "recrawl_priority": recrawl_priority,
         "events_retention": events_retention,
         "pmi_collocations": pmi_collocations,
         "triangle_count": triangle_count,
@@ -6563,6 +6580,62 @@ def oracle_sql() -> dict[str, str]:
                      JOIN d3 d ON d.node = e.src AND d.dist = 3)
                    GROUP BY node)
             SELECT node, dist FROM d4
+        """,
+        # simhash calibration: capped producer vs the pigeonhole-complete
+        # uncapped truth (shared sbands CTE, same hamming<=3 rescore)
+        "simhash_eval": f"""
+            WITH {_simhash_cte()},
+            kept AS (
+              SELECT b.* FROM sbands b
+              JOIN (SELECT band, bval FROM sbands
+                    GROUP BY band, bval HAVING count(*) <= 100) ok
+                USING (band, bval)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM kept a JOIN kept b
+                ON a.band = b.band AND a.bval = b.bval
+               AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+            truth AS (
+              SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+              FROM sbands a JOIN sbands b
+                ON a.band = b.band AND a.bval = b.bval
+               AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+            cnt AS (SELECT
+                (SELECT count(*) FROM truth) AS n_true,
+                (SELECT count(*) FROM cand) AS n_cand,
+                (SELECT count(*) FROM truth t JOIN cand c
+                   ON c.doc_id_a = t.doc_id_a
+                  AND c.doc_id_b = t.doc_id_b) AS n_hit)
+            SELECT CAST(n_true AS BIGINT) AS n_true,
+                   CAST(n_cand AS BIGINT) AS n_cand,
+                   CAST(n_hit AS BIGINT) AS n_hit,
+                   CAST(n_hit * 1000 // greatest(n_true, 1) AS BIGINT)
+                       AS recall_milli,
+                   CAST(n_hit * 1000 // greatest(n_cand, 1) AS BIGINT)
+                       AS precision_milli
+            FROM cnt
+        """,
+        # recrawl scheduling: lag over the (ts, doc_id) total order —
+        # deterministic transition counts on the tie-heavy fixture
+        "recrawl_priority": f"""
+            WITH {_REVISIT_SNAPS_CTE},
+            seq AS (SELECT url, digest,
+                           lag(digest) OVER (PARTITION BY url
+                               ORDER BY ts ASC, doc_id ASC) AS prev
+                    FROM s),
+            agg AS (SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+                           CAST(sum(CASE WHEN prev IS NOT NULL
+                                          AND digest <> prev
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_changes
+                    FROM seq GROUP BY url)
+            SELECT url, n_fetches, n_changes,
+                   CAST(n_changes * 1000
+                        // greatest(n_fetches - 1, 1) AS BIGINT)
+                       AS change_milli
+            FROM agg
         """,
         # embedding-LSH calibration: shipped capped candidate stage vs the
         # exact cosine truth (list_cosine_similarity, 4dp inclusion)

@@ -171,6 +171,10 @@ BAND_MAX_S = {
     # warm 14.3/20.7 — truth side is the exact 2M-pair numpy join at
     # sf0.1 (2000 vecs); exact-join bound like lsh_eval
     "embedding_lsh_eval": 32.0,
+    # warm 6.4/6.9 (two banded self-joins over one checkpointed
+    # fingerprint pass) / 0.7-0.8
+    "simhash_eval": 14.0,
+    "recrawl_priority": 2.5,
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -431,6 +435,8 @@ def main() -> None:
         "crawl_depth": lambda: force(_entry_q("crawl_depth")),
         "weighted_sample": lambda: force(_entry_q("weighted_sample")),
         "embedding_lsh_eval": lambda: force(_entry_q("embedding_lsh_eval")),
+        "simhash_eval": lambda: force(_entry_q("simhash_eval")),
+        "recrawl_priority": lambda: force(_entry_q("recrawl_priority")),
     }
 
     def _entry_q(name):

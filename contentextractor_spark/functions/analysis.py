@@ -7345,3 +7345,107 @@ def embedding_lsh_eval(
             "n_hit * 1000 div greatest(n_cand, 1) AS precision_milli",
         )
     )
+
+
+def simhash_eval(
+    docs: DataFrame,
+    bits: int = 48,
+    n_bands: int = 4,
+    max_bucket_size: int = 100,
+) -> DataFrame:
+    """Calibration row for the SIMHASH family: the capped producer vs the
+    uncapped one — completing the per-family eval trio (lsh_eval for
+    MinHash, embedding_lsh_eval for hyperplane LSH).  SimHash banding is
+    pigeonhole-EXACT at hamming <= n_bands-1, so unlike the embedding
+    family the only recall loss is the skew cap dropping dense buckets;
+    this row turns that loss into a driver-checkable number instead of
+    the bucket-level simhash_lsh_overflow audit alone (a dropped bucket's
+    PAIR impact is quadratic in its size — bucket counts understate it).
+
+    truth = the uncapped producer (provably complete at the design
+    distance); cand = the shipped capped config.  cand ⊆ truth, so
+    precision_milli is structurally 1000 — it is still measured (the
+    join), so a banding bug that emitted a bogus pair WOULD surface.
+
+    Scale: one corpus-wide fingerprint aggregate shared via
+    localCheckpoint (docs × 1 longs), then two band self-joins — the
+    uncapped truth join is bounded by the corpus's real bucket sizes, so
+    at 100 TB run this on a sample the way the exact-join evals do."""
+    sims = simhash(docs, bits).localCheckpoint()
+    truth = (
+        simhash_neardup_pairs(docs, bits, n_bands, sims=sims)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint()
+    )
+    cand = (
+        simhash_neardup_pairs(
+            docs, bits, n_bands, max_bucket_size=max_bucket_size, sims=sims
+        )
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint()
+    )
+    n_true = truth.select(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.select(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = truth.join(cand, ["doc_id_a", "doc_id_b"]).select(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .selectExpr(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            "n_hit * 1000 div greatest(n_true, 1) AS recall_milli",
+            "n_hit * 1000 div greatest(n_cand, 1) AS precision_milli",
+        )
+    )
+
+
+def recrawl_priority(snaps: DataFrame) -> DataFrame:
+    """Change-rate recrawl scheduling over a fetch history (url, ts,
+    doc_id, digest): per url, how many of the consecutive re-fetches saw
+    the content digest CHANGE — the signal a crawler's scheduler uses to
+    give volatile pages a shorter revisit interval and static pages a
+    longer one (the WARC revisit-record economy, turned into priorities).
+
+    Ordering: fetches are sequenced by (ts, doc_id) — a deterministic
+    total order even on the tie-heavy fixture (same-ts fetch pairs), so
+    both engines count the SAME transitions.  change_milli =
+    n_changes * 1000 div (n_fetches - 1) (single-fetch urls report 0 —
+    no transition evidence, lowest priority).
+
+    Scale: one window per url partition (the exchange is on url — the
+    natural key a fetch log is already bucketed by) + one
+    map-side-combinable groupBy.  No global sort: priority is a value,
+    consumers top-k it with TakeOrderedAndProject."""
+    w = Window.partitionBy("url").orderBy(
+        F.col("ts").asc(), F.col("doc_id").asc()
+    )
+    seq = snaps.select(
+        "url",
+        "ts",
+        "doc_id",
+        "digest",
+        F.lag("digest").over(w).alias("__prev"),
+    )
+    changed = F.when(
+        F.col("__prev").isNotNull() & (F.col("digest") != F.col("__prev")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        seq.select("url", changed.alias("__chg"))
+        .groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_fetches"),
+            F.sum("__chg").cast("long").alias("n_changes"),
+        )
+        .select(
+            "url",
+            "n_fetches",
+            "n_changes",
+            F.expr(
+                "n_changes * 1000 div greatest(n_fetches - 1, 1)"
+            ).alias("change_milli"),
+        )
+    )

@@ -169,3 +169,64 @@ def test_embedding_lsh_eval_refuses_oversize(spark):
     )
     with pytest.raises(ValueError, match="embedding_lsh_eval refused"):
         A.embedding_lsh_eval(big)
+
+
+# ------------------------------------------------------- simhash eval
+
+
+def test_simhash_eval_uncapped_is_total(spark):
+    # 10 clones (45 hamming-0 truth pairs) + 20 distinct docs; cap far
+    # above any bucket: cand == truth => 1000/1000
+    docs = _docs(
+        spark,
+        [(i, "same text for every doc") for i in range(10)]
+        + [(100 + i, f"tok{i} tok{i+1} tok{i+2}") for i in range(20)],
+    )
+    r = A.simhash_eval(docs, max_bucket_size=10_000).collect()[0]
+    assert r.n_true >= 45 and r.n_cand == r.n_true == r.n_hit
+    assert r.recall_milli == 1000 and r.precision_milli == 1000
+
+
+def test_simhash_eval_cap_drops_pairs(spark):
+    # 40 identical docs = one 40-member bucket per band; cap 10 drops all
+    # of them from the candidate side while truth keeps the 780 pairs
+    docs = _docs(spark, [(i, "same text for every doc") for i in range(40)])
+    r = A.simhash_eval(docs, max_bucket_size=10).collect()[0]
+    assert r.n_true == 780 and r.n_cand == 0 and r.n_hit == 0
+    assert r.recall_milli == 0
+
+
+# --------------------------------------------------- recrawl priority
+
+
+def test_recrawl_priority_counts_transitions(spark):
+    snaps = spark.createDataFrame(
+        [
+            # u0: d a a b  -> 2 changes over 3 transitions
+            (0, "u0", 1, "d"), (1, "u0", 2, "a"),
+            (2, "u0", 3, "a"), (3, "u0", 4, "b"),
+            # u1: static
+            (4, "u1", 1, "x"), (5, "u1", 2, "x"),
+            # u2: single fetch -> 0 changes, denominator clamps to 1
+            (6, "u2", 1, "z"),
+        ],
+        "doc_id long, url string, ts long, digest string",
+    )
+    out = {r.url: (r.n_fetches, r.n_changes, r.change_milli)
+           for r in A.recrawl_priority(snaps).collect()}
+    assert out == {"u0": (4, 2, 666), "u1": (2, 0, 0), "u2": (1, 0, 0)}
+
+
+def test_recrawl_priority_tie_order_deterministic(spark):
+    # two fetches at the SAME ts: doc_id breaks the tie, so the sequence
+    # is a(1) -> b(2,id=10) -> c(2,id=11) => 2 changes, regardless of
+    # input row order
+    rows = [
+        (10, "u", 2, "b"), (1, "u", 1, "a"), (11, "u", 2, "c"),
+    ]
+    for perm in (rows, rows[::-1]):
+        snaps = spark.createDataFrame(
+            perm, "doc_id long, url string, ts long, digest string"
+        )
+        r = A.recrawl_priority(snaps).collect()[0]
+        assert (r.n_fetches, r.n_changes, r.change_milli) == (3, 2, 1000)
