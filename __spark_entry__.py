@@ -3151,6 +3151,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # makes the transition count deterministic on ts ties
         return A.recrawl_priority(_revisit_snaps(_docs(spark, sf_dir)))
 
+    def personalized_ppr(spark, sf_dir):
+        # r5 session-5: seed-pinned teleport PageRank over the shared
+        # affine graph, seeds = %97 (the crawl_depth seed set) — oracle
+        # = 2 unrolled integer rounds with the seed CASE
+        docs = _docs(spark, sf_dir)
+        seeds = docs.select(F.col("doc_id").alias("node")).filter(
+            F.col("node") % 97 == 0
+        )
+        return A.personalized_pagerank(
+            pagerank_edges_sql(docs), seeds, iters=2
+        )
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3169,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_lsh_eval": embedding_lsh_eval,
         "simhash_eval": simhash_eval,
         "recrawl_priority": recrawl_priority,
+        "personalized_ppr": personalized_ppr,
         "events_retention": events_retention,
         "pmi_collocations": pmi_collocations,
         "triangle_count": triangle_count,
@@ -6580,6 +6593,45 @@ def oracle_sql() -> dict[str, str]:
                      JOIN d3 d ON d.node = e.src AND d.dist = 3)
                    GROUP BY node)
             SELECT node, dist FROM d4
+        """,
+        # personalized PageRank: 2 unrolled integer rounds, teleport only
+        # to the %97 seed set (p0 = 1e6 per seed, 0 elsewhere)
+        "personalized_ppr": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+            e AS (
+              SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 31 + 7 * j) % n.nn AS dst
+                FROM documents, n, (SELECT unnest([1, 2, 3]) AS j) js)
+              WHERE src <> dst),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY src),
+            p0 AS (SELECT node,
+                          CAST(CASE WHEN node % 97 = 0 THEN 1000000
+                               ELSE 0 END AS BIGINT) AS p
+                   FROM nodes),
+            c1 AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p0 p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            p1 AS (SELECT nodes.node,
+                          CAST(CASE WHEN nodes.node % 97 = 0 THEN 150000
+                               ELSE 0 END
+                               + (COALESCE(c1.m, 0) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c1 ON c1.node = nodes.node),
+            c2 AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p1 p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            p2 AS (SELECT nodes.node,
+                          CAST(CASE WHEN nodes.node % 97 = 0 THEN 150000
+                               ELSE 0 END
+                               + (COALESCE(c2.m, 0) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c2 ON c2.node = nodes.node)
+            SELECT node, p AS rank_micro FROM p2
         """,
         # simhash calibration: capped producer vs the pigeonhole-complete
         # uncapped truth (shared sbands CTE, same hamming<=3 rescore)

@@ -175,6 +175,7 @@ BAND_MAX_S = {
     # fingerprint pass) / 0.7-0.8
     "simhash_eval": 14.0,
     "recrawl_priority": 2.5,
+    "personalized_ppr": 8.0,  # warm 3.5/3.6 (2 checkpointed rounds)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -437,6 +438,7 @@ def main() -> None:
         "embedding_lsh_eval": lambda: force(_entry_q("embedding_lsh_eval")),
         "simhash_eval": lambda: force(_entry_q("simhash_eval")),
         "recrawl_priority": lambda: force(_entry_q("recrawl_priority")),
+        "personalized_ppr": lambda: force(_entry_q("personalized_ppr")),
     }
 
     def _entry_q(name):

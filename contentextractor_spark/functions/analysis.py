@@ -7449,3 +7449,85 @@ def recrawl_priority(snaps: DataFrame) -> DataFrame:
             ).alias("change_milli"),
         )
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 2,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Personalized PageRank: pagerank() with the teleport mass pinned to
+    a seed set instead of spread uniformly — the topic-/host-sensitive
+    ranking a crawler uses to score frontier URLs by proximity to trusted
+    seeds (Haveliwala WWW'02), and the natural ranking companion to
+    bfs_levels' hop counts (PPR weights by ALL paths, not just the
+    shortest).
+
+    Integer convention (cross-engine exact, the pagerank family rules):
+    p0 = 1e6 per seed node, 0 elsewhere; each round
+        p(v) = (v ∈ S ? (100-d)·10^4 : 0) + d · Σ_{u→v} (p(u) div
+        outdeg(u)) div 100
+    — same teleport magnitude per seed as pagerank's per-node term, so
+    total mass stays ≈ |S|·1e6 and the overflow bound is pagerank's.
+    Sink mass is dropped (the redistribute_dangling=False semantics);
+    seeds not present in the graph contribute nothing (documented — the
+    teleport joins against nodes = src ∪ dst).
+
+    Scale: identical per-round shape to pagerank (one join on src + one
+    map-side-combinable groupBy on dst); the seed teleport column is
+    computed ONCE as a left-semi flag on the node table and checkpointed
+    with it."""
+    if not 1 <= damping_pct <= 100:
+        raise ValueError("damping_pct must be in [1, 100]")
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).alias("outdeg")
+    ).localCheckpoint()
+    teleport = (100 - damping_pct) * 10_000
+    sd = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+    base = (
+        nodes.join(sd.withColumn("__s", F.lit(1)), "node", "left")
+        .select(
+            "node",
+            (F.coalesce(F.col("__s"), F.lit(0)) * teleport)
+            .cast("long")
+            .alias("tele"),
+        )
+        .localCheckpoint()
+    )
+    pr = base.select(
+        "node",
+        F.expr(f"(tele div {teleport}) * 1000000").cast("long").alias("p"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(pr, edges["src"] == pr["node"])
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("p div outdeg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        pr = (
+            base.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.col("tele")
+                    + F.expr(
+                        f"(coalesce(in_mass, 0L) * {damping_pct}) div 100"
+                    )
+                ).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    return pr.select("node", F.col("p").alias("rank_micro"))

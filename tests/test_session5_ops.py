@@ -230,3 +230,39 @@ def test_recrawl_priority_tie_order_deterministic(spark):
         )
         r = A.recrawl_priority(snaps).collect()[0]
         assert (r.n_fetches, r.n_changes, r.change_milli) == (3, 2, 1000)
+
+
+# ------------------------------------------------- personalized PPR
+
+
+def test_personalized_ppr_chain_exact(spark):
+    # seed -> a -> b, 2 rounds of the integer convention:
+    # p1 = (150000, 850000, 0); p2 = (150000, 127500, 722500)
+    edges = _edges(spark, [(0, 1), (1, 2)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.rank_micro for r in
+           A.personalized_pagerank(edges, seeds, iters=2).collect()}
+    assert out == {0: 150000, 1: 127500, 2: 722500}
+
+
+def test_personalized_ppr_no_teleport_to_nonseeds(spark):
+    # a node with no in-edges and no seed status must end at exactly 0
+    edges = _edges(spark, [(5, 6), (0, 6)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.rank_micro for r in
+           A.personalized_pagerank(edges, seeds, iters=2).collect()}
+    assert out[5] == 0
+    assert out[0] == 150000  # seed keeps only its teleport (no in-edges)
+    assert out[6] > 0
+
+
+def test_personalized_ppr_duplicate_seed_rows(spark):
+    # duplicated seed rows must not double the teleport mass
+    edges = _edges(spark, [(0, 1)])
+    s1 = spark.createDataFrame([(0,)], "node long")
+    s2 = spark.createDataFrame([(0,), (0,)], "node long")
+    a = {r.node: r.rank_micro for r in
+         A.personalized_pagerank(edges, s1, iters=1).collect()}
+    b = {r.node: r.rank_micro for r in
+         A.personalized_pagerank(edges, s2, iters=1).collect()}
+    assert a == b
