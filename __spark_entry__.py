@@ -3151,6 +3151,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # makes the transition count deterministic on ts ties
         return A.recrawl_priority(_revisit_snaps(_docs(spark, sf_dir)))
 
+    def index_merge(spark, sf_dir):
+        # r5 session-5: segment-merge semantic check — index the even and
+        # odd doc halves SEPARATELY (doc-disjoint segments), merge, and
+        # the oracle computes the whole-corpus index directly: merged
+        # df/postings must equal the one-pass build exactly
+        docs = _docs(spark, sf_dir)
+        even = A.inverted_index(docs.filter(F.col("doc_id") % 2 == 0))
+        odd = A.inverted_index(docs.filter(F.col("doc_id") % 2 == 1))
+        merged = A.inverted_index_merge(even, odd)
+        return merged.select(
+            "term",
+            "df",
+            F.array_join(
+                F.col("postings").cast("array<string>"), ","
+            ).alias("postings_csv"),
+        )
+
     def personalized_ppr(spark, sf_dir):
         # r5 session-5: seed-pinned teleport PageRank over the shared
         # affine graph, seeds = %97 (the crawl_depth seed set) — oracle
@@ -3182,6 +3199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_eval": simhash_eval,
         "recrawl_priority": recrawl_priority,
         "personalized_ppr": personalized_ppr,
+        "index_merge": index_merge,
         "events_retention": events_retention,
         "pmi_collocations": pmi_collocations,
         "triangle_count": triangle_count,
@@ -6593,6 +6611,17 @@ def oracle_sql() -> dict[str, str]:
                      JOIN d3 d ON d.node = e.src AND d.dist = 3)
                    GROUP BY node)
             SELECT node, dist FROM d4
+        """,
+        # segment-merge equivalence: the merged even/odd-half indexes must
+        # equal the one-pass whole-corpus index (doc-disjoint segments)
+        "index_merge": """
+            WITH dt AS (SELECT DISTINCT doc_id, tok FROM (
+                   SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                   FROM documents))
+            SELECT tok AS term, CAST(count(*) AS BIGINT) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings_csv
+            FROM dt GROUP BY tok
         """,
         # personalized PageRank: 2 unrolled integer rounds, teleport only
         # to the %97 seed set (p0 = 1e6 per seed, 0 elsewhere)

@@ -7531,3 +7531,38 @@ def personalized_pagerank(
             .localCheckpoint()
         )
     return pr.select("node", F.col("p").alias("rank_micro"))
+
+
+def inverted_index_merge(
+    idx_a: DataFrame,
+    idx_b: DataFrame,
+    max_postings: int | None = None,
+) -> DataFrame:
+    """Merge two inverted-index snapshots (term, df, postings[]) into one —
+    the incremental-maintenance primitive: index new crawl segments
+    separately (cheap, parallel, no touch of the existing index), then
+    merge posting lists segment-wise exactly like a Lucene segment merge.
+
+    Semantics: df adds (each side reports its own true document
+    frequency, so the merged df is the union count PROVIDED the segments
+    are doc-disjoint — the normal segment invariant; overlapping segments
+    would double-count and should be dedup'd upstream).  Postings concat
+    + sort ascending; max_postings truncates the ARRAY while df keeps the
+    true count (inverted_index's no-silent-caps contract).
+
+    Scale: one union + one map-side-combinable groupBy(term); the
+    flatten/sort is per-term row-local.  Posting-list skew is the same
+    data property inverted_index documents — cap with max_postings or
+    drop stopword terms (max_df) at build time."""
+    u = idx_a.select("term", "df", "postings").unionByName(
+        idx_b.select("term", "df", "postings")
+    )
+    merged = u.groupBy("term").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.array_sort(F.flatten(F.collect_list("postings"))).alias("postings"),
+    )
+    if max_postings is not None:
+        merged = merged.withColumn(
+            "postings", F.slice(F.col("postings"), 1, max_postings)
+        )
+    return merged

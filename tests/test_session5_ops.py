@@ -266,3 +266,37 @@ def test_personalized_ppr_duplicate_seed_rows(spark):
     b = {r.node: r.rank_micro for r in
          A.personalized_pagerank(edges, s2, iters=1).collect()}
     assert a == b
+
+
+# ------------------------------------------------------- index merge
+
+
+def test_index_merge_equals_one_pass_build(spark):
+    docs = _docs(
+        spark,
+        [(i, f"w{i % 3} w{i % 5} common") for i in range(20)],
+    )
+    from pyspark.sql import functions as F
+
+    full = {
+        (r.term, r.df, tuple(r.postings))
+        for r in A.inverted_index(docs).collect()
+    }
+    even = A.inverted_index(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = A.inverted_index(docs.filter(F.col("doc_id") % 2 == 1))
+    merged = {
+        (r.term, r.df, tuple(r.postings))
+        for r in A.inverted_index_merge(even, odd).collect()
+    }
+    assert merged == full
+
+
+def test_index_merge_truncates_postings_keeps_df(spark):
+    docs = _docs(spark, [(i, "common") for i in range(10)])
+    from pyspark.sql import functions as F
+
+    even = A.inverted_index(docs.filter(F.col("doc_id") % 2 == 0))
+    odd = A.inverted_index(docs.filter(F.col("doc_id") % 2 == 1))
+    r = A.inverted_index_merge(even, odd, max_postings=3).collect()[0]
+    assert r.df == 10                      # true frequency survives
+    assert list(r.postings) == [0, 1, 2]   # array truncated, sorted
