@@ -3151,6 +3151,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # makes the transition count deterministic on ts ties
         return A.recrawl_priority(_revisit_snaps(_docs(spark, sf_dir)))
 
+    def bpe_fertility(spark, sf_dir):
+        # r5 session-5: tokenizer fertility by language under the n=6
+        # trained merge table — subtokens-per-word milli ratio, ONE
+        # corpus pass (shared per-doc aggregate for both sums)
+        return A.bpe_fertility(_docs(spark, sf_dir), n_merges=6)
+
     def index_merge(spark, sf_dir):
         # r5 session-5: segment-merge semantic check — index the even and
         # odd doc halves SEPARATELY (doc-disjoint segments), merge, and
@@ -3200,6 +3206,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recrawl_priority": recrawl_priority,
         "personalized_ppr": personalized_ppr,
         "index_merge": index_merge,
+        "bpe_fertility": bpe_fertility,
         "events_retention": events_retention,
         "pmi_collocations": pmi_collocations,
         "triangle_count": triangle_count,
@@ -6611,6 +6618,25 @@ def oracle_sql() -> dict[str, str]:
                      JOIN d3 d ON d.node = e.src AND d.dist = 3)
                    GROUP BY node)
             SELECT node, dist FROM d4
+        """,
+        # tokenizer fertility: the bpe_token_counts CTE chain, both sums
+        # from one per-doc aggregate, per-lang integer milli ratio
+        "bpe_fertility": f"""
+            WITH {_bpe_ctes(6)},
+            pw AS (SELECT g,
+                          CAST(length(s) - length(replace(s, chr(31), ''))
+                               + 1 AS BIGINT) AS n_sub
+                   FROM w6),
+            pd AS (SELECT doc_id,
+                          CAST(sum(n_sub) AS BIGINT) AS nb,
+                          CAST(count(*) AS BIGINT) AS nw
+                   FROM tok JOIN pw USING (g) GROUP BY doc_id)
+            SELECT d.lang,
+                   CAST(sum(nb) AS BIGINT) AS n_tokens_bpe,
+                   CAST(sum(nw) AS BIGINT) AS n_words,
+                   CAST(sum(nb) * 1000 // sum(nw) AS BIGINT)
+                       AS fertility_milli
+            FROM pd JOIN documents d USING (doc_id) GROUP BY d.lang
         """,
         # segment-merge equivalence: the merged even/odd-half indexes must
         # equal the one-pass whole-corpus index (doc-disjoint segments)

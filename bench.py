@@ -176,9 +176,8 @@ BAND_MAX_S = {
     "simhash_eval": 14.0,
     "recrawl_priority": 2.5,
     "personalized_ppr": 8.0,  # warm 3.5/3.6 (2 checkpointed rounds)
-    # provisional: sized from inverted_index's 0.37 s warm × the two
-    # half-corpus builds + merge; re-measure in the next quiet window
-    "index_merge": 4.0,
+    "index_merge": 4.0,     # warm 1.41/1.42 (two half-builds + merge)
+    "bpe_fertility": 9.0,   # warm 3.97/4.33 (6-merge train + one pass)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -443,6 +442,7 @@ def main() -> None:
         "recrawl_priority": lambda: force(_entry_q("recrawl_priority")),
         "personalized_ppr": lambda: force(_entry_q("personalized_ppr")),
         "index_merge": lambda: force(_entry_q("index_merge")),
+        "bpe_fertility": lambda: force(_entry_q("bpe_fertility")),
     }
 
     def _entry_q(name):

@@ -7566,3 +7566,57 @@ def inverted_index_merge(
             "postings", F.slice(F.col("postings"), 1, max_postings)
         )
     return merged
+
+
+def bpe_fertility(
+    docs: DataFrame, n_merges: int = 6, *, force: bool = False
+) -> DataFrame:
+    """Tokenizer fertility data card: per language, BPE subtokens per
+    whitespace word (milli ratio) under the trained merge table — THE
+    number a multilingual-pretraining team checks before fixing a
+    tokenizer (high-fertility languages pay more sequence length per
+    word and get silently under-trained at a fixed token budget).
+
+    One corpus pass: the unigram stream joins the broadcast tokenized
+    vocab (bpe_token_counts' shape), and BOTH sums (subtokens, words)
+    come out of the same per-doc aggregate — then one tiny per-lang
+    roll-up.  fertility_milli = Σsubtokens * 1000 div Σwords, integer.
+    Shares bpe_merges' MAX_BPE_MERGES bound."""
+    if n_merges > MAX_BPE_MERGES and not force:
+        raise ValueError(
+            f"bpe_fertility refused: n_merges={n_merges} > "
+            f"MAX_BPE_MERGES={MAX_BPE_MERGES} (see bpe_merges), or pass "
+            "force=True to override."
+        )
+    _, words = _bpe_train(docs, n_merges)
+    per_word = words.select(
+        "g",
+        F.expr(
+            "cast(length(s) - length(replace(s, char(31), '')) + 1 as bigint)"
+        ).alias("n_sub"),
+    )
+    per_doc = (
+        _gram_stream(docs, 1)
+        .join(F.broadcast(per_word), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_sub").alias("nb"),
+            F.count(F.lit(1)).alias("nw"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.sum("nb").cast("long").alias("n_tokens_bpe"),
+            F.sum("nw").cast("long").alias("n_words"),
+        )
+        .select(
+            "lang",
+            "n_tokens_bpe",
+            "n_words",
+            F.expr("n_tokens_bpe * 1000 div n_words").alias(
+                "fertility_milli"
+            ),
+        )
+    )

@@ -300,3 +300,27 @@ def test_index_merge_truncates_postings_keeps_df(spark):
     r = A.inverted_index_merge(even, odd, max_postings=3).collect()[0]
     assert r.df == 10                      # true frequency survives
     assert list(r.postings) == [0, 1, 2]   # array truncated, sorted
+
+
+# ------------------------------------------------------ BPE fertility
+
+
+def test_bpe_fertility_counts(spark):
+    # 2 langs, trained on the combined corpus; fertility must be the
+    # exact integer ratio of subtokens to words per lang
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa", "x"), (1, "aa aa", "x"), (2, "cc dd", "y")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: (r.n_tokens_bpe, r.n_words, r.fertility_milli)
+           for r in A.bpe_fertility(docs, n_merges=2).collect()}
+    assert set(out) == {"x", "y"}
+    for lang, (nb, nw, fm) in out.items():
+        assert nb >= nw  # a word is at least one token
+        assert fm == nb * 1000 // nw
+
+
+def test_bpe_fertility_refuses_oversize_merges(spark):
+    docs = _docs(spark, [(0, "a b")])
+    with pytest.raises(ValueError, match="bpe_fertility refused"):
+        A.bpe_fertility(docs, n_merges=A.MAX_BPE_MERGES + 1)
