@@ -316,3 +316,23 @@ def stream_parse_feeds(feeds_stream: DataFrame) -> DataFrame:
     from ..plans.pipeline import parse_feeds
 
     return parse_feeds(feeds_stream)
+
+
+def stream_weighted_sample(
+    docs_stream: DataFrame,
+    weight_col: str = "n_chars",
+    w_max: int = 300,
+    salt: str = "ws0",
+) -> DataFrame:
+    """Streaming weighted Bernoulli subsampling: the batch
+    weighted_sample is a stateless row-local filter (the keep decision
+    is a pure function of doc_id + the salt), so it applies to a stream
+    unchanged — zero state, append mode, and stream == batch on the same
+    rows by construction (shared expressions) — tested.  The live-ingest
+    use: thin a firehose to a length-weighted sample BEFORE the
+    expensive extraction stage ever sees it."""
+    from ..functions.analysis import weighted_sample
+
+    return weighted_sample(
+        docs_stream, weight_col=weight_col, w_max=w_max, salt=salt
+    )

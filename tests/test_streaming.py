@@ -519,3 +519,37 @@ def test_stream_parse_feeds_matches_batch(spark, tmp_path):
     }
     want = {tuple(r) for r in parse_feeds(batch).collect()}
     assert got == want and len(want) == 12
+
+
+def test_stream_weighted_sample_matches_batch(spark, tmp_path):
+    """r5 s5: the sampling decision is a pure row-local function, so the
+    streaming twin (append mode, zero state) must keep EXACTLY the batch
+    sample on the same rows."""
+    from contentextractor_spark.functions import analysis as A
+    from contentextractor_spark.streaming.stream import stream_weighted_sample
+
+    docs = spark.createDataFrame(
+        [(i, (i * 37) % 400) for i in range(300)],
+        "doc_id bigint, n_chars bigint",
+    )
+    in_dir = str(tmp_path / "wsdocs")
+    docs.repartition(3).write.parquet(in_dir)
+    batch = spark.read.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_weighted_sample(stream)
+        .writeStream.format("memory")
+        .queryName("ws_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "weighted-sample stream did not finish"
+    got = {(r.doc_id, r.w)
+           for r in spark.sql("SELECT * FROM ws_stream").collect()}
+    want = {(r.doc_id, r.w) for r in A.weighted_sample(batch).collect()}
+    assert got == want and 0 < len(want) < 300
