@@ -7125,17 +7125,24 @@ def bpe_token_counts(
             "force=True to override."
         )
     _, words = _bpe_train(docs, n_merges)
-    per_word = words.select(
+    return (
+        _gram_stream(docs, 1)
+        .join(F.broadcast(_bpe_per_word(words)), "g")
+        .groupBy("doc_id")
+        .agg(F.sum("n_sub").alias("n_tokens_bpe"))
+    )
+
+
+def _bpe_per_word(words: DataFrame) -> DataFrame:
+    """(g, n_sub): per-word subtoken count under the trained vocab — the
+    chr(31)-separator count, ONE definition shared by bpe_token_counts
+    and bpe_fertility (the parameterize-never-copy rule; a separator
+    change must not drift between the two consumers)."""
+    return words.select(
         "g",
         F.expr(
             "cast(length(s) - length(replace(s, char(31), '')) + 1 as bigint)"
         ).alias("n_sub"),
-    )
-    return (
-        _gram_stream(docs, 1)
-        .join(F.broadcast(per_word), "g")
-        .groupBy("doc_id")
-        .agg(F.sum("n_sub").alias("n_tokens_bpe"))
     )
 
 
@@ -7216,10 +7223,13 @@ def bfs_levels(
         .select("node", F.lit(0).cast("long").alias("dist"))
         .localCheckpoint()
     )
+    # materialize edges ONCE — the pagerank lesson: each round's checkpoint
+    # job would otherwise re-execute the lazy edges subtree (for an
+    # extract_links-fed graph, the full DOM parse) max_depth times
     edges = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    )
+    ).localCheckpoint()
     for r in range(1, max_depth + 1):
         frontier = dist.filter(F.col("dist") == r - 1).select(
             F.col("node").alias("src")
@@ -7242,6 +7252,7 @@ def weighted_sample(
     weight_col: str = "n_chars",
     w_max: int = 300,
     salt: str = "ws0",
+    project: bool = True,
 ) -> DataFrame:
     """Deterministic weighted Bernoulli sample: keep each doc with
     probability min(w, w_max) / w_max, decided by a salted md5 hash of the
@@ -7257,7 +7268,12 @@ def weighted_sample(
     convention).
 
     Scale: stateless row-local projection + filter — no shuffle at all;
-    the filter sits directly on the scan."""
+    the filter sits directly on the scan.
+
+    project (review finding): True returns the narrow (doc_id, w) audit
+    shape the driver oracle hashes; False keeps EVERY input column (plus
+    w) so a pipeline can thin a firehose and still feed the payload
+    (text/html/url) to the next stage without joining back."""
     hv = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string"))),
@@ -7268,11 +7284,10 @@ def weighted_sample(
         10,
     ).cast("long")
     w = F.least(F.col(weight_col).cast("long"), F.lit(w_max))
-    return (
-        docs.select("doc_id", w.alias("w"), hv.alias("__hv"))
-        .filter(F.col("__hv") * w_max < F.col("w") * F.lit(4294967296))
-        .select("doc_id", "w")
+    kept = docs.withColumn("w", w).filter(
+        hv * w_max < F.col("w") * F.lit(4294967296)
     )
+    return kept.select("doc_id", "w") if project else kept
 
 
 def embedding_lsh_eval(
@@ -7492,19 +7507,19 @@ def personalized_pagerank(
     ).localCheckpoint()
     teleport = (100 - damping_pct) * 10_000
     sd = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+    # carry the seed FLAG, not the teleport value: deriving the flag back
+    # from tele would divide by zero at damping_pct=100 (review finding —
+    # teleport is 0 there, and pagerank() itself supports 100)
     base = (
         nodes.join(sd.withColumn("__s", F.lit(1)), "node", "left")
         .select(
             "node",
-            (F.coalesce(F.col("__s"), F.lit(0)) * teleport)
-            .cast("long")
-            .alias("tele"),
+            F.coalesce(F.col("__s"), F.lit(0)).cast("long").alias("__s"),
         )
         .localCheckpoint()
     )
     pr = base.select(
-        "node",
-        F.expr(f"(tele div {teleport}) * 1000000").cast("long").alias("p"),
+        "node", (F.col("__s") * 1_000_000).cast("long").alias("p")
     )
     for _ in range(iters):
         contrib = (
@@ -7522,7 +7537,7 @@ def personalized_pagerank(
             .select(
                 "node",
                 (
-                    F.col("tele")
+                    F.col("__s") * teleport
                     + F.expr(
                         f"(coalesce(in_mass, 0L) * {damping_pct}) div 100"
                     )
@@ -7589,15 +7604,9 @@ def bpe_fertility(
             "force=True to override."
         )
     _, words = _bpe_train(docs, n_merges)
-    per_word = words.select(
-        "g",
-        F.expr(
-            "cast(length(s) - length(replace(s, char(31), '')) + 1 as bigint)"
-        ).alias("n_sub"),
-    )
     per_doc = (
         _gram_stream(docs, 1)
-        .join(F.broadcast(per_word), "g")
+        .join(F.broadcast(_bpe_per_word(words)), "g")
         .groupBy("doc_id")
         .agg(
             F.sum("n_sub").alias("nb"),

@@ -330,9 +330,16 @@ def stream_weighted_sample(
     unchanged — zero state, append mode, and stream == batch on the same
     rows by construction (shared expressions) — tested.  The live-ingest
     use: thin a firehose to a length-weighted sample BEFORE the
-    expensive extraction stage ever sees it."""
+    expensive extraction stage ever sees it — which is why this twin
+    passes project=False: the payload columns (text/html/url) survive
+    the filter, so the next stage consumes them directly instead of
+    joining back against the source (review finding)."""
     from ..functions.analysis import weighted_sample
 
     return weighted_sample(
-        docs_stream, weight_col=weight_col, w_max=w_max, salt=salt
+        docs_stream,
+        weight_col=weight_col,
+        w_max=w_max,
+        salt=salt,
+        project=False,
     )

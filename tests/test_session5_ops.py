@@ -256,6 +256,19 @@ def test_personalized_ppr_no_teleport_to_nonseeds(spark):
     assert out[6] > 0
 
 
+def test_personalized_ppr_damping_100_no_divzero(spark):
+    # review finding: deriving the seed flag back from tele divided by
+    # zero at damping_pct=100 (teleport term is 0 there); the flag is
+    # now carried explicitly — pure-damping PPR must run and conserve
+    # only propagated mass
+    edges = _edges(spark, [(0, 1)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r.node: r.rank_micro for r in
+           A.personalized_pagerank(edges, seeds, iters=1,
+                                   damping_pct=100).collect()}
+    assert out == {0: 0, 1: 1_000_000}
+
+
 def test_personalized_ppr_duplicate_seed_rows(spark):
     # duplicated seed rows must not double the teleport mass
     edges = _edges(spark, [(0, 1)])

@@ -549,7 +549,10 @@ def test_stream_weighted_sample_matches_batch(spark, tmp_path):
         .start()
     )
     assert q.awaitTermination(120), "weighted-sample stream did not finish"
-    got = {(r.doc_id, r.w)
-           for r in spark.sql("SELECT * FROM ws_stream").collect()}
+    rows = spark.sql("SELECT * FROM ws_stream").collect()
+    # the twin keeps payload columns (project=False) so the next stage
+    # can consume the sampled rows without joining back to the source
+    assert set(rows[0].asDict()) == {"doc_id", "n_chars", "w"}
+    got = {(r.doc_id, r.w) for r in rows}
     want = {(r.doc_id, r.w) for r in A.weighted_sample(batch).collect()}
     assert got == want and 0 < len(want) < 300
