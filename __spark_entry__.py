@@ -3151,6 +3151,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # makes the transition count deterministic on ts ties
         return A.recrawl_priority(_revisit_snaps(_docs(spark, sf_dir)))
 
+    def positional_index(spark, sf_dir):
+        # r5 session-5: the index structure behind phrase_search — per
+        # (term, doc) ascending position lists + true-df stamp, min_df=2
+        # pruning ACTIVE; positions flattened to CSV for the driver (the
+        # r3 array-column lesson)
+        idx = A.positional_index(_docs(spark, sf_dir), min_df=2)
+        return idx.select(
+            "term",
+            "doc_id",
+            "df",
+            F.array_join(
+                F.col("positions").cast("array<string>"), ","
+            ).alias("positions_csv"),
+        )
+
     def bpe_fertility(spark, sf_dir):
         # r5 session-5: tokenizer fertility by language under the n=6
         # trained merge table — subtokens-per-word milli ratio, ONE
@@ -3207,6 +3222,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_ppr": personalized_ppr,
         "index_merge": index_merge,
         "bpe_fertility": bpe_fertility,
+        "positional_index": positional_index,
         "events_retention": events_retention,
         "pmi_collocations": pmi_collocations,
         "triangle_count": triangle_count,
@@ -6618,6 +6634,24 @@ def oracle_sql() -> dict[str, str]:
                      JOIN d3 d ON d.node = e.src AND d.dist = 3)
                    GROUP BY node)
             SELECT node, dist FROM d4
+        """,
+        # positional index: per-(term, doc) ascending position CSV +
+        # true-df window stamp, min_df=2 filter AFTER the stamp
+        "positional_index": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS term,
+                               generate_subscripts(string_split(text, ' '), 1)
+                                   - 1 AS pos
+                        FROM documents),
+            pd AS (SELECT term, doc_id,
+                          string_agg(CAST(pos AS VARCHAR), ','
+                                     ORDER BY pos) AS positions_csv
+                   FROM tk GROUP BY term, doc_id),
+            st AS (SELECT term, doc_id, positions_csv,
+                          CAST(count(*) OVER (PARTITION BY term) AS BIGINT)
+                              AS df
+                   FROM pd)
+            SELECT term, doc_id, df, positions_csv FROM st WHERE df >= 2
         """,
         # tokenizer fertility: the bpe_token_counts CTE chain, both sums
         # from one per-doc aggregate, per-lang integer milli ratio

@@ -178,6 +178,7 @@ BAND_MAX_S = {
     "personalized_ppr": 8.0,  # warm 3.5/3.6 (2 checkpointed rounds)
     "index_merge": 4.0,     # warm 1.41/1.42 (two half-builds + merge)
     "bpe_fertility": 9.0,   # warm 3.97/4.33 (6-merge train + one pass)
+    "positional_index": 5.0,  # warm 1.95/2.16 (posexplode + term window)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -443,6 +444,7 @@ def main() -> None:
         "personalized_ppr": lambda: force(_entry_q("personalized_ppr")),
         "index_merge": lambda: force(_entry_q("index_merge")),
         "bpe_fertility": lambda: force(_entry_q("bpe_fertility")),
+        "positional_index": lambda: force(_entry_q("positional_index")),
     }
 
     def _entry_q(name):

@@ -7629,3 +7629,40 @@ def bpe_fertility(
             ),
         )
     )
+
+
+def positional_index(
+    docs: DataFrame,
+    min_df: int = 1,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Positional inverted index: term → (df, postings of (doc, pos...))
+    — the index structure behind phrase_search, materialized the way a
+    posting-file writer would persist it (inverted_index stores doc ids
+    only; phrase and proximity queries need positions).  One row per
+    (term, doc_id) with the ascending position list; df stamped per term
+    is the TRUE document frequency (the no-silent-caps contract), so
+    min_df/max_df pruning is visible, never silent.
+
+    Scale: one posexplode + one map-side-combinable groupBy(term, doc)
+    for the position lists, then a term-window df stamp — the exchange
+    is on term exactly like inverted_index, and position lists are
+    per-(term, doc) (bounded by doc length), so term skew costs rows,
+    not row width.  Prune stopwords with max_df before shipping to a
+    posting store."""
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "term"),
+    )
+    per_doc = tok.groupBy("term", "doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("positions")
+    )
+    w = Window.partitionBy("term")
+    out = per_doc.withColumn(
+        "df", F.count(F.lit(1)).over(w).cast("long")
+    )
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("df") <= max_df)
+    return out.select("term", "doc_id", "df", "positions")

@@ -177,6 +177,20 @@ def main():
         "pairs": A.co_citation_pairs(
             _soak_edges(), max_out=4, min_count=1).count()}))
 
+    # family 5 (r5 s5): frontier BFS + personalized PPR at 200k nodes —
+    # per-round join/groupBy shape under test (4 BFS rounds, 2 PPR
+    # rounds); seeds = %97 (~2k nodes), reached count disclosed
+    def _seeds():
+        return docs.select(F.col("doc_id").alias("node")).filter(
+            F.col("node") % 97 == 0
+        )
+
+    rows.append(timed("bfs_levels_d4_200k", lambda: {
+        "reached": A.bfs_levels(_soak_edges(), _seeds(),
+                                max_depth=4).count()}))
+    rows.append(timed("personalized_ppr_i2_200k", lambda: (
+        noop(A.personalized_pagerank(_soak_edges(), _seeds(), iters=2)))))
+
     # extraction at 200k pages (sf1): steady-state docs/s
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)).rsplit(
         "/scripts", 1)[0])

@@ -337,3 +337,23 @@ def test_bpe_fertility_refuses_oversize_merges(spark):
     docs = _docs(spark, [(0, "a b")])
     with pytest.raises(ValueError, match="bpe_fertility refused"):
         A.bpe_fertility(docs, n_merges=A.MAX_BPE_MERGES + 1)
+
+
+# ---------------------------------------------------- positional index
+
+
+def test_positional_index_positions_and_df(spark):
+    docs = _docs(spark, [(0, "a b a"), (1, "b b"), (2, "c")])
+    rows = {(r.term, r.doc_id): (r.df, list(r.positions))
+            for r in A.positional_index(docs).collect()}
+    assert rows[("a", 0)] == (1, [0, 2])
+    assert rows[("b", 0)] == (2, [1])
+    assert rows[("b", 1)] == (2, [0, 1])
+    assert rows[("c", 2)] == (1, [0])
+
+
+def test_positional_index_min_df_keeps_true_df(spark):
+    docs = _docs(spark, [(0, "a b"), (1, "b")])
+    rows = A.positional_index(docs, min_df=2).collect()
+    assert {r.term for r in rows} == {"b"}
+    assert all(r.df == 2 for r in rows)  # true df survives the filter
