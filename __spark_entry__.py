@@ -3151,6 +3151,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # makes the transition count deterministic on ts ties
         return A.recrawl_priority(_revisit_snaps(_docs(spark, sf_dir)))
 
+    def proximity_search(spark, sf_dir):
+        # r5 session-5: NEAR/3 over the documents vocab — unordered
+        # within-window co-occurrence, pruned postings join
+        return A.proximity_search(
+            _docs(spark, sf_dir), "table", "scan", window=3
+        )
+
     def positional_index(spark, sf_dir):
         # r5 session-5: the index structure behind phrase_search — per
         # (term, doc) ascending position lists + true-df stamp, min_df=2
@@ -3223,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_merge": index_merge,
         "bpe_fertility": bpe_fertility,
         "positional_index": positional_index,
+        "proximity_search": proximity_search,
         "events_retention": events_retention,
         "pmi_collocations": pmi_collocations,
         "triangle_count": triangle_count,
@@ -6634,6 +6642,22 @@ def oracle_sql() -> dict[str, str]:
                      JOIN d3 d ON d.node = e.src AND d.dist = 3)
                    GROUP BY node)
             SELECT node, dist FROM d4
+        """,
+        # NEAR/3 proximity: pruned posting-pair join, |pa - pb| <= 3
+        "proximity_search": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok,
+                               generate_subscripts(string_split(text, ' '), 1)
+                                   - 1 AS pos
+                        FROM documents),
+            pa AS (SELECT doc_id, pos AS p FROM tk WHERE tok = 'table'),
+            pb AS (SELECT doc_id, pos AS p FROM tk WHERE tok = 'scan'),
+            g AS (SELECT pa.doc_id, abs(pa.p - pb.p) AS gap
+                  FROM pa JOIN pb ON pa.doc_id = pb.doc_id
+                  WHERE abs(pa.p - pb.p) <= 3)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(min(gap) AS BIGINT) AS min_gap
+            FROM g GROUP BY doc_id
         """,
         # positional index: per-(term, doc) ascending position CSV +
         # true-df window stamp, min_df=2 filter AFTER the stamp

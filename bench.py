@@ -179,6 +179,7 @@ BAND_MAX_S = {
     "index_merge": 4.0,     # warm 1.41/1.42 (two half-builds + merge)
     "bpe_fertility": 9.0,   # warm 3.97/4.33 (6-merge train + one pass)
     "positional_index": 5.0,  # warm 1.95/2.16 (posexplode + term window)
+    "proximity_search": 3.0,  # warm 1.14/1.25 (pruned posting-pair join)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -445,6 +446,7 @@ def main() -> None:
         "index_merge": lambda: force(_entry_q("index_merge")),
         "bpe_fertility": lambda: force(_entry_q("bpe_fertility")),
         "positional_index": lambda: force(_entry_q("positional_index")),
+        "proximity_search": lambda: force(_entry_q("proximity_search")),
     }
 
     def _entry_q(name):

@@ -7666,3 +7666,47 @@ def positional_index(
     if max_df is not None:
         out = out.filter(F.col("df") <= max_df)
     return out.select("term", "doc_id", "df", "positions")
+
+
+def proximity_search(
+    docs: DataFrame, term_a: str, term_b: str, window: int = 3
+) -> DataFrame:
+    """Proximity query: docs where term_a and term_b occur within
+    `window` token positions of each other (unordered — the NEAR/k
+    operator next to phrase_search's exact-adjacency match).  Returns
+    (doc_id, n_pairs, min_gap): every qualifying position pair counted,
+    plus the tightest gap for ranking.
+
+    Scale: both posting streams are pruned to the two query terms BEFORE
+    any shuffle (the term_search rule), so the per-doc join is
+    occ_a × occ_b — bounded by term frequency within one document, never
+    corpus-sized.  One equi-join on doc_id + one map-side-combinable
+    groupBy."""
+    if term_a == term_b:
+        raise ValueError(
+            "proximity_search needs two distinct terms — for repeats of "
+            "one term use phrase_search or positional_index directly"
+        )
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+    )
+    pa = tok.filter(F.col("tok") == term_a).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    pb = tok.filter(F.col("tok") == term_b).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    gap = F.abs(F.col("pa") - F.col("pb"))
+    return (
+        pa.join(pb, "doc_id")
+        .filter(gap <= window)
+        .select("doc_id", gap.alias("gap"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("gap").cast("long").alias("min_gap"),
+        )
+    )

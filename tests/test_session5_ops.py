@@ -357,3 +357,28 @@ def test_positional_index_min_df_keeps_true_df(spark):
     rows = A.positional_index(docs, min_df=2).collect()
     assert {r.term for r in rows} == {"b"}
     assert all(r.df == 2 for r in rows)  # true df survives the filter
+
+
+# ---------------------------------------------------- proximity search
+
+
+def test_proximity_counts_pairs_and_min_gap(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "a x b x x a"),   # pairs within 3: (0,2) gap2, (2,5) gap3
+            (1, "a x x x b"),     # gap 4 > 3: no hit
+            (2, "b a"),           # gap 1
+        ],
+    )
+    out = {r.doc_id: (r.n_pairs, r.min_gap)
+           for r in A.proximity_search(docs, "a", "b", window=3).collect()}
+    assert out == {0: (2, 2), 2: (1, 1)}
+
+
+def test_proximity_rejects_same_term_and_bad_window(spark):
+    docs = _docs(spark, [(0, "a a")])
+    with pytest.raises(ValueError, match="distinct terms"):
+        A.proximity_search(docs, "a", "a")
+    with pytest.raises(ValueError, match="window"):
+        A.proximity_search(docs, "a", "b", window=0)
