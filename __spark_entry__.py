@@ -3151,6 +3151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # makes the transition count deterministic on ts ties
         return A.recrawl_priority(_revisit_snaps(_docs(spark, sf_dir)))
 
+    def search_snippets(spark, sf_dir):
+        # r5 session-5: ±3-token display window around the first 'query'
+        # hit — the retrieval chain's last stage, row-local slice
+        return A.search_snippets(_docs(spark, sf_dir), "query", window=3)
+
     def proximity_search(spark, sf_dir):
         # r5 session-5: NEAR/3 over the documents vocab — unordered
         # within-window co-occurrence, pruned postings join
@@ -3231,6 +3236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_fertility": bpe_fertility,
         "positional_index": positional_index,
         "proximity_search": proximity_search,
+        "search_snippets": search_snippets,
         "events_retention": events_retention,
         "pmi_collocations": pmi_collocations,
         "triangle_count": triangle_count,
@@ -6642,6 +6648,25 @@ def oracle_sql() -> dict[str, str]:
                      JOIN d3 d ON d.node = e.src AND d.dist = 3)
                    GROUP BY node)
             SELECT node, dist FROM d4
+        """,
+        # ±3-token snippet around the FIRST 'query' hit; list_slice is
+        # 1-based END-inclusive (the host_anchor_terms convention) and
+        # clamps the tail like F.slice
+        "search_snippets": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok,
+                               generate_subscripts(string_split(text, ' '), 1)
+                                   - 1 AS pos
+                        FROM documents),
+            fh AS (SELECT doc_id, CAST(min(pos) AS BIGINT) AS first_pos
+                   FROM tk WHERE tok = 'query' GROUP BY doc_id)
+            SELECT d.doc_id, fh.first_pos,
+                   array_to_string(
+                     list_slice(string_split(d.text, ' '),
+                                greatest(0, first_pos - 3) + 1,
+                                first_pos + 4),
+                     ' ') AS snippet
+            FROM documents d JOIN fh ON fh.doc_id = d.doc_id
         """,
         # NEAR/3 proximity: pruned posting-pair join, |pa - pb| <= 3
         "proximity_search": """

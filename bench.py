@@ -180,6 +180,7 @@ BAND_MAX_S = {
     "bpe_fertility": 9.0,   # warm 3.97/4.33 (6-merge train + one pass)
     "positional_index": 5.0,  # warm 1.95/2.16 (posexplode + term window)
     "proximity_search": 3.0,  # warm 1.14/1.25 (pruned posting-pair join)
+    "search_snippets": 3.0,   # warm 1.08/1.11 (first-hit join + slice)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -447,6 +448,7 @@ def main() -> None:
         "bpe_fertility": lambda: force(_entry_q("bpe_fertility")),
         "positional_index": lambda: force(_entry_q("positional_index")),
         "proximity_search": lambda: force(_entry_q("proximity_search")),
+        "search_snippets": lambda: force(_entry_q("search_snippets")),
     }
 
     def _entry_q(name):

@@ -7710,3 +7710,51 @@ def proximity_search(
             F.min("gap").cast("long").alias("min_gap"),
         )
     )
+
+
+def search_snippets(
+    docs: DataFrame, term: str, window: int = 3
+) -> DataFrame:
+    """Search-result snippets: for every doc containing `term`, the
+    ±window-token context around the FIRST occurrence, joined back into
+    a display string — the last stage of the retrieval chain (index →
+    search → rank → display), emitted engine-side so a result page never
+    ships whole documents.
+
+    (doc_id, first_pos, snippet): snippet = tokens
+    [max(0, first_pos - window), first_pos + window], space-joined.
+
+    Scale: the first-hit table is the pruned-explode + groupBy(min)
+    shape (term_search's bound: the exchange carries only hit rows);
+    the join back to docs is on doc_id, and the slice is row-local over
+    the doc's own token array — no corpus-wide window, no second
+    explode."""
+    if not term:
+        raise ValueError("search_snippets needs a non-empty term")
+    hits = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split("text", " ")).alias("pos", "tok"),
+        )
+        .filter(F.col("tok") == term)
+        .groupBy("doc_id")
+        .agg(F.min("pos").cast("long").alias("first_pos"))
+    )
+    # slice() is 1-based and clamps the tail; clamp the head ourselves
+    start = F.greatest(F.lit(0), F.col("first_pos") - window) + 1
+    length = F.col("first_pos") + window + 1 - (start - 1)
+    return (
+        docs.join(hits, "doc_id")
+        .select(
+            "doc_id",
+            "first_pos",
+            F.array_join(
+                F.slice(
+                    F.split("text", " "),
+                    start.cast("int"),
+                    length.cast("int"),
+                ),
+                " ",
+            ).alias("snippet"),
+        )
+    )

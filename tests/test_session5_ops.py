@@ -382,3 +382,31 @@ def test_proximity_rejects_same_term_and_bad_window(spark):
         A.proximity_search(docs, "a", "a")
     with pytest.raises(ValueError, match="window"):
         A.proximity_search(docs, "a", "b", window=0)
+
+
+# ------------------------------------------------------------ snippets
+
+
+def test_search_snippets_window_and_clamp(spark):
+    docs = _docs(
+        spark,
+        [
+            (0, "a b c q d e f"),   # hit at 3: snippet = full ±3 window
+            (1, "q x y z w v u"),   # hit at 0: head clamps to start
+            (2, "a b q"),           # hit at 2: tail clamps to end
+            (3, "no hit here"),     # absent from output
+        ],
+    )
+    out = {r.doc_id: (r.first_pos, r.snippet)
+           for r in A.search_snippets(docs, "q", window=3).collect()}
+    assert out == {
+        0: (3, "a b c q d e f"),
+        1: (0, "q x y z"),
+        2: (2, "a b q"),
+    }
+
+
+def test_search_snippets_first_hit_only(spark):
+    docs = _docs(spark, [(0, "q a a a a q b")])
+    out = A.search_snippets(docs, "q", window=1).collect()[0]
+    assert (out.first_pos, out.snippet) == (0, "q a")
