@@ -3213,6 +3213,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             pagerank_edges_sql(docs), seeds, iters=2
         )
 
+    def compaction_plan(spark, sf_dir):
+        # r5 session-6: small-file compaction bins per table partition
+        # (source) at target 2000 bytes — cumulative-prefix cut over the
+        # (size DESC, id) order, one partition-keyed window
+        files = _docs(spark, sf_dir).select(
+            F.col("source").alias("part"),
+            F.col("doc_id").alias("file_id"),
+            F.col("n_chars").alias("size"),
+        )
+        return A.compaction_plan(files, target=2000)
+
+    def rendezvous_shards(spark, sf_dir):
+        # r5 session-6: HRW consistent placement over 8 shards + the
+        # removal-stability columns (shard_after with shard 7 removed;
+        # moved must equal [shard == 7] — unit-asserted)
+        return A.rendezvous_shards(_docs(spark, sf_dir), n_shards=8)
+
+    def postings_gap_stats(spark, sf_dir):
+        # r5 session-6: delta-encoded posting-list sizing (gap bitlength
+        # + v-byte bytes) per term, min_df=2 pruning active
+        return A.postings_gap_stats(_docs(spark, sf_dir), min_df=2)
+
+    def domain_quality_prior(spark, sf_dir):
+        # r5 session-6: per-source empirical-Bayes quality prior (k=20
+        # pseudo-counts toward the corpus alpha-ratio mean), all integer
+        return A.domain_quality_prior(_docs(spark, sf_dir), k=20)
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3225,6 +3252,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "compaction_plan": compaction_plan,
+        "rendezvous_shards": rendezvous_shards,
+        "postings_gap_stats": postings_gap_stats,
+        "domain_quality_prior": domain_quality_prior,
         "phrase_search": phrase_search,
         "crawl_depth": crawl_depth,
         "weighted_sample": weighted_sample,
@@ -6770,6 +6801,81 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS p
                    FROM nodes LEFT JOIN c2 ON c2.node = nodes.node)
             SELECT node, p AS rank_micro FROM p2
+        """,
+        # compaction bins: cumulative-prefix cut over (size DESC, id)
+        # within each source partition; Spark div == DuckDB // here
+        # (non-negative operands)
+        "compaction_plan": """
+            WITH f AS (SELECT source AS part, doc_id AS file_id,
+                              CAST(n_chars AS BIGINT) AS size
+                       FROM documents),
+            c AS (SELECT part, file_id, size,
+                         sum(size) OVER (PARTITION BY part
+                                         ORDER BY size DESC, file_id
+                                         ROWS UNBOUNDED PRECEDING) - size
+                             AS before_sz
+                  FROM f)
+            SELECT part, file_id, size,
+                   CAST(before_sz // 2000 AS BIGINT) AS bin
+            FROM c
+        """,
+        # HRW placement: integer weights from the first 14 hex digits of
+        # md5(id:shard) (_hex_int_sql), packed argmax weight*16+(15-s);
+        # shard_after recomputes with shard 7 removed
+        "rendezvous_shards": f"""
+            WITH s AS (SELECT unnest([0,1,2,3,4,5,6,7]) AS s),
+            w AS (SELECT d.doc_id, s.s,
+                         {_hex_int_sql(
+                             "md5(CAST(d.doc_id AS VARCHAR) || ':' || "
+                             "CAST(s.s AS VARCHAR))", 1, 14)}
+                             * 16 + (15 - s.s) AS packed
+                  FROM documents d CROSS JOIN s),
+            a AS (SELECT doc_id, max(packed) AS f,
+                         max(CASE WHEN s <> 7 THEN packed END) AS r
+                  FROM w GROUP BY doc_id)
+            SELECT doc_id, CAST(15 - f % 16 AS BIGINT) AS shard,
+                   CAST(15 - r % 16 AS BIGINT) AS shard_after,
+                   CAST(CASE WHEN 15 - f % 16 <> 15 - r % 16
+                        THEN 1 ELSE 0 END AS BIGINT) AS moved
+            FROM a
+        """,
+        # posting-gap sizing: first gap = doc_id + 1 (the -1 sentinel),
+        # bitlen via format('{:b}') ≡ Spark length(conv(g, 10, 2))
+        "postings_gap_stats": """
+            WITH dt AS (SELECT DISTINCT doc_id,
+                               unnest(string_split(text, ' ')) AS term
+                        FROM documents),
+            g AS (SELECT term,
+                         doc_id - lag(doc_id, 1, -1)
+                             OVER (PARTITION BY term ORDER BY doc_id)
+                             AS gap
+                  FROM dt),
+            p AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+                         CAST(sum(length(format('{:b}', gap)))
+                              AS BIGINT) AS bits_delta,
+                         CAST(sum((length(format('{:b}', gap)) + 6) // 7)
+                              AS BIGINT) AS bytes_vbyte
+                  FROM g GROUP BY term)
+            SELECT * FROM p WHERE df >= 2
+        """,
+        # shrinkage prior: q = alpha-permille per doc, corpus mean as a
+        # one-row cross join, k=20 pseudo-counts — all integer division
+        "domain_quality_prior": """
+            WITH q AS (SELECT source,
+                              CAST(length(regexp_replace(
+                                       text, '[^a-zA-Z]', '', 'g'))
+                                   AS BIGINT) * 1000
+                                  // (length(text) + 1) AS q
+                       FROM documents),
+            gm AS (SELECT sum(q) * 1000 // count(*) AS gm_micro FROM q),
+            p AS (SELECT source, CAST(sum(q) AS BIGINT) AS sq,
+                         CAST(count(*) AS BIGINT) AS n_docs
+                  FROM q GROUP BY source)
+            SELECT source, n_docs,
+                   CAST(sq * 1000 // n_docs AS BIGINT) AS mean_micro,
+                   CAST((sq * 1000 + 20 * gm.gm_micro) // (n_docs + 20)
+                        AS BIGINT) AS prior_micro
+            FROM p CROSS JOIN gm
         """,
         # simhash calibration: capped producer vs the pigeonhole-complete
         # uncapped truth (shared sbands CTE, same hamming<=3 rescore)

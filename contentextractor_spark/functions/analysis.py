@@ -7758,3 +7758,208 @@ def search_snippets(
             ).alias("snippet"),
         )
     )
+
+
+def compaction_plan(
+    files: DataFrame,
+    target: int,
+    part_col: str = "part",
+    size_col: str = "size",
+    id_col: str = "file_id",
+) -> DataFrame:
+    """Small-file compaction planner: per table partition, group files
+    into rewrite bins of ~`target` bytes — the maintenance job every
+    100 TB lake runs nightly (Iceberg's binPack rewrite shape), planned
+    engine-side so the scheduler never lists files on the driver.
+
+    Bin rule: order files (size DESC, id ASC) within their partition and
+    cut on the cumulative prefix — bin = cumsum_before div target.  Bins
+    are contiguous runs of that order; bin b holds exactly the files
+    whose preceding cumulative size lies in [b*target, (b+1)*target), so
+    every bin's total is >= target minus the overhang it inherits (only
+    the partition's LAST bin can be small), and any single file >=
+    target lands alone or leading its own bin.  Deterministic: the
+    (size DESC, id) order has no ties.
+
+    Scale: ONE window partitioned by the table-partition key — parallel
+    across partitions, which is exactly how real compaction planners
+    shard the problem; within one partition the file list is bounded by
+    compaction cadence (you compact before it grows unbounded), so the
+    per-partition sort is small.  No global sort, no driver collect."""
+    if target < 1:
+        raise ValueError("target must be >= 1")
+    sz = F.col(size_col).cast("long")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(F.col(size_col).desc(), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # integer `div`, never double `/`: cum grows with partition bytes and
+    # double division is only exact below 2^53 (the winnowing decode rule)
+    return (
+        files.select(
+            F.col(part_col),
+            F.col(id_col),
+            sz.alias("size"),
+            (F.sum(sz).over(w) - sz).alias("_before"),
+        )
+        .select(
+            part_col,
+            id_col,
+            "size",
+            F.expr(f"_before div {int(target)}").alias("bin"),
+        )
+    )
+
+
+def rendezvous_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    removed: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment + the
+    stability proof: shard(d) = argmax_s weight(d, s) with
+    weight = first-14-hex-digits of md5(id || ':' || s) — the consistent
+    placement scheme whose defining property is that REMOVING a shard
+    relocates only that shard's own keys (no cascade), unlike mod-N.
+    Returns (id, shard, shard_after, moved): shard_after recomputed with
+    `removed` (default: the last shard) taken out of the candidate set,
+    moved = 1 iff the assignment changed — which must hold exactly when
+    shard == removed.
+
+    Cross-engine exact: weights are integers from hex digits (the
+    _hex_int_sql convention), argmax is ONE packed-bigint max — weight *
+    16 + (15 - s), so ties (never in practice for md5, but determinism
+    is the contract) break toward the SMALLEST shard id; weight < 16^14
+    = 2^56 keeps the pack far inside LongType.
+
+    Scale: n_shards weight rows per key from one row-local explode of a
+    literal array (n_shards <= 16 — shard COUNTS beyond that belong to a
+    two-level scheme), then one map-side-combinable groupBy(id): both
+    argmaxes (full and reduced candidate set) come out of the SAME
+    aggregate as conditional maxes — one pass, no second shuffle."""
+    if not 2 <= n_shards <= 16:
+        raise ValueError("n_shards must be in [2, 16]")
+    removed = n_shards - 1 if removed is None else removed
+    if not 0 <= removed < n_shards:
+        raise ValueError("removed must name an existing shard")
+    idc = F.col(id_col).cast("long")
+    s = F.explode(
+        F.array(*[F.lit(i) for i in range(n_shards)])
+    ).alias("s")
+    weighted = docs.select(idc.alias(id_col), s).select(
+        id_col,
+        "s",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.col(id_col), F.col("s"))),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            ).cast("long")
+            * 16
+            + (F.lit(15) - F.col("s"))
+        ).alias("packed"),
+    )
+    agg = weighted.groupBy(id_col).agg(
+        F.max("packed").alias("_full"),
+        F.max(
+            F.when(F.col("s") != removed, F.col("packed"))
+        ).alias("_red"),
+    )
+    shard = (F.lit(15) - F.col("_full") % 16).cast("long")
+    shard_after = (F.lit(15) - F.col("_red") % 16).cast("long")
+    return agg.select(
+        id_col,
+        shard.alias("shard"),
+        shard_after.alias("shard_after"),
+        (shard != shard_after).cast("long").alias("moved"),
+    )
+
+
+def postings_gap_stats(docs: DataFrame, min_df: int = 1) -> DataFrame:
+    """Index-sizing report: per term, the delta-encoded posting-list
+    cost — df, sum of gap bit-lengths (the entropy-ish lower bound a
+    bit-packed index pays) and the varint byte cost (ceil(bits/7) per
+    gap, the v-byte layout) — THE numbers an index-capacity plan needs
+    before materializing inverted_index at corpus scale.
+
+    Gaps over the ascending distinct doc_id postings; the first gap is
+    doc_id + 1 (delta from the -1 sentinel) so every gap >= 1 and
+    bitlen(g) = length(conv(g, 10, 2)) is well-defined — identical to
+    DuckDB length(format('{:b}', g)) (the HLL rho convention).
+
+    Scale: distinct (term, doc) pairs then ONE window partitioned by
+    term for the lag — the same term-keyed exchange inverted_index
+    itself pays, reused for the stamp; skewed (stopword) terms cost rows
+    in one partition's sort, bounded by df, and min_df/max_df pruning
+    belongs upstream of any posting store anyway."""
+    dt = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gaps = dt.select(
+        "term",
+        (F.col("doc_id") - F.lag("doc_id", 1, -1).over(w)).alias("gap"),
+    )
+    bits = F.length(F.conv(F.col("gap"), 10, 2)).cast("long")
+    out = gaps.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum(bits).alias("bits_delta"),
+        F.sum(F.expr("(length(conv(gap, 10, 2)) + 6) div 7")).cast(
+            "long"
+        ).alias("bytes_vbyte"),
+    )
+    if min_df > 1:
+        out = out.filter(F.col("df") >= min_df)
+    return out
+
+
+def domain_quality_prior(
+    docs: DataFrame,
+    k: int = 20,
+    part_col: str = "source",
+) -> DataFrame:
+    """Per-domain quality prior with empirical-Bayes shrinkage: the
+    curation signal CCNet/RefinedWeb-style pipelines keep per host —
+    a domain's mean doc quality pulled toward the corpus mean by `k`
+    pseudo-counts, so a 2-document domain cannot outrank a 2,000-
+    document one on noise.  prior_milli = (Σq*1000 + k*gm_milli) div
+    (n + k), where q = alpha-chars * 1000 div (len+1) per doc (the
+    integer alpha-ratio permille) and gm_milli = (Σ_all q * 1000) div
+    N — every step integer division, so sums are order-free and
+    cross-engine exact (the pagerank convention).
+
+    Scale: one map-side-combinable groupBy(part_col) over per-row
+    integer projections + a one-row global aggregate broadcast-crossed
+    back in (the hyperplane-ride pattern) — no window, no second pass
+    over text."""
+    if k < 0:
+        raise ValueError("k must be >= 0")
+    q = F.expr(
+        "cast(length(regexp_replace(text, '[^a-zA-Z]', '')) as bigint)"
+        " * 1000 div (length(text) + 1)"
+    )
+    scored = docs.select(F.col(part_col), q.alias("q"))
+    g = scored.agg(
+        F.expr("sum(q) * 1000 div count(1)").alias("gm_micro")
+    )
+    per = scored.groupBy(part_col).agg(
+        F.sum("q").cast("long").alias("_sq"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            part_col,
+            "n_docs",
+            F.expr("_sq * 1000 div n_docs").alias("mean_micro"),
+            F.expr(
+                f"(_sq * 1000 + {int(k)} * gm_micro) div (n_docs + {int(k)})"
+            ).alias("prior_micro"),
+        )
+    )
