@@ -3240,6 +3240,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pseudo-counts toward the corpus alpha-ratio mean), all integer
         return A.domain_quality_prior(_docs(spark, sf_dir), k=20)
 
+    def textrank_keywords(spark, sf_dir):
+        # r5 session-6: corpus keywords = integer PageRank over the
+        # adjacent-token co-occurrence graph (symmetric, no dangling),
+        # top 50 by (rank, term); oracle = 2 unrolled CTE rounds
+        return A.textrank_keywords(_docs(spark, sf_dir), iters=2, k=50)
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3253,6 +3259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
         "compaction_plan": compaction_plan,
+        "textrank_keywords": textrank_keywords,
         "rendezvous_shards": rendezvous_shards,
         "postings_gap_stats": postings_gap_stats,
         "domain_quality_prior": domain_quality_prior,
@@ -6876,6 +6883,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sq * 1000 + 20 * gm.gm_micro) // (n_docs + 20)
                         AS BIGINT) AS prior_micro
             FROM p CROSS JOIN gm
+        """,
+        # TextRank: 2 unrolled integer pagerank rounds over the distinct
+        # adjacent-token graph (symmetric — outdeg >= 1, no dangling),
+        # top 50 by (p DESC, term) with rk over the survivors
+        "textrank_keywords": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok,
+                               generate_subscripts(string_split(text, ' '), 1)
+                                   - 1 AS pos
+                        FROM documents),
+            bg AS (SELECT DISTINCT a.tok AS src, b.tok AS dst
+                   FROM tk a JOIN tk b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   WHERE a.tok <> b.tok),
+            e AS (SELECT src, dst FROM bg
+                  UNION SELECT dst AS src, src AS dst FROM bg),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY src),
+            p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes),
+            c1 AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p0 p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            p1 AS (SELECT nodes.node,
+                          CAST(150000 + (COALESCE(c1.m, 0) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c1 ON c1.node = nodes.node),
+            c2 AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p1 p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst),
+            p2 AS (SELECT nodes.node,
+                          CAST(150000 + (COALESCE(c2.m, 0) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c2 ON c2.node = nodes.node),
+            rk AS (SELECT node AS term, p AS rank_micro,
+                          CAST(row_number() OVER (ORDER BY p DESC, node)
+                               AS BIGINT) AS rk
+                   FROM p2)
+            SELECT term, rank_micro, rk FROM rk WHERE rk <= 50
         """,
         # simhash calibration: capped producer vs the pigeonhole-complete
         # uncapped truth (shared sbands CTE, same hamming<=3 rescore)

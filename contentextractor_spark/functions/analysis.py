@@ -7963,3 +7963,62 @@ def domain_quality_prior(
             ).alias("prior_micro"),
         )
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    iters: int = 2,
+    k: int = 50,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the token co-occurrence graph — corpus-level salient terms without
+    any supervised signal, the classic unsupervised keyword op a data
+    card or topic index wants next to tfidf_top_terms (which needs a
+    document to score against; this ranks the corpus vocabulary itself).
+
+    Graph: distinct ADJACENT token pairs (window 2, the paper's default)
+    as undirected edges — both directions added, self-loops dropped; the
+    symmetric edge set means every node has outdeg >= 1 (no dangling
+    mass).  Ranks are the shared integer pagerank (teleport + damped
+    in-mass, micro-probs), so scores are cross-engine bit-identical;
+    top-k by (rank_micro DESC, term) with rk derived over the k
+    survivors (the top_suppliers convention — TakeOrderedAndProject,
+    never a corpus-wide row_number).
+
+    Scale: the bigram stream is _gram_stream (codegen'd zip-slice, the
+    measured 6x-over-transform form), edges dedup by one groupBy on the
+    pair; pagerank's bounded-round shape does the rest.  Vocabulary is
+    the node count — a 100 TB corpus's distinct-token graph is millions
+    of nodes, far inside pagerank's ~10^11 overflow bound."""
+    # F.get (null on invalid index), NOT getItem: Catalyst may reorder
+    # this filter ahead of _gram_stream's internal null-tail filter, and
+    # under ANSI mode getItem(1) on the incomplete tail gram ERRORS —
+    # .count() prunes the expression and hides it (the noop-timing trap,
+    # caught here by full evaluation); null src/dst rows drop in the
+    # inequality filter
+    parts = F.split("g", " ")
+    bg = (
+        _gram_stream(docs, 2)
+        .select(
+            F.get(parts, 0).alias("src"),
+            F.get(parts, 1).alias("dst"),
+        )
+        .filter(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    edges = bg.union(
+        bg.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    pr = pagerank(edges, iters=iters, damping_pct=damping_pct)
+    top = pr.orderBy(F.col("rank_micro").desc(), "node").limit(k)
+    w = Window.orderBy(F.col("rank_micro").desc(), "node")
+    return top.select(
+        F.col("node").alias("term"),
+        "rank_micro",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )

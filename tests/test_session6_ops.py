@@ -181,3 +181,39 @@ def test_prior_shrinks_toward_corpus_mean(spark):
     assert out["tiny"].prior_micro == (800_000 + 20 * gm_micro) // 21
     with pytest.raises(ValueError):
         A.domain_quality_prior(docs, k=-1)
+
+
+# --------------------------------------------------------------- textrank
+
+
+def test_textrank_hub_token_wins(spark):
+    # 'x' co-occurs with every other token; star graphs rank the hub first
+    docs = _docs(
+        spark,
+        [(0, "x a"), (1, "x b"), (2, "x c"), (3, "x d"), (4, "x e")],
+    )
+    rows = A.textrank_keywords(docs, iters=2, k=3).collect()
+    assert rows[0].term == "x" and rows[0].rk == 1
+    assert len(rows) == 3
+    # rk is dense 1..k over the survivors
+    assert [r.rk for r in rows] == [1, 2, 3]
+
+
+def test_textrank_self_loops_and_single_token_docs_ignored(spark):
+    # 'z z' contributes no edge (self-loop dropped); one-token docs have
+    # no bigrams at all — only the a-b edge remains
+    docs = _docs(spark, [(0, "z z"), (1, "q"), (2, "a b")])
+    rows = A.textrank_keywords(docs, iters=1, k=10).collect()
+    assert {r.term for r in rows} == {"a", "b"}
+    # symmetric 2-node graph: equal ranks, tie broken by term
+    assert rows[0].term == "a" and rows[0].rank_micro == rows[1].rank_micro
+
+
+def test_textrank_trailing_empty_token_gram(spark):
+    # regression: text ending in a space yields an empty trailing token;
+    # the incomplete tail gram must not ERROR under ANSI (F.get fix) —
+    # full evaluation, not .count()
+    docs = _docs(spark, [(0, "a b "), (1, "a b")])
+    rows = A.textrank_keywords(docs, iters=1, k=10).collect()
+    terms = {r.term for r in rows}
+    assert "a" in terms and "b" in terms and "" in terms
