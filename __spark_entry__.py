@@ -3246,6 +3246,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top 50 by (rank, term); oracle = 2 unrolled CTE rounds
         return A.textrank_keywords(_docs(spark, sf_dir), iters=2, k=50)
 
+    def events_anomaly(spark, sf_dir):
+        # r5 session-6: per-type hourly count outliers, all-integer
+        # cross-multiplied z-test (z=2), side = spike/trough sign
+        return E.hourly_anomalies(_events(spark, sf_dir), z=2)
+
+    def oov_rate(spark, sf_dir):
+        # r5 session-6: per-(split, lang) OOV occurrence rate of the
+        # val/test streams against the train-split vocabulary — scores
+        # the SHIPPED md5-bucket split (the split_leakage convention)
+        return A.oov_rate(_docs(spark, sf_dir))
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3260,6 +3271,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new this round):
         "compaction_plan": compaction_plan,
         "textrank_keywords": textrank_keywords,
+        "events_anomaly": events_anomaly,
+        "oov_rate": oov_rate,
         "rendezvous_shards": rendezvous_shards,
         "postings_gap_stats": postings_gap_stats,
         "domain_quality_prior": domain_quality_prior,
@@ -6924,6 +6937,54 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS rk
                    FROM p2)
             SELECT term, rank_micro, rk FROM rk WHERE rk <= 50
+        """,
+        # hourly anomaly sweep: integer cross-multiplied z-test over
+        # per-type tumbling-hour counts, z=2, observed hours only
+        "events_anomaly": """
+            WITH c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                              CAST(count(*) AS BIGINT) AS n_events
+                       FROM events GROUP BY 1, 2),
+            s AS (SELECT event_type,
+                         CAST(sum(n_events) AS BIGINT) AS s1,
+                         CAST(sum(n_events * n_events) AS BIGINT) AS s2,
+                         CAST(count(*) AS BIGINT) AS n_hours
+                  FROM c GROUP BY event_type)
+            SELECT c.event_type, c.hour, c.n_events, s.n_hours,
+                   CAST(sign(s.n_hours * c.n_events - s.s1) AS BIGINT)
+                       AS side
+            FROM c JOIN s USING (event_type)
+            WHERE (s.n_hours * c.n_events - s.s1)
+                  * (s.n_hours * c.n_events - s.s1)
+                  > 4 * (s.n_hours * s.s2 - s.s1 * s.s1)
+        """,
+        # OOV audit: val/test token occurrences anti-probed against the
+        # train-split vocabulary; md5-bucket split (204/230 thresholds —
+        # the split_leakage convention), integer permille
+        "oov_rate": f"""
+            WITH a AS (SELECT doc_id, lang,
+                              CASE WHEN {_hex_int_sql(
+                                  "md5(CAST(doc_id AS VARCHAR))", 1, 2)}
+                                       < 204 THEN 'train'
+                                   WHEN {_hex_int_sql(
+                                  "md5(CAST(doc_id AS VARCHAR))", 1, 2)}
+                                       < 230 THEN 'val'
+                                   ELSE 'test' END AS split
+                       FROM documents),
+            tk AS (SELECT a.split, a.lang,
+                          unnest(string_split(d.text, ' ')) AS g
+                   FROM documents d JOIN a USING (doc_id)),
+            vocab AS (SELECT DISTINCT g FROM tk WHERE split = 'train'),
+            ev AS (SELECT * FROM tk WHERE split <> 'train'),
+            o AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_oov
+                  FROM ev WHERE g NOT IN (SELECT g FROM vocab)
+                  GROUP BY split, lang),
+            t AS (SELECT split, lang, CAST(count(*) AS BIGINT) AS n_tokens
+                  FROM ev GROUP BY split, lang)
+            SELECT t.split, t.lang, t.n_tokens,
+                   CAST(COALESCE(o.n_oov, 0) AS BIGINT) AS n_oov,
+                   CAST(COALESCE(o.n_oov, 0) * 1000 // t.n_tokens
+                        AS BIGINT) AS oov_permille
+            FROM t LEFT JOIN o ON o.split = t.split AND o.lang = t.lang
         """,
         # simhash calibration: capped producer vs the pigeonhole-complete
         # uncapped truth (shared sbands CTE, same hamming<=3 rescore)

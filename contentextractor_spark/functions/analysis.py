@@ -8022,3 +8022,51 @@ def textrank_keywords(
         "rank_micro",
         F.row_number().over(w).cast("long").alias("rk"),
     )
+
+
+def oov_rate(
+    docs: DataFrame, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Out-of-vocabulary audit: per (split, lang), the fraction of token
+    OCCURRENCES whose type never appears in the train split — the number
+    that tells a tokenizer/vocab team whether the eval splits are even
+    scorable under a train-derived vocabulary (high OOV ⇒ the split is
+    measuring vocabulary mismatch, not model quality).
+
+    Splits are train_split_assign's content-free md5 buckets (the
+    split_leakage convention), so the audit scores the SHIPPED split
+    logic.  oov_permille = n_oov * 1000 div n_tokens, integer.
+
+    Scale: the train vocabulary is a distinct over the train token
+    stream (map-side combinable); the eval streams LEFT ANTI probe it on
+    the token key — vocab is never collected or broadcast-by-hand (AQE
+    picks broadcast when the vocab is small); one final tiny groupBy.
+    Token stream is _gram_stream(1) — no per-row Python anywhere."""
+    assigned = train_split_assign(docs, val_pct, test_pct).select(
+        "doc_id", "split"
+    )
+    toks = _gram_stream(docs, 1, carry=("lang",)).join(assigned, "doc_id")
+    vocab = (
+        toks.filter(F.col("split") == "train").select("g").distinct()
+    )
+    ev = toks.filter(F.col("split") != "train")
+    oov = (
+        ev.join(vocab, "g", "left_anti")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_oov"))
+    )
+    tot = ev.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens")
+    )
+    return (
+        tot.join(oov, ["split", "lang"], "left")
+        .select(
+            "split",
+            "lang",
+            "n_tokens",
+            F.coalesce("n_oov", F.lit(0)).cast("long").alias("n_oov"),
+            F.expr(
+                "coalesce(n_oov, 0L) * 1000 div n_tokens"
+            ).alias("oov_permille"),
+        )
+    )

@@ -287,3 +287,56 @@ def retention_cohorts(events: DataFrame, anchor: str = "2024-01-01") -> DataFram
         )
         .agg(F.count(F.lit(1)).alias("users"))
     )
+
+
+def hourly_anomalies(events: DataFrame, z: int = 3) -> DataFrame:
+    """Hours whose event count deviates from the type's own mean by more
+    than `z` sigma — the ops-monitoring outlier sweep (traffic spikes,
+    collector outages) run per event_type over the tumbling-hour counts.
+
+    All-integer z-test via cross-multiplication (no sqrt, no floats —
+    the pagerank exactness convention):
+        (n·c − S)² > z² · (n·ΣC² − S²)
+    where n = observed hours for the type, c = this hour's count, S/ΣC²
+    the type's count sum / sum of squares.  Equivalent to
+    (c − mean)² > z²·var with population variance, but every term stays
+    in LongType.  side = sign(n·c − S): +1 spike, −1 trough.  Stats are
+    over OBSERVED hours only — silent hours contribute no rows (flag
+    collector gaps with a calendar spine upstream if zeros must count).
+
+    Overflow bound: n·ΣC² < 2^63 requires hours·Σc² below ~9.2e18 — at
+    1e6 events/hour over a year that is ~1e16, three orders inside; for
+    counts beyond ~1e8/hour aggregate per-minute and rescale first
+    (raises loudly under ANSI, never wraps).
+
+    Scale: one map-side-combinable groupBy(type, hour), one tiny
+    groupBy(type) (cardinality = type count) broadcast back — no window,
+    no second pass over raw events."""
+    if z < 1:
+        raise ValueError("z must be >= 1")
+    c = events.groupBy(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    s = c.groupBy("event_type").agg(
+        F.sum("n_events").cast("long").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events"))
+        .cast("long")
+        .alias("_s2"),
+        F.count(F.lit(1)).cast("long").alias("n_hours"),
+    )
+    j = c.join(F.broadcast(s), "event_type")
+    dev = F.col("n_hours") * F.col("n_events") - F.col("_s")
+    var_n2 = (
+        F.col("n_hours") * F.col("_s2") - F.col("_s") * F.col("_s")
+    )
+    return (
+        j.filter(dev * dev > F.lit(int(z) * int(z)) * var_n2)
+        .select(
+            "event_type",
+            "hour",
+            "n_events",
+            "n_hours",
+            F.signum(dev).cast("long").alias("side"),
+        )
+    )

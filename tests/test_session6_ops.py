@@ -217,3 +217,86 @@ def test_textrank_trailing_empty_token_gram(spark):
     rows = A.textrank_keywords(docs, iters=1, k=10).collect()
     terms = {r.term for r in rows}
     assert "a" in terms and "b" in terms and "" in terms
+
+
+# -------------------------------------------------------------- anomalies
+
+
+def test_hourly_anomalies_flags_spike_only(spark):
+    from datetime import datetime
+
+    from contentextractor_spark.functions import events as E
+
+    # type 'a': five quiet hours of 1 + one hour of 10 →
+    # dev² = 45² = 2025 > z²·varn2 = 4·405 = 1620 → flagged, side +1
+    rows = []
+    for h in range(5):
+        rows.append((datetime(2024, 1, 1, h), "a"))
+    rows += [(datetime(2024, 1, 1, 5), "a")] * 10
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = E.hourly_anomalies(ev, z=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_events, r.n_hours, r.side) == (10, 6, 1)
+    assert r.hour.hour == 5
+
+
+def test_hourly_anomalies_trough_side_and_uniform_silent(spark):
+    from datetime import datetime
+
+    from contentextractor_spark.functions import events as E
+
+    rows = []
+    for h in range(6):
+        rows += [(datetime(2024, 1, 2, h), "b")] * 10
+    rows += [(datetime(2024, 1, 2, 6), "b")] * 1  # trough hour
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = E.hourly_anomalies(ev, z=2).collect()
+    assert [(r.n_events, r.side) for r in out] == [(1, -1)]
+    # perfectly uniform type: zero variance, zero deviation → no rows
+    ev2 = spark.createDataFrame(
+        [(datetime(2024, 1, 3, h), "c") for h in range(4)],
+        "ts timestamp, event_type string",
+    )
+    assert E.hourly_anomalies(ev2, z=2).count() == 0
+    with pytest.raises(ValueError):
+        E.hourly_anomalies(ev2, z=0)
+
+
+# -------------------------------------------------------------------- oov
+
+
+def test_oov_rate_differential(spark):
+    # every doc = shared token 'x' + a doc-unique token: recompute the
+    # expected OOV per (split, lang) in plain python over the SAME
+    # md5-bucket split and compare exactly
+    docs = spark.createDataFrame(
+        [(i, f"x u{i} x", "en" if i % 2 else "de") for i in range(40)],
+        "doc_id long, text string, lang string",
+    )
+    splits = {
+        r.doc_id: r.split
+        for r in A.train_split_assign(docs).select("doc_id", "split").collect()
+    }
+    train_vocab = {"x"} | {
+        f"u{i}" for i in range(40) if splits[i] == "train"
+    }
+    expected = {}
+    for i in range(40):
+        sp = splits[i]
+        if sp == "train":
+            continue
+        lang = "en" if i % 2 else "de"
+        toks = ["x", f"u{i}", "x"]
+        nt, no = expected.get((sp, lang), (0, 0))
+        expected[(sp, lang)] = (
+            nt + len(toks),
+            no + sum(1 for t in toks if t not in train_vocab),
+        )
+    got = {
+        (r.split, r.lang): (r.n_tokens, r.n_oov, r.oov_permille)
+        for r in A.oov_rate(docs).collect()
+    }
+    assert set(got) == set(expected)
+    for key, (nt, no) in expected.items():
+        assert got[key] == (nt, no, no * 1000 // nt), key
