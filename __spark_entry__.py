@@ -3257,6 +3257,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the SHIPPED md5-bucket split (the split_leakage convention)
         return A.oov_rate(_docs(spark, sf_dir))
 
+    def events_attribution(spark, sf_dir):
+        # r5 session-7: first/last-touch conversion attribution matrix —
+        # touches strictly before each user's FIRST purchase in the
+        # (ts, event_id) total order; value in integer cents
+        return E.attribution(_events(spark, sf_dir), "purchase")
+
+    def k_anonymity(spark, sf_dir):
+        # r5 session-7: privacy-release audit over the (lang, source,
+        # len-band) quasi-identifier cells; risky = population < 5
+        return A.k_anonymity(_docs(spark, sf_dir), k=5, band=500)
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3269,6 +3280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "events_attribution": events_attribution,
+        "k_anonymity": k_anonymity,
         "compaction_plan": compaction_plan,
         "textrank_keywords": textrank_keywords,
         "events_anomaly": events_anomaly,
@@ -6937,6 +6950,43 @@ def oracle_sql() -> dict[str, str]:
                                AS BIGINT) AS rk
                    FROM p2)
             SELECT term, rank_micro, rk FROM rk WHERE rk <= 50
+        """,
+        # first/last-touch attribution: touches strictly before the first
+        # purchase per user ((ts, event_id) order); rn is unique so
+        # arg_min/arg_max cannot tie; no-prior-touch users excluded
+        "events_attribution": """
+            WITH r AS (
+              SELECT user_id, event_type, value,
+                     row_number() OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+                     sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum_conv
+              FROM events),
+            pre AS (SELECT user_id,
+                           arg_min(event_type, rn) AS first_type,
+                           arg_max(event_type, rn) AS last_type
+                    FROM r WHERE cum_conv = 0 GROUP BY user_id),
+            conv AS (SELECT user_id,
+                            CAST(round(value * 100) AS BIGINT) AS vc
+                     FROM r
+                     WHERE event_type = 'purchase' AND cum_conv = 1)
+            SELECT first_type, last_type,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(vc) AS BIGINT) AS sum_value_c
+            FROM conv JOIN pre USING (user_id)
+            GROUP BY 1, 2
+        """,
+        # k-anonymity cells over (lang, source, n_chars div 500);
+        # non-negative operands so // ≡ div
+        "k_anonymity": """
+            SELECT lang, source,
+                   CAST(n_chars // 500 AS BIGINT) AS len_band,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(CASE WHEN count(*) < 5 THEN 1 ELSE 0 END AS BIGINT)
+                       AS risky
+            FROM documents GROUP BY 1, 2, 3
         """,
         # hourly anomaly sweep: integer cross-multiplied z-test over
         # per-type tumbling-hour counts, z=2, observed hours only

@@ -8070,3 +8070,43 @@ def oov_rate(
             ).alias("oov_permille"),
         )
     )
+
+
+def k_anonymity(
+    docs: DataFrame,
+    k: int = 5,
+    band: int = 500,
+    qi_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (qi_cols +
+    a length band): every released group must contain at least `k`
+    records or its members are re-identifiable by the QI combination
+    alone (Sweeney 2002) — the privacy gate a corpus release runs next
+    to pii_scrub (which redacts direct identifiers; this catches the
+    INDIRECT ones: rare language × source × size combinations).
+
+    Output: one row per occupied QI cell with its population and
+    risky = 1 when n_docs < k (the cells a release must suppress or
+    generalize).  len_band = n_chars div band — non-negative, so Spark
+    `div` ≡ DuckDB `//` (the r4 signed-division trap does not apply).
+
+    Scale: ONE map-side-combinable groupBy over per-row integer
+    projections — no window, no join, no second pass; cardinality is
+    the occupied-cell count, orders below the corpus."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if band < 1:
+        raise ValueError("band must be >= 1")
+    return (
+        docs.groupBy(
+            *qi_cols,
+            F.expr(f"cast(n_chars as bigint) div {int(band)}").alias("_tmp"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            *qi_cols,
+            F.col("_tmp").alias("len_band"),
+            "n_docs",
+            (F.col("n_docs") < k).cast("long").alias("risky"),
+        )
+    )

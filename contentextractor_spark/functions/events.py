@@ -340,3 +340,58 @@ def hourly_anomalies(events: DataFrame, z: int = 3) -> DataFrame:
             F.signum(dev).cast("long").alias("side"),
         )
     )
+
+
+def attribution(events: DataFrame, convert_type: str = "purchase") -> DataFrame:
+    """First-touch / last-touch conversion attribution: for every user
+    whose stream contains a `convert_type` event, find the events
+    STRICTLY before their first conversion (in (ts, event_id) order — the
+    recrawl_priority tie convention) and credit the conversion to the
+    first and last of them.  Output is the attribution matrix
+    (first_type, last_type) with converting-user counts and first-
+    conversion value in integer cents — the telemetry rollup an ingest
+    team reads to see which entry path precedes sign-value events.
+
+    Users whose first event IS the conversion (no prior touches) are
+    excluded — there is nothing to attribute (documented, oracle
+    matches).  Determinism: rn (row_number over the per-user total
+    order) is unique, so min_by/max_by on it cannot tie.
+
+    Scale: one window pass partitioned by user_id (the sessionize
+    shuffle key — billions of small per-user partitions, no skew beyond
+    per-user event counts), one map-side-combinable groupBy(user), one
+    tiny matrix aggregate (cardinality = |types|^2).  No self-join of
+    the event stream."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    is_conv = F.when(F.col("event_type") == convert_type, 1).otherwise(0)
+    rows = events.select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    ).select(
+        "user_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.sum(is_conv).over(cum).alias("cum_conv"),
+    )
+    pre = (
+        rows.filter(F.col("cum_conv") == 0)
+        .groupBy("user_id")
+        .agg(
+            F.min_by("event_type", "rn").alias("first_type"),
+            F.max_by("event_type", "rn").alias("last_type"),
+        )
+    )
+    conv = rows.filter(
+        (F.col("event_type") == convert_type) & (F.col("cum_conv") == 1)
+    ).select("user_id", _value_cents(F.col("value")).alias("vc"))
+    return (
+        conv.join(pre, "user_id")
+        .groupBy("first_type", "last_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("vc").cast("long").alias("sum_value_c"),
+        )
+    )

@@ -1,0 +1,139 @@
+"""Unit tests for the r5 session-7 operators: events attribution
+(first/last-touch before the first conversion) and k_anonymity
+(quasi-identifier cell audit)."""
+
+import datetime as dt
+
+import pytest
+
+from contentextractor_spark.functions import analysis as A
+from contentextractor_spark.functions import events as E
+
+
+def _ev(spark, rows):
+    # rows: (event_id, ts_minute, user_id, event_type, value)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    data = [
+        (eid, base + dt.timedelta(minutes=m), uid, et, val)
+        for (eid, m, uid, et, val) in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+
+
+# ---------------------------------------------------------- attribution
+
+
+def test_attribution_first_and_last_touch(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 1, "view", 0.0),
+            (2, 1, 1, "click", 0.0),
+            (3, 2, 1, "purchase", 10.00),
+            (4, 3, 1, "purchase", 99.0),  # second purchase: not counted
+        ],
+    )
+    rows = E.attribution(ev).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.first_type, r.last_type) == ("view", "click")
+    assert r.n_users == 1
+    assert r.sum_value_c == 1000  # only the FIRST purchase's value
+
+
+def test_attribution_excludes_no_touch_and_no_conversion_users(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 1, "purchase", 5.0),  # converts with no prior touch
+            (2, 0, 2, "click", 0.0),  # never converts
+        ],
+    )
+    assert E.attribution(ev).count() == 0
+
+
+def test_attribution_single_touch_is_both_first_and_last(spark):
+    ev = _ev(
+        spark,
+        [(1, 0, 1, "signup", 0.0), (2, 1, 1, "purchase", 2.50)],
+    )
+    r = E.attribution(ev).collect()[0]
+    assert (r.first_type, r.last_type) == ("signup", "signup")
+    assert r.sum_value_c == 250
+
+
+def test_attribution_ts_tie_breaks_by_event_id(spark):
+    # two touches at the SAME ts: event_id orders them (the recrawl
+    # convention) — first = lower id, last = higher id
+    ev = _ev(
+        spark,
+        [
+            (7, 0, 1, "error", 0.0),
+            (3, 0, 1, "view", 0.0),
+            (9, 1, 1, "purchase", 1.0),
+        ],
+    )
+    r = E.attribution(ev).collect()[0]
+    assert (r.first_type, r.last_type) == ("view", "error")
+
+
+def test_attribution_touches_after_first_purchase_ignored(spark):
+    ev = _ev(
+        spark,
+        [
+            (1, 0, 1, "view", 0.0),
+            (2, 1, 1, "purchase", 1.0),
+            (3, 2, 1, "click", 0.0),  # post-conversion: must not count
+        ],
+    )
+    r = E.attribution(ev).collect()[0]
+    assert (r.first_type, r.last_type) == ("view", "view")
+
+
+# ---------------------------------------------------------- k_anonymity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, n_chars long"
+    )
+
+
+def test_k_anonymity_flags_small_cells(spark):
+    docs = _docs(
+        spark,
+        [(i, "en", "web", 100) for i in range(5)]
+        + [(10, "ja", "web", 100), (11, "ja", "web", 100)],
+    )
+    out = {
+        (r.lang, r.source, r.len_band): (r.n_docs, r.risky)
+        for r in A.k_anonymity(docs, k=5, band=500).collect()
+    }
+    assert out == {
+        ("en", "web", 0): (5, 0),
+        ("ja", "web", 0): (2, 1),
+    }
+
+
+def test_k_anonymity_band_splits_cells(spark):
+    docs = _docs(
+        spark,
+        [(1, "en", "web", 499), (2, "en", "web", 500), (3, "en", "web", 999)],
+    )
+    out = {
+        r.len_band: r.n_docs
+        for r in A.k_anonymity(docs, k=2, band=500).collect()
+    }
+    assert out == {0: 1, 1: 2}
+
+
+def test_k_anonymity_validates_args(spark):
+    docs = _docs(spark, [(1, "en", "web", 10)])
+    with pytest.raises(ValueError):
+        A.k_anonymity(docs, k=0)
+    with pytest.raises(ValueError):
+        A.k_anonymity(docs, band=0)
