@@ -3268,6 +3268,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # len-band) quasi-identifier cells; risky = population < 5
         return A.k_anonymity(_docs(spark, sf_dir), k=5, band=500)
 
+    def good_turing(spark, sf_dir):
+        # r5 session-7: count-of-counts + GT discounted estimates over
+        # the TRIGRAM stream (unigrams are too dense on this corpus —
+        # min count 26, r<=10 empty), micro-units, integer throughout
+        return A.good_turing(_docs(spark, sf_dir), n=3, max_r=10)
+
+    def distinct_ngrams(spark, sf_dir):
+        # r5 session-7: distinct-2 diversity permille per language —
+        # two-level groupBy, never countDistinct's expand
+        return A.distinct_ngrams(_docs(spark, sf_dir), n=2)
+
+    def ngram_novelty(spark, sf_dir):
+        # r5 session-7: 3-gram occurrence novelty by doc-id decile —
+        # the crawl-freshness decay curve; first_doc via ONE
+        # gram-partitioned window over (g, doc_id) aggregates
+        return A.ngram_novelty(_docs(spark, sf_dir), n=3, n_buckets=10)
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3282,6 +3299,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new this round):
         "events_attribution": events_attribution,
         "k_anonymity": k_anonymity,
+        "good_turing": good_turing,
+        "distinct_ngrams": distinct_ngrams,
+        "ngram_novelty": ngram_novelty,
         "compaction_plan": compaction_plan,
         "textrank_keywords": textrank_keywords,
         "events_anomaly": events_anomaly,
@@ -6977,6 +6997,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(vc) AS BIGINT) AS sum_value_c
             FROM conv JOIN pre USING (user_id)
             GROUP BY 1, 2
+        """,
+        # Good–Turing over trigram types: counts → count-of-counts → r*
+        # via the tiny self-join on r+1; integer micro-units
+        "good_turing": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok,
+                               generate_subscripts(string_split(text, ' '), 1)
+                                   - 1 AS pos
+                        FROM documents),
+            g3 AS (SELECT a.tok || ' ' || b.tok || ' ' || c.tok AS g
+                   FROM tk a
+                   JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   JOIN tk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+            tc AS (SELECT g, CAST(count(*) AS BIGINT) AS c
+                   FROM g3 GROUP BY g),
+            cc AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r
+                   FROM tc GROUP BY c)
+            SELECT a.r, a.n_r,
+                   CAST((a.r + 1) * COALESCE(b.n_r, 0) * 1000000 // a.n_r
+                        AS BIGINT) AS r_star_micro
+            FROM cc a LEFT JOIN cc b ON b.r = a.r + 1
+            WHERE a.r <= 10
+        """,
+        # distinct-2 diversity per lang: (lang, gram) counts first, then
+        # the per-lang rollup — mirrors the Spark two-level form
+        "distinct_ngrams": """
+            WITH tk AS (SELECT doc_id, lang,
+                               unnest(string_split(text, ' ')) AS tok,
+                               generate_subscripts(string_split(text, ' '), 1)
+                                   - 1 AS pos
+                        FROM documents),
+            g2 AS (SELECT a.lang, a.tok || ' ' || b.tok AS g
+                   FROM tk a JOIN tk b
+                     ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            gl AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS cnt
+                   FROM g2 GROUP BY 1, 2)
+            SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_grams,
+                   CAST(count(*) AS BIGINT) AS n_distinct,
+                   CAST(count(*) * 1000 // sum(cnt) AS BIGINT)
+                       AS distinct_permille
+            FROM gl GROUP BY lang
+        """,
+        # 3-gram novelty by doc-id decile: occurrence is novel iff its
+        # doc_id is the gram's min; bucket = doc_id*10 div N
+        "ngram_novelty": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok,
+                               generate_subscripts(string_split(text, ' '), 1)
+                                   - 1 AS pos
+                        FROM documents),
+            g3 AS (SELECT a.doc_id,
+                          a.tok || ' ' || b.tok || ' ' || c.tok AS g
+                   FROM tk a
+                   JOIN tk b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+                   JOIN tk c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2),
+            nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs
+                   FROM documents),
+            gd AS (SELECT g, doc_id, CAST(count(*) AS BIGINT) AS cnt
+                   FROM g3 GROUP BY 1, 2),
+            fw AS (SELECT g, doc_id, cnt,
+                          min(doc_id) OVER (PARTITION BY g) AS first_doc
+                   FROM gd),
+            agg AS (SELECT CAST(doc_id * 10 // n_docs AS BIGINT) AS bucket,
+                           CAST(sum(cnt) AS BIGINT) AS n_occ,
+                           CAST(sum(CASE WHEN doc_id = first_doc
+                                         THEN cnt ELSE 0 END) AS BIGINT)
+                               AS n_novel
+                    FROM fw CROSS JOIN nd GROUP BY 1)
+            SELECT bucket, n_occ, n_novel,
+                   CAST(n_novel * 1000 // n_occ AS BIGINT)
+                       AS novelty_permille
+            FROM agg
         """,
         # k-anonymity cells over (lang, source, n_chars div 500);
         # non-negative operands so // ≡ div

@@ -8110,3 +8110,120 @@ def k_anonymity(
             (F.col("n_docs") < k).cast("long").alias("risky"),
         )
     )
+
+
+def good_turing(docs: DataFrame, n: int = 1, max_r: int = 10) -> DataFrame:
+    """Good–Turing count-of-counts table over the word n-gram stream: for
+    each observed frequency r ≤ max_r, the number of types N_r seen
+    exactly r times and the discounted estimate r* = (r+1)·N_{r+1}/N_r
+    (Good 1953) — the smoothing statistic an n-gram LM build reads to
+    reallocate mass to unseen events (N_1/N is the unseen-mass
+    estimate itself).  r_star_micro = (r+1)·N_{r+1}·10⁶ div N_r: every
+    step integer, so sums are order-free and cross-engine exact.
+
+    Pick `n` so the low-r region is populated: on a templated corpus
+    every UNIGRAM may appear dozens of times (measured here: min count
+    26 — r ≤ 10 empty), while the trigram stream has a real N_1 tail;
+    an empty result is a sign the stream is too dense, not a bug.
+
+    Scale: gram stream → two map-side-combinable groupBys (type
+    counts, then count-of-counts whose cardinality is max observed
+    frequency) + a self-join on the tiny count-of-counts table.  No
+    window, no pass over text beyond the one explode."""
+    if max_r < 1:
+        raise ValueError("max_r must be >= 1")
+    tc = (
+        _gram_stream(docs, n)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    cc = tc.groupBy(F.col("c").alias("r")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    nxt = cc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_next")
+    )
+    return (
+        cc.filter(F.col("r") <= max_r)
+        .join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.expr(
+                "(r + 1) * coalesce(_n_next, 0L) * 1000000 div n_r"
+            ).alias("r_star_micro"),
+        )
+    )
+
+
+def distinct_ngrams(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Distinct-n diversity card (the NLG eval metric, Li et al. 2016)
+    per language: n-gram occurrences, distinct n-gram types, and the
+    type/occurrence permille — low values flag templated or repetitive
+    sources a mixture plan should down-weight before training.
+
+    Scale: the gram stream aggregates (lang, g) first (map-side
+    combinable — the two-level form, never countDistinct's expand),
+    then one tiny per-lang rollup."""
+    gl = (
+        _gram_stream(docs, n, carry=("lang",))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return gl.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("n_grams"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
+        F.expr("count(1) * 1000 div sum(cnt)")
+        .cast("long")
+        .alias("distinct_permille"),
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame, n: int = 3, n_buckets: int = 10
+) -> DataFrame:
+    """Novelty decay curve: bucket the corpus into `n_buckets` doc-id
+    ranges (ingestion order) and report, per bucket, the fraction of
+    n-gram OCCURRENCES whose type first appears in that bucket's docs —
+    the memorization/duplication curve data teams plot to see how fast
+    a crawl stops contributing new text (a flat high curve = fresh
+    corpus; a cliff = the crawl is re-reading itself).  An occurrence
+    is novel iff its doc_id equals the gram's min doc_id — deterministic,
+    occurrence-level (repeats inside the first doc all count novel,
+    documented).  Requires contiguous doc_id in [0, N): bucket =
+    doc_id · n_buckets div N (the triangle_count fixture convention).
+
+    Scale: grams aggregate per (g, doc_id) first (map-side combine
+    bounds the window input to distinct pairs), the per-gram min rides
+    ONE gram-partitioned window, and N joins in as a one-row broadcast
+    (the hyperplane-ride pattern).  No corpus self-join."""
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    nrow = docs.select(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    gd = (
+        _gram_stream(docs, n)
+        .groupBy("g", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    fw = gd.withColumn(
+        "first_doc", F.min("doc_id").over(Window.partitionBy("g"))
+    )
+    novel = F.when(F.col("doc_id") == F.col("first_doc"), F.col("cnt")).otherwise(
+        F.lit(0)
+    )
+    return (
+        fw.crossJoin(F.broadcast(nrow))
+        .groupBy(
+            F.expr(f"doc_id * {int(n_buckets)} div n_docs").alias("bucket")
+        )
+        .agg(
+            F.sum("cnt").cast("long").alias("n_occ"),
+            F.sum(novel).cast("long").alias("n_novel"),
+        )
+        .select(
+            "bucket",
+            "n_occ",
+            "n_novel",
+            F.expr("n_novel * 1000 div n_occ").alias("novelty_permille"),
+        )
+    )

@@ -137,3 +137,55 @@ def test_k_anonymity_validates_args(spark):
         A.k_anonymity(docs, k=0)
     with pytest.raises(ValueError):
         A.k_anonymity(docs, band=0)
+
+
+# ---------------------------------------------------- token-stream cards
+
+
+def _tdocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+
+
+def test_good_turing_hand_case(spark):
+    # counts: a=3 b=2 c=1 → N_1=N_2=N_3=1
+    docs = _tdocs(spark, [(0, "a a a b b c", "en")])
+    out = {r.r: (r.n_r, r.r_star_micro) for r in A.good_turing(docs).collect()}
+    assert out == {
+        1: (1, 2_000_000),  # (1+1)*N_2/N_1 = 2
+        2: (1, 3_000_000),  # (2+1)*N_3/N_2 = 3
+        3: (1, 0),          # N_4 = 0
+    }
+
+
+def test_good_turing_max_r_cut(spark):
+    docs = _tdocs(spark, [(0, " ".join(["x"] * 20) + " y", "en")])
+    rs = {r.r for r in A.good_turing(docs, max_r=5).collect()}
+    assert rs == {1}  # x's r=20 is cut, y's r=1 kept
+
+
+def test_distinct_ngrams_hand_case(spark):
+    docs = _tdocs(spark, [(0, "a b a b", "en")])
+    r = A.distinct_ngrams(docs, n=2).collect()[0]
+    # bigrams: "a b", "b a", "a b" → 3 occurrences, 2 types
+    assert (r.n_grams, r.n_distinct, r.distinct_permille) == (3, 2, 666)
+
+
+def test_ngram_novelty_duplicate_doc_contributes_nothing(spark):
+    docs = _tdocs(
+        spark, [(0, "a b c d", "en"), (1, "a b c d", "en")]
+    )
+    out = {
+        r.bucket: (r.n_occ, r.n_novel, r.novelty_permille)
+        for r in A.ngram_novelty(docs, n=3, n_buckets=2).collect()
+    }
+    # each doc has 2 trigrams; doc 1 repeats doc 0's exactly
+    assert out == {0: (2, 2, 1000), 1: (2, 0, 0)}
+
+
+def test_ngram_novelty_repeats_inside_first_doc_count_novel(spark):
+    docs = _tdocs(spark, [(0, "a b c a b c a b", "en")])
+    out = A.ngram_novelty(docs, n=3, n_buckets=1).collect()[0]
+    # 6 trigram occurrences, all in the min doc → all novel
+    assert (out.n_occ, out.n_novel, out.novelty_permille) == (6, 6, 1000)
