@@ -3285,6 +3285,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # gram-partitioned window over (g, doc_id) aggregates
         return A.ngram_novelty(_docs(spark, sf_dir), n=3, n_buckets=10)
 
+    def qlm_search(spark, sf_dir):
+        # r5 session-7: Dirichlet query-likelihood retrieval over the
+        # bm25 query terms — all-integer micro-nat scores (every ln
+        # argument is a bigint), rank keys (score DESC, doc_id)
+        return A.qlm_search(
+            _docs(spark, sf_dir), ["query", "scan", "window"], k=15
+        )
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3302,6 +3310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "good_turing": good_turing,
         "distinct_ngrams": distinct_ngrams,
         "ngram_novelty": ngram_novelty,
+        "qlm_search": qlm_search,
         "compaction_plan": compaction_plan,
         "textrank_keywords": textrank_keywords,
         "events_anomaly": events_anomaly,
@@ -7069,6 +7078,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_novel * 1000 // n_occ AS BIGINT)
                        AS novelty_permille
             FROM agg
+        """,
+        # Dirichlet QLM: candidates = docs with >=1 term; per-term
+        # micro-nat components, every ln argument an integer; terms with
+        # cf=0 drop from the sum; mu=2000
+        "qlm_search": """
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents),
+            tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+            stats AS (SELECT CAST(sum(dl) AS BIGINT) AS n_tok FROM base),
+            cf AS (SELECT
+                     CAST(count(*) FILTER (term = 'query') AS BIGINT) AS cf0,
+                     CAST(count(*) FILTER (term = 'scan') AS BIGINT) AS cf1,
+                     CAST(count(*) FILTER (term = 'window') AS BIGINT) AS cf2
+                   FROM tk WHERE term IN ('query', 'scan', 'window')),
+            tfd AS (SELECT doc_id,
+                     CAST(count(*) FILTER (term = 'query') AS BIGINT) AS tf0,
+                     CAST(count(*) FILTER (term = 'scan') AS BIGINT) AS tf1,
+                     CAST(count(*) FILTER (term = 'window') AS BIGINT) AS tf2
+                    FROM tk WHERE term IN ('query', 'scan', 'window')
+                    GROUP BY doc_id),
+            j AS (SELECT t.doc_id, b.dl, s.n_tok,
+                         c.cf0, c.cf1, c.cf2, t.tf0, t.tf1, t.tf2
+                  FROM tfd t JOIN base b USING (doc_id),
+                       stats s, cf c),
+            sc AS (SELECT doc_id,
+                     (CASE WHEN cf0 > 0 THEN
+                        CAST(floor(ln(tf0 * n_tok + 2000 * cf0) * 1000000)
+                             AS BIGINT)
+                        - CAST(floor(ln(dl + 2000) * 1000000) AS BIGINT)
+                        - CAST(floor(ln(n_tok) * 1000000) AS BIGINT)
+                      ELSE 0 END)
+                   + (CASE WHEN cf1 > 0 THEN
+                        CAST(floor(ln(tf1 * n_tok + 2000 * cf1) * 1000000)
+                             AS BIGINT)
+                        - CAST(floor(ln(dl + 2000) * 1000000) AS BIGINT)
+                        - CAST(floor(ln(n_tok) * 1000000) AS BIGINT)
+                      ELSE 0 END)
+                   + (CASE WHEN cf2 > 0 THEN
+                        CAST(floor(ln(tf2 * n_tok + 2000 * cf2) * 1000000)
+                             AS BIGINT)
+                        - CAST(floor(ln(dl + 2000) * 1000000) AS BIGINT)
+                        - CAST(floor(ln(n_tok) * 1000000) AS BIGINT)
+                      ELSE 0 END) AS score_micro
+                   FROM j),
+            rk AS (SELECT doc_id, score_micro,
+                          CAST(row_number() OVER (
+                               ORDER BY score_micro DESC, doc_id ASC)
+                               AS BIGINT) AS rank
+                   FROM sc)
+            SELECT doc_id, score_micro, rank FROM rk WHERE rank <= 15
         """,
         # k-anonymity cells over (lang, source, n_chars div 500);
         # non-negative operands so // ≡ div

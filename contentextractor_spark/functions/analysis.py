@@ -8227,3 +8227,84 @@ def ngram_novelty(
             F.expr("n_novel * 1000 div n_occ").alias("novelty_permille"),
         )
     )
+
+
+def qlm_search(
+    docs: DataFrame, terms: list[str], k: int = 10, mu: int = 2000
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty 2001) — the LM-based ranking that sits next to bm25_search
+    in every retrieval stack:
+
+        score(d) = Σ_t ln p(t|d),
+        p(t|d) = (tf_td + μ·p(t|C)) / (len_d + μ)
+
+    Candidates are docs containing ≥ 1 query term (the bm25 convention);
+    every query term contributes — a missing term still adds its
+    smoothed ln(μ·cf_t / C) mass, which is what separates QLM from a
+    tf-only score.  Query terms absent from the WHOLE collection have
+    p(t|C)=0 (ln undefined) and are dropped from the sum, documented.
+
+    Exactness: each component is ln of an INTEGER —
+        ln(tf·C + μ·cf_t) − ln(len_d + μ) − ln(C)
+    — quantized to micro-nats (floor·10⁶) BEFORE summation, so the
+    per-doc sum is an order-free integer (the unigram_surprisal
+    convention; same documented 1-ulp-at-floor-boundary caveat).  Rank
+    keys (score_micro DESC, doc_id ASC) are pure integers.
+
+    Scale: the term filter prunes the token stream BEFORE any shuffle
+    (≤ docs × |terms| rows); collection stats ride a ONE-ROW broadcast
+    crossJoin; top-k is orderBy().limit(k) — TakeOrderedAndProject —
+    with rank derived over the k survivors."""
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("qlm_search needs at least one term")
+    if mu < 1:
+        raise ValueError("mu must be >= 1")
+    words = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", words.alias("ws"), F.size(words).alias("dl"))
+    tok = base.select("doc_id", F.explode("ws").alias("term")).filter(
+        F.col("term").isin(uniq)
+    )
+    cfs = tok.agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__cf{i}")
+            for i, t in enumerate(uniq)
+        ]
+    )
+    stats = (
+        base.agg(F.sum("dl").cast("long").alias("n_tok"))
+        .crossJoin(cfs)
+    )
+    tfd = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__tf{i}")
+            for i, t in enumerate(uniq)
+        ]
+    )
+    joined = (
+        tfd.join(base.select("doc_id", "dl"), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+
+    def lnq(col):
+        return F.floor(F.log(col.cast("double")) * 1000000.0).cast("long")
+
+    score = F.lit(0).cast("long")
+    for i in range(len(uniq)):  # fixed addition order (integers anyway)
+        cf, tf = F.col(f"__cf{i}"), F.col(f"__tf{i}")
+        contrib = (
+            lnq(tf * F.col("n_tok") + F.lit(int(mu)) * cf)
+            - lnq(F.col("dl") + F.lit(int(mu)))
+            - lnq(F.col("n_tok"))
+        )
+        score = score + F.when(cf > 0, contrib).otherwise(F.lit(0))
+    ranked = joined.select("doc_id", score.alias("score_micro"))
+    order = [F.col("score_micro").desc(), F.col("doc_id").asc()]
+    topk = ranked.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))

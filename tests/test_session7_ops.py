@@ -189,3 +189,58 @@ def test_ngram_novelty_repeats_inside_first_doc_count_novel(spark):
     out = A.ngram_novelty(docs, n=3, n_buckets=1).collect()[0]
     # 6 trigram occurrences, all in the min doc → all novel
     assert (out.n_occ, out.n_novel, out.novelty_permille) == (6, 6, 1000)
+
+
+# ------------------------------------------------------------ qlm_search
+
+
+def test_qlm_exact_micro_nats(spark):
+    import math
+
+    docs = _tdocs(
+        spark, [(0, "a b c d", "en"), (1, "a a b b", "en")]
+    )
+    out = {r.doc_id: r.score_micro for r in A.qlm_search(docs, ["a"]).collect()}
+    n_tok, mu = 8, 2000
+    cf = 3
+
+    def score(tf, dl):
+        return (
+            math.floor(math.log(tf * n_tok + mu * cf) * 1e6)
+            - math.floor(math.log(dl + mu) * 1e6)
+            - math.floor(math.log(n_tok) * 1e6)
+        )
+
+    assert out == {0: score(1, 4), 1: score(2, 4)}
+    assert out[1] > out[0]  # higher tf, same length → higher likelihood
+
+
+def test_qlm_missing_term_still_contributes_smoothed_mass(spark):
+    # both docs contain 'a'; only doc 0 contains 'b' → doc 0 must rank
+    # first even though tf_a is equal (the smoothing-only 'b' term on
+    # doc 1 is worth less than doc 0's observed one)
+    docs = _tdocs(spark, [(0, "a b", "en"), (1, "a c", "en")])
+    rows = A.qlm_search(docs, ["a", "b"]).collect()
+    top = min(rows, key=lambda r: r.rank)
+    assert top.doc_id == 0
+    assert len(rows) == 2  # doc 1 is still a candidate (has 'a')
+
+
+def test_qlm_corpus_absent_term_is_dropped(spark):
+    docs = _tdocs(spark, [(0, "a b", "en"), (1, "a c", "en")])
+    with_ghost = {
+        r.doc_id: r.score_micro
+        for r in A.qlm_search(docs, ["a", "zzz"]).collect()
+    }
+    without = {
+        r.doc_id: r.score_micro for r in A.qlm_search(docs, ["a"]).collect()
+    }
+    assert with_ghost == without
+
+
+def test_qlm_validates_args(spark):
+    docs = _tdocs(spark, [(0, "a", "en")])
+    with pytest.raises(ValueError):
+        A.qlm_search(docs, [])
+    with pytest.raises(ValueError):
+        A.qlm_search(docs, ["a"], mu=0)
