@@ -2812,6 +2812,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "value",
         )
 
+    def _list_pages(docs):
+        # r5 session-7 list-page grammar: always a <ul> of two items (one
+        # fixed-affine label, one word-slice — the tables trick), a third
+        # item on %3 docs (shifts nothing — item_idx is per-list), and a
+        # one-item <ol> on %4 docs that must get list_idx 1.  Nesting is
+        # deliberately absent here (unit-tested directly in
+        # tests/test_session7_ops.py — the roundtrip keeps the oracle
+        # closed-form, the table-fixture convention)
+        docs = docs.filter(F.col("text").isNotNull())
+        ws = F.split("text", " ")
+        a1 = F.concat_ws(" ", F.slice(ws, 1, 2))
+        return docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.encode(
+                F.concat(
+                    F.lit("<html><body><p>"),
+                    F.col("text"),
+                    F.lit("</p><ul><li>alpha w"),
+                    F.pmod("doc_id", 7).cast("string"),
+                    F.lit("</li><li>"),
+                    a1,
+                    F.lit("</li>"),
+                    F.when(
+                        F.pmod("doc_id", 3) == 0, F.lit("<li>gamma</li>")
+                    ).otherwise(F.lit("")),
+                    F.lit("</ul>"),
+                    F.when(
+                        F.pmod("doc_id", 4) == 0,
+                        F.concat(
+                            F.lit("<ol><li>first o"),
+                            F.pmod("doc_id", 5).cast("string"),
+                            F.lit("</li></ol>"),
+                        ),
+                    ).otherwise(F.lit("")),
+                    F.lit("</body></html>"),
+                ),
+                "UTF-8",
+            ).alias("html"),
+        )
+
+    def extract_lists_roundtrip(spark, sf_dir):
+        # r5 session-7: list extraction through the REAL pipeline shape
+        # (salted repartition → mapInPandas DOM walk); every item of
+        # every list predicted by the SQL builder
+        from contentextractor_spark.plans.pipeline import extract_lists
+
+        pages = _list_pages(_docs(spark, sf_dir))
+        out = extract_lists(pages, num_buckets=8)
+        return out.select(
+            F.col("url").cast("long").alias("doc_id"),
+            "list_idx",
+            "list_type",
+            "item_idx",
+            "item",
+        )
+
+    def list_stats(spark, sf_dir):
+        # r5 session-7 composition: extracted items → per-doc structure
+        # profile; the closed-form oracle means a walker drift in any
+        # residue branch shifts a count and breaks the hash
+        from contentextractor_spark.plans.pipeline import extract_lists
+
+        pages = _list_pages(_docs(spark, sf_dir))
+        out = extract_lists(pages, num_buckets=8)
+        per_list = out.groupBy(
+            F.col("url").cast("long").alias("doc_id"), "list_idx"
+        ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+        return per_list.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_lists"),
+            F.sum("n").cast("long").alias("n_items"),
+            F.max("n").cast("long").alias("max_list_len"),
+        )
+
     def script_profile(spark, sf_dir):
         # r5 session-2: per-doc Unicode script composition.  Script
         # snippets planted by residue (shared _SCRIPT_SNIPPETS constant
@@ -3311,6 +3384,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ngrams": distinct_ngrams,
         "ngram_novelty": ngram_novelty,
         "qlm_search": qlm_search,
+        "extract_lists_roundtrip": extract_lists_roundtrip,
+        "list_stats": list_stats,
         "compaction_plan": compaction_plan,
         "textrank_keywords": textrank_keywords,
         "events_anomaly": events_anomaly,
@@ -7078,6 +7153,39 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_novel * 1000 // n_occ AS BIGINT)
                        AS novelty_permille
             FROM agg
+        """,
+        # list roundtrip: the builder grammar replayed as closed-form
+        # rows — ul items 0/1 always, item 2 on %3, the %4 <ol> at
+        # list_idx 1 (word-slice via the tables trick)
+        "extract_lists_roundtrip": """
+            SELECT doc_id, CAST(0 AS INT) AS list_idx, 'ul' AS list_type,
+                   CAST(0 AS INT) AS item_idx,
+                   'alpha w' || CAST(doc_id % 7 AS VARCHAR) AS item
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INT), 'ul', CAST(1 AS INT),
+                   array_to_string(list_slice(string_split(text, ' '), 1, 2),
+                                   ' ')
+            FROM documents WHERE text IS NOT NULL
+            UNION ALL
+            SELECT doc_id, CAST(0 AS INT), 'ul', CAST(2 AS INT), 'gamma'
+            FROM documents WHERE text IS NOT NULL AND doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id, CAST(1 AS INT), 'ol', CAST(0 AS INT),
+                   'first o' || CAST(doc_id % 5 AS VARCHAR)
+            FROM documents WHERE text IS NOT NULL AND doc_id % 4 = 0
+        """,
+        # list structure profile: closed-form in the grammar residues
+        "list_stats": """
+            SELECT doc_id,
+                   CAST(1 + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_lists,
+                   CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                          + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_items,
+                   CAST(2 + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS max_list_len
+            FROM documents WHERE text IS NOT NULL
         """,
         # Dirichlet QLM: candidates = docs with >=1 term; per-term
         # micro-nat components, every ln argument an integer; terms with

@@ -491,6 +491,102 @@ def extract_tables(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
     return partitioned.mapInPandas(_extract_table_batches, schema=TABLES_SCHEMA)
 
 
+LISTS_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("list_idx", IntegerType()),
+        StructField("list_type", StringType()),
+        StructField("item_idx", IntegerType()),
+        StructField("item", StringType()),
+        StructField("bucket_id", IntegerType()),
+        StructField("partition_id", IntegerType()),
+    ]
+)
+
+
+def _own_list_descendants(el):
+    """Preorder element descendants of `el`, NOT descending into nested
+    <ul>/<ol> subtrees — the table-walker convention (`
+    _own_table_descendants`): the nested list is still YIELDED (the outer
+    document walk gives it its own list_idx) but its <li> items belong to
+    it, not to the enclosing list."""
+    stack = [c for c in reversed(el.children) if c.__class__.__name__ == "Element"]
+    while stack:
+        n = stack.pop()
+        yield n
+        if n.tag not in ("ul", "ol"):
+            stack.extend(
+                [c for c in reversed(n.children) if c.__class__.__name__ == "Element"]
+            )
+
+
+def _extract_list_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: page → one row per list ITEM, in document order
+    (lists numbered by preorder position over <ul>/<ol> — nested lists
+    get their own list_idx; items by <li> order within their OWN list,
+    nested subtrees excluded).  Item text is jsoup-normalized
+    Element.text(), so an item that CONTAINS a nested list also includes
+    that list's text (jsoup semantics — same rule as table cells).  A
+    page that fails to decode or parse contributes zero rows (the
+    extractor error contract)."""
+    from pyspark import TaskContext
+
+    from ..extractor import decode_html
+    from ..operators.dom import parse_xml
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        cols: dict[str, list] = {
+            k: []
+            for k in (
+                "url", "list_idx", "list_type", "item_idx", "item",
+                "bucket_id",
+            )
+        }
+        for u, data, bucket in zip(pdf["url"], pdf["html"], pdf["bucket_id"]):
+            try:
+                html = decode_html(bytes(data) if data is not None else b"")
+                doc = parse_xml(html)
+                lists = [
+                    el for el in doc.iter_elements() if el.tag in ("ul", "ol")
+                ]
+            except Exception:  # noqa: BLE001 — per-URL catch-all
+                lists = []
+            us = None if u is None else str(u)
+            for l_idx, lst in enumerate(lists):
+                items = [
+                    n for n in _own_list_descendants(lst) if n.tag == "li"
+                ]
+                for i_idx, li in enumerate(items):
+                    cols["url"].append(us)
+                    cols["list_idx"].append(l_idx)
+                    cols["list_type"].append(lst.tag)
+                    cols["item_idx"].append(i_idx)
+                    cols["item"].append(li.text())
+                    cols["bucket_id"].append(bucket)
+        if cols["url"]:
+            out = pd.DataFrame(cols)
+            out["partition_id"] = pid
+            yield out
+
+
+def extract_lists(pages: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """List extraction — pages(url, html) → one row per <li> item, the
+    enumerable-content feed (navigation menus, step lists, bullet facts)
+    completing the structured-extraction trio with extract_tables and
+    extract_headings.  Identical scale shape to extract_pages: pruned
+    scan → ONE salted repartition → mapInPandas flat-map; no shuffle
+    after the flat-map, output volume bounded per Arrow batch."""
+    ensure_pyfiles(pages.sparkSession)
+    keyed = salted_bucket(pages, "html", num_buckets)
+    partitioned = keyed.repartition(num_buckets, F.col("bucket_id"))
+    return partitioned.mapInPandas(_extract_list_batches, schema=LISTS_SCHEMA)
+
+
 META_ROBOTS_SCHEMA = StructType(
     [
         StructField("url", StringType()),

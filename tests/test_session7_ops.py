@@ -244,3 +244,50 @@ def test_qlm_validates_args(spark):
         A.qlm_search(docs, [])
     with pytest.raises(ValueError):
         A.qlm_search(docs, ["a"], mu=0)
+
+
+# ---------------------------------------------------------- extract_lists
+
+
+def _run_list_walker(html_bytes, url="1"):
+    import pandas as pd
+
+    from contentextractor_spark.plans.pipeline import _extract_list_batches
+
+    pdf = pd.DataFrame({"url": [url], "html": [html_bytes], "bucket_id": [0]})
+    frames = list(_extract_list_batches(iter([pdf])))
+    if not frames:
+        return []
+    out = pd.concat(frames)
+    return list(
+        out[["list_idx", "list_type", "item_idx", "item"]].itertuples(
+            index=False, name=None
+        )
+    )
+
+
+def test_list_walker_nested_list_gets_own_idx_and_text_rides_up():
+    rows = _run_list_walker(
+        b"<html><body><ul><li>alpha one</li>"
+        b"<li>beta <ul><li>nested x</li></ul></li></ul>"
+        b"<ol><li>first</li><li>second</li></ol></body></html>"
+    )
+    assert rows == [
+        (0, "ul", 0, "alpha one"),
+        # enclosing item text INCLUDES nested list text (jsoup rule)
+        (0, "ul", 1, "beta nested x"),
+        # nested list is its own list_idx, in preorder BEFORE the <ol>
+        (1, "ul", 0, "nested x"),
+        (2, "ol", 0, "first"),
+        (2, "ol", 1, "second"),
+    ]
+
+
+def test_list_walker_empty_list_contributes_no_rows():
+    rows = _run_list_walker(b"<html><body><ul></ul><ol><li>a</li></ol></body></html>")
+    # the empty <ul> still consumes list_idx 0 (preorder numbering)
+    assert rows == [(1, "ol", 0, "a")]
+
+
+def test_list_walker_poison_page_zero_rows():
+    assert _run_list_walker(b"\xff\xfe\x00 garbage \x00") in ([],)
