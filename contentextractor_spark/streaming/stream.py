@@ -94,6 +94,24 @@ def stream_extract_tables(pages_stream: DataFrame, num_buckets: int = 32) -> Dat
     return keyed.mapInPandas(_extract_table_batches, schema=TABLES_SCHEMA)
 
 
+def stream_extract_lists(pages_stream: DataFrame, num_buckets: int = 32) -> DataFrame:
+    """Streaming list extraction: the SAME _extract_list_batches flat-map
+    as the batch stage (plans.pipeline.extract_lists) — item numbering is
+    per-page state inside one flat-map row-group, so incremental arrival
+    cannot change any page's rows; batch/stream parity by construction,
+    tested."""
+    from ..plans.pipeline import (
+        LISTS_SCHEMA,
+        _extract_list_batches,
+        ensure_pyfiles,
+        salted_bucket,
+    )
+
+    ensure_pyfiles(pages_stream.sparkSession)
+    keyed = salted_bucket(pages_stream, "html", num_buckets)
+    return keyed.mapInPandas(_extract_list_batches, schema=LISTS_SCHEMA)
+
+
 def stream_extract_headings(
     pages_stream: DataFrame, num_buckets: int = 32
 ) -> DataFrame:

@@ -556,3 +556,37 @@ def test_stream_weighted_sample_matches_batch(spark, tmp_path):
     got = {(r.doc_id, r.w) for r in rows}
     want = {(r.doc_id, r.w) for r in A.weighted_sample(batch).collect()}
     assert got == want and 0 < len(want) < 300
+
+
+def test_stream_extract_lists_matches_batch(spark, tmp_path):
+    from contentextractor_spark.plans.pipeline import extract_lists
+    from contentextractor_spark.streaming.stream import stream_extract_lists
+
+    rows = []
+    for i in range(12):
+        html = (
+            "<html><body><ul><li>a%d</li><li>b</li></ul>" % i
+            + ("<ol><li>o%d</li></ol>" % i if i % 3 == 0 else "")
+            + "</body></html>"
+        ).encode()
+        rows.append((f"u{i}", html))
+    rows.append(("bad", b"\xff\xfe not html"))
+    batch_df = spark.createDataFrame(rows, "url string, html binary")
+    in_dir = str(tmp_path / "lin")
+    batch_df.repartition(2).write.parquet(in_dir)
+
+    stream = read_pages_stream(spark, in_dir, max_files_per_trigger=1)
+    q = (
+        stream_extract_lists(stream, num_buckets=8)
+        .writeStream.format("memory")
+        .queryName("lists_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "lists stream did not finish in 120 s"
+    key = lambda r: (r.url, r.list_idx, r.list_type, r.item_idx, r.item)  # noqa: E731
+    got = {key(r) for r in spark.sql("SELECT * FROM lists_stream").collect()}
+    want = {key(r) for r in extract_lists(batch_df, num_buckets=8).collect()}
+    assert want, "fixture pages produced no list items"
+    assert got == want  # streaming == batch item rows
