@@ -3366,6 +3366,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["query", "scan", "window"], k=15
         )
 
+    def curriculum_order(spark, sf_dir):
+        # r5 session-7: easy-first banded training order — alpha-permille
+        # threshold bands + the epoch_shuffle md5 permutation within
+        # (band, shard); one balanced exchange, no corpus sort
+        return A.curriculum_order(_docs(spark, sf_dir), n_shards=16)
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3384,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_ngrams": distinct_ngrams,
         "ngram_novelty": ngram_novelty,
         "qlm_search": qlm_search,
+        "curriculum_order": curriculum_order,
         "extract_lists_roundtrip": extract_lists_roundtrip,
         "list_stats": list_stats,
         "compaction_plan": compaction_plan,
@@ -7153,6 +7160,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_novel * 1000 // n_occ AS BIGINT)
                        AS novelty_permille
             FROM agg
+        """,
+        # curriculum: alpha-permille threshold bands + the epoch_shuffle
+        # md5 permutation within (band, shard)
+        "curriculum_order": f"""
+            WITH sc AS (
+              SELECT doc_id,
+                     CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                          AS BIGINT) * 1000 // (length(text) + 1) AS q
+              FROM documents),
+            keyed AS (
+              SELECT doc_id,
+                     (1000 - q) // 250 AS band,
+                     md5('cur0:' || doc_id) AS k,
+                     {_hex_int_sql("md5('cur0:' || doc_id)", 1, 8)} % 16
+                         AS shard
+              FROM sc)
+            SELECT doc_id, CAST(band AS BIGINT) AS band,
+                   CAST(shard AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY band, shard
+                                           ORDER BY k, doc_id) - 1
+                        AS BIGINT) AS pos
+            FROM keyed
         """,
         # list roundtrip: the builder grammar replayed as closed-form
         # rows — ul items 0/1 always, item 2 on %3, the %4 <ol> at

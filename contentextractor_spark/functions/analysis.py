@@ -8308,3 +8308,61 @@ def qlm_search(
     topk = ranked.orderBy(*order).limit(k)
     w = Window.orderBy(*order)
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def curriculum_order(
+    docs: DataFrame,
+    n_shards: int = 16,
+    band_width: int = 250,
+    seed: str = "cur0",
+) -> DataFrame:
+    """Curriculum training order (easy-first pacing, Bengio et al. 2009):
+    (doc_id, band, shard, pos) where readers consume bands in ascending
+    order and shuffle within a band — the data-ordering plan a staged
+    pretraining run wants next to epoch_shuffle_plan (which decorrelates
+    but ignores difficulty).
+
+    Difficulty bands are THRESHOLDS on the integer alpha-ratio permille
+    q (the domain_quality_prior proxy): band = (1000 − q) div band_width,
+    0 = cleanest text first.  Threshold bands, never percentile ranks —
+    a percentile curriculum needs a corpus-wide sort; bands keep the
+    plan's shuffle count identical to epoch_shuffle_plan.  Within a band,
+    shard/pos are the epoch_shuffle md5(seed:doc_id) permutation, so
+    consecutive batches inside a band stay decorrelated from ingest
+    order and a re-run reproduces the epoch exactly.
+
+    Scale: ONE exchange hash-partitioned on (band, shard) + a
+    within-partition sort; bands × shards partitions are balanced by the
+    md5 shard assignment.  Non-negative div operands throughout
+    (Spark div ≡ DuckDB //)."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    if band_width < 1:
+        raise ValueError("band_width must be >= 1")
+    q = F.expr(
+        "cast(length(regexp_replace(text, '[^a-zA-Z]', '')) as bigint)"
+        " * 1000 div (length(text) + 1)"
+    )
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+        F.lit(int(n_shards)),
+    )
+    keyed = docs.select(
+        "doc_id",
+        (F.lit(1000) - q).cast("long").alias("__d"),
+        shard.alias("shard"),
+        key.alias("__k"),
+    ).select(
+        "doc_id",
+        F.expr(f"__d div {int(band_width)}").alias("band"),
+        "shard",
+        "__k",
+    )
+    w = Window.partitionBy("band", "shard").orderBy("__k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "band",
+        "shard",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

@@ -291,3 +291,42 @@ def test_list_walker_empty_list_contributes_no_rows():
 
 def test_list_walker_poison_page_zero_rows():
     assert _run_list_walker(b"\xff\xfe\x00 garbage \x00") in ([],)
+
+
+# ------------------------------------------------------- curriculum_order
+
+
+def test_curriculum_bands_by_alpha_ratio(spark):
+    docs = _tdocs(
+        spark,
+        [
+            (0, "abcdefgh", "en"),      # q = 8000/9 = 888 → band 0
+            (1, "ab 12 345 678 9", "en"),  # q = 2000/16 = 125 → band 3
+        ],
+    )
+    out = {r.doc_id: r.band for r in A.curriculum_order(docs).collect()}
+    assert out == {0: 0, 1: 3}
+
+
+def test_curriculum_pos_contiguous_within_band_shard(spark):
+    docs = _tdocs(spark, [(i, "alpha beta", "en") for i in range(40)])
+    rows = A.curriculum_order(docs, n_shards=4).collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault((r.band, r.shard), []).append(r.pos)
+    for poss in groups.values():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_curriculum_seed_changes_permutation_not_bands(spark):
+    docs = _tdocs(spark, [(i, "alpha beta", "en") for i in range(60)])
+    a = {r.doc_id: (r.band, r.shard, r.pos)
+         for r in A.curriculum_order(docs, seed="cur0").collect()}
+    b = {r.doc_id: (r.band, r.shard, r.pos)
+         for r in A.curriculum_order(docs, seed="cur1").collect()}
+    assert {k: v[0] for k, v in a.items()} == {k: v[0] for k, v in b.items()}
+    assert a != b  # the shard/pos permutation moved
+    # same seed reproduces exactly
+    c = {r.doc_id: (r.band, r.shard, r.pos)
+         for r in A.curriculum_order(docs, seed="cur0").collect()}
+    assert a == c
