@@ -3372,6 +3372,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (band, shard); one balanced exchange, no corpus sort
         return A.curriculum_order(_docs(spark, sf_dir), n_shards=16)
 
+    def _eval_queries(docs):
+        # retrieval-eval query set: every %25 doc contributes one query
+        # of its first three DISTINCT words — truth doc = query_id (the
+        # planted-relevance convention; both oracles replay the slice)
+        ws = F.split("text", " ")
+        return docs.filter(
+            F.col("text").isNotNull() & (F.pmod("doc_id", 25) == 0)
+        ).select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice(ws, 1, 3))).alias("term"),
+        )
+
+    def bm25_batch(spark, sf_dir):
+        # r5 session-7: many-query BM25 in one job — per-(q,d,t) double
+        # contributions floored to micro-units BEFORE the order-free
+        # integer sum; top-10 per query via a query-partitioned window
+        docs = _docs(spark, sf_dir)
+        return A.bm25_batch(docs, _eval_queries(docs), k=10)
+
+    def retrieval_eval(spark, sf_dir):
+        # r5 session-7: the SHIPPED batched ranker scored against the
+        # planted truth (query_id = source doc) — hit@1/hit@10 and the
+        # integer reciprocal-rank sum, the lsh_eval pattern
+        docs = _docs(spark, sf_dir)
+        return A.retrieval_eval(docs, _eval_queries(docs), k=10)
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3391,6 +3417,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_novelty": ngram_novelty,
         "qlm_search": qlm_search,
         "curriculum_order": curriculum_order,
+        "bm25_batch": bm25_batch,
+        "retrieval_eval": retrieval_eval,
         "extract_lists_roundtrip": extract_lists_roundtrip,
         "list_stats": list_stats,
         "compaction_plan": compaction_plan,
@@ -3905,6 +3933,60 @@ def _hex_int_sql(expr: str, start: int, nd: int) -> str:
         f" * {16 ** (nd - 1 - d)}"
         for d in range(nd)
     ) + " AS BIGINT)"
+
+
+def _bm25_batch_ctes() -> str:
+    """Shared CTE chain for the batched-BM25 oracles (bm25_batch +
+    retrieval_eval): query set = first 3 distinct words of every %25
+    doc, per-(query, doc, term) double contribution floored to
+    micro-units (expression tree kept IDENTICAL to analysis.bm25_batch),
+    order-free integer sums, top-10 per query.  Ends with the `brk` CTE
+    of ranked rows — parameterized helper, never inline it twice."""
+    return """
+            base AS (SELECT doc_id, string_split(text, ' ') AS ws,
+                            CAST(len(string_split(text, ' ')) AS BIGINT)
+                                AS dl
+                     FROM documents),
+            bq AS (SELECT DISTINCT doc_id AS query_id, term
+                   FROM (SELECT doc_id,
+                                unnest(list_slice(
+                                    string_split(text, ' '), 1, 3)) AS term
+                         FROM documents
+                         WHERE text IS NOT NULL AND doc_id % 25 = 0)),
+            bstats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(dl) AS BIGINT) AS total_dl
+                       FROM base),
+            btok AS (SELECT doc_id, dl, unnest(ws) AS term FROM base),
+            btf AS (SELECT doc_id, dl, term,
+                           CAST(count(*) AS BIGINT) AS tf
+                    FROM btok WHERE term IN (SELECT term FROM bq)
+                    GROUP BY 1, 2, 3),
+            bdfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                     FROM btf GROUP BY term),
+            bc AS (SELECT qq.query_id, btf.doc_id,
+                          CAST(floor(
+                               ln(CAST(1.0 AS DOUBLE)
+                                  + (s.n_docs - bdfs.df
+                                     + CAST(0.5 AS DOUBLE))
+                                    / (bdfs.df + CAST(0.5 AS DOUBLE)))
+                               * (btf.tf * CAST(2.2 AS DOUBLE))
+                               / (btf.tf + CAST(1.2 AS DOUBLE)
+                                  * (CAST(0.25 AS DOUBLE)
+                                     + CAST(0.75 AS DOUBLE) * btf.dl
+                                       * s.n_docs / s.total_dl))
+                               * CAST(1000000 AS DOUBLE)) AS BIGINT) AS cm
+                   FROM btf JOIN bdfs USING (term)
+                   JOIN bq qq USING (term), bstats s),
+            bsc AS (SELECT query_id, doc_id,
+                           CAST(sum(cm) AS BIGINT) AS score_micro
+                    FROM bc GROUP BY 1, 2),
+            brk AS (SELECT query_id, doc_id, score_micro,
+                           CAST(row_number() OVER (
+                                PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id)
+                                AS BIGINT) AS rank
+                    FROM bsc)
+    """
 
 
 # MinHash 2-band membership over _SIG_CTE — the DuckDB twin of
@@ -7182,6 +7264,30 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY k, doc_id) - 1
                         AS BIGINT) AS pos
             FROM keyed
+        """,
+        # batched BM25 over the %25 planted query set (shared CTE chain)
+        "bm25_batch": f"""
+            WITH {_bm25_batch_ctes()}
+            SELECT query_id, doc_id, score_micro, rank
+            FROM brk WHERE rank <= 10
+        """,
+        # the shipped ranker scored against planted truth; integer
+        # reciprocal ranks (1000 // rank)
+        "retrieval_eval": f"""
+            WITH {_bm25_batch_ctes()},
+            topk AS (SELECT * FROM brk WHERE rank <= 10),
+            hits AS (SELECT * FROM topk WHERE query_id = doc_id),
+            qn AS (SELECT CAST(count(DISTINCT query_id) AS BIGINT)
+                       AS n_queries FROM bq),
+            ag AS (SELECT CAST(count(*) AS BIGINT) AS n_hits,
+                          CAST(COALESCE(sum(CASE WHEN rank = 1
+                                            THEN 1 ELSE 0 END), 0)
+                               AS BIGINT) AS hits_at_1,
+                          CAST(COALESCE(sum(1000 // rank), 0) AS BIGINT)
+                              AS rr_milli_sum
+                   FROM hits)
+            SELECT qn.n_queries, ag.n_hits, ag.hits_at_1, ag.rr_milli_sum
+            FROM qn CROSS JOIN ag
         """,
         # list roundtrip: the builder grammar replayed as closed-form
         # rows — ul items 0/1 always, item 2 on %3, the %4 <ol> at

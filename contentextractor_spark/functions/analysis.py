@@ -8366,3 +8366,114 @@ def curriculum_order(
         "shard",
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+def bm25_batch(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched BM25: score MANY queries in one job — `queries` is the
+    exploded (query_id, term) set and the result is each query's top-k
+    (query_id, doc_id, score_micro, rank).  bm25_search runs one query
+    with fixed-order per-term sums; that trick needs a static term list,
+    so the batched form gets order-freedom differently: each (query,
+    doc, term) contribution is ONE double built from an expression tree
+    kept IDENTICAL to the oracle's (IEEE ops are deterministic given
+    identical inputs), quantized to integer micro-units via floor BEFORE
+    the per-(query, doc) sum — integer sums are order-free (the
+    unigram_surprisal convention; ln's documented 1-ulp-at-boundary
+    caveat applies).
+
+    Scale: the query-term vocabulary broadcast-prunes the token stream
+    BEFORE the tf shuffle; per-term df comes off the pruned tf table;
+    collection stats ride a ONE-ROW broadcast; the final top-k window
+    partitions by query_id (balanced — candidate sets are df-bounded),
+    never a global sort."""
+    qterms = queries.select("query_id", "term").distinct()
+    terms = qterms.select("term").distinct()
+    words = F.split(F.col("text"), " ")
+    base = docs.select("doc_id", words.alias("ws"), F.size(words).alias("dl"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_dl"),
+    )
+    tok = base.select(
+        "doc_id", "dl", F.explode("ws").alias("term")
+    ).join(F.broadcast(terms), "term")
+    tf = tok.groupBy("doc_id", "dl", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    j = (
+        tf.join(dfs, "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    contrib = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (
+                F.lit(1.0 - b)
+                + F.lit(b) * F.col("dl") * F.col("n_docs") / F.col("total_dl")
+            )
+        )
+    )
+    cm = F.floor(contrib * F.lit(1000000.0)).cast("long")
+    scored = j.select("query_id", "doc_id", cm.alias("cm")).groupBy(
+        "query_id", "doc_id"
+    ).agg(F.sum("cm").cast("long").alias("score_micro"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)
+
+
+def retrieval_eval(
+    docs: DataFrame, queries: DataFrame, k: int = 10
+) -> DataFrame:
+    """Retrieval calibration row (the lsh_eval pattern, retrieval
+    edition): run the SHIPPED batched ranker over queries whose truth
+    doc is known (query_id = the doc the query terms were drawn from)
+    and report hit@1, hit@k and the reciprocal-rank sum — the numbers a
+    search team watches when they touch tokenization or scoring.
+    rr_milli = 1000 div rank (integer — deterministic, slightly
+    truncating, documented).
+
+    Scale: one bm25_batch job + two tiny aggregates; nothing beyond the
+    ranker's own shuffles."""
+    ranked = bm25_batch(docs, queries, k=k)
+    hits = ranked.filter(F.col("query_id") == F.col("doc_id"))
+    q_tot = queries.select("query_id").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries")
+    )
+    agg = hits.agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.sum((F.col("rank") == 1).cast("long"))
+        .cast("long")
+        .alias("hits_at_1"),
+        F.sum(F.expr("1000 div rank")).cast("long").alias("rr_milli_sum"),
+    )
+    return (
+        q_tot.crossJoin(F.broadcast(agg))
+        .select(
+            "n_queries",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.coalesce("hits_at_1", F.lit(0)).cast("long").alias("hits_at_1"),
+            F.coalesce("rr_milli_sum", F.lit(0))
+            .cast("long")
+            .alias("rr_milli_sum"),
+        )
+    )

@@ -330,3 +330,63 @@ def test_curriculum_seed_changes_permutation_not_bands(spark):
     c = {r.doc_id: (r.band, r.shard, r.pos)
          for r in A.curriculum_order(docs, seed="cur0").collect()}
     assert a == c
+
+
+# ---------------------------------------------------- batched retrieval
+
+
+def _qdf(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, term string")
+
+
+def test_bm25_batch_matches_single_query_ranking(spark):
+    docs = _tdocs(
+        spark,
+        [
+            (0, "x x y filler filler", "en"),
+            (1, "x filler filler filler filler", "en"),
+            (2, "filler filler filler filler filler", "en"),
+            (3, "y y x x filler", "en"),
+        ],
+    )
+    batch = {
+        (r.query_id, r.doc_id): r.rank
+        for r in A.bm25_batch(docs, _qdf(spark, [(9, "x"), (9, "y")])).collect()
+    }
+    single = {
+        r.doc_id: r.rank for r in A.bm25_search(docs, ["x", "y"]).collect()
+    }
+    assert {d: rk for (q, d), rk in batch.items()} == single
+
+
+def test_bm25_batch_scores_queries_independently(spark):
+    docs = _tdocs(
+        spark, [(0, "a b filler", "en"), (1, "c d filler", "en")]
+    )
+    out = A.bm25_batch(
+        docs, _qdf(spark, [(10, "a"), (11, "c")])
+    ).collect()
+    got = {(r.query_id, r.doc_id, r.rank) for r in out}
+    assert got == {(10, 0, 1), (11, 1, 1)}  # no cross-query leakage
+
+
+def test_retrieval_eval_perfect_corpus(spark):
+    # each query's terms are unique to its truth doc → every hit at rank 1
+    docs = _tdocs(
+        spark,
+        [(i, f"tok{i}a tok{i}b filler filler", "en") for i in range(4)],
+    )
+    qs = _qdf(
+        spark,
+        [(i, f"tok{i}a") for i in range(4)]
+        + [(i, f"tok{i}b") for i in range(4)],
+    )
+    r = A.retrieval_eval(docs, qs, k=3).collect()[0]
+    assert (r.n_queries, r.n_hits, r.hits_at_1, r.rr_milli_sum) == (4, 4, 4, 4000)
+
+
+def test_retrieval_eval_zero_hits_row_is_zeros(spark):
+    docs = _tdocs(spark, [(0, "a b", "en"), (1, "a c", "en")])
+    # query 99's terms match docs, but truth doc 99 doesn't exist
+    r = A.retrieval_eval(docs, _qdf(spark, [(99, "a")]), k=2).collect()[0]
+    assert (r.n_queries, r.n_hits, r.hits_at_1, r.rr_milli_sum) == (1, 0, 0, 0)
