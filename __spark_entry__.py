@@ -3398,6 +3398,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir)
         return A.retrieval_eval(docs, _eval_queries(docs), k=10)
 
+    def langid_eval(spark, sf_dir):
+        # r5 session-7: confusion cells of the SHIPPED lang_id heuristic
+        # vs the corpus truth label — truth rides the carry, no join-back
+        return A.langid_eval(_docs(spark, sf_dir))
+
+    def dup_rate_by_source(spark, sf_dir):
+        # r5 session-7: per-source verbatim-repetition card (md5 groups
+        # within source, two-level groupBy, null text excluded)
+        return A.dup_rate_by_source(_docs(spark, sf_dir))
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3419,6 +3429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curriculum_order": curriculum_order,
         "bm25_batch": bm25_batch,
         "retrieval_eval": retrieval_eval,
+        "langid_eval": langid_eval,
+        "dup_rate_by_source": dup_rate_by_source,
         "extract_lists_roundtrip": extract_lists_roundtrip,
         "list_stats": list_stats,
         "compaction_plan": compaction_plan,
@@ -7264,6 +7276,40 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY k, doc_id) - 1
                         AS BIGINT) AS pos
             FROM keyed
+        """,
+        # lang_id confusion cells vs the truth label (the shipped
+        # heuristic's CJK/Latin expression inlined)
+        "langid_eval": """
+            WITH pred AS (
+              SELECT lang AS true_lang,
+                     CASE WHEN length(regexp_replace(
+                                    text, '[^一-鿿぀-ゟ゠-ヿ가-힣]', '', 'g'))
+                               > length(regexp_replace(
+                                    text, '[^a-zA-Z]', '', 'g'))
+                          THEN 'cjk' ELSE 'latin' END AS pred_lang
+              FROM documents),
+            cells AS (SELECT true_lang, pred_lang,
+                             CAST(count(*) AS BIGINT) AS n_docs
+                      FROM pred GROUP BY 1, 2),
+            tots AS (SELECT true_lang, CAST(sum(n_docs) AS BIGINT)
+                         AS class_n
+                     FROM cells GROUP BY true_lang)
+            SELECT c.true_lang, c.pred_lang, c.n_docs,
+                   CAST(c.n_docs * 1000 // t.class_n AS BIGINT)
+                       AS cell_permille
+            FROM cells c JOIN tots t USING (true_lang)
+        """,
+        # per-source exact-dup card: md5 groups within source
+        "dup_rate_by_source": """
+            WITH h AS (SELECT source, md5(text) AS hh,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM documents WHERE text IS NOT NULL
+                       GROUP BY 1, 2)
+            SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+                   CAST(count(*) AS BIGINT) AS n_unique,
+                   CAST((sum(cnt) - count(*)) * 1000 // sum(cnt)
+                        AS BIGINT) AS dup_permille
+            FROM h GROUP BY source
         """,
         # batched BM25 over the %25 planted query set (shared CTE chain)
         "bm25_batch": f"""

@@ -68,14 +68,17 @@ def token_counts_bpe(docs: DataFrame) -> DataFrame:
 CJK_CLASS = "一-鿿぀-ゟ゠-ヿ가-힣"
 
 
-def lang_id(docs: DataFrame) -> DataFrame:
+def lang_id(docs: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """n-gram/char-class language heuristic: CJK char count vs Latin.
     The CJK class covers Unified Ideographs, kana, AND Hangul syllables —
-    Korean previously fell through to 'latin' (r3 full-file review)."""
+    Korean previously fell through to 'latin' (r3 full-file review).
+    `carry` rides extra src columns through the projection (langid_eval
+    keeps the truth label without a join-back shuffle)."""
     cjk = F.length(F.regexp_replace("text", f"[^{CJK_CLASS}]", ""))
     latin = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
     return docs.select(
         "doc_id",
+        *carry,
         cjk.alias("cjk_chars"),
         latin.alias("latin_chars"),
         F.when(cjk > latin, "cjk").otherwise("latin").alias("pred_lang"),
@@ -8476,4 +8479,56 @@ def retrieval_eval(
             .cast("long")
             .alias("rr_milli_sum"),
         )
+    )
+
+
+def langid_eval(docs: DataFrame) -> DataFrame:
+    """Language-ID calibration row (the lsh_eval pattern, classifier
+    edition): the SHIPPED lang_id heuristic scored against the corpus
+    truth label — one row per (true_lang, pred_lang) confusion cell with
+    its population and the within-class permille (the per-class recall
+    diagonal a curation team reads before trusting lang routing).
+    cell_permille = n_docs · 1000 div class_n, integer.
+
+    Scale: truth rides THROUGH lang_id's projection (carry — no
+    join-back shuffle); one map-side-combinable groupBy to cells
+    (cardinality ≤ |langs|²) and a tiny class-total broadcast join."""
+    pred = lang_id(docs, carry=("lang",))
+    cells = pred.groupBy(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    tots = cells.groupBy("true_lang").agg(
+        F.sum("n_docs").cast("long").alias("class_n")
+    )
+    return cells.join(F.broadcast(tots), "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.expr("n_docs * 1000 div class_n").alias("cell_permille"),
+    )
+
+
+def dup_rate_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source exact-duplicate data card: how much of each source is
+    verbatim repetition of itself — the first number a mixture plan
+    reads next to domain_quality_prior (a high-dup source gets its
+    weight cut before any fancy near-dup pass runs).  Duplicate groups
+    are md5(text) WITHIN the source; dup_permille =
+    (n_docs − n_unique) · 1000 div n_docs.  Null-text docs are excluded
+    (md5(NULL) groups would merge; documented).
+
+    Scale: two-level groupBy — (source, hash) with map-side combine,
+    then the tiny per-source rollup; never countDistinct's expand, no
+    join, text touched once for the hash."""
+    hashed = (
+        docs.filter(F.col("text").isNotNull())
+        .groupBy("source", F.md5("text").alias("_h"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return hashed.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_unique"),
+        F.expr("(sum(cnt) - count(1)) * 1000 div sum(cnt)")
+        .cast("long")
+        .alias("dup_permille"),
     )

@@ -390,3 +390,45 @@ def test_retrieval_eval_zero_hits_row_is_zeros(spark):
     # query 99's terms match docs, but truth doc 99 doesn't exist
     r = A.retrieval_eval(docs, _qdf(spark, [(99, "a")]), k=2).collect()[0]
     assert (r.n_queries, r.n_hits, r.hits_at_1, r.rr_milli_sum) == (1, 0, 0, 0)
+
+
+# ------------------------------------------------- langid_eval / dup card
+
+
+def test_langid_eval_confusion_cells(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "hello plain words", "en", "web"),
+            (1, "more latin text", "en", "web"),
+            (2, "こんにちは世界です", "ja", "web"),
+            (3, "short", "ja", "web"),  # ja-labeled but latin-pred
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        (r.true_lang, r.pred_lang): (r.n_docs, r.cell_permille)
+        for r in A.langid_eval(docs).collect()
+    }
+    assert out == {
+        ("en", "latin"): (2, 1000),
+        ("ja", "cjk"): (1, 500),
+        ("ja", "latin"): (1, 500),
+    }
+
+
+def test_dup_rate_by_source(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "same", "en", "a"),
+            (1, "same", "en", "a"),
+            (2, "other", "en", "a"),
+            (3, "same", "en", "b"),  # cross-source copy is NOT a dup here
+            (4, None, "en", "b"),    # null text excluded
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    out = {
+        r.source: (r.n_docs, r.n_unique, r.dup_permille)
+        for r in A.dup_rate_by_source(docs).collect()
+    }
+    assert out == {"a": (3, 2, 333), "b": (1, 1, 0)}
