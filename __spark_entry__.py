@@ -3408,6 +3408,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within source, two-level groupBy, null text excluded)
         return A.dup_rate_by_source(_docs(spark, sf_dir))
 
+    def badwords_filter(spark, sf_dir):
+        # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
+        # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
+        # it past the lowercased-alpha-run matcher); neither placeholder
+        # occurs in the base corpus (verified), so the oracle is
+        # closed-form in the residues
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        planted = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.pmod("doc_id", 7) == 0, F.lit(" zetaflag here")
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.pmod("doc_id", 11) == 0, F.lit(" so OmegaFlag!")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return A.badwords_filter(planted, ["zetaflag", "omegaflag"])
+
     return {
         # ------------------------------------------------------------------
         # ORDERING INVARIANT (VERDICT r4 #1): failed-first.  The driver may
@@ -3431,6 +3452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "retrieval_eval": retrieval_eval,
         "langid_eval": langid_eval,
         "dup_rate_by_source": dup_rate_by_source,
+        "badwords_filter": badwords_filter,
         "extract_lists_roundtrip": extract_lists_roundtrip,
         "list_stats": list_stats,
         "compaction_plan": compaction_plan,
@@ -7298,6 +7320,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.n_docs * 1000 // t.class_n AS BIGINT)
                        AS cell_permille
             FROM cells c JOIN tots t USING (true_lang)
+        """,
+        # C4 wordlist gate over planted residues — closed-form (the
+        # placeholders never occur in the base corpus, verified)
+        "badwords_filter": """
+            SELECT doc_id,
+                   CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                      + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END
+                        AS BIGINT) AS n_flagged_types,
+                   CAST(CASE WHEN doc_id % 7 = 0 OR doc_id % 11 = 0
+                             THEN 0 ELSE 1 END AS BIGINT) AS kept
+            FROM documents WHERE text IS NOT NULL
         """,
         # per-source exact-dup card: md5 groups within source
         "dup_rate_by_source": """

@@ -8532,3 +8532,43 @@ def dup_rate_by_source(docs: DataFrame) -> DataFrame:
         .cast("long")
         .alias("dup_permille"),
     )
+
+
+MAX_BADWORDS = 1000
+
+
+def badwords_filter(docs: DataFrame, words: list[str]) -> DataFrame:
+    """C4-style wordlist gate (Raffel et al. 2020 §2.2 drop docs
+    containing blocklisted words): per doc, the count of DISTINCT
+    blocklisted words present and the keep verdict.  Matching is on
+    LOWERCASED ALPHA RUNS —
+    'OmegaFlag!' hits 'omegaflag' — so punctuation or case cannot smuggle
+    a listed word past the gate; substrings do NOT match ('class' never
+    hits 'ass'-style entries), the word-boundary convention.
+
+    Scale: the list rides the PLAN as a literal array
+    (array_intersect-style row-level check — zero shuffle, zero join);
+    that bounds the list at MAX_BADWORDS entries (plan size is O(list)).
+    Past the bound, raise: the right shape there is the domain_blocklist
+    broadcast-join form, not a bigger literal."""
+    lw = sorted({w.lower() for w in words})
+    if not lw:
+        raise ValueError("badwords_filter needs at least one word")
+    if len(lw) > MAX_BADWORDS:
+        raise ValueError(
+            f"{len(lw)} entries > MAX_BADWORDS={MAX_BADWORDS}: use a "
+            "broadcast-join blocklist (the domain_blocklist shape) for "
+            "lists this large"
+        )
+    toks = F.split(F.lower(F.col("text")), "[^a-z]+")
+    lit_list = F.array(*[F.lit(w) for w in lw])
+    # DISTINCT flagged types, not occurrences (array_intersect dedups;
+    # an occurrence count would need a higher-order lambda — the
+    # interpreted-per-element trap — or an explode+join; the C4 gate
+    # itself only needs existence).  Both expressions are codegen'd.
+    flagged_types = F.size(F.array_intersect(toks, lit_list))
+    return docs.select(
+        "doc_id",
+        flagged_types.cast("long").alias("n_flagged_types"),
+        (~F.arrays_overlap(toks, lit_list)).cast("long").alias("kept"),
+    )

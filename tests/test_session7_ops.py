@@ -432,3 +432,36 @@ def test_dup_rate_by_source(spark):
         for r in A.dup_rate_by_source(docs).collect()
     }
     assert out == {"a": (3, 2, 333), "b": (1, 1, 0)}
+
+
+# --------------------------------------------------------- badwords gate
+
+
+def test_badwords_word_boundary_and_case(spark):
+    docs = _tdocs(
+        spark,
+        [
+            (0, "clean text here", "en"),
+            (1, "has ZetaFlag! twice zetaflag", "en"),  # case + punct
+            (2, "zetaflagged compound", "en"),  # substring must NOT hit
+            (3, "omegaflag and zetaflag", "en"),
+        ],
+    )
+    out = {
+        r.doc_id: (r.n_flagged_types, r.kept)
+        for r in A.badwords_filter(docs, ["zetaflag", "OMEGAFLAG"]).collect()
+    }
+    assert out == {
+        0: (0, 1),
+        1: (1, 0),  # distinct types, not occurrences
+        2: (0, 1),
+        3: (2, 0),
+    }
+
+
+def test_badwords_refuses_oversized_list(spark):
+    docs = _tdocs(spark, [(0, "a", "en")])
+    with pytest.raises(ValueError):
+        A.badwords_filter(docs, [f"w{i}" for i in range(A.MAX_BADWORDS + 1)])
+    with pytest.raises(ValueError):
+        A.badwords_filter(docs, [])
