@@ -181,6 +181,29 @@ BAND_MAX_S = {
     "positional_index": 5.0,  # warm 1.95/2.16 (posexplode + term window)
     "proximity_search": 3.0,  # warm 1.14/1.25 (pruned posting-pair join)
     "search_snippets": 3.0,   # warm 1.08/1.11 (first-hit join + slice)
+    # r5 session-6/7 ops (one warm-session pair each, local[32] sf0.1;
+    # bands ~2.5-3x warm max)
+    "compaction_plan": 2.5,       # warm 0.92/0.47
+    "rendezvous_shards": 3.0,     # warm 1.10/0.64
+    "postings_gap_stats": 3.0,    # warm 1.28/0.78
+    "domain_quality_prior": 2.0,  # warm 0.72/0.44
+    "textrank_keywords": 7.0,     # warm 3.36/1.88 (2 pagerank rounds)
+    "events_anomaly": 2.5,        # warm 0.84/0.47
+    "oov_rate": 3.0,              # warm 1.01/0.74
+    "events_attribution": 3.0,    # warm 1.14/0.71
+    "k_anonymity": 1.5,           # warm 0.29/0.20
+    "good_turing": 2.5,           # warm 0.84/0.85
+    "distinct_ngrams": 2.5,       # warm 0.68/0.72
+    "ngram_novelty": 4.0,         # warm 1.46/1.00 (gram-window pass)
+    "qlm_search": 3.0,            # warm 0.98/0.66
+    "curriculum_order": 1.5,      # warm 0.37/0.33
+    "bm25_batch": 9.0,            # warm 4.08/3.49 (20-query fan)
+    "retrieval_eval": 9.0,        # warm 4.01/2.97 (runs the ranker)
+    "langid_eval": 2.5,           # warm 0.77/0.54
+    "dup_rate_by_source": 1.5,    # warm 0.36/0.26
+    "badwords_filter": 3.5,       # warm 1.30/0.24
+    "extract_lists_roundtrip": 7.0,  # warm 2.78/0.57 (DOM walk)
+    "list_stats": 3.0,            # warm 0.79/0.80
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -449,6 +472,30 @@ def main() -> None:
         "positional_index": lambda: force(_entry_q("positional_index")),
         "proximity_search": lambda: force(_entry_q("proximity_search")),
         "search_snippets": lambda: force(_entry_q("search_snippets")),
+        # r5 session-6/7 ops (entry-query configurations)
+        "compaction_plan": lambda: force(_entry_q("compaction_plan")),
+        "rendezvous_shards": lambda: force(_entry_q("rendezvous_shards")),
+        "postings_gap_stats": lambda: force(_entry_q("postings_gap_stats")),
+        "domain_quality_prior": lambda: force(_entry_q("domain_quality_prior")),
+        "textrank_keywords": lambda: force(_entry_q("textrank_keywords")),
+        "events_anomaly": lambda: force(_entry_q("events_anomaly")),
+        "oov_rate": lambda: force(_entry_q("oov_rate")),
+        "events_attribution": lambda: force(_entry_q("events_attribution")),
+        "k_anonymity": lambda: force(_entry_q("k_anonymity")),
+        "good_turing": lambda: force(_entry_q("good_turing")),
+        "distinct_ngrams": lambda: force(_entry_q("distinct_ngrams")),
+        "ngram_novelty": lambda: force(_entry_q("ngram_novelty")),
+        "qlm_search": lambda: force(_entry_q("qlm_search")),
+        "curriculum_order": lambda: force(_entry_q("curriculum_order")),
+        "bm25_batch": lambda: force(_entry_q("bm25_batch")),
+        "retrieval_eval": lambda: force(_entry_q("retrieval_eval")),
+        "langid_eval": lambda: force(_entry_q("langid_eval")),
+        "dup_rate_by_source": lambda: force(_entry_q("dup_rate_by_source")),
+        "badwords_filter": lambda: force(_entry_q("badwords_filter")),
+        "extract_lists_roundtrip": lambda: force(
+            _entry_q("extract_lists_roundtrip")
+        ),
+        "list_stats": lambda: force(_entry_q("list_stats")),
     }
 
     def _entry_q(name):
