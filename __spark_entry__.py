@@ -3398,6 +3398,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir)
         return A.retrieval_eval(docs, _eval_queries(docs), k=10)
 
+    def hybrid_search(spark, sf_dir):
+        # r5 session-7: RRF fusion of the BM25 text ranking and the
+        # exact-cosine ranking of the query doc's own embedding over the
+        # %25 planted query set — integer rank fusion, both side ranks
+        # already cross-engine deterministic
+        docs = _docs(spark, sf_dir)
+        return A.hybrid_search(
+            docs, _emb(spark, sf_dir), _eval_queries(docs), k=10, k_each=20
+        )
+
     def langid_eval(spark, sf_dir):
         # r5 session-7: confusion cells of the SHIPPED lang_id heuristic
         # vs the corpus truth label — truth rides the carry, no join-back
@@ -3453,6 +3463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_eval": langid_eval,
         "dup_rate_by_source": dup_rate_by_source,
         "badwords_filter": badwords_filter,
+        "hybrid_search": hybrid_search,
         "extract_lists_roundtrip": extract_lists_roundtrip,
         "list_stats": list_stats,
         "compaction_plan": compaction_plan,
@@ -7343,6 +7354,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sum(cnt) - count(*)) * 1000 // sum(cnt)
                         AS BIGINT) AS dup_permille
             FROM h GROUP BY source
+        """,
+        # RRF fusion: bm25_batch's brk chain + the exact-cosine ranking
+        # of the query doc's own embedding; integer rank fusion
+        "hybrid_search": f"""
+            WITH {_bm25_batch_ctes()},
+            txt AS (SELECT query_id, doc_id, rank AS text_rank
+                    FROM brk WHERE rank <= 20),
+            qv AS (SELECT e.vec_id AS query_id,
+                          CAST(e.embedding AS DOUBLE[]) AS qe
+                   FROM embeddings e
+                   JOIN (SELECT DISTINCT query_id FROM bq) q
+                     ON e.vec_id = q.query_id),
+            vc AS (SELECT vec_id AS doc_id,
+                          CAST(embedding AS DOUBLE[]) AS ce
+                   FROM embeddings),
+            vs AS (SELECT query_id, doc_id,
+                          list_cosine_similarity(qe, ce) AS cos
+                   FROM qv CROSS JOIN vc WHERE query_id <> doc_id),
+            vrk AS (SELECT query_id, doc_id, vec_rank FROM (
+                      SELECT query_id, doc_id,
+                             CAST(row_number() OVER (
+                                  PARTITION BY query_id
+                                  ORDER BY round(cos, 4) DESC, doc_id ASC)
+                                  AS BIGINT) AS vec_rank
+                      FROM vs) WHERE vec_rank <= 20),
+            fu AS (SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+                          COALESCE(t.doc_id, v.doc_id) AS doc_id,
+                          CAST(COALESCE(t.text_rank, 0) AS BIGINT)
+                              AS text_rank,
+                          CAST(COALESCE(v.vec_rank, 0) AS BIGINT)
+                              AS vec_rank,
+                          CAST(COALESCE(1000000 // (60 + t.text_rank), 0)
+                             + COALESCE(1000000 // (60 + v.vec_rank), 0)
+                               AS BIGINT) AS rrf_micro
+                   FROM txt t FULL JOIN vrk v
+                     ON t.query_id = v.query_id AND t.doc_id = v.doc_id),
+            fr AS (SELECT query_id, doc_id, text_rank, vec_rank,
+                          rrf_micro,
+                          CAST(row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY rrf_micro DESC, doc_id ASC)
+                               AS BIGINT) AS rank
+                   FROM fu)
+            SELECT query_id, doc_id, text_rank, vec_rank, rrf_micro, rank
+            FROM fr WHERE rank <= 10
         """,
         # batched BM25 over the %25 planted query set (shared CTE chain)
         "bm25_batch": f"""

@@ -204,6 +204,7 @@ BAND_MAX_S = {
     "badwords_filter": 3.5,       # warm 1.30/0.24
     "extract_lists_roundtrip": 7.0,  # warm 2.78/0.57 (DOM walk)
     "list_stats": 3.0,            # warm 0.79/0.80
+    "hybrid_search": 16.0,        # warm 8.2/4.6 (bm25 fan + exact cosine)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -496,6 +497,7 @@ def main() -> None:
             _entry_q("extract_lists_roundtrip")
         ),
         "list_stats": lambda: force(_entry_q("list_stats")),
+        "hybrid_search": lambda: force(_entry_q("hybrid_search")),
     }
 
     def _entry_q(name):

@@ -8572,3 +8572,90 @@ def badwords_filter(docs: DataFrame, words: list[str]) -> DataFrame:
         flagged_types.cast("long").alias("n_flagged_types"),
         (~F.arrays_overlap(toks, lit_list)).cast("long").alias("kept"),
     )
+
+
+def hybrid_search(
+    docs: DataFrame,
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k_each: int = 20,
+    rrf_k: int = 60,
+    *,
+    force: bool = False,
+) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. SIGIR
+    2009): fuse each query's BM25 text ranking with the exact-cosine
+    vector ranking of the query doc's own embedding —
+        rrf_micro = Σ_side 10⁶ div (rrf_k + rank_side)
+    with a missing side contributing 0.  Fusion is pure integer
+    arithmetic over the two rank columns, so the fused ordering is
+    cross-engine exact even though the inputs are float rankers (each
+    side's rank is already deterministic: BM25 by micro-quantized
+    integer scores, cosine by the (round(cos,4) DESC, id) convention).
+
+    Scale: the text side is bm25_batch (pruned token stream); the vector
+    side here is the exact baseline (broadcast query vectors × one
+    corpus scan) and carries knn_bruteforce's refusal bound — at real
+    scale swap that stage for quantized_knn / ivf_topk shortlists, the
+    fusion is rank-only and does not care.  The full-outer fuse joins
+    two k_each-bounded rank tables (≤ queries × k_each rows each)."""
+    if not force:
+        _refuse_above(
+            emb,
+            MAX_KNN_BRUTEFORCE_ROWS,
+            "hybrid_search",
+            "The vector stage is the exact baseline (linear scan); swap "
+            "it for quantized_knn/ivf_topk shortlists at scale,",
+        )
+    text = bm25_batch(docs, queries, k=k_each).select(
+        "query_id", "doc_id", F.col("rank").alias("text_rank")
+    )
+    qids = queries.select("query_id").distinct()
+    qv = emb.join(
+        F.broadcast(qids), emb["vec_id"] == qids["query_id"]
+    ).select(
+        "query_id", F.col("embedding").cast("array<double>").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+    )
+    scored = (
+        F.broadcast(qv)
+        .crossJoin(c)
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .select(
+            "query_id",
+            "doc_id",
+            _cosine(F.col("qe"), F.col("ce")).alias("cos"),
+        )
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 4).desc(), F.col("doc_id").asc()
+    )
+    vec = (
+        scored.withColumn("vec_rank", F.row_number().over(wv).cast("long"))
+        .filter(F.col("vec_rank") <= k_each)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+    fused = text.join(vec, ["query_id", "doc_id"], "full")
+    contrib = lambda col: F.when(  # noqa: E731
+        F.col(col).isNotNull(),
+        F.expr(f"1000000 div ({int(rrf_k)} + {col})"),
+    ).otherwise(F.lit(0))
+    fused = fused.select(
+        "query_id",
+        "doc_id",
+        F.coalesce("text_rank", F.lit(0)).cast("long").alias("text_rank"),
+        F.coalesce("vec_rank", F.lit(0)).cast("long").alias("vec_rank"),
+        (contrib("text_rank") + contrib("vec_rank"))
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn(
+        "rank", F.row_number().over(wf).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -465,3 +465,49 @@ def test_badwords_refuses_oversized_list(spark):
         A.badwords_filter(docs, [f"w{i}" for i in range(A.MAX_BADWORDS + 1)])
     with pytest.raises(ValueError):
         A.badwords_filter(docs, [])
+
+
+# ----------------------------------------------------------- hybrid RRF
+
+
+def _edf(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_hybrid_rrf_fuses_both_sides(spark):
+    docs = _tdocs(
+        spark,
+        [
+            (0, "alpha beta filler", "en"),
+            (1, "alpha gamma filler", "en"),
+            (2, "delta epsilon filler", "en"),
+        ],
+    )
+    emb = _edf(
+        spark,
+        [
+            (0, [1.0, 0.0], 0),
+            (1, [0.9, 0.1], 0),  # closest to vec 0
+            (2, [0.0, 1.0], 0),
+        ],
+    )
+    qs = _qdf(spark, [(0, "alpha")])
+    out = {r.doc_id: r for r in A.hybrid_search(docs, emb, qs, k=3).collect()}
+    # doc 1: text hit (has 'alpha', rank 2 behind doc 0? doc 0 is the
+    # query itself and also matches text) AND vector rank 1 → must fuse
+    assert 1 in out and out[1].text_rank > 0 and out[1].vec_rank == 1
+    # doc 2: no 'alpha' → text_rank 0, but still ranked by vector side
+    assert out[2].text_rank == 0 and out[2].vec_rank > 0
+    # rrf of doc 1 = 1e6//(60+text) + 1e6//(60+1)
+    assert out[1].rrf_micro == 1000000 // (60 + out[1].text_rank) + 1000000 // 61
+
+
+def test_hybrid_missing_vector_side_is_text_only(spark):
+    docs = _tdocs(spark, [(0, "alpha x", "en"), (1, "alpha y", "en")])
+    emb = _edf(spark, [(5, [1.0, 0.0], 0), (6, [0.0, 1.0], 0)])
+    qs = _qdf(spark, [(0, "alpha")])  # query 0 has no embedding
+    out = {r.doc_id: r for r in A.hybrid_search(docs, emb, qs, k=5).collect()}
+    assert all(r.vec_rank == 0 for r in out.values())
+    assert {d for d in out} == {0, 1}
