@@ -3398,6 +3398,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir)
         return A.retrieval_eval(docs, _eval_queries(docs), k=10)
 
+    def kn_surprisal(spark, sf_dir):
+        # r5 session-7: interpolated Kneser–Ney bigram surprisal per doc
+        # (the KenLM-style signal one order up from bigram_surprisal) —
+        # per-occurrence floored micro-nats, order-free integer sums
+        return A.kn_surprisal(_docs(spark, sf_dir))
+
     def hybrid_search(spark, sf_dir):
         # r5 session-7: RRF fusion of the BM25 text ranking and the
         # exact-cosine ranking of the query doc's own embedding over the
@@ -3464,6 +3470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_rate_by_source": dup_rate_by_source,
         "badwords_filter": badwords_filter,
         "hybrid_search": hybrid_search,
+        "kn_surprisal": kn_surprisal,
         "extract_lists_roundtrip": extract_lists_roundtrip,
         "list_stats": list_stats,
         "compaction_plan": compaction_plan,
@@ -7354,6 +7361,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sum(cnt) - count(*)) * 1000 // sum(cnt)
                         AS BIGINT) AS dup_permille
             FROM h GROUP BY source
+        """,
+        # interpolated KN bigram LM: bigram/continuation counts ->
+        # identical float expression tree, floored micro-nats pre-sum
+        "kn_surprisal": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok,
+                               generate_subscripts(string_split(text, ' '), 1)
+                                   - 1 AS pos
+                        FROM documents),
+            bgs AS (SELECT a.doc_id, a.tok || ' ' || b.tok AS g
+                    FROM tk a JOIN tk b
+                      ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+            c12t AS (SELECT g, string_split(g, ' ')[1] AS w1,
+                            string_split(g, ' ')[2] AS w2,
+                            CAST(count(*) AS BIGINT) AS c12
+                     FROM bgs GROUP BY g),
+            lefts AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                             CAST(count(*) AS BIGINT) AS n1p_l
+                      FROM c12t GROUP BY w1),
+            rights AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1p_r
+                       FROM c12t GROUP BY w2),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n1p_all FROM c12t),
+            ptab AS (SELECT t.g,
+                            -CAST(floor(ln(
+                                 greatest(t.c12 - CAST(0.75 AS DOUBLE),
+                                          CAST(0.0 AS DOUBLE)) / l.c1
+                                 + CAST(0.75 AS DOUBLE) * l.n1p_l / l.c1
+                                   * r.n1p_r / s.n1p_all)
+                                 * 1000000) AS BIGINT) AS nll
+                     FROM c12t t JOIN lefts l USING (w1)
+                     JOIN rights r USING (w2), tot s)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                   CAST(sum(nll) AS BIGINT) AS kn_micro
+            FROM bgs JOIN ptab USING (g) GROUP BY doc_id
         """,
         # RRF fusion: bm25_batch's brk chain + the exact-cosine ranking
         # of the query doc's own embedding; integer rank fusion

@@ -205,6 +205,7 @@ BAND_MAX_S = {
     "extract_lists_roundtrip": 7.0,  # warm 2.78/0.57 (DOM walk)
     "list_stats": 3.0,            # warm 0.79/0.80
     "hybrid_search": 16.0,        # warm 8.2/4.6 (bm25 fan + exact cosine)
+    "kn_surprisal": 8.0,          # warm 4.0/1.7 (3 count tables + join)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -498,6 +499,7 @@ def main() -> None:
         ),
         "list_stats": lambda: force(_entry_q("list_stats")),
         "hybrid_search": lambda: force(_entry_q("hybrid_search")),
+        "kn_surprisal": lambda: force(_entry_q("kn_surprisal")),
     }
 
     def _entry_q(name):

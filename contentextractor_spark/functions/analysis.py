@@ -8659,3 +8659,80 @@ def hybrid_search(
     return fused.withColumn(
         "rank", F.row_number().over(wf).cast("long")
     ).filter(F.col("rank") <= k)
+
+
+def kn_surprisal(docs: DataFrame, discount_milli: int = 750) -> DataFrame:
+    """Per-doc surprisal under an interpolated Kneser–Ney bigram LM
+    trained on the corpus itself (Kneser & Ney 1995; the KenLM-style
+    perplexity signal CCNet buckets on, one order up from
+    bigram_surprisal's raw MLE):
+
+        p(w2|w1) = max(c12 − D, 0)/c1 + D·N1p(w1·)/c1 · N1p(·w2)/N1p(··)
+
+    with D = discount_milli/1000 and continuation counts N1p = distinct
+    left/right neighbors.  kn_micro = Σ_occurrences −floor(ln(p)·10⁶):
+    every input to the expression tree is an INTEGER count, the tree is
+    kept IDENTICAL to the oracle's, and quantization happens BEFORE the
+    per-doc sum — order-free integer aggregation (the bm25_batch
+    recipe; ln's documented 1-ulp-at-floor-boundary caveat).  p > 0 for
+    every OBSERVED bigram (c12 ≥ 1 ⇒ both continuation counts ≥ 1), so
+    ln is always defined here; unseen bigrams only matter when scoring
+    held-out text against a frozen model — a param swap, not a new op.
+
+    Scale: bigram counts + two continuation counts are map-side
+    combinable groupBys over the gram stream; the per-occurrence join
+    keys on the bigram (the tfidf shuffle shape); the N1p(··) constant
+    rides a ONE-ROW broadcast."""
+    if not 0 < discount_milli < 1000:
+        raise ValueError("discount_milli must be in (0, 1000)")
+    parts = F.split("g", " ")
+    bg = (
+        _gram_stream(docs, 2)
+        .select(
+            "doc_id",
+            F.col("g"),
+            F.get(parts, 0).alias("w1"),
+            F.get(parts, 1).alias("w2"),
+        )
+        .filter(F.col("w1").isNotNull() & F.col("w2").isNotNull())
+    )
+    c12 = bg.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    tails = c12.select(
+        F.get(F.split("g", " "), 0).alias("w1"),
+        F.get(F.split("g", " "), 1).alias("w2"),
+        "c12",
+    )
+    lefts = tails.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_l"),
+    )
+    rights = tails.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n1p_r")
+    )
+    total = c12.agg(F.count(F.lit(1)).cast("long").alias("n1p_all"))
+    probs = (
+        tails.join(lefts, "w1")
+        .join(rights, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    d = discount_milli / 1000.0
+    p = (
+        F.greatest(F.col("c12") - F.lit(d), F.lit(0.0)) / F.col("c1")
+        + F.lit(d)
+        * F.col("n1p_l")
+        / F.col("c1")
+        * F.col("n1p_r")
+        / F.col("n1p_all")
+    )
+    ptab = probs.select(
+        F.concat_ws(" ", "w1", "w2").alias("g"),
+        (-F.floor(F.log(p) * F.lit(1000000.0))).cast("long").alias("nll"),
+    )
+    return (
+        bg.join(ptab, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("nll").cast("long").alias("kn_micro"),
+        )
+    )

@@ -511,3 +511,51 @@ def test_hybrid_missing_vector_side_is_text_only(spark):
     out = {r.doc_id: r for r in A.hybrid_search(docs, emb, qs, k=5).collect()}
     assert all(r.vec_rank == 0 for r in out.values())
     assert {d for d in out} == {0, 1}
+
+
+# ----------------------------------------------------------- KN bigram LM
+
+
+def test_kn_surprisal_exact_hand_case(spark):
+    import math
+
+    # corpus: one doc "a b a b a c" → bigrams: ab, ba, ab, ba, ac
+    # c12: ab=2, ba=2, ac=1; c1: a=3 (ab+ac), b=2; N1p(a·)=2, N1p(b·)=1
+    # N1p(·b)=1, N1p(·a)=1, N1p(·c)=1, N1p(··)=3
+    docs = _tdocs(spark, [(0, "a b a b a c", "en")])
+    out = A.kn_surprisal(docs).collect()[0]
+    D = 0.75
+
+    def p(c12, c1, n1p_l, n1p_r):
+        return max(c12 - D, 0.0) / c1 + D * n1p_l / c1 * n1p_r / 3
+
+    def nll(c12, c1, n1p_l, n1p_r):
+        return -math.floor(math.log(p(c12, c1, n1p_l, n1p_r)) * 1e6)
+
+    want = (
+        2 * nll(2, 3, 2, 1)  # ab ×2
+        + 2 * nll(2, 2, 1, 1)  # ba ×2
+        + 1 * nll(1, 3, 2, 1)  # ac
+    )
+    assert (out.n_bigrams, out.kn_micro) == (5, want)
+
+
+def test_kn_surprisal_repetitive_doc_scores_lower(spark):
+    # two docs, same length: the templated one must carry less surprisal
+    docs = _tdocs(
+        spark,
+        [
+            (0, "x y x y x y x y", "en"),
+            (1, "x q y r x s y t", "en"),
+        ],
+    )
+    out = {r.doc_id: r.kn_micro for r in A.kn_surprisal(docs).collect()}
+    assert out[0] < out[1]
+
+
+def test_kn_surprisal_validates_discount(spark):
+    docs = _tdocs(spark, [(0, "a b", "en")])
+    with pytest.raises(ValueError):
+        A.kn_surprisal(docs, discount_milli=0)
+    with pytest.raises(ValueError):
+        A.kn_surprisal(docs, discount_milli=1000)
