@@ -3398,6 +3398,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf_dir)
         return A.retrieval_eval(docs, _eval_queries(docs), k=10)
 
+    def prf_terms(spark, sf_dir):
+        # r5 session-7: RM1-style expansion terms from each query's
+        # top-5 BM25 feedback docs, own terms excluded — integer
+        # (tf_sum DESC, term) ranking over the shared query set
+        docs = _docs(spark, sf_dir)
+        return A.prf_terms(docs, _eval_queries(docs), fb_docs=5, k_terms=5)
+
     def kn_surprisal(spark, sf_dir):
         # r5 session-7: interpolated Kneser–Ney bigram surprisal per doc
         # (the KenLM-style signal one order up from bigram_surprisal) —
@@ -3471,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "badwords_filter": badwords_filter,
         "hybrid_search": hybrid_search,
         "kn_surprisal": kn_surprisal,
+        "prf_terms": prf_terms,
         "extract_lists_roundtrip": extract_lists_roundtrip,
         "list_stats": list_stats,
         "compaction_plan": compaction_plan,
@@ -7361,6 +7369,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sum(cnt) - count(*)) * 1000 // sum(cnt)
                         AS BIGINT) AS dup_permille
             FROM h GROUP BY source
+        """,
+        # RM1 expansion terms off the shared bm25 chain: top-5 feedback
+        # docs per query, own terms anti-joined away
+        "prf_terms": f"""
+            WITH {_bm25_batch_ctes()},
+            fb AS (SELECT query_id, doc_id FROM brk WHERE rank <= 5),
+            toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                     FROM documents),
+            cand AS (SELECT f.query_id, t.term,
+                            CAST(count(*) AS BIGINT) AS tf_sum
+                     FROM toks t JOIN fb f USING (doc_id)
+                     GROUP BY 1, 2),
+            kept AS (SELECT c.* FROM cand c
+                     WHERE NOT EXISTS (SELECT 1 FROM bq q
+                                       WHERE q.query_id = c.query_id
+                                         AND q.term = c.term)),
+            rk AS (SELECT query_id, term, tf_sum,
+                          CAST(row_number() OVER (
+                               PARTITION BY query_id
+                               ORDER BY tf_sum DESC, term ASC)
+                               AS BIGINT) AS rk
+                   FROM kept)
+            SELECT query_id, term, tf_sum, rk FROM rk WHERE rk <= 5
         """,
         # interpolated KN bigram LM: bigram/continuation counts ->
         # identical float expression tree, floored micro-nats pre-sum

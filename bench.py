@@ -206,6 +206,7 @@ BAND_MAX_S = {
     "list_stats": 3.0,            # warm 0.79/0.80
     "hybrid_search": 16.0,        # warm 8.2/4.6 (bm25 fan + exact cosine)
     "kn_surprisal": 8.0,          # warm 4.0/1.7 (3 count tables + join)
+    "prf_terms": 18.0,            # warm 9.6/4.9 (runs the bm25 fan first)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -500,6 +501,7 @@ def main() -> None:
         "list_stats": lambda: force(_entry_q("list_stats")),
         "hybrid_search": lambda: force(_entry_q("hybrid_search")),
         "kn_surprisal": lambda: force(_entry_q("kn_surprisal")),
+        "prf_terms": lambda: force(_entry_q("prf_terms")),
     }
 
     def _entry_q(name):

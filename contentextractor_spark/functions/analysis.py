@@ -8736,3 +8736,42 @@ def kn_surprisal(docs: DataFrame, discount_milli: int = 750) -> DataFrame:
             F.sum("nll").cast("long").alias("kn_micro"),
         )
     )
+
+
+def prf_terms(
+    docs: DataFrame,
+    queries: DataFrame,
+    fb_docs: int = 5,
+    k_terms: int = 5,
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion terms (RM1-style, Lavrenko &
+    Croft 2001, counts-only): for each query, take its top `fb_docs`
+    BM25 documents and rank the terms of those documents by total
+    occurrence count, excluding the query's own terms — the expansion
+    list a second-pass retrieval round adds.  Pure integer ranking
+    (tf_sum DESC, term ASC) with rk over the per-query top-k survivors.
+
+    Scale: rides bm25_batch's pruned pipeline for the feedback set
+    (queries × fb_docs rows), then ONE semi-join of the token stream
+    against that set (the stream shrinks before its shuffle), a
+    left-anti join kills the query's own terms, and the final window
+    partitions by query_id over ≤ |feedback-vocab| rows per query."""
+    if fb_docs < 1 or k_terms < 1:
+        raise ValueError("fb_docs and k_terms must be >= 1")
+    fb = bm25_batch(docs, queries, k=fb_docs).select("query_id", "doc_id")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    cand = (
+        toks.join(fb, "doc_id")
+        .groupBy("query_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf_sum"))
+    )
+    own = queries.select("query_id", "term").distinct()
+    cand = cand.join(own, ["query_id", "term"], "left_anti")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("tf_sum").desc(), F.col("term").asc()
+    )
+    return cand.withColumn(
+        "rk", F.row_number().over(w).cast("long")
+    ).filter(F.col("rk") <= k_terms)

@@ -559,3 +559,35 @@ def test_kn_surprisal_validates_discount(spark):
         A.kn_surprisal(docs, discount_milli=0)
     with pytest.raises(ValueError):
         A.kn_surprisal(docs, discount_milli=1000)
+
+
+# ------------------------------------------------------------- PRF terms
+
+
+def test_prf_terms_mines_feedback_docs_excluding_query(spark):
+    docs = _tdocs(
+        spark,
+        [
+            (0, "alpha beta beta gamma", "en"),
+            (1, "alpha beta delta", "en"),
+            (2, "zzz yyy xxx", "en"),  # no 'alpha' → not feedback
+        ],
+    )
+    qs = _qdf(spark, [(9, "alpha")])
+    out = {(r.term): (r.tf_sum, r.rk)
+           for r in A.prf_terms(docs, qs, fb_docs=5, k_terms=3).collect()}
+    # feedback docs are 0 and 1; 'alpha' excluded (query term)
+    assert "alpha" not in out
+    assert out["beta"] == (3, 1)
+    # gamma/delta tie at 1 → term ASC ranks delta before gamma
+    assert out["delta"] == (1, 2) and out["gamma"] == (1, 3)
+    assert "zzz" not in out
+
+
+def test_prf_terms_validates_args(spark):
+    docs = _tdocs(spark, [(0, "a b", "en")])
+    qs = _qdf(spark, [(0, "a")])
+    with pytest.raises(ValueError):
+        A.prf_terms(docs, qs, fb_docs=0)
+    with pytest.raises(ValueError):
+        A.prf_terms(docs, qs, k_terms=0)
