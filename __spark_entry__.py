@@ -3149,11 +3149,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the snapshot-comparison primitive (count + 40-bit md5 sum)
         return A.dataset_digest(_docs(spark, sf_dir), n_shards=16)
 
-    def triangle_count(spark, sf_dir):
-        # r5 session-4: per-node triangle counts (degree-ordered
-        # orientation) over a ring+affine fixture graph — the (x, x+1,
-        # x+2) ring edges guarantee N triangles; the affine 31x+7 edges
-        # add irregular degree so the orientation tiebreak is exercised
+    def _ring_affine_edges(spark, sf_dir):
+        # shared graph fixture (triangle_count + clustering_coefficient):
+        # the (x, x+1, x+2) ring edges guarantee N triangles; the affine
+        # 31x+7 edges add irregular degree so the orientation tiebreak
+        # and the cc denominator are both exercised
         docs = _docs(spark, sf_dir)
         n = docs.select(F.count(F.lit(1)).alias("n"))
         dsts = F.array(
@@ -3161,7 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("doc_id") + 2) % F.col("n"),
             (F.col("doc_id") * 31 + 7) % F.col("n"),
         )
-        edges = (
+        return (
             docs.select("doc_id")
             .crossJoin(F.broadcast(n))
             .select(
@@ -3169,7 +3169,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .filter(F.col("src") != F.col("dst"))
         )
-        return A.triangle_counts(edges)
+
+    def triangle_count(spark, sf_dir):
+        # r5 session-4: per-node triangle counts (degree-ordered
+        # orientation) over the ring+affine fixture graph
+        return A.triangle_counts(_ring_affine_edges(spark, sf_dir))
+
+    def clustering_coefficient(spark, sf_dir):
+        # r5 session-8: per-node local clustering coefficient in integer
+        # milli-units over the same ring+affine fixture — deg >= 2
+        # everywhere here, triangles vary with the affine irregularity
+        return A.clustering_coefficients(_ring_affine_edges(spark, sf_dir))
+
+    def degree_assortativity(spark, sf_dir):
+        # r5 session-8: Newman assortativity as an exact integer OLS
+        # slope (symmetric-orientation trick: slope == Pearson r) over
+        # the ring+affine+HUB fixture — hubs make degrees non-constant
+        # so the statistic is non-degenerate
+        return A.degree_assortativity(_ring_affine_hub_edges(spark, sf_dir))
+
+    def link_reciprocity(spark, sf_dir):
+        # r5 session-8: per-source reciprocity over a ring+back-edge
+        # fixture — every doc links to doc+1; docs with doc_id%3==0 also
+        # link BACK to doc-1, planting mutual pairs so recip_milli takes
+        # all three values {0, 500, 1000} (never a vacuous all-zero row
+        # set: the good_turing degenerate-fixture lesson)
+        docs = _docs(spark, sf_dir)
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        dsts = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.array(
+                (F.col("doc_id") + 1) % F.col("n"),
+                (F.col("doc_id") + F.col("n") - 1) % F.col("n"),
+            ),
+        ).otherwise(F.array((F.col("doc_id") + 1) % F.col("n")))
+        edges = (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+            )
+        )
+        return A.link_reciprocity(edges)
 
     def pmi_collocations(spark, sf_dir):
         # r5 session-4: top-k bigram collocations by integer-staged PMI
@@ -3464,6 +3505,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "clustering_coefficient": clustering_coefficient,
+        "degree_assortativity": degree_assortativity,
+        "link_reciprocity": link_reciprocity,
         "events_attribution": events_attribution,
         "k_anonymity": k_anonymity,
         "good_turing": good_turing,
@@ -3716,7 +3760,51 @@ _RING_AFFINE_HUB_CTE = """
                    FROM e1 GROUP BY src)"""
 """ring+affine+hub edge fixture (dedup'd directed edges + out-degrees) —
 ONE definition shared by the co_citation / co_citation_overflow /
-degree_histogram oracles, mirroring _ring_affine_hub_edges."""
+degree_histogram / degree_assortativity oracles, mirroring
+_ring_affine_hub_edges."""
+
+
+_TRI_CTES = """
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                        FROM documents),
+            e0 AS (SELECT doc_id AS src,
+                          CASE WHEN j = 1 THEN (doc_id + 1) % n
+                               WHEN j = 2 THEN (doc_id + 2) % n
+                               ELSE (doc_id * 31 + 7) % n END AS dst
+                   FROM documents, nn,
+                        (SELECT unnest([1, 2, 3]) AS j) js),
+            e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi
+                    FROM e1),
+            degp AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                     FROM (SELECT lo AS node FROM und
+                           UNION ALL SELECT hi FROM und)
+                     GROUP BY node),
+            deg AS (SELECT node, deg * 4294967296 + node AS key
+                    FROM degp),
+            orient AS (SELECT CASE WHEN kl.key < kh.key THEN kl.key
+                                   ELSE kh.key END AS ku,
+                              CASE WHEN kl.key < kh.key THEN kh.key
+                                   ELSE kl.key END AS kv
+                       FROM und
+                       JOIN deg kl ON kl.node = und.lo
+                       JOIN deg kh ON kh.node = und.hi),
+            wed AS (SELECT a.ku AS u, a.kv AS v, b.kv AS w
+                    FROM orient a JOIN orient b
+                      ON a.ku = b.ku AND a.kv < b.kv),
+            tri AS (SELECT u, v, w FROM wed
+                    JOIN orient o ON o.ku = wed.v AND o.kv = wed.w),
+            nk AS (SELECT u AS key FROM tri
+                   UNION ALL SELECT v FROM tri
+                   UNION ALL SELECT w FROM tri),
+            tric AS (SELECT CAST(key % 4294967296 AS BIGINT) AS node,
+                            CAST(count(*) AS BIGINT) AS triangles
+                     FROM nk GROUP BY key)"""
+"""degree-ordered-orientation triangle chain over the ring+affine
+fixture (packed (deg*2^32+node) total-order key, expression-for-
+expression the Spark side) — ONE definition shared by the
+triangle_count / clustering_coefficient oracles."""
 
 
 # r5 onion-dedup page builder (shared by boilerplate_lines / scrub_
@@ -8118,43 +8206,81 @@ def oracle_sql() -> dict[str, str]:
         # triangle counting: degree-ordered orientation with the packed
         # (deg*2^32+node) total-order key; UNION ALL degree stream and
         # CASE orientation mirror the Spark side expression-for-expression
-        "triangle_count": """
+        "triangle_count": f"""
+            WITH {_TRI_CTES}
+            SELECT node, triangles FROM tric
+        """,
+        # local clustering coefficient: the same triangle chain LEFT
+        # JOINed back to the plain degree table; all operands
+        # non-negative so Spark div == DuckDB //
+        "clustering_coefficient": f"""
+            WITH {_TRI_CTES}
+            SELECT d.node, d.deg,
+                   CAST(COALESCE(t.triangles, 0) AS BIGINT) AS triangles,
+                   (CAST(COALESCE(t.triangles, 0) AS BIGINT) * 2000)
+                       // (d.deg * (d.deg - 1)) AS cc_milli
+            FROM degp d LEFT JOIN tric t ON t.node = d.node
+            WHERE d.deg >= 2
+        """,
+        # Newman assortativity as the symmetric-orientation integer OLS
+        # slope (== Pearson r) with the zipf_fit staged signed division
+        "degree_assortativity": f"""
+            WITH {_RING_AFFINE_HUB_CTE},
+            undg AS (SELECT DISTINCT least(src, dst) AS lo,
+                                     greatest(src, dst) AS hi
+                     FROM e1),
+            degp AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                     FROM (SELECT lo AS node FROM undg
+                           UNION ALL SELECT hi FROM undg)
+                     GROUP BY node),
+            pr AS (SELECT dl.deg AS x, dh.deg AS y
+                   FROM undg
+                   JOIN degp dl ON dl.node = undg.lo
+                   JOIN degp dh ON dh.node = undg.hi),
+            bo AS (SELECT x, y FROM pr UNION ALL SELECT y, x FROM pr),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM bo),
+            mg AS (SELECT n,
+                          CASE WHEN n * sxx - sx * sx <= 9000000000000
+                          THEN (abs(n * sxy - sx * sy) * 1000000)
+                               // greatest(n * sxx - sx * sx, 1)
+                          ELSE (abs(n * sxy - sx * sy) * 1000)
+                               // ((n * sxx - sx * sx) // 1000)
+                          END AS mag,
+                          n * sxy - sx * sy AS num
+                   FROM s)
+            SELECT n AS n_endpoints,
+                   CASE WHEN num < 0 THEN -mag ELSE mag END
+                       AS assort_micro
+            FROM mg
+        """,
+        # per-source reciprocity over the ring+back-edge fixture: mutual
+        # = edges whose exact reversal exists; COALESCE keeps one-way
+        # sources at 0 instead of dropping them
+        "link_reciprocity": """
             WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n
                         FROM documents),
-            e0 AS (SELECT doc_id AS src,
-                          CASE WHEN j = 1 THEN (doc_id + 1) % n
-                               WHEN j = 2 THEN (doc_id + 2) % n
-                               ELSE (doc_id * 31 + 7) % n END AS dst
-                   FROM documents, nn,
-                        (SELECT unnest([1, 2, 3]) AS j) js),
-            e1 AS (SELECT src, dst FROM e0 WHERE src <> dst),
-            und AS (SELECT DISTINCT least(src, dst) AS lo,
-                                    greatest(src, dst) AS hi
-                    FROM e1),
-            deg AS (SELECT node,
-                           CAST(count(*) AS BIGINT) * 4294967296 + node
-                               AS key
-                    FROM (SELECT lo AS node FROM und
-                          UNION ALL SELECT hi FROM und)
-                    GROUP BY node),
-            orient AS (SELECT CASE WHEN kl.key < kh.key THEN kl.key
-                                   ELSE kh.key END AS ku,
-                              CASE WHEN kl.key < kh.key THEN kh.key
-                                   ELSE kl.key END AS kv
-                       FROM und
-                       JOIN deg kl ON kl.node = und.lo
-                       JOIN deg kh ON kh.node = und.hi),
-            wed AS (SELECT a.ku AS u, a.kv AS v, b.kv AS w
-                    FROM orient a JOIN orient b
-                      ON a.ku = b.ku AND a.kv < b.kv),
-            tri AS (SELECT u, v, w FROM wed
-                    JOIN orient o ON o.ku = wed.v AND o.kv = wed.w),
-            nk AS (SELECT u AS key FROM tri
-                   UNION ALL SELECT v FROM tri
-                   UNION ALL SELECT w FROM tri)
-            SELECT CAST(key % 4294967296 AS BIGINT) AS node,
-                   CAST(count(*) AS BIGINT) AS triangles
-            FROM nk GROUP BY key
+            e0 AS (SELECT doc_id AS src, (doc_id + 1) % n AS dst
+                   FROM documents, nn
+                   UNION ALL
+                   SELECT doc_id, (doc_id + n - 1) % n
+                   FROM documents, nn WHERE doc_id % 3 = 0),
+            e1 AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+            od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e1 GROUP BY src),
+            mut AS (SELECT a.src, CAST(count(*) AS BIGINT) AS mutual
+                    FROM e1 a JOIN e1 b
+                      ON b.src = a.dst AND b.dst = a.src
+                    GROUP BY a.src)
+            SELECT od.src AS node, od.outdeg,
+                   CAST(COALESCE(mut.mutual, 0) AS BIGINT) AS mutual,
+                   (CAST(COALESCE(mut.mutual, 0) AS BIGINT) * 1000)
+                       // od.outdeg AS recip_milli
+            FROM od LEFT JOIN mut ON mut.src = od.src
         """,
         # PMI-lift collocations: all-integer staged divisions, ordered
         # EXACTLY as the Spark expr (x1 = n_ab*1000*tu // ca, x2 = x1*tu

@@ -739,7 +739,14 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     degree subtree re-executes per leg); wedge join keyed on the wedge
     apex, closing join on the (v, w) edge key — both equi-joins on
     uniform keys, skew bounded by the orientation."""
-    und = (
+    return _triangles_over_und(_und_edges(edges))
+
+
+def _und_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge table: (lo, hi) with lo < hi, self-loops
+    dropped, both directions merged — the shared head of triangle_counts
+    / clustering_coefficients / degree_assortativity."""
+    return (
         edges.select(
             F.least("src", "dst").alias("lo"),
             F.greatest("src", "dst").alias("hi"),
@@ -747,6 +754,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .filter(F.col("lo") != F.col("hi"))
         .distinct()
     )
+
+
+def _triangles_over_und(und: DataFrame) -> DataFrame:
+    """triangle_counts body over a pre-canonicalized (lo, hi) table —
+    callers that already hold (and may have checkpointed) the undirected
+    edges skip the second least/greatest/distinct pass."""
     # per-row refusal on the packing bound (the latest_snapshot raise
     # convention): a node >= 2^32 (e.g. an xxhash64-keyed graph) would
     # silently collide with (deg+1, node-2^32) and corrupt counts
@@ -887,6 +900,150 @@ def co_citation_overflow(edges: DataFrame, max_out: int = 64) -> DataFrame:
     every source the cap excluded, so a capped run is auditable instead
     of silently lossy (the minhash/simhash overflow-twin convention)."""
     return _cocite_outdeg(edges).filter(F.col("outdeg") > max_out)
+
+
+def clustering_coefficients(edges: DataFrame) -> DataFrame:
+    """Per-node local clustering coefficient over the undirected link
+    graph, in integer milli-units: cc_milli = (2 * triangles * 1000)
+    div (deg * (deg - 1)) for nodes with deg >= 2 (Watts & Strogatz
+    1998) — the link-farm density score that complements the raw
+    triangle count (a hub with many triangles but huge degree is
+    organic; a mid-degree node whose neighborhood is near-complete is a
+    ring).
+
+    Exactness: all-integer — the numerator/denominator are both
+    non-negative so Spark div ≡ DuckDB // (the r4 signed-division
+    lesson never triggers).
+
+    Scale: the canonical undirected table is built ONCE and
+    localCheckpointed — it feeds the degree groupBy AND the full
+    triangle subtree (3 join legs); without the checkpoint the edge
+    subtree re-executes 4x (the pagerank/co_citation lesson).  Degree
+    groupBy is map-side combinable; the triangle core is the
+    degree-ordered-orientation bound (sum outdeg^2 <= m^1.5).  Left
+    join keeps triangle-free nodes at cc_milli = 0."""
+    und = _und_edges(edges).localCheckpoint()
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .union(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = _triangles_over_und(und)
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tri, "node", "left")
+        .select(
+            "node",
+            "deg",
+            F.coalesce("triangles", F.lit(0)).cast("long").alias("triangles"),
+        )
+        .withColumn(
+            "cc_milli",
+            F.expr("(triangles * 2000) div (deg * (deg - 1))"),
+        )
+    )
+
+
+def link_reciprocity(edges: DataFrame) -> DataFrame:
+    """Per-source link reciprocity over the dedup'd directed graph:
+    (node, outdeg, mutual, recip_milli = mutual * 1000 div outdeg) —
+    mutual-citation-ring detection (organic web linking is mostly
+    one-way; near-1000 reciprocity on a whole host neighborhood is a
+    link-exchange signal) and the directed complement to the undirected
+    triangle/cc family.  Self-loops are dropped (a page linking itself
+    is not reciprocity).
+
+    Scale: one distinct + localCheckpoint (the table feeds the outdeg
+    groupBy, the semi-join probe side AND its reversed build side — 3
+    legs); mutual detection is a left-semi equi-join of the edge table
+    against its own reversal on the full (src, dst) key — uniform keys,
+    no fan-out; both groupBys map-side combinable.  All-integer,
+    non-negative operands."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    mut = (
+        e.join(rev, ["src", "dst"], "left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("mutual"))
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    return (
+        outdeg.join(mut, "src", "left")
+        .select(
+            F.col("src").alias("node"),
+            "outdeg",
+            F.coalesce("mutual", F.lit(0)).cast("long").alias("mutual"),
+        )
+        .withColumn("recip_milli", F.expr("(mutual * 1000) div outdeg"))
+    )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity of the undirected graph (Newman 2002) as an
+    all-integer OLS slope over BOTH orientations of every undirected
+    edge: with both orientations present the x/y marginals coincide
+    (sx = sy, sxx = syy), so the OLS slope EQUALS the Pearson
+    assortativity coefficient r — no sqrt, no float, no quantized
+    transcendental (degrees are already integers).  Negative r =
+    hub-and-spoke web shape; positive = core-periphery/ring.
+
+    Division convention (r4 signed-div lesson: operands kept
+    non-negative, sign via CASE): num = n*sxy - sx*sy (signed),
+    den = n*sxx - sx*sx (>= 0), and by Cauchy-Schwarz on the symmetric
+    marginals |num| <= den, so while den <= 9e12 the FULL-precision
+    form (|num| * 1000000) div den cannot overflow LongType; beyond
+    that the zipf_fit staging ((|num| * 1000) div (den div 1000)) takes
+    over, exact to ~1e-3 relative — the CASE threshold is a constant,
+    identical in both engines.  Staged-branch overflow bound:
+    |num| <= 9.2e15, i.e. n*D <= ~1e8 (n = 2*edges, D = max degree) —
+    re-stage before a graph beyond that (the winnowing
+    never-narrow-the-shift rule applied to multipliers).
+
+    Scale: canonical undirected table localCheckpointed once (feeds the
+    degree groupBy and both join legs); two broadcast-eligible joins of
+    edges against the (node, deg) table; one single-row aggregate ends
+    the plan.  den = 0 (regular graph) implies num = 0 — result 0, no
+    special case."""
+    und = _und_edges(edges).localCheckpoint()
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .union(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    dlo = deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo"))
+    dhi = deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi"))
+    pr = und.join(dlo, "lo").join(dhi, "hi")
+    both = pr.select(
+        F.col("dlo").alias("x"), F.col("dhi").alias("y")
+    ).unionByName(pr.select(F.col("dhi").alias("x"), F.col("dlo").alias("y")))
+    sums = both.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    mag = (
+        "CASE WHEN n * sxx - sx * sx <= 9000000000000 THEN "
+        "  (abs(n * sxy - sx * sy) * 1000000)"
+        "  div greatest(n * sxx - sx * sx, 1) "
+        "ELSE "
+        "  (abs(n * sxy - sx * sy) * 1000)"
+        "  div ((n * sxx - sx * sx) div 1000) "
+        "END"
+    )
+    return sums.selectExpr(
+        "n AS n_endpoints",
+        f"CASE WHEN n * sxy - sx * sy < 0 THEN -({mag}) "
+        f"ELSE {mag} END AS assort_micro",
+    )
 
 
 def unigram_surprisal(docs: DataFrame) -> DataFrame:

@@ -191,6 +191,26 @@ def main():
     rows.append(timed("personalized_ppr_i2_200k", lambda: (
         noop(A.personalized_pagerank(_soak_edges(), _seeds(), iters=2)))))
 
+    # family 6 (r5 s7): batched retrieval chain at 200k docs — 40
+    # queries (doc_id % 5000 == 0; the 31-word vocabulary makes every
+    # query term a worst-case high-df term, so each query's candidate
+    # set is nearly the whole corpus — the stress is the (query, doc)
+    # combine volume, ~24M contribution rows), plus the KN bigram LM
+    # over the full soak corpus (40k bigram types, 12M occurrences)
+    def _soak_queries():
+        ws = F.split("text", " ")
+        return docs.filter(F.col("doc_id") % 5000 == 0).select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.array_distinct(F.slice(ws, 1, 3))).alias("term"),
+        )
+
+    rows.append(timed("bm25_batch_40q_200k", lambda: (
+        noop(A.bm25_batch(docs, _soak_queries(), k=10)))))
+    rows.append(timed("prf_terms_40q_200k", lambda: (
+        noop(A.prf_terms(docs, _soak_queries(), fb_docs=5, k_terms=5)))))
+    rows.append(timed("kn_surprisal_200k", lambda: (
+        noop(A.kn_surprisal(docs)))))
+
     # extraction at 200k pages (sf1): steady-state docs/s
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)).rsplit(
         "/scripts", 1)[0])
