@@ -3377,6 +3377,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (ts, event_id) total order; value in integer cents
         return E.attribution(_events(spark, sf_dir), "purchase")
 
+    def events_markov(spark, sf_dir):
+        # r5 session-8: first-order Markov transition matrix over
+        # per-user (ts, event_id)-ordered event sequences — 5x5 matrix
+        # with integer milli transition probabilities
+        return E.markov_transitions(_events(spark, sf_dir))
+
+    def lexical_diversity(spark, sf_dir):
+        # r5 session-8: per-doc type-token ratio + hapax fraction in
+        # integer milli-units over whitespace tokens (the token_counts
+        # split convention: '' yields one token, divisions never see 0)
+        return A.lexical_diversity(_docs(spark, sf_dir))
+
     def k_anonymity(spark, sf_dir):
         # r5 session-7: privacy-release audit over the (lang, source,
         # len-band) quasi-identifier cells; risky = population < 5
@@ -3508,6 +3520,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coefficient": clustering_coefficient,
         "degree_assortativity": degree_assortativity,
         "link_reciprocity": link_reciprocity,
+        "events_markov": events_markov,
+        "lexical_diversity": lexical_diversity,
         "events_attribution": events_attribution,
         "k_anonymity": k_anonymity,
         "good_turing": good_turing,
@@ -7295,6 +7309,46 @@ def oracle_sql() -> dict[str, str]:
         # first/last-touch attribution: touches strictly before the first
         # purchase per user ((ts, event_id) order); rn is unique so
         # arg_min/arg_max cannot tie; no-prior-touch users excluded
+        # first-order Markov transition matrix: lag window in the same
+        # (ts, event_id) per-user total order as the Spark side; one
+        # non-negative integer division so // == div
+        "events_markov": """
+            WITH seq AS (
+              SELECT user_id, event_type AS to_type,
+                     lag(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS from_type
+              FROM events
+            ),
+            p AS (SELECT from_type, to_type,
+                         CAST(count(*) AS BIGINT) AS n_pairs
+                  FROM seq WHERE from_type IS NOT NULL
+                  GROUP BY from_type, to_type),
+            t AS (SELECT from_type, CAST(sum(n_pairs) AS BIGINT) AS n_from
+                  FROM p GROUP BY from_type)
+            SELECT p.from_type, p.to_type, p.n_pairs, t.n_from,
+                   (p.n_pairs * 1000) // t.n_from AS prob_milli
+            FROM p JOIN t USING (from_type)
+        """,
+        # per-doc TTR/hapax card: unnest of the token_counts split
+        # convention; all-integer divisions on non-negative operands
+        "lexical_diversity": """
+            WITH tok AS (SELECT doc_id,
+                                unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+            per AS (SELECT doc_id, tok, count(*) AS cnt
+                    FROM tok GROUP BY doc_id, tok),
+            agg AS (SELECT doc_id,
+                           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS n_types,
+                           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_hapax
+                    FROM per GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_types, n_hapax,
+                   (n_types * 1000) // n_tokens AS ttr_milli,
+                   (n_hapax * 1000) // n_tokens AS hapax_milli
+            FROM agg
+        """,
         "events_attribution": """
             WITH r AS (
               SELECT user_id, event_type, value,

@@ -43,6 +43,45 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+def lexical_diversity(docs: DataFrame) -> DataFrame:
+    """Per-document lexical-diversity card over whitespace tokens:
+    (doc_id, n_tokens, n_types, n_hapax, ttr_milli, hapax_milli) —
+    type-token ratio and hapax-legomenon fraction in integer
+    milli-units, the classic richness signals (template/boilerplate
+    pages repeat a tiny vocabulary → low TTR; genuine prose keeps
+    hapax fraction high).  Complements repetition_signals (n-gram
+    level) with the token-distribution view.
+
+    Token convention = token_counts exactly: F.split(text, ' ') —
+    empty string yields one '' token, so n_tokens >= 1 and the
+    divisions never see zero.
+
+    Scale: one explode + two map-side-combinable groupBys; the
+    (doc_id, tok) intermediate is bounded by corpus token volume and
+    partitions uniformly on doc_id.  All-integer divisions on
+    non-negative operands (Spark div ≡ DuckDB //)."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    per = tok.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("cnt") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    ).selectExpr(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        "(n_types * 1000) div n_tokens AS ttr_milli",
+        "(n_hapax * 1000) div n_tokens AS hapax_milli",
+    )
+
+
 # GPT-2-style pre-tokenizer approximation, lookahead-free so the identical
 # pattern runs under Java regex (Spark) and RE2 (DuckDB): letter runs,
 # single digits (numbers split per digit, as byte-BPE pre-tokenizers do),

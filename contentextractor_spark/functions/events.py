@@ -342,6 +342,46 @@ def hourly_anomalies(events: DataFrame, z: int = 3) -> DataFrame:
     )
 
 
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: (from_type, to_type, n_pairs, n_from, prob_milli) where
+    prob_milli = n_pairs * 1000 div n_from — the user-journey summary
+    (which event follows which) that complements funnel (fixed ordered
+    steps) and attribution (conversion-anchored).  Consecutive pairs
+    only, within a user's (ts, event_id)-ordered stream (the
+    recrawl_priority tie convention: the tie-heavy synthetic streams
+    need the event_id tiebreak or engines pair different neighbors);
+    each user's last event emits no pair.
+
+    Exactness: counts and one non-negative integer division — Spark
+    div ≡ DuckDB // throughout.
+
+    Scale: ONE window pass partitioned by user_id (lag of a single
+    string column; same shuffle key and skew story as sessionize),
+    then a groupBy whose cardinality is |types|² — map-side combine
+    collapses the stream before the tiny exchange.  n_from is a window
+    sum over the |types|²-row matrix itself, not a second pass over
+    the events."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    wfrom = Window.partitionBy("from_type")
+    return (
+        pairs.withColumn("n_from", F.sum("n_pairs").over(wfrom))
+        .withColumn(
+            "prob_milli", F.expr("(n_pairs * 1000) div n_from")
+        )
+    )
+
+
 def attribution(events: DataFrame, convert_type: str = "purchase") -> DataFrame:
     """First-touch / last-touch conversion attribution: for every user
     whose stream contains a `convert_type` event, find the events

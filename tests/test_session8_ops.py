@@ -1,10 +1,14 @@
-"""Unit tests for the r5 session-8 graph-analytics operators:
-clustering_coefficients (Watts-Strogatz local cc in milli-units),
-link_reciprocity (per-source mutual-edge fraction), and
-degree_assortativity (Newman r as the exact symmetric-orientation
-integer OLS slope)."""
+"""Unit tests for the r5 session-8 operators: clustering_coefficients
+(Watts-Strogatz local cc in milli-units), link_reciprocity (per-source
+mutual-edge fraction), degree_assortativity (Newman r as the exact
+symmetric-orientation integer OLS slope), markov_transitions
+(per-user first-order event transition matrix), and lexical_diversity
+(per-doc TTR/hapax card)."""
+
+import datetime
 
 from contentextractor_spark.functions import analysis as A
+from contentextractor_spark.functions import events as E
 
 
 def _edges(spark, pairs):
@@ -115,3 +119,93 @@ def test_assortativity_two_cliques_bridged_positive(spark):
         ys += [deg[b], deg[a]]
     r = np.corrcoef(xs, ys)[0, 1]
     assert abs(row.assort_micro - int(r * 1_000_000)) <= 1
+
+# ------------------------------------------------- markov_transitions
+
+
+def _ev(spark, rows):
+    # rows: (event_id, ts_second, user_id, event_type)
+    t0 = datetime.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            (i, t0 + datetime.timedelta(seconds=s), u, ty)
+            for i, s, u, ty in rows
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+
+
+def test_markov_hand_stream(spark):
+    # user 1: a -> b -> a ; user 2: a -> b — pairs: (a,b)x2, (b,a)x1
+    rows = [
+        (0, 0, 1, "a"),
+        (1, 1, 1, "b"),
+        (2, 2, 1, "a"),
+        (3, 0, 2, "a"),
+        (4, 1, 2, "b"),
+    ]
+    out = {
+        (r.from_type, r.to_type): r
+        for r in E.markov_transitions(_ev(spark, rows)).collect()
+    }
+    assert set(out) == {("a", "b"), ("b", "a")}
+    ab, ba = out[("a", "b")], out[("b", "a")]
+    assert (ab.n_pairs, ab.n_from, ab.prob_milli) == (2, 2, 1000)
+    assert (ba.n_pairs, ba.n_from, ba.prob_milli) == (1, 1, 1000)
+
+
+def test_markov_tie_uses_event_id_order(spark):
+    # two events at the SAME ts: event_id breaks the tie — order is
+    # a(id0) -> b(id1) -> c(id2), never a -> c
+    rows = [(0, 0, 1, "a"), (1, 0, 1, "b"), (2, 0, 1, "c")]
+    out = {
+        (r.from_type, r.to_type)
+        for r in E.markov_transitions(_ev(spark, rows)).collect()
+    }
+    assert out == {("a", "b"), ("b", "c")}
+
+
+def test_markov_single_event_user_emits_nothing(spark):
+    rows = [(0, 0, 1, "a")]
+    assert E.markov_transitions(_ev(spark, rows)).count() == 0
+
+
+def test_markov_prob_milli_splits(spark):
+    # from 'a': 1x to b, 2x to c -> 333 / 666 milli (truncating div)
+    rows = [
+        (0, 0, 1, "a"),
+        (1, 1, 1, "b"),
+        (2, 0, 2, "a"),
+        (3, 1, 2, "c"),
+        (4, 0, 3, "a"),
+        (5, 1, 3, "c"),
+    ]
+    out = {
+        (r.from_type, r.to_type): r.prob_milli
+        for r in E.markov_transitions(_ev(spark, rows)).collect()
+    }
+    assert out == {("a", "b"): 333, ("a", "c"): 666}
+
+
+# ------------------------------------------------- lexical_diversity
+
+
+def test_lexical_diversity_hand_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a c"),   # 4 tokens, 3 types, hapax {b, c} = 2
+            (2, "x x x x"),   # 4 tokens, 1 type, 0 hapax
+            (3, ""),          # split('') -> [''] : 1 token, 1 type, 1 hapax
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in A.lexical_diversity(docs).collect()}
+    r1 = out[1]
+    assert (r1.n_tokens, r1.n_types, r1.n_hapax) == (4, 3, 2)
+    assert (r1.ttr_milli, r1.hapax_milli) == (750, 500)
+    r2 = out[2]
+    assert (r2.n_tokens, r2.n_types, r2.n_hapax) == (4, 1, 0)
+    assert (r2.ttr_milli, r2.hapax_milli) == (250, 0)
+    r3 = out[3]
+    assert (r3.n_tokens, r3.n_types, r3.n_hapax) == (1, 1, 1)
+    assert (r3.ttr_milli, r3.hapax_milli) == (1000, 1000)
