@@ -3389,6 +3389,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split convention: '' yields one token, divisions never see 0)
         return A.lexical_diversity(_docs(spark, sf_dir))
 
+    def kcore_nodes(spark, sf_dir):
+        # r5 session-8: 2-core over a planted clique-core + binary-tree
+        # periphery — the tree (doc_id -> doc_id div 2) peels layer by
+        # layer (5 rounds at n=500, 8 at n=5000; rounds=9 covers both),
+        # the K20 clique on doc_id < 20 survives as the exact core
+        docs = _docs(spark, sf_dir)
+        tree = docs.filter(F.col("doc_id") >= 1).select(
+            F.col("doc_id").alias("src"),
+            F.expr("doc_id div 2").alias("dst"),
+        )
+        clique = docs.filter(F.col("doc_id") < 20).select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    *[(F.col("doc_id") + j) % 20 for j in range(1, 11)]
+                )
+            ).alias("dst"),
+        )
+        return A.kcore(tree.unionByName(clique), k=2, rounds=9)
+
+    def label_communities(spark, sf_dir):
+        # r5 session-8: deterministic synchronous LPA over 10-node
+        # planted communities (intra-group chords +1/+2/+3, one bridge
+        # from each group head to the next) — converges by round 3 to
+        # exactly the planted groups, labeled by their min member
+        docs = _docs(spark, sf_dir)
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        base = (F.expr("doc_id div 10") * 10).alias("base")
+        off = F.col("doc_id") - F.expr("doc_id div 10") * 10
+        intra = F.array(
+            *[
+                F.expr("doc_id div 10") * 10 + (off + j) % 10
+                for j in range(1, 4)
+            ]
+        )
+        dsts = F.when(
+            F.col("doc_id") % 10 == 0,
+            F.concat(
+                intra, F.array((F.col("doc_id") + 10) % F.col("n"))
+            ),
+        ).otherwise(intra)
+        edges = (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+            )
+        )
+        return A.label_propagation(edges, rounds=4)
+
     def k_anonymity(spark, sf_dir):
         # r5 session-7: privacy-release audit over the (lang, source,
         # len-band) quasi-identifier cells; risky = population < 5
@@ -3522,6 +3572,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_reciprocity": link_reciprocity,
         "events_markov": events_markov,
         "lexical_diversity": lexical_diversity,
+        "kcore_nodes": kcore_nodes,
+        "label_communities": label_communities,
         "events_attribution": events_attribution,
         "k_anonymity": k_anonymity,
         "good_turing": good_turing,
@@ -3819,6 +3871,80 @@ _TRI_CTES = """
 fixture (packed (deg*2^32+node) total-order key, expression-for-
 expression the Spark side) — ONE definition shared by the
 triangle_count / clustering_coefficient oracles."""
+
+
+def _kcore_ctes(k: int, rounds: int, src: str = "ee") -> str:
+    """Unrolled k-core peel chain (the pagerank-oracle convention —
+    DuckDB recursive CTEs cannot aggregate): und0 = canonical
+    undirected edges from `src`(src, dst); each round computes degrees,
+    keeps nodes with deg >= k, and semi-filters the edge set.  Running
+    rounds past the fixpoint is the identity, so a fixed unroll equals
+    Spark's early-stopping loop whenever rounds >= peel depth
+    (analysis.kcore docstring).
+
+    und{r}/k{r} are AS MATERIALIZED: DuckDB inlines plain CTEs per
+    reference and each round references the previous edge set 3x, so
+    an un-materialized unroll re-expands the base parquet scan
+    3^rounds times ("Too many open files" at rounds=9)."""
+    parts = [
+        f"""und0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS lo,
+                                     greatest(src, dst) AS hi
+                     FROM {src} WHERE src <> dst)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""d{r} AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                   FROM (SELECT lo AS node FROM und{r}
+                         UNION ALL SELECT hi FROM und{r})
+                   GROUP BY node)"""
+        )
+        parts.append(
+            f"""k{r} AS MATERIALIZED
+                  (SELECT node FROM d{r} WHERE deg >= {k})"""
+        )
+        parts.append(
+            f"""und{r + 1} AS MATERIALIZED (SELECT lo, hi FROM und{r}
+                   WHERE lo IN (SELECT node FROM k{r})
+                     AND hi IN (SELECT node FROM k{r}))"""
+        )
+    parts.append(
+        f"""dfin AS (SELECT node, CAST(count(*) AS BIGINT) AS core_deg
+               FROM (SELECT lo AS node FROM und{rounds}
+                     UNION ALL SELECT hi FROM und{rounds})
+               GROUP BY node)"""
+    )
+    return ",\n            ".join(parts)
+
+
+def _lpa_ctes(rounds: int, src: str = "le") -> str:
+    """Unrolled synchronous-LPA chain over `src`(src, dst): l0 = own
+    node id; each round votes neighbor labels and takes the packed
+    integer argmax max(cnt*2^32 + (2^32-1-label)) — most-frequent,
+    min-label ties — expression-for-expression analysis.
+    label_propagation (which guards the packing bounds per row)."""
+    parts = [
+        f"""undl AS (SELECT DISTINCT least(src, dst) AS lo,
+                                     greatest(src, dst) AS hi
+                     FROM {src} WHERE src <> dst)""",
+        """nbrl AS (SELECT lo AS node, hi AS nbr FROM undl
+                    UNION ALL SELECT hi, lo FROM undl)""",
+        """l0 AS (SELECT DISTINCT node, node AS label FROM nbrl)""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""v{r + 1} AS (SELECT n.node, l.label,
+                          CAST(count(*) AS BIGINT) AS cnt
+                   FROM nbrl n JOIN l{r} l ON l.node = n.nbr
+                   GROUP BY n.node, l.label)"""
+        )
+        parts.append(
+            f"""l{r + 1} AS (SELECT node,
+                          4294967295 - (max(cnt * 4294967296
+                              + (4294967295 - label)) % 4294967296)
+                              AS label
+                   FROM v{r + 1} GROUP BY node)"""
+        )
+    return ",\n            ".join(parts)
 
 
 # r5 onion-dedup page builder (shared by boilerplate_lines / scrub_
@@ -7309,6 +7435,39 @@ def oracle_sql() -> dict[str, str]:
         # first/last-touch attribution: touches strictly before the first
         # purchase per user ((ts, event_id) order); rn is unique so
         # arg_min/arg_max cannot tie; no-prior-touch users excluded
+        # 2-core over the clique+tree fixture: unrolled peel rounds
+        # (identity past fixpoint — peel depth 5 at n=500, rounds=9)
+        "kcore_nodes": f"""
+            WITH te AS (SELECT doc_id AS src, doc_id // 2 AS dst
+                        FROM documents WHERE doc_id >= 1),
+            ce AS (SELECT doc_id AS src, (doc_id + j) % 20 AS dst
+                   FROM documents,
+                        (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS j) js
+                   WHERE doc_id < 20),
+            ee AS (SELECT src, dst FROM te
+                   UNION ALL SELECT src, dst FROM ce),
+            {_kcore_ctes(k=2, rounds=9)}
+            SELECT node, core_deg FROM dfin WHERE core_deg >= 2
+        """,
+        # synchronous LPA over the planted 10-node communities: packed
+        # (cnt, min-label) argmax per round, 4 unrolled rounds
+        "label_communities": f"""
+            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                        FROM documents),
+            le AS (SELECT doc_id AS src,
+                          CASE j WHEN 1 THEN (doc_id // 10) * 10
+                                          + (doc_id % 10 + 1) % 10
+                                 WHEN 2 THEN (doc_id // 10) * 10
+                                          + (doc_id % 10 + 2) % 10
+                                 WHEN 3 THEN (doc_id // 10) * 10
+                                          + (doc_id % 10 + 3) % 10
+                                 ELSE (doc_id + 10) % n END AS dst
+                   FROM documents, nn,
+                        (SELECT unnest([1, 2, 3, 4]) AS j) js
+                   WHERE j <= 3 OR doc_id % 10 = 0),
+            {_lpa_ctes(rounds=4)}
+            SELECT node, label FROM l4
+        """,
         # first-order Markov transition matrix: lag window in the same
         # (ts, event_id) per-user total order as the Spark side; one
         # non-negative integer division so // == div

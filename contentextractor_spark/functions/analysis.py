@@ -1085,6 +1085,137 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def kcore(edges: DataFrame, k: int = 2, rounds: int = 9) -> DataFrame:
+    """k-core of the undirected link graph: iteratively peel nodes with
+    degree < k for at most `rounds` synchronous rounds, returning the
+    surviving (node, core_deg) — the link-farm / dense-subgraph
+    detector (a genuine k-core survives every peel; a tree or chain
+    periphery, however large, cannot).  `rounds` must be >= the peel
+    depth for the result to BE the k-core; fewer rounds give the exact
+    partial peel (each round is deterministic, so cross-engine
+    exactness holds either way — the oracle unrolls the same fixed
+    rounds).  A round that removes nothing ends the loop early: the
+    edge count is strictly decreasing until fixpoint, so an unchanged
+    count IS convergence and the skipped rounds are identities.
+
+    Exactness: counts and comparisons only — no division, no floats.
+
+    Scale: per round, one map-side-combinable degree groupBy over the
+    current edge set and two left-semi joins (uniform keys; the
+    surviving-node side shrinks monotonically so AQE broadcasts it as
+    soon as it fits).  localCheckpoint per round — the pagerank
+    lesson: without it round r re-executes every prior round's joins
+    (and, for an extract_links-fed graph, the DOM parse).  The early
+    stop costs one count() per round on the just-checkpointed table —
+    O(1) driver latency, no recompute.  Peel depth on web graphs is
+    O(log n) in practice; `rounds` bounds the job chain either way."""
+    if k < 1:
+        raise ValueError("kcore: k must be >= 1")
+    cur = _und_edges(edges).localCheckpoint()
+    n_edges = cur.count()
+    for _ in range(rounds):
+        keep = (
+            cur.select(F.col("lo").alias("node"))
+            .union(cur.select(F.col("hi").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("node")
+        )
+        nxt = (
+            cur.join(keep.select(F.col("node").alias("lo")), "lo", "left_semi")
+            .join(keep.select(F.col("node").alias("hi")), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        cur = nxt
+        if n_nxt == n_edges:
+            break
+        n_edges = n_nxt
+    return (
+        cur.select(F.col("lo").alias("node"))
+        .union(cur.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+        .filter(F.col("core_deg") >= k)
+    )
+
+
+# label-propagation packing: cnt * 2^32 + (2^32 - 1 - label) under max()
+# picks (most-frequent, then MIN label) — the budget_select argmax family
+_LPA_SHIFT = 1 << 32
+
+
+def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Synchronous deterministic label propagation (Raghavan 2007 with
+    the min-label tiebreak) over the undirected graph: label_0(v) = v;
+    label_r(v) = the SMALLEST among the most frequent neighbor labels
+    at round r-1.  Returns (node, label) after `rounds` rounds — the
+    community detector for mirror-cluster / link-ring grouping where
+    connected components are too coarse (a single bridge edge merges
+    components but cannot outvote a dense community here).
+
+    Determinism/exactness: the per-node argmax is the packed integer
+    max(cnt * 2^32 + (2^32 - 1 - label)) — most-frequent first, min
+    label on ties; all-integer, order-free.  Per-row raise guards on
+    the packing bounds (the latest_snapshot convention): label must
+    fit 32 bits unsigned and cnt < 2^31, checked on every aggregate
+    row rather than documented — a 2^32+ node id would silently
+    corrupt the tiebreak otherwise.
+
+    Scale: per round, one equi-join of the directed-both-ways edge
+    table against the (node, label) table (uniform keys, label table
+    shrinks to one row per node) and two map-side-combinable groupBys;
+    localCheckpoint per round (the pagerank lesson).  Synchronous LPA
+    on a bipartite-ish structure can oscillate — `rounds` is a hard
+    bound, not a convergence promise (documented; the planted-
+    community entry fixture converges in 3)."""
+    und = _und_edges(edges).localCheckpoint()
+    nbr = und.select(
+        F.col("lo").alias("node"), F.col("hi").alias("nbr")
+    ).union(und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
+    lbl = nbr.select("node").distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    guard = F.when(
+        (F.col("label") < 0)
+        | (F.col("label") >= _LPA_SHIFT)
+        | (F.col("cnt") >= F.lit(1 << 31)),
+        F.raise_error(
+            F.concat(
+                F.lit("label_propagation: packing bounds violated at label "),
+                F.col("label").cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(
+        F.col("cnt") * F.lit(_LPA_SHIFT)
+        + (F.lit(_LPA_SHIFT - 1) - F.col("label"))
+    )
+    for _ in range(rounds):
+        votes = (
+            nbr.join(
+                lbl.select(F.col("node").alias("nbr"), "label"), "nbr"
+            )
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lbl = (
+            votes.select("node", guard.alias("packed"))
+            .groupBy("node")
+            .agg(F.max("packed").alias("packed"))
+            .select(
+                "node",
+                (
+                    F.lit(_LPA_SHIFT - 1)
+                    - F.pmod(F.col("packed"), F.lit(_LPA_SHIFT))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    return lbl
+
+
 def unigram_surprisal(docs: DataFrame) -> DataFrame:
     """LM-based quality scoring against the corpus's own unigram model
     (the CCNet idea with the corpus standing in for the external LM): per

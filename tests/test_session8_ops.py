@@ -209,3 +209,114 @@ def test_lexical_diversity_hand_docs(spark):
     r3 = out[3]
     assert (r3.n_tokens, r3.n_types, r3.n_hapax) == (1, 1, 1)
     assert (r3.ttr_milli, r3.hapax_milli) == (1000, 1000)
+
+# --------------------------------------------------------------- kcore
+
+
+def _kcore_ref(pairs, k):
+    # reference peel to fixpoint
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    live = {v: set(s) for v, s in adj.items()}
+    while True:
+        drop = [v for v, s in live.items() if len(s) < k]
+        if not drop:
+            break
+        for v in drop:
+            for m in live[v]:
+                live[m].discard(v)
+            del live[v]
+    return sorted((v, len(s)) for v, s in live.items())
+
+
+def test_kcore_triangle_with_tail(spark):
+    g = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)]
+    out = sorted(
+        (r.node, r.core_deg)
+        for r in A.kcore(_edges(spark, g), k=2, rounds=5).collect()
+    )
+    assert out == [(1, 2), (2, 2), (3, 2)] == _kcore_ref(g, 2)
+
+
+def test_kcore_path_graph_empties(spark):
+    g = [(1, 2), (2, 3), (3, 4)]
+    assert A.kcore(_edges(spark, g), k=2, rounds=4).count() == 0
+
+
+def test_kcore_random_parity(spark):
+    # seeded random graph vs the reference peel, two k values
+    import random
+
+    rnd = random.Random(8)
+    g = [(rnd.randrange(30), rnd.randrange(30)) for _ in range(70)]
+    for k in (2, 3):
+        out = sorted(
+            (r.node, r.core_deg)
+            for r in A.kcore(_edges(spark, g), k=k, rounds=30).collect()
+        )
+        assert out == _kcore_ref(g, k), k
+
+
+def test_kcore_partial_peel_matches_fixed_rounds(spark):
+    # chain peels one layer per round from each end: rounds=1 on a
+    # 5-path is exactly ONE synchronous peel (ends dropped) plus the
+    # final core_deg >= k output filter — NOT the fixpoint (empty).
+    # After peeling 1 and 5, degrees are 2->1, 3->2, 4->1; only node 3
+    # passes the output filter (the oracle applies the same filter).
+    g = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    out = sorted(
+        (r.node, r.core_deg)
+        for r in A.kcore(_edges(spark, g), k=2, rounds=1).collect()
+    )
+    assert out == [(3, 2)] != _kcore_ref(g, 2)
+
+
+# --------------------------------------------------- label_propagation
+
+
+def _lpa_ref(pairs, rounds):
+    import collections
+
+    adj = collections.defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    lbl = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            cnt = collections.Counter(lbl[u] for u in adj[v])
+            m = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == m)
+        lbl = new
+    return sorted(lbl.items())
+
+
+def test_lpa_two_triangles_bridged(spark):
+    g = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+    out = sorted(
+        (r.node, r.label)
+        for r in A.label_propagation(_edges(spark, g), rounds=2).collect()
+    )
+    assert out == _lpa_ref(g, 2)
+
+
+def test_lpa_random_parity(spark):
+    import random
+
+    rnd = random.Random(11)
+    g = [(rnd.randrange(25), rnd.randrange(25)) for _ in range(60)]
+    for rounds in (1, 3):
+        out = sorted(
+            (r.node, r.label)
+            for r in A.label_propagation(
+                _edges(spark, g), rounds=rounds
+            ).collect()
+        )
+        assert out == _lpa_ref(g, rounds), rounds
