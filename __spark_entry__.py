@@ -3389,6 +3389,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split convention: '' yields one token, divisions never see 0)
         return A.lexical_diversity(_docs(spark, sf_dir))
 
+    def temperature_mix(spark, sf_dir):
+        # r5 session-8: alpha=0.5 source mixing weights — exact integer
+        # sqrt (float sqrt + two corrections), truncating micro shares
+        # and target doc counts against a 100k budget
+        return A.temperature_mix(_docs(spark, sf_dir), budget=100_000)
+
+    def table_profile(spark, sf_dir):
+        # r5 session-8: per-column null/cardinality card over events —
+        # one Expand-planned aggregate, vocab_growth-style unpivot
+        return A.table_profile(_events(spark, sf_dir), _PROFILE_COLS)
+
     def kcore_nodes(spark, sf_dir):
         # r5 session-8: 2-core over a planted clique-core + binary-tree
         # periphery — the tree (doc_id -> doc_id div 2) peels layer by
@@ -3574,6 +3585,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lexical_diversity": lexical_diversity,
         "kcore_nodes": kcore_nodes,
         "label_communities": label_communities,
+        "temperature_mix": temperature_mix,
+        "table_profile": table_profile,
         "events_attribution": events_attribution,
         "k_anonymity": k_anonymity,
         "good_turing": good_turing,
@@ -3914,6 +3927,33 @@ def _kcore_ctes(k: int, rounds: int, src: str = "ee") -> str:
                GROUP BY node)"""
     )
     return ",\n            ".join(parts)
+
+
+# events columns profiled by table_profile — ONE list shared by the
+# query and its oracle generator
+_PROFILE_COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+
+def _profile_sql(table: str, cols: list[str]) -> str:
+    """table_profile oracle: one aggregate row, unpivoted via UNION ALL
+    — mirrors the Spark Expand-aggregate + struct-array explode."""
+    aggs = ["CAST(count(*) AS BIGINT) AS n_rows"]
+    for c in cols:
+        aggs.append(
+            f"CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS null_{c}"
+        )
+        aggs.append(f"CAST(count(DISTINCT {c}) AS BIGINT) AS dist_{c}")
+    arms = [
+        f"""SELECT '{c}' AS "column", n_rows, null_{c} AS n_null,
+                   dist_{c} AS n_distinct,
+                   (null_{c} * 1000) // n_rows AS null_milli FROM s"""
+        for c in cols
+    ]
+    return (
+        f"WITH s AS (SELECT {', '.join(aggs)} FROM {table})\n            "
+        + "\n            UNION ALL ".join(arms)
+    )
 
 
 def _lpa_ctes(rounds: int, src: str = "le") -> str:
@@ -7435,6 +7475,32 @@ def oracle_sql() -> dict[str, str]:
         # first/last-touch attribution: touches strictly before the first
         # purchase per user ((ts, event_id) order); rn is unique so
         # arg_min/arg_max cannot tie; no-prior-touch users excluded
+        # alpha=0.5 temperature mixing: the exact-isqrt chain (float
+        # sqrt + undershoot/overshoot corrections) expression-for-
+        # expression the Spark side; truncating // == div on positives
+        "temperature_mix": """
+            WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+                       FROM documents GROUP BY source),
+            w0 AS (SELECT source, n_docs,
+                          CAST(floor(sqrt(CAST(n_docs AS DOUBLE)))
+                               AS BIGINT) AS y0
+                   FROM c),
+            w1 AS (SELECT source, n_docs,
+                          y0 + CASE WHEN (y0 + 1) * (y0 + 1) <= n_docs
+                                    THEN 1 ELSE 0 END AS y1
+                   FROM w0),
+            w2 AS (SELECT source, n_docs,
+                          y1 - CASE WHEN y1 * y1 > n_docs
+                                    THEN 1 ELSE 0 END AS w
+                   FROM w1),
+            t AS (SELECT CAST(sum(w) AS BIGINT) AS total_w FROM w2)
+            SELECT source, n_docs, w,
+                   (w * 1000000) // total_w AS share_micro,
+                   (w * 100000) // total_w AS target_docs
+            FROM w2, t
+        """,
+        # per-column profile card over events (shared _PROFILE_COLS)
+        "table_profile": _profile_sql("events", _PROFILE_COLS),
         # 2-core over the clique+tree fixture: unrolled peel rounds
         # (identity past fixpoint — peel depth 5 at n=500, rounds=9)
         "kcore_nodes": f"""

@@ -1085,6 +1085,114 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     )
 
 
+def _isqrt(n):
+    """Exact integer sqrt of a non-negative LongType column, cross-engine:
+    both engines' float sqrt is 1-ulp accurate, so floor(sqrt(double(n)))
+    is within ±1 of isqrt(n) for n < 2^52; two integer corrections make
+    it exact — the first fixes an undershoot, the second an overshoot of
+    the corrected value.  This is the transcendental-elimination family's
+    sqrt member (ln: micro-nat floors; sqrt: correctable because the
+    target is itself an integer)."""
+    y0 = F.floor(F.sqrt(n.cast("double"))).cast("long")
+    y1 = y0 + F.when((y0 + 1) * (y0 + 1) <= n, 1).otherwise(0)
+    return y1 - F.when(y1 * y1 > n, 1).otherwise(0)
+
+
+def temperature_mix(
+    docs: DataFrame, budget: int = 100_000, group_col: str = "source"
+) -> DataFrame:
+    """Temperature-based source mixing (the XLM-R / CCNet alpha=0.5
+    convention): sampling weight per source ∝ n_docs^0.5, flattening
+    the source distribution so head sources stop dominating the
+    training mix.  Returns (source, n_docs, w, share_micro,
+    target_docs): w = isqrt(n_docs) exactly (see _isqrt — float sqrt
+    corrected to the true integer root, so cross-engine exact with NO
+    transcendental residue, unlike the ln-based micro-nat rows),
+    share_micro = w*1e6 div total_w, target_docs = w*budget div
+    total_w (truncating, so sum(target_docs) <= budget — the
+    remainder is the caller's largest-remainder pass if exact budget
+    fill matters; documented, not hidden).
+
+    Per-row raise guard (the latest_snapshot convention): n_docs must
+    stay below 2^52 for the float-sqrt ±1 bound to hold — raise, not
+    silently mis-root.
+
+    Scale: one map-side-combinable groupBy(source); total_w rides
+    back as a one-row broadcast crossJoin (the corpus-total
+    convention).  Alpha other than 0.5 needs the ln/exp path — this
+    operator deliberately ships the exact-arithmetic special case."""
+    counts = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    guarded = F.when(
+        F.col("n_docs") >= F.lit(1 << 52),
+        F.raise_error(
+            F.lit("temperature_mix: n_docs exceeds the isqrt exactness bound")
+        ).cast("long"),
+    ).otherwise(_isqrt(F.col("n_docs")))
+    w = counts.select("source", "n_docs", guarded.alias("w"))
+    tot = w.agg(F.sum("w").cast("long").alias("total_w"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "w",
+            "(w * 1000000) div total_w AS share_micro",
+            f"(w * {int(budget)}) div total_w AS target_docs",
+        )
+    )
+
+
+def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Per-column data-profile card: (column, n_rows, n_null,
+    n_distinct, null_milli) — the schema-drift / quality monitor a
+    lake team runs per ingest batch (a column whose null fraction or
+    cardinality jumps between snapshots signals an upstream break).
+    n_distinct excludes NULLs (both engines' count(DISTINCT col)
+    convention).
+
+    Scale: ONE aggregate computes every column's stats in one pass —
+    Spark plans the multiple exact count(DISTINCT) via Expand (row
+    multiplication by len(cols)+1 before the map-side combine), the
+    standard exact-profiling cost; swap in approx_count_distinct when
+    cardinalities may be corpus-sized and exactness is not needed
+    (the HLL rows are the sketch path).  The unpivot is the
+    vocab_growth literal-struct-array explode over the one-row
+    aggregate — no second scan, no per-column job."""
+    if not cols:
+        raise ValueError("table_profile: cols must be non-empty")
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"_null_{c}")
+        )
+        aggs.append(F.countDistinct(c).cast("long").alias(f"_dist_{c}"))
+    one = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+            )
+            for c in cols
+        ]
+    )
+    return (
+        one.select(F.col("_n").alias("n_rows"), F.explode(entries).alias("e"))
+        .select(
+            F.col("e.column").alias("column"),
+            "n_rows",
+            F.col("e.n_null").alias("n_null"),
+            F.col("e.n_distinct").alias("n_distinct"),
+        )
+        .withColumn("null_milli", F.expr("(n_null * 1000) div n_rows"))
+    )
+
+
 def kcore(edges: DataFrame, k: int = 2, rounds: int = 9) -> DataFrame:
     """k-core of the undirected link graph: iteratively peel nodes with
     degree < k for at most `rounds` synchronous rounds, returning the

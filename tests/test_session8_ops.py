@@ -320,3 +320,60 @@ def test_lpa_random_parity(spark):
             ).collect()
         )
         assert out == _lpa_ref(g, rounds), rounds
+
+# ----------------------------------------------------- temperature_mix
+
+
+def test_isqrt_exact_on_boundaries(spark):
+    import math
+
+    vals = [0, 1, 2, 3, 4, 8, 9, 15, 16, 24, 25,
+            10**12, 10**12 + 1, (1 << 26) ** 2, (1 << 26) ** 2 - 1,
+            (1 << 52) - 1]
+    df = spark.createDataFrame([(v,) for v in vals], "n long")
+    from contentextractor_spark.functions.analysis import _isqrt
+    from pyspark.sql import functions as F
+
+    out = {r.n: r.y for r in df.select("n", _isqrt(F.col("n")).alias("y")).collect()}
+    for v in vals:
+        assert out[v] == math.isqrt(v), v
+
+
+def test_temperature_mix_flattens(spark):
+    # sources 90/9/1 docs -> weights isqrt: 9/3/1, total 13
+    rows = [(i, "s_big") for i in range(90)]
+    rows += [(100 + i, "s_mid") for i in range(9)]
+    rows += [(200, "s_small")]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    out = {r.source: r for r in A.temperature_mix(docs, budget=1300).collect()}
+    assert (out["s_big"].w, out["s_mid"].w, out["s_small"].w) == (9, 3, 1)
+    assert out["s_big"].target_docs == 900
+    assert out["s_mid"].target_docs == 300
+    assert out["s_small"].target_docs == 100
+    # flattening: raw share 90% -> weight share 9/13 = 692307 micro
+    assert out["s_big"].share_micro == 692307
+
+
+# ------------------------------------------------------- table_profile
+
+
+def test_table_profile_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (2, "a", 1.0), (3, None, 2.0), (3, "b", None)],
+        "id long, s string, v double",
+    )
+    out = {r.column: r for r in A.table_profile(df, ["id", "s", "v"]).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert all(r.n_rows == 4 for r in out.values())
+    assert (out["id"].n_null, out["id"].n_distinct) == (0, 3)
+    assert (out["s"].n_null, out["s"].n_distinct) == (1, 2)
+    assert (out["v"].n_null, out["v"].n_distinct) == (2, 2)
+    assert out["v"].null_milli == 500
+
+
+def test_table_profile_empty_cols_raises(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError):
+        A.table_profile(df, [])
