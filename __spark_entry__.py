@@ -3389,6 +3389,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split convention: '' yields one token, divisions never see 0)
         return A.lexical_diversity(_docs(spark, sf_dir))
 
+    def tfidf_neardup_pairs(spark, sf_dir):
+        # r5 session-8: weighted near-dup pairs — TF-IDF cosine over
+        # sub-cap terms, all-integer (milli-nat idf, isqrt norms); 300
+        # planted archetype pairs survive at sf0.01, every one >= 500
+        # milli (the df<=100 cap removes common-vocab co-occurrence)
+        return A.tfidf_cosine_pairs(
+            _docs(spark, sf_dir), max_df=100, threshold_milli=300
+        )
+
+    def tfidf_stop_terms(spark, sf_dir):
+        # r5 session-8: the cap's loud companion — terms the df cap
+        # excludes from the similarity (30 at sf0.01)
+        return A.tfidf_stop_terms(_docs(spark, sf_dir), max_df=100)
+
     def temperature_mix(spark, sf_dir):
         # r5 session-8: alpha=0.5 source mixing weights — exact integer
         # sqrt (float sqrt + two corrections), truncating micro shares
@@ -3587,6 +3601,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_communities": label_communities,
         "temperature_mix": temperature_mix,
         "table_profile": table_profile,
+        "tfidf_neardup_pairs": tfidf_neardup_pairs,
+        "tfidf_stop_terms": tfidf_stop_terms,
         "events_attribution": events_attribution,
         "k_anonymity": k_anonymity,
         "good_turing": good_turing,
@@ -3954,6 +3970,31 @@ def _profile_sql(table: str, cols: list[str]) -> str:
         f"WITH s AS (SELECT {', '.join(aggs)} FROM {table})\n            "
         + "\n            UNION ALL ".join(arms)
     )
+
+
+def _tfidf_w_ctes(max_df: int) -> str:
+    """Shared TF-IDF weight chain (tok → tfx → dfq → nn → idfx → wx →
+    nrm) over documents — ONE definition for the tfidf_neardup_pairs /
+    tfidf_stop_terms oracles; idf quantized to milli-nats with the
+    float expression tree kept identical to the Spark side."""
+    return f"""
+            tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                    FROM documents),
+            tfx AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM tok GROUP BY doc_id, term),
+            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tfx GROUP BY term),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            idfx AS (SELECT term,
+                            CAST(floor(ln(CAST(n AS DOUBLE)
+                                 / CAST(df AS DOUBLE)) * 1000) AS BIGINT)
+                                AS idf_milli
+                     FROM dfq, nn WHERE df <= {max_df}),
+            wx AS MATERIALIZED (SELECT t.doc_id, t.term,
+                           t.tf * i.idf_milli AS w
+                    FROM tfx t JOIN idfx i USING (term)),
+            nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS sq
+                    FROM wx GROUP BY doc_id)"""
 
 
 def _lpa_ctes(rounds: int, src: str = "le") -> str:
@@ -7475,6 +7516,48 @@ def oracle_sql() -> dict[str, str]:
         # first/last-touch attribution: touches strictly before the first
         # purchase per user ((ts, event_id) order); rn is unique so
         # arg_min/arg_max cannot tie; no-prior-touch users excluded
+        # TF-IDF cosine pairs: integer dot/norm sums off the shared
+        # weight chain; isqrt corrections mirror the Spark _isqrt
+        "tfidf_neardup_pairs": f"""
+            WITH {_tfidf_w_ctes(100)},
+            dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            CAST(sum(a.w * b.w) AS BIGINT) AS dot
+                     FROM wx a JOIN wx b
+                       ON a.term = b.term AND a.doc_id < b.doc_id
+                     GROUP BY a.doc_id, b.doc_id),
+            sc AS (SELECT doc_a, doc_b, dot, na.sq AS sq_a, nb.sq AS sq_b
+                   FROM dots
+                   JOIN nrm na ON na.doc_id = dots.doc_a
+                   JOIN nrm nb ON nb.doc_id = dots.doc_b),
+            r0 AS (SELECT doc_a, doc_b, dot,
+                          CAST(floor(sqrt(CAST(sq_a AS DOUBLE)))
+                               AS BIGINT) AS ya0,
+                          CAST(floor(sqrt(CAST(sq_b AS DOUBLE)))
+                               AS BIGINT) AS yb0,
+                          sq_a, sq_b
+                   FROM sc),
+            r1 AS (SELECT doc_a, doc_b, dot, sq_a, sq_b,
+                          ya0 + CASE WHEN (ya0 + 1) * (ya0 + 1) <= sq_a
+                                     THEN 1 ELSE 0 END AS ya1,
+                          yb0 + CASE WHEN (yb0 + 1) * (yb0 + 1) <= sq_b
+                                     THEN 1 ELSE 0 END AS yb1
+                   FROM r0),
+            r2 AS (SELECT doc_a, doc_b, dot,
+                          ya1 - CASE WHEN ya1 * ya1 > sq_a
+                                     THEN 1 ELSE 0 END AS na,
+                          yb1 - CASE WHEN yb1 * yb1 > sq_b
+                                     THEN 1 ELSE 0 END AS nb
+                   FROM r1)
+            SELECT doc_a, doc_b,
+                   (dot * 1000) // greatest(na * nb, 1) AS cos_milli
+            FROM r2
+            WHERE (dot * 1000) // greatest(na * nb, 1) >= 300
+        """,
+        # the cap's loud companion: excluded stop terms
+        "tfidf_stop_terms": f"""
+            WITH {_tfidf_w_ctes(100)}
+            SELECT term, df FROM dfq WHERE df > 100
+        """,
         # alpha=0.5 temperature mixing: the exact-isqrt chain (float
         # sqrt + undershoot/overshoot corrections) expression-for-
         # expression the Spark side; truncating // == div on positives

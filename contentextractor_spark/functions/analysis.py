@@ -1193,6 +1193,115 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def _tf_df(docs: DataFrame):
+    """(tf, dfreq) over whitespace tokens — tf: (doc_id, term, tf),
+    dfreq: (term, df).  Shared head of tfidf_cosine_pairs /
+    tfidf_stop_terms."""
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    return tf, dfreq
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    max_df: int = 100,
+    threshold_milli: int = 300,
+    persist_weights: bool = True,
+    cache_handle: list | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs via inverted-index self-join
+    (the DAAT shape): (doc_a, doc_b, cos_milli) for pairs whose cosine
+    over sub-cap terms reaches threshold_milli — the weighted
+    complement to jaccard_pairs (set overlap) that a template-heavy
+    corpus needs (rare-term agreement counts more than boilerplate).
+
+    All-integer arithmetic end to end: per-term idf is quantized ONCE
+    to milli-nats (floor(ln(N/df)*1000) — the unigram_surprisal
+    convention, same documented 1-ulp boundary caveat), weights
+    w = tf * idf_milli are integers, so dot products and squared norms
+    are exact order-free integer sums; norms take _isqrt (exact), and
+    cos_milli = dot*1000 div (isqrt(sq_a)*isqrt(sq_b)) — truncation
+    ~0.5/norm relative, identical in both engines.  den guarded with
+    greatest(...,1): a doc whose every sub-cap term has idf 0 (df = N)
+    has sq 0 but also dot 0.  Overflow: w <= tf * 21000 (idf_milli at
+    N=1e9); ANSI LongType raises loudly rather than wrapping if a
+    pathological doc exceeds sum(w^2) < 2^63 — chunk such docs
+    upstream.
+
+    Scale: terms with df > max_df are EXCLUDED from the similarity
+    (stop-terms — the jaccard stop-shingle rule; tfidf_stop_terms is
+    the loud companion listing them), bounding the self-join fanout at
+    df^2 <= max_df^2 per term; the weight table feeds three consumers
+    (norms + both join sides) so it persists by default with the
+    jaccard cache_handle release contract."""
+    tf, dfreq = _tf_df(docs)
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    idf = (
+        dfreq.filter(F.col("df") <= max_df)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            F.floor(
+                F.log(F.col("n").cast("double") / F.col("df").cast("double"))
+                * 1000
+            )
+            .cast("long")
+            .alias("idf_milli"),
+        )
+    )
+    w = tf.join(idf, "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf_milli")).alias("w")
+    )
+    if persist_weights:
+        from pyspark import StorageLevel
+
+        w = w.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handle is not None:
+            cache_handle.append(w)
+    norms = w.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).cast("long").alias("sq")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.join(b, F.col("a.term") == F.col("b.term"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("long").alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("sq").alias("sq_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("sq").alias("sq_b"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("na", _isqrt(F.col("sq_a")))
+        .withColumn("nb", _isqrt(F.col("sq_b")))
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "(dot * 1000) div greatest(na * nb, 1) AS cos_milli",
+        )
+        .filter(F.col("cos_milli") >= threshold_milli)
+    )
+
+
+def tfidf_stop_terms(docs: DataFrame, max_df: int = 100) -> DataFrame:
+    """Loud companion to tfidf_cosine_pairs: the (term, df) rows the
+    df cap EXCLUDES from the similarity — review this list when tuning
+    max_df (the LSH overflow-twin convention: caps must be visible)."""
+    _, dfreq = _tf_df(docs)
+    return dfreq.filter(F.col("df") > max_df).select("term", "df")
+
+
 def kcore(edges: DataFrame, k: int = 2, rounds: int = 9) -> DataFrame:
     """k-core of the undirected link graph: iteratively peel nodes with
     degree < k for at most `rounds` synchronous rounds, returning the

@@ -377,3 +377,96 @@ def test_table_profile_empty_cols_raises(spark):
     df = spark.createDataFrame([(1,)], "id long")
     with pytest.raises(ValueError):
         A.table_profile(df, [])
+
+# -------------------------------------------------- tfidf_cosine_pairs
+
+
+def _tfidf_ref(texts, max_df, threshold):
+    # quantization-faithful reference: milli-nat idf, integer weights,
+    # isqrt norms, truncating milli cosine
+    import collections
+    import math
+
+    tf = {d: collections.Counter(t.split(" ")) for d, t in texts.items()}
+    df = collections.Counter()
+    for c in tf.values():
+        for term in c:
+            df[term] += 1
+    n = len(texts)
+    idf = {
+        t: math.floor(math.log(n / d) * 1000)
+        for t, d in df.items()
+        if d <= max_df
+    }
+    w = {
+        d: {t: c * idf[t] for t, c in cnt.items() if t in idf}
+        for d, cnt in tf.items()
+    }
+    sq = {d: sum(v * v for v in ws.values()) for d, ws in w.items()}
+    out = {}
+    docs = sorted(texts)
+    for i, a in enumerate(docs):
+        for b in docs[i + 1:]:
+            dot = sum(w[a][t] * w[b][t] for t in w[a] if t in w[b])
+            if dot == 0:
+                continue
+            den = max(math.isqrt(sq[a]) * math.isqrt(sq[b]), 1)
+            cm = (dot * 1000) // den
+            if cm >= threshold:
+                out[(a, b)] = cm
+    return out
+
+
+def test_tfidf_pairs_identical_docs_near_1000(spark):
+    texts = {
+        1: "alpha beta gamma delta",
+        2: "alpha beta gamma delta",
+        3: "omega psi chi phi",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {
+        (r.doc_a, r.doc_b): r.cos_milli
+        for r in A.tfidf_cosine_pairs(
+            docs, max_df=10, threshold_milli=300, persist_weights=False
+        ).collect()
+    }
+    assert set(out) == {(1, 2)}
+    # identical weight vectors: dot == sq, cos_milli within isqrt
+    # truncation of 1000
+    assert 995 <= out[(1, 2)] <= 1000
+    assert out == _tfidf_ref(texts, 10, 300)
+
+
+def test_tfidf_pairs_random_parity(spark):
+    import random
+
+    rnd = random.Random(17)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {
+        d: " ".join(rnd.choice(vocab) for _ in range(15)) for d in range(14)
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    for max_df, thr in ((14, 100), (8, 300)):
+        out = {
+            (r.doc_a, r.doc_b): r.cos_milli
+            for r in A.tfidf_cosine_pairs(
+                docs,
+                max_df=max_df,
+                threshold_milli=thr,
+                persist_weights=False,
+            ).collect()
+        }
+        assert out == _tfidf_ref(texts, max_df, thr), (max_df, thr)
+
+
+def test_tfidf_stop_terms_listed(spark):
+    docs = spark.createDataFrame(
+        [(i, "common rare%d" % i) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = [(r.term, r.df) for r in A.tfidf_stop_terms(docs, max_df=3).collect()]
+    assert out == [("common", 5)]
