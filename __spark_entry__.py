@@ -3389,6 +3389,68 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split convention: '' yields one token, divisions never see 0)
         return A.lexical_diversity(_docs(spark, sf_dir))
 
+    def harmonic_centrality(spark, sf_dir):
+        # r5 session-8: landmark harmonic centrality from the %97 seed
+        # set over the crawl_depth affine fixture graph — per-seed BFS
+        # state, 1000 div d contributions, depth 4
+        docs = _docs(spark, sf_dir)
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        edges = (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(
+                    F.array(
+                        *[
+                            (F.col("doc_id") * 31 + 7 * j) % F.col("n")
+                            for j in (1, 2, 3)
+                        ]
+                    )
+                ).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("node")
+        )
+        return A.harmonic_centrality(edges, seeds, max_depth=4)
+
+    def interarrival_histogram(spark, sf_dir):
+        # r5 session-8: log2-bucketed gap histogram per event type —
+        # epoch-microsecond diffs, bit-length buckets (the HLL rho
+        # binary-length convention)
+        return E.interarrival_histogram(_events(spark, sf_dir))
+
+    def negative_samples(spark, sf_dir):
+        # r5 session-8: k=4 salted uniform negatives per anchor —
+        # md5-u32 offset in [1, n-1] so self-pairs are impossible
+        return A.negative_samples(_docs(spark, sf_dir), k=4)
+
+    def pii_report(spark, sf_dir):
+        # r5 session-8: per-source PII audit card over residue-planted
+        # PII (the corpus text is digit/@-free, verified for pii_scrub):
+        # email on doc_id%3, ip on %5, phone on %7 — the oracle predicts
+        # the per-source count arithmetic from the residues
+        docs = _docs(spark, sf_dir)
+        injected = docs.select(
+            "source",
+            F.concat(
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit(" mail user@example.com"),
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 5 == 0, F.lit(" from 10.0.0.1")
+                ).otherwise(F.lit("")),
+                F.when(
+                    F.col("doc_id") % 7 == 0, F.lit(" tel 090-1234-5678")
+                ).otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        return A.pii_report(injected)
+
     def tfidf_neardup_pairs(spark, sf_dir):
         # r5 session-8: weighted near-dup pairs — TF-IDF cosine over
         # sub-cap terms, all-integer (milli-nat idf, isqrt norms); 300
@@ -3603,6 +3665,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": table_profile,
         "tfidf_neardup_pairs": tfidf_neardup_pairs,
         "tfidf_stop_terms": tfidf_stop_terms,
+        "harmonic_centrality": harmonic_centrality,
+        "interarrival_histogram": interarrival_histogram,
+        "negative_samples": negative_samples,
+        "pii_report": pii_report,
         "events_attribution": events_attribution,
         "k_anonymity": k_anonymity,
         "good_turing": good_turing,
@@ -3970,6 +4036,38 @@ def _profile_sql(table: str, cols: list[str]) -> str:
         f"WITH s AS (SELECT {', '.join(aggs)} FROM {table})\n            "
         + "\n            UNION ALL ".join(arms)
     )
+
+
+def _hc_ctes(depth: int) -> str:
+    """Unrolled per-seed BFS for the harmonic_centrality oracle over the
+    crawl_depth affine fixture (edges (doc_id*31+7j)%n, seeds %97).
+    h{r} carries (seed, node, dist); MATERIALIZED — each round
+    references the previous table in both union arms (the _kcore_ctes
+    2^rounds re-expansion lesson)."""
+    parts = [
+        """nhc AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)""",
+        """ehc AS MATERIALIZED (SELECT src, dst FROM (
+                 SELECT doc_id AS src,
+                        (doc_id * 31 + 7 * j) % nhc.nn AS dst
+                 FROM documents, nhc,
+                      (SELECT unnest([1, 2, 3]) AS j) js)
+               WHERE src <> dst)""",
+        """h0 AS MATERIALIZED (SELECT doc_id AS seed, doc_id AS node,
+                        CAST(0 AS BIGINT) AS dist
+                 FROM documents WHERE doc_id % 97 = 0)""",
+    ]
+    for r in range(1, depth + 1):
+        parts.append(
+            f"""h{r} AS MATERIALIZED (SELECT seed, node,
+                        CAST(min(dist) AS BIGINT) AS dist FROM (
+                     SELECT seed, node, dist FROM h{r - 1}
+                     UNION ALL
+                     SELECT d.seed, ehc.dst, d.dist + 1 FROM ehc
+                     JOIN h{r - 1} d ON d.node = ehc.src
+                      AND d.dist = {r - 1})
+                   GROUP BY seed, node)"""
+        )
+    return ",\n            ".join(parts)
 
 
 def _tfidf_w_ctes(max_df: int) -> str:
@@ -7516,6 +7614,64 @@ def oracle_sql() -> dict[str, str]:
         # first/last-touch attribution: touches strictly before the first
         # purchase per user ((ts, event_id) order); rn is unique so
         # arg_min/arg_max cannot tie; no-prior-touch users excluded
+        # landmark harmonic centrality: per-seed unrolled BFS, integer
+        # 1000 // dist contributions summed order-free
+        "harmonic_centrality": f"""
+            WITH {_hc_ctes(4)}
+            SELECT node,
+                   CAST(sum(1000 // dist) AS BIGINT) AS h_milli,
+                   CAST(count(*) AS BIGINT) AS n_seeds_reached
+            FROM h4 WHERE dist >= 1 GROUP BY node
+        """,
+        # log2 gap histogram: epoch_us lag in the (ts, event_id) total
+        # order; bucket = binary-rendering length (the HLL rho trick)
+        "interarrival_histogram": """
+            WITH g AS (SELECT event_type,
+                              epoch_us(ts) - lag(epoch_us(ts)) OVER
+                                  (PARTITION BY event_type
+                                   ORDER BY ts, event_id) AS gap_us
+                       FROM events)
+            SELECT event_type,
+                   CAST(length(format('{:b}', gap_us)) AS BIGINT)
+                       AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_gaps
+            FROM g WHERE gap_us IS NOT NULL
+            GROUP BY event_type, bucket
+        """,
+        # salted negative sampling: md5-u32 offset in [1, n-1] (the
+        # epoch_shuffle hex-int convention), % == pmod on non-negatives
+        "negative_samples": f"""
+            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                        FROM documents),
+            h AS (SELECT doc_id, CAST(j AS BIGINT) AS j,
+                         {_hex_int_sql(
+                             "md5('ns0:' || CAST(doc_id AS VARCHAR)"
+                             " || ':' || CAST(j AS VARCHAR))", 1, 8)}
+                             AS hv
+                  FROM documents,
+                       (SELECT unnest([1, 2, 3, 4]) AS j) js)
+            SELECT doc_id, j,
+                   (doc_id + 1 + (hv % (n - 1))) % n AS neg_id
+            FROM h, nn
+        """,
+        # per-source PII audit over residue-planted PII: the oracle
+        # predicts counts from the doc_id residues (corpus text is
+        # digit/@-free — the pii_scrub fixture contract)
+        "pii_report": """
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_emails,
+                   CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_ips,
+                   CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_phones,
+                   CAST(sum(CASE WHEN doc_id % 3 = 0 OR doc_id % 5 = 0
+                                  OR doc_id % 7 = 0
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS docs_with_pii
+            FROM documents GROUP BY source
+        """,
         # TF-IDF cosine pairs: integer dot/norm sums off the shared
         # weight chain; isqrt corrections mirror the Spark _isqrt
         "tfidf_neardup_pairs": f"""

@@ -1193,6 +1193,146 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
+def harmonic_centrality(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 4
+) -> DataFrame:
+    """Landmark (seed-anchored) harmonic centrality: for every node,
+    H_milli = sum over seeds s (s != node, d(s, node) <= max_depth) of
+    1000 div d(s, node), plus n_seeds_reached — the Boldi-Vigna
+    centrality restricted to a landmark set, the standard approximation
+    when all-pairs distances are unaffordable (pick k landmarks; the
+    estimate concentrates).  Distances follow edge DIRECTION (seed →
+    node), matching a crawler's reachability view.
+
+    Exactness: per-seed distance is the BFS frontier invariant (first
+    reach is shortest); 1000 div d terms are integers summed order-free.
+
+    Scale: the state is (seed, node, dist) — landmark count times
+    reachable set, the deliberate trade vs bfs_levels' min-over-seeds
+    collapse (which cannot attribute per-seed contributions).  Each
+    round joins the round-(r-1) frontier with edges and re-mins; the
+    groupBy is map-side combinable; localCheckpoint per round (the
+    pagerank lesson).  Keep |seeds| at landmark scale (10s-100s), not
+    corpus scale — state is the product."""
+    dist = (
+        seeds.select(F.col("node").cast("long").alias("seed"))
+        .distinct()
+        .select("seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .localCheckpoint()
+    )
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint()
+    for r in range(1, max_depth + 1):
+        frontier = dist.filter(F.col("dist") == r - 1).select(
+            "seed", F.col("node").alias("src")
+        )
+        nxt = edges.join(frontier, "src").select(
+            "seed",
+            F.col("dst").alias("node"),
+            F.lit(r).cast("long").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return (
+        dist.filter(F.col("dist") >= 1)
+        .groupBy("node")
+        .agg(
+            F.sum(F.expr("1000 div dist")).cast("long").alias("h_milli"),
+            F.count(F.lit(1)).cast("long").alias("n_seeds_reached"),
+        )
+    )
+
+
+def negative_samples(
+    docs: DataFrame, k: int = 4, salt: str = "ns0"
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    k pseudo-random negatives per anchor doc, drawn from the corpus id
+    space [0, n) excluding the anchor itself — neg_j = (doc_id + 1 +
+    u32(md5(salt:doc_id:j)) % (n-1)) % n, so the offset lies in
+    [1, n-1] and a self-pair is impossible by construction.  Salted
+    (the weighted_sample convention): a new salt redraws independently,
+    epochs use salt=f"ns{{epoch}}".  Assumes dense ids [0, n) (the
+    epoch_shuffle fixture contract); join through a shuffle table first
+    for sparse id spaces.
+
+    Exactness: md5-hex → u32 is the epoch_shuffle shard convention
+    (first 8 hex digits), integer mod both engines (non-negative).
+
+    Scale: zero shuffle — n rides in as a one-row broadcast crossJoin
+    and everything else is a per-row projection over a k-element
+    literal explode."""
+    if k < 1:
+        raise ValueError("negative_samples: k must be >= 1")
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    out = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "n",
+            F.explode(F.array(*[F.lit(j) for j in range(1, k + 1)])).alias(
+                "j"
+            ),
+        )
+    )
+    h = F.expr(
+        f"cast(conv(substring(md5(concat('{salt}', ':', doc_id, ':', j)), "
+        "1, 8), 16, 10) as bigint)"
+    )
+    return out.select(
+        "doc_id",
+        F.col("j").cast("long").alias("j"),
+        F.pmod(
+            F.col("doc_id") + 1 + F.pmod(h, F.col("n") - 1), F.col("n")
+        ).alias("neg_id"),
+    )
+
+
+def pii_report(docs: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-source PII audit card: (source, n_docs, n_emails, n_ips,
+    n_phones, docs_with_pii) — the compliance rollup a corpus release
+    runs BEFORE scrubbing (which sources leak contact data, where to
+    focus review).  Counts reuse pii_scrub's exact patterns (same
+    precision-first phone rules, spaced pass counted on redacted text
+    so one span can't double-count).
+
+    Scale: per-row regexp counting (JVM regex, no shuffle) + one
+    map-side-combinable groupBy(source)."""
+    t = F.col("text")
+    n_emails = F.regexp_count(t, F.lit(PII_EMAIL))
+    after_email = F.regexp_replace(t, PII_EMAIL, "<EMAIL>")
+    n_ips = F.regexp_count(after_email, F.lit(PII_IPV4))
+    after_ip = F.regexp_replace(after_email, PII_IPV4, "<IP>")
+    after_phone = F.regexp_replace(after_ip, PII_PHONE, "<PHONE>")
+    n_phones = F.regexp_count(after_ip, F.lit(PII_PHONE)) + F.regexp_count(
+        after_phone, F.lit(PII_PHONE_SPACED)
+    )
+    per = docs.select(
+        F.col(group_col).alias("source"),
+        n_emails.cast("long").alias("e"),
+        n_ips.cast("long").alias("i"),
+        n_phones.cast("long").alias("p"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("e").cast("long").alias("n_emails"),
+        F.sum("i").cast("long").alias("n_ips"),
+        F.sum("p").cast("long").alias("n_phones"),
+        F.sum(
+            F.when(F.col("e") + F.col("i") + F.col("p") > 0, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("docs_with_pii"),
+    )
+
+
 def _tf_df(docs: DataFrame):
     """(tf, dfreq) over whitespace tokens — tf: (doc_id, term, tf),
     dfreq: (term, df).  Shared head of tfidf_cosine_pairs /

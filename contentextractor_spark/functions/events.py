@@ -342,6 +342,40 @@ def hourly_anomalies(events: DataFrame, z: int = 3) -> DataFrame:
     )
 
 
+def interarrival_histogram(events: DataFrame) -> DataFrame:
+    """Log2-bucketed inter-arrival histogram per event_type: gap =
+    microsecond difference between consecutive events of the type in
+    (ts, event_id) total order; bucket = bit length of the gap (the
+    HLL rho binary-length trick — length(conv(gap, 10, 2)) in Spark ≡
+    length(format('{:b}', gap)) in DuckDB; gap 0 → '0' → bucket 1).
+    The burstiness/cadence card: collector outages show as mass in
+    high buckets, duplicate floods as mass in bucket 1.
+
+    Exactness: epoch microseconds are exact integers in both engines
+    (unix_micros ≡ epoch_us — and differences are timezone-free); bit
+    length is string length of the binary rendering, the r4 HLL
+    convention.  The parquet ts column is TIMESTAMP_NTZ, which
+    unix_micros rejects — it is cast to TIMESTAMP first, which
+    interprets the naive value in the session timezone: pin it UTC
+    (the _events convention) or the absolute epochs shift; the GAPS
+    this op aggregates are shift-invariant either way.
+
+    Scale: one window pass partitioned by event_type (low-cardinality
+    — for a type-skewed 10^12-row log, sub-partition by (type, day)
+    and discard the per-partition first row; the hourly rollup path) +
+    one tiny map-side-combinable groupBy."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    g = events.select(
+        "event_type", gap.alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return g.groupBy(
+        "event_type",
+        F.length(F.conv(F.col("gap_us"), 10, 2)).cast("long").alias("bucket"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_gaps"))
+
+
 def markov_transitions(events: DataFrame) -> DataFrame:
     """First-order Markov transition matrix over per-user event
     sequences: (from_type, to_type, n_pairs, n_from, prob_milli) where

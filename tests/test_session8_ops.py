@@ -470,3 +470,119 @@ def test_tfidf_stop_terms_listed(spark):
     )
     out = [(r.term, r.df) for r in A.tfidf_stop_terms(docs, max_df=3).collect()]
     assert out == [("common", 5)]
+
+# --------------------------------------------------- harmonic_centrality
+
+
+def test_harmonic_centrality_path(spark):
+    # directed path 1->2->3->4, seed {1}: H(2)=1000, H(3)=500, H(4)=333
+    g = [(1, 2), (2, 3), (3, 4)]
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r.node: (r.h_milli, r.n_seeds_reached)
+        for r in A.harmonic_centrality(
+            _edges(spark, g), seeds, max_depth=4
+        ).collect()
+    }
+    assert out == {2: (1000, 1), 3: (500, 1), 4: (333, 1)}
+
+
+def test_harmonic_centrality_two_seeds_sum(spark):
+    # seeds {1, 3} on the same path, depth 4: node 4 gets 333 (dist 3
+    # from seed 1) + 1000 (dist 1 from seed 3) and counts both seeds
+    g = [(1, 2), (2, 3), (3, 4)]
+    seeds = spark.createDataFrame([(1,), (3,)], "node long")
+    out = {
+        r.node: (r.h_milli, r.n_seeds_reached)
+        for r in A.harmonic_centrality(
+            _edges(spark, g), seeds, max_depth=4
+        ).collect()
+    }
+    assert out[4] == (1333, 2)
+    assert out[2] == (1000, 1)
+    # node 3: dist 2 from seed 1 -> 500, seed 3 itself excluded
+    assert out[3] == (500, 1)
+
+
+def test_harmonic_centrality_depth_cap(spark):
+    g = [(1, 2), (2, 3), (3, 4)]
+    seeds = spark.createDataFrame([(1,)], "node long")
+    out = {
+        r.node: r.h_milli
+        for r in A.harmonic_centrality(
+            _edges(spark, g), seeds, max_depth=2
+        ).collect()
+    }
+    assert 4 not in out and out == {2: 1000, 3: 500}
+
+
+# ----------------------------------------------- interarrival_histogram
+
+
+def test_interarrival_buckets(spark):
+    # gaps within type 'a': 1s (bucket 20: bitlen(1e6)), 0us (bucket 1)
+    rows = [
+        (0, 0, 1, "a"),
+        (1, 1, 1, "a"),      # gap 1_000_000 us -> bitlen 20
+        (2, 1, 2, "a"),      # tied ts -> gap 0 -> bucket 1
+        (3, 5, 1, "b"),      # first of type b: no gap
+    ]
+    out = {
+        (r.event_type, r.bucket): r.n_gaps
+        for r in E.interarrival_histogram(_ev(spark, rows)).collect()
+    }
+    assert out == {("a", 20): 1, ("a", 1): 1}
+    assert (1_000_000).bit_length() == 20
+
+
+# --------------------------------------------------- negative_samples
+
+
+def test_negative_samples_range_and_no_self(spark):
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(37)], "doc_id long, text string"
+    )
+    rows = A.negative_samples(docs, k=4).collect()
+    assert len(rows) == 37 * 4
+    for r in rows:
+        assert 0 <= r.neg_id < 37 and r.neg_id != r.doc_id
+
+
+def test_negative_samples_deterministic_and_salted(spark):
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(20)], "doc_id long, text string"
+    )
+    a1 = sorted(
+        (r.doc_id, r.j, r.neg_id)
+        for r in A.negative_samples(docs, k=2, salt="ns0").collect()
+    )
+    a2 = sorted(
+        (r.doc_id, r.j, r.neg_id)
+        for r in A.negative_samples(docs, k=2, salt="ns0").collect()
+    )
+    b = sorted(
+        (r.doc_id, r.j, r.neg_id)
+        for r in A.negative_samples(docs, k=2, salt="ns1").collect()
+    )
+    assert a1 == a2 and a1 != b
+
+
+# --------------------------------------------------------- pii_report
+
+
+def test_pii_report_hand_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "s1", "mail bob@example.com and 10.1.2.3"),
+            (2, "s1", "clean text only"),
+            (3, "s2", "call 090-1234-5678 or 03-1111-2222"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = {r.source: r for r in A.pii_report(docs).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.n_emails, s1.n_ips, s1.n_phones) == (2, 1, 1, 0)
+    assert s1.docs_with_pii == 1
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.n_emails, s2.n_ips, s2.n_phones) == (1, 0, 0, 2)
+    assert s2.docs_with_pii == 1
