@@ -207,6 +207,21 @@ BAND_MAX_S = {
     "hybrid_search": 16.0,        # warm 8.2/4.6 (bm25 fan + exact cosine)
     "kn_surprisal": 8.0,          # warm 4.0/1.7 (3 count tables + join)
     "prf_terms": 18.0,            # warm 9.6/4.9 (runs the bm25 fan first)
+    # r5 session-8 ops (one warm-session pair each, local[32] sf0.1)
+    "clustering_coefficient": 9.0,   # warm 4.22/1.55 (3-leg triangle join)
+    "degree_assortativity": 3.0,     # warm 1.23/1.00
+    "link_reciprocity": 2.5,         # warm 0.78/0.62
+    "events_markov": 3.0,            # warm 1.05/0.57
+    "lexical_diversity": 2.0,        # warm 0.63/0.41
+    "kcore_nodes": 7.5,              # warm 2.96/2.53 (9 peel rounds)
+    "label_communities": 5.5,        # warm 2.02/1.48 (4 LPA rounds)
+    "temperature_mix": 1.5,          # warm 0.41/0.29
+    "table_profile": 3.0,            # warm 1.11/1.03 (Expand aggregate)
+    "tfidf_neardup_pairs": 3.0,      # warm 0.93/0.63 (capped II self-join)
+    "harmonic_centrality": 3.5,      # warm 1.30/1.15 (4 BFS rounds)
+    "interarrival_histogram": 2.0,   # warm 0.58/0.36
+    "negative_samples": 1.5,         # warm 0.33/0.25
+    "pii_report": 2.5,               # warm 0.76/0.64
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -502,12 +517,42 @@ def main() -> None:
         "hybrid_search": lambda: force(_entry_q("hybrid_search")),
         "kn_surprisal": lambda: force(_entry_q("kn_surprisal")),
         "prf_terms": lambda: force(_entry_q("prf_terms")),
+        # r5 session-8 ops
+        "clustering_coefficient": lambda: force(
+            _entry_q("clustering_coefficient")
+        ),
+        "degree_assortativity": lambda: force(_entry_q("degree_assortativity")),
+        "link_reciprocity": lambda: force(_entry_q("link_reciprocity")),
+        "events_markov": lambda: force(_entry_q("events_markov")),
+        "lexical_diversity": lambda: force(_entry_q("lexical_diversity")),
+        "kcore_nodes": lambda: force(_entry_q("kcore_nodes")),
+        "label_communities": lambda: force(_entry_q("label_communities")),
+        "temperature_mix": lambda: force(_entry_q("temperature_mix")),
+        "table_profile": lambda: force(_entry_q("table_profile")),
+        "tfidf_neardup_pairs": lambda: _run_tfidf_pairs(),
+        "harmonic_centrality": lambda: force(_entry_q("harmonic_centrality")),
+        "interarrival_histogram": lambda: force(
+            _entry_q("interarrival_histogram")
+        ),
+        "negative_samples": lambda: force(_entry_q("negative_samples")),
+        "pii_report": lambda: force(_entry_q("pii_report")),
     }
 
     def _entry_q(name):
         from __spark_entry__ import queries as _entry_queries
 
         return _entry_queries()[name](spark, SF_DIR)
+
+    def _run_tfidf_pairs():
+        # same unpersist discipline as _run_jaccard (persisted weights)
+        handle: list = []
+        force(
+            A.tfidf_cosine_pairs(
+                docs, max_df=100, threshold_milli=300, cache_handle=handle
+            )
+        )
+        for df in handle:
+            df.unpersist()
 
     def _run_containment():
         # same unpersist discipline as _run_jaccard (shared shingle cache)
