@@ -3389,6 +3389,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split convention: '' yields one token, divisions never see 0)
         return A.lexical_diversity(_docs(spark, sf_dir))
 
+    def dedup_components_tfidf(spark, sf_dir):
+        # r5 session-8: LSS components over the TF-IDF cosine graph —
+        # the fifth dedup family's cluster composition (300 planted
+        # pairs at sf0.01 contract into their min-id components)
+        return A.dedup_components_tfidf(
+            _docs(spark, sf_dir), max_df=100, threshold_milli=300
+        )
+
+    def session_paths(spark, sf_dir):
+        # r5 session-8: first-3-event session paths counted across
+        # gap-based sessions — fixed-slot conditional aggregates, the
+        # one place concat_ws's null skipping is the WANTED semantics
+        return E.session_paths(_events(spark, sf_dir), gap_minutes=30, k=3)
+
+    def quality_by_dup(spark, sf_dir):
+        # r5 session-8: joint quality x duplication card over a corpus
+        # with planted copies (doc_id%7 docs duplicated at +1e6 — the
+        # raw corpus has ZERO exact dups, verified, so the fixture
+        # plants them; the good_turing degenerate-fixture lesson)
+        docs = _docs(spark, sf_dir)
+        copies = docs.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+        return A.quality_by_dup(
+            docs.select("doc_id", "text").unionByName(copies)
+        )
+
     def harmonic_centrality(spark, sf_dir):
         # r5 session-8: landmark harmonic centrality from the %97 seed
         # set over the crawl_depth affine fixture graph — per-seed BFS
@@ -3669,6 +3696,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interarrival_histogram": interarrival_histogram,
         "negative_samples": negative_samples,
         "pii_report": pii_report,
+        "dedup_components_tfidf": dedup_components_tfidf,
+        "session_paths": session_paths,
+        "quality_by_dup": quality_by_dup,
         "events_attribution": events_attribution,
         "k_anonymity": k_anonymity,
         "good_turing": good_turing,
@@ -4093,6 +4123,48 @@ def _tfidf_w_ctes(max_df: int) -> str:
                     FROM tfx t JOIN idfx i USING (term)),
             nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS sq
                     FROM wx GROUP BY doc_id)"""
+
+
+def _tfidf_pair_ctes(max_df: int, threshold_milli: int) -> str:
+    """Full TF-IDF pair chain ending in tpair(doc_a, doc_b, cos_milli)
+    — _tfidf_w_ctes plus the dot self-join and the isqrt-corrected
+    cosine; ONE definition for the tfidf_neardup_pairs and
+    dedup_components_tfidf oracles."""
+    return f"""{_tfidf_w_ctes(max_df)},
+            dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                            CAST(sum(a.w * b.w) AS BIGINT) AS dot
+                     FROM wx a JOIN wx b
+                       ON a.term = b.term AND a.doc_id < b.doc_id
+                     GROUP BY a.doc_id, b.doc_id),
+            sc AS (SELECT doc_a, doc_b, dot, na.sq AS sq_a, nb.sq AS sq_b
+                   FROM dots
+                   JOIN nrm na ON na.doc_id = dots.doc_a
+                   JOIN nrm nb ON nb.doc_id = dots.doc_b),
+            r0 AS (SELECT doc_a, doc_b, dot,
+                          CAST(floor(sqrt(CAST(sq_a AS DOUBLE)))
+                               AS BIGINT) AS ya0,
+                          CAST(floor(sqrt(CAST(sq_b AS DOUBLE)))
+                               AS BIGINT) AS yb0,
+                          sq_a, sq_b
+                   FROM sc),
+            r1 AS (SELECT doc_a, doc_b, dot, sq_a, sq_b,
+                          ya0 + CASE WHEN (ya0 + 1) * (ya0 + 1) <= sq_a
+                                     THEN 1 ELSE 0 END AS ya1,
+                          yb0 + CASE WHEN (yb0 + 1) * (yb0 + 1) <= sq_b
+                                     THEN 1 ELSE 0 END AS yb1
+                   FROM r0),
+            r2 AS (SELECT doc_a, doc_b, dot,
+                          ya1 - CASE WHEN ya1 * ya1 > sq_a
+                                     THEN 1 ELSE 0 END AS na,
+                          yb1 - CASE WHEN yb1 * yb1 > sq_b
+                                     THEN 1 ELSE 0 END AS nb
+                   FROM r1),
+            tpair AS (SELECT doc_a, doc_b,
+                             (dot * 1000) // greatest(na * nb, 1)
+                                 AS cos_milli
+                      FROM r2
+                      WHERE (dot * 1000) // greatest(na * nb, 1)
+                            >= {threshold_milli})"""
 
 
 def _lpa_ctes(rounds: int, src: str = "le") -> str:
@@ -7614,6 +7686,86 @@ def oracle_sql() -> dict[str, str]:
         # first/last-touch attribution: touches strictly before the first
         # purchase per user ((ts, event_id) order); rn is unique so
         # arg_min/arg_max cannot tie; no-prior-touch users excluded
+        # fifth components family: recursive closure over the shared
+        # tfidf pair chain (the _prefix_comp_ctes shape)
+        "dedup_components_tfidf": f"""
+            WITH RECURSIVE {_tfidf_pair_ctes(100, 300)},
+            sym AS (SELECT doc_a AS a, doc_b AS b FROM tpair
+                    UNION SELECT doc_b, doc_a FROM tpair),
+            reach(src, dst) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT r.src, s.b FROM reach r JOIN sym s ON r.dst = s.a)
+            SELECT d.doc_id,
+                   CAST(LEAST(d.doc_id, COALESCE(m.mn, d.doc_id))
+                        AS BIGINT) AS component
+            FROM documents d
+            LEFT JOIN (SELECT src, min(dst) AS mn
+                       FROM reach GROUP BY src) m
+              ON m.src = d.doc_id
+        """,
+        # first-k session paths off the sessionize CTE; fixed-slot
+        # conditional aggregates + null-skipping concat_ws (wanted here)
+        "session_paths": """
+            WITH lagged AS (
+              SELECT user_id, event_id, ts, event_type,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS prev_ts
+              FROM events),
+            flagged AS (
+              SELECT user_id, event_id, ts, event_type,
+                     CASE WHEN prev_ts IS NULL
+                               OR ts - prev_ts > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_session
+              FROM lagged),
+            sessioned AS (
+              SELECT user_id, event_id, ts, event_type,
+                     sum(new_session) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         AS session_idx
+              FROM flagged),
+            ranked AS (
+              SELECT user_id, session_idx, event_type,
+                     row_number() OVER (PARTITION BY user_id, session_idx
+                         ORDER BY ts, event_id) AS rn
+              FROM sessioned),
+            slots AS (
+              SELECT user_id, session_idx,
+                     max(CASE WHEN rn = 1 THEN event_type END) AS t1,
+                     max(CASE WHEN rn = 2 THEN event_type END) AS t2,
+                     max(CASE WHEN rn = 3 THEN event_type END) AS t3
+              FROM ranked WHERE rn <= 3
+              GROUP BY user_id, session_idx)
+            SELECT concat_ws('>', t1, t2, t3) AS path,
+                   CAST(count(*) AS BIGINT) AS n_sessions
+            FROM slots GROUP BY concat_ws('>', t1, t2, t3)
+        """,
+        # joint quality x duplication card over the planted-copy corpus
+        # (shared _qf_cols_sql/_QF_BAD_SQL constants)
+        "quality_by_dup": f"""
+            WITH corpus AS (SELECT doc_id, text FROM documents
+                            UNION ALL
+                            SELECT doc_id + 1000000, text FROM documents
+                            WHERE doc_id % 7 = 0),
+            q AS ({_qf_cols_sql('corpus')}),
+            qq AS (SELECT doc_id,
+                          CASE WHEN {_QF_BAD_SQL} THEN 0 ELSE 1 END
+                              AS qf_pass
+                   FROM q),
+            hx AS (SELECT doc_id, md5(text) AS h FROM corpus),
+            cx AS (SELECT h, count(*) AS nc FROM hx GROUP BY h),
+            dx AS (SELECT hx.doc_id,
+                          CASE WHEN cx.nc > 1 THEN 1 ELSE 0 END AS is_dup
+                   FROM hx JOIN cx USING (h))
+            SELECT CAST(qf_pass AS INT) AS qf_pass,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(is_dup) AS BIGINT) AS n_dup_docs,
+                   (CAST(sum(is_dup) AS BIGINT) * 1000)
+                       // CAST(count(*) AS BIGINT) AS dup_milli
+            FROM qq JOIN dx USING (doc_id)
+            GROUP BY qf_pass
+        """,
         # landmark harmonic centrality: per-seed unrolled BFS, integer
         # 1000 // dist contributions summed order-free
         "harmonic_centrality": f"""
@@ -7675,39 +7827,8 @@ def oracle_sql() -> dict[str, str]:
         # TF-IDF cosine pairs: integer dot/norm sums off the shared
         # weight chain; isqrt corrections mirror the Spark _isqrt
         "tfidf_neardup_pairs": f"""
-            WITH {_tfidf_w_ctes(100)},
-            dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                            CAST(sum(a.w * b.w) AS BIGINT) AS dot
-                     FROM wx a JOIN wx b
-                       ON a.term = b.term AND a.doc_id < b.doc_id
-                     GROUP BY a.doc_id, b.doc_id),
-            sc AS (SELECT doc_a, doc_b, dot, na.sq AS sq_a, nb.sq AS sq_b
-                   FROM dots
-                   JOIN nrm na ON na.doc_id = dots.doc_a
-                   JOIN nrm nb ON nb.doc_id = dots.doc_b),
-            r0 AS (SELECT doc_a, doc_b, dot,
-                          CAST(floor(sqrt(CAST(sq_a AS DOUBLE)))
-                               AS BIGINT) AS ya0,
-                          CAST(floor(sqrt(CAST(sq_b AS DOUBLE)))
-                               AS BIGINT) AS yb0,
-                          sq_a, sq_b
-                   FROM sc),
-            r1 AS (SELECT doc_a, doc_b, dot, sq_a, sq_b,
-                          ya0 + CASE WHEN (ya0 + 1) * (ya0 + 1) <= sq_a
-                                     THEN 1 ELSE 0 END AS ya1,
-                          yb0 + CASE WHEN (yb0 + 1) * (yb0 + 1) <= sq_b
-                                     THEN 1 ELSE 0 END AS yb1
-                   FROM r0),
-            r2 AS (SELECT doc_a, doc_b, dot,
-                          ya1 - CASE WHEN ya1 * ya1 > sq_a
-                                     THEN 1 ELSE 0 END AS na,
-                          yb1 - CASE WHEN yb1 * yb1 > sq_b
-                                     THEN 1 ELSE 0 END AS nb
-                   FROM r1)
-            SELECT doc_a, doc_b,
-                   (dot * 1000) // greatest(na * nb, 1) AS cos_milli
-            FROM r2
-            WHERE (dot * 1000) // greatest(na * nb, 1) >= 300
+            WITH {_tfidf_pair_ctes(100, 300)}
+            SELECT doc_a, doc_b, cos_milli FROM tpair
         """,
         # the cap's loud companion: excluded stop terms
         "tfidf_stop_terms": f"""

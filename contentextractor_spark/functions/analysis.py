@@ -1442,6 +1442,67 @@ def tfidf_stop_terms(docs: DataFrame, max_df: int = 100) -> DataFrame:
     return dfreq.filter(F.col("df") > max_df).select("term", "df")
 
 
+def dedup_components_tfidf(
+    docs: DataFrame,
+    max_df: int = 100,
+    threshold_milli: int = 300,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components of the TF-IDF cosine graph — the FIFTH
+    dedup family's cluster composition (after exact, MinHash, SimHash,
+    embedding, prefix): tfidf_cosine_pairs feeds the large-star/
+    small-star solver, clustering by weighted-term similarity.  Output:
+    (doc_id, component = min doc_id reachable at cos >= threshold),
+    every doc covered (singletons label themselves)."""
+    handle: list = []
+    pairs = tfidf_cosine_pairs(
+        docs,
+        max_df=max_df,
+        threshold_milli=threshold_milli,
+        cache_handle=handle,
+    )
+    # doc_a < doc_b by the join condition; LSS wants (hi, lo)
+    edges = pairs.select(
+        F.col("doc_b").alias("hi"), F.col("doc_a").alias("lo")
+    ).localCheckpoint()
+    for df in handle:  # eager checkpoint done — release the weight cache
+        df.unpersist()
+    return _lss_components(
+        docs.select("doc_id"), edges, max_iter, "dedup_components_tfidf"
+    )
+
+
+def quality_by_dup(docs: DataFrame) -> DataFrame:
+    """Cross-signal card: exact-duplicate rate per quality verdict —
+    (qf_pass, n_docs, n_dup_docs, dup_milli) where qf_pass is the
+    quality_filter verdict and a doc is dup when its md5(text) appears
+    more than once in the corpus.  The calibration read: if low-quality
+    docs are also the duplicated ones, dedup and quality gates overlap
+    and the combined survivor rate is NOT the product of the two pass
+    rates — this card gives the joint number.
+
+    Scale: one md5 groupBy (map-side combinable, uniform key) joined
+    back on the hash, quality columns are row-local expressions, final
+    aggregate has 2 rows."""
+    q = quality_filter(docs).select(
+        "doc_id", F.col("keep").cast("int").alias("qf_pass")
+    )
+    h = docs.select("doc_id", F.md5("text").alias("h"))
+    copies = h.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    dup = h.join(copies, "h").select(
+        "doc_id", (F.col("n_copies") > 1).cast("long").alias("is_dup")
+    )
+    return (
+        q.join(dup, "doc_id")
+        .groupBy("qf_pass")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        )
+        .withColumn("dup_milli", F.expr("(n_dup_docs * 1000) div n_docs"))
+    )
+
+
 def kcore(edges: DataFrame, k: int = 2, rounds: int = 9) -> DataFrame:
     """k-core of the undirected link graph: iteratively peel nodes with
     degree < k for at most `rounds` synchronous rounds, returning the

@@ -342,6 +342,66 @@ def hourly_anomalies(events: DataFrame, z: int = 3) -> DataFrame:
     )
 
 
+def session_paths(
+    events: DataFrame, gap_minutes: int = 30, k: int = 3
+) -> DataFrame:
+    """Top session openings: the first `k` event types of every
+    gap-based session, rendered as a '>'-joined path string, counted
+    across sessions — the journey-mining rollup (which entry sequences
+    dominate) that complements markov_transitions (pairwise, orderless
+    beyond adjacency) and funnel (fixed steps chosen up front).
+
+    Determinism: the per-user total order is (ts, event_id) — the
+    sessionize convention with the tie rule made explicit; slot values
+    come from fixed-slot conditional aggregates (max over CASE rn = i —
+    at most one row matches, so the aggregate cannot tie), never an
+    order-sensitive string_agg.  concat_ws skips NULL slots in BOTH
+    engines, which is exactly the short-session semantics ('a>b' for a
+    2-event session at k = 3) — the one place the null-skipping trap
+    (the r5 s4 digest lesson) is the wanted behavior, noted here so it
+    isn't "fixed".
+
+    Scale: one window pass on the sessionize shuffle key, one
+    map-side-combinable groupBy((user, session)) bounded by k matched
+    slots, one tiny path-count aggregate."""
+    if k < 1:
+        raise ValueError("session_paths: k must be >= 1")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.withColumn("prev_ts", F.lag("ts").over(w))
+    flagged = lagged.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | F.expr(f"ts - prev_ts > INTERVAL '{gap_minutes}' MINUTE"),
+            1,
+        ).otherwise(0),
+    )
+    sessioned = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("user_id", "session_idx").orderBy("ts", "event_id")
+    )
+    slots = (
+        sessioned.withColumn("rn", rn)
+        .filter(F.col("rn") <= k)
+        .groupBy("user_id", "session_idx")
+        .agg(
+            *[
+                F.max(
+                    F.when(F.col("rn") == i, F.col("event_type"))
+                ).alias(f"t{i}")
+                for i in range(1, k + 1)
+            ]
+        )
+    )
+    path = F.concat_ws(">", *[F.col(f"t{i}") for i in range(1, k + 1)])
+    return slots.select(path.alias("path")).groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions")
+    )
+
+
 def interarrival_histogram(events: DataFrame) -> DataFrame:
     """Log2-bucketed inter-arrival histogram per event_type: gap =
     microsecond difference between consecutive events of the type in

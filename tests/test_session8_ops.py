@@ -586,3 +586,80 @@ def test_pii_report_hand_corpus(spark):
     s2 = out["s2"]
     assert (s2.n_docs, s2.n_emails, s2.n_ips, s2.n_phones) == (1, 0, 0, 2)
     assert s2.docs_with_pii == 1
+
+# --------------------------------------------- dedup_components_tfidf
+
+
+def test_dedup_components_tfidf_clusters_copies(spark):
+    # 3 identical docs + 1 distinct: the copies contract to min id,
+    # the loner labels itself
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (5, "alpha beta gamma delta"),
+            (9, "omega psi chi phi"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.component
+        for r in A.dedup_components_tfidf(docs, max_df=10).collect()
+    }
+    assert out == {1: 1, 2: 1, 5: 1, 9: 9}
+
+
+# ------------------------------------------------------ session_paths
+
+
+def test_session_paths_hand_stream(spark):
+    # user 1: one session a,b,c,d -> path a>b>c (k=3 slots);
+    # user 2: two sessions split by a 40-min gap -> 'a>b' and 'c'
+    rows = [
+        (0, 0, 1, "a"),
+        (1, 60, 1, "b"),
+        (2, 120, 1, "c"),
+        (3, 180, 1, "d"),
+        (4, 0, 2, "a"),
+        (5, 60, 2, "b"),
+        (6, 60 + 40 * 60, 2, "c"),
+    ]
+    out = {
+        r.path: r.n_sessions
+        for r in E.session_paths(_ev(spark, rows), k=3).collect()
+    }
+    assert out == {"a>b>c": 1, "a>b": 1, "c": 1}
+
+
+def test_session_paths_tie_uses_event_id(spark):
+    rows = [(0, 0, 1, "b"), (1, 0, 1, "a")]  # same ts: id order b, a
+    out = {
+        r.path
+        for r in E.session_paths(_ev(spark, rows), k=2).collect()
+    }
+    assert out == {"b>a"}
+
+
+# ----------------------------------------------------- quality_by_dup
+
+
+def test_quality_by_dup_hand_corpus(spark):
+    # two long-enough quality docs (one duplicated) + junk-short docs
+    good = " ".join(f"tok{i%25}word" for i in range(60))
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),          # dup of 1
+            (3, good + " tail"),
+            (4, "x"),           # fails quality, unique
+            (5, "y"),           # fails quality, unique
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.qf_pass: r for r in A.quality_by_dup(docs).collect()}
+    assert set(out) == {0, 1}
+    passing = out[1]
+    assert (passing.n_docs, passing.n_dup_docs) == (3, 2)
+    assert passing.dup_milli == 666
+    failing = out[0]
+    assert (failing.n_docs, failing.n_dup_docs, failing.dup_milli) == (2, 0, 0)
