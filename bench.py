@@ -222,6 +222,9 @@ BAND_MAX_S = {
     "interarrival_histogram": 2.0,   # warm 0.58/0.36
     "negative_samples": 1.5,         # warm 0.33/0.25
     "pii_report": 2.5,               # warm 0.76/0.64
+    "dedup_components_tfidf": 12.0,  # warm 4.91/2.88 (pairs + LSS rounds)
+    "session_paths": 4.0,            # warm 1.49/0.87
+    "quality_by_dup": 4.0,           # warm 1.57/0.95
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -536,6 +539,11 @@ def main() -> None:
         ),
         "negative_samples": lambda: force(_entry_q("negative_samples")),
         "pii_report": lambda: force(_entry_q("pii_report")),
+        "dedup_components_tfidf": lambda: force(
+            _entry_q("dedup_components_tfidf")
+        ),
+        "session_paths": lambda: force(_entry_q("session_paths")),
+        "quality_by_dup": lambda: force(_entry_q("quality_by_dup")),
     }
 
     def _entry_q(name):
