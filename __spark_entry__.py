@@ -3389,6 +3389,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split convention: '' yields one token, divisions never see 0)
         return A.lexical_diversity(_docs(spark, sf_dir))
 
+    def tpch_order_priority(spark, sf_dir):
+        # r5 session-8: Q4-shaped late-order counts per priority —
+        # left-semi EXISTS probe (equi orderkey + ship>order post-filter)
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.order_priority_counts(rd("orders"), rd("lineitem"))
+
+    def tpch_customer_distribution(spark, sf_dir):
+        # r5 session-8: Q13-shaped order-count histogram INCLUDING the
+        # zero-order customers (left outer + coalesce — the churn view)
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.customer_order_histogram(rd("customer"), rd("orders"))
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -3699,6 +3711,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components_tfidf": dedup_components_tfidf,
         "session_paths": session_paths,
         "quality_by_dup": quality_by_dup,
+        "tpch_order_priority": tpch_order_priority,
+        "tpch_customer_distribution": tpch_customer_distribution,
         "events_attribution": events_attribution,
         "k_anonymity": k_anonymity,
         "good_turing": good_turing,
@@ -7686,6 +7700,27 @@ def oracle_sql() -> dict[str, str]:
         # first/last-touch attribution: touches strictly before the first
         # purchase per user ((ts, event_id) order); rn is unique so
         # arg_min/arg_max cannot tie; no-prior-touch users excluded
+        # Q4-shaped late-order priority counts: EXISTS == left-semi
+        "tpch_order_priority": """
+            SELECT o_orderpriority,
+                   CAST(count(*) AS BIGINT) AS order_count
+            FROM orders o
+            WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_shipdate > o.o_orderdate)
+            GROUP BY o_orderpriority
+        """,
+        # Q13-shaped customer order-count histogram incl. zero-order
+        "tpch_customer_distribution": """
+            WITH per AS (SELECT o_custkey, count(*) AS n_orders
+                         FROM orders GROUP BY o_custkey)
+            SELECT COALESCE(per.n_orders, 0) AS c_count,
+                   CAST(count(*) AS BIGINT) AS custdist
+            FROM customer c LEFT JOIN per ON per.o_custkey = c.c_custkey
+            GROUP BY COALESCE(per.n_orders, 0)
+        """,
         # fifth components family: recursive closure over the shared
         # tfidf pair chain (the _prefix_comp_ctes shape)
         "dedup_components_tfidf": f"""

@@ -151,3 +151,60 @@ def shipping_priority(
     )
     w = Window.orderBy(*order)
     return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def order_priority_counts(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q4-shaped: orders placed in [date_from, date_to) with at
+    least one LATE line (l_shipdate > o_orderdate — this schema carries
+    no commit/receipt dates, so lateness is ship-after-order), counted
+    per order priority.  The left-semi join shape: the EXISTS probe
+    never duplicates orders however many lines are late, and Spark
+    hash-joins on the equi key (orderkey) with the inequality as a
+    post-probe filter.
+
+    Scale: the date window prunes the orders scan first (pushed-down
+    range predicate); the semi-join shuffles on the uniform orderkey;
+    the final groupBy has |priorities| rows.  Counts only — exact."""
+    win = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    )
+    late = win.join(
+        lineitem,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count")
+    )
+
+
+def customer_order_histogram(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13-shaped: distribution of customers by order count,
+    INCLUDING the zero-order customers the inner join would silently
+    drop — (c_count, custdist).  The left-outer + coalesce(0) shape is
+    the point: a churn/coverage report that misses never-ordering
+    customers overstates engagement.
+
+    Scale: one map-side-combinable groupBy(o_custkey) over orders, one
+    left join back to the customer dim on the uniform custkey, one tiny
+    histogram aggregate.  Counts only — exact."""
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        customer.join(
+            per, customer["c_custkey"] == per["o_custkey"], "left"
+        )
+        .select(F.coalesce(F.col("n_orders"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )

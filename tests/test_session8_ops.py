@@ -663,3 +663,49 @@ def test_quality_by_dup_hand_corpus(spark):
     assert passing.dup_milli == 666
     failing = out[0]
     assert (failing.n_docs, failing.n_dup_docs, failing.dup_milli) == (2, 0, 0)
+
+# ------------------------------------------------ TPC-H Q4/Q13 shapes
+
+
+def test_order_priority_semi_join_no_duplication(spark):
+    from contentextractor_spark.functions import relational as R
+
+    t0 = datetime.datetime(1996, 2, 1)
+    orders = spark.createDataFrame(
+        [
+            (1, t0, "1-URGENT"),   # two late lines -> counted ONCE
+            (2, t0, "1-URGENT"),   # no late line -> not counted
+            (3, datetime.datetime(1995, 1, 1), "2-HIGH"),  # outside window
+        ],
+        "o_orderkey long, o_orderdate timestamp, o_orderpriority string",
+    )
+    li = spark.createDataFrame(
+        [
+            (1, t0 + datetime.timedelta(days=5)),
+            (1, t0 + datetime.timedelta(days=9)),
+            (2, t0 - datetime.timedelta(days=1)),
+            (3, datetime.datetime(1995, 6, 1)),
+        ],
+        "l_orderkey long, l_shipdate timestamp",
+    )
+    out = {
+        r.o_orderpriority: r.order_count
+        for r in R.order_priority_counts(orders, li).collect()
+    }
+    assert out == {"1-URGENT": 1}
+
+
+def test_customer_distribution_keeps_zero_order_customers(spark):
+    from contentextractor_spark.functions import relational as R
+
+    cust = spark.createDataFrame(
+        [(1,), (2,), (3,), (4,)], "c_custkey long"
+    )
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2)], "o_orderkey long, o_custkey long"
+    )
+    out = {
+        r.c_count: r.custdist
+        for r in R.customer_order_histogram(cust, orders).collect()
+    }
+    assert out == {0: 2, 1: 1, 2: 1}
