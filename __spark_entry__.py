@@ -3389,6 +3389,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # split convention: '' yields one token, divisions never see 0)
         return A.lexical_diversity(_docs(spark, sf_dir))
 
+    def tfidf_eval(spark, sf_dir):
+        # r5 session-8: the df cap's measured effect — shipped capped
+        # pairs vs the uncapped truth at the same threshold.  sf0.01:
+        # n_true 119,308 / n_cand 300 / precision 1000, recall 2 milli —
+        # READ AS: with stop terms included, cos>=0.3 is vacuous on this
+        # corpus (the 31-word common vocabulary makes every doc pair
+        # 'similar'), while the capped producer keeps exactly the 300
+        # planted rare-term near-dups.  The cap DEFINES the similarity
+        # over informative terms; this row quantifies that choice
+        # instead of asserting it.
+        return A.tfidf_eval(
+            _docs(spark, sf_dir), max_df=100, threshold_milli=300
+        )
+
     def tpch_order_priority(spark, sf_dir):
         # r5 session-8: Q4-shaped late-order counts per priority —
         # left-semi EXISTS probe (equi orderkey + ship>order post-filter)
@@ -3713,6 +3727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_by_dup": quality_by_dup,
         "tpch_order_priority": tpch_order_priority,
         "tpch_customer_distribution": tpch_customer_distribution,
+        "tfidf_eval": tfidf_eval,
         "events_attribution": events_attribution,
         "k_anonymity": k_anonymity,
         "good_turing": good_turing,
@@ -4114,69 +4129,75 @@ def _hc_ctes(depth: int) -> str:
     return ",\n            ".join(parts)
 
 
-def _tfidf_w_ctes(max_df: int) -> str:
+def _tfidf_w_ctes(max_df: int, sfx: str = "") -> str:
     """Shared TF-IDF weight chain (tok → tfx → dfq → nn → idfx → wx →
-    nrm) over documents — ONE definition for the tfidf_neardup_pairs /
-    tfidf_stop_terms oracles; idf quantized to milli-nats with the
-    float expression tree kept identical to the Spark side."""
+    nrm, all suffixed by `sfx`) over documents — ONE definition for the
+    tfidf_neardup_pairs / tfidf_stop_terms / dedup_components_tfidf /
+    tfidf_eval oracles (the eval inlines the chain twice, hence the
+    suffix); idf quantized to milli-nats with the float expression tree
+    kept identical to the Spark side."""
     return f"""
-            tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            tok{sfx} AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
                     FROM documents),
-            tfx AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-                    FROM tok GROUP BY doc_id, term),
-            dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-                    FROM tfx GROUP BY term),
-            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-            idfx AS (SELECT term,
+            tfx{sfx} AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+                    FROM tok{sfx} GROUP BY doc_id, term),
+            dfq{sfx} AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                    FROM tfx{sfx} GROUP BY term),
+            nn{sfx} AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            idfx{sfx} AS (SELECT term,
                             CAST(floor(ln(CAST(n AS DOUBLE)
                                  / CAST(df AS DOUBLE)) * 1000) AS BIGINT)
                                 AS idf_milli
-                     FROM dfq, nn WHERE df <= {max_df}),
-            wx AS MATERIALIZED (SELECT t.doc_id, t.term,
+                     FROM dfq{sfx}, nn{sfx} WHERE df <= {max_df}),
+            wx{sfx} AS MATERIALIZED (SELECT t.doc_id, t.term,
                            t.tf * i.idf_milli AS w
-                    FROM tfx t JOIN idfx i USING (term)),
-            nrm AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS sq
-                    FROM wx GROUP BY doc_id)"""
+                    FROM tfx{sfx} t JOIN idfx{sfx} i USING (term)),
+            nrm{sfx} AS (SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS sq
+                    FROM wx{sfx} GROUP BY doc_id)"""
 
 
-def _tfidf_pair_ctes(max_df: int, threshold_milli: int) -> str:
-    """Full TF-IDF pair chain ending in tpair(doc_a, doc_b, cos_milli)
-    — _tfidf_w_ctes plus the dot self-join and the isqrt-corrected
-    cosine; ONE definition for the tfidf_neardup_pairs and
-    dedup_components_tfidf oracles."""
-    return f"""{_tfidf_w_ctes(max_df)},
-            dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+def _tfidf_pair_ctes(
+    max_df: int, threshold_milli: int, sfx: str = ""
+) -> str:
+    """Full TF-IDF pair chain ending in tpair{sfx}(doc_a, doc_b,
+    cos_milli) — _tfidf_w_ctes plus the dot self-join and the
+    isqrt-corrected cosine; ONE definition for the tfidf_neardup_pairs,
+    dedup_components_tfidf, and tfidf_eval oracles (the eval inlines
+    the chain twice under one WITH, hence the suffix)."""
+    return f"""{_tfidf_w_ctes(max_df, sfx)},
+            dots{sfx} AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                             CAST(sum(a.w * b.w) AS BIGINT) AS dot
-                     FROM wx a JOIN wx b
+                     FROM wx{sfx} a JOIN wx{sfx} b
                        ON a.term = b.term AND a.doc_id < b.doc_id
                      GROUP BY a.doc_id, b.doc_id),
-            sc AS (SELECT doc_a, doc_b, dot, na.sq AS sq_a, nb.sq AS sq_b
-                   FROM dots
-                   JOIN nrm na ON na.doc_id = dots.doc_a
-                   JOIN nrm nb ON nb.doc_id = dots.doc_b),
-            r0 AS (SELECT doc_a, doc_b, dot,
+            sc{sfx} AS (SELECT doc_a, doc_b, dot,
+                          na.sq AS sq_a, nb.sq AS sq_b
+                   FROM dots{sfx} dots
+                   JOIN nrm{sfx} na ON na.doc_id = dots.doc_a
+                   JOIN nrm{sfx} nb ON nb.doc_id = dots.doc_b),
+            r0{sfx} AS (SELECT doc_a, doc_b, dot,
                           CAST(floor(sqrt(CAST(sq_a AS DOUBLE)))
                                AS BIGINT) AS ya0,
                           CAST(floor(sqrt(CAST(sq_b AS DOUBLE)))
                                AS BIGINT) AS yb0,
                           sq_a, sq_b
-                   FROM sc),
-            r1 AS (SELECT doc_a, doc_b, dot, sq_a, sq_b,
+                   FROM sc{sfx}),
+            r1{sfx} AS (SELECT doc_a, doc_b, dot, sq_a, sq_b,
                           ya0 + CASE WHEN (ya0 + 1) * (ya0 + 1) <= sq_a
                                      THEN 1 ELSE 0 END AS ya1,
                           yb0 + CASE WHEN (yb0 + 1) * (yb0 + 1) <= sq_b
                                      THEN 1 ELSE 0 END AS yb1
-                   FROM r0),
-            r2 AS (SELECT doc_a, doc_b, dot,
+                   FROM r0{sfx}),
+            r2{sfx} AS (SELECT doc_a, doc_b, dot,
                           ya1 - CASE WHEN ya1 * ya1 > sq_a
                                      THEN 1 ELSE 0 END AS na,
                           yb1 - CASE WHEN yb1 * yb1 > sq_b
                                      THEN 1 ELSE 0 END AS nb
-                   FROM r1),
-            tpair AS (SELECT doc_a, doc_b,
+                   FROM r1{sfx}),
+            tpair{sfx} AS (SELECT doc_a, doc_b,
                              (dot * 1000) // greatest(na * nb, 1)
                                  AS cos_milli
-                      FROM r2
+                      FROM r2{sfx}
                       WHERE (dot * 1000) // greatest(na * nb, 1)
                             >= {threshold_milli})"""
 
@@ -7700,6 +7721,21 @@ def oracle_sql() -> dict[str, str]:
         # first/last-touch attribution: touches strictly before the first
         # purchase per user ((ts, event_id) order); rn is unique so
         # arg_min/arg_max cannot tie; no-prior-touch users excluded
+        # df-cap calibration: capped chain (sfx c) vs uncapped truth
+        # (sfx t) inlined under one WITH via the suffix parameter
+        "tfidf_eval": f"""
+            WITH {_tfidf_pair_ctes(100, 300, sfx='c')},
+            {_tfidf_pair_ctes(1 << 40, 300, sfx='t')},
+            ct AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tpairt),
+            cc AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM tpairc),
+            ch AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+                   FROM tpairt t JOIN tpairc c
+                     ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+            SELECT n_true, n_cand, n_hit,
+                   n_hit * 1000 // greatest(n_true, 1) AS recall_milli,
+                   n_hit * 1000 // greatest(n_cand, 1) AS precision_milli
+            FROM ct, cc, ch
+        """,
         # Q4-shaped late-order priority counts: EXISTS == left-semi
         "tpch_order_priority": """
             SELECT o_orderpriority,

@@ -1442,6 +1442,73 @@ def tfidf_stop_terms(docs: DataFrame, max_df: int = 100) -> DataFrame:
     return dfreq.filter(F.col("df") > max_df).select("term", "df")
 
 
+def tfidf_eval(
+    docs: DataFrame,
+    max_df: int = 100,
+    threshold_milli: int = 300,
+    max_docs: int = 20_000,
+    *,
+    force: bool = False,
+) -> DataFrame:
+    """Measured-not-guessed cost of the tfidf df cap: ONE row (n_true,
+    n_cand, n_hit, recall_milli, precision_milli) scoring the SHIPPED
+    capped pair producer against the uncapped truth (max_df = 2^40 —
+    every term participates; df = N terms carry idf 0 and contribute
+    nothing, so 'uncapped' is well-defined).  The eval-row-per-producer
+    convention (lsh_eval / embedding_lsh_eval / simhash_eval): a capped
+    pair can also score DIFFERENTLY than its uncapped twin (stop terms
+    add weight mass), so both misses and spurious survivors are real —
+    hence precision too, not just recall.
+
+    Scale: the uncapped truth join is quadratic in the heaviest df —
+    refusal-guarded (limit probe) at max_docs; run on a sample and
+    extrapolate, or pass force=True and own the volume."""
+    if not force:
+        _refuse_above(
+            docs, max_docs, "tfidf_eval",
+            "Run on a sample (the truth join is quadratic in max df)",
+        )
+    handle: list = []
+    cand = (
+        tfidf_cosine_pairs(
+            docs,
+            max_df=max_df,
+            threshold_milli=threshold_milli,
+            cache_handle=handle,
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    truth = (
+        tfidf_cosine_pairs(
+            docs,
+            max_df=1 << 40,
+            threshold_milli=threshold_milli,
+            cache_handle=handle,
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    for df in handle:  # eager checkpoints done — release both caches
+        df.unpersist()
+    n_true = truth.select(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.select(F.count(F.lit(1)).alias("n_cand"))
+    n_hit = truth.join(cand, ["doc_a", "doc_b"]).select(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(n_cand)
+        .crossJoin(n_hit)
+        .selectExpr(
+            "n_true",
+            "n_cand",
+            "n_hit",
+            "n_hit * 1000 div greatest(n_true, 1) AS recall_milli",
+            "n_hit * 1000 div greatest(n_cand, 1) AS precision_milli",
+        )
+    )
+
+
 def dedup_components_tfidf(
     docs: DataFrame,
     max_df: int = 100,

@@ -709,3 +709,45 @@ def test_customer_distribution_keeps_zero_order_customers(spark):
         for r in R.customer_order_histogram(cust, orders).collect()
     }
     assert out == {0: 2, 1: 1, 2: 1}
+
+# ---------------------------------------------------------- tfidf_eval
+
+
+def test_tfidf_eval_uncapped_is_identity(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "omega psi chi"),
+        ],
+        "doc_id long, text string",
+    )
+    row = A.tfidf_eval(docs, max_df=10, threshold_milli=300).collect()[0]
+    # cap above every df: cand == truth
+    assert (row.n_true, row.n_cand, row.n_hit) == (1, 1, 1)
+    assert (row.recall_milli, row.precision_milli) == (1000, 1000)
+
+
+def test_tfidf_eval_tight_cap_drops_everything(spark):
+    # the only shared terms have df 2; cap 1 excludes them -> no cand
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamma"),
+            (3, "omega psi chi"),
+        ],
+        "doc_id long, text string",
+    )
+    row = A.tfidf_eval(docs, max_df=1, threshold_milli=300).collect()[0]
+    assert (row.n_true, row.n_cand, row.n_hit) == (1, 0, 0)
+    assert (row.recall_milli, row.precision_milli) == (0, 0)
+
+
+def test_tfidf_eval_refusal_guard(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(i, "t") for i in range(30)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="tfidf_eval refused"):
+        A.tfidf_eval(docs, max_docs=10)
