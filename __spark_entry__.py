@@ -3175,6 +3175,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # orientation) over the ring+affine fixture graph
         return A.triangle_counts(_ring_affine_edges(spark, sf_dir))
 
+    def ndcg_eval(spark, sf_dir):
+        # r5 session-9: NDCG@10 of the SHIPPED batched ranker under a
+        # graded relevance label (distinct query terms present, 0..3) —
+        # discount table inlined as integer literals in BOTH engines,
+        # zero cross-engine transcendentals
+        docs = _docs(spark, sf_dir)
+        return A.ndcg_eval(docs, _eval_queries(docs), k=10)
+
+    def events_interval_join(spark, sf_dir):
+        # r5 session-9: point-in-interval join as a chunked EQUI-join
+        # (no BNLJ): every %50 event opens a 90-minute window for its
+        # user; count events + distinct types inside — start inclusive,
+        # end exclusive, epoch-microsecond exact
+        return E.interval_count_join(
+            _events(spark, sf_dir), anchor_mod=50, window_s=5400,
+            chunk_s=3600,
+        )
+
     def clustering_coefficient(spark, sf_dir):
         # r5 session-8: per-node local clustering coefficient in integer
         # milli-units over the same ring+affine fixture — deg >= 2
@@ -3707,6 +3725,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "ndcg_eval": ndcg_eval,
+        "events_interval_join": events_interval_join,
         "clustering_coefficient": clustering_coefficient,
         "degree_assortativity": degree_assortativity,
         "link_reciprocity": link_reciprocity,
@@ -8167,6 +8187,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST((sum(cnt) - count(*)) * 1000 // sum(cnt)
                         AS BIGINT) AS dup_permille
             FROM h GROUP BY source
+        """,
+        # NDCG@10 of the shipped ranker: graded rel = distinct query
+        # terms present; discount table = the SAME Python-computed
+        # integer literals as the Spark side (zero cross-engine logs)
+        "ndcg_eval": f"""
+            WITH {_bm25_batch_ctes()},
+            disc(rnk, w) AS (VALUES {
+                ", ".join(f"({r}, {w})" for r, w in A.ndcg_discounts(10))
+            }),
+            dtok AS (SELECT DISTINCT doc_id, term FROM btok
+                     WHERE term IN (SELECT term FROM bq)),
+            rel AS (SELECT q.query_id, d.doc_id,
+                           CAST(count(*) AS BIGINT) AS rel
+                    FROM bq q JOIN dtok d USING (term) GROUP BY 1, 2),
+            dcg AS (SELECT r.query_id,
+                           CAST(sum(COALESCE(rel.rel, 0) * disc.w)
+                                AS BIGINT) AS dcg_micro
+                    FROM brk r
+                    LEFT JOIN rel ON rel.query_id = r.query_id
+                                 AND rel.doc_id = r.doc_id
+                    JOIN disc ON disc.rnk = r.rank
+                    WHERE r.rank <= 10
+                    GROUP BY 1),
+            irk AS (SELECT query_id, rel, doc_id,
+                           row_number() OVER (PARTITION BY query_id
+                                              ORDER BY rel DESC, doc_id)
+                               AS rnk
+                    FROM rel),
+            idcg AS (SELECT i.query_id,
+                            CAST(sum(i.rel * disc.w) AS BIGINT)
+                                AS idcg_micro
+                     FROM irk i JOIN disc ON disc.rnk = i.rnk
+                     WHERE i.rnk <= 10 GROUP BY 1)
+            SELECT d.query_id, d.dcg_micro, i.idcg_micro,
+                   CAST(CASE WHEN i.idcg_micro > 0
+                        THEN d.dcg_micro * 1000 // i.idcg_micro
+                        ELSE 0 END AS BIGINT) AS ndcg_milli
+            FROM dcg d JOIN idcg i USING (query_id)
+        """,
+        # point-in-interval join: the oracle states the range predicate
+        # directly (BETWEEN-style join); Spark's chunked equi-join must
+        # reproduce it exactly — start inclusive, end exclusive
+        "events_interval_join": """
+            WITH ev AS (SELECT event_id, user_id, event_type,
+                               CAST(epoch_us(ts) AS BIGINT) AS us
+                        FROM events),
+            a AS (SELECT event_id AS anchor_id, user_id, us AS start_us
+                  FROM ev WHERE event_id % 50 = 0)
+            SELECT a.anchor_id, a.user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(count(DISTINCT e.event_type) AS BIGINT) AS n_types
+            FROM a JOIN ev e ON e.user_id = a.user_id
+              AND e.us >= a.start_us AND e.us < a.start_us + 5400000000
+            GROUP BY 1, 2
         """,
         # RM1 expansion terms off the shared bm25 chain: top-5 feedback
         # docs per query, own terms anti-joined away

@@ -22,6 +22,7 @@ Design rules:
 
 from __future__ import annotations
 
+import math
 import weakref
 
 import numpy as np
@@ -9291,6 +9292,86 @@ def retrieval_eval(
             .cast("long")
             .alias("rr_milli_sum"),
         )
+    )
+
+
+def ndcg_discounts(k: int) -> list[tuple[int, int]]:
+    """(rank, floor(10^6 / log2(rank+1))) literals for ranks 1..k —
+    computed ONCE in driver Python and inlined as integer literals in
+    BOTH engines, so the NDCG log never executes cross-engine at all
+    (the strongest member of the transcendental-elimination family:
+    the constant table)."""
+    return [
+        (r, int(math.floor(1_000_000.0 / math.log2(r + 1))))
+        for r in range(1, k + 1)
+    ]
+
+
+def ndcg_eval(docs: DataFrame, queries: DataFrame, k: int = 10) -> DataFrame:
+    """NDCG@k of the SHIPPED batched ranker (the lsh_eval pattern,
+    graded-relevance edition): rel(q, d) = number of DISTINCT query
+    terms present in d (0..|q| — a deterministic graded label, unlike
+    retrieval_eval's single planted truth doc), DCG_micro = Σ rel ·
+    disc_micro(rank) over the ranker's top-k, IDCG_micro = the same sum
+    over the ideal ordering (rel DESC, doc_id ASC) of ALL rel>0 docs,
+    ndcg_milli = dcg·1000 div idcg.  Discounts are the ndcg_discounts
+    literal table — zero cross-engine transcendentals; all sums are
+    integer, order-free.
+
+    Scale: one bm25_batch job + a rel table whose token stream is
+    broadcast-pruned by the query vocabulary BEFORE the distinct (the
+    bm25_batch trick); the ideal window partitions by query_id and is
+    df-bounded; the discount map is k literals in the plan."""
+    ranked = bm25_batch(docs, queries, k=k)
+    qterms = queries.select("query_id", "term").distinct()
+    terms = qterms.select("term").distinct()
+    dtok = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .join(F.broadcast(terms), "term")
+        .distinct()
+    )
+    rel = dtok.join(qterms, "term").groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("rel")
+    )
+    disc_pairs: list = []
+    for r, w in ndcg_discounts(k):
+        disc_pairs.extend([F.lit(r), F.lit(w)])
+    disc = F.create_map(*disc_pairs)
+    dcg = (
+        ranked.join(rel, ["query_id", "doc_id"], "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("rel"), F.lit(0))
+                * F.element_at(disc, F.col("rank").cast("int"))
+            ).alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("long").alias("dcg_micro"))
+    )
+    iw = Window.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("doc_id").asc()
+    )
+    idcg = (
+        rel.withColumn("irank", F.row_number().over(iw))
+        .filter(F.col("irank") <= k)
+        .select(
+            "query_id",
+            (F.col("rel") * F.element_at(disc, F.col("irank"))).alias("g"),
+        )
+        .groupBy("query_id")
+        .agg(F.sum("g").cast("long").alias("idcg_micro"))
+    )
+    return dcg.join(idcg, "query_id").select(
+        "query_id",
+        "dcg_micro",
+        "idcg_micro",
+        F.expr(
+            "CASE WHEN idcg_micro > 0 THEN dcg_micro * 1000 div idcg_micro "
+            "ELSE 0 END"
+        ).cast("long").alias("ndcg_milli"),
     )
 
 

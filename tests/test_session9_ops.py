@@ -1,0 +1,108 @@
+"""Session-9 operators: interval join boundary semantics + plan shape,
+NDCG discount-table exactness and range."""
+
+import datetime
+import math
+
+from pyspark.sql import functions as F
+
+from contentextractor_spark.functions import analysis as A
+from contentextractor_spark.functions import events as E
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+
+def _t(s):
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_interval_join_boundaries(spark):
+    # anchor event 0 at 10:00; window [10:00, 11:30): the 11:30:00.000000
+    # event is EXCLUDED (end-exclusive), 10:00 itself (the anchor) and
+    # 11:29:59.999999 are INCLUDED; other-user events never match
+    rows = [
+        (0, _t("2024-01-01T10:00:00"), 1, "a", 0.0, ""),
+        (1, _t("2024-01-01T11:29:59.999999"), 1, "b", 0.0, ""),
+        (2, _t("2024-01-01T11:30:00"), 1, "c", 0.0, ""),
+        (3, _t("2024-01-01T10:30:00"), 2, "a", 0.0, ""),
+        (4, _t("2024-01-01T09:59:59.999999"), 1, "a", 0.0, ""),
+    ]
+    out = E.interval_count_join(
+        _ev(spark, rows), anchor_mod=50, window_s=5400
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["anchor_id"], r["user_id"]) == (0, 1)
+    assert r["n_events"] == 2  # events 0 and 1
+    assert r["n_types"] == 2   # a, b
+
+
+def test_interval_join_chunk_invariance(spark):
+    # the chunked equi-join is an implementation detail: shrinking the
+    # chunk (more fanout) must not change the result
+    rows = [
+        (0, _t("2024-01-01T10:00:00"), 1, "a", 0.0, ""),
+        (1, _t("2024-01-01T10:59:00"), 1, "b", 0.0, ""),
+        (2, _t("2024-01-01T11:20:00"), 1, "b", 0.0, ""),
+        (50, _t("2024-01-01T10:40:00"), 1, "c", 0.0, ""),
+    ]
+    df = _ev(spark, rows)
+    a = sorted(
+        map(tuple, E.interval_count_join(df, chunk_s=3600).collect())
+    )
+    b = sorted(
+        map(tuple, E.interval_count_join(df, chunk_s=600).collect())
+    )
+    assert a == b and len(a) == 2
+
+
+def test_interval_join_no_bnlj(spark):
+    rows = [(0, _t("2024-01-01T10:00:00"), 1, "a", 0.0, "")]
+    plan = E.interval_count_join(_ev(spark, rows))._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ndcg_discounts_are_floor_of_log2():
+    d = dict(A.ndcg_discounts(10))
+    assert d[1] == 1_000_000
+    for r, w in d.items():
+        exact = 1_000_000.0 / math.log2(r + 1)
+        assert w == math.floor(exact)
+        assert 0 < w <= 1_000_000
+
+
+def test_ndcg_perfect_ranking_is_1000(spark):
+    # two docs; the query's terms all come from doc 0, which therefore
+    # ranks first AND is the unique ideal head -> ndcg_milli == 1000
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma", "en", "s", 16),
+         (1, "delta epsilon zeta", "en", "s", 18)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    queries = spark.createDataFrame(
+        [(0, "alpha"), (0, "beta")], "query_id long, term string"
+    )
+    out = {r["query_id"]: r for r in A.ndcg_eval(docs, queries, k=10).collect()}
+    assert out[0]["ndcg_milli"] == 1000
+    assert out[0]["dcg_micro"] == out[0]["idcg_micro"] > 0
+
+
+def test_ndcg_bounded(spark):
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} common", "en", "s", 10) for i in range(8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    queries = spark.createDataFrame(
+        [(0, "common"), (0, "w1"), (4, "common")],
+        "query_id long, term string",
+    )
+    for r in A.ndcg_eval(docs, queries, k=10).collect():
+        assert 0 <= r["ndcg_milli"] <= 1000
+        assert r["dcg_micro"] <= r["idcg_micro"]
