@@ -3193,6 +3193,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             chunk_s=3600,
         )
 
+    def adamic_adar(spark, sf_dir):
+        # r5 session-9: Adamic–Adar link prediction over the undirected
+        # ring+affine+hub graph — per-NODE quantized 1/ln(deg) weights,
+        # integer pair sums, existing edges anti-joined away; max_deg=8
+        # really bites on the hubs (audited by the overflow twin)
+        return A.adamic_adar(_ring_affine_hub_edges(spark, sf_dir), max_deg=8)
+
+    def adamic_adar_overflow(spark, sf_dir):
+        # loud cap companion: the centers max_deg=8 excluded from wedge
+        # formation (driver-checked nonempty — the cap is ACTIVE)
+        return A.adamic_adar_overflow(
+            _ring_affine_hub_edges(spark, sf_dir), max_deg=8
+        )
+
+    def l_diversity(spark, sf_dir):
+        # r5 session-9: distinct l-diversity audit — QI cell (event_type,
+        # hour-of-day), sensitive = user_id; two map-side-combinable
+        # groupBys, never a countDistinct Expand
+        return A.l_diversity(_events(spark, sf_dir), l=3)
+
     def clustering_coefficient(spark, sf_dir):
         # r5 session-8: per-node local clustering coefficient in integer
         # milli-units over the same ring+affine fixture — deg >= 2
@@ -3727,6 +3747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new this round):
         "ndcg_eval": ndcg_eval,
         "events_interval_join": events_interval_join,
+        "adamic_adar": adamic_adar,
+        "adamic_adar_overflow": adamic_adar_overflow,
+        "l_diversity": l_diversity,
         "clustering_coefficient": clustering_coefficient,
         "degree_assortativity": degree_assortativity,
         "link_reciprocity": link_reciprocity,
@@ -8891,6 +8914,55 @@ def oracle_sql() -> dict[str, str]:
         "co_citation_overflow": f"""
             WITH {_RING_AFFINE_HUB_CTE}
             SELECT src, outdeg FROM od WHERE outdeg > 4
+        """,
+        # Adamic–Adar: per-node quantized 1/ln(deg) weights (identical
+        # float expression tree; ln-of-integer convention), integer pair
+        # sums, existing undirected edges anti-joined away
+        "adamic_adar": f"""
+            WITH {_RING_AFFINE_HUB_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi FROM e1),
+            inc AS (SELECT lo AS z, hi AS nb FROM und
+                    UNION ALL SELECT hi, lo FROM und),
+            dg AS (SELECT z, CAST(count(*) AS BIGINT) AS deg
+                   FROM inc GROUP BY z),
+            w AS (SELECT z, CAST(floor(CAST(1000000 AS DOUBLE)
+                                       / ln(CAST(deg AS DOUBLE)))
+                               AS BIGINT) AS w_micro
+                  FROM dg WHERE deg >= 2 AND deg <= 8),
+            cn AS (SELECT i.z, i.nb, w.w_micro FROM inc i JOIN w USING (z)),
+            sc AS (SELECT a.nb AS a, b.nb AS b,
+                          CAST(count(*) AS BIGINT) AS n_common,
+                          CAST(sum(a.w_micro) AS BIGINT) AS score_micro
+                   FROM cn a JOIN cn b ON a.z = b.z AND a.nb < b.nb
+                   GROUP BY 1, 2)
+            SELECT s.a, s.b, s.n_common, s.score_micro
+            FROM sc s LEFT JOIN und u ON u.lo = s.a AND u.hi = s.b
+            WHERE u.lo IS NULL
+        """,
+        "adamic_adar_overflow": f"""
+            WITH {_RING_AFFINE_HUB_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                                    greatest(src, dst) AS hi FROM e1),
+            dg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                   FROM (SELECT lo AS node FROM und
+                         UNION ALL SELECT hi FROM und)
+                   GROUP BY node)
+            SELECT node, deg FROM dg WHERE deg > 8
+        """,
+        # distinct l-diversity: per-user rollup then cell rollup — the
+        # oracle states the same two-level aggregation
+        "l_diversity": """
+            WITH pu AS (SELECT event_type,
+                               CAST(hour(ts) AS BIGINT) AS hod, user_id,
+                               CAST(count(*) AS BIGINT) AS c
+                        FROM events GROUP BY 1, 2, 3)
+            SELECT event_type, hod,
+                   CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END
+                        AS BIGINT) AS risky
+            FROM pu GROUP BY 1, 2
         """,
         "degree_histogram": f"""
             WITH {_RING_AFFINE_HUB_CTE},

@@ -942,6 +942,84 @@ def co_citation_overflow(edges: DataFrame, max_out: int = 64) -> DataFrame:
     return _cocite_outdeg(edges).filter(F.col("outdeg") > max_out)
 
 
+def adamic_adar(edges: DataFrame, max_deg: int = 64) -> DataFrame:
+    """Adamic–Adar link prediction over the undirected graph (Adamic &
+    Adar 2003): for non-adjacent pairs (a, b), score = Σ over common
+    neighbors z of 1/ln(deg(z)) — rare shared neighbors count more than
+    hubs.  The "suggest related pages / find missing links" primitive a
+    crawl-frontier ranker reads next to co_citation (which counts raw
+    co-sources, unweighted, on the directed graph).
+
+    Exactness: the weight is quantized PER NODE before the pair sum —
+    w_micro(z) = floor(10⁶ / ln(deg(z))) with the float expression tree
+    identical in both engines (ln-of-integer, the unigram_surprisal
+    convention; its documented 1-ulp-at-floor-boundary caveat applies)
+    — so pair scores are order-free integer sums.  deg(z) ≥ 2 is
+    structural (a wedge center needs two neighbors), so ln never sees 1.
+
+    Skew guard (the co_citation cap convention): a center with degree d
+    emits d(d−1)/2 pairs, so centers with deg > max_deg are EXCLUDED
+    from wedge formation and reported loudly by adamic_adar_overflow —
+    which is also statistically principled: a 10⁵-degree hub contributes
+    w ≈ 10⁶/11.5 per pair across 5·10⁹ pairs of near-zero individual
+    meaning.  Pair volume is ≤ Σ min(deg, max_deg)²/2 — linear in edges
+    for fixed max_deg.
+
+    Scale: und edges localCheckpointed (they feed the incidence union
+    twice, both wedge legs AND the final anti-join); the wedge self-join
+    keys on the center z with cap-bounded fan-out; the final groupBy is
+    map-side combinable; existing edges are removed by an anti-join on
+    the canonical (lo, hi) key — candidates only, the link-prediction
+    contract."""
+    if max_deg < 2:
+        raise ValueError("max_deg must be >= 2 (a wedge center needs two)")
+    und = _und_edges(edges).localCheckpoint()
+    inc = und.select(
+        F.col("lo").alias("z"), F.col("hi").alias("nb")
+    ).union(und.select(F.col("hi").alias("z"), F.col("lo").alias("nb")))
+    deg = inc.groupBy("z").agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    w = deg.filter(
+        (F.col("deg") >= 2) & (F.col("deg") <= max_deg)
+    ).select(
+        "z",
+        F.expr(
+            "CAST(floor(CAST(1000000 AS DOUBLE) / ln(CAST(deg AS DOUBLE)))"
+            " AS BIGINT)"
+        ).alias("w_micro"),
+    )
+    cn = inc.join(w, "z")
+    a = cn.select("z", "w_micro", F.col("nb").alias("a"))
+    b = cn.select("z", F.col("nb").alias("b"))
+    scored = (
+        a.join(b, "z")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum("w_micro").cast("long").alias("score_micro"),
+        )
+    )
+    return scored.join(
+        und,
+        (scored["a"] == und["lo"]) & (scored["b"] == und["hi"]),
+        "left_anti",
+    )
+
+
+def adamic_adar_overflow(edges: DataFrame, max_deg: int = 64) -> DataFrame:
+    """Loud companion to adamic_adar's degree cap: (node, deg) of every
+    center the cap excluded from wedge formation (the overflow-twin
+    convention — a capped run is auditable, never silently lossy)."""
+    und = _und_edges(edges)
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .union(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return deg.filter(F.col("deg") > max_deg)
+
+
 def clustering_coefficients(edges: DataFrame) -> DataFrame:
     """Per-node local clustering coefficient over the undirected link
     graph, in integer milli-units: cc_milli = (2 * triangles * 1000)
@@ -8925,6 +9003,36 @@ def k_anonymity(
             "n_docs",
             (F.col("n_docs") < k).cast("long").alias("risky"),
         )
+    )
+
+
+def l_diversity(events: DataFrame, l: int = 3) -> DataFrame:
+    """Distinct l-diversity audit over the event log (Machanavajjhala
+    et al. 2007 — the gate k_anonymity alone misses): a released cell
+    can satisfy k-anonymity with many rows yet still leak if they all
+    belong to ONE user.  QI cell = (event_type, hour-of-day); sensitive
+    attribute = user_id; a cell is risky when it contains fewer than
+    `l` distinct users.  Output: one row per occupied cell with its
+    event count, distinct-user count, and the risky verdict.
+
+    Exactness: hour-of-day extraction on the naive (NTZ) timestamp is
+    timezone-free and engine-identical; everything else is counts.
+
+    Scale: TWO map-side-combinable groupBys — (type, hour, user) then
+    the cell rollup where n_users = count of per-user rows — never a
+    countDistinct (whose Expand doubles the stream); cardinality is
+    |types| × 24 at the top."""
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    per_user = events.groupBy(
+        "event_type",
+        F.hour("ts").cast("long").alias("hod"),
+        "user_id",
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    return per_user.groupBy("event_type", "hod").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        (F.count(F.lit(1)) < l).cast("long").alias("risky"),
     )
 
 

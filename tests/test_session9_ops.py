@@ -94,6 +94,62 @@ def test_ndcg_perfect_ranking_is_1000(spark):
     assert out[0]["dcg_micro"] == out[0]["idcg_micro"] > 0
 
 
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_adamic_adar_path_graph(spark):
+    # path 1-2-3: only candidate pair is (1,3) via center 2 (deg 2);
+    # score = floor(1e6 / ln(2)); edges (1,2)/(2,3) are NOT emitted
+    out = A.adamic_adar(_edges(spark, [(1, 2), (2, 3)]), max_deg=8).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["a"], r["b"], r["n_common"]) == (1, 3, 1)
+    assert r["score_micro"] == math.floor(1_000_000.0 / math.log(2.0))
+
+
+def test_adamic_adar_excludes_existing_edges(spark):
+    # triangle 1-2-3: every candidate pair is already an edge -> empty
+    out = A.adamic_adar(
+        _edges(spark, [(1, 2), (2, 3), (1, 3)]), max_deg=8
+    ).collect()
+    assert out == []
+
+
+def test_adamic_adar_cap_drops_hub_center(spark):
+    # star: center 0 with 5 leaves; max_deg=4 excludes the only possible
+    # wedge center -> no pairs, and the overflow twin reports node 0
+    star = [(0, i) for i in range(1, 6)]
+    assert A.adamic_adar(_edges(spark, star), max_deg=4).count() == 0
+    ov = A.adamic_adar_overflow(_edges(spark, star), max_deg=4).collect()
+    assert [(r["node"], r["deg"]) for r in ov] == [(0, 5)]
+    # uncapped, the star yields C(5,2)=10 pairs each weighted by deg 5
+    up = A.adamic_adar(_edges(spark, star), max_deg=8)
+    rows = up.collect()
+    assert len(rows) == 10
+    w5 = math.floor(1_000_000.0 / math.log(5.0))
+    assert all(r["score_micro"] == w5 and r["n_common"] == 1 for r in rows)
+
+
+def test_l_diversity_risky_flag(spark):
+    rows = [
+        # hour 10, type a: 3 users -> not risky at l=3
+        (0, _t("2024-01-01T10:00:00"), 1, "a", 0.0, ""),
+        (1, _t("2024-01-02T10:30:00"), 2, "a", 0.0, ""),
+        (2, _t("2024-01-03T10:59:00"), 3, "a", 0.0, ""),
+        # hour 11, type a: 1 user, 2 events -> risky
+        (3, _t("2024-01-01T11:00:00"), 7, "a", 0.0, ""),
+        (4, _t("2024-01-01T11:30:00"), 7, "a", 0.0, ""),
+    ]
+    out = {
+        (r["event_type"], r["hod"]): r
+        for r in A.l_diversity(_ev(spark, rows), l=3).collect()
+    }
+    assert out[("a", 10)]["n_users"] == 3 and out[("a", 10)]["risky"] == 0
+    assert out[("a", 11)]["n_users"] == 1 and out[("a", 11)]["risky"] == 1
+    assert out[("a", 11)]["n_events"] == 2
+
+
 def test_ndcg_bounded(spark):
     docs = spark.createDataFrame(
         [(i, f"w{i} w{i+1} w{i+2} common", "en", "s", 10) for i in range(8)],
