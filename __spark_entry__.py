@@ -1645,6 +1645,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out
 
+    def orc_roundtrip(spark, sf_dir):
+        # ORC interchange roundtrip through a lang-partitioned sink:
+        # every 7th doc's text gains quote/backslash/tab/newline/unicode
+        # so the hash pins the serde byte-for-byte; the read-back filters
+        # lang (directory-level partition pruning — no file under en/ is
+        # opened) AND doc_id % 3 (pushed into the ORC reader's stride
+        # index).  tests/test_orc_roundtrip.py pins PartitionFilters +
+        # PushedFilters in the scan plan.  The temp dir is leaked
+        # deliberately (the extract_committed convention): the returned
+        # DataFrame reads it lazily, so it must outlive this call.
+        import tempfile
+
+        from contentextractor_spark.sources.io import (
+            read_orc,
+            write_orc_partitioned,
+        )
+
+        docs = _docs(spark, sf_dir)
+        hostile = F.when(
+            F.pmod("doc_id", 7) == 0,
+            F.lit(' quote:" backslash:\\ tab:\t nl:\n'
+                  ' uni:\u00e9\u4e2d done'),
+        ).otherwise(F.lit(""))
+        src = docs.select(
+            "doc_id",
+            F.concat("text", hostile).alias("text"),
+            "n_chars",
+            "lang",
+        )
+        base = tempfile.mkdtemp(prefix="cx_orc_")
+        path = base + "/docs"
+        write_orc_partitioned(src, path, mode="overwrite")
+        back = read_orc(spark, path)
+        return back.filter(
+            (F.col("lang") != "en") & (F.pmod("doc_id", 3) == 0)
+        ).select("doc_id", "lang", "text", "n_chars")
+
     def extract_flagship(spark, sf_dir):
         out = _flagship_extracted(spark)
         return out.select(
@@ -3745,6 +3782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "orc_roundtrip": orc_roundtrip,
         "ndcg_eval": ndcg_eval,
         "events_interval_join": events_interval_join,
         "adamic_adar": adamic_adar,
@@ -9250,6 +9288,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST((matches * 1000000) // 4 AS BIGINT)
                        AS est_jaccard_micro
             FROM m
+        """,
+        # ORC serde roundtrip: identity + the planted hostile suffix,
+        # partition-pruned (lang <> 'en') and predicate-pushed (doc_id%3)
+        "orc_roundtrip": """
+            SELECT doc_id, lang,
+                   text || CASE WHEN doc_id % 7 = 0
+                                THEN ' quote:" backslash:\\ tab:' || chr(9)
+                                     || ' nl:' || chr(10) || ' uni:'
+                                     || chr(233) || chr(20013) || ' done'
+                                ELSE '' END AS text,
+                   n_chars
+            FROM documents
+            WHERE lang <> 'en' AND doc_id % 3 = 0
         """,
         # JSONL serde roundtrip: identity + the planted hostile suffix
         "jsonl_roundtrip": """

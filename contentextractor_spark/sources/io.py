@@ -145,6 +145,39 @@ def jsonl_to_docs(lines: DataFrame, schema: str) -> DataFrame:
     ).select("r.*")
 
 
+def write_orc_partitioned(
+    docs: DataFrame,
+    path: str,
+    partition_col: str = "lang",
+    mode: str = "error",
+) -> None:
+    """ORC egress partitioned by a low-cardinality column (lang by
+    default) — the columnar interchange format Hive-lineage consumers
+    expect when parquet isn't an option.  partitionBy gives one
+    directory per value so downstream readers prune at the DIRECTORY
+    level before any file is opened; executors write their own files and
+    the driver never touches the data path.  mode follows Spark
+    semantics and DEFAULTS TO 'error' (existing output raises).
+
+    Scale: keep partition_col low-cardinality (lang, crawl date, source
+    tier) — one dir per value, and a high-cardinality choice produces
+    the millions-of-tiny-files failure mode.  Avro is NOT offered: the
+    spark-avro module jar is absent from this runtime (verified —
+    'Failed to find data source: avro'), same story as Iceberg."""
+    docs.write.partitionBy(partition_col).mode(mode).format("orc").save(
+        path
+    )
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC ingestion edge.  Filters on the partition column become
+    PartitionFilters (directory pruning, no file opened); filters on
+    data columns reach the ORC reader as PushedFilters, where its
+    built-in min/max stride indexes skip row groups — both pinned by
+    tests/test_orc_roundtrip.py against the scan plan."""
+    return spark.read.format("orc").load(path)
+
+
 def write_training_shards(
     docs: DataFrame,
     path: str,
