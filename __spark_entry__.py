@@ -3250,6 +3250,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # groupBys, never a countDistinct Expand
         return A.l_diversity(_events(spark, sf_dir), l=3)
 
+    def t_closeness(spark, sf_dir):
+        # r5 session-9: ordered-EMD t-closeness over (lang, source)
+        # cells vs the global doc-length-band distribution — completes
+        # the release trio (size / variety / distribution drift).
+        # All-integer floored-micro-unit EMD; band=50 gives ~11 ordered
+        # bands on this corpus (n_chars spans 47-558).
+        return A.t_closeness(_docs(spark, sf_dir), band=50)
+
     def clustering_coefficient(spark, sf_dir):
         # r5 session-8: per-node local clustering coefficient in integer
         # milli-units over the same ring+affine fixture — deg >= 2
@@ -3783,6 +3791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
         "orc_roundtrip": orc_roundtrip,
+        "t_closeness": t_closeness,
         "ndcg_eval": ndcg_eval,
         "events_interval_join": events_interval_join,
         "adamic_adar": adamic_adar,
@@ -9001,6 +9010,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END
                         AS BIGINT) AS risky
             FROM pu GROUP BY 1, 2
+        """,
+        # ordered-EMD t-closeness: per-band probs quantized to floored
+        # micro-units FIRST (all div operands non-negative, so Spark div
+        # ≡ DuckDB //), then t_micro = sum|cumsum| // (m-1) — zero
+        # float ops, the statistic IS the integer formula
+        "t_closeness": """
+            WITH bb AS (SELECT lang, source,
+                               CAST(n_chars AS BIGINT) // 50 AS b
+                        FROM documents),
+            g AS (SELECT b, CAST(count(*) AS BIGINT) AS gq
+                  FROM bb GROUP BY b),
+            t AS (SELECT CAST(sum(gq) AS BIGINT) AS gn,
+                         CAST(count(*) AS BIGINT) AS m FROM g),
+            c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS cn
+                  FROM bb GROUP BY 1, 2),
+            cb AS (SELECT lang, source, b,
+                          CAST(count(*) AS BIGINT) AS cq
+                   FROM bb GROUP BY 1, 2, 3),
+            d AS (SELECT c.lang, c.source, g.b, c.cn, t.m,
+                         coalesce(cb.cq, 0) * 1000000 // c.cn
+                           - g.gq * 1000000 // t.gn AS d
+                  FROM c CROSS JOIN g CROSS JOIN t
+                  LEFT JOIN cb ON cb.lang = c.lang
+                             AND cb.source = c.source AND cb.b = g.b),
+            cum AS (SELECT lang, source, cn, m,
+                           sum(d) OVER (PARTITION BY lang, source
+                                        ORDER BY b) AS cum
+                    FROM d)
+            SELECT lang, source, max(cn) AS n_docs,
+                   CAST(sum(abs(cum)) // max(CASE WHEN m > 1 THEN m - 1
+                                             ELSE 1 END) AS BIGINT)
+                       AS t_micro,
+                   CAST(CASE WHEN sum(abs(cum)) //
+                                  max(CASE WHEN m > 1 THEN m - 1
+                                      ELSE 1 END) > 200000
+                             THEN 1 ELSE 0 END AS BIGINT) AS risky
+            FROM cum GROUP BY lang, source
         """,
         "degree_histogram": f"""
             WITH {_RING_AFFINE_HUB_CTE},

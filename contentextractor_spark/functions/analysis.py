@@ -9036,6 +9036,91 @@ def l_diversity(events: DataFrame, l: int = 3) -> DataFrame:
     )
 
 
+def t_closeness(
+    docs: DataFrame,
+    band: int = 50,
+    t_micro_max: int = 200000,
+    qi_cols: tuple[str, ...] = ("lang", "source"),
+) -> DataFrame:
+    """t-closeness audit (Li/Li/Venkatasubramanian ICDE 2007) — the
+    third gate of the release trio: k_anonymity bounds cell SIZE,
+    l_diversity bounds sensitive-value VARIETY, and this bounds how far
+    a cell's sensitive-value DISTRIBUTION drifts from the global one —
+    a cell can hold many docs from many users and still leak ("every
+    doc in this lang×source cell is tiny").  Sensitive attribute here:
+    the doc length band (n_chars div band), an ORDERED attribute, so
+    the Earth Mover's Distance has the closed form
+    EMD = (1/(m-1)) · Σ_i |Σ_{j≤i} (P_j − Q_j)| over the m global bands.
+
+    Integer convention (the floored micro-unit recipe): per-band
+    probabilities are quantized FIRST — d_j = cq_j·10⁶ div cn −
+    gq_j·10⁶ div gn, both operands non-negative so Spark div ≡ DuckDB
+    // — then t_micro = Σ|cumsum(d)| div (m−1).  The statistic IS this
+    integer formula (documented truncation ≤ m micro-units), so both
+    engines compute identical values with zero float ops.
+
+    Scale: two map-side-combinable groupBys over per-row projections
+    (global band counts; cell×band counts), then everything downstream
+    — the cells×bands grid cross join, the per-cell cumulative window,
+    the rollup — runs on aggregate tables whose cardinality is
+    |cells|·|bands|, orders below the corpus.  The window is fine
+    there; never run it on the raw doc stream."""
+    if band < 1:
+        raise ValueError("band must be >= 1")
+    if t_micro_max < 0:
+        raise ValueError("t_micro_max must be >= 0")
+    bb = docs.select(
+        *qi_cols,
+        F.expr(f"cast(n_chars as bigint) div {int(band)}").alias("b"),
+    )
+    glob = bb.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("gq"))
+    tot = glob.agg(
+        F.sum("gq").cast("long").alias("gn"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    cells = bb.groupBy(*qi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("cn")
+    )
+    cell_band = bb.groupBy(*qi_cols, "b").agg(
+        F.count(F.lit(1)).cast("long").alias("cq")
+    )
+    grid = cells.crossJoin(F.broadcast(glob)).crossJoin(F.broadcast(tot))
+    full = grid.join(cell_band, [*qi_cols, "b"], "left").select(
+        *qi_cols,
+        "b",
+        "cn",
+        "m",
+        (
+            F.expr("coalesce(cq, 0L) * 1000000 div cn")
+            - F.expr("gq * 1000000 div gn")
+        ).alias("d"),
+    )
+    w = (
+        Window.partitionBy(*qi_cols)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = full.select(
+        *qi_cols, "cn", "m", F.sum("d").over(w).alias("cum")
+    )
+    return (
+        cum.groupBy(*qi_cols)
+        .agg(
+            F.max("cn").alias("n_docs"),
+            F.expr(
+                "sum(abs(cum)) div max(case when m > 1 then m - 1"
+                " else 1 end)"
+            ).alias("t_micro"),
+        )
+        .select(
+            *qi_cols,
+            "n_docs",
+            "t_micro",
+            (F.col("t_micro") > t_micro_max).cast("long").alias("risky"),
+        )
+    )
+
+
 def good_turing(docs: DataFrame, n: int = 1, max_r: int = 10) -> DataFrame:
     """Good–Turing count-of-counts table over the word n-gram stream: for
     each observed frequency r ≤ max_r, the number of types N_r seen

@@ -162,3 +162,60 @@ def test_ndcg_bounded(spark):
     for r in A.ndcg_eval(docs, queries, k=10).collect():
         assert 0 <= r["ndcg_milli"] <= 1000
         assert r["dcg_micro"] <= r["idcg_micro"]
+
+
+# ---------------------------------------------------------- t_closeness
+
+
+def _docs_tc(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+        "n_chars long"
+    )
+
+
+def test_t_closeness_identical_cell_is_zero(spark):
+    # two cells with the SAME band distribution as the global one →
+    # t_micro 0 for both (EMD of identical distributions)
+    rows = [
+        (i, "x", "en", "s%d" % (i % 2), 25 + 100 * (i % 3))
+        for i in range(60)
+    ]
+    out = {
+        (r["lang"], r["source"]): r["t_micro"]
+        for r in A.t_closeness(_docs_tc(spark, rows), band=50).collect()
+    }
+    assert out[("en", "s0")] == 0
+    assert out[("en", "s1")] == 0
+
+
+def test_t_closeness_concentrated_cell_is_risky(spark):
+    # two big 50/50 cells dominate the global split; a small cell of
+    # ONLY huge docs drifts ~0.476 from it (risky), while the big cells
+    # sit ~0.024 away (the small cell's own pull on the global) — note
+    # a concentrated cell shifts the GLOBAL distribution too, so the
+    # majority cells are never exactly 0 here
+    rows = [
+        (i, "x", "en", "big%d" % (i % 2), 25 if (i // 2) % 2 else 925)
+        for i in range(80)
+    ]
+    rows += [(100 + i, "x", "en", "skew", 925) for i in range(4)]
+    got = {
+        r["source"]: (r["t_micro"], r["risky"])
+        for r in A.t_closeness(
+            _docs_tc(spark, rows), band=50, t_micro_max=200000
+        ).collect()
+    }
+    assert got["skew"][1] == 1 and got["skew"][0] > 400000
+    assert got["big0"][1] == 0 and got["big0"][0] < 50000
+    assert got["big1"][1] == 0
+
+
+def test_t_closeness_validates_args(spark):
+    import pytest
+
+    docs = _docs_tc(spark, [(1, "x", "en", "s", 10)])
+    with pytest.raises(ValueError):
+        A.t_closeness(docs, band=0)
+    with pytest.raises(ValueError):
+        A.t_closeness(docs, t_micro_max=-1)
