@@ -3498,6 +3498,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
         return R.customer_order_histogram(rd("customer"), rd("orders"))
 
+    def tpch_large_orders(spark, sf_dir):
+        # r5 session-9: Q18-shaped aggregate-then-join — the HAVING on
+        # the qty rollup prunes orderkeys BEFORE the fact joins; top-100
+        # via TakeOrderedAndProject (total order: price desc, key asc)
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.large_orders(rd("lineitem"), rd("orders"), rd("customer"))
+
+    def tpch_volume_shipping(spark, sf_dir):
+        # r5 session-9: Q7-shaped two-dimension-chain join generalized
+        # to all cross-border pairs (a fixed pair is empty at sf0.001)
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.volume_shipping(
+            rd("lineitem"), rd("orders"), rd("customer"),
+            rd("supplier"), rd("nation"),
+        )
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -3792,6 +3808,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new this round):
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
+        "tpch_large_orders": tpch_large_orders,
+        "tpch_volume_shipping": tpch_volume_shipping,
         "ndcg_eval": ndcg_eval,
         "events_interval_join": events_interval_join,
         "adamic_adar": adamic_adar,
@@ -9902,6 +9920,49 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation   ON c_nationkey = n_nationkey
             JOIN region   ON n_regionkey = r_regionkey
             GROUP BY r_name
+        """,
+        # Q18 shape: HAVING on the qty rollup BEFORE the fact joins;
+        # row_number over (price desc, orderkey asc) is a total order
+        "tpch_large_orders": """
+            SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                   total_price_c, sum_qty_c, CAST(rank AS INT) AS rank
+            FROM (
+              SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                         AS total_price_c,
+                     sum_qty_c,
+                     row_number() OVER (
+                         ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                                  DESC, o_orderkey ASC) AS rank
+              FROM (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+                            AS BIGINT) AS sum_qty_c
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(CAST(round(l_quantity * 100) AS BIGINT))
+                       > 15000) q
+              JOIN orders   ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey  = c_custkey)
+            WHERE rank <= 100
+        """,
+        # Q7 shape generalized: all cross-border (supp, cust) nation
+        # pairs per ship year inside the window
+        "tpch_volume_shipping": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+                   CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey  = c_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE n1.n_name <> n2.n_name
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3
         """,
         "tpch_promo_share": """
             SELECT p_brand,

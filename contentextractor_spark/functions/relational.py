@@ -185,6 +185,106 @@ def order_priority_counts(
     )
 
 
+def large_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty_c: int = 15000,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q18-shaped: orders whose total line quantity exceeds the
+    threshold (150 units = 15000 centi-units here), joined back to
+    order and customer detail, top-k by order value — the
+    AGGREGATE-THEN-JOIN shape: the HAVING filter prunes ~80% of
+    orderkeys BEFORE any wide row is built, so the expensive joins see
+    only survivors.  The inverted form (join first, aggregate later)
+    ships every lineitem's customer payload through the shuffle — the
+    classic Q18 plan mistake.
+
+    Scale: the qty rollup is map-side combinable on the uniform
+    orderkey; orders and customer carry NO broadcast hint (fact-sized
+    at 10^12 rows — AQE decides, the dimension-hint policy); top-k is
+    orderBy().limit(k) → TakeOrderedAndProject (distributed, no single
+    global sort), rank derived over the k survivors only."""
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > min_qty_c)
+    )
+    j = qty.join(orders, qty.l_orderkey == orders.o_orderkey).join(
+        customer, orders.o_custkey == customer.c_custkey
+    )
+    sel = j.select(
+        "c_name",
+        "c_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        _cents(F.col("o_totalprice")).alias("total_price_c"),
+        "sum_qty_c",
+    )
+    order = [F.col("total_price_c").desc(), F.col("o_orderkey").asc()]
+    topk = sel.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def volume_shipping(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1995-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q7-shaped, generalized to ALL cross-border nation pairs
+    (the two-nation literal form is vacuous at small SF — the
+    good_turing degenerate-fixture lesson): revenue per (supp_nation,
+    cust_nation, ship year) where the supplier's nation differs from
+    the customer's, inside the date window.  The topology is the
+    point: TWO independent dimension chains meet at lineitem —
+    supplier (broadcast dim) resolves the selling nation, orders →
+    customer (fact-sized, NO hint) resolves the buying nation, and the
+    tiny nation table broadcasts twice under different aliases.
+
+    Scale: the date window is a pushed-down range predicate on the
+    lineitem scan; the only real shuffles are the two fact joins on
+    uniform keys (orderkey, custkey); the final groupBy cardinality is
+    nations² × years.  Revenue in integer cents — exact."""
+    win = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("sk"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("ck"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    j = (
+        win.join(
+            F.broadcast(supplier), win.l_suppkey == supplier.s_suppkey
+        )
+        .join(orders, win.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("long").alias("l_year"),
+    ).agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue_c"),
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+    )
+
+
 def customer_order_histogram(
     customer: DataFrame, orders: DataFrame
 ) -> DataFrame:

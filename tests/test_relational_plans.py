@@ -121,3 +121,38 @@ def test_top_suppliers_matches_window_form(tpch):
     assert [(r.s_suppkey, r.revenue_c) for r in got] == [
         (r.s_suppkey, r.revenue_c) for r in expected
     ]
+
+
+def test_large_orders_plan_and_values(tpch):
+    from contentextractor_spark.functions.relational import large_orders
+
+    out = large_orders(
+        tpch["lineitem"], tpch["orders"], tpch["customer"],
+        min_qty_c=15000, k=20,
+    )
+    _assert_distributed_topk(out)
+    # orders AND customer are fact-sized: no forced broadcast hint
+    assert _hint_count(out) == 0
+    rows = out.orderBy("rank").collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert len(rows) == 20
+    prices = [r.total_price_c for r in rows]
+    assert prices == sorted(prices, reverse=True)
+    # the HAVING threshold really binds
+    assert all(r.sum_qty_c > 15000 for r in rows)
+
+
+def test_volume_shipping_plan_and_values(tpch):
+    from contentextractor_spark.functions.relational import volume_shipping
+
+    out = volume_shipping(
+        tpch["lineitem"], tpch["orders"], tpch["customer"],
+        tpch["supplier"], tpch["nation"],
+    )
+    # exactly the dimension sides are hinted: supplier + nation twice
+    assert _hint_count(out) == 3
+    rows = out.collect()
+    assert rows, "cross-border pairs must be populated at sf0.001"
+    assert all(r.supp_nation != r.cust_nation for r in rows)
+    assert all(1995 <= r.l_year <= 1996 for r in rows)
+    assert all(r.n_lineitems >= 1 for r in rows)
