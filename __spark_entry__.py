@@ -3250,6 +3250,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # groupBys, never a countDistinct Expand
         return A.l_diversity(_events(spark, sf_dir), l=3)
 
+    def readability(spark, sf_dir):
+        # r5 session-9: FORCAST grade card (the sentence-free
+        # readability formula — this corpus counts zero sentence
+        # enders, so FK-style formulas degenerate)
+        return A.readability(_docs(spark, sf_dir))
+
     def t_closeness(spark, sf_dir):
         # r5 session-9: ordered-EMD t-closeness over (lang, source)
         # cells vs the global doc-length-band distribution — completes
@@ -3808,6 +3814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new this round):
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
+        "readability": readability,
         "tpch_large_orders": tpch_large_orders,
         "tpch_volume_shipping": tpch_volume_shipping,
         "ndcg_eval": ndcg_eval,
@@ -9028,6 +9035,27 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN count(*) < 3 THEN 1 ELSE 0 END
                         AS BIGINT) AS risky
             FROM pu GROUP BY 1, 2
+        """,
+        # FORCAST readability: vowel-group syllable heuristic, identical
+        # character-class regex under Java regex and RE2
+        "readability": """
+            WITH toks AS (SELECT doc_id, lang,
+                                 unnest(string_split(text, ' ')) AS t
+                          FROM documents),
+            syls AS (SELECT doc_id, lang,
+                            CAST(length(regexp_extract_all(lower(t),
+                                 '[aeiouy]+')) AS BIGINT) AS syl
+                     FROM toks WHERE t <> ''),
+            agg AS (SELECT doc_id, lang,
+                           CAST(count(*) AS BIGINT) AS n_words,
+                           CAST(sum(CASE WHEN syl = 1 THEN 1 ELSE 0 END)
+                                AS BIGINT) AS n_mono,
+                           CAST(sum(syl) AS BIGINT) AS n_syllables
+                    FROM syls GROUP BY 1, 2)
+            SELECT doc_id, lang, n_words, n_mono, n_syllables,
+                   CAST(20000 - n_mono * 15000 // greatest(n_words, 1)
+                        AS BIGINT) AS forcast_milli
+            FROM agg
         """,
         # ordered-EMD t-closeness: per-band probs quantized to floored
         # micro-units FIRST (all div operands non-negative, so Spark div

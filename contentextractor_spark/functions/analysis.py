@@ -83,6 +83,67 @@ def lexical_diversity(docs: DataFrame) -> DataFrame:
     )
 
 
+def readability(docs: DataFrame) -> DataFrame:
+    """Per-document FORCAST readability grade in integer milli-units:
+    grade = 20 − 15·(monosyllabic words / words), i.e. forcast_milli =
+    20000 − n_mono·15000 div n_words ∈ [5000, 20000].  FORCAST
+    (Caylor/Sticht 1973, US Army) is the readability formula built for
+    NON-NARRATIVE text — forms, listings, technical material — because
+    it needs no sentence boundaries, which is exactly this corpus
+    (and most web-extracted text after boilerplate stripping): Flesch/
+    Kincaid-style formulas degenerate when every doc counts 0
+    sentence-enders.
+
+    Syllable heuristic: vowel GROUPS ([aeiouy]+ runs, lowercased) —
+    the standard cheap proxy; a token with exactly one group is
+    monosyllabic.  Non-Latin tokens count 0 groups, are never
+    monosyllabic, and push the grade toward the 20.0 ceiling —
+    documented behavior for CJK docs, not a bug (the card is a
+    Latin-prose difficulty signal; read it next to script_profile).
+
+    Exactness: the identical '[aeiouy]+' pattern runs under Java regex
+    (Spark) and RE2 (DuckDB) — character-class-only, no engine drift;
+    all arithmetic integer on non-negative operands (div ≡ //).
+
+    Scale: one explode + a codegen'd per-token regexp_extract_all in a
+    row-level projection (never an interpreted lambda over the
+    exploded stream — the r3 catalog) + one map-side-combinable
+    groupBy(doc_id).  Docs whose tokens are ALL empty strings vanish
+    from the output (no tokens → no rows); greatest(n_words,1) guards
+    the division anyway."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    per = toks.select(
+        "doc_id",
+        "lang",
+        F.size(
+            F.regexp_extract_all(F.lower("t"), F.lit("[aeiouy]+"), 0)
+        ).alias("syl"),
+    )
+    return (
+        per.groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.when(F.col("syl") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_mono"),
+            F.sum("syl").cast("long").alias("n_syllables"),
+        )
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_mono",
+            "n_syllables",
+            "20000 - n_mono * 15000 div greatest(n_words, 1L)"
+            " AS forcast_milli",
+        )
+    )
+
+
 # GPT-2-style pre-tokenizer approximation, lookahead-free so the identical
 # pattern runs under Java regex (Spark) and RE2 (DuckDB): letter runs,
 # single digits (numbers split per digit, as byte-BPE pre-tokenizers do),

@@ -219,3 +219,38 @@ def test_t_closeness_validates_args(spark):
         A.t_closeness(docs, band=0)
     with pytest.raises(ValueError):
         A.t_closeness(docs, t_micro_max=-1)
+
+
+# ---------------------------------------------------------- readability
+
+
+def test_readability_hand_computed(spark):
+    # "the cat sat" = 3 monosyllables -> 20000 - 15000 = 5000 (floor);
+    # "beautiful examination notwithstanding" = 0 monosyllables -> 20000
+    # ("beautiful" = eau+i+u... vowel groups: eau,i,u = 3; all >= 2)
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat", "en", "s", 11),
+            (2, "beautiful examination notwithstanding", "en", "s", 38),
+            (3, "a big cat ran away today", "en", "s", 24),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r["doc_id"]: r for r in A.readability(docs).collect()}
+    assert got[1]["n_words"] == 3 and got[1]["n_mono"] == 3
+    assert got[1]["forcast_milli"] == 5000
+    assert got[2]["n_mono"] == 0 and got[2]["forcast_milli"] == 20000
+    # doc 3: a(1) big(1) cat(1) ran(1) away(2: a, ay) today(2: o, ay)
+    assert got[3]["n_words"] == 6 and got[3]["n_mono"] == 4
+    assert got[3]["n_syllables"] == 8
+    assert got[3]["forcast_milli"] == 20000 - 4 * 15000 // 6
+
+
+def test_readability_cjk_hits_ceiling(spark):
+    docs = spark.createDataFrame(
+        [(1, "中文 文本", "zh", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = A.readability(docs).collect()[0]
+    assert r["n_mono"] == 0 and r["n_syllables"] == 0
+    assert r["forcast_milli"] == 20000
