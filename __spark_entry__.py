@@ -3212,6 +3212,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # orientation) over the ring+affine fixture graph
         return A.triangle_counts(_ring_affine_edges(spark, sf_dir))
 
+    def _bowtie_edges(spark, sf_dir):
+        # planted bow-tie fixture over node = doc_id % 500 (DISTINCT
+        # dedups if the corpus ever exceeds 500 docs — same graph at
+        # every sf): core = 100-cycle with {+1,+4,+16,+64} chords
+        # (eccentricity <= 9: base-4 digit sum of any offset < 100),
+        # IN = 100..249 (200+ reach the core only THROUGH other IN
+        # nodes), OUT = 250..399 (350+ only through other OUT nodes),
+        # tendril 400..449 hangs off IN (reachable from IN, never from
+        # core -> 'other'), 450..499 a disconnected 50-cycle.
+        docs = _docs(spark, sf_dir)
+        base = docs.select(
+            F.pmod("doc_id", F.lit(500)).cast("long").alias("m")
+        ).crossJoin(
+            F.broadcast(
+                spark.range(1, 5).select(F.col("id").alias("j"))
+            )
+        ).filter((F.col("m") < 100) | (F.col("j") == 1))
+        return base.selectExpr(
+            """CASE WHEN m < 250 THEN m
+                    WHEN m < 350 THEN m % 100
+                    WHEN m < 400 THEN m - 100
+                    WHEN m < 450 THEN m - 300
+                    ELSE m END AS src""",
+            """CASE WHEN m < 100 THEN
+                        (m + CASE j WHEN 1 THEN 1 WHEN 2 THEN 4
+                                    WHEN 3 THEN 16 ELSE 64 END) % 100
+                    WHEN m < 200 THEN m % 100
+                    WHEN m < 250 THEN m - 100
+                    WHEN m < 450 THEN m
+                    ELSE 450 + (m - 449) % 50 END AS dst""",
+        ).distinct()
+
+    def bowtie_components(spark, sf_dir):
+        # r5 session-9: Broder bow-tie census (core/in/out/other) via
+        # forward+backward BFS from pivot 0; expected 100/150/150/100
+        return A.bowtie_components(
+            _bowtie_edges(spark, sf_dir), pivot=0, max_depth=12
+        )
+
     def ndcg_eval(spark, sf_dir):
         # r5 session-9: NDCG@10 of the SHIPPED batched ranker under a
         # graded relevance label (distinct query terms present, 0..3) —
@@ -3812,6 +3851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "bowtie_components": bowtie_components,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -4241,6 +4281,56 @@ def _hc_ctes(depth: int) -> str:
                       AND d.dist = {r - 1})
                    GROUP BY seed, node)"""
         )
+    return ",\n            ".join(parts)
+
+
+def _bowtie_ctes(depth: int) -> str:
+    """Bow-tie fixture edges + forward/backward frontier BFS from pivot
+    0 for the bowtie_components oracle, unrolled `depth` rounds (must
+    match the entry's max_depth).  ebt mirrors `_bowtie_edges` exactly
+    (node = doc_id % 500, DISTINCT); fb{r}/bb{r} carry (node, dist)
+    with the frontier expansion referencing the previous round in both
+    union arms -> MATERIALIZED (the _kcore_ctes re-expansion lesson)."""
+    parts = [
+        """ebt AS MATERIALIZED (SELECT DISTINCT
+                 CASE WHEN m < 250 THEN m
+                      WHEN m < 350 THEN m % 100
+                      WHEN m < 400 THEN m - 100
+                      WHEN m < 450 THEN m - 300
+                      ELSE m END AS src,
+                 CASE WHEN m < 100 THEN
+                         (m + CASE j WHEN 1 THEN 1 WHEN 2 THEN 4
+                                     WHEN 3 THEN 16 ELSE 64 END) % 100
+                      WHEN m < 200 THEN m % 100
+                      WHEN m < 250 THEN m - 100
+                      WHEN m < 450 THEN m
+                      ELSE 450 + (m - 449) % 50 END AS dst
+             FROM (SELECT doc_id % 500 AS m, j
+                   FROM documents,
+                        (SELECT unnest([1, 2, 3, 4]) AS j) js
+                   WHERE doc_id % 500 < 100 OR j = 1))""",
+        """fb0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node,
+                        CAST(0 AS BIGINT) AS dist)""",
+        """bb0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS node,
+                        CAST(0 AS BIGINT) AS dist)""",
+    ]
+    for r in range(1, depth + 1):
+        for tbl, here, there in (("fb", "src", "dst"), ("bb", "dst", "src")):
+            parts.append(
+                f"""{tbl}{r} AS MATERIALIZED (SELECT node,
+                        CAST(min(dist) AS BIGINT) AS dist FROM (
+                     SELECT node, dist FROM {tbl}{r - 1}
+                     UNION ALL
+                     SELECT e.{there}, d.dist + 1 FROM ebt e
+                     JOIN {tbl}{r - 1} d ON d.node = e.{here}
+                      AND d.dist = {r - 1})
+                   GROUP BY node)"""
+            )
+    parts.append(
+        """nbt AS (SELECT DISTINCT node FROM (
+               SELECT src AS node FROM ebt
+               UNION ALL SELECT dst FROM ebt))"""
+    )
     return ",\n            ".join(parts)
 
 
@@ -7951,6 +8041,21 @@ def oracle_sql() -> dict[str, str]:
                        // CAST(count(*) AS BIGINT) AS dup_milli
             FROM qq JOIN dx USING (doc_id)
             GROUP BY qf_pass
+        """,
+        # Broder bow-tie census: forward+backward unrolled frontier BFS
+        # from pivot 0 over the planted bow-tie fixture; a node's class
+        # is pure reachability, all-integer
+        "bowtie_components": f"""
+            WITH {_bowtie_ctes(12)}
+            SELECT n.node,
+                   CASE WHEN f.node IS NOT NULL AND b.node IS NOT NULL
+                            THEN 'core'
+                        WHEN f.node IS NOT NULL THEN 'out'
+                        WHEN b.node IS NOT NULL THEN 'in'
+                        ELSE 'other' END AS component
+            FROM nbt n
+            LEFT JOIN fb12 f ON f.node = n.node
+            LEFT JOIN bb12 b ON b.node = n.node
         """,
         # landmark harmonic centrality: per-seed unrolled BFS, integer
         # 1000 // dist contributions summed order-free

@@ -8202,6 +8202,73 @@ def bfs_levels(
     return dist
 
 
+def bowtie_components(
+    edges: DataFrame, pivot: int, max_depth: int = 12
+) -> DataFrame:
+    """Bow-tie decomposition of a directed graph (Broder et al., WWW
+    2000 — THE structural census of the web graph) around a pivot
+    assumed to sit in the giant SCC: a forward BFS from the pivot
+    reaches SCC ∪ OUT, a backward BFS (edges reversed) reaches
+    SCC ∪ IN, so each node classifies as
+      core  — reached both ways (the pivot's SCC),
+      out   — forward only (reachable FROM the core, never back),
+      in    — backward only (reaches the core, never reached),
+      other — neither (tendrils, tubes, disconnected islands).
+    Output: (node, component) for every node incident to an edge.
+
+    max_depth must cover the graph's effective diameter from the
+    pivot: nodes beyond it degrade conservatively (a too-shallow fwd
+    BFS moves unreached out-nodes to 'other', never misclassifies as
+    core) — same bound semantics as bfs_levels.
+
+    Scale: two bounded frontier BFS chains (each round one join + one
+    map-side-combinable min, localCheckpoint per round — the pagerank
+    lesson lives in bfs_levels) + one distinct over edge endpoints +
+    two left joins keyed on the uniform node id.  At web scale run it
+    from a handful of high-PageRank pivots and vote: one pivot
+    misplaced outside the giant SCC relabels core as in/out, which the
+    vote exposes.  All-integer — cross-engine exact."""
+    if max_depth < 1:
+        raise ValueError("max_depth must be >= 1")
+    spark = edges.sparkSession
+    seeds = spark.range(1).select(
+        F.lit(int(pivot)).cast("long").alias("node")
+    )
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    fwd = bfs_levels(edges, seeds, max_depth).select(
+        "node", F.lit(1).alias("f")
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    bwd = bfs_levels(rev, seeds, max_depth).select(
+        "node", F.lit(1).alias("b")
+    )
+    return (
+        nodes.join(fwd, "node", "left")
+        .join(bwd, "node", "left")
+        .select(
+            "node",
+            F.when(
+                F.col("f").isNotNull() & F.col("b").isNotNull(),
+                F.lit("core"),
+            )
+            .when(F.col("f").isNotNull(), F.lit("out"))
+            .when(F.col("b").isNotNull(), F.lit("in"))
+            .otherwise(F.lit("other"))
+            .alias("component"),
+        )
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     weight_col: str = "n_chars",

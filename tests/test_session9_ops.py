@@ -254,3 +254,50 @@ def test_readability_cjk_hits_ceiling(spark):
     r = A.readability(docs).collect()[0]
     assert r["n_mono"] == 0 and r["n_syllables"] == 0
     assert r["forcast_milli"] == 20000
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_bowtie_handcrafted(spark):
+    # 1<->2 core (pivot 1), 0 -> 1 in, 2 -> 3 out, 4 -> 5 island,
+    # 0 -> 6 tendril off IN (reachable from in, never from core)
+    edges = _edges(
+        spark, [(1, 2), (2, 1), (0, 1), (2, 3), (4, 5), (0, 6)]
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in A.bowtie_components(edges, pivot=1, max_depth=5).collect()
+    }
+    assert got == {
+        0: "in", 1: "core", 2: "core", 3: "out",
+        4: "other", 5: "other", 6: "other",
+    }
+
+
+def test_bowtie_shallow_depth_degrades_to_other(spark):
+    # a too-shallow BFS must move unreached nodes to 'other', never
+    # into core/in/out (the conservative-degradation contract)
+    chain = _edges(spark, [(0, 1), (1, 0), (1, 2), (2, 3), (3, 4)])
+    got = {
+        r["node"]: r["component"]
+        for r in A.bowtie_components(chain, pivot=0, max_depth=1).collect()
+    }
+    assert got[4] == "other" and got[1] == "core"
+    full = {
+        r["node"]: r["component"]
+        for r in A.bowtie_components(chain, pivot=0, max_depth=4).collect()
+    }
+    assert full[4] == "out"
+
+
+def test_bowtie_fixture_census(spark):
+    # the planted 500-node bow-tie: 100 core / 150 in / 150 out /
+    # 100 other (tendril + disconnected cycle)
+    import __spark_entry__ as entry
+
+    q = entry.queries()["bowtie_components"]
+    out = q(spark, "/root/testdata/sf0.001").groupBy("component").count()
+    got = {r["component"]: r["count"] for r in out.collect()}
+    assert got == {"core": 100, "in": 150, "out": 150, "other": 100}
