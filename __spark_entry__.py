@@ -604,6 +604,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _revisit_snaps(_docs(spark, sf_dir))
         )
 
+    def scd2_intervals(spark, sf_dir):
+        # r5 session-9: SCD-2 version history over the same recrawl
+        # fixture — its (doc_id%4) div 2 digest pattern plants the
+        # A-B-A return-of-a-digest case (a new version MUST open, not
+        # merge with the earlier identical digest) and ts ties force
+        # the (ts, doc_id) total order
+        return A.scd2_intervals(_revisit_snaps(_docs(spark, sf_dir)))
+
     def snapshot_retention(spark, sf_dir):
         # r5 session-3: keep-last-N retention compaction — same 5-snaps-
         # per-url tie-heavy fixture as latest_snapshot, n_keep=3 so the
@@ -3852,6 +3860,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
         "bowtie_components": bowtie_components,
+        "scd2_intervals": scd2_intervals,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -8767,6 +8776,34 @@ def oracle_sql() -> dict[str, str]:
                         // greatest(n_fetches - 1, 1) AS BIGINT)
                        AS change_milli
             FROM agg
+        """,
+        # SCD-2 version history: change-flag cumsum over the (ts, doc_id)
+        # total order, valid_to = lead(valid_from) exclusive
+        "scd2_intervals": f"""
+            WITH {_REVISIT_SNAPS_CTE},
+            fl AS (SELECT url, ts, doc_id, digest,
+                          CASE WHEN lag(digest) OVER wo IS NULL
+                                OR lag(digest) OVER wo <> digest
+                               THEN 1 ELSE 0 END AS chg
+                   FROM s
+                   WINDOW wo AS (PARTITION BY url
+                                 ORDER BY ts ASC, doc_id ASC)),
+            vr AS (SELECT url, ts, digest,
+                          sum(chg) OVER (PARTITION BY url
+                              ORDER BY ts ASC, doc_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS v
+                   FROM fl),
+            gr AS (SELECT url, v, min(digest) AS digest,
+                          CAST(min(ts) AS BIGINT) AS valid_from,
+                          CAST(count(*) AS BIGINT) AS n_fetches
+                   FROM vr GROUP BY url, v)
+            SELECT url, CAST(v AS BIGINT) AS version, digest, valid_from,
+                   CAST(lead(valid_from) OVER wv AS BIGINT) AS valid_to,
+                   n_fetches,
+                   CASE WHEN lead(valid_from) OVER wv IS NULL
+                        THEN 1 ELSE 0 END AS is_current
+            FROM gr
+            WINDOW wv AS (PARTITION BY url ORDER BY v ASC)
         """,
         # embedding-LSH calibration: shipped capped candidate stage vs the
         # exact cosine truth (list_cosine_similarity, 4dp inclusion)

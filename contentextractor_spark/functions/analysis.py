@@ -4618,6 +4618,91 @@ def snapshot_retention(
     )
 
 
+def scd2_intervals(
+    snaps: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from fetch snapshots —
+    the warehouse twin of revisit_records: per key, consecutive fetches
+    with the SAME digest collapse into one version row carrying
+    (valid_from, valid_to) with valid_to exclusive and NULL on the
+    current (open) version.  A digest that disappears and RETURNS opens
+    a NEW version (true SCD-2, not a (key, digest) dedup — the fixture
+    plants exactly that A-B-A pattern).  Output: (key, version, digest,
+    valid_from, valid_to, n_fetches, is_current); version is 1-based in
+    fetch order.
+
+    Determinism: the per-key fetch order is (ts, id) — the recrawl
+    fixture is tie-heavy on ts (the events_markov lesson: a total order
+    or engines disagree on which fetch 'changed').
+
+    Scale: two windows and one groupBy, all partitioned by the
+    high-cardinality key — one hash exchange on key reused by every
+    step (sort within partitions only), no global sort, no join.
+
+    NULL key/digest rows are REFUSED per row (the latest_snapshot gap
+    class: a NULL digest makes the null-unsafe lag comparison evaluate
+    NULL and the row silently continues the previous version)."""
+
+    def _notnull(col: str, alias: str):
+        return (
+            F.when(
+                F.col(col).isNull(),
+                F.raise_error(
+                    F.lit(f"scd2_intervals: NULL {col} — must be non-null")
+                ),
+            )
+            .otherwise(F.col(col))
+            .alias(alias)
+        )
+
+    w = Window.partitionBy("__k").orderBy("__ts", "__id")
+    flagged = snaps.select(
+        _notnull(key_col, "__k"),
+        F.col(ts_col).cast("long").alias("__ts"),
+        F.col(id_col).cast("long").alias("__id"),
+        _notnull(digest_col, "__d"),
+    ).select(
+        "*",
+        F.when(
+            F.lag("__d").over(w).isNull()
+            | (F.lag("__d").over(w) != F.col("__d")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("__chg"),
+    )
+    versions = (
+        flagged.select(
+            "*",
+            F.sum("__chg")
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .alias("__v"),
+        )
+        .groupBy("__k", "__v")
+        .agg(
+            F.min("__d").alias("digest"),  # constant within a version
+            F.min("__ts").alias("valid_from"),
+            F.count(F.lit(1)).alias("n_fetches"),
+        )
+    )
+    wv = Window.partitionBy("__k").orderBy("__v")
+    return versions.select(
+        F.col("__k").alias(key_col),
+        F.col("__v").alias("version"),
+        "digest",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        "n_fetches",
+        F.when(F.lead("valid_from").over(wv).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_current"),
+    )
+
+
 GOPHER_MAX_SYMBOL_PCT = 10
 GOPHER_MAX_BULLET_PCT = 90
 GOPHER_MAX_ELLIPSIS_PCT = 30

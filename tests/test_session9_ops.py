@@ -301,3 +301,46 @@ def test_bowtie_fixture_census(spark):
     out = q(spark, "/root/testdata/sf0.001").groupBy("component").count()
     got = {r["component"]: r["count"] for r in out.collect()}
     assert got == {"core": 100, "in": 150, "out": 150, "other": 100}
+
+
+def _snaps(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, ts long, digest string"
+    )
+
+
+def test_scd2_aba_opens_new_version(spark):
+    # digest A at ts 0-1, B at 2, A again at 3: the returning A must be
+    # version 3, NOT merged into version 1 (true SCD-2)
+    rows = [(0, "u", 0, "A"), (1, "u", 1, "A"),
+            (2, "u", 2, "B"), (3, "u", 3, "A")]
+    out = sorted(
+        A.scd2_intervals(_snaps(spark, rows)).collect(),
+        key=lambda r: r["version"],
+    )
+    assert [(r["version"], r["digest"], r["valid_from"], r["valid_to"],
+             r["n_fetches"], r["is_current"]) for r in out] == [
+        (1, "A", 0, 2, 2, 0),
+        (2, "B", 2, 3, 1, 0),
+        (3, "A", 3, None, 1, 1),
+    ]
+
+
+def test_scd2_ts_tie_breaks_on_id(spark):
+    # two fetches at the SAME ts with different digests: fetch order is
+    # (ts, doc_id), so id 0's digest opens v1 and id 1's opens v2
+    rows = [(1, "u", 5, "B"), (0, "u", 5, "A")]
+    out = {r["version"]: r["digest"]
+           for r in A.scd2_intervals(_snaps(spark, rows)).collect()}
+    assert out == {1: "A", 2: "B"}
+
+
+def test_scd2_refuses_null_digest(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [(0, "u", 0, "A"), (1, "u", 1, None)]
+    with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
+                       match="scd2_intervals: NULL"):
+        A.scd2_intervals(_snaps(spark, rows)).collect()
