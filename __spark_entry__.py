@@ -3353,6 +3353,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lift (ln-free: ln is monotone, ranking needs no transcendental)
         return A.pmi_collocations(_docs(spark, sf_dir), min_count=5, k=50)
 
+    def rfm_segments(spark, sf_dir):
+        # r5 session-9: RFM customer coding — nearest-rank tercile cuts
+        # from distinct-value histograms (never a corpus sort),
+        # all-integer metrics (days / counts / cents)
+        return E.rfm_segments(_events(spark, sf_dir))
+
     def events_retention(spark, sf_dir):
         # r5 session-4: daily cohort retention triangle over the events
         # stream — pure integer DATE arithmetic, counts only
@@ -3861,6 +3867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new this round):
         "bowtie_components": bowtie_components,
         "scd2_intervals": scd2_intervals,
+        "rfm_segments": rfm_segments,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -9443,6 +9450,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY lift_milli DESC,
                                            bigram ASC) AS INT) AS rank
             FROM topk
+        """,
+        # RFM coding: integer metrics + ccnet nearest-rank tercile cuts
+        # from distinct-value histograms; recency score inverted
+        "rfm_segments": """
+            WITH ue AS (SELECT user_id, CAST(ts AS DATE) AS d,
+                               CAST(round(value * 100) AS BIGINT) AS vc
+                        FROM events),
+            per AS (SELECT user_id, max(d) AS last_day,
+                           CAST(count(*) AS BIGINT) AS freq,
+                           CAST(sum(vc) AS BIGINT) AS money_cents
+                    FROM ue GROUP BY user_id),
+            anc AS (SELECT max(d) AS anchor_day FROM ue),
+            met AS (SELECT user_id,
+                           CAST(date_diff('day', last_day, anchor_day)
+                                AS BIGINT) AS recency_days,
+                           freq, money_cents
+                    FROM per, anc),
+            nu AS (SELECT CAST(count(*) AS BIGINT) AS n FROM met),
+            rh AS (SELECT recency_days AS v, count(*) AS cnt
+                   FROM met GROUP BY 1),
+            rc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM rh),
+            rcut AS (SELECT
+                     min(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS t1,
+                     min(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS t2
+                     FROM rc, nu),
+            fh AS (SELECT freq AS v, count(*) AS cnt FROM met GROUP BY 1),
+            fc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM fh),
+            fcut AS (SELECT
+                     min(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS t1,
+                     min(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS t2
+                     FROM fc, nu),
+            mh AS (SELECT money_cents AS v, count(*) AS cnt
+                   FROM met GROUP BY 1),
+            mc AS (SELECT v, sum(cnt) OVER (ORDER BY v) AS cum FROM mh),
+            mcut AS (SELECT
+                     min(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS t1,
+                     min(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS t2
+                     FROM mc, nu),
+            sc AS (SELECT user_id, recency_days, freq, money_cents,
+                          CASE WHEN recency_days <= rcut.t1 THEN 3
+                               WHEN recency_days <= rcut.t2 THEN 2
+                               ELSE 1 END AS r_score,
+                          CASE WHEN freq <= fcut.t1 THEN 1
+                               WHEN freq <= fcut.t2 THEN 2
+                               ELSE 3 END AS f_score,
+                          CASE WHEN money_cents <= mcut.t1 THEN 1
+                               WHEN money_cents <= mcut.t2 THEN 2
+                               ELSE 3 END AS m_score
+                   FROM met, rcut, fcut, mcut)
+            SELECT user_id, recency_days, freq, money_cents,
+                   r_score, f_score, m_score,
+                   r_score * 100 + f_score * 10 + m_score AS rfm
+            FROM sc
         """,
         # daily cohort retention: integer DATE arithmetic only (no epoch
         # floats); users = cohort members active cohort_day+day_offset

@@ -597,3 +597,110 @@ def attribution(events: DataFrame, convert_type: str = "purchase") -> DataFrame:
             F.sum("vc").cast("long").alias("sum_value_c"),
         )
     )
+
+
+def _tercile_cuts(metrics: DataFrame, col: str) -> DataFrame:
+    """One-row (t1, t2) nearest-rank tercile cuts of `col` — the ccnet
+    histogram mechanics made global: cumulative window over DISTINCT
+    metric values (cardinality bounded by the metric's quantization —
+    days / event counts / cents, never the user count times anything),
+    so the single-partition window sorts the histogram, not the corpus.
+    t1 at ceil(n/3), t2 at ceil(2n/3), identical index arithmetic to
+    ccnet_buckets."""
+    hist = metrics.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.col(col).alias("v"),
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt")
+        .over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    return cum.agg(
+        F.min(
+            F.when(F.col("cum") >= F.expr("(n + 2) div 3"), F.col("v"))
+        ).alias("t1"),
+        F.min(
+            F.when(F.col("cum") >= F.expr("(2 * n + 2) div 3"), F.col("v"))
+        ).alias("t2"),
+    )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM coding (Hughes 1994, the classic CRM segmentation): per user
+    recency_days (days between the user's last event and the corpus's
+    last day), freq (event count), money_cents (exact integer-cent
+    value total), each tercile-coded 1..3 — 3 is best, so recency
+    scores INVERT (small gap = recent = 3) — plus the packed rfm code
+    r*100 + f*10 + m.  Output: (user_id, recency_days, freq,
+    money_cents, r_score, f_score, m_score, rfm).
+
+    Exactness: all-integer (dates subtract to int days, cents sum
+    order-free); the cuts are ccnet's nearest-rank order statistics,
+    so boundary users land deterministically on both engines.
+
+    Scale: one groupBy(user_id) + one global-max anchor riding a
+    one-row broadcast; the three cut pairs are one-row broadcasts from
+    distinct-value histograms (window over the histogram, never a
+    corpus sort).  money is scored on raw cents here — if cent
+    cardinality ever approaches user cardinality, quantize to dollars
+    BEFORE the histogram (div 100 is safe on the non-negative totals;
+    Spark div truncates vs DuckDB floor on negatives)."""
+    day = F.to_date("ts")
+    per = events.groupBy("user_id").agg(
+        F.max(day).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(_value_cents(F.col("value"))).alias("money_cents"),
+    )
+    anchor = events.agg(F.max(day).alias("anchor_day"))
+    met = per.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.datediff("anchor_day", "last_day").cast("long").alias(
+            "recency_days"
+        ),
+        "freq",
+        "money_cents",
+    )
+    rcut = _tercile_cuts(met, "recency_days").select(
+        F.col("t1").alias("rt1"), F.col("t2").alias("rt2")
+    )
+    fcut = _tercile_cuts(met, "freq").select(
+        F.col("t1").alias("ft1"), F.col("t2").alias("ft2")
+    )
+    mcut = _tercile_cuts(met, "money_cents").select(
+        F.col("t1").alias("mt1"), F.col("t2").alias("mt2")
+    )
+    r_score = (
+        F.when(F.col("recency_days") <= F.col("rt1"), F.lit(3))
+        .when(F.col("recency_days") <= F.col("rt2"), F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    f_score = (
+        F.when(F.col("freq") <= F.col("ft1"), F.lit(1))
+        .when(F.col("freq") <= F.col("ft2"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    m_score = (
+        F.when(F.col("money_cents") <= F.col("mt1"), F.lit(1))
+        .when(F.col("money_cents") <= F.col("mt2"), F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    return (
+        met.crossJoin(F.broadcast(rcut))
+        .crossJoin(F.broadcast(fcut))
+        .crossJoin(F.broadcast(mcut))
+        .select(
+            "user_id",
+            "recency_days",
+            "freq",
+            "money_cents",
+            r_score.alias("r_score"),
+            f_score.alias("f_score"),
+            m_score.alias("m_score"),
+            (r_score * 100 + f_score * 10 + m_score).alias("rfm"),
+        )
+    )

@@ -344,3 +344,36 @@ def test_scd2_refuses_null_digest(spark):
     with pytest.raises((Py4JJavaError, SparkRuntimeException, Exception),
                        match="scd2_intervals: NULL"):
         A.scd2_intervals(_snaps(spark, rows)).collect()
+
+
+def test_rfm_hand_computed(spark):
+    # 3 users, distinct metric values -> each tercile has one user:
+    #   u1: last day 0, 1 event,  $1   -> r=3? (recency 2 days) ...
+    # anchor = 2024-01-03. recencies: u1=2, u2=1, u3=0 -> cuts t1=0,t2=1
+    #   -> scores u3=3, u2=2, u1=1
+    # freqs: u1=1, u2=2, u3=3 -> t1=1, t2=2 -> scores 1, 2, 3
+    # money: u1=100, u2=300, u3=600 -> scores 1, 2, 3
+    rows = [
+        (0, _t("2024-01-01T10:00:00"), 1, "a", 1.00, ""),
+        (1, _t("2024-01-02T10:00:00"), 2, "a", 1.50, ""),
+        (2, _t("2024-01-02T11:00:00"), 2, "a", 1.50, ""),
+        (3, _t("2024-01-03T10:00:00"), 3, "a", 2.00, ""),
+        (4, _t("2024-01-03T11:00:00"), 3, "a", 2.00, ""),
+        (5, _t("2024-01-03T12:00:00"), 3, "a", 2.00, ""),
+    ]
+    out = {r["user_id"]: r for r in E.rfm_segments(_ev(spark, rows)).collect()}
+    assert (out[1]["r_score"], out[1]["f_score"], out[1]["m_score"],
+            out[1]["rfm"]) == (1, 1, 1, 111)
+    assert (out[2]["r_score"], out[2]["f_score"], out[2]["m_score"],
+            out[2]["rfm"]) == (2, 2, 2, 222)
+    assert (out[3]["r_score"], out[3]["f_score"], out[3]["m_score"],
+            out[3]["rfm"]) == (3, 3, 3, 333)
+    assert out[1]["money_cents"] == 100 and out[3]["money_cents"] == 600
+    assert out[1]["recency_days"] == 2 and out[3]["recency_days"] == 0
+
+
+def test_rfm_single_user_degenerate(spark):
+    # one user: n=1 -> both cuts at its own value -> r=3, f=1, m=1
+    rows = [(0, _t("2024-01-01T10:00:00"), 7, "a", 5.00, "")]
+    r = E.rfm_segments(_ev(spark, rows)).collect()[0]
+    assert (r["r_score"], r["f_score"], r["m_score"]) == (3, 1, 1)
