@@ -612,6 +612,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the (ts, doc_id) total order
         return A.scd2_intervals(_revisit_snaps(_docs(spark, sf_dir)))
 
+    def _events_xy(spark, sf_dir):
+        # (user_id, epoch-second) projection shared by the z-order pair
+        return _events(spark, sf_dir).select(
+            "user_id",
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 1000000"
+            ).alias("epoch_s"),
+        )
+
+    def zorder_layout(spark, sf_dir):
+        # r5 session-9: Morton-curve file layout manifest (the lakehouse
+        # OPTIMIZE ZORDER BY primitive) over (user, event-time)
+        return A.zorder_layout(
+            _events_xy(spark, sf_dir), "user_id", "epoch_s"
+        )
+
+    def zorder_pruning(spark, sf_dir):
+        # r5 session-9: zone-map skipping for a y-selective box (ALL
+        # users, Jan 8-14) — the second-dimension predicate a
+        # sort-by-x layout can never prune (every file spans all y);
+        # z-order isolates the week into a subset of files
+        return A.zorder_pruning(
+            _events_xy(spark, sf_dir),
+            "user_id",
+            "epoch_s",
+            box=(0, 10**9, 1704672000, 1705276799),
+        )
+
     def snapshot_retention(spark, sf_dir):
         # r5 session-3: keep-last-N retention compaction — same 5-snaps-
         # per-url tie-heavy fixture as latest_snapshot, n_keep=3 so the
@@ -3868,6 +3896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie_components": bowtie_components,
         "scd2_intervals": scd2_intervals,
         "rfm_segments": rfm_segments,
+        "zorder_layout": zorder_layout,
+        "zorder_pruning": zorder_pruning,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -4298,6 +4328,40 @@ def _hc_ctes(depth: int) -> str:
                    GROUP BY seed, node)"""
         )
     return ",\n            ".join(parts)
+
+
+def _zorder_ctes(sfx: str, linear: bool, bits: int, n_files: int) -> str:
+    """Z-order manifest chain for the zorder_layout / zorder_pruning
+    oracles (mirrors analysis.zorder_layout over the (user_id,
+    epoch-second) events projection): min-max bucketize, Morton
+    interleave (or plain xb for the linear baseline), equal-width
+    file ranges, per-file zone map.  All CTEs suffixed so the pruning
+    oracle can inline both layouts under one WITH."""
+    m = 2**bits
+    morton = " | ".join(
+        f"(((__xb >> {i}) & 1) << {2 * i})"
+        f" | (((__yb >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    key = "__xb" if linear else f"({morton})"
+    space = m if linear else m * m
+    return f"""xy{sfx} AS (SELECT user_id AS __x,
+                      epoch_us(ts) // 1000000 AS __y
+               FROM events),
+            st{sfx} AS (SELECT min(__x) AS minx, max(__x) AS maxx,
+                      min(__y) AS miny, max(__y) AS maxy FROM xy{sfx}),
+            sb{sfx} AS (SELECT __x, __y,
+                      ((__x - minx) * {m}) // (maxx - minx + 1) AS __xb,
+                      ((__y - miny) * {m}) // (maxy - miny + 1) AS __yb
+               FROM xy{sfx}, st{sfx}),
+            mf{sfx} AS (SELECT ({key} * {int(n_files)}) // {space}
+                          AS file_id,
+                      CAST(count(*) AS BIGINT) AS n_rows,
+                      CAST(min(__x) AS BIGINT) AS min_x,
+                      CAST(max(__x) AS BIGINT) AS max_x,
+                      CAST(min(__y) AS BIGINT) AS min_y,
+                      CAST(max(__y) AS BIGINT) AS max_y
+               FROM sb{sfx} GROUP BY 1)"""
 
 
 def _bowtie_ctes(depth: int) -> str:
@@ -9450,6 +9514,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY lift_milli DESC,
                                            bigram ASC) AS INT) AS rank
             FROM topk
+        """,
+        # Morton-curve layout manifest: min-max bucketize + bit
+        # interleave + equal-width file ranges, per-file zone map
+        "zorder_layout": f"""
+            WITH {_zorder_ctes("", False, 8, 16)}
+            SELECT CAST(file_id AS BIGINT) AS file_id, n_rows,
+                   min_x, max_x, min_y, max_y
+            FROM mf
+        """,
+        # zone-map skipping for the (users 3..7, Jan 8-14) box:
+        # z-order vs sort-by-x layouts, one row each
+        "zorder_pruning": f"""
+            WITH {_zorder_ctes("z", False, 8, 16)},
+            {_zorder_ctes("l", True, 8, 16)},
+            hz AS (SELECT CAST(count(*) AS BIGINT) AS n_files_total,
+                          CAST(sum(CASE WHEN max_x >= 0 AND min_x <= 1000000000
+                                    AND max_y >= 1704672000
+                                    AND min_y <= 1705276799
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                              AS files_hit
+                   FROM mfz),
+            hl AS (SELECT CAST(count(*) AS BIGINT) AS n_files_total,
+                          CAST(sum(CASE WHEN max_x >= 0 AND min_x <= 1000000000
+                                    AND max_y >= 1704672000
+                                    AND min_y <= 1705276799
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                              AS files_hit
+                   FROM mfl)
+            SELECT 'zorder' AS layout, n_files_total, files_hit,
+                   files_hit * 1000 // n_files_total AS hit_milli
+            FROM hz
+            UNION ALL
+            SELECT 'linear' AS layout, n_files_total, files_hit,
+                   files_hit * 1000 // n_files_total AS hit_milli
+            FROM hl
         """,
         # RFM coding: integer metrics + ccnet nearest-rank tercile cuts
         # from distinct-value histograms; recency score inverted

@@ -8919,6 +8919,147 @@ def compaction_plan(
     )
 
 
+def _morton_z(xb, yb, bits: int):
+    """Morton (Z-order) interleave of two `bits`-bit bucket columns —
+    bit i of xb lands at 2i, of yb at 2i+1.  Built as an OR chain of
+    2*bits single-bit terms (bits=8 -> 16 terms, the measured-safe size;
+    the Catalyst constraint-propagation trap starts near ~64 COMPOUND
+    terms — keep bits <= 16)."""
+    z = None
+    for i in range(bits):
+        for col, off in ((xb, 0), (yb, 1)):
+            t = F.shiftleft(
+                F.shiftright(col, i).bitwiseAND(F.lit(1)), 2 * i + off
+            )
+            z = t if z is None else z.bitwiseOR(t)
+    return z
+
+
+def zorder_layout(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    n_files: int = 16,
+    linear: bool = False,
+) -> DataFrame:
+    """Z-order (Morton-curve) file layout manifest — the lakehouse
+    data-skipping primitive (Delta OPTIMIZE ZORDER BY / Iceberg sort
+    orders): bucketize both dimensions to `bits` bits by min-max
+    scaling, interleave into the Morton code z, assign rows to
+    `n_files` equal-width z ranges, and emit the per-file zone map
+    (file_id, n_rows, min/max of both raw dims) a scan planner prunes
+    against.  linear=True lays out by x alone (a plain sort-by-x
+    layout) — the baseline zorder_pruning compares against.
+
+    Exactness: all-integer.  xb = (x - min_x) * 2^bits div
+    (range + 1) — the +1 keeps xb < 2^bits with NO clamp and makes a
+    constant dimension collapse to bucket 0; operands are non-negative
+    so Spark div == DuckDB //.  Raw x must fit |x| * 2^bits < 2^63
+    (epoch MICROseconds * 256 ~ 4e17 — safe; document before feeding
+    nanos).
+
+    Scale: one global min/max agg riding a one-row broadcast + one
+    map-side-combinable groupBy(file_id) — no sort anywhere: the
+    equal-width z split IS the range partitioning a writer would use
+    (at 100 TB swap the min-max scale for sampled quantiles per dim to
+    resist outliers; the manifest shape is unchanged)."""
+    if not (1 <= bits <= 16):
+        raise ValueError("bits must be in 1..16")
+    if not (1 <= n_files <= 2 ** (2 * bits)):
+        raise ValueError("n_files must be in 1..2^(2*bits)")
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    stats = df.agg(
+        F.min(x).alias("__minx"),
+        F.max(x).alias("__maxx"),
+        F.min(y).alias("__miny"),
+        F.max(y).alias("__maxy"),
+    )
+    m = 2**bits
+    scaled = df.crossJoin(F.broadcast(stats)).select(
+        x.alias("__x"),
+        y.alias("__y"),
+        F.expr(
+            f"((cast({x_col} as long) - __minx) * {m})"
+            " div (__maxx - __minx + 1)"
+        ).alias("__xb"),
+        F.expr(
+            f"((cast({y_col} as long) - __miny) * {m})"
+            " div (__maxy - __miny + 1)"
+        ).alias("__yb"),
+    )
+    key = (
+        scaled.select("__x", "__y", F.col("__xb").alias("__k"))
+        if linear
+        else scaled.select(
+            "__x",
+            "__y",
+            _morton_z(F.col("__xb"), F.col("__yb"), bits).alias("__k"),
+        )
+    )
+    space = m if linear else m * m
+    coded = key.select(
+        "__x",
+        "__y",
+        F.expr(f"__k * {int(n_files)} div {space}").alias("__pre"),
+    )
+    return coded.groupBy(F.col("__pre").alias("file_id")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("__x").alias("min_x"),
+        F.max("__x").alias("max_x"),
+        F.min("__y").alias("min_y"),
+        F.max("__y").alias("max_y"),
+    )
+
+
+def zorder_pruning(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    box: tuple[int, int, int, int],
+    bits: int = 8,
+    n_files: int = 16,
+) -> DataFrame:
+    """Data-skipping effectiveness of the Z-order layout vs a plain
+    sort-by-x layout for one 2-D box predicate (x_lo..x_hi,
+    y_lo..y_hi, inclusive): a file is HIT when its zone map overlaps
+    the box (the pruning test every scan planner runs).  Output: one
+    row per layout (layout, n_files_total, files_hit, hit_milli) —
+    smaller hit_milli = better skipping.  The linear layout cannot
+    prune on y at all, so any y-selective box shows the z-curve's win.
+
+    Scale: two zorder_layout manifests (two scans of df — acceptable
+    for a planner report) + constant-size aggregation."""
+    x_lo, x_hi, y_lo, y_hi = (int(v) for v in box)
+    out = []
+    for name, lin in (("zorder", False), ("linear", True)):
+        man = zorder_layout(
+            df, x_col, y_col, bits=bits, n_files=n_files, linear=lin
+        )
+        hit = (
+            (F.col("max_x") >= x_lo)
+            & (F.col("min_x") <= x_hi)
+            & (F.col("max_y") >= y_lo)
+            & (F.col("min_y") <= y_hi)
+        )
+        out.append(
+            man.agg(
+                F.lit(name).alias("layout"),
+                F.count(F.lit(1)).alias("n_files_total"),
+                F.sum(hit.cast("long")).alias("files_hit"),
+            ).select(
+                "layout",
+                "n_files_total",
+                "files_hit",
+                F.expr("files_hit * 1000 div n_files_total").alias(
+                    "hit_milli"
+                ),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
 def rendezvous_shards(
     docs: DataFrame,
     n_shards: int = 8,

@@ -377,3 +377,53 @@ def test_rfm_single_user_degenerate(spark):
     rows = [(0, _t("2024-01-01T10:00:00"), 7, "a", 5.00, "")]
     r = E.rfm_segments(_ev(spark, rows)).collect()[0]
     assert (r["r_score"], r["f_score"], r["m_score"]) == (3, 1, 1)
+
+
+def _xy(spark, rows):
+    return spark.createDataFrame(rows, "x long, y long")
+
+
+def test_zorder_morton_known_codes(spark):
+    # domain pinned to 0..255 so bucket == raw value; z(3,5) = 39 ->
+    # file 0 of 16; z(255,255) = 65535 -> file 15
+    rows = [(0, 0), (255, 255), (3, 5)]
+    man = {r["file_id"]: r
+           for r in A.zorder_layout(_xy(spark, rows), "x", "y").collect()}
+    assert set(man) == {0, 15}
+    assert man[0]["n_rows"] == 2 and man[0]["max_x"] == 3
+    assert man[0]["max_y"] == 5 and man[15]["n_rows"] == 1
+
+
+def test_zorder_linear_layout_is_x_ranges(spark):
+    rows = [(i, 255 - i) for i in range(0, 256, 16)]
+    man = A.zorder_layout(
+        _xy(spark, rows), "x", "y", linear=True
+    ).collect()
+    # 16 files, one row each, file_id = x // 16; every file spans its
+    # x slice but y maps are wide open only across files
+    assert len(man) == 16
+    for r in man:
+        assert r["n_rows"] == 1 and r["min_x"] // 16 == r["file_id"]
+
+
+def test_zorder_prunes_y_where_linear_cannot(spark):
+    # full 16x16 grid: a y-only-selective box forces linear to hit ALL
+    # files (each spans all y); z-order isolates low-y cells
+    rows = [(x, y) for x in range(0, 256, 16) for y in range(0, 256, 16)]
+    out = {r["layout"]: r for r in A.zorder_pruning(
+        _xy(spark, rows), "x", "y", box=(0, 255, 0, 15)
+    ).collect()}
+    assert out["linear"]["files_hit"] == out["linear"]["n_files_total"]
+    assert out["zorder"]["files_hit"] < out["linear"]["files_hit"]
+    assert out["zorder"]["hit_milli"] < 1000
+
+
+def test_zorder_validates_args(spark):
+    import pytest
+    df = _xy(spark, [(0, 0)])
+    with pytest.raises(ValueError):
+        A.zorder_layout(df, "x", "y", bits=0)
+    with pytest.raises(ValueError):
+        A.zorder_layout(df, "x", "y", bits=8, n_files=0)
+    with pytest.raises(ValueError):
+        A.zorder_layout(df, "x", "y", bits=2, n_files=17)
