@@ -640,6 +640,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             box=(0, 10**9, 1704672000, 1705276799),
         )
 
+    def champion_lists(spark, sf_dir):
+        # r5 session-9: impact-ordered index pruning — top-3 docs per
+        # term by (tf DESC, doc_id) on the tie-heavy tiny vocabulary
+        return A.champion_lists(_docs(spark, sf_dir), r=3)
+
+    def champion_search_eval(spark, sf_dir):
+        # r5 session-9: shipped champions (r=2) vs shipped exact tf-sum
+        # top-10 for a 3-term disjunctive query — with r=2 per term the
+        # champion candidate pool is <= 6 docs, so the row shows REAL
+        # pruning loss, never a vacuous 1000
+        return A.champion_search_eval(
+            _docs(spark, sf_dir), ["table", "scan", "data"], r=2, k=10
+        )
+
     def snapshot_retention(spark, sf_dir):
         # r5 session-3: keep-last-N retention compaction — same 5-snaps-
         # per-url tie-heavy fixture as latest_snapshot, n_keep=3 so the
@@ -3898,6 +3912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rfm_segments": rfm_segments,
         "zorder_layout": zorder_layout,
         "zorder_pruning": zorder_pruning,
+        "champion_lists": champion_lists,
+        "champion_search_eval": champion_search_eval,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -9514,6 +9530,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY lift_milli DESC,
                                            bigram ASC) AS INT) AS rank
             FROM topk
+        """,
+        # impact-ordered postings: per-term top-r by (tf DESC, doc_id)
+        "champion_lists": """
+            WITH tf AS (SELECT term, doc_id,
+                               CAST(count(*) AS BIGINT) AS tf
+                        FROM (SELECT doc_id,
+                                     unnest(string_split(text, ' '))
+                                         AS term
+                              FROM documents)
+                        GROUP BY term, doc_id)
+            SELECT term, doc_id, tf, rank FROM (
+                SELECT term, doc_id, tf,
+                       CAST(row_number() OVER (PARTITION BY term
+                            ORDER BY tf DESC, doc_id ASC) AS INT) AS rank
+                FROM tf)
+            WHERE rank <= 3
+        """,
+        # champion-list retrieval calibration: pruned (r=2) vs exact
+        # tf-sum top-10 for the 3-term query, scored in-engine
+        "champion_search_eval": """
+            WITH tf AS (SELECT term, doc_id,
+                               CAST(count(*) AS BIGINT) AS tf
+                        FROM (SELECT doc_id,
+                                     unnest(string_split(text, ' '))
+                                         AS term
+                              FROM documents)
+                        WHERE term IN ('table', 'scan', 'data')
+                        GROUP BY term, doc_id),
+            ch AS (SELECT term, doc_id, tf FROM (
+                       SELECT term, doc_id, tf,
+                              row_number() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id ASC) AS rr
+                       FROM tf)
+                   WHERE rr <= 2),
+            ex AS (SELECT doc_id FROM (
+                       SELECT doc_id, sum(tf) AS score FROM tf
+                       GROUP BY doc_id)
+                   ORDER BY score DESC, doc_id ASC LIMIT 10),
+            cq AS (SELECT doc_id FROM (
+                       SELECT doc_id, sum(tf) AS score FROM ch
+                       GROUP BY doc_id)
+                   ORDER BY score DESC, doc_id ASC LIMIT 10),
+            m AS (SELECT (SELECT count(*) FROM ex) AS n_exact,
+                         (SELECT count(*) FROM cq) AS n_champ,
+                         (SELECT count(*) FROM ex JOIN cq USING (doc_id))
+                             AS n_common)
+            SELECT CAST(10 AS INT) AS k, CAST(2 AS INT) AS r,
+                   CAST(n_exact AS BIGINT) AS n_exact,
+                   CAST(n_champ AS BIGINT) AS n_champ,
+                   CAST(n_common AS BIGINT) AS n_common,
+                   CAST(n_common * 1000 // greatest(n_exact, 1)
+                        AS BIGINT) AS recall_milli
+            FROM m
         """,
         # Morton-curve layout manifest: min-max bucketize + bit
         # interleave + equal-width file ranges, per-file zone map

@@ -623,6 +623,97 @@ def term_search(docs: DataFrame, terms: list[str]) -> DataFrame:
     )
 
 
+def champion_lists(docs: DataFrame, r: int = 10) -> DataFrame:
+    """Champion lists (impact-ordered postings, Manning IR §7.1.3): per
+    term keep only the top-r docs by tf — the static index-pruning that
+    lets a query touch r postings per term instead of the full list.
+    Output: (term, doc_id, tf, rank), rank 1..r by (tf DESC, doc_id
+    ASC) — the doc_id tiebreak makes truncation deterministic (this
+    corpus's tiny vocabulary is tie-heavy).
+
+    Scale: one map-side-combinable groupBy(term, doc_id) + one window
+    partitioned by term.  Stopword skew lives in the window's per-term
+    sort; at web scale pre-filter max_df stopwords (inverted_index's
+    guard) before ranking — champions of a stopword are meaningless
+    anyway."""
+    if r < 1:
+        raise ValueError("r must be >= 1")
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    return tf.select(
+        "term", "doc_id", "tf", F.row_number().over(w).alias("rank")
+    ).filter(F.col("rank") <= r)
+
+
+def champion_search_eval(
+    docs: DataFrame, terms: list[str], r: int = 10, k: int = 10
+) -> DataFrame:
+    """Calibration row for champion-list retrieval (the lsh_eval
+    pattern: score the SHIPPED pruned index against the SHIPPED exact
+    scoring in-engine): top-k docs for a disjunctive tf-sum query,
+    once over full postings and once over champions only; one row
+    (k, r, n_exact, n_champ, n_common, recall_milli).
+
+    Determinism: both top-k's order by (score DESC, doc_id ASC) —
+    orderBy().limit(k) plans as TakeOrderedAndProject (never a global
+    sort); integer tf sums are order-free."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    qt = [t for t in terms]
+    tf = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        .filter(F.col("term").isin(qt))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    wr = Window.partitionBy("term").orderBy(
+        F.col("tf").desc(), F.col("doc_id").asc()
+    )
+    champ = tf.select(
+        "*", F.row_number().over(wr).alias("__r")
+    ).filter(F.col("__r") <= r)
+
+    def _topk(postings):
+        scores = postings.groupBy("doc_id").agg(
+            F.sum("tf").alias("score")
+        )
+        return scores.orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(k)
+
+    ex = _topk(tf).select(F.col("doc_id").alias("e"))
+    ch = _topk(champ).select(F.col("doc_id").alias("c"))
+    joined = ex.join(ch, ex["e"] == ch["c"], "full")
+    return joined.agg(
+        F.lit(k).alias("k"),
+        F.lit(r).alias("r"),
+        F.count("e").alias("n_exact"),
+        F.count("c").alias("n_champ"),
+        F.count(F.when(F.col("e").isNotNull() & F.col("c").isNotNull(), 1)).alias(
+            "n_common"
+        ),
+    ).select(
+        "k",
+        "r",
+        "n_exact",
+        "n_champ",
+        "n_common",
+        F.expr("n_common * 1000 div greatest(n_exact, 1)").alias(
+            "recall_milli"
+        ),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,

@@ -427,3 +427,39 @@ def test_zorder_validates_args(spark):
         A.zorder_layout(df, "x", "y", bits=8, n_files=0)
     with pytest.raises(ValueError):
         A.zorder_layout(df, "x", "y", bits=2, n_files=17)
+
+
+def _docs_txt(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_champion_lists_rank_and_ties(spark):
+    # term 'a': tf d0=3, d1=3, d2=1 -> r=2 keeps d0 (rank 1, tie ->
+    # min doc_id) and d1; d2 pruned
+    rows = [(0, "a a a"), (1, "a a a b"), (2, "a b b")]
+    out = A.champion_lists(_docs_txt(spark, rows), r=2).collect()
+    a = sorted((r["rank"], r["doc_id"], r["tf"])
+               for r in out if r["term"] == "a")
+    assert a == [(1, 0, 3), (2, 1, 3)]
+    b = sorted((r["rank"], r["doc_id"]) for r in out if r["term"] == "b")
+    assert b == [(1, 2), (2, 1)]
+
+
+def test_champion_eval_detects_pruning_loss(spark):
+    # 4 docs score >0 for the query; r=1 champions keep only the single
+    # best doc per term -> top-k misses docs, recall < 1000
+    rows = [(0, "q q q"), (1, "q q"), (2, "q"), (3, "q z"), (4, "z z")]
+    r = A.champion_search_eval(
+        _docs_txt(spark, rows), ["q"], r=1, k=3
+    ).collect()[0]
+    assert r["n_exact"] == 3 and r["n_champ"] == 1
+    assert r["n_common"] == 1 and r["recall_milli"] == 333
+
+
+def test_champion_eval_full_r_is_exact(spark):
+    rows = [(0, "q q"), (1, "q"), (2, "z")]
+    r = A.champion_search_eval(
+        _docs_txt(spark, rows), ["q", "z"], r=10, k=5
+    ).collect()[0]
+    assert r["n_exact"] == r["n_champ"] == r["n_common"]
+    assert r["recall_milli"] == 1000
