@@ -3615,6 +3615,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rd("supplier"), rd("nation"),
         )
 
+    def tpch_min_cost_supplier(spark, sf_dir):
+        # r5 session-9: Q2-shaped correlated-min collapsed into ONE
+        # packed argmin (cheapest unit, tie -> min suppkey) — no
+        # join-back, no window; lineitem stands in for partsupp
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.min_cost_supplier(
+            rd("lineitem"), rd("supplier"), rd("nation"), rd("part")
+        )
+
+    def tpch_important_parts(spark, sf_dir):
+        # r5 session-9: Q11-shaped global-threshold subquery, made
+        # scale-free AND non-vacuous (value > 5/4 the average per-part
+        # revenue; this near-uniform fixture peaks at ~1.8x avg)
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.important_parts(rd("lineitem"))
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -3914,6 +3930,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_pruning": zorder_pruning,
         "champion_lists": champion_lists,
         "champion_search_eval": champion_search_eval,
+        "tpch_min_cost_supplier": tpch_min_cost_supplier,
+        "tpch_important_parts": tpch_important_parts,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -10321,6 +10339,44 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Q18 shape: HAVING on the qty rollup BEFORE the fact joins;
         # row_number over (price desc, orderkey asc) is a total order
+        # Q2-shaped packed argmin: cheapest unit cost, tie -> min
+        # suppkey; integer cents/unit exact on both engines
+        "tpch_min_cost_supplier": """
+            WITH u AS (SELECT l_partkey AS pk, l_suppkey AS sk,
+                              (CAST(round(l_extendedprice * 100)
+                                    AS BIGINT) * 100)
+                                  // CAST(round(l_quantity * 100)
+                                          AS BIGINT) AS unit_c
+                       FROM lineitem),
+            b AS (SELECT pk, min(unit_c * 1048576 + sk) AS bp
+                  FROM u GROUP BY pk),
+            pick AS (SELECT pk,
+                            CAST(bp % 1048576 AS BIGINT) AS best_suppkey,
+                            CAST(bp // 1048576 AS BIGINT) AS unit_cost_c
+                     FROM b)
+            SELECT p.p_partkey, p.p_name,
+                   pick.best_suppkey AS s_suppkey, s.s_name,
+                   n.n_name AS nation_name, pick.unit_cost_c
+            FROM pick
+            JOIN part p ON pick.pk = p.p_partkey
+            JOIN supplier s ON pick.best_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+        """,
+        # Q11-shaped global threshold: value > 5/4 average per-part
+        # revenue, integer cross-multiplied (no division)
+        "tpch_important_parts": """
+            WITH v AS (SELECT l_partkey,
+                              CAST(sum(CAST(round(l_extendedprice * 100)
+                                            AS BIGINT)) AS BIGINT)
+                                  AS value_c
+                       FROM lineitem GROUP BY l_partkey),
+            t AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c,
+                         CAST(count(*) AS BIGINT) AS n_parts FROM v)
+            SELECT l_partkey, value_c,
+                   CAST(value_c * 1000000 // total_c AS BIGINT)
+                       AS share_micro
+            FROM v, t WHERE value_c * n_parts * 4 > 5 * total_c
+        """,
         "tpch_large_orders": """
             SELECT c_name, c_custkey, o_orderkey, o_orderdate,
                    total_price_c, sum_qty_c, CAST(rank AS INT) AS rank

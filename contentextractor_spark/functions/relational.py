@@ -308,3 +308,130 @@ def customer_order_histogram(
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+) -> DataFrame:
+    """TPC-H Q2-shaped min-cost supplier, re-sourced from lineitem
+    (this dataset has no partsupp): per part, the supplier with the
+    cheapest observed UNIT price — the correlated-min shape
+    (min per group, pick the row achieving it) that Q2 spells as a
+    correlated subquery.  Spark-first: the min + its achiever collapse
+    into ONE packed argmin aggregate, min(unit_c * 2^20 + suppkey) —
+    a min-min objective (cheapest unit, tie -> smallest suppkey), so
+    plain min() IS the argmin (revisit_records' rule) and there is no
+    join-back, no second aggregate, no window.
+
+    unit_c = ext_c * 100 div qty_c is exact integer cents/unit on both
+    engines (all operands non-negative, so Spark div == DuckDB //).
+    Packing refused per row (unit_c < 2^42, suppkey < 2^20).
+
+    Scale: one map-side-combinable groupBy(partkey) over lineitem;
+    supplier and nation broadcast (dimensions); part joins on the
+    uniform partkey with NO hint (fact-sized at spec scale — the
+    dimension-hint policy, AQE decides).  Output: (p_partkey, p_name,
+    s_suppkey, s_name, nation_name, unit_cost_c)."""
+    unit_c = F.expr(
+        "(cast(round(l_extendedprice * 100) as long) * 100)"
+        " div cast(round(l_quantity * 100) as long)"
+    )
+    sk = F.col("l_suppkey").cast("long")
+    packed = F.when(
+        (unit_c >= 0) & (unit_c < F.lit(2**42)) & (sk >= 0) & (sk < F.lit(2**20)),
+        unit_c * F.lit(2**20) + sk,
+    )
+    guarded = lineitem.select(
+        F.col("l_partkey").alias("pk"),
+        F.when(
+            packed.isNull(),
+            F.raise_error(
+                F.lit(
+                    "min_cost_supplier: unit_c/suppkey outside packing "
+                    "bounds (unit_c < 2^42, suppkey < 2^20)"
+                )
+            ).cast("long"),
+        )
+        .otherwise(packed)
+        .alias("p"),
+    )
+    best = guarded.groupBy("pk").agg(F.min("p").alias("bp"))
+    picked = best.select(
+        "pk",
+        F.pmod("bp", F.lit(2**20)).alias("best_suppkey"),
+        F.shiftright("bp", 20).alias("unit_cost_c"),
+    )
+    return (
+        picked.join(part, picked.pk == part.p_partkey)
+        .join(
+            F.broadcast(supplier),
+            picked.best_suppkey == supplier.s_suppkey,
+        )
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("best_suppkey").alias("s_suppkey"),
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            "unit_cost_c",
+        )
+    )
+
+
+def important_parts(
+    lineitem: DataFrame, mult_num: int = 5, mult_den: int = 4
+) -> DataFrame:
+    """TPC-H Q11-shaped 'important stock': parts whose revenue exceeds
+    mult_num/mult_den times the AVERAGE per-part revenue — the
+    global-threshold-subquery shape (Q11's HAVING > SUM(...) *
+    fraction), made scale-free by expressing the fraction relative to
+    n_parts so the row set is non-degenerate at every SF.  The default
+    is 5/4: this dataset's per-part revenue is near-uniform (max/avg
+    ~1.8), so an integer 2x threshold is VACUOUS — the good_turing
+    degenerate-fixture lesson, hence a rational threshold.  Keep iff
+    value_c * n_parts * mult_den > mult_num * total_c — integer
+    cross-multiplication, no division in the predicate; share_micro =
+    value_c * 10^6 div total_c reported for reading.  The product is
+    refused via raise_error near 2^63.
+
+    Scale: ONE map-side-combinable groupBy(partkey); the global total
+    and part count ride a one-row broadcast crossJoin (never a second
+    scan); the filter is a projection-level predicate."""
+    val = lineitem.groupBy(F.col("l_partkey")).agg(
+        F.sum(_cents(F.col("l_extendedprice"))).alias("value_c")
+    )
+    tot = val.agg(
+        F.sum("value_c").alias("total_c"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    guarded = val.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "value_c",
+        "total_c",
+        F.when(
+            F.col("value_c")
+            > F.lit(2**62) / (F.col("n_parts") * F.lit(int(mult_den))),
+            F.raise_error(
+                F.lit("important_parts: value_c * n_parts overflows")
+            ).cast("long"),
+        )
+        .otherwise(F.col("value_c") * F.col("n_parts") * F.lit(int(mult_den)))
+        .alias("scaled"),
+    )
+    return (
+        guarded.filter(
+            F.col("scaled") > F.lit(int(mult_num)) * F.col("total_c")
+        )
+        .select(
+            "l_partkey",
+            "value_c",
+            F.expr("value_c * 1000000 div total_c").alias("share_micro"),
+        )
+    )

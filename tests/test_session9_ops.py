@@ -463,3 +463,59 @@ def test_champion_eval_full_r_is_exact(spark):
     ).collect()[0]
     assert r["n_exact"] == r["n_champ"] == r["n_common"]
     assert r["recall_milli"] == 1000
+
+
+def test_min_cost_supplier_argmin_and_tie(spark):
+    from contentextractor_spark.functions import relational as R
+
+    li = spark.createDataFrame(
+        # part 1: supp 5 unit 2.00, supp 3 unit 2.00 (tie -> supp 3),
+        # supp 9 unit 1.50 -> winner supp 9 @ 150c
+        [(1, 1, 5, 1, 2.0, 4.00, 0.0, 0.0, "N", "O", None),
+         (2, 1, 3, 1, 3.0, 6.00, 0.0, 0.0, "N", "O", None),
+         (3, 1, 9, 1, 2.0, 3.00, 0.0, 0.0, "N", "O", None),
+         (4, 2, 3, 1, 1.0, 9.00, 0.0, 0.0, "N", "O", None)],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    supp = spark.createDataFrame(
+        [(3, "s3", 0, 0.0), (5, "s5", 0, 0.0), (9, "s9", 1, 0.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nat = spark.createDataFrame(
+        [(0, "ALPHA", 0), (1, "BETA", 0)],
+        "n_nationkey long, n_name string, n_regionkey long",
+    )
+    part = spark.createDataFrame(
+        [(1, "p1", "b", "t", 1, 1.0), (2, "p2", "b", "t", 1, 1.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    out = {r["p_partkey"]: r for r in
+           R.min_cost_supplier(li, supp, nat, part).collect()}
+    assert out[1]["s_suppkey"] == 9 and out[1]["unit_cost_c"] == 150
+    assert out[1]["nation_name"] == "BETA"
+    assert out[2]["s_suppkey"] == 3 and out[2]["unit_cost_c"] == 900
+
+
+def test_important_parts_threshold(spark):
+    from contentextractor_spark.functions import relational as R
+
+    # values 10, 10, 10, 70 (cents) over 4 parts: total 100, avg 25;
+    # keep value*4 > 2*100 -> only the 70 part
+    li = spark.createDataFrame(
+        [(i, p, 0, 1, 1.0, v, 0.0, 0.0, "N", "O", None)
+         for i, (p, v) in enumerate(
+             [(1, 0.10), (2, 0.10), (3, 0.10), (4, 0.70)])],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, l_shipdate timestamp",
+    )
+    out = R.important_parts(li).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["l_partkey"] == 4 and r["value_c"] == 70
+    assert r["share_micro"] == 700000
