@@ -3615,6 +3615,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rd("supplier"), rd("nation"),
         )
 
+    def ktruss_edges(spark, sf_dir):
+        # r5 session-9: k-truss edge peel (k=4) over a planted
+        # clique(K10) + triangle-strip + bridge + pendants fixture —
+        # the strip peels in a 2-round CASCADE (chords die, then the
+        # naked path), pendants/bridge die round 1, only the 45 clique
+        # edges survive (simulated before shipping)
+        docs = _docs(spark, sf_dir)
+        m = F.pmod("doc_id", F.lit(500)).cast("long")
+        base = docs.select(m.alias("m")).filter(
+            ((F.col("m") < 100)
+             & (F.expr("m div 10") < F.col("m") % 10))
+            | F.col("m").between(100, 106)
+            | F.col("m").between(110, 115)
+            | (F.col("m") == 120)
+            | F.col("m").between(130, 139)
+        )
+        edges = base.selectExpr(
+            """CASE WHEN m < 100 THEN m div 10
+                    WHEN m < 107 THEN m - 80
+                    WHEN m < 116 THEN m - 90
+                    WHEN m = 120 THEN 9
+                    ELSE m - 130 END AS src""",
+            """CASE WHEN m < 100 THEN m % 10
+                    WHEN m < 107 THEN m - 79
+                    WHEN m < 116 THEN m - 88
+                    WHEN m = 120 THEN 20
+                    ELSE m - 100 END AS dst""",
+        )
+        return A.ktruss(edges, k=4, rounds=4)
+
     def tpch_min_cost_supplier(spark, sf_dir):
         # r5 session-9: Q2-shaped correlated-min collapsed into ONE
         # packed argmin (cheapest unit, tie -> min suppkey) — no
@@ -3932,6 +3962,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "champion_search_eval": champion_search_eval,
         "tpch_min_cost_supplier": tpch_min_cost_supplier,
         "tpch_important_parts": tpch_important_parts,
+        "ktruss_edges": ktruss_edges,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -4360,6 +4391,56 @@ def _hc_ctes(depth: int) -> str:
                      JOIN h{r - 1} d ON d.node = ehc.src
                       AND d.dist = {r - 1})
                    GROUP BY seed, node)"""
+        )
+    return ",\n            ".join(parts)
+
+
+def _truss_ctes(k: int, rounds: int) -> str:
+    """k-truss fixture + unrolled peel rounds for the ktruss_edges
+    oracle (mirrors the entry's clique+strip+bridge+pendants fixture
+    and analysis.ktruss): per round a triangle CTE (lo < mid < hi), a
+    3-role support union, and the filtered edge set.  tu{r-1} is
+    referenced 4x and ttr{r} 3x per round -> MATERIALIZED (the
+    _kcore_ctes re-expansion lesson)."""
+    parts = [
+        """tu0 AS MATERIALIZED (SELECT DISTINCT
+                 CASE WHEN m < 100 THEN m // 10
+                      WHEN m < 107 THEN m - 80
+                      WHEN m < 116 THEN m - 90
+                      WHEN m = 120 THEN 9
+                      ELSE m - 130 END AS lo,
+                 CASE WHEN m < 100 THEN m % 10
+                      WHEN m < 107 THEN m - 79
+                      WHEN m < 116 THEN m - 88
+                      WHEN m = 120 THEN 20
+                      ELSE m - 100 END AS hi
+             FROM (SELECT doc_id % 500 AS m FROM documents)
+             WHERE (m < 100 AND m // 10 < m % 10)
+                OR (m BETWEEN 100 AND 106)
+                OR (m BETWEEN 110 AND 115) OR m = 120
+                OR (m BETWEEN 130 AND 139))""",
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"""ttr{r} AS MATERIALIZED (
+                 SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+                 FROM tu{r - 1} e1
+                 JOIN tu{r - 1} e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+                 JOIN tu{r - 1} e3 ON e3.lo = e1.hi AND e3.hi = e2.hi)"""
+        )
+        parts.append(
+            f"""tsp{r} AS (SELECT lo, hi,
+                        CAST(count(*) AS BIGINT) AS s FROM (
+                     SELECT a AS lo, b AS hi FROM ttr{r}
+                     UNION ALL SELECT a, c FROM ttr{r}
+                     UNION ALL SELECT b, c FROM ttr{r})
+                   GROUP BY lo, hi)"""
+        )
+        parts.append(
+            f"""tu{r} AS MATERIALIZED (
+                 SELECT e.lo, e.hi FROM tu{r - 1} e
+                 JOIN tsp{r} s ON s.lo = e.lo AND s.hi = e.hi
+                 WHERE s.s >= {k - 2})"""
         )
     return ",\n            ".join(parts)
 
@@ -10339,6 +10420,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Q18 shape: HAVING on the qty rollup BEFORE the fact joins;
         # row_number over (price desc, orderkey asc) is a total order
+        # k-truss peel: unrolled per-round triangle support + filter
+        # over the clique+strip fixture
+        "ktruss_edges": f"""
+            WITH {_truss_ctes(4, 4)}
+            SELECT lo, hi FROM tu4
+        """,
         # Q2-shaped packed argmin: cheapest unit cost, tie -> min
         # suppkey; integer cents/unit exact on both engines
         "tpch_min_cost_supplier": """

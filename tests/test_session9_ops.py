@@ -519,3 +519,27 @@ def test_important_parts_threshold(spark):
     r = out[0]
     assert r["l_partkey"] == 4 and r["value_c"] == 70
     assert r["share_micro"] == 700000
+
+
+def test_ktruss_cascade(spark):
+    # K4 on 0..3 (edge support 2, survives k=4) + triangle strip
+    # 10-11-12-13 (chords support 1 -> die, then naked path dies):
+    # a 2-round cascade
+    edges = _edges(spark, (
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(10, 11), (11, 12), (12, 13), (10, 12), (11, 13)]
+    ))
+    out = sorted(map(tuple, A.ktruss(edges, k=4, rounds=4).collect()))
+    assert out == [(a, b) for a in range(4) for b in range(4) if a < b]
+
+
+def test_ktruss_k3_keeps_triangles_only(spark):
+    edges = _edges(spark, [(0, 1), (1, 2), (0, 2), (2, 3)])
+    out = sorted(map(tuple, A.ktruss(edges, k=3, rounds=2).collect()))
+    assert out == [(0, 1), (0, 2), (1, 2)]
+
+
+def test_ktruss_validates_k(spark):
+    import pytest
+    with pytest.raises(ValueError):
+        A.ktruss(_edges(spark, [(0, 1)]), k=2)
