@@ -3615,6 +3615,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rd("supplier"), rd("nation"),
         )
 
+    def kcenter_coreset(spark, sf_dir):
+        # r5 session-9: Gonzalez farthest-point selection (k=6, seed =
+        # min vec_id) — the d2_sel column is the monotone coverage
+        # curve; oracle unrolls the same 5 argmax rounds
+        return A.kcenter_coreset(_emb(spark, sf_dir), k=6)
+
     def ktruss_edges(spark, sf_dir):
         # r5 session-9: k-truss edge peel (k=4) over a planted
         # clique(K10) + triangle-strip + bridge + pendants fixture —
@@ -3963,6 +3969,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_min_cost_supplier": tpch_min_cost_supplier,
         "tpch_important_parts": tpch_important_parts,
         "ktruss_edges": ktruss_edges,
+        "kcenter_coreset": kcenter_coreset,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -4391,6 +4398,55 @@ def _hc_ctes(depth: int) -> str:
                      JOIN h{r - 1} d ON d.node = ehc.src
                       AND d.dist = {r - 1})
                    GROUP BY seed, node)"""
+        )
+    return ",\n            ".join(parts)
+
+
+def _kcenter_ctes(k: int, ndim: int = 64, quant: int = 1000) -> str:
+    """Unrolled Gonzalez farthest-point rounds for the kcenter_coreset
+    oracle (mirrors analysis.kcenter_coreset over embeddings): qe =
+    floor-quantized (id, d, q); per round a 64-row center slice, the
+    incremental min-dist table (MATERIALIZED — referenced by the next
+    round's least() AND its own argmax), and the packed argmax with
+    min-id tiebreak."""
+    parts = [
+        f"""kdd AS (SELECT unnest(generate_series(1, {ndim})) AS d)""",
+        f"""kqe AS MATERIALIZED (SELECT vec_id AS id, d,
+                 CAST(floor(CAST(embedding[d] AS DOUBLE) * {quant})
+                      AS BIGINT) AS q
+             FROM embeddings CROSS JOIN kdd)""",
+        """kc0 AS (SELECT min(vec_id) AS c FROM embeddings)""",
+    ]
+    for r in range(1, k):
+        prev_c = f"kc{r - 1}"
+        parts.append(
+            f"""kcq{r} AS (SELECT d, q AS cq FROM kqe, {prev_c}
+                 WHERE id = {prev_c}.c)"""
+        )
+        nd = (
+            f"""knd{r} AS (SELECT id,
+                 CAST(sum((q - cq) * (q - cq)) AS BIGINT) AS nd
+             FROM kqe JOIN kcq{r} USING (d) GROUP BY id)"""
+        )
+        parts.append(nd)
+        if r == 1:
+            parts.append(
+                f"""kmd{r} AS MATERIALIZED (SELECT id, nd AS md
+                     FROM knd{r})"""
+            )
+        else:
+            parts.append(
+                f"""kmd{r} AS MATERIALIZED (SELECT m.id,
+                         least(m.md, n.nd) AS md
+                     FROM kmd{r - 1} m JOIN knd{r} n ON n.id = m.id)"""
+            )
+        parts.append(
+            f"""kmx{r} AS (SELECT max(md * 1048576 + (1048575 - id)) AS p
+                 FROM kmd{r})"""
+        )
+        parts.append(
+            f"""kc{r} AS (SELECT 1048575 - (p % 1048576) AS c,
+                        p // 1048576 AS d2sel FROM kmx{r})"""
         )
     return ",\n            ".join(parts)
 
@@ -10420,6 +10476,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Q18 shape: HAVING on the qty rollup BEFORE the fact joins;
         # row_number over (price desc, orderkey asc) is a total order
+        # Gonzalez farthest-point coreset: unrolled incremental-min
+        # argmax rounds, packed min-id tiebreak
+        "kcenter_coreset": f"""
+            WITH {_kcenter_ctes(6)}
+            SELECT CAST(1 AS INT) AS rank,
+                   CAST(c AS BIGINT) AS vec_id,
+                   CAST(NULL AS BIGINT) AS d2_sel FROM kc0
+            {"".join(
+                f'''UNION ALL SELECT CAST({r + 1} AS INT),
+                   CAST(c AS BIGINT), CAST(d2sel AS BIGINT) FROM kc{r}
+            ''' for r in range(1, 6)
+            )}
+        """,
         # k-truss peel: unrolled per-round triangle support + filter
         # over the clique+strip fixture
         "ktruss_edges": f"""

@@ -6673,6 +6673,105 @@ def kmeans_clusters(
     return assign(cen).select("vec_id", F.col("cid").alias("cluster"))
 
 
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 1000,
+) -> DataFrame:
+    """Gonzalez (1985) greedy farthest-point k-center selection — the
+    2-approximation coreset every diversity-sampling pipeline reaches
+    for (pick the point FARTHEST from everything picked so far):
+    output (rank, vec_id, d2_sel) where d2_sel is the covering radius
+    (squared, in quant-units²) the corpus had BEFORE this center was
+    added — a monotone non-increasing column that doubles as the
+    coverage curve; NULL for the seed (min id — deterministic).
+
+    Exactness: components floor-quantized to integer quant-units
+    (float32→double widening and the double multiply are IEEE-exact,
+    floor is exact — no summation-order hazard since all sums are
+    integer); farthest = packed argmax max(md * 2^20 + (2^20-1-id)),
+    ties to the SMALLEST id (the component_canonical family).  Bounds
+    refused per row: md < 2^42, 0 <= id < 2^20.
+
+    Scale: the quantized (id, d, q) table localCheckpoints once and is
+    reused every round; per round ONE 64-row broadcast join + one
+    map-side-combinable hashagg + an O(1) scalar collect — k driver-
+    sequenced rounds total (the LSS-digest collect class, documented
+    like bpe_merges' bound).  min-dists update incrementally (distance
+    to the NEWEST center only), so each round is O(n·dim), not
+    O(n·dim·centers)."""
+    if k < 1:
+        raise ValueError("kcenter_coreset: k must be >= 1")
+    spark = emb.sparkSession
+    qe = (
+        emb.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.posexplode(vec_col).alias("p", "v"),
+        )
+        .select(
+            "id",
+            (F.col("p") + 1).alias("d"),
+            F.floor(F.col("v").cast("double") * F.lit(float(quant)))
+            .cast("long")
+            .alias("q"),
+        )
+        .localCheckpoint()
+    )
+    seed = emb.agg(F.min(F.col(id_col).cast("long"))).collect()[0][0]
+    if seed is None:
+        raise ValueError("kcenter_coreset: empty input")
+    picked = [(1, int(seed), None)]
+    center = int(seed)
+    md = None
+    shift = 1 << 20
+    for r in range(2, k + 1):
+        cq = qe.filter(F.col("id") == F.lit(center)).select(
+            "d", F.col("q").alias("cq")
+        )
+        diff = F.col("q") - F.col("cq")
+        nd = (
+            qe.join(F.broadcast(cq), "d")
+            .groupBy("id")
+            .agg(F.sum(diff * diff).alias("nd"))
+        )
+        cur = (
+            nd.select("id", F.col("nd").alias("md"))
+            if md is None
+            else md.join(nd, "id").select(
+                "id", F.least("md", "nd").alias("md")
+            )
+        )
+        md = cur.select(
+            "id",
+            F.when(
+                (F.col("md") >= F.lit(1 << 42))
+                | (F.col("id") < 0)
+                | (F.col("id") >= shift),
+                F.raise_error(
+                    F.lit(
+                        "kcenter_coreset: md/id outside packing bounds "
+                        "(md < 2^42, id < 2^20) — lower quant or repack"
+                    )
+                ).cast("long"),
+            )
+            .otherwise(F.col("md"))
+            .alias("md"),
+        ).localCheckpoint()
+        packed = md.agg(
+            F.max(
+                F.col("md") * F.lit(shift) + (F.lit(shift - 1) - F.col("id"))
+            )
+        ).collect()[0][0]
+        d2_sel = packed >> 20
+        center = (shift - 1) - (packed % shift)
+        picked.append((r, int(center), int(d2_sel)))
+    return spark.createDataFrame(
+        picked, "rank int, vec_id long, d2_sel long"
+    )
+
+
 def semantic_dedup(
     emb: DataFrame,
     k: int = 8,

@@ -543,3 +543,39 @@ def test_ktruss_validates_k(spark):
     import pytest
     with pytest.raises(ValueError):
         A.ktruss(_edges(spark, [(0, 1)]), k=2)
+
+
+def _embs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in rows],
+        "vec_id long, embedding array<float>, label int",
+    )
+
+
+def test_kcenter_picks_farthest_first(spark):
+    # seed = min id (0 at origin); farthest is id 3 at (10,0), then the
+    # point farthest from {0, 3} is id 2 at (4, 4) (md 32e6 vs id 1's 4e6)
+    rows = [(0, [0.0, 0.0]), (1, [2.0, 0.0]), (2, [4.0, 4.0]),
+            (3, [10.0, 0.0])]
+    out = sorted(
+        map(tuple, A.kcenter_coreset(_embs(spark, rows), k=3).collect())
+    )
+    assert out[0] == (1, 0, None)
+    assert out[1] == (2, 3, 100_000_000)   # 10^2 * 1000^2
+    assert out[2] == (3, 2, 32_000_000)    # min(32, 52) e6
+    # coverage curve monotone non-increasing
+    assert out[1][2] >= out[2][2]
+
+
+def test_kcenter_tie_breaks_to_min_id(spark):
+    # ids 1 and 2 both at distance 1 from the seed -> rank 2 picks id 1
+    rows = [(0, [0.0]), (1, [1.0]), (2, [-1.0])]
+    out = {r["rank"]: r["vec_id"]
+           for r in A.kcenter_coreset(_embs(spark, rows), k=2).collect()}
+    assert out[2] == 1
+
+
+def test_kcenter_validates(spark):
+    import pytest
+    with pytest.raises(ValueError):
+        A.kcenter_coreset(_embs(spark, [(0, [0.0])]), k=0)
