@@ -3667,6 +3667,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
         return R.important_parts(rd("lineitem"))
 
+    def tpch_revenue_delta(spark, sf_dir):
+        # r5 session-9: Q6-shaped pushdown showcase — one filtered
+        # scan, revenue in integer 1e-4-dollar units (cents x
+        # centi-discount; the fixture's discounts are exact 1% steps)
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.revenue_delta(rd("lineitem"))
+
+    def tpch_returned_items(spark, sf_dir):
+        # r5 session-9: Q10-shaped returned-revenue top-20 customers
+        # with nation context; TakeOrderedAndProject top-k
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.returned_items(
+            rd("lineitem"), rd("orders"), rd("customer"), rd("nation")
+        )
+
+    def tpch_late_line_priority(spark, sf_dir):
+        # r5 session-9: Q12-shaped critical-vs-rest split of late lines
+        # (ship > order + 60d) per line status — one join, CASE split
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.late_line_priority(rd("lineitem"), rd("orders"))
+
+    def tpch_supplier_part_types(spark, sf_dir):
+        # r5 session-9: Q16-shaped distinct-supplier counts per part
+        # attribute triple; arrears suppliers leave via broadcast anti
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.supplier_part_types(
+            rd("lineitem"), rd("part"), rd("supplier")
+        )
+
+    def tpch_discounted_revenue(spark, sf_dir):
+        # r5 session-9: Q19-shaped OR-of-three-branches revenue, one
+        # join + disjunctive filter (bands widened to be non-vacuous
+        # on the 200-part fixture), reported per brand
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.discounted_revenue(rd("lineitem"), rd("part"))
+
+    def tpch_waiting_suppliers(spark, sf_dir):
+        # r5 session-9: Q21-shaped sole-latest-shipper counts — the
+        # EXISTS/NOT-EXISTS double correlation collapsed into two
+        # orderkey groupBys + an achiever-count filter
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.waiting_suppliers(rd("lineitem"), rd("supplier"))
+
+    def tpch_idle_customers(spark, sf_dir):
+        # r5 session-9: Q22-shaped rich-but-lapsed customers per nation
+        # — cross-multiplied scalar-avg threshold + left-anti recency
+        # probe (literal never-ordered is empty on this fixture)
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.idle_customers(rd("customer"), rd("orders"), rd("nation"))
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -3970,6 +4020,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_important_parts": tpch_important_parts,
         "ktruss_edges": ktruss_edges,
         "kcenter_coreset": kcenter_coreset,
+        "tpch_revenue_delta": tpch_revenue_delta,
+        "tpch_returned_items": tpch_returned_items,
+        "tpch_late_line_priority": tpch_late_line_priority,
+        "tpch_supplier_part_types": tpch_supplier_part_types,
+        "tpch_discounted_revenue": tpch_discounted_revenue,
+        "tpch_waiting_suppliers": tpch_waiting_suppliers,
+        "tpch_idle_customers": tpch_idle_customers,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -10494,6 +10551,129 @@ def oracle_sql() -> dict[str, str]:
         "ktruss_edges": f"""
             WITH {_truss_ctes(4, 4)}
             SELECT lo, hi FROM tu4
+        """,
+        # Q6 shape: single pushdown scan, 1e-4-dollar integer units
+        "tpch_revenue_delta": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 100) AS BIGINT))
+                       AS BIGINT) AS revenue_tenthmilli,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate <  TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.045 AND l_discount <= 0.075
+              AND l_quantity < 24
+        """,
+        # Q10 shape: returned revenue per customer, top-20
+        "tpch_returned_items": """
+            SELECT c_custkey, c_name, nation_name, acctbal_c, revenue_c,
+                   CAST(rank AS INT) AS rank
+            FROM (
+              SELECT c_custkey, c_name, n_name AS nation_name,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_c,
+                     revenue_c,
+                     row_number() OVER (ORDER BY revenue_c DESC,
+                                        c_custkey ASC) AS rank
+              FROM (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(l_extendedprice
+                            * (1 - l_discount) * 100) AS BIGINT))
+                            AS BIGINT) AS revenue_c
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01'
+                  AND o_orderdate <  TIMESTAMP '1996-04-01'
+                GROUP BY o_custkey) r
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey)
+            WHERE rank <= 20
+        """,
+        # Q12 shape: late lines split by order-priority criticality
+        "tpch_late_line_priority": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN
+                        ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+                        AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate > o_orderdate + INTERVAL 60 DAYS
+            GROUP BY l_linestatus
+        """,
+        # Q16 shape: distinct suppliers per (brand, type, size) minus
+        # the excluded brand and arrears suppliers
+        "tpch_supplier_part_types": """
+            SELECT p_brand, p_type, p_size,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) pairs
+            JOIN part ON l_partkey = p_partkey
+            WHERE p_brand <> 'Brand#13'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_type, p_size
+        """,
+        # Q19 shape: OR-triple of (brand, size band, qty band) branches
+        "tpch_discounted_revenue": """
+            SELECT p_brand,
+                   CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                        * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 50
+                   AND l_quantity BETWEEN 1 AND 15)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 50
+                   AND l_quantity BETWEEN 10 AND 25)
+               OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 45
+                   AND l_quantity BETWEEN 20 AND 35)
+            GROUP BY p_brand
+        """,
+        # Q21 shape: sole-latest-shipper counts in multi-supplier orders
+        "tpch_waiting_suppliers": """
+            WITH ps AS (SELECT l_orderkey, l_suppkey,
+                               max(l_shipdate) AS supp_last
+                        FROM lineitem GROUP BY 1, 2),
+            po AS (SELECT l_orderkey, count(*) AS n_supp,
+                          max(supp_last) AS order_last
+                   FROM ps GROUP BY 1),
+            sole AS (SELECT ps.l_orderkey, count(*) AS n_at_max,
+                            max(ps.l_suppkey) AS the_supp
+                     FROM ps JOIN po ON ps.l_orderkey = po.l_orderkey
+                     WHERE po.n_supp >= 2
+                       AND ps.supp_last = po.order_last
+                     GROUP BY ps.l_orderkey),
+            w AS (SELECT the_supp, CAST(count(*) AS BIGINT) AS numwait
+                  FROM sole WHERE n_at_max = 1 GROUP BY the_supp)
+            SELECT s_suppkey, s_name, numwait, CAST(rank AS INT) AS rank
+            FROM (
+              SELECT the_supp AS s_suppkey, s_name, numwait,
+                     row_number() OVER (ORDER BY numwait DESC,
+                                        the_supp ASC) AS rank
+              FROM w JOIN supplier ON the_supp = supplier.s_suppkey)
+            WHERE rank <= 20
+        """,
+        # Q22 shape: rich-but-lapsed customers per nation; the avg
+        # threshold is integer cross-multiplied (bal*n > sum)
+        "tpch_idle_customers": """
+            WITH pos AS (
+              SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                          AS BIGINT) AS sum_pos_c,
+                     CAST(count(*) AS BIGINT) AS n_pos
+              FROM customer WHERE c_acctbal > 0)
+            SELECT n_name AS nation_name,
+                   CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(bal_c) AS BIGINT) AS totacctbal_c
+            FROM (SELECT c_custkey, c_nationkey,
+                         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                  FROM customer, pos
+                  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n_pos
+                        > sum_pos_c) rich
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                                    WHERE o_orderdate
+                                          >= TIMESTAMP '2000-01-01')
+            GROUP BY n_name
         """,
         # Q2-shaped packed argmin: cheapest unit cost, tie -> min
         # suppkey; integer cents/unit exact on both engines

@@ -225,6 +225,14 @@ BAND_MAX_S = {
     "dedup_components_tfidf": 12.0,  # warm 4.91/2.88 (pairs + LSS rounds)
     "session_paths": 4.0,            # warm 1.49/0.87
     "quality_by_dup": 4.0,           # warm 1.57/0.95
+    # r5 session-9 TPC-H breadth (one warm-session pair each, sf0.1)
+    "tpch_revenue_delta": 2.5,       # warm 0.94/0.90 (single pushdown scan)
+    "tpch_returned_items": 7.0,      # warm 2.79/2.15
+    "tpch_late_line_priority": 5.0,  # warm 2.09/1.44
+    "tpch_supplier_part_types": 8.0, # warm 3.16/2.75 (pair distinct)
+    "tpch_discounted_revenue": 3.5,  # warm 1.41/1.11
+    "tpch_waiting_suppliers": 8.0,   # warm 2.97/3.16 (two orderkey aggs)
+    "tpch_idle_customers": 3.5,      # warm 1.39/1.17
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -544,6 +552,22 @@ def main() -> None:
         ),
         "session_paths": lambda: force(_entry_q("session_paths")),
         "quality_by_dup": lambda: force(_entry_q("quality_by_dup")),
+        # r5 session-9 TPC-H breadth
+        "tpch_revenue_delta": lambda: force(_entry_q("tpch_revenue_delta")),
+        "tpch_returned_items": lambda: force(_entry_q("tpch_returned_items")),
+        "tpch_late_line_priority": lambda: force(
+            _entry_q("tpch_late_line_priority")
+        ),
+        "tpch_supplier_part_types": lambda: force(
+            _entry_q("tpch_supplier_part_types")
+        ),
+        "tpch_discounted_revenue": lambda: force(
+            _entry_q("tpch_discounted_revenue")
+        ),
+        "tpch_waiting_suppliers": lambda: force(
+            _entry_q("tpch_waiting_suppliers")
+        ),
+        "tpch_idle_customers": lambda: force(_entry_q("tpch_idle_customers")),
     }
 
     def _entry_q(name):

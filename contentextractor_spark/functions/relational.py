@@ -435,3 +435,311 @@ def important_parts(
             F.expr("value_c * 1000000 div total_c").alias("share_micro"),
         )
     )
+
+
+def revenue_delta(
+    lineitem: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+    disc_lo_c: int = 5,
+    disc_hi_c: int = 7,
+    max_qty: int = 24,
+) -> DataFrame:
+    """TPC-H Q6-shaped forecast-revenue-change: the single filter+agg
+    scan whose whole point is PREDICATE PUSHDOWN — the date window,
+    discount band, and quantity cap all reach the parquet scan
+    (PushedFilters), so at 10^12 rows the job reads only matching
+    row groups and two columns beyond the filter set.
+
+    revenue = sum(extendedprice * discount) in integer TENTH-MILLI
+    dollars: ext_c (cents) * disc_c (centi-discount, exact — the
+    fixture's discounts are 1% steps) = 1e-4-dollar units, summed as
+    BIGINT.  ext_c < 2^33 and disc_c <= 10, so no overflow.  Exact
+    cross-engine; a double sum would flake the value-hash."""
+    disc_c = F.round(F.col("l_discount") * 100).cast("long")
+    win = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+        & (F.col("l_discount") >= (disc_lo_c - 0.5) / 100.0)
+        & (F.col("l_discount") <= (disc_hi_c + 0.5) / 100.0)
+        & (F.col("l_quantity") < max_qty)
+    )
+    return win.agg(
+        F.sum(_cents(F.col("l_extendedprice")) * disc_c).alias(
+            "revenue_tenthmilli"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def returned_items(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-shaped returned-item report: revenue lost to returns
+    ('R' lines) per customer inside an order-date quarter, top-k
+    customers with nation context.
+
+    Shape: the date window prunes orders FIRST (pushed-down range), the
+    returnflag filter prunes lineitem at its scan, the two fact joins
+    shuffle on uniform keys (orderkey, custkey), nation broadcasts
+    (true dimension), and top-k is orderBy().limit(k) →
+    TakeOrderedAndProject with rank derived over the k survivors only
+    (the top_suppliers policy).  Revenue in integer cents — exact."""
+    win = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(date_to).cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    ret = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_c"
+        ),
+    )
+    per_cust = (
+        ret.join(win, ret.l_orderkey == win.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("rev_c").alias("revenue_c"))
+    )
+    j = per_cust.join(
+        customer, per_cust.o_custkey == customer.c_custkey
+    ).join(
+        F.broadcast(nation), F.col("c_nationkey") == nation.n_nationkey
+    )
+    sel = j.select(
+        "c_custkey",
+        "c_name",
+        F.col("n_name").alias("nation_name"),
+        _cents(F.col("c_acctbal")).alias("acctbal_c"),
+        "revenue_c",
+    )
+    order = [F.col("revenue_c").desc(), F.col("c_custkey").asc()]
+    topk = sel.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def late_line_priority(
+    lineitem: DataFrame, orders: DataFrame, late_days: int = 60
+) -> DataFrame:
+    """TPC-H Q12-shaped priority split of late shipments: per line
+    status, how many LATE lines (shipped more than late_days after the
+    order date — this schema carries no shipmode/commit/receipt dates)
+    belong to critical-priority orders (1-URGENT/2-HIGH) vs the rest.
+    The Q12 point survives the adaptation: one fact-fact equi-join with
+    an inequality post-filter, then a conditional-aggregate split —
+    never two passes over lineitem.
+
+    Scale: the join shuffles on the uniform orderkey; the CASE split is
+    a projection; output is |linestatus| rows.  Counts only — exact."""
+    j = lineitem.join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+    ).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {int(late_days)} DAYS")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(crit, 1).otherwise(0)).cast("long").alias(
+            "high_line_count"
+        ),
+        F.sum(F.when(crit, 0).otherwise(1)).cast("long").alias(
+            "low_line_count"
+        ),
+    )
+
+
+def supplier_part_types(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    exclude_brand: str = "Brand#13",
+) -> DataFrame:
+    """TPC-H Q16-shaped supplier-relationship count: distinct suppliers
+    able to supply each (brand, type, size), excluding one brand and
+    suppliers in arrears (s_acctbal < 0 stands in for Q16's complaint
+    comment — this schema has no comments; supplier-part pairs come
+    from observed lineitem, there is no partsupp).
+
+    Shape: dedup the (partkey, suppkey) pairs FIRST (map-side
+    combinable distinct on the uniform partkey) so the part join sees
+    one row per relationship, not one per lineitem; bad suppliers leave
+    via a broadcast LEFT-ANTI join (the dimension is small); the final
+    count(DISTINCT suppkey) groups by the part attributes.
+
+    Scale: the distinct is the only fact-sized shuffle; part joins on
+    the uniform partkey with no hint (fact-sized at spec scale, AQE
+    decides)."""
+    pairs = lineitem.select("l_partkey", "l_suppkey").distinct()
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    good = pairs.join(
+        F.broadcast(bad),
+        pairs.l_suppkey == F.col("s_suppkey"),
+        "left_anti",
+    )
+    j = good.join(
+        part.filter(F.col("p_brand") != exclude_brand),
+        good.l_partkey == F.col("p_partkey"),
+    )
+    return j.groupBy("p_brand", "p_type", "p_size").agg(
+        F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt")
+    )
+
+
+def discounted_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """TPC-H Q19-shaped OR-of-three-branches revenue: each branch pins
+    a brand with its own part-size and line-quantity band (no
+    containers/shipmodes in this schema).  Reported PER BRANCH rather
+    than Q19's single row so the row set is non-degenerate and each
+    branch is separately hash-checked.
+
+    The plan point: the OR-triple is ONE join + ONE disjunctive filter
+    — not three scans unioned.  Catalyst pushes the common
+    brand-membership predicate into the part scan; the quantity bands
+    post-filter the joined rows.  Revenue in integer cents — exact."""
+    # bands widened from the spec's so every branch is non-vacuous on
+    # the 200-part sf0.001 fixture (the good_turing degenerate lesson;
+    # 86/55/52 rows measured at sf0.001, 743/609/650 at sf0.01)
+    branches = [
+        ("Brand#12", 1, 50, 1, 15),
+        ("Brand#23", 10, 50, 10, 25),
+        ("Brand#15", 1, 45, 20, 35),
+    ]
+    cond = None
+    for brand, s_lo, s_hi, q_lo, q_hi in branches:
+        c = (
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(s_lo, s_hi)
+            & F.col("l_quantity").between(q_lo, q_hi)
+        )
+        cond = c if cond is None else (cond | c)
+    j = lineitem.join(
+        part.filter(
+            F.col("p_brand").isin([b[0] for b in branches])
+        ).select("p_partkey", "p_brand", "p_size"),
+        lineitem.l_partkey == F.col("p_partkey"),
+    ).filter(cond)
+    return j.groupBy("p_brand").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue_c"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+def waiting_suppliers(
+    lineitem: DataFrame, supplier: DataFrame, k: int = 20
+) -> DataFrame:
+    """TPC-H Q21-shaped 'suppliers who kept orders waiting': in every
+    multi-supplier order, the supplier whose lines shipped STRICTLY
+    after every other supplier's (the sole latest shipper — this
+    schema's stand-in for Q21's sole receipt>commit offender), counted
+    per supplier, top-k.
+
+    Q21's EXISTS(other supplier) + NOT EXISTS(other late supplier)
+    double correlation collapses into one aggregate-then-join: per
+    (orderkey, suppkey) take max(shipdate); per orderkey count
+    suppliers, take the global max and COUNT THE ACHIEVERS of that max
+    — 'sole latest' is n_at_max = 1, no anti-join, no second pass over
+    lineitem.  Timestamps are only compared (max/equality), never
+    differenced — no epoch conversion, no TZ dependence.
+
+    Scale: two map-side-combinable groupBys on the uniform orderkey +
+    one join between them (both already partitioned by orderkey —
+    AQE reuses the exchange); supplier broadcasts; top-k is
+    orderBy().limit(k) → TakeOrderedAndProject."""
+    per_supp = lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("supp_last")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.max("supp_last").alias("order_last"),
+    )
+    j = per_supp.join(per_order, "l_orderkey").filter(
+        (F.col("n_supp") >= 2) & (F.col("supp_last") == F.col("order_last"))
+    )
+    sole = (
+        j.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_at_max"),
+            F.max("l_suppkey").alias("the_supp"),
+        )
+        .filter(F.col("n_at_max") == 1)
+    )
+    waits = sole.groupBy("the_supp").agg(
+        F.count(F.lit(1)).cast("long").alias("numwait")
+    )
+    out = waits.join(
+        F.broadcast(supplier), waits.the_supp == supplier.s_suppkey
+    ).select(
+        F.col("the_supp").alias("s_suppkey"), "s_name", "numwait"
+    )
+    order = [F.col("numwait").desc(), F.col("s_suppkey").asc()]
+    topk = out.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def idle_customers(
+    customer: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    lapsed_since: str = "2000-01-01",
+) -> DataFrame:
+    """TPC-H Q22-shaped 'global sales opportunity': per nation (phone
+    prefixes don't exist here), the count and total balance of
+    customers whose account balance beats the average POSITIVE balance
+    yet who have placed NO ORDER since `lapsed_since` — above-average
+    wealth, lapsed engagement.  (Q22's literal never-ordered set is
+    EMPTY on this fixture — every customer orders at sf0.001 — so the
+    recency window keeps the anti-join non-vacuous: 5 customers at
+    sf0.001, 55 at sf0.01, measured.)
+
+    The two Q22 subqueries survive intact: the scalar AVG rides a
+    one-row broadcast crossJoin and the threshold is integer
+    CROSS-MULTIPLIED (bal_c * n_pos > sum_pos_c — no float division,
+    exact at the boundary where avg comparisons flake); the NOT EXISTS
+    is a left-anti join against the distinct order custkeys.
+
+    Scale: the anti-join shuffles on the uniform custkey; everything
+    else is dimension-sized.  Balances in integer cents."""
+    bal_c = _cents(F.col("c_acctbal"))
+    pos = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(bal_c).alias("sum_pos_c"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    cust = customer.select(
+        "c_custkey", "c_nationkey", bal_c.alias("bal_c")
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_c") * F.col("n_pos") > F.col("sum_pos_c"))
+        .drop("sum_pos_c", "n_pos")
+    )
+    recent = (
+        orders.filter(
+            F.col("o_orderdate") >= F.lit(lapsed_since).cast("timestamp")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    never = rich.join(
+        recent, rich.c_custkey == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        never.join(
+            F.broadcast(nation),
+            never.c_nationkey == nation.n_nationkey,
+        )
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum("bal_c").alias("totacctbal_c"),
+        )
+    )

@@ -156,3 +156,111 @@ def test_volume_shipping_plan_and_values(tpch):
     assert all(r.supp_nation != r.cust_nation for r in rows)
     assert all(1995 <= r.l_year <= 1996 for r in rows)
     assert all(r.n_lineitems >= 1 for r in rows)
+
+
+def test_returned_items_plan_and_values(tpch):
+    from contentextractor_spark.functions.relational import returned_items
+
+    out = returned_items(
+        tpch["lineitem"], tpch["orders"], tpch["customer"],
+        tpch["nation"], k=5,
+    )
+    _assert_distributed_topk(out)
+    rows = out.orderBy("rank").collect()
+    assert [r.rank for r in rows] == [1, 2, 3, 4, 5]
+    revs = [r.revenue_c for r in rows]
+    assert revs == sorted(revs, reverse=True)
+    # only nation carries a forced broadcast hint
+    assert _hint_count(out) == 1
+
+
+def test_waiting_suppliers_sole_latest_semantics(spark):
+    from contentextractor_spark.functions.relational import waiting_suppliers
+
+    import datetime
+    t = lambda d: datetime.datetime(2024, 1, d)
+    li = spark.createDataFrame(
+        [
+            # order 1: supp 7 ships last, strictly -> counted for 7
+            (1, 7, t(9)), (1, 7, t(5)), (1, 3, t(4)),
+            # order 2: suppliers 3 and 7 TIE at the max -> nobody counted
+            (2, 3, t(6)), (2, 7, t(6)),
+            # order 3: single supplier -> excluded (n_supp < 2)
+            (3, 7, t(8)),
+            # order 4: supp 3 ships last
+            (4, 3, t(7)), (4, 7, t(2)),
+        ],
+        "l_orderkey long, l_suppkey long, l_shipdate timestamp_ntz",
+    )
+    supp = spark.createDataFrame(
+        [(3, "S3"), (7, "S7")], "s_suppkey long, s_name string"
+    )
+    rows = {r.s_suppkey: r.numwait
+            for r in waiting_suppliers(li, supp, k=10).collect()}
+    assert rows == {3: 1, 7: 1}
+
+
+def test_waiting_suppliers_plan(tpch):
+    from contentextractor_spark.functions.relational import waiting_suppliers
+
+    out = waiting_suppliers(tpch["lineitem"], tpch["supplier"], k=5)
+    _assert_distributed_topk(out)
+
+
+def test_idle_customers_threshold_and_lapse(spark):
+    from contentextractor_spark.functions.relational import idle_customers
+
+    import datetime
+    cust = spark.createDataFrame(
+        [
+            # positive balances: 100.00, 200.00, 300.00 -> avg 200.00
+            (1, 100.00, 10), (2, 200.00, 10), (3, 300.00, 10),
+            # negative balance never passes (below any positive avg)
+            (4, -50.00, 11),
+            # above avg but ordered recently -> excluded
+            (5, 250.00, 11),
+        ],
+        "c_custkey long, c_acctbal double, c_nationkey int",
+    )
+    orders = spark.createDataFrame(
+        [
+            (100, 5, datetime.datetime(2001, 1, 1)),   # recent
+            (101, 3, datetime.datetime(1999, 1, 1)),   # stale: 3 stays
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp_ntz",
+    )
+    nat = spark.createDataFrame(
+        [(10, "N10"), (11, "N11")], "n_nationkey int, n_name string"
+    )
+    rows = idle_customers(cust, orders, nat).collect()
+    # bal*n > sum: 300*3=900 > 600 yes; 250*3=750 > 600 yes but recent;
+    # 200*3=600 NOT > 600 (strict boundary, exactly avg excluded)
+    assert len(rows) == 1
+    assert rows[0].nation_name == "N10"
+    assert rows[0].numcust == 1
+    assert rows[0].totacctbal_c == 30000
+
+
+def test_revenue_delta_filters_pushed(tpch):
+    from contentextractor_spark.functions.relational import revenue_delta
+
+    out = revenue_delta(tpch["lineitem"])
+    plan = _physical(out)
+    # the date/discount/quantity predicates must reach the parquet scan
+    assert "PushedFilters: [" in plan, plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400], plan
+
+
+def test_discounted_revenue_single_join(tpch):
+    from contentextractor_spark.functions.relational import (
+        discounted_revenue,
+    )
+
+    out = discounted_revenue(tpch["lineitem"], tpch["part"])
+    plan = _physical(out)
+    # the OR-triple is ONE join, not three unioned scans
+    assert plan.count("Scan parquet") == 2, plan
+    rows = out.collect()
+    assert {r.p_brand for r in rows} == {
+        "Brand#12", "Brand#23", "Brand#15"
+    }
