@@ -3717,6 +3717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
         return R.idle_customers(rd("customer"), rd("orders"), rd("nation"))
 
+    def rolling_active_users(spark, sf_dir):
+        # r5 session-9: DAU/WAU/stickiness card — trailing 7-day
+        # distinct users via bounded offset explode over the deduped
+        # (user, day) table, never a range self-join
+        return E.rolling_active_users(_events(spark, sf_dir))
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -4027,6 +4033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_discounted_revenue": tpch_discounted_revenue,
         "tpch_waiting_suppliers": tpch_waiting_suppliers,
         "tpch_idle_customers": tpch_idle_customers,
+        "rolling_active_users": rolling_active_users,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -9897,6 +9904,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS users
             FROM ud JOIN co ON co.user_id = ud.user_id
             GROUP BY co.cohort_day, ud.day - co.cohort_day
+        """,
+        # DAU/WAU: trailing window via literal-offset unnest fanout
+        # over the deduped (user, day) table
+        "rolling_active_users": """
+            WITH ud AS (SELECT DISTINCT user_id,
+                     CAST(datediff('day', DATE '2024-01-01',
+                                   CAST(ts AS DATE)) AS BIGINT) AS day
+                        FROM events),
+            dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+                    FROM ud GROUP BY day),
+            con AS (SELECT DISTINCT user_id, day + off AS tday
+                    FROM ud CROSS JOIN
+                         (SELECT unnest([0, 1, 2, 3, 4, 5, 6]) AS off) o),
+            wau AS (SELECT tday, CAST(count(*) AS BIGINT) AS wau
+                    FROM con GROUP BY tday)
+            SELECT day, dau, wau,
+                   CAST(dau * 1000 // wau AS BIGINT) AS stickiness_milli
+            FROM dau JOIN wau ON day = tday
         """,
         "events_funnel": """
             WITH ev AS (SELECT * FROM events

@@ -233,6 +233,7 @@ BAND_MAX_S = {
     "tpch_discounted_revenue": 3.5,  # warm 1.41/1.11
     "tpch_waiting_suppliers": 8.0,   # warm 2.97/3.16 (two orderkey aggs)
     "tpch_idle_customers": 3.5,      # warm 1.39/1.17
+    "rolling_active_users": 6.0,     # warm 1.83/2.59 (offset-explode WAU)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -568,6 +569,7 @@ def main() -> None:
             _entry_q("tpch_waiting_suppliers")
         ),
         "tpch_idle_customers": lambda: force(_entry_q("tpch_idle_customers")),
+        "rolling_active_users": lambda: force(_entry_q("rolling_active_users")),
     }
 
     def _entry_q(name):

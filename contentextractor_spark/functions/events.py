@@ -704,3 +704,58 @@ def rfm_segments(events: DataFrame) -> DataFrame:
             (r_score * 100 + f_score * 10 + m_score).alias("rfm"),
         )
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_days: int = 7,
+    anchor: str = "2024-01-01",
+) -> DataFrame:
+    """Per-day active users with a trailing `window_days` rollup: for
+    each OBSERVED activity day, (dau, wau = distinct users active in
+    the trailing window ending that day, stickiness_milli = dau*1000
+    div wau) — the DAU/WAU engagement card over the events stream.
+
+    Spark-first: the (user, day) distinct is the only event-sized
+    pass; the trailing window is an EXPLODE of the window_days offsets
+    over that deduped table (fanout = users x days x window, never
+    events x window), re-deduped per (user, target day), then counted.
+    No range self-join, no per-day window over the corpus.
+
+    Cross-engine exactness: day indexing is integer DATE arithmetic
+    from `anchor` (the retention_cohorts convention, session TZ pinned
+    UTC); all aggregates are counts; stickiness is integer div of
+    non-negatives (Spark div == DuckDB //).
+
+    Scale: both groupBys are map-side combinable on (user, day) /
+    day keys; fanout is bounded by window_days (a constant).  Gap
+    days with zero activity emit no row (dau = 0 rows would report a
+    trailing window for a day the stream never saw — a reporting
+    choice, documented)."""
+    if not 1 <= window_days <= 60:
+        raise ValueError("rolling_active_users: window_days in [1, 60]")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit(anchor))).cast("long")
+    user_days = events.select("user_id", day.alias("day")).distinct()
+    dau = user_days.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("dau")
+    )
+    off = F.explode(
+        F.array([F.lit(i).cast("long") for i in range(window_days)])
+    )
+    contrib = (
+        user_days.select("user_id", "day", off.alias("off"))
+        .select("user_id", (F.col("day") + F.col("off")).alias("tday"))
+        .distinct()
+    )
+    wau = contrib.groupBy("tday").agg(
+        F.count(F.lit(1)).cast("long").alias("wau")
+    )
+    return (
+        dau.join(wau, dau.day == wau.tday)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.expr("dau * 1000 div wau").alias("stickiness_milli"),
+        )
+    )

@@ -579,3 +579,31 @@ def test_kcenter_validates(spark):
     import pytest
     with pytest.raises(ValueError):
         A.kcenter_coreset(_embs(spark, [(0, [0.0])]), k=0)
+
+
+def test_rolling_active_users_window(spark):
+    # user 1 active day 0 only; user 2 active days 0 and 6; user 3 day 8.
+    # day 0: dau 2, wau 2.  day 6: dau 1 (user 2), wau 2 (1 and 2 in
+    # trailing 7).  day 8: dau 1, wau 2 (user 2's day-6 still covers 8,
+    # user 1's day-0 does NOT).  Repeated same-day activity dedups.
+    rows = [
+        (0, _t("2024-01-01T10:00:00"), 1, "a", 0.0, ""),
+        (1, _t("2024-01-01T11:00:00"), 1, "a", 0.0, ""),  # same-day dup
+        (2, _t("2024-01-01T12:00:00"), 2, "a", 0.0, ""),
+        (3, _t("2024-01-07T09:00:00"), 2, "a", 0.0, ""),
+        (4, _t("2024-01-09T09:00:00"), 3, "a", 0.0, ""),
+    ]
+    out = {r["day"]: r for r in
+           E.rolling_active_users(_ev(spark, rows)).collect()}
+    assert set(out) == {0, 6, 8}
+    assert (out[0]["dau"], out[0]["wau"]) == (2, 2)
+    assert (out[6]["dau"], out[6]["wau"]) == (1, 2)
+    assert (out[8]["dau"], out[8]["wau"]) == (1, 2)
+    assert out[6]["stickiness_milli"] == 500
+    assert out[0]["stickiness_milli"] == 1000
+
+
+def test_rolling_active_users_validates(spark):
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        E.rolling_active_users(_ev(spark, []), window_days=0)
