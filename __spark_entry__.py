@@ -3723,6 +3723,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (user, day) table, never a range self-join
         return E.rolling_active_users(_events(spark, sf_dir))
 
+    def chi2_terms(spark, sf_dir):
+        # r5 session-9: chi-square feature selection per language —
+        # contingency counts are exact BIGINTs, the statistic is ONE
+        # identical-tree double per row floored to micro-units (the
+        # bm25_batch recipe; no aggregation over floats anywhere)
+        return A.chi2_terms(_docs(spark, sf_dir), min_df=5, k=10)
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -4034,6 +4041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_waiting_suppliers": tpch_waiting_suppliers,
         "tpch_idle_customers": tpch_idle_customers,
         "rolling_active_users": rolling_active_users,
+        "chi2_terms": chi2_terms,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -7667,6 +7675,46 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY src) m
               ON m.src = d.doc_id
+        """,
+        # chi-square per-lang feature selection: integer contingency,
+        # one identical-tree double per row floored to micro-units
+        "chi2_terms": """
+            WITH pres AS (
+              SELECT DISTINCT doc_id, lang,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents),
+            tl AS (SELECT term, lang, CAST(count(*) AS BIGINT) AS a
+                   FROM pres GROUP BY 1, 2),
+            dfc AS (SELECT term, CAST(sum(a) AS BIGINT) AS df
+                    FROM tl GROUP BY 1),
+            nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_lang
+                   FROM documents GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            base AS (
+              SELECT tl.lang, tl.term, tl.a, dfc.df,
+                     nl.n_lang - tl.a AS b,
+                     dfc.df - tl.a AS c,
+                     n.n - nl.n_lang - dfc.df + tl.a AS d,
+                     n.n AS n
+              FROM tl JOIN dfc USING (term) JOIN nl USING (lang), n
+              WHERE dfc.df >= 5 AND dfc.df < n.n),
+            scored AS (
+              SELECT lang, term, a, df,
+                     CAST(floor((CAST(n AS DOUBLE)
+                          * CAST(a*d - b*c AS DOUBLE)
+                          * CAST(a*d - b*c AS DOUBLE))
+                          / (CAST((a+b)*(c+d) AS DOUBLE)
+                             * CAST((a+c)*(b+d) AS DOUBLE))
+                          * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                         AS chi2_micro
+              FROM base)
+            SELECT lang, term, a, df, chi2_micro,
+                   CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY chi2_micro DESC, term ASC) AS rank
+                  FROM scored)
+            WHERE rank <= 10
         """,
         "tfidf_top_terms": """
             WITH tok AS (

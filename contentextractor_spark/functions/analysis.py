@@ -10471,3 +10471,70 @@ def prf_terms(
     return cand.withColumn(
         "rk", F.row_number().over(w).cast("long")
     ).filter(F.col("rk") <= k_terms)
+
+
+def chi2_terms(
+    docs: DataFrame, min_df: int = 5, k: int = 10
+) -> DataFrame:
+    """Chi-square feature selection: the top-k terms most associated
+    with each language by the presence/absence contingency test — the
+    classic supervised-feature-selection pass over a labeled corpus
+    (which vocabulary separates the classes).
+
+    Per (term, lang): a = docs of the lang containing the term,
+    b = lang docs without it, c = other-lang docs containing it,
+    d = the rest; chi2 = n·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d)).
+
+    Cross-engine exactness (the bm25_batch floored-double recipe):
+    a/b/c/d and ad−bc are exact BIGINTs (|ad| ≤ n² — fine to ~3·10⁹
+    docs); the chi2 value is computed ONCE per row with an IDENTICAL
+    double expression tree on both engines (IEEE ops are deterministic
+    — only aggregation order isn't, and there is no aggregation here),
+    then floored to integer micro-units.  Terms in every doc are
+    excluded (b+d = 0 divides by zero; they separate nothing anyway).
+
+    Scale: presence dedup + two map-side-combinable groupBys over the
+    token stream; lang totals and the corpus count ride broadcast; the
+    top-k window partitions by lang (5-way, never a global sort)."""
+    if min_df < 1 or k < 1:
+        raise ValueError("chi2_terms: min_df and k must be >= 1")
+    pres = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    ).distinct()
+    tl = pres.groupBy("term", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    dfc = tl.groupBy("term").agg(F.sum("a").alias("df"))
+    nl = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lang")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    base = (
+        tl.join(dfc, "term")
+        .join(F.broadcast(nl), "lang")
+        .crossJoin(F.broadcast(n))
+        .filter((F.col("df") >= min_df) & (F.col("df") < F.col("n")))
+    )
+    # identical expression tree as the DuckDB oracle — do not reorder
+    chi2_micro = F.expr(
+        "floor((cast(n as double) * cast(a*d - b*c as double)"
+        " * cast(a*d - b*c as double))"
+        " / (cast((a+b)*(c+d) as double) * cast((a+c)*(b+d) as double))"
+        " * cast(1000000 as double))"
+    ).cast("long")
+    scored = base.select(
+        "lang",
+        "term",
+        "a",
+        "df",
+        (F.col("n_lang") - F.col("a")).alias("b"),
+        (F.col("df") - F.col("a")).alias("c"),
+        (F.col("n") - F.col("n_lang") - F.col("df") + F.col("a")).alias("d"),
+        "n",
+    ).select("lang", "term", "a", "df", chi2_micro.alias("chi2_micro"))
+    w = Window.partitionBy("lang").orderBy(
+        F.col("chi2_micro").desc(), F.col("term").asc()
+    )
+    return scored.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= k)

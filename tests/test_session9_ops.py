@@ -607,3 +607,35 @@ def test_rolling_active_users_validates(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         E.rolling_active_users(_ev(spark, []), window_days=0)
+
+
+def test_chi2_terms_hand_computed(spark):
+    # 4 docs, 2 langs; 'xx' only in lang A docs, 'zz' everywhere.
+    # For ('xx', A): a=2 b=0 c=0 d=2 -> chi2 = 4*(4-0)^2/(2*2*2*2) = 4.0
+    docs = spark.createDataFrame(
+        [
+            (1, "xx zz common", "A"),
+            (2, "xx zz common", "A"),
+            (3, "yy zz common", "B"),
+            (4, "yy zz common", "B"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    out = {(r.lang, r.term): r for r in
+           A.chi2_terms(docs, min_df=1, k=10).collect()}
+    assert out[("A", "xx")].chi2_micro == 4_000_000
+    assert out[("B", "yy")].chi2_micro == 4_000_000
+    # 'zz' is in every doc -> excluded (b+d = 0), 'common' too
+    assert ("A", "zz") not in out and ("A", "common") not in out
+    # ranks: per-lang rank 1 is the perfectly-separating term
+    assert out[("A", "xx")].rank == 1
+    assert out[("B", "yy")].rank == 1
+
+
+def test_chi2_terms_validates(spark):
+    import pytest as _pt
+    docs = spark.createDataFrame(
+        [(1, "a", "A")], "doc_id long, text string, lang string"
+    )
+    with _pt.raises(ValueError):
+        A.chi2_terms(docs, min_df=0)
