@@ -3730,6 +3730,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # bm25_batch recipe; no aggregation over floats anywhere)
         return A.chi2_terms(_docs(spark, sf_dir), min_df=5, k=10)
 
+    def random_walks(spark, sf_dir):
+        # r5 session-9: deterministic hash-guided walks (the DeepWalk
+        # corpus shape) from the %97 seeds over the ring+affine+hub
+        # fixture — per step one frontier join + one packed argmin
+        # (7-hex-digit hash keeps the pack under 2^60), frontier
+        # localCheckpointed per step
+        docs = _docs(spark, sf_dir)
+        seeds = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+        return A.random_walks(
+            _ring_affine_hub_edges(spark, sf_dir), seeds, walk_len=4
+        )
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -4042,6 +4054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_idle_customers": tpch_idle_customers,
         "rolling_active_users": rolling_active_users,
         "chi2_terms": chi2_terms,
+        "random_walks": random_walks,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -4327,6 +4340,41 @@ _RING_AFFINE_HUB_CTE = """
 ONE definition shared by the co_citation / co_citation_overflow /
 degree_histogram / degree_assortativity oracles, mirroring
 _ring_affine_hub_edges."""
+
+
+def _walk_ctes(walk_len: int) -> str:
+    """Unrolled per-step walk CTEs over the _RING_AFFINE_HUB_CTE edge set
+    (e1): w0 = the %97 seeds, w{s} = per-walk packed argmin over the
+    out-neighbors, cur = packed % 2^32 — the exact Spark expression
+    (min(hv·2³²+dst) with hv = first 7 md5 hex digits; hv < 2²⁸ so the
+    pack stays under 2⁶⁰).  Linear CTE chain: each w{s} references only
+    w{s-1}, so DuckDB's per-reference CTE inlining stays linear (the
+    k-core 3^rounds re-expansion trap does not apply); e1 is referenced
+    once per step."""
+    ctes = [
+        "w0 AS (SELECT CAST(doc_id AS BIGINT) AS walk_id,"
+        " CAST(doc_id AS BIGINT) AS cur"
+        " FROM documents WHERE doc_id % 97 = 0)"
+    ]
+    for s in range(1, walk_len + 1):
+        hv = _hex_int_sql(
+            "md5(CAST(walk_id AS VARCHAR) || "
+            f"':{s}:' || CAST(dst AS VARCHAR))",
+            1,
+            7,
+        )
+        ctes.append(
+            f"w{s} AS (SELECT walk_id,"
+            f" min({hv} * 4294967296 + dst) % 4294967296 AS cur"
+            f" FROM w{s - 1} JOIN e1 ON w{s - 1}.cur = e1.src"
+            " GROUP BY walk_id)"
+        )
+    union = "\n            UNION ALL ".join(
+        f"SELECT walk_id, CAST({s} AS INT) AS step,"
+        f" CAST(cur AS BIGINT) AS node FROM w{s}"
+        for s in range(walk_len + 1)
+    )
+    return ",\n            ".join(ctes) + "\n            " + union
 
 
 _TRI_CTES = """
@@ -7715,6 +7763,13 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY chi2_micro DESC, term ASC) AS rank
                   FROM scored)
             WHERE rank <= 10
+        """,
+        # deterministic hash-guided walks: per step one join + packed
+        # argmin (hv·2^32+dst, 7 md5 hex digits), cur = pack % 2^32 —
+        # identical integer arithmetic on both engines
+        "random_walks": f"""
+            WITH {_RING_AFFINE_HUB_CTE},
+            {_walk_ctes(4)}
         """,
         "tfidf_top_terms": """
             WITH tok AS (

@@ -235,6 +235,7 @@ BAND_MAX_S = {
     "tpch_idle_customers": 3.5,      # warm 1.39/1.17
     "rolling_active_users": 6.0,     # warm 1.83/2.59 (offset-explode WAU)
     "chi2_terms": 18.0,              # warm 8.91/5.02 (presence distinct)
+    "random_walks": 10.0,            # warm 3.45/2.58 (4 frontier joins)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -572,6 +573,7 @@ def main() -> None:
         "tpch_idle_customers": lambda: force(_entry_q("tpch_idle_customers")),
         "rolling_active_users": lambda: force(_entry_q("rolling_active_users")),
         "chi2_terms": lambda: force(_entry_q("chi2_terms")),
+        "random_walks": lambda: force(_entry_q("random_walks")),
     }
 
     def _entry_q(name):

@@ -10538,3 +10538,83 @@ def chi2_terms(
     return scored.withColumn(
         "rank", F.row_number().over(w).cast("int")
     ).filter(F.col("rank") <= k)
+
+
+def random_walks(
+    edges: DataFrame, seeds: DataFrame, walk_len: int = 4
+) -> DataFrame:
+    """Deterministic 'random' walks for graph-embedding training data
+    (the DeepWalk/node2vec corpus shape): one walk per seed node, each
+    step moving to the out-neighbor that minimizes a cryptographic
+    hash of (walk_id, step, neighbor) — uniform-looking, reproducible,
+    and ORACLE-CHECKABLE, unlike true RNG walks.
+
+    Spark-first: per step ONE equi-join frontier→edges plus ONE packed
+    argmin aggregate, min(hv·2³² + dst) where hv = first SEVEN md5 hex
+    digits (hv < 2²⁸ keeps the pack under 2⁶⁰ — the winnowing packing
+    family; 8 digits would overflow signed 64-bit).  dst is
+    range-guarded per row with raise_error (min() silently ignores
+    nulls — the latest_snapshot gap).  The frontier localCheckpoints
+    per step (the pagerank lesson: without it step k re-executes the
+    whole k−1 chain).  Walks at sink nodes terminate early.
+
+    Scale: frontier is |seeds| rows; the join shuffles on the uniform
+    node key; walk_len is a driver-sequenced constant (≤ 32 enforced —
+    each step is one job, the bpe_merges bound pattern).
+
+    Output: (walk_id, step, node), step 0 = the seed itself."""
+    if not 1 <= walk_len <= 32:
+        raise ValueError("random_walks: walk_len in [1, 32]")
+    e = edges.select("src", "dst").distinct()
+    seed_col = seeds.columns[0]
+    frontier = seeds.select(
+        F.col(seed_col).cast("long").alias("walk_id"),
+        F.col(seed_col).cast("long").alias("cur"),
+    )
+    steps = [
+        frontier.select(
+            "walk_id", F.lit(0).cast("int").alias("step"),
+            F.col("cur").alias("node"),
+        )
+    ]
+    for s in range(1, walk_len + 1):
+        j = frontier.join(e, frontier.cur == e.src)
+        hv = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("walk_id").cast("string"),
+                        F.lit(f":{s}:"),
+                        F.col("dst").cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        dst_ok = (F.col("dst") >= 0) & (F.col("dst") < F.lit(2**32))
+        packed = F.when(
+            dst_ok, hv * F.lit(2**32) + F.col("dst")
+        ).otherwise(
+            F.raise_error(
+                F.lit("random_walks: dst outside [0, 2^32) packing bound")
+            ).cast("long")
+        )
+        nxt = j.select("walk_id", packed.alias("p")).groupBy("walk_id").agg(
+            F.min("p").alias("p")
+        )
+        frontier = nxt.select(
+            "walk_id", F.pmod("p", F.lit(2**32)).alias("cur")
+        ).localCheckpoint()
+        steps.append(
+            frontier.select(
+                "walk_id", F.lit(s).cast("int").alias("step"),
+                F.col("cur").alias("node"),
+            )
+        )
+    out = steps[0]
+    for s in steps[1:]:
+        out = out.unionByName(s)
+    return out

@@ -639,3 +639,69 @@ def test_chi2_terms_validates(spark):
     )
     with _pt.raises(ValueError):
         A.chi2_terms(docs, min_df=0)
+
+
+def _seeds(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "doc_id long")
+
+
+def test_random_walks_forced_chain(spark):
+    # out-degree 1 everywhere: the walk is forced 0->1->2->3 and
+    # terminates early at the sink (no step 4 despite walk_len=4)
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    out = sorted(
+        (r.step, r.node)
+        for r in A.random_walks(edges, _seeds(spark, [0]), 4).collect()
+    )
+    assert out == [(0, 0), (1, 1), (2, 2), (3, 3)]
+
+
+def test_random_walks_matches_python_argmin(spark):
+    # fan-out node: step 1 from seed 7 must pick the neighbor minimizing
+    # (first-7-hex-digits-of-md5("7:1:dst"))*2^32 + dst — replicated here
+    import hashlib
+
+    nbrs = [11, 12, 13, 14]
+    edges = _edges(spark, [(7, d) for d in nbrs])
+    want = min(
+        nbrs,
+        key=lambda d: (
+            int(hashlib.md5(f"7:1:{d}".encode()).hexdigest()[:7], 16)
+            * 2**32
+            + d
+        ),
+    )
+    rows = {r.step: r.node for r in
+            A.random_walks(edges, _seeds(spark, [7]), 1).collect()}
+    assert rows == {0: 7, 1: want}
+
+
+def test_random_walks_deterministic_and_per_walk(spark):
+    # two seeds walk independently (walk_id keys the hash) and a rerun
+    # is bit-identical
+    edges = _edges(
+        spark, [(a, b) for a in range(5) for b in range(5) if a != b]
+    )
+    r1 = sorted(map(tuple,
+                    A.random_walks(edges, _seeds(spark, [0, 1]), 3)
+                    .collect()))
+    r2 = sorted(map(tuple,
+                    A.random_walks(edges, _seeds(spark, [0, 1]), 3)
+                    .collect()))
+    assert r1 == r2
+    assert {t[0] for t in r1} == {0, 1}
+    assert sum(1 for t in r1 if t[0] == 0) == 4  # steps 0..3
+
+
+def test_random_walks_validates_and_guards(spark):
+    import pytest as _pt
+
+    edges = _edges(spark, [(0, 1)])
+    with _pt.raises(ValueError):
+        A.random_walks(edges, _seeds(spark, [0]), 0)
+    with _pt.raises(ValueError):
+        A.random_walks(edges, _seeds(spark, [0]), 33)
+    # dst outside the 2^32 packing bound must raise, not silently drop
+    bad = _edges(spark, [(0, 2**32)])
+    with _pt.raises(Exception, match="packing bound"):
+        A.random_walks(bad, _seeds(spark, [0]), 1).collect()
