@@ -3742,6 +3742,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _ring_affine_hub_edges(spark, sf_dir), seeds, walk_len=4
         )
 
+    def skipgram_pairs(spark, sf_dir):
+        # r5 session-9: word2vec training-pair counts, ±2 window — one
+        # arrays_zip explode + literal-struct pair emit (codegen'd, the
+        # _gram_stream convention), single map-side-combinable groupBy
+        return A.skipgram_pairs(_docs(spark, sf_dir), window=2, min_count=5)
+
+    def frequent_pairs(spark, sf_dir):
+        # a-priori basket pairs; support prune bites (token dfs run
+        # 25..415 vs min_support 100) AND the per-doc cap bites (28-30
+        # docs carry all 30 frequent tokens at the gate SFs; the
+        # overflow twin lists them — LSH-cap convention, cap ACTIVE)
+        return A.frequent_pairs(
+            _docs(spark, sf_dir), min_support=100, max_doc_tokens=29
+        )
+
+    def frequent_pairs_overflow(spark, sf_dir):
+        return A.frequent_pairs_overflow(
+            _docs(spark, sf_dir), min_support=100, max_doc_tokens=29
+        )
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -4055,6 +4075,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rolling_active_users": rolling_active_users,
         "chi2_terms": chi2_terms,
         "random_walks": random_walks,
+        "skipgram_pairs": skipgram_pairs,
+        "frequent_pairs": frequent_pairs,
+        "frequent_pairs_overflow": frequent_pairs_overflow,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -7770,6 +7793,59 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": f"""
             WITH {_RING_AFFINE_HUB_CTE},
             {_walk_ctes(4)}
+        """,
+        # word2vec skip-gram pair counts, ±2 window, both directions —
+        # pure integer counting, position self-join on the oracle side
+        "skipgram_pairs": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok,
+                               generate_subscripts(
+                                   string_split(text, ' '), 1) AS pos
+                        FROM documents)
+            SELECT a.tok AS center, b.tok AS context,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM tk a JOIN tk b
+              ON a.doc_id = b.doc_id AND a.pos <> b.pos
+             AND abs(a.pos - b.pos) <= 2
+            GROUP BY 1, 2 HAVING count(*) >= 5
+        """,
+        # a-priori basket pairs over distinct-token presence; support
+        # prune + per-doc cap both active (MATERIALIZED stops DuckDB's
+        # per-reference CTE re-expansion of the presence chain)
+        "frequent_pairs": """
+            WITH pres AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            freq AS (SELECT tok FROM (
+                       SELECT tok, count(*) AS df FROM pres GROUP BY tok)
+                     WHERE df >= 100),
+            pf AS MATERIALIZED (
+              SELECT pres.doc_id, pres.tok
+              FROM pres JOIN freq USING (tok)),
+            ok AS (SELECT doc_id FROM (
+                     SELECT doc_id, count(*) AS nf FROM pf GROUP BY doc_id)
+                   WHERE nf <= 29),
+            kept AS MATERIALIZED (
+              SELECT pf.doc_id, pf.tok FROM pf JOIN ok USING (doc_id))
+            SELECT a.tok AS tok_a, b.tok AS tok_b,
+                   CAST(count(*) AS BIGINT) AS support
+            FROM kept a JOIN kept b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2 HAVING count(*) >= 100
+        """,
+        "frequent_pairs_overflow": """
+            WITH pres AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            freq AS (SELECT tok FROM (
+                       SELECT tok, count(*) AS df FROM pres GROUP BY tok)
+                     WHERE df >= 100),
+            pf AS (SELECT pres.doc_id, pres.tok
+                   FROM pres JOIN freq USING (tok))
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_freq
+            FROM pf GROUP BY doc_id HAVING count(*) > 29
         """,
         "tfidf_top_terms": """
             WITH tok AS (

@@ -236,6 +236,8 @@ BAND_MAX_S = {
     "rolling_active_users": 6.0,     # warm 1.83/2.59 (offset-explode WAU)
     "chi2_terms": 18.0,              # warm 8.91/5.02 (presence distinct)
     "random_walks": 10.0,            # warm 3.45/2.58 (4 frontier joins)
+    "skipgram_pairs": 8.0,           # warm 1.48 (one explode + groupBy)
+    "frequent_pairs": 12.0,          # warm 3.67 (a-priori + per-doc join)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -574,6 +576,8 @@ def main() -> None:
         "rolling_active_users": lambda: force(_entry_q("rolling_active_users")),
         "chi2_terms": lambda: force(_entry_q("chi2_terms")),
         "random_walks": lambda: force(_entry_q("random_walks")),
+        "skipgram_pairs": lambda: force(_entry_q("skipgram_pairs")),
+        "frequent_pairs": lambda: force(_entry_q("frequent_pairs")),
     }
 
     def _entry_q(name):

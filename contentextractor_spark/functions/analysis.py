@@ -10618,3 +10618,120 @@ def random_walks(
     for s in steps[1:]:
         out = out.unionByName(s)
     return out
+
+
+def skipgram_pairs(
+    docs: DataFrame, window: int = 2, min_count: int = 5
+) -> DataFrame:
+    """Skip-gram (center, context) co-occurrence counts within a ±window
+    token neighborhood — the word2vec/GloVe training-corpus shape
+    (negative_samples supplies the matching noise distribution;
+    pmi_collocations is the adjacent-bigram special case with a lift
+    ranking on top).
+
+    Built the _gram_stream way (NO higher-order lambdas — the measured
+    r3 rule: transform() is interpreted per element): arrays_zip the
+    word array with its shifted slices, explode ONCE, then emit the
+    2·window directed pairs per position from a literal struct array
+    (CreateArray/CreateStruct stay in whole-stage codegen).  Both
+    directions are emitted so n_pairs(a, b) == n_pairs(b, a) — the
+    word2vec convention.  Null contexts (zip padding past the end of
+    the document) are filtered after the pair explode.
+
+    Scale: one explode (corpus token stream × 2·window rows) feeding
+    ONE map-side-combinable groupBy on (center, context); the min_count
+    filter sits on the aggregate.  No joins, no window functions, no
+    per-doc state — partitions by the shuffle hash of the pair key."""
+    if not 1 <= window <= 8:
+        raise ValueError("skipgram_pairs: window in [1, 8]")
+    words = F.split(F.col("text"), " ")
+    arrs = [words] + [
+        F.slice(words, d + 1, F.greatest(F.size(words) - d, F.lit(1)))
+        for d in range(1, window + 1)
+    ]
+    exploded = docs.filter(F.size(words) >= 2).select(
+        F.explode(F.arrays_zip(*arrs)).alias("s")
+    )
+    w0 = F.col("s").getItem("0")
+    structs = []
+    for d in range(1, window + 1):
+        wd = F.col("s").getItem(str(d))
+        structs.append(F.struct(w0.alias("center"), wd.alias("context")))
+        structs.append(F.struct(wd.alias("center"), w0.alias("context")))
+    return (
+        exploded.select(F.explode(F.array(*structs)).alias("p"))
+        .select("p.center", "p.context")
+        .filter(F.col("center").isNotNull() & F.col("context").isNotNull())
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .filter(F.col("n_pairs") >= min_count)
+    )
+
+
+def _frequent_presence(
+    docs: DataFrame, min_support: int
+) -> DataFrame:
+    """(doc_id, tok) presence stream restricted to tokens whose document
+    frequency is >= min_support — the a-priori L1 stage shared by
+    frequent_pairs and its overflow twin.  The frequent-token table is
+    vocabulary-bounded, so it rides as a broadcast semi-join side."""
+    pres = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    ).distinct()
+    freq = (
+        pres.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_support)
+    )
+    return pres.join(F.broadcast(freq.select("tok")), "tok", "leftsemi")
+
+
+def frequent_pairs(
+    docs: DataFrame, min_support: int = 100, max_doc_tokens: int = 30
+) -> DataFrame:
+    """A-priori frequent token pairs: market-basket mining treating each
+    document's DISTINCT token set as a basket; support = number of
+    documents containing both tokens.
+
+    Downward closure is the scale lever: a pair can reach min_support
+    only if both members do, so the per-doc self-join runs over the
+    frequent-token presence stream only (_frequent_presence) — the
+    classic a-priori candidate prune, here as one broadcast semi-join
+    instead of a generation loop.  Residual skew guard: a doc with many
+    distinct frequent tokens fans out quadratically, so docs above
+    max_doc_tokens are DROPPED from the counts and listed loudly by
+    frequent_pairs_overflow (the LSH-cap convention; the cap is
+    driver-checked ACTIVE — the entry runs max_doc_tokens=29 and the
+    ~30 docs carrying all 30 frequent tokens trip it at both gate SFs).
+
+    Output: (tok_a, tok_b, support) with tok_a < tok_b lexicographic."""
+    pf = _frequent_presence(docs, min_support)
+    ok = (
+        pf.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_freq"))
+        .filter(F.col("n_freq") <= max_doc_tokens)
+    )
+    kept = pf.join(ok.select("doc_id"), "doc_id", "leftsemi")
+    a = kept.select("doc_id", F.col("tok").alias("tok_a"))
+    b = kept.select("doc_id", F.col("tok").alias("tok_b"))
+    return (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+
+
+def frequent_pairs_overflow(
+    docs: DataFrame, min_support: int = 100, max_doc_tokens: int = 30
+) -> DataFrame:
+    """The loud companion of frequent_pairs: documents whose distinct
+    FREQUENT-token count exceeds max_doc_tokens (and are therefore
+    excluded from pair supports), with the count that tripped the cap."""
+    pf = _frequent_presence(docs, min_support)
+    return (
+        pf.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_freq"))
+        .filter(F.col("n_freq") > max_doc_tokens)
+    )

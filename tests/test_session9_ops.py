@@ -705,3 +705,72 @@ def test_random_walks_validates_and_guards(spark):
     bad = _edges(spark, [(0, 2**32)])
     with _pt.raises(Exception, match="packing bound"):
         A.random_walks(bad, _seeds(spark, [0]), 1).collect()
+
+
+def _docs_tl(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_skipgram_pairs_hand_computed(spark):
+    # "a b c", window 2: every ordered pair within distance 2, once
+    out = {(r.center, r.context): r.n_pairs for r in
+           A.skipgram_pairs(_docs_tl(spark, [(1, "a b c")]),
+                            window=2, min_count=1).collect()}
+    assert out == {("a", "b"): 1, ("b", "a"): 1, ("a", "c"): 1,
+                   ("c", "a"): 1, ("b", "c"): 1, ("c", "b"): 1}
+
+
+def test_skipgram_pairs_repeated_token(spark):
+    # "a a a": 3 positions, 6 ordered within-window pairs, all (a, a)
+    out = A.skipgram_pairs(_docs_tl(spark, [(1, "a a a")]),
+                           window=2, min_count=1).collect()
+    assert [(r.center, r.context, r.n_pairs) for r in out] == [
+        ("a", "a", 6)
+    ]
+
+
+def test_skipgram_pairs_window_1_is_adjacency(spark):
+    out = {(r.center, r.context) for r in
+           A.skipgram_pairs(_docs_tl(spark, [(1, "a b c")]),
+                            window=1, min_count=1).collect()}
+    assert out == {("a", "b"), ("b", "a"), ("b", "c"), ("c", "b")}
+
+
+def test_skipgram_pairs_min_count_and_validation(spark):
+    import pytest as _pt
+    docs = _docs_tl(spark, [(1, "a b"), (2, "a b"), (3, "a c")])
+    out = {(r.center, r.context): r.n_pairs for r in
+           A.skipgram_pairs(docs, window=2, min_count=2).collect()}
+    assert out == {("a", "b"): 2, ("b", "a"): 2}
+    with _pt.raises(ValueError):
+        A.skipgram_pairs(docs, window=0)
+
+
+def test_frequent_pairs_apriori_prune(spark):
+    # z is infrequent (df 1) so (x, z) can never surface even in-doc
+    docs = _docs_tl(spark, [(1, "x y"), (2, "x y"), (3, "x z")])
+    out = [(r.tok_a, r.tok_b, r.support) for r in
+           A.frequent_pairs(docs, min_support=2,
+                            max_doc_tokens=10).collect()]
+    assert out == [("x", "y", 2)]
+
+
+def test_frequent_pairs_cap_drops_doc_and_overflow_lists_it(spark):
+    # d2 carries 3 frequent tokens > cap 2: dropped from supports
+    # (x,y support falls to 1 < 2 -> no pairs) and listed loudly
+    docs = _docs_tl(spark, [(1, "x y"), (2, "x y q"), (3, "q")])
+    assert A.frequent_pairs(docs, min_support=2,
+                            max_doc_tokens=2).collect() == []
+    ov = [(r.doc_id, r.n_freq) for r in
+          A.frequent_pairs_overflow(docs, min_support=2,
+                                    max_doc_tokens=2).collect()]
+    assert ov == [(2, 3)]
+
+
+def test_frequent_pairs_duplicate_tokens_count_once(spark):
+    # presence is per distinct token: "x x y" contributes support 1
+    docs = _docs_tl(spark, [(1, "x x y"), (2, "y x")])
+    out = [(r.tok_a, r.tok_b, r.support) for r in
+           A.frequent_pairs(docs, min_support=2,
+                            max_doc_tokens=10).collect()]
+    assert out == [("x", "y", 2)]
