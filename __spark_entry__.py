@@ -3762,6 +3762,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), min_support=100, max_doc_tokens=29
         )
 
+    def gini_activity(spark, sf_dir):
+        # r5 session-9: per-type power-user inequality card — all-
+        # integer Gini ((2*S1-(n+1)*S0)*1e6 div n*S0, tie-stable ranks)
+        return A.gini_activity(_events(spark, sf_dir))
+
+    def hhi_sources(spark, sf_dir):
+        # per-lang source concentration: HHI + top share in micro-units
+        # via ordered integer division (sq*1e6 div total div total)
+        return A.hhi_sources(_docs(spark, sf_dir))
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -4078,6 +4088,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skipgram_pairs": skipgram_pairs,
         "frequent_pairs": frequent_pairs,
         "frequent_pairs_overflow": frequent_pairs_overflow,
+        "gini_activity": gini_activity,
+        "hhi_sources": hhi_sources,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -7833,6 +7845,44 @@ def oracle_sql() -> dict[str, str]:
             FROM kept a JOIN kept b
               ON a.doc_id = b.doc_id AND a.tok < b.tok
             GROUP BY 1, 2 HAVING count(*) >= 100
+        """,
+        # Gini of per-user activity per event_type: integer numerator
+        # (non-negative for ascending ranks, so // == div), tie-stable
+        # because a tied block occupies a fixed set of rank positions
+        "gini_activity": """
+            WITH c AS (SELECT event_type, user_id,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM events GROUP BY 1, 2),
+            r AS (SELECT event_type, cnt,
+                         CAST(row_number() OVER (
+                              PARTITION BY event_type
+                              ORDER BY cnt, user_id) AS BIGINT) AS i
+                  FROM c),
+            a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users,
+                         CAST(sum(cnt) AS BIGINT) AS total_events,
+                         CAST(sum(i * cnt) AS BIGINT) AS s1
+                  FROM r GROUP BY 1)
+            SELECT event_type, n_users, total_events,
+                   CAST((2 * s1 - (n_users + 1) * total_events) * 1000000
+                        // (n_users * total_events) AS BIGINT) AS gini_micro
+            FROM a
+        """,
+        # per-lang HHI across sources, ordered integer division
+        "hhi_sources": """
+            WITH c AS (SELECT lang, source,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM documents GROUP BY 1, 2),
+            a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_sources,
+                         CAST(sum(cnt) AS BIGINT) AS total_docs,
+                         CAST(sum(cnt * cnt) AS BIGINT) AS sq,
+                         CAST(max(cnt) AS BIGINT) AS mx
+                  FROM c GROUP BY 1)
+            SELECT lang, n_sources, total_docs,
+                   CAST(sq * 1000000 // total_docs // total_docs
+                        AS BIGINT) AS hhi_micro,
+                   CAST(mx * 1000000 // total_docs AS BIGINT)
+                       AS top_share_micro
+            FROM a
         """,
         "frequent_pairs_overflow": """
             WITH pres AS MATERIALIZED (

@@ -238,6 +238,7 @@ BAND_MAX_S = {
     "random_walks": 10.0,            # warm 3.45/2.58 (4 frontier joins)
     "skipgram_pairs": 8.0,           # warm 1.48 (one explode + groupBy)
     "frequent_pairs": 12.0,          # warm 3.67 (a-priori + per-doc join)
+    "gini_activity": 4.0,            # warm 0.65 (two aggs + rank window)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -578,6 +579,7 @@ def main() -> None:
         "random_walks": lambda: force(_entry_q("random_walks")),
         "skipgram_pairs": lambda: force(_entry_q("skipgram_pairs")),
         "frequent_pairs": lambda: force(_entry_q("frequent_pairs")),
+        "gini_activity": lambda: force(_entry_q("gini_activity")),
     }
 
     def _entry_q(name):

@@ -10735,3 +10735,102 @@ def frequent_pairs_overflow(
         .agg(F.count(F.lit(1)).alias("n_freq"))
         .filter(F.col("n_freq") > max_doc_tokens)
     )
+
+
+def gini_activity(events: DataFrame) -> DataFrame:
+    """Per-event-type Gini coefficient of user activity — the standard
+    inequality card for "is this stream dominated by a few power
+    users?" (data-mixture and sampling decisions key off it; the
+    rolling_active_users stickiness card is its temporal sibling).
+
+    All-integer exactness: with per-user counts x sorted ascending and
+    ranked i = 1..n (ties broken by user_id — tie-stable: a tied block
+    occupies a fixed set of rank positions, so sum(i·x) is invariant to
+    intra-tie order), Gini = (2·Σi·x − (n+1)·Σx) / (n·Σx), reported
+    floored to micro-units via ordered integer division.  Overflow
+    guard: the numerator is bounded by (n−1)·Σx·10⁶, so the aggregate
+    REFUSES (raise_error) when n·Σx > 2⁴³ (~8.8e12) — at that scale run
+    per shard or bucket counts into a value histogram first (the
+    length_percentiles pattern) instead of exact ranks.
+
+    Scale: one map-side-combinable (event_type, user_id) count, one
+    per-type rank window (sort scoped to the type partition), one
+    final aggregate.  No joins."""
+    cnts = events.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy("cnt", "user_id")
+    ranked = cnts.withColumn("i", F.row_number().over(w).cast("long"))
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cnt").alias("total_events"),
+        F.sum(F.col("i") * F.col("cnt")).alias("s1"),
+    )
+    n, s0 = F.col("n_users"), F.col("total_events")
+    num = F.when(
+        (n * s0) <= F.lit(2**43),
+        (F.lit(2) * F.col("s1") - (n + F.lit(1)) * s0) * F.lit(1_000_000),
+    ).otherwise(
+        F.raise_error(
+            F.lit("gini_activity: n*total > 2^43 — shard or histogram")
+        ).cast("long")
+    )
+    return agg.select(
+        "event_type",
+        "n_users",
+        "total_events",
+        num.alias("_num"),
+    ).select(
+        "event_type",
+        "n_users",
+        "total_events",
+        F.expr("_num div (n_users * total_events)").alias("gini_micro"),
+    )
+
+
+def hhi_sources(docs: DataFrame) -> DataFrame:
+    """Per-language Herfindahl–Hirschman concentration of documents
+    across sources, plus the top source's share — the "is this slice
+    of the corpus really one crawl seed wearing twenty hats?" card
+    (mirror_hosts finds literal mirrors; this finds statistical
+    dominance).
+
+    All-integer: HHI = Σ(cnt/total)² reported in micro-units as
+    (Σcnt²·10⁶) div total div total (ordered division — both stages
+    stay under 2⁶³ while total ≤ ~3e6, enforced with a raise_error
+    refusal; beyond that run per shard and merge Σcnt² partials, which
+    are exact under addition).  top_share_micro = max(cnt)·10⁶ div
+    total.
+
+    Scale: two map-side-combinable groupBys ((lang, source) then
+    lang).  No joins, no windows."""
+    cnts = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    agg = cnts.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.sum("cnt").alias("total_docs"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("sq"),
+        F.max("cnt").alias("mx"),
+    )
+    guard = F.when(
+        F.col("total_docs") <= F.lit(3_000_000),
+        F.col("sq") * F.lit(1_000_000),
+    ).otherwise(
+        F.raise_error(
+            F.lit("hhi_sources: total > 3e6 — shard and merge sum(cnt^2)")
+        ).cast("long")
+    )
+    return agg.select(
+        "lang",
+        "n_sources",
+        "total_docs",
+        guard.alias("_sq6"),
+        (F.col("mx") * F.lit(1_000_000)).alias("_t6"),
+    ).select(
+        "lang",
+        "n_sources",
+        "total_docs",
+        F.expr("_sq6 div total_docs div total_docs").alias("hhi_micro"),
+        F.expr("_t6 div total_docs").alias("top_share_micro"),
+    )

@@ -774,3 +774,43 @@ def test_frequent_pairs_duplicate_tokens_count_once(spark):
            A.frequent_pairs(docs, min_support=2,
                             max_doc_tokens=10).collect()]
     assert out == [("x", "y", 2)]
+
+
+def test_gini_activity_hand_computed(spark):
+    # counts (1, 1, 2) ascending: S1 = 1+2+6 = 9, S0 = 4, n = 3
+    # G = (18 - 16) / 12 = 0.1666.. -> 166666 micro
+    ev = _ev(spark, [
+        (1, _t("2024-01-01T00:00:00"), 10, "click", 0.0, ""),
+        (2, _t("2024-01-01T00:01:00"), 11, "click", 0.0, ""),
+        (3, _t("2024-01-01T00:02:00"), 12, "click", 0.0, ""),
+        (4, _t("2024-01-01T00:03:00"), 12, "click", 0.0, ""),
+    ])
+    r = A.gini_activity(ev).collect()[0]
+    assert (r.event_type, r.n_users, r.total_events, r.gini_micro) == (
+        "click", 3, 4, 166666)
+
+
+def test_gini_activity_uniform_is_zero_and_tie_stable(spark):
+    # equal per-user counts: Gini exactly 0 regardless of tie order
+    ev = _ev(spark, [
+        (i, _t("2024-01-01T00:00:00"), 100 + i, "view", 0.0, "")
+        for i in range(5)
+    ])
+    r = A.gini_activity(ev).collect()[0]
+    assert (r.n_users, r.gini_micro) == (5, 0)
+
+
+def test_hhi_sources_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "A", "x"), (2, "A", "x"), (3, "A", "x"), (4, "A", "y"),
+         (5, "B", "z")],
+        "doc_id long, lang string, source string",
+    )
+    out = {r.lang: r for r in A.hhi_sources(docs).collect()}
+    # A: counts (3,1), total 4: HHI = 10*1e6 // 16 = 625000, top 750000
+    assert (out["A"].n_sources, out["A"].total_docs,
+            out["A"].hhi_micro, out["A"].top_share_micro) == (
+        2, 4, 625000, 750000)
+    # B: single source -> both exactly 1e6
+    assert (out["B"].hhi_micro, out["B"].top_share_micro) == (
+        1_000_000, 1_000_000)
