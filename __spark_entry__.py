@@ -3772,6 +3772,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # via ordered integer division (sq*1e6 div total div total)
         return A.hhi_sources(_docs(spark, sf_dir))
 
+    def weighted_sample_eval(spark, sf_dir):
+        # Horvitz–Thompson calibration of the SHIPPED weighted_sample
+        # (w_max=300, salt ws0 — the driver row's config): all-integer
+        # per-doc div contributions, ratio_milli ~ 1000 or the hash broke
+        return A.weighted_sample_eval(_docs(spark, sf_dir), w_max=300)
+
+    def lang_entropy_by_source(spark, sf_dir):
+        # per-source language-mix Shannon entropy, bm25_batch recipe
+        # (identical float tree floored to micro-nats before the sum)
+        return A.lang_entropy_by_source(_docs(spark, sf_dir))
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -4090,6 +4101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frequent_pairs_overflow": frequent_pairs_overflow,
         "gini_activity": gini_activity,
         "hhi_sources": hhi_sources,
+        "weighted_sample_eval": weighted_sample_eval,
+        "lang_entropy_by_source": lang_entropy_by_source,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -7866,6 +7879,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2 * s1 - (n_users + 1) * total_events) * 1000000
                         // (n_users * total_events) AS BIGINT) AS gini_micro
             FROM a
+        """,
+        # HT calibration of the shipped weighted sampler: same keep
+        # predicate as the weighted_sample oracle, all-integer per-doc
+        # contributions (short kept docs telescope to exactly 300000)
+        "weighted_sample_eval": f"""
+            WITH kept AS (
+              SELECT n_chars FROM documents
+              WHERE {_hex_int_sql(
+                  "md5('ws0:' || CAST(doc_id AS VARCHAR))", 1, 8)} * 300
+                    < CAST(least(n_chars, 300) AS BIGINT) * 4294967296),
+            h AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+                         CAST(coalesce(sum((n_chars * 300 * 1000)
+                              // least(n_chars, 300)), 0) AS BIGINT)
+                             AS ht_est_milli
+                  FROM kept),
+            e AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_chars) AS BIGINT) AS exact_chars
+                  FROM documents)
+            SELECT n_docs, n_kept, exact_chars, ht_est_milli,
+                   CAST(ht_est_milli // exact_chars AS BIGINT)
+                       AS ratio_milli
+            FROM e, h
+        """,
+        # per-source language entropy: identical float tree floored to
+        # micro-nats per (source, lang) BEFORE the integer sum
+        "lang_entropy_by_source": """
+            WITH c AS (SELECT source, lang,
+                              CAST(count(*) AS BIGINT) AS cnt
+                       FROM documents GROUP BY 1, 2),
+            t AS (SELECT source, cnt,
+                         CAST(sum(cnt) OVER (PARTITION BY source)
+                              AS BIGINT) AS total
+                  FROM c),
+            m AS (SELECT source, cnt, total,
+                         CAST(floor((CAST(cnt AS DOUBLE)
+                                     / CAST(total AS DOUBLE))
+                              * ln(CAST(total AS DOUBLE)
+                                   / CAST(cnt AS DOUBLE))
+                              * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                             AS term_micro
+                  FROM t)
+            SELECT source, CAST(count(*) AS BIGINT) AS n_langs,
+                   CAST(max(total) AS BIGINT) AS n_docs,
+                   CAST(sum(term_micro) AS BIGINT) AS entropy_micro
+            FROM m GROUP BY source
         """,
         # per-lang HHI across sources, ordered integer division
         "hhi_sources": """

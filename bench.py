@@ -239,6 +239,7 @@ BAND_MAX_S = {
     "skipgram_pairs": 8.0,           # warm 1.48 (one explode + groupBy)
     "frequent_pairs": 12.0,          # warm 3.67 (a-priori + per-doc join)
     "gini_activity": 4.0,            # warm 0.65 (two aggs + rank window)
+    "lang_entropy_by_source": 4.0,   # warm 0.43 (window sum + micro floor)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -580,6 +581,7 @@ def main() -> None:
         "skipgram_pairs": lambda: force(_entry_q("skipgram_pairs")),
         "frequent_pairs": lambda: force(_entry_q("frequent_pairs")),
         "gini_activity": lambda: force(_entry_q("gini_activity")),
+        "lang_entropy_by_source": lambda: force(_entry_q("lang_entropy_by_source")),
     }
 
     def _entry_q(name):

@@ -10834,3 +10834,89 @@ def hhi_sources(docs: DataFrame) -> DataFrame:
         F.expr("_sq6 div total_docs div total_docs").alias("hhi_micro"),
         F.expr("_t6 div total_docs").alias("top_share_micro"),
     )
+
+
+def weighted_sample_eval(
+    docs: DataFrame,
+    weight_col: str = "n_chars",
+    w_max: int = 300,
+    salt: str = "ws0",
+) -> DataFrame:
+    """Calibration row for the SHIPPED weighted_sample (the lsh_eval
+    pattern: score production code in-engine, never a reimplementation):
+    the Horvitz–Thompson estimate of total corpus chars reconstructed
+    from the sample, vs the exact total.
+
+    All-integer HT: inclusion probability p = min(w, w_max)/w_max, so
+    each kept doc contributes n_chars/p = (n_chars · w_max · 1000) div
+    min(n_chars, w_max) milli-chars — for short docs (w = n_chars) that
+    telescopes to exactly w_max·1000, which is why this sampler's HT
+    estimator is low-variance by construction.  ratio_milli =
+    ht_est_milli div exact_chars should sit near 1000; drift flags a
+    broken hash or a changed keep rule.
+
+    Scale: the sampler is a scan-local filter; the eval adds two global
+    single-row aggregates.  Output: ONE row (n_docs, n_kept,
+    exact_chars, ht_est_milli, ratio_milli)."""
+    kept = weighted_sample(
+        docs, weight_col=weight_col, w_max=w_max, salt=salt, project=False
+    )
+    wc = F.col(weight_col).cast("long")
+    ht = kept.select(
+        F.expr(
+            f"({weight_col} * {w_max} * 1000) div least({weight_col},"
+            f" {w_max}L)"
+        ).alias("c")
+    ).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("ht_est_milli"),
+    )
+    exact = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(wc).alias("exact_chars"),
+    )
+    return exact.crossJoin(F.broadcast(ht)).select(
+        "n_docs",
+        "n_kept",
+        "exact_chars",
+        "ht_est_milli",
+        F.expr("ht_est_milli div exact_chars").alias("ratio_milli"),
+    )
+
+
+def lang_entropy_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source Shannon entropy of the language mix in micro-nats —
+    the diversity card ("is this source monolingual?") that complements
+    hhi_sources' concentration view.
+
+    Cross-engine exactness (the bm25_batch recipe): each (source, lang)
+    contributes floor((cnt/total) · ln(total/cnt) · 1e6) with the float
+    expression tree kept IDENTICAL on both engines — IEEE doubles are
+    deterministic, only aggregation order isn't, and flooring to
+    micro-units BEFORE the integer sum kills the order sensitivity.
+    The residual 1-ulp-at-a-floor-boundary caveat is the documented
+    unigram_surprisal one.
+
+    Scale: one map-side-combinable (source, lang) count, one per-source
+    window sum (partition-scoped), one final aggregate.  No joins."""
+    cnts = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    total = F.sum("cnt").over(Window.partitionBy("source"))
+    term = F.floor(
+        (F.col("cnt").cast("double") / F.col("total").cast("double"))
+        * F.log(
+            F.col("total").cast("double") / F.col("cnt").cast("double")
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    return (
+        cnts.withColumn("total", total)
+        .withColumn("term_micro", term)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max("total").alias("n_docs"),
+            F.sum("term_micro").alias("entropy_micro"),
+        )
+    )

@@ -814,3 +814,39 @@ def test_hhi_sources_hand_computed(spark):
     # B: single source -> both exactly 1e6
     assert (out["B"].hhi_micro, out["B"].top_share_micro) == (
         1_000_000, 1_000_000)
+
+
+def test_weighted_sample_eval_full_weight_is_exact(spark):
+    # every doc at w >= w_max has p = 1: all kept, HT == exact, ratio
+    # exactly 1000
+    docs = spark.createDataFrame(
+        [(1, 300), (2, 400), (3, 1000)], "doc_id long, n_chars long"
+    )
+    r = A.weighted_sample_eval(docs, w_max=300).collect()[0]
+    assert (r.n_docs, r.n_kept, r.exact_chars) == (3, 3, 1700)
+    assert r.ht_est_milli == 1700 * 1000
+    assert r.ratio_milli == 1000
+
+
+def test_weighted_sample_eval_short_docs_telescope(spark):
+    # kept short docs contribute exactly w_max*1000 milli-chars each
+    docs = spark.createDataFrame(
+        [(i, 150) for i in range(40)], "doc_id long, n_chars long"
+    )
+    r = A.weighted_sample_eval(docs, w_max=300).collect()[0]
+    assert r.ht_est_milli == r.n_kept * 300_000
+    assert 0 < r.n_kept < 40  # p = 0.5 sample really thins
+
+
+def test_lang_entropy_by_source_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [(1, "en", "s1"), (2, "en", "s1"), (3, "fr", "s1"),
+         (4, "fr", "s1"), (5, "en", "s2")],
+        "doc_id long, lang string, source string",
+    )
+    out = {r.source: r for r in A.lang_entropy_by_source(docs).collect()}
+    # s1: 50/50 -> 2*floor(0.5*ln(2)*1e6) = 693146 micro-nats
+    assert (out["s1"].n_langs, out["s1"].n_docs,
+            out["s1"].entropy_micro) == (2, 4, 693146)
+    # s2: monolingual -> exactly 0
+    assert (out["s2"].n_langs, out["s2"].entropy_micro) == (1, 0)
