@@ -3783,6 +3783,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (identical float tree floored to micro-nats before the sum)
         return A.lang_entropy_by_source(_docs(spark, sf_dir))
 
+    def walk_skipgrams(spark, sf_dir):
+        # DeepWalk corpus: ±2-step node pairs over the SHIPPED walker's
+        # output (composition row — the walk oracle chain feeds a
+        # self-join pair count)
+        docs = _docs(spark, sf_dir)
+        seeds = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+        walks = A.random_walks(
+            _ring_affine_hub_edges(spark, sf_dir), seeds, walk_len=4
+        )
+        return A.walk_skipgrams(walks, window=2)
+
+    def bootstrap_ci(spark, sf_dir):
+        # deterministic Poissonized bootstrap of mean n_chars: 64
+        # replicates, multiplicities by inverse-CDF over salted u32
+        # hashes vs the precomputed integer thresholds; rank-based
+        # 10/90 interval, everything integer
+        return A.bootstrap_ci(_docs(spark, sf_dir), b_reps=64)
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -4103,6 +4121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hhi_sources": hhi_sources,
         "weighted_sample_eval": weighted_sample_eval,
         "lang_entropy_by_source": lang_entropy_by_source,
+        "walk_skipgrams": walk_skipgrams,
+        "bootstrap_ci": bootstrap_ci,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -4390,7 +4410,7 @@ degree_histogram / degree_assortativity oracles, mirroring
 _ring_affine_hub_edges."""
 
 
-def _walk_ctes(walk_len: int) -> str:
+def _walk_ctes(walk_len: int, as_cte: bool = False) -> str:
     """Unrolled per-step walk CTEs over the _RING_AFFINE_HUB_CTE edge set
     (e1): w0 = the %97 seeds, w{s} = per-walk packed argmin over the
     out-neighbors, cur = packed % 2^32 — the exact Spark expression
@@ -4398,7 +4418,8 @@ def _walk_ctes(walk_len: int) -> str:
     pack stays under 2⁶⁰).  Linear CTE chain: each w{s} references only
     w{s-1}, so DuckDB's per-reference CTE inlining stays linear (the
     k-core 3^rounds re-expansion trap does not apply); e1 is referenced
-    once per step."""
+    once per step.  as_cte=True wraps the step union as a MATERIALIZED
+    `walks` CTE for composed oracles (walk_skipgrams)."""
     ctes = [
         "w0 AS (SELECT CAST(doc_id AS BIGINT) AS walk_id,"
         " CAST(doc_id AS BIGINT) AS cur"
@@ -4422,6 +4443,13 @@ def _walk_ctes(walk_len: int) -> str:
         f" CAST(cur AS BIGINT) AS node FROM w{s}"
         for s in range(walk_len + 1)
     )
+    if as_cte:
+        return (
+            ",\n            ".join(ctes)
+            + ",\n            walks AS MATERIALIZED (\n            "
+            + union
+            + ")"
+        )
     return ",\n            ".join(ctes) + "\n            " + union
 
 
@@ -7879,6 +7907,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST((2 * s1 - (n_users + 1) * total_events) * 1000000
                         // (n_users * total_events) AS BIGINT) AS gini_micro
             FROM a
+        """,
+        # DeepWalk pairs over the walk chain: MATERIALIZED walks CTE
+        # self-joined on walk_id within ±2 steps
+        "walk_skipgrams": f"""
+            WITH {_RING_AFFINE_HUB_CTE},
+            {_walk_ctes(4, as_cte=True)}
+            SELECT a.node AS center, b.node AS context,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM walks a JOIN walks b
+              ON a.walk_id = b.walk_id AND a.step <> b.step
+             AND abs(a.step - b.step) <= 2
+            GROUP BY 1, 2
+        """,
+        # Poissonized bootstrap: shared integer thresholds interpolated
+        # from analysis._POISSON1_CDF_U32, rank-based 10/90 interval
+        # (lo rank 6, hi rank 59 at B=64)
+        "bootstrap_ci": f"""
+            WITH r AS (SELECT n_chars AS x,
+                              CAST(doc_id AS VARCHAR) AS id,
+                              unnest(generate_series(0, 63)) AS b
+                       FROM documents),
+            um AS (SELECT b, x, {_hex_int_sql(
+                "md5('bs:' || CAST(b AS VARCHAR) || ':' || id)", 1, 8
+            )} AS u FROM r),
+            mm AS (SELECT b, x, ({" + ".join(
+                f"CASE WHEN u >= {t} THEN 1 ELSE 0 END"
+                for t in A._POISSON1_CDF_U32
+            )}) AS m FROM um),
+            per AS (SELECT b,
+                           CAST(sum(m * x) * 1000 // sum(m) AS BIGINT)
+                               AS mean_b
+                    FROM mm GROUP BY b HAVING sum(m) > 0),
+            rk AS (SELECT mean_b,
+                          row_number() OVER (ORDER BY mean_b, b) AS rk
+                   FROM per),
+            bounds AS (SELECT
+                         max(CASE WHEN rk = 6 THEN mean_b END) AS lo_milli,
+                         max(CASE WHEN rk = 59 THEN mean_b END) AS hi_milli
+                       FROM rk),
+            base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                            CAST(sum(n_chars) * 1000 // count(*)
+                                 AS BIGINT) AS mean_milli
+                     FROM documents)
+            SELECT n_docs, CAST(64 AS BIGINT) AS b_reps,
+                   mean_milli, lo_milli, hi_milli
+            FROM base, bounds
         """,
         # HT calibration of the shipped weighted sampler: same keep
         # predicate as the weighted_sample oracle, all-integer per-doc

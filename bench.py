@@ -240,6 +240,8 @@ BAND_MAX_S = {
     "frequent_pairs": 12.0,          # warm 3.67 (a-priori + per-doc join)
     "gini_activity": 4.0,            # warm 0.65 (two aggs + rank window)
     "lang_entropy_by_source": 4.0,   # warm 0.43 (window sum + micro floor)
+    "walk_skipgrams": 12.0,          # warm 3.66 (walk chain + pair join)
+    "bootstrap_ci": 5.0,             # warm 0.94 (x64 explode, B-group agg)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -582,6 +584,8 @@ def main() -> None:
         "frequent_pairs": lambda: force(_entry_q("frequent_pairs")),
         "gini_activity": lambda: force(_entry_q("gini_activity")),
         "lang_entropy_by_source": lambda: force(_entry_q("lang_entropy_by_source")),
+        "walk_skipgrams": lambda: force(_entry_q("walk_skipgrams")),
+        "bootstrap_ci": lambda: force(_entry_q("bootstrap_ci")),
     }
 
     def _entry_q(name):

@@ -10920,3 +10920,135 @@ def lang_entropy_by_source(docs: DataFrame) -> DataFrame:
             F.sum("term_micro").alias("entropy_micro"),
         )
     )
+
+
+def walk_skipgrams(walks: DataFrame, window: int = 2) -> DataFrame:
+    """DeepWalk training pairs from a (walk_id, step, node) walk table
+    (random_walks' output shape): directed (center, context) node pairs
+    within ±window steps ON THE SAME WALK, count-aggregated — the graph
+    twin of skipgram_pairs (Perozzi et al., KDD'14: walks are the
+    sentences, nodes the words).
+
+    Scale: self-join keyed on walk_id — walks are short (walk_len+1
+    rows), so per-row fanout is ≤ 2·window and the join input is the
+    seed count × walk length, not the corpus; one map-side-combinable
+    groupBy on the pair."""
+    if not 1 <= window <= 16:
+        raise ValueError("walk_skipgrams: window in [1, 16]")
+    a = walks.select(
+        "walk_id", F.col("step").alias("sa"), F.col("node").alias("center")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("sb"), F.col("node").alias("context")
+    )
+    return (
+        a.join(b, "walk_id")
+        .filter(
+            (F.col("sa") != F.col("sb"))
+            & (F.abs(F.col("sa") - F.col("sb")) <= window)
+        )
+        .groupBy("center", "context")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# floor(CDF_Poisson(1)(k) * 2^32) for k = 0..6 — the inverse-CDF
+# thresholds of the Poissonized bootstrap.  Computed ONCE here from
+# libm doubles and used as integer LITERALS on both engines (the
+# oracle interpolates this tuple), so engine libm differences cannot
+# split the multiplicity decision.
+_POISSON1_CDF_U32 = tuple(
+    int(math.floor(2**32 * math.exp(-1) * sum(
+        1.0 / math.factorial(j) for j in range(k + 1)
+    )))
+    for k in range(7)
+)
+
+
+def bootstrap_ci(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    b_reps: int = 64,
+    salt: str = "bs",
+) -> DataFrame:
+    """Deterministic Poissonized bootstrap of the corpus mean — the
+    error-bar card for any per-doc statistic ("is the mean doc length
+    of slice A really above slice B?").  True bootstrap multinomial
+    resampling is replaced by independent Poisson(1) multiplicities
+    per (doc, replicate) — the standard large-n approximation — drawn
+    by inverse-CDF over a salted u32 hash against the PRECOMPUTED
+    integer thresholds _POISSON1_CDF_U32 (multiplicity capped at 7;
+    P(>7) < 1e-5), so every multiplicity is reproducible and
+    cross-engine exact.
+
+    All-integer: replicate means are sum(m·x)·1000 div sum(m);
+    the interval is rank-based — lo = the (B div 10)-th smallest
+    replicate mean, hi = the (B − B div 10 + 1)-th — no float
+    percentile interpolation anywhere.
+
+    Scale: one explode (docs × B) into a B-group map-side-combinable
+    aggregate; the final rank runs over B rows (a single tiny
+    partition).  At 100 TB bootstrap a weighted_sample of the corpus,
+    not the corpus.  Output: ONE row (n_docs, b_reps, mean_milli,
+    lo_milli, hi_milli)."""
+    if not 10 <= b_reps <= 1024:
+        raise ValueError("bootstrap_ci: b_reps in [10, 1024]")
+    x = F.col(value_col).cast("long")
+    rep = docs.select(
+        x.alias("x"),
+        F.col("doc_id").cast("string").alias("_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(b_reps - 1))).alias("b"),
+    )
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(salt + ":"),
+                    F.col("b").cast("string"),
+                    F.lit(":"),
+                    F.col("_id"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    m = sum(
+        (u >= F.lit(t)).cast("long") for t in _POISSON1_CDF_U32
+    )
+    per = (
+        rep.select("b", "x", m.alias("m"))
+        .groupBy("b")
+        .agg(
+            F.sum("m").alias("n_b"),
+            F.sum(F.col("m") * F.col("x")).alias("s_b"),
+        )
+        .filter(F.col("n_b") > 0)
+        .select("b", F.expr("s_b * 1000 div n_b").alias("mean_b"))
+    )
+    w = Window.orderBy("mean_b", "b")
+    ranked = per.withColumn("rk", F.row_number().over(w))
+    lo_rk = max(1, b_reps // 10)
+    hi_rk = b_reps - b_reps // 10 + 1
+    bounds = ranked.agg(
+        F.count(F.lit(1)).alias("_b_eff"),
+        F.max(F.when(F.col("rk") == lo_rk, F.col("mean_b"))).alias(
+            "lo_milli"
+        ),
+        F.max(F.when(F.col("rk") == hi_rk, F.col("mean_b"))).alias(
+            "hi_milli"
+        ),
+    )
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(x).alias("_sx"),
+    )
+    return base.crossJoin(F.broadcast(bounds)).select(
+        "n_docs",
+        F.lit(b_reps).cast("long").alias("b_reps"),
+        F.expr("_sx * 1000 div n_docs").alias("mean_milli"),
+        "lo_milli",
+        "hi_milli",
+    )

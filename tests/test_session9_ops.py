@@ -850,3 +850,65 @@ def test_lang_entropy_by_source_hand_computed(spark):
             out["s1"].entropy_micro) == (2, 4, 693146)
     # s2: monolingual -> exactly 0
     assert (out["s2"].n_langs, out["s2"].entropy_micro) == (1, 0)
+
+
+def test_walk_skipgrams_hand_computed(spark):
+    walks = spark.createDataFrame(
+        [(5, 0, 7), (5, 1, 8), (5, 2, 9)],
+        "walk_id long, step int, node long",
+    )
+    out = {(r.center, r.context): r.n_pairs for r in
+           A.walk_skipgrams(walks, window=2).collect()}
+    assert out == {(7, 8): 1, (8, 7): 1, (7, 9): 1, (9, 7): 1,
+                   (8, 9): 1, (9, 8): 1}
+
+
+def test_walk_skipgrams_window_and_cross_walk_isolation(spark):
+    # window 1 drops the distance-2 pair; two walks never pair up
+    walks = spark.createDataFrame(
+        [(1, 0, 7), (1, 1, 8), (1, 2, 9), (2, 0, 7), (2, 1, 8)],
+        "walk_id long, step int, node long",
+    )
+    out = {(r.center, r.context): r.n_pairs for r in
+           A.walk_skipgrams(walks, window=1).collect()}
+    assert out == {(7, 8): 2, (8, 7): 2, (8, 9): 1, (9, 8): 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        A.walk_skipgrams(walks, window=0)
+
+
+def test_bootstrap_ci_matches_python_replica(spark):
+    import hashlib
+
+    n, B = 30, 16
+    vals = [100 + 7 * i for i in range(n)]
+    docs = spark.createDataFrame(
+        [(i, vals[i]) for i in range(n)], "doc_id long, n_chars long"
+    )
+    r = A.bootstrap_ci(docs, b_reps=B).collect()[0]
+
+    def mult(b, i):
+        u = int(hashlib.md5(f"bs:{b}:{i}".encode()).hexdigest()[:8], 16)
+        return sum(1 for t in A._POISSON1_CDF_U32 if u >= t)
+
+    means = []
+    for b in range(B):
+        ms = [mult(b, i) for i in range(n)]
+        if sum(ms) > 0:
+            means.append(
+                sum(m * x for m, x in zip(ms, vals)) * 1000 // sum(ms)
+            )
+    means.sort()
+    lo_rk, hi_rk = max(1, B // 10), B - B // 10 + 1
+    assert r.n_docs == n and r.b_reps == B
+    assert r.mean_milli == sum(vals) * 1000 // n
+    assert r.lo_milli == means[lo_rk - 1]
+    assert r.hi_milli == means[hi_rk - 1]
+    assert r.lo_milli <= r.mean_milli <= r.hi_milli
+
+
+def test_bootstrap_ci_validates(spark):
+    import pytest as _pt
+    docs = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
+    with _pt.raises(ValueError):
+        A.bootstrap_ci(docs, b_reps=5)
