@@ -3801,6 +3801,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 10/90 interval, everything integer
         return A.bootstrap_ci(_docs(spark, sf_dir), b_reps=64)
 
+    def cusum_anomaly(spark, sf_dir):
+        # sustained-drift detector: integer CUSUM in closed window form
+        # (prefix sum minus running min, everything scaled by n_days)
+        return E.cusum_anomaly(_events(spark, sf_dir), h_means=2)
+
+    def weekday_profile(spark, sf_dir):
+        # weekly-rhythm chi-square vs uniform; dow = pmod(day-index, 7)
+        # from the Monday anchor, never an engine dayofweek()
+        return E.weekday_profile(_events(spark, sf_dir))
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -4123,6 +4133,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_entropy_by_source": lang_entropy_by_source,
         "walk_skipgrams": walk_skipgrams,
         "bootstrap_ci": bootstrap_ci,
+        "cusum_anomaly": cusum_anomaly,
+        "weekday_profile": weekday_profile,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -7906,6 +7918,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, n_users, total_events,
                    CAST((2 * s1 - (n_users + 1) * total_events) * 1000000
                         // (n_users * total_events) AS BIGINT) AS gini_micro
+            FROM a
+        """,
+        # CUSUM in closed form: prefix sum of (n_days*x - total) minus
+        # its running min, flag at 2 mean-days; observed days only
+        "cusum_anomaly": """
+            WITH daily AS (SELECT event_type,
+                     CAST(datediff('day', DATE '2024-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1, 2),
+            e AS (SELECT event_type, day, cnt,
+                    CAST(sum(cnt) OVER (PARTITION BY event_type)
+                         AS BIGINT) AS total,
+                    CAST(count(*) OVER (PARTITION BY event_type)
+                         AS BIGINT) AS n_days
+                  FROM daily),
+            s AS (SELECT event_type, day, cnt, total,
+                    sum(n_days * cnt - total) OVER (
+                        PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS p
+                  FROM e),
+            m AS (SELECT event_type, day, cnt, total, p,
+                    min(p) OVER (PARTITION BY event_type ORDER BY day
+                        ROWS UNBOUNDED PRECEDING) AS pmin
+                  FROM s)
+            SELECT event_type, day, cnt,
+                   CAST((p - pmin) * 1000 // total AS BIGINT)
+                       AS cusum_milli,
+                   CAST(CASE WHEN (p - pmin) > 2 * total
+                        THEN 1 ELSE 0 END AS INT) AS flagged
+            FROM m
+        """,
+        # chi-square uniformity over the 7 weekday cells (absent cells
+        # contribute total^2 each); division ordered last
+        "weekday_profile": """
+            WITH d AS (SELECT event_type,
+                     ((CAST(datediff('day', DATE '2024-01-01',
+                            CAST(ts AS DATE)) AS BIGINT) % 7) + 7) % 7
+                         AS dow
+                   FROM events),
+            c AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS cnt
+                  FROM d GROUP BY 1, 2),
+            p AS (SELECT event_type, cnt,
+                    CAST(sum(cnt) OVER (PARTITION BY event_type)
+                         AS BIGINT) AS total
+                  FROM c),
+            a AS (SELECT event_type,
+                    CAST(max(total) AS BIGINT) AS total_events,
+                    CAST(count(*) AS BIGINT) AS n_dows,
+                    CAST(sum((cnt * 7 - total) * (cnt * 7 - total))
+                         AS BIGINT) AS obs_num
+                  FROM p GROUP BY 1)
+            SELECT event_type, total_events, n_dows,
+                   CAST((obs_num + (7 - n_dows) * total_events
+                         * total_events) * 1000000
+                        // (7 * total_events) AS BIGINT) AS chi2_micro
             FROM a
         """,
         # DeepWalk pairs over the walk chain: MATERIALIZED walks CTE

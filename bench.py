@@ -242,6 +242,7 @@ BAND_MAX_S = {
     "lang_entropy_by_source": 4.0,   # warm 0.43 (window sum + micro floor)
     "walk_skipgrams": 12.0,          # warm 3.66 (walk chain + pair join)
     "bootstrap_ci": 5.0,             # warm 0.94 (x64 explode, B-group agg)
+    "cusum_anomaly": 7.0,            # warm 1.91 (two windows per type)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -586,6 +587,7 @@ def main() -> None:
         "lang_entropy_by_source": lambda: force(_entry_q("lang_entropy_by_source")),
         "walk_skipgrams": lambda: force(_entry_q("walk_skipgrams")),
         "bootstrap_ci": lambda: force(_entry_q("bootstrap_ci")),
+        "cusum_anomaly": lambda: force(_entry_q("cusum_anomaly")),
     }
 
     def _entry_q(name):

@@ -759,3 +759,117 @@ def rolling_active_users(
             F.expr("dau * 1000 div wau").alias("stickiness_milli"),
         )
     )
+
+
+def cusum_anomaly(
+    events: DataFrame, anchor: str = "2024-01-01", h_means: int = 2
+) -> DataFrame:
+    """Per-type CUSUM changepoint card over daily event counts — the
+    sustained-drift detector that hourly_anomalies' pointwise z-test
+    cannot be (a 20% lift spread over a week never trips a z=2 gate on
+    any single hour, but its CUSUM climbs every day).
+
+    The textbook recursion S_t = max(0, S_{t-1} + (x_t − k)) is not
+    window-expressible, but its closed form IS: S_t = P_t − min_{j≤t}
+    P_j with P the prefix sum of (x − k).  With drift k = the per-type
+    mean, everything scales by n_days to stay integer: P'_t = Σ
+    (n_days·x_j − total) = n_days·P_t, so S'_t = P'_t − running_min(P'_t)
+    = n_days·S_t, and the flag S_t > h·mean becomes S'_t > h·total
+    exactly.  cusum_milli = S'_t·1000 div total reports S_t in
+    milli-mean-days.
+
+    Day axis: observed (event_type, day) buckets ordered by day index
+    (datediff from the anchor — the retention convention); an absent
+    day contributes no row and no decay, documented, matching the
+    oracle.  Scale: one map-side-combinable daily count, two window
+    functions over the per-type day series (partition-scoped sort),
+    no joins.  Output: (event_type, day, cnt, cusum_milli, flagged)."""
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit(anchor))).cast(
+        "long"
+    )
+    daily = events.select(day.alias("day"), "event_type").groupBy(
+        "event_type", "day"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wtype = Window.partitionBy("event_type")
+    word = wtype.orderBy("day")
+    enriched = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.sum("cnt").over(wtype).alias("total"),
+        F.count(F.lit(1)).over(wtype).alias("n_days"),
+    )
+    p = F.sum(
+        F.col("n_days") * F.col("cnt") - F.col("total")
+    ).over(word.rowsBetween(Window.unboundedPreceding, 0))
+    stepped = enriched.withColumn("p", p).withColumn(
+        "s",
+        F.col("p")
+        - F.min("p").over(word.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return stepped.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.expr("s * 1000 div total").alias("cusum_milli"),
+        (F.col("s") > F.lit(h_means) * F.col("total"))
+        .cast("int")
+        .alias("flagged"),
+    )
+
+
+def weekday_profile(
+    events: DataFrame, anchor: str = "2024-01-01"
+) -> DataFrame:
+    """Per-type day-of-week seasonality card with a chi-square
+    goodness-of-fit test against uniformity — "does this event type
+    actually have a weekly rhythm, or is the Monday bump noise?".
+
+    Weekday is pmod(day-index, 7) with day-index = datediff from the
+    Monday anchor — NEVER an engine dayofweek() (Spark counts from
+    Sunday=1, DuckDB from Sunday=0; the integer arithmetic is shared
+    verbatim instead).  All-integer chi²: with E = total/7,
+    Σ(O−E)²/E = Σ(7·O_i − total)² / (7·total) over ALL SEVEN cells —
+    absent weekdays contribute (7·0 − total)² = total² each, added as
+    (7 − n_dows)·total².  chi2_micro orders the division last and
+    REFUSES (raise_error) when total > 5e6 (the numerator is bounded
+    by 343·total², so that keeps ·10⁶ in LongType); beyond that,
+    shard and merge the per-cell numerators.
+
+    Scale: one (type, dow) count, one per-type aggregate.  Output:
+    (event_type, total_events, n_dows, chi2_micro)."""
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit(anchor))).cast(
+        "long"
+    )
+    dows = events.select(
+        "event_type", F.pmod(day, F.lit(7)).alias("dow")
+    ).groupBy("event_type", "dow").agg(F.count(F.lit(1)).alias("cnt"))
+    wtype = Window.partitionBy("event_type")
+    per = dows.withColumn("total", F.sum("cnt").over(wtype))
+    dev = F.col("cnt") * F.lit(7) - F.col("total")
+    agg = per.groupBy("event_type").agg(
+        F.max("total").alias("total_events"),
+        F.count(F.lit(1)).alias("n_dows"),
+        F.sum(dev * dev).alias("_obs_num"),
+    )
+    num = F.col("_obs_num") + (F.lit(7) - F.col("n_dows")) * F.col(
+        "total_events"
+    ) * F.col("total_events")
+    guarded = F.when(
+        F.col("total_events") <= F.lit(5_000_000), num * F.lit(1_000_000)
+    ).otherwise(
+        F.raise_error(
+            F.lit("weekday_profile: total > 5e6 — shard cell numerators")
+        ).cast("long")
+    )
+    return agg.select(
+        "event_type",
+        "total_events",
+        "n_dows",
+        guarded.alias("_n6"),
+    ).select(
+        "event_type",
+        "total_events",
+        "n_dows",
+        F.expr("_n6 div (7 * total_events)").alias("chi2_micro"),
+    )

@@ -912,3 +912,60 @@ def test_bootstrap_ci_validates(spark):
     docs = spark.createDataFrame([(1, 10)], "doc_id long, n_chars long")
     with _pt.raises(ValueError):
         A.bootstrap_ci(docs, b_reps=5)
+
+
+def test_cusum_anomaly_hand_computed(spark):
+    # counts (1,1,1,5): scaled devs (4x-8) = (-4,-4,-4,12), prefix
+    # (-4,-8,-12,0), runmin (-4,-8,-12,-12) -> S' = (0,0,0,12);
+    # S_true = 3 = 1.5 means -> 1500 milli; flag at h=1 (12 > 8), not h=2
+    rows = []
+    eid = 0
+    for d, c in enumerate([1, 1, 1, 5]):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, _t(f"2024-01-0{d+1}T10:00:00"),
+                         1, "click", 0.0, ""))
+    ev = _ev(spark, rows)
+    out = {r.day: r for r in E.cusum_anomaly(ev, h_means=2).collect()}
+    assert [out[d].cusum_milli for d in range(4)] == [0, 0, 0, 1500]
+    assert out[3].flagged == 0
+    out1 = {r.day: r for r in E.cusum_anomaly(ev, h_means=1).collect()}
+    assert out1[3].flagged == 1
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    # the window form (prefix sum - running min) must equal the
+    # textbook recursion S_t = max(0, S_{t-1} + (x_t - k)) in the
+    # n_days-scaled integer space
+    counts = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, _t(f"2024-01-{d+1:02d}T00:00:00"),
+                         1, "view", 0.0, ""))
+    ev = _ev(spark, rows)
+    n, total = len(counts), sum(counts)
+    s, expect = 0, []
+    for c in counts:
+        s = max(0, s + (n * c - total))
+        expect.append(s * 1000 // total)
+    out = {r.day: r.cusum_milli for r in E.cusum_anomaly(ev).collect()}
+    assert [out[d] for d in range(n)] == expect
+
+
+def test_weekday_profile_hand_computed(spark):
+    # all 7 events on one weekday: chi2 = 36 + 6*1 = 42 exactly
+    rows = [(i, _t("2024-01-01T10:00:00"), 1, "click", 0.0, "")
+            for i in range(7)]
+    r = E.weekday_profile(_ev(spark, rows)).collect()[0]
+    assert (r.total_events, r.n_dows, r.chi2_micro) == (7, 1, 42_000_000)
+
+
+def test_weekday_profile_uniform_is_zero(spark):
+    # one event per weekday (Mon 2024-01-01 .. Sun 2024-01-07)
+    rows = [(d, _t(f"2024-01-{d+1:02d}T10:00:00"), 1, "view", 0.0, "")
+            for d in range(7)]
+    r = E.weekday_profile(_ev(spark, rows)).collect()[0]
+    assert (r.total_events, r.n_dows, r.chi2_micro) == (7, 7, 0)
