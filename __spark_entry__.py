@@ -3811,6 +3811,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from the Monday anchor, never an engine dayofweek()
         return E.weekday_profile(_events(spark, sf_dir))
 
+    def dispersion_report(spark, sf_dir):
+        # Fano factor + lag-1 ACF of the per-type daily series, all
+        # integer with sign peeled before division (zipf_fit rule)
+        return E.dispersion_report(_events(spark, sf_dir))
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -4135,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bootstrap_ci": bootstrap_ci,
         "cusum_anomaly": cusum_anomaly,
         "weekday_profile": weekday_profile,
+        "dispersion_report": dispersion_report,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -7949,6 +7955,45 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (p - pmin) > 2 * total
                         THEN 1 ELSE 0 END AS INT) AS flagged
             FROM m
+        """,
+        # Fano + lag-1 ACF over scaled deviations dev = n*x - S
+        # (sum exactly 0); sign peeled off before integer division
+        "dispersion_report": """
+            WITH daily AS (SELECT event_type,
+                     CAST(datediff('day', DATE '2024-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1, 2),
+            e AS (SELECT event_type, day, cnt,
+                    CAST(sum(cnt) OVER (PARTITION BY event_type)
+                         AS BIGINT) AS s,
+                    CAST(count(*) OVER (PARTITION BY event_type)
+                         AS BIGINT) AS n
+                  FROM daily),
+            d AS (SELECT event_type, cnt, s, n,
+                    n * cnt - s AS dev,
+                    lag(n * cnt - s) OVER (PARTITION BY event_type
+                        ORDER BY day) AS lagdev
+                  FROM e),
+            a AS (SELECT event_type,
+                    CAST(max(n) AS BIGINT) AS n_days,
+                    CAST(max(s) AS BIGINT) AS total_events,
+                    CAST(sum(cnt * cnt) AS BIGINT) AS q,
+                    CAST(coalesce(sum(dev * lagdev), 0) AS BIGINT) AS num,
+                    CAST(sum(dev * dev) AS BIGINT) AS den
+                  FROM d GROUP BY 1)
+            SELECT event_type, n_days, total_events,
+                   CAST(total_events * 1000 // n_days AS BIGINT)
+                       AS mean_milli,
+                   CAST(CASE WHEN n_days > 1
+                        THEN (n_days * q - total_events * total_events)
+                             * 1000 // (total_events * (n_days - 1))
+                        ELSE 0 END AS BIGINT) AS fano_milli,
+                   CAST(CASE WHEN den = 0 THEN 0
+                        WHEN num >= 0 THEN (num * 1000) // den
+                        ELSE -((-num * 1000) // den) END AS BIGINT)
+                       AS acf1_milli
+            FROM a
         """,
         # chi-square uniformity over the 7 weekday cells (absent cells
         # contribute total^2 each); division ordered last

@@ -243,6 +243,7 @@ BAND_MAX_S = {
     "walk_skipgrams": 12.0,          # warm 3.66 (walk chain + pair join)
     "bootstrap_ci": 5.0,             # warm 0.94 (x64 explode, B-group agg)
     "cusum_anomaly": 7.0,            # warm 1.91 (two windows per type)
+    "dispersion_report": 7.0,        # warm 1.73 (window + lag per type)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -588,6 +589,7 @@ def main() -> None:
         "walk_skipgrams": lambda: force(_entry_q("walk_skipgrams")),
         "bootstrap_ci": lambda: force(_entry_q("bootstrap_ci")),
         "cusum_anomaly": lambda: force(_entry_q("cusum_anomaly")),
+        "dispersion_report": lambda: force(_entry_q("dispersion_report")),
     }
 
     def _entry_q(name):

@@ -873,3 +873,75 @@ def weekday_profile(
         "n_dows",
         F.expr("_n6 div (7 * total_events)").alias("chi2_micro"),
     )
+
+
+def dispersion_report(
+    events: DataFrame, anchor: str = "2024-01-01"
+) -> DataFrame:
+    """Per-type daily-count dispersion card: Fano factor (variance/mean
+    — the Poisson-ness test: ≈1000 milli for a memoryless stream,
+    higher = bursty, lower = regular) and lag-1 autocorrelation of the
+    observed-day series (the "does yesterday predict today?"
+    complement; cusum_anomaly flags WHERE drift happens, this says
+    whether the series is drift-prone at all).
+
+    All-integer: with n days, S = Σx, Q = Σx², and scaled deviations
+    dev = n·x − S (so Σdev = 0 exactly),
+      fano_milli = (n·Q − S²)·1000 div (S·(n−1))   [n·Q ≥ S², so ≥ 0]
+      acf1_milli = sign(num)·(|num|·1000 div den), num = Σ dev_t·dev_{t−1},
+                   den = Σ dev²
+    — the sign is peeled off BEFORE the division (the zipf_fit
+    convention: Spark div truncates toward zero, DuckDB // floors, and
+    they agree only on non-negative operands).  Degenerate guards:
+    single-day series report fano 0; constant series (den = 0) report
+    acf1 0.
+
+    Scale: one map-side-combinable daily count, one per-type window
+    pass (lag over the observed-day order — absent days are absent,
+    the cusum convention), one final aggregate.  Output: (event_type,
+    n_days, total_events, mean_milli, fano_milli, acf1_milli)."""
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit(anchor))).cast(
+        "long"
+    )
+    daily = events.select(day.alias("day"), "event_type").groupBy(
+        "event_type", "day"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wtype = Window.partitionBy("event_type")
+    word = wtype.orderBy("day")
+    dev = F.col("n") * F.col("cnt") - F.col("s")
+    per = (
+        daily.select(
+            "event_type",
+            "day",
+            "cnt",
+            F.sum("cnt").over(wtype).alias("s"),
+            F.count(F.lit(1)).over(wtype).alias("n"),
+        )
+        .withColumn("dev", dev)
+        .withColumn("lagdev", F.lag("dev").over(word))
+    )
+    agg = per.groupBy("event_type").agg(
+        F.max("n").alias("n_days"),
+        F.max("s").alias("total_events"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("q"),
+        F.coalesce(
+            F.sum(F.col("dev") * F.col("lagdev")), F.lit(0)
+        ).alias("num"),
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        "total_events",
+        F.expr("total_events * 1000 div n_days").alias("mean_milli"),
+        F.expr(
+            "CASE WHEN n_days > 1 THEN (n_days * q - total_events"
+            " * total_events) * 1000 div (total_events * (n_days - 1))"
+            " ELSE 0L END"
+        ).alias("fano_milli"),
+        F.expr(
+            "CASE WHEN den = 0 THEN 0L"
+            " WHEN num >= 0 THEN (num * 1000) div den"
+            " ELSE -((-num * 1000) div den) END"
+        ).alias("acf1_milli"),
+    )

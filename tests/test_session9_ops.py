@@ -969,3 +969,32 @@ def test_weekday_profile_uniform_is_zero(spark):
             for d in range(7)]
     r = E.weekday_profile(_ev(spark, rows)).collect()[0]
     assert (r.total_events, r.n_dows, r.chi2_micro) == (7, 7, 0)
+
+
+def test_dispersion_report_hand_computed(spark):
+    # counts (2, 4): n=2, S=6, Q=20: fano = (40-36)/(6*1) = 0.666 ->
+    # 666 milli.  devs (2*2-6, 2*4-6) = (-2, 2): num = -4, den = 8 ->
+    # acf1 = -500 milli (sign peeled before division)
+    rows = []
+    eid = 0
+    for d, c in enumerate([2, 4]):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, _t(f"2024-01-0{d+1}T00:00:00"),
+                         1, "click", 0.0, ""))
+    r = E.dispersion_report(_ev(spark, rows)).collect()[0]
+    assert (r.n_days, r.total_events, r.mean_milli) == (2, 6, 3000)
+    assert r.fano_milli == 666
+    assert r.acf1_milli == -500
+
+
+def test_dispersion_report_degenerate_guards(spark):
+    # constant series: fano 0 and acf1 0 (den = 0 guard);
+    # single day: fano 0 (n = 1 guard)
+    rows = [(1, _t("2024-01-01T00:00:00"), 1, "view", 0.0, ""),
+            (2, _t("2024-01-02T00:00:00"), 1, "view", 0.0, ""),
+            (3, _t("2024-01-01T00:00:00"), 1, "click", 0.0, "")]
+    out = {r.event_type: r for r in
+           E.dispersion_report(_ev(spark, rows)).collect()}
+    assert (out["view"].fano_milli, out["view"].acf1_milli) == (0, 0)
+    assert (out["click"].n_days, out["click"].fano_milli) == (1, 0)
