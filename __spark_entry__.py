@@ -3816,6 +3816,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer with sign peeled before division (zipf_fit rule)
         return E.dispersion_report(_events(spark, sf_dir))
 
+    def rich_club(spark, sf_dir):
+        # hub-clique density curve at deg cutoffs 5/6/8 (the fixture's
+        # degree strata are 460@6, 30@7, 10@9) — k levels ride a 3-row
+        # broadcast cross join so the edge stream is scanned once
+        return A.rich_club(_ring_affine_hub_edges(spark, sf_dir))
+
     def dedup_components_tfidf(spark, sf_dir):
         # r5 session-8: LSS components over the TF-IDF cosine graph —
         # the fifth dedup family's cluster composition (300 planted
@@ -4141,6 +4147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cusum_anomaly": cusum_anomaly,
         "weekday_profile": weekday_profile,
         "dispersion_report": dispersion_report,
+        "rich_club": rich_club,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -7955,6 +7962,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (p - pmin) > 2 * total
                         THEN 1 ELSE 0 END AS INT) AS flagged
             FROM m
+        """,
+        # rich-club density per degree cutoff over the shared fixture
+        "rich_club": f"""
+            WITH {_RING_AFFINE_HUB_CTE},
+            und AS (SELECT DISTINCT least(src, dst) AS lo,
+                           greatest(src, dst) AS hi FROM e1),
+            deg AS MATERIALIZED (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+                SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+              GROUP BY node),
+            ks AS (SELECT unnest([5, 6, 8]) AS k),
+            nk AS (SELECT k, CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_nodes
+                   FROM deg, ks GROUP BY k),
+            ek AS (SELECT k, CAST(sum(CASE WHEN a.deg > k AND b.deg > k
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_edges
+                   FROM und JOIN deg a ON a.node = und.lo
+                            JOIN deg b ON b.node = und.hi, ks
+                   GROUP BY k)
+            SELECT CAST(nk.k AS BIGINT) AS k, n_nodes, n_edges,
+                   CAST(CASE WHEN n_nodes >= 2 THEN n_edges * 2000
+                        // (n_nodes * (n_nodes - 1)) ELSE 0 END
+                        AS BIGINT) AS phi_milli
+            FROM nk JOIN ek ON ek.k = nk.k
         """,
         # Fano + lag-1 ACF over scaled deviations dev = n*x - S
         # (sum exactly 0); sign peeled off before integer division

@@ -244,6 +244,7 @@ BAND_MAX_S = {
     "bootstrap_ci": 5.0,             # warm 0.94 (x64 explode, B-group agg)
     "cusum_anomaly": 7.0,            # warm 1.91 (two windows per type)
     "dispersion_report": 7.0,        # warm 1.73 (window + lag per type)
+    "rich_club": 8.0,                # warm 2.21 (deg joins + 3-row cross)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -590,6 +591,7 @@ def main() -> None:
         "bootstrap_ci": lambda: force(_entry_q("bootstrap_ci")),
         "cusum_anomaly": lambda: force(_entry_q("cusum_anomaly")),
         "dispersion_report": lambda: force(_entry_q("dispersion_report")),
+        "rich_club": lambda: force(_entry_q("rich_club")),
     }
 
     def _entry_q(name):

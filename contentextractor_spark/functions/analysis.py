@@ -11052,3 +11052,86 @@ def bootstrap_ci(
         "lo_milli",
         "hi_milli",
     )
+
+
+def rich_club(
+    edges: DataFrame, ks: tuple[int, ...] = (5, 6, 8)
+) -> DataFrame:
+    """Rich-club coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) at each
+    degree cutoff k: do high-degree nodes preferentially link to EACH
+    OTHER (hub cliques — mirror farms, navigation rings) or only
+    downward?  Complements degree_assortativity (a single global
+    correlation) with the per-stratum density curve (Zhou & Mondragón,
+    IEEE Comm. Lett. 2004).
+
+    All-integer: phi_milli = E_k·2000 div (N_k·(N_k−1)); N_k < 2
+    reports 0 (empty club).  Undirected simple graph: edges dedup to
+    (lo, hi), degree counts both endpoints.
+
+    Scale: degree table via one exploded groupBy; edges pick up both
+    endpoint degrees through two joins on the node key; the k levels
+    ride a 3-row broadcast cross join (conditional-sum unpivot — the
+    vocab_growth pattern), so the edge stream is scanned once.
+    Output: (k, n_nodes, n_edges, phi_milli) per cutoff."""
+    if not ks or any(k < 0 for k in ks):
+        raise ValueError("rich_club: ks must be non-negative")
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("lo"),
+            F.greatest("src", "dst").alias("hi"),
+        )
+        .filter(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .unionAll(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    kdf = F.broadcast(
+        und.sparkSession.createDataFrame(
+            [(int(k),) for k in sorted(ks)], "k long"
+        )
+    )
+    nodes_k = (
+        deg.crossJoin(kdf)
+        .groupBy("k")
+        .agg(
+            F.sum((F.col("deg") > F.col("k")).cast("long")).alias(
+                "n_nodes"
+            )
+        )
+    )
+    ed = (
+        und.join(
+            deg.select(F.col("node").alias("lo"), F.col("deg").alias("dlo")),
+            "lo",
+        )
+        .join(
+            deg.select(F.col("node").alias("hi"), F.col("deg").alias("dhi")),
+            "hi",
+        )
+        .crossJoin(kdf)
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (
+                    (F.col("dlo") > F.col("k"))
+                    & (F.col("dhi") > F.col("k"))
+                ).cast("long")
+            ).alias("n_edges")
+        )
+    )
+    return (
+        nodes_k.join(ed, "k")
+        .select(
+            "k",
+            "n_nodes",
+            "n_edges",
+            F.expr(
+                "CASE WHEN n_nodes >= 2 THEN n_edges * 2000"
+                " div (n_nodes * (n_nodes - 1)) ELSE 0L END"
+            ).alias("phi_milli"),
+        )
+    )

@@ -998,3 +998,26 @@ def test_dispersion_report_degenerate_guards(spark):
            E.dispersion_report(_ev(spark, rows)).collect()}
     assert (out["view"].fano_milli, out["view"].acf1_milli) == (0, 0)
     assert (out["click"].n_days, out["click"].fano_milli) == (1, 0)
+
+
+def test_rich_club_hand_computed(spark):
+    # K4 on 0..3 (deg 3 each) + pendants 4-5 off nodes 0,1 (deg 4
+    # for 0,1; deg 1 pendants).  k=3: club {0,1} (deg>3), E=1 edge
+    # (0,1) -> phi = 2*1/(2*1) = 1000 milli.  k=0: whole graph.
+    edges = _edges(spark, (
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(0, 4), (1, 5)]
+    ))
+    out = {r.k: r for r in A.rich_club(edges, ks=(0, 3)).collect()}
+    assert (out[3].n_nodes, out[3].n_edges, out[3].phi_milli) == (2, 1, 1000)
+    # k=0: 6 nodes, 8 edges: phi = 16000 // 30 = 533
+    assert (out[0].n_nodes, out[0].n_edges, out[0].phi_milli) == (6, 8, 533)
+
+
+def test_rich_club_empty_club_and_validation(spark):
+    import pytest as _pt
+    edges = _edges(spark, [(0, 1)])
+    out = {r.k: r for r in A.rich_club(edges, ks=(5,)).collect()}
+    assert (out[5].n_nodes, out[5].phi_milli) == (0, 0)
+    with _pt.raises(ValueError):
+        A.rich_club(edges, ks=())
