@@ -3816,6 +3816,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer with sign peeled before division (zipf_fit rule)
         return E.dispersion_report(_events(spark, sf_dir))
 
+    def bloom_eval(spark, sf_dir):
+        # FPR calibration of the shipped bloom bitmap (shared
+        # _bloom_bitmap path) over the corpus's distinct shingle
+        # universe + the fill ratio that predicts it
+        docs = _docs(spark, sf_dir)
+        return A.bloom_eval(
+            docs, docs.filter(F.col("doc_id") < 20), n=3, n_hashes=3,
+            n_bits=4096,
+        )
+
+    def benford_values(spark, sf_dir):
+        # first-digit chi2 vs the Benford reference: digits from the
+        # integer-cents decimal string, per-cell identical float tree
+        # floored to milli (bm25_batch recipe), 9-cell broadcast grid
+        return E.benford_values(_events(spark, sf_dir))
+
     def rich_club(spark, sf_dir):
         # hub-clique density curve at deg cutoffs 5/6/8 (the fixture's
         # degree strata are 460@6, 30@7, 10@9) — k levels ride a 3-row
@@ -4148,6 +4164,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_profile": weekday_profile,
         "dispersion_report": dispersion_report,
         "rich_club": rich_club,
+        "bloom_eval": bloom_eval,
+        "benford_values": benford_values,
         "orc_roundtrip": orc_roundtrip,
         "t_closeness": t_closeness,
         "readability": readability,
@@ -7962,6 +7980,73 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (p - pmin) > 2 * total
                         THEN 1 ELSE 0 END AS INT) AS flagged
             FROM m
+        """,
+        # bloom FPR calibration: same md5 cell family as the
+        # bloom_decontaminate oracle, corpus-distinct shingle universe
+        "bloom_eval": f"""
+            WITH {_gram_occ_cte()},
+            rws AS (SELECT unnest(generate_series(0, 2)) AS r),
+            bex AS MATERIALIZED (
+              SELECT DISTINCT g FROM gs WHERE doc_id < 20),
+            bpos AS MATERIALIZED (
+              SELECT DISTINCT r,
+                     {_hex_int_sql(
+                         "md5(CAST(r AS VARCHAR) || ':' || g)", 1, 8)}
+                     % 4096 AS col
+              FROM bex CROSS JOIN rws),
+            pg AS MATERIALIZED (SELECT DISTINCT g FROM gs),
+            pr AS (SELECT g, r,
+                          {_hex_int_sql(
+                              "md5(CAST(r AS VARCHAR) || ':' || g)", 1, 8)}
+                          % 4096 AS col
+                   FROM pg CROSS JOIN rws),
+            pos AS (SELECT g FROM pr JOIN bpos USING (r, col)
+                    GROUP BY g HAVING count(DISTINCT r) = 3),
+            a AS (SELECT CAST(count(*) AS BIGINT) AS n_probe FROM pg),
+            m AS (SELECT CAST(count(*) AS BIGINT) AS n_members FROM pg
+                  WHERE g IN (SELECT g FROM bex)),
+            p AS (SELECT CAST(count(*) AS BIGINT) AS n_pos FROM pos),
+            f AS (SELECT CAST(count(*) AS BIGINT) AS n_set FROM bpos)
+            SELECT n_probe, n_members, n_pos,
+                   CAST(n_pos - n_members AS BIGINT) AS n_fp,
+                   CAST(CASE WHEN n_probe > n_members
+                        THEN (n_pos - n_members) * 1000000
+                             // (n_probe - n_members)
+                        ELSE 0 END AS BIGINT) AS fpr_micro,
+                   CAST(n_set * 1000 // 12288 AS BIGINT) AS fill_milli
+            FROM a, m, p, f
+        """,
+        # Benford first-digit chi2: integer-cents decimal string,
+        # shared micro-prob literals, identical per-cell float tree
+        "benford_values": """
+            WITH d0 AS (SELECT event_type,
+                               CAST(round(value * 100) AS BIGINT) AS cents
+                        FROM events),
+            dg AS (SELECT event_type,
+                          CAST(substr(CAST(cents AS VARCHAR), 1, 1)
+                               AS BIGINT) AS digit
+                   FROM d0 WHERE cents >= 1),
+            obs AS (SELECT event_type, digit,
+                           CAST(count(*) AS BIGINT) AS o_raw
+                    FROM dg GROUP BY 1, 2),
+            pd AS (SELECT * FROM (VALUES (1, 301029), (2, 176091), (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991), (8, 51152), (9, 45757))
+                   AS v(digit, p_micro)),
+            grid AS (SELECT et.event_type, pd.digit, pd.p_micro,
+                            coalesce(obs.o_raw, 0) AS o
+                     FROM (SELECT DISTINCT event_type FROM events) et
+                     CROSS JOIN pd
+                     LEFT JOIN obs ON obs.event_type = et.event_type
+                                  AND obs.digit = pd.digit),
+            w AS (SELECT event_type, p_micro, o,
+                         CAST(sum(o) OVER (PARTITION BY event_type)
+                              AS BIGINT) AS t
+                  FROM grid),
+            m AS (SELECT event_type, t,
+                         CAST(floor((CAST(o AS DOUBLE) - CAST(t AS DOUBLE) * CAST(p_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)) * (CAST(o AS DOUBLE) - CAST(t AS DOUBLE) * CAST(p_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)) / (CAST(t AS DOUBLE) * CAST(p_micro AS DOUBLE) / CAST(1000000 AS DOUBLE)) * CAST(1000 AS DOUBLE)) AS BIGINT) AS term_milli
+                  FROM w WHERE t >= 1)
+            SELECT event_type, CAST(max(t) AS BIGINT) AS n_values,
+                   CAST(sum(term_milli) AS BIGINT) AS chi2_milli
+            FROM m GROUP BY 1
         """,
         # rich-club density per degree cutoff over the shared fixture
         "rich_club": f"""

@@ -245,6 +245,8 @@ BAND_MAX_S = {
     "cusum_anomaly": 7.0,            # warm 1.91 (two windows per type)
     "dispersion_report": 7.0,        # warm 1.73 (window + lag per type)
     "rich_club": 8.0,                # warm 2.21 (deg joins + 3-row cross)
+    "bloom_eval": 8.0,               # warm 1.86 (distinct shingle probes)
+    "benford_values": 4.0,           # warm 0.97 (9-cell grid per type)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -592,6 +594,8 @@ def main() -> None:
         "cusum_anomaly": lambda: force(_entry_q("cusum_anomaly")),
         "dispersion_report": lambda: force(_entry_q("dispersion_report")),
         "rich_club": lambda: force(_entry_q("rich_club")),
+        "bloom_eval": lambda: force(_entry_q("bloom_eval")),
+        "benford_values": lambda: force(_entry_q("benford_values")),
     }
 
     def _entry_q(name):

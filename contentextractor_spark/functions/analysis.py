@@ -8198,6 +8198,19 @@ def ivfpq_topk(
     )
 
 
+def _bloom_bitmap(bench_sh: DataFrame, n_hashes: int, n_bits: int) -> DataFrame:
+    """The bloom bitmap builder shared by bloom_decontaminate and
+    bloom_eval (the lsh_eval convention: the eval scores the SHIPPED
+    bit-construction path, never a reimplementation): distinct set
+    (row, col) positions from the _cms_cells hash family."""
+    return (
+        bench_sh.select(F.col("shingle").alias("g"))
+        .select(F.explode(_cms_cells(n_hashes, n_bits)).alias("c"))
+        .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .distinct()
+    )
+
+
 def bloom_decontaminate(
     docs: DataFrame,
     bench: DataFrame,
@@ -8226,12 +8239,7 @@ def bloom_decontaminate(
     corpus-side exchange is one (doc_id, g) aggregation bounded by the
     actual hit volume — no corpus-wide shuffle of the shingle stream."""
     bench_sh = shingles(bench, n=n).select("shingle")
-    bloom = (
-        bench_sh.select(F.col("shingle").alias("g"))
-        .select(F.explode(_cms_cells(n_hashes, n_bits)).alias("c"))
-        .select(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
-        .distinct()
-    )
+    bloom = _bloom_bitmap(bench_sh, n_hashes, n_bits)
     exact = bench_sh.distinct().withColumnRenamed("shingle", "g")
     corpus = _gram_stream(docs, n)
     probes = corpus.select(
@@ -11133,5 +11141,73 @@ def rich_club(
                 "CASE WHEN n_nodes >= 2 THEN n_edges * 2000"
                 " div (n_nodes * (n_nodes - 1)) ELSE 0L END"
             ).alias("phi_milli"),
+        )
+    )
+
+
+def bloom_eval(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 3,
+    n_hashes: int = 3,
+    n_bits: int = 4096,
+) -> DataFrame:
+    """Calibration row for bloom_decontaminate (the eval-family pattern:
+    lsh_eval / simhash_eval / weighted_sample_eval): measures the
+    filter's ACTUAL false-positive rate on this corpus's distinct
+    shingle universe, plus the bitmap fill ratio that predicts it
+    (FPR ≈ fill^n_hashes).
+
+    Shares the SHIPPED bit path — _bloom_bitmap and the _cms_cells hash
+    family — so a drifted hash or bitmap layout moves this row, not
+    just the per-doc counts.  Bloom filters have NO false negatives,
+    so n_pos ⊇ members and n_fp = n_pos − n_members exactly;
+    fpr_micro = n_fp·10⁶ div (n_probe − n_members) over the true
+    non-members probed (0 when every probe is a member).
+
+    Scale: bitmap and exact set broadcast (both bench-bounded); the
+    corpus side is one distinct over the shingle stream.  Output: ONE
+    row (n_probe, n_members, n_pos, n_fp, fpr_micro, fill_milli)."""
+    bench_sh = shingles(bench, n=n).select("shingle")
+    bloom = _bloom_bitmap(bench_sh, n_hashes, n_bits)
+    exact = bench_sh.distinct().withColumnRenamed("shingle", "g")
+    probes = (
+        shingles(docs, n=n, dedup=False)
+        .select(F.col("shingle").alias("g"))
+        .distinct()
+    )
+    pos = (
+        probes.select(
+            "g", F.explode(_cms_cells(n_hashes, n_bits)).alias("c")
+        )
+        .select("g", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .join(F.broadcast(bloom), ["row", "col"])
+        .groupBy("g")
+        .agg(F.countDistinct("row").alias("nh"))
+        .filter(F.col("nh") == n_hashes)
+    )
+    a = probes.agg(F.count(F.lit(1)).alias("n_probe"))
+    m = probes.join(F.broadcast(exact), "g", "leftsemi").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    p = pos.agg(F.count(F.lit(1)).alias("n_pos"))
+    fill = bloom.agg(F.count(F.lit(1)).alias("_n_set"))
+    return (
+        a.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(p))
+        .crossJoin(F.broadcast(fill))
+        .select(
+            "n_probe",
+            "n_members",
+            "n_pos",
+            (F.col("n_pos") - F.col("n_members")).alias("n_fp"),
+            F.expr(
+                "CASE WHEN n_probe > n_members THEN"
+                " (n_pos - n_members) * 1000000"
+                " div (n_probe - n_members) ELSE 0L END"
+            ).alias("fpr_micro"),
+            F.expr(
+                f"_n_set * 1000 div {n_hashes * n_bits}L"
+            ).alias("fill_milli"),
         )
     )

@@ -10,6 +10,8 @@ streaming/stream.py.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
@@ -944,4 +946,85 @@ def dispersion_report(
             " WHEN num >= 0 THEN (num * 1000) div den"
             " ELSE -((-num * 1000) div den) END"
         ).alias("acf1_milli"),
+    )
+
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9 — Benford's reference
+# distribution as integer micro-prob LITERALS shared verbatim with the
+# oracle (the _POISSON1_CDF_U32 convention: one libm evaluation here,
+# never one per engine).
+_BENFORD_P_MICRO = tuple(
+    int(math.floor(math.log10(1.0 + 1.0 / d) * 1_000_000))
+    for d in range(1, 10)
+)
+
+
+def benford_values(events: DataFrame) -> DataFrame:
+    """Per-type Benford first-digit test over event values — the
+    classic books-cooked / synthetic-data QA card: natural multi-scale
+    amounts follow P(d) = log10(1+1/d); flat or operator-generated
+    values don't, and the chi² against the Benford reference says
+    which stream this is.
+
+    First digit is taken from the INTEGER cents string (substring of a
+    long's decimal rendering — exact on both engines; never floats or
+    logs on the value itself).  chi² uses the bm25_batch recipe: per
+    (type, digit) cell the IDENTICAL float tree
+    floor(dev²/E · 1000) with E = total·p_micro/1e6, summed as
+    integers; all nine cells participate (a 9-row broadcast digit
+    dimension grid-joins observed counts, absent digits count 0).
+    Types with no positive-cents values are dropped (E would be 0/0).
+
+    Scale: one (type, digit) count, a 9-row broadcast grid, one
+    per-type window total, one final aggregate.  Output: (event_type,
+    n_values, chi2_milli)."""
+    cents = _value_cents(F.col("value"))
+    digits = (
+        events.select("event_type", cents.alias("cents"))
+        .filter(F.col("cents") >= 1)
+        .select(
+            "event_type",
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit"),
+        )
+    )
+    obs = digits.groupBy("event_type", "digit").agg(
+        F.count(F.lit(1)).alias("o_raw")
+    )
+    ddim = F.broadcast(
+        events.sparkSession.createDataFrame(
+            [(d + 1, p) for d, p in enumerate(_BENFORD_P_MICRO)],
+            "digit long, p_micro long",
+        )
+    )
+    grid = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(ddim)
+        .join(obs, ["event_type", "digit"], "left")
+        .withColumn("o", F.coalesce(F.col("o_raw"), F.lit(0)))
+    )
+    t = F.sum("o").over(Window.partitionBy("event_type"))
+    # decimal literals parse as DECIMAL on both engines (the documented
+    # DuckDB trap — Spark too): every float constant is CAST(int AS
+    # DOUBLE) so the tree stays pure-DOUBLE and engine-identical
+    term = (
+        "CAST(floor((CAST(o AS DOUBLE) - CAST(t AS DOUBLE)"
+        " * CAST(p_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+        " * (CAST(o AS DOUBLE) - CAST(t AS DOUBLE)"
+        " * CAST(p_micro AS DOUBLE) / CAST(1000000 AS DOUBLE))"
+        " / (CAST(t AS DOUBLE) * CAST(p_micro AS DOUBLE)"
+        " / CAST(1000000 AS DOUBLE))"
+        " * CAST(1000 AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        grid.withColumn("t", t)
+        .filter(F.col("t") >= 1)
+        .withColumn("term_milli", F.expr(term))
+        .groupBy("event_type")
+        .agg(
+            F.max("t").alias("n_values"),
+            F.sum("term_milli").alias("chi2_milli"),
+        )
     )

@@ -1021,3 +1021,39 @@ def test_rich_club_empty_club_and_validation(spark):
     assert (out[5].n_nodes, out[5].phi_milli) == (0, 0)
     with _pt.raises(ValueError):
         A.rich_club(edges, ks=())
+
+
+def test_bloom_eval_counts_and_no_false_negatives(spark):
+    # bench = first doc; its shingles must all be positives (bloom has
+    # no false negatives), so n_pos >= n_members == bench shingle count
+    docs = _docs_tl(spark, [
+        (1, "a b c d e"), (2, "f g h i j"), (3, "a b c x y")])
+    r = A.bloom_eval(docs, docs.filter("doc_id = 1"),
+                     n=3, n_hashes=3, n_bits=4096).collect()[0]
+    # corpus distinct 3-shingles: 3 per doc, doc3 shares 'a b c' -> 8
+    assert r.n_probe == 8
+    assert r.n_members == 3
+    assert r.n_pos >= r.n_members
+    assert r.n_fp == r.n_pos - r.n_members
+    # <= 9 set cells of 12288: milli fill floors to exactly 0
+    assert r.fill_milli == 0
+
+
+def test_benford_values_hand_computed(spark):
+    # 9 values, first digits exactly one of each 1..9: O_d = 1, t = 9
+    rows = [(d, _t("2024-01-01T00:00:00"), 1, "click", d * 1.0, "")
+            for d in range(1, 10)]
+    r = E.benford_values(_ev(spark, rows)).collect()[0]
+    import math as _m
+    exp = 0
+    for p in E._BENFORD_P_MICRO:
+        e = 9.0 * p / 1000000.0
+        exp += _m.floor((1.0 - e) * (1.0 - e) / e * 1000.0)
+    assert (r.event_type, r.n_values, r.chi2_milli) == ("click", 9, exp)
+
+
+def test_benford_values_drops_zero_cents_type(spark):
+    rows = [(1, _t("2024-01-01T00:00:00"), 1, "free", 0.0, ""),
+            (2, _t("2024-01-01T00:00:00"), 1, "paid", 5.0, "")]
+    out = {r.event_type for r in E.benford_values(_ev(spark, rows)).collect()}
+    assert out == {"paid"}
