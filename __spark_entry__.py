@@ -3816,6 +3816,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer with sign peeled before division (zipf_fit rule)
         return E.dispersion_report(_events(spark, sf_dir))
 
+    def neyman_allocation(spark, sf_dir):
+        # optimal stratified budget split: per-lang N*sigma weights via
+        # the exact-isqrt chain, truncating allocation (sum <= 100)
+        return A.neyman_allocation(_docs(spark, sf_dir), total_n=100)
+
     def bloom_eval(spark, sf_dir):
         # FPR calibration of the shipped bloom bitmap (shared
         # _bloom_bitmap path) over the corpus's distinct shingle
@@ -4164,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_profile": weekday_profile,
         "dispersion_report": dispersion_report,
         "rich_club": rich_club,
+        "neyman_allocation": neyman_allocation,
         "bloom_eval": bloom_eval,
         "benford_values": benford_values,
         "orc_roundtrip": orc_roundtrip,
@@ -7980,6 +7986,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (p - pmin) > 2 * total
                         THEN 1 ELSE 0 END AS INT) AS flagged
             FROM m
+        """,
+        # Neyman N*sigma weights: radicand div-floored then the
+        # w0/w1/w2 isqrt-correction chain (temperature_mix pattern)
+        "neyman_allocation": """
+            WITH a AS (SELECT lang AS grp,
+                              CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(n_chars) AS BIGINT) AS s,
+                              CAST(sum(n_chars * n_chars) AS BIGINT) AS q
+                       FROM documents GROUP BY lang),
+            v AS (SELECT grp, n_docs,
+                         CASE WHEN n_docs < 2 THEN 0
+                              ELSE (n_docs * (n_docs * q - s * s))
+                                   // (n_docs - 1) END AS rad
+                  FROM a),
+            w0 AS (SELECT grp, n_docs, rad,
+                          CAST(floor(sqrt(CAST(rad AS DOUBLE)))
+                               AS BIGINT) AS y0
+                   FROM v),
+            w1 AS (SELECT grp, n_docs, rad,
+                          y0 + CASE WHEN (y0 + 1) * (y0 + 1) <= rad
+                                    THEN 1 ELSE 0 END AS y1
+                   FROM w0),
+            w2 AS (SELECT grp, n_docs,
+                          y1 - CASE WHEN y1 * y1 > rad
+                                    THEN 1 ELSE 0 END AS weight
+                   FROM w1),
+            t AS (SELECT CAST(sum(weight) AS BIGINT) AS total_w FROM w2)
+            SELECT grp, n_docs, weight,
+                   CAST(CASE WHEN total_w > 0
+                        THEN 100 * weight // total_w
+                        ELSE 0 END AS BIGINT) AS alloc
+            FROM w2, t
         """,
         # bloom FPR calibration: same md5 cell family as the
         # bloom_decontaminate oracle, corpus-distinct shingle universe

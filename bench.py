@@ -247,6 +247,7 @@ BAND_MAX_S = {
     "rich_club": 8.0,                # warm 2.21 (deg joins + 3-row cross)
     "bloom_eval": 8.0,               # warm 1.86 (distinct shingle probes)
     "benford_values": 4.0,           # warm 0.97 (9-cell grid per type)
+    "neyman_allocation": 4.0,        # warm 0.83 (stratum agg + isqrt)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -596,6 +597,7 @@ def main() -> None:
         "rich_club": lambda: force(_entry_q("rich_club")),
         "bloom_eval": lambda: force(_entry_q("bloom_eval")),
         "benford_values": lambda: force(_entry_q("benford_values")),
+        "neyman_allocation": lambda: force(_entry_q("neyman_allocation")),
     }
 
     def _entry_q(name):

@@ -11211,3 +11211,61 @@ def bloom_eval(
             ).alias("fill_milli"),
         )
     )
+
+
+def neyman_allocation(
+    docs: DataFrame,
+    value_col: str = "n_chars",
+    group_col: str = "lang",
+    total_n: int = 100,
+) -> DataFrame:
+    """Neyman-optimal stratified sample allocation: given a budget of
+    total_n draws, allocate to each stratum ∝ N_h·σ_h (big AND noisy
+    strata earn more samples — the design that minimizes the variance
+    of the stratified mean; Neyman 1934).  The design card that turns
+    length_percentiles/stratified_sample from "how to draw" into "how
+    MANY to draw".
+
+    All-integer: N_h·σ_h = sqrt(N_h·(N_h·Q_h − S_h²)/(N_h−1)) with
+    S = Σx, Q = Σx², computed as _isqrt of the div-floored radicand
+    (deterministic both engines; the inner div loses < 1 ulp of the
+    weight, documented).  Degenerate strata (N_h < 2, or constant
+    values) weigh 0.  alloc = total_n·w div Σw truncates, so
+    Σalloc ≤ total_n — the remainder is the caller's largest-remainder
+    pass (the temperature_mix convention).  Per-row raise guard: the
+    radicand must stay below 2⁵² for the float-sqrt ±1 bound — shard
+    the stratum stats and merge (S, Q are additive) past that.
+
+    Scale: one map-side-combinable per-stratum aggregate + a one-row
+    broadcast total.  Output: (group, n_docs, weight, alloc)."""
+    x = F.col(value_col).cast("long")
+    agg = docs.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("q"),
+    )
+    v_raw = F.expr("(n_docs * (n_docs * q - s * s)) div (n_docs - 1)")
+    v = F.when(F.col("n_docs") < 2, F.lit(0)).otherwise(
+        F.when(
+            v_raw <= F.lit(2**52),
+            v_raw,
+        ).otherwise(
+            F.raise_error(
+                F.lit(
+                    "neyman_allocation: radicand > 2^52 — shard stratum"
+                    " stats and merge (S, Q additive)"
+                )
+            ).cast("long")
+        )
+    )
+    weighted = agg.withColumn("weight", _isqrt(v))
+    total = weighted.agg(F.sum("weight").alias("total_w"))
+    return weighted.crossJoin(F.broadcast(total)).select(
+        "grp",
+        "n_docs",
+        "weight",
+        F.expr(
+            f"CASE WHEN total_w > 0 THEN {total_n} * weight div total_w"
+            " ELSE 0L END"
+        ).alias("alloc"),
+    )

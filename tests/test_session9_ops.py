@@ -1057,3 +1057,35 @@ def test_benford_values_drops_zero_cents_type(spark):
             (2, _t("2024-01-01T00:00:00"), 1, "paid", 5.0, "")]
     out = {r.event_type for r in E.benford_values(_ev(spark, rows)).collect()}
     assert out == {"paid"}
+
+
+def test_neyman_allocation_hand_computed(spark):
+    # stratum A: values (1,3) -> N=2, S=4, Q=10: rad = 2*(20-16)//1 = 8,
+    # w = isqrt(8) = 2 (N*sigma = 2*sqrt(2) = 2.83, floored radicand).
+    # stratum B: constant values -> rad 0, weight 0 -> all budget to A.
+    docs = spark.createDataFrame(
+        [(1, "A", 1), (2, "A", 3), (3, "B", 5), (4, "B", 5)],
+        "doc_id long, lang string, n_chars long",
+    )
+    out = {r.grp: r for r in
+           A.neyman_allocation(docs, total_n=10).collect()}
+    assert (out["A"].weight, out["A"].alloc) == (2, 10)
+    assert (out["B"].weight, out["B"].alloc) == (0, 0)
+
+
+def test_neyman_allocation_degenerate_single_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "A", 7)], "doc_id long, lang string, n_chars long"
+    )
+    r = A.neyman_allocation(docs, total_n=10).collect()[0]
+    assert (r.weight, r.alloc) == (0, 0)
+
+
+def test_neyman_allocation_budget_never_exceeded(spark):
+    docs = spark.createDataFrame(
+        [(i, f"L{i % 3}", (i * 37) % 100 + 1) for i in range(60)],
+        "doc_id long, lang string, n_chars long",
+    )
+    rows = A.neyman_allocation(docs, total_n=17).collect()
+    assert sum(r.alloc for r in rows) <= 17
+    assert all(r.alloc >= 0 for r in rows)
