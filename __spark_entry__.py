@@ -3816,6 +3816,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer with sign peeled before division (zipf_fit rule)
         return E.dispersion_report(_events(spark, sf_dir))
 
+    def curation_v8(spark, sf_dir):
+        # composed session-9 chain, ONE SQL oracle: deterministic
+        # weighted subsample (ws0) → Gopher quality gate → frequent-
+        # token fanout cap (corpus-level, the frequent_pairs_overflow
+        # verdict) → source-focus gate (lang entropy ≤ 1.45 nats drops
+        # 5-7 polyglot sources at the gate SFs) → per-(lang, shard)
+        # dataset digest.  Corpus-level gates are computed on the FULL
+        # corpus, not the subsample — support counts and source entropy
+        # are corpus statistics.
+        docs = _docs(spark, sf_dir)
+        d1 = A.weighted_sample(docs, w_max=300, project=False).drop("w")
+        kept_q = (
+            A.quality_filter(d1)
+            .filter(F.col("keep") == 1)
+            .select("doc_id")
+        )
+        d2 = d1.join(kept_q, "doc_id")
+        ov = A.frequent_pairs_overflow(
+            docs, min_support=100, max_doc_tokens=29
+        ).select("doc_id")
+        d3 = d2.join(ov, "doc_id", "left_anti")
+        focused = (
+            A.lang_entropy_by_source(docs)
+            .filter(F.col("entropy_micro") <= 1450000)
+            .select("source")
+        )
+        d4 = d3.join(F.broadcast(focused), "source")
+        return A.dataset_digest(d4, n_shards=8)
+
     def neyman_allocation(spark, sf_dir):
         # optimal stratified budget split: per-lang N*sigma weights via
         # the exact-isqrt chain, truncating allocation (sum <= 100)
@@ -4169,6 +4198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_profile": weekday_profile,
         "dispersion_report": dispersion_report,
         "rich_club": rich_club,
+        "curation_v8": curation_v8,
         "neyman_allocation": neyman_allocation,
         "bloom_eval": bloom_eval,
         "benford_values": benford_values,
@@ -7986,6 +8016,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (p - pmin) > 2 * total
                         THEN 1 ELSE 0 END AS INT) AS flagged
             FROM m
+        """,
+        # composed session-9 curation: sampler keep + quality gate +
+        # fanout-cap verdict + source-focus entropy gate, digested
+        "curation_v8": f"""
+            WITH d1 AS MATERIALIZED (
+              SELECT doc_id, text, lang, source FROM documents
+              WHERE {_hex_int_sql(
+                  "md5('ws0:' || CAST(doc_id AS VARCHAR))", 1, 8)} * 300
+                    < CAST(least(n_chars, 300) AS BIGINT) * 4294967296),
+            q AS ({_qf_cols_sql('d1')}),
+            d2 AS (SELECT d1.doc_id, d1.lang, d1.text, d1.source
+                   FROM d1 JOIN q ON q.doc_id = d1.doc_id
+                   WHERE NOT {_QF_BAD_SQL}),
+            pres AS MATERIALIZED (
+              SELECT DISTINCT doc_id,
+                     unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+            freq AS (SELECT tok FROM (
+                       SELECT tok, count(*) AS df FROM pres GROUP BY tok)
+                     WHERE df >= 100),
+            ov AS (SELECT doc_id FROM (
+                     SELECT pres.doc_id, count(*) AS nf
+                     FROM pres JOIN freq USING (tok)
+                     GROUP BY pres.doc_id)
+                   WHERE nf > 29),
+            c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+                  FROM documents GROUP BY 1, 2),
+            t AS (SELECT source, cnt,
+                         CAST(sum(cnt) OVER (PARTITION BY source)
+                              AS BIGINT) AS total
+                  FROM c),
+            ent AS (SELECT source,
+                           CAST(sum(CAST(floor((CAST(cnt AS DOUBLE)
+                                / CAST(total AS DOUBLE))
+                                * ln(CAST(total AS DOUBLE)
+                                     / CAST(cnt AS DOUBLE))
+                                * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                                AS BIGINT) AS entropy_micro
+                    FROM t GROUP BY source),
+            focused AS (SELECT source FROM ent
+                        WHERE entropy_micro <= 1450000),
+            d4 AS (SELECT d2.* FROM d2
+                   JOIN focused USING (source)
+                   WHERE d2.doc_id NOT IN (SELECT doc_id FROM ov))
+            SELECT lang AS grp, doc_id % 8 AS shard,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum({_hex_int_sql(
+                       "md5(CAST(doc_id AS VARCHAR) || ':' || text)",
+                       1, 10)}) AS BIGINT) AS content_sum
+            FROM d4
+            GROUP BY lang, doc_id % 8
         """,
         # Neyman N*sigma weights: radicand div-floored then the
         # w0/w1/w2 isqrt-correction chain (temperature_mix pattern)

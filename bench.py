@@ -248,6 +248,7 @@ BAND_MAX_S = {
     "bloom_eval": 8.0,               # warm 1.86 (distinct shingle probes)
     "benford_values": 4.0,           # warm 0.97 (9-cell grid per type)
     "neyman_allocation": 4.0,        # warm 0.83 (stratum agg + isqrt)
+    "curation_v8": 11.0,             # warm 3.28 (4-gate composed chain)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -598,6 +599,7 @@ def main() -> None:
         "bloom_eval": lambda: force(_entry_q("bloom_eval")),
         "benford_values": lambda: force(_entry_q("benford_values")),
         "neyman_allocation": lambda: force(_entry_q("neyman_allocation")),
+        "curation_v8": lambda: force(_entry_q("curation_v8")),
     }
 
     def _entry_q(name):
