@@ -3816,6 +3816,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer with sign peeled before division (zipf_fit rule)
         return E.dispersion_report(_events(spark, sf_dir))
 
+    def ab_null_check(spark, sf_dir):
+        # A/A experiment-plumbing calibration: salted-md5 arm split,
+        # two-proportion z^2 on first-3-days purchase conversion
+        # (unbounded conversion saturates to 100% on this stream) —
+        # should be small on a null split; big = biased bucketing
+        return E.ab_null_check(_events(spark, sf_dir), within_days=3)
+
     def curation_v8(spark, sf_dir):
         # composed session-9 chain, ONE SQL oracle: deterministic
         # weighted subsample (ws0) → Gopher quality gate → frequent-
@@ -4198,6 +4205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_profile": weekday_profile,
         "dispersion_report": dispersion_report,
         "rich_club": rich_club,
+        "ab_null_check": ab_null_check,
         "curation_v8": curation_v8,
         "neyman_allocation": neyman_allocation,
         "bloom_eval": bloom_eval,
@@ -8016,6 +8024,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (p - pmin) > 2 * total
                         THEN 1 ELSE 0 END AS INT) AS flagged
             FROM m
+        """,
+        # A/A harness: same arm hash, same z^2 float tree (every
+        # constant CAST(int AS DOUBLE)), degenerate splits -> 0
+        "ab_null_check": """
+            WITH u AS (SELECT user_id,
+                              CAST(max(CASE WHEN event_type = 'purchase'
+                                   AND datediff('day', DATE '2024-01-01',
+                                       CAST(ts AS DATE)) < 3
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS conv
+                       FROM events GROUP BY user_id),
+            a AS (SELECT user_id, conv,
+                         CAST((strpos('0123456789abcdef', substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5('ab:' || CAST(user_id AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5('ab:' || CAST(user_id AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5('ab:' || CAST(user_id AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5('ab:' || CAST(user_id AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5('ab:' || CAST(user_id AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5('ab:' || CAST(user_id AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5('ab:' || CAST(user_id AS VARCHAR)), 8, 1)) - 1) * 1 AS BIGINT) % 2 AS arm
+                  FROM u),
+            s AS (SELECT
+                    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_a,
+                    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS n_b,
+                    CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1
+                         ELSE 0 END) AS BIGINT) AS conv_a,
+                    CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1
+                         ELSE 0 END) AS BIGINT) AS conv_b
+                  FROM a)
+            SELECT n_a, n_b, conv_a, conv_b,
+                   CAST(CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b THEN 0 ELSE CAST(floor((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) * (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)) / ((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE) + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE))) * CAST(1000 AS DOUBLE)) AS BIGINT) END AS BIGINT) AS z2_milli
+            FROM s
         """,
         # composed session-9 curation: sampler keep + quality gate +
         # fanout-cap verdict + source-focus entropy gate, digested

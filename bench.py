@@ -249,6 +249,7 @@ BAND_MAX_S = {
     "benford_values": 4.0,           # warm 0.97 (9-cell grid per type)
     "neyman_allocation": 4.0,        # warm 0.83 (stratum agg + isqrt)
     "curation_v8": 11.0,             # warm 3.28 (4-gate composed chain)
+    "ab_null_check": 4.0,            # warm 0.81 (per-user agg + 1-row z2)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -600,6 +601,7 @@ def main() -> None:
         "benford_values": lambda: force(_entry_q("benford_values")),
         "neyman_allocation": lambda: force(_entry_q("neyman_allocation")),
         "curation_v8": lambda: force(_entry_q("curation_v8")),
+        "ab_null_check": lambda: force(_entry_q("ab_null_check")),
     }
 
     def _entry_q(name):

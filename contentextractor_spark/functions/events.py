@@ -1028,3 +1028,93 @@ def benford_values(events: DataFrame) -> DataFrame:
             F.sum("term_milli").alias("chi2_milli"),
         )
     )
+
+
+def ab_null_check(
+    events: DataFrame,
+    convert_type: str = "purchase",
+    salt: str = "ab",
+    within_days: int | None = None,
+    anchor: str = "2024-01-01",
+) -> DataFrame:
+    """A/A experiment harness: hash users into two arms with the salted
+    md5 assignment an experimentation system would use, then run the
+    standard two-proportion z-test on conversion.  Because BOTH arms
+    get the same product, z² should be small — a large value means the
+    assignment hash is correlated with behavior (broken bucketing, the
+    classic silent A/B-infrastructure bug).  This is the calibration
+    row for experiment plumbing, the weighted_sample_eval of the
+    events side.
+
+    Arm = u32(md5(salt:user_id)) mod 2 — deterministic, salt-keyed
+    (re-salting draws an independent assignment).  The z² float tree
+    is IDENTICAL on both engines and floored to milli (the bm25_batch
+    recipe; single-row, so there's no aggregation-order concern —
+    the floor is pure cross-engine hygiene), with every constant
+    CAST(int AS DOUBLE).  Degenerate splits (an empty arm, zero or
+    total conversion) report z2_milli 0 rather than dividing by zero.
+
+    within_days bounds conversion to the first N days after the
+    anchor (the retention convention) — on a long-enough stream EVERY
+    user eventually converts and the unbounded test is vacuous (conv
+    == n trips the degenerate guard; measured at the fixture SFs).
+
+    Scale: one per-user aggregate (map-side combinable) + one global
+    single-row aggregate.  Output: ONE row (n_a, n_b, conv_a, conv_b,
+    z2_milli)."""
+    is_conv = F.col("event_type") == convert_type
+    if within_days is not None:
+        day = F.datediff(F.to_date("ts"), F.to_date(F.lit(anchor)))
+        is_conv = is_conv & (day < within_days)
+    users = events.groupBy("user_id").agg(
+        F.max(is_conv.cast("long")).alias("conv")
+    )
+    arm = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(salt + ":"),
+                        F.col("user_id").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    agg = users.select(arm.alias("arm"), "conv").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(
+            F.when((F.col("arm") == 0) & (F.col("conv") == 1), 1)
+            .otherwise(0)
+        ).alias("conv_a"),
+        F.sum(
+            F.when((F.col("arm") == 1) & (F.col("conv") == 1), 1)
+            .otherwise(0)
+        ).alias("conv_b"),
+    )
+    z2 = (
+        "CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0"
+        " OR conv_a + conv_b = n_a + n_b THEN 0"
+        " ELSE CAST(floor("
+        "(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " * (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+        " / ((CAST(conv_a + conv_b AS DOUBLE)"
+        " / CAST(n_a + n_b AS DOUBLE))"
+        " * (CAST(1 AS DOUBLE) - CAST(conv_a + conv_b AS DOUBLE)"
+        " / CAST(n_a + n_b AS DOUBLE))"
+        " * (CAST(1 AS DOUBLE) / CAST(n_a AS DOUBLE)"
+        " + CAST(1 AS DOUBLE) / CAST(n_b AS DOUBLE)))"
+        " * CAST(1000 AS DOUBLE)) AS BIGINT) END"
+    )
+    return agg.select(
+        "n_a", "n_b", "conv_a", "conv_b",
+        F.expr(z2).alias("z2_milli"),
+    )

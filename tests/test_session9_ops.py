@@ -1089,3 +1089,39 @@ def test_neyman_allocation_budget_never_exceeded(spark):
     rows = A.neyman_allocation(docs, total_n=17).collect()
     assert sum(r.alloc for r in rows) <= 17
     assert all(r.alloc >= 0 for r in rows)
+
+
+def test_ab_null_check_hand_computed(spark):
+    # pin arms from the same hash the operator uses, then verify z^2
+    # against a pure-python replica of the identical float tree
+    import hashlib
+    import math as _m
+
+    rows = []
+    for uid in range(1, 21):
+        rows.append((uid * 10, _t("2024-01-01T10:00:00"), uid,
+                     "purchase" if uid % 3 == 0 else "view", 1.0, ""))
+    r = E.ab_null_check(_ev(spark, rows)).collect()[0]
+
+    def arm(uid):
+        return int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:8],
+                   16) % 2
+
+    n = {0: 0, 1: 0}
+    c = {0: 0, 1: 0}
+    for uid in range(1, 21):
+        a = arm(uid)
+        n[a] += 1
+        c[a] += 1 if uid % 3 == 0 else 0
+    assert (r.n_a, r.n_b, r.conv_a, r.conv_b) == (n[0], n[1], c[0], c[1])
+    p1, p2 = c[0] / n[0], c[1] / n[1]
+    p = (c[0] + c[1]) / (n[0] + n[1])
+    z2 = (p1 - p2) * (p1 - p2) / (p * (1.0 - p) * (1.0 / n[0] + 1.0 / n[1]))
+    assert r.z2_milli == _m.floor(z2 * 1000.0)
+
+
+def test_ab_null_check_degenerate_is_zero(spark):
+    # nobody converts -> z2 must be 0, not a division by zero
+    rows = [(i, _t("2024-01-01T10:00:00"), i, "view", 0.0, "")
+            for i in range(1, 9)]
+    assert E.ab_null_check(_ev(spark, rows)).collect()[0].z2_milli == 0
