@@ -3816,6 +3816,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer with sign peeled before division (zipf_fit rule)
         return E.dispersion_report(_events(spark, sf_dir))
 
+    def forecast_baselines(spark, sf_dir):
+        # persistence vs seasonal-naive WAPE over daily counts,
+        # calendar-correct day-k equi-joins, all-integer
+        return E.forecast_baselines(_events(spark, sf_dir))
+
     def ab_null_check(spark, sf_dir):
         # A/A experiment-plumbing calibration: salted-md5 arm split,
         # two-proportion z^2 on first-3-days purchase conversion
@@ -4205,6 +4210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_profile": weekday_profile,
         "dispersion_report": dispersion_report,
         "rich_club": rich_club,
+        "forecast_baselines": forecast_baselines,
         "ab_null_check": ab_null_check,
         "curation_v8": curation_v8,
         "neyman_allocation": neyman_allocation,
@@ -8024,6 +8030,40 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (p - pmin) > 2 * total
                         THEN 1 ELSE 0 END AS INT) AS flagged
             FROM m
+        """,
+        # two baseline WAPEs, calendar-correct lag joins
+        "forecast_baselines": """
+            WITH daily AS (SELECT event_type,
+                     CAST(datediff('day', DATE '2024-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1, 2),
+            s1 AS (SELECT a.event_type,
+                     CAST(count(*) AS BIGINT) AS n_lag1,
+                     CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT) AS ae1,
+                     CAST(sum(a.cnt) AS BIGINT) AS act1
+                   FROM daily a JOIN daily b
+                     ON a.event_type = b.event_type
+                    AND a.day = b.day + 1
+                   GROUP BY a.event_type),
+            s7 AS (SELECT a.event_type,
+                     CAST(count(*) AS BIGINT) AS n_lag7,
+                     CAST(sum(abs(a.cnt - b.cnt)) AS BIGINT) AS ae7,
+                     CAST(sum(a.cnt) AS BIGINT) AS act7
+                   FROM daily a JOIN daily b
+                     ON a.event_type = b.event_type
+                    AND a.day = b.day + 7
+                   GROUP BY a.event_type),
+            ts AS (SELECT DISTINCT event_type FROM daily)
+            SELECT ts.event_type,
+                   CAST(coalesce(n_lag1, 0) AS BIGINT) AS n_lag1,
+                   CAST(CASE WHEN act1 > 0 THEN ae1 * 1000 // act1
+                        ELSE 0 END AS BIGINT) AS wape1_milli,
+                   CAST(coalesce(n_lag7, 0) AS BIGINT) AS n_lag7,
+                   CAST(CASE WHEN act7 > 0 THEN ae7 * 1000 // act7
+                        ELSE 0 END AS BIGINT) AS wape7_milli
+            FROM ts LEFT JOIN s1 USING (event_type)
+                    LEFT JOIN s7 USING (event_type)
         """,
         # A/A harness: same arm hash, same z^2 float tree (every
         # constant CAST(int AS DOUBLE)), degenerate splits -> 0

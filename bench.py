@@ -250,6 +250,7 @@ BAND_MAX_S = {
     "neyman_allocation": 4.0,        # warm 0.83 (stratum agg + isqrt)
     "curation_v8": 11.0,             # warm 3.28 (4-gate composed chain)
     "ab_null_check": 4.0,            # warm 0.81 (per-user agg + 1-row z2)
+    "forecast_baselines": 6.0,       # warm 1.42 (two day-lag self joins)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -602,6 +603,7 @@ def main() -> None:
         "neyman_allocation": lambda: force(_entry_q("neyman_allocation")),
         "curation_v8": lambda: force(_entry_q("curation_v8")),
         "ab_null_check": lambda: force(_entry_q("ab_null_check")),
+        "forecast_baselines": lambda: force(_entry_q("forecast_baselines")),
     }
 
     def _entry_q(name):

@@ -1118,3 +1118,63 @@ def ab_null_check(
         "n_a", "n_b", "conv_a", "conv_b",
         F.expr(z2).alias("z2_milli"),
     )
+
+
+def forecast_baselines(
+    events: DataFrame, anchor: str = "2024-01-01"
+) -> DataFrame:
+    """Per-type forecast-baseline scorecard over daily counts: WAPE of
+    the persistence forecast (predict today = yesterday) vs the
+    seasonal-naive forecast (today = same weekday last week).  The
+    "do we even have weekly structure worth modeling?" card — if
+    lag-7 beats lag-1, weekday_profile's rhythm is real signal; any
+    actual forecasting model must beat BOTH baselines to earn its
+    keep (the standard M-competition sanity floor).
+
+    Calendar-correct: each baseline is an equi-join on day−1 / day−7
+    (NOT a lag over observed rows — a gap day must break the pair,
+    not silently shift it).  All-integer: WAPE = Σ|actual−forecast|
+    ·1000 div Σactual over the scored days (abs of an integer diff is
+    engine-identical; no floats anywhere).
+
+    Scale: one daily count + two self-equi-joins of the per-type day
+    series (tiny relative to the event stream), one final aggregate.
+    Output: (event_type, n_lag1, wape1_milli, n_lag7, wape7_milli)."""
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit(anchor))).cast(
+        "long"
+    )
+    daily = events.select(day.alias("day"), "event_type").groupBy(
+        "event_type", "day"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    def scored(lag, tag):
+        b = daily.select(
+            "event_type",
+            (F.col("day") + lag).alias("day"),
+            F.col("cnt").alias("fc"),
+        )
+        j = daily.join(b, ["event_type", "day"])
+        return j.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"n_lag{tag}"),
+            F.sum(F.abs(F.col("cnt") - F.col("fc"))).alias(f"_ae{tag}"),
+            F.sum("cnt").alias(f"_act{tag}"),
+        )
+    s1, s7 = scored(1, 1), scored(7, 7)
+    types = daily.select("event_type").distinct()
+    return (
+        types.join(s1, "event_type", "left")
+        .join(s7, "event_type", "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("n_lag1"), F.lit(0)).alias("n_lag1"),
+            F.expr(
+                "CASE WHEN _act1 > 0 THEN _ae1 * 1000 div _act1"
+                " ELSE 0L END"
+            ).alias("wape1_milli"),
+            F.coalesce(F.col("n_lag7"), F.lit(0)).alias("n_lag7"),
+            F.expr(
+                "CASE WHEN _act7 > 0 THEN _ae7 * 1000 div _act7"
+                " ELSE 0L END"
+            ).alias("wape7_milli"),
+        )
+    )

@@ -1125,3 +1125,33 @@ def test_ab_null_check_degenerate_is_zero(spark):
     rows = [(i, _t("2024-01-01T10:00:00"), i, "view", 0.0, "")
             for i in range(1, 9)]
     assert E.ab_null_check(_ev(spark, rows)).collect()[0].z2_milli == 0
+
+
+def test_forecast_baselines_hand_computed(spark):
+    # days 0..7 counts (2,4,2,4,2,4,2,4): lag1 scores days 1..7 with
+    # |diff| = 2 each -> ae 14, act 22 -> wape1 = 14000//22 = 636;
+    # lag7 scores day 7 only: |4-2| = 2, act 4 -> wape7 = 500
+    rows = []
+    eid = 0
+    counts = [2, 4, 2, 4, 2, 4, 2, 4]
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, _t(f"2024-01-{d+1:02d}T00:00:00"),
+                         1, "click", 0.0, ""))
+    r = E.forecast_baselines(_ev(spark, rows)).collect()[0]
+    assert (r.n_lag1, r.wape1_milli) == (7, 636)
+    assert (r.n_lag7, r.wape7_milli) == (1, 500)
+
+
+def test_forecast_baselines_gap_breaks_pair_and_single_day_survives(spark):
+    # days 0 and 2 (gap at 1): lag1 must score NOTHING (calendar-
+    # correct, not row-lag); a single-day type still appears with zeros
+    rows = [(1, _t("2024-01-01T00:00:00"), 1, "view", 0.0, ""),
+            (2, _t("2024-01-03T00:00:00"), 1, "view", 0.0, ""),
+            (3, _t("2024-01-01T00:00:00"), 1, "solo", 0.0, "")]
+    out = {r.event_type: r for r in
+           E.forecast_baselines(_ev(spark, rows)).collect()}
+    assert (out["view"].n_lag1, out["view"].wape1_milli) == (0, 0)
+    assert (out["solo"].n_lag1, out["solo"].n_lag7,
+            out["solo"].wape1_milli) == (0, 0, 0)
