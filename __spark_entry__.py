@@ -3816,6 +3816,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # integer with sign peeled before division (zipf_fit rule)
         return E.dispersion_report(_events(spark, sf_dir))
 
+    def lang_source_mi(spark, sf_dir):
+        # lang x source mutual information + marginal entropies, one
+        # ln per cell over integer products (bm25-recipe micro floors)
+        return A.lang_source_mi(_docs(spark, sf_dir))
+
     def forecast_baselines(spark, sf_dir):
         # persistence vs seasonal-naive WAPE over daily counts,
         # calendar-correct day-k equi-joins, all-integer
@@ -4210,6 +4215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weekday_profile": weekday_profile,
         "dispersion_report": dispersion_report,
         "rich_club": rich_club,
+        "lang_source_mi": lang_source_mi,
         "forecast_baselines": forecast_baselines,
         "ab_null_check": ab_null_check,
         "curation_v8": curation_v8,
@@ -8030,6 +8036,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN (p - pmin) > 2 * total
                         THEN 1 ELSE 0 END AS INT) AS flagged
             FROM m
+        """,
+        # MI + marginal entropies: c*n and r*s formed as integers
+        # before the single ln; negative cell terms floor identically
+        "lang_source_mi": """
+            WITH cells AS (SELECT lang, source,
+                                  CAST(count(*) AS BIGINT) AS c
+                           FROM documents GROUP BY 1, 2),
+            lm AS (SELECT lang, CAST(sum(c) AS BIGINT) AS r
+                   FROM cells GROUP BY lang),
+            sm AS (SELECT source, CAST(sum(c) AS BIGINT) AS s
+                   FROM cells GROUP BY source),
+            nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+            mi AS (SELECT CAST(sum(
+                     CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(c * n AS DOUBLE)
+                               / CAST(r * s AS DOUBLE))
+                          * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                     AS BIGINT) AS mi_micro
+                   FROM cells JOIN lm USING (lang)
+                              JOIN sm USING (source), nn),
+            hl AS (SELECT CAST(count(*) AS BIGINT) AS n_langs,
+                          CAST(sum(
+                     CAST(floor((CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) / CAST(r AS DOUBLE))
+                          * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                          AS BIGINT) AS h_lang_micro
+                   FROM lm, nn),
+            hs AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+                          CAST(sum(
+                     CAST(floor((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                          * ln(CAST(n AS DOUBLE) / CAST(s AS DOUBLE))
+                          * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                          AS BIGINT) AS h_source_micro
+                   FROM sm, nn)
+            SELECT n AS n_docs, n_langs, n_sources,
+                   h_lang_micro, h_source_micro, mi_micro
+            FROM nn, hl, hs, mi
         """,
         # two baseline WAPEs, calendar-correct lag joins
         "forecast_baselines": """

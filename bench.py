@@ -251,6 +251,7 @@ BAND_MAX_S = {
     "curation_v8": 11.0,             # warm 3.28 (4-gate composed chain)
     "ab_null_check": 4.0,            # warm 0.81 (per-user agg + 1-row z2)
     "forecast_baselines": 6.0,       # warm 1.42 (two day-lag self joins)
+    "lang_source_mi": 6.0,           # warm 1.58 (cells + margins + 1 row)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -604,6 +605,7 @@ def main() -> None:
         "curation_v8": lambda: force(_entry_q("curation_v8")),
         "ab_null_check": lambda: force(_entry_q("ab_null_check")),
         "forecast_baselines": lambda: force(_entry_q("forecast_baselines")),
+        "lang_source_mi": lambda: force(_entry_q("lang_source_mi")),
     }
 
     def _entry_q(name):

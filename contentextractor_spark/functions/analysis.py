@@ -11269,3 +11269,75 @@ def neyman_allocation(
             " ELSE 0L END"
         ).alias("alloc"),
     )
+
+
+def lang_source_mi(docs: DataFrame) -> DataFrame:
+    """Mutual information between language and source (plus both
+    marginal entropies) — the categorical-association card: MI ≈ 0
+    means sources are language-agnostic mirrors; MI ≈ H(lang) means
+    source determines language (each source is monolingual).  The
+    corpus-level complement of lang_entropy_by_source's per-source
+    view and chi2_terms' per-term view.
+
+    Cross-engine exactness (the bm25_batch recipe): each (lang,
+    source) cell contributes floor((c/n)·ln(c·n/(r·s))·1e6) micro-nats
+    with c·n and r·s formed as INTEGERS before the one ln of their
+    ratio — the float tree is identical on both engines and flooring
+    BEFORE the sum kills aggregation-order sensitivity.  Cell terms
+    can be negative (c·n < r·s); floor of a negative double is
+    engine-identical.  Marginal entropies use the same per-cell
+    pattern.
+
+    Scale: one (lang, source) count + two broadcast margin tables +
+    single-row aggregates; no corpus-wide joins.  Output: ONE row
+    (n_docs, n_langs, n_sources, h_lang_micro, h_source_micro,
+    mi_micro)."""
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    lm = cells.groupBy("lang").agg(F.sum("c").alias("r"))
+    sm = cells.groupBy("source").agg(F.sum("c").alias("s"))
+    nn = cells.agg(F.sum("c").alias("n"))
+    term = (
+        "CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(c * n AS DOUBLE) / CAST(r * s AS DOUBLE))"
+        " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    )
+    mi = (
+        cells.join(F.broadcast(lm), "lang")
+        .join(F.broadcast(sm), "source")
+        .crossJoin(F.broadcast(nn))
+        .select(F.expr(term).alias("t"))
+        .agg(F.sum("t").alias("mi_micro"))
+    )
+    hterm = (
+        "CAST(floor((CAST(m AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * ln(CAST(n AS DOUBLE) / CAST(m AS DOUBLE))"
+        " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    )
+    hl = (
+        lm.select(F.col("r").alias("m")).crossJoin(F.broadcast(nn))
+        .select(F.expr(hterm).alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.sum("t").alias("h_lang_micro"),
+        )
+    )
+    hs = (
+        sm.select(F.col("s").alias("m")).crossJoin(F.broadcast(nn))
+        .select(F.expr(hterm).alias("t"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sources"),
+            F.sum("t").alias("h_source_micro"),
+        )
+    )
+    return (
+        nn.select(F.col("n").alias("n_docs"))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .crossJoin(F.broadcast(mi))
+        .select(
+            "n_docs", "n_langs", "n_sources",
+            "h_lang_micro", "h_source_micro", "mi_micro",
+        )
+    )

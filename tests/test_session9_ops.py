@@ -1155,3 +1155,30 @@ def test_forecast_baselines_gap_breaks_pair_and_single_day_survives(spark):
     assert (out["view"].n_lag1, out["view"].wape1_milli) == (0, 0)
     assert (out["solo"].n_lag1, out["solo"].n_lag7,
             out["solo"].wape1_milli) == (0, 0, 0)
+
+
+def test_lang_source_mi_independent_is_zero(spark):
+    # perfectly independent 2x2 (every cell = product of margins / n):
+    # every cell term is ln(1) = 0 -> MI exactly 0
+    rows = []
+    i = 0
+    for lang in ("A", "B"):
+        for src in ("x", "y"):
+            for _ in range(5):
+                i += 1
+                rows.append((i, lang, src))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    r = A.lang_source_mi(docs).collect()[0]
+    assert (r.n_docs, r.n_langs, r.n_sources) == (20, 2, 2)
+    assert r.mi_micro == 0
+    # uniform 2-way margins: H = ln(2) floored to micro = 693147
+    assert r.h_lang_micro == r.h_source_micro == 693146
+
+
+def test_lang_source_mi_deterministic_association(spark):
+    # source determines language exactly: MI == H(lang) cellwise
+    # (identical per-cell float trees -> identical floors)
+    rows = [(1, "A", "x"), (2, "A", "x"), (3, "B", "y"), (4, "B", "y")]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, source string")
+    r = A.lang_source_mi(docs).collect()[0]
+    assert r.mi_micro == r.h_lang_micro == 693146
