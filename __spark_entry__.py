@@ -101,6 +101,33 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
+def _chord_community_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted 10-node community graph over documents: intra-group
+    chords +1/+2/+3 (mod 10 within each doc_id-div-10 block) plus one
+    bridge from each group head (doc_id % 10 == 0) to the next group —
+    the shared fixture of label_communities and modularity_eval (ONE
+    builder, the oracle-reuse rule; the SQL twin is the `le` CTE in
+    both oracles)."""
+    docs = _docs(spark, sf_dir)
+    n = docs.select(F.count(F.lit(1)).alias("n"))
+    off = F.col("doc_id") - F.expr("doc_id div 10") * 10
+    intra = F.array(
+        *[
+            F.expr("doc_id div 10") * 10 + (off + j) % 10
+            for j in range(1, 4)
+        ]
+    )
+    dsts = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(intra, F.array((F.col("doc_id") + 10) % F.col("n"))),
+    ).otherwise(intra)
+    return (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(n))
+        .select(F.col("doc_id").alias("src"), F.explode(dsts).alias("dst"))
+    )
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the driver builds its own session; pin its timezone so hour
     # truncation / timestamp rendering match DuckDB's naive-timestamp view
@@ -4028,30 +4055,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # planted communities (intra-group chords +1/+2/+3, one bridge
         # from each group head to the next) — converges by round 3 to
         # exactly the planted groups, labeled by their min member
-        docs = _docs(spark, sf_dir)
-        n = docs.select(F.count(F.lit(1)).alias("n"))
-        base = (F.expr("doc_id div 10") * 10).alias("base")
-        off = F.col("doc_id") - F.expr("doc_id div 10") * 10
-        intra = F.array(
-            *[
-                F.expr("doc_id div 10") * 10 + (off + j) % 10
-                for j in range(1, 4)
-            ]
+        return A.label_propagation(
+            _chord_community_edges(spark, sf_dir), rounds=4
         )
-        dsts = F.when(
-            F.col("doc_id") % 10 == 0,
-            F.concat(
-                intra, F.array((F.col("doc_id") + 10) % F.col("n"))
-            ),
-        ).otherwise(intra)
-        edges = (
-            docs.select("doc_id")
-            .crossJoin(F.broadcast(n))
-            .select(
-                F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
-            )
-        )
-        return A.label_propagation(edges, rounds=4)
+
+    def rake_keywords(spark, sf_dir):
+        # r5 session-10: RAKE keyphrases over documents — maximal
+        # non-stopword runs (delimiters 'the'/'a' + absent function
+        # words), deg*1000 div freq word scores, integer phrase sums
+        return A.rake_keywords(_docs(spark, sf_dir), k=50, max_len=6)
+
+    def modularity_eval(spark, sf_dir):
+        # r5 session-10: Newman-modularity scorecard of the SHIPPED
+        # label_propagation output over the same chord-community graph
+        # (the lsh_eval rule: score shipped code in-engine) — exact
+        # integer decomposition q_num = 4*m*e_c - d_c^2 per community,
+        # Q = sum(q_num)/(4 m^2); the planted communities should each
+        # contribute positively (intra-dense, bridge-sparse)
+        edges = _chord_community_edges(spark, sf_dir)
+        labels = A.label_propagation(edges, rounds=4)
+        return A.modularity(edges, labels)
 
     def k_anonymity(spark, sf_dir):
         # r5 session-7: privacy-release audit over the (lang, source,
@@ -4181,6 +4204,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "modularity_eval": modularity_eval,
+        "rake_keywords": rake_keywords,
         "bowtie_components": bowtie_components,
         "scd2_intervals": scd2_intervals,
         "rfm_segments": rfm_segments,
@@ -4951,6 +4976,29 @@ def _tfidf_pair_ctes(
                       FROM r2{sfx}
                       WHERE (dot * 1000) // greatest(na * nb, 1)
                             >= {threshold_milli})"""
+
+
+_RAKE_STOP_SQL = ", ".join(f"'{s}'" for s in A.RAKE_STOPWORDS)
+"""RAKE delimiter literals for the oracle — interpolates
+analysis.RAKE_STOPWORDS so the Spark default and the oracle share ONE
+list (the _QF_BAD_SQL convention)."""
+
+_CHORD_EDGES_CTE = """nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                        FROM documents),
+            le AS (SELECT doc_id AS src,
+                          CASE j WHEN 1 THEN (doc_id // 10) * 10
+                                          + (doc_id % 10 + 1) % 10
+                                 WHEN 2 THEN (doc_id // 10) * 10
+                                          + (doc_id % 10 + 2) % 10
+                                 WHEN 3 THEN (doc_id // 10) * 10
+                                          + (doc_id % 10 + 3) % 10
+                                 ELSE (doc_id + 10) % n END AS dst
+                   FROM documents, nn,
+                        (SELECT unnest([1, 2, 3, 4]) AS j) js
+                   WHERE j <= 3 OR doc_id % 10 = 0)"""
+"""SQL twin of `_chord_community_edges` — shared by the
+label_communities and modularity_eval oracles (one definition of the
+planted-community fixture on each engine)."""
 
 
 def _lpa_ctes(rounds: int, src: str = "le") -> str:
@@ -9310,21 +9358,88 @@ def oracle_sql() -> dict[str, str]:
         # synchronous LPA over the planted 10-node communities: packed
         # (cnt, min-label) argmax per round, 4 unrolled rounds
         "label_communities": f"""
-            WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n
-                        FROM documents),
-            le AS (SELECT doc_id AS src,
-                          CASE j WHEN 1 THEN (doc_id // 10) * 10
-                                          + (doc_id % 10 + 1) % 10
-                                 WHEN 2 THEN (doc_id // 10) * 10
-                                          + (doc_id % 10 + 2) % 10
-                                 WHEN 3 THEN (doc_id // 10) * 10
-                                          + (doc_id % 10 + 3) % 10
-                                 ELSE (doc_id + 10) % n END AS dst
-                   FROM documents, nn,
-                        (SELECT unnest([1, 2, 3, 4]) AS j) js
-                   WHERE j <= 3 OR doc_id % 10 = 0),
+            WITH {_CHORD_EDGES_CTE},
             {_lpa_ctes(rounds=4)}
             SELECT node, label FROM l4
+        """,
+        # RAKE keyphrases: gaps-and-islands runs between stopword
+        # delimiters (shared literal list A.RAKE_STOPWORDS), integer
+        # deg*1000//freq word scores summed per phrase, top-50 by
+        # (score DESC, phrase)
+        "rake_keywords": f"""
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok,
+                               generate_subscripts(string_split(text, ' '), 1)
+                                   - 1 AS pos
+                        FROM documents),
+            cand AS (SELECT doc_id, pos, tok FROM tk
+                     WHERE tok <> '' AND tok NOT IN ({_RAKE_STOP_SQL})),
+            runs AS (SELECT doc_id, pos, tok,
+                            pos - row_number() OVER
+                                (PARTITION BY doc_id ORDER BY pos) AS grp
+                     FROM cand),
+            member AS (SELECT doc_id, grp, pos, tok,
+                              CAST(count(*) OVER
+                                  (PARTITION BY doc_id, grp) AS BIGINT)
+                                  AS n_words
+                       FROM runs),
+            mkeep AS (SELECT * FROM member WHERE n_words <= 6),
+            wstats AS (SELECT tok,
+                              CAST(count(*) AS BIGINT) AS freq,
+                              CAST(sum(n_words) AS BIGINT) AS deg
+                       FROM mkeep GROUP BY tok),
+            wscore AS (SELECT tok, (deg * 1000) // freq AS wm
+                       FROM wstats),
+            ph AS (SELECT m.doc_id, m.grp,
+                          max(m.n_words) AS n_words,
+                          CAST(sum(w.wm) AS BIGINT) AS score_milli,
+                          string_agg(m.tok, ' ' ORDER BY m.pos) AS phrase
+                   FROM mkeep m JOIN wscore w ON w.tok = m.tok
+                   GROUP BY m.doc_id, m.grp),
+            ty AS (SELECT phrase, max(n_words) AS n_words,
+                          CAST(count(*) AS BIGINT) AS n_occurrences,
+                          max(score_milli) AS score_milli
+                   FROM ph GROUP BY phrase),
+            tops AS (SELECT phrase, n_words, n_occurrences, score_milli,
+                            CAST(row_number() OVER
+                                (ORDER BY score_milli DESC, phrase)
+                                AS BIGINT) AS rk
+                     FROM ty)
+            SELECT * FROM tops WHERE rk <= 50
+        """,
+        # Newman-modularity scorecard of the LPA labels over the same
+        # chord-community graph: all-integer decomposition q_num =
+        # 4*m*e_c - d_c^2 (shared denominator 4*m^2) — undl/nbrl come
+        # from the shared _lpa_ctes head, so the edge canonicalization
+        # is literally the same text the label oracle uses
+        "modularity_eval": f"""
+            WITH {_CHORD_EDGES_CTE},
+            {_lpa_ctes(rounds=4)},
+            mcnt AS (SELECT CAST(count(*) AS BIGINT) AS m_edges
+                     FROM undl),
+            degs AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                     FROM nbrl GROUP BY node),
+            nl AS (SELECT d.deg, l.label
+                   FROM degs d JOIN l4 l ON l.node = d.node),
+            dsum AS (SELECT label,
+                            CAST(count(*) AS BIGINT) AS n_nodes,
+                            CAST(sum(deg) AS BIGINT) AS deg_sum
+                     FROM nl GROUP BY label),
+            intra AS (SELECT la.label,
+                             CAST(count(*) AS BIGINT) AS ic
+                      FROM undl u
+                      JOIN l4 la ON la.node = u.lo
+                      JOIN l4 lb ON lb.node = u.hi
+                      WHERE la.label = lb.label
+                      GROUP BY la.label)
+            SELECT d.label, d.n_nodes,
+                   CAST(COALESCE(i.ic, 0) AS BIGINT) AS intra_edges,
+                   d.deg_sum, m.m_edges,
+                   4 * m.m_edges * COALESCE(i.ic, 0)
+                       - d.deg_sum * d.deg_sum AS q_num
+            FROM dsum d
+            LEFT JOIN intra i ON i.label = d.label
+            CROSS JOIN mcnt m
         """,
         # first-order Markov transition matrix: lag window in the same
         # (ts, event_id) per-user total order as the Spark side; one

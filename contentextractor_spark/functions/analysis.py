@@ -11341,3 +11341,201 @@ def lang_source_mi(docs: DataFrame) -> DataFrame:
             "h_lang_micro", "h_source_micro", "mi_micro",
         )
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community modularity decomposition of a node labeling over
+    the undirected simple graph — the eval row for label_propagation
+    (the lsh_eval rule: score the SHIPPED community detector, in-engine,
+    against the standard quality objective rather than trusting the
+    planted fixture).
+
+    Newman modularity Q = sum_c [ e_c/m - (d_c/(2m))^2 ] where m is the
+    undirected edge count, e_c the intra-community edge count and d_c
+    the community degree sum.  Reported EXACTLY as integers: per
+    community q_num = 4*m*e_c - d_c^2 with the shared denominator
+    4*m^2, so Q = sum(q_num) / (4*m^2) — no division, no float, no
+    aggregation-order sensitivity (the pagerank all-integer rule).
+    q_num is signed: a community holding less than its degree-expected
+    edge share contributes negatively.
+
+    Bounds (per-row raise, the latest_snapshot convention): d_c < 2^31
+    keeps d_c^2 < 2^62; m < 2^30 keeps 4*m*e_c < 2^62 (e_c <= m).
+    Labels missing for a graph node are an ERROR (inner join would
+    silently drop their degree mass and misreport every q_num) — the
+    join is left + null-label raise.
+
+    Scale: one canonical-edge distinct, one map-side-combinable degree
+    groupBy, two equi-joins of the edge table against the (node, label)
+    table (uniform keys), per-label aggregates; m rides as a one-row
+    broadcast crossJoin (the label_communities `n` convention).  Output
+    one row per community: (label, n_nodes, intra_edges, deg_sum,
+    m_edges, q_num)."""
+    und = _und_edges(edges).localCheckpoint()
+    mm = und.agg(F.count(F.lit(1)).alias("m_edges"))
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .union(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    lab = labels.select("node", "label")
+    nl = deg.join(lab, "node", "left").select(
+        "deg",
+        F.when(
+            F.col("label").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("modularity: unlabeled graph node "),
+                    F.col("node").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("label")).alias("label"),
+    )
+    dsum = nl.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("deg").alias("deg_sum"),
+    )
+    intra = (
+        und.join(
+            lab.select(F.col("node").alias("lo"), F.col("label").alias("la")),
+            "lo",
+        )
+        .join(
+            lab.select(F.col("node").alias("hi"), F.col("label").alias("lb")),
+            "hi",
+        )
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    bound_ok = (F.col("deg_sum") < F.lit(1 << 31)) & (
+        F.col("m_edges") < F.lit(1 << 30)
+    )
+    return (
+        dsum.join(intra, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "label",
+            "n_nodes",
+            F.coalesce("ic", F.lit(0)).cast("long").alias("intra_edges"),
+            "deg_sum",
+            "m_edges",
+            F.when(
+                ~bound_ok,
+                F.raise_error(
+                    F.concat(
+                        F.lit("modularity: packing bounds violated at "),
+                        F.col("deg_sum").cast("string"),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(
+                F.lit(4) * F.col("m_edges")
+                * F.coalesce("ic", F.lit(0))
+                - F.col("deg_sum") * F.col("deg_sum")
+            )
+            .alias("q_num"),
+        )
+    )
+
+
+RAKE_STOPWORDS: tuple[str, ...] = ("the", "a", "is", "of", "and", "to", "in")
+"""RAKE phrase delimiters — function words that split candidate phrases.
+Shared with the SQL oracle as literals (ONE set of strings, the QF_*
+convention)."""
+
+
+def rake_keywords(
+    docs: DataFrame,
+    k: int = 50,
+    max_len: int = 6,
+    stopwords: tuple[str, ...] = RAKE_STOPWORDS,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal runs of non-stopword tokens; each word scores
+    deg(w)/freq(w) (deg = sum of host-phrase lengths over the word's
+    occurrences, freq = its occurrence count among candidates) and a
+    phrase scores the sum of its member word scores — the
+    multi-word-keyphrase complement to textrank_keywords (which ranks
+    single tokens) and tfidf_top_terms (which needs a query document).
+
+    Integer convention: wscore_milli = deg*1000 div freq (non-negative,
+    so Spark div == DuckDB //); phrase score = SUM of member
+    wscore_milli — integer sums are order-free, so the ranking is
+    cross-engine exact.  Runs longer than `max_len` are discarded as
+    candidates BEFORE scoring (implementation cap — RAKE's original
+    stoplist-only segmentation produces unbounded runs on stopword-poor
+    text; documented deviation, mirrored by the oracle).  Identical
+    phrase strings are one keyphrase TYPE: same token multiset => same
+    score, so the type-level groupBy takes max(score) == every score.
+
+    Top-k: (score_milli DESC, phrase ASC) orderBy().limit(k) —
+    TakeOrderedAndProject with rk derived over the k survivors (the
+    top_suppliers convention).
+
+    Scale: one per-doc row_number window (gaps-and-islands run
+    grouping), one per-(doc, run) count window, one map-side-combinable
+    word-stats groupBy, a broadcast-size word-score join (vocabulary
+    rows), one phrase groupBy.  The phrase-string assembly
+    (sort_array + transform over a <= max_len array) is row-level over
+    tiny arrays — the gopher_rules precedent, never an exploded-stream
+    lambda."""
+    toks = (
+        _gram_stream(docs, 1, with_pos=True)
+        .select("doc_id", "pos", F.col("g").alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    cand = toks.filter(~F.col("tok").isin(*stopwords))
+    wrn = Window.partitionBy("doc_id").orderBy("pos")
+    runs = cand.select(
+        "doc_id",
+        "pos",
+        "tok",
+        (F.col("pos") - F.row_number().over(wrn)).alias("grp"),
+    )
+    wlen = Window.partitionBy("doc_id", "grp")
+    member = runs.select(
+        "doc_id",
+        "grp",
+        "pos",
+        "tok",
+        F.count(F.lit(1)).over(wlen).alias("n_words"),
+    ).filter(F.col("n_words") <= max_len)
+    wstats = member.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("n_words").alias("deg"),
+    )
+    wscore = wstats.select(
+        "tok",
+        F.expr("deg * 1000 div freq").alias("wscore_milli"),
+    )
+    phrases = (
+        member.join(F.broadcast(wscore), "tok")
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.max("n_words").alias("n_words"),
+            F.sum("wscore_milli").alias("score_milli"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+    )
+    types = phrases.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.max("score_milli").alias("score_milli"),
+    )
+    top = types.orderBy(F.col("score_milli").desc(), "phrase").limit(k)
+    w = Window.orderBy(F.col("score_milli").desc(), "phrase")
+    return top.select(
+        "phrase",
+        "n_words",
+        "n_occurrences",
+        "score_milli",
+        F.row_number().over(w).cast("long").alias("rk"),
+    )

@@ -1,0 +1,115 @@
+"""Session-10 operators: modularity exactness on a hand graph +
+unlabeled-node refusal; RAKE scoring on a hand corpus + the max_len
+candidate cap's effect on word statistics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from contentextractor_spark.functions import analysis as A
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _labels(spark, pairs):
+    return spark.createDataFrame(pairs, "node long, label long")
+
+
+def test_modularity_two_triangles_bridge(spark):
+    # two triangles {0,1,2} and {3,4,5} joined by the bridge 2-3:
+    # m=7; each community has e_c=3 intra edges and degree sum 7
+    # (2+2+3), so q_num = 4*7*3 - 49 = 35 per community and
+    # Q = 70/196 ~ 0.357
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    labels = [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 3)]
+    out = {
+        r["label"]: r
+        for r in A.modularity(
+            _edges(spark, pairs), _labels(spark, labels)
+        ).collect()
+    }
+    assert set(out) == {0, 3}
+    for lbl in (0, 3):
+        r = out[lbl]
+        assert r["n_nodes"] == 3
+        assert r["intra_edges"] == 3
+        assert r["deg_sum"] == 7
+        assert r["m_edges"] == 7
+        assert r["q_num"] == 35
+
+
+def test_modularity_single_community_is_zero(spark):
+    # everything in one community: e_c = m and d_c = 2m, so
+    # q_num = 4m^2 - 4m^2 = 0 exactly — the classic Q(trivial) = 0
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    labels = [(0, 9), (1, 9), (2, 9)]
+    rows = A.modularity(
+        _edges(spark, pairs), _labels(spark, labels)
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["q_num"] == 0
+
+
+def test_modularity_split_community_negative(spark):
+    # a community holding NO intra edge contributes negatively
+    pairs = [(0, 1), (1, 2), (2, 0)]
+    labels = [(0, 0), (1, 1), (2, 2)]
+    rows = A.modularity(
+        _edges(spark, pairs), _labels(spark, labels)
+    ).collect()
+    # m=3; each singleton has e_c=0, d_c=2 -> q_num = 0 - 4 = -4
+    assert sorted(r["q_num"] for r in rows) == [-4, -4, -4]
+
+
+def test_modularity_unlabeled_node_raises(spark):
+    pairs = [(0, 1), (1, 2)]
+    labels = [(0, 0), (1, 0)]  # node 2 unlabeled
+    with pytest.raises(Exception, match="unlabeled graph node"):
+        A.modularity(_edges(spark, pairs), _labels(spark, labels)).collect()
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_rake_hand_corpus(spark):
+    # runs: [red apple] [green apple juice] [red]
+    # freq: red 2, apple 2, green 1, juice 1
+    # deg:  red 2+1=3, apple 2+3=5, green 3, juice 3
+    # wscore_milli: red 1500, apple 2500, green 3000, juice 3000
+    # phrases: 'green apple juice' 8500, 'red apple' 4000, 'red' 1500
+    docs = _docs(spark, ["red apple the green apple juice a red"])
+    rows = A.rake_keywords(docs, k=10).collect()
+    got = {r["phrase"]: r for r in rows}
+    assert got["green apple juice"]["score_milli"] == 8500
+    assert got["red apple"]["score_milli"] == 4000
+    assert got["red"]["score_milli"] == 1500
+    assert got["green apple juice"]["rk"] == 1
+    assert got["red apple"]["rk"] == 2
+    assert got["red apple"]["n_words"] == 2
+    assert got["red"]["n_occurrences"] == 1
+
+
+def test_rake_max_len_drops_run_and_its_word_mass(spark):
+    # one 3-token run + one 1-token run of the same word: with
+    # max_len=2 the long run is not a candidate AND its occurrences
+    # leave the word stats — 'x' keeps freq=1, deg=1, score 1000
+    docs = _docs(spark, ["x y z the x"])
+    rows = A.rake_keywords(docs, k=10, max_len=2).collect()
+    assert [r["phrase"] for r in rows] == ["x"]
+    assert rows[0]["score_milli"] == 1000
+
+
+def test_rake_phrase_type_merges_occurrences(spark):
+    # the same phrase in two docs is ONE type with n_occurrences=2
+    docs = _docs(spark, ["big data the", "big data a small"])
+    rows = A.rake_keywords(docs, k=10).collect()
+    got = {r["phrase"]: r for r in rows}
+    assert got["big data"]["n_occurrences"] == 2
+    # word scores: big freq2 deg4 -> 2000; data freq2 deg4 -> 2000;
+    # small freq1 deg1 -> 1000
+    assert got["big data"]["score_milli"] == 4000
+    assert got["small"]["score_milli"] == 1000
