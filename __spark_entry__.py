@@ -4065,6 +4065,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # words), deg*1000 div freq word scores, integer phrase sums
         return A.rake_keywords(_docs(spark, sf_dir), k=50, max_len=6)
 
+    def wildcard_search(spark, sf_dir):
+        # r5 session-10: permuterm wildcard lookup — pre*suf rotates to
+        # a suf$pre prefix probe against the rotation index; patterns
+        # cover prefix-only, suffix-only, infix and a no-match probe
+        return A.wildcard_search(
+            _docs(spark, sf_dir), patterns=_WILDCARD_PATTERNS
+        )
+
+    def ks_two_sample(spark, sf_dir):
+        # r5 session-10: exact-integer two-sample KS over token lengths
+        # of src0 vs src1 — same generator, so the A/A verdict should
+        # be reject_95 = 0 (distribution-shift alarm calibration)
+        return A.ks_two_sample(
+            _docs(spark, sf_dir),
+            group_col="source", group_a="src0", group_b="src1",
+        )
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4206,6 +4223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new this round):
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
+        "wildcard_search": wildcard_search,
+        "ks_two_sample": ks_two_sample,
         "bowtie_components": bowtie_components,
         "scd2_intervals": scd2_intervals,
         "rfm_segments": rfm_segments,
@@ -4976,6 +4995,22 @@ def _tfidf_pair_ctes(
                       FROM r2{sfx}
                       WHERE (dot * 1000) // greatest(na * nb, 1)
                             >= {threshold_milli})"""
+
+
+_WILDCARD_PATTERNS = ("s*", "*r", "qu*y", "c*umn", "zz*q")
+"""wildcard_search fixture patterns: prefix-only, suffix-only, two infix
+(one single-match, one no-match) — keys derived by ONE parse for both
+engines (_wildcard_values_sql)."""
+
+
+def _wildcard_values_sql() -> str:
+    """(pattern, key) VALUES rows for the oracle — the same pre*suf ->
+    suf$pre rotation the Spark side computes driver-side."""
+    vals = []
+    for p in _WILDCARD_PATTERNS:
+        pre, suf = p.split("*")
+        vals.append(f"('{p}', '{suf}${pre}')")
+    return ", ".join(vals)
 
 
 _RAKE_STOP_SQL = ", ".join(f"'{s}'" for s in A.RAKE_STOPWORDS)
@@ -9361,6 +9396,60 @@ def oracle_sql() -> dict[str, str]:
             WITH {_CHORD_EDGES_CTE},
             {_lpa_ctes(rounds=4)}
             SELECT node, label FROM l4
+        """,
+        # exact-integer two-sample KS: per-length histogram, cumulative
+        # counts over the histogram window, d_num = max|n2*F1 - n1*F2|
+        # numerator, squared cross-multiplied 95% verdict
+        "ks_two_sample": """
+            WITH s AS (SELECT CAST(len(string_split(text, ' '))
+                                   AS BIGINT) AS x,
+                              CASE WHEN source = 'src0'
+                                   THEN 1 ELSE 0 END AS is_a
+                       FROM documents
+                       WHERE source IN ('src0', 'src1')),
+            hist AS (SELECT x,
+                            CAST(sum(is_a) AS BIGINT) AS c1,
+                            CAST(sum(1 - is_a) AS BIGINT) AS c2
+                     FROM s GROUP BY x),
+            cum AS (SELECT sum(c1) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum1,
+                           sum(c2) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum2
+                    FROM hist),
+            tot AS (SELECT CAST(max(cum1) AS BIGINT) AS n1,
+                           CAST(max(cum2) AS BIGINT) AS n2
+                    FROM cum),
+            d AS (SELECT n1, n2,
+                         CAST(max(abs(n2 * cum1 - n1 * cum2)) AS BIGINT)
+                             AS d_num
+                  FROM cum CROSS JOIN tot GROUP BY n1, n2)
+            SELECT n1, n2, d_num,
+                   (d_num * 1000) // (n1 * n2) AS d_milli,
+                   CAST(CASE WHEN 1000000 * d_num * d_num
+                             > 1844164 * (n1 + n2) * n1 * n2
+                        THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+            FROM d
+        """,
+        # permuterm wildcard lookup: rotation table from an exploded
+        # 0..len sequence, prefix probe per (pattern, key) literal —
+        # keys come from the same driver-side parse as the Spark side
+        "wildcard_search": f"""
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+            vdf AS (SELECT tok AS term,
+                           CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM tk WHERE tok <> '' GROUP BY tok),
+            rot AS (SELECT term, df,
+                           substr(term || '$', i + 1)
+                               || substr(term || '$', 1, i) AS rot
+                    FROM vdf, generate_series(0, 64) AS g(i)
+                    WHERE i <= length(term)),
+            pats(pattern, key) AS (VALUES {_wildcard_values_sql()})
+            SELECT p.pattern, r.term, r.df
+            FROM rot r JOIN pats p ON starts_with(r.rot, p.key)
         """,
         # RAKE keyphrases: gaps-and-islands runs between stopword
         # delimiters (shared literal list A.RAKE_STOPWORDS), integer

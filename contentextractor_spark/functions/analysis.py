@@ -11539,3 +11539,185 @@ def rake_keywords(
         "score_milli",
         F.row_number().over(w).cast("long").alias("rk"),
     )
+
+
+def permuterm_rotations(docs: DataFrame) -> DataFrame:
+    """Permuterm index (Garfield 1976, the classic wildcard-query
+    structure): every rotation of term||'$' keyed back to the term and
+    its document frequency — a `pre*suf` wildcard becomes ONE prefix
+    probe for `suf$pre` against this table, which at scale is a sorted
+    /bucketed range scan instead of a full-vocabulary regex pass.
+
+    Rotations are generated with codegen'd substring arithmetic over an
+    exploded integer sequence (len+1 rows per term) — no higher-order
+    lambda (the r3 transform lesson).  The '$' terminator must not
+    occur inside a term: per-row raise guard (the packed-key rule —
+    a '$'-bearing term would alias another term's rotation set).
+
+    Scale: the index is vocabulary-sized (types, not tokens) times
+    average term length — tiny next to the corpus; df comes from one
+    map-side-combinable distinct+groupBy."""
+    vdf = (
+        _gram_stream(docs, 1)
+        .filter(F.col("g") != "")
+        .select("doc_id", F.col("g").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    guarded = vdf.select(
+        F.when(
+            F.col("term").contains("$"),
+            F.raise_error(
+                F.concat(
+                    F.lit("permuterm: '$' inside term "), F.col("term")
+                )
+            ),
+        ).otherwise(F.col("term")).alias("term"),
+        "df",
+    )
+    w = F.concat(F.col("term"), F.lit("$"))
+    return (
+        guarded.select(
+            "term",
+            "df",
+            F.expr("explode(sequence(0, length(term)))").alias("i"),
+        )
+        .select(
+            "term",
+            "df",
+            F.concat(
+                F.substring(w, F.col("i") + 1, F.length(w) - F.col("i")),
+                F.substring(w, F.lit(1), F.col("i")),
+            ).alias("rot"),
+        )
+    )
+
+
+def wildcard_search(
+    docs: DataFrame, patterns: tuple[str, ...]
+) -> DataFrame:
+    """Wildcard term lookup over the permuterm index: each `pre*suf`
+    pattern (exactly one '*') rotates to the probe key `suf$pre`; a
+    term matches iff one of its rotations starts with the key — exact
+    permuterm semantics, no regex engine on either side.
+
+    The patterns are parsed driver-side into literal (pattern, key)
+    pairs riding in as a broadcast literal array (the hyperplane
+    convention — the resulting BroadcastNestedLoopJoin over a
+    vocabulary-sized table with a handful of keys is the documented
+    benign cross shape; a production-scale variant turns the
+    startswith into a range scan on the sorted rotation index).
+
+    Output: (pattern, term, df) — one row per matching term (each key
+    can match at most one rotation of a term, so no distinct needed)."""
+    rows = []
+    for p in patterns:
+        if p.count("*") != 1:
+            raise ValueError(f"wildcard_search: exactly one '*' in {p!r}")
+        pre, suf = p.split("*")
+        rows.append((p, f"{suf}${pre}"))
+    pats = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("pattern"), F.lit(k).alias("key")
+                )
+                for p, k in rows
+            ]
+        )
+    ).alias("pk")
+    rot = permuterm_rotations(docs)
+    pdf = rot.sparkSession.range(1).select(pats).select(
+        "pk.pattern", "pk.key"
+    )
+    return (
+        rot.join(
+            F.broadcast(pdf), F.expr("startswith(rot, key)"), "inner"
+        )
+        .select("pattern", "term", "df")
+    )
+
+
+def ks_two_sample(
+    docs: DataFrame,
+    group_col: str = "source",
+    group_a: str = "src0",
+    group_b: str = "src1",
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the token-length
+    distributions of two document groups — the distribution-shift
+    alarm for ingest QA (is source B suddenly producing shorter docs
+    than source A?), and on same-generator groups an A/A calibration
+    row (the ab_null_check pattern: the plumbing should NOT reject).
+
+    Exact integer arithmetic: at every observed length x,
+    F1(x) - F2(x) = (n2*cum1(x) - n1*cum2(x)) / (n1*n2), so
+    d_num = max|n2*cum1 - n1*cum2| is the exact KS numerator with
+    denominator n1*n2 (no float, no sup-over-reals subtlety — the
+    empirical CDF difference only changes at observed values).
+    reject_95 applies the large-sample critical value
+    c(0.05) = 1.358 = 1358/1000 via cross-multiplied squares:
+    reject iff 10^6 * d_num^2 > 1358^2 * (n1+n2) * n1 * n2.  Overflow
+    bound: the RHS stays under 2^63 for n1+n2 <= ~27,000 — enforced
+    with a raise (the latest_snapshot convention); beyond that a real
+    deployment subsamples per group first (KS power saturates long
+    before 10^4 samples anyway).
+
+    Scale: one groupBy on length (the distinct-length histogram —
+    hundreds of rows), cumulative sums over that HISTOGRAM via a
+    single-partition window (the length_percentiles convention: global
+    windows over histogram-sized tables, never over the corpus), one
+    final max aggregate."""
+    val = F.size(F.split(F.col("text"), " ")).alias("x")
+    g = F.col(group_col)
+    s = docs.filter(g.isin(group_a, group_b)).select(
+        val, (g == group_a).cast("long").alias("is_a")
+    )
+    hist = s.groupBy("x").agg(
+        F.sum("is_a").alias("c1"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("c2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        F.sum("c1").over(w).alias("cum1"),
+        F.sum("c2").over(w).alias("cum2"),
+    )
+    tot = cum.agg(
+        F.max("cum1").alias("n1"),
+        F.max("cum2").alias("n2"),
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "n1",
+            "n2",
+            F.abs(
+                F.col("n2") * F.col("cum1") - F.col("n1") * F.col("cum2")
+            ).alias("diff"),
+        )
+        .groupBy("n1", "n2")
+        .agg(F.max("diff").alias("d_num"))
+    )
+    guard = F.when(
+        F.col("n1") + F.col("n2") > F.lit(27000),
+        F.raise_error(
+            F.lit("ks_two_sample: exact verdict bound exceeded, subsample")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return d.select(
+        "n1",
+        "n2",
+        "d_num",
+        F.expr("d_num * 1000 div (n1 * n2)").alias("d_milli"),
+        (
+            guard
+            + (
+                F.lit(1000000) * F.col("d_num") * F.col("d_num")
+                > F.lit(1358 * 1358)
+                * (F.col("n1") + F.col("n2"))
+                * F.col("n1")
+                * F.col("n2")
+            ).cast("long")
+        ).alias("reject_95"),
+    )

@@ -113,3 +113,70 @@ def test_rake_phrase_type_merges_occurrences(spark):
     # small freq1 deg1 -> 1000
     assert got["big data"]["score_milli"] == 4000
     assert got["small"]["score_milli"] == 1000
+
+
+def test_wildcard_search_semantics(spark):
+    docs = _docs(spark, ["sort scan query filter", "column vector sort"])
+    out = A.wildcard_search(
+        docs, patterns=("s*", "*r", "qu*y", "zz*q", "*")
+    ).collect()
+    got = sorted((r["pattern"], r["term"]) for r in out)
+    assert ("s*", "sort") in got and ("s*", "scan") in got
+    assert ("*r", "filter") in got and ("*r", "vector") in got
+    assert ("qu*y", "query") in got
+    assert all(p != "zz*q" for p, _ in got)  # no-match pattern
+    # bare '*' matches every term exactly once
+    star = [t for p, t in got if p == "*"]
+    assert sorted(star) == sorted(set(star))
+    assert len(star) == 6  # vocabulary size
+    # df is a DOCUMENT count: sort appears in both docs
+    df = {r["term"]: r["df"] for r in out if r["pattern"] == "*"}
+    assert df["sort"] == 2 and df["query"] == 1
+
+
+def test_wildcard_search_rejects_multi_star(spark):
+    docs = _docs(spark, ["a b"])
+    with pytest.raises(ValueError, match="exactly one"):
+        A.wildcard_search(docs, patterns=("a*b*c",))
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+
+
+def test_ks_identical_samples_zero(spark):
+    rows = [("a b c", "A"), ("a b c", "B"), ("a", "A"), ("a", "B")]
+    r = A.ks_two_sample(
+        _src_docs(spark, rows), group_a="A", group_b="B"
+    ).collect()[0]
+    assert (r["n1"], r["n2"], r["d_num"], r["reject_95"]) == (2, 2, 0, 0)
+
+
+def test_ks_planted_shift_rejects(spark):
+    # group A: 40 docs of 2 tokens; group B: 40 docs of 5 tokens —
+    # fully separated CDFs, D = 1, must reject at 95%
+    rows = [("a b", "A") for _ in range(40)] + [
+        ("a b c d e", "B") for _ in range(40)
+    ]
+    r = A.ks_two_sample(
+        _src_docs(spark, rows), group_a="A", group_b="B"
+    ).collect()[0]
+    assert r["d_num"] == 40 * 40  # D = 1 exactly
+    assert r["d_milli"] == 1000
+    assert r["reject_95"] == 1
+
+
+def test_ks_hand_value(spark):
+    # A lengths {1,2,3}, B lengths {2,3,4}: at x=1 diff |3*1-3*0|=3,
+    # x=2 |3*2-3*1|=3, x=3 |9-6|=3, x=4 0 -> d_num=3, D=1/3
+    rows = [("a", "A"), ("a b", "A"), ("a b c", "A"),
+            ("a b", "B"), ("a b c", "B"), ("a b c d", "B")]
+    r = A.ks_two_sample(
+        _src_docs(spark, rows), group_a="A", group_b="B"
+    ).collect()[0]
+    assert r["d_num"] == 3
+    assert r["d_milli"] == 333
+    assert r["reject_95"] == 0
