@@ -4082,6 +4082,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             group_col="source", group_a="src0", group_b="src1",
         )
 
+    def ams_f2(spark, sf_dir):
+        # r5 session-10: tug-of-war F2 sketch scored against the exact
+        # second moment of the unigram stream — 16 md5-signed sums per
+        # TYPE, integer squares, mean-of-estimators
+        return A.ams_f2(_docs(spark, sf_dir), k=16)
+
+    def kwic_concordance(spark, sf_dir):
+        # r5 session-10: keyword-in-context windows (w=3) around the
+        # planted 'query' token — positional hits + one doc_id equi-join
+        # back to the word array, row-level slices
+        return A.kwic_concordance(
+            _docs(spark, sf_dir), term="query", window=3
+        )
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4225,6 +4239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
         "ks_two_sample": ks_two_sample,
+        "ams_f2": ams_f2,
+        "kwic_concordance": kwic_concordance,
         "bowtie_components": bowtie_components,
         "scd2_intervals": scd2_intervals,
         "rfm_segments": rfm_segments,
@@ -5001,6 +5017,35 @@ _WILDCARD_PATTERNS = ("s*", "*r", "qu*y", "c*umn", "zz*q")
 """wildcard_search fixture patterns: prefix-only, suffix-only, two infix
 (one single-match, one no-match) — keys derived by ONE parse for both
 engines (_wildcard_values_sql)."""
+
+
+def _ams_f2_sql(k: int = 16) -> str:
+    """ams_f2 oracle — the k signed sums generated by the same loop
+    shape as the Spark aggregate (one definition of the sign rule:
+    first md5 hex digit < '8' => +1, a plain string compare)."""
+    sums = ",\n                   ".join(
+        f"CAST(sum(CASE WHEN substr(md5('{j}:' || tok), 1, 1) < '8'"
+        f" THEN c ELSE -c END) AS BIGINT) AS s{j}"
+        for j in range(k)
+    )
+    sq = " + ".join(f"s{j} * s{j}" for j in range(k))
+    return f"""
+            WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+            ty AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+                   FROM tk WHERE tok <> '' GROUP BY tok),
+            one AS (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_types,
+                   CAST(sum(c * c) AS BIGINT) AS f2_exact,
+                   {sums}
+                    FROM ty),
+            est AS (SELECT n_tokens, n_types, f2_exact,
+                           ({sq}) // {k} AS est_f2
+                    FROM one)
+            SELECT n_tokens, n_types, f2_exact, est_f2,
+                   (est_f2 * 1000) // f2_exact AS ratio_milli
+            FROM est
+        """
 
 
 def _wildcard_values_sql() -> str:
@@ -9396,6 +9441,32 @@ def oracle_sql() -> dict[str, str]:
             WITH {_CHORD_EDGES_CTE},
             {_lpa_ctes(rounds=4)}
             SELECT node, label FROM l4
+        """,
+        # AMS tug-of-war F2 eval: k=16 md5-signed per-type sums,
+        # integer squares, mean-of-estimators vs the exact sum(c^2)
+        "ams_f2": _ams_f2_sql(16),
+        # KWIC concordance: positional hits for the planted term + one
+        # doc_id join back to the word array; list_slice is
+        # END-INCLUSIVE (mirrors F.slice's start/LENGTH args — the
+        # host_anchor_terms convention), both sides clamp naturally
+        "kwic_concordance": """
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok,
+                               generate_subscripts(string_split(text, ' '), 1)
+                                   - 1 AS pos
+                        FROM documents),
+            hits AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos
+                     FROM tk WHERE tok = 'query'),
+            arr AS (SELECT doc_id, string_split(text, ' ') AS w
+                    FROM documents)
+            SELECT h.doc_id, h.pos,
+                   COALESCE(array_to_string(list_slice(a.w,
+                       greatest(h.pos - 2, 1), h.pos), ' '), '')
+                       AS left_ctx,
+                   'query' AS term,
+                   COALESCE(array_to_string(list_slice(a.w,
+                       h.pos + 2, h.pos + 4), ' '), '') AS right_ctx
+            FROM hits h JOIN arr a ON a.doc_id = h.doc_id
         """,
         # exact-integer two-sample KS: per-length histogram, cumulative
         # counts over the histogram window, d_num = max|n2*F1 - n1*F2|

@@ -11721,3 +11721,114 @@ def ks_two_sample(
             ).cast("long")
         ).alias("reject_95"),
     )
+
+
+def ams_f2(docs: DataFrame, k: int = 16) -> DataFrame:
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996)
+    scored against the exact F2 = sum_t c_t^2 of the unigram stream —
+    the eval row for the sketch family's tug-of-war member (F2 is the
+    self-join size / skew indicator a shuffle planner wants cheaply).
+
+    Estimator j: X_j = (sum_t s_j(t) * c_t)^2 with the +/-1 sign drawn
+    from md5(j:tok)'s first hex digit (< '8' => +1 — a plain STRING
+    compare, identical ASCII order in both engines, no conv()).
+    est_f2 = mean of the k estimators (integer div).  E[X_j] = F2
+    exactly (4-wise independence is approximated by md5, which is the
+    point of measuring rather than trusting).
+
+    All-integer: the signed sums are integers, squares and the mean
+    stay in BIGINT; per-row raise guard |S_j| < 3*10^9 before squaring
+    (the packing-bound rule — a 10^10-token stream would silently
+    overflow the square otherwise; at that scale you shard the stream
+    and merge sketch sums, which ARE mergeable by addition).
+
+    Scale: ONE map-side-combinable groupBy(tok) then a single
+    aggregate computing exact F2, the stream totals and all k signed
+    sums together — md5 runs per TYPE, not per occurrence."""
+    types = (
+        _gram_stream(docs, 1)
+        .filter(F.col("g") != "")
+        .groupBy(F.col("g").alias("tok"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sign = lambda j: F.expr(
+        f"IF(substring(md5(concat('{j}:', tok)), 1, 1) < '8', 1, -1)"
+    )
+    aggs = [
+        F.sum(F.col("c")).alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.col("c") * F.col("c")).alias("f2_exact"),
+        *[
+            F.sum(sign(j) * F.col("c")).alias(f"s{j}")
+            for j in range(k)
+        ],
+    ]
+    one = types.agg(*aggs)
+    guard = [
+        F.when(
+            F.abs(F.col(f"s{j}")) >= F.lit(3_000_000_000),
+            F.raise_error(
+                F.lit("ams_f2: signed sum bound exceeded, shard the stream")
+            ).cast("long"),
+        )
+        .otherwise(F.col(f"s{j}") * F.col(f"s{j}"))
+        .alias(f"x{j}")
+        for j in range(k)
+    ]
+    sq = one.select("n_tokens", "n_types", "f2_exact", *guard)
+    est = sq.select(
+        "n_tokens",
+        "n_types",
+        "f2_exact",
+        F.expr(
+            "(" + " + ".join(f"x{j}" for j in range(k)) + f") div {k}"
+        ).alias("est_f2"),
+    )
+    return est.select(
+        "n_tokens",
+        "n_types",
+        "f2_exact",
+        "est_f2",
+        F.expr("est_f2 * 1000 div f2_exact").alias("ratio_milli"),
+    )
+
+
+def kwic_concordance(
+    docs: DataFrame, term: str, window: int = 3
+) -> DataFrame:
+    """Keyword-in-context concordance: every occurrence of `term` with
+    its `window` tokens of left and right context — the corpus
+    inspection tool behind lexicography/QA review queues (why is this
+    token surviving the quality filter?) and the human-readable face of
+    positional_index.
+
+    Plan: posexplode finds the hit positions (pre-shuffle filter on the
+    term), then ONE equi-join back to the doc's word array on doc_id
+    (uniform key, hits-sized left side) and row-level F.slice windows —
+    contexts never explode into their own stream.  1-based slice
+    bounds: left = [max(1, pos-w+1) .. pos], right = [pos+2 .. pos+w+1]
+    with slice's natural clamping at both ends."""
+    words = F.split(F.col("text"), " ")
+    hits = (
+        docs.select(
+            "doc_id", F.posexplode(words).alias("pos", "tok")
+        )
+        .filter(F.col("tok") == term)
+        .select("doc_id", "pos")
+    )
+    arr = docs.select("doc_id", words.alias("w"))
+    s = F.greatest(F.col("pos") - window + 1, F.lit(1))
+    return (
+        hits.join(arr, "doc_id")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.array_join(
+                F.slice(F.col("w"), s, F.col("pos") + 1 - s), " "
+            ).alias("left_ctx"),
+            F.lit(term).alias("term"),
+            F.array_join(
+                F.slice(F.col("w"), F.col("pos") + 2, window), " "
+            ).alias("right_ctx"),
+        )
+    )

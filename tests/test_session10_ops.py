@@ -180,3 +180,50 @@ def test_ks_hand_value(spark):
     assert r["d_num"] == 3
     assert r["d_milli"] == 333
     assert r["reject_95"] == 0
+
+
+def test_ams_f2_single_type_exact(spark):
+    # one type with count N: every estimator is (+-N)^2 = N^2, so the
+    # mean equals the exact F2 regardless of signs
+    docs = _docs(spark, ["a a a a a"])
+    r = A.ams_f2(docs, k=4).collect()[0]
+    assert (r["n_tokens"], r["n_types"], r["f2_exact"]) == (5, 1, 25)
+    assert r["est_f2"] == 25
+    assert r["ratio_milli"] == 1000
+
+
+def test_ams_f2_python_replica(spark):
+    # exact parity with a hashlib replica of the sign rule
+    import hashlib
+
+    texts = ["x y x z", "y y w"]
+    counts = {}
+    for t in texts:
+        for tok in t.split(" "):
+            counts[tok] = counts.get(tok, 0) + 1
+    k = 8
+    xs = []
+    for j in range(k):
+        s = 0
+        for tok, c in counts.items():
+            h = hashlib.md5(f"{j}:{tok}".encode()).hexdigest()
+            s += c if h[0] < "8" else -c
+        xs.append(s * s)
+    want_est = sum(xs) // k
+    f2 = sum(c * c for c in counts.values())
+    r = A.ams_f2(_docs(spark, texts), k=k).collect()[0]
+    assert r["f2_exact"] == f2
+    assert r["est_f2"] == want_est
+    assert r["ratio_milli"] == want_est * 1000 // f2
+
+
+def test_kwic_windows_and_boundaries(spark):
+    docs = _docs(spark, ["query b c d query", "e query f"])
+    rows = A.kwic_concordance(docs, term="query", window=2).collect()
+    got = {(r["doc_id"], r["pos"]): (r["left_ctx"], r["right_ctx"])
+           for r in rows}
+    assert got[(0, 0)] == ("", "b c")      # doc start: empty left
+    assert got[(0, 4)] == ("c d", "")      # doc end: empty right
+    assert got[(1, 1)] == ("e", "f")       # short doc clamps both
+    assert len(rows) == 3
+    assert all(r["term"] == "query" for r in rows)
