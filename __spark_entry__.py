@@ -4096,6 +4096,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), term="query", window=3
         )
 
+    def kmeans_inertia(spark, sf_dir):
+        # r5 session-10: Huygens within-cluster SS scorecard of the
+        # shipped kmeans assignment — one floor-div per cluster, same
+        # quantized space as the trainer
+        return A.kmeans_inertia(_emb(spark, sf_dir), k=8, iters=2)
+
+    def quality_drift(spark, sf_dir):
+        # r5 session-10: per-source alpha-permille drift across ingest
+        # batches (doc_id div 100) with a >150-permille flag verdict
+        return A.quality_drift(
+            _docs(spark, sf_dir), batch=100, flag_permille=150
+        )
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4241,6 +4254,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ks_two_sample": ks_two_sample,
         "ams_f2": ams_f2,
         "kwic_concordance": kwic_concordance,
+        "kmeans_inertia": kmeans_inertia,
+        "quality_drift": quality_drift,
         "bowtie_components": bowtie_components,
         "scd2_intervals": scd2_intervals,
         "rfm_segments": rfm_segments,
@@ -7043,6 +7058,34 @@ def oracle_sql() -> dict[str, str]:
             WITH {_pq_train_ctes(m=1, k=8, iters=2, sublen=64)}
             SELECT vec_id, CAST(code AS INT) AS cluster FROM codes
         """,
+        # Huygens inertia over the SAME trained assignment: per-cluster
+        # per-dim component sums from the sq/codes chain, one floor-div
+        # per cluster (div == // on non-negative operands)
+        "kmeans_inertia": f"""
+            WITH {_pq_train_ctes(m=1, k=8, iters=2, sublen=64)},
+            dims AS (SELECT c.vec_id, CAST(c.code AS INT) AS cluster,
+                            dd.d AS d, sq.subq[dd.d] AS val
+                     FROM codes c
+                     JOIN sq ON sq.vec_id = c.vec_id AND sq.s = c.s
+                     CROSS JOIN (SELECT unnest(generate_series(1, 64))
+                                 AS d) dd),
+            pc AS (SELECT cluster, d,
+                          CAST(sum(val) AS BIGINT) AS s_cd,
+                          CAST(sum(val * val) AS BIGINT) AS ss_cd,
+                          CAST(count(*) AS BIGINT) AS n_c
+                   FROM dims GROUP BY cluster, d),
+            cl AS (SELECT cluster,
+                          CAST(max(n_c) AS BIGINT) AS n_vecs,
+                          CAST(sum(ss_cd) AS BIGINT) AS ss_point,
+                          CAST(sum(s_cd * s_cd) AS BIGINT) AS sumsq
+                   FROM pc GROUP BY cluster)
+            SELECT cluster, n_vecs, ss_point,
+                   sumsq // n_vecs AS pull,
+                   ss_point - sumsq // n_vecs AS ss_within,
+                   ((sumsq // n_vecs) * 1000) // greatest(ss_point, 1)
+                       AS cohesion_milli
+            FROM cl
+        """,
         "semantic_dedup": f"""
             WITH semsrc AS (
               SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300
@@ -9441,6 +9484,33 @@ def oracle_sql() -> dict[str, str]:
             WITH {_CHORD_EDGES_CTE},
             {_lpa_ctes(rounds=4)}
             SELECT node, label FROM l4
+        """,
+        # per-source quality drift over ingest batches: integer
+        # alpha-permille per doc, batch means by floor-div, max-min
+        # spread + flag verdict (regexp_replace needs 'g' in DuckDB)
+        "quality_drift": """
+            WITH per AS (SELECT source, doc_id // 100 AS b,
+                                (length(regexp_replace(text,
+                                    '[^a-zA-Z]', '', 'g')) * 1000)
+                                    // (length(text) + 1) AS qa
+                         FROM documents),
+            g AS (SELECT source, b,
+                         CAST(sum(qa) AS BIGINT)
+                             // CAST(count(*) AS BIGINT)
+                             AS mean_permille
+                  FROM per GROUP BY source, b),
+            s AS (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_batches,
+                         CAST(min(mean_permille) AS BIGINT)
+                             AS min_permille,
+                         CAST(max(mean_permille) AS BIGINT)
+                             AS max_permille
+                  FROM g GROUP BY source)
+            SELECT source, n_batches, min_permille, max_permille,
+                   max_permille - min_permille AS drift_permille,
+                   CAST(CASE WHEN max_permille - min_permille > 150
+                        THEN 1 ELSE 0 END AS BIGINT) AS flagged
+            FROM s
         """,
         # AMS tug-of-war F2 eval: k=16 md5-signed per-type sums,
         # integer squares, mean-of-estimators vs the exact sum(c^2)

@@ -6577,6 +6577,27 @@ def embedding_neardup_pairs(
     )
 
 
+def _quant_dims(emb: DataFrame, q: int, ndim: int) -> DataFrame:
+    """(vec_id, d, val): the exploded clamped-integer embedding stream
+    — kmeans' training space (same clamp/round as PQ's sq CTE), shared
+    by kmeans_clusters and kmeans_inertia so the eval scores EXACTLY
+    the space the trainer saw."""
+
+    def comp(i):
+        return (
+            f"cast(greatest(-{q}L, least({q}L,"
+            f" cast(round(cast(embedding[{i}] as double) * {q}) as bigint)))"
+            " as bigint)"
+        )
+
+    return emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.expr(comp(i)) for i in range(ndim)])
+        ).alias("d", "val"),
+    )
+
+
 def kmeans_clusters(
     emb: DataFrame, k: int = 8, iters: int = 2, q: int | None = None
 ) -> DataFrame:
@@ -6604,23 +6625,9 @@ def kmeans_clusters(
     if k >= _PQ_PACK:
         raise ValueError(f"k {k} >= packing bound {_PQ_PACK}")
     ndim = _ndim(emb)
-
-    def comp(i):
-        return (
-            f"cast(greatest(-{q}L, least({q}L,"
-            f" cast(round(cast(embedding[{i}] as double) * {q}) as bigint)))"
-            " as bigint)"
-        )
-
-    dims = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[F.expr(comp(i)) for i in range(ndim)])
-        ).alias("d", "val"),
-    )
     # the training set (sample-sized at real scale) — checkpoint once so
     # every iteration scans materialized integer rows
-    dims = dims.localCheckpoint()
+    dims = _quant_dims(emb, q, ndim).localCheckpoint()
 
     def assign(cen):
         d2 = (
@@ -11831,4 +11838,118 @@ def kwic_concordance(
                 F.slice(F.col("w"), F.col("pos") + 2, window), " "
             ).alias("right_ctx"),
         )
+    )
+
+
+def kmeans_inertia(
+    emb: DataFrame, k: int = 8, iters: int = 2, q: int | None = None
+) -> DataFrame:
+    """Per-cluster inertia scorecard for the SHIPPED kmeans_clusters
+    assignment (the lsh_eval rule) — within-cluster sum of squares via
+    the Huygens decomposition, evaluated against the assignment's own
+    cluster MEANS (the SS-minimizing centers, so the score reflects the
+    partition itself, not the trainer's last centroid snapshot).
+
+    Integer exactness: sum_{i in c} ||x_i - mean_c||^2
+    = sum ||x_i||^2 - (sum_d s_{c,d}^2) / n_c with s the per-cluster
+    per-dimension component sums — everything integer except ONE
+    non-negative floor division per cluster (div == //; truncation
+    < 1 quant-unit^2, deterministic).  Same clamped-integer space the
+    trainer saw (_quant_dims is shared).  cohesion_milli =
+    pull * 1000 div max(ss_point, 1) — higher = tighter cluster.
+
+    Bounds: per-row raise when |s_cd| >= 3*10^9 before squaring (the
+    ams_f2 rule — holds for n_c < ~7*10^5 at q=4096; sample the corpus
+    first above that, as the trainer already requires).
+
+    Scale: one (cluster, d) groupBy (map-side combinable, k*ndim
+    output rows) then a k-row aggregate; the assignment join is a
+    uniform vec_id equi-join."""
+    q = q if q is not None else PQ_Q
+    ndim = _ndim(emb)
+    dims = _quant_dims(emb, q, ndim)
+    assigned = kmeans_clusters(emb, k=k, iters=iters, q=q)
+    pc = (
+        dims.join(assigned, "vec_id")
+        .groupBy("cluster", "d")
+        .agg(
+            F.sum("val").alias("s_cd"),
+            F.sum(F.col("val") * F.col("val")).alias("ss_cd"),
+            F.count(F.lit(1)).alias("n_c"),
+        )
+    )
+    sq = pc.select(
+        "cluster",
+        "ss_cd",
+        "n_c",
+        F.when(
+            F.abs(F.col("s_cd")) >= F.lit(3_000_000_000),
+            F.raise_error(
+                F.lit("kmeans_inertia: component sum bound, sample first")
+            ).cast("long"),
+        )
+        .otherwise(F.col("s_cd") * F.col("s_cd"))
+        .alias("s2"),
+    )
+    cl = sq.groupBy("cluster").agg(
+        F.max("n_c").alias("n_vecs"),
+        F.sum("ss_cd").alias("ss_point"),
+        F.sum("s2").alias("sumsq"),
+    )
+    return cl.select(
+        "cluster",
+        "n_vecs",
+        "ss_point",
+        F.expr("sumsq div n_vecs").alias("pull"),
+        F.expr("ss_point - sumsq div n_vecs").alias("ss_within"),
+        F.expr(
+            "(sumsq div n_vecs) * 1000 div greatest(ss_point, 1)"
+        ).alias("cohesion_milli"),
+    )
+
+
+def quality_drift(
+    docs: DataFrame, batch: int = 100, flag_permille: int = 150
+) -> DataFrame:
+    """Per-source quality-drift card over ingest batches (doc_id div
+    `batch` — the ingest-order proxy; swap in a crawl-date column when
+    the table has one): mean alpha-permille per (source, batch), then
+    the max-min spread per source with a loud `flagged` verdict above
+    `flag_permille` — the monitoring row that catches a source whose
+    extractor silently degraded mid-crawl.
+
+    Integer conventions: per-doc quality = alpha_chars * 1000 div
+    (len + 1) (the quality_scores alpha signal, integer twin); batch
+    mean = sum div count (non-negative, div == //); drift = max - min
+    of batch means.
+
+    Scale: one (source, batch) groupBy (map-side combinable) then one
+    per-source aggregate — no windows, no joins."""
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    per = docs.select(
+        "source",
+        F.expr(f"doc_id div {batch}").alias("b"),
+        (alpha * 1000).cast("long").alias("a"),
+        (F.length("text") + 1).cast("long").alias("n"),
+    )
+    g = per.groupBy("source", "b").agg(
+        F.expr("sum(a div n) div count(1)").alias("mean_permille")
+    )
+    s = g.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_batches"),
+        F.min("mean_permille").alias("min_permille"),
+        F.max("mean_permille").alias("max_permille"),
+    )
+    return s.select(
+        "source",
+        "n_batches",
+        "min_permille",
+        "max_permille",
+        (F.col("max_permille") - F.col("min_permille")).alias(
+            "drift_permille"
+        ),
+        (
+            F.col("max_permille") - F.col("min_permille")
+            > F.lit(flag_permille)
+        ).cast("long").alias("flagged"),
     )

@@ -227,3 +227,71 @@ def test_kwic_windows_and_boundaries(spark):
     assert got[(1, 1)] == ("e", "f")       # short doc clamps both
     assert len(rows) == 3
     assert all(r["term"] == "query" for r in rows)
+
+
+def test_kmeans_inertia_replica(spark):
+    # two well-separated 4-dim blobs, k=2: the eval must reproduce a
+    # numpy Huygens replica computed from the SHIPPED assignment, and
+    # separation means ss_within << ss_point
+    vecs = [
+        (0, [1.0, 1.0, 0.0, 0.0]), (1, [0.9, 1.0, 0.0, 0.1]),
+        (2, [1.0, 0.9, 0.1, 0.0]), (3, [0.0, 0.0, 1.0, 1.0]),
+        (4, [0.1, 0.0, 0.9, 1.0]), (5, [0.0, 0.1, 1.0, 0.9]),
+    ]
+    emb = spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>"
+    )
+    assigned = {
+        r["vec_id"]: r["cluster"]
+        for r in A.kmeans_clusters(emb, k=2, iters=2).collect()
+    }
+    # numpy-free integer replica of _quant_dims + Huygens
+    q = A.PQ_Q
+    quant = {
+        vid: [max(-q, min(q, round(x * q))) for x in v]
+        for vid, v in vecs
+    }
+    import collections
+
+    by_c = collections.defaultdict(list)
+    for vid, c in assigned.items():
+        by_c[c].append(quant[vid])
+    want = {}
+    for c, rows in by_c.items():
+        n = len(rows)
+        ss_point = sum(x * x for r in rows for x in r)
+        sumsq = sum(
+            sum(r[d] for r in rows) ** 2 for d in range(4)
+        )
+        pull = sumsq // n
+        want[c] = (n, ss_point, pull, ss_point - pull)
+    got = {
+        r["cluster"]: (
+            r["n_vecs"], r["ss_point"], r["pull"], r["ss_within"]
+        )
+        for r in A.kmeans_inertia(emb, k=2, iters=2).collect()
+    }
+    assert got == want
+    # blobs are separated: within SS is a small fraction of point SS
+    for c, (_, ss_point, _, ss_within) in want.items():
+        assert ss_within * 10 < ss_point
+
+
+def test_quality_drift_hand(spark):
+    # one source, two batches (doc_id div 2): batch 0 all-alpha docs
+    # (~permille 1000*4//5=800 each), batch 1 no-alpha docs (0) —
+    # drift 800, flagged at threshold 150 but NOT at 800 (strict >)
+    rows = [
+        (0, "abcd", "s"), (1, "wxyz", "s"),
+        (2, "1234", "s"), (3, "5678", "s"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    r = A.quality_drift(docs, batch=2, flag_permille=150).collect()[0]
+    assert (r["source"], r["n_batches"]) == ("s", 2)
+    assert (r["min_permille"], r["max_permille"]) == (0, 800)
+    assert r["drift_permille"] == 800
+    assert r["flagged"] == 1
+    r2 = A.quality_drift(docs, batch=2, flag_permille=800).collect()[0]
+    assert r2["flagged"] == 0  # strict >
