@@ -4109,6 +4109,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), batch=100, flag_permille=150
         )
 
+    def shuffle_eval(spark, sf_dir):
+        # r5 session-10: adjacent same-source rate of the shipped epoch
+        # shuffle vs the random-permutation expectation (sources are
+        # doc_id%20 round-robin, so ingest order would score 0 — the
+        # shuffle must land NEAR expectation, neither clumped nor
+        # anti-clumped)
+        return A.shuffle_eval(
+            _docs(spark, sf_dir), n_shards=16, seed="epoch0"
+        )
+
+    def dedup_agreement(spark, sf_dir):
+        # r5 session-10: exact-Jaccard (t=2/5) vs SimHash pair-set
+        # agreement over the same corpus — both producers are the
+        # shipped entry configurations
+        return A.dedup_agreement(_docs(spark, sf_dir), jt_num=2, jt_den=5)
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4256,6 +4272,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kwic_concordance": kwic_concordance,
         "kmeans_inertia": kmeans_inertia,
         "quality_drift": quality_drift,
+        "shuffle_eval": shuffle_eval,
+        "dedup_agreement": dedup_agreement,
         "bowtie_components": bowtie_components,
         "scd2_intervals": scd2_intervals,
         "rfm_segments": rfm_segments,
@@ -9484,6 +9502,86 @@ def oracle_sql() -> dict[str, str]:
             WITH {_CHORD_EDGES_CTE},
             {_lpa_ctes(rounds=4)}
             SELECT node, label FROM l4
+        """,
+        # epoch-shuffle mixing eval: the epoch_shuffle key/shard CTE +
+        # per-shard lag walk vs the sum n(n-1)/N(N-1) expectation
+        "shuffle_eval": f"""
+            WITH keyed AS (
+              SELECT doc_id, source, md5('epoch0:' || doc_id) AS k,
+                     {_hex_int_sql("md5('epoch0:' || doc_id)", 1, 8)} % 16
+                         AS shard
+              FROM documents),
+            adj AS (SELECT source,
+                           lag(source) OVER (PARTITION BY shard
+                                             ORDER BY k, doc_id) AS prev
+                    FROM keyed),
+            obs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                           CAST(sum(CASE WHEN prev IS NOT NULL
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_pairs,
+                           CAST(sum(CASE WHEN prev = source
+                                    THEN 1 ELSE 0 END) AS BIGINT)
+                               AS n_same
+                    FROM adj),
+            ex AS (SELECT CAST(sum(c * (c - 1)) AS BIGINT) AS same_w,
+                          CAST(sum(c) AS BIGINT) AS nn
+                   FROM (SELECT count(*) AS c FROM documents
+                         GROUP BY source)),
+            r AS (SELECT n_docs, n_pairs, n_same,
+                         (n_same * 1000) // greatest(n_pairs, 1)
+                             AS same_milli,
+                         (same_w * 1000) // greatest(nn * (nn - 1), 1)
+                             AS expected_milli
+                  FROM obs CROSS JOIN ex)
+            SELECT n_docs, n_pairs, n_same, same_milli, expected_milli,
+                   CAST(CASE WHEN same_milli > 2 * expected_milli
+                        THEN 1 ELSE 0 END AS BIGINT) AS clumped
+            FROM r
+        """,
+        # cross-method dedup agreement: the ngram_jaccard chain at
+        # t = 2/5 (cross-multiplied) full-outer-joined against the
+        # simhash banded+rescored pair chain; both chains are the
+        # standalone oracles' own CTEs
+        "dedup_agreement": f"""
+            WITH {_SHINGLE_CTE}, {_PAIR_INTER_CTES},
+            ja AS (SELECT doc_a, doc_b
+                   FROM inter
+                   JOIN sizes sa ON sa.doc_id = doc_a
+                   JOIN sizes sb ON sb.doc_id = doc_b
+                   WHERE intersection * 5
+                         >= 2 * (sa.sz + sb.sz - intersection)),
+            {_simhash_cte()},
+            kept AS (
+              SELECT b.* FROM sbands b
+              JOIN (SELECT band, bval FROM sbands
+                    GROUP BY band, bval HAVING count(*) <= 100) ok
+                USING (band, bval)),
+            sp AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM kept a JOIN kept b
+                ON a.band = b.band AND a.bval = b.bval
+               AND a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+            m AS (SELECT CASE WHEN ja.doc_a IS NOT NULL
+                              THEN 1 ELSE 0 END AS ia,
+                         CASE WHEN sp.doc_a IS NOT NULL
+                              THEN 1 ELSE 0 END AS ib
+                  FROM ja FULL OUTER JOIN sp
+                    ON ja.doc_a = sp.doc_a AND ja.doc_b = sp.doc_b),
+            a AS (SELECT CAST(COALESCE(sum(ia), 0) AS BIGINT)
+                             AS n_jaccard,
+                         CAST(COALESCE(sum(ib), 0) AS BIGINT)
+                             AS n_simhash,
+                         CAST(COALESCE(sum(ia * ib), 0) AS BIGINT)
+                             AS n_both
+                  FROM m)
+            SELECT n_jaccard, n_simhash, n_both,
+                   n_jaccard - n_both AS only_jaccard,
+                   n_simhash - n_both AS only_simhash,
+                   (n_both * 1000)
+                       // greatest(n_jaccard + n_simhash - n_both, 1)
+                       AS agreement_milli
+            FROM a
         """,
         # per-source quality drift over ingest batches: integer
         # alpha-permille per doc, batch means by floor-div, max-min

@@ -11953,3 +11953,133 @@ def quality_drift(
             > F.lit(flag_permille)
         ).cast("long").alias("flagged"),
     )
+
+
+def shuffle_eval(
+    docs: DataFrame, n_shards: int = 16, seed: str = "epoch0"
+) -> DataFrame:
+    """Mixing-quality scorecard for the SHIPPED epoch_shuffle_plan (the
+    lsh_eval rule): walk each shard in epoch order and count adjacent
+    pairs that share a source, against the same-source probability a
+    uniform random adjacent pair has (sum_s n_s(n_s-1) / N(N-1)) —
+    clumped batches quietly correlate gradients with crawl hosts, and
+    this row is the alarm.  clumped fires when the observed rate is
+    more than 2x expectation.
+
+    All-integer: counts, milli rates by non-negative floor division
+    (div == //).  Bound: N(N-1) needs N < ~3*10^9 — per-row raise (at
+    real scale you evaluate a shard sample anyway).
+
+    Scale: epoch_shuffle_plan's one hash exchange + a per-shard lag
+    window (partitioned, no global sort), one corpus groupBy(source)
+    for the expectation, two one-row aggregates."""
+    plan = epoch_shuffle_plan(docs, n_shards=n_shards, seed=seed)
+    j = plan.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("shard").orderBy("pos")
+    adj = j.select(
+        "source", F.lag("source").over(w).alias("prev")
+    )
+    obs = adj.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("prev").isNotNull().cast("long")).alias("n_pairs"),
+        F.sum(
+            (F.col("prev") == F.col("source")).cast("long")
+        ).alias("n_same"),
+    )
+    exp = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1)).alias("same_w"),
+            F.sum("c").alias("nn"),
+        )
+    )
+    return (
+        obs.crossJoin(F.broadcast(exp))
+        .select(
+            "n_docs",
+            "n_pairs",
+            "n_same",
+            F.expr("n_same * 1000 div greatest(n_pairs, 1)").alias(
+                "same_milli"
+            ),
+            F.when(
+                F.col("nn") >= F.lit(3_000_000_000),
+                F.raise_error(
+                    F.lit("shuffle_eval: N(N-1) bound, sample shards")
+                ).cast("long"),
+            )
+            .otherwise(
+                F.expr("same_w * 1000 div greatest(nn * (nn - 1), 1)")
+            )
+            .alias("expected_milli"),
+        )
+        .select(
+            "*",
+            (
+                F.col("same_milli") > F.lit(2) * F.col("expected_milli")
+            ).cast("long").alias("clumped"),
+        )
+    )
+
+
+def dedup_agreement(
+    docs: DataFrame,
+    jt_num: int = 2,
+    jt_den: int = 5,
+) -> DataFrame:
+    """Cross-method near-dup agreement card: the exact n-gram Jaccard
+    pair set (jaccard_pairs at threshold jt_num/jt_den, the rational
+    cross-multiplied convention) vs the SimHash pair set
+    (simhash_neardup_pairs, entry defaults) over the SAME corpus — the
+    meta-eval that tells a curation team how much the two dedup
+    families' verdicts actually overlap before they pick one (the
+    per-producer evals score each against ITS OWN truth; this row
+    scores them against each other).
+
+    Both producers are the SHIPPED ones (the lsh_eval rule).  Output:
+    one row (n_jaccard, n_simhash, n_both, only_jaccard, only_simhash,
+    agreement_milli = |A∩B| * 1000 div |A∪B|).
+
+    Scale: inherits both producers' banding/caps; the comparison
+    itself is one full-outer equi-join on the pair key and a one-row
+    aggregate."""
+    ja = (
+        jaccard_pairs(docs, n=3, min_intersection=2, max_shingle_freq=100)
+        .filter(
+            F.col("intersection") * F.lit(jt_den)
+            >= F.lit(jt_num) * F.col("union_sz")
+        )
+        .select("doc_a", "doc_b", F.lit(1).alias("in_a"))
+    )
+    sp = simhash_neardup_pairs(
+        docs, bits=48, n_bands=4, max_bucket_size=100
+    ).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.lit(1).alias("in_b"),
+    )
+    m = ja.join(sp, ["doc_a", "doc_b"], "outer").select(
+        F.coalesce("in_a", F.lit(0)).alias("ia"),
+        F.coalesce("in_b", F.lit(0)).alias("ib"),
+    )
+    # coalesce: both pair sets empty => zero rows under the aggregate,
+    # and sum-over-nothing is NULL, not 0
+    a = m.agg(
+        F.coalesce(F.sum("ia"), F.lit(0)).alias("n_jaccard"),
+        F.coalesce(F.sum("ib"), F.lit(0)).alias("n_simhash"),
+        F.coalesce(F.sum(F.col("ia") * F.col("ib")), F.lit(0)).alias(
+            "n_both"
+        ),
+    )
+    return a.select(
+        "n_jaccard",
+        "n_simhash",
+        "n_both",
+        (F.col("n_jaccard") - F.col("n_both")).alias("only_jaccard"),
+        (F.col("n_simhash") - F.col("n_both")).alias("only_simhash"),
+        F.expr(
+            "n_both * 1000 div"
+            " greatest(n_jaccard + n_simhash - n_both, 1)"
+        ).alias("agreement_milli"),
+    )

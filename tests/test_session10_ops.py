@@ -295,3 +295,76 @@ def test_quality_drift_hand(spark):
     assert r["flagged"] == 1
     r2 = A.quality_drift(docs, batch=2, flag_permille=800).collect()[0]
     assert r2["flagged"] == 0  # strict >
+
+
+def test_shuffle_eval_python_replica(spark):
+    # full parity with a hashlib replica of the epoch order + per-shard
+    # adjacency walk, two round-robin sources
+    import hashlib
+
+    n, shards, seed = 24, 4, "epoch0"
+    rows = [(i, "t", f"s{i % 2}") for i in range(n)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+    keyed = []
+    for i in range(n):
+        k = hashlib.md5(f"{seed}:{i}".encode()).hexdigest()
+        keyed.append((int(k[:8], 16) % shards, k, i, f"s{i % 2}"))
+    keyed.sort()
+    n_pairs = n_same = 0
+    for (sh, _, _, src), (sh2, _, _, src2) in zip(keyed, keyed[1:]):
+        if sh == sh2:
+            n_pairs += 1
+            n_same += src == src2
+    r = A.shuffle_eval(docs, n_shards=shards, seed=seed).collect()[0]
+    assert (r["n_docs"], r["n_pairs"], r["n_same"]) == (n, n_pairs, n_same)
+    assert r["same_milli"] == n_same * 1000 // max(n_pairs, 1)
+    # two balanced sources: expected rate just under 1/2
+    assert r["expected_milli"] == (2 * 12 * 11 * 1000) // (24 * 23)
+
+
+def test_shuffle_eval_single_source(spark):
+    # one source: every adjacent pair matches, expectation is ~1000,
+    # so the 2x clump alarm must NOT fire
+    docs = spark.createDataFrame(
+        [(i, "t", "s") for i in range(10)],
+        "doc_id long, text string, source string",
+    )
+    r = A.shuffle_eval(docs, n_shards=2).collect()[0]
+    assert r["same_milli"] == 1000
+    assert r["expected_milli"] == 1000
+    assert r["clumped"] == 0
+
+
+def test_dedup_agreement_planted_dups(spark):
+    # two planted identical pairs agree in BOTH families; filler docs
+    # with disjoint vocab pair with nothing
+    dup = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, dup), (1, dup),
+        (2, dup.replace("alpha", "iota")),  # near but distinct
+        (10, "one two three four five six seven eight"),
+        (11, "one two three four five six seven eight"),
+        (20, "red green blue cyan magenta yellow black white"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = A.dedup_agreement(docs).collect()[0]
+    assert r["n_both"] >= 2       # (0,1) and (10,11) in both sets
+    assert r["n_jaccard"] >= r["n_both"]
+    assert r["n_simhash"] >= r["n_both"]
+    assert r["only_jaccard"] == r["n_jaccard"] - r["n_both"]
+    assert r["only_simhash"] == r["n_simhash"] - r["n_both"]
+    assert r["agreement_milli"] > 0
+
+
+def test_dedup_agreement_all_distinct_zero(spark):
+    rows = [
+        (0, "aa bb cc dd ee"),
+        (1, "ff gg hh ii jj"),
+        (2, "kk ll mm nn oo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    r = A.dedup_agreement(docs).collect()[0]
+    assert (r["n_jaccard"], r["n_both"]) == (0, 0)
+    assert r["agreement_milli"] == 0
