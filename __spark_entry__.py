@@ -4125,6 +4125,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shipped entry configurations
         return A.dedup_agreement(_docs(spark, sf_dir), jt_num=2, jt_den=5)
 
+    def hilbert_layout(spark, sf_dir):
+        # r5 session-10: Hilbert-curve file manifest over (user,
+        # event-time) — the tighter-locality sibling of zorder_layout
+        return A.hilbert_layout(
+            _events_xy(spark, sf_dir), "user_id", "epoch_s"
+        )
+
+    def layout_locality(spark, sf_dir):
+        # r5 session-10: zone-map area+perimeter report across the three
+        # shipped layouts (linear / zorder / hilbert) at n_files=12 —
+        # NOT a power of 4, where the two curves would tie (measured)
+        return A.layout_locality(
+            _events_xy(spark, sf_dir), "user_id", "epoch_s", n_files=12
+        )
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4274,6 +4289,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_drift": quality_drift,
         "shuffle_eval": shuffle_eval,
         "dedup_agreement": dedup_agreement,
+        "hilbert_layout": hilbert_layout,
+        "layout_locality": layout_locality,
         "bowtie_components": bowtie_components,
         "scd2_intervals": scd2_intervals,
         "rfm_segments": rfm_segments,
@@ -4904,15 +4921,7 @@ def _zorder_ctes(sfx: str, linear: bool, bits: int, n_files: int) -> str:
     )
     key = "__xb" if linear else f"({morton})"
     space = m if linear else m * m
-    return f"""xy{sfx} AS (SELECT user_id AS __x,
-                      epoch_us(ts) // 1000000 AS __y
-               FROM events),
-            st{sfx} AS (SELECT min(__x) AS minx, max(__x) AS maxx,
-                      min(__y) AS miny, max(__y) AS maxy FROM xy{sfx}),
-            sb{sfx} AS (SELECT __x, __y,
-                      ((__x - minx) * {m}) // (maxx - minx + 1) AS __xb,
-                      ((__y - miny) * {m}) // (maxy - miny + 1) AS __yb
-               FROM xy{sfx}, st{sfx}),
+    return f"""{_xy_sb_ctes(sfx, m)},
             mf{sfx} AS (SELECT ({key} * {int(n_files)}) // {space}
                           AS file_id,
                       CAST(count(*) AS BIGINT) AS n_rows,
@@ -4921,6 +4930,68 @@ def _zorder_ctes(sfx: str, linear: bool, bits: int, n_files: int) -> str:
                       CAST(min(__y) AS BIGINT) AS min_y,
                       CAST(max(__y) AS BIGINT) AS max_y
                FROM sb{sfx} GROUP BY 1)"""
+
+
+def _xy_sb_ctes(sfx: str, m: int) -> str:
+    """Shared bucketize head of the layout-family oracles (the Spark
+    twin is analysis._xy_scaled over the _events_xy projection)."""
+    return f"""xy{sfx} AS (SELECT user_id AS __x,
+                      epoch_us(ts) // 1000000 AS __y
+               FROM events),
+            st{sfx} AS (SELECT min(__x) AS minx, max(__x) AS maxx,
+                      min(__y) AS miny, max(__y) AS maxy FROM xy{sfx}),
+            sb{sfx} AS (SELECT __x, __y,
+                      ((__x - minx) * {m}) // (maxx - minx + 1) AS __xb,
+                      ((__y - miny) * {m}) // (maxy - miny + 1) AS __yb
+               FROM xy{sfx}, st{sfx})"""
+
+
+def _hilbert_ctes(sfx: str, bits: int, n_files: int) -> str:
+    """Hilbert manifest chain (mirrors analysis.hilbert_layout): the
+    shared bucketize head + `bits` unrolled xy2d descent levels — the
+    SAME div/% CASE text per level as the Spark _hilbert_key — then
+    the equal-width manifest tail as mh{sfx}."""
+    m = 2**bits
+    parts = [
+        _xy_sb_ctes(sfx, m),
+        f"""g{sfx}0 AS (SELECT __x, __y,
+                      CAST(__xb AS BIGINT) AS hx,
+                      CAST(__yb AS BIGINT) AS hy,
+                      CAST(0 AS BIGINT) AS hd
+               FROM sb{sfx})""",
+    ]
+    for i, lvl in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << lvl
+        quad = (
+            f"(CASE WHEN (hx // {s}) % 2 = 0"
+            f" AND (hy // {s}) % 2 = 0 THEN 0"
+            f" WHEN (hx // {s}) % 2 = 0 THEN 1"
+            f" WHEN (hy // {s}) % 2 = 1 THEN 2 ELSE 3 END)"
+        )
+        parts.append(
+            f"""g{sfx}{i + 1} AS (SELECT __x, __y,
+                      CASE WHEN (hy // {s}) % 2 = 1 THEN hx % {s}
+                           WHEN (hx // {s}) % 2 = 1
+                               THEN {s} - 1 - (hy % {s})
+                           ELSE hy % {s} END AS hx,
+                      CASE WHEN (hy // {s}) % 2 = 1 THEN hy % {s}
+                           WHEN (hx // {s}) % 2 = 1
+                               THEN {s} - 1 - (hx % {s})
+                           ELSE hx % {s} END AS hy,
+                      hd + {s * s} * {quad} AS hd
+               FROM g{sfx}{i})"""
+        )
+    parts.append(
+        f"""mh{sfx} AS (SELECT (hd * {int(n_files)}) // {m * m}
+                          AS file_id,
+                      CAST(count(*) AS BIGINT) AS n_rows,
+                      CAST(min(__x) AS BIGINT) AS min_x,
+                      CAST(max(__x) AS BIGINT) AS max_x,
+                      CAST(min(__y) AS BIGINT) AS min_y,
+                      CAST(max(__y) AS BIGINT) AS max_y
+               FROM g{sfx}{bits} GROUP BY 1)"""
+    )
+    return ",\n            ".join(parts)
 
 
 def _bowtie_ctes(depth: int) -> str:
@@ -11079,6 +11150,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(file_id AS BIGINT) AS file_id, n_rows,
                    min_x, max_x, min_y, max_y
             FROM mf
+        """,
+        # Hilbert manifest: unrolled xy2d descent, same head/tail as
+        # the z-order chain
+        "hilbert_layout": f"""
+            WITH {_hilbert_ctes("", 8, 16)}
+            SELECT CAST(file_id AS BIGINT) AS file_id, n_rows,
+                   min_x, max_x, min_y, max_y
+            FROM mh
+        """,
+        # zone-map area+perimeter card over all three layout chains at
+        # n_files=12 (a power of 4 makes the two curves tie — measured)
+        "layout_locality": f"""
+            WITH {_zorder_ctes("l", True, 8, 12)},
+            {_zorder_ctes("z", False, 8, 12)},
+            {_hilbert_ctes("h", 8, 12)}
+            SELECT 'linear' AS layout,
+                   CAST(count(*) AS BIGINT) AS n_files_total,
+                   CAST(sum((max_x - min_x + 1) * (max_y - min_y + 1))
+                        AS BIGINT) AS total_area,
+                   CAST(sum((max_x - min_x + 1) + (max_y - min_y + 1))
+                        AS BIGINT) AS total_perimeter
+            FROM mfl
+            UNION ALL
+            SELECT 'zorder',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum((max_x - min_x + 1) * (max_y - min_y + 1))
+                        AS BIGINT),
+                   CAST(sum((max_x - min_x + 1) + (max_y - min_y + 1))
+                        AS BIGINT)
+            FROM mfz
+            UNION ALL
+            SELECT 'hilbert',
+                   CAST(count(*) AS BIGINT),
+                   CAST(sum((max_x - min_x + 1) * (max_y - min_y + 1))
+                        AS BIGINT),
+                   CAST(sum((max_x - min_x + 1) + (max_y - min_y + 1))
+                        AS BIGINT)
+            FROM mhh
         """,
         # zone-map skipping for the (users 3..7, Jan 8-14) box:
         # z-order vs sort-by-x layouts, one row each

@@ -368,3 +368,62 @@ def test_dedup_agreement_all_distinct_zero(spark):
     r = A.dedup_agreement(docs).collect()[0]
     assert (r["n_jaccard"], r["n_both"]) == (0, 0)
     assert r["agreement_milli"] == 0
+
+
+def _hd_replica(x, y, bits):
+    # pure-python xy2d replica of analysis._hilbert_key's per-level CASE
+    d = 0
+    for lvl in range(bits - 1, -1, -1):
+        s = 1 << lvl
+        rx, ry = (x // s) % 2, (y // s) % 2
+        d += s * s * (0 if rx == 0 and ry == 0 else
+                      1 if rx == 0 else 2 if ry == 1 else 3)
+        if ry == 1:
+            x, y = x % s, y % s
+        elif rx == 1:
+            x, y = s - 1 - (y % s), s - 1 - (x % s)
+        else:
+            x, y = y % s, x % s
+    return d
+
+
+def test_hilbert_key_is_hilbert_curve(spark):
+    # full 8x8 grid: the Spark key must equal the python replica on
+    # every cell, be a bijection onto 0..63, and step to a grid
+    # NEIGHBOR at every consecutive distance (the Hilbert property)
+    bits, m = 3, 8
+    rows = [(x, y, x, y) for x in range(m) for y in range(m)]
+    scaled = spark.createDataFrame(
+        rows, "__x long, __y long, __xb long, __yb long"
+    )
+    got = {
+        (r["__x"], r["__y"]): r["__k"]
+        for r in A._hilbert_key(scaled, bits).collect()
+    }
+    assert got == {
+        (x, y): _hd_replica(x, y, bits)
+        for x in range(m) for y in range(m)
+    }
+    inv = {d: xy for xy, d in got.items()}
+    assert sorted(inv) == list(range(m * m))
+    for d in range(m * m - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_layout_locality_ordering(spark):
+    # uniform 32x32 grid, 12 files: linear strips pay huge perimeter;
+    # at a non-power-of-4 file count Hilbert's area beats Morton's
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    out = {
+        r["layout"]: r
+        for r in A.layout_locality(
+            df, "x", "y", bits=5, n_files=12
+        ).collect()
+    }
+    assert set(out) == {"linear", "zorder", "hilbert"}
+    assert all(r["n_files_total"] == 12 for r in out.values())
+    assert out["linear"]["total_perimeter"] > out["zorder"]["total_perimeter"]
+    assert out["linear"]["total_perimeter"] > out["hilbert"]["total_perimeter"]
+    assert out["hilbert"]["total_area"] < out["zorder"]["total_area"]
