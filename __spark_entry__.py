@@ -4140,6 +4140,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _events_xy(spark, sf_dir), "user_id", "epoch_s", n_files=12
         )
 
+    def stylometry_delta(spark, sf_dir):
+        # r5 session-10: Burrows' Delta distinctiveness per source over
+        # the top-10 corpus tokens — isqrt sigma, sign-peeled z, offset
+        # signed means
+        return A.stylometry_delta(_docs(spark, sf_dir), m=10)
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4291,6 +4297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_agreement": dedup_agreement,
         "hilbert_layout": hilbert_layout,
         "layout_locality": layout_locality,
+        "stylometry_delta": stylometry_delta,
         "bowtie_components": bowtie_components,
         "scd2_intervals": scd2_intervals,
         "rfm_segments": rfm_segments,
@@ -9573,6 +9580,67 @@ def oracle_sql() -> dict[str, str]:
             WITH {_CHORD_EDGES_CTE},
             {_lpa_ctes(rounds=4)}
             SELECT node, label FROM l4
+        """,
+        # Burrows' Delta: micro-freq grid (zero cells real), floor-div
+        # mean/variance, isqrt-corrected sigma, sign-peeled z_milli,
+        # +B offset signed source means, sum|p| div m
+        "stylometry_delta": f"""
+            WITH tk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+            tf AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
+            lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+                     FROM tf GROUP BY doc_id),
+            fr AS (SELECT tok, CAST(count(*) AS BIGINT) AS c,
+                          row_number() OVER (ORDER BY count(*) DESC,
+                                             tok) AS rk
+                   FROM tf GROUP BY tok),
+            feats AS (SELECT tok FROM fr WHERE rk <= 10),
+            cnts AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+                     FROM tf JOIN feats USING (tok)
+                     GROUP BY doc_id, tok),
+            grid AS (SELECT l.doc_id, f.tok,
+                            (COALESCE(c.cnt, 0) * 1000000) // l.len AS f
+                     FROM lens l CROSS JOIN feats f
+                     LEFT JOIN cnts c
+                       ON c.doc_id = l.doc_id AND c.tok = f.tok),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM lens),
+            mu AS (SELECT tok, CAST(sum(f) AS BIGINT) // nd AS mu, nd
+                   FROM grid, nn GROUP BY tok, nd),
+            dev AS (SELECT g.doc_id, g.tok, g.f - m.mu AS dev, m.nd
+                    FROM grid g JOIN mu m ON m.tok = g.tok),
+            va AS (SELECT tok,
+                          CAST(sum(dev * dev) AS BIGINT) // max(nd)
+                              AS rad
+                   FROM dev GROUP BY tok),
+            w0 AS (SELECT tok, rad,
+                          CAST(floor(sqrt(CAST(rad AS DOUBLE)))
+                               AS BIGINT) AS y0
+                   FROM va),
+            w1 AS (SELECT tok, rad,
+                          y0 + CASE WHEN (y0 + 1) * (y0 + 1) <= rad
+                                    THEN 1 ELSE 0 END AS y1
+                   FROM w0),
+            sig AS (SELECT tok,
+                           y1 - CASE WHEN y1 * y1 > rad
+                                     THEN 1 ELSE 0 END AS sigma
+                    FROM w1),
+            z AS (SELECT d.doc_id, d.tok,
+                         (CASE WHEN d.dev < 0 THEN -1
+                               WHEN d.dev > 0 THEN 1 ELSE 0 END)
+                         * ((abs(d.dev) * 1000)
+                            // greatest(s.sigma, 1)) AS z
+                  FROM dev d JOIN sig s ON s.tok = d.tok),
+            prof AS (SELECT dd.source AS grp, z.tok,
+                            (sum(z.z) + {1 << 40} * count(*))
+                                // count(*) - {1 << 40} AS p,
+                            CAST(count(*) AS BIGINT) AS n_docs
+                     FROM z JOIN documents dd ON dd.doc_id = z.doc_id
+                     GROUP BY dd.source, z.tok)
+            SELECT grp AS source,
+                   CAST(max(n_docs) AS BIGINT) AS n_docs,
+                   CAST(sum(abs(p)) AS BIGINT) // 10 AS delta_milli
+            FROM prof GROUP BY grp
         """,
         # epoch-shuffle mixing eval: the epoch_shuffle key/shard CTE +
         # per-shard lag walk vs the sum n(n-1)/N(N-1) expectation

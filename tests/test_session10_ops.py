@@ -427,3 +427,67 @@ def test_layout_locality_ordering(spark):
     assert out["linear"]["total_perimeter"] > out["zorder"]["total_perimeter"]
     assert out["linear"]["total_perimeter"] > out["hilbert"]["total_perimeter"]
     assert out["hilbert"]["total_area"] < out["zorder"]["total_area"]
+
+
+def _stylo_replica(rows, m):
+    # pure-python replica of stylometry_delta's integer chain
+    import collections
+    import math
+
+    toks = [(i, s, t.split(" ")) for i, (t, s) in enumerate(rows)]
+    cnt = collections.Counter(w for _, _, ws in toks for w in ws if w)
+    feats = sorted(cnt, key=lambda w: (-cnt[w], w))[:m]
+    lens = {i: len([w for w in ws if w]) for i, _, ws in toks}
+    f = {
+        (i, w): ws.count(w) * 1000000 // lens[i]
+        for i, _, ws in toks for w in feats
+    }
+    nd = len(rows)
+    out = collections.defaultdict(lambda: collections.defaultdict(list))
+    for w in feats:
+        mu = sum(f[(i, w)] for i in lens) // nd
+        rad = sum((f[(i, w)] - mu) ** 2 for i in lens) // nd
+        sigma = math.isqrt(rad)
+        for i, s, _ in toks:
+            dev = f[(i, w)] - mu
+            sg = (dev > 0) - (dev < 0)
+            out[s][w].append(sg * (abs(dev) * 1000 // max(sigma, 1)))
+    res = {}
+    B = 1 << 40
+    for s, per in out.items():
+        tot = 0
+        for w, zs in per.items():
+            p = (sum(zs) + B * len(zs)) // len(zs) - B
+            tot += abs(p)
+        res[s] = (len(next(iter(per.values()))), tot // m)
+    return res
+
+
+def test_stylometry_delta_replica(spark):
+    rows = [
+        ("x x y q", "A"), ("x z z q", "A"),
+        ("y y y x", "B"), ("z x q q", "B"),
+        ("q q q q", "C"), ("x y z q", "C"),
+    ]
+    docs = _src_docs(spark, rows)
+    got = {
+        r["source"]: (r["n_docs"], r["delta_milli"])
+        for r in A.stylometry_delta(docs, m=3).collect()
+    }
+    assert got == _stylo_replica(rows, 3)
+
+
+def test_stylometry_distinct_source_stands_out(spark):
+    # sources A/B share a style; source C never uses the common words —
+    # C's delta must dominate
+    rows = (
+        [("the of and x", "A") for _ in range(5)]
+        + [("the of and y", "B") for _ in range(5)]
+        + [("zz ww vv uu", "C") for _ in range(5)]
+    )
+    got = {
+        r["source"]: r["delta_milli"]
+        for r in A.stylometry_delta(_src_docs(spark, rows), m=3).collect()
+    }
+    assert got["C"] > got["A"]
+    assert got["C"] > got["B"]
