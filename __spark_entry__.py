@@ -4146,6 +4146,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # signed means
         return A.stylometry_delta(_docs(spark, sf_dir), m=10)
 
+    def curation_v9(spark, sf_dir):
+        # composed session-10 chain, ONE SQL oracle: epoch-shuffle
+        # subsample (shards 0..11 of 16, the shipped plan) → Burrows'
+        # style gate (source delta_milli <= 155, computed on the FULL
+        # corpus — drops 5 sources at sf0.001) → per-doc alpha gate
+        # (qa >= 812, the quality_drift convention) → release card:
+        # stage survivor counts + an A/A KS check between the curated
+        # set's doc_id-parity halves.  reject_95 is a REPORT, not an
+        # invariant: sf0.001 draws 0; sf0.01's draw lands just over
+        # the line (D=0.211 vs crit 0.202 at n=77/109 — the 1-in-20
+        # A/A event on a 186-doc release; a real pipeline reruns the
+        # check on the next snapshot before acting)
+        docs = _docs(spark, sf_dir)
+        plan = A.epoch_shuffle_plan(docs, n_shards=16, seed="epoch0")
+        d1 = docs.join(
+            plan.filter(F.col("shard") < 12).select("doc_id"), "doc_id"
+        )
+        styled = (
+            A.stylometry_delta(docs, m=10)
+            .filter(F.col("delta_milli") <= 155)
+            .select("source")
+        )
+        d2 = d1.join(F.broadcast(styled), "source")
+        qa = F.expr(
+            "length(regexp_replace(text, '[^a-zA-Z]', '')) * 1000"
+            " div (length(text) + 1)"
+        )
+        d3 = d2.filter(qa >= 812)
+        ks = A.ks_two_sample(
+            d3.select(
+                "text",
+                (F.col("doc_id") % 2).cast("string").alias("half"),
+            ),
+            group_col="half", group_a="0", group_b="1",
+        )
+        card = (
+            docs.agg(F.count(F.lit(1)).alias("n_input"))
+            .crossJoin(
+                F.broadcast(d1.agg(F.count(F.lit(1)).alias("n_sampled")))
+            )
+            .crossJoin(
+                F.broadcast(d2.agg(F.count(F.lit(1)).alias("n_styled")))
+            )
+            .crossJoin(
+                F.broadcast(d3.agg(F.count(F.lit(1)).alias("n_quality")))
+            )
+        )
+        return card.crossJoin(F.broadcast(ks)).select(
+            "n_input", "n_sampled", "n_styled", "n_quality",
+            "n1", "n2", "d_num", "d_milli", "reject_95",
+        )
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4298,6 +4350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": hilbert_layout,
         "layout_locality": layout_locality,
         "stylometry_delta": stylometry_delta,
+        "curation_v9": curation_v9,
         "bowtie_components": bowtie_components,
         "scd2_intervals": scd2_intervals,
         "rfm_segments": rfm_segments,
@@ -5157,6 +5210,69 @@ def _ams_f2_sql(k: int = 16) -> str:
                    (est_f2 * 1000) // f2_exact AS ratio_milli
             FROM est
         """
+
+
+def _stylo_ctes(m: int = 10) -> str:
+    """Burrows'-Delta CTE chain ending in sdelta(source, n_docs,
+    delta_milli) — shared by the stylometry_delta oracle and
+    curation_v9's style gate (one definition of the grid/sigma/z
+    conventions)."""
+    return f"""stk AS (SELECT doc_id,
+                               unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+            stf AS (SELECT doc_id, tok FROM stk WHERE tok <> ''),
+            slens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
+                     FROM stf GROUP BY doc_id),
+            sfr AS (SELECT tok, CAST(count(*) AS BIGINT) AS c,
+                          row_number() OVER (ORDER BY count(*) DESC,
+                                             tok) AS rk
+                   FROM stf GROUP BY tok),
+            sfeats AS (SELECT tok FROM sfr WHERE rk <= {m}),
+            scnts AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+                     FROM stf JOIN sfeats USING (tok)
+                     GROUP BY doc_id, tok),
+            sgrid AS (SELECT l.doc_id, f.tok,
+                            (COALESCE(c.cnt, 0) * 1000000) // l.len AS f
+                     FROM slens l CROSS JOIN sfeats f
+                     LEFT JOIN scnts c
+                       ON c.doc_id = l.doc_id AND c.tok = f.tok),
+            snn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM slens),
+            smu AS (SELECT tok, CAST(sum(f) AS BIGINT) // nd AS mu, nd
+                   FROM sgrid, snn GROUP BY tok, nd),
+            sdev AS (SELECT g.doc_id, g.tok, g.f - m.mu AS dev, m.nd
+                    FROM sgrid g JOIN smu m ON m.tok = g.tok),
+            sva AS (SELECT tok,
+                          CAST(sum(dev * dev) AS BIGINT) // max(nd)
+                              AS rad
+                   FROM sdev GROUP BY tok),
+            sw0 AS (SELECT tok, rad,
+                          CAST(floor(sqrt(CAST(rad AS DOUBLE)))
+                               AS BIGINT) AS y0
+                   FROM sva),
+            sw1 AS (SELECT tok, rad,
+                          y0 + CASE WHEN (y0 + 1) * (y0 + 1) <= rad
+                                    THEN 1 ELSE 0 END AS y1
+                   FROM sw0),
+            ssig AS (SELECT tok,
+                           y1 - CASE WHEN y1 * y1 > rad
+                                     THEN 1 ELSE 0 END AS sigma
+                    FROM sw1),
+            sz AS (SELECT d.doc_id, d.tok,
+                         (CASE WHEN d.dev < 0 THEN -1
+                               WHEN d.dev > 0 THEN 1 ELSE 0 END)
+                         * ((abs(d.dev) * 1000)
+                            // greatest(s.sigma, 1)) AS z
+                  FROM sdev d JOIN ssig s ON s.tok = d.tok),
+            sprof AS (SELECT dd.source AS grp, sz.tok,
+                            (sum(sz.z) + {1 << 40} * count(*))
+                                // count(*) - {1 << 40} AS p,
+                            CAST(count(*) AS BIGINT) AS n_docs
+                     FROM sz JOIN documents dd ON dd.doc_id = sz.doc_id
+                     GROUP BY dd.source, sz.tok),
+            sdelta AS (SELECT grp AS source,
+                   CAST(max(n_docs) AS BIGINT) AS n_docs,
+                   CAST(sum(abs(p)) AS BIGINT) // {m} AS delta_milli
+            FROM sprof GROUP BY grp)"""
 
 
 def _wildcard_values_sql() -> str:
@@ -9583,64 +9699,67 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Burrows' Delta: micro-freq grid (zero cells real), floor-div
         # mean/variance, isqrt-corrected sigma, sign-peeled z_milli,
-        # +B offset signed source means, sum|p| div m
+        # +B offset signed source means, sum|p| div m (_stylo_ctes —
+        # shared with curation_v9's style gate)
         "stylometry_delta": f"""
-            WITH tk AS (SELECT doc_id,
-                               unnest(string_split(text, ' ')) AS tok
-                        FROM documents),
-            tf AS (SELECT doc_id, tok FROM tk WHERE tok <> ''),
-            lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS len
-                     FROM tf GROUP BY doc_id),
-            fr AS (SELECT tok, CAST(count(*) AS BIGINT) AS c,
-                          row_number() OVER (ORDER BY count(*) DESC,
-                                             tok) AS rk
-                   FROM tf GROUP BY tok),
-            feats AS (SELECT tok FROM fr WHERE rk <= 10),
-            cnts AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
-                     FROM tf JOIN feats USING (tok)
-                     GROUP BY doc_id, tok),
-            grid AS (SELECT l.doc_id, f.tok,
-                            (COALESCE(c.cnt, 0) * 1000000) // l.len AS f
-                     FROM lens l CROSS JOIN feats f
-                     LEFT JOIN cnts c
-                       ON c.doc_id = l.doc_id AND c.tok = f.tok),
-            nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM lens),
-            mu AS (SELECT tok, CAST(sum(f) AS BIGINT) // nd AS mu, nd
-                   FROM grid, nn GROUP BY tok, nd),
-            dev AS (SELECT g.doc_id, g.tok, g.f - m.mu AS dev, m.nd
-                    FROM grid g JOIN mu m ON m.tok = g.tok),
-            va AS (SELECT tok,
-                          CAST(sum(dev * dev) AS BIGINT) // max(nd)
-                              AS rad
-                   FROM dev GROUP BY tok),
-            w0 AS (SELECT tok, rad,
-                          CAST(floor(sqrt(CAST(rad AS DOUBLE)))
-                               AS BIGINT) AS y0
-                   FROM va),
-            w1 AS (SELECT tok, rad,
-                          y0 + CASE WHEN (y0 + 1) * (y0 + 1) <= rad
-                                    THEN 1 ELSE 0 END AS y1
-                   FROM w0),
-            sig AS (SELECT tok,
-                           y1 - CASE WHEN y1 * y1 > rad
-                                     THEN 1 ELSE 0 END AS sigma
-                    FROM w1),
-            z AS (SELECT d.doc_id, d.tok,
-                         (CASE WHEN d.dev < 0 THEN -1
-                               WHEN d.dev > 0 THEN 1 ELSE 0 END)
-                         * ((abs(d.dev) * 1000)
-                            // greatest(s.sigma, 1)) AS z
-                  FROM dev d JOIN sig s ON s.tok = d.tok),
-            prof AS (SELECT dd.source AS grp, z.tok,
-                            (sum(z.z) + {1 << 40} * count(*))
-                                // count(*) - {1 << 40} AS p,
-                            CAST(count(*) AS BIGINT) AS n_docs
-                     FROM z JOIN documents dd ON dd.doc_id = z.doc_id
-                     GROUP BY dd.source, z.tok)
-            SELECT grp AS source,
-                   CAST(max(n_docs) AS BIGINT) AS n_docs,
-                   CAST(sum(abs(p)) AS BIGINT) // 10 AS delta_milli
-            FROM prof GROUP BY grp
+            WITH {_stylo_ctes(10)}
+            SELECT source, n_docs, delta_milli FROM sdelta
+        """,
+        # composed session-10 curation: shuffle-shard subsample →
+        # style gate (_stylo_ctes reused) → alpha gate → release card
+        # with the A/A KS parity check between doc_id halves
+        "curation_v9": f"""
+            WITH {_stylo_ctes(10)},
+            keepids AS (SELECT doc_id FROM documents
+                        WHERE {_hex_int_sql(
+                            "md5('epoch0:' || doc_id)", 1, 8)} % 16
+                            < 12),
+            styled AS (SELECT source FROM sdelta
+                       WHERE delta_milli <= 155),
+            d2 AS (SELECT d.doc_id, d.text FROM documents d
+                   JOIN keepids USING (doc_id)
+                   JOIN styled s ON s.source = d.source),
+            d3 AS (SELECT doc_id, text FROM d2
+                   WHERE (length(regexp_replace(text,
+                              '[^a-zA-Z]', '', 'g')) * 1000)
+                         // (length(text) + 1) >= 812),
+            c0 AS (SELECT CAST(count(*) AS BIGINT) AS n_input
+                   FROM documents),
+            c1 AS (SELECT CAST(count(*) AS BIGINT) AS n_sampled
+                   FROM keepids),
+            c2 AS (SELECT CAST(count(*) AS BIGINT) AS n_styled FROM d2),
+            c3 AS (SELECT CAST(count(*) AS BIGINT) AS n_quality
+                   FROM d3),
+            ksx AS (SELECT CAST(len(string_split(text, ' '))
+                                AS BIGINT) AS x,
+                           CASE WHEN doc_id % 2 = 0
+                                THEN 1 ELSE 0 END AS is_a
+                    FROM d3),
+            ksh AS (SELECT x,
+                           CAST(sum(is_a) AS BIGINT) AS ca,
+                           CAST(sum(1 - is_a) AS BIGINT) AS cb
+                    FROM ksx GROUP BY x),
+            ksc AS (SELECT sum(ca) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum1,
+                           sum(cb) OVER (ORDER BY x
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum2
+                    FROM ksh),
+            kst AS (SELECT CAST(max(cum1) AS BIGINT) AS n1,
+                           CAST(max(cum2) AS BIGINT) AS n2
+                    FROM ksc),
+            ksd AS (SELECT n1, n2,
+                           CAST(max(abs(n2 * cum1 - n1 * cum2))
+                                AS BIGINT) AS d_num
+                    FROM ksc CROSS JOIN kst GROUP BY n1, n2)
+            SELECT n_input, n_sampled, n_styled, n_quality,
+                   n1, n2, d_num,
+                   (d_num * 1000) // (n1 * n2) AS d_milli,
+                   CAST(CASE WHEN 1000000 * d_num * d_num
+                             > 1844164 * (n1 + n2) * n1 * n2
+                        THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+            FROM c0, c1, c2, c3, ksd
         """,
         # epoch-shuffle mixing eval: the epoch_shuffle key/shard CTE +
         # per-shard lag walk vs the sum n(n-1)/N(N-1) expectation
