@@ -4198,6 +4198,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "n1", "n2", "d_num", "d_milli", "reject_95",
         )
 
+    def tpch_market_share(spark, sf_dir):
+        # r5 session-10: Q8-shaped national market share (NATION_2's
+        # milli-share of ASIA's ECONOMY-part revenue per order year) —
+        # completes the 22-query TPC-H shape breadth with Q9/Q17/Q20
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.market_share(
+            rd("lineitem"), rd("orders"), rd("customer"),
+            rd("supplier"), rd("nation"), rd("region"),
+            region_name="ASIA", nation_name="NATION_2",
+            p_type_part=rd("part").filter(F.col("p_type") == "ECONOMY"),
+        )
+
+    def tpch_product_profit(spark, sf_dir):
+        # r5 session-10: Q9-shaped amount by supplier nation x year for
+        # 'widget' parts (revenue stands in for profit — no partsupp
+        # in the fixture, documented adaptation)
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.product_profit(
+            rd("lineitem"), rd("orders"), rd("part"),
+            rd("supplier"), rd("nation"), name_word="widget",
+        )
+
+    def tpch_small_qty_revenue(spark, sf_dir):
+        # r5 session-10: Q17-shaped small-quantity revenue for
+        # Brand#13 — cross-multiplied 1/5-of-average threshold, the
+        # correlated-subquery-to-aggregate-join rewrite
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.small_qty_revenue(rd("lineitem"), rd("part"))
+
+    def tpch_promo_suppliers(spark, sf_dir):
+        # r5 session-10: Q20-shaped promotion candidates — suppliers
+        # shipping > 300 units of hot* parts in 1997 (availqty
+        # correlation adapted to a shipped-qty threshold; median ~298
+        # at both SFs so the gate bites)
+        rd = lambda t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet"))
+        return R.promo_suppliers(
+            rd("lineitem"), rd("supplier"), rd("nation"), rd("part"),
+        )
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4351,6 +4390,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_locality": layout_locality,
         "stylometry_delta": stylometry_delta,
         "curation_v9": curation_v9,
+        "tpch_market_share": tpch_market_share,
+        "tpch_product_profit": tpch_product_profit,
+        "tpch_small_qty_revenue": tpch_small_qty_revenue,
+        "tpch_promo_suppliers": tpch_promo_suppliers,
         "bowtie_components": bowtie_components,
         "scd2_intervals": scd2_intervals,
         "rfm_segments": rfm_segments,
@@ -12177,6 +12220,98 @@ def oracle_sql() -> dict[str, str]:
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey)
             WHERE rank <= 20
+        """,
+        # Q8 shape: NATION_2's milli-share of ASIA's ECONOMY revenue
+        "tpch_market_share": """
+            WITH rev AS (
+              SELECT l.l_orderkey, l.l_suppkey,
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                          * 100) AS BIGINT) AS rev_c
+              FROM lineitem l
+              JOIN part p ON p.p_partkey = l.l_partkey
+              WHERE p.p_type = 'ECONOMY'),
+            mkt AS (SELECT c_custkey FROM customer
+                    JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+                    WHERE r_name = 'ASIA'),
+            ords AS (SELECT o_orderkey,
+                            CAST(year(o_orderdate) AS BIGINT) AS o_year
+                     FROM orders JOIN mkt ON o_custkey = c_custkey),
+            supp AS (SELECT s_suppkey, n_name AS supp_nation
+                     FROM supplier
+                     JOIN nation ON s_nationkey = n_nationkey),
+            j AS (SELECT o.o_year, s.supp_nation, r.rev_c
+                  FROM rev r
+                  JOIN ords o ON o.o_orderkey = r.l_orderkey
+                  JOIN supp s ON s.s_suppkey = r.l_suppkey),
+            g AS (SELECT o_year,
+                         CAST(sum(CASE WHEN supp_nation = 'NATION_2'
+                              THEN rev_c ELSE 0 END) AS BIGINT)
+                             AS nation_rev_c,
+                         CAST(sum(rev_c) AS BIGINT) AS total_rev_c
+                  FROM j GROUP BY o_year)
+            SELECT o_year, nation_rev_c, total_rev_c,
+                   (nation_rev_c * 1000) // greatest(total_rev_c, 1)
+                       AS share_milli
+            FROM g
+        """,
+        # Q9 shape: widget-part revenue by supplier nation x year
+        "tpch_product_profit": """
+            SELECT n_name AS nation_name,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l_extendedprice
+                        * (1 - l_discount) * 100) AS BIGINT))
+                        AS BIGINT) AS amount_c,
+                   CAST(count(*) AS BIGINT) AS n_lines
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY n_name, year(o_orderdate)
+        """,
+        # Q17 shape: Brand#13 small-quantity lines (5*qty*n < sumq)
+        "tpch_small_qty_revenue": """
+            WITH pp AS (SELECT p_partkey FROM part
+                        WHERE p_brand = 'Brand#13'),
+            li AS (SELECT l.l_partkey,
+                          CAST(l.l_quantity AS BIGINT) AS qty,
+                          CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                              AS price_c
+                   FROM lineitem l
+                   JOIN pp ON pp.p_partkey = l.l_partkey),
+            ag AS (SELECT l_partkey,
+                          CAST(count(*) AS BIGINT) AS n_p,
+                          CAST(sum(qty) AS BIGINT) AS sumq_p
+                   FROM li GROUP BY l_partkey),
+            f AS (SELECT li.price_c FROM li
+                  JOIN ag ON ag.l_partkey = li.l_partkey
+                  WHERE 5 * li.qty * ag.n_p < 1 * ag.sumq_p),
+            t AS (SELECT CAST(COALESCE(sum(price_c), 0) AS BIGINT)
+                             AS total_c,
+                         CAST(count(*) AS BIGINT) AS n_lines
+                  FROM f)
+            SELECT total_c // 7 AS avg_yearly_c, total_c, n_lines
+            FROM t
+        """,
+        # Q20 shape: hot*-part suppliers over 300 units in 1997
+        "tpch_promo_suppliers": """
+            WITH pp AS (SELECT p_partkey FROM part
+                        WHERE p_name LIKE 'hot%'),
+            per AS (SELECT l_suppkey,
+                           CAST(sum(CAST(l_quantity AS BIGINT))
+                                AS BIGINT) AS qty_sum
+                    FROM lineitem
+                    JOIN pp ON pp.p_partkey = l_partkey
+                    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                      AND l_shipdate <  TIMESTAMP '1998-01-01'
+                    GROUP BY l_suppkey
+                    HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+            SELECT s_suppkey, s_name, n_name AS nation_name, qty_sum
+            FROM per
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON n_nationkey = s_nationkey
         """,
         # Q12 shape: late lines split by order-priority criticality
         "tpch_late_line_priority": """

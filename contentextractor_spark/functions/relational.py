@@ -743,3 +743,230 @@ def idle_customers(
             F.sum("bal_c").alias("totacctbal_c"),
         )
     )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str = "ASIA",
+    nation_name: str = "NATION_2",
+    p_type_part: DataFrame | None = None,
+) -> DataFrame:
+    """TPC-H Q8-shaped national market share: within one customer
+    REGION's purchases of one part type, the per-order-year revenue
+    share supplied by one NATION — the classic two-role nation join
+    (customer side picks the market, supplier side picks the
+    competitor).
+
+    share_milli = nation_rev * 1000 div total_rev, both sums in
+    integer cents (exact; a double ratio would flake the hash).
+
+    Shape: part-type filter prunes at the part scan and semi-joins
+    lineitem; orders carries the year; customer→nation→region
+    restricts the market with two broadcast dims; supplier→nation
+    tags the origin (broadcast).  One (year) groupBy with a
+    conditional sum — the share needs no second pass."""
+    rev = lineitem.select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_c"
+        ),
+    )
+    if p_type_part is not None:
+        rev = rev.join(
+            p_type_part.select(F.col("p_partkey").alias("l_partkey")),
+            "l_partkey",
+        )
+    mkt_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("c_nationkey"))
+    )
+    mkt_cust = customer.join(F.broadcast(mkt_nations), "c_nationkey").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    ords = orders.join(mkt_cust, "o_custkey").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    supp = supplier.join(
+        F.broadcast(nation),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    j = rev.join(ords, "l_orderkey").join(F.broadcast(supp), "l_suppkey")
+    return (
+        j.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("supp_nation") == nation_name, F.col("rev_c")
+                ).otherwise(F.lit(0))
+            ).alias("nation_rev_c"),
+            F.sum("rev_c").alias("total_rev_c"),
+        )
+        .select(
+            "o_year",
+            "nation_rev_c",
+            "total_rev_c",
+            F.expr(
+                "nation_rev_c * 1000 div greatest(total_rev_c, 1)"
+            ).alias("share_milli"),
+        )
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    name_word: str = "widget",
+) -> DataFrame:
+    """TPC-H Q9-shaped product-line amount by supplier nation and
+    order year, for parts whose name contains `name_word`.  ADAPTED:
+    the fixture has no partsupp/supplycost, so the metric is revenue
+    (extendedprice net of discount, integer cents), not profit — the
+    join topology (part name filter → lineitem → orders year →
+    supplier nation) is the Q9 shape the planner cares about.
+
+    Shape: the part filter semi-joins lineitem at its scan side; the
+    orders join carries only (orderkey, year); supplier+nation ride
+    as one broadcast dim."""
+    pp = part.filter(F.col("p_name").contains(name_word)).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    rev = lineitem.join(pp, "l_partkey").select(
+        "l_orderkey",
+        "l_suppkey",
+        _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_c"
+        ),
+    )
+    ords = orders.select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.year("o_orderdate").cast("long").alias("o_year"),
+    )
+    supp = supplier.join(
+        F.broadcast(nation),
+        supplier.s_nationkey == nation.n_nationkey,
+    ).select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("n_name").alias("nation_name"),
+    )
+    return (
+        rev.join(ords, "l_orderkey")
+        .join(F.broadcast(supp), "l_suppkey")
+        .groupBy("nation_name", "o_year")
+        .agg(
+            F.sum("rev_c").alias("amount_c"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def small_qty_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    brand: str = "Brand#13",
+    frac_num: int = 1,
+    frac_den: int = 5,
+    years: int = 7,
+) -> DataFrame:
+    """TPC-H Q17-shaped small-quantity-order revenue: for one brand's
+    parts, the revenue of lines whose quantity is below frac_num/
+    frac_den of that part's average line quantity — the 'would
+    eliminating tiny orders matter' report.
+
+    Integer conventions: the fixture's quantities are integral —
+    cast long and compare frac_den * qty * n_p < frac_num * sumq_p
+    (cross-multiplied, no division at all); avg_yearly_c = total
+    cents div `years` (the Q17 /7.0 as an integer div, non-negative).
+
+    Shape: one per-part aggregate over lineitem (map-side
+    combinable), re-joined on l_partkey (uniform key) — the classic
+    correlated-subquery-to-aggregate-join rewrite; the brand filter
+    semi-joins both sides at the part scan."""
+    pp = part.filter(F.col("p_brand") == brand).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    li = lineitem.join(F.broadcast(pp), "l_partkey")
+    ag = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_p"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sumq_p"),
+    )
+    j = li.join(ag, "l_partkey").filter(
+        F.lit(frac_den)
+        * F.col("l_quantity").cast("long")
+        * F.col("n_p")
+        < F.lit(frac_num) * F.col("sumq_p")
+    )
+    return j.agg(
+        F.coalesce(
+            F.sum(_cents(F.col("l_extendedprice"))), F.lit(0)
+        ).alias("total_c"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).select(
+        F.expr(f"total_c div {years}").alias("avg_yearly_c"),
+        "total_c",
+        "n_lines",
+    )
+
+
+def promo_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_prefix: str = "hot",
+    date_from: str = "1997-01-01",
+    date_to: str = "1998-01-01",
+    min_qty: int = 300,
+) -> DataFrame:
+    """TPC-H Q20-shaped promotion-candidate suppliers: suppliers who
+    shipped more than `min_qty` units of `name_prefix`* parts inside
+    the date window, with nation context.  ADAPTED: the fixture has
+    no partsupp availqty, so the Q20 'availqty > half of shipped'
+    correlation becomes a shipped-quantity threshold — the join
+    topology (part name prefix → lineitem window → supplier groupBy →
+    dim join) is the Q20 shape.
+
+    Shape: date window + prefix filter both push to their scans; one
+    supplier groupBy (map-side combinable); nation broadcasts."""
+    pp = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        F.col("p_partkey").alias("l_partkey")
+    )
+    win = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(date_to).cast("timestamp"))
+    )
+    per = (
+        win.join(F.broadcast(pp), "l_partkey")
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty_sum"))
+        .filter(F.col("qty_sum") > min_qty)
+    )
+    return (
+        per.join(supplier, per.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == nation.n_nationkey,
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("nation_name"),
+            "qty_sum",
+        )
+    )

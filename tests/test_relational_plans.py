@@ -264,3 +264,48 @@ def test_discounted_revenue_single_join(tpch):
     assert {r.p_brand for r in rows} == {
         "Brand#12", "Brand#23", "Brand#15"
     }
+
+
+def test_market_share_plan_and_values(tpch):
+    from contentextractor_spark.functions.relational import market_share
+
+    out = market_share(
+        tpch["lineitem"], tpch["orders"], tpch["customer"],
+        tpch["supplier"], tpch["nation"], tpch["region"],
+        p_type_part=tpch["part"].filter(F.col("p_type") == "ECONOMY"),
+    )
+    # exactly the four dim-side hints (region, nation in both roles,
+    # supplier) — facts (lineitem/orders/customer/part) never hinted
+    assert _hint_count(out) == 4
+    plan = _physical(out)
+    assert "Exchange SinglePartition" not in plan, plan
+    rows = out.collect()
+    assert len(rows) >= 5  # one row per order year
+    for r in rows:
+        assert 0 <= r["nation_rev_c"] <= r["total_rev_c"]
+        assert 0 <= r["share_milli"] <= 1000
+
+
+def test_promo_suppliers_pushdown(tpch):
+    from contentextractor_spark.functions.relational import promo_suppliers
+
+    out = promo_suppliers(
+        tpch["lineitem"], tpch["supplier"], tpch["nation"], tpch["part"]
+    )
+    plan = _physical(out)
+    # the ship-date window must reach the lineitem parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:400], plan
+    rows = out.collect()
+    assert rows and all(r["qty_sum"] > 300 for r in rows)
+
+
+def test_small_qty_revenue_values(tpch):
+    from contentextractor_spark.functions.relational import (
+        small_qty_revenue,
+    )
+
+    r = small_qty_revenue(tpch["lineitem"], tpch["part"]).collect()[0]
+    assert r["n_lines"] > 0  # the threshold bites on the fixture
+    assert r["avg_yearly_c"] == r["total_c"] // 7
