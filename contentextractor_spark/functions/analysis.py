@@ -12039,6 +12039,23 @@ def kmeans_inertia(
     )
 
 
+def _quality_batch_means(docs: DataFrame, batch: int) -> DataFrame:
+    """(source, b, mean_permille): per-(source, ingest-batch) mean
+    alpha-permille — quality_drift's first stage, factored out as ONE
+    aggregation over (sum, count) monoid cells so the streaming twin
+    can reuse it verbatim (state bounded by sources × batches)."""
+    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    per = docs.select(
+        "source",
+        F.expr(f"doc_id div {batch}").alias("b"),
+        (alpha * 1000).cast("long").alias("a"),
+        (F.length("text") + 1).cast("long").alias("n"),
+    )
+    return per.groupBy("source", "b").agg(
+        F.expr("sum(a div n) div count(1)").alias("mean_permille")
+    )
+
+
 def quality_drift(
     docs: DataFrame, batch: int = 100, flag_permille: int = 150
 ) -> DataFrame:
@@ -12055,18 +12072,12 @@ def quality_drift(
     of batch means.
 
     Scale: one (source, batch) groupBy (map-side combinable) then one
-    per-source aggregate — no windows, no joins."""
-    alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-    per = docs.select(
-        "source",
-        F.expr(f"doc_id div {batch}").alias("b"),
-        (alpha * 1000).cast("long").alias("a"),
-        (F.length("text") + 1).cast("long").alias("n"),
-    )
-    g = per.groupBy("source", "b").agg(
-        F.expr("sum(a div n) div count(1)").alias("mean_permille")
-    )
-    s = g.groupBy("source").agg(
+    per-source aggregate — no windows, no joins.  The first stage
+    (_quality_batch_means) is a SINGLE aggregation over (sum, count)
+    monoid cells, so it doubles as the Structured Streaming twin
+    (streaming.stream_quality_means — chained aggregations are
+    unsupported in streams, so the drift fold stays batch-side)."""
+    s = _quality_batch_means(docs, batch).groupBy("source").agg(
         F.count(F.lit(1)).alias("n_batches"),
         F.min("mean_permille").alias("min_permille"),
         F.max("mean_permille").alias("max_permille"),

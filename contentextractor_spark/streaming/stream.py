@@ -361,3 +361,20 @@ def stream_weighted_sample(
         salt=salt,
         project=False,
     )
+
+
+def stream_quality_means(
+    docs_stream: DataFrame, batch: int = 100
+) -> DataFrame:
+    """Streaming per-(source, ingest-batch) quality means over a
+    documents stream: the batch quality_drift's first stage is a
+    single aggregation over (sum, count) monoid cells, so it IS its
+    own streaming merge — state bounded by sources × batches, stream
+    == batch on the same rows by construction (shared
+    _quality_batch_means expressions) — tested.  The drift fold
+    (max−min per source + flag) is a second aggregation, which
+    Structured Streaming forbids chained — run it batch-side over
+    this query's complete-mode output table."""
+    from ..functions.analysis import _quality_batch_means
+
+    return _quality_batch_means(docs_stream, batch)

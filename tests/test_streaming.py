@@ -590,3 +590,45 @@ def test_stream_extract_lists_matches_batch(spark, tmp_path):
     want = {key(r) for r in extract_lists(batch_df, num_buckets=8).collect()}
     assert want, "fixture pages produced no list items"
     assert got == want  # streaming == batch item rows
+
+
+def test_stream_quality_means_matches_batch(spark, tmp_path):
+    """r5 s10: quality_drift's first stage is a (sum, count) monoid —
+    the streaming means over a 2-file stream (complete mode) must equal
+    the batch stage on the same rows."""
+    from contentextractor_spark.functions.analysis import (
+        _quality_batch_means,
+    )
+    from contentextractor_spark.streaming.stream import (
+        stream_quality_means,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).limit(80)
+    in_dir = str(tmp_path / "docs")
+    docs.repartition(2).write.parquet(in_dir)
+    batch = spark.read.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_quality_means(stream, batch=40)
+        .writeStream.format("memory")
+        .queryName("qmeans_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "quality-means stream did not finish"
+    got = {
+        (r.source, r.b, r.mean_permille)
+        for r in spark.sql("SELECT * FROM qmeans_stream").collect()
+    }
+    want = {
+        (r.source, r.b, r.mean_permille)
+        for r in _quality_batch_means(batch, 40).collect()
+    }
+    assert got == want
