@@ -4237,6 +4237,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             rd("lineitem"), rd("supplier"), rd("nation"), rd("part"),
         )
 
+    def chao1_richness(spark, sf_dir):
+        # r5 session-10: Chao1 unseen-vocabulary lower bound per lang
+        # over TRIGRAMS (unigram f1=f2=0 on this corpus — the
+        # good_turing vacuous-fixture lesson)
+        return A.chao1_richness(_docs(spark, sf_dir), n=3)
+
+    def markov_eval(spark, sf_dir):
+        # r5 session-10: modal next-event hit rate of the shipped
+        # markov_transitions matrix — a window over the matrix itself,
+        # no second events pass
+        return E.markov_eval(_events(spark, sf_dir))
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4390,6 +4402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "layout_locality": layout_locality,
         "stylometry_delta": stylometry_delta,
         "curation_v9": curation_v9,
+        "chao1_richness": chao1_richness,
+        "markov_eval": markov_eval,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -12220,6 +12234,65 @@ def oracle_sql() -> dict[str, str]:
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey)
             WHERE rank <= 20
+        """,
+        # Chao1 per-lang trigram richness: abundance counts, both
+        # correction forms as one CASE'd floor division
+        "chao1_richness": """
+            WITH tk AS (SELECT d.doc_id, d.lang,
+                               unnest(string_split(d.text, ' ')) AS tok,
+                               generate_subscripts(
+                                   string_split(d.text, ' '), 1) - 1
+                                   AS pos
+                        FROM documents d),
+            g3 AS (SELECT a.lang,
+                          a.tok || ' ' || b.tok || ' ' || c.tok AS g
+                   FROM tk a
+                   JOIN tk b ON a.doc_id = b.doc_id
+                            AND b.pos = a.pos + 1
+                   JOIN tk c ON a.doc_id = c.doc_id
+                            AND c.pos = a.pos + 2),
+            ty AS (SELECT lang, g, CAST(count(*) AS BIGINT) AS c
+                   FROM g3 GROUP BY lang, g),
+            ag AS (SELECT lang,
+                          CAST(count(*) AS BIGINT) AS n_types,
+                          CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS f1,
+                          CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS f2
+                   FROM ty GROUP BY lang)
+            SELECT lang, n_types, f1, f2,
+                   n_types + CASE WHEN f2 > 0
+                                  THEN (f1 * f1) // (2 * f2)
+                                  ELSE (f1 * (f1 - 1)) // 2 END
+                       AS chao1
+            FROM ag
+        """,
+        # modal-guess hit rate over the markov matrix: the same lag
+        # pair CTE as events_markov + a per-from argmax row_number
+        "markov_eval": """
+            WITH seq AS (
+              SELECT user_id, event_type AS to_type,
+                     lag(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS from_type
+              FROM events
+            ),
+            p AS (SELECT from_type, to_type,
+                         CAST(count(*) AS BIGINT) AS n_pairs
+                  FROM seq WHERE from_type IS NOT NULL
+                  GROUP BY from_type, to_type),
+            m AS (SELECT from_type, to_type, n_pairs,
+                         CAST(sum(n_pairs) OVER
+                             (PARTITION BY from_type) AS BIGINT)
+                             AS n_from,
+                         row_number() OVER (PARTITION BY from_type
+                             ORDER BY n_pairs DESC, to_type) AS rk
+                  FROM p)
+            SELECT from_type, to_type AS predicted,
+                   n_from AS n_transitions,
+                   n_pairs AS n_hits,
+                   (n_pairs * 1000) // n_from AS hit_milli
+            FROM m WHERE rk = 1
         """,
         # Q8 shape: NATION_2's milli-share of ASIA's ECONOMY revenue
         "tpch_market_share": """

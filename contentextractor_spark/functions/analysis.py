@@ -12333,3 +12333,54 @@ def stylometry_delta(
         )
         .select(F.col("grp").alias(group_col), "n_docs", "delta_milli")
     )
+
+
+def chao1_richness(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Chao1 species-richness estimate of the n-gram vocabulary per
+    language (Chao 1984, the abundance-based lower bound every corpus
+    ecology uses): chao1 = S + f1^2/(2 f2), with the bias-corrected
+    f1(f1-1)/2 form when f2 = 0 — 'how many n-gram types does this
+    language REALLY have, counting the ones we haven't crawled yet'.
+    The forward-looking companion to good_turing (which discounts seen
+    counts) and vocab_growth (which tracks the seen curve).  Run over
+    trigrams by default — the good_turing lesson: this corpus's
+    UNIGRAM counts have no singletons (f1 = f2 = 0 makes the row
+    vacuous), its trigram stream has plenty.
+
+    All-integer: S, f1, f2 are counts; both correction forms are one
+    non-negative floor division (div == //); per-row raise at
+    f1 >= 3*10^9 before squaring (the ams_f2 bound rule).
+
+    Scale: one (lang, gram) groupBy then one |langs|-row aggregate —
+    both map-side combinable."""
+    ty = (
+        _gram_stream(docs, n, carry=("lang",))
+        .groupBy("lang", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = ty.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+    )
+    guarded = agg.select(
+        "lang",
+        "n_types",
+        F.when(
+            F.col("f1") >= F.lit(3_000_000_000),
+            F.raise_error(
+                F.lit("chao1_richness: f1 bound, shard the stream")
+            ).cast("long"),
+        ).otherwise(F.col("f1")).alias("f1"),
+        "f2",
+    )
+    return guarded.select(
+        "lang",
+        "n_types",
+        "f1",
+        "f2",
+        F.expr(
+            "n_types + CASE WHEN f2 > 0 THEN f1 * f1 div (2 * f2)"
+            " ELSE f1 * (f1 - 1) div 2 END"
+        ).alias("chao1"),
+    )

@@ -1178,3 +1178,33 @@ def forecast_baselines(
             ).alias("wape7_milli"),
         )
     )
+
+
+def markov_eval(events: DataFrame) -> DataFrame:
+    """Predictability scorecard for the SHIPPED markov_transitions
+    model (the lsh_eval rule): per from_type, the argmax next-event
+    prediction (most-frequent to_type, min-name tiebreak) and its
+    in-sample hit rate — 'if we always guessed the modal next event,
+    how often would we be right'.  Needs NO second pass over events:
+    the matrix already holds n_pairs (hits of the modal guess) and
+    n_from (transitions), so the eval is a |types|-row window over the
+    matrix itself.
+
+    hit_milli = n_pairs * 1000 div n_from — integer; the row_number
+    tiebreak (n_pairs DESC, to_type ASC) is string-deterministic in
+    both engines."""
+    m = markov_transitions(events)
+    w = Window.partitionBy("from_type").orderBy(
+        F.col("n_pairs").desc(), "to_type"
+    )
+    return (
+        m.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "from_type",
+            F.col("to_type").alias("predicted"),
+            F.col("n_from").alias("n_transitions"),
+            F.col("n_pairs").alias("n_hits"),
+            F.expr("(n_pairs * 1000) div n_from").alias("hit_milli"),
+        )
+    )

@@ -491,3 +491,77 @@ def test_stylometry_distinct_source_stands_out(spark):
     }
     assert got["C"] > got["A"]
     assert got["C"] > got["B"]
+
+
+def _lang_docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, g) for i, (t, g) in enumerate(rows)],
+        "doc_id long, text string, lang string",
+    )
+
+
+def test_chao1_hand_values(spark):
+    # lang A unigrams: a a b c -> counts {a:2, b:1, c:1}: S=3, f1=2,
+    # f2=1 -> chao1 = 3 + 4 div 2 = 5
+    rows = [("a a b c", "A"), ("x y", "B")]
+    got = {
+        r["lang"]: (r["n_types"], r["f1"], r["f2"], r["chao1"])
+        for r in A.chao1_richness(_lang_docs(spark, rows), n=1).collect()
+    }
+    assert got["A"] == (3, 2, 1, 5)
+    # lang B: all singletons, f2=0 -> corrected form S + f1(f1-1)/2
+    assert got["B"] == (2, 2, 0, 3)
+
+
+def test_markov_eval_hand(spark):
+    import datetime
+
+    def t(s):
+        return datetime.datetime.fromisoformat(s)
+
+    # user 1: a->b, b->a, a->b ; user 2: a->c
+    # from a: b twice, c once -> predict b, hits 2 of 3
+    rows = [
+        (0, t("2024-01-01T10:00:00"), 1, "a", 0.0, ""),
+        (1, t("2024-01-01T10:01:00"), 1, "b", 0.0, ""),
+        (2, t("2024-01-01T10:02:00"), 1, "a", 0.0, ""),
+        (3, t("2024-01-01T10:03:00"), 1, "b", 0.0, ""),
+        (4, t("2024-01-01T10:00:00"), 2, "a", 0.0, ""),
+        (5, t("2024-01-01T10:01:00"), 2, "c", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    from contentextractor_spark.functions import events as E
+
+    got = {
+        r["from_type"]: (r["predicted"], r["n_transitions"],
+                         r["n_hits"], r["hit_milli"])
+        for r in E.markov_eval(ev).collect()
+    }
+    assert got["a"] == ("b", 3, 2, 666)
+    assert got["b"] == ("a", 1, 1, 1000)
+
+
+def test_markov_eval_tiebreak_min_name(spark):
+    import datetime
+
+    def t(s):
+        return datetime.datetime.fromisoformat(s)
+
+    # from 'a': one transition each to 'z' and 'b' -> predict 'b'
+    rows = [
+        (0, t("2024-01-01T10:00:00"), 1, "a", 0.0, ""),
+        (1, t("2024-01-01T10:01:00"), 1, "z", 0.0, ""),
+        (2, t("2024-01-01T10:00:00"), 2, "a", 0.0, ""),
+        (3, t("2024-01-01T10:01:00"), 2, "b", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    from contentextractor_spark.functions import events as E
+
+    got = {r["from_type"]: r["predicted"] for r in E.markov_eval(ev).collect()}
+    assert got["a"] == "b"
