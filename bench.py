@@ -252,6 +252,26 @@ BAND_MAX_S = {
     "ab_null_check": 4.0,            # warm 0.81 (per-user agg + 1-row z2)
     "forecast_baselines": 6.0,       # warm 1.42 (two day-lag self joins)
     "lang_source_mi": 6.0,           # warm 1.58 (cells + margins + 1 row)
+    "modularity_eval": 14.0,         # warm 4.7-5.1 (LPA rounds + 2 joins)
+    "rake_keywords": 9.0,            # warm 3.0 (2 windows + phrase agg)
+    "wildcard_search": 5.0,          # warm 1.1-1.4 (rotation explode)
+    "ks_two_sample": 5.0,            # warm 0.9-1.2 (histogram window)
+    "ams_f2": 5.0,                   # warm 1.1-1.4 (16 md5 sums/type)
+    "kwic_concordance": 4.0,         # warm 0.4-0.6 (hits + one join)
+    "kmeans_inertia": 13.0,          # warm 3.6-4.4 (trains + Huygens)
+    "quality_drift": 4.0,            # warm 0.5-0.6 (two groupBys)
+    "shuffle_eval": 4.0,             # warm 0.7 (shard lag walk)
+    "dedup_agreement": 20.0,         # warm 7.8 (jaccard + simhash sets)
+    "hilbert_layout": 5.0,           # warm 1.2 (8 CASE levels + agg)
+    "layout_locality": 6.0,          # warm 1.4-1.5 (three manifests)
+    "stylometry_delta": 7.0,         # warm 1.9 (grid + sigma + profile)
+    "curation_v9": 12.0,             # warm 3.8-4.0 (style gate + KS card)
+    "chao1_richness": 4.0,           # warm 0.8 (trigram type counts)
+    "markov_eval": 4.0,              # warm 0.7 (matrix window)
+    "tpch_market_share": 5.0,        # warm 1.1-1.2 (two-role nation join)
+    "tpch_product_profit": 4.0,      # warm 0.8-0.9 (3 joins + groupBy)
+    "tpch_small_qty_revenue": 4.0,   # warm 0.5-0.7 (agg-join rewrite)
+    "tpch_promo_suppliers": 4.0,     # warm 0.5 (window scan + groupBy)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -606,6 +626,30 @@ def main() -> None:
         "ab_null_check": lambda: force(_entry_q("ab_null_check")),
         "forecast_baselines": lambda: force(_entry_q("forecast_baselines")),
         "lang_source_mi": lambda: force(_entry_q("lang_source_mi")),
+        "modularity_eval": lambda: force(_entry_q("modularity_eval")),
+        "rake_keywords": lambda: force(_entry_q("rake_keywords")),
+        "wildcard_search": lambda: force(_entry_q("wildcard_search")),
+        "ks_two_sample": lambda: force(_entry_q("ks_two_sample")),
+        "ams_f2": lambda: force(_entry_q("ams_f2")),
+        "kwic_concordance": lambda: force(_entry_q("kwic_concordance")),
+        "kmeans_inertia": lambda: force(_entry_q("kmeans_inertia")),
+        "quality_drift": lambda: force(_entry_q("quality_drift")),
+        "shuffle_eval": lambda: force(_entry_q("shuffle_eval")),
+        "dedup_agreement": lambda: force(_entry_q("dedup_agreement")),
+        "hilbert_layout": lambda: force(_entry_q("hilbert_layout")),
+        "layout_locality": lambda: force(_entry_q("layout_locality")),
+        "stylometry_delta": lambda: force(_entry_q("stylometry_delta")),
+        "curation_v9": lambda: force(_entry_q("curation_v9")),
+        "chao1_richness": lambda: force(_entry_q("chao1_richness")),
+        "markov_eval": lambda: force(_entry_q("markov_eval")),
+        "tpch_market_share": lambda: force(_entry_q("tpch_market_share")),
+        "tpch_product_profit": lambda: force(_entry_q("tpch_product_profit")),
+        "tpch_small_qty_revenue": lambda: force(
+            _entry_q("tpch_small_qty_revenue")
+        ),
+        "tpch_promo_suppliers": lambda: force(
+            _entry_q("tpch_promo_suppliers")
+        ),
     }
 
     def _entry_q(name):
