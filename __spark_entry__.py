@@ -4249,6 +4249,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # no second events pass
         return E.markov_eval(_events(spark, sf_dir))
 
+    def simpson_diversity(spark, sf_dir):
+        # r5 session-10: transcendental-free lang concentration per
+        # source — exact rational pair probability
+        return A.simpson_diversity(_docs(spark, sf_dir))
+
+    def hill_tail_index(spark, sf_dir):
+        # r5 session-10: Hill tail exponent of user activity, top-10
+        # order statistics vs the 11th (only 15 users at sf0.001 —
+        # keep k below the population)
+        counts = (
+            _events(spark, sf_dir)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("x"))
+        )
+        return A.hill_tail_index(counts, value_col="x", k=10)
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4404,6 +4420,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v9": curation_v9,
         "chao1_richness": chao1_richness,
         "markov_eval": markov_eval,
+        "simpson_diversity": simpson_diversity,
+        "hill_tail_index": hill_tail_index,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -12234,6 +12252,43 @@ def oracle_sql() -> dict[str, str]:
               JOIN customer ON o_custkey = c_custkey
               JOIN nation ON c_nationkey = n_nationkey)
             WHERE rank <= 20
+        """,
+        # Simpson concentration per source: exact-rational pair
+        # probability, no transcendental
+        "simpson_diversity": """
+            WITH cells AS (SELECT source, lang,
+                                  CAST(count(*) AS BIGINT) AS c
+                           FROM documents GROUP BY source, lang),
+            g AS (SELECT source,
+                         CAST(count(*) AS BIGINT) AS n_items,
+                         CAST(sum(c) AS BIGINT) AS n_docs,
+                         CAST(sum(c * (c - 1)) AS BIGINT) AS pair_w
+                  FROM cells GROUP BY source)
+            SELECT source, n_items, n_docs,
+                   (pair_w * 1000000)
+                       // greatest(n_docs * (n_docs - 1), 1)
+                       AS lambda_micro
+            FROM g
+        """,
+        # Hill tail index over user activity: top-(k+1) order
+        # statistics, per-item micro-nat floors (order-free sum)
+        "hill_tail_index": """
+            WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x
+                       FROM events GROUP BY user_id),
+            top AS (SELECT x FROM c ORDER BY x DESC LIMIT 11),
+            thr AS (SELECT CAST(min(x) AS BIGINT) AS x_thr FROM top),
+            s AS (SELECT x_thr,
+                         CAST(count(*) AS BIGINT) AS k_used,
+                         CAST(sum(CAST(floor(
+                             ln(CAST(x AS DOUBLE) / CAST(x_thr AS DOUBLE))
+                             * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                             AS BIGINT) AS s_micro
+                  FROM top CROSS JOIN thr
+                  WHERE x > x_thr GROUP BY x_thr)
+            SELECT x_thr, k_used, s_micro,
+                   (k_used * 1000000000) // greatest(s_micro, 1)
+                       AS alpha_milli
+            FROM s
         """,
         # Chao1 per-lang trigram richness: abundance counts, both
         # correction forms as one CASE'd floor division

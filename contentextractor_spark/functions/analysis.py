@@ -12384,3 +12384,100 @@ def chao1_richness(docs: DataFrame, n: int = 3) -> DataFrame:
             " ELSE f1 * (f1 - 1) div 2 END"
         ).alias("chao1"),
     )
+
+
+def simpson_diversity(
+    docs: DataFrame, group_col: str = "source", item_col: str = "lang"
+) -> DataFrame:
+    """Simpson concentration per group (Simpson 1949; 1-λ is the
+    classic diversity index, λ itself is the Herfindahl of ecology):
+    λ = sum_i n_i(n_i-1) / (N(N-1)) — the probability two documents
+    drawn from the group WITHOUT replacement share a language.  The
+    exact-rational companion to lang_entropy_by_source (whose ln is
+    micro-quantized): this one needs NO transcendental at all.
+
+    lambda_micro = sum n(n-1) * 10^6 div (N(N-1)) — all integer,
+    non-negative (div == //); N(N-1) bound raise at N >= 3*10^9 (the
+    shuffle_eval rule).
+
+    Scale: one (group, item) count + one per-group aggregate, both
+    map-side combinable."""
+    cells = docs.groupBy(group_col, item_col).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    g = cells.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("c").alias("n_docs"),
+        F.sum(F.col("c") * (F.col("c") - 1)).alias("pair_w"),
+    )
+    return g.select(
+        group_col,
+        "n_items",
+        "n_docs",
+        F.when(
+            F.col("n_docs") >= F.lit(3_000_000_000),
+            F.raise_error(
+                F.lit("simpson_diversity: N(N-1) bound, sample the group")
+            ).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "pair_w * 1000000"
+                " div greatest(n_docs * (n_docs - 1), 1)"
+            )
+        )
+        .alias("lambda_micro"),
+    )
+
+
+def hill_tail_index(
+    counts: DataFrame,
+    value_col: str = "x",
+    k: int = 50,
+) -> DataFrame:
+    """Hill (1975) tail-index estimate over a count distribution:
+    alpha^-1 = (1/k) * sum_{i=1..k} ln(x_(i) / x_(k+1)) using the top
+    k order statistics against the (k+1)-th as threshold — the
+    heavy-tail exponent of user activity / host size / degree
+    distributions, complementing zipf_fit (which fits ALL ranks; Hill
+    looks only at the tail, where power-law behavior actually lives).
+
+    Cross-engine exactness: each per-item term is floored to
+    micro-nats BEFORE the sum (the unigram_surprisal recipe — integer
+    sums are order-free; ln's own 1-ulp wiggle at floor boundaries is
+    the documented residual risk), with the identical float tree
+    ln(CAST(x AS DOUBLE) / x_thr) on both engines.
+    alpha_milli = k * 10^9 div max(s_micro, 1).
+
+    Scale: one TakeOrderedAndProject top-(k+1) over the counts table
+    (already aggregate-sized), one one-row aggregate."""
+    top = (
+        counts.select(F.col(value_col).cast("long").alias("x"))
+        .orderBy(F.col("x").desc())
+        .limit(k + 1)
+    )
+    thr = top.agg(F.min("x").alias("x_thr"))
+    s = (
+        top.crossJoin(F.broadcast(thr))
+        .filter(F.col("x") > F.col("x_thr"))
+        .select(
+            "x_thr",
+            F.expr(
+                "CAST(floor(ln(CAST(x AS DOUBLE) / CAST(x_thr AS DOUBLE))"
+                " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            ).alias("t"),
+        )
+        .groupBy("x_thr")
+        .agg(
+            F.count(F.lit(1)).alias("k_used"),
+            F.sum("t").alias("s_micro"),
+        )
+    )
+    return s.select(
+        "x_thr",
+        "k_used",
+        "s_micro",
+        F.expr(
+            "k_used * 1000000000 div greatest(s_micro, 1)"
+        ).alias("alpha_milli"),
+    )

@@ -565,3 +565,52 @@ def test_markov_eval_tiebreak_min_name(spark):
 
     got = {r["from_type"]: r["predicted"] for r in E.markov_eval(ev).collect()}
     assert got["a"] == "b"
+
+
+def test_simpson_diversity_hand(spark):
+    # source S: langs (3,1) -> pair_w=6, N=4, lambda = 6e6//12 = 500000
+    # source T: one lang, N=3 -> lambda = 1e6 (certain collision)
+    # source U: single doc -> N(N-1)=0 -> lambda 0 (no pair to draw)
+    rows = (
+        [("t", "a", "S")] * 3 + [("t", "b", "S")]
+        + [("t", "a", "T")] * 3 + [("t", "a", "U")]
+    )
+    docs = spark.createDataFrame(
+        [(i, t, l, s) for i, (t, l, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string",
+    )
+    got = {
+        r["source"]: (r["n_items"], r["n_docs"], r["lambda_micro"])
+        for r in A.simpson_diversity(docs).collect()
+    }
+    assert got["S"] == (2, 4, 500000)
+    assert got["T"] == (1, 3, 1000000)
+    assert got["U"] == (1, 1, 0)
+
+
+def test_hill_tail_index_replica(spark):
+    import math
+
+    xs = [1000, 700, 510, 333, 250, 190, 140, 100, 80, 60, 50, 40, 30]
+    counts = spark.createDataFrame([(v,) for v in xs], "x long")
+    k = 5
+    top = sorted(xs, reverse=True)[: k + 1]
+    thr = top[-1]
+    s_micro = sum(
+        math.floor(math.log(v / thr) * 1000000.0) for v in top if v > thr
+    )
+    r = A.hill_tail_index(counts, k=k).collect()[0]
+    assert r["x_thr"] == thr
+    assert r["k_used"] == k
+    assert r["s_micro"] == s_micro
+    assert r["alpha_milli"] == k * 1000000000 // max(s_micro, 1)
+
+
+def test_hill_tail_ties_at_threshold(spark):
+    # ties equal to the threshold are excluded (x > x_thr), so k_used
+    # shrinks — the standard Hill handling, deterministic on values
+    xs = [100, 50, 50, 50, 50]
+    counts = spark.createDataFrame([(v,) for v in xs], "x long")
+    r = A.hill_tail_index(counts, k=3).collect()[0]
+    assert r["x_thr"] == 50
+    assert r["k_used"] == 1  # only the 100 exceeds the threshold
