@@ -4265,6 +4265,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.hill_tail_index(counts, value_col="x", k=10)
 
+    def markov_entropy_rate(spark, sf_dir):
+        # r5 session-10: per-state branching entropy of the shipped
+        # transition matrix — micro-nat floors, one ln per cell
+        return E.markov_entropy_rate(_events(spark, sf_dir))
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4422,6 +4427,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_eval": markov_eval,
         "simpson_diversity": simpson_diversity,
         "hill_tail_index": hill_tail_index,
+        "markov_entropy_rate": markov_entropy_rate,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -12321,6 +12327,39 @@ def oracle_sql() -> dict[str, str]:
                                   ELSE (f1 * (f1 - 1)) // 2 END
                        AS chao1
             FROM ag
+        """,
+        # per-state branching entropy: same pair CTE, integer ratios
+        # under one ln per cell, micro-nat floors before the sum
+        "markov_entropy_rate": """
+            WITH seq AS (
+              SELECT user_id, event_type AS to_type,
+                     lag(event_type) OVER
+                         (PARTITION BY user_id ORDER BY ts, event_id)
+                         AS from_type
+              FROM events
+            ),
+            p AS (SELECT from_type, to_type,
+                         CAST(count(*) AS BIGINT) AS n_pairs
+                  FROM seq WHERE from_type IS NOT NULL
+                  GROUP BY from_type, to_type),
+            m AS (SELECT from_type, to_type, n_pairs,
+                         CAST(sum(n_pairs) OVER
+                             (PARTITION BY from_type) AS BIGINT)
+                             AS n_from
+                  FROM p),
+            t AS (SELECT from_type, n_from,
+                         CAST(floor((CAST(n_pairs AS DOUBLE)
+                                     / CAST(n_from AS DOUBLE))
+                              * ln(CAST(n_from AS DOUBLE)
+                                   / CAST(n_pairs AS DOUBLE))
+                              * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                             AS tt
+                  FROM m)
+            SELECT from_type,
+                   CAST(max(n_from) AS BIGINT) AS n_transitions,
+                   CAST(count(*) AS BIGINT) AS n_branches,
+                   CAST(sum(tt) AS BIGINT) AS h_micro
+            FROM t GROUP BY from_type
         """,
         # modal-guess hit rate over the markov matrix: the same lag
         # pair CTE as events_markov + a per-from argmax row_number

@@ -1208,3 +1208,40 @@ def markov_eval(events: DataFrame) -> DataFrame:
             F.expr("(n_pairs * 1000) div n_from").alias("hit_milli"),
         )
     )
+
+
+def markov_entropy_rate(events: DataFrame) -> DataFrame:
+    """Per-state branching entropy of the SHIPPED markov_transitions
+    matrix: H(from) = -sum_to p ln p over the observed next-event
+    distribution — the uncertainty companion to markov_eval's modal
+    hit rate (hit rate says how often the best guess wins; entropy
+    says how hard the guessing problem is, in nats).
+
+    Cross-engine exactness (the lang_source_mi recipe): each cell
+    contributes floor((n_pairs / n_from) * ln(n_from / n_pairs) *
+    10^6) with the ratio formed from INTEGERS inside one identical
+    float tree, floored to micro-nats BEFORE the sum — order-free.
+    A deterministic state (one branch) scores exactly 0.
+
+    Scale: a |types|^2-row projection + |types|-row aggregate over
+    the already-aggregated matrix — no second events pass (the
+    markov_eval rule)."""
+    m = markov_transitions(events)
+    term = (
+        "CAST(floor((CAST(n_pairs AS DOUBLE) / CAST(n_from AS DOUBLE))"
+        " * ln(CAST(n_from AS DOUBLE) / CAST(n_pairs AS DOUBLE))"
+        " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    )
+    return (
+        m.select(
+            "from_type",
+            "n_from",
+            F.expr(term).alias("t"),
+        )
+        .groupBy("from_type")
+        .agg(
+            F.max("n_from").alias("n_transitions"),
+            F.count(F.lit(1)).alias("n_branches"),
+            F.sum("t").alias("h_micro"),
+        )
+    )

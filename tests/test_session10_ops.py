@@ -614,3 +614,40 @@ def test_hill_tail_ties_at_threshold(spark):
     r = A.hill_tail_index(counts, k=3).collect()[0]
     assert r["x_thr"] == 50
     assert r["k_used"] == 1  # only the 100 exceeds the threshold
+
+
+def test_markov_entropy_rate_hand(spark):
+    import datetime
+    import math
+
+    def t(s):
+        return datetime.datetime.fromisoformat(s)
+
+    # from 'a': b,b,c (H = -(2/3)ln(2/3) - (1/3)ln(1/3)); from 'b' and
+    # 'c': deterministic -> exactly 0
+    rows = [
+        (0, t("2024-01-01T10:00:00"), 1, "a", 0.0, ""),
+        (1, t("2024-01-01T10:01:00"), 1, "b", 0.0, ""),
+        (2, t("2024-01-01T10:02:00"), 1, "a", 0.0, ""),
+        (3, t("2024-01-01T10:03:00"), 1, "b", 0.0, ""),
+        (4, t("2024-01-01T10:04:00"), 1, "a", 0.0, ""),
+        (5, t("2024-01-01T10:05:00"), 1, "c", 0.0, ""),
+        (6, t("2024-01-01T10:06:00"), 1, "a", 0.0, ""),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+    from contentextractor_spark.functions import events as E
+
+    got = {
+        r["from_type"]: (r["n_transitions"], r["n_branches"], r["h_micro"])
+        for r in E.markov_entropy_rate(ev).collect()
+    }
+    want_a = (
+        math.floor((2 / 3) * math.log(3 / 2) * 1000000.0)
+        + math.floor((1 / 3) * math.log(3 / 1) * 1000000.0)
+    )
+    assert got["a"] == (3, 2, want_a)
+    assert got["b"] == (2, 1, 0)  # deterministic: exactly zero
+    assert got["c"] == (1, 1, 0)
