@@ -272,6 +272,9 @@ BAND_MAX_S = {
     "tpch_product_profit": 4.0,      # warm 0.8-0.9 (3 joins + groupBy)
     "tpch_small_qty_revenue": 4.0,   # warm 0.5-0.7 (agg-join rewrite)
     "tpch_promo_suppliers": 4.0,     # warm 0.5 (window scan + groupBy)
+    "simpson_diversity": 7.0,        # warm 1.4-2.4 (per-source token conc.)
+    "hill_tail_index": 5.0,          # warm 1.3-1.6 (top-k log-gap estimator)
+    "markov_entropy_rate": 6.0,      # warm 1.8-2.0 (matrix branching entropy)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -649,6 +652,11 @@ def main() -> None:
         ),
         "tpch_promo_suppliers": lambda: force(
             _entry_q("tpch_promo_suppliers")
+        ),
+        "simpson_diversity": lambda: force(_entry_q("simpson_diversity")),
+        "hill_tail_index": lambda: force(_entry_q("hill_tail_index")),
+        "markov_entropy_rate": lambda: force(
+            _entry_q("markov_entropy_rate")
         ),
     }
 
