@@ -4270,6 +4270,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transition matrix — micro-nat floors, one ln per cell
         return E.markov_entropy_rate(_events(spark, sf_dir))
 
+    def moments_sketch(spark, sf_dir):
+        # r5 session-11: mergeable power-sum sketch per event type —
+        # whole-currency units, S0..S4 + integer mean/var readouts
+        return E.moments_sketch(_events(spark, sf_dir))
+
+    def packing_eval(spark, sf_dir):
+        # r5 session-11: scorecard of the SHIPPED pack_sequences bins —
+        # fill rate and excess over the per-stream lower bound
+        return A.packing_eval(_docs(spark, sf_dir))
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4428,6 +4438,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simpson_diversity": simpson_diversity,
         "hill_tail_index": hill_tail_index,
         "markov_entropy_rate": markov_entropy_rate,
+        "moments_sketch": moments_sketch,
+        "packing_eval": packing_eval,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -6119,6 +6131,36 @@ def _split_cte(src: str = "documents") -> str:
                                     substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
                                   - 1) AS bucket
                           FROM {src}))"""
+
+
+def _pack_cte(
+    src: str = "documents", capacity: int = 256, n_groups: int = 32
+) -> str:
+    """sized + packc + packed CTEs — the DuckDB twin of
+    analysis.pack_sequences (ONE definition shared by the
+    pack_sequences and packing_eval oracles, per the shared-CTE rule)."""
+    hexpr = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)),"
+        f" {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"""
+            sized AS (
+              SELECT doc_id,
+                     CAST(({hexpr}) % {n_groups} AS INT) AS pack_group,
+                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+              FROM {src}),
+            packc AS (
+              SELECT doc_id, pack_group, n_tokens,
+                     COALESCE(sum(n_tokens) OVER (
+                       PARTITION BY pack_group ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                         AS cb
+              FROM sized),
+            packed AS (
+              SELECT doc_id, pack_group, n_tokens,
+                     CAST(floor(cb / {capacity}.0) AS BIGINT) AS bin_id
+              FROM packc)"""
 
 
 def _substr_runs_cte(src: str = "documents", k: int = 4) -> str:
@@ -8122,22 +8164,54 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.doc_id, b.bench_id
             HAVING count(*) >= 2
         """,
-        "pack_sequences": """
-            WITH sized AS (
-              SELECT doc_id,
-                     CAST(((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1) * 1) % 32 AS INT) AS pack_group,
-                     CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
-              FROM documents),
-            c AS (
-              SELECT doc_id, pack_group, n_tokens,
-                     COALESCE(sum(n_tokens) OVER (
-                       PARTITION BY pack_group ORDER BY doc_id
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                         AS cb
-              FROM sized)
-            SELECT doc_id, pack_group, n_tokens,
-                   CAST(floor(cb / 256.0) AS BIGINT) AS bin_id
-            FROM c
+        "pack_sequences": f"""
+            WITH {_pack_cte()}
+            SELECT doc_id, pack_group, n_tokens, bin_id FROM packed
+        """,
+        # scorecard of the shipped packing: per-stream lower bounds,
+        # fill rate as one integer ratio over the final sums
+        "packing_eval": f"""
+            WITH {_pack_cte()},
+            bins AS (SELECT pack_group, bin_id,
+                            CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+                            CAST(count(*) AS BIGINT) AS bin_docs
+                     FROM packed GROUP BY pack_group, bin_id),
+            streams AS (SELECT pack_group,
+                               CAST(sum(bin_docs) AS BIGINT) AS g_docs,
+                               CAST(count(*) AS BIGINT) AS g_bins,
+                               CAST(sum(bin_tokens) AS BIGINT) AS g_tokens,
+                               CAST(max(bin_tokens) AS BIGINT) AS g_max_bin
+                        FROM bins GROUP BY pack_group)
+            SELECT CAST(sum(g_docs) AS BIGINT) AS n_docs,
+                   CAST(sum(g_bins) AS BIGINT) AS n_bins,
+                   CAST(sum(g_tokens) AS BIGINT) AS total_tokens,
+                   CAST(sum((g_tokens + 255) // 256) AS BIGINT) AS lb_bins,
+                   CAST(sum(g_bins) - sum((g_tokens + 255) // 256)
+                        AS BIGINT) AS bin_delta,
+                   (CAST(sum(g_tokens) AS BIGINT) * 1000)
+                       // (CAST(sum(g_bins) AS BIGINT) * 256) AS fill_milli,
+                   CAST(max(g_max_bin) AS BIGINT) AS max_bin_tokens
+            FROM streams
+        """,
+        # mergeable power sums over whole currency units; integer
+        # mean/var readouts with the pre-divided variance divisor
+        "moments_sketch": """
+            WITH u AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) // 100
+                                  AS v
+                       FROM events),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS BIGINT) AS s0,
+                         CAST(sum(v) AS BIGINT) AS s1,
+                         CAST(sum(v * v) AS BIGINT) AS s2,
+                         CAST(sum(v * v * v) AS BIGINT) AS s3,
+                         CAST(sum(v * v * v * v) AS BIGINT) AS s4
+                  FROM u GROUP BY event_type)
+            SELECT event_type, s0, s1, s2, s3, s4,
+                   (s1 * 1000) // s0 AS mean_milli,
+                   (s0 * s2 - s1 * s1)
+                       // greatest((s0 * s0) // 1000, 1) AS var_milli
+            FROM s
         """,
         "winnowing_fingerprints": f"""
             WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws

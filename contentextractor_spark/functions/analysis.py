@@ -12481,3 +12481,62 @@ def hill_tail_index(
             "k_used * 1000000000 div greatest(s_micro, 1)"
         ).alias("alpha_milli"),
     )
+
+
+def packing_eval(
+    docs: DataFrame, capacity: int = 256, n_groups: int = 32
+) -> DataFrame:
+    """One-row scorecard of the SHIPPED pack_sequences output (the
+    lsh_eval rule: evals score shipped code in-engine, never a
+    reimplementation): how full are the training bins, and how many
+    extra bins does the streaming first-fit approximation cost over
+    the per-stream bound ceil(stream_tokens / capacity)?
+
+    Columns: n_docs, n_bins, total_tokens, lb_bins (sum of per-stream
+    ceil bounds — bins never span streams, so the bound is per
+    stream, not global), bin_delta = n_bins - lb_bins (NON-POSITIVE
+    by construction for this packer: a straddling doc overfills its
+    bin rather than opening a new one, so distinct bins never exceed
+    the ceil bound — the magnitude measures how much straddle
+    overflow is landing in bins), fill_milli = total_tokens*1000 div
+    (n_bins*capacity), and max_bin_tokens (a bin exceeds capacity by
+    at most one doc's tokens — the documented pack_sequences
+    semantics; feed max_bin_tokens into the training-side max-length
+    budget).
+
+    Scale: rides pack_sequences' plan (n_groups-bounded windows),
+    then two map-side-combinable groupBys collapsing to n_groups rows
+    and one final one-row aggregate."""
+    packed = pack_sequences(docs, capacity=capacity, n_groups=n_groups)
+    bins = packed.groupBy("pack_group", "bin_id").agg(
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.count(F.lit(1)).alias("bin_docs"),
+    )
+    streams = bins.groupBy("pack_group").agg(
+        F.sum("bin_docs").alias("g_docs"),
+        F.count(F.lit(1)).alias("g_bins"),
+        F.sum("bin_tokens").alias("g_tokens"),
+        F.max("bin_tokens").alias("g_max_bin"),
+    )
+    return (
+        streams.agg(
+            F.sum("g_docs").alias("n_docs"),
+            F.sum("g_bins").alias("n_bins"),
+            F.sum("g_tokens").alias("total_tokens"),
+            F.sum(
+                F.expr(f"(g_tokens + {capacity - 1}) div {capacity}")
+            ).alias("lb_bins"),
+            F.max("g_max_bin").alias("max_bin_tokens"),
+        )
+        .select(
+            "n_docs",
+            "n_bins",
+            "total_tokens",
+            "lb_bins",
+            (F.col("n_bins") - F.col("lb_bins")).alias("bin_delta"),
+            F.expr(
+                f"total_tokens * 1000 div (n_bins * {capacity})"
+            ).alias("fill_milli"),
+            "max_bin_tokens",
+        )
+    )

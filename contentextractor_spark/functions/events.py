@@ -1245,3 +1245,57 @@ def markov_entropy_rate(events: DataFrame) -> DataFrame:
             F.sum("t").alias("h_micro"),
         )
     )
+
+
+def moments_sketch(events: DataFrame, max_units: int = 2000) -> DataFrame:
+    """Mergeable moments sketch per event type: raw power sums S0..S4
+    over whole currency units (the summary underlying Gan et al.'s
+    moments sketch, VLDB 2018, kept at the power-sum layer where merge
+    is plain addition).  Power sums are THE canonical mergeable
+    aggregate — two shards' rows merge by summing column-wise, so the
+    identical row shape serves map-side combine, cross-shard reduce,
+    and a streaming accumulator; mean/variance come back as integer
+    ratios: mean_milli = S1*1000 div S0, var_milli =
+    (S0*S2 - S1^2) div greatest(S0*S0 div 1000, 1) (the divisor is
+    pre-divided by 1000 because S0*S2*1000 can overflow BIGINT at
+    sf>=1; truncation direction matches across engines on
+    non-negative operands — the r4 div rule).
+
+    Bounds, enforced per row (the packed-key rule: raise, never a
+    docstring promise): v_units in [0, max_units]; at the default
+    2000, v^4 <= 1.6e13 so S4 stays inside BIGINT up to ~5.7e5
+    rows/group — for bigger groups raise the unit size or pre-shard
+    the sketch (Spark 4 ANSI mode makes a silent wrap impossible:
+    an overflowing sum throws)."""
+    v = F.expr("CAST(round(value * 100) AS BIGINT) div 100")
+    g = F.when(
+        (v < 0) | (v > F.lit(max_units)),
+        F.raise_error(
+            F.lit(
+                "moments_sketch: v_units outside [0, max_units] — raise "
+                "the unit size or filter before sketching"
+            )
+        ).cast("long"),
+    ).otherwise(v)
+    u = events.select("event_type", g.alias("v"))
+    s = u.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("s0"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+        F.sum(F.col("v") * F.col("v") * F.col("v")).alias("s3"),
+        F.sum(
+            F.col("v") * F.col("v") * F.col("v") * F.col("v")
+        ).alias("s4"),
+    )
+    return s.select(
+        "event_type",
+        "s0",
+        "s1",
+        "s2",
+        "s3",
+        "s4",
+        F.expr("s1 * 1000 div s0").alias("mean_milli"),
+        F.expr(
+            "(s0 * s2 - s1 * s1) div greatest(s0 * s0 div 1000, 1)"
+        ).alias("var_milli"),
+    )

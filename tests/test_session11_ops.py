@@ -1,0 +1,111 @@
+"""Session-11 operators: moments-sketch merge parity and bounds,
+packing_eval scorecard invariants against a hand replica."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from contentextractor_spark.functions import analysis as A
+from contentextractor_spark.functions import events as E
+
+
+def _events(spark, rows):
+    # (event_id, event_type, value)
+    return spark.createDataFrame(
+        [(i, t, float(v)) for i, t, v in rows],
+        "event_id long, event_type string, value double",
+    )
+
+
+def test_moments_sketch_hand(spark):
+    ev = _events(
+        spark,
+        [(1, "a", 3.00), (2, "a", 5.99), (3, "a", 10.01), (4, "b", 0.01)],
+    )
+    out = {r["event_type"]: r for r in E.moments_sketch(ev).collect()}
+    # 5.99 -> 599 cents -> 5 units (truncating div); 10.01 -> 10; 0.01 -> 0
+    a = out["a"]
+    assert (a["s0"], a["s1"], a["s2"], a["s3"], a["s4"]) == (
+        3,
+        18,
+        134,
+        1152,
+        10706,
+    )
+    assert a["mean_milli"] == 18 * 1000 // 3
+    assert a["var_milli"] == (3 * 134 - 18 * 18) // max(3 * 3 // 1000, 1)
+    b = out["b"]
+    assert (b["s0"], b["s1"], b["s2"]) == (1, 0, 0)
+
+
+def test_moments_sketch_merge_parity(spark):
+    # power sums are mergeable by plain addition: sketch(even) +
+    # sketch(odd) column-wise == sketch(whole) — the property the row
+    # exists to provide
+    rows = [(i, "t" + str(i % 3), (i * 7) % 200 + 0.25) for i in range(60)]
+    ev = _events(spark, rows)
+    whole = {r["event_type"]: r for r in E.moments_sketch(ev).collect()}
+    even = E.moments_sketch(ev.filter(F.col("event_id") % 2 == 0))
+    odd = E.moments_sketch(ev.filter(F.col("event_id") % 2 == 1))
+    merged = (
+        even.unionByName(odd)
+        .groupBy("event_type")
+        .agg(*[F.sum(c).alias(c) for c in ("s0", "s1", "s2", "s3", "s4")])
+    )
+    for r in merged.collect():
+        w = whole[r["event_type"]]
+        for c in ("s0", "s1", "s2", "s3", "s4"):
+            assert r[c] == w[c], (r["event_type"], c)
+
+
+def test_moments_sketch_bound_raises(spark):
+    ev = _events(spark, [(1, "a", 25000.00)])  # 25000 units > 2000
+    with pytest.raises(Exception, match="moments_sketch"):
+        E.moments_sketch(ev).collect()
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_packing_eval_invariants(spark):
+    docs = _docs(
+        spark,
+        [(i, " ".join(["w"] * ((i * 13) % 90 + 1))) for i in range(120)],
+    )
+    r = A.packing_eval(docs, capacity=64, n_groups=4).collect()[0]
+    assert r["n_docs"] == 120
+    total = sum((i * 13) % 90 + 1 for i in range(120))
+    assert r["total_tokens"] == total
+    # the streaming packer never opens more bins than the per-stream
+    # ceil bound (straddling docs overfill instead) — bin_delta <= 0
+    assert r["bin_delta"] <= 0
+    assert r["n_bins"] == r["lb_bins"] + r["bin_delta"]
+    assert r["fill_milli"] == total * 1000 // (r["n_bins"] * 64)
+    # a bin exceeds capacity by at most one doc's tokens
+    assert r["max_bin_tokens"] < 64 + 90
+
+
+def test_packing_eval_matches_packed_bins(spark):
+    # the scorecard must aggregate exactly the shipped pack_sequences
+    # output — recompute from the packed rows directly
+    docs = _docs(
+        spark,
+        [(i, " ".join(["w"] * ((i * 5) % 40 + 1))) for i in range(50)],
+    )
+    packed = A.pack_sequences(docs, capacity=32, n_groups=2).collect()
+    bins = {}
+    per_stream_tokens = {}
+    for row in packed:
+        key = (row["pack_group"], row["bin_id"])
+        bins[key] = bins.get(key, 0) + row["n_tokens"]
+        per_stream_tokens[row["pack_group"]] = (
+            per_stream_tokens.get(row["pack_group"], 0) + row["n_tokens"]
+        )
+    r = A.packing_eval(docs, capacity=32, n_groups=2).collect()[0]
+    assert r["n_bins"] == len(bins)
+    assert r["max_bin_tokens"] == max(bins.values())
+    assert r["lb_bins"] == sum(
+        math.ceil(t / 32) for t in per_stream_tokens.values()
+    )
