@@ -4280,6 +4280,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # fill rate and excess over the per-stream lower bound
         return A.packing_eval(_docs(spark, sf_dir))
 
+    def psi_drift(spark, sf_dir):
+        # r5 session-11: per-source PSI vs the corpus length
+        # distribution — micro-floored terms, reported verdict bands
+        return A.psi_drift(_docs(spark, sf_dir))
+
+    def lm_heldout_ppl(spark, sf_dir):
+        # r5 session-11: train-on-even / score-on-odd unigram
+        # cross-entropy per lang (the perplexity-filter plumbing)
+        return A.lm_heldout_ppl(_docs(spark, sf_dir))
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4440,6 +4450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "markov_entropy_rate": markov_entropy_rate,
         "moments_sketch": moments_sketch,
         "packing_eval": packing_eval,
+        "psi_drift": psi_drift,
+        "lm_heldout_ppl": lm_heldout_ppl,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -8192,6 +8204,90 @@ def oracle_sql() -> dict[str, str]:
                        // (CAST(sum(g_bins) AS BIGINT) * 256) AS fill_milli,
                    CAST(max(g_max_bin) AS BIGINT) AS max_bin_tokens
             FROM streams
+        """,
+        # PSI per source vs corpus length buckets: smoothed integer
+        # cross-ratio under one ln, micro-floors before the sum
+        "psi_drift": """
+            WITH b AS (SELECT source,
+                              least(n_chars // 64, 9) AS bucket
+                       FROM documents),
+            cells AS (SELECT source, bucket,
+                             CAST(count(*) AS BIGINT) AS c
+                      FROM b GROUP BY source, bucket),
+            grp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_g
+                    FROM documents GROUP BY source),
+            refc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS c_ref_raw
+                     FROM b GROUP BY bucket),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot
+                    FROM documents),
+            bk AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+            ref AS (SELECT bk.bucket,
+                           COALESCE(refc.c_ref_raw, 0) AS c_ref, n_tot
+                    FROM bk LEFT JOIN refc ON bk.bucket = refc.bucket
+                    CROSS JOIN tot),
+            grid AS (SELECT g.source, g.n_g, bk.bucket
+                     FROM grp g CROSS JOIN bk),
+            filled AS (SELECT grid.source, grid.bucket, grid.n_g,
+                              COALESCE(cells.c, 0) AS c,
+                              ref.c_ref, ref.n_tot
+                       FROM grid
+                       LEFT JOIN cells ON grid.source = cells.source
+                                      AND grid.bucket = cells.bucket
+                       JOIN ref ON grid.bucket = ref.bucket),
+            terms AS (SELECT source, n_g,
+                             CAST(floor((CAST((c + 1) AS DOUBLE)
+                                         / CAST((n_g + 10) AS DOUBLE)
+                                       - CAST((c_ref + 1) AS DOUBLE)
+                                         / CAST((n_tot + 10) AS DOUBLE))
+                                  * ln((CAST((c + 1) AS DOUBLE)
+                                        * CAST((n_tot + 10) AS DOUBLE))
+                                     / (CAST((c_ref + 1) AS DOUBLE)
+                                        * CAST((n_g + 10) AS DOUBLE)))
+                                  * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                                 AS t
+                      FROM filled),
+            agg AS (SELECT source,
+                           CAST(max(n_g) AS BIGINT) AS n_docs,
+                           CAST(sum(t) AS BIGINT) AS psi_micro
+                    FROM terms GROUP BY source)
+            SELECT source, n_docs, psi_micro,
+                   CASE WHEN psi_micro < 100000 THEN 'stable'
+                        WHEN psi_micro < 250000 THEN 'moderate'
+                        ELSE 'drifted' END AS verdict
+            FROM agg
+        """,
+        # train-even / score-odd add-one unigram LM: per-type micro-nat
+        # floors multiplied by integer heldout counts AFTER the floor
+        "lm_heldout_ppl": """
+            WITH tk AS (SELECT doc_id, lang,
+                               unnest(string_split(text, ' ')) AS tok
+                        FROM documents),
+            tr AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+                   FROM tk WHERE doc_id % 2 = 0 GROUP BY lang, tok),
+            st AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_train,
+                          CAST(count(*) AS BIGINT) AS v
+                   FROM tr GROUP BY lang),
+            hd AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS m
+                   FROM tk WHERE doc_id % 2 = 1 GROUP BY lang, tok),
+            j AS (SELECT h.lang, h.m, COALESCE(t.c, 0) AS c,
+                         CASE WHEN t.c IS NULL THEN h.m ELSE 0 END AS oov
+                  FROM hd h LEFT JOIN tr t
+                    ON h.lang = t.lang AND h.tok = t.tok),
+            terms AS (SELECT j.lang, j.m, j.oov, s.n_train, s.v,
+                             j.m * CAST(floor(
+                                 ln(CAST((s.n_train + s.v + 1) AS DOUBLE)
+                                  / CAST((j.c + 1) AS DOUBLE))
+                                 * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                                 AS t
+                      FROM j JOIN st s ON j.lang = s.lang)
+            SELECT lang,
+                   CAST(max(n_train) AS BIGINT) AS n_train_tokens,
+                   CAST(max(v) AS BIGINT) AS vocab,
+                   CAST(sum(m) AS BIGINT) AS n_heldout_tokens,
+                   CAST(sum(oov) AS BIGINT) AS oov_tokens,
+                   CAST(sum(t) AS BIGINT) // CAST(sum(m) AS BIGINT)
+                       AS ce_micro
+            FROM terms GROUP BY lang
         """,
         # mergeable power sums over whole currency units; integer
         # mean/var readouts with the pre-divided variance divisor

@@ -12540,3 +12540,158 @@ def packing_eval(
             "max_bin_tokens",
         )
     )
+
+
+def psi_drift(
+    docs: DataFrame,
+    group_col: str = "source",
+    width: int = 64,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population Stability Index per group vs the whole corpus — the
+    standard ML-monitoring drift score (PSI = sum_b (p_b - q_b) *
+    ln(p_b / q_b)) over fixed-width n_chars buckets, with add-one
+    smoothing so empty cells never hit ln(0).  Complements
+    quality_drift (mean shifts) and ks_two_sample (one pairwise exact
+    test): PSI is the per-group scorecard you'd page on.
+
+    Cross-engine exactness (the unigram_surprisal recipe): every
+    bucket term is floored to micro-units BEFORE the sum, with ONE
+    identical float tree built from integers — p = (c+1)/(N_g+B),
+    q = (c_ref+1)/(N+B), and the ln argument formed as the integer
+    cross-ratio (c+1)(N+B) / (c_ref+1)(N_g+B).  Each term is >= 0
+    mathematically ((p-q) and ln(p/q) share sign), so psi_micro >= -B
+    after floors.  Verdicts use the conventional 0.10 / 0.25 bands and
+    are REPORTED, never asserted (the curation_v9 A/A lesson).
+
+    Scale: one (group, bucket) count + one bucket count + one
+    n_buckets-row broadcast grid fill — no corpus sort, no pairwise
+    group comparison (each group compares to the shared reference)."""
+    spark = docs.sparkSession
+    b = F.least(
+        F.expr(f"n_chars div {width}"), F.lit(n_buckets - 1)
+    ).cast("long")
+    cells = docs.groupBy(group_col, b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    groups = docs.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_g"))
+    ref_cells = docs.groupBy(b.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c_ref_raw")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_tot"))
+    buckets = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    ref = (
+        buckets.join(F.broadcast(ref_cells), "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.coalesce("c_ref_raw", F.lit(0)).alias("c_ref"),
+            "n_tot",
+        )
+    )
+    grid = groups.crossJoin(F.broadcast(buckets))
+    filled = (
+        grid.join(cells, [group_col, "bucket"], "left")
+        .select(
+            group_col,
+            "bucket",
+            "n_g",
+            F.coalesce("c", F.lit(0)).alias("c"),
+        )
+        .join(F.broadcast(ref), "bucket")
+    )
+    bb = n_buckets
+    term = (
+        f"CAST(floor((CAST((c + 1) AS DOUBLE) / CAST((n_g + {bb}) AS DOUBLE)"
+        f" - CAST((c_ref + 1) AS DOUBLE) / CAST((n_tot + {bb}) AS DOUBLE))"
+        f" * ln((CAST((c + 1) AS DOUBLE) * CAST((n_tot + {bb}) AS DOUBLE))"
+        f" / (CAST((c_ref + 1) AS DOUBLE) * CAST((n_g + {bb}) AS DOUBLE)))"
+        " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    )
+    out = (
+        filled.select(group_col, "n_g", F.expr(term).alias("t"))
+        .groupBy(group_col)
+        .agg(
+            F.max("n_g").alias("n_docs"),
+            F.sum("t").alias("psi_micro"),
+        )
+    )
+    return out.select(
+        group_col,
+        "n_docs",
+        "psi_micro",
+        F.when(F.col("psi_micro") < 100000, F.lit("stable"))
+        .when(F.col("psi_micro") < 250000, F.lit("moderate"))
+        .otherwise(F.lit("drifted"))
+        .alias("verdict"),
+    )
+
+
+def lm_heldout_ppl(docs: DataFrame) -> DataFrame:
+    """Held-out unigram cross-entropy per language: train add-one
+    unigram counts on even doc_ids, score odd doc_ids — the
+    perplexity-filtering primitive (CCNet/Gopher style quality gates
+    rank corpora by LM cross-entropy; this row is the in-engine
+    train/score plumbing with a unigram stand-in model, the
+    hashed_linear_score convention: swap the model, keep the plan).
+
+    p(tok) = (c_tok + 1) / (N + V + 1) with one reserved UNK slot, so
+    OOV heldout tokens score ln(N+V+1).  Cross-engine exactness:
+    per-TYPE term floor(ln((N+V+1)/(c+1)) * 10^6) multiplied by the
+    integer heldout count AFTER the floor — integer sums are
+    order-free; ce_micro = total div heldout_tokens (micro-nats per
+    token; perplexity = exp(ce) is left to the caller — no second
+    transcendental in the hash).
+
+    Scale: two token aggregates + one (lang, tok) left join + one
+    5-row broadcast of per-lang totals; no corpus sort, no driver
+    loop."""
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    train = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = train.groupBy("lang").agg(
+        F.sum("c").alias("n_train"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    held = (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    j = held.join(train, ["lang", "tok"], "left").select(
+        "lang",
+        "m",
+        F.coalesce("c", F.lit(0)).alias("c"),
+        F.when(F.col("c").isNull(), F.col("m"))
+        .otherwise(F.lit(0))
+        .alias("oov"),
+    )
+    terms = j.join(F.broadcast(stats), "lang").select(
+        "lang",
+        "m",
+        "oov",
+        "n_train",
+        "v",
+        (
+            F.col("m")
+            * F.expr(
+                "CAST(floor(ln(CAST((n_train + v + 1) AS DOUBLE)"
+                " / CAST((c + 1) AS DOUBLE))"
+                " * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+            )
+        ).alias("t"),
+    )
+    return terms.groupBy("lang").agg(
+        F.max("n_train").alias("n_train_tokens"),
+        F.max("v").alias("vocab"),
+        F.sum("m").alias("n_heldout_tokens"),
+        F.sum("oov").alias("oov_tokens"),
+        F.expr("sum(t) div sum(m)").alias("ce_micro"),
+    )

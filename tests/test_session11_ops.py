@@ -109,3 +109,69 @@ def test_packing_eval_matches_packed_bins(spark):
     assert r["lb_bins"] == sum(
         math.ceil(t / 32) for t in per_stream_tokens.values()
     )
+
+
+def _ndocs(spark, rows):
+    # (doc_id, source, n_chars)
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    )
+
+
+def test_psi_drift_identical_is_stable(spark):
+    # two groups drawn from the SAME length distribution: PSI ~ 0
+    rows = []
+    for i in range(200):
+        rows.append(
+            (i, "a" if i % 2 == 0 else "b", ((i // 2) % 10) * 64 + 10)
+        )
+    out = {
+        r["source"]: r
+        for r in A.psi_drift(_ndocs(spark, rows)).collect()
+    }
+    for s in ("a", "b"):
+        assert out[s]["verdict"] == "stable"
+        # floors can push a true-zero sum slightly negative, never below -B
+        assert -10 <= out[s]["psi_micro"] < 100000
+
+
+def test_psi_drift_planted_shift_flags(spark):
+    # group 'big' lives entirely in the top bucket; the corpus
+    # reference is dominated by 'ref' in the bottom bucket
+    rows = [(i, "ref", 10) for i in range(180)]
+    rows += [(1000 + i, "big", 600) for i in range(20)]
+    out = {
+        r["source"]: r
+        for r in A.psi_drift(_ndocs(spark, rows)).collect()
+    }
+    assert out["big"]["verdict"] == "drifted"
+    assert out["big"]["psi_micro"] > out["ref"]["psi_micro"]
+
+
+def _ldocs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, lang string, text string"
+    )
+
+
+def test_lm_heldout_ppl_hand(spark):
+    # train (doc 0): "a a b"; heldout (doc 1): "a c"
+    # N=3, V=2 -> denom 6; p(a)=(2+1)/6, p(c OOV)=1/6
+    docs = _ldocs(spark, [(0, "xx", "a a b"), (1, "xx", "a c")])
+    r = A.lm_heldout_ppl(docs).collect()[0]
+    assert r["lang"] == "xx"
+    assert r["n_train_tokens"] == 3
+    assert r["vocab"] == 2
+    assert r["n_heldout_tokens"] == 2
+    assert r["oov_tokens"] == 1
+    t_a = math.floor(math.log(6 / 3) * 1e6)
+    t_c = math.floor(math.log(6 / 1) * 1e6)
+    assert r["ce_micro"] == (t_a + t_c) // 2
+
+
+def test_lm_heldout_ppl_oov_only_unseen(spark):
+    # every heldout token seen in training -> zero OOV
+    docs = _ldocs(spark, [(0, "yy", "p q r"), (1, "yy", "q r p p")])
+    r = A.lm_heldout_ppl(docs).collect()[0]
+    assert r["oov_tokens"] == 0
+    assert r["n_heldout_tokens"] == 4
