@@ -4290,6 +4290,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # cross-entropy per lang (the perplexity-filter plumbing)
         return A.lm_heldout_ppl(_docs(spark, sf_dir))
 
+    def item_similarity(spark, sf_dir):
+        # r5 session-11: item-item user-set cosine over event types —
+        # isqrt-exact, no transcendental
+        return E.item_similarity(_events(spark, sf_dir))
+
+    def rrf_fusion(spark, sf_dir):
+        # r5 session-11: reciprocal-rank fusion of the shipped bm25 and
+        # qlm runs over the shared query terms — integer reciprocals
+        return A.rrf_fusion(
+            _docs(spark, sf_dir), ["query", "scan", "window"], k_sys=15
+        )
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4452,6 +4464,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_eval": packing_eval,
         "psi_drift": psi_drift,
         "lm_heldout_ppl": lm_heldout_ppl,
+        "item_similarity": item_similarity,
+        "rrf_fusion": rrf_fusion,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -6173,6 +6187,106 @@ def _pack_cte(
               SELECT doc_id, pack_group, n_tokens,
                      CAST(floor(cb / {capacity}.0) AS BIGINT) AS bin_id
               FROM packc)"""
+
+
+# The two retrieval-run oracle texts live at module level so rrf_fusion's
+# oracle can wrap them as CTE subqueries — ONE definition per ranker (the
+# shared-CTE rule); the standalone bm25_search / qlm_search oracle entries
+# reference the same constants.
+_BM25_SEARCH_SQL = """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     len(string_split(text, ' ')) AS dl
+              FROM documents),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(dl) AS BIGINT) AS total_dl FROM base),
+            tf AS (
+              SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+              FROM (SELECT doc_id, dl, unnest(ws) AS term FROM base)
+              WHERE term IN ('query', 'scan', 'window')
+              GROUP BY 1, 2, 3),
+            dfs AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS df
+              FROM (SELECT DISTINCT doc_id, unnest(ws) AS term FROM base)
+              WHERE term IN ('query', 'scan', 'window')
+              GROUP BY term),
+            contribs AS (
+              SELECT tf.doc_id,
+                     tf.term,
+                     ln(CAST(1.0 AS DOUBLE)
+                        + (s.n_docs - dfs.df + CAST(0.5 AS DOUBLE))
+                          / (dfs.df + CAST(0.5 AS DOUBLE)))
+                     * (tf.tf * CAST(2.2 AS DOUBLE))
+                     / (tf.tf + CAST(1.2 AS DOUBLE)
+                        * (CAST(0.25 AS DOUBLE)
+                           + CAST(0.75 AS DOUBLE) * tf.dl * s.n_docs
+                             / s.total_dl)) AS c
+              FROM tf JOIN dfs USING (term), stats s),
+            scored AS (
+              SELECT doc_id,
+                     round(COALESCE(sum(CASE WHEN term = 'query' THEN c END), 0)
+                         + COALESCE(sum(CASE WHEN term = 'scan' THEN c END), 0)
+                         + COALESCE(sum(CASE WHEN term = 'window' THEN c END), 0),
+                         4) AS score
+              FROM contribs GROUP BY doc_id),
+            ranked AS (
+              SELECT doc_id, score,
+                     CAST(row_number() OVER (
+                          ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+              FROM scored)
+            SELECT doc_id, score, rank FROM ranked WHERE rank <= 15
+        """
+
+_QLM_SEARCH_SQL = """
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+              FROM documents),
+            tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                   FROM documents),
+            stats AS (SELECT CAST(sum(dl) AS BIGINT) AS n_tok FROM base),
+            cf AS (SELECT
+                     CAST(count(*) FILTER (term = 'query') AS BIGINT) AS cf0,
+                     CAST(count(*) FILTER (term = 'scan') AS BIGINT) AS cf1,
+                     CAST(count(*) FILTER (term = 'window') AS BIGINT) AS cf2
+                   FROM tk WHERE term IN ('query', 'scan', 'window')),
+            tfd AS (SELECT doc_id,
+                     CAST(count(*) FILTER (term = 'query') AS BIGINT) AS tf0,
+                     CAST(count(*) FILTER (term = 'scan') AS BIGINT) AS tf1,
+                     CAST(count(*) FILTER (term = 'window') AS BIGINT) AS tf2
+                    FROM tk WHERE term IN ('query', 'scan', 'window')
+                    GROUP BY doc_id),
+            j AS (SELECT t.doc_id, b.dl, s.n_tok,
+                         c.cf0, c.cf1, c.cf2, t.tf0, t.tf1, t.tf2
+                  FROM tfd t JOIN base b USING (doc_id),
+                       stats s, cf c),
+            sc AS (SELECT doc_id,
+                     (CASE WHEN cf0 > 0 THEN
+                        CAST(floor(ln(tf0 * n_tok + 2000 * cf0) * 1000000)
+                             AS BIGINT)
+                        - CAST(floor(ln(dl + 2000) * 1000000) AS BIGINT)
+                        - CAST(floor(ln(n_tok) * 1000000) AS BIGINT)
+                      ELSE 0 END)
+                   + (CASE WHEN cf1 > 0 THEN
+                        CAST(floor(ln(tf1 * n_tok + 2000 * cf1) * 1000000)
+                             AS BIGINT)
+                        - CAST(floor(ln(dl + 2000) * 1000000) AS BIGINT)
+                        - CAST(floor(ln(n_tok) * 1000000) AS BIGINT)
+                      ELSE 0 END)
+                   + (CASE WHEN cf2 > 0 THEN
+                        CAST(floor(ln(tf2 * n_tok + 2000 * cf2) * 1000000)
+                             AS BIGINT)
+                        - CAST(floor(ln(dl + 2000) * 1000000) AS BIGINT)
+                        - CAST(floor(ln(n_tok) * 1000000) AS BIGINT)
+                      ELSE 0 END) AS score_micro
+                   FROM j),
+            rk AS (SELECT doc_id, score_micro,
+                          CAST(row_number() OVER (
+                               ORDER BY score_micro DESC, doc_id ASC)
+                               AS BIGINT) AS rank
+                   FROM sc)
+            SELECT doc_id, score_micro, rank FROM rk WHERE rank <= 15
+        """
 
 
 def _substr_runs_cte(src: str = "documents", k: int = 4) -> str:
@@ -10697,56 +10811,7 @@ def oracle_sql() -> dict[str, str]:
         # Dirichlet QLM: candidates = docs with >=1 term; per-term
         # micro-nat components, every ln argument an integer; terms with
         # cf=0 drop from the sum; mu=2000
-        "qlm_search": """
-            WITH base AS (
-              SELECT doc_id,
-                     CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-              FROM documents),
-            tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                   FROM documents),
-            stats AS (SELECT CAST(sum(dl) AS BIGINT) AS n_tok FROM base),
-            cf AS (SELECT
-                     CAST(count(*) FILTER (term = 'query') AS BIGINT) AS cf0,
-                     CAST(count(*) FILTER (term = 'scan') AS BIGINT) AS cf1,
-                     CAST(count(*) FILTER (term = 'window') AS BIGINT) AS cf2
-                   FROM tk WHERE term IN ('query', 'scan', 'window')),
-            tfd AS (SELECT doc_id,
-                     CAST(count(*) FILTER (term = 'query') AS BIGINT) AS tf0,
-                     CAST(count(*) FILTER (term = 'scan') AS BIGINT) AS tf1,
-                     CAST(count(*) FILTER (term = 'window') AS BIGINT) AS tf2
-                    FROM tk WHERE term IN ('query', 'scan', 'window')
-                    GROUP BY doc_id),
-            j AS (SELECT t.doc_id, b.dl, s.n_tok,
-                         c.cf0, c.cf1, c.cf2, t.tf0, t.tf1, t.tf2
-                  FROM tfd t JOIN base b USING (doc_id),
-                       stats s, cf c),
-            sc AS (SELECT doc_id,
-                     (CASE WHEN cf0 > 0 THEN
-                        CAST(floor(ln(tf0 * n_tok + 2000 * cf0) * 1000000)
-                             AS BIGINT)
-                        - CAST(floor(ln(dl + 2000) * 1000000) AS BIGINT)
-                        - CAST(floor(ln(n_tok) * 1000000) AS BIGINT)
-                      ELSE 0 END)
-                   + (CASE WHEN cf1 > 0 THEN
-                        CAST(floor(ln(tf1 * n_tok + 2000 * cf1) * 1000000)
-                             AS BIGINT)
-                        - CAST(floor(ln(dl + 2000) * 1000000) AS BIGINT)
-                        - CAST(floor(ln(n_tok) * 1000000) AS BIGINT)
-                      ELSE 0 END)
-                   + (CASE WHEN cf2 > 0 THEN
-                        CAST(floor(ln(tf2 * n_tok + 2000 * cf2) * 1000000)
-                             AS BIGINT)
-                        - CAST(floor(ln(dl + 2000) * 1000000) AS BIGINT)
-                        - CAST(floor(ln(n_tok) * 1000000) AS BIGINT)
-                      ELSE 0 END) AS score_micro
-                   FROM j),
-            rk AS (SELECT doc_id, score_micro,
-                          CAST(row_number() OVER (
-                               ORDER BY score_micro DESC, doc_id ASC)
-                               AS BIGINT) AS rank
-                   FROM sc)
-            SELECT doc_id, score_micro, rank FROM rk WHERE rank <= 15
-        """,
+        "qlm_search": _QLM_SEARCH_SQL,
         # k-anonymity cells over (lang, source, n_chars div 500);
         # non-negative operands so // ≡ div
         "k_anonymity": """
@@ -11889,48 +11954,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_tokens, surprisal_micronats, mean_micronats
             FROM surp
         """,
-        "bm25_search": """
-            WITH base AS (
-              SELECT doc_id, string_split(text, ' ') AS ws,
-                     len(string_split(text, ' ')) AS dl
-              FROM documents),
-            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-                             CAST(sum(dl) AS BIGINT) AS total_dl FROM base),
-            tf AS (
-              SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
-              FROM (SELECT doc_id, dl, unnest(ws) AS term FROM base)
-              WHERE term IN ('query', 'scan', 'window')
-              GROUP BY 1, 2, 3),
-            dfs AS (
-              SELECT term, CAST(count(*) AS BIGINT) AS df
-              FROM (SELECT DISTINCT doc_id, unnest(ws) AS term FROM base)
-              WHERE term IN ('query', 'scan', 'window')
-              GROUP BY term),
-            contribs AS (
-              SELECT tf.doc_id,
-                     tf.term,
-                     ln(CAST(1.0 AS DOUBLE)
-                        + (s.n_docs - dfs.df + CAST(0.5 AS DOUBLE))
-                          / (dfs.df + CAST(0.5 AS DOUBLE)))
-                     * (tf.tf * CAST(2.2 AS DOUBLE))
-                     / (tf.tf + CAST(1.2 AS DOUBLE)
-                        * (CAST(0.25 AS DOUBLE)
-                           + CAST(0.75 AS DOUBLE) * tf.dl * s.n_docs
-                             / s.total_dl)) AS c
-              FROM tf JOIN dfs USING (term), stats s),
-            scored AS (
-              SELECT doc_id,
-                     round(COALESCE(sum(CASE WHEN term = 'query' THEN c END), 0)
-                         + COALESCE(sum(CASE WHEN term = 'scan' THEN c END), 0)
-                         + COALESCE(sum(CASE WHEN term = 'window' THEN c END), 0),
-                         4) AS score
-              FROM contribs GROUP BY doc_id),
-            ranked AS (
-              SELECT doc_id, score,
-                     CAST(row_number() OVER (
-                          ORDER BY score DESC, doc_id ASC) AS INT) AS rank
-              FROM scored)
-            SELECT doc_id, score, rank FROM ranked WHERE rank <= 15
+        "bm25_search": _BM25_SEARCH_SQL,
+        # RRF over the two shipped runs: integer reciprocals of the
+        # systems' own rank keys, truncated-run docs contribute 0
+        "rrf_fusion": f"""
+            WITH bs AS ({_BM25_SEARCH_SQL}),
+            qs AS ({_QLM_SEARCH_SQL}),
+            f AS (SELECT COALESCE(bs.doc_id, qs.doc_id) AS doc_id,
+                         CAST(bs.rank AS BIGINT) AS bm25_rank,
+                         CAST(qs.rank AS BIGINT) AS qlm_rank
+                  FROM bs FULL OUTER JOIN qs ON bs.doc_id = qs.doc_id),
+            sc AS (SELECT doc_id, bm25_rank, qlm_rank,
+                          COALESCE(1000000 // (60 + bm25_rank), 0)
+                        + COALESCE(1000000 // (60 + qlm_rank), 0)
+                              AS rrf_micro
+                   FROM f)
+            SELECT doc_id, bm25_rank, qlm_rank, rrf_micro,
+                   CAST(row_number() OVER (
+                        ORDER BY rrf_micro DESC, doc_id ASC) AS BIGINT)
+                       AS fused_rank
+            FROM sc
+        """,
+        # item-item user-set cosine: distinct (user, item) projection,
+        # bounded self-join, isqrt-correction chain for the norm
+        "item_similarity": """
+            WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+            sz AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                   FROM ut GROUP BY event_type),
+            pr AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+                          CAST(count(*) AS BIGINT) AS inter
+                   FROM ut a JOIN ut b ON a.user_id = b.user_id
+                    AND a.event_type < b.event_type
+                   GROUP BY 1, 2),
+            j AS (SELECT pr.item_a, pr.item_b, sa.n AS n_a, sb.n AS n_b,
+                         pr.inter, sa.n * sb.n * 1000000 AS p
+                  FROM pr JOIN sz sa ON pr.item_a = sa.event_type
+                          JOIN sz sb ON pr.item_b = sb.event_type),
+            w0 AS (SELECT *, CAST(floor(sqrt(CAST(p AS DOUBLE)))
+                                  AS BIGINT) AS y0 FROM j),
+            w1 AS (SELECT *, y0 + CASE WHEN (y0 + 1) * (y0 + 1) <= p
+                                       THEN 1 ELSE 0 END AS y1 FROM w0),
+            w2 AS (SELECT *, y1 - CASE WHEN y1 * y1 > p
+                                       THEN 1 ELSE 0 END AS w FROM w1)
+            SELECT item_a, item_b, n_a, n_b, inter,
+                   (inter * 1000000) // w AS cos_milli
+            FROM w2
         """,
         "dedup_components_embedding": f"""
             WITH RECURSIVE {_EMB_BANDS_CTE},

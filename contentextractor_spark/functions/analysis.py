@@ -12695,3 +12695,50 @@ def lm_heldout_ppl(docs: DataFrame) -> DataFrame:
         F.sum("oov").alias("oov_tokens"),
         F.expr("sum(t) div sum(m)").alias("ce_micro"),
     )
+
+
+def rrf_fusion(
+    docs: DataFrame,
+    terms: list[str],
+    k_sys: int = 15,
+    k_rrf: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of the two SHIPPED rankers — bm25_search and qlm_search — over the
+    same query: rrf(d) = sum_systems 1/(k + rank_s(d)), the standard
+    zero-training way to combine lexical and LM retrieval runs (and,
+    with an embedding run swapped in, the hybrid-search default).
+
+    Exactness: each reciprocal is the integer 10^6 div (k_rrf + rank)
+    — ranks are already deterministic integers in both systems (bm25:
+    round(score,4) DESC, doc_id; qlm: score_micro DESC, doc_id), so
+    the fused score is an order-free integer sum; a doc missing from
+    one run contributes 0 from it (COALESCE, the standard RRF
+    treatment of truncated runs).  fused_rank breaks ties by doc_id.
+
+    Scale: both inputs are top-k_sys survivor sets (<= 2*k_sys rows),
+    so the full-outer join and the fused rank window are driver-tiny
+    by construction — the corpus-size work happens inside the two
+    rankers, which keep their own documented plans."""
+    b = bm25_search(docs, terms, k=k_sys).select(
+        "doc_id", F.col("rank").cast("long").alias("bm25_rank")
+    )
+    q = qlm_search(docs, terms, k=k_sys).select(
+        "doc_id", F.col("rank").cast("long").alias("qlm_rank")
+    )
+    f = b.join(q, "doc_id", "full_outer")
+    rrf = (
+        F.coalesce(
+            F.expr(f"1000000 div ({k_rrf} + bm25_rank)"), F.lit(0)
+        )
+        + F.coalesce(
+            F.expr(f"1000000 div ({k_rrf} + qlm_rank)"), F.lit(0)
+        )
+    ).alias("rrf_micro")
+    w = Window.orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        f.select("doc_id", "bm25_rank", "qlm_rank", rrf)
+        .withColumn(
+            "fused_rank", F.row_number().over(w).cast("long")
+        )
+    )

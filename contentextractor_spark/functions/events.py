@@ -1299,3 +1299,74 @@ def moments_sketch(events: DataFrame, max_units: int = 2000) -> DataFrame:
             "(s0 * s2 - s1 * s1) div greatest(s0 * s0 div 1000, 1)"
         ).alias("var_milli"),
     )
+
+
+def item_similarity(events: DataFrame) -> DataFrame:
+    """Item-item cosine similarity over user co-occurrence sets — the
+    memory-based collaborative-filtering primitive (Sarwar et al., WWW
+    2001): sim(a,b) = |U_a ∩ U_b| / sqrt(|U_a| |U_b|) where U_t is the
+    set of users who produced item t (event_type here; swap the column
+    for product ids and nothing else changes).
+
+    Exactness: cos_milli = inter * 10^6 div isqrt(n_a * n_b * 10^6) —
+    the _isqrt family (float sqrt + two integer corrections, exact
+    below 2^52), so NO transcendental and no float sum anywhere.  The
+    radicand gets a per-row raise guard at 2^52 (the temperature_mix
+    convention); beyond that, downsample users per item first.
+
+    Scale: the distinct (user, item) projection is one map-side
+    combinable aggregate; the pair stage is a self-join on user_id
+    with per-user fanout k^2 bounded by the per-user distinct-item
+    count (here <= |event types|; for open item vocabularies cap
+    items per user first — the frequent_pairs rule).  Item sizes ride
+    back as two broadcast joins."""
+    from .analysis import _isqrt
+
+    ut = events.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("item_a"),
+            F.col("b.event_type").alias("item_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("event_type").alias("item_a"), F.col("n").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("event_type").alias("item_b"), F.col("n").alias("n_b")
+    )
+    j = (
+        pairs.join(F.broadcast(sa), "item_a")
+        .join(F.broadcast(sb), "item_b")
+    )
+    p = F.col("n_a") * F.col("n_b") * F.lit(1_000_000)
+    guarded = F.when(
+        p >= F.lit(1 << 52),
+        F.raise_error(
+            F.lit(
+                "item_similarity: isqrt radicand >= 2^52 — downsample "
+                "users per item before pairing"
+            )
+        ).cast("long"),
+    ).otherwise(p)
+    return j.select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "inter",
+        F.expr("inter * 1000000").cast("long").alias("_num"),
+        _isqrt(guarded).alias("_den"),
+    ).select(
+        "item_a",
+        "item_b",
+        "n_a",
+        "n_b",
+        "inter",
+        F.expr("_num div _den").alias("cos_milli"),
+    )

@@ -175,3 +175,62 @@ def test_lm_heldout_ppl_oov_only_unseen(spark):
     r = A.lm_heldout_ppl(docs).collect()[0]
     assert r["oov_tokens"] == 0
     assert r["n_heldout_tokens"] == 4
+
+
+def test_item_similarity_hand(spark):
+    # users 1,2 do both a and b; user 3 only a; user 4 only c
+    ev = spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"), (2, "a"), (2, "b"),
+            (3, "a"), (4, "c"), (1, "a"),  # duplicate (1,a) must not count
+        ],
+        "user_id long, event_type string",
+    )
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in E.item_similarity(ev).collect()
+    }
+    r = out[("a", "b")]
+    assert (r["n_a"], r["n_b"], r["inter"]) == (3, 2, 2)
+    # cos = 2/sqrt(6); cos_milli = 2e6 // isqrt(6e6)
+    assert r["cos_milli"] == 2_000_000 // math.isqrt(6_000_000)
+    # c shares no users with a or b -> no pair rows at all
+    assert ("a", "c") not in out and ("b", "c") not in out
+
+
+def test_rrf_fusion_hand(spark):
+    # craft docs where bm25 and qlm agree on candidates; check the
+    # reciprocal arithmetic against the systems' own ranks
+    docs = spark.createDataFrame(
+        [
+            (0, "query query scan filler filler"),
+            (1, "query filler filler filler filler filler"),
+            (2, "window filler"),
+            (3, "filler filler"),
+        ],
+        "doc_id long, text string",
+    )
+    b = {
+        r["doc_id"]: r["rank"]
+        for r in A.bm25_search(docs, ["query", "scan", "window"], k=10).collect()
+    }
+    q = {
+        r["doc_id"]: r["rank"]
+        for r in A.qlm_search(docs, ["query", "scan", "window"], k=10).collect()
+    }
+    out = {
+        r["doc_id"]: r
+        for r in A.rrf_fusion(
+            docs, ["query", "scan", "window"], k_sys=10
+        ).collect()
+    }
+    assert 3 not in out  # no query terms -> in neither run
+    for d in (0, 1, 2):
+        expect = 0
+        if d in b:
+            expect += 1_000_000 // (60 + b[d])
+        if d in q:
+            expect += 1_000_000 // (60 + q[d])
+        assert out[d]["rrf_micro"] == expect
+    ranks = [r["fused_rank"] for r in out.values()]
+    assert sorted(ranks) == [1, 2, 3]
