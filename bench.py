@@ -275,6 +275,12 @@ BAND_MAX_S = {
     "simpson_diversity": 7.0,        # warm 1.4-2.4 (per-source token conc.)
     "hill_tail_index": 5.0,          # warm 1.3-1.6 (top-k log-gap estimator)
     "markov_entropy_rate": 6.0,      # warm 1.8-2.0 (matrix branching entropy)
+    "moments_sketch": 8.0,           # warm 2.5-3.1 (power sums + merge check)
+    "packing_eval": 5.0,             # warm 1.4-1.6 (pack scorecard re-read)
+    "psi_drift": 7.0,                # warm 1.2-2.3 (split-half PSI card)
+    "lm_heldout_ppl": 6.0,           # warm 1.1-1.8 (heldout cross-entropy)
+    "item_similarity": 5.0,          # warm 1.1-1.6 (CF cosine pairs)
+    "rrf_fusion": 12.0,              # warm 2.1-5.9 (bm25+tfidf rank fusion)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -658,6 +664,12 @@ def main() -> None:
         "markov_entropy_rate": lambda: force(
             _entry_q("markov_entropy_rate")
         ),
+        "moments_sketch": lambda: force(_entry_q("moments_sketch")),
+        "packing_eval": lambda: force(_entry_q("packing_eval")),
+        "psi_drift": lambda: force(_entry_q("psi_drift")),
+        "lm_heldout_ppl": lambda: force(_entry_q("lm_heldout_ppl")),
+        "item_similarity": lambda: force(_entry_q("item_similarity")),
+        "rrf_fusion": lambda: force(_entry_q("rrf_fusion")),
     }
 
     def _entry_q(name):
