@@ -4302,6 +4302,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir), ["query", "scan", "window"], k_sys=15
         )
 
+    def mann_whitney_u(spark, sf_dir):
+        # r5 session-12: rank-sum location test src0 vs src1 (A/A
+        # calibration — same generator, reject_95 should be 0);
+        # doubled midranks, tie-corrected integer z^2 verdict
+        return A.mann_whitney_u(
+            _docs(spark, sf_dir),
+            group_col="source", group_a="src0", group_b="src1",
+        )
+
+    def spearman_corr(spark, sf_dir):
+        # r5 session-12: rank correlation of token count vs vocabulary
+        # size per doc — centered doubled midranks keep the isqrt
+        # radicand bounded; sign-peeled truncating div.  doc_id < 1000
+        # bounds the fixture under the n<=1200 exactness guard at
+        # every SF (the crawl_frontier fixture-bound convention)
+        return A.spearman_corr(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+        )
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4466,6 +4485,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_heldout_ppl": lm_heldout_ppl,
         "item_similarity": item_similarity,
         "rrf_fusion": rrf_fusion,
+        "mann_whitney_u": mann_whitney_u,
+        "spearman_corr": spearman_corr,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -11998,6 +12019,95 @@ def oracle_sql() -> dict[str, str]:
                                        THEN 1 ELSE 0 END AS w FROM w1)
             SELECT item_a, item_b, n_a, n_b, inter,
                    (inter * 1000000) // w AS cos_milli
+            FROM w2
+        """,
+        # Mann-Whitney U over the length histogram: doubled midranks
+        # (2*prev + t + 1), tie-corrected cross-multiplied z^2 verdict
+        "mann_whitney_u": """
+            WITH s AS (SELECT CAST(len(string_split(text, ' '))
+                                   AS BIGINT) AS x,
+                              CASE WHEN source = 'src0'
+                                   THEN 1 ELSE 0 END AS is_a
+                       FROM documents
+                       WHERE source IN ('src0', 'src1')),
+            hist AS (SELECT x,
+                            CAST(sum(is_a) AS BIGINT) AS c1,
+                            CAST(sum(1 - is_a) AS BIGINT) AS c2
+                     FROM s GROUP BY x),
+            cum AS (SELECT c1, c2, c1 + c2 AS t,
+                           sum(c1 + c2) OVER (ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS cumt
+                    FROM hist),
+            per AS (SELECT c1, t,
+                           2 * (cumt - t) + t + 1 AS rank2
+                    FROM cum),
+            agg AS (SELECT CAST(sum(c1) AS BIGINT) AS n1,
+                           CAST(sum(t - c1) AS BIGINT) AS n2,
+                           CAST(sum(c1 * rank2) AS BIGINT) AS r1_x2,
+                           CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum
+                    FROM per),
+            b AS (SELECT n1, n2,
+                         r1_x2 - n1 * (n1 + 1) AS u1_x2, tie_sum
+                  FROM agg)
+            SELECT n1, n2, u1_x2,
+                   (u1_x2 * 1000) // (2 * n1 * n2) AS auc_milli,
+                   CAST(CASE WHEN 1875 * (n1 + n2) * (n1 + n2 - 1)
+                                * (u1_x2 - n1 * n2)
+                                * (u1_x2 - n1 * n2)
+                             > 2401 * n1 * n2
+                                * ((n1 + n2 + 1) * (n1 + n2)
+                                   * (n1 + n2 - 1) - tie_sum)
+                        THEN 1 ELSE 0 END AS BIGINT) AS reject_95
+            FROM b
+        """,
+        # Spearman rho: doubled midranks per value histogram, centered
+        # as rank2 - (n+1) before aggregation, isqrt(dx*dy) denominator
+        # (the temperature_mix correction chain), sign-peeled // div
+        "spearman_corr": """
+            WITH s AS (SELECT CAST(len(string_split(text, ' '))
+                                   AS BIGINT) AS x,
+                              CAST(len(list_distinct(
+                                       string_split(text, ' ')))
+                                   AS BIGINT) AS y
+                       FROM documents WHERE doc_id < 1000),
+            hx AS (SELECT x, CAST(count(*) AS BIGINT) AS c
+                   FROM s GROUP BY x),
+            rx AS (SELECT x,
+                          2 * (sum(c) OVER (ORDER BY x
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - c) + c + 1 AS r2_x
+                   FROM hx),
+            hy AS (SELECT y, CAST(count(*) AS BIGINT) AS c
+                   FROM s GROUP BY y),
+            ry AS (SELECT y,
+                          2 * (sum(c) OVER (ORDER BY y
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - c) + c + 1 AS r2_y
+                   FROM hy),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+            j AS (SELECT n,
+                         CAST(r2_x - (n + 1) AS BIGINT) AS ux,
+                         CAST(r2_y - (n + 1) AS BIGINT) AS uy
+                  FROM s JOIN rx USING (x) JOIN ry USING (y)
+                  CROSS JOIN tot),
+            a AS (SELECT n,
+                         CAST(sum(ux * uy) AS BIGINT) AS num,
+                         CAST(sum(ux * ux) AS BIGINT) AS dx,
+                         CAST(sum(uy * uy) AS BIGINT) AS dy
+                  FROM j GROUP BY n),
+            w0 AS (SELECT *, CAST(floor(sqrt(CAST(dx * dy AS DOUBLE)))
+                                  AS BIGINT) AS y0 FROM a),
+            w1 AS (SELECT *, y0 + CASE WHEN (y0 + 1) * (y0 + 1)
+                                            <= dx * dy
+                                       THEN 1 ELSE 0 END AS y1 FROM w0),
+            w2 AS (SELECT *, y1 - CASE WHEN y1 * y1 > dx * dy
+                                       THEN 1 ELSE 0 END AS denom
+                   FROM w1)
+            SELECT n, num, dx, dy,
+                   CASE WHEN denom = 0 THEN NULL
+                        WHEN num < 0 THEN -((1000 * (-num)) // denom)
+                        ELSE (1000 * num) // denom END AS rho_milli
             FROM w2
         """,
         "dedup_components_embedding": f"""

@@ -281,6 +281,8 @@ BAND_MAX_S = {
     "lm_heldout_ppl": 6.0,           # warm 1.1-1.8 (heldout cross-entropy)
     "item_similarity": 5.0,          # warm 1.1-1.6 (CF cosine pairs)
     "rrf_fusion": 12.0,              # warm 2.1-5.9 (bm25+tfidf rank fusion)
+    "mann_whitney_u": 8.0,           # warm 3.1-3.4 (rank-sum histogram)
+    "spearman_corr": 8.0,            # warm 2.9-3.1 (rank corr, doc_id<1000)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -670,6 +672,8 @@ def main() -> None:
         "lm_heldout_ppl": lambda: force(_entry_q("lm_heldout_ppl")),
         "item_similarity": lambda: force(_entry_q("item_similarity")),
         "rrf_fusion": lambda: force(_entry_q("rrf_fusion")),
+        "mann_whitney_u": lambda: force(_entry_q("mann_whitney_u")),
+        "spearman_corr": lambda: force(_entry_q("spearman_corr")),
     }
 
     def _entry_q(name):

@@ -12742,3 +12742,178 @@ def rrf_fusion(
             "fused_rank", F.row_number().over(w).cast("long")
         )
     )
+
+
+def mann_whitney_u(
+    docs: DataFrame,
+    group_col: str = "source",
+    group_a: str = "src0",
+    group_b: str = "src1",
+) -> DataFrame:
+    """Two-sample Mann-Whitney U (Wilcoxon rank-sum) test between the
+    token-length distributions of two document groups — the
+    location-shift complement to ks_two_sample's shape alarm (KS sees
+    any CDF gap; U asks specifically "does one source stochastically
+    dominate the other?"), and on same-generator groups an A/A
+    calibration row (reject_95 should be 0).
+
+    Exact integer arithmetic via DOUBLED midranks: for a value with t
+    tied rows after `prev` smaller rows, each row's 2x midrank is
+    rank2 = 2*prev + t + 1 (always an integer even when the midrank
+    is a .5).  R1_x2 = sum over group-A rows of rank2, so
+    u1_x2 = 2*U1 = R1_x2 - n1*(n1+1) exactly.  The normal
+    approximation's tie-corrected verdict is cross-multiplied to
+    integers: with d = u1_x2 - n1*n2 (= 2U1 - n1*n2, signed) and
+    T = (n+1)*n*(n-1) - sum_t(t^3 - t),
+      z^2 > 1.96^2  <=>  1875*n*(n-1)*d^2 > 2401*n1*n2*T
+    (both sides of z^2 = d^2 * 3*n*(n-1) / (n1*n2*T) scaled by 10^4
+    give 30000 vs 38416; dividing by their gcd 16 keeps the compare
+    EXACT while quartering the overflow headroom cost).  auc_milli =
+    u1_x2*1000 div (2*n1*n2) is the common-language effect size
+    P(X_a > X_b) + 0.5*P(=) — 500 means "no dominance".
+
+    Overflow bound: the LHS is <= 1875*n*(n-1)*(n1*n2)^2 <= 117*n^6,
+    in BIGINT for n <= 650 — enforced with a raise (the ks_two_sample
+    convention); past that a real deployment subsamples per group
+    (the test's power saturates far earlier).
+
+    Scale: one map-side-combinable groupBy on length (the
+    distinct-length histogram), one cumulative window over that
+    HISTOGRAM (the length_percentiles convention — never over the
+    corpus), one final aggregate."""
+    val = F.size(F.split(F.col("text"), " ")).alias("x")
+    g = F.col(group_col)
+    s = docs.filter(g.isin(group_a, group_b)).select(
+        val, (g == group_a).cast("long").alias("is_a")
+    )
+    hist = s.groupBy("x").agg(
+        F.sum("is_a").alias("c1"),
+        F.sum(F.lit(1) - F.col("is_a")).alias("c2"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("t"),
+        F.sum(F.col("c1") + F.col("c2")).over(w).alias("cumt"),
+    )
+    per = cum.select(
+        "c1",
+        "t",
+        (
+            F.lit(2) * (F.col("cumt") - F.col("t"))
+            + F.col("t")
+            + F.lit(1)
+        ).alias("rank2"),
+    )
+    agg = per.agg(
+        F.sum(F.col("c1")).alias("n1"),
+        F.sum(F.col("t") - F.col("c1")).alias("n2"),
+        F.sum(F.col("c1") * F.col("rank2")).alias("r1_x2"),
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_sum"),
+    )
+    n = F.col("n1") + F.col("n2")
+    u1_x2 = (F.col("r1_x2") - F.col("n1") * (F.col("n1") + 1)).alias(
+        "u1_x2"
+    )
+    base = agg.select("n1", "n2", u1_x2, "tie_sum")
+    d = F.col("u1_x2") - F.col("n1") * F.col("n2")
+    tcorr = (n + 1) * n * (n - 1) - F.col("tie_sum")
+    guard = F.when(
+        n > F.lit(650),
+        F.raise_error(
+            F.lit("mann_whitney_u: exact verdict bound exceeded, subsample")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    return base.select(
+        "n1",
+        "n2",
+        "u1_x2",
+        F.expr("u1_x2 * 1000 div (2 * n1 * n2)").alias("auc_milli"),
+        (
+            guard
+            + (
+                F.lit(1875) * n * (n - 1) * d * d
+                > F.lit(2401) * F.col("n1") * F.col("n2") * tcorr
+            ).cast("long")
+        ).alias("reject_95"),
+    )
+
+
+def spearman_corr(docs: DataFrame, max_rows: int = 1200) -> DataFrame:
+    """Spearman rank correlation between per-document token count and
+    distinct-token (vocabulary) count — the monotone-association card
+    for corpus QA: healthy natural text keeps vocabulary growing with
+    length (rho near 1); template/spam floods decouple them.
+
+    Exact integer arithmetic: midranks are DOUBLED (the mann_whitney_u
+    trick — rank2 = 2*prev + t + 1 is integer under ties), and because
+    sum(rank2) = n*(n+1) identically, ranks are CENTERED per row as
+    u = rank2 - (n+1) with |u| <= n-1 BEFORE aggregation — that keeps
+    num = sum(ux*uy), dx = sum(ux^2), dy = sum(uy^2) below n^3, so
+    dx*dy < 2^61 for n <= 1200 (raise-guarded; subsample beyond).
+    rho = num / sqrt(dx*dy) is emitted as rho_milli with the SIGN
+    PEELED around a truncating div (the zipf_fit rule) and the
+    denominator from _isqrt (exact — the float seed is within +/-1 of
+    the true root far past 2^52, and the two corrections close that);
+    constant columns (dx or dy = 0) yield NULL rho_milli.
+
+    Scale: two value histograms (groupBy + cumulative window over
+    HISTOGRAM-sized tables), broadcast-joined back to the (x, y) rows;
+    one final aggregate.  No corpus-wide sort or window."""
+    s = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("x"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("y"),
+    )
+    w_ = lambda c: Window.orderBy(c).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+
+    def rank2_table(col):
+        h = s.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        return h.select(
+            col,
+            (
+                F.lit(2) * (F.sum("c").over(w_(col)) - F.col("c"))
+                + F.col("c")
+                + F.lit(1)
+            ).alias(f"r2_{col}"),
+        )
+
+    tot = s.agg(F.count(F.lit(1)).alias("n"))
+    joined = (
+        s.join(F.broadcast(rank2_table("x")), "x")
+        .join(F.broadcast(rank2_table("y")), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    ux = F.col("r2_x") - (F.col("n") + 1)
+    uy = F.col("r2_y") - (F.col("n") + 1)
+    agg = joined.groupBy("n").agg(
+        F.sum(ux * uy).alias("num"),
+        F.sum(ux * ux).alias("dx"),
+        F.sum(uy * uy).alias("dy"),
+    )
+    guard = F.when(
+        F.col("n") > F.lit(max_rows),
+        F.raise_error(
+            F.lit("spearman_corr: exact bound exceeded, subsample")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    with_denom = agg.withColumn(
+        "denom", _isqrt(F.col("dx") * F.col("dy") + guard)
+    )
+    rho_milli = F.when(
+        F.col("denom") == 0, F.lit(None).cast("long")
+    ).otherwise(
+        F.when(
+            F.col("num") < 0,
+            -F.expr("(1000 * (-num)) div denom"),
+        ).otherwise(F.expr("(1000 * num) div denom"))
+    )
+    return with_denom.select(
+        "n", "num", "dx", "dy", rho_milli.alias("rho_milli")
+    )
