@@ -4321,6 +4321,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
         )
 
+    def community_conductance(spark, sf_dir):
+        # r5 session-12: per-community boundary leakiness of the
+        # SHIPPED label_propagation output over the chord-community
+        # graph (the modularity_eval pairing: same labels, the sweep-
+        # cut objective instead of the null-model one) — planted
+        # communities should be near-sealed (one bridge each)
+        edges = _chord_community_edges(spark, sf_dir)
+        labels = A.label_propagation(edges, rounds=4)
+        return A.community_conductance(edges, labels)
+
+    def wilson_quality_ci(spark, sf_dir):
+        # r5 session-12: Wilson 95% interval on the per-source
+        # quality_filter pass rate — z = 49/25, isqrt radicand,
+        # 10^6-scaled truncating bounds; n = 25/source at the gate SFs
+        # so the intervals are WIDE, which is the card's point
+        return A.wilson_quality_ci(_docs(spark, sf_dir))
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4487,6 +4504,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_fusion": rrf_fusion,
         "mann_whitney_u": mann_whitney_u,
         "spearman_corr": spearman_corr,
+        "community_conductance": community_conductance,
+        "wilson_quality_ci": wilson_quality_ci,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -12108,6 +12127,69 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN denom = 0 THEN NULL
                         WHEN num < 0 THEN -((1000 * (-num)) // denom)
                         ELSE (1000 * num) // denom END AS rho_milli
+            FROM w2
+        """,
+        # conductance over the shared LPA labeling: two-sided crossing
+        # count, vol from the nbrl degree table, least() denominator
+        "community_conductance": f"""
+            WITH {_CHORD_EDGES_CTE},
+            {_lpa_ctes(rounds=4)},
+            mcnt AS (SELECT CAST(count(*) AS BIGINT) AS m_edges
+                     FROM undl),
+            degs AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+                     FROM nbrl GROUP BY node),
+            nl AS (SELECT d.deg, l.label
+                   FROM degs d JOIN l4 l ON l.node = d.node),
+            vols AS (SELECT label,
+                            CAST(count(*) AS BIGINT) AS n_nodes,
+                            CAST(sum(deg) AS BIGINT) AS vol
+                     FROM nl GROUP BY label),
+            crossing AS (SELECT la.label AS la, lb.label AS lb
+                         FROM undl u
+                         JOIN l4 la ON la.node = u.lo
+                         JOIN l4 lb ON lb.node = u.hi
+                         WHERE la.label <> lb.label),
+            cutc AS (SELECT label, CAST(count(*) AS BIGINT) AS cut
+                     FROM (SELECT la AS label FROM crossing
+                           UNION ALL
+                           SELECT lb AS label FROM crossing)
+                     GROUP BY label),
+            o AS (SELECT v.label, v.n_nodes, v.vol,
+                         CAST(COALESCE(c.cut, 0) AS BIGINT) AS cut,
+                         least(v.vol, 2 * m.m_edges - v.vol) AS denom
+                  FROM vols v LEFT JOIN cutc c ON c.label = v.label
+                  CROSS JOIN mcnt m)
+            SELECT label, n_nodes, vol, cut,
+                   CASE WHEN denom <= 0 THEN NULL
+                        ELSE (cut * 1000) // denom END AS cond_milli
+            FROM o
+        """,
+        # Wilson 95% interval per source: the shared quality-rule
+        # disjunction, z = 49/25 scaled through 625n, isqrt radicand
+        # rr = 2401 n^2 + 2500 n k (n-k), truncating micro divisions
+        "wilson_quality_ci": f"""
+            WITH q AS ({_qf_cols_sql('documents')}),
+            base AS (SELECT d.source,
+                            CASE WHEN NOT {_QF_BAD_SQL}
+                                 THEN 1 ELSE 0 END AS keep
+                     FROM q JOIN (SELECT doc_id, source
+                                  FROM documents) d USING (doc_id)),
+            g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(keep) AS BIGINT) AS k
+                  FROM base GROUP BY source),
+            r0 AS (SELECT *, 2401*n*n + 2500*n*k*(n - k) AS rr FROM g),
+            w0 AS (SELECT *, CAST(floor(sqrt(CAST(rr AS DOUBLE)))
+                                  AS BIGINT) AS y0 FROM r0),
+            w1 AS (SELECT *, y0 + CASE WHEN (y0+1)*(y0+1) <= rr
+                                       THEN 1 ELSE 0 END AS y1 FROM w0),
+            w2 AS (SELECT *, y1 - CASE WHEN y1*y1 > rr
+                                       THEN 1 ELSE 0 END AS s FROM w1)
+            SELECT source, n, k,
+                   (1000000 * k) // n AS p_micro,
+                   (1000000 * (1250*n*k + 2401*n - 49*s))
+                       // (2*n*(625*n + 2401)) AS lo_micro,
+                   (1000000 * (1250*n*k + 2401*n + 49*s))
+                       // (2*n*(625*n + 2401)) AS hi_micro
             FROM w2
         """,
         "dedup_components_embedding": f"""

@@ -441,6 +441,7 @@ def quality_filter(
     max_mean_len_x10: int = QF_MAX_MEAN_LEN_X10,
     max_digit_pct: int = QF_MAX_DIGIT_PCT,
     min_distinct_pct: int = QF_MIN_DISTINCT_PCT,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher-style rule filter: compose cheap signals into a keep/drop
     verdict with the violated rules NAMED (a training pipeline needs to
@@ -454,7 +455,10 @@ def quality_filter(
     space-tokenized text.
 
     Scale: a pure row-level projection — no shuffle, no UDF, whole-stage
-    codegen; runs at scan speed and composes with curation_pipeline."""
+    codegen; runs at scan speed and composes with curation_pipeline.
+    `carry` rides extra src columns through the projection (the lang_id
+    convention — wilson_quality_ci keeps its group key without a
+    join-back shuffle; defaults empty, output schema unchanged)."""
     words = F.split(F.col("text"), " ")
     n_words = F.size(words)
     # chars excluding the n_words-1 separators
@@ -474,6 +478,7 @@ def quality_filter(
     )
     return docs.select(
         "doc_id",
+        *carry,
         n_words.alias("n_words"),
         violations.alias("violations"),
         (violations == "").cast("int").alias("keep"),
@@ -12916,4 +12921,159 @@ def spearman_corr(docs: DataFrame, max_rows: int = 1200) -> DataFrame:
     )
     return with_denom.select(
         "n", "num", "dx", "dy", rho_milli.alias("rho_milli")
+    )
+
+
+def community_conductance(
+    edges: DataFrame, labels: DataFrame
+) -> DataFrame:
+    """Per-community conductance phi(C) = cut(C) / min(vol(C), 2m-vol(C))
+    of a node labeling over the undirected simple graph — the
+    boundary-quality eval row complementing modularity (the lsh_eval
+    rule: score the SHIPPED label_propagation output in-engine).
+    Modularity rewards intra-density against a degree-null model;
+    conductance directly measures how leaky each community's boundary
+    is (0 = sealed, near 1000 milli = mostly boundary) — the objective
+    sweep-cut partitioners optimize, and the number a crawl-shard
+    planner reads as "cross-shard traffic share".
+
+    All-integer: cut counts undirected edges with exactly one endpoint
+    in C (each crossing edge contributes to BOTH sides' communities),
+    vol sums degrees, cond_milli = cut*1000 div min(vol, 2m-vol) — one
+    truncating division on non-negative operands (engine-exact).  The
+    whole-graph community (vol = 2m) has an undefined denominator and
+    yields NULL.  Unlabeled graph nodes are an ERROR (raise, the
+    modularity rule — an inner join would silently shrink vol).
+
+    Scale: one canonical-edge distinct, one degree groupBy, two
+    equi-joins of the edge table against the (node, label) table, one
+    UNION ALL + groupBy for the two-sided cut count; m rides as a
+    one-row broadcast crossJoin.  No corpus-side window or sort."""
+    und = _und_edges(edges).localCheckpoint()
+    mm = und.agg(F.count(F.lit(1)).alias("m_edges"))
+    deg = (
+        und.select(F.col("lo").alias("node"))
+        .union(und.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    lab = labels.select("node", "label")
+    nl = deg.join(lab, "node", "left").select(
+        "deg",
+        F.when(
+            F.col("label").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("community_conductance: unlabeled graph node "),
+                    F.col("node").cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(F.col("label")).alias("label"),
+    )
+    vols = nl.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("deg").alias("vol"),
+    )
+    crossing = (
+        und.join(
+            lab.select(F.col("node").alias("lo"), F.col("label").alias("la")),
+            "lo",
+        )
+        .join(
+            lab.select(F.col("node").alias("hi"), F.col("label").alias("lb")),
+            "hi",
+        )
+        .filter(F.col("la") != F.col("lb"))
+    )
+    cut = (
+        crossing.select(F.col("la").alias("label"))
+        .unionAll(crossing.select(F.col("lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("cut"))
+    )
+    out = (
+        vols.join(cut, "label", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "label",
+            "n_nodes",
+            "vol",
+            F.coalesce("cut", F.lit(0)).cast("long").alias("cut"),
+            F.least(
+                F.col("vol"), F.lit(2) * F.col("m_edges") - F.col("vol")
+            ).alias("denom"),
+        )
+    )
+    return out.select(
+        "label",
+        "n_nodes",
+        "vol",
+        "cut",
+        F.when(F.col("denom") <= 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("cut * 1000 div denom"))
+        .alias("cond_milli"),
+    )
+
+
+def wilson_quality_ci(
+    docs: DataFrame,
+    group_col: str = "source",
+    max_group: int = 50_000,
+) -> DataFrame:
+    """Per-group Wilson 95% score interval for the quality_filter pass
+    rate — the uncertainty-aware version of the pass-rate column every
+    curation dashboard shows: a source with 3/4 docs passing is NOT
+    "75% quality, ship it"; its Wilson interval [30%, 95%] says the
+    sample is too small to act on.  Wilson (1927) is the standard
+    small-n / extreme-p interval (normal approximation on the score
+    scale, never goes outside [0,1]).
+
+    Exact integer arithmetic with z = 1.96 = 49/25: multiplying the
+    interval (2k + z^2)/(2(n + z^2)) -/+ z*sqrt(4nk(n-k) + z^2*n^2)
+    / (2n(n + z^2)) through by 625n gives
+      bound = (1250*n*k + 2401*n -/+ 49*sqrt(R)) / (2*n*(625*n + 2401)),
+      R = 2401*n^2 + 2500*n*k*(n-k)
+    — R is a non-negative integer, sqrt(R) takes _isqrt (exact), and
+    the lower numerator is >= 0 (the true Wilson lower bound is >= 0
+    and the floor'd root only raises it), so the final 10^6-scaled
+    truncating divisions are engine-exact.  Overflow: numerators are
+    <= 10^6 * 1251 * n^2, in BIGINT for n <= 50,000 per group —
+    raise-guarded (subsample past that: at n = 50k the interval is
+    already +/-0.4%, the CI has stopped mattering).
+
+    Scale: quality_filter is a scan-speed row projection (keep rides
+    with the `carry` group key — no join-back shuffle); then ONE
+    map-side-combinable groupBy(group).  The isqrt chain is per-GROUP,
+    not per-row."""
+    qf = quality_filter(docs, carry=(group_col,))
+    g = qf.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("keep").cast("long").alias("k"),
+    )
+    guard = F.when(
+        F.col("n") > F.lit(max_group),
+        F.raise_error(
+            F.lit("wilson_quality_ci: exact bound exceeded, subsample")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    r = g.withColumn(
+        "rr",
+        F.lit(2401) * F.col("n") * F.col("n")
+        + F.lit(2500) * F.col("n") * F.col("k")
+        * (F.col("n") - F.col("k"))
+        + guard,
+    ).withColumn("s", _isqrt(F.col("rr")))
+    return r.select(
+        group_col,
+        "n",
+        "k",
+        F.expr("(1000000 * k) div n").alias("p_micro"),
+        F.expr(
+            "(1000000 * (1250*n*k + 2401*n - 49*s))"
+            " div (2*n*(625*n + 2401))"
+        ).alias("lo_micro"),
+        F.expr(
+            "(1000000 * (1250*n*k + 2401*n + 49*s))"
+            " div (2*n*(625*n + 2401))"
+        ).alias("hi_micro"),
     )

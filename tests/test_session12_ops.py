@@ -149,3 +149,156 @@ def test_spearman_bound_guard(spark):
     with pytest.raises(Exception) as ei:
         A.spearman_corr(_docs(spark, rows), max_rows=5).collect()
     assert "subsample" in str(ei.value)
+
+
+# ------------------------------------------------------- community conductance
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _labels(spark, pairs):
+    return spark.createDataFrame(pairs, "node long, label long")
+
+
+def test_conductance_two_triangles_bridge(spark):
+    # two sealed triangles joined by one bridge: m = 7, each side
+    # vol = 7, cut = 1, denom = min(7, 14-7) = 7 -> 1000 div 7 = 142
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6),
+                       (3, 4)])
+    lab = _labels(spark, [(1, 10), (2, 10), (3, 10),
+                          (4, 20), (5, 20), (6, 20)])
+    rows = {r["label"]: r for r in
+            A.community_conductance(e, lab).collect()}
+    for lb in (10, 20):
+        assert rows[lb]["n_nodes"] == 3
+        assert rows[lb]["vol"] == 7
+        assert rows[lb]["cut"] == 1
+        assert rows[lb]["cond_milli"] == 142
+
+
+def test_conductance_crossing_counts_both_sides(spark):
+    # star: center one label, leaves another — every edge crosses, so
+    # BOTH communities see cut = 3 and cond_milli = 1000 (fully leaky)
+    e = _edges(spark, [(0, 1), (0, 2), (0, 3)])
+    lab = _labels(spark, [(0, 1), (1, 2), (2, 2), (3, 2)])
+    rows = {r["label"]: r for r in
+            A.community_conductance(e, lab).collect()}
+    assert rows[1]["cut"] == 3 and rows[1]["cond_milli"] == 1000
+    assert rows[2]["cut"] == 3 and rows[2]["cond_milli"] == 1000
+
+
+def test_conductance_whole_graph_null(spark):
+    # a single community holding the whole graph has denom = 0 -> NULL
+    e = _edges(spark, [(1, 2), (2, 3)])
+    lab = _labels(spark, [(1, 7), (2, 7), (3, 7)])
+    r = A.community_conductance(e, lab).collect()
+    assert len(r) == 1 and r[0]["cond_milli"] is None
+
+
+def test_conductance_unlabeled_node_raises(spark):
+    e = _edges(spark, [(1, 2), (2, 3)])
+    lab = _labels(spark, [(1, 7), (2, 7)])  # node 3 unlabeled
+    with pytest.raises(Exception) as ei:
+        A.community_conductance(e, lab).collect()
+    assert "unlabeled" in str(ei.value)
+
+
+def test_conductance_dedups_and_drops_self_loops(spark):
+    # duplicate + reversed + self-loop edges collapse to the canonical
+    # simple graph before any counting
+    e = _edges(spark, [(1, 2), (2, 1), (1, 2), (1, 1), (2, 3)])
+    lab = _labels(spark, [(1, 7), (2, 7), (3, 9)])
+    rows = {r["label"]: r for r in
+            A.community_conductance(e, lab).collect()}
+    assert rows[7]["vol"] == 3 and rows[7]["cut"] == 1
+    assert rows[9]["vol"] == 1 and rows[9]["cut"] == 1
+
+
+# ----------------------------------------------------------- wilson quality ci
+
+
+def _good_text(n_words=45, tag=""):
+    # 45 distinct letter-only words (digits would trip digit_heavy):
+    # passes every quality_filter rule
+    def spell(s):
+        return "".join(
+            chr(ord("a") + int(c)) if c.isdigit() else c for c in s
+        )
+
+    return " ".join(
+        f"wd{spell(tag)}{spell(f'{i:03d}')}" for i in range(n_words)
+    )
+
+
+def test_wilson_matches_integer_reference(spark):
+    # differential vs a math.isqrt replica of the documented formula on
+    # a mixed pass/fail fixture (z = 49/25; R = 2401 n^2 + 2500 n k(n-k))
+    rows = []
+    for i in range(12):
+        good = i % 3 != 0
+        rows.append((i, _good_text(tag=str(i)) if good else "x y z",
+                     f"s{i % 2}"))
+    out = {r["source"]: r for r in
+           A.wilson_quality_ci(spark.createDataFrame(
+               rows, "doc_id long, text string, source string"
+           )).collect()}
+
+    import math as _m
+    for src in ("s0", "s1"):
+        n = sum(1 for i in range(12) if f"s{i % 2}" == src)
+        k = sum(1 for i in range(12) if f"s{i % 2}" == src and i % 3 != 0)
+        s = _m.isqrt(2401 * n * n + 2500 * n * k * (n - k))
+        lo = (1_000_000 * (1250 * n * k + 2401 * n - 49 * s)) // (
+            2 * n * (625 * n + 2401))
+        hi = (1_000_000 * (1250 * n * k + 2401 * n + 49 * s)) // (
+            2 * n * (625 * n + 2401))
+        r = out[src]
+        assert (r["n"], r["k"]) == (n, k)
+        assert r["lo_micro"] == lo and r["hi_micro"] == hi
+        assert r["lo_micro"] <= r["p_micro"] <= r["hi_micro"]
+
+
+def test_wilson_degenerate_endpoints(spark):
+    # k = 0: s = isqrt(2401 n^2) = 49n exactly, so lo = 0 exactly;
+    # k = n: the hi numerator factors as n(1250n + 4802) and the
+    # denominator IS n(1250n + 4802) -> hi_micro = 1_000_000 exactly
+    rows = ([(i, "x", "none") for i in range(5)]
+            + [(10 + i, _good_text(tag=str(i)), "all") for i in range(5)])
+    out = {r["source"]: r for r in
+           A.wilson_quality_ci(spark.createDataFrame(
+               rows, "doc_id long, text string, source string"
+           )).collect()}
+    assert out["none"]["k"] == 0 and out["none"]["lo_micro"] == 0
+    assert out["none"]["hi_micro"] > 0  # upper bound must NOT collapse
+    assert out["all"]["k"] == 5 and out["all"]["hi_micro"] == 1_000_000
+    assert out["all"]["lo_micro"] < 1_000_000
+
+
+def test_wilson_bound_guard(spark):
+    rows = [(i, "x", "s") for i in range(7)]
+    with pytest.raises(Exception) as ei:
+        A.wilson_quality_ci(
+            spark.createDataFrame(
+                rows, "doc_id long, text string, source string"
+            ),
+            max_group=6,
+        ).collect()
+    assert "subsample" in str(ei.value)
+
+
+def test_quality_filter_carry_rides_through(spark):
+    # the carry param must not perturb the keep verdict or base schema
+    rows = [(0, _good_text(), "sA"), (1, "x y", "sB")]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, source string")
+    base = {r["doc_id"]: r for r in A.quality_filter(d).collect()}
+    carried = {r["doc_id"]: r
+               for r in A.quality_filter(d, carry=("source",)).collect()}
+    for i in (0, 1):
+        assert carried[i]["keep"] == base[i]["keep"]
+        assert carried[i]["violations"] == base[i]["violations"]
+    assert carried[0]["source"] == "sA"
+    assert A.quality_filter(d).columns == [
+        "doc_id", "n_words", "violations", "keep"]
