@@ -283,6 +283,8 @@ BAND_MAX_S = {
     "rrf_fusion": 12.0,              # warm 2.1-5.9 (bm25+tfidf rank fusion)
     "mann_whitney_u": 8.0,           # warm 3.1-3.4 (rank-sum histogram)
     "spearman_corr": 8.0,            # warm 2.9-3.1 (rank corr, doc_id<1000)
+    "community_conductance": 8.0,    # warm 2.2-3.1 (LPA boundary eval)
+    "wilson_quality_ci": 3.0,        # warm 0.5-0.6 (per-source Wilson CI)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -674,6 +676,10 @@ def main() -> None:
         "rrf_fusion": lambda: force(_entry_q("rrf_fusion")),
         "mann_whitney_u": lambda: force(_entry_q("mann_whitney_u")),
         "spearman_corr": lambda: force(_entry_q("spearman_corr")),
+        "community_conductance": lambda: force(
+            _entry_q("community_conductance")
+        ),
+        "wilson_quality_ci": lambda: force(_entry_q("wilson_quality_ci")),
     }
 
     def _entry_q(name):
