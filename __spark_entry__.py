@@ -4338,6 +4338,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # so the intervals are WIDE, which is the card's point
         return A.wilson_quality_ci(_docs(spark, sf_dir))
 
+    def classifier_agreement(spark, sf_dir):
+        # r5 session-12: Cohen's kappa between the rule-based
+        # quality_filter verdict and the model-based hashed_linear_score
+        # verdict — chance-corrected inter-rater agreement; with md5
+        # stand-in weights kappa ~ 0 is the honest null read
+        return A.classifier_agreement(_docs(spark, sf_dir))
+
+    def score_pr_curve(spark, sf_dir):
+        # r5 session-12: precision/recall/F1 sweep of hashed_linear_score
+        # against quality_filter labels at six micro-unit thresholds —
+        # ONE aggregate of conditional sums, unpivoted via literal
+        # struct-array explode (the vocab_growth rule)
+        return A.score_pr_curve(_docs(spark, sf_dir))
+
+    def kendall_tau(spark, sf_dir):
+        # r5 session-12: Kendall tau-b between token count and
+        # distinct-token count — C/D from the joint CELL histogram's
+        # inequality self-join (never a row-level O(n^2) pair join),
+        # tie terms from the marginals, isqrt radicand, sign-peeled div
+        return A.kendall_tau(
+            _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
+        )
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4506,6 +4529,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spearman_corr": spearman_corr,
         "community_conductance": community_conductance,
         "wilson_quality_ci": wilson_quality_ci,
+        "classifier_agreement": classifier_agreement,
+        "score_pr_curve": score_pr_curve,
+        "kendall_tau": kendall_tau,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -6449,6 +6475,46 @@ _QF_BAD_SQL = (
 )
 
 
+def _hls_ctes(src: str = "documents", n_buckets: int = 4096) -> str:
+    """SQL twin of `analysis.hashed_linear_score` as a CTE chain ending
+    in `hls(doc_id, n_feats, score_micro, keep)` — shared by the
+    hashed_linear_score row itself plus the classifier_agreement /
+    score_pr_curve eval rows (parameterize, never copy)."""
+    return f"""norm AS (
+              SELECT doc_id,
+                     trim(lower(regexp_replace(text, '[^A-Za-z0-9]+',
+                                               ' ', 'g'))) AS t
+              FROM {src} WHERE text IS NOT NULL),
+            nz AS (SELECT doc_id, string_split(t, ' ') AS ws
+                   FROM norm WHERE t <> ''),
+            feats AS (
+              SELECT doc_id, unnest(ws) AS g FROM nz
+              UNION ALL
+              SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i+1])) AS g
+              FROM nz WHERE len(ws) >= 2),
+            fb AS (SELECT doc_id,
+                          {_hex_int_sql("md5(g)", 1, 8)} % {n_buckets}
+                              AS bucket
+                   FROM feats),
+            wt AS (SELECT CAST(i AS BIGINT) AS bucket,
+                          ({_hex_int_sql("md5('w:' || i)", 1, 8)} % 2001)
+                              - 1000 AS w
+                   FROM generate_series(0, {n_buckets - 1}) AS s(i)),
+            hagg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                            sum(w) AS s
+                     FROM fb JOIN wt USING (bucket) GROUP BY doc_id),
+            hls AS (
+              SELECT doc_id, n_feats,
+                     CAST((s + 1000 * n_feats) // n_feats - 1000
+                          AS BIGINT) AS score_micro,
+                     CAST(CASE WHEN (s + 1000 * n_feats) // n_feats
+                                    - 1000 >= 0
+                          THEN 1 ELSE 0 END AS INT) AS keep
+              FROM hagg)"""
+
+
 _SIMHASH_CTE_TEMPLATE = """
 stok AS (
   SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
@@ -7053,37 +7119,8 @@ def oracle_sql() -> dict[str, str]:
         # integer mean — so any drift in normalization, feature set, hash
         # or signed-mean arithmetic breaks the hash
         "hashed_linear_score": f"""
-            WITH norm AS (
-              SELECT doc_id,
-                     trim(lower(regexp_replace(text, '[^A-Za-z0-9]+',
-                                               ' ', 'g'))) AS t
-              FROM documents WHERE text IS NOT NULL),
-            nz AS (SELECT doc_id, string_split(t, ' ') AS ws
-                   FROM norm WHERE t <> ''),
-            feats AS (
-              SELECT doc_id, unnest(ws) AS g FROM nz
-              UNION ALL
-              SELECT doc_id,
-                     unnest(list_transform(generate_series(1, len(ws) - 1),
-                            i -> ws[i] || ' ' || ws[i+1])) AS g
-              FROM nz WHERE len(ws) >= 2),
-            fb AS (SELECT doc_id,
-                          {_hex_int_sql("md5(g)", 1, 8)} % 4096 AS bucket
-                   FROM feats),
-            wt AS (SELECT CAST(i AS BIGINT) AS bucket,
-                          ({_hex_int_sql("md5('w:' || i)", 1, 8)} % 2001)
-                              - 1000 AS w
-                   FROM generate_series(0, 4095) AS s(i)),
-            agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-                           sum(w) AS s
-                    FROM fb JOIN wt USING (bucket) GROUP BY doc_id)
-            SELECT doc_id, n_feats,
-                   CAST((s + 1000 * n_feats) // n_feats - 1000
-                        AS BIGINT) AS score_micro,
-                   CAST(CASE WHEN (s + 1000 * n_feats) // n_feats - 1000
-                                  >= 0
-                        THEN 1 ELSE 0 END AS INT) AS keep
-            FROM agg
+            WITH {_hls_ctes("documents")}
+            SELECT doc_id, n_feats, score_micro, keep FROM hls
         """,
         # r5 session-3 exact edit-distance join: the oracle is the naive
         # length-banded levenshtein self-join — the Spark side only ever
@@ -12190,6 +12227,129 @@ def oracle_sql() -> dict[str, str]:
                        // (2*n*(625*n + 2401)) AS lo_micro,
                    (1000000 * (1250*n*k + 2401*n + 49*s))
                        // (2*n*(625*n + 2401)) AS hi_micro
+            FROM w2
+        """,
+        # Cohen's kappa between the qf rule verdict and the hls model
+        # verdict: chance-agreement floor subtracted, SIGNED numerator
+        # peeled around the truncating div, degenerate denominator NULL
+        "classifier_agreement": f"""
+            WITH {_hls_ctes("documents")},
+            q AS ({_qf_cols_sql("documents")}),
+            qk AS (SELECT doc_id,
+                          CASE WHEN NOT {_QF_BAD_SQL}
+                               THEN 1 ELSE 0 END AS qk
+                   FROM q),
+            jj AS (SELECT qk.qk, hls.keep AS hk
+                   FROM qk LEFT JOIN hls USING (doc_id)),
+            g AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                         CAST(count(hk) AS BIGINT) AS n_scored,
+                         CAST(COALESCE(sum(CASE WHEN hk IS NOT NULL
+                                                THEN qk END), 0)
+                              AS BIGINT) AS qf_pos,
+                         CAST(COALESCE(sum(hk), 0) AS BIGINT) AS hls_pos,
+                         CAST(COALESCE(sum(CASE WHEN qk = hk
+                                                THEN 1 ELSE 0 END), 0)
+                              AS BIGINT) AS agree
+                  FROM jj),
+            d AS (SELECT n_scored, n_total - n_scored AS n_excluded,
+                         qf_pos, hls_pos, agree,
+                         n_scored * agree
+                           - (qf_pos * hls_pos
+                              + (n_scored - qf_pos)
+                                * (n_scored - hls_pos)) AS knum,
+                         n_scored * n_scored
+                           - (qf_pos * hls_pos
+                              + (n_scored - qf_pos)
+                                * (n_scored - hls_pos)) AS kden
+                  FROM g)
+            SELECT n_scored, n_excluded, qf_pos, hls_pos, agree,
+                   CASE WHEN kden <= 0 THEN NULL
+                        WHEN knum < 0 THEN -((1000 * (-knum)) // kden)
+                        ELSE (1000 * knum) // kden END AS kappa_milli
+            FROM d
+        """,
+        # PR sweep: six thresholds as a literal unnest (constants — the
+        # DuckDB computed-unnest binder bug does not apply), one grouped
+        # conditional-sum pass, NULL (never 0) on empty denominators
+        "score_pr_curve": f"""
+            WITH {_hls_ctes("documents")},
+            q AS ({_qf_cols_sql("documents")}),
+            qk AS (SELECT doc_id,
+                          CASE WHEN NOT {_QF_BAD_SQL}
+                               THEN 1 ELSE 0 END AS qk
+                   FROM q),
+            jj AS (SELECT qk, score_micro
+                   FROM qk JOIN hls USING (doc_id)),
+            th AS (SELECT unnest([-50, 0, 50, 100, 150, 200]) AS t),
+            cells AS (SELECT CAST(th.t AS BIGINT) AS threshold_micro,
+                             CAST(COALESCE(sum(CASE WHEN score_micro >= th.t
+                                           AND qk = 1 THEN 1 ELSE 0 END), 0)
+                                  AS BIGINT) AS tp,
+                             CAST(COALESCE(sum(CASE WHEN score_micro >= th.t
+                                           AND qk = 0 THEN 1 ELSE 0 END), 0)
+                                  AS BIGINT) AS fp,
+                             CAST(COALESCE(sum(CASE WHEN score_micro < th.t
+                                           AND qk = 1 THEN 1 ELSE 0 END), 0)
+                                  AS BIGINT) AS fn
+                      FROM th CROSS JOIN jj GROUP BY th.t)
+            SELECT threshold_micro, tp + fp AS pred_pos, tp, fp, fn,
+                   CASE WHEN tp + fp = 0 THEN NULL
+                        ELSE (1000 * tp) // (tp + fp)
+                   END AS precision_milli,
+                   CASE WHEN tp + fn = 0 THEN NULL
+                        ELSE (1000 * tp) // (tp + fn)
+                   END AS recall_milli,
+                   CASE WHEN 2 * tp + fp + fn = 0 THEN NULL
+                        ELSE (2000 * tp) // (2 * tp + fp + fn)
+                   END AS f1_milli
+            FROM cells
+        """,
+        # Kendall tau-b: C/D from the joint cell histogram's inequality
+        # self-join, tie terms from the marginals, isqrt radicand,
+        # sign-peeled milli div (the spearman_corr x/y projection)
+        "kendall_tau": """
+            WITH s AS (SELECT CAST(len(string_split(text, ' '))
+                                   AS BIGINT) AS x,
+                              CAST(len(list_distinct(
+                                       string_split(text, ' ')))
+                                   AS BIGINT) AS y
+                       FROM documents WHERE doc_id < 1000),
+            cells AS (SELECT x, y, CAST(count(*) AS BIGINT) AS c
+                      FROM s GROUP BY x, y),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s),
+            txs AS (SELECT CAST(COALESCE(sum(cc * (cc - 1) // 2), 0)
+                                AS BIGINT) AS tx
+                    FROM (SELECT CAST(count(*) AS BIGINT) AS cc
+                          FROM s GROUP BY x)),
+            tys AS (SELECT CAST(COALESCE(sum(cc * (cc - 1) // 2), 0)
+                                AS BIGINT) AS ty
+                    FROM (SELECT CAST(count(*) AS BIGINT) AS cc
+                          FROM s GROUP BY y)),
+            cd AS (SELECT CAST(COALESCE(sum(CASE WHEN a.y < b.y
+                                        THEN a.c * b.c ELSE 0 END), 0)
+                               AS BIGINT) AS c_pairs,
+                          CAST(COALESCE(sum(CASE WHEN a.y > b.y
+                                        THEN a.c * b.c ELSE 0 END), 0)
+                               AS BIGINT) AS d_pairs
+                   FROM cells a JOIN cells b ON a.x < b.x),
+            base AS (SELECT n, c_pairs, d_pairs, tx, ty,
+                            n * (n - 1) // 2 AS n0
+                     FROM tot CROSS JOIN txs CROSS JOIN tys
+                     CROSS JOIN cd),
+            r0 AS (SELECT *, (n0 - tx) * (n0 - ty) AS rad FROM base),
+            w0 AS (SELECT *, CAST(floor(sqrt(CAST(rad AS DOUBLE)))
+                                  AS BIGINT) AS y0 FROM r0),
+            w1 AS (SELECT *, y0 + CASE WHEN (y0 + 1) * (y0 + 1) <= rad
+                                       THEN 1 ELSE 0 END AS y1 FROM w0),
+            w2 AS (SELECT *, y1 - CASE WHEN y1 * y1 > rad
+                                       THEN 1 ELSE 0 END AS denom
+                   FROM w1)
+            SELECT n, c_pairs, d_pairs, tx, ty,
+                   CASE WHEN n0 - tx <= 0 OR n0 - ty <= 0 THEN NULL
+                        WHEN c_pairs - d_pairs < 0
+                          THEN -((1000 * (d_pairs - c_pairs)) // denom)
+                        ELSE (1000 * (c_pairs - d_pairs)) // denom
+                   END AS tau_milli
             FROM w2
         """,
         "dedup_components_embedding": f"""

@@ -285,6 +285,9 @@ BAND_MAX_S = {
     "spearman_corr": 8.0,            # warm 2.9-3.1 (rank corr, doc_id<1000)
     "community_conductance": 8.0,    # warm 2.2-3.1 (LPA boundary eval)
     "wilson_quality_ci": 3.0,        # warm 0.5-0.6 (per-source Wilson CI)
+    "classifier_agreement": 7.0,     # warm 2.0-2.2 (qf x hls kappa)
+    "score_pr_curve": 7.0,           # warm 2.2-2.3 (hls threshold sweep)
+    "kendall_tau": 4.0,              # warm 0.7-0.8 (cell-histogram tau-b)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -680,6 +683,11 @@ def main() -> None:
             _entry_q("community_conductance")
         ),
         "wilson_quality_ci": lambda: force(_entry_q("wilson_quality_ci")),
+        "classifier_agreement": lambda: force(
+            _entry_q("classifier_agreement")
+        ),
+        "score_pr_curve": lambda: force(_entry_q("score_pr_curve")),
+        "kendall_tau": lambda: force(_entry_q("kendall_tau")),
     }
 
     def _entry_q(name):

@@ -13077,3 +13077,267 @@ def wilson_quality_ci(
             " div (2*n*(625*n + 2401))"
         ).alias("hi_micro"),
     )
+
+
+def classifier_agreement(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    max_docs: int = 1_000_000,
+) -> DataFrame:
+    """Cohen's kappa between the rule-based quality_filter verdict and
+    the model-based hashed_linear_score verdict — the inter-rater
+    agreement card every two-filter curation stack needs (the
+    dedup_agreement pattern applied to quality classifiers): raw
+    accuracy overstates agreement when both raters say "keep" to most
+    docs; kappa subtracts the chance-agreement floor.
+
+    All-integer: with n scored docs, a = qf keeps, b = model keeps,
+    agree = matching verdicts, kappa = (n*agree - a*b - (n-a)(n-b))
+    / (n^2 - a*b - (n-a)(n-b)) — numerator SIGNED (worse-than-chance
+    raters exist), so the milli division peels the sign (the zipf_fit
+    rule); a degenerate denominator (both raters constant) yields NULL.
+    Overflow: terms <= 1000*n^2, raise-guarded at n > 10^6 (subsample
+    past that — kappa's CI at n=10^6 is +/-0.2%, it has converged).
+
+    Docs whose text normalizes to empty have no model score (the
+    hashed_linear_score exclusion) and are reported as n_excluded, NOT
+    silently dropped from the card.
+
+    Scale: both verdict streams are scan-speed projections (one
+    broadcast weight join on the model side); one doc_id equi-join and
+    ONE map-side-combinable aggregate."""
+    qf = quality_filter(docs).select("doc_id", F.col("keep").alias("qk"))
+    hls = hashed_linear_score(docs, n_buckets=n_buckets).select(
+        "doc_id", F.col("keep").alias("hk")
+    )
+    j = qf.join(hls, "doc_id", "left")
+    g = j.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count("hk").alias("n_scored"),
+        F.sum(
+            F.when(F.col("hk").isNotNull(), F.col("qk")).otherwise(0)
+        ).cast("long").alias("qf_pos"),
+        F.coalesce(F.sum("hk"), F.lit(0)).cast("long").alias("hls_pos"),
+        F.sum(
+            F.when(F.col("qk") == F.col("hk"), 1).otherwise(0)
+        ).cast("long").alias("agree"),
+    )
+    guard = F.when(
+        F.col("n_total") > F.lit(max_docs),
+        F.raise_error(
+            F.lit("classifier_agreement: exact bound exceeded, subsample")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    n = F.col("n_scored")
+    pe_num = (
+        F.col("qf_pos") * F.col("hls_pos")
+        + (n - F.col("qf_pos")) * (n - F.col("hls_pos"))
+        + guard
+    )
+    d = g.select(
+        "n_scored",
+        (F.col("n_total") - n).alias("n_excluded"),
+        "qf_pos",
+        "hls_pos",
+        "agree",
+        (n * F.col("agree") - pe_num).alias("knum"),
+        (n * n - pe_num).alias("kden"),
+    )
+    return d.select(
+        "n_scored",
+        "n_excluded",
+        "qf_pos",
+        "hls_pos",
+        "agree",
+        F.when(F.col("kden") <= 0, F.lit(None).cast("long"))
+        .when(
+            F.col("knum") < 0,
+            -F.expr("(1000 * (-knum)) div kden"),
+        )
+        .otherwise(F.expr("(1000 * knum) div kden"))
+        .alias("kappa_milli"),
+    )
+
+
+def score_pr_curve(
+    docs: DataFrame,
+    thresholds: tuple[int, ...] = (-50, 0, 50, 100, 150, 200),
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Precision/recall sweep of the hashed_linear_score classifier
+    against the quality_filter verdict as reference labels — the
+    threshold-tuning card for model-based filtering: pick the
+    micro-unit cutoff by reading precision/recall/F1 at each candidate,
+    not by eyeballing one operating point.  With the md5 stand-in
+    weights the curve is flat at the label prevalence (precision ~
+    base rate at every threshold) — which IS the null-calibration
+    read; swap trained weights in and the same plan draws the real
+    curve.
+
+    All-integer: per threshold t, TP/FP/FN are conditional counts of
+    (score_micro >= t) x reference label; precision/recall/F1 are
+    single truncating milli divisions on non-negative operands (empty
+    denominators yield NULL, never 0 — an undefined precision is not
+    a zero precision).
+
+    Scale: ONE aggregate computes every threshold's cells as
+    conditional sums (the vocab_growth rule — never one pass per
+    threshold), unpivoted through an explode of a literal struct array
+    over the single result row.  Docs without a model score are
+    excluded from the sweep (classifier_agreement reports them)."""
+    qf = quality_filter(docs).select("doc_id", F.col("keep").alias("qk"))
+    hls = hashed_linear_score(docs, n_buckets=n_buckets).select(
+        "doc_id", "score_micro"
+    )
+    j = qf.join(hls, "doc_id")
+    aggs = []
+    for i, t in enumerate(thresholds):
+        pred = F.col("score_micro") >= F.lit(int(t))
+        pos = F.col("qk") == 1
+        aggs.append(
+            F.sum(F.when(pred & pos, 1).otherwise(0))
+            .cast("long").alias(f"tp_{i}")
+        )
+        aggs.append(
+            F.sum(F.when(pred & ~pos, 1).otherwise(0))
+            .cast("long").alias(f"fp_{i}")
+        )
+        aggs.append(
+            F.sum(F.when(~pred & pos, 1).otherwise(0))
+            .cast("long").alias(f"fn_{i}")
+        )
+    one = j.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(int(t)).cast("long").alias("threshold_micro"),
+                F.coalesce(F.col(f"tp_{i}"), F.lit(0)).alias("tp"),
+                F.coalesce(F.col(f"fp_{i}"), F.lit(0)).alias("fp"),
+                F.coalesce(F.col(f"fn_{i}"), F.lit(0)).alias("fn"),
+            )
+            for i, t in enumerate(thresholds)
+        ]
+    )
+    ex = one.select(F.explode(rows).alias("r")).select("r.*")
+    return ex.select(
+        "threshold_micro",
+        (F.col("tp") + F.col("fp")).alias("pred_pos"),
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(1000 * tp) div (tp + fp)"))
+        .alias("precision_milli"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(None).cast("long"))
+        .otherwise(F.expr("(1000 * tp) div (tp + fn)"))
+        .alias("recall_milli"),
+        F.when(
+            F.lit(2) * F.col("tp") + F.col("fp") + F.col("fn") == 0,
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.expr("(2000 * tp) div (2 * tp + fp + fn)"))
+        .alias("f1_milli"),
+    )
+
+
+def kendall_tau(docs: DataFrame, max_rows: int = 1200) -> DataFrame:
+    """Kendall tau-b between per-document token count and distinct-token
+    count — the pair-concordance twin of spearman_corr (tau is the
+    probability-scale association: P(concordant) - P(discordant),
+    robust to the outlier pairs that stretch rho).
+
+    NOT a row-level O(n^2) self-join: concordant/discordant pair counts
+    come from the joint (x, y) CELL histogram — C = sum over cell pairs
+    with x_a < x_b and y_a < y_b of c_a*c_b, D likewise with y_a > y_b,
+    both as conditional sums over ONE inequality join of the histogram
+    against itself (cells <= n, so the join is bounded by n^2 CELL
+    pairs, not doc pairs, and the histogram is tiny).  Tie terms
+    tx = sum cx*(cx-1)/2 come from the marginal histograms.
+
+    Exact integers: tau_b = (C - D) / sqrt((n0 - tx)(n0 - ty)) with
+    n0 = n(n-1)/2; the radicand is < n^4/4 <= 2^42 at n = 1200
+    (raise-guarded; subsample beyond) so _isqrt is exact; the milli
+    division peels the SIGN (C < D happens); a fully-tied margin
+    (n0 = tx or ty) yields NULL."""
+    s = docs.select(
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("x"),
+        F.size(F.array_distinct(F.split(F.col("text"), " ")))
+        .cast("long")
+        .alias("y"),
+    )
+    cells = s.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c"))
+    tot = s.agg(F.count(F.lit(1)).alias("n"))
+
+    def tie_sum(col, name):
+        h = s.groupBy(col).agg(F.count(F.lit(1)).alias("cc"))
+        return h.agg(
+            F.coalesce(
+                F.sum(F.expr("cc * (cc - 1) div 2")), F.lit(0)
+            ).alias(name)
+        )
+
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"),
+        F.col("c").alias("ca"),
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"),
+        F.col("c").alias("cb"),
+    )
+    cd = (
+        a.join(b, F.col("xa") < F.col("xb"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ya") < F.col("yb"),
+                        F.col("ca") * F.col("cb"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("c_pairs"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("ya") > F.col("yb"),
+                        F.col("ca") * F.col("cb"),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("d_pairs"),
+        )
+    )
+    j = (
+        tot.crossJoin(F.broadcast(tie_sum("x", "tx")))
+        .crossJoin(F.broadcast(tie_sum("y", "ty")))
+        .crossJoin(F.broadcast(cd))
+    )
+    guard = F.when(
+        F.col("n") > F.lit(max_rows),
+        F.raise_error(
+            F.lit("kendall_tau: exact bound exceeded, subsample")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    with_n0 = j.select(
+        "n", "c_pairs", "d_pairs", "tx", "ty",
+        (F.expr("n * (n - 1) div 2") + guard).alias("n0"),
+    )
+    rad = (F.col("n0") - F.col("tx")) * (F.col("n0") - F.col("ty"))
+    w = with_n0.withColumn("denom", _isqrt(rad)).withColumn(
+        "tnum", F.col("c_pairs") - F.col("d_pairs")
+    )
+    return w.select(
+        "n",
+        "c_pairs",
+        "d_pairs",
+        "tx",
+        "ty",
+        F.when(
+            (F.col("n0") - F.col("tx") <= 0)
+            | (F.col("n0") - F.col("ty") <= 0),
+            F.lit(None).cast("long"),
+        )
+        .when(F.col("tnum") < 0, -F.expr("(1000 * (-tnum)) div denom"))
+        .otherwise(F.expr("(1000 * tnum) div denom"))
+        .alias("tau_milli"),
+    )

@@ -302,3 +302,175 @@ def test_quality_filter_carry_rides_through(spark):
     assert carried[0]["source"] == "sA"
     assert A.quality_filter(d).columns == [
         "doc_id", "n_words", "violations", "keep"]
+
+
+# ---------------------------------------------------------------- kendall tau
+
+
+def test_kendall_perfect_monotone(spark):
+    rows = [(i, " ".join(f"t{j}" for j in range(i + 1)), "s")
+            for i in range(6)]
+    r = A.kendall_tau(_docs(spark, rows)).collect()[0]
+    assert r["tau_milli"] == 1000
+    assert r["d_pairs"] == 0 and r["c_pairs"] == 15  # C(6,2)
+
+
+def test_kendall_perfect_inverse(spark):
+    # x = (2, 3), y = (2, 1): the spearman inverse fixture
+    rows = [(0, "a b", "s"), (1, "c c c", "s")]
+    r = A.kendall_tau(_docs(spark, rows)).collect()[0]
+    assert r["tau_milli"] == -1000
+
+
+def test_kendall_constant_column_null(spark):
+    rows = [(i, "a", "s") for i in range(4)]
+    r = A.kendall_tau(_docs(spark, rows)).collect()[0]
+    assert r["tau_milli"] is None
+
+
+def test_kendall_matches_pair_replica(spark):
+    # tie-heavy deterministic fixture vs a direct O(n^2) pair loop +
+    # math.isqrt replica of the documented tau-b convention
+    import math as _m
+
+    texts = []
+    for i in range(40):
+        k = (i * 13) % 7 + 1
+        v = (i * 5) % k + 1
+        toks = [f"t{j % v}" for j in range(k)]
+        texts.append((i, " ".join(toks), "s"))
+    r = A.kendall_tau(_docs(spark, texts)).collect()[0]
+
+    xs = [len(t.split(" ")) for _, t, _ in texts]
+    ys = [len(set(t.split(" "))) for _, t, _ in texts]
+    n = len(xs)
+    C = D = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            p = (xs[i] - xs[j]) * (ys[i] - ys[j])
+            if p > 0:
+                C += 1
+            elif p < 0:
+                D += 1
+
+    def tie_sum(vals):
+        from collections import Counter
+        return sum(c * (c - 1) // 2 for c in Counter(vals).values())
+
+    tx, ty = tie_sum(xs), tie_sum(ys)
+    n0 = n * (n - 1) // 2
+    denom = _m.isqrt((n0 - tx) * (n0 - ty))
+    num = C - D
+    expect = (-((1000 * -num) // denom) if num < 0
+              else (1000 * num) // denom)
+    assert (r["c_pairs"], r["d_pairs"], r["tx"], r["ty"]) == (C, D, tx, ty)
+    assert r["tau_milli"] == expect
+
+
+def test_kendall_bound_guard(spark):
+    rows = [(i, "a b", "s") for i in range(6)]
+    with pytest.raises(Exception) as ei:
+        A.kendall_tau(_docs(spark, rows), max_rows=5).collect()
+    assert "subsample" in str(ei.value)
+
+
+# ------------------------------------------------------- classifier agreement
+
+
+def test_agreement_matches_replica(spark):
+    # assemble kappa independently from the two shipped verdict streams
+    rows = []
+    for i in range(30):
+        if i % 5 == 0:
+            rows.append((i, "x y z", "s"))           # qf drop (short)
+        else:
+            rows.append((i, _good_text(tag=str(i)), "s"))
+    d = _docs(spark, rows)
+    qk = {r["doc_id"]: r["keep"] for r in A.quality_filter(d).collect()}
+    hk = {r["doc_id"]: r["keep"]
+          for r in A.hashed_linear_score(d).collect()}
+    n = len(hk)
+    a = sum(qk[i] for i in hk)
+    b = sum(hk.values())
+    agree = sum(1 for i in hk if qk[i] == hk[i])
+    pe = a * b + (n - a) * (n - b)
+    knum, kden = n * agree - pe, n * n - pe
+    expect = (None if kden <= 0
+              else (-((1000 * -knum) // kden) if knum < 0
+                    else (1000 * knum) // kden))
+    r = A.classifier_agreement(d).collect()[0]
+    assert (r["n_scored"], r["qf_pos"], r["hls_pos"], r["agree"]) == (
+        n, a, b, agree)
+    assert r["kappa_milli"] == expect
+
+
+def test_agreement_counts_unscored_docs(spark):
+    # '!!! ???' normalizes to empty -> no model score -> n_excluded
+    rows = [(0, _good_text(), "s"), (1, "!!! ???", "s"),
+            (2, "x y", "s")]
+    r = A.classifier_agreement(_docs(spark, rows)).collect()[0]
+    assert r["n_scored"] == 2 and r["n_excluded"] == 1
+
+
+def test_agreement_degenerate_null(spark):
+    # identical docs: both raters constant -> pe = 1 -> kappa NULL
+    rows = [(i, "x y z", "s") for i in range(4)]
+    r = A.classifier_agreement(_docs(spark, rows)).collect()[0]
+    assert r["kappa_milli"] is None
+
+
+def test_agreement_bound_guard(spark):
+    rows = [(i, "x y", "s") for i in range(4)]
+    with pytest.raises(Exception) as ei:
+        A.classifier_agreement(_docs(spark, rows), max_docs=3).collect()
+    assert "subsample" in str(ei.value)
+
+
+# --------------------------------------------------------------- PR curve
+
+
+def test_pr_curve_matches_replica(spark):
+    rows = []
+    for i in range(24):
+        if i % 4 == 0:
+            rows.append((i, "x y z", "s"))
+        else:
+            rows.append((i, _good_text(tag=str(i)), "s"))
+    d = _docs(spark, rows)
+    qk = {r["doc_id"]: r["keep"] for r in A.quality_filter(d).collect()}
+    sc = {r["doc_id"]: r["score_micro"]
+          for r in A.hashed_linear_score(d).collect()}
+    ths = (-100, 0, 100)
+    out = {r["threshold_micro"]: r
+           for r in A.score_pr_curve(d, thresholds=ths).collect()}
+    assert set(out) == set(ths)
+    for t in ths:
+        tp = sum(1 for i in sc if sc[i] >= t and qk[i] == 1)
+        fp = sum(1 for i in sc if sc[i] >= t and qk[i] == 0)
+        fn = sum(1 for i in sc if sc[i] < t and qk[i] == 1)
+        r = out[t]
+        assert (r["tp"], r["fp"], r["fn"]) == (tp, fp, fn)
+        if tp + fp:
+            assert r["precision_milli"] == (1000 * tp) // (tp + fp)
+        else:
+            assert r["precision_milli"] is None
+        if tp + fn:
+            assert r["recall_milli"] == (1000 * tp) // (tp + fn)
+        else:
+            assert r["recall_milli"] is None
+
+
+def test_pr_curve_extreme_thresholds(spark):
+    rows = [(i, _good_text(tag=str(i)), "s") for i in range(8)]
+    out = {r["threshold_micro"]: r
+           for r in A.score_pr_curve(
+               _docs(spark, rows),
+               thresholds=(-2000, 2000)).collect()}
+    lo, hi = out[-2000], out[2000]
+    # every score is in (-1000, 1000): predict-all at -2000 ->
+    # recall 1000, fn 0; predict-none at 2000 -> precision NULL
+    assert lo["fn"] == 0 and lo["recall_milli"] == 1000
+    assert hi["tp"] == 0 and hi["fp"] == 0
+    assert hi["precision_milli"] is None and hi["recall_milli"] == 0
+    # predicted-positive count is monotone non-increasing in threshold
+    assert lo["pred_pos"] >= hi["pred_pos"]
