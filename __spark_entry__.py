@@ -4361,6 +4361,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _docs(spark, sf_dir).filter(F.col("doc_id") < 1000)
         )
 
+    def heaps_fit(spark, sf_dir):
+        # r5 session-12: Heaps'-law exponent over word TRIGRAMS (the
+        # 31-type unigram vocabulary saturates instantly — good_turing
+        # rule); vocab_growth counting plan + the zipf_fit signed OLS
+        return A.heaps_fit(_docs(spark, sf_dir))
+
+    def mad_outliers(spark, sf_dir):
+        # r5 session-12: per-source median/MAD robust length outliers —
+        # doubled order statistics (med2/mad4) keep the half-integer
+        # medians exact; flag is the 2*dev2 > k*mad4 cross-multiply
+        return A.mad_outliers(_docs(spark, sf_dir))
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4532,6 +4544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_agreement": classifier_agreement,
         "score_pr_curve": score_pr_curve,
         "kendall_tau": kendall_tau,
+        "heaps_fit": heaps_fit,
+        "mad_outliers": mad_outliers,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -5909,6 +5923,29 @@ gs AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - {n - 1}
               i -> {gram})) AS g
        FROM w WHERE len(ws) >= {n})
 """
+
+
+def _ols_tail_sql(n_alias: str) -> str:
+    """SQL twin of analysis._ols_micro_exprs — the signed-OLS tail over
+    a one-row CTE s(n, sx, sy, sxy, sxx): sign-peeled slope_micro +
+    offset-mean intercept_micro, every // operand positive.  Shared by
+    the zipf_fit and heaps_fit oracles; keep in sync with the Spark
+    exprs."""
+    B = 2**40
+    sabs = (
+        "(abs(n * sxy - sx * sy) * 1000)"
+        " // greatest((n * sxx - sx * sx) // 1000, 1)"
+    )
+    return f"""SELECT n AS {n_alias},
+                   CASE WHEN n * sxy - sx * sy < 0 THEN -({sabs})
+                        ELSE ({sabs}) END AS slope_micro,
+                   (sy * 100
+                    + CASE WHEN n * sxy - sx * sy < 0 THEN
+                        (({sabs}) * sx * 100) // 1000000
+                      ELSE -((({sabs}) * sx * 100) // 1000000)
+                      END
+                    + {B} * n) // n - {B} AS intercept_micro
+            FROM s"""
 
 
 def _pq_fold_int(a: str, b: str, n: int) -> str:
@@ -11476,7 +11513,7 @@ def oracle_sql() -> dict[str, str]:
         # Zipf OLS: deci-milli-nat quantized ln (x=ln rank, y=ln cnt),
         # integer cross-products, positive-operand-only divisions with
         # the +B*n offset (B=2^40) for the signed intercept mean
-        "zipf_fit": """
+        "zipf_fit": f"""
             WITH uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
                          FROM (SELECT unnest(string_split(text, ' '))
                                    AS tok FROM documents)
@@ -11499,27 +11536,7 @@ def oracle_sql() -> dict[str, str]:
                          CAST(sum(x * y) AS BIGINT) AS sxy,
                          CAST(sum(x * x) AS BIGINT) AS sxx
                   FROM pts)
-            SELECT n AS n_terms,
-                   CASE WHEN n * sxy - sx * sy < 0 THEN
-                     -((abs(n * sxy - sx * sy) * 1000)
-                       // greatest((n * sxx - sx * sx) // 1000, 1))
-                   ELSE
-                     (abs(n * sxy - sx * sy) * 1000)
-                     // greatest((n * sxx - sx * sx) // 1000, 1)
-                   END AS slope_micro,
-                   (sy * 100
-                    + CASE WHEN n * sxy - sx * sy < 0 THEN
-                        ((abs(n * sxy - sx * sy) * 1000)
-                         // greatest((n * sxx - sx * sx) // 1000, 1)
-                         * sx * 100) // 1000000
-                      ELSE
-                        -(((abs(n * sxy - sx * sy) * 1000)
-                           // greatest((n * sxx - sx * sx) // 1000, 1)
-                           * sx * 100) // 1000000)
-                      END
-                    + 1099511627776 * n) // n - 1099511627776
-                       AS intercept_micro
-            FROM s
+            {_ols_tail_sql("n_terms")}
         """,
         # redirect resolution: recursive chain walk capped at 16 steps
         # (== Spark's 4 pointer-doubling rounds); final = packed
@@ -12303,6 +12320,84 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (2000 * tp) // (2 * tp + fp + fn)
                    END AS f1_milli
             FROM cells
+        """,
+        # Heaps' law over trigrams: the vocab_growth counting chain on
+        # the _gram_occ_cte stream, deci-milli-nat point quantization,
+        # the shared signed-OLS tail
+        "heaps_fit": f"""
+            WITH {_gram_occ_cte("documents", 3)},
+            firsts AS (SELECT g, min(doc_id) AS first_doc
+                       FROM gs GROUP BY g),
+            c(cutoff) AS (VALUES (31), (62), (125), (250), (500)),
+            vt AS (SELECT
+                     (SELECT count(*) FROM firsts
+                      WHERE first_doc < cutoff) AS vocab,
+                     (SELECT count(*) FROM gs
+                      WHERE doc_id < cutoff) AS tokens
+                   FROM c),
+            pts AS (SELECT
+                CAST(floor(ln(CAST(tokens AS DOUBLE))
+                           * CAST(10000 AS DOUBLE)) AS BIGINT) AS x,
+                CAST(floor(ln(CAST(vocab AS DOUBLE))
+                           * CAST(10000 AS DOUBLE)) AS BIGINT) AS y
+                    FROM vt WHERE tokens > 0 AND vocab > 0),
+            s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * y) AS BIGINT) AS sxy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx
+                  FROM pts)
+            {_ols_tail_sql("n_pts")}
+        """,
+        # per-source median/MAD outlier card: cumulative histogram
+        # medians (doubled order statistics), integer cross-multiplied
+        # 3-MAD flag
+        "mad_outliers": """
+            WITH s AS (SELECT source AS grp,
+                              CAST(len(string_split(text, ' '))
+                                   AS BIGINT) AS x
+                       FROM documents),
+            nn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n
+                   FROM s GROUP BY grp),
+            h1 AS (SELECT grp, x, CAST(count(*) AS BIGINT) AS c
+                   FROM s GROUP BY grp, x),
+            cum1 AS (SELECT grp, x,
+                            sum(c) OVER (PARTITION BY grp ORDER BY x
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+                     FROM h1),
+            med AS (SELECT grp,
+                           min(CASE WHEN cum >= (n + 1) // 2
+                                    THEN x END)
+                         + min(CASE WHEN cum >= (n + 2) // 2
+                                    THEN x END) AS med2
+                    FROM cum1 JOIN nn USING (grp) GROUP BY grp),
+            dev AS (SELECT s.grp, abs(2 * s.x - med.med2) AS d
+                    FROM s JOIN med ON s.grp = med.grp),
+            h2 AS (SELECT grp, d, CAST(count(*) AS BIGINT) AS c
+                   FROM dev GROUP BY grp, d),
+            cum2 AS (SELECT grp, d,
+                            sum(c) OVER (PARTITION BY grp ORDER BY d
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+                     FROM h2),
+            mad AS (SELECT grp,
+                           min(CASE WHEN cum >= (n + 1) // 2
+                                    THEN d END)
+                         + min(CASE WHEN cum >= (n + 2) // 2
+                                    THEN d END) AS mad4
+                    FROM cum2 JOIN nn USING (grp) GROUP BY grp),
+            fl AS (SELECT dev.grp,
+                          CAST(sum(CASE WHEN 2 * d > 3 * mad4
+                                        THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_outliers
+                   FROM dev JOIN mad ON dev.grp = mad.grp
+                   GROUP BY dev.grp)
+            SELECT med.grp AS source, nn.n, med.med2, mad.mad4,
+                   fl.n_outliers,
+                   (1000 * fl.n_outliers) // nn.n AS outlier_milli
+            FROM med JOIN nn USING (grp) JOIN mad USING (grp)
+            JOIN fl USING (grp)
         """,
         # Kendall tau-b: C/D from the joint cell histogram's inequality
         # self-join, tie terms from the marginals, isqrt radicand,

@@ -288,6 +288,8 @@ BAND_MAX_S = {
     "classifier_agreement": 7.0,     # warm 2.0-2.2 (qf x hls kappa)
     "score_pr_curve": 7.0,           # warm 2.2-2.3 (hls threshold sweep)
     "kendall_tau": 4.0,              # warm 0.7-0.8 (cell-histogram tau-b)
+    "heaps_fit": 4.0,                # warm 0.7-0.8 (trigram growth OLS)
+    "mad_outliers": 5.0,             # warm 1.2-1.3 (histogram medians)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -688,6 +690,8 @@ def main() -> None:
         ),
         "score_pr_curve": lambda: force(_entry_q("score_pr_curve")),
         "kendall_tau": lambda: force(_entry_q("kendall_tau")),
+        "heaps_fit": lambda: force(_entry_q("heaps_fit")),
+        "mad_outliers": lambda: force(_entry_q("mad_outliers")),
     }
 
     def _entry_q(name):

@@ -2612,29 +2612,34 @@ def zipf_fit(docs: DataFrame, top_n: int = 256) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     )
+    return sums.selectExpr(*_ols_micro_exprs("n_terms"))
+
+
+def _ols_micro_exprs(n_alias: str) -> list:
+    """The zipf_fit signed-OLS selectExpr tail over a one-row aggregate
+    holding (n, sx, sy, sxy, sxx): slope_micro + intercept_micro with
+    every div operand POSITIVE (sign peeled on the slope numerator,
+    +B*n offset on the intercept mean — the r4 truncate-vs-floor
+    lesson).  Shared by zipf_fit and heaps_fit; the SQL twin is
+    `_ols_tail_sql` in __spark_entry__ — keep both in sync."""
     B = 2**40
-    return sums.selectExpr(
-        "n AS n_terms",
-        "CASE WHEN n * sxy - sx * sy < 0 THEN "
-        "  -((abs(n * sxy - sx * sy) * 1000)"
-        "    div greatest((n * sxx - sx * sx) div 1000, 1)) "
-        "ELSE "
-        "  (abs(n * sxy - sx * sy) * 1000)"
-        "  div greatest((n * sxx - sx * sx) div 1000, 1) "
-        "END AS slope_micro",
+    sabs = (
+        "(abs(n * sxy - sx * sy) * 1000)"
+        " div greatest((n * sxx - sx * sx) div 1000, 1)"
+    )
+    return [
+        f"n AS {n_alias}",
+        f"CASE WHEN n * sxy - sx * sy < 0 THEN -({sabs}) "
+        f"ELSE ({sabs}) END AS slope_micro",
         # inner = sy*100 - slope*sx*100, staged with positive divisions
         # and the +B*n offset so the final div sees positive operands
         f"(sy * 100 "
         f" + CASE WHEN n * sxy - sx * sy < 0 THEN "
-        f"     ((abs(n * sxy - sx * sy) * 1000)"
-        f"      div greatest((n * sxx - sx * sx) div 1000, 1)"
-        f"      * sx * 100) div 1000000 "
+        f"     (({sabs}) * sx * 100) div 1000000 "
         f"   ELSE "
-        f"     -(((abs(n * sxy - sx * sy) * 1000)"
-        f"        div greatest((n * sxx - sx * sx) div 1000, 1)"
-        f"        * sx * 100) div 1000000) "
+        f"     -((({sabs}) * sx * 100) div 1000000) "
         f"   END + {B} * n) div n - {B} AS intercept_micro",
-    )
+    ]
 
 
 def vocab_growth(
@@ -2658,7 +2663,16 @@ def vocab_growth(
     toks = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
-    firsts = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    return _growth_curve(toks, cuts, col="tok")
+
+
+def _growth_curve(toks: DataFrame, cuts: list, col: str) -> DataFrame:
+    """(cutoff, vocab, tokens) over an exploded (doc_id, <col>)
+    occurrence stream — the vocab_growth body, factored so heaps_fit
+    can run the same one-pass conditional-sum plan over n-gram
+    streams (the 31-unigram fixture saturates instantly — the
+    good_turing vacuous-fixture rule)."""
+    firsts = toks.groupBy(col).agg(F.min("doc_id").alias("first_doc"))
     vrow = firsts.agg(
         *[
             F.sum((F.col("first_doc") < c).cast("long")).alias(f"__v{i}")
@@ -13341,3 +13355,145 @@ def kendall_tau(docs: DataFrame, max_rows: int = 1200) -> DataFrame:
         .otherwise(F.expr("(1000 * tnum) div denom"))
         .alias("tau_milli"),
     )
+
+
+def heaps_fit(
+    docs: DataFrame,
+    cutoffs: tuple[int, ...] = (31, 62, 125, 250, 500),
+    gram_n: int = 3,
+) -> DataFrame:
+    """Heaps'/Herdan's-law fit V = C * N^beta: OLS of ln(vocab) on
+    ln(tokens) over the vocab_growth curve's cutoff points — the
+    vocabulary-growth EXPONENT as one number (natural text sits near
+    beta ~ 0.5-0.8, i.e. slope_micro 500k-800k; a heavily duplicated
+    or templated corpus flattens toward 0, synthetic token soup climbs
+    toward 1).  vocab_growth shows the curve; heaps_fit is the
+    data-card scalar a drift monitor can threshold.
+
+    Runs over word gram_n-grams (default 3): the synthetic fixture's
+    31-type unigram vocabulary saturates by doc 31 (slope exactly 0 —
+    a vacuous fit, the good_turing rule), while its 16.5k trigram
+    types keep growing through every cutoff.
+
+    Exactness: rides the vocab_growth counting plan (_growth_curve,
+    integer) and the zipf_fit OLS recipe — ln runs once per CUTOFF
+    point and floors to deci-milli-nats before the integer
+    cross-products (_ols_micro_exprs: sign-peeled slope,
+    +2^40-offset intercept mean, every division positive).  Points
+    with zero tokens or zero vocab (cutoff before the first doc)
+    carry no ln and are dropped.  Overflow: x,y <= 1e4*ln(N) ~ 3e5
+    even at 10^13 tokens, so n*sxy < 2^50 for dozens of cutoffs.
+
+    Scale: one-pass conditional-sum plan (adding a cutoff costs a
+    column, not a scan) + a five-row projection and a one-row
+    aggregate — the corpus is read ONCE."""
+    cuts = sorted(int(c) for c in cutoffs)
+    vg = _growth_curve(_gram_stream(docs, gram_n), cuts, col="g")
+    q = F.lit(10_000.0)
+    pts = vg.filter(
+        (F.col("tokens") > 0) & (F.col("vocab") > 0)
+    ).select(
+        F.floor(F.log(F.col("tokens").cast("double")) * q)
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("vocab").cast("double")) * q)
+        .cast("long")
+        .alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return sums.selectExpr(*_ols_micro_exprs("n_pts"))
+
+
+def mad_outliers(
+    docs: DataFrame, group_col: str = "source", k_mads: int = 3
+) -> DataFrame:
+    """Per-group robust length-outlier card: median + MAD (median
+    absolute deviation) of the per-document token count, and how many
+    docs sit more than k_mads MADs from the median — the outlier
+    detector that mean/stddev cannot be (one 10^6-token page drags a
+    mean-based z-score's own baseline; the median doesn't move).
+
+    Exact integer medians cross-engine: a median of n integers is the
+    HALF-integer (x[(n+1)//2] + x[(n+2)//2]) / 2, so the card carries
+    med2 = the SUM of the two middle order statistics (integer, exact,
+    no rounding convention); deviations dev2 = |2x - med2| are then
+    integers and their median doubles again to mad4 = sum of the two
+    middle dev2 order stats (MAD = mad4/4).  The flag is the integer
+    cross-multiplication  2*dev2 > k_mads*mad4  <=>  |x - med| >
+    k_mads*MAD.  A zero MAD (over half the group identical) flags any
+    nonzero deviation — the standard MAD-rule behavior, documented
+    rather than patched.  No consistency constant: the threshold is
+    k_mads raw MADs (k=3 ~ 2sigma-ish on normal data), a convention
+    the card states, not estimates.
+
+    Scale: medians come from per-group VALUE HISTOGRAMS (groupBy +
+    cumulative window over histogram rows — the spearman_corr rule:
+    never a corpus-wide sort), joined back broadcast; the corpus
+    stream is scanned twice (once per median stage), each pass
+    map-side combinable."""
+    s = docs.select(
+        F.col(group_col).alias("grp"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("x"),
+    )
+
+    def med2_table(vals: DataFrame, col: str) -> DataFrame:
+        # vals: (grp, <col>) -> (grp, med2 = sum of the two middle
+        # order statistics), via the cumulative histogram
+        h = vals.groupBy("grp", col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("grp").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        cum = h.select(
+            "grp", col, "c", F.sum("c").over(w).alias("cum")
+        )
+        nn = vals.groupBy("grp").agg(F.count(F.lit(1)).alias("n"))
+        j = cum.join(F.broadcast(nn), "grp")
+        p1 = F.expr("(n + 1) div 2")
+        p2 = F.expr("(n + 2) div 2")
+        return j.groupBy("grp").agg(
+            F.min(F.when(F.col("cum") >= p1, F.col(col))).alias("m1"),
+            F.min(F.when(F.col("cum") >= p2, F.col(col))).alias("m2"),
+            F.first("n").alias("n"),
+        ).select(
+            "grp",
+            (F.col("m1") + F.col("m2")).alias(f"med2_{col}"),
+            "n",
+        )
+
+    med = med2_table(s, "x").select("grp", "med2_x", "n")
+    dev = s.join(F.broadcast(med.select("grp", "med2_x")), "grp").select(
+        "grp",
+        F.abs(F.lit(2) * F.col("x") - F.col("med2_x")).alias("d"),
+    )
+    mad = med2_table(dev, "d").select(
+        "grp", F.col("med2_d").alias("mad4")
+    )
+    flagged = (
+        dev.join(F.broadcast(mad), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum(
+                (F.lit(2) * F.col("d") > F.lit(int(k_mads)) * F.col("mad4"))
+                .cast("long")
+            ).alias("n_outliers")
+        )
+    )
+    out = (
+        med.join(mad, "grp")
+        .join(flagged, "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "n",
+            F.col("med2_x").alias("med2"),
+            "mad4",
+            "n_outliers",
+            F.expr("(1000 * n_outliers) div n").alias("outlier_milli"),
+        )
+    )
+    return out

@@ -474,3 +474,102 @@ def test_pr_curve_extreme_thresholds(spark):
     assert hi["precision_milli"] is None and hi["recall_milli"] == 0
     # predicted-positive count is monotone non-increasing in threshold
     assert lo["pred_pos"] >= hi["pred_pos"]
+
+
+# --------------------------------------------------------------- mad outliers
+
+
+def test_mad_hand_computed_even_group(spark):
+    # x = [1,2,3,4]: med2 = 2+3 = 5; dev2 = [3,1,1,3] -> mad4 = 1+3 = 4;
+    # no dev passes 2*d > 3*4
+    rows = [(i, _ntok(i + 1), "s") for i in range(4)]
+    r = A.mad_outliers(_docs(spark, rows)).collect()[0]
+    assert (r["n"], r["med2"], r["mad4"], r["n_outliers"]) == (4, 5, 4, 0)
+    assert r["outlier_milli"] == 0
+
+
+def test_mad_zero_mad_flags_any_deviation(spark):
+    # [5,5,5,5,100]: med2 = 10, over half identical -> mad4 = 0, the
+    # single extreme (dev2 = 190) flags
+    rows = [(i, _ntok(5), "s") for i in range(4)] + [(9, _ntok(100), "s")]
+    r = A.mad_outliers(_docs(spark, rows)).collect()[0]
+    assert (r["med2"], r["mad4"], r["n_outliers"]) == (10, 0, 1)
+    assert r["outlier_milli"] == 200
+
+
+def test_mad_groups_are_isolated(spark):
+    rows = ([(i, _ntok(3), "a") for i in range(5)]
+            + [(10 + i, _ntok(50 + i * 10), "b") for i in range(5)])
+    out = {r["source"]: r for r in
+           A.mad_outliers(_docs(spark, rows)).collect()}
+    assert out["a"]["med2"] == 6      # all 3 -> med 3
+    assert out["b"]["med2"] == 140    # [50,60,70,80,90] -> med 70
+    assert out["a"]["mad4"] == 0
+    # dev2 = [40,20,0,20,40], sorted [0,20,20,40,40]: both middle
+    # positions (n odd) hit rank 3 -> mad4 = 20 + 20
+    assert out["b"]["mad4"] == 40
+
+
+def test_mad_k_param(spark):
+    # k_mads = 0: any nonzero deviation flags
+    rows = [(0, _ntok(3), "s"), (1, _ntok(3), "s"), (2, _ntok(4), "s")]
+    r = A.mad_outliers(_docs(spark, rows), k_mads=0).collect()[0]
+    assert r["n_outliers"] == 1
+
+
+# ------------------------------------------------------------------ heaps fit
+
+
+def test_heaps_matches_python_replica(spark):
+    import math as _m
+
+    # deterministic varied corpus: doc i has 3 + i%7 words drawn from a
+    # rotating vocabulary so trigram vocab keeps growing
+    rows = []
+    for i in range(60):
+        k = 3 + i % 7
+        toks = [f"w{(i * 11 + j * 5) % 37}" for j in range(k)]
+        rows.append((i, " ".join(toks), "s"))
+    cutoffs = (8, 16, 32, 60)
+    r = A.heaps_fit(_docs(spark, rows), cutoffs=cutoffs).collect()[0]
+
+    # python replica of the gram stream + growth curve + OLS
+    def grams(text):
+        ws = text.split(" ")
+        return [" ".join(ws[j:j + 3]) for j in range(len(ws) - 2)]
+
+    pts = []
+    for c in cutoffs:
+        seen, tokens = set(), 0
+        for i, t, _src in rows:
+            if i < c:
+                gs = grams(t)
+                tokens += len(gs)
+                seen.update(gs)
+        if tokens > 0 and len(seen) > 0:
+            pts.append((_m.floor(_m.log(float(tokens)) * 10000),
+                        _m.floor(_m.log(float(len(seen))) * 10000)))
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    num = n * sxy - sx * sy
+    den = max((n * sxx - sx * sx) // 1000, 1)
+    sabs = (abs(num) * 1000) // den
+    slope = -sabs if num < 0 else sabs
+    B = 2 ** 40
+    inner = sy * 100 + ((sabs * sx * 100) // 1000000 if num < 0
+                        else -((sabs * sx * 100) // 1000000))
+    intercept = (inner + B * n) // n - B
+    assert r["n_pts"] == n
+    assert r["slope_micro"] == slope
+    assert r["intercept_micro"] == intercept
+    assert 0 < r["slope_micro"] <= 1_000_000  # a real Heaps exponent
+
+
+def test_heaps_unigram_saturation_is_flat(spark):
+    # a 3-type unigram vocabulary saturates immediately: slope 0
+    rows = [(i, " ".join("abc"[j % 3] * 2 for j in range(5)), "s")
+            for i in range(40)]
+    r = A.heaps_fit(_docs(spark, rows), cutoffs=(5, 10, 20, 40),
+                    gram_n=1).collect()[0]
+    assert r["slope_micro"] == 0
