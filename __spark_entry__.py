@@ -4373,6 +4373,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # medians exact; flag is the 2*dev2 > k*mad4 cross-multiply
         return A.mad_outliers(_docs(spark, sf_dir))
 
+    def mann_kendall_trend(spark, sf_dir):
+        # r5 session-12: per-type Mann-Kendall monotone-trend verdict
+        # over daily counts — all-integer (pair signs, tie-corrected
+        # variance, 625*18*(|S|-1)^2 > 2401*var_num cross-multiply)
+        return E.mann_kendall_trend(_events(spark, sf_dir))
+
+    def theil_sen_slope(spark, sf_dir):
+        # r5 session-12: robust trend slope = med2 of the per-pair
+        # floored milli-slopes (sign-peeled divs, histogram median)
+        return E.theil_sen_slope(_events(spark, sf_dir))
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4546,6 +4557,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kendall_tau": kendall_tau,
         "heaps_fit": heaps_fit,
         "mad_outliers": mad_outliers,
+        "mann_kendall_trend": mann_kendall_trend,
+        "theil_sen_slope": theil_sen_slope,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -12348,6 +12361,91 @@ def oracle_sql() -> dict[str, str]:
                          CAST(sum(x * x) AS BIGINT) AS sxx
                   FROM pts)
             {_ols_tail_sql("n_pts")}
+        """,
+        # Mann-Kendall: day-ordered pair signs, tie-corrected variance,
+        # all-integer continuity-corrected 95% verdict (z = 49/25)
+        "mann_kendall_trend": """
+            WITH daily AS (SELECT event_type,
+                     CAST(datediff('day', DATE '2024-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1, 2),
+            nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                   FROM daily GROUP BY 1),
+            pr AS (SELECT a.event_type,
+                          CASE WHEN b.cnt > a.cnt THEN 1
+                               WHEN b.cnt < a.cnt THEN -1
+                               ELSE 0 END AS sg
+                   FROM daily a JOIN daily b
+                     ON a.event_type = b.event_type AND a.day < b.day),
+            s AS (SELECT event_type,
+                         CAST(COALESCE(sum(sg), 0) AS BIGINT) AS s_stat
+                  FROM pr GROUP BY 1),
+            ties AS (SELECT event_type,
+                            CAST(sum(t * (t - 1) * (2 * t + 5))
+                                 AS BIGINT) AS tie_sum
+                     FROM (SELECT event_type, cnt,
+                                  CAST(count(*) AS BIGINT) AS t
+                           FROM daily GROUP BY 1, 2)
+                     GROUP BY 1),
+            j AS (SELECT nn.event_type, nn.n_days,
+                         COALESCE(s.s_stat, 0) AS s_stat,
+                         nn.n_days * (nn.n_days - 1)
+                           * (2 * nn.n_days + 5) - ties.tie_sum
+                             AS var_num
+                  FROM nn LEFT JOIN s ON nn.event_type = s.event_type
+                  JOIN ties ON nn.event_type = ties.event_type)
+            SELECT event_type, n_days, s_stat, var_num,
+                   CASE WHEN var_num <= 0 THEN NULL
+                        ELSE CAST((abs(s_stat) > 0
+                              AND 11250 * (abs(s_stat) - 1)
+                                  * (abs(s_stat) - 1)
+                                  > 2401 * var_num) AS INT)
+                   END AS reject_95
+            FROM j
+        """,
+        # Theil-Sen: per-pair floored milli-slopes (sign-peeled), med2
+        # from the per-type slope histogram (cumulative window)
+        "theil_sen_slope": """
+            WITH daily AS (SELECT event_type,
+                     CAST(datediff('day', DATE '2024-01-01',
+                          CAST(ts AS DATE)) AS BIGINT) AS day,
+                     CAST(count(*) AS BIGINT) AS cnt
+                   FROM events GROUP BY 1, 2),
+            nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+                   FROM daily GROUP BY 1),
+            pr AS (SELECT a.event_type, b.cnt - a.cnt AS dc,
+                          b.day - a.day AS dd
+                   FROM daily a JOIN daily b
+                     ON a.event_type = b.event_type AND a.day < b.day),
+            sl AS (SELECT event_type,
+                          CASE WHEN dc < 0 THEN -((1000 * (-dc)) // dd)
+                               ELSE (1000 * dc) // dd END AS slope
+                   FROM pr),
+            h AS (SELECT event_type, slope,
+                         CAST(count(*) AS BIGINT) AS c
+                  FROM sl GROUP BY 1, 2),
+            cum AS (SELECT event_type, slope,
+                           sum(c) OVER (PARTITION BY event_type
+                               ORDER BY slope
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum
+                    FROM h),
+            np AS (SELECT event_type, CAST(count(*) AS BIGINT)
+                              AS n_pairs
+                   FROM sl GROUP BY 1),
+            med AS (SELECT cum.event_type,
+                           min(CASE WHEN cum >= (n_pairs + 1) // 2
+                                    THEN slope END)
+                         + min(CASE WHEN cum >= (n_pairs + 2) // 2
+                                    THEN slope END) AS slope_med2_milli,
+                           max(n_pairs) AS n_pairs
+                    FROM cum JOIN np
+                      ON cum.event_type = np.event_type
+                    GROUP BY 1)
+            SELECT med.event_type, nn.n_days, med.n_pairs,
+                   med.slope_med2_milli
+            FROM med JOIN nn ON med.event_type = nn.event_type
         """,
         # per-source median/MAD outlier card: cumulative histogram
         # medians (doubled order statistics), integer cross-multiplied

@@ -290,6 +290,8 @@ BAND_MAX_S = {
     "kendall_tau": 4.0,              # warm 0.7-0.8 (cell-histogram tau-b)
     "heaps_fit": 4.0,                # warm 0.7-0.8 (trigram growth OLS)
     "mad_outliers": 5.0,             # warm 1.2-1.3 (histogram medians)
+    "mann_kendall_trend": 4.0,       # warm 0.6-0.8 (daily pair signs)
+    "theil_sen_slope": 4.0,          # warm 0.6-0.7 (pair-slope median)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -692,6 +694,10 @@ def main() -> None:
         "kendall_tau": lambda: force(_entry_q("kendall_tau")),
         "heaps_fit": lambda: force(_entry_q("heaps_fit")),
         "mad_outliers": lambda: force(_entry_q("mad_outliers")),
+        "mann_kendall_trend": lambda: force(
+            _entry_q("mann_kendall_trend")
+        ),
+        "theil_sen_slope": lambda: force(_entry_q("theil_sen_slope")),
     }
 
     def _entry_q(name):

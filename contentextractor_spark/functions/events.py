@@ -1370,3 +1370,208 @@ def item_similarity(events: DataFrame) -> DataFrame:
         "inter",
         F.expr("_num div _den").alias("cos_milli"),
     )
+
+
+def _daily_type_counts(events: DataFrame, anchor: str) -> DataFrame:
+    """(event_type, day, cnt): observed daily counts per type on the
+    datediff-from-anchor day axis (the cusum/retention convention) —
+    shared head of mann_kendall_trend and theil_sen_slope."""
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit(anchor))).cast(
+        "long"
+    )
+    return events.select("event_type", day.alias("day")).groupBy(
+        "event_type", "day"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def mann_kendall_trend(
+    events: DataFrame, anchor: str = "2024-01-01", max_days: int = 1000
+) -> DataFrame:
+    """Per-type Mann-Kendall monotonic-trend test over daily event
+    counts — the nonparametric "is volume drifting?" verdict that
+    pairs with cusum_anomaly (CUSUM localizes a level SHIFT;
+    Mann-Kendall scores a sustained monotone TREND without assuming
+    any distribution).
+
+    ALL-integer, no transcendental anywhere: S = sum over day-ordered
+    pairs of sign(cnt_j - cnt_i); the tie-corrected variance is
+    var = [n(n-1)(2n+5) - sum_t t(t-1)(2t+5)] / 18, and the 95%
+    normal-approximation verdict with continuity correction
+    |z| = (|S|-1)/sqrt(var) > 1.96 cross-multiplies to
+    625 * 18 * (|S|-1)^2 > 2401 * var_num  (z = 49/25, the ks/ab
+    recipe) — no sqrt, no division at all.  S = 0 never rejects;
+    var_num = 0 (all days tied) yields a NULL verdict.
+
+    Scale: the day series per type is ~365 rows/year — the pairwise
+    self-join is bounded by max_days^2 PER TYPE (raise-guarded), on
+    an equi-join key (event_type) so Spark hash-joins then filters;
+    the corpus-size events table is touched once by the daily count."""
+    daily = _daily_type_counts(events, anchor)
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    guard = F.when(
+        F.col("n_days") > F.lit(max_days),
+        F.raise_error(
+            F.lit("mann_kendall_trend: exact bound exceeded, subsample")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("cnt").alias("ca")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("cnt").alias("cb")
+    )
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "cnt")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr("t * (t - 1) * (2 * t + 5)")
+            ).cast("long").alias("tie_sum")
+        )
+    )
+    j = (
+        nn.join(s, "event_type", "left")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            (F.col("n_days") + guard).alias("n_days"),
+            F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+            (
+                F.expr("n_days * (n_days - 1) * (2 * n_days + 5)")
+                - F.col("tie_sum")
+            ).alias("var_num"),
+        )
+    )
+    return j.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        "var_num",
+        F.when(F.col("var_num") <= 0, F.lit(None).cast("int"))
+        .otherwise(
+            (
+                (F.abs(F.col("s_stat")) > 0)
+                & (
+                    F.lit(11250)
+                    * (F.abs(F.col("s_stat")) - 1)
+                    * (F.abs(F.col("s_stat")) - 1)
+                    > F.lit(2401) * F.col("var_num")
+                )
+            ).cast("int")
+        )
+        .alias("reject_95"),
+    )
+
+
+def theil_sen_slope(
+    events: DataFrame, anchor: str = "2024-01-01", max_days: int = 1000
+) -> DataFrame:
+    """Per-type Theil-Sen trend slope over daily event counts — the
+    robust companion to mann_kendall_trend: MK says WHETHER volume
+    trends; Theil-Sen says HOW FAST (median of all pairwise slopes,
+    immune to the single holiday spike that wrecks an OLS slope).
+
+    Convention (exact cross-engine): each pair's slope quantizes to
+    slope_milli = sign-peeled (1000 * dcnt) div dday FIRST (truncating
+    integer division — the zipf_fit sign rule), and the reported
+    statistic is the med2 of those integers (sum of the two middle
+    order statistics, the mad_outliers doubling — slope =
+    slope_med2_milli / 2000 events/day).  Median-of-floored differs
+    from floored-median by < 1 milli; it is THE documented convention,
+    chosen because it keeps every stage integer.
+
+    Types observed on a single day have no pairs and emit NO row
+    (documented).  Scale: same bounded pairwise self-join as MK
+    (max_days raise guard rides on it); the median runs on a per-type
+    slope-value HISTOGRAM (groupBy + cumulative window over histogram
+    rows — the spearman rule, never a corpus sort)."""
+    daily = _daily_type_counts(events, anchor)
+    nn = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    guard = F.when(
+        F.col("n_days") > F.lit(max_days),
+        F.raise_error(
+            F.lit("theil_sen_slope: exact bound exceeded, subsample")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    a = daily.select(
+        "event_type", F.col("day").alias("da"), F.col("cnt").alias("ca")
+    )
+    b = daily.select(
+        "event_type", F.col("day").alias("db"), F.col("cnt").alias("cb")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "event_type",
+            (F.col("cb") - F.col("ca")).alias("dc"),
+            (F.col("db") - F.col("da")).alias("dd"),
+        )
+        .select(
+            "event_type",
+            F.when(
+                F.col("dc") < 0, -F.expr("(1000 * (-dc)) div dd")
+            )
+            .otherwise(F.expr("(1000 * dc) div dd"))
+            .alias("slope"),
+        )
+    )
+    h = pairs.groupBy("event_type", "slope").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("slope").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = h.select(
+        "event_type", "slope", F.sum("c").over(w).alias("cum")
+    )
+    np_ = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    med = (
+        cum.join(F.broadcast(np_), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n_pairs + 1) div 2"),
+                        F.col("slope"),
+                    )
+                )
+                + F.min(
+                    F.when(
+                        F.col("cum") >= F.expr("(n_pairs + 2) div 2"),
+                        F.col("slope"),
+                    )
+                )
+            ).alias("slope_med2_milli"),
+            F.first("n_pairs").alias("n_pairs"),
+        )
+    )
+    return (
+        med.join(nn, "event_type")
+        .select(
+            "event_type",
+            (F.col("n_days") + guard).alias("n_days"),
+            "n_pairs",
+            "slope_med2_milli",
+        )
+    )

@@ -573,3 +573,124 @@ def test_heaps_unigram_saturation_is_flat(spark):
     r = A.heaps_fit(_docs(spark, rows), cutoffs=(5, 10, 20, 40),
                     gram_n=1).collect()[0]
     assert r["slope_micro"] == 0
+
+
+# --------------------------------------------------------------- trend tests
+
+
+import datetime as _dt
+
+from contentextractor_spark.functions import events as E
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string"
+    )
+
+
+def _day_counts_events(spark, counts, etype="click", month=1):
+    rows, eid = [], 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            eid += 1
+            rows.append((eid, _dt.datetime(2024, month, d + 1, 10, 0),
+                         1, etype, 0.0, ""))
+    return _ev(spark, rows)
+
+
+def test_mk_strict_uptrend_rejects(spark):
+    # counts 1..10 strictly increasing: S = C(10,2) = 45, no ties ->
+    # var_num = 10*9*25 = 2250; 11250*44^2 >> 2401*2250 -> reject
+    ev = _day_counts_events(spark, list(range(1, 11)))
+    r = E.mann_kendall_trend(ev).collect()[0]
+    assert (r["n_days"], r["s_stat"], r["var_num"]) == (10, 45, 2250)
+    assert r["reject_95"] == 1
+
+
+def test_mk_constant_series_null(spark):
+    # all days tied: S = 0 AND var_num = 0 -> verdict NULL
+    ev = _day_counts_events(spark, [3] * 8)
+    r = E.mann_kendall_trend(ev).collect()[0]
+    assert r["s_stat"] == 0 and r["var_num"] == 0
+    assert r["reject_95"] is None
+
+
+def test_mk_matches_python_replica(spark):
+    counts = [((i * 7) % 5) + 1 for i in range(20)]
+    ev = _day_counts_events(spark, counts)
+    r = E.mann_kendall_trend(ev).collect()[0]
+
+    n = len(counts)
+    S = sum(
+        (1 if counts[j] > counts[i] else -1 if counts[j] < counts[i]
+         else 0)
+        for i in range(n) for j in range(i + 1, n)
+    )
+    from collections import Counter
+    tie = sum(t * (t - 1) * (2 * t + 5)
+              for t in Counter(counts).values())
+    var_num = n * (n - 1) * (2 * n + 5) - tie
+    expect = int(abs(S) > 0
+                 and 11250 * (abs(S) - 1) ** 2 > 2401 * var_num)
+    assert (r["s_stat"], r["var_num"], r["reject_95"]) == (
+        S, var_num, expect)
+
+
+def test_mk_types_are_isolated(spark):
+    up = _day_counts_events(spark, list(range(1, 11)), etype="up")
+    flat = _day_counts_events(spark, [2] * 10, etype="flat")
+    out = {r["event_type"]: r
+           for r in E.mann_kendall_trend(up.union(flat)).collect()}
+    assert out["up"]["reject_95"] == 1
+    assert out["flat"]["reject_95"] is None
+
+
+def test_mk_bound_guard(spark):
+    ev = _day_counts_events(spark, [1, 2, 3, 4])
+    with pytest.raises(Exception) as ei:
+        E.mann_kendall_trend(ev, max_days=3).collect()
+    assert "subsample" in str(ei.value)
+
+
+def test_theil_sen_exact_line(spark):
+    # counts 2,5,8,11 (slope exactly 3/day): every pair slope 3000
+    ev = _day_counts_events(spark, [2, 5, 8, 11])
+    r = E.theil_sen_slope(ev).collect()[0]
+    assert (r["n_days"], r["n_pairs"]) == (4, 6)
+    assert r["slope_med2_milli"] == 6000
+
+
+def test_theil_sen_outlier_immune(spark):
+    # a line with one spike: the median pairwise slope stays near the
+    # line's slope while an OLS slope would be dragged
+    ev = _day_counts_events(spark, [2, 4, 6, 100, 10, 12, 14])
+    r = E.theil_sen_slope(ev).collect()[0]
+    assert abs(r["slope_med2_milli"] - 4000) <= 1400  # ~2/day
+
+
+def test_theil_sen_matches_python_replica(spark):
+    counts = [((i * 11) % 7) + 1 for i in range(15)]
+    ev = _day_counts_events(spark, counts)
+    r = E.theil_sen_slope(ev).collect()[0]
+
+    slopes = []
+    for i in range(len(counts)):
+        for j in range(i + 1, len(counts)):
+            dc, dd = counts[j] - counts[i], j - i
+            slopes.append(-((1000 * -dc) // dd) if dc < 0
+                          else (1000 * dc) // dd)
+    slopes.sort()
+    m = len(slopes)
+    med2 = slopes[(m + 1) // 2 - 1] + slopes[(m + 2) // 2 - 1]
+    assert r["n_pairs"] == m
+    assert r["slope_med2_milli"] == med2
+
+
+def test_theil_sen_single_day_type_absent(spark):
+    one = _day_counts_events(spark, [5], etype="solo")
+    multi = _day_counts_events(spark, [1, 2, 3], etype="multi")
+    out = {r["event_type"]: r
+           for r in E.theil_sen_slope(one.union(multi)).collect()}
+    assert "solo" not in out and "multi" in out
