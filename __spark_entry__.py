@@ -4384,6 +4384,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # floored milli-slopes (sign-peeled divs, histogram median)
         return E.theil_sen_slope(_events(spark, sf_dir))
 
+    def jsd_drift(spark, sf_dir):
+        # r5 session-12: Jensen-Shannon divergence between the even/odd
+        # doc_id halves' unigram distributions — integer cross-ratio
+        # ln args, per-term micro-nat floors, sign-peeled final divs;
+        # the even/odd split is the A/A null (jsd_micro ~ 0)
+        return A.jsd_drift(_docs(spark, sf_dir))
+
     def modularity_eval(spark, sf_dir):
         # r5 session-10: Newman-modularity scorecard of the SHIPPED
         # label_propagation output over the same chord-community graph
@@ -4559,6 +4566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mad_outliers": mad_outliers,
         "mann_kendall_trend": mann_kendall_trend,
         "theil_sen_slope": theil_sen_slope,
+        "jsd_drift": jsd_drift,
         "tpch_market_share": tpch_market_share,
         "tpch_product_profit": tpch_product_profit,
         "tpch_small_qty_revenue": tpch_small_qty_revenue,
@@ -12361,6 +12369,52 @@ def oracle_sql() -> dict[str, str]:
                          CAST(sum(x * x) AS BIGINT) AS sxx
                   FROM pts)
             {_ols_tail_sql("n_pts")}
+        """,
+        # JSD between corpus halves: integer cross-ratio ln arguments,
+        # per-term micro-nat floors summed as integers, sign-peeled
+        # final truncating divisions (the unigram_surprisal family)
+        "jsd_drift": """
+            WITH toks AS (SELECT doc_id % 2 AS side,
+                                 unnest(string_split(text, ' ')) AS tok
+                          FROM documents),
+            nz AS (SELECT side, tok FROM toks WHERE tok <> ''),
+            tt AS (SELECT tok,
+                          CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS a,
+                          CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS b
+                   FROM nz GROUP BY tok),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+                           CAST(COALESCE(sum(a), 0) AS BIGINT) AS at,
+                           CAST(COALESCE(sum(b), 0) AS BIGINT) AS bt
+                    FROM tt),
+            c AS (SELECT n_terms, at, bt,
+                    CAST(COALESCE(sum(CASE WHEN a > 0
+                                       AND a * bt + b * at > 0 THEN
+                        a * CAST(floor(ln(
+                              CAST(2 * a * bt AS DOUBLE)
+                            / CAST(a * bt + b * at AS DOUBLE))
+                            * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                        ELSE 0 END), 0) AS BIGINT) AS s1,
+                    CAST(COALESCE(sum(CASE WHEN b > 0
+                                       AND a * bt + b * at > 0 THEN
+                        b * CAST(floor(ln(
+                              CAST(2 * b * at AS DOUBLE)
+                            / CAST(a * bt + b * at AS DOUBLE))
+                            * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                        ELSE 0 END), 0) AS BIGINT) AS s2
+                  FROM tt CROSS JOIN tot
+                  GROUP BY n_terms, at, bt)
+            SELECT n_terms, at AS a_total, bt AS b_total, s1, s2,
+                   CASE WHEN at = 0 OR bt = 0 THEN NULL
+                        ELSE (CASE WHEN s1 < 0
+                                   THEN -((-s1) // (2 * at))
+                                   ELSE s1 // (2 * at) END)
+                           + (CASE WHEN s2 < 0
+                                   THEN -((-s2) // (2 * bt))
+                                   ELSE s2 // (2 * bt) END)
+                   END AS jsd_micro
+            FROM c
         """,
         # Mann-Kendall: day-ordered pair signs, tie-corrected variance,
         # all-integer continuity-corrected 95% verdict (z = 49/25)

@@ -292,6 +292,7 @@ BAND_MAX_S = {
     "mad_outliers": 5.0,             # warm 1.2-1.3 (histogram medians)
     "mann_kendall_trend": 4.0,       # warm 0.6-0.8 (daily pair signs)
     "theil_sen_slope": 4.0,          # warm 0.6-0.7 (pair-slope median)
+    "jsd_drift": 4.0,                # warm 0.9-1.3 (split-half unigram JSD)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -698,6 +699,7 @@ def main() -> None:
             _entry_q("mann_kendall_trend")
         ),
         "theil_sen_slope": lambda: force(_entry_q("theil_sen_slope")),
+        "jsd_drift": lambda: force(_entry_q("jsd_drift")),
     }
 
     def _entry_q(name):

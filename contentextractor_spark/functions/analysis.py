@@ -13497,3 +13497,125 @@ def mad_outliers(
         )
     )
     return out
+
+
+def jsd_drift(
+    docs: DataFrame, max_side: int = 1_500_000_000
+) -> DataFrame:
+    """Jensen-Shannon divergence between the even-doc_id and odd-doc_id
+    halves' unigram distributions — the bounded, symmetric drift
+    divergence (0 = identical, ln 2 ~ 693147 micro-nats = disjoint
+    vocabularies) complementing psi_drift's banded PSI: JSD sees
+    VOCABULARY drift term by term where PSI bins a single scalar
+    signal.  On an i.i.d. corpus the even/odd split is an A/A control
+    and jsd_micro sits near 0 — the null read a monitor should verify
+    before trusting the alarm on real batch pairs.
+
+    Cross-engine exactness (the unigram_surprisal recipe): with
+    integer term counts a, b and side totals A, B, each term's mixture
+    ratio is the INTEGER cross-ratio 2*a*B / (a*B + b*A), its ln is
+    evaluated once and floored to micro-nats, and the contribution
+    a * floor(1e6 * ln(.)) is an integer — the two side sums S1, S2
+    are order-free integer sums.  jsd_micro = S1/(2A) + S2/(2B) as two
+    SIGN-PEELED truncating divisions (per-term contributions are
+    signed even though the total is >= 0).  Terms absent from a side
+    contribute only from the present side (the ratio degenerates to
+    exactly 2, no ln(0) anywhere).  Overflow: |contrib| <= a * 2.2e7,
+    so S1 < 2^63 for A <= 1.5e9 tokens per side (raise-guarded;
+    subsample beyond).  Residual: ln's ~1-ulp wiggle at floor
+    boundaries (the unigram_surprisal caveat).
+
+    An empty side makes the divergence undefined -> jsd_micro NULL.
+
+    Scale: ONE token-count groupBy with both sides as conditional sums
+    (map-side combinable), a one-row totals aggregate broadcast back,
+    one final single-row aggregate.  No joins on the corpus stream."""
+    toks = docs.select(
+        (F.col("doc_id") % 2).alias("side"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tt = toks.groupBy("tok").agg(
+        F.sum(F.when(F.col("side") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("a"),
+        F.sum(F.when(F.col("side") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("b"),
+    )
+    guard = F.when(
+        (F.col("at") > F.lit(max_side)) | (F.col("bt") > F.lit(max_side)),
+        F.raise_error(
+            F.lit("jsd_drift: exact bound exceeded, subsample")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    tot = tt.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.coalesce(F.sum("a"), F.lit(0)).alias("at"),
+        F.coalesce(F.sum("b"), F.lit(0)).alias("bt"),
+    ).select("n_terms", (F.col("at") + guard).alias("at"), "bt")
+    j = tt.crossJoin(F.broadcast(tot))
+    mill = F.lit(1_000_000.0)
+    la = F.floor(
+        F.log(
+            (F.lit(2) * F.col("a") * F.col("bt")).cast("double")
+            / (
+                F.col("a") * F.col("bt") + F.col("b") * F.col("at")
+            ).cast("double")
+        )
+        * mill
+    ).cast("long")
+    lb = F.floor(
+        F.log(
+            (F.lit(2) * F.col("b") * F.col("at")).cast("double")
+            / (
+                F.col("a") * F.col("bt") + F.col("b") * F.col("at")
+            ).cast("double")
+        )
+        * mill
+    ).cast("long")
+    # the denom guard only bites when a SIDE is empty (b = 0 for every
+    # term makes a*bt + b*at = 0): ANSI Spark throws on the 0/0 double
+    # division even inside an untaken projection, so the mixture term
+    # must not be evaluated at all — jsd_micro is NULL then anyway
+    denom_pos = (
+        F.col("a") * F.col("bt") + F.col("b") * F.col("at") > 0
+    )
+    agg = j.groupBy("n_terms", "at", "bt").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("a") > 0) & denom_pos, F.col("a") * la
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("s1"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("b") > 0) & denom_pos, F.col("b") * lb
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("s2"),
+    )
+
+    def sgn_div(num: str, den: str):
+        return (
+            F.when(
+                F.col(num) < 0, -F.expr(f"(-{num}) div (2 * {den})")
+            ).otherwise(F.expr(f"{num} div (2 * {den})"))
+        )
+
+    return agg.select(
+        "n_terms",
+        F.col("at").alias("a_total"),
+        F.col("bt").alias("b_total"),
+        "s1",
+        "s2",
+        F.when(
+            (F.col("at") == 0) | (F.col("bt") == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(sgn_div("s1", "at") + sgn_div("s2", "bt"))
+        .alias("jsd_micro"),
+    )

@@ -694,3 +694,70 @@ def test_theil_sen_single_day_type_absent(spark):
     out = {r["event_type"]: r
            for r in E.theil_sen_slope(one.union(multi)).collect()}
     assert "solo" not in out and "multi" in out
+
+
+# ------------------------------------------------------------------ jsd drift
+
+
+def test_jsd_identical_halves_exact_zero(spark):
+    # identical distributions make every cross-ratio EXACTLY 1
+    # (a*B = b*A), so every floor is 0 and jsd_micro is 0 exactly
+    rows = [(i, "x x y z", "s") for i in range(8)]
+    r = A.jsd_drift(_docs(spark, rows)).collect()[0]
+    assert (r["s1"], r["s2"], r["jsd_micro"]) == (0, 0, 0)
+
+
+def test_jsd_disjoint_vocab_ln2(spark):
+    # disjoint vocabularies: every ratio is exactly 2 -> per-term floor
+    # 693147; the two truncating halves lose 1 micro between them
+    rows = [(i, "aa bb" if i % 2 == 0 else "cc dd", "s")
+            for i in range(10)]
+    r = A.jsd_drift(_docs(spark, rows)).collect()[0]
+    assert r["jsd_micro"] == 693146
+
+
+def test_jsd_empty_side_null(spark):
+    rows = [(2 * i, "x y", "s") for i in range(4)]  # even ids only
+    r = A.jsd_drift(_docs(spark, rows)).collect()[0]
+    assert r["b_total"] == 0 and r["jsd_micro"] is None
+
+
+def test_jsd_matches_python_replica(spark):
+    import math as _m
+
+    rows = []
+    for i in range(30):
+        toks = [f"t{(i * 7 + j * 3) % 11}" for j in range(3 + i % 4)]
+        rows.append((i, " ".join(toks), "s"))
+    r = A.jsd_drift(_docs(spark, rows)).collect()[0]
+
+    from collections import Counter
+    ca, cb = Counter(), Counter()
+    for i, t, _src in rows:
+        (ca if i % 2 == 0 else cb).update(t.split(" "))
+    A_, B_ = sum(ca.values()), sum(cb.values())
+    terms = set(ca) | set(cb)
+    s1 = sum(
+        ca[t] * _m.floor(_m.log(
+            (2 * ca[t] * B_) / (ca[t] * B_ + cb[t] * A_)) * 1e6)
+        for t in terms if ca[t] > 0)
+    s2 = sum(
+        cb[t] * _m.floor(_m.log(
+            (2 * cb[t] * A_) / (ca[t] * B_ + cb[t] * A_)) * 1e6)
+        for t in terms if cb[t] > 0)
+
+    def sgn_div(num, den):
+        return -((-num) // den) if num < 0 else num // den
+
+    expect = sgn_div(s1, 2 * A_) + sgn_div(s2, 2 * B_)
+    assert (r["n_terms"], r["a_total"], r["b_total"]) == (
+        len(terms), A_, B_)
+    assert (r["s1"], r["s2"], r["jsd_micro"]) == (s1, s2, expect)
+    assert 0 <= r["jsd_micro"] <= 693147
+
+
+def test_jsd_bound_guard(spark):
+    rows = [(i, "x y z w", "s") for i in range(4)]
+    with pytest.raises(Exception) as ei:
+        A.jsd_drift(_docs(spark, rows), max_side=5).collect()
+    assert "subsample" in str(ei.value)
