@@ -4497,6 +4497,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within source, two-level groupBy, null text excluded)
         return A.dup_rate_by_source(_docs(spark, sf_dir))
 
+    def roc_auc(spark, sf_dir):
+        # r5 session-13: threshold-free discrimination eval of the
+        # SHIPPED hashed_linear_score vs quality_filter labels — the
+        # doubled-midrank histogram AUC (window over the <=2001-value
+        # score histogram, never the corpus); md5 stand-in weights
+        # read ~500 milli, the honest null
+        return A.roc_auc(_docs(spark, sf_dir))
+
+    def score_reliability(spark, sf_dir):
+        # r5 session-13: fixed-band reliability table of the shipped
+        # scorer — per-band observed positive rate + lift over base,
+        # one groupBy + one-row broadcast totals
+        return A.score_reliability(_docs(spark, sf_dir))
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4530,6 +4544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": inverted_index,
         "quantize_embeddings": quantize_embeddings,
         # never driver-checked (new this round):
+        "roc_auc": roc_auc,
+        "score_reliability": score_reliability,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -12341,6 +12357,77 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (2000 * tp) // (2 * tp + fp + fn)
                    END AS f1_milli
             FROM cells
+        """,
+        # ROC-AUC: doubled-midrank histogram U statistic over the
+        # bounded score histogram; NULL (never 500) on a degenerate
+        # label side
+        "roc_auc": f"""
+            WITH {_hls_ctes("documents")},
+            q AS ({_qf_cols_sql("documents")}),
+            qk AS (SELECT doc_id,
+                          CASE WHEN NOT {_QF_BAD_SQL}
+                               THEN 1 ELSE 0 END AS qk
+                   FROM q),
+            jj AS (SELECT qk, score_micro
+                   FROM qk JOIN hls USING (doc_id)),
+            hist AS (SELECT score_micro,
+                            CAST(sum(qk) AS BIGINT) AS c1,
+                            CAST(sum(1 - qk) AS BIGINT) AS c0
+                     FROM jj GROUP BY 1),
+            cum AS (SELECT c1, c1 + c0 AS t,
+                           sum(c1 + c0) OVER (ORDER BY score_micro
+                             ROWS UNBOUNDED PRECEDING) AS cumt
+                    FROM hist),
+            per AS (SELECT c1, t, 2 * (cumt - t) + t + 1 AS rank2
+                    FROM cum),
+            agg AS (SELECT
+                      CAST(COALESCE(sum(c1), 0) AS BIGINT) AS n_pos,
+                      CAST(COALESCE(sum(t - c1), 0) AS BIGINT) AS n_neg,
+                      CAST(COALESCE(sum(c1 * rank2), 0) AS BIGINT)
+                          AS r1_x2
+                    FROM per),
+            base AS (SELECT n_pos, n_neg,
+                            r1_x2 - n_pos * (n_pos + 1) AS u1_x2
+                     FROM agg)
+            SELECT n_pos + n_neg AS n_scored, n_pos, n_neg, u1_x2,
+                   CASE WHEN n_pos = 0 OR n_neg = 0 THEN NULL
+                        ELSE (1000 * u1_x2) // (2 * n_pos * n_neg)
+                   END AS auc_milli
+            FROM base
+        """,
+        # Score-band reliability: fixed 50-micro bands over the clamped
+        # score, per-band positive rate + lift over base rate
+        "score_reliability": f"""
+            WITH {_hls_ctes("documents")},
+            q AS ({_qf_cols_sql("documents")}),
+            qk AS (SELECT doc_id,
+                          CASE WHEN NOT {_QF_BAD_SQL}
+                               THEN 1 ELSE 0 END AS qk
+                   FROM q),
+            jj AS (SELECT qk, score_micro
+                   FROM qk JOIN hls USING (doc_id)),
+            banded AS (SELECT
+                         CAST((GREATEST(CAST(-250 AS BIGINT),
+                                LEAST(CAST(249 AS BIGINT), score_micro))
+                               + 250) // 50 AS BIGINT) AS band,
+                         qk
+                       FROM jj),
+            per AS (SELECT band, CAST(count(*) AS BIGINT) AS n,
+                           CAST(sum(qk) AS BIGINT) AS pos
+                    FROM banded GROUP BY band),
+            tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total,
+                           CAST(COALESCE(sum(qk), 0) AS BIGINT)
+                               AS pos_total
+                    FROM banded)
+            SELECT band,
+                   -250 + band * 50 AS lo_micro,
+                   -250 + (band + 1) * 50 AS hi_micro,
+                   n, pos,
+                   (1000 * pos) // n AS obs_milli,
+                   CASE WHEN pos_total = 0 THEN NULL
+                        ELSE (1000 * pos * n_total) // (n * pos_total)
+                   END AS lift_milli
+            FROM per CROSS JOIN tot
         """,
         # Heaps' law over trigrams: the vocab_growth counting chain on
         # the _gram_occ_cte stream, deci-milli-nat point quantization,

@@ -293,6 +293,10 @@ BAND_MAX_S = {
     "mann_kendall_trend": 4.0,       # warm 0.6-0.8 (daily pair signs)
     "theil_sen_slope": 4.0,          # warm 0.6-0.7 (pair-slope median)
     "jsd_drift": 4.0,                # warm 0.9-1.3 (split-half unigram JSD)
+    "roc_auc": 9.0,                  # 3.5-4.2 under a disclosed burst
+    #                                  (classifier_agreement read 7x its
+    #                                  warm record in the same window)
+    "score_reliability": 9.0,        # 3.5-8.5 same burst window
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -700,6 +704,10 @@ def main() -> None:
         ),
         "theil_sen_slope": lambda: force(_entry_q("theil_sen_slope")),
         "jsd_drift": lambda: force(_entry_q("jsd_drift")),
+        "roc_auc": lambda: force(_entry_q("roc_auc")),
+        "score_reliability": lambda: force(
+            _entry_q("score_reliability")
+        ),
     }
 
     def _entry_q(name):

@@ -13619,3 +13619,168 @@ def jsd_drift(
         .otherwise(sgn_div("s1", "at") + sgn_div("s2", "bt"))
         .alias("jsd_micro"),
     )
+
+
+def roc_auc(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    max_docs: int = 1_000_000,
+) -> DataFrame:
+    """ROC-AUC of the SHIPPED hashed_linear_score classifier against the
+    quality_filter verdict as reference labels — the threshold-free
+    discrimination eval completing the classifier scorecard trio
+    (classifier_agreement = one operating point's chance-corrected
+    agreement, score_pr_curve = per-threshold operating points, this =
+    ranking quality over ALL thresholds).  With the md5 stand-in
+    weights AUC ~ 500 milli is the honest null read; a trained weight
+    table lights the same plan up.
+
+    AUC = P(score_pos > score_neg) + 0.5 * P(tie), i.e. the
+    Mann-Whitney U statistic normalized by n1*n0 — computed exactly
+    with the DOUBLED-midrank histogram (the mann_whitney_u machinery):
+    for a score value with t tied rows after prev smaller rows,
+    rank2 = 2*prev + t + 1; r1_x2 = sum over positives of rank2;
+    u1_x2 = 2*U1 = r1_x2 - n1*(n1+1) (always >= 0);
+    auc_milli = 1000*u1_x2 div (2*n1*n0).  All integers; a degenerate
+    label side (n1 = 0 or n0 = 0) yields NULL, never 500.
+
+    Overflow: 1000*u1_x2 <= 2000*n1*n0 <= 500*n^2 < 2^63 far past the
+    max_docs = 10^6 raise guard (an AUC at n = 10^6 has converged —
+    subsample beyond).
+
+    Scale: the cumulative window runs over the SCORE HISTOGRAM, not
+    the corpus — score_micro lands in [-1000, 1000] by construction
+    (per-doc mean of +/-1000-bounded weights), so the windowed table
+    is <= 2001 rows regardless of corpus size.  One map-side
+    combinable groupBy, one tiny window, one final aggregate."""
+    qf = quality_filter(docs).select("doc_id", F.col("keep").alias("qk"))
+    hls = hashed_linear_score(docs, n_buckets=n_buckets).select(
+        "doc_id", "score_micro"
+    )
+    j = qf.join(hls, "doc_id")
+    hist = j.groupBy("score_micro").agg(
+        F.sum("qk").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("qk")).cast("long").alias("c0"),
+    )
+    w = Window.orderBy("score_micro").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.select(
+        "c1",
+        (F.col("c1") + F.col("c0")).alias("t"),
+        F.sum(F.col("c1") + F.col("c0")).over(w).alias("cumt"),
+    )
+    per = cum.select(
+        "c1",
+        "t",
+        (
+            F.lit(2) * (F.col("cumt") - F.col("t"))
+            + F.col("t")
+            + F.lit(1)
+        ).alias("rank2"),
+    )
+    agg = per.agg(
+        F.coalesce(F.sum("c1"), F.lit(0)).alias("n_pos"),
+        F.coalesce(F.sum(F.col("t") - F.col("c1")), F.lit(0)).alias(
+            "n_neg"
+        ),
+        F.coalesce(F.sum(F.col("c1") * F.col("rank2")), F.lit(0)).alias(
+            "r1_x2"
+        ),
+    )
+    guard = F.when(
+        F.col("n_pos") + F.col("n_neg") > F.lit(max_docs),
+        F.raise_error(
+            F.lit("roc_auc: exact bound exceeded, subsample")
+        ).cast("long"),
+    ).otherwise(F.lit(0))
+    base = agg.select(
+        "n_pos",
+        "n_neg",
+        (
+            F.col("r1_x2")
+            - F.col("n_pos") * (F.col("n_pos") + 1)
+            + guard
+        ).alias("u1_x2"),
+    )
+    return base.select(
+        (F.col("n_pos") + F.col("n_neg")).alias("n_scored"),
+        "n_pos",
+        "n_neg",
+        "u1_x2",
+        F.when(
+            (F.col("n_pos") == 0) | (F.col("n_neg") == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(F.expr("(1000 * u1_x2) div (2 * n_pos * n_neg)"))
+        .alias("auc_milli"),
+    )
+
+
+def score_reliability(
+    docs: DataFrame,
+    n_buckets: int = 4096,
+    lo: int = -250,
+    hi: int = 250,
+    n_bands: int = 10,
+) -> DataFrame:
+    """Score-band reliability table for the hashed_linear_score
+    classifier: clamp score_micro into [lo, hi), cut that range into
+    n_bands fixed-width bands, and report each band's observed
+    quality_filter positive rate plus its lift over the global base
+    rate — the monotone-calibration read (a healthy scorer's
+    obs_milli climbs with the band; the md5 stand-in weights draw the
+    flat null).  FIXED bands, not quantiles: the card must be
+    comparable across corpora and engine-deterministic.
+
+    All-integer: band = (clamped - lo) div width over an integer
+    clamp; obs_milli = 1000*pos div n; lift_milli =
+    (1000*pos*n_total) div (n*pos_total) — one truncating division of
+    non-negative bigints (NULL when the corpus has no positives, an
+    undefined lift is not a zero lift).  Empty bands are absent rows
+    (the card reports coverage via n, not zero-filled padding).
+
+    Scale: one map-side-combinable groupBy on band (<= n_bands
+    groups), base totals as a one-row broadcast crossJoin back — no
+    second corpus pass, no window."""
+    width = (hi - lo) // n_bands
+    if width * n_bands != hi - lo:
+        raise ValueError("score_reliability: bands must divide range")
+    qf = quality_filter(docs).select("doc_id", F.col("keep").alias("qk"))
+    hls = hashed_linear_score(docs, n_buckets=n_buckets).select(
+        "doc_id", "score_micro"
+    )
+    j = qf.join(hls, "doc_id")
+    clamped = F.greatest(
+        F.lit(lo), F.least(F.lit(hi - 1), F.col("score_micro"))
+    )
+    banded = j.select(
+        ((clamped - F.lit(lo)).cast("long") / F.lit(width))
+        .cast("long")
+        .alias("band"),
+        "qk",
+    )
+    per = banded.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qk").cast("long").alias("pos"),
+    )
+    tot = banded.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.coalesce(F.sum("qk"), F.lit(0)).cast("long").alias("pos_total"),
+    )
+    out = per.crossJoin(F.broadcast(tot))
+    return out.select(
+        "band",
+        (F.lit(lo) + F.col("band") * F.lit(width)).alias("lo_micro"),
+        (F.lit(lo) + (F.col("band") + 1) * F.lit(width)).alias(
+            "hi_micro"
+        ),
+        "n",
+        "pos",
+        F.expr("(1000 * pos) div n").alias("obs_milli"),
+        F.when(F.col("pos_total") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr("(1000 * pos * n_total) div (n * pos_total)")
+        )
+        .alias("lift_milli"),
+    )
