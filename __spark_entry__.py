@@ -4511,6 +4511,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one groupBy + one-row broadcast totals
         return A.score_reliability(_docs(spark, sf_dir))
 
+    def cdc_apply(spark, sf_dir):
+        # r5 session-13: MERGE INTO compaction of a synthesized change
+        # stream (every %10 event a delete, rest upserts keyed by
+        # user) — packed (ts,id) argmax + one co-partitioned join-back;
+        # keys whose latest record is a delete are absent
+        ev = _events(spark, sf_dir)
+        changes = ev.select(
+            F.col("user_id").alias("key"),
+            F.when(F.pmod("event_id", 10) == 0, F.lit("D"))
+            .otherwise(F.lit("U"))
+            .alias("op"),
+            F.col("event_type").alias("value"),
+            F.expr(
+                "unix_micros(cast(ts as timestamp)) div 1000000"
+            ).alias("ts"),
+            F.col("event_id").alias("id"),
+        )
+        return E.cdc_apply(changes)
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4546,6 +4565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # never driver-checked (new this round):
         "roc_auc": roc_auc,
         "score_reliability": score_reliability,
+        "cdc_apply": cdc_apply,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -12394,6 +12414,33 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (1000 * u1_x2) // (2 * n_pos * n_neg)
                    END AS auc_milli
             FROM base
+        """,
+        # CDC apply: packed (ts,id) argmax per key + join-back for the
+        # winning op/value; latest-delete keys absent by semantics
+        "cdc_apply": """
+            WITH ch AS (SELECT user_id AS key,
+                               CASE WHEN event_id % 10 = 0
+                                    THEN 'D' ELSE 'U' END AS op,
+                               event_type AS value,
+                               epoch_us(ts) // 1000000 AS ets,
+                               event_id AS id
+                        FROM events),
+            pk AS (SELECT key, op, value,
+                          ets * 1048576 + id AS p
+                   FROM ch),
+            agg AS (SELECT key, max(p) AS pmax,
+                           CAST(count(*) AS BIGINT) AS n_changes,
+                           CAST(sum(CASE WHEN op = 'D' THEN 1
+                                         ELSE 0 END) AS BIGINT)
+                               AS n_deletes
+                    FROM pk GROUP BY key)
+            SELECT agg.key, pk.value,
+                   pmax // 1048576 AS last_ts,
+                   pmax % 1048576 AS last_id,
+                   n_changes, n_deletes
+            FROM agg JOIN pk
+              ON agg.key = pk.key AND agg.pmax = pk.p
+            WHERE pk.op = 'U'
         """,
         # Score-band reliability: fixed 50-micro bands over the clamped
         # score, per-band positive rate + lift over base rate

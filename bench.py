@@ -297,6 +297,7 @@ BAND_MAX_S = {
     #                                  (classifier_agreement read 7x its
     #                                  warm record in the same window)
     "score_reliability": 9.0,        # 3.5-8.5 same burst window
+    "cdc_apply": 6.0,                # warm 1.9-2.0 (packed argmax + join)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -708,6 +709,7 @@ def main() -> None:
         "score_reliability": lambda: force(
             _entry_q("score_reliability")
         ),
+        "cdc_apply": lambda: force(_entry_q("cdc_apply")),
     }
 
     def _entry_q(name):

@@ -1575,3 +1575,93 @@ def theil_sen_slope(
             "slope_med2_milli",
         )
     )
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key_col: str = "key",
+    op_col: str = "op",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    id_col: str = "id",
+    ts_bound: int = 2**42,
+) -> DataFrame:
+    """MERGE INTO / CDC-apply compaction: collapse a keyed change
+    stream of upserts ('U') and deletes ('D') to the final table
+    state — the lakehouse merge primitive (Iceberg/Delta MERGE, Hudi
+    upsert) every incremental-ingest pipeline ends in.  Per key the
+    LATEST record by (ts, id) wins; a key whose latest record is a
+    delete is ABSENT from the output (that is the semantics — the
+    per-key change/delete counts ride on the surviving rows, and a
+    caller auditing deletions diffs key counts against the input).
+
+    Determinism: the change stream is tie-heavy on ts (the
+    recrawl_priority lesson), so the total order packs ts*2^20 + id
+    (ids unique, so the pack is unique per key and max() IS the
+    argmax — the latest_snapshot family); out-of-bounds or null
+    ts/id rows raise PER ROW at the packing projection rather than
+    silently vanishing from the argmax (max ignores nulls).  The
+    guard must be per-row, not an aggregate-side flag: AQE's
+    empty-relation propagation can prune the whole join — including
+    an aggregate-side raise_error — when the filtered join-back side
+    turns out empty at runtime (measured: an all-invalid input
+    returned [] instead of raising under the flag form).
+
+    Scale: ONE map-side-combinable groupBy computes the per-key
+    winner pack + change counts, then ONE equi-join back on
+    (key, pack) retrieves the winning row's op/value — the join is
+    keyed on both sides by the same key column, so AQE co-partitions
+    it; no window over the change stream, no sort.  Unknown op codes
+    raise at the projection (a malformed CDC feed must not be
+    silently compacted)."""
+    ts = F.col(ts_col).cast("long")
+    idc = F.col(id_col).cast("long")
+    op = F.col(op_col)
+    packed = F.when(
+        (ts >= 0)
+        & (ts < F.lit(ts_bound))
+        & (idc >= 0)
+        & (idc < F.lit(2**20)),
+        ts * F.lit(2**20) + idc,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "cdc_apply: ts/id null or outside packing bounds "
+                f"(0<=ts<{ts_bound}, 0<=id<2^20) — re-pack with a "
+                "wider shift"
+            )
+        ).cast("long")
+    )
+    opv = F.when(op.isin("U", "D"), op).otherwise(
+        F.raise_error(F.lit("cdc_apply: unknown op code")).cast("string")
+    )
+    pk = changes.select(
+        F.col(key_col).alias("key"),
+        packed.alias("__p"),
+        opv.alias("__op"),
+        F.col(value_col).alias("__v"),
+    )
+    checked = pk.groupBy("key").agg(
+        F.max("__p").alias("__pmax"),
+        F.count(F.lit(1)).alias("n_changes"),
+        F.sum((F.col("__op") == "D").cast("long")).alias("n_deletes"),
+    )
+    winner = checked.join(
+        pk.select("key", "__p", "__op", "__v"),
+        (checked["key"] == pk["key"]) & (checked["__pmax"] == pk["__p"]),
+    ).select(
+        checked["key"],
+        "n_changes",
+        "n_deletes",
+        "__op",
+        "__v",
+        "__pmax",
+    )
+    return winner.filter(F.col("__op") == "U").select(
+        "key",
+        F.col("__v").alias(value_col),
+        F.shiftright("__pmax", 20).alias("last_ts"),
+        (F.col("__pmax") % F.lit(2**20)).alias("last_id"),
+        "n_changes",
+        "n_deletes",
+    )
