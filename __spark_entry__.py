@@ -4530,6 +4530,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return E.cdc_apply(changes)
 
+    def centroid_summary(spark, sf_dir):
+        # r5 session-14: one-sentence extractive summary over the
+        # sentence_split corpus (_C4_LINES pages + the Dr. Smith
+        # plant) — distinct-token idf milli-nat sums, packed argmax
+        # with lead-bias tiebreak
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        text2 = F.concat(
+            F.expr(_C4_LINES),
+            F.when(
+                F.pmod("doc_id", 7) == 0,
+                F.lit("\nDr. Smith arrived! Then left? Yes."),
+            ).otherwise(F.lit("")),
+        )
+        return A.centroid_summary(docs.select("doc_id", text2.alias("text")))
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4566,6 +4581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "roc_auc": roc_auc,
         "score_reliability": score_reliability,
         "cdc_apply": cdc_apply,
+        "centroid_summary": centroid_summary,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -6301,6 +6317,36 @@ def _cdc_cte(mask: int = 16) -> str:
                      FROM cloc GROUP BY doc_id, chunk_id)"""
 
 
+def _sent_ctes(src: str = "documents") -> str:
+    """built → m → s CTE chain: the sentence-corpus builder (the
+    _C4_LINES 6-word-line pages + the planted 'Dr. Smith' abbreviation)
+    plus the documented naive sentence rule — ONE definition shared by
+    the sentence_split and centroid_summary oracles (the shared-CTE
+    rule).  `s` ends as (doc_id, sent_pos, sentence), empties dropped."""
+    return f"""
+            built AS (
+              SELECT doc_id,
+                     array_to_string(list_transform(
+                         generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 6.0) AS INT) - 1),
+                         i -> array_to_string(list_slice(string_split(text, ' '), i * 6 + 1, i * 6 + 6), ' ')
+                              || CASE WHEN (doc_id + i) % 2 = 0 THEN '.' ELSE '' END),
+                       chr(10))
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || 'Dr. Smith arrived! Then left? Yes.'
+                             ELSE '' END AS t
+              FROM {src} WHERE text IS NOT NULL),
+            m AS (SELECT doc_id,
+                         regexp_replace(t, '([.!?])[ \t\n\r]+',
+                                        '\\1' || chr(1), 'g') AS t
+                  FROM built),
+            s AS (SELECT doc_id, i - 1 AS sent_pos, trim(l[i]) AS sentence
+                  FROM (SELECT doc_id, string_split(t, chr(1)) AS l,
+                               unnest(generate_series(1,
+                                   len(string_split(t, chr(1))))) AS i
+                        FROM m)
+                  WHERE trim(l[i]) <> '')"""
+
+
 def _split_cte(src: str = "documents") -> str:
     """md5-bucket split assignment CTE — shared by train_split_assign's
     oracle and curation_v3 (one definition of the 204/230 thresholds)."""
@@ -7045,29 +7091,50 @@ def oracle_sql() -> dict[str, str]:
         # documented naive rule (terminal punct + whitespace, explicit
         # [ \t\n\r] class, marker split) — including the 'Dr. Smith'
         # abbreviation split the docstring owns up to
-        "sentence_split": """
-            WITH built AS (
-              SELECT doc_id,
-                     array_to_string(list_transform(
-                         generate_series(0, CAST(ceil(len(string_split(text, ' ')) / 6.0) AS INT) - 1),
-                         i -> array_to_string(list_slice(string_split(text, ' '), i * 6 + 1, i * 6 + 6), ' ')
-                              || CASE WHEN (doc_id + i) % 2 = 0 THEN '.' ELSE '' END),
-                       chr(10))
-                     || CASE WHEN doc_id % 7 = 0
-                             THEN chr(10) || 'Dr. Smith arrived! Then left? Yes.'
-                             ELSE '' END AS t
-              FROM documents WHERE text IS NOT NULL),
-            m AS (SELECT doc_id,
-                         regexp_replace(t, '([.!?])[ \t\n\r]+',
-                                        '\\1' || chr(1), 'g') AS t
-                  FROM built),
-            s AS (SELECT doc_id, i - 1 AS sent_pos, trim(l[i]) AS sentence
-                  FROM (SELECT doc_id, string_split(t, chr(1)) AS l,
-                               unnest(generate_series(1,
-                                   len(string_split(t, chr(1))))) AS i
-                        FROM m))
+        "sentence_split": f"""
+            WITH {_sent_ctes('documents')}
             SELECT doc_id, CAST(sent_pos AS INT) AS sent_pos, sentence
-            FROM s WHERE sentence <> ''
+            FROM s
+        """,
+        # r5 session-14 centroid summary: distinct-token idf sums per
+        # sentence (milli-nats) + packed argmax with lead-bias tiebreak;
+        # a wrong idf quantization, a tf leak (repeated in-sentence
+        # token), or a tie going to the later sentence breaks the hash
+        "centroid_summary": f"""
+            WITH {_sent_ctes('documents')},
+            stok AS (SELECT DISTINCT doc_id, sent_pos, tok
+                     FROM (SELECT doc_id, sent_pos,
+                                  unnest(string_split(sentence, ' ')) AS tok
+                           FROM s)
+                     WHERE tok <> ''),
+            dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM stok GROUP BY tok),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                   FROM documents WHERE text IS NOT NULL),
+            idf AS (SELECT tok,
+                           CAST(floor(ln(CAST(n AS DOUBLE)
+                                         / CAST(df AS DOUBLE)) * 1000)
+                                AS BIGINT) AS idf_milli
+                    FROM dfr CROSS JOIN nn),
+            sc AS (SELECT doc_id, sent_pos,
+                          CAST(sum(idf_milli) AS BIGINT) AS score_milli
+                   FROM stok JOIN idf USING (tok)
+                   GROUP BY doc_id, sent_pos),
+            win AS (SELECT doc_id,
+                           max(score_milli * 1048576
+                               + (1048575 - sent_pos)) AS p
+                    FROM sc GROUP BY doc_id),
+            ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents
+                   FROM s GROUP BY doc_id)
+            SELECT win.doc_id,
+                   CAST(1048575 - (p % 1048576) AS INT) AS sent_pos,
+                   s.sentence,
+                   p // 1048576 AS score_milli,
+                   ns.n_sents
+            FROM win
+            JOIN s ON s.doc_id = win.doc_id
+                  AND s.sent_pos = 1048575 - (p % 1048576)
+            JOIN ns ON ns.doc_id = win.doc_id
         """,
         # r5 session-2 CDX index: surt PREDICTED from the builder — a
         # wrong label reversal, kept fragment, missed lowercase, or a

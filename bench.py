@@ -298,6 +298,7 @@ BAND_MAX_S = {
     #                                  warm record in the same window)
     "score_reliability": 9.0,        # 3.5-8.5 same burst window
     "cdc_apply": 6.0,                # warm 1.9-2.0 (packed argmax + join)
+    "centroid_summary": 15.0,        # warm 5.8-7.2 (sentence idf + argmax)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -710,6 +711,7 @@ def main() -> None:
             _entry_q("score_reliability")
         ),
         "cdc_apply": lambda: force(_entry_q("cdc_apply")),
+        "centroid_summary": lambda: force(_entry_q("centroid_summary")),
     }
 
     def _entry_q(name):

@@ -13784,3 +13784,97 @@ def score_reliability(
         )
         .alias("lift_milli"),
     )
+
+
+def centroid_summary(
+    docs: DataFrame, pos_bits: int = 20, score_bound: int = 2**42
+) -> DataFrame:
+    """(doc_id, sent_pos, sentence, score_milli, n_sents): one-sentence
+    extractive summary per document — centroid scoring in the spirit of
+    MEAD (Radev et al. 2004): a sentence's score is the sum of
+    per-term idf over its DISTINCT whitespace tokens (rare terms mark
+    informative sentences; distinct-terms, not tf, so a token repeated
+    inside one sentence cannot stuff the score), and the winner is the
+    argmax with the SMALLEST sent_pos on ties (lead bias — the packed
+    pos-complement convention from budget_select).
+
+    Exactness: idf is quantized ONCE per term to milli-nats
+    (floor(ln(N/df)*1000) — the unigram_surprisal convention, with its
+    documented 1-ulp-near-floor-boundary caveat), so sentence scores
+    are order-free integer sums; the argmax packs
+    score*2^pos_bits + (2^pos_bits-1 - sent_pos) so max() IS the
+    argmax (the latest_snapshot family).  Packing violations raise PER
+    ROW at the projection, never an aggregate-side flag (the cdc_apply
+    AQE empty-relation lesson).
+
+    Scale: tokenize + distinct + two map-side-combinable groupBys
+    (sentence score, doc argmax); the corpus size rides in as a
+    one-row broadcast crossJoin (no collect); the winner joins back to
+    the sentence table on (doc_id, sent_pos) — co-partitioned
+    equi-join.  idf table is term-level (vocabulary-sized) — AQE
+    broadcasts it when small.  No window over the corpus, no global
+    sort."""
+    sents = sentence_split(docs)
+    stok = (
+        sents.select(
+            "doc_id",
+            "sent_pos",
+            F.explode(F.split("sentence", " ")).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    dfreq = (
+        stok.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    idf = dfreq.crossJoin(F.broadcast(n)).select(
+        "term",
+        F.floor(
+            F.log(F.col("__n").cast("double") / F.col("df").cast("double"))
+            * 1000
+        )
+        .cast("long")
+        .alias("idf_milli"),
+    )
+    score = (
+        stok.join(idf, "term")
+        .groupBy("doc_id", "sent_pos")
+        .agg(F.sum("idf_milli").cast("long").alias("score_milli"))
+    )
+    pos_mod = 2**pos_bits
+    sc, sp = F.col("score_milli"), F.col("sent_pos")
+    packed = F.when(
+        (sc >= 0) & (sc < F.lit(score_bound)) & (sp < F.lit(pos_mod)),
+        sc * F.lit(pos_mod) + (F.lit(pos_mod - 1) - sp),
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "centroid_summary: score/sent_pos outside packing "
+                f"bounds (score<{score_bound}, pos<2^{pos_bits})"
+            )
+        ).cast("long")
+    )
+    win = (
+        score.select("doc_id", packed.alias("__p"))
+        .groupBy("doc_id")
+        .agg(F.max("__p").alias("__p"))
+        .select(
+            "doc_id",
+            F.shiftright("__p", pos_bits).alias("score_milli"),
+            (F.lit(pos_mod - 1) - F.col("__p") % F.lit(pos_mod))
+            .cast("int")
+            .alias("sent_pos"),
+        )
+    )
+    n_sents = sents.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sents")
+    )
+    return (
+        win.join(sents, ["doc_id", "sent_pos"])
+        .join(n_sents, "doc_id")
+        .select("doc_id", "sent_pos", "sentence", "score_milli", "n_sents")
+    )

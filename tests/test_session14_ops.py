@@ -93,3 +93,89 @@ def test_cdc_apply_null_ts_raises(spark):
 def test_cdc_apply_unknown_op_raises(spark):
     df = _changes(spark, [(1, "X", "a", 10, 1)])
     _assert_raises(E.cdc_apply(df))
+
+
+# ------------------------------------------------------- centroid_summary
+from contentextractor_spark.functions import analysis as A
+
+
+def _cs_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_centroid_rare_terms_win(spark):
+    # 'zyx' appears in one doc only (max idf); the sentence holding it
+    # must win over the boilerplate sentence shared by every doc
+    rows = [(i, "common words here. zyx unique marker."
+             if i == 0 else "common words here. filler words too.")
+            for i in range(4)]
+    out = {r["doc_id"]: r.asDict()
+           for r in A.centroid_summary(_cs_docs(spark, rows)).collect()}
+    assert out[0]["sent_pos"] == 1
+    assert "zyx" in out[0]["sentence"]
+    assert out[0]["n_sents"] == 2
+
+
+def test_centroid_tie_lead_bias(spark):
+    # two sentences with identical distinct-token idf sums: the EARLIER
+    # sentence must win (pos-complement packing)
+    rows = [(0, "alpha beta. gamma delta."), (1, "other stuff entirely.")]
+    out = {r["doc_id"]: r.asDict()
+           for r in A.centroid_summary(_cs_docs(spark, rows)).collect()}
+    assert out[0]["sent_pos"] == 0
+    assert out[0]["sentence"] == "alpha beta."
+
+
+def test_centroid_distinct_not_tf(spark):
+    # a token repeated inside one sentence counts ONCE — the stuffed
+    # sentence (one rare token x4) must lose to two distinct rare tokens
+    rows = [
+        (0, "qqq qqq qqq qqq. rrr sss here."),
+        (1, "common filler text. common filler text."),
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in A.centroid_summary(_cs_docs(spark, rows)).collect()}
+    assert out[0]["sent_pos"] == 1
+
+
+def test_centroid_python_replica(spark):
+    import math
+
+    rows = [
+        (i, ". ".join(
+            " ".join(f"w{(i * 3 + j + k) % 11}" for k in range(4))
+            for j in range(3)
+        ) + ".")
+        for i in range(8)
+    ]
+    out = {r["doc_id"]: r.asDict()
+           for r in A.centroid_summary(_cs_docs(spark, rows)).collect()}
+
+    # replica: same split rule, distinct tokens, floor(ln(n/df)*1000)
+    sents = {}
+    for d, t in rows:
+        parts = []
+        import re
+        marked = re.sub(r"([.!?])[ \t\n\r]+", "\\1\x01", t)
+        for p, raw in enumerate(marked.split("\x01")):
+            sv = raw.strip()
+            if sv:
+                parts.append((p, sv))
+        sents[d] = parts
+    n = len(rows)
+    df = {}
+    for d, parts in sents.items():
+        for tok in {tk for _, sv in parts for tk in sv.split(" ") if tk}:
+            df.setdefault(tok, set()).add(d)
+    idf = {t: math.floor(math.log(n / len(ds)) * 1000)
+           for t, ds in df.items()}
+    for d, parts in sents.items():
+        scored = [
+            (sum(idf[tk] for tk in {t for t in sv.split(" ") if t}), -p, p, sv)
+            for p, sv in parts
+        ]
+        score, _, pos, sv = max(scored)
+        assert out[d]["sent_pos"] == pos, d
+        assert out[d]["sentence"] == sv
+        assert out[d]["score_milli"] == score
+        assert out[d]["n_sents"] == len(parts)
