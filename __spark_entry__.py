@@ -4545,6 +4545,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.centroid_summary(docs.select("doc_id", text2.alias("text")))
 
+    def kaplan_meier(spark, sf_dir):
+        # r5 session-14: KM survival over user lifetimes, 7-day right-
+        # censor window, log-survival in integer micro-nats.  The raw
+        # stream is degenerate (every user active the full 30-day
+        # window → all censored — probed before shipping, the
+        # good_turing vacuous-fixture rule), so churn is PLANTED with a
+        # per-user observation cutoff day = user_id%25 + 2: lifetimes
+        # spread over ~2..26 and only cutoffs landing in the final week
+        # censor (~6/25 of users)
+        ev = _events(spark, sf_dir)
+        day = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+        obs = ev.filter(day <= F.pmod("user_id", 25) + 2)
+        return E.kaplan_meier(obs)
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4582,6 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_reliability": score_reliability,
         "cdc_apply": cdc_apply,
         "centroid_summary": centroid_summary,
+        "kaplan_meier": kaplan_meier,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -7135,6 +7150,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN s ON s.doc_id = win.doc_id
                   AND s.sent_pos = 1048575 - (p % 1048576)
             JOIN ns ON ns.doc_id = win.doc_id
+        """,
+        # r5 session-14 Kaplan-Meier: per-lifetime at-risk suffix sums +
+        # per-step micro-nat ln quantized BEFORE the cumulative sum; a
+        # wrong censor rule, risk-set order, or a sentinel where the
+        # curve hits zero breaks the hash
+        "kaplan_meier": """
+            WITH pu AS (SELECT user_id,
+                               CAST(min(datediff('day', DATE '2024-01-01',
+                                                 CAST(ts AS DATE)))
+                                    AS BIGINT) AS f,
+                               CAST(max(datediff('day', DATE '2024-01-01',
+                                                 CAST(ts AS DATE)))
+                                    AS BIGINT) AS l
+                        FROM events
+                        WHERE datediff('day', DATE '2024-01-01',
+                                       CAST(ts AS DATE))
+                              <= (user_id % 25) + 2
+                        GROUP BY user_id),
+            gm AS (SELECT max(l) AS gmax FROM pu),
+            lv AS (SELECT l - f AS t_days,
+                          CASE WHEN l >= gmax - 6 THEN 1 ELSE 0 END
+                              AS is_cens
+                   FROM pu CROSS JOIN gm),
+            grid AS (SELECT t_days,
+                            CAST(count(*) AS BIGINT) AS c_all,
+                            CAST(sum(1 - is_cens) AS BIGINT) AS n_events,
+                            CAST(sum(is_cens) AS BIGINT) AS n_censored
+                     FROM lv GROUP BY t_days),
+            risk AS (SELECT t_days, n_events, n_censored,
+                            CAST(sum(c_all) OVER (ORDER BY t_days DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS n_risk
+                     FROM grid),
+            st AS (SELECT t_days, n_risk, n_events, n_censored,
+                          CASE WHEN n_events = 0 THEN 0
+                               WHEN n_risk > n_events THEN
+                                 CAST(floor(ln(
+                                   CAST(n_risk - n_events AS DOUBLE)
+                                   / CAST(n_risk AS DOUBLE)) * 1000000)
+                                   AS BIGINT)
+                               ELSE 0 END AS step,
+                          CASE WHEN n_events >= n_risk THEN 1 ELSE 0 END
+                              AS z
+                   FROM risk)
+            SELECT t_days, n_risk, n_events, n_censored,
+                   CASE WHEN max(z) OVER (ORDER BY t_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) = 1 THEN NULL
+                        ELSE CAST(sum(step) OVER (ORDER BY t_days
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS BIGINT)
+                   END AS log_surv_micro
+            FROM st
         """,
         # r5 session-2 CDX index: surt PREDICTED from the builder — a
         # wrong label reversal, kept fragment, missed lowercase, or a

@@ -299,6 +299,7 @@ BAND_MAX_S = {
     "score_reliability": 9.0,        # 3.5-8.5 same burst window
     "cdc_apply": 6.0,                # warm 1.9-2.0 (packed argmax + join)
     "centroid_summary": 15.0,        # warm 5.8-7.2 (sentence idf + argmax)
+    "kaplan_meier": 7.0,             # warm 2.1-2.8 (lifetime-grid windows)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -712,6 +713,7 @@ def main() -> None:
         ),
         "cdc_apply": lambda: force(_entry_q("cdc_apply")),
         "centroid_summary": lambda: force(_entry_q("centroid_summary")),
+        "kaplan_meier": lambda: force(_entry_q("kaplan_meier")),
     }
 
     def _entry_q(name):

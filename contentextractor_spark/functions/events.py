@@ -1665,3 +1665,93 @@ def cdc_apply(
         "n_changes",
         "n_deletes",
     )
+
+
+def kaplan_meier(
+    events: DataFrame,
+    anchor: str = "2024-01-01",
+    censor_days: int = 7,
+) -> DataFrame:
+    """(t_days, n_risk, n_events, n_censored, log_surv_micro):
+    Kaplan-Meier survival curve over user LIFETIMES — lifetime =
+    last-activity day − first-activity day; a user whose last activity
+    falls in the final `censor_days` days of the observed stream is
+    RIGHT-CENSORED (they may still be alive — treating them as churned
+    biases survival down, the classic mistake this estimator fixes).
+    One row per observed lifetime t: n_risk = users with lifetime ≥ t,
+    n_events = churn events (uncensored lifetimes == t), n_censored =
+    censored lifetimes == t, and the curve as cumulative LOG-survival
+    in integer micro-nats: sum over u ≤ t of floor(ln((n_u−d_u)/n_u)
+    * 1e6).  Log-space keeps it cross-engine exact-by-convention (the
+    unigram_surprisal micro-nat family: per-step ln of an integer
+    ratio quantized BEFORE the sum, integer sums order-free; the 1-ulp
+    near-floor-boundary caveat documented there applies per step).
+    Rows at or after a step where everyone at risk churns (d == n,
+    S = 0, log = −inf) carry NULL log_surv_micro via a cumulative
+    zero flag — never a sentinel number.
+
+    Scale: ONE map-side-combinable groupBy to (user, first, last),
+    a one-row broadcast crossJoin for the global max day (no
+    collect), ONE groupBy to the lifetime grid; the suffix/prefix
+    windows run over the GRID (≤ corpus-span days, constant-bounded),
+    never over events — the markov_eval free-window pattern."""
+    if not 1 <= censor_days <= 365:
+        raise ValueError("kaplan_meier: censor_days in [1, 365]")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit(anchor))).cast("long")
+    per_user = events.select("user_id", day.alias("day")).groupBy(
+        "user_id"
+    ).agg(F.min("day").alias("first"), F.max("day").alias("last"))
+    gmax = per_user.agg(F.max("last").alias("__gmax"))
+    lives = per_user.crossJoin(F.broadcast(gmax)).select(
+        (F.col("last") - F.col("first")).alias("t_days"),
+        (F.col("last") >= F.col("__gmax") - F.lit(censor_days - 1))
+        .cast("long")
+        .alias("is_cens"),
+    )
+    grid = lives.groupBy("t_days").agg(
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+        F.sum(F.lit(1) - F.col("is_cens")).cast("long").alias("n_events"),
+        F.sum("is_cens").cast("long").alias("n_censored"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t_days").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = grid.select(
+        "t_days",
+        "n_events",
+        "n_censored",
+        F.sum("c_all").over(w_desc).alias("n_risk"),
+    )
+    n, d = F.col("n_risk"), F.col("n_events")
+    stepped = risk.select(
+        "t_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(d == 0, F.lit(0))
+        .when(
+            n > d,
+            F.floor(
+                F.log((n - d).cast("double") / n.cast("double")) * 1e6
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("__step"),
+        (d >= n).cast("long").alias("__z"),
+    )
+    w_asc = (
+        Window.orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return stepped.select(
+        "t_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(
+            F.max("__z").over(w_asc) == 1, F.lit(None).cast("long")
+        )
+        .otherwise(F.sum("__step").over(w_asc))
+        .alias("log_surv_micro"),
+    )

@@ -179,3 +179,73 @@ def test_centroid_python_replica(spark):
         assert out[d]["sentence"] == sv
         assert out[d]["score_milli"] == score
         assert out[d]["n_sents"] == len(parts)
+
+
+# ----------------------------------------------------------- kaplan_meier
+def _ev(spark, rows):
+    # (user_id, day) pairs -> events rows on the 2024-01-01 anchor
+    import datetime
+    data = [
+        (u, 1, "click", datetime.datetime(2024, 1, 1) +
+         datetime.timedelta(days=d))
+        for u, d in rows
+    ]
+    return spark.createDataFrame(
+        data, "user_id long, event_id long, event_type string, ts timestamp"
+    )
+
+
+def test_km_python_replica(spark):
+    import math
+
+    # user u: first day 0, last day = u % 9 (lifetimes 0..8); gmax = 8,
+    # censor window 3 -> lifetimes >= 6 censored
+    pairs = [(u, 0) for u in range(30)] + [(u, u % 9) for u in range(30)]
+    out = {r["t_days"]: r.asDict()
+           for r in E.kaplan_meier(_ev(spark, pairs), censor_days=3).collect()}
+
+    lives = [(u % 9, 1 if u % 9 >= 6 else 0) for u in range(30)]
+    grid = sorted({t for t, _ in lives})
+    logsum, zero = 0, False
+    for t in grid:
+        n = sum(1 for lt, _ in lives if lt >= t)
+        d = sum(1 for lt, c in lives if lt == t and c == 0)
+        cz = sum(1 for lt, c in lives if lt == t and c == 1)
+        if d >= n:
+            zero = True
+        elif d > 0:
+            logsum += math.floor(math.log((n - d) / n) * 1e6)
+        assert out[t]["n_risk"] == n, t
+        assert out[t]["n_events"] == d
+        assert out[t]["n_censored"] == cz
+        if zero:
+            assert out[t]["log_surv_micro"] is None
+        else:
+            assert out[t]["log_surv_micro"] == logsum, t
+
+
+def test_km_censor_boundary(spark):
+    # gmax=10, censor_days=3: last day in {8,9,10} censored, 7 is not
+    pairs = [(1, 0), (1, 7), (2, 0), (2, 8), (3, 0), (3, 10)]
+    out = {r["t_days"]: r.asDict()
+           for r in E.kaplan_meier(_ev(spark, pairs), censor_days=3).collect()}
+    assert out[7]["n_events"] == 1 and out[7]["n_censored"] == 0
+    assert out[8]["n_events"] == 0 and out[8]["n_censored"] == 1
+    assert out[10]["n_events"] == 0 and out[10]["n_censored"] == 1
+
+
+def test_km_zero_curve_null_tail(spark):
+    # extinction: users 1-3 live days 0..2 (lifetime 2, uncensored);
+    # user 9 lives days 19..20 (lifetime 1, censored — it defines
+    # gmax, and the gmax-definer is always inside the censor window).
+    # At t=2 every at-risk user dies (d == n == 3) -> NULL log from
+    # there on, never a sentinel number.
+    pairs = [(u, 0) for u in (1, 2, 3)] + [(u, 2) for u in (1, 2, 3)]
+    pairs += [(9, 19), (9, 20)]
+    rows = {r["t_days"]: r.asDict()
+            for r in E.kaplan_meier(_ev(spark, pairs),
+                                    censor_days=1).collect()}
+    assert rows[1]["n_censored"] == 1 and rows[1]["n_events"] == 0
+    assert rows[1]["log_surv_micro"] == 0
+    assert rows[2]["n_events"] == 3 and rows[2]["n_risk"] == 3
+    assert rows[2]["log_surv_micro"] is None
