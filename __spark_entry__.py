@@ -4559,6 +4559,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         obs = ev.filter(day <= F.pmod("user_id", 25) + 2)
         return E.kaplan_meier(obs)
 
+    def bipartite_check(spark, sf_dir):
+        # r5 session-14: BFS 2-coloring over two planted ring graphs —
+        # graph 'odd_deltas' (chords +1/+3/+5, all parity-flipping on
+        # the even node count → bipartite) and 'parity_chord' (adds a
+        # +2 chord on every %7 node → odd cycles inside the depth-8
+        # reach of seed 0).  One card row per graph.
+        docs = _docs(spark, sf_dir)
+        n = docs.agg(F.count(F.lit(1)).cast("long").alias("__n"))
+        base = docs.crossJoin(F.broadcast(n))
+        d = F.explode(F.array(F.lit(1), F.lit(3), F.lit(5))).alias("d")
+        odd = base.select("doc_id", "__n", d).select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") + F.col("d"), F.col("__n")).alias("dst"),
+        )
+        chord = base.filter(F.pmod("doc_id", 7) == 0).select(
+            F.col("doc_id").alias("src"),
+            F.pmod(F.col("doc_id") + 2, F.col("__n")).alias("dst"),
+        )
+        seeds = spark.range(1).select(F.lit(0).cast("long").alias("node"))
+        a = A.bipartite_check(odd, seeds, max_depth=8).select(
+            F.lit("odd_deltas").alias("graph"), "*"
+        )
+        b = A.bipartite_check(odd.unionByName(chord), seeds, max_depth=8).select(
+            F.lit("parity_chord").alias("graph"), "*"
+        )
+        return a.unionByName(b)
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4597,6 +4624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply": cdc_apply,
         "centroid_summary": centroid_summary,
         "kaplan_meier": kaplan_meier,
+        "bipartite_check": bipartite_check,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -5120,6 +5148,49 @@ def _profile_sql(table: str, cols: list[str]) -> str:
         f"WITH s AS (SELECT {', '.join(aggs)} FROM {table})\n            "
         + "\n            UNION ALL ".join(arms)
     )
+
+
+def _bip_ctes(prefix: str, chord: bool, depth: int = 8) -> str:
+    """Unrolled single-seed BFS + conflict-pair CTEs for one
+    bipartite_check fixture graph (prefix-namespaced so the two graphs
+    share one WITH).  Mirrors analysis.bipartite_check: symmetrized
+    distinct edges, min-dist rounds (MATERIALIZED — the _kcore_ctes
+    re-expansion lesson), canonical src<dst pairs with parity colors.
+    Expects a shared `nbp(n)` CTE defined by the caller."""
+    p = prefix
+    deltas = "[1, 3, 5, 2]" if chord else "[1, 3, 5]"
+    guard = " WHERE d <> 2 OR doc_id % 7 = 0" if chord else ""
+    parts = [
+        f"""{p}a AS (SELECT doc_id AS a, (doc_id + d) % nbp.n AS b
+                 FROM documents, nbp,
+                      (SELECT unnest({deltas}) AS d) ds{guard})""",
+        f"""{p}e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+                 SELECT a AS src, b AS dst FROM {p}a
+                 UNION ALL SELECT b AS src, a AS dst FROM {p}a)
+               WHERE src <> dst)""",
+        f"""{p}d0 AS (SELECT CAST(0 AS BIGINT) AS node,
+                             CAST(0 AS BIGINT) AS dist)""",
+    ]
+    for r in range(1, depth + 1):
+        parts.append(
+            f"""{p}d{r} AS MATERIALIZED (SELECT node,
+                        CAST(min(dist) AS BIGINT) AS dist FROM (
+                     SELECT node, dist FROM {p}d{r - 1}
+                     UNION ALL
+                     SELECT e.dst, d.dist + 1 FROM {p}e e
+                     JOIN {p}d{r - 1} d ON d.node = e.src
+                      AND d.dist = {r - 1})
+                   GROUP BY node)"""
+        )
+    parts.append(
+        f"""{p}cp AS (SELECT CASE WHEN ds.dist % 2 = dd.dist % 2
+                                  THEN 1 ELSE 0 END AS confl
+                  FROM {p}e e
+                  JOIN {p}d{depth} ds ON ds.node = e.src
+                  JOIN {p}d{depth} dd ON dd.node = e.dst
+                  WHERE e.src < e.dst)"""
+    )
+    return ",\n            ".join(parts)
 
 
 def _hc_ctes(depth: int) -> str:
@@ -7203,6 +7274,33 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 bipartite certificate: same-parity reached edges
+        # over two planted graphs — a wrong BFS round, a missed
+        # symmetrization, or a chord leaking into the odd-delta graph
+        # flips a card value
+        "bipartite_check": f"""
+            WITH nbp AS (SELECT CAST(count(*) AS BIGINT) AS n
+                         FROM documents),
+            {_bip_ctes('pa', chord=False)},
+            {_bip_ctes('pb', chord=True)}
+            SELECT 'odd_deltas' AS graph,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pad8)
+                       AS n_reached,
+                   CAST(count(*) AS BIGINT) AS n_edges_reached,
+                   CAST(COALESCE(sum(confl), 0) AS BIGINT) AS n_conflicts,
+                   CASE WHEN COALESCE(sum(confl), 0) = 0 THEN 1 ELSE 0 END
+                       AS is_bipartite
+            FROM pacp
+            UNION ALL
+            SELECT 'parity_chord' AS graph,
+                   (SELECT CAST(count(*) AS BIGINT) FROM pbd8)
+                       AS n_reached,
+                   CAST(count(*) AS BIGINT) AS n_edges_reached,
+                   CAST(COALESCE(sum(confl), 0) AS BIGINT) AS n_conflicts,
+                   CASE WHEN COALESCE(sum(confl), 0) = 0 THEN 1 ELSE 0 END
+                       AS is_bipartite
+            FROM pbcp
         """,
         # r5 session-2 CDX index: surt PREDICTED from the builder — a
         # wrong label reversal, kept fragment, missed lowercase, or a

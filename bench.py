@@ -300,6 +300,8 @@ BAND_MAX_S = {
     "cdc_apply": 6.0,                # warm 1.9-2.0 (packed argmax + join)
     "centroid_summary": 15.0,        # warm 5.8-7.2 (sentence idf + argmax)
     "kaplan_meier": 7.0,             # warm 2.1-2.8 (lifetime-grid windows)
+    "bipartite_check": 25.0,         # warm 10.3-12.4 (2 graphs x 8 BFS
+    #                                  checkpointed rounds — latency-bound)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -714,6 +716,7 @@ def main() -> None:
         "cdc_apply": lambda: force(_entry_q("cdc_apply")),
         "centroid_summary": lambda: force(_entry_q("centroid_summary")),
         "kaplan_meier": lambda: force(_entry_q("kaplan_meier")),
+        "bipartite_check": lambda: force(_entry_q("bipartite_check")),
     }
 
     def _entry_q(name):

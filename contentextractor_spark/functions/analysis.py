@@ -13878,3 +13878,62 @@ def centroid_summary(
         .join(n_sents, "doc_id")
         .select("doc_id", "sent_pos", "sentence", "score_milli", "n_sents")
     )
+
+
+def bipartite_check(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 8
+) -> DataFrame:
+    """One-row card (n_reached, n_edges_reached, n_conflicts,
+    is_bipartite): BFS 2-coloring test — color = parity of the
+    shortest seed distance; an edge whose two endpoints carry the SAME
+    parity closes an odd cycle (the textbook certificate: a graph is
+    bipartite iff BFS finds no same-level edge).  The verdict covers
+    the REACHED subgraph only (bfs_levels' max_depth bound semantics
+    — unreached nodes neither color nor conflict); is_bipartite is a
+    certificate for that subgraph, and at web scale you run it per
+    community / per host-graph sample, not on the full crawl.
+
+    All-integer (distances, parities, counts) — cross-engine exact.
+    Scale: symmetrize+distinct is one shuffle; BFS is bfs_levels
+    (frontier joins, localCheckpoint per round — the pagerank lesson);
+    the conflict count is two equi-joins of the canonical edge list
+    against the small distance table and one aggregate.  No windows,
+    no global sort."""
+    sym = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .unionByName(
+            edges.select(
+                F.col("dst").cast("long").alias("src"),
+                F.col("src").cast("long").alias("dst"),
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    dist = bfs_levels(sym, seeds, max_depth)
+    canon = sym.filter(F.col("src") < F.col("dst"))
+    ds = dist.select(
+        F.col("node").alias("src"), (F.col("dist") % 2).alias("cs")
+    )
+    dd = dist.select(
+        F.col("node").alias("dst"), (F.col("dist") % 2).alias("cd")
+    )
+    pairs = canon.join(ds, "src").join(dd, "dst")
+    ecard = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges_reached"),
+        F.coalesce(
+            F.sum((F.col("cs") == F.col("cd")).cast("long")), F.lit(0)
+        )
+        .cast("long")
+        .alias("n_conflicts"),
+    )
+    ncard = dist.agg(F.count(F.lit(1)).cast("long").alias("n_reached"))
+    return ncard.crossJoin(ecard).select(
+        "n_reached",
+        "n_edges_reached",
+        "n_conflicts",
+        (F.col("n_conflicts") == 0).cast("int").alias("is_bipartite"),
+    )

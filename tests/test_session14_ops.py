@@ -249,3 +249,45 @@ def test_km_zero_curve_null_tail(spark):
     assert rows[1]["log_surv_micro"] == 0
     assert rows[2]["n_events"] == 3 and rows[2]["n_risk"] == 3
     assert rows[2]["log_surv_micro"] is None
+
+
+# -------------------------------------------------------- bipartite_check
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def _seed(spark, node=0):
+    return spark.createDataFrame([(node,)], "node long")
+
+
+def test_bipartite_even_cycle(spark):
+    r = A.bipartite_check(
+        _edges(spark, [(0, 1), (1, 2), (2, 3), (3, 0)]), _seed(spark)
+    ).collect()[0]
+    assert r["is_bipartite"] == 1 and r["n_conflicts"] == 0
+    assert r["n_reached"] == 4 and r["n_edges_reached"] == 4
+
+
+def test_bipartite_triangle_conflict(spark):
+    r = A.bipartite_check(
+        _edges(spark, [(0, 1), (1, 2), (2, 0)]), _seed(spark)
+    ).collect()[0]
+    # d(0)=0, d(1)=d(2)=1 -> edge (1,2) is the same-parity conflict
+    assert r["is_bipartite"] == 0 and r["n_conflicts"] == 1
+
+
+def test_bipartite_unreached_excluded(spark):
+    # disconnected component (10-11) must not enter any count
+    r = A.bipartite_check(
+        _edges(spark, [(0, 1), (10, 11)]), _seed(spark)
+    ).collect()[0]
+    assert r["n_reached"] == 2 and r["n_edges_reached"] == 1
+    assert r["is_bipartite"] == 1
+
+
+def test_bipartite_direction_irrelevant(spark):
+    # edges given in mixed directions; symmetrization must make the odd
+    # 5-cycle non-bipartite regardless of orientation
+    cyc = [(0, 1), (2, 1), (2, 3), (4, 3), (0, 4)]
+    r = A.bipartite_check(_edges(spark, cyc), _seed(spark)).collect()[0]
+    assert r["is_bipartite"] == 0 and r["n_reached"] == 5
