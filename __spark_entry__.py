@@ -4586,6 +4586,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return a.unionByName(b)
 
+    def embedding_drift(spark, sf_dir):
+        # r5 session-14: mean-vector drift card over two splits — the
+        # natural vec_id-parity split (zero-centered corpus → the mean
+        # direction is noise, |cos| small, top gap ~0.03) and a PLANTED
+        # dim-0 shift (+0.25 on the odd half; double arithmetic is
+        # engine-identical, the quantizer sees the same values) that
+        # must surface top_dim=0 with delta ≈ 250000 micro
+        emb = _emb(spark, sf_dir)
+        half = F.pmod("vec_id", 2).cast("long").alias("half")
+        base = emb.select("vec_id", "embedding", half)
+        shifted = emb.select(
+            "vec_id",
+            F.expr(
+                "concat(array(cast(embedding[0] as double)"
+                " + case when vec_id % 2 = 1 then cast(0.25 as double)"
+                " else cast(0 as double) end),"
+                " transform(slice(embedding, 2, 63),"
+                " x -> cast(x as double)))"
+            ).alias("embedding"),
+            half,
+        )
+        a = A.embedding_drift(base).select(
+            F.lit("parity").alias("split"), "*"
+        )
+        b = A.embedding_drift(shifted).select(
+            F.lit("dim0_shift").alias("split"), "*"
+        )
+        return a.unionByName(b)
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4625,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "centroid_summary": centroid_summary,
         "kaplan_meier": kaplan_meier,
         "bipartite_check": bipartite_check,
+        "embedding_drift": embedding_drift,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -5148,6 +5178,63 @@ def _profile_sql(table: str, cols: list[str]) -> str:
         f"WITH s AS (SELECT {', '.join(aggs)} FROM {table})\n            "
         + "\n            UNION ALL ".join(arms)
     )
+
+
+def _edrift_ctes(prefix: str, emb_sql: str) -> str:
+    """One embedding_drift split as prefix-namespaced CTEs ending in
+    {p}fin(n_a, n_b, dot, pk, ia, ib) — mirrors analysis.embedding_drift
+    (q=1000, scale=100): clamp-quantized dims, per-half per-dim sums,
+    offset floor-div means, isqrt-corrected norms (the _tfidf_pair_ctes
+    three-step chain)."""
+    p = prefix
+    return f"""{p}src AS (SELECT vec_id, {emb_sql} AS embedding,
+                          vec_id % 2 AS half
+                   FROM embeddings),
+            {p}dims AS (SELECT half, d - 1 AS d,
+                          greatest(-1000, least(1000,
+                            CAST(round(CAST(embedding[d] AS DOUBLE) * 1000)
+                                 AS BIGINT))) AS val
+                   FROM {p}src,
+                        (SELECT unnest(generate_series(1, 64)) AS d) dd),
+            {p}pd AS (SELECT d,
+                          CAST(sum(CASE WHEN half = 0 THEN val ELSE 0 END)
+                               AS BIGINT) AS sa,
+                          CAST(sum(CASE WHEN half = 1 THEN val ELSE 0 END)
+                               AS BIGINT) AS sb
+                   FROM {p}dims GROUP BY d),
+            {p}cn AS (SELECT CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_a,
+                          CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                               AS BIGINT) AS n_b
+                   FROM {p}src),
+            {p}mm AS (SELECT d, n_a, n_b,
+                          (sa * 100 + 100000 * n_a) // n_a - 100000 AS ma,
+                          (sb * 100 + 100000 * n_b) // n_b - 100000 AS mb
+                   FROM {p}pd CROSS JOIN {p}cn),
+            {p}cd AS (SELECT n_a, n_b,
+                          CAST(sum(ma * mb) AS BIGINT) AS dot,
+                          CAST(sum(ma * ma) AS BIGINT) AS sqa,
+                          CAST(sum(mb * mb) AS BIGINT) AS sqb,
+                          max(abs(ma - mb) * 128 + (127 - d)) AS pk
+                   FROM {p}mm GROUP BY n_a, n_b),
+            {p}r0 AS (SELECT *,
+                          CAST(floor(sqrt(CAST(sqa AS DOUBLE))) AS BIGINT)
+                              AS ya0,
+                          CAST(floor(sqrt(CAST(sqb AS DOUBLE))) AS BIGINT)
+                              AS yb0
+                   FROM {p}cd),
+            {p}r1 AS (SELECT *,
+                          ya0 + CASE WHEN (ya0 + 1) * (ya0 + 1) <= sqa
+                                     THEN 1 ELSE 0 END AS ya1,
+                          yb0 + CASE WHEN (yb0 + 1) * (yb0 + 1) <= sqb
+                                     THEN 1 ELSE 0 END AS yb1
+                   FROM {p}r0),
+            {p}fin AS (SELECT n_a, n_b, dot, pk,
+                          ya1 - CASE WHEN ya1 * ya1 > sqa
+                                     THEN 1 ELSE 0 END AS ia,
+                          yb1 - CASE WHEN yb1 * yb1 > sqb
+                                     THEN 1 ELSE 0 END AS ib
+                   FROM {p}r1)"""
 
 
 def _bip_ctes(prefix: str, chord: bool, depth: int = 8) -> str:
@@ -7274,6 +7361,35 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 mean-vector drift: offset floor-div means, isqrt
+        # norms, sign-peeled cosine; the planted +0.25 dim-0 shift must
+        # surface as top_dim=0 with a lower cosine than the parity split
+        "embedding_drift": f"""
+            WITH {_edrift_ctes('da', 'embedding')},
+            {_edrift_ctes('db', '''list_concat(
+                    [CAST(embedding[1] AS DOUBLE)
+                     + CASE WHEN vec_id % 2 = 1 THEN CAST(0.25 AS DOUBLE)
+                            ELSE CAST(0 AS DOUBLE) END],
+                    list_transform(embedding[2:64],
+                                   x -> CAST(x AS DOUBLE)))''')}
+            SELECT 'parity' AS split, n_a, n_b,
+                   CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+                        * least((abs(dot) * 1000000)
+                                // greatest(ia * ib, 1), 1000000)
+                        AS BIGINT) AS cos_micro,
+                   CAST(127 - (pk % 128) AS INT) AS top_dim,
+                   CAST((pk // 128) * 10 AS BIGINT) AS top_delta_micro
+            FROM dafin
+            UNION ALL
+            SELECT 'dim0_shift' AS split, n_a, n_b,
+                   CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+                        * least((abs(dot) * 1000000)
+                                // greatest(ia * ib, 1), 1000000)
+                        AS BIGINT) AS cos_micro,
+                   CAST(127 - (pk % 128) AS INT) AS top_dim,
+                   CAST((pk // 128) * 10 AS BIGINT) AS top_delta_micro
+            FROM dbfin
         """,
         # r5 session-14 bipartite certificate: same-parity reached edges
         # over two planted graphs — a wrong BFS round, a missed

@@ -302,6 +302,7 @@ BAND_MAX_S = {
     "kaplan_meier": 7.0,             # warm 2.1-2.8 (lifetime-grid windows)
     "bipartite_check": 25.0,         # warm 10.3-12.4 (2 graphs x 8 BFS
     #                                  checkpointed rounds — latency-bound)
+    "embedding_drift": 12.0,         # warm 5.0 (2 splits x dim explode)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -717,6 +718,7 @@ def main() -> None:
         "centroid_summary": lambda: force(_entry_q("centroid_summary")),
         "kaplan_meier": lambda: force(_entry_q("kaplan_meier")),
         "bipartite_check": lambda: force(_entry_q("bipartite_check")),
+        "embedding_drift": lambda: force(_entry_q("embedding_drift")),
     }
 
     def _entry_q(name):

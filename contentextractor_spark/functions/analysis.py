@@ -6596,11 +6596,15 @@ def embedding_neardup_pairs(
     )
 
 
-def _quant_dims(emb: DataFrame, q: int, ndim: int) -> DataFrame:
-    """(vec_id, d, val): the exploded clamped-integer embedding stream
-    — kmeans' training space (same clamp/round as PQ's sq CTE), shared
-    by kmeans_clusters and kmeans_inertia so the eval scores EXACTLY
-    the space the trainer saw."""
+def _quant_dims(
+    emb: DataFrame, q: int, ndim: int, carry: tuple = ()
+) -> DataFrame:
+    """(vec_id, *carry, d, val): the exploded clamped-integer embedding
+    stream — kmeans' training space (same clamp/round as PQ's sq CTE),
+    shared by kmeans_clusters and kmeans_inertia so the eval scores
+    EXACTLY the space the trainer saw.  `carry` rides extra columns
+    through the explode (the lang_id carry convention — avoids a
+    join-back shuffle for callers that partition the stream)."""
 
     def comp(i):
         return (
@@ -6611,6 +6615,7 @@ def _quant_dims(emb: DataFrame, q: int, ndim: int) -> DataFrame:
 
     return emb.select(
         "vec_id",
+        *carry,
         F.posexplode(
             F.array(*[F.expr(comp(i)) for i in range(ndim)])
         ).alias("d", "val"),
@@ -13936,4 +13941,109 @@ def bipartite_check(
         "n_edges_reached",
         "n_conflicts",
         (F.col("n_conflicts") == 0).cast("int").alias("is_bipartite"),
+    )
+
+
+def embedding_drift(
+    emb: DataFrame, q: int = 1000, ndim: int = 64, scale: int = 100
+) -> DataFrame:
+    """One-row card (n_a, n_b, cos_micro, top_dim, top_delta_micro):
+    distribution drift between two labeled halves of an embedding
+    corpus (column `half` ∈ {0,1}) — the vector-space twin of
+    psi_drift/jsd_drift: cosine between the two halves' MEAN vectors
+    plus the dimension with the largest mean gap.  The card a training
+    pipeline reads before mixing a new crawl snapshot into an old one:
+    cos_micro near 1e6 = same distribution direction; a low cosine or
+    a dominant top_dim names the shift.
+
+    Exactness: components are clamped-integer quantized
+    (_quant_dims — the kmeans/PQ space), per-half per-dim integer
+    sums are order-free, and the mean is staged to integer
+    scale-units via the OFFSET floor-div trick ((s·scale + q·scale·n)
+    div n − q·scale — the r4 signed-mean rule, non-negative numerator
+    so Spark div ≡ DuckDB //).  Cosine = dot over _isqrt norms with
+    the sign peeled (the zipf_fit signed-ratio rule).  scale=100
+    bounds |mean| ≤ q·scale = 1e5, so dot ≤ ndim·1e10 and
+    dot·1e6 ≤ 6.4e17 < 2^63 — no overflow at ANY corpus size (the
+    scale invariance of the mean is the point: counts cancel).
+
+    Scale: ONE pass over the exploded stream (map-side-combinable
+    groupBy(d) with conditional sums), then all remaining aggregates
+    run on the ndim-row table — free (the markov_eval rule).  An
+    empty half raises loudly (a drift card comparing against nothing
+    must not silently emit NULLs)."""
+    if 1_000_000 % (q * scale) != 0:
+        raise ValueError("embedding_drift: q*scale must divide 1e6")
+    dims = _quant_dims(emb, q, ndim, carry=("half",))
+    per_dim = dims.groupBy("d").agg(
+        F.sum(F.when(F.col("half") == 0, F.col("val")).otherwise(0))
+        .cast("long")
+        .alias("sa"),
+        F.sum(F.when(F.col("half") == 1, F.col("val")).otherwise(0))
+        .cast("long")
+        .alias("sb"),
+    )
+    counts = emb.agg(
+        F.sum((F.col("half") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("half") == 1).cast("long")).alias("n_b"),
+    )
+    na, nb = F.col("n_a"), F.col("n_b")
+    off = q * scale
+    means = per_dim.crossJoin(F.broadcast(counts)).select(
+        "d",
+        "n_a",
+        "n_b",
+        F.when(
+            (na > 0) & (nb > 0),
+            (F.col("sa") * scale + F.lit(off) * na).cast("long"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("embedding_drift: a half is empty — nothing to compare")
+            ).cast("long")
+        )
+        .alias("__numa"),
+        (F.col("sb") * scale + F.lit(off) * nb).cast("long").alias("__numb"),
+    ).select(
+        "d",
+        "n_a",
+        "n_b",
+        (F.expr("__numa div n_a") - F.lit(off)).alias("ma"),
+        (F.expr("__numb div n_b") - F.lit(off)).alias("mb"),
+    )
+    ma, mb = F.col("ma"), F.col("mb")
+    card = means.groupBy("n_a", "n_b").agg(
+        F.sum(ma * mb).cast("long").alias("dot"),
+        F.sum(ma * ma).cast("long").alias("sqa"),
+        F.sum(mb * mb).cast("long").alias("sqb"),
+        F.max(
+            F.abs(ma - mb) * 128 + (F.lit(127) - F.col("d"))
+        ).alias("__pk"),
+    )
+    staged = card.select(
+        "n_a",
+        "n_b",
+        "dot",
+        "__pk",
+        F.greatest(
+            _isqrt(F.col("sqa")) * _isqrt(F.col("sqb")), F.lit(1)
+        ).alias("__den"),
+        (F.abs(F.col("dot")) * F.lit(1_000_000)).alias("__mag"),
+    )
+    return staged.select(
+        "n_a",
+        "n_b",
+        (
+            F.when(F.col("dot") < 0, -1).otherwise(1)
+            # truncating isqrt norms can overshoot 1.0 by a few micro
+            # (den <= true norm product) — clamp so the card never
+            # reports an impossible cosine
+            * F.least(F.expr("__mag div __den"), F.lit(1_000_000))
+        )
+        .cast("long")
+        .alias("cos_micro"),
+        (F.lit(127) - F.col("__pk") % 128).cast("int").alias("top_dim"),
+        (F.expr("__pk div 128") * F.lit(1_000_000 // (q * scale)))
+        .cast("long")
+        .alias("top_delta_micro"),
     )

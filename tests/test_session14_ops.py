@@ -291,3 +291,51 @@ def test_bipartite_direction_irrelevant(spark):
     cyc = [(0, 1), (2, 1), (2, 3), (4, 3), (0, 4)]
     r = A.bipartite_check(_edges(spark, cyc), _seed(spark)).collect()[0]
     assert r["is_bipartite"] == 0 and r["n_reached"] == 5
+
+
+# -------------------------------------------------------- embedding_drift
+def _emb_halves(spark, rows, ndim):
+    # rows: (vec_id, [floats], half)
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, half long"
+    )
+
+
+def test_edrift_identical_halves(spark):
+    rows = [(i, [0.5, -0.25, 0.125, 0.0], i % 2) for i in range(8)]
+    r = A.embedding_drift(_emb_halves(spark, rows, 4), ndim=4).collect()[0]
+    assert r["cos_micro"] == 1_000_000
+    assert r["top_delta_micro"] == 0
+    assert r["n_a"] == 4 and r["n_b"] == 4
+
+
+def test_edrift_planted_shift_dim(spark):
+    # half 1 shifted +0.25 on dim 2 only
+    rows = [
+        (i, [0.5, 0.5, 0.5 + (0.25 if i % 2 else 0.0), 0.5], i % 2)
+        for i in range(8)
+    ]
+    r = A.embedding_drift(_emb_halves(spark, rows, 4), ndim=4).collect()[0]
+    assert r["top_dim"] == 2
+    assert abs(r["top_delta_micro"] - 250_000) <= 20
+    assert 0 < r["cos_micro"] < 1_000_000
+
+
+def test_edrift_opposite_means(spark):
+    rows = [(i, [1.0, 0.0] if i % 2 == 0 else [-1.0, 0.0], i % 2)
+            for i in range(6)]
+    r = A.embedding_drift(_emb_halves(spark, rows, 2), ndim=2).collect()[0]
+    assert r["cos_micro"] == -1_000_000
+
+
+def test_edrift_orthogonal_means(spark):
+    rows = [(i, [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0], i % 2)
+            for i in range(6)]
+    r = A.embedding_drift(_emb_halves(spark, rows, 2), ndim=2).collect()[0]
+    assert r["cos_micro"] == 0 and r["top_delta_micro"] == 1_000_000
+
+
+def test_edrift_empty_half_raises(spark):
+    rows = [(i, [0.5, 0.5], 0) for i in range(4)]
+    with pytest.raises(Exception):
+        A.embedding_drift(_emb_halves(spark, rows, 2), ndim=2).collect()
