@@ -4615,6 +4615,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return a.unionByName(b)
 
+    def mixed_script_spoof(spark, sf_dir):
+        # r5 session-14: homoglyph detection over planted confusables —
+        # %5 docs get ' pаypal' (Cyrillic а), %9 get ' lοgin'
+        # (Greek ο), %4 get a PURE-cyrillic token that must NOT flag
+        # (multilingual != spoof).  Unicode stays \uXXXX-escaped in
+        # source (the nfc_normalize editor-glyph lesson)
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        text2 = F.concat(
+            F.col("text"),
+            F.when(F.pmod("doc_id", 5) == 0, F.lit(" p\u0430ypal"))
+            .otherwise(F.lit("")),
+            F.when(F.pmod("doc_id", 9) == 0, F.lit(" l\u03bfgin"))
+            .otherwise(F.lit("")),
+            F.when(
+                F.pmod("doc_id", 4) == 0, F.lit(" \u043e\u043a")
+            ).otherwise(F.lit("")),
+        )
+        return A.mixed_script_spoof(
+            docs.select("doc_id", text2.alias("text"))
+        )
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4655,6 +4676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kaplan_meier": kaplan_meier,
         "bipartite_check": bipartite_check,
         "embedding_drift": embedding_drift,
+        "mixed_script_spoof": mixed_script_spoof,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -7361,6 +7383,50 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 homoglyph card: ≥2-of-{latin,cyrillic,greek}
+        # per-token flags (classes interpolated from SCRIPT_CLASSES —
+        # one definition, both engines); the pure-cyrillic token must
+        # NOT flag, the two planted confusables must
+        "mixed_script_spoof": f"""
+            WITH built AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' p' || chr(1072) || 'ypal'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 9 = 0
+                             THEN ' l' || chr(959) || 'gin'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN ' ' || chr(1086) || chr(1082)
+                             ELSE '' END AS t
+              FROM documents WHERE text IS NOT NULL),
+            tok AS (SELECT doc_id, tok
+                    FROM (SELECT doc_id,
+                                 unnest(string_split(t, ' ')) AS tok
+                          FROM built)
+                    WHERE tok <> ''),
+            per AS (SELECT doc_id, tok,
+                           CASE WHEN
+                             (CASE WHEN regexp_matches(tok,
+                                '[{dict(A.SCRIPT_CLASSES)["latin"]}]')
+                                   THEN 1 ELSE 0 END)
+                           + (CASE WHEN regexp_matches(tok,
+                                '[{dict(A.SCRIPT_CLASSES)["cyrillic"]}]')
+                                   THEN 1 ELSE 0 END)
+                           + (CASE WHEN regexp_matches(tok,
+                                '[{dict(A.SCRIPT_CLASSES)["greek"]}]')
+                                   THEN 1 ELSE 0 END) >= 2
+                           THEN 1 ELSE 0 END AS mixed
+                    FROM tok)
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(mixed) AS BIGINT) AS n_mixed,
+                   CAST(sum(mixed) * 1000 // count(*) AS BIGINT)
+                       AS spoof_milli,
+                   min(CASE WHEN mixed = 1 THEN tok END) AS top_suspect
+            FROM per GROUP BY doc_id
         """,
         # r5 session-14 mean-vector drift: offset floor-div means, isqrt
         # norms, sign-peeled cosine; the planted +0.25 dim-0 shift must

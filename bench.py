@@ -303,6 +303,7 @@ BAND_MAX_S = {
     "bipartite_check": 25.0,         # warm 10.3-12.4 (2 graphs x 8 BFS
     #                                  checkpointed rounds — latency-bound)
     "embedding_drift": 12.0,         # warm 5.0 (2 splits x dim explode)
+    "mixed_script_spoof": 7.0,       # warm 1.9-2.9 (explode + rlike flags)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -719,6 +720,9 @@ def main() -> None:
         "kaplan_meier": lambda: force(_entry_q("kaplan_meier")),
         "bipartite_check": lambda: force(_entry_q("bipartite_check")),
         "embedding_drift": lambda: force(_entry_q("embedding_drift")),
+        "mixed_script_spoof": lambda: force(
+            _entry_q("mixed_script_spoof")
+        ),
     }
 
     def _entry_q(name):

@@ -14047,3 +14047,43 @@ def embedding_drift(
         .cast("long")
         .alias("top_delta_micro"),
     )
+
+
+def mixed_script_spoof(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, n_mixed, spoof_milli, top_suspect): per-doc
+    mixed-script token detection — a whitespace token drawing letters
+    from ≥ 2 of the confusable trio {latin, cyrillic, greek} is a
+    homoglyph-spoof suspect ('p\\u0430ypal' with a Cyrillic а), the
+    Unicode TR#39 restriction-level signal a web corpus screens before
+    trusting anchor text or URLs.  A token entirely in ONE foreign
+    script is NOT flagged (multilingual text is not spoofing — only
+    the in-token mix is).  top_suspect = lexicographic min of the
+    doc's mixed tokens (NULL when clean; min ignores nulls — here
+    that's the wanted semantics, absence not a violation).
+
+    Classes come from SCRIPT_CLASSES (one definition feeds the Spark
+    patterns and the DuckDB oracle); spoof_milli = n_mixed*1000 div
+    n_tokens (non-negative integer div, engine-identical).  Docs whose
+    text yields zero tokens are absent (the sentence_split contract).
+
+    Scale: one explode + three codegen'd rlike flags + ONE map-side-
+    combinable groupBy(doc_id); no joins, no windows."""
+    classes = dict(SCRIPT_CLASSES)
+    tok = docs.select(
+        "doc_id", F.explode(F.split(text_col, " ")).alias("tok")
+    ).filter(F.col("tok") != "")
+    flags = sum(
+        F.col("tok").rlike(f"[{classes[s]}]").cast("int")
+        for s in ("latin", "cyrillic", "greek")
+    )
+    per = tok.select(
+        "doc_id", "tok", (flags >= 2).cast("long").alias("mixed")
+    )
+    return per.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("mixed").cast("long").alias("n_mixed"),
+        F.expr("sum(mixed) * 1000 div count(1)").alias("spoof_milli"),
+        F.min(
+            F.when(F.col("mixed") == 1, F.col("tok"))
+        ).alias("top_suspect"),
+    )

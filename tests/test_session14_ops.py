@@ -339,3 +339,31 @@ def test_edrift_empty_half_raises(spark):
     rows = [(i, [0.5, 0.5], 0) for i in range(4)]
     with pytest.raises(Exception):
         A.embedding_drift(_emb_halves(spark, rows, 2), ndim=2).collect()
+
+
+# ----------------------------------------------------- mixed_script_spoof
+def test_spoof_confusable_flags(spark):
+    docs = spark.createDataFrame(
+        [(0, "visit pаypal now"),       # Cyrillic а inside latin
+         (1, "clean ascii text"),
+         (2, "lοgin ок")],    # Greek ο mix + pure-cyr ok
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in A.mixed_script_spoof(docs).collect()}
+    assert out[0]["n_mixed"] == 1
+    assert out[0]["top_suspect"] == "pаypal"
+    assert out[1]["n_mixed"] == 0 and out[1]["top_suspect"] is None
+    # the pure-cyrillic token must NOT flag; the greek mix must
+    assert out[2]["n_mixed"] == 1
+    assert out[2]["top_suspect"] == "lοgin"
+    assert out[2]["spoof_milli"] == 500
+
+
+def test_spoof_pure_foreign_clean(spark):
+    docs = spark.createDataFrame(
+        [(0, "привет мир")],
+        "doc_id long, text string",
+    )  # two pure-cyrillic words
+    r = A.mixed_script_spoof(docs).collect()[0]
+    assert r["n_mixed"] == 0 and r["n_tokens"] == 2
