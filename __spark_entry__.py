@@ -4636,6 +4636,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.select("doc_id", text2.alias("text"))
         )
 
+    def betweenness_approx(spark, sf_dir):
+        # r5 session-14: landmark Brandes betweenness over the
+        # crawl_depth affine fixture (same edges/seeds as
+        # harmonic_centrality), depth 4 — σ counts multi-edges as
+        # parallel paths on BOTH sides (no dedup anywhere)
+        docs = _docs(spark, sf_dir)
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        edges = (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(
+                    F.array(
+                        *[
+                            (F.col("doc_id") * 31 + 7 * j) % F.col("n")
+                            for j in (1, 2, 3)
+                        ]
+                    )
+                ).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("node")
+        )
+        return A.betweenness_approx(edges, seeds, max_depth=4)
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4677,6 +4705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bipartite_check": bipartite_check,
         "embedding_drift": embedding_drift,
         "mixed_script_spoof": mixed_script_spoof,
+        "betweenness_approx": betweenness_approx,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -5200,6 +5229,70 @@ def _profile_sql(table: str, cols: list[str]) -> str:
         f"WITH s AS (SELECT {', '.join(aggs)} FROM {table})\n            "
         + "\n            UNION ALL ".join(arms)
     )
+
+
+def _bw_ctes(depth: int = 4) -> str:
+    """Unrolled Brandes forward (σ-carrying BFS) + backward (integer
+    per-term truncated δ) CTEs over the crawl_depth affine fixture —
+    twin of analysis.betweenness_approx.  Every round table is
+    MATERIALIZED (referenced by the union arm, the anti-filter, and
+    the next level — the _kcore_ctes re-expansion lesson)."""
+    parts = [
+        """nbw AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)""",
+        """ebw AS MATERIALIZED (SELECT src, dst FROM (
+                 SELECT doc_id AS src,
+                        (doc_id * 31 + 7 * j) % nbw.n AS dst
+                 FROM documents, nbw,
+                      (SELECT unnest([1, 2, 3]) AS j) js)
+               WHERE src <> dst)""",
+        """f0 AS MATERIALIZED (SELECT doc_id AS seed, doc_id AS node,
+                        CAST(0 AS BIGINT) AS dist,
+                        CAST(1 AS BIGINT) AS sigma
+                 FROM documents WHERE doc_id % 97 = 0)""",
+    ]
+    for r in range(1, depth + 1):
+        parts.append(
+            f"""f{r} AS MATERIALIZED (
+                 SELECT * FROM f{r - 1}
+                 UNION ALL
+                 SELECT c.seed, c.node, CAST({r} AS BIGINT) AS dist,
+                        c.sigma FROM (
+                     SELECT s.seed, e.dst AS node,
+                            CAST(sum(s.sigma) AS BIGINT) AS sigma
+                     FROM ebw e JOIN f{r - 1} s
+                       ON s.node = e.src AND s.dist = {r - 1}
+                     GROUP BY s.seed, e.dst) c
+                 LEFT JOIN f{r - 1} p
+                   ON p.seed = c.seed AND p.node = c.node
+                 WHERE p.node IS NULL)"""
+        )
+    parts.append(
+        f"""b{depth} AS MATERIALIZED (SELECT seed, node, sigma,
+                        CAST(0 AS BIGINT) AS delta
+                 FROM f{depth} WHERE dist = {depth})"""
+    )
+    for L in range(depth - 1, -1, -1):
+        parts.append(
+            f"""b{L} AS MATERIALIZED (
+                 SELECT v.seed, v.node, v.sigma,
+                        CAST(COALESCE(sum(
+                            (v.sigma * (1000000 + s.delta)) // s.sigma),
+                            0) AS BIGINT) AS delta
+                 FROM (SELECT seed, node, sigma FROM f{depth}
+                       WHERE dist = {L}) v
+                 LEFT JOIN ebw e ON e.src = v.node
+                 LEFT JOIN b{L + 1} s
+                   ON s.seed = v.seed AND s.node = e.dst
+                 GROUP BY v.seed, v.node, v.sigma)"""
+        )
+    parts.append(
+        "ball AS ({})".format(
+            " UNION ALL ".join(
+                f"SELECT * FROM b{L}" for L in range(depth + 1)
+            )
+        )
+    )
+    return ",\n            ".join(parts)
 
 
 def _edrift_ctes(prefix: str, emb_sql: str) -> str:
@@ -7383,6 +7476,16 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 landmark Brandes: σ-carrying BFS + per-term
+        # truncated integer δ accumulation; a wrong frontier filter,
+        # σ double-count, or division order breaks the hash
+        "betweenness_approx": f"""
+            WITH {_bw_ctes(4)}
+            SELECT node, CAST(sum(delta) AS BIGINT) AS bc_micro,
+                   CAST(count(*) AS BIGINT) AS n_seeds
+            FROM ball WHERE node <> seed
+            GROUP BY node
         """,
         # r5 session-14 homoglyph card: ≥2-of-{latin,cyrillic,greek}
         # per-token flags (classes interpolated from SCRIPT_CLASSES —

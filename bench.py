@@ -304,6 +304,8 @@ BAND_MAX_S = {
     #                                  checkpointed rounds — latency-bound)
     "embedding_drift": 12.0,         # warm 5.0 (2 splits x dim explode)
     "mixed_script_spoof": 7.0,       # warm 1.9-2.9 (explode + rlike flags)
+    "betweenness_approx": 20.0,      # warm 8.1-8.8 (8 checkpointed
+    #                                  Brandes rounds — latency-bound)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -722,6 +724,9 @@ def main() -> None:
         "embedding_drift": lambda: force(_entry_q("embedding_drift")),
         "mixed_script_spoof": lambda: force(
             _entry_q("mixed_script_spoof")
+        ),
+        "betweenness_approx": lambda: force(
+            _entry_q("betweenness_approx")
         ),
     }
 

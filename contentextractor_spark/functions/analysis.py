@@ -14087,3 +14087,138 @@ def mixed_script_spoof(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.when(F.col("mixed") == 1, F.col("tok"))
         ).alias("top_suspect"),
     )
+
+
+def betweenness_approx(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 4,
+    sigma_bound: int = 2**20,
+    delta_bound: int = 2**40,
+) -> DataFrame:
+    """(node, bc_micro, n_seeds): landmark betweenness centrality —
+    Brandes' dependency accumulation (Brandes 2001) restricted to a
+    seed sample and a BFS horizon, the standard approximation
+    (Brandes-Pich 2007) when exact all-sources betweenness is
+    unaffordable.  Forward pass: per-seed BFS carrying σ (shortest-
+    path counts; multi-edges count as parallel shortest paths on BOTH
+    engines — neither side dedups).  Backward pass, level L→L−1:
+    δ(v) = Σ_w σ(v)·(1e6 + δ(w)) div σ(w) over successor edges (v,w)
+    with dist(w) = dist(v)+1 — the division is truncated PER TERM
+    before the sum, so the integer result is order-free and engine-
+    exact (the micro-quantize-before-aggregate family; truncation
+    ≤ 1 micro per term is the documented approximation).  Nodes at the
+    horizon take δ = 0 (paths through them to deeper nodes are
+    uncounted — conservative, like bfs_levels' bound).  bc_micro sums
+    δ over seeds for dist ≥ 1 rows; n_seeds = seeds reaching the node
+    within the horizon.
+
+    σ ≥ sigma_bound or δ ≥ delta_bound raises PER ROW (σ·(1e6+δ) must
+    stay under 2^63 — the packed-key overflow convention, loud not
+    silent).
+
+    Scale: state is (seed, node) like harmonic_centrality (landmark
+    count × reach, keep seeds at landmark scale); 2·max_depth rounds,
+    each one equi-join + one map-side-combinable aggregate,
+    localCheckpoint per round (the pagerank lesson)."""
+    seeds = seeds.select(F.col("node").cast("long").alias("seed")).distinct()
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint()
+    state = seeds.select(
+        "seed",
+        F.col("seed").alias("node"),
+        F.lit(0).cast("long").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    guard_sigma = F.when(
+        F.col("sigma") < F.lit(sigma_bound), F.col("sigma")
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"betweenness_approx: sigma >= {sigma_bound} — raise "
+                "sigma_bound only with a delta_bound keeping "
+                "sigma*(1e6+delta) < 2^63"
+            )
+        ).cast("long")
+    )
+    for r in range(1, max_depth + 1):
+        frontier = state.filter(F.col("dist") == r - 1).select(
+            "seed", F.col("node").alias("src"), "sigma"
+        )
+        cand = (
+            edges.join(frontier, "src")
+            .groupBy("seed", F.col("dst").alias("node"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .select("seed", "node", guard_sigma.alias("sigma"))
+        )
+        new = cand.join(
+            state.select("seed", "node"), ["seed", "node"], "left_anti"
+        ).select(
+            "seed", "node", F.lit(r).cast("long").alias("dist"), "sigma"
+        )
+        state = state.unionByName(new).localCheckpoint()
+    guard_delta = F.when(
+        F.col("delta") < F.lit(delta_bound), F.col("delta")
+    ).otherwise(
+        F.raise_error(
+            F.lit(f"betweenness_approx: delta >= {delta_bound}")
+        ).cast("long")
+    )
+    level = state.filter(F.col("dist") == max_depth).select(
+        "seed", "node", "sigma", F.lit(0).cast("long").alias("delta")
+    ).localCheckpoint()
+    acc = level
+    for L in range(max_depth, 0, -1):
+        succ = level.select(
+            "seed",
+            F.col("node").alias("dst"),
+            F.col("sigma").alias("__sw"),
+            F.col("delta").alias("__dw"),
+        )
+        terms = edges.join(succ, "dst").select(
+            "seed",
+            F.col("src").alias("node"),
+            (F.lit(1_000_000) + F.col("__dw")).alias("__base"),
+            "__sw",
+        )
+        prev = state.filter(F.col("dist") == L - 1).select(
+            "seed", "node", "sigma"
+        )
+        contrib = (
+            prev.join(terms, ["seed", "node"])
+            .select(
+                "seed",
+                "node",
+                "sigma",
+                F.expr("(sigma * __base) div __sw").alias("__term"),
+            )
+            .groupBy("seed", "node", "sigma")
+            .agg(F.sum("__term").cast("long").alias("delta"))
+        )
+        level = (
+            prev.join(
+                contrib.select("seed", "node", "delta"),
+                ["seed", "node"],
+                "left",
+            )
+            .select(
+                "seed",
+                "node",
+                "sigma",
+                F.coalesce(F.col("delta"), F.lit(0)).cast("long").alias(
+                    "delta"
+                ),
+            )
+            .select("seed", "node", "sigma", guard_delta.alias("delta"))
+            .localCheckpoint()
+        )
+        acc = acc.unionByName(level)
+    # dist-0 rows (the seeds themselves) end up in `acc`; Brandes
+    # excludes v == s, so drop the seed diagonal
+    bc = acc.filter(F.col("node") != F.col("seed"))
+    return bc.groupBy("node").agg(
+        F.sum("delta").cast("long").alias("bc_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_seeds"),
+    )

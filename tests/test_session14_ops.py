@@ -367,3 +367,76 @@ def test_spoof_pure_foreign_clean(spark):
     )  # two pure-cyrillic words
     r = A.mixed_script_spoof(docs).collect()[0]
     assert r["n_mixed"] == 0 and r["n_tokens"] == 2
+
+
+# ----------------------------------------------------- betweenness_approx
+_BW_EDGES = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (1, 4), (4, 5), (2, 5)]
+
+
+def _bw_replica(E, seeds, D):
+    from collections import defaultdict
+
+    exp = defaultdict(lambda: [0, 0])
+    for s in seeds:
+        dist, sig = {s: 0}, {s: 1}
+        for r in range(1, D + 1):
+            cand = defaultdict(int)
+            for (u, w) in E:
+                if dist.get(u) == r - 1:
+                    cand[w] += sig[u]
+            for w, c in cand.items():
+                if w not in dist:
+                    dist[w], sig[w] = r, c
+        delta = {v: 0 for v in dist if dist[v] == D}
+        for L in range(D, 0, -1):
+            nxt = {}
+            for v in dist:
+                if dist[v] == L - 1:
+                    t = 0
+                    for (u, w) in E:
+                        if u == v and dist.get(w) == L:
+                            t += (sig[v] * (10**6 + delta[w])) // sig[w]
+                    nxt[v] = t
+            for v, dv in nxt.items():
+                if v != s:
+                    exp[v][0] += dv
+            delta = nxt
+        for v in dist:
+            if v != s:
+                exp[v][1] += 1
+    return {k: (v[0], v[1]) for k, v in exp.items()}
+
+
+def test_betweenness_matches_replica(spark):
+    edges = _edges(spark, _BW_EDGES)
+    seeds = spark.createDataFrame([(0,), (2,)], "node long")
+    got = {r["node"]: (r["bc_micro"], r["n_seeds"])
+           for r in A.betweenness_approx(edges, seeds, max_depth=4).collect()}
+    assert got == _bw_replica(_BW_EDGES, [0, 2], 4)
+
+
+def test_betweenness_multi_edge_sigma(spark):
+    # diamond with the (0,1) edge doubled: sigma(3) = 3 (two parallel
+    # shortest paths via 1, one via 2) — node 1 carries 2/3 of the
+    # dependency, node 2 carries 1/3 (per-term truncated micro)
+    E2 = [(0, 1), (0, 1), (0, 2), (1, 3), (2, 3)]
+    s = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["bc_micro"]
+           for r in A.betweenness_approx(_edges(spark, E2), s,
+                                         max_depth=3).collect()}
+    assert got[1] == 666_666 and got[2] == 333_333
+    assert got == {k: v[0] for k, v in _bw_replica(E2, [0], 3).items()}
+
+
+def test_betweenness_sigma_guard(spark):
+    e = _edges(spark, [(0, 1), (0, 1), (1, 2)])
+    s = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(Exception):
+        A.betweenness_approx(e, s, max_depth=3, sigma_bound=2).collect()
+
+
+def test_betweenness_delta_guard(spark):
+    e = _edges(spark, [(0, 1), (1, 2)])
+    s = spark.createDataFrame([(0,)], "node long")
+    with pytest.raises(Exception):
+        A.betweenness_approx(e, s, max_depth=3, delta_bound=1).collect()
