@@ -4615,13 +4615,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return a.unionByName(b)
 
-    def mixed_script_spoof(spark, sf_dir):
-        # r5 session-14: homoglyph detection over planted confusables —
-        # %5 docs get ' pаypal' (Cyrillic а), %9 get ' lοgin'
-        # (Greek ο), %4 get a PURE-cyrillic token that must NOT flag
-        # (multilingual != spoof).  Unicode stays \uXXXX-escaped in
-        # source (the nfc_normalize editor-glyph lesson)
-        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+    def _spoof_planted(docs):
+        # confusable plant shared by mixed_script_spoof + curation_v10
+        # (twin of the oracle's _spoof_ctes builder): %5 Cyrillic-а
+        # paypal, %9 Greek-ο login, %4 a pure-cyrillic token that must
+        # NOT flag (multilingual != spoof).  Unicode stays
+        # \uXXXX-escaped in source (the nfc_normalize glyph lesson)
         text2 = F.concat(
             F.col("text"),
             F.when(F.pmod("doc_id", 5) == 0, F.lit(" p\u0430ypal"))
@@ -4632,8 +4631,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.pmod("doc_id", 4) == 0, F.lit(" \u043e\u043a")
             ).otherwise(F.lit("")),
         )
-        return A.mixed_script_spoof(
-            docs.select("doc_id", text2.alias("text"))
+        return docs.select("doc_id", text2.alias("text"))
+
+    def mixed_script_spoof(spark, sf_dir):
+        # r5 session-14: homoglyph detection over the planted
+        # confusable corpus (_spoof_planted)
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        return A.mixed_script_spoof(_spoof_planted(docs))
+
+    def curation_v10(spark, sf_dir):
+        # r5 session-14 composed chain, ONE SQL oracle: spoof gate
+        # (drop docs whose planted view has ANY mixed-script token —
+        # %5 ∪ %9 fall) → Gopher-style quality gate over the RAW text
+        # (the shared _qf constants) → centroid summary over the
+        # survivors' sentence-built view, reporting the LEAD-RATE
+        # (docs whose winning sentence is sentence 0 — the
+        # summarization-bias statistic a release card tracks)
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        spoof = A.mixed_script_spoof(_spoof_planted(docs))
+        clean = spoof.filter(F.col("n_mixed") == 0).select("doc_id")
+        d1 = docs.join(clean, "doc_id")
+        kept = (
+            A.quality_filter(d1)
+            .filter(F.col("keep") == 1)
+            .select("doc_id")
+        )
+        d2 = d1.join(kept, "doc_id")
+        sent_text = F.concat(
+            F.expr(_C4_LINES),
+            F.when(
+                F.pmod("doc_id", 7) == 0,
+                F.lit("\nDr. Smith arrived! Then left? Yes."),
+            ).otherwise(F.lit("")),
+        )
+        cs = A.centroid_summary(d2.select("doc_id", sent_text.alias("text")))
+        n_input = docs.agg(F.count(F.lit(1)).cast("long").alias("n_input"))
+        n_unsp = d1.agg(
+            F.count(F.lit(1)).cast("long").alias("n_unspoofed")
+        )
+        n_qual = d2.agg(F.count(F.lit(1)).cast("long").alias("n_quality"))
+        n_lead = cs.agg(
+            F.sum((F.col("sent_pos") == 0).cast("long"))
+            .cast("long")
+            .alias("n_lead")
+        )
+        return (
+            n_input.crossJoin(F.broadcast(n_unsp))
+            .crossJoin(F.broadcast(n_qual))
+            .crossJoin(F.broadcast(n_lead))
+            .select(
+                "n_input",
+                "n_unspoofed",
+                "n_quality",
+                "n_lead",
+                F.expr("n_lead * 1000 div n_quality").alias("lead_milli"),
+            )
         )
 
     def betweenness_approx(spark, sf_dir):
@@ -4663,6 +4715,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("doc_id").alias("node")
         )
         return A.betweenness_approx(edges, seeds, max_depth=4)
+
+    def distance_distribution(spark, sf_dir):
+        # r5 session-14: landmark hop histogram + effective-diameter
+        # flag over the affine fixture (same edges/seeds as
+        # harmonic_centrality — _seed_bfs shared stage)
+        docs = _docs(spark, sf_dir)
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        edges = (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(
+                    F.array(
+                        *[
+                            (F.col("doc_id") * 31 + 7 * j) % F.col("n")
+                            for j in (1, 2, 3)
+                        ]
+                    )
+                ).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("node")
+        )
+        return A.distance_distribution(edges, seeds, max_depth=4)
+
+    def katz_centrality(spark, sf_dir):
+        # r5 session-14: landmark Katz (attenuated walk counts,
+        # beta=1/4, len<=4) over the affine fixture — walks REVISIT
+        # nodes, so counts differ from the BFS family by design
+        docs = _docs(spark, sf_dir)
+        n = docs.select(F.count(F.lit(1)).alias("n"))
+        edges = (
+            docs.select("doc_id")
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("doc_id").alias("src"),
+                F.explode(
+                    F.array(
+                        *[
+                            (F.col("doc_id") * 31 + 7 * j) % F.col("n")
+                            for j in (1, 2, 3)
+                        ]
+                    )
+                ).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("node")
+        )
+        return A.katz_centrality(edges, seeds, max_len=4)
 
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
@@ -4706,6 +4812,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_drift": embedding_drift,
         "mixed_script_spoof": mixed_script_spoof,
         "betweenness_approx": betweenness_approx,
+        "distance_distribution": distance_distribution,
+        "curation_v10": curation_v10,
+        "katz_centrality": katz_centrality,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -5229,6 +5338,114 @@ def _profile_sql(table: str, cols: list[str]) -> str:
         f"WITH s AS (SELECT {', '.join(aggs)} FROM {table})\n            "
         + "\n            UNION ALL ".join(arms)
     )
+
+
+def _spoof_ctes(src: str = "documents") -> str:
+    """sbuilt → sstok → sper → spf CTE chain: the confusable-planted
+    corpus (%5 Cyrillic-а paypal, %9 Greek-ο login, %4 pure-cyrillic
+    non-flag token) + per-token mixed-script flags + the per-doc card
+    spf(doc_id, n_tokens, n_mixed, spoof_milli, top_suspect) — ONE
+    definition shared by mixed_script_spoof and curation_v10."""
+    classes = dict(A.SCRIPT_CLASSES)
+    flags = " + ".join(
+        f"""(CASE WHEN regexp_matches(tok, '[{classes[s]}]')
+                  THEN 1 ELSE 0 END)"""
+        for s in ("latin", "cyrillic", "greek")
+    )
+    return f"""sbuilt AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN ' p' || chr(1072) || 'ypal'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 9 = 0
+                             THEN ' l' || chr(959) || 'gin'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 4 = 0
+                             THEN ' ' || chr(1086) || chr(1082)
+                             ELSE '' END AS t
+              FROM {src} WHERE text IS NOT NULL),
+            sstok AS (SELECT doc_id, tok
+                    FROM (SELECT doc_id,
+                                 unnest(string_split(t, ' ')) AS tok
+                          FROM sbuilt)
+                    WHERE tok <> ''),
+            sper AS (SELECT doc_id, tok,
+                           CASE WHEN {flags} >= 2
+                           THEN 1 ELSE 0 END AS mixed
+                    FROM sstok),
+            spf AS (SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(mixed) AS BIGINT) AS n_mixed,
+                   CAST(sum(mixed) * 1000 // count(*) AS BIGINT)
+                       AS spoof_milli,
+                   min(CASE WHEN mixed = 1 THEN tok END) AS top_suspect
+            FROM sper GROUP BY doc_id)"""
+
+
+def _centroid_ctes(count_src: str, p: str = "c") -> str:
+    """{p}tok → {p}dfr → {p}nn → {p}idf → {p}sc → {p}win CTEs over the
+    `s` sentence table (from _sent_ctes): distinct-token milli-nat idf
+    sentence scores + the packed lead-bias argmax — shared by
+    centroid_summary and curation_v10 (idf corpus size counted FROM
+    count_src, which must match the Spark call's input corpus)."""
+    return f"""{p}tok AS (SELECT DISTINCT doc_id, sent_pos, tok
+                     FROM (SELECT doc_id, sent_pos,
+                                  unnest(string_split(sentence, ' ')) AS tok
+                           FROM s)
+                     WHERE tok <> ''),
+            {p}dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+                    FROM {p}tok GROUP BY tok),
+            {p}nn AS (SELECT CAST(count(*) AS BIGINT) AS n
+                   FROM {count_src}),
+            {p}idf AS (SELECT tok,
+                           CAST(floor(ln(CAST(n AS DOUBLE)
+                                         / CAST(df AS DOUBLE)) * 1000)
+                                AS BIGINT) AS idf_milli
+                    FROM {p}dfr CROSS JOIN {p}nn),
+            {p}sc AS (SELECT doc_id, sent_pos,
+                          CAST(sum(idf_milli) AS BIGINT) AS score_milli
+                   FROM {p}tok JOIN {p}idf USING (tok)
+                   GROUP BY doc_id, sent_pos),
+            {p}win AS (SELECT doc_id,
+                           max(score_milli * 1048576
+                               + (1048575 - sent_pos)) AS p
+                    FROM {p}sc GROUP BY doc_id)"""
+
+
+def _katz_ctes(max_len: int = 4, beta_den: int = 4) -> str:
+    """Unrolled attenuated-walk levels over the affine fixture — twin
+    of analysis.katz_centrality (per-level truncation BEFORE the sum).
+    Each w{L} is MATERIALIZED (referenced by the next level and the
+    union)."""
+    parts = [
+        """nkz AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)""",
+        """ekz AS MATERIALIZED (SELECT src, dst FROM (
+                 SELECT doc_id AS src,
+                        (doc_id * 31 + 7 * j) % nkz.n AS dst
+                 FROM documents, nkz,
+                      (SELECT unnest([1, 2, 3]) AS j) js)
+               WHERE src <> dst)""",
+        """w0 AS (SELECT doc_id AS node, CAST(1 AS BIGINT) AS w
+                 FROM documents WHERE doc_id % 97 = 0)""",
+    ]
+    for L in range(1, max_len + 1):
+        parts.append(
+            f"""w{L} AS MATERIALIZED (SELECT e.dst AS node,
+                        CAST(sum(p.w) AS BIGINT) AS w
+                 FROM ekz e JOIN w{L - 1} p ON p.node = e.src
+                 GROUP BY e.dst)"""
+        )
+    parts.append(
+        "kall AS ({})".format(
+            " UNION ALL ".join(
+                f"SELECT node, w * 1000 // {beta_den ** L} AS k, "
+                f"w AS nw FROM w{L}"
+                for L in range(1, max_len + 1)
+            )
+        )
+    )
+    return ",\n            ".join(parts)
 
 
 def _bw_ctes(depth: int = 4) -> str:
@@ -7390,39 +7607,18 @@ def oracle_sql() -> dict[str, str]:
         # token), or a tie going to the later sentence breaks the hash
         "centroid_summary": f"""
             WITH {_sent_ctes('documents')},
-            stok AS (SELECT DISTINCT doc_id, sent_pos, tok
-                     FROM (SELECT doc_id, sent_pos,
-                                  unnest(string_split(sentence, ' ')) AS tok
-                           FROM s)
-                     WHERE tok <> ''),
-            dfr AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
-                    FROM stok GROUP BY tok),
-            nn AS (SELECT CAST(count(*) AS BIGINT) AS n
-                   FROM documents WHERE text IS NOT NULL),
-            idf AS (SELECT tok,
-                           CAST(floor(ln(CAST(n AS DOUBLE)
-                                         / CAST(df AS DOUBLE)) * 1000)
-                                AS BIGINT) AS idf_milli
-                    FROM dfr CROSS JOIN nn),
-            sc AS (SELECT doc_id, sent_pos,
-                          CAST(sum(idf_milli) AS BIGINT) AS score_milli
-                   FROM stok JOIN idf USING (tok)
-                   GROUP BY doc_id, sent_pos),
-            win AS (SELECT doc_id,
-                           max(score_milli * 1048576
-                               + (1048575 - sent_pos)) AS p
-                    FROM sc GROUP BY doc_id),
+            {_centroid_ctes('documents WHERE text IS NOT NULL')},
             ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sents
                    FROM s GROUP BY doc_id)
-            SELECT win.doc_id,
+            SELECT cwin.doc_id,
                    CAST(1048575 - (p % 1048576) AS INT) AS sent_pos,
                    s.sentence,
                    p // 1048576 AS score_milli,
                    ns.n_sents
-            FROM win
-            JOIN s ON s.doc_id = win.doc_id
+            FROM cwin
+            JOIN s ON s.doc_id = cwin.doc_id
                   AND s.sent_pos = 1048575 - (p % 1048576)
-            JOIN ns ON ns.doc_id = win.doc_id
+            JOIN ns ON ns.doc_id = cwin.doc_id
         """,
         # r5 session-14 Kaplan-Meier: per-lifetime at-risk suffix sums +
         # per-step micro-nat ln quantized BEFORE the cumulative sum; a
@@ -7477,6 +7673,60 @@ def oracle_sql() -> dict[str, str]:
                    END AS log_surv_micro
             FROM st
         """,
+        # r5 session-14 landmark Katz: per-level truncated attenuation;
+        # a wrong level join or a post-sum division breaks the hash
+        "katz_centrality": f"""
+            WITH {_katz_ctes(4, 4)}
+            SELECT node, CAST(sum(k) AS BIGINT) AS katz_milli,
+                   CAST(sum(nw) AS BIGINT) AS n_walks_total
+            FROM kall GROUP BY node
+        """,
+        # r5 session-14 composed chain: spoof gate -> _qf gate ->
+        # centroid lead-rate; every stage is set-dependent, so a wrong
+        # verdict anywhere shifts the downstream counts
+        "curation_v10": f"""
+            WITH {_spoof_ctes('documents')},
+            d1 AS (SELECT d.doc_id, d.text FROM documents d
+                   JOIN spf USING (doc_id)
+                   WHERE spf.n_mixed = 0 AND d.text IS NOT NULL),
+            qsig AS ({_qf_cols_sql('d1')}),
+            d2 AS (SELECT d1.doc_id, d1.text FROM d1
+                   JOIN qsig USING (doc_id)
+                   WHERE NOT {_QF_BAD_SQL}),
+            {_sent_ctes('d2')},
+            {_centroid_ctes('d2')},
+            card AS (SELECT
+                CAST((SELECT count(*) FROM documents
+                      WHERE text IS NOT NULL) AS BIGINT) AS n_input,
+                CAST((SELECT count(*) FROM d1) AS BIGINT) AS n_unspoofed,
+                CAST((SELECT count(*) FROM d2) AS BIGINT) AS n_quality,
+                CAST((SELECT count(*) FROM cwin
+                      WHERE p % 1048576 = 1048575) AS BIGINT) AS n_lead)
+            SELECT n_input, n_unspoofed, n_quality, n_lead,
+                   CAST(n_lead * 1000 // n_quality AS BIGINT) AS lead_milli
+            FROM card
+        """,
+        # r5 session-14 distance histogram: reuses the harmonic BFS CTE
+        # chain; the 90% effective-diameter rule is cross-multiplied —
+        # no division in the verdict
+        "distance_distribution": f"""
+            WITH {_hc_ctes(4)},
+            hist AS (SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs
+                     FROM h4 WHERE dist >= 1 GROUP BY dist),
+            tot AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS t FROM hist),
+            cum AS (SELECT dist, n_pairs,
+                           CAST(sum(n_pairs) OVER (ORDER BY dist
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cum_pairs,
+                           t
+                    FROM hist CROSS JOIN tot)
+            SELECT dist, n_pairs, cum_pairs,
+                   CAST(cum_pairs * 1000 // t AS BIGINT) AS cum_milli,
+                   CASE WHEN cum_pairs * 10 >= t * 9
+                         AND (cum_pairs - n_pairs) * 10 < t * 9
+                        THEN 1 ELSE 0 END AS is_eff_diameter
+            FROM cum
+        """,
         # r5 session-14 landmark Brandes: σ-carrying BFS + per-term
         # truncated integer δ accumulation; a wrong frontier filter,
         # σ double-count, or division order breaks the hash
@@ -7492,44 +7742,9 @@ def oracle_sql() -> dict[str, str]:
         # one definition, both engines); the pure-cyrillic token must
         # NOT flag, the two planted confusables must
         "mixed_script_spoof": f"""
-            WITH built AS (
-              SELECT doc_id,
-                     text
-                     || CASE WHEN doc_id % 5 = 0
-                             THEN ' p' || chr(1072) || 'ypal'
-                             ELSE '' END
-                     || CASE WHEN doc_id % 9 = 0
-                             THEN ' l' || chr(959) || 'gin'
-                             ELSE '' END
-                     || CASE WHEN doc_id % 4 = 0
-                             THEN ' ' || chr(1086) || chr(1082)
-                             ELSE '' END AS t
-              FROM documents WHERE text IS NOT NULL),
-            tok AS (SELECT doc_id, tok
-                    FROM (SELECT doc_id,
-                                 unnest(string_split(t, ' ')) AS tok
-                          FROM built)
-                    WHERE tok <> ''),
-            per AS (SELECT doc_id, tok,
-                           CASE WHEN
-                             (CASE WHEN regexp_matches(tok,
-                                '[{dict(A.SCRIPT_CLASSES)["latin"]}]')
-                                   THEN 1 ELSE 0 END)
-                           + (CASE WHEN regexp_matches(tok,
-                                '[{dict(A.SCRIPT_CLASSES)["cyrillic"]}]')
-                                   THEN 1 ELSE 0 END)
-                           + (CASE WHEN regexp_matches(tok,
-                                '[{dict(A.SCRIPT_CLASSES)["greek"]}]')
-                                   THEN 1 ELSE 0 END) >= 2
-                           THEN 1 ELSE 0 END AS mixed
-                    FROM tok)
-            SELECT doc_id,
-                   CAST(count(*) AS BIGINT) AS n_tokens,
-                   CAST(sum(mixed) AS BIGINT) AS n_mixed,
-                   CAST(sum(mixed) * 1000 // count(*) AS BIGINT)
-                       AS spoof_milli,
-                   min(CASE WHEN mixed = 1 THEN tok END) AS top_suspect
-            FROM per GROUP BY doc_id
+            WITH {_spoof_ctes('documents')}
+            SELECT doc_id, n_tokens, n_mixed, spoof_milli, top_suspect
+            FROM spf
         """,
         # r5 session-14 mean-vector drift: offset floor-div means, isqrt
         # norms, sign-peeled cosine; the planted +0.25 dim-0 shift must

@@ -298,7 +298,8 @@ BAND_MAX_S = {
     #                                  warm record in the same window)
     "score_reliability": 9.0,        # 3.5-8.5 same burst window
     "cdc_apply": 6.0,                # warm 1.9-2.0 (packed argmax + join)
-    "centroid_summary": 15.0,        # warm 5.8-7.2 (sentence idf + argmax)
+    "centroid_summary": 12.0,        # warm 4.1 with persisted sents
+    #                                  (5.8-7.2 before the persist)
     "kaplan_meier": 7.0,             # warm 2.1-2.8 (lifetime-grid windows)
     "bipartite_check": 25.0,         # warm 10.3-12.4 (2 graphs x 8 BFS
     #                                  checkpointed rounds — latency-bound)
@@ -306,6 +307,9 @@ BAND_MAX_S = {
     "mixed_script_spoof": 7.0,       # warm 1.9-2.9 (explode + rlike flags)
     "betweenness_approx": 20.0,      # warm 8.1-8.8 (8 checkpointed
     #                                  Brandes rounds — latency-bound)
+    "distance_distribution": 8.0,    # warm 2.5-2.8 (shared _seed_bfs)
+    "curation_v10": 10.0,            # warm 3.8-4.2 (spoof+qf+centroid)
+    "katz_centrality": 5.0,          # warm 1.4-1.7 (4 walk levels)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -728,6 +732,11 @@ def main() -> None:
         "betweenness_approx": lambda: force(
             _entry_q("betweenness_approx")
         ),
+        "distance_distribution": lambda: force(
+            _entry_q("distance_distribution")
+        ),
+        "curation_v10": lambda: force(_entry_q("curation_v10")),
+        "katz_centrality": lambda: force(_entry_q("katz_centrality")),
     }
 
     def _entry_q(name):

@@ -1429,31 +1429,21 @@ def table_profile(df: DataFrame, cols: list[str]) -> DataFrame:
     )
 
 
-def harmonic_centrality(
-    edges: DataFrame, seeds: DataFrame, max_depth: int = 4
+def _seed_bfs(
+    edges: DataFrame, seeds: DataFrame, max_depth: int
 ) -> DataFrame:
-    """Landmark (seed-anchored) harmonic centrality: for every node,
-    H_milli = sum over seeds s (s != node, d(s, node) <= max_depth) of
-    1000 div d(s, node), plus n_seeds_reached — the Boldi-Vigna
-    centrality restricted to a landmark set, the standard approximation
-    when all-pairs distances are unaffordable (pick k landmarks; the
-    estimate concentrates).  Distances follow edge DIRECTION (seed →
-    node), matching a crawler's reachability view.
-
-    Exactness: per-seed distance is the BFS frontier invariant (first
-    reach is shortest); 1000 div d terms are integers summed order-free.
-
-    Scale: the state is (seed, node, dist) — landmark count times
-    reachable set, the deliberate trade vs bfs_levels' min-over-seeds
-    collapse (which cannot attribute per-seed contributions).  Each
-    round joins the round-(r-1) frontier with edges and re-mins; the
-    groupBy is map-side combinable; localCheckpoint per round (the
-    pagerank lesson).  Keep |seeds| at landmark scale (10s-100s), not
-    corpus scale — state is the product."""
+    """(seed, node, dist): landmark BFS state — the shared head of
+    harmonic_centrality and distance_distribution (and the σ-free
+    shape of betweenness_approx's forward pass).  Frontier form with
+    localCheckpoint per round (the pagerank lesson)."""
     dist = (
         seeds.select(F.col("node").cast("long").alias("seed"))
         .distinct()
-        .select("seed", F.col("seed").alias("node"), F.lit(0).cast("long").alias("dist"))
+        .select(
+            "seed",
+            F.col("seed").alias("node"),
+            F.lit(0).cast("long").alias("dist"),
+        )
         .localCheckpoint()
     )
     edges = edges.select(
@@ -1475,6 +1465,31 @@ def harmonic_centrality(
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint()
         )
+    return dist
+
+
+def harmonic_centrality(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 4
+) -> DataFrame:
+    """Landmark (seed-anchored) harmonic centrality: for every node,
+    H_milli = sum over seeds s (s != node, d(s, node) <= max_depth) of
+    1000 div d(s, node), plus n_seeds_reached — the Boldi-Vigna
+    centrality restricted to a landmark set, the standard approximation
+    when all-pairs distances are unaffordable (pick k landmarks; the
+    estimate concentrates).  Distances follow edge DIRECTION (seed →
+    node), matching a crawler's reachability view.
+
+    Exactness: per-seed distance is the BFS frontier invariant (first
+    reach is shortest); 1000 div d terms are integers summed order-free.
+
+    Scale: the state is (seed, node, dist) — landmark count times
+    reachable set, the deliberate trade vs bfs_levels' min-over-seeds
+    collapse (which cannot attribute per-seed contributions).  Each
+    round joins the round-(r-1) frontier with edges and re-mins; the
+    groupBy is map-side combinable; localCheckpoint per round (the
+    pagerank lesson).  Keep |seeds| at landmark scale (10s-100s), not
+    corpus scale — state is the product."""
+    dist = _seed_bfs(edges, seeds, max_depth)
     return (
         dist.filter(F.col("dist") >= 1)
         .groupBy("node")
@@ -13792,7 +13807,11 @@ def score_reliability(
 
 
 def centroid_summary(
-    docs: DataFrame, pos_bits: int = 20, score_bound: int = 2**42
+    docs: DataFrame,
+    pos_bits: int = 20,
+    score_bound: int = 2**42,
+    persist_sents: bool = True,
+    cache_handle: list | None = None,
 ) -> DataFrame:
     """(doc_id, sent_pos, sentence, score_milli, n_sents): one-sentence
     extractive summary per document — centroid scoring in the spirit of
@@ -13818,8 +13837,17 @@ def centroid_summary(
     the sentence table on (doc_id, sent_pos) — co-partitioned
     equi-join.  idf table is term-level (vocabulary-sized) — AQE
     broadcasts it when small.  No window over the corpus, no global
-    sort."""
+    sort.  The sentence table feeds THREE consumers (token stream,
+    n_sents, winner join-back), so it persists by default with the
+    tfidf cache_handle release contract — without it the regex split +
+    explode re-executes per consumer."""
     sents = sentence_split(docs)
+    if persist_sents:
+        from pyspark import StorageLevel
+
+        sents = sents.persist(StorageLevel.MEMORY_AND_DISK)
+        if cache_handle is not None:
+            cache_handle.append(sents)
     stok = (
         sents.select(
             "doc_id",
@@ -14221,4 +14249,118 @@ def betweenness_approx(
     return bc.groupBy("node").agg(
         F.sum("delta").cast("long").alias("bc_micro"),
         F.count(F.lit(1)).cast("long").alias("n_seeds"),
+    )
+
+
+def distance_distribution(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 4
+) -> DataFrame:
+    """(dist, n_pairs, cum_pairs, cum_milli, is_eff_diameter): the
+    landmark distance distribution — per-hop counts of (seed, node)
+    pairs with shortest distance d ∈ [1, max_depth], the cumulative
+    share in milli, and a flag on the EFFECTIVE-DIAMETER row (the
+    smallest d covering ≥ 90% of reached pairs — the web-graph
+    small-world statistic, Leskovec's densification-era convention).
+    Pairs beyond the horizon are absent, so the 90% is of REACHED
+    pairs (documented; at web scale run more/deeper landmarks until
+    the tail stabilizes).
+
+    All-integer: counts, prefix sums over the ≤ max_depth-row
+    histogram (the markov_eval free-window rule), and the 90% rule
+    cross-multiplied (cum·10 ≥ total·9) — no division at all in the
+    verdict.  Shares _seed_bfs with harmonic_centrality."""
+    dist = _seed_bfs(edges, seeds, max_depth)
+    hist = (
+        dist.filter(F.col("dist") >= 1)
+        .groupBy("dist")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    tot = hist.agg(F.sum("n_pairs").cast("long").alias("__t"))
+    w = Window.orderBy("dist").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = hist.crossJoin(F.broadcast(tot)).select(
+        "dist",
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias("cum_pairs"),
+        "__t",
+    )
+    return cum.select(
+        "dist",
+        "n_pairs",
+        "cum_pairs",
+        F.expr("cum_pairs * 1000 div __t").alias("cum_milli"),
+        (
+            (F.col("cum_pairs") * 10 >= F.col("__t") * 9)
+            & ((F.col("cum_pairs") - F.col("n_pairs")) * 10 < F.col("__t") * 9)
+        )
+        .cast("int")
+        .alias("is_eff_diameter"),
+    )
+
+
+def katz_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_len: int = 4,
+    beta_den: int = 4,
+    walk_bound: int = 2**36,
+) -> DataFrame:
+    """(node, katz_milli, n_walks_total): landmark Katz centrality —
+    attenuated WALK counts from a seed sample: katz(v) = Σ_L β^L ·
+    walks_L(seeds→v), β = 1/beta_den, L ∈ [1, max_len].  Unlike
+    betweenness/harmonic this counts ALL walks (revisits included —
+    the Katz definition), so the recursion is a pure linear pass:
+    w_L(v) = Σ_{(u,v)∈E} w_{L-1}(u) — no shortest-path state, no
+    anti-join.
+
+    Exactness: walk counts are integers; each level's attenuated
+    contribution is truncated INDEPENDENTLY (walks_L·1000 div
+    beta_den^L — the per-term-before-sum family), so the milli sum is
+    order-free and engine-exact.  Walk counts explode geometrically
+    with the mean out-degree; w ≥ walk_bound raises PER ROW (the
+    packed-key loud-refusal convention) — lower max_len or sample
+    fewer seeds rather than silently wrapping.
+
+    Scale: max_len rounds of one equi-join + one map-side-combinable
+    groupBy over (node) — frontier is the WHOLE w_{L-1} table (walks
+    never finalize like BFS distances); localCheckpoint per round
+    (the pagerank lesson).  Landmark seeds keep state linear in
+    reach."""
+    edges = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint()
+    w = (
+        seeds.select(F.col("node").cast("long").alias("node"))
+        .distinct()
+        .select("node", F.lit(1).cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    guard = F.when(F.col("w") < F.lit(walk_bound), F.col("w")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"katz_centrality: walk count >= {walk_bound} — lower "
+                "max_len / beta_den or sample fewer seeds"
+            )
+        ).cast("long")
+    )
+    acc = None
+    for L in range(1, max_len + 1):
+        w = (
+            edges.join(w.select(F.col("node").alias("src"), "w"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").cast("long").alias("w"))
+            .select("node", guard.alias("w"))
+            .localCheckpoint()
+        )
+        lvl = w.select(
+            "node",
+            F.expr(f"w * 1000 div {beta_den ** L}").alias("k"),
+            F.col("w").alias("nw"),
+        )
+        acc = lvl if acc is None else acc.unionByName(lvl)
+    return acc.groupBy("node").agg(
+        F.sum("k").cast("long").alias("katz_milli"),
+        F.sum("nw").cast("long").alias("n_walks_total"),
     )

@@ -440,3 +440,58 @@ def test_betweenness_delta_guard(spark):
     s = spark.createDataFrame([(0,)], "node long")
     with pytest.raises(Exception):
         A.betweenness_approx(e, s, max_depth=3, delta_bound=1).collect()
+
+
+# ------------------------------------------------- distance_distribution
+def test_distdist_path_graph(spark):
+    # path 0->1->2->3 from seed 0: one pair at each dist 1..3
+    e = _edges(spark, [(0, 1), (1, 2), (2, 3)])
+    out = {r["dist"]: r.asDict()
+           for r in A.distance_distribution(
+               e, _seed(spark), max_depth=4).collect()}
+    assert {d: out[d]["n_pairs"] for d in out} == {1: 1, 2: 1, 3: 1}
+    assert out[3]["cum_milli"] == 1000
+    # 90% of 3 pairs -> covered first at dist 3
+    assert [d for d in out if out[d]["is_eff_diameter"] == 1] == [3]
+
+
+def test_distdist_star(spark):
+    # star 0->{1..9}: all pairs at dist 1; eff diameter 1
+    e = _edges(spark, [(0, i) for i in range(1, 10)])
+    out = A.distance_distribution(e, _seed(spark), max_depth=3).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["dist"] == 1 and r["n_pairs"] == 9
+    assert r["is_eff_diameter"] == 1 and r["cum_milli"] == 1000
+
+
+# ------------------------------------------------------- katz_centrality
+def test_katz_walk_counts(spark):
+    # cycle 0->1->2->0 from seed 0: walks revisit — at L=3 the walk
+    # returns to 0.  beta=1/2 for round milli values.
+    e = _edges(spark, [(0, 1), (1, 2), (2, 0)])
+    s = _seed(spark, 0)
+    out = {r["node"]: r.asDict()
+           for r in A.katz_centrality(e, s, max_len=3,
+                                      beta_den=2).collect()}
+    # node1: walk at L=1 (w=1) -> 500; node2: L=2 -> 250; node0: L=3 -> 125
+    assert out[1]["katz_milli"] == 500 and out[1]["n_walks_total"] == 1
+    assert out[2]["katz_milli"] == 250
+    assert out[0]["katz_milli"] == 125  # the revisit — Katz counts it
+
+
+def test_katz_parallel_paths_add(spark):
+    # diamond 0->{1,2}->3: two length-2 walks into 3
+    e = _edges(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+    out = {r["node"]: r.asDict()
+           for r in A.katz_centrality(e, _seed(spark, 0), max_len=2,
+                                      beta_den=4).collect()}
+    assert out[3]["n_walks_total"] == 2
+    assert out[3]["katz_milli"] == (2 * 1000) // 16
+
+
+def test_katz_walk_bound_raises(spark):
+    e = _edges(spark, [(0, 1), (0, 1), (1, 0), (1, 0)])
+    with pytest.raises(Exception):
+        A.katz_centrality(e, _seed(spark, 0), max_len=8,
+                          walk_bound=4).collect()
