@@ -4770,6 +4770,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.katz_centrality(edges, seeds, max_len=4)
 
+    def mutual_nn_pairs(spark, sf_dir):
+        # r5 session-14: mutual top-1 cosine pairs over the shipped
+        # int8 quantization — the bitext-mining criterion; exact-pair
+        # baseline, guarded at scale
+        return A.mutual_nn_pairs(_emb(spark, sf_dir))
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4815,6 +4821,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distance_distribution": distance_distribution,
         "curation_v10": curation_v10,
         "katz_centrality": katz_centrality,
+        "mutual_nn_pairs": mutual_nn_pairs,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -5446,6 +5453,24 @@ def _katz_ctes(max_len: int = 4, beta_den: int = 4) -> str:
         )
     )
     return ",\n            ".join(parts)
+
+
+def _int8_cte() -> str:
+    """q(vec_id, qvec) — the int8 max-abs quantization CTE, twin of
+    analysis.quantize_embeddings; ONE definition shared by the
+    quantized_knn and mutual_nn_pairs oracles."""
+    return """q AS (
+              SELECT vec_id,
+                     CASE WHEN mx = 0
+                          THEN list_transform(e, x -> CAST(0 AS INT))
+                          ELSE list_transform(e, x ->
+                               CAST(round(x * CAST(127.0 AS DOUBLE) / mx)
+                                    AS INT)) END AS qvec
+              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+                           list_aggregate(
+                             list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> abs(x)), 'max') AS mx
+                    FROM embeddings))"""
 
 
 def _bw_ctes(depth: int = 4) -> str:
@@ -7672,6 +7697,50 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 mutual-NN pairing over the SHIPPED int8 space:
+        # integer dots (codegen explode twin on the Spark side), isqrt
+        # norms, sign-peeled cos_milli, (cos DESC, id ASC) top-1
+        "mutual_nn_pairs": f"""
+            WITH {_int8_cte()},
+            mdims AS (SELECT vec_id, d, qvec[d] AS v FROM q,
+                      (SELECT unnest(generate_series(1, 64)) AS d) dd),
+            msq AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS sq
+                    FROM mdims GROUP BY vec_id),
+            msqp AS (SELECT vec_id, sq FROM msq WHERE sq > 0),
+            mn0 AS (SELECT vec_id, sq,
+                           CAST(floor(sqrt(CAST(sq AS DOUBLE))) AS BIGINT)
+                               AS y0
+                    FROM msqp),
+            mn1 AS (SELECT vec_id, sq,
+                           y0 + CASE WHEN (y0 + 1) * (y0 + 1) <= sq
+                                     THEN 1 ELSE 0 END AS y1
+                    FROM mn0),
+            mnrm AS (SELECT vec_id,
+                           y1 - CASE WHEN y1 * y1 > sq
+                                     THEN 1 ELSE 0 END AS nrm
+                    FROM mn1),
+            mdot AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+                            CAST(sum(a.v * b.v) AS BIGINT) AS dot
+                     FROM mdims a JOIN mdims b USING (d)
+                     WHERE a.vec_id <> b.vec_id
+                     GROUP BY a.vec_id, b.vec_id),
+            mcos AS (SELECT va, vb,
+                            CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+                                 * ((abs(dot) * 1000)
+                                    // greatest(na.nrm * nb.nrm, 1))
+                                 AS BIGINT) AS cos_milli
+                     FROM mdot
+                     JOIN mnrm na ON na.vec_id = mdot.va
+                     JOIN mnrm nb ON nb.vec_id = mdot.vb),
+            mtop AS (SELECT va, vb, cos_milli,
+                            row_number() OVER (PARTITION BY va
+                                ORDER BY cos_milli DESC, vb ASC) AS rn
+                     FROM mcos),
+            t1 AS (SELECT va, vb, cos_milli FROM mtop WHERE rn = 1)
+            SELECT t1.va AS vec_id_a, t1.vb AS vec_id_b, t1.cos_milli
+            FROM t1 JOIN t1 t2 ON t1.vb = t2.va AND t1.va = t2.vb
+            WHERE t1.va < t1.vb
         """,
         # r5 session-14 landmark Katz: per-level truncated attenuation;
         # a wrong level join or a post-sum division breaks the hash
@@ -10290,19 +10359,8 @@ def oracle_sql() -> dict[str, str]:
                                           x -> abs(x)), 'max') AS mx
                   FROM embeddings)
         """,
-        "quantized_knn": """
-            WITH q AS (
-              SELECT vec_id,
-                     CASE WHEN mx = 0
-                          THEN list_transform(e, x -> CAST(0 AS INT))
-                          ELSE list_transform(e, x ->
-                               CAST(round(x * CAST(127.0 AS DOUBLE) / mx)
-                                    AS INT)) END AS qvec
-              FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
-                           list_aggregate(
-                             list_transform(CAST(embedding AS DOUBLE[]),
-                                            x -> abs(x)), 'max') AS mx
-                    FROM embeddings)),
+        "quantized_knn": f"""
+            WITH {_int8_cte()},
             qn AS (SELECT * FROM (
                      SELECT vec_id, CAST(qvec AS DOUBLE[]) AS qd,
                             sqrt(list_dot_product(CAST(qvec AS DOUBLE[]),

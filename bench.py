@@ -310,6 +310,9 @@ BAND_MAX_S = {
     "distance_distribution": 8.0,    # warm 2.5-2.8 (shared _seed_bfs)
     "curation_v10": 10.0,            # warm 3.8-4.2 (spoof+qf+centroid)
     "katz_centrality": 5.0,          # warm 1.4-1.7 (4 walk levels)
+    "mutual_nn_pairs": 45.0,         # warm 24-27 (exact n^2 d int-dot
+    #                                  baseline, half-pair + persist;
+    #                                  38-40 before the halving)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -737,6 +740,7 @@ def main() -> None:
         ),
         "curation_v10": lambda: force(_entry_q("curation_v10")),
         "katz_centrality": lambda: force(_entry_q("katz_centrality")),
+        "mutual_nn_pairs": lambda: force(_entry_q("mutual_nn_pairs")),
     }
 
     def _entry_q(name):

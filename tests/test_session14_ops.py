@@ -3,6 +3,7 @@ latest-wins semantics, delete absence, packed-argmax tie rule, and the
 loud refusal paths (out-of-bounds pack, null ts, unknown op)."""
 
 import pytest
+from pyspark.sql import functions as F
 from pyspark.errors import PySparkRuntimeError
 from py4j.protocol import Py4JJavaError
 
@@ -495,3 +496,43 @@ def test_katz_walk_bound_raises(spark):
     with pytest.raises(Exception):
         A.katz_centrality(e, _seed(spark, 0), max_len=8,
                           walk_bound=4).collect()
+
+
+# ------------------------------------------------------- mutual_nn_pairs
+def _embv(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_mutual_nn_basic(spark):
+    # 0 and 1 nearly identical (mutual); 2 points at 0 one-sidedly but
+    # 0's top-1 is 1 -> (0,2) must NOT appear
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0]),
+        (2, [0.7, 0.7, 0.0]),
+        (3, [0.0, 0.0, 1.0]),   # far from everyone; its NN is one-sided
+    ]
+    out = {(r["vec_id_a"], r["vec_id_b"]): r["cos_milli"]
+           for r in A.mutual_nn_pairs(_embv(spark, rows)).collect()}
+    assert (0, 1) in out
+    assert all(p in {(0, 1), (2, 3)} or p == (0, 1) for p in out)
+    assert (0, 2) not in out and (1, 2) not in out
+    assert out[(0, 1)] >= 990
+
+
+def test_mutual_nn_negative_cos(spark):
+    # two antipodal vectors alone: each is the other's (only) neighbor
+    # with cosine -1 — mutual with a NEGATIVE cos_milli (sign-peel path)
+    rows = [(0, [1.0, 0.0]), (1, [-1.0, 0.0])]
+    out = A.mutual_nn_pairs(_embv(spark, rows)).collect()
+    assert len(out) == 1
+    assert out[0]["cos_milli"] == -1000
+
+
+def test_mutual_nn_refusal(spark):
+    big = spark.range(A.MAX_EXACT_PAIR_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(Exception):
+        A.mutual_nn_pairs(big)
