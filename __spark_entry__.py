@@ -4776,6 +4776,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # baseline, guarded at scale
         return A.mutual_nn_pairs(_emb(spark, sf_dir))
 
+    def dp_release(spark, sf_dir):
+        # r5 session-14: eps=1.0 Laplace count release per source —
+        # one salted hash, one noise value per group; n_true rides
+        # along only for the oracle check (a real release drops it)
+        return A.dp_release(_docs(spark, sf_dir))
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4822,6 +4828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_v10": curation_v10,
         "katz_centrality": katz_centrality,
         "mutual_nn_pairs": mutual_nn_pairs,
+        "dp_release": dp_release,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -7697,6 +7704,31 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 DP release: per-group inverse-CDF Laplace with
+        # the float tree spelled IDENTICALLY to the Spark side (the
+        # bm25_batch rule) and the sign applied after the floor
+        "dp_release": f"""
+            WITH cnt AS (SELECT source, CAST(count(*) AS BIGINT) AS n_true
+                         FROM documents GROUP BY source),
+            st AS (SELECT source, n_true,
+                          2 * {_hex_int_sql("md5('dp0:' || source)", 1, 8)}
+                          + 1 - 4294967296 AS s
+                   FROM cnt),
+            mg AS (SELECT source, n_true, s,
+                          CAST(floor(CAST(1000 AS DOUBLE)
+                               / CAST(1000 AS DOUBLE)
+                               * (-ln(CAST(4294967296 - abs(s) AS DOUBLE)
+                                      / CAST(4294967296 AS DOUBLE)))
+                               * CAST(1000000 AS DOUBLE)) AS BIGINT) AS mag
+                   FROM st)
+            SELECT source, n_true,
+                   CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END) * mag
+                        AS BIGINT) AS noise_micro,
+                   CAST(n_true * 1000000
+                        + (CASE WHEN s < 0 THEN -1 ELSE 1 END) * mag
+                        AS BIGINT) AS noisy_micro
+            FROM mg
         """,
         # r5 session-14 mutual-NN pairing over the SHIPPED int8 space:
         # integer dots (codegen explode twin on the Spark side), isqrt

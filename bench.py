@@ -313,6 +313,7 @@ BAND_MAX_S = {
     "mutual_nn_pairs": 45.0,         # warm 24-27 (exact n^2 d int-dot
     #                                  baseline, half-pair + persist;
     #                                  38-40 before the halving)
+    "dp_release": 4.0,               # warm 1.1-1.2 (one groupBy + hash)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -741,6 +742,7 @@ def main() -> None:
         "curation_v10": lambda: force(_entry_q("curation_v10")),
         "katz_centrality": lambda: force(_entry_q("katz_centrality")),
         "mutual_nn_pairs": lambda: force(_entry_q("mutual_nn_pairs")),
+        "dp_release": lambda: force(_entry_q("dp_release")),
     }
 
     def _entry_q(name):

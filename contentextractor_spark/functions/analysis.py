@@ -14481,3 +14481,72 @@ def mutual_nn_pairs(
             "cos_milli",
         )
     )
+
+
+def dp_release(
+    docs: DataFrame,
+    group_col: str = "source",
+    epsilon_milli: int = 1000,
+    salt: str = "dp0",
+) -> DataFrame:
+    """(source, n_true, noise_micro, noisy_micro): ε-differentially-
+    private count release per group — Laplace(1/ε) noise via the
+    inverse CDF over a salted md5 uniform, completing the privacy
+    family (k_anonymity/l_diversity/t_closeness measure risk; this is
+    the RELEASE mechanism).  n_true rides along because this is the
+    oracle-checked engine row — a production release projects it away
+    (documented; the mechanism's privacy holds for noisy_micro alone).
+
+    Determinism & exactness: u = (h + 0.5)/2^32 from the first 8 md5
+    hex digits of salt:group (never two draws per group — one hash,
+    one noise value; salted redraws per release, the weighted_sample
+    convention).  The inverse CDF noise = −(1/ε)·sgn(2u−1)·
+    ln(1−|2u−1|) is staged as ln of the INTEGER ratio
+    (2^32 − v)/2^32 with v = |2h + 1 − 2^32| odd (never zero — u can
+    never be exactly ½, and v < 2^32 keeps the ratio > 0), floored to
+    micro PER GROUP before any
+    arithmetic meets another row — no aggregation-order exposure at
+    all, only ln's documented 1-ulp-near-floor wiggle
+    (unigram_surprisal caveat).  Sign applied AFTER the floor
+    (magnitude-peel — the zipf_fit signed rule).
+
+    Scale: one map-side-combinable groupBy + a narrow projection;
+    noise is per-GROUP, so the hash work is group-cardinality, not
+    corpus."""
+    if not 1 <= epsilon_milli <= 100_000:
+        raise ValueError("dp_release: epsilon_milli in [1, 100000]")
+    cnt = docs.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    h = F.expr(
+        f"conv(substring(md5(concat('{salt}:', source)), 1, 8), 16, 10)"
+    ).cast("long")
+    staged = cnt.select(
+        "source",
+        "n_true",
+        h.alias("__h"),
+    ).select(
+        "source",
+        "n_true",
+        (F.lit(2) * F.col("__h") + 1 - F.lit(2**32)).alias("__s"),
+    )
+    mag = F.floor(
+        F.lit(1000.0)
+        / F.lit(float(epsilon_milli))
+        * -F.log(
+            (F.lit(2**32) - F.abs(F.col("__s"))).cast("double")
+            / F.lit(float(2**32))
+        )
+        * F.lit(1_000_000.0)
+    ).cast("long")
+    return staged.select(
+        "source",
+        "n_true",
+        (
+            F.when(F.col("__s") < 0, -1).otherwise(1) * mag
+        ).cast("long").alias("noise_micro"),
+        (
+            F.col("n_true") * F.lit(1_000_000)
+            + F.when(F.col("__s") < 0, -1).otherwise(1) * mag
+        ).cast("long").alias("noisy_micro"),
+    )

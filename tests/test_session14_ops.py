@@ -536,3 +536,42 @@ def test_mutual_nn_refusal(spark):
     )
     with pytest.raises(Exception):
         A.mutual_nn_pairs(big)
+
+
+# ------------------------------------------------------------ dp_release
+def _dp_replica(source, salt="dp0", eps_milli=1000):
+    import hashlib, math
+
+    h = int(hashlib.md5(f"{salt}:{source}".encode()).hexdigest()[:8], 16)
+    s = 2 * h + 1 - 2**32
+    mag = math.floor(
+        1000.0 / float(eps_milli)
+        * -math.log((2**32 - abs(s)) / float(2**32))
+        * 1_000_000.0
+    )
+    return (-1 if s < 0 else 1) * mag
+
+
+def test_dp_release_replica(spark):
+    docs = spark.createDataFrame(
+        [(i, "t", f"s{i % 7}") for i in range(70)],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r.asDict() for r in A.dp_release(docs).collect()}
+    assert len(out) == 7
+    for src_name, r in out.items():
+        assert r["n_true"] == 10
+        assert r["noise_micro"] == _dp_replica(src_name), src_name
+        assert r["noisy_micro"] == 10_000_000 + r["noise_micro"]
+
+
+def test_dp_release_salt_and_epsilon(spark):
+    docs = spark.createDataFrame(
+        [(0, "t", "alpha")], "doc_id long, text string, source string"
+    )
+    a = A.dp_release(docs, salt="dp0").collect()[0]["noise_micro"]
+    b = A.dp_release(docs, salt="dp1").collect()[0]["noise_micro"]
+    assert a != b                       # salted redraw
+    c = A.dp_release(docs, epsilon_milli=500).collect()[0]["noise_micro"]
+    assert c == _dp_replica("alpha", eps_milli=500)
+    assert abs(c) > abs(a)              # smaller eps -> more noise
