@@ -4782,6 +4782,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # along only for the oracle check (a real release drops it)
         return A.dp_release(_docs(spark, sf_dir))
 
+    def seasonal_strength(spark, sf_dir):
+        # r5 session-14: weekly-profile variance share over daily
+        # volumes.  The raw stream is near-uniform (strength ~ 0), so
+        # seasonality is PLANTED: slots 0-1 keep only every 3rd event
+        # (a ~2/3 volume dip — the weekend shape)
+        ev = _events(spark, sf_dir)
+        day = F.datediff(F.to_date("ts"), F.to_date(F.lit("2024-01-01")))
+        obs = ev.filter(
+            (F.pmod(day, 7) >= 2) | (F.pmod("event_id", 3) == 0)
+        )
+        return E.seasonal_strength(obs)
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4829,6 +4841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "katz_centrality": katz_centrality,
         "mutual_nn_pairs": mutual_nn_pairs,
         "dp_release": dp_release,
+        "seasonal_strength": seasonal_strength,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -7704,6 +7717,42 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 seasonal strength: fixed-point truncated ANOVA
+        # ratio over daily counts; a wrong slot mod, an untruncated
+        # division, or a tie going to the later slot breaks the hash
+        "seasonal_strength": """
+            WITH daily AS (
+              SELECT datediff('day', DATE '2024-01-01',
+                              CAST(ts AS DATE)) AS day,
+                     CAST(count(*) AS BIGINT) AS y
+              FROM events
+              WHERE datediff('day', DATE '2024-01-01',
+                             CAST(ts AS DATE)) % 7 >= 2
+                 OR event_id % 3 = 0
+              GROUP BY day),
+            slots AS (SELECT day % 7 AS w,
+                             CAST(count(*) AS BIGINT) AS n_w,
+                             CAST(sum(y) AS BIGINT) AS s_w
+                      FROM daily GROUP BY day % 7),
+            ps AS (SELECT w, n_w, s_w,
+                          s_w * s_w * 1000 // n_w AS b_term,
+                          s_w * 1000 // n_w AS mean_milli
+                   FROM slots),
+            gl AS (SELECT CAST(count(*) AS BIGINT) AS n_days,
+                            CAST(sum(y) AS BIGINT) AS s,
+                            CAST(sum(y * y) AS BIGINT) AS q
+                     FROM daily),
+            ag AS (SELECT CAST(sum(b_term) AS BIGINT) AS b_sum,
+                          max(mean_milli * 7 + (6 - w)) AS pk
+                   FROM ps)
+            SELECT n_days,
+                   CAST(greatest(b_sum - s * s * 1000 // n_days, 0) * 1000
+                        // greatest(q * 1000 - s * s * 1000 // n_days, 1)
+                        AS BIGINT) AS strength_milli,
+                   CAST(6 - (pk % 7) AS INT) AS peak_slot,
+                   CAST(pk // 7 AS BIGINT) AS peak_mean_milli
+            FROM gl CROSS JOIN ag
         """,
         # r5 session-14 DP release: per-group inverse-CDF Laplace with
         # the float tree spelled IDENTICALLY to the Spark side (the

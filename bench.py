@@ -314,6 +314,7 @@ BAND_MAX_S = {
     #                                  baseline, half-pair + persist;
     #                                  38-40 before the halving)
     "dp_release": 4.0,               # warm 1.1-1.2 (one groupBy + hash)
+    "seasonal_strength": 4.5,        # warm 1.8 (daily counts + ANOVA)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -743,6 +744,9 @@ def main() -> None:
         "katz_centrality": lambda: force(_entry_q("katz_centrality")),
         "mutual_nn_pairs": lambda: force(_entry_q("mutual_nn_pairs")),
         "dp_release": lambda: force(_entry_q("dp_release")),
+        "seasonal_strength": lambda: force(
+            _entry_q("seasonal_strength")
+        ),
     }
 
     def _entry_q(name):

@@ -1755,3 +1755,83 @@ def kaplan_meier(
         .otherwise(F.sum("__step").over(w_asc))
         .alias("log_surv_micro"),
     )
+
+
+def seasonal_strength(
+    events: DataFrame, anchor: str = "2024-01-01", period: int = 7
+) -> DataFrame:
+    """One-row card (n_days, strength_milli, peak_slot, peak_mean_milli):
+    how much of the daily-volume variance the weekly profile explains —
+    strength = SS_between / SS_total over daily event counts grouped by
+    day-of-week (slot = day % period), the seasonal-strength statistic
+    (Hyndman's STL-based measure, reduced to the single-period ANOVA
+    form).  strength_milli near 1000 = volume is pure weekday pattern;
+    near 0 = the weekday profile explains nothing.  peak_slot = the
+    busiest weekday slot (packed argmax, smallest slot on ties).
+
+    Integer staging: with S_w, n_w per slot and S, n, Q = Σy² global,
+    SS_between·1000 = Σ_w (S_w²·1000 div n_w) − S²·1000 div n and
+    SS_total·1000 = Q·1000 − S²·1000 div n — every division truncated
+    at a FIXED point before sums meet (order-free; truncation can push
+    the between-term a hair negative, clamped at 0).  All counts —
+    engine-exact, no transcendental anywhere.
+
+    Scale: one groupBy to (day, y) — map-side combinable over events —
+    then every later aggregate runs on ≤ n_days rows (the markov_eval
+    free-window rule)."""
+    if not 2 <= period <= 366:
+        raise ValueError("seasonal_strength: period in [2, 366]")
+    day = F.datediff(F.to_date("ts"), F.to_date(F.lit(anchor))).cast("long")
+    daily = events.select(day.alias("day")).groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    slots = daily.select(
+        F.pmod("day", period).alias("w"), "y"
+    ).groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("n_w"),
+        F.sum("y").cast("long").alias("s_w"),
+    )
+    # s_w² · 1000 must stay under 2^63 → s_w < 3e9 events per slot;
+    # raise per row (the packed-key loud-refusal convention)
+    s_w_ok = F.when(F.col("s_w") < F.lit(3_000_000_000), F.col("s_w")).otherwise(
+        F.raise_error(
+            F.lit("seasonal_strength: slot volume >= 3e9 — rescale y")
+        ).cast("long")
+    )
+    per_slot = slots.select(
+        "w",
+        "n_w",
+        s_w_ok.alias("s_w"),
+    ).select(
+        "w",
+        "n_w",
+        "s_w",
+        F.expr("s_w * s_w * 1000 div n_w").alias("b_term"),
+        F.expr("s_w * 1000 div n_w").alias("mean_milli"),
+    )
+    glob = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("y").cast("long").alias("s"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("q"),
+    )
+    agg = per_slot.agg(
+        F.sum("b_term").cast("long").alias("b_sum"),
+        F.max(
+            F.col("mean_milli") * F.lit(period)
+            + (F.lit(period - 1) - F.col("w"))
+        ).alias("__pk"),
+    )
+    card = glob.crossJoin(F.broadcast(agg))
+    return card.select(
+        "n_days",
+        F.expr(
+            "greatest(b_sum - s * s * 1000 div n_days, 0) * 1000"
+            " div greatest(q * 1000 - s * s * 1000 div n_days, 1)"
+        )
+        .cast("long")
+        .alias("strength_milli"),
+        (F.lit(period - 1) - F.col("__pk") % F.lit(period))
+        .cast("int")
+        .alias("peak_slot"),
+        F.expr(f"__pk div {period}").cast("long").alias("peak_mean_milli"),
+    )

@@ -575,3 +575,47 @@ def test_dp_release_salt_and_epsilon(spark):
     c = A.dp_release(docs, epsilon_milli=500).collect()[0]["noise_micro"]
     assert c == _dp_replica("alpha", eps_milli=500)
     assert abs(c) > abs(a)              # smaller eps -> more noise
+
+
+# ------------------------------------------------------ seasonal_strength
+def test_seasonal_pure_pattern(spark):
+    # y depends ONLY on the weekday slot -> strength 1000 exactly
+    pairs = [(1, d) for d in range(28) for _ in range((d % 7) + 1)]
+    ev = _ev(spark, [(u, d) for (u, d) in
+                     [(i, d) for i, (_, d) in enumerate(pairs)]])
+    r = E.seasonal_strength(ev).collect()[0]
+    assert r["strength_milli"] == 1000
+    assert r["peak_slot"] == 6          # slot 6 has 7 events/day
+    assert r["n_days"] == 28
+
+
+def test_seasonal_flat_is_zero(spark):
+    # identical daily volume -> zero variance on both sides -> 0
+    ev = _ev(spark, [(i, d) for d in range(14) for i in range(3)])
+    r = E.seasonal_strength(ev).collect()[0]
+    assert r["strength_milli"] == 0
+
+
+def test_seasonal_replica(spark):
+    import math
+    rows = [(i, d) for d in range(21)
+            for i in range((d * 3 + d % 5) % 4 + 1)]
+    r = E.seasonal_strength(_ev(spark, rows)).collect()[0]
+    daily = {}
+    for _, d in rows:
+        daily[d] = daily.get(d, 0) + 1
+    slots = {}
+    for d, y in daily.items():
+        w = d % 7
+        n, s = slots.get(w, (0, 0))
+        slots[w] = (n + 1, s + y)
+    b_sum = sum((s * s * 1000) // n for n, s in slots.values())
+    n_days = len(daily)
+    S = sum(daily.values())
+    Q = sum(y * y for y in daily.values())
+    ssb = max(b_sum - (S * S * 1000) // n_days, 0)
+    sst = max(Q * 1000 - (S * S * 1000) // n_days, 1)
+    assert r["strength_milli"] == (ssb * 1000) // sst
+    means = {w: (s * 1000) // n for w, (n, s) in slots.items()}
+    peak = max(means.items(), key=lambda kv: (kv[1], -kv[0]))
+    assert (r["peak_slot"], r["peak_mean_milli"]) == peak
