@@ -378,3 +378,28 @@ def stream_quality_means(
     from ..functions.analysis import _quality_batch_means
 
     return _quality_batch_means(docs_stream, batch)
+
+
+def stream_dp_release(
+    docs_stream: DataFrame,
+    group_col: str = "source",
+    epsilon_milli: int = 1000,
+    salt: str = "dp0",
+) -> DataFrame:
+    """Streaming ε-DP count release: the batch dp_release's per-group
+    count is a commutative monoid (its own streaming merge — one long
+    of state per live group) and the Laplace noise is a stateless
+    projection of the group KEY alone, so the noisy release updates
+    continuously while each group's noise stays FIXED across triggers
+    (same salted key hash → same draw; spending fresh privacy budget
+    is an explicit salt change, never an accident of trigger timing).
+    stream == batch on the same rows by construction — tested.  Use
+    outputMode 'complete'/'update'."""
+    from ..functions.analysis import dp_release
+
+    return dp_release(
+        docs_stream,
+        group_col=group_col,
+        epsilon_milli=epsilon_milli,
+        salt=salt,
+    )

@@ -632,3 +632,36 @@ def test_stream_quality_means_matches_batch(spark, tmp_path):
         for r in _quality_batch_means(batch, 40).collect()
     }
     assert got == want
+
+
+def test_stream_dp_release_matches_batch(spark, tmp_path):
+    """r5 s14: the DP count release streams — count merges, the noise
+    projection depends only on the group key, so the 2-file stream's
+    final card equals the batch release on the same rows."""
+    from contentextractor_spark.functions import analysis as A
+    from contentextractor_spark.streaming.stream import stream_dp_release
+
+    docs = spark.createDataFrame(
+        [(i, "t", f"s{i % 3}") for i in range(30)],
+        "doc_id bigint, text string, source string",
+    )
+    in_dir = str(tmp_path / "dpdocs")
+    docs.repartition(2).write.parquet(in_dir)
+    batch = spark.read.parquet(in_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        stream_dp_release(stream)
+        .writeStream.format("memory")
+        .queryName("dp_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "dp stream did not finish"
+    got = {tuple(r) for r in spark.sql("SELECT * FROM dp_stream").collect()}
+    want = {tuple(r) for r in A.dp_release(batch).collect()}
+    assert got == want and len(got) == 3
