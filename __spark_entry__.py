@@ -4794,6 +4794,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return E.seasonal_strength(obs)
 
+    def snapshot_line_diff(spark, sf_dir):
+        # r5 session-14: line churn between consecutive recrawl
+        # snapshots — the _revisit_snaps fixture (tie-heavy ts) plus
+        # per-fetch line sets L0..L9 gated by (doc_id + 7j) % 11 > 3,
+        # so consecutive fetches share most but not all lines
+        snaps = _revisit_snaps(_docs(spark, sf_dir)).withColumn(
+            "text",
+            F.expr(
+                "concat_ws('\n', filter(transform(sequence(0, 9),"
+                " j -> case when (doc_id + j * 7) % 11 > 3"
+                " then concat('L', cast(j as string)) else '' end),"
+                " x -> x <> ''))"
+            ),
+        )
+        return A.snapshot_line_diff(snaps)
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4842,6 +4858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mutual_nn_pairs": mutual_nn_pairs,
         "dp_release": dp_release,
         "seasonal_strength": seasonal_strength,
+        "snapshot_line_diff": snapshot_line_diff,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -7717,6 +7734,53 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 snapshot line churn: packed (ts,id) per-key
+        # order + full-outer line-set diff per consecutive pair; a
+        # wrong tie order or a leaked beyond-newest pair breaks the hash
+        "snapshot_line_diff": f"""
+            WITH {_REVISIT_SNAPS_CTE},
+            st AS (SELECT doc_id, url,
+                          ts * 1048576 + doc_id AS p,
+                          array_to_string(list_filter(list_transform(
+                              generate_series(0, 9),
+                              j -> CASE WHEN (doc_id + j * 7) % 11 > 3
+                                   THEN 'L' || CAST(j AS VARCHAR)
+                                   ELSE '' END), x -> x <> ''),
+                            chr(10)) AS t
+                   FROM s),
+            rk AS (SELECT url AS key, t,
+                          row_number() OVER (PARTITION BY url
+                              ORDER BY p) AS rank
+                   FROM st),
+            ln AS (SELECT DISTINCT key, rank, line
+                   FROM (SELECT key, rank,
+                                unnest(string_split(t, chr(10))) AS line
+                         FROM rk)
+                   WHERE line <> ''),
+            mx AS (SELECT key, max(rank) - 1 AS maxpair
+                   FROM rk GROUP BY key),
+            pv AS (SELECT key, rank AS pair_idx, line, 1 AS c_prev
+                   FROM ln),
+            cu AS (SELECT key, rank - 1 AS pair_idx, line, 1 AS c_cur
+                   FROM ln WHERE rank >= 2),
+            fo AS (SELECT COALESCE(pv.key, cu.key) AS key,
+                          COALESCE(pv.pair_idx, cu.pair_idx) AS pair_idx,
+                          pv.c_prev, cu.c_cur
+                   FROM pv FULL OUTER JOIN cu
+                     ON pv.key = cu.key AND pv.pair_idx = cu.pair_idx
+                    AND pv.line = cu.line)
+            SELECT fo.key, CAST(fo.pair_idx AS INT) AS pair_idx,
+                   CAST(sum(CASE WHEN c_prev IS NULL AND c_cur IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+                   CAST(sum(CASE WHEN c_prev IS NOT NULL AND c_cur IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+                   CAST(sum(CASE WHEN c_prev IS NOT NULL
+                                  AND c_cur IS NOT NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM fo JOIN mx ON mx.key = fo.key
+            WHERE fo.pair_idx <= mx.maxpair
+            GROUP BY fo.key, fo.pair_idx
         """,
         # r5 session-14 seasonal strength: fixed-point truncated ANOVA
         # ratio over daily counts; a wrong slot mod, an untruncated

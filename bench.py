@@ -315,6 +315,8 @@ BAND_MAX_S = {
     #                                  38-40 before the halving)
     "dp_release": 4.0,               # warm 1.1-1.2 (one groupBy + hash)
     "seasonal_strength": 4.5,        # warm 1.8 (daily counts + ANOVA)
+    "snapshot_line_diff": 13.0,      # warm 2.9-3.9 (a 12.0 burst seen
+    #                                  in the same window — host)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -746,6 +748,9 @@ def main() -> None:
         "dp_release": lambda: force(_entry_q("dp_release")),
         "seasonal_strength": lambda: force(
             _entry_q("seasonal_strength")
+        ),
+        "snapshot_line_diff": lambda: force(
+            _entry_q("snapshot_line_diff")
         ),
     }
 

@@ -14550,3 +14550,86 @@ def dp_release(
             + F.when(F.col("__s") < 0, -1).otherwise(1) * mag
         ).cast("long").alias("noisy_micro"),
     )
+
+
+def snapshot_line_diff(
+    snaps: DataFrame,
+    key_col: str = "url",
+    ts_col: str = "ts",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ts_bound: int = 2**42,
+) -> DataFrame:
+    """(key, pair_idx, n_added, n_removed, n_kept): line-level content
+    churn between CONSECUTIVE snapshots of each key — the incremental-
+    crawl analytics a recrawl scheduler reads above the binary
+    changed/unchanged digest (recrawl_priority): how MUCH of a page
+    turns over per fetch.  Lines are the DISTINCT newline-split pieces
+    (set diff — a line repeated within one snapshot counts once,
+    documented); pair_idx = 1 pairs the two oldest snapshots.
+
+    Determinism: the per-key snapshot order is the packed (ts, id)
+    argsort (the recrawl_priority lesson — the revisit fixture is
+    tie-heavy on ts, ids break ties); packing violations raise PER ROW
+    (the cdc_apply AQE lesson).  All counts — engine-exact.
+
+    Scale: one explode + distinct over the line stream, one per-key
+    window for ranks (partitioned by key — never a global sort), one
+    full-outer self-join on (key, pair, line) co-partitioned by the
+    join key; at crawl scale lines can be pre-hashed to xxhash64 to
+    shrink the shuffle (the diff only needs equality)."""
+    ts = F.col(ts_col).cast("long")
+    idc = F.col(id_col).cast("long")
+    packed = F.when(
+        (ts >= 0) & (ts < F.lit(ts_bound)) & (idc >= 0) & (idc < F.lit(2**20)),
+        ts * F.lit(2**20) + idc,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "snapshot_line_diff: ts/id null or outside packing "
+                f"bounds (0<=ts<{ts_bound}, 0<=id<2^20)"
+            )
+        ).cast("long")
+    )
+    base = snaps.select(
+        F.col(key_col).alias("key"), packed.alias("__p"), F.col(text_col).alias("__t")
+    )
+    w = Window.partitionBy("key").orderBy("__p")
+    ranked = base.withColumn("rank", F.row_number().over(w))
+    lines = (
+        ranked.select(
+            "key", "rank", F.explode(F.split("__t", "\n")).alias("line")
+        )
+        .filter(F.col("line") != "")
+        .distinct()
+    )
+    prev = lines.select("key", F.col("rank").alias("pair_idx"), "line")
+    cur = lines.filter(F.col("rank") >= 2).select(
+        "key", (F.col("rank") - 1).alias("pair_idx"), "line",
+        F.lit(1).alias("__c"),
+    )
+    joined = prev.withColumn("__pv", F.lit(1)).join(
+        cur, ["key", "pair_idx", "line"], "full_outer"
+    )
+    # pair_idx p exists only when snapshot p+1 exists: prev-side rows at
+    # the newest rank have no matching cur snapshot at all — drop pairs
+    # beyond the per-key max rank - 1
+    nmax = ranked.groupBy("key").agg(
+        (F.max("rank") - 1).alias("__maxpair")
+    )
+    return (
+        joined.join(nmax, "key")
+        .filter(F.col("pair_idx") <= F.col("__maxpair"))
+        .groupBy("key", "pair_idx")
+        .agg(
+            F.sum(
+                (F.col("__pv").isNull() & F.col("__c").isNotNull()).cast("long")
+            ).cast("long").alias("n_added"),
+            F.sum(
+                (F.col("__pv").isNotNull() & F.col("__c").isNull()).cast("long")
+            ).cast("long").alias("n_removed"),
+            F.sum(
+                (F.col("__pv").isNotNull() & F.col("__c").isNotNull()).cast("long")
+            ).cast("long").alias("n_kept"),
+        )
+    )

@@ -619,3 +619,46 @@ def test_seasonal_replica(spark):
     means = {w: (s * 1000) // n for w, (n, s) in slots.items()}
     peak = max(means.items(), key=lambda kv: (kv[1], -kv[0]))
     assert (r["peak_slot"], r["peak_mean_milli"]) == peak
+
+
+# ------------------------------------------------------ snapshot_line_diff
+def _snaps(spark, rows):
+    return spark.createDataFrame(
+        rows, "url string, ts long, doc_id long, text string"
+    )
+
+
+def test_linediff_basic(spark):
+    rows = [
+        ("u", 1, 1, "a\nb"),
+        ("u", 2, 2, "b\nc\nd"),
+        ("u", 3, 3, "b\nc\nd"),   # identical to prev
+    ]
+    out = {(r["key"], r["pair_idx"]): r.asDict()
+           for r in A.snapshot_line_diff(_snaps(spark, rows)).collect()}
+    p1 = out[("u", 1)]
+    assert (p1["n_added"], p1["n_removed"], p1["n_kept"]) == (2, 1, 1)
+    p2 = out[("u", 2)]
+    assert (p2["n_added"], p2["n_removed"], p2["n_kept"]) == (0, 0, 3)
+    assert ("u", 3) not in out  # no pair beyond the newest snapshot
+
+
+def test_linediff_ts_tie_id_order(spark):
+    # exact-ts tie: id breaks the order (id 2 is the LATER snapshot)
+    rows = [("u", 5, 1, "a"), ("u", 5, 2, "b")]
+    out = {r["pair_idx"]: r.asDict()
+           for r in A.snapshot_line_diff(_snaps(spark, rows)).collect()}
+    assert out[1]["n_added"] == 1 and out[1]["n_removed"] == 1
+
+
+def test_linediff_repeated_line_once(spark):
+    # 'a' repeated in one snapshot counts once (set diff, documented)
+    rows = [("u", 1, 1, "a\na\nb"), ("u", 2, 2, "a")]
+    r = A.snapshot_line_diff(_snaps(spark, rows)).collect()[0]
+    assert (r["n_added"], r["n_removed"], r["n_kept"]) == (0, 1, 1)
+
+
+def test_linediff_null_ts_raises(spark):
+    rows = [("u", None, 1, "a"), ("u", 2, 2, "b")]
+    with pytest.raises(Exception):
+        A.snapshot_line_diff(_snaps(spark, rows)).collect()
