@@ -4810,6 +4810,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.snapshot_line_diff(snaps)
 
+    def crawl_value_rank(spark, sf_dir):
+        # r5 session-14 composed crawl scheduler: PageRank (worth) x
+        # change rate (volatility) = expected value of a recrawl —
+        # pagerank node k maps to revisit url 'u<k>'; top-20 via
+        # orderBy().limit() (TakeOrderedAndProject, the top_suppliers
+        # pattern: rank derived over the k survivors)
+        docs = _docs(spark, sf_dir)
+        pr = A.pagerank(pagerank_edges_sql(docs), iters=3)
+        ch = A.recrawl_priority(_revisit_snaps(docs))
+        joined = ch.join(
+            pr.select(
+                F.concat(F.lit("u"), F.col("node").cast("string")).alias(
+                    "url"
+                ),
+                "rank_micro",
+            ),
+            "url",
+        )
+        val = joined.select(
+            "url",
+            "rank_micro",
+            "change_milli",
+            F.expr("rank_micro * change_milli div 1000").alias(
+                "value_micro"
+            ),
+        )
+        top = val.orderBy(
+            F.col("value_micro").desc(), F.col("url").asc()
+        ).limit(20)
+        return top.withColumn(
+            "rank",
+            F.expr(
+                "row_number() over (order by value_micro desc, url asc)"
+            ).cast("int"),
+        )
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4859,6 +4895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_release": dp_release,
         "seasonal_strength": seasonal_strength,
         "snapshot_line_diff": snapshot_line_diff,
+        "crawl_value_rank": crawl_value_rank,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -5490,6 +5527,61 @@ def _katz_ctes(max_len: int = 4, beta_den: int = 4) -> str:
         )
     )
     return ",\n            ".join(parts)
+
+
+def _pr3_ctes() -> str:
+    """The 3-iteration integer PageRank CTE chain over the affine link
+    graph, ending in p3(node, p) — factored from the pagerank_links
+    oracle so crawl_value_rank composes the SAME definition."""
+    parts = [
+        """n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents)""",
+        """e AS (
+              SELECT src, dst FROM (
+                SELECT doc_id AS src,
+                       (doc_id * 31 + 7 * j) % n.nn AS dst
+                FROM documents, n, (SELECT unnest([1, 2, 3]) AS j) js)
+              WHERE src <> dst)""",
+        """nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)""",
+        """od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
+                   FROM e GROUP BY src)""",
+        """p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes)""",
+    ]
+    for i in (1, 2, 3):
+        parts.append(
+            f"""c{i} AS (SELECT e.dst AS node,
+                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
+                   FROM e JOIN p{i - 1} p ON p.node = e.src
+                   JOIN od ON od.src = e.src GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""p{i} AS (SELECT nodes.node,
+                          CAST(150000 + (COALESCE(c{i}.m, 0) * 85) // 100
+                               AS BIGINT) AS p
+                   FROM nodes LEFT JOIN c{i} ON c{i}.node = nodes.node)"""
+        )
+    return ",\n            ".join(parts)
+
+
+def _recrawl_ctes() -> str:
+    """seq → chg CTE chain over the _REVISIT_SNAPS_CTE fixture ending
+    in chg(url, n_fetches, n_changes, change_milli) — factored from the
+    recrawl_priority oracle, shared with crawl_value_rank."""
+    return f"""{_REVISIT_SNAPS_CTE},
+            seq AS (SELECT url, digest,
+                           lag(digest) OVER (PARTITION BY url
+                               ORDER BY ts ASC, doc_id ASC) AS prev
+                    FROM s),
+            chg AS (SELECT url, n_fetches, n_changes,
+                           CAST(n_changes * 1000
+                                // greatest(n_fetches - 1, 1) AS BIGINT)
+                               AS change_milli
+                    FROM (SELECT url,
+                                 CAST(count(*) AS BIGINT) AS n_fetches,
+                                 CAST(sum(CASE WHEN prev IS NOT NULL
+                                                AND digest <> prev
+                                          THEN 1 ELSE 0 END) AS BIGINT)
+                                     AS n_changes
+                          FROM seq GROUP BY url))"""
 
 
 def _int8_cte() -> str:
@@ -7734,6 +7826,24 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 crawl-value composition: the SAME _pr3_ctes and
+        # _recrawl_ctes chains as the standalone rows, joined on the
+        # node->url map, integer product value, (value DESC, url) top-20
+        "crawl_value_rank": f"""
+            WITH {_pr3_ctes()},
+            {_recrawl_ctes()},
+            val AS (SELECT chg.url, p3.p AS rank_micro, chg.change_milli,
+                           CAST((p3.p * chg.change_milli) // 1000
+                                AS BIGINT) AS value_micro
+                    FROM chg JOIN p3
+                      ON 'u' || CAST(p3.node AS VARCHAR) = chg.url)
+            SELECT url, rank_micro, change_milli, value_micro,
+                   CAST(rank AS INT) AS rank
+            FROM (SELECT *, row_number() OVER (
+                      ORDER BY value_micro DESC, url ASC) AS rank
+                  FROM val)
+            WHERE rank <= 20
         """,
         # r5 session-14 snapshot line churn: packed (ts,id) per-key
         # order + full-outer line-set diff per consecutive pair; a
@@ -10528,42 +10638,8 @@ def oracle_sql() -> dict[str, str]:
                    round(cos, 4) AS cos_q
             FROM ranked WHERE rank <= 5
         """,
-        "pagerank_links": """
-            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
-            e AS (
-              SELECT src, dst FROM (
-                SELECT doc_id AS src,
-                       (doc_id * 31 + 7 * j) % n.nn AS dst
-                FROM documents, n, (SELECT unnest([1, 2, 3]) AS j) js)
-              WHERE src <> dst),
-            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-            od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg
-                   FROM e GROUP BY src),
-            p0 AS (SELECT node, CAST(1000000 AS BIGINT) AS p FROM nodes),
-            c1 AS (SELECT e.dst AS node,
-                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
-                   FROM e JOIN p0 p ON p.node = e.src
-                   JOIN od ON od.src = e.src GROUP BY e.dst),
-            p1 AS (SELECT nodes.node,
-                          CAST(150000 + (COALESCE(c1.m, 0) * 85) // 100
-                               AS BIGINT) AS p
-                   FROM nodes LEFT JOIN c1 ON c1.node = nodes.node),
-            c2 AS (SELECT e.dst AS node,
-                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
-                   FROM e JOIN p1 p ON p.node = e.src
-                   JOIN od ON od.src = e.src GROUP BY e.dst),
-            p2 AS (SELECT nodes.node,
-                          CAST(150000 + (COALESCE(c2.m, 0) * 85) // 100
-                               AS BIGINT) AS p
-                   FROM nodes LEFT JOIN c2 ON c2.node = nodes.node),
-            c3 AS (SELECT e.dst AS node,
-                          CAST(sum(p.p // od.outdeg) AS BIGINT) AS m
-                   FROM e JOIN p2 p ON p.node = e.src
-                   JOIN od ON od.src = e.src GROUP BY e.dst),
-            p3 AS (SELECT nodes.node,
-                          CAST(150000 + (COALESCE(c3.m, 0) * 85) // 100
-                               AS BIGINT) AS p
-                   FROM nodes LEFT JOIN c3 ON c3.node = nodes.node)
+        "pagerank_links": f"""
+            WITH {_pr3_ctes()}
             SELECT node, p AS rank_micro FROM p3
         """,
         # HITS: 2 unrolled rounds of the all-integer L1-normalized
@@ -12016,22 +12092,8 @@ def oracle_sql() -> dict[str, str]:
         # recrawl scheduling: lag over the (ts, doc_id) total order —
         # deterministic transition counts on the tie-heavy fixture
         "recrawl_priority": f"""
-            WITH {_REVISIT_SNAPS_CTE},
-            seq AS (SELECT url, digest,
-                           lag(digest) OVER (PARTITION BY url
-                               ORDER BY ts ASC, doc_id ASC) AS prev
-                    FROM s),
-            agg AS (SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
-                           CAST(sum(CASE WHEN prev IS NOT NULL
-                                          AND digest <> prev
-                                    THEN 1 ELSE 0 END) AS BIGINT)
-                               AS n_changes
-                    FROM seq GROUP BY url)
-            SELECT url, n_fetches, n_changes,
-                   CAST(n_changes * 1000
-                        // greatest(n_fetches - 1, 1) AS BIGINT)
-                       AS change_milli
-            FROM agg
+            WITH {_recrawl_ctes()}
+            SELECT url, n_fetches, n_changes, change_milli FROM chg
         """,
         # SCD-2 version history: change-flag cumsum over the (ts, doc_id)
         # total order, valid_to = lead(valid_from) exclusive

@@ -317,6 +317,7 @@ BAND_MAX_S = {
     "seasonal_strength": 4.5,        # warm 1.8 (daily counts + ANOVA)
     "snapshot_line_diff": 13.0,      # warm 2.9-3.9 (a 12.0 burst seen
     #                                  in the same window — host)
+    "crawl_value_rank": 9.0,         # warm 3.7-4.2 (pagerank + recrawl)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -752,6 +753,7 @@ def main() -> None:
         "snapshot_line_diff": lambda: force(
             _entry_q("snapshot_line_diff")
         ),
+        "crawl_value_rank": lambda: force(_entry_q("crawl_value_rank")),
     }
 
     def _entry_q(name):

@@ -662,3 +662,27 @@ def test_linediff_null_ts_raises(spark):
     rows = [("u", None, 1, "a"), ("u", 2, 2, "b")]
     with pytest.raises(Exception):
         A.snapshot_line_diff(_snaps(spark, rows)).collect()
+
+
+# ------------------------------------------------------- crawl_value_rank
+def test_crawl_value_rank_plan_and_shape(spark):
+    # the composed scheduler must keep the top-k as
+    # TakeOrderedAndProject (never a global sort) and derive rank over
+    # the k survivors only
+    import io, contextlib
+    import __spark_entry__ as entry
+
+    df = entry.queries()["crawl_value_rank"](
+        spark, "/root/testdata/sf0.001"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "TakeOrderedAndProject" in buf.getvalue()
+    rows = df.collect()
+    assert len(rows) == 20
+    assert [r["rank"] for r in rows] == list(range(1, 21))
+    vals = [r["value_micro"] for r in rows]
+    assert vals == sorted(vals, reverse=True)
+    for r in rows:
+        assert r["value_micro"] == r["rank_micro"] * r["change_milli"] // 1000
