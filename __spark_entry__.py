@@ -4846,6 +4846,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).cast("int"),
         )
 
+    def hub_removal_impact(spark, sf_dir):
+        # r5 session-14: seed-reach resilience to hub failure over the
+        # ring+affine+hub fixture — the %50 hubs are the genuine
+        # top-out-degree nodes, so the top-10 cut removes real
+        # shortcuts; seeds %97
+        docs = _docs(spark, sf_dir)
+        seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("node")
+        )
+        return A.hub_removal_impact(
+            _ring_affine_hub_edges(spark, sf_dir), seeds, k=10, max_depth=6
+        )
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4896,6 +4909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seasonal_strength": seasonal_strength,
         "snapshot_line_diff": snapshot_line_diff,
         "crawl_value_rank": crawl_value_rank,
+        "hub_removal_impact": hub_removal_impact,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -5526,6 +5540,30 @@ def _katz_ctes(max_len: int = 4, beta_den: int = 4) -> str:
             )
         )
     )
+    return ",\n            ".join(parts)
+
+
+def _reach_ctes(prefix: str, edge_cte: str, seed_where: str,
+                depth: int = 6) -> str:
+    """Unrolled multi-source min-dist BFS over an existing edge CTE,
+    ending in {p}d{depth}(node, dist) — the _bip_ctes round shape,
+    generalized for hub_removal_impact's two variants."""
+    p = prefix
+    parts = [
+        f"""{p}d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS dist
+                 FROM documents WHERE {seed_where})""",
+    ]
+    for r in range(1, depth + 1):
+        parts.append(
+            f"""{p}d{r} AS MATERIALIZED (SELECT node,
+                        CAST(min(dist) AS BIGINT) AS dist FROM (
+                     SELECT node, dist FROM {p}d{r - 1}
+                     UNION ALL
+                     SELECT e.dst, d.dist + 1 FROM {edge_cte} e
+                     JOIN {p}d{r - 1} d ON d.node = e.src
+                      AND d.dist = {r - 1})
+                   GROUP BY node)"""
+        )
     return ",\n            ".join(parts)
 
 
@@ -7826,6 +7864,36 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 hub-removal resilience: top-k hubs by
+        # (outdeg DESC, src ASC) over the deduped ring+affine+hub set,
+        # node-removal cut, two unrolled depth-6 reaches
+        "hub_removal_impact": f"""
+            WITH {_RING_AFFINE_HUB_CTE},
+            hubs AS (SELECT src AS hub FROM (
+                       SELECT src, row_number() OVER (
+                           ORDER BY outdeg DESC, src ASC) AS rn
+                       FROM od) WHERE rn <= 10),
+            ecut AS MATERIALIZED (SELECT src, dst FROM e1
+                    WHERE src NOT IN (SELECT hub FROM hubs)
+                      AND dst NOT IN (SELECT hub FROM hubs)),
+            {_reach_ctes('ra', 'e1', 'doc_id % 97 = 0')},
+            {_reach_ctes('rb', 'ecut',
+                         "doc_id % 97 = 0 AND doc_id NOT IN"
+                         " (SELECT hub FROM hubs)")}
+            SELECT 'full' AS variant,
+                   (SELECT CAST(count(*) AS BIGINT) FROM (
+                      SELECT src AS n FROM e1
+                      UNION SELECT dst FROM e1)) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM e1) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM rad6) AS n_reached
+            UNION ALL
+            SELECT 'hubs_removed' AS variant,
+                   (SELECT CAST(count(*) AS BIGINT) FROM (
+                      SELECT src AS n FROM ecut
+                      UNION SELECT dst FROM ecut)) AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ecut) AS n_edges,
+                   (SELECT CAST(count(*) AS BIGINT) FROM rbd6) AS n_reached
         """,
         # r5 session-14 crawl-value composition: the SAME _pr3_ctes and
         # _recrawl_ctes chains as the standalone rows, joined on the

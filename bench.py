@@ -318,6 +318,7 @@ BAND_MAX_S = {
     "snapshot_line_diff": 13.0,      # warm 2.9-3.9 (a 12.0 burst seen
     #                                  in the same window — host)
     "crawl_value_rank": 9.0,         # warm 3.7-4.2 (pagerank + recrawl)
+    "hub_removal_impact": 15.0,      # warm 6.1-6.9 (2 x depth-6 BFS)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -754,6 +755,9 @@ def main() -> None:
             _entry_q("snapshot_line_diff")
         ),
         "crawl_value_rank": lambda: force(_entry_q("crawl_value_rank")),
+        "hub_removal_impact": lambda: force(
+            _entry_q("hub_removal_impact")
+        ),
     }
 
     def _entry_q(name):

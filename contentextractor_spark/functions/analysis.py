@@ -14633,3 +14633,77 @@ def snapshot_line_diff(
             ).cast("long").alias("n_kept"),
         )
     )
+
+
+def hub_removal_impact(
+    edges: DataFrame, seeds: DataFrame, k: int = 10, max_depth: int = 6
+) -> DataFrame:
+    """Two-row card (variant, n_nodes, n_edges, n_reached): multi-source
+    seed reach on the full graph vs the graph with the top-k
+    OUT-DEGREE hubs removed — the resilience question a crawl/link
+    infrastructure asks before trusting shortcuts (what does a hub
+    outage or a spam-hub takedown do to frontier coverage?).  Node
+    removal semantics: every edge touching a hub drops, and seeds that
+    ARE hubs drop with them.  Top-k is deterministic: (out-degree DESC,
+    src ASC) — degree ties resolve to smaller ids (documented).
+
+    Reach is bfs_levels' multi-source min-dist within max_depth over
+    the DEDUPED directed edge set (multi-edges don't change
+    reachability; dedup makes n_edges well-defined).  All counts —
+    engine-exact.
+
+    Scale: degree = one map-side-combinable groupBy; top-k =
+    TakeOrderedAndProject (k rows, broadcast into the anti-joins);
+    two bounded BFS chains (the bfs_levels cost shape, latency-bound);
+    the card aggregates are one-row crossJoins."""
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    hubs = (
+        deg.orderBy(F.col("deg").desc(), F.col("src").asc())
+        .limit(k)
+        .select(F.col("src").alias("hub"))
+        .localCheckpoint()
+    )
+    e_cut = e.join(
+        F.broadcast(hubs.select(F.col("hub").alias("src"))), "src", "left_anti"
+    ).join(
+        F.broadcast(hubs.select(F.col("hub").alias("dst"))), "dst", "left_anti"
+    )
+    seeds = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+    seeds_cut = seeds.join(
+        F.broadcast(hubs.select(F.col("hub").alias("node"))),
+        "node",
+        "left_anti",
+    )
+
+    def card(label, ee, ss):
+        nodes = ee.select(F.col("src").alias("n")).unionByName(
+            ee.select(F.col("dst").alias("n"))
+        ).distinct()
+        a = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        b = ee.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+        c = bfs_levels(ee, ss, max_depth).agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached")
+        )
+        return (
+            a.crossJoin(F.broadcast(b))
+            .crossJoin(F.broadcast(c))
+            .select(
+                F.lit(label).alias("variant"),
+                "n_nodes",
+                "n_edges",
+                "n_reached",
+            )
+        )
+
+    return card("full", e, seeds).unionByName(
+        card("hubs_removed", e_cut, seeds_cut)
+    )

@@ -686,3 +686,43 @@ def test_crawl_value_rank_plan_and_shape(spark):
     assert vals == sorted(vals, reverse=True)
     for r in rows:
         assert r["value_micro"] == r["rank_micro"] * r["change_milli"] // 1000
+
+
+# ----------------------------------------------------- hub_removal_impact
+def test_hub_removal_disconnects_star(spark):
+    # hub 0 fans out to 1..8; removing the single top hub (k=1) leaves
+    # the seed (node 9 -> 0) nothing to reach
+    e = _edges(spark, [(9, 0)] + [(0, i) for i in range(1, 9)])
+    seeds = spark.createDataFrame([(9,)], "node long")
+    out = {r["variant"]: r.asDict()
+           for r in A.hub_removal_impact(e, seeds, k=1,
+                                         max_depth=4).collect()}
+    full = out["full"]
+    assert full["n_reached"] == 10 and full["n_edges"] == 9
+    cut = out["hubs_removed"]
+    assert cut["n_edges"] == 0 and cut["n_reached"] == 1  # the seed alone
+
+
+def test_hub_removal_tie_smaller_id(spark):
+    # two degree-2 nodes (3 and 5): the k=1 cut must remove node 3
+    # (degree tie -> smaller src id)
+    e = _edges(spark, [(5, 1), (5, 2), (3, 1), (3, 2), (7, 3)])
+    seeds = spark.createDataFrame([(7,)], "node long")
+    out = {r["variant"]: r.asDict()
+           for r in A.hub_removal_impact(e, seeds, k=1,
+                                         max_depth=3).collect()}
+    # node 3 removed: edge (7,3) and 3's out-edges drop; 5's edges stay
+    assert out["hubs_removed"]["n_edges"] == 2
+    assert out["hubs_removed"]["n_reached"] == 1
+
+
+def test_hub_removal_seed_is_hub(spark):
+    # the seed itself is the top hub: the cut variant has no seeds at
+    # all -> zero reach, not a crash
+    e = _edges(spark, [(0, i) for i in range(1, 5)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r["variant"]: r.asDict()
+           for r in A.hub_removal_impact(e, seeds, k=1,
+                                         max_depth=3).collect()}
+    assert out["full"]["n_reached"] == 5
+    assert out["hubs_removed"]["n_reached"] == 0
