@@ -4859,6 +4859,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _ring_affine_hub_edges(spark, sf_dir), seeds, k=10, max_depth=6
         )
 
+    def quality_percentile_by_source(spark, sf_dir):
+        # r5 session-14: per-source percentile normalization of the
+        # alpha-ratio score — the fair cross-source threshold primitive
+        return A.quality_percentile_by_source(_docs(spark, sf_dir))
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4910,6 +4915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_line_diff": snapshot_line_diff,
         "crawl_value_rank": crawl_value_rank,
         "hub_removal_impact": hub_removal_impact,
+        "quality_percentile_by_source": quality_percentile_by_source,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -7864,6 +7870,25 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 per-source quality percentile: (qa ASC, doc_id
+        # ASC) rank inside each source, integer percentile; a wrong
+        # tiebreak or a global (unpartitioned) rank breaks the hash
+        "quality_percentile_by_source": """
+            WITH base AS (
+              SELECT doc_id, source,
+                     length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       * 1000 // (length(text) + 1) AS qa_milli
+              FROM documents WHERE text IS NOT NULL),
+            rk AS (SELECT doc_id, source, qa_milli,
+                          row_number() OVER (PARTITION BY source
+                              ORDER BY qa_milli ASC, doc_id ASC) AS r,
+                          count(*) OVER (PARTITION BY source) AS n
+                   FROM base)
+            SELECT doc_id, source, CAST(qa_milli AS BIGINT) AS qa_milli,
+                   CAST((r - 1) * 1000 // greatest(n - 1, 1) AS BIGINT)
+                       AS pct_milli
+            FROM rk
         """,
         # r5 session-14 hub-removal resilience: top-k hubs by
         # (outdeg DESC, src ASC) over the deduped ring+affine+hub set,

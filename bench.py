@@ -319,6 +319,7 @@ BAND_MAX_S = {
     #                                  in the same window — host)
     "crawl_value_rank": 9.0,         # warm 3.7-4.2 (pagerank + recrawl)
     "hub_removal_impact": 15.0,      # warm 6.1-6.9 (2 x depth-6 BFS)
+    "quality_percentile_by_source": 4.5,  # warm 1.6-1.7 (per-src window)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -757,6 +758,9 @@ def main() -> None:
         "crawl_value_rank": lambda: force(_entry_q("crawl_value_rank")),
         "hub_removal_impact": lambda: force(
             _entry_q("hub_removal_impact")
+        ),
+        "quality_percentile_by_source": lambda: force(
+            _entry_q("quality_percentile_by_source")
         ),
     }
 

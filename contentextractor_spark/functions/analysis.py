@@ -14707,3 +14707,48 @@ def hub_removal_impact(
     return card("full", e, seeds).unionByName(
         card("hubs_removed", e_cut, seeds_cut)
     )
+
+
+def quality_percentile_by_source(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """(doc_id, source, qa_milli, pct_milli): per-SOURCE percentile rank
+    of the alpha-ratio quality score — the fair-threshold primitive: a
+    global quality cut silently deletes whole sources whose score
+    DISTRIBUTION sits lower (different language, different register),
+    while a per-source percentile cut ('drop every source's bottom
+    20%') removes the same share everywhere.  qa_milli is the
+    curation_v9 alpha-ratio convention (letters·1000 div (len+1));
+    pct_milli = (rank−1)·1000 div (n_source−1), rank ordered by
+    (qa ASC, doc_id ASC) — the id tiebreak makes tied scores
+    deterministic cross-engine (the recrawl_priority rule).
+    Single-doc sources report pct 0 (no distribution to rank in).
+
+    Scale: ONE window per source partition (the exchange is on source —
+    the column the corpus is naturally bucketed by) and a broadcastable
+    per-source count join; no global sort, all integer."""
+    qa = F.expr(
+        f"length(regexp_replace({text_col}, '[^a-zA-Z]', '')) * 1000"
+        f" div (length({text_col}) + 1)"
+    )
+    base = docs.filter(F.col(text_col).isNotNull()).select(
+        "doc_id", F.col(source_col).alias("source"), qa.alias("qa_milli")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("qa_milli").asc(), F.col("doc_id").asc()
+    )
+    nsrc = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    return (
+        base.withColumn("__rk", F.row_number().over(w))
+        .join(F.broadcast(nsrc), "source")
+        .select(
+            "doc_id",
+            "source",
+            "qa_milli",
+            F.expr("(__rk - 1) * 1000 div greatest(__n - 1, 1)")
+            .cast("long")
+            .alias("pct_milli"),
+        )
+    )

@@ -726,3 +726,32 @@ def test_hub_removal_seed_is_hub(spark):
                                          max_depth=3).collect()}
     assert out["full"]["n_reached"] == 5
     assert out["hubs_removed"]["n_reached"] == 0
+
+
+# ------------------------------------------- quality_percentile_by_source
+def test_qpct_fair_per_source(spark):
+    # source A scores {100,200,300}-ish, source B much lower — the TOP
+    # doc of each source must both land at pct 1000
+    docs = spark.createDataFrame(
+        [(0, "aaaa", "A"), (1, "aa11", "A"), (2, "a111", "A"),
+         (3, "1111", "B"), (4, "a111", "B")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in A.quality_percentile_by_source(docs).collect()}
+    assert out[0]["pct_milli"] == 1000      # best of A
+    assert out[4]["pct_milli"] == 1000      # best of B despite low qa
+    assert out[3]["pct_milli"] == 0
+    assert out[2]["pct_milli"] == 0
+
+
+def test_qpct_tie_and_singleton(spark):
+    docs = spark.createDataFrame(
+        [(5, "ab", "C"), (6, "ab", "C"), (9, "xy", "D")],
+        "doc_id long, text string, source string",
+    )
+    out = {r["doc_id"]: r.asDict()
+           for r in A.quality_percentile_by_source(docs).collect()}
+    # tied qa: smaller doc_id ranks lower (deterministic)
+    assert out[5]["pct_milli"] == 0 and out[6]["pct_milli"] == 1000
+    assert out[9]["pct_milli"] == 0         # singleton source
