@@ -4864,6 +4864,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # alpha-ratio score — the fair cross-source threshold primitive
         return A.quality_percentile_by_source(_docs(spark, sf_dir))
 
+    def label_centroid_profile(spark, sf_dir):
+        # r5 session-14: per-label centroid vs global-mean card over
+        # the embeddings table's label column (10 clusters)
+        return A.label_centroid_profile(_emb(spark, sf_dir))
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4916,6 +4921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_value_rank": crawl_value_rank,
         "hub_removal_impact": hub_removal_impact,
         "quality_percentile_by_source": quality_percentile_by_source,
+        "label_centroid_profile": label_centroid_profile,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -7870,6 +7876,63 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 per-label centroid cards: the embedding_drift
+        # integer staging per label vs the global mean
+        "label_centroid_profile": """
+            WITH ldims AS (SELECT label, d - 1 AS d,
+                          greatest(-1000, least(1000,
+                            CAST(round(CAST(embedding[d] AS DOUBLE) * 1000)
+                                 AS BIGINT))) AS val
+                   FROM embeddings,
+                        (SELECT unnest(generate_series(1, 64)) AS d) dd),
+            lp AS (SELECT label, d, CAST(sum(val) AS BIGINT) AS s,
+                          CAST(count(*) AS BIGINT) AS cnt
+                   FROM ldims GROUP BY label, d),
+            lg AS (SELECT d, CAST(sum(val) AS BIGINT) AS gs,
+                          CAST(count(*) AS BIGINT) AS gcnt
+                   FROM ldims GROUP BY d),
+            gm AS (SELECT d,
+                          (gs * 100 + 100000 * gcnt) // gcnt - 100000
+                              AS gmean
+                   FROM lg),
+            lmn AS (SELECT label, d, cnt,
+                          (s * 100 + 100000 * cnt) // cnt - 100000
+                              AS lmean
+                   FROM lp),
+            cd AS (SELECT label,
+                          CAST(max(cnt) AS BIGINT) AS n,
+                          CAST(sum(lmean * gmean) AS BIGINT) AS dot,
+                          CAST(sum(lmean * lmean) AS BIGINT) AS sqa,
+                          CAST(sum(gmean * gmean) AS BIGINT) AS sqb,
+                          max(abs(lmean - gmean) * 128 + (127 - d)) AS pk
+                   FROM lmn JOIN gm USING (d) GROUP BY label),
+            r0 AS (SELECT *,
+                          CAST(floor(sqrt(CAST(sqa AS DOUBLE))) AS BIGINT)
+                              AS ya0,
+                          CAST(floor(sqrt(CAST(sqb AS DOUBLE))) AS BIGINT)
+                              AS yb0
+                   FROM cd),
+            r1 AS (SELECT *,
+                          ya0 + CASE WHEN (ya0 + 1) * (ya0 + 1) <= sqa
+                                     THEN 1 ELSE 0 END AS ya1,
+                          yb0 + CASE WHEN (yb0 + 1) * (yb0 + 1) <= sqb
+                                     THEN 1 ELSE 0 END AS yb1
+                   FROM r0),
+            fin AS (SELECT label, n, dot, pk,
+                          ya1 - CASE WHEN ya1 * ya1 > sqa
+                                     THEN 1 ELSE 0 END AS ia,
+                          yb1 - CASE WHEN yb1 * yb1 > sqb
+                                     THEN 1 ELSE 0 END AS ib
+                   FROM r1)
+            SELECT label, n,
+                   CAST((CASE WHEN dot < 0 THEN -1 ELSE 1 END)
+                        * least((abs(dot) * 1000000)
+                                // greatest(ia * ib, 1), 1000000)
+                        AS BIGINT) AS cos_micro,
+                   CAST(127 - (pk % 128) AS INT) AS top_dim,
+                   CAST((pk // 128) * 10 AS BIGINT) AS top_delta_micro
+            FROM fin
         """,
         # r5 session-14 per-source quality percentile: (qa ASC, doc_id
         # ASC) rank inside each source, integer percentile; a wrong

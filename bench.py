@@ -320,6 +320,7 @@ BAND_MAX_S = {
     "crawl_value_rank": 9.0,         # warm 3.7-4.2 (pagerank + recrawl)
     "hub_removal_impact": 15.0,      # warm 6.1-6.9 (2 x depth-6 BFS)
     "quality_percentile_by_source": 4.5,  # warm 1.6-1.7 (per-src window)
+    "label_centroid_profile": 7.0,   # warm 2.9-3.5 (dim explode + cards)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -761,6 +762,9 @@ def main() -> None:
         ),
         "quality_percentile_by_source": lambda: force(
             _entry_q("quality_percentile_by_source")
+        ),
+        "label_centroid_profile": lambda: force(
+            _entry_q("label_centroid_profile")
         ),
     }
 

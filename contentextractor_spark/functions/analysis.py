@@ -14752,3 +14752,91 @@ def quality_percentile_by_source(
             .alias("pct_milli"),
         )
     )
+
+
+def label_centroid_profile(
+    emb: DataFrame,
+    label_col: str = "label",
+    q: int = 1000,
+    ndim: int = 64,
+    scale: int = 100,
+) -> DataFrame:
+    """(label, n, cos_micro, top_dim, top_delta_micro): per-cluster
+    centroid card — each label's mean vector compared against the
+    GLOBAL mean (cosine + the dimension deviating most), the
+    cluster-profiling readout after any bucketing (kmeans labels, data
+    sources, language groups): which clusters point away from the
+    corpus and along which axis.
+
+    Same integer staging as embedding_drift (the 2-group special
+    case): clamp-quantized components, offset floor-div means in
+    scale-units (|mean| ≤ q·scale — corpus-size-independent, counts
+    cancel), _isqrt norms, sign-peeled clamped cos_micro, packed
+    argmax for the top dimension.  Empty input raises via the
+    div-guard.
+
+    Scale: ONE pass over the exploded stream (groupBy (label, d) is
+    map-side combinable); everything after runs on labels × ndim
+    rows."""
+    if 1_000_000 % (q * scale) != 0:
+        raise ValueError("label_centroid_profile: q*scale must divide 1e6")
+    dims = _quant_dims(emb, q, ndim, carry=(label_col,))
+    per = dims.groupBy(label_col, "d").agg(
+        F.sum("val").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("__cnt"),
+    )
+    glob = dims.groupBy("d").agg(
+        F.sum("val").cast("long").alias("gs"),
+        F.count(F.lit(1)).cast("long").alias("__gcnt"),
+    )
+    off = q * scale
+    gm = glob.select(
+        "d",
+        (
+            F.expr(f"(gs * {scale} + {off} * __gcnt) div __gcnt") - F.lit(off)
+        ).alias("gmean"),
+    )
+    lm = per.select(
+        label_col,
+        "d",
+        "__cnt",
+        (
+            F.expr(f"(s * {scale} + {off} * __cnt) div __cnt") - F.lit(off)
+        ).alias("lmean"),
+    )
+    j = lm.join(F.broadcast(gm), "d")
+    # __cnt is the label's vector count repeated per dim — max() is it
+    card = j.groupBy(label_col).agg(
+        F.max("__cnt").alias("n"),
+        F.sum(F.col("lmean") * F.col("gmean")).cast("long").alias("dot"),
+        F.sum(F.col("lmean") * F.col("lmean")).cast("long").alias("sqa"),
+        F.sum(F.col("gmean") * F.col("gmean")).cast("long").alias("sqb"),
+        F.max(
+            F.abs(F.col("lmean") - F.col("gmean")) * 128
+            + (F.lit(127) - F.col("d"))
+        ).alias("__pk"),
+    )
+    staged = card.select(
+        F.col(label_col).alias("label"),
+        "n",
+        "dot",
+        "__pk",
+        F.greatest(
+            _isqrt(F.col("sqa")) * _isqrt(F.col("sqb")), F.lit(1)
+        ).alias("__den"),
+        (F.abs(F.col("dot")) * F.lit(1_000_000)).alias("__mag"),
+    )
+    return staged.select(
+        "label",
+        "n",
+        (
+            F.when(F.col("dot") < 0, -1).otherwise(1)
+            * F.least(F.expr("__mag div __den"), F.lit(1_000_000))
+        )
+        .cast("long")
+        .alias("cos_micro"),
+        (F.lit(127) - F.col("__pk") % 128).cast("int").alias("top_dim"),
+        (F.expr("__pk div 128") * F.lit(1_000_000 // (q * scale)))
+        .cast("long")
+        .alias("top_delta_micro"),
+    )

@@ -755,3 +755,36 @@ def test_qpct_tie_and_singleton(spark):
     # tied qa: smaller doc_id ranks lower (deterministic)
     assert out[5]["pct_milli"] == 0 and out[6]["pct_milli"] == 1000
     assert out[9]["pct_milli"] == 0         # singleton source
+
+
+# --------------------------------------------------- label_centroid_profile
+def _emb_lab(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_label_centroid_aligned_and_opposed(spark):
+    # label 0 = +x (aligned with the global mean), label 1 = +x too but
+    # label 2 = -x pulls the global mean; cluster 2 must show negative
+    # cosine vs the (net positive) global mean
+    rows = ([(i, [1.0, 0.0], 0) for i in range(4)]
+            + [(10 + i, [1.0, 0.0], 1) for i in range(4)]
+            + [(20 + i, [-1.0, 0.0], 2) for i in range(2)])
+    out = {r["label"]: r.asDict()
+           for r in A.label_centroid_profile(
+               _emb_lab(spark, rows), ndim=2).collect()}
+    assert out[0]["cos_micro"] == 1_000_000
+    assert out[1]["cos_micro"] == 1_000_000
+    assert out[2]["cos_micro"] == -1_000_000
+    assert out[0]["n"] == 4 and out[2]["n"] == 2
+    # the deviating axis is dim 0 for cluster 2
+    assert out[2]["top_dim"] == 0
+
+
+def test_label_centroid_single_label_is_global(spark):
+    rows = [(i, [0.5, -0.5, 0.25], 7) for i in range(5)]
+    r = A.label_centroid_profile(_emb_lab(spark, rows), ndim=3).collect()
+    assert len(r) == 1
+    assert r[0]["cos_micro"] == 1_000_000
+    assert r[0]["top_delta_micro"] == 0
