@@ -4869,6 +4869,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the embeddings table's label column (10 clusters)
         return A.label_centroid_profile(_emb(spark, sf_dir))
 
+    def weighted_median_quality(spark, sf_dir):
+        # r5 session-14: word-count-weighted median alpha-ratio per
+        # source — the 'median byte' quality center
+        docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull())
+        rows = docs.select(
+            "source",
+            "doc_id",
+            F.expr(
+                "length(regexp_replace(text, '[^a-zA-Z]', '')) * 1000"
+                " div (length(text) + 1)"
+            ).alias("value"),
+            F.expr("size(split(text, ' '))").cast("long").alias("w"),
+        )
+        return A.weighted_median_by_group(rows)
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4922,6 +4937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hub_removal_impact": hub_removal_impact,
         "quality_percentile_by_source": quality_percentile_by_source,
         "label_centroid_profile": label_centroid_profile,
+        "weighted_median_quality": weighted_median_quality,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -7876,6 +7892,30 @@ def oracle_sql() -> dict[str, str]:
                              AND CURRENT ROW) AS BIGINT)
                    END AS log_surv_micro
             FROM st
+        """,
+        # r5 session-14 weighted median: first row with 2*cumw >= W in
+        # the (value, id) order — min over the packed key of the suffix
+        "weighted_median_quality": """
+            WITH base AS (
+              SELECT source AS grp,
+                     (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                       * 1000 // (length(text) + 1)) * 1048576 + doc_id
+                         AS p,
+                     CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+              FROM documents WHERE text IS NOT NULL),
+            cum AS (SELECT grp, p, w,
+                           CAST(sum(w) OVER (PARTITION BY grp ORDER BY p
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS cw
+                    FROM base),
+            tot AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_rows,
+                           CAST(sum(w) AS BIGINT) AS w_total
+                    FROM base GROUP BY grp)
+            SELECT cum.grp AS source, tot.n_rows, tot.w_total,
+                   CAST(min(p) // 1048576 AS BIGINT) AS median_value
+            FROM cum JOIN tot ON tot.grp = cum.grp
+            WHERE 2 * cw >= w_total
+            GROUP BY cum.grp, tot.n_rows, tot.w_total
         """,
         # r5 session-14 per-label centroid cards: the embedding_drift
         # integer staging per label vs the global mean

@@ -321,6 +321,7 @@ BAND_MAX_S = {
     "hub_removal_impact": 15.0,      # warm 6.1-6.9 (2 x depth-6 BFS)
     "quality_percentile_by_source": 4.5,  # warm 1.6-1.7 (per-src window)
     "label_centroid_profile": 7.0,   # warm 2.9-3.5 (dim explode + cards)
+    "weighted_median_quality": 4.5,  # warm 1.6 (per-src cumw window)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -765,6 +766,9 @@ def main() -> None:
         ),
         "label_centroid_profile": lambda: force(
             _entry_q("label_centroid_profile")
+        ),
+        "weighted_median_quality": lambda: force(
+            _entry_q("weighted_median_quality")
         ),
     }
 

@@ -14840,3 +14840,71 @@ def label_centroid_profile(
         .cast("long")
         .alias("top_delta_micro"),
     )
+
+
+def weighted_median_by_group(
+    rows: DataFrame,
+    group_col: str = "source",
+    value_col: str = "value",
+    weight_col: str = "w",
+    id_col: str = "doc_id",
+    value_bound: int = 2**40,
+) -> DataFrame:
+    """(group, n_rows, w_total, median_value): WEIGHTED median of a
+    value per group — the smallest value whose cumulative weight
+    reaches half the group's total (lower weighted median, the
+    size-aware robust center: a mean quality score lets one huge
+    low-quality page drag the source down, an unweighted median lets a
+    thousand near-empty stubs dominate it; weighting by size gives the
+    'median byte' its score).
+
+    Integer rule: order by (value ASC, id ASC) — the id tiebreak makes
+    tied values deterministic (the recrawl_priority rule); the median
+    row is the FIRST with 2·cumw ≥ W (cross-multiplied, no division).
+    Because cumw is monotone in that order, the satisfying set is a
+    suffix, so min() over the packed (value, id) key of satisfying
+    rows IS that first row — a min-min objective, no complement needed
+    (the revisit_records rule).  Packing violations raise per row.
+
+    Scale: one per-group window (exchange on the group key) + one
+    map-side-combinable groupBy; no global sort."""
+    v = F.col(value_col).cast("long")
+    i = F.col(id_col).cast("long")
+    packed = F.when(
+        (v >= 0) & (v < F.lit(value_bound)) & (i >= 0) & (i < F.lit(2**20)),
+        v * F.lit(2**20) + i,
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "weighted_median_by_group: value/id null or outside "
+                f"packing bounds (0<=value<{value_bound}, 0<=id<2^20)"
+            )
+        ).cast("long")
+    )
+    base = rows.select(
+        F.col(group_col).alias("grp"),
+        packed.alias("__p"),
+        F.col(weight_col).cast("long").alias("__w"),
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("__cw", F.sum("__w").over(w))
+    tot = base.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("__w").cast("long").alias("w_total"),
+    )
+    med = (
+        cum.join(tot, "grp")
+        .filter(2 * F.col("__cw") >= F.col("w_total"))
+        .groupBy("grp", "n_rows", "w_total")
+        .agg(F.min("__p").alias("__mp"))
+    )
+    return med.select(
+        F.col("grp").alias(group_col),
+        "n_rows",
+        "w_total",
+        F.shiftright("__mp", 20).alias("median_value"),
+    )

@@ -788,3 +788,47 @@ def test_label_centroid_single_label_is_global(spark):
     assert len(r) == 1
     assert r[0]["cos_micro"] == 1_000_000
     assert r[0]["top_delta_micro"] == 0
+
+
+# ------------------------------------------------- weighted_median_by_group
+def _wm_rows(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, doc_id long, value long, w long"
+    )
+
+
+def test_weighted_median_basic(spark):
+    # values 10(w1), 20(w1), 30(w10): half of W=12 is 6 -> the first
+    # cum>=6 row is value 30 (the heavy row IS the median byte)
+    rows = [("s", 1, 10, 1), ("s", 2, 20, 1), ("s", 3, 30, 10)]
+    r = A.weighted_median_by_group(_wm_rows(spark, rows)).collect()[0]
+    assert r["median_value"] == 30 and r["w_total"] == 12
+
+
+def test_weighted_median_vs_unweighted(spark):
+    # equal weights degrade to the lower median: {10,20,30,40} -> 20
+    rows = [("s", i, 10 * i, 1) for i in range(1, 5)]
+    r = A.weighted_median_by_group(_wm_rows(spark, rows)).collect()[0]
+    assert r["median_value"] == 20
+
+
+def test_weighted_median_python_replica(spark):
+    rows = [("g%d" % (i % 3), i, (i * 7) % 50, (i % 5) + 1)
+            for i in range(40)]
+    got = {r["source"]: r["median_value"]
+           for r in A.weighted_median_by_group(_wm_rows(spark, rows)).collect()}
+    for g in ("g0", "g1", "g2"):
+        grp = sorted([(v, i, w) for (s, i, v, w) in rows if s == g])
+        W = sum(w for _, _, w in grp)
+        cw = 0
+        for v, _, w in grp:
+            cw += w
+            if 2 * cw >= W:
+                assert got[g] == v, g
+                break
+
+
+def test_weighted_median_oob_value_raises(spark):
+    rows = [("s", 1, 2**40, 1)]
+    with pytest.raises(Exception):
+        A.weighted_median_by_group(_wm_rows(spark, rows)).collect()
