@@ -4884,6 +4884,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return A.weighted_median_by_group(rows)
 
+    def host_path_entropy(spark, sf_dir):
+        # r5 session-14: per-host template-distribution entropy over
+        # the url_templates fixture — low-entropy hosts are the
+        # catalog/trap shape
+        docs = _docs(spark, sf_dir)
+        h = F.pmod("doc_id", 7).cast("string")
+        did = F.col("doc_id").cast("string")
+        r = F.pmod("doc_id", 5)
+        url = (
+            F.when(
+                F.pmod("doc_id", 251) == 0,
+                F.concat(F.lit("https://h"), h, F.lit(".example/one-off-"),
+                         did, F.lit("-x")),
+            )
+            .when(r == 0, F.concat(F.lit("https://h"), h,
+                                   F.lit(".example/p/"), did))
+            .when(r == 1, F.concat(F.lit("https://h"), h, F.lit(".example/2024/"),
+                                   F.pmod("doc_id", 12).cast("string"),
+                                   F.lit("/post-"), did))
+            .when(r == 2, F.concat(F.lit("https://h"), h, F.lit(".example/tag/t"),
+                                   F.pmod("doc_id", 7).cast("string")))
+            .when(r == 3, F.concat(F.lit("https://u5@H"), h,
+                                   F.lit(".Example:8080/search?q=x"), did,
+                                   F.lit("&page="), did))
+            .otherwise(F.concat(F.lit("h"), h, F.lit(".example/p/"), did))
+        )
+        return A.host_path_entropy(docs.select(url.alias("url")))
+
     def badwords_filter(spark, sf_dir):
         # r5 session-7: C4 wordlist gate over planted flags — ' zetaflag'
         # on %7 docs, ' OmegaFlag!' on %11 (case+punct must not smuggle
@@ -4938,6 +4966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_percentile_by_source": quality_percentile_by_source,
         "label_centroid_profile": label_centroid_profile,
         "weighted_median_quality": weighted_median_quality,
+        "host_path_entropy": host_path_entropy,
         "modularity_eval": modularity_eval,
         "rake_keywords": rake_keywords,
         "wildcard_search": wildcard_search,
@@ -5569,6 +5598,50 @@ def _katz_ctes(max_len: int = 4, beta_den: int = 4) -> str:
         )
     )
     return ",\n            ".join(parts)
+
+
+def _urlt_ctes() -> str:
+    """u → p CTE chain: the synthetic URL fixture + host/template
+    derivation — ONE definition shared by the url_templates and
+    host_path_entropy oracles."""
+    return """u AS (
+              SELECT CASE
+                WHEN doc_id % 251 = 0 THEN
+                  'https://h' || (doc_id % 7) || '.example/one-off-'
+                    || doc_id || '-x'
+                WHEN doc_id % 5 = 0 THEN
+                  'https://h' || (doc_id % 7) || '.example/p/' || doc_id
+                WHEN doc_id % 5 = 1 THEN
+                  'https://h' || (doc_id % 7) || '.example/2024/'
+                    || (doc_id % 12) || '/post-' || doc_id
+                WHEN doc_id % 5 = 2 THEN
+                  'https://h' || (doc_id % 7) || '.example/tag/t'
+                    || (doc_id % 7)
+                WHEN doc_id % 5 = 3 THEN
+                  'https://u5@H' || (doc_id % 7) || '.Example:8080/search?q=x'
+                    || doc_id || '&page=' || doc_id
+                ELSE 'h' || (doc_id % 7) || '.example/p/' || doc_id
+              END AS url
+              FROM documents),
+            p AS (
+              SELECT url,
+                CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                     THEN lower(regexp_replace(regexp_extract(url,
+                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                            '^[^@]*@', ''))
+                END AS host,
+                CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
+                     THEN regexp_replace(
+                       CASE WHEN regexp_extract(url,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+                              = ''
+                            THEN '/'
+                            ELSE regexp_extract(url,
+                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
+                       END, '[0-9]+', '{n}', 'g')
+                     ELSE regexp_replace(url, '[0-9]+', '{n}', 'g')
+                END AS template
+              FROM u)"""
 
 
 def _reach_ctes(prefix: str, edge_cte: str, seed_where: str,
@@ -7893,6 +7966,29 @@ def oracle_sql() -> dict[str, str]:
                    END AS log_surv_micro
             FROM st
         """,
+        # r5 session-14 host path entropy: micro-nat c*ln(c) per
+        # template BEFORE the sum (identical float trees), integer
+        # division after; schemeless rows excluded
+        "host_path_entropy": f"""
+            WITH {_urlt_ctes()},
+            tc AS (SELECT host, template, CAST(count(*) AS BIGINT) AS c
+                   FROM p WHERE host IS NOT NULL
+                   GROUP BY host, template),
+            hh AS (SELECT host, CAST(sum(c) AS BIGINT) AS n_urls,
+                          CAST(count(*) AS BIGINT) AS n_templates,
+                          CAST(max(c) AS BIGINT) AS maxc,
+                          CAST(sum(CAST(floor(CAST(c AS DOUBLE)
+                               * ln(CAST(c AS DOUBLE))
+                               * CAST(1000000 AS DOUBLE)) AS BIGINT))
+                               AS BIGINT) AS clnc
+                   FROM tc GROUP BY host)
+            SELECT host, n_urls, n_templates,
+                   CAST(CAST(floor(ln(CAST(n_urls AS DOUBLE))
+                        * CAST(1000000 AS DOUBLE)) AS BIGINT)
+                        - clnc // n_urls AS BIGINT) AS entropy_micro,
+                   CAST(maxc * 1000 // n_urls AS BIGINT) AS top_share_milli
+            FROM hh
+        """,
         # r5 session-14 weighted median: first row with 2*cumw >= W in
         # the (value, id) order — min over the packed key of the suffix
         "weighted_median_quality": """
@@ -9958,45 +10054,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         # url path-template mining: digit runs -> {n}; schemeless rows
         # keep host NULL; min_count=2 drops the planted %251 one-offs
-        "url_templates": """
-            WITH u AS (
-              SELECT CASE
-                WHEN doc_id % 251 = 0 THEN
-                  'https://h' || (doc_id % 7) || '.example/one-off-'
-                    || doc_id || '-x'
-                WHEN doc_id % 5 = 0 THEN
-                  'https://h' || (doc_id % 7) || '.example/p/' || doc_id
-                WHEN doc_id % 5 = 1 THEN
-                  'https://h' || (doc_id % 7) || '.example/2024/'
-                    || (doc_id % 12) || '/post-' || doc_id
-                WHEN doc_id % 5 = 2 THEN
-                  'https://h' || (doc_id % 7) || '.example/tag/t'
-                    || (doc_id % 7)
-                WHEN doc_id % 5 = 3 THEN
-                  'https://u5@H' || (doc_id % 7) || '.Example:8080/search?q=x'
-                    || doc_id || '&page=' || doc_id
-                ELSE 'h' || (doc_id % 7) || '.example/p/' || doc_id
-              END AS url
-              FROM documents),
-            p AS (
-              SELECT url,
-                CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
-                     THEN lower(regexp_replace(regexp_extract(url,
-                            '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
-                            '^[^@]*@', ''))
-                END AS host,
-                CASE WHEN regexp_matches(url, '^[A-Za-z][A-Za-z0-9+.-]*://')
-                     THEN regexp_replace(
-                       CASE WHEN regexp_extract(url,
-                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
-                              = ''
-                            THEN '/'
-                            ELSE regexp_extract(url,
-                              '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)', 1)
-                       END, '[0-9]+', '{n}', 'g')
-                     ELSE regexp_replace(url, '[0-9]+', '{n}', 'g')
-                END AS template
-              FROM u)
+        "url_templates": f"""
+            WITH {_urlt_ctes()}
             SELECT host, template, CAST(count(*) AS BIGINT) AS n_urls,
                    min(url) AS example_url
             FROM p GROUP BY host, template HAVING count(*) >= 2

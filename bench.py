@@ -322,6 +322,7 @@ BAND_MAX_S = {
     "quality_percentile_by_source": 4.5,  # warm 1.6-1.7 (per-src window)
     "label_centroid_profile": 7.0,   # warm 2.9-3.5 (dim explode + cards)
     "weighted_median_quality": 4.5,  # warm 1.6 (per-src cumw window)
+    "host_path_entropy": 6.0,        # warm 2.7-3.0 (template groupBys)
 }
 PROBE_QUERY = "minhash_signatures"  # fast, codegen'd, band 1.7-4.9 recorded
 
@@ -769,6 +770,9 @@ def main() -> None:
         ),
         "weighted_median_quality": lambda: force(
             _entry_q("weighted_median_quality")
+        ),
+        "host_path_entropy": lambda: force(
+            _entry_q("host_path_entropy")
         ),
     }
 

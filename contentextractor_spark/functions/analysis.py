@@ -14908,3 +14908,50 @@ def weighted_median_by_group(
         "w_total",
         F.shiftright("__mp", 20).alias("median_value"),
     )
+
+
+def host_path_entropy(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """(host, n_urls, n_templates, entropy_micro, top_share_milli):
+    per-host entropy of the URL path-TEMPLATE distribution — the
+    crawler-trap / infinite-space indicator one level above
+    url_templates: a host whose URLs all collapse into one template
+    (top_share ~1000, entropy ~0) is a catalog or a trap; a diverse
+    host spreads.  Schemeless rows (host NULL) are excluded — the
+    cdx_index false-merge rule.
+
+    Exactness: H = ln(N) − (Σ c·ln c)/N staged integer — ONE
+    transcendental per TEMPLATE quantized to micro-nats BEFORE the
+    sum (floor(c·ln(c)·1e6); c = 1 contributes exactly 0), one per
+    host for ln(N); the float trees are spelled identically in both
+    engines (the dp_release rule), integer sums and divisions after.
+
+    Scale: rides url_templates' single (host, template) groupBy; the
+    entropy pass aggregates template-cardinality rows only."""
+    t = url_templates(urls, url_col=url_col, min_count=1).filter(
+        F.col("host").isNotNull()
+    )
+    c = F.col("n_urls").cast("long")
+    clnc = F.floor(
+        c.cast("double") * F.log(c.cast("double")) * F.lit(1_000_000.0)
+    ).cast("long")
+    per = t.select("host", c.alias("c"), clnc.alias("clnc"))
+    agg = per.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n_urls"),
+        F.count(F.lit(1)).cast("long").alias("n_templates"),
+        F.max("c").cast("long").alias("__maxc"),
+        F.sum("clnc").cast("long").alias("__clnc"),
+    )
+    lnn = F.floor(
+        F.log(F.col("n_urls").cast("double")) * F.lit(1_000_000.0)
+    ).cast("long")
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_templates",
+        (lnn - F.expr("__clnc div n_urls")).cast("long").alias(
+            "entropy_micro"
+        ),
+        F.expr("__maxc * 1000 div n_urls").cast("long").alias(
+            "top_share_milli"
+        ),
+    )

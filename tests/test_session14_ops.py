@@ -832,3 +832,32 @@ def test_weighted_median_oob_value_raises(spark):
     rows = [("s", 1, 2**40, 1)]
     with pytest.raises(Exception):
         A.weighted_median_by_group(_wm_rows(spark, rows)).collect()
+
+
+# ------------------------------------------------------ host_path_entropy
+def test_hpe_trap_vs_diverse(spark):
+    import math
+    # trap.example: 100 urls, ONE template; mix.example: 4 urls over
+    # 4 distinct templates (max entropy ln(4))
+    urls = ([(f"https://trap.example/p/{i}",) for i in range(100)]
+            + [("https://mix.example/a/1",), ("https://mix.example/b/x2y",),
+               ("https://mix.example/c",), ("https://mix.example/d?q=z",)])
+    df = spark.createDataFrame(urls, "url string")
+    out = {r["host"]: r.asDict()
+           for r in A.host_path_entropy(df).collect()}
+    trap = out["trap.example"]
+    assert trap["n_templates"] == 1 and trap["top_share_milli"] == 1000
+    # H = ln(100) - 100*ln(100)/100 = 0 (up to the floor staging)
+    assert abs(trap["entropy_micro"]) <= 1
+    mix = out["mix.example"]
+    assert mix["n_templates"] == 4
+    assert abs(mix["entropy_micro"] - math.floor(math.log(4) * 1e6)) <= 1
+    assert mix["top_share_milli"] == 250
+
+
+def test_hpe_schemeless_excluded(spark):
+    df = spark.createDataFrame(
+        [("example.org/p/1",), ("https://a.example/p/2",)], "url string"
+    )
+    out = A.host_path_entropy(df).collect()
+    assert {r["host"] for r in out} == {"a.example"}
