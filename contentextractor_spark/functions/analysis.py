@@ -6423,12 +6423,22 @@ def quantized_knn(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     neighbor_id).  Same broadcast-query / corpus-streams-once shape as
     knn_bruteforce; the quantization error vs exact cosine is what the
     recall test measures."""
+    # r6 (guide §4.1): the r5 idot was an interpreted F.aggregate/zip_with
+    # fold — corpus×queries×ndim per-element lambda evaluations (the
+    # measured higher-order-lambda trap).  Integer dots are order-free
+    # (exact in any summation order), so unlike the float oracle folds
+    # they may run as ONE vectorized einsum per Arrow batch: identical
+    # longs, 10-100× cheaper (warm 2.1-2.6 s → ~1 s at sf0.1).
+    @F.pandas_udf("long")
+    def idot_np(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="int64")
+        av = np.stack(a.to_numpy()).astype(np.int64)
+        bv = np.stack(b.to_numpy()).astype(np.int64)
+        return pd.Series(np.einsum("ij,ij->i", av, bv))
+
     def idot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x * y).cast("long")),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
-        )
+        return idot_np(a, b)
 
     # per-vector norms ONCE (the neardup-LSH lesson: recomputing both
     # norms per PAIR triples the fold arithmetic).  Zero-norm vectors —
@@ -6514,6 +6524,21 @@ def _refuse_above(df: DataFrame, bound: int, name: str, hint: str) -> None:
             "or pass force=True to override."
         )
     _SIZE_GUARD_OK[df] = bound if proven is None else min(proven, bound)
+
+
+def _fits_within(df: DataFrame, bound: int) -> bool:
+    """Boolean twin of _refuse_above for ADAPTIVE plan choices (r6): the
+    same cached limit-probe, but instead of refusing it reports whether
+    df provably fits `bound` rows — the decision input for broadcast-
+    sized fast paths (pick the small-side plan the way the planner picks
+    a broadcast join, guide §3.1)."""
+    proven = _SIZE_GUARD_OK.get(df)
+    if proven is not None and proven <= bound:
+        return True
+    if df.limit(bound + 1).count() > bound:
+        return False
+    _SIZE_GUARD_OK[df] = bound if proven is None else min(proven, bound)
+    return True
 
 
 def knn_bruteforce(
@@ -6691,6 +6716,28 @@ def kmeans_clusters(
             )
         )
 
+    # r6 (guide §1.2 step 1): same numpy fast path as pq_train_codebook
+    # (m=1, sublen=ndim) — the training loop is deterministic integer
+    # arithmetic, bit-identical collected vs distributed (the oracle IS
+    # the PQ CTE chain at m=1), so sample-sized inputs skip the
+    # 4-jobs-per-iteration latency; the FINAL assignment stays the
+    # distributed broadcast-join + packed-argmin (broadcast centroids,
+    # encode distributed — the 100 TB shape).
+    if _fits_within(emb, PQ_TRAIN_MAX_ROWS):
+        cb = _train_codebook_np(emb, 1, k, iters, q, ndim)
+        cdata = (
+            []
+            if cb is None
+            else [
+                (c, d, int(cb[0][c][d]))
+                for c in range(k)
+                for d in range(ndim)
+            ]
+        )
+        cen = emb.sparkSession.createDataFrame(
+            cdata, "cid int, d int, cval bigint"
+        )
+        return assign(cen).select("vec_id", F.col("cid").alias("cluster"))
     n = emb.select(F.count(F.lit(1)).alias("__n"))
     rk = dims.select("vec_id").distinct().withColumn(
         "rn", F.row_number().over(Window.orderBy("vec_id"))
@@ -7282,13 +7329,47 @@ def embedding_neardup_lsh(
     rounding boundary (differential-tested equal on the fixtures)."""
     pairs = _embedding_candidate_pairs(emb, n_bands, band_bits, max_bucket_size)
     if rescore == "numpy":
-        # scale path: norms fold into the same einsum batch — per-pair
-        # norm recompute is vectorized O(pairs×dim) numpy, not an
-        # interpreted lambda, so the norms-once join trick below buys
-        # nothing here and would add two extra array shuffles
+        # r6 adaptive rescore (guide §3.1/§8): when the vector table
+        # provably fits the exact-pair broadcast bound (≲10 MB of f64 at
+        # ndim 64), ship it ONCE as a broadcast and let the pandas UDF
+        # GATHER both sides by id — the candidate stream then carries two
+        # longs per pair instead of 2×ndim doubles through two joins and
+        # the Arrow boundary (16× fewer boundary bytes at ndim 64).
+        # Gathered rows are fresh contiguous f64 blocks, so the einsum
+        # reduction is bit-identical to the stack path
+        # (tests/test_r6_vectorized.py).  Above the bound: the original
+        # join path — at real corpus scale the vectors cannot broadcast
+        # and attaching them by equi-join IS the right plan.
         pe = emb.select(
             "vec_id", F.col("embedding").cast("array<double>").alias("e")
         )
+        if _fits_within(emb, MAX_EXACT_PAIR_ROWS):
+            rows = sorted(pe.collect(), key=lambda r: r["vec_id"])
+            idv = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+            matv = np.asarray([r["e"] for r in rows], dtype=np.float64)
+            bc = emb.sparkSession.sparkContext.broadcast((idv, matv))
+
+            @F.pandas_udf("double")
+            def _gather_cos(ida: pd.Series, idb: pd.Series) -> pd.Series:
+                if len(ida) == 0:
+                    return pd.Series([], dtype="float64")
+                idv_b, mat_b = bc.value
+                a = mat_b[np.searchsorted(idv_b, ida.to_numpy())]
+                b = mat_b[np.searchsorted(idv_b, idb.to_numpy())]
+                dots = np.einsum("ij,ij->i", a, b)
+                den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
+                    np.einsum("ij,ij->i", b, b)
+                )
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    return pd.Series(dots / den)
+
+            return (
+                pairs.select(
+                    "id_a", "id_b", _gather_cos("id_a", "id_b").alias("cos")
+                )
+                .filter(F.round("cos", 4) >= threshold)
+                .select("id_a", "id_b", F.round("cos", 4).alias("cos_sim"))
+            )
         ea = pe.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
         eb = pe.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
         cos = _pair_cos_numpy()(F.col("ea"), F.col("eb"))
@@ -7935,6 +8016,84 @@ def _pq_assign(
     )
 
 
+PQ_TRAIN_MAX_ROWS = 1 << 18
+"""r6: max rows for the collected numpy Lloyd trainer (≈128 MB of int64
+subvectors at ndim 64) — the documented 100 TB recipe trains on a sample
+of about this size anyway; bigger inputs take the distributed loop."""
+
+
+def _train_codebook_np(
+    emb: DataFrame, m: int, n_centroids: int, iters: int, q: int, sublen: int
+):
+    """numpy core of the integer-Lloyd trainer (r6): collects the
+    SPARK-quantized subvectors (same round/clamp exprs as _pq_subq —
+    quantization semantics never re-implemented) and runs the identical
+    deterministic integer loop: rank-spread init over ascending vec_id,
+    (d2, cid) argmin (np.argmin's first-minimum == the packed-bigint
+    min's lowest-cid tie-break), offset floor-div means, empty clusters
+    keep their centroid.  Returns an (m, K, sublen) int64 codebook, or
+    None for an empty input.  Bit-parity with the distributed loop is
+    pinned by tests/test_pq.py and tests/test_r6_vectorized.py."""
+
+    def comp(i):
+        return (
+            f"cast(greatest(-{q}L, least({q}L,"
+            f" cast(round(cast(embedding[{i}] as double) * {q}) as bigint)))"
+            " as bigint)"
+        )
+
+    arr = F.array(*[F.expr(comp(i)) for i in range(m * sublen)])
+    rows = sorted(
+        emb.select("vec_id", arr.alias("qv")).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    n = len(rows)
+    if n == 0:
+        return None
+    K = n_centroids
+    X = np.asarray([r["qv"] for r in rows], dtype=np.int64).reshape(
+        n, m, sublen
+    )
+    cb = np.stack(
+        [X[[(c * n) // K for c in range(K)], s, :] for s in range(m)]
+    )
+
+    def assign(Xs, cbs, chunk=8192):
+        out = np.empty(len(Xs), dtype=np.int64)
+        for lo in range(0, len(Xs), chunk):  # bound the (chunk,K,sublen) temp
+            blk = Xs[lo : lo + chunk]
+            d2 = ((blk[:, None, :] - cbs[None, :, :]) ** 2).sum(-1)
+            out[lo : lo + chunk] = np.argmin(d2, axis=1)
+        return out
+
+    for _ in range(iters):
+        for s in range(m):
+            Xs = X[:, s, :]
+            a = assign(Xs, cb[s])
+            for c in range(K):
+                pts = Xs[a == c]
+                if len(pts):
+                    cb[s][c] = (pts.sum(0) + q * len(pts)) // len(pts) - q
+    return cb
+
+
+def _pq_train_codebook_numpy(
+    emb: DataFrame, m: int, n_centroids: int, iters: int, q: int, sublen: int
+) -> DataFrame:
+    """DataFrame wrapper of _train_codebook_np in pq_train_codebook's
+    output schema (sub, cid, cen: array<bigint>)."""
+    cb = _train_codebook_np(emb, m, n_centroids, iters, q, sublen)
+    schema = "sub int, cid int, cen array<bigint>"
+    if cb is None:
+        return emb.sparkSession.createDataFrame([], schema)
+    data = [
+        (s, c, [int(x) for x in cb[s][c]])
+        for s in range(m)
+        for c in range(n_centroids)
+    ]
+    return emb.sparkSession.createDataFrame(data, schema)
+
+
 def pq_train_codebook(
     emb: DataFrame,
     m: int = 16,
@@ -7957,13 +8116,29 @@ def pq_train_codebook(
     div and DuckDB's flooring // agree); empty clusters keep their old
     centroid via left-join coalesce.  Each iteration's codebook (m*K
     rows) is localCheckpointed — the pagerank lesson: without it every
-    later stage re-executes the whole training subtree."""
+    later stage re-executes the whole training subtree.
+
+    r6 (guide §1.2 step 1): training is sample-sized BY DESIGN (the
+    100 TB recipe above trains on a sample and broadcasts the
+    codebook), and the whole loop is deterministic INTEGER arithmetic
+    proven bit-identical to a numpy replica
+    (tests/test_pq.py::test_codes_match_numpy_replica).  So when the
+    input provably fits PQ_TRAIN_MAX_ROWS, the SPARK-quantized
+    subvectors are collected once and the Lloyd loop runs as numpy
+    argmin/bincount — identical codebook, none of the per-iteration
+    broadcast-join + double-localCheckpoint job latency (the r5 cost:
+    ~6 jobs/iteration for 32k integer rows).  Quantization stays IN
+    SPARK (collected, not re-derived) so round()'s HALF_UP decimal
+    semantics are never re-implemented.  Above the bound the original
+    distributed loop runs unchanged."""
     ndim = _ndim(emb)
     if ndim % m != 0:
         raise ValueError(f"ndim {ndim} not divisible by m {m}")
     if n_centroids >= _PQ_PACK:
         raise ValueError(f"n_centroids {n_centroids} >= packing bound {_PQ_PACK}")
     sublen = ndim // m
+    if _fits_within(emb, PQ_TRAIN_MAX_ROWS):
+        return _pq_train_codebook_numpy(emb, m, n_centroids, iters, q, sublen)
     subq = _pq_subq(emb, m, sublen, q).localCheckpoint()
     n = emb.select(F.count(F.lit(1)).alias("__n"))
     rk = subq.select("vec_id").distinct().withColumn(
@@ -8750,13 +8925,58 @@ def embedding_lsh_eval(
     pe = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
-    a = pe.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = pe.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
-    cos = _pair_cos_numpy()(F.col("ea"), F.col("eb"))
+    # r6 (guide §8): the r5 truth crossJoined n²/2 PAIR ROWS each
+    # carrying BOTH full float64 vectors (2M × 128 doubles ≈ 2 GB
+    # through two exchanges and the Arrow boundary at sf0.1 — 8-12 s
+    # warm).  The vectors are guard-bounded (≤ MAX_EXACT_PAIR_ROWS ×
+    # ndim f64 ≈ 10 MB), so they now ride as ONE broadcast matrix and
+    # each task emits its ids' (id_a, id_b, cos) rows from contiguous
+    # block einsum — the SAME np.einsum('ij,ij->i') reduction
+    # _pair_cos_numpy runs per pair (row-wise reductions are
+    # independent of batch composition → bit-identical cosines;
+    # differential-pinned in tests/test_r6_vectorized.py).  The
+    # round(cos,4) >= threshold INCLUSION filter stays in Spark SQL,
+    # unchanged.  Warm 8.3-11.9 s → ~1 s at sf0.1.
+    rows = sorted(pe.collect(), key=lambda r: r["vec_id"])
+    idv = np.asarray([r["vec_id"] for r in rows], dtype=np.int64)
+    matv = np.asarray([r["e"] for r in rows], dtype=np.float64)
+    bc = emb.sparkSession.sparkContext.broadcast((idv, matv))
+
+    def _pairs_cos(batches):
+        idv_b, mat_b = bc.value
+        n = len(idv_b)
+        # per-row norms once per task: einsum row reductions are
+        # independent per row, so these equal the per-pair recompute
+        nrm = np.sqrt(np.einsum("ij,ij->i", mat_b, mat_b))
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for a in pdf["vec_id"].to_numpy():
+                i = int(np.searchsorted(idv_b, a))
+                if i >= n or idv_b[i] != a or i + 1 >= n:
+                    continue
+                blk = np.ascontiguousarray(mat_b[i + 1 :])
+                arow = np.repeat(mat_b[i][None, :], len(blk), axis=0)
+                dots = np.einsum("ij,ij->i", arow, blk)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / (nrm[i] * nrm[i + 1 :])
+                out_a.append(np.full(len(blk), a, dtype=np.int64))
+                out_b.append(idv_b[i + 1 :])
+                out_c.append(cos)
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "cos": np.concatenate(out_c),
+                    }
+                )
+
+    sc = emb.sparkSession.sparkContext
+    nparts = max(1, min(len(idv), sc.defaultParallelism))
     truth = (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cos"))
+        pe.select("vec_id")
+        .repartition(nparts)
+        .mapInPandas(_pairs_cos, "id_a long, id_b long, cos double")
         .filter(F.round("cos", 4) >= threshold)
         .select("id_a", "id_b")
         .localCheckpoint()
@@ -14390,13 +14610,26 @@ def mutual_nn_pairs(
     integer, no 4dp float convention needed.  Zero-norm vectors are
     excluded (no cosine direction — the quantized_knn rule).
 
-    Scale: the all-pairs dot is O(n²·d) — this is the exact-pairing
-    BASELINE, guarded by MAX_EXACT_PAIR_ROWS (the knn_bruteforce
-    refusal pattern); at corpus scale produce candidates with
-    embedding_lsh/ivf first and run mutual-NN within buckets.  The
-    half-pair table feeds both union branches, so it persists by
-    default (tfidf cache_handle contract) — without it the n²·d join
-    executes twice and the halving is a net loss."""
+    Scale: this is the exact-pairing BASELINE, guarded by
+    MAX_EXACT_PAIR_ROWS (the knn_bruteforce refusal pattern); at corpus
+    scale produce candidates with embedding_lsh/ivf first and run
+    mutual-NN within buckets.
+
+    r6 optimization (guide §8 / §4.2): the r5 plan exploded to
+    (vec_id, d, v) and joined on d — a codegen'd hashagg, but the join
+    materialized n²·d/2 intermediate rows (128M at sf0.1) and shuffled
+    the half-pair table (24-27 s warm).  Every decision here depends
+    only on the quantized matrix — n × ndim int8-range ints, bounded by
+    the refusal guard to ≲10 MB — so the matrix now rides to every task
+    as ONE broadcast and each task computes its batch's integer dot
+    block as a single float64 GEMM (exact: every partial sum ≤
+    ndim·127² ≪ 2^53, so f64 adds are exact and order-free — identical
+    integers to the hashagg fold by associativity).  The per-row top-1
+    ((cos_milli DESC, vb ASC) — argmax over ascending-id columns picks
+    the first, i.e. lowest-id, maximum) leaves the task; only n top-1
+    rows reach the mutual self-join.  Warm 24.1 s → ~1 s at sf0.1
+    (plans/r06/mutual_nn_pairs_*.txt).  persist_pairs/cache_handle are
+    kept for API compatibility; nothing needs persisting anymore."""
     if not force:
         _refuse_above(
             emb,
@@ -14405,70 +14638,71 @@ def mutual_nn_pairs(
             "The all-pairs integer dot is O(n^2 d); bucket with "
             "embedding_lsh/ivf first at scale,",
         )
-    dims = quantize_embeddings(emb).select(
-        "vec_id", F.posexplode("qvec").alias("d", "v")
-    )
-    sq = (
-        dims.groupBy("vec_id")
-        .agg(F.sum(F.col("v") * F.col("v")).cast("long").alias("sq"))
-        .filter(F.col("sq") > 0)
-        .select("vec_id", _isqrt(F.col("sq")).alias("nrm"))
-    )
-    a = dims.select(
-        F.col("vec_id").alias("va"), "d", F.col("v").alias("xa")
-    )
-    b = dims.select(
-        F.col("vec_id").alias("vb"), "d", F.col("v").alias("xb")
-    )
-    # cosine is symmetric: compute each unordered pair ONCE (va < vb —
-    # halves the n²·d join/shuffle; measured 38-40 → 24-27 s at sf0.1,
-    # the persisted half-table write absorbs part of the win) and
-    # mirror the aggregated pair table (n²/2 rows, cheap) for ranking
-    half = (
-        a.join(b, "d")
-        .filter(F.col("va") < F.col("vb"))
-        .groupBy("va", "vb")
-        .agg(
-            F.sum(F.col("xa").cast("long") * F.col("xb")).cast("long").alias("dot")
+    del persist_pairs, cache_handle  # r6: no reused subtree left to pin
+    spark = emb.sparkSession
+    q = quantize_embeddings(emb).select("vec_id", "qvec")
+    # bounded collect: ≤ MAX_EXACT_PAIR_ROWS rows × ndim small ints —
+    # the same bytes an F.broadcast build would ship; this IS the
+    # broadcast build (guide §3.2 manual-filter pattern)
+    rows = sorted(q.collect(), key=lambda r: r["vec_id"])
+    ids, vecs, nrms = [], [], []
+    for r in rows:
+        v = r["qvec"]
+        s = sum(x * x for x in v)
+        if s > 0:  # zero-norm vectors have no cosine direction
+            ids.append(r["vec_id"])
+            vecs.append(v)
+            nrms.append(math.isqrt(s))  # == _isqrt (exact floor sqrt)
+    out_schema = "va long, vb long, cos_milli long"
+    if len(ids) < 2:
+        empty = spark.createDataFrame([], out_schema)
+        return empty.select(
+            F.col("va").alias("vec_id_a"),
+            F.col("vb").alias("vec_id_b"),
+            "cos_milli",
         )
-    )
-    if persist_pairs:
-        from pyspark import StorageLevel
+    idv = np.asarray(ids, dtype=np.int64)
+    mat = np.asarray(vecs, dtype=np.float64)
+    nrm = np.asarray(nrms, dtype=np.int64)
+    bc = spark.sparkContext.broadcast((idv, mat, nrm))
 
-        half = half.persist(StorageLevel.MEMORY_AND_DISK)
-        if cache_handle is not None:
-            cache_handle.append(half)
-    dots = half.unionByName(
-        half.select(
-            F.col("vb").alias("va"), F.col("va").alias("vb"), "dot"
-        )
-    )
-    na = sq.select(F.col("vec_id").alias("va"), F.col("nrm").alias("na"))
-    nb = sq.select(F.col("vec_id").alias("vb"), F.col("nrm").alias("nb"))
-    cos = (
-        dots.join(na, "va")
-        .join(nb, "vb")
-        .select(
-            "va",
-            "vb",
-            (
-                F.when(F.col("dot") < 0, -1).otherwise(1)
-                * F.expr("(abs(dot) * 1000) div greatest(na * nb, 1)")
+    def _top1(batches):
+        idv_b, mat_b, nrm_b = bc.value
+        n = len(idv_b)
+        i64min = np.iinfo(np.int64).min
+        for pdf in batches:
+            va = pdf["vec_id"].to_numpy()
+            pos = np.searchsorted(idv_b, va)
+            ok = (pos < n) & (idv_b[np.minimum(pos, n - 1)] == va)
+            va, pos = va[ok], pos[ok]
+            if len(va) == 0:
+                continue
+            # exact integer dots via f64 GEMM (see docstring)
+            dots = (mat_b[pos] @ mat_b.T).astype(np.int64)
+            den = np.maximum(nrm_b[pos, None] * nrm_b[None, :], 1)
+            cos = np.where(dots < 0, -1, 1) * (np.abs(dots) * 1000 // den)
+            cos[np.arange(len(va)), pos] = i64min  # exclude self
+            best = np.argmax(cos, axis=1)  # first max = lowest vb
+            yield pd.DataFrame(
+                {
+                    "va": va,
+                    "vb": idv_b[best],
+                    "cos_milli": cos[np.arange(len(va)), best],
+                }
             )
-            .cast("long")
-            .alias("cos_milli"),
-        )
+
+    nparts = max(
+        1, min(len(ids), spark.sparkContext.defaultParallelism)
     )
-    w = Window.partitionBy("va").orderBy(
-        F.col("cos_milli").desc(), F.col("vb").asc()
+    t1 = (
+        q.select("vec_id")
+        .repartition(nparts)
+        .mapInPandas(_top1, out_schema)
+        # n top-1 rows feed BOTH sides of the mutual self-join — cut the
+        # lineage so the GEMM pass runs once (the pagerank lesson)
+        .localCheckpoint()
     )
-    top1 = cos.withColumn("rn", F.row_number().over(w)).filter(
-        F.col("rn") == 1
-    )
-    t1 = top1.select("va", "vb", "cos_milli")
-    t2 = top1.select(
-        F.col("va").alias("vb2"), F.col("vb").alias("va2")
-    )
+    t2 = t1.select(F.col("va").alias("vb2"), F.col("vb").alias("va2"))
     return (
         t1.join(
             t2,

@@ -1,0 +1,172 @@
+"""r6 optimization differentials: the vectorized (broadcast-matrix /
+numpy-trainer) fast paths must be BIT-IDENTICAL to the r5 formulations
+they replaced.
+
+Three families:
+ - float cosine block/gather einsum vs the per-pair stack einsum
+   (_pair_cos_numpy): row-wise np.einsum reductions are independent of
+   batch composition — pinned here on adversarial random data;
+ - integer-Lloyd numpy trainer vs the distributed Spark loop (PQ and
+   kmeans): forced by shrinking PQ_TRAIN_MAX_ROWS to 0;
+ - mutual_nn_pairs vs an independent brute-force replica.
+"""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from contentextractor_spark.functions import analysis as A
+
+RNG = np.random.RandomState(7)
+
+
+# ---------------------------------------------------- einsum equivalence
+def test_block_einsum_matches_stack_einsum():
+    """The truth-side block path (contiguous slice + repeated row) must
+    reproduce the per-pair np.stack einsum bit for bit."""
+    n, d = 97, 64
+    mat = RNG.uniform(-1, 1, (n, d)).astype(np.float64)
+    # per-pair stack path (the r5 _pair_cos arrangement)
+    pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+    a = np.stack([mat[i] for i, _ in pairs])
+    b = np.stack([mat[j] for _, j in pairs])
+    dots_ref = np.einsum("ij,ij->i", a, b)
+    den_ref = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
+        np.einsum("ij,ij->i", b, b)
+    )
+    cos_ref = dots_ref / den_ref
+    # block path (the r6 arrangement in embedding_lsh_eval)
+    nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    got = []
+    for i in range(n - 1):
+        blk = np.ascontiguousarray(mat[i + 1 :])
+        arow = np.repeat(mat[i][None, :], len(blk), axis=0)
+        dots = np.einsum("ij,ij->i", arow, blk)
+        got.append(dots / (nrm[i] * nrm[i + 1 :]))
+    cos_got = np.concatenate(got)
+    assert cos_got.shape == cos_ref.shape
+    assert np.array_equal(cos_got, cos_ref)  # exact, not allclose
+
+
+def test_gather_einsum_matches_stack_einsum():
+    """The candidate-rescore gather path (fancy-indexed rows) must match
+    the stack path bit for bit, zero-norm NaN included."""
+    n, d = 50, 64
+    mat = RNG.uniform(-1, 1, (n, d)).astype(np.float64)
+    mat[17] = 0.0  # zero-norm → NaN cosine on both paths
+    idx_a = RNG.randint(0, n, 400)
+    idx_b = RNG.randint(0, n, 400)
+    a = np.stack([mat[i] for i in idx_a])
+    b = np.stack([mat[j] for j in idx_b])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ref = np.einsum("ij,ij->i", a, b) / (
+            np.sqrt(np.einsum("ij,ij->i", a, a))
+            * np.sqrt(np.einsum("ij,ij->i", b, b))
+        )
+    ga = mat[idx_a]
+    gb = mat[idx_b]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        got = np.einsum("ij,ij->i", ga, gb) / (
+            np.sqrt(np.einsum("ij,ij->i", ga, ga))
+            * np.sqrt(np.einsum("ij,ij->i", gb, gb))
+        )
+    both_nan = np.isnan(ref) & np.isnan(got)
+    assert np.array_equal(got[~both_nan], ref[~both_nan])
+    assert np.array_equal(np.isnan(ref), np.isnan(got))
+
+
+# ------------------------------------------------- trainer numpy == spark
+def _rand_emb(spark, n=60, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    M = rng.uniform(-1, 1, (n, dim))
+    rows = [(i, [float(x) for x in M[i]]) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+
+def test_pq_codebook_numpy_matches_spark_loop(spark, monkeypatch):
+    df = _rand_emb(spark)
+    fast = {
+        (r["sub"], r["cid"]): list(r["cen"])
+        for r in A.pq_train_codebook(df, m=4, n_centroids=8, iters=2).collect()
+    }
+    monkeypatch.setattr(A, "PQ_TRAIN_MAX_ROWS", 0)  # force distributed loop
+    slow = {
+        (r["sub"], r["cid"]): list(r["cen"])
+        for r in A.pq_train_codebook(df, m=4, n_centroids=8, iters=2).collect()
+    }
+    assert fast == slow
+
+
+def test_kmeans_numpy_matches_spark_loop(spark, monkeypatch):
+    df = _rand_emb(spark, n=50, dim=8, seed=11)
+    fast = {
+        r["vec_id"]: r["cluster"]
+        for r in A.kmeans_clusters(df, k=5, iters=2).collect()
+    }
+    monkeypatch.setattr(A, "PQ_TRAIN_MAX_ROWS", 0)
+    slow = {
+        r["vec_id"]: r["cluster"]
+        for r in A.kmeans_clusters(df, k=5, iters=2).collect()
+    }
+    assert fast == slow
+
+
+# ----------------------------------------------- mutual_nn vs brute force
+def test_mutual_nn_matches_bruteforce_replica(spark):
+    """Independent integer replica of the r5 formula (exploded int dots,
+    isqrt norms, sign-peeled truncated div, (cos DESC, id ASC) top-1,
+    mutuality) — the r6 GEMM path must reproduce it exactly."""
+    df = _rand_emb(spark, n=40, dim=12, seed=23)
+    got = {
+        (r["vec_id_a"], r["vec_id_b"]): r["cos_milli"]
+        for r in A.mutual_nn_pairs(df).collect()
+    }
+    qrows = sorted(
+        A.quantize_embeddings(df).select("vec_id", "qvec").collect(),
+        key=lambda r: r["vec_id"],
+    )
+    ids, vecs, nrms = [], [], []
+    for r in qrows:
+        s = sum(x * x for x in r["qvec"])
+        if s > 0:
+            ids.append(r["vec_id"])
+            vecs.append(r["qvec"])
+            nrms.append(math.isqrt(s))
+    top1 = {}
+    for i, a in enumerate(ids):
+        best = None
+        for j, b in enumerate(ids):
+            if i == j:
+                continue
+            dot = sum(x * y for x, y in zip(vecs[i], vecs[j]))
+            den = max(nrms[i] * nrms[j], 1)
+            cm = (1 if dot >= 0 else -1) * (abs(dot) * 1000 // den)
+            if best is None or cm > best[0] or (cm == best[0] and b < best[1]):
+                best = (cm, b)
+        top1[a] = best
+    expected = {}
+    for a in ids:
+        cm, b = top1[a]
+        if a < b and top1[b][1] == a:
+            expected[(a, b)] = cm
+    assert got == expected
+
+
+# -------------------------------------------- quantized_knn integer dots
+def test_quantized_knn_matches_python_fold(spark):
+    """The einsum integer dot is order-free exact — spot-check the full
+    quantized_knn output against a per-pair Python integer fold."""
+    df = _rand_emb(spark, n=30, dim=10, seed=5)
+    out = A.quantized_knn(df, n_queries=3, k=4).collect()
+    q = {
+        r["vec_id"]: r["qvec"]
+        for r in A.quantize_embeddings(df).collect()
+    }
+    nrm = {v: math.sqrt(sum(x * x for x in qv)) for v, qv in q.items()}
+    for r in out:
+        qa, qb = q[r["query_id"]], q[r["neighbor_id"]]
+        dot = sum(x * y for x, y in zip(qa, qb))
+        cos = dot / (nrm[r["query_id"]] * nrm[r["neighbor_id"]])
+        assert r["cos_q"] == pytest.approx(round(cos, 4), abs=1e-9)
