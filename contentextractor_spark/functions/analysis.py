@@ -3289,6 +3289,39 @@ def incremental_dedup(
     )
 
 
+def _eval_counts_card(
+    truth: DataFrame, cand: DataFrame, keys: list[str]
+) -> DataFrame:
+    """ONE-row (n_true, n_cand, n_hit, recall_milli, precision_milli)
+    from a truth and a candidate pair set — shared by lsh_eval /
+    simhash_eval / embedding_lsh_eval (r6).  The r5 form ran three
+    separate count jobs (truth, cand, truth⋈cand) and crossJoined the
+    scalars; one FULL OUTER join on the pair key + one aggregate
+    computes the same three counts in a single pass (n_hit = Σ ia·ib ≡
+    the inner-join count; sums COALESCEd so the empty-sets edge still
+    reports zeros, the dedup_agreement convention)."""
+    t = truth.select(*keys, F.lit(1).alias("__ia"))
+    c = cand.select(*keys, F.lit(1).alias("__ib"))
+    m = t.join(c, keys, "outer").select(
+        F.coalesce("__ia", F.lit(0)).alias("ia"),
+        F.coalesce("__ib", F.lit(0)).alias("ib"),
+    )
+    counts = m.agg(
+        F.coalesce(F.sum("ia"), F.lit(0)).cast("long").alias("n_true"),
+        F.coalesce(F.sum("ib"), F.lit(0)).cast("long").alias("n_cand"),
+        F.coalesce(F.sum(F.col("ia") * F.col("ib")), F.lit(0))
+        .cast("long")
+        .alias("n_hit"),
+    )
+    return counts.selectExpr(
+        "n_true",
+        "n_cand",
+        "n_hit",
+        "n_hit * 1000 div greatest(n_true, 1) AS recall_milli",
+        "n_hit * 1000 div greatest(n_cand, 1) AS precision_milli",
+    )
+
+
 def lsh_eval(
     docs: DataFrame,
     num: int = 1,
@@ -3353,22 +3386,7 @@ def lsh_eval(
     for df in handle:
         df.unpersist()
     mem.unpersist()
-    n_true = truth.select(F.count(F.lit(1)).alias("n_true"))
-    n_cand = cand.select(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = truth.join(cand, ["doc_a", "doc_b"]).select(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    return (
-        n_true.crossJoin(n_cand)
-        .crossJoin(n_hit)
-        .selectExpr(
-            "n_true",
-            "n_cand",
-            "n_hit",
-            "n_hit * 1000 div greatest(n_true, 1) AS recall_milli",
-            "n_hit * 1000 div greatest(n_cand, 1) AS precision_milli",
-        )
-    )
+    return _eval_counts_card(truth, cand, ["doc_a", "doc_b"])
 
 
 def jaccard_pairs(
@@ -8919,9 +8937,9 @@ def embedding_lsh_eval(
             "The truth side is the exact O(n²) cosine join — calibrate "
             "on a sample at scale,",
         )
-    cand = _embedding_candidate_pairs(
-        emb, n_bands, band_bits, max_bucket_size
-    ).localCheckpoint()
+    # r6: cand feeds exactly ONE consumer (the fused outer-join card) —
+    # no checkpoint needed
+    cand = _embedding_candidate_pairs(emb, n_bands, band_bits, max_bucket_size)
     pe = emb.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e")
     )
@@ -8979,24 +8997,8 @@ def embedding_lsh_eval(
         .mapInPandas(_pairs_cos, "id_a long, id_b long, cos double")
         .filter(F.round("cos", 4) >= threshold)
         .select("id_a", "id_b")
-        .localCheckpoint()
     )
-    n_true = truth.select(F.count(F.lit(1)).alias("n_true"))
-    n_cand = cand.select(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = truth.join(cand, ["id_a", "id_b"]).select(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    return (
-        n_true.crossJoin(n_cand)
-        .crossJoin(n_hit)
-        .selectExpr(
-            "n_true",
-            "n_cand",
-            "n_hit",
-            "n_hit * 1000 div greatest(n_true, 1) AS recall_milli",
-            "n_hit * 1000 div greatest(n_cand, 1) AS precision_milli",
-        )
-    )
+    return _eval_counts_card(truth, cand, ["id_a", "id_b"])
 
 
 def simhash_eval(
@@ -9024,34 +9026,16 @@ def simhash_eval(
     uncapped truth join is bounded by the corpus's real bucket sizes, so
     at 100 TB run this on a sample the way the exact-join evals do."""
     sims = simhash(docs, bits).localCheckpoint()
-    truth = (
-        simhash_neardup_pairs(docs, bits, n_bands, sims=sims)
-        .select("doc_id_a", "doc_id_b")
-        .localCheckpoint()
+    # r6: truth/cand each feed exactly ONE consumer now (the fused
+    # outer-join card), and both build from the checkpointed sims —
+    # their own checkpoints were two redundant materialization jobs
+    truth = simhash_neardup_pairs(docs, bits, n_bands, sims=sims).select(
+        "doc_id_a", "doc_id_b"
     )
-    cand = (
-        simhash_neardup_pairs(
-            docs, bits, n_bands, max_bucket_size=max_bucket_size, sims=sims
-        )
-        .select("doc_id_a", "doc_id_b")
-        .localCheckpoint()
-    )
-    n_true = truth.select(F.count(F.lit(1)).alias("n_true"))
-    n_cand = cand.select(F.count(F.lit(1)).alias("n_cand"))
-    n_hit = truth.join(cand, ["doc_id_a", "doc_id_b"]).select(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    return (
-        n_true.crossJoin(n_cand)
-        .crossJoin(n_hit)
-        .selectExpr(
-            "n_true",
-            "n_cand",
-            "n_hit",
-            "n_hit * 1000 div greatest(n_true, 1) AS recall_milli",
-            "n_hit * 1000 div greatest(n_cand, 1) AS precision_milli",
-        )
-    )
+    cand = simhash_neardup_pairs(
+        docs, bits, n_bands, max_bucket_size=max_bucket_size, sims=sims
+    ).select("doc_id_a", "doc_id_b")
+    return _eval_counts_card(truth, cand, ["doc_id_a", "doc_id_b"])
 
 
 def recrawl_priority(snaps: DataFrame) -> DataFrame:
