@@ -5996,6 +5996,12 @@ def _lss_components(
 
     prev = _digest(edges)
     for _ in range(max_iter):
+        # r6 measured anti-lesson: fusing the two stars into ONE
+        # checkpoint per round (e2 = small(large(edges)).localCheckpoint())
+        # read 4.1-4.5 s warm vs 3.6-4.2 for this form at sf0.1 —
+        # _small_star references its input 3x and _large_star 4x, and the
+        # replicated large-star subtree costs more than the saved
+        # materialization job.  Keep the per-star checkpoints.
         e1 = _large_star(edges).localCheckpoint()
         e2 = _small_star(e1).localCheckpoint()
         cur = _digest(e2)
@@ -6501,15 +6507,26 @@ def quantized_knn(emb: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
     )
 
 
-def _cosine(a, b):
-    dot = F.aggregate(
+def _dot_fold(a, b):
+    """The oracle-anchoring sequential dot fold (summation order matches
+    DuckDB list_reduce — the r3 rule: never swap for numpy)."""
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v * v))
-    return dot / (na * nb)
+
+
+def _norm_fold(a):
+    """sqrt of the sequential self-dot fold — same value wherever it is
+    evaluated, so callers may compute it ONCE PER VECTOR instead of per
+    pair (r6: the interpreted fold is the cost; _cosine ran three of
+    them per pair)."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _cosine(a, b):
+    return _dot_fold(a, b) / (_norm_fold(a) * _norm_fold(b))
 
 
 MAX_KNN_BRUTEFORCE_ROWS = 1_000_000
@@ -6579,14 +6596,18 @@ def knn_bruteforce(
             "This is the exact-scoring BASELINE (linear scan, interpreted "
             "per-pair cosine); use ivf_topk/quantized_knn at scale,",
         )
+    # r6 norms-once: _cosine ran THREE interpreted folds per pair; the
+    # norm fold over the same array yields the identical double wherever
+    # it is evaluated, so each side computes it once per VECTOR and the
+    # per-pair work drops to the one oracle-anchoring dot fold
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qe"),
-    )
+    ).withColumn("na", _norm_fold(F.col("qe")))
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").cast("array<double>").alias("ce"),
-    )
+    ).withColumn("nb", _norm_fold(F.col("ce")))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -6594,7 +6615,10 @@ def knn_bruteforce(
         .select(
             "query_id",
             "neighbor_id",
-            _cosine(F.col("qe"), F.col("ce")).alias("cos"),
+            (
+                _dot_fold(F.col("qe"), F.col("ce"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
         )
     )
     # rank on the ROUNDED cosine (the value the oracle hashes): two engines
@@ -6929,12 +6953,31 @@ def semantic_dedup(
             "vec_id",
         )
     )
-    a = ce.select("cluster", F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
-    b = ce.select("cluster", F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    # r6 norms-once (the knn_bruteforce note): one dot fold per pair
+    cen_ = ce.withColumn("__n", _norm_fold(F.col("e")))
+    a = cen_.select(
+        "cluster",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("__n").alias("__na"),
+    )
+    b = cen_.select(
+        "cluster",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("__n").alias("__nb"),
+    )
     dropped = (
         a.join(b, "cluster")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(F.round(_cosine(F.col("ea"), F.col("eb")), 4) >= threshold)
+        .filter(
+            F.round(
+                _dot_fold(F.col("ea"), F.col("eb"))
+                / (F.col("__na") * F.col("__nb")),
+                4,
+            )
+            >= threshold
+        )
         .select(F.col("id_b").alias("vec_id"))
         .distinct()
         .withColumn("__drop", F.lit(1))
@@ -6996,6 +7039,9 @@ def _ivf_search(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
     """Shared IVF probe→rescore: join probe lists against the inverted
     lists, exact-cosine re-score, top-k per query with the rounded-cosine
     deterministic ranking (ADVICE r1 — the value the oracle hashes)."""
+    # r6 norms-once (the knn_bruteforce note): one dot fold per pair
+    probes = probes.withColumn("__na", _norm_fold(F.col("qe")))
+    assigned = assigned.withColumn("__nb", _norm_fold(F.col("emb_d")))
     cand = (
         F.broadcast(probes)
         .join(assigned, "list_id")
@@ -7003,7 +7049,10 @@ def _ivf_search(assigned: DataFrame, probes: DataFrame, k: int) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            _cosine(F.col("qe"), F.col("emb_d")).alias("cos"),
+            (
+                _dot_fold(F.col("qe"), F.col("emb_d"))
+                / (F.col("__na") * F.col("__nb"))
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -8559,15 +8608,68 @@ def _bpe_adjacent_pairs(words: DataFrame) -> DataFrame:
     )
 
 
+BPE_TRAIN_MAX_VOCAB = 1 << 17
+"""r6: vocab-row bound for the collected single-node BPE trainer — the
+MAX_BPE_MERGES note already prescribes exactly this decomposition ('train
+large vocabularies single-node on the word-count table, apply distributed');
+this makes it the default whenever the word-count table provably fits."""
+
+
 def _bpe_train(docs: DataFrame, n_merges: int):
     """Returns (merge_steps, words): merge_steps is a list of 1-row DFs
     (step, left, right, pair_count); words is the final vocab
-    (g, wc, s) with s the merged chr(31)-joined symbol string."""
+    (g, wc, s) with s the merged chr(31)-joined symbol string.
+
+    r6 fast path (guide §1.2 step 1): each merge step is inherently
+    driver-sequenced (~3 checkpointed vocab jobs per step — measured
+    0.77 s/merge), while the training STATE is only the word-count
+    table.  When that table provably fits BPE_TRAIN_MAX_VOCAB rows it
+    is collected once and the merge loop runs in Python with the
+    identical semantics: pair counts weighted by wc, argmax ties on
+    (left ASC, right ASC) (Python tuple min on (-pc, a, b) ≡ Spark's
+    orderBy — UTF-8 binary string order equals codepoint order), and
+    the same greedy left-to-right fold (out[-1]==left and v==right ⇒
+    merge) the SQL aggregate fold applies.  Exhausted-pair steps yield
+    EMPTY step rows and leave words untouched, exactly like the Spark
+    limit(1)-of-empty + NULL-merge fold.  Bit-parity pinned by
+    tests/test_r6_vectorized.py::test_bpe_train_python_matches_spark_loop.
+    Above the bound the distributed loop runs unchanged."""
     vocab = (
         _gram_stream(docs, 1)
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
+    spark = docs.sparkSession
+    step_schema = "step int, left string, right string, pair_count bigint"
+    if _fits_within(vocab, BPE_TRAIN_MAX_VOCAB):
+        wrows = [[r["g"], r["wc"], list(r["g"])] for r in vocab.collect()]
+        steps = []
+        for t in range(1, n_merges + 1):
+            pc: dict = {}
+            for _g, wc, syms in wrows:
+                for i in range(len(syms) - 1):
+                    k = (syms[i], syms[i + 1])
+                    pc[k] = pc.get(k, 0) + wc
+            if not pc:
+                steps.append(spark.createDataFrame([], step_schema))
+                continue
+            negc, a, b = min((-c, a, b) for (a, b), c in pc.items())
+            steps.append(
+                spark.createDataFrame([(t, a, b, -negc)], step_schema)
+            )
+            for w in wrows:
+                out: list = []
+                for v in w[2]:
+                    if out and out[-1] == a and v == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(v)
+                w[2] = out
+        words = spark.createDataFrame(
+            [(g, wc, "\x1f".join(syms)) for g, wc, syms in wrows],
+            "g string, wc bigint, s string",
+        )
+        return steps, words
     words = vocab.select(
         "g",
         "wc",
@@ -10701,11 +10803,12 @@ def hybrid_search(
         F.broadcast(qids), emb["vec_id"] == qids["query_id"]
     ).select(
         "query_id", F.col("embedding").cast("array<double>").alias("qe")
-    )
+    ).withColumn("na", _norm_fold(F.col("qe")))
     c = emb.select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("ce"),
-    )
+    ).withColumn("nb", _norm_fold(F.col("ce")))
+    # r6 norms-once (the knn_bruteforce note): one dot fold per pair
     scored = (
         F.broadcast(qv)
         .crossJoin(c)
@@ -10713,7 +10816,10 @@ def hybrid_search(
         .select(
             "query_id",
             "doc_id",
-            _cosine(F.col("qe"), F.col("ce")).alias("cos"),
+            (
+                _dot_fold(F.col("qe"), F.col("ce"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("cos"),
         )
     )
     wv = Window.partitionBy("query_id").orderBy(

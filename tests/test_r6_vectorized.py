@@ -154,6 +154,34 @@ def test_mutual_nn_matches_bruteforce_replica(spark):
     assert got == expected
 
 
+# ------------------------------------------------ bpe python == spark
+def test_bpe_train_python_matches_spark_loop(spark, monkeypatch):
+    """The collected single-node BPE trainer must reproduce the
+    distributed loop exactly: merge table (incl. tie-breaks) and final
+    merged vocab."""
+    rows = [
+        (i, t)
+        for i, t in enumerate(
+            ["aa ab aa low lower lowest", "low low ab aa", "newer newest aa"]
+            * 3
+        )
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fast_steps = [r.asDict() for r in A.bpe_merges(df, n_merges=5).collect()]
+    fast_counts = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in A.bpe_token_counts(df, n_merges=5).collect()
+    }
+    monkeypatch.setattr(A, "BPE_TRAIN_MAX_VOCAB", 0)  # force distributed
+    slow_steps = [r.asDict() for r in A.bpe_merges(df, n_merges=5).collect()]
+    slow_counts = {
+        r["doc_id"]: r["n_tokens_bpe"]
+        for r in A.bpe_token_counts(df, n_merges=5).collect()
+    }
+    assert fast_steps == slow_steps
+    assert fast_counts == slow_counts
+
+
 # -------------------------------------------- quantized_knn integer dots
 def test_quantized_knn_matches_python_fold(spark):
     """The einsum integer dot is order-free exact — spot-check the full
