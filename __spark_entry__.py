@@ -4578,13 +4578,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.pmod(F.col("doc_id") + 2, F.col("__n")).alias("dst"),
         )
         seeds = spark.range(1).select(F.lit(0).cast("long").alias("node"))
-        a = A.bipartite_check(odd, seeds, max_depth=8).select(
-            F.lit("odd_deltas").alias("graph"), "*"
-        )
-        b = A.bipartite_check(odd.unionByName(chord), seeds, max_depth=8).select(
-            F.lit("parity_chord").alias("graph"), "*"
-        )
-        return a.unionByName(b)
+        # r6 (guide §2.6): the two graphs' BFS chains are independent and
+        # latency-bound — build them from two driver threads so one
+        # chain's round jobs back-fill the other's; results identical
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            fa = ex.submit(
+                lambda: A.bipartite_check(odd, seeds, max_depth=8).select(
+                    F.lit("odd_deltas").alias("graph"), "*"
+                )
+            )
+            fb = ex.submit(
+                lambda: A.bipartite_check(
+                    odd.unionByName(chord), seeds, max_depth=8
+                ).select(F.lit("parity_chord").alias("graph"), "*")
+            )
+            return fa.result().unionByName(fb.result())
 
     def embedding_drift(spark, sf_dir):
         # r5 session-14: mean-vector drift card over two splits — the

@@ -3350,42 +3350,59 @@ def lsh_eval(
     the truth join is the documented exact-join path (refusal-guarded
     upstream); the three counts reduce to one row via one-row
     crossJoins — no collect."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark import StorageLevel
 
-    mem = _band_membership(docs, k, n).persist(StorageLevel.MEMORY_AND_DISK)
-    ok = minhash_lsh_buckets(
-        docs, k=k, n=n, max_bucket_size=max_bucket_size, membership=mem
-    ).select("band", "bucket")
-    a = mem.select("band", "bucket", F.col("doc_id").alias("doc_a"))
-    b = mem.select("band", "bucket", F.col("doc_id").alias("doc_b"))
-    cand = (
-        a.join(ok, ["band", "bucket"])
-        .join(b, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-        .localCheckpoint()
-    )
-    handle: list = []
-    truth = (
-        jaccard_pairs(
-            docs,
-            n=n,
-            min_intersection=min_intersection,
-            max_shingle_freq=max_shingle_freq,
-            cache_handle=handle,
+    # r6 (guide §2.6 overlap independent jobs): the candidate chain
+    # (band membership → buckets → self-join) and the truth chain
+    # (shingle self-join at threshold) are independent eager-checkpoint
+    # builds — running them from two driver threads lets one chain's
+    # tasks back-fill the other's stragglers.  Results identical.
+    def _build_cand():
+        mem = _band_membership(docs, k, n).persist(
+            StorageLevel.MEMORY_AND_DISK
         )
-        .filter(
-            F.col("intersection") * den >= F.col("union_sz") * num
+        ok = minhash_lsh_buckets(
+            docs, k=k, n=n, max_bucket_size=max_bucket_size, membership=mem
+        ).select("band", "bucket")
+        a = mem.select("band", "bucket", F.col("doc_id").alias("doc_a"))
+        b = mem.select("band", "bucket", F.col("doc_id").alias("doc_b"))
+        out = (
+            a.join(ok, ["band", "bucket"])
+            .join(b, ["band", "bucket"])
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+            .localCheckpoint()  # eager — membership materialized into it
         )
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
-    # both checkpoints above are eager — the shingle cache and the band
-    # membership are materialized into them and can be released now
-    for df in handle:
-        df.unpersist()
-    mem.unpersist()
+        mem.unpersist()
+        return out
+
+    def _build_truth():
+        handle: list = []
+        out = (
+            jaccard_pairs(
+                docs,
+                n=n,
+                min_intersection=min_intersection,
+                max_shingle_freq=max_shingle_freq,
+                cache_handle=handle,
+            )
+            .filter(
+                F.col("intersection") * den >= F.col("union_sz") * num
+            )
+            .select("doc_a", "doc_b")
+            .localCheckpoint()  # eager — shingle cache materialized into it
+        )
+        for df in handle:
+            df.unpersist()
+        return out
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_cand = ex.submit(_build_cand)
+        f_truth = ex.submit(_build_truth)
+        cand, truth = f_cand.result(), f_truth.result()
     return _eval_counts_card(truth, cand, ["doc_a", "doc_b"])
 
 
@@ -8530,16 +8547,46 @@ def bloom_decontaminate(
     bloom = _bloom_bitmap(bench_sh, n_hashes, n_bits)
     exact = bench_sh.distinct().withColumnRenamed("shingle", "g")
     corpus = _gram_stream(docs, n)
-    probes = corpus.select(
-        "doc_id", "g", F.explode(_cms_cells(n_hashes, n_bits)).alias("c")
-    ).select("doc_id", "g", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
-    positives = (
-        probes.join(F.broadcast(bloom), ["row", "col"])
-        .groupBy("doc_id", "g")
-        .agg(F.countDistinct("row").alias("nh"))
-        .filter(F.col("nh") == n_hashes)
-        .select("doc_id", "g")
-    )
+    # r6 (guide §2.4): the bitmap is ≤ n_hashes × n_bits SET positions —
+    # collect it once (the SAME _bloom_bitmap build bloom_eval scores)
+    # into n_hashes literal 64-bit-word masks, and the per-gram
+    # membership test becomes O(1) codegen'd bit arithmetic over the
+    # UNCHANGED _cms_cells hash definition, replacing the 3×-exploded
+    # probe stream + broadcast join + countDistinct==n_hashes aggregate.
+    # Identical positives set (all n_hashes positions set ⟺ every
+    # per-row bit test passes); warm 2.3-2.9 → see OPTIMIZATION_r06.md.
+    n_words = (n_bits + 63) // 64
+    words = [[0] * n_words for _ in range(n_hashes)]
+    for r in bloom.collect():
+        words[r["row"]][r["col"] >> 6] |= 1 << (r["col"] & 63)
+
+    def _sgn(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    pos = corpus.select("doc_id", "g")
+    conds = []
+    for i in range(n_hashes):
+        pos = pos.withColumn(
+            f"__bm{i}",
+            F.array(*[F.lit(_sgn(w)).cast("long") for w in words[i]]),
+        ).withColumn(
+            f"__c{i}",
+            F.expr(
+                f"cast(conv(substring(md5('{i}:' || g), 1, 8), 16, 10)"
+                f" % {n_bits} as int)"
+            ),
+        )
+        conds.append(
+            F.expr(
+                f"(shiftright(element_at(__bm{i},"
+                f" cast(__c{i} div 64 + 1 as int)),"
+                f" pmod(__c{i}, 64)) & 1) = 1"
+            )
+        )
+    allset = conds[0]
+    for c in conds[1:]:
+        allset = allset & c
+    positives = pos.filter(allset).select("doc_id", "g")
     flagged = positives.join(
         F.broadcast(exact.withColumn("__exact", F.lit(1))), "g", "left"
     )
@@ -15028,9 +15075,17 @@ def hub_removal_impact(
             )
         )
 
-    return card("full", e, seeds).unionByName(
-        card("hubs_removed", e_cut, seeds_cut)
-    )
+    # r6 (guide §2.6 overlap independent jobs): the two BFS chains are
+    # independent and latency-bound (max_depth eager checkpoint rounds
+    # each) — building them from two driver threads lets round jobs of
+    # one chain back-fill the other's stragglers.  Results identical;
+    # job descriptions are thread-local so the UI stays readable.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_full = ex.submit(card, "full", e, seeds)
+        f_cut = ex.submit(card, "hubs_removed", e_cut, seeds_cut)
+        return f_full.result().unionByName(f_cut.result())
 
 
 def quality_percentile_by_source(
