@@ -3970,9 +3970,9 @@ def jaccard_prefix_pairs(
     with df above the cap from BOTH sides (the minhash loud-cap
     convention — pairs whose only shared prefix token was dropped are
     lost; jaccard_prefix_overflow discloses exactly which tokens and how
-    many docs are affected).  persist_tokens pins the exploded token set
-    (it feeds freq, sizes, prefix and both verify branches — the
-    jaccard_pairs persist rule)."""
+    many docs are affected).  persist_tokens pins the per-doc sorted
+    (df, tok) array table — it feeds the prefix explode and both verify
+    branches (the jaccard_pairs persist rule)."""
     num, den = threshold
     if not (0 < num <= den):
         raise ValueError(f"threshold must be a rational in (0,1]: {threshold}")
@@ -3981,21 +3981,48 @@ def jaccard_prefix_pairs(
         .filter(F.col("tok") != "")
         .distinct()
     )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = toks.join(freq, "tok")
+    # r6 plan shape: ONE groupBy(doc_id) collects the per-doc token set
+    # sorted by (df ASC, tok ASC) — the SAME total order the r5
+    # row_number window used (tok unique per doc, so the order is
+    # total).  Per-doc size, the prefix (a slice of the sorted array)
+    # and the verify array are all projections of this single aggregate;
+    # the r5 form computed each separately (a sizes aggregate + join, a
+    # row_number window with its own exchange + corpus-wide sort, and a
+    # third collect_list aggregation) — 3 exchanges removed,
+    # bit-identical output.
+    # two arrays from ONE aggregate: the (df, tok)-sorted struct array
+    # feeds the prefix slice; the PLAIN string array feeds the verify
+    # array_intersect (string arrays keep array_intersect's hash-set
+    # fast path — struct arrays fall back to pairwise equality, measured
+    # 2x slower end-to-end)
+    docarr = (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "tok"))).alias("__sa"),
+            F.collect_list("tok").alias("__arr"),
+        )
+        .select(
+            "doc_id", "__sa", "__arr", F.size("__sa").cast("long").alias("sz")
+        )
+    )
     if persist_tokens:
         from pyspark import StorageLevel
 
-        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+        docarr = docarr.persist(StorageLevel.MEMORY_AND_DISK)
         if cache_handle is not None:
-            cache_handle.append(toks)
-    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    ranked = toks.join(freq, "tok").join(sizes, "doc_id")
+            cache_handle.append(docarr)
     # prefix length p = sz − ceil(num·sz/den) + 1, all-integer ceil
     # integer ceil via div (Spark div ≡ DuckDB // on positives)
     p = F.expr(f"sz - (({num} * sz + {den} - 1) div {den}) + 1")
-    w = Window.partitionBy("doc_id").orderBy("df", "tok")
-    pref = ranked.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= p
+    pref = docarr.select(
+        "doc_id", "sz", F.explode(F.slice("__sa", F.lit(1), p)).alias("__s")
+    ).select(
+        "doc_id",
+        "sz",
+        F.col("__s.df").alias("df"),
+        F.col("__s.tok").alias("tok"),
     )
     if max_prefix_df is not None:
         pref = pref.filter(F.col("df") <= max_prefix_df)
@@ -4019,16 +4046,16 @@ def jaccard_prefix_pairs(
     # |candidates| x |tokens|: the original pair-x-token verify join
     # exploded to ~10^9 intermediate rows on a dense corpus (measured
     # 128 s at 5k docs / 31-word vocab; this form: see BENCH notes)
-    arrs = toks.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("tok")).alias("__arr")
-    )
+    # the verify arrays are the SAME persisted docarr (struct equality
+    # on (df, tok) counts token-set intersections exactly — df is
+    # functionally dependent on tok)
     inter = (
         cand.join(
-            arrs.select(F.col("doc_id").alias("doc_a"), F.col("__arr").alias("__aa")),
+            docarr.select(F.col("doc_id").alias("doc_a"), F.col("__arr").alias("__aa")),
             "doc_a",
         )
         .join(
-            arrs.select(F.col("doc_id").alias("doc_b"), F.col("__arr").alias("__ab")),
+            docarr.select(F.col("doc_id").alias("doc_b"), F.col("__arr").alias("__ab")),
             "doc_b",
         )
         .select(
