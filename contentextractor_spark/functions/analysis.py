@@ -6022,12 +6022,76 @@ def dedup_components_lss(
     return _lss_components(docs, edges, max_iter, "dedup_components_lss")
 
 
+LSS_DRIVER_MAX_EDGES = 1_000_000
+"""Adaptive bound for the r6 driver union-find fast path in
+_lss_components: below it the (checkpointed) edge list is collected and
+components are solved exactly on the driver (labels are a pure function
+of the edge set — no arithmetic convention to preserve); above it the
+distributed star loop runs unchanged.  1M edges ≈ 16 MB collected — the
+same order as a broadcast build."""
+
+
 def _lss_components(
     docs: DataFrame, edges: DataFrame, max_iter: int, opname: str
 ) -> DataFrame:
     """Alternating large-star/small-star contraction over canonical
     (hi > lo) edges; returns (doc_id, component = min id in component)
-    covering EVERY doc (isolated docs label themselves)."""
+    covering EVERY doc (isolated docs label themselves).
+
+    r6 adaptive path (guide §8 — decide with small rows): the component
+    labels depend ONLY on the edge list, which every caller has already
+    localCheckpointed (it is materialized and small relative to the
+    corpus: near-dup edges, not documents).  When it provably fits
+    LSS_DRIVER_MAX_EDGES (limit-probe, the _refuse_above convention) it
+    is collected once and solved with exact min-root union-find —
+    identical labels by definition (component = min reachable id is the
+    unique transitive closure, engine-independent), zero per-round jobs.
+    The star loop — the 10^12-edge design — runs verbatim above the
+    bound."""
+    n_probe = edges.limit(LSS_DRIVER_MAX_EDGES + 1).count()
+    if n_probe <= LSS_DRIVER_MAX_EDGES:
+        pdf = edges.select("hi", "lo").toPandas()
+        parent: dict = {}
+
+        def _find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for hi, lo in zip(pdf["hi"].tolist(), pdf["lo"].tolist()):
+            ra, rb = _find(int(hi)), _find(int(lo))
+            if ra != rb:
+                # always attach the LARGER root under the smaller so the
+                # root IS the component's min id
+                if ra < rb:
+                    parent[rb] = ra
+                else:
+                    parent[ra] = rb
+        nodes = set(pdf["hi"].tolist()) | set(pdf["lo"].tolist())
+        import pandas as pd
+
+        lab = pd.DataFrame(
+            {
+                "doc_id": [int(v) for v in sorted(nodes)],
+                "component": [_find(int(v)) for v in sorted(nodes)],
+            },
+            dtype="int64",
+        )
+        spark = docs.sparkSession
+        lab_df = spark.createDataFrame(lab, schema="doc_id bigint, component bigint")
+        # keep docs' own doc_id dtype (the star-loop path does) — the
+        # equi-join coerces for comparison without changing the column
+        return docs.select("doc_id").join(
+            F.broadcast(lab_df), "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("component"),
+        )
 
     def _digest(df):
         # pmod before the sum: raw xxhash64 sums overflow LongType (ANSI

@@ -198,3 +198,34 @@ def test_quantized_knn_matches_python_fold(spark):
         dot = sum(x * y for x, y in zip(qa, qb))
         cos = dot / (nrm[r["query_id"]] * nrm[r["neighbor_id"]])
         assert r["cos_q"] == pytest.approx(round(cos, 4), abs=1e-9)
+
+
+# ------------------------------------------ LSS driver union-find parity
+def test_lss_driver_unionfind_matches_star_loop(spark, monkeypatch):
+    """The r6 driver union-find fast path in _lss_components must produce
+    the IDENTICAL label set as the distributed star loop (forced by
+    shrinking LSS_DRIVER_MAX_EDGES to 0) — chain (diameter >> rounds),
+    forest and isolated-node cases in one fixture."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], ["doc_id"]
+    )
+    # chain 0-..-14, triangle 20-21-22 (via canonical hi>lo edges),
+    # star 30<-{31,32,33}, isolated 34..39
+    edges = spark.createDataFrame(
+        [(i + 1, i) for i in range(14)]
+        + [(21, 20), (22, 21), (22, 20)]
+        + [(31, 30), (32, 30), (33, 30)],
+        ["hi", "lo"],
+    ).localCheckpoint()
+    fast = {
+        (r["doc_id"], r["component"])
+        for r in A._lss_components(docs, edges, 25, "t").collect()
+    }
+    monkeypatch.setattr(A, "LSS_DRIVER_MAX_EDGES", 0)
+    slow = {
+        (r["doc_id"], r["component"])
+        for r in A._lss_components(docs, edges, 25, "t").collect()
+    }
+    assert fast == slow
+    assert dict(fast)[14] == 0 and dict(fast)[22] == 20
+    assert dict(fast)[39] == 39
