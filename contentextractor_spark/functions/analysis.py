@@ -524,14 +524,33 @@ def hashed_linear_score(
         )
         .filter(F.col("text") != "")
     )
-    feats = _gram_stream(norm, 1).unionByName(_gram_stream(norm, 2))
-    fb = feats.select(
-        "doc_id",
-        F.pmod(
-            F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long"),
-            F.lit(n_buckets),
-        ).alias("bucket"),
+    # r6: ONE explode of the zipped word array yields BOTH feature
+    # streams — each struct carries (w_i, w_{i+1}) so the unigram is
+    # field 0 and the bigram is the null-guarded concat (the r5 form
+    # union'd _gram_stream(1) and _gram_stream(2): two corpus scans,
+    # two regexp normalizations, two explodes for the same features)
+    words = F.split(F.col("text"), " ")
+    z = F.arrays_zip(
+        words, F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(1)))
     )
+    pairs = norm.select("doc_id", F.explode(z).alias("s")).select(
+        "doc_id",
+        F.col("s").getItem("0").alias("w0"),
+        F.col("s").getItem("1").alias("w1"),
+    )
+    # concat_ws would SKIP a null w1 and alias the unigram — the bigram
+    # must be null-propagating so tail structs contribute no feature
+    big = F.when(
+        F.col("w1").isNotNull(), F.concat(F.col("w0"), F.lit(" "), F.col("w1"))
+    )
+
+    def _bucket(c):
+        return F.pmod(
+            F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+
+    fb = pairs.select("doc_id", _bucket(F.col("w0")).alias("b1"), _bucket(big).alias("b2"))
     spark = docs.sparkSession
     weights = spark.range(n_buckets).select(
         F.col("id").alias("bucket"),
@@ -551,12 +570,38 @@ def hashed_linear_score(
             - 1000
         ).alias("w_micro"),
     )
+    # two broadcast hash joins against the SAME 4096-row weight table
+    # (unigram bucket inner, bigram bucket LEFT — tail structs have a
+    # null b2); identical sums/counts to the r5 union form
     agg = (
-        fb.join(F.broadcast(weights), "bucket")
+        fb.join(
+            F.broadcast(
+                weights.select(
+                    F.col("bucket").alias("b1"), F.col("w_micro").alias("wu")
+                )
+            ),
+            "b1",
+        )
+        .join(
+            F.broadcast(
+                weights.select(
+                    F.col("bucket").alias("b2"), F.col("w_micro").alias("wb")
+                )
+            ),
+            "b2",
+            "left",
+        )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_feats"),
-            F.sum("w_micro").alias("__s"),
+            (
+                F.count(F.lit(1))
+                + F.coalesce(
+                    F.sum(F.col("b2").isNotNull().cast("long")), F.lit(0)
+                )
+            ).alias("n_feats"),
+            (
+                F.sum("wu") + F.coalesce(F.sum("wb"), F.lit(0))
+            ).alias("__s"),
         )
     )
     score = F.expr("(__s + 1000 * n_feats) div n_feats - 1000")
