@@ -10689,7 +10689,15 @@ def bm25_batch(
     terms = qterms.select("term").distinct()
     words = F.split(F.col("text"), " ")
     base = docs.select("doc_id", words.alias("ws"), F.size(words).alias("dl"))
-    stats = base.agg(
+    # r6: the collection-stats pass needs only dl, and
+    # size(split(s, ' ')) == (spaces in s) + 1 for every non-null s —
+    # counting via translate avoids materializing the token array a
+    # second time in the stats subtree (null text mirrors size(null) =
+    # -1 so the sum stays bit-identical on any input)
+    dl_cheap = F.when(F.col("text").isNull(), F.lit(-1)).otherwise(
+        F.length("text") - F.length(F.translate("text", " ", "")) + 1
+    )
+    stats = docs.select(dl_cheap.alias("dl")).agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_dl"),
     )
@@ -10723,9 +10731,17 @@ def bm25_batch(
         )
     )
     cm = F.floor(contrib * F.lit(1000000.0)).cast("long")
-    scored = j.select("query_id", "doc_id", cm.alias("cm")).groupBy(
-        "query_id", "doc_id"
-    ).agg(F.sum("cm").cast("long").alias("score_micro"))
+    # r6 (guide §2.4 share one exchange): partition the contribution
+    # stream by query_id ONLY — hash clustering on a subset of the
+    # grouping keys satisfies the (query_id, doc_id) aggregate AND the
+    # top-k window's partitioning, so the candidate-volume rows cross
+    # the network once, not twice (2 Exchanges -> 1)
+    scored = (
+        j.select("query_id", "doc_id", cm.alias("cm"))
+        .repartition("query_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("cm").cast("long").alias("score_micro"))
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("doc_id").asc()
     )
@@ -12717,22 +12733,46 @@ def dedup_agreement(
 
     Scale: inherits both producers' banding/caps; the comparison
     itself is one full-outer equi-join on the pair key and a one-row
-    aggregate."""
-    ja = (
-        jaccard_pairs(docs, n=3, min_intersection=2, max_shingle_freq=100)
-        .filter(
-            F.col("intersection") * F.lit(jt_den)
-            >= F.lit(jt_num) * F.col("union_sz")
+    aggregate.
+
+    r6 (guide §2.6): the two producers are independent chains — the
+    SimHash side runs an eager band checkpoint at build time and the
+    Jaccard side an expensive shingle self-join — so both pair sets are
+    materialized from two driver threads (the lsh_eval overlap pattern);
+    one chain's tasks back-fill the other's stragglers.  Results
+    identical."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _build_ja():
+        handle: list = []
+        out = (
+            jaccard_pairs(
+                docs, n=3, min_intersection=2, max_shingle_freq=100,
+                cache_handle=handle,
+            )
+            .filter(
+                F.col("intersection") * F.lit(jt_den)
+                >= F.lit(jt_num) * F.col("union_sz")
+            )
+            .select("doc_a", "doc_b", F.lit(1).alias("in_a"))
+            .localCheckpoint()  # eager — shingle cache materialized into it
         )
-        .select("doc_a", "doc_b", F.lit(1).alias("in_a"))
-    )
-    sp = simhash_neardup_pairs(
-        docs, bits=48, n_bands=4, max_bucket_size=100
-    ).select(
-        F.col("doc_id_a").alias("doc_a"),
-        F.col("doc_id_b").alias("doc_b"),
-        F.lit(1).alias("in_b"),
-    )
+        for df in handle:
+            df.unpersist()
+        return out
+
+    def _build_sp():
+        return simhash_neardup_pairs(
+            docs, bits=48, n_bands=4, max_bucket_size=100
+        ).select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            F.lit(1).alias("in_b"),
+        ).localCheckpoint()
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        f_ja, f_sp = ex.submit(_build_ja), ex.submit(_build_sp)
+        ja, sp = f_ja.result(), f_sp.result()
     m = ja.join(sp, ["doc_a", "doc_b"], "outer").select(
         F.coalesce("in_a", F.lit(0)).alias("ia"),
         F.coalesce("in_b", F.lit(0)).alias("ib"),
