@@ -1866,6 +1866,14 @@ def quality_by_dup(docs: DataFrame) -> DataFrame:
     )
 
 
+GRAPH_DRIVER_MAX_EDGES = 1_000_000
+"""Adaptive bound for the r6 graph-family driver fast paths (kcore,
+LPA, …): below it the checkpointed edge list is collected once and the
+identical integer round semantics run vectorized in numpy on the driver
+(the _lss_components pattern — ~16 MB at the bound, broadcast-sized);
+above it the distributed round loops run unchanged."""
+
+
 def kcore(edges: DataFrame, k: int = 2, rounds: int = 9) -> DataFrame:
     """k-core of the undirected link graph: iteratively peel nodes with
     degree < k for at most `rounds` synchronous rounds, returning the
@@ -1894,6 +1902,40 @@ def kcore(edges: DataFrame, k: int = 2, rounds: int = 9) -> DataFrame:
         raise ValueError("kcore: k must be >= 1")
     cur = _und_edges(edges).localCheckpoint()
     n_edges = cur.count()
+    if n_edges <= GRAPH_DRIVER_MAX_EDGES:
+        # r6 driver fast path (guide §8, the _lss_components pattern):
+        # the peel is a pure integer function of the canonical edge
+        # list; below the bound the checkpointed edges are collected
+        # once and the SAME synchronous rounds (including the
+        # unchanged-count early stop) run vectorized in numpy — the
+        # round-latency job chain (1 aggregate + 2 semi joins + 1
+        # checkpoint + 1 count per round) disappears.  Identical
+        # survivors/degrees; parity-tested against the loop below.
+        import numpy as np
+        import pandas as pd
+
+        pdf = cur.select("lo", "hi").toPandas()
+        lo = pdf["lo"].to_numpy(dtype=np.int64)
+        hi = pdf["hi"].to_numpy(dtype=np.int64)
+        n_prev = len(lo)
+        for _ in range(rounds):
+            both = np.concatenate([lo, hi])
+            nodes, counts = np.unique(both, return_counts=True)
+            keepn = nodes[counts >= k]
+            m = np.isin(lo, keepn) & np.isin(hi, keepn)
+            lo, hi = lo[m], hi[m]
+            if len(lo) == n_prev:
+                break
+            n_prev = len(lo)
+        both = np.concatenate([lo, hi])
+        nodes, counts = np.unique(both, return_counts=True)
+        sel = counts >= k
+        out = pd.DataFrame(
+            {"node": nodes[sel], "core_deg": counts[sel]}, dtype="int64"
+        )
+        return edges.sparkSession.createDataFrame(
+            out, schema="node bigint, core_deg bigint"
+        )
     for _ in range(rounds):
         keep = (
             cur.select(F.col("lo").alias("node"))
@@ -2019,6 +2061,57 @@ def label_propagation(edges: DataFrame, rounds: int = 4) -> DataFrame:
     bound, not a convergence promise (documented; the planted-
     community entry fixture converges in 3)."""
     und = _und_edges(edges).localCheckpoint()
+    if und.limit(GRAPH_DRIVER_MAX_EDGES + 1).count() <= GRAPH_DRIVER_MAX_EDGES:
+        # r6 driver fast path (the kcore pattern): synchronous LPA with
+        # the packed (cnt DESC, label ASC) argmax is a pure integer
+        # function of the edge list — replayed vectorized in numpy with
+        # the IDENTICAL vote/tiebreak semantics (lexsort by (node, -cnt,
+        # label), first row per node) and the same packing-bound refusal.
+        import numpy as np
+        import pandas as pd
+
+        pdf = und.select("lo", "hi").toPandas()
+        lo = pdf["lo"].to_numpy(dtype=np.int64)
+        hi = pdf["hi"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([lo, hi]))
+        if nodes.size and (nodes[0] < 0 or nodes[-1] >= _LPA_SHIFT):
+            raise ValueError(
+                "label_propagation: packing bounds violated at label "
+                f"{nodes[0] if nodes[0] < 0 else nodes[-1]}"
+            )
+        idx = {int(v): i for i, v in enumerate(nodes)}
+        u = np.concatenate(
+            [
+                np.fromiter((idx[int(v)] for v in lo), dtype=np.int64, count=len(lo)),
+                np.fromiter((idx[int(v)] for v in hi), dtype=np.int64, count=len(hi)),
+            ]
+        )
+        v = np.concatenate(
+            [
+                np.fromiter((idx[int(x)] for x in hi), dtype=np.int64, count=len(hi)),
+                np.fromiter((idx[int(x)] for x in lo), dtype=np.int64, count=len(lo)),
+            ]
+        )
+        lab = nodes.copy()
+        for _ in range(rounds):
+            vote_lab = lab[v]
+            # count votes per (node, label): pack node_idx * 2^32 + label
+            packed = u * _LPA_SHIFT + vote_lab
+            uniq, cnt = np.unique(packed, return_counts=True)
+            if cnt.size and int(cnt.max()) >= (1 << 31):
+                raise ValueError(
+                    "label_propagation: packing bounds violated (cnt)"
+                )
+            un = uniq // _LPA_SHIFT
+            ul = uniq % _LPA_SHIFT
+            order = np.lexsort((ul, -cnt, un))
+            un_o, first = np.unique(un[order], return_index=True)
+            lab = lab.copy()
+            lab[un_o] = ul[order][first]
+        out = pd.DataFrame({"node": nodes, "label": lab}, dtype="int64")
+        return edges.sparkSession.createDataFrame(
+            out, schema="node bigint, label bigint"
+        )
     nbr = und.select(
         F.col("lo").alias("node"), F.col("hi").alias("nbr")
     ).union(und.select(F.col("hi").alias("node"), F.col("lo").alias("nbr")))
@@ -12835,7 +12928,22 @@ def stylometry_delta(
         .filter(F.col("g") != "")
         .select("doc_id", F.col("g").alias("tok"))
     )
-    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    # r6: len = non-empty token count is a NARROW projection
+    # (size(array_remove(...)) — codegen'd array op, no explode, no
+    # exchange); the explode+groupBy form scanned and exploded the
+    # corpus a third time just for this count.  Same membership: only
+    # docs with >= 1 non-empty token appear (null/empty texts excluded
+    # exactly as the groupBy-over-zero-rows form excluded them).
+    lens = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(
+                F.array_remove(F.split(F.col("text"), " "), "")
+            ).cast("long").alias("len"),
+        )
+        .filter(F.col("len") > 0)
+    )
     feats = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))

@@ -229,3 +229,58 @@ def test_lss_driver_unionfind_matches_star_loop(spark, monkeypatch):
     assert fast == slow
     assert dict(fast)[14] == 0 and dict(fast)[22] == 20
     assert dict(fast)[39] == 39
+
+
+# ------------------------------------------------- kcore driver parity
+def test_kcore_driver_matches_distributed_loop(spark, monkeypatch):
+    """The numpy peel must equal the distributed loop (forced via
+    GRAPH_DRIVER_MAX_EDGES=0) — clique survives, tree peels, the
+    partial-peel (rounds < depth) case included."""
+    rows = []
+    # K5 clique on 100..104
+    for i in range(100, 105):
+        for j in range(i + 1, 105):
+            rows.append((i, j))
+    # binary tree on 0..30 (peels at k=2)
+    for i in range(1, 31):
+        rows.append(((i - 1) // 2, i))
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    for k, rounds in [(2, 9), (2, 2), (4, 9)]:
+        fast = {
+            (r["node"], r["core_deg"])
+            for r in A.kcore(edges, k=k, rounds=rounds).collect()
+        }
+        monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 0)
+        slow = {
+            (r["node"], r["core_deg"])
+            for r in A.kcore(edges, k=k, rounds=rounds).collect()
+        }
+        monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 1_000_000)
+        assert fast == slow, (k, rounds)
+
+
+# --------------------------------------------------- LPA driver parity
+def test_lpa_driver_matches_distributed_loop(spark, monkeypatch):
+    """numpy LPA (lexsort argmax) vs the distributed packed-max loop on
+    the chord-community fixture shape + a bridge + an oscillating P2."""
+    rows = []
+    # two 6-node chord communities (+1/+2) with one bridge
+    for base in (0, 100):
+        for i in range(6):
+            rows.append((base + i, base + (i + 1) % 6))
+            rows.append((base + i, base + (i + 2) % 6))
+    rows.append((5, 100))   # bridge
+    rows.append((200, 201))  # isolated pair (oscillates under sync LPA)
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    for rounds in (1, 3, 4):
+        fast = {
+            (r["node"], r["label"])
+            for r in A.label_propagation(edges, rounds=rounds).collect()
+        }
+        monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 0)
+        slow = {
+            (r["node"], r["label"])
+            for r in A.label_propagation(edges, rounds=rounds).collect()
+        }
+        monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 1_000_000)
+        assert fast == slow, rounds
