@@ -1495,6 +1495,57 @@ def _seed_bfs(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     ).localCheckpoint()
+    n_seeds = dist.count()
+    n_edges = edges.count()
+    if (
+        n_edges <= GRAPH_DRIVER_MAX_EDGES
+        and n_edges * max(n_seeds, 1) <= GRAPH_DRIVER_MAX_WORK
+    ):
+        # r6 driver fast path (the kcore pattern): landmark BFS is a
+        # pure function of the directed edge list — first reach is
+        # shortest, replayed per seed with vectorized level expansion.
+        import numpy as np
+        import pandas as pd
+
+        ep = edges.toPandas()
+        sp_ = dist.select("seed").toPandas()
+        src = ep["src"].to_numpy(dtype=np.int64)
+        dst = ep["dst"].to_numpy(dtype=np.int64)
+        seed_vals = sp_["seed"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([src, dst, seed_vals]))
+        lookup = {int(v): i for i, v in enumerate(nodes)}
+        si = np.fromiter((lookup[int(v)] for v in src), dtype=np.int64, count=len(src))
+        di = np.fromiter((lookup[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+        out_s: list = []
+        out_n: list = []
+        out_d: list = []
+        for sv in seed_vals.tolist():
+            d = np.full(nodes.size, -1, dtype=np.int64)
+            d[lookup[int(sv)]] = 0
+            for r in range(1, max_depth + 1):
+                sel = d[si] == r - 1
+                if not sel.any():
+                    break
+                reached = np.unique(di[sel])
+                new = reached[d[reached] == -1]
+                d[new] = r
+            m = d >= 0
+            out_s.append(np.full(int(m.sum()), sv, dtype=np.int64))
+            out_n.append(nodes[m])
+            out_d.append(d[m])
+        if out_s:
+            pdf = pd.DataFrame(
+                {
+                    "seed": np.concatenate(out_s),
+                    "node": np.concatenate(out_n),
+                    "dist": np.concatenate(out_d),
+                }
+            )
+        else:
+            pdf = pd.DataFrame({"seed": [], "node": [], "dist": []}, dtype="int64")
+        return edges.sparkSession.createDataFrame(
+            pdf, schema="seed bigint, node bigint, dist bigint"
+        )
     for r in range(1, max_depth + 1):
         frontier = dist.filter(F.col("dist") == r - 1).select(
             "seed", F.col("node").alias("src")
@@ -1872,6 +1923,12 @@ LPA, …): below it the checkpointed edge list is collected once and the
 identical integer round semantics run vectorized in numpy on the driver
 (the _lss_components pattern — ~16 MB at the bound, broadcast-sized);
 above it the distributed round loops run unchanged."""
+
+GRAPH_DRIVER_MAX_WORK = 50_000_000
+"""Second bound for the per-seed fast paths (_seed_bfs,
+betweenness_approx): edges × seeds must stay under this or the driver
+replay would itself become the bottleneck — above it the distributed
+landmark loops run unchanged."""
 
 
 def kcore(edges: DataFrame, k: int = 2, rounds: int = 9) -> DataFrame:
@@ -14801,6 +14858,82 @@ def betweenness_approx(
         F.lit(0).cast("long").alias("dist"),
         F.lit(1).cast("long").alias("sigma"),
     ).localCheckpoint()
+    n_seed_rows = state.count()
+    n_edge_rows = edges.count()
+    if (
+        n_edge_rows <= GRAPH_DRIVER_MAX_EDGES
+        and n_edge_rows * max(n_seed_rows, 1) <= GRAPH_DRIVER_MAX_WORK
+    ):
+        # r6 driver fast path (the _seed_bfs pattern): Brandes forward σ
+        # accumulation and the backward per-term truncated-div δ sums
+        # are pure integer functions of the (multi-)edge list — replayed
+        # per seed with exact int64 np.add.at accumulation, the SAME
+        # per-candidate σ guard and per-node δ guard, multi-edges kept.
+        import numpy as np
+        import pandas as pd
+
+        ep = edges.toPandas()
+        sp_ = state.select("seed").toPandas()
+        src = ep["src"].to_numpy(dtype=np.int64)
+        dst = ep["dst"].to_numpy(dtype=np.int64)
+        seed_vals = sp_["seed"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([src, dst, seed_vals]))
+        lookup = {int(v): i for i, v in enumerate(nodes)}
+        si = np.fromiter((lookup[int(v)] for v in src), dtype=np.int64, count=len(src))
+        di = np.fromiter((lookup[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+        bc = np.zeros(nodes.size, dtype=np.int64)
+        nsd = np.zeros(nodes.size, dtype=np.int64)
+        for sv in seed_vals.tolist():
+            d = np.full(nodes.size, -1, dtype=np.int64)
+            sig = np.zeros(nodes.size, dtype=np.int64)
+            s0 = lookup[int(sv)]
+            d[s0] = 0
+            sig[s0] = 1
+            for r in range(1, max_depth + 1):
+                sel = d[si] == r - 1
+                if not sel.any():
+                    break
+                cand = np.zeros(nodes.size, dtype=np.int64)
+                np.add.at(cand, di[sel], sig[si[sel]])
+                reached = cand > 0
+                if (cand[reached] >= sigma_bound).any():
+                    raise ValueError(
+                        f"betweenness_approx: sigma >= {sigma_bound} — "
+                        "raise sigma_bound only with a delta_bound "
+                        "keeping sigma*(1e6+delta) < 2^63"
+                    )
+                new = reached & (d == -1)
+                d[new] = r
+                sig[new] = cand[new]
+            delta = np.zeros(nodes.size, dtype=np.int64)
+            for L in range(max_depth, 0, -1):
+                sel = (d[di] == L) & (d[si] == L - 1)
+                nd = np.zeros(nodes.size, dtype=np.int64)
+                if sel.any():
+                    term = (
+                        sig[si[sel]] * (1_000_000 + delta[di[sel]])
+                    ) // sig[di[sel]]
+                    np.add.at(nd, si[sel], term)
+                prevm = d == L - 1
+                if (nd[prevm] >= delta_bound).any():
+                    raise ValueError(
+                        f"betweenness_approx: delta >= {delta_bound}"
+                    )
+                delta[prevm] = nd[prevm]
+            m = d >= 1
+            bc[m] += delta[m]
+            nsd[m] += 1
+        keep = nsd > 0
+        pdf = pd.DataFrame(
+            {
+                "node": nodes[keep],
+                "bc_micro": bc[keep],
+                "n_seeds": nsd[keep],
+            }
+        )
+        return edges.sparkSession.createDataFrame(
+            pdf, schema="node bigint, bc_micro bigint, n_seeds bigint"
+        )
     guard_sigma = F.when(
         F.col("sigma") < F.lit(sigma_bound), F.col("sigma")
     ).otherwise(

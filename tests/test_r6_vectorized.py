@@ -284,3 +284,45 @@ def test_lpa_driver_matches_distributed_loop(spark, monkeypatch):
         }
         monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 1_000_000)
         assert fast == slow, rounds
+
+
+# ----------------------------------- seed-BFS / betweenness driver parity
+def _bw_fixture(spark):
+    rows = []
+    # directed chain 0->1->..->6, diamond 10->{11,12}->13->14, multi-edge
+    rows += [(i, i + 1) for i in range(6)]
+    rows += [(10, 11), (10, 12), (11, 13), (12, 13), (13, 14), (10, 11)]
+    rows += [(20, 21), (21, 20)]  # 2-cycle
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (10,), (20,)], ["node"])
+    return edges, seeds
+
+
+def test_seed_bfs_driver_matches_loop(spark, monkeypatch):
+    edges, seeds = _bw_fixture(spark)
+    fast = {
+        (r["seed"], r["node"], r["dist"])
+        for r in A._seed_bfs(edges, seeds, 4).collect()
+    }
+    monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 0)
+    slow = {
+        (r["seed"], r["node"], r["dist"])
+        for r in A._seed_bfs(edges, seeds, 4).collect()
+    }
+    assert fast == slow and (0, 4, 4) in fast
+
+
+def test_betweenness_driver_matches_loop(spark, monkeypatch):
+    """Multi-edge diamond: sigma(13 from 10) = 3 (11-via-double-edge + 12),
+    per-term truncated-div deltas must match the distributed loop."""
+    edges, seeds = _bw_fixture(spark)
+    fast = {
+        (r["node"], r["bc_micro"], r["n_seeds"])
+        for r in A.betweenness_approx(edges, seeds, max_depth=4).collect()
+    }
+    monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 0)
+    slow = {
+        (r["node"], r["bc_micro"], r["n_seeds"])
+        for r in A.betweenness_approx(edges, seeds, max_depth=4).collect()
+    }
+    assert fast == slow
