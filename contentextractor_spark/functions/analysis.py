@@ -764,6 +764,76 @@ def champion_search_eval(
     )
 
 
+def _pagerank_driver(
+    edges: DataFrame,
+    iters: int,
+    damping_pct: int,
+    redistribute_dangling: bool,
+    seed_set=None,
+) -> DataFrame | None:
+    """r6 driver fast path shared by pagerank / personalized_pagerank
+    (the kcore pattern): the integer-division update is a pure function
+    of the (multi-)edge list — replayed exactly in int64 numpy (sums
+    order-free by integerness; // == Spark div on non-negatives).
+    `edges` must already be localCheckpointed.  Returns None above the
+    edge bound; seed_set (a Python set) switches to the PPR teleport."""
+    from pyspark.sql.types import IntegralType, StringType
+
+    src_t = edges.schema["src"].dataType
+    if not isinstance(src_t, (IntegralType, StringType)):
+        return None
+    if seed_set is not None and not isinstance(src_t, IntegralType):
+        # PPR seeds are compared as longs — only integral node graphs
+        return None
+    if edges.limit(GRAPH_DRIVER_MAX_EDGES + 1).count() > GRAPH_DRIVER_MAX_EDGES:
+        return None
+    import numpy as np
+    import pandas as pd
+
+    ep = edges.select("src", "dst").toPandas()
+    if len(ep) == 0:
+        return None  # schema inference needs rows; slow path handles empty
+    both = pd.concat([ep["src"], ep["dst"]], ignore_index=True)
+    # factorize against the SORTED distinct domain (works for string
+    # word graphs — textrank — and integral id graphs alike; the row
+    # set is order-free so the sort is only an index convention)
+    nodes = np.sort(both.unique())
+    codes = pd.Series(both).map({v: i for i, v in enumerate(nodes)}).to_numpy(
+        dtype=np.int64
+    )
+    si, di = codes[: len(ep)], codes[len(ep):]
+    outdeg = np.bincount(si, minlength=nodes.size).astype(np.int64)
+    teleport = (100 - damping_pct) * 10_000
+    n_nodes = nodes.size
+    if seed_set is None:
+        p = np.full(n_nodes, 1_000_000, dtype=np.int64)
+        tele_vec = np.full(n_nodes, teleport, dtype=np.int64)
+    else:
+        sflag = np.fromiter(
+            (1 if int(v) in seed_set else 0 for v in nodes),
+            dtype=np.int64,
+            count=n_nodes,
+        )
+        p = sflag * 1_000_000
+        tele_vec = sflag * teleport
+    for _ in range(iters):
+        c = p[si] // np.maximum(outdeg[si], 1)
+        in_mass = np.zeros(n_nodes, dtype=np.int64)
+        np.add.at(in_mass, di, c)
+        if redistribute_dangling:
+            share = int(p[outdeg == 0].sum()) // n_nodes
+            in_mass = in_mass + share
+        p = tele_vec + (in_mass * damping_pct) // 100
+    pdf = pd.DataFrame({"node": pd.Series(nodes), "rank_micro": p})
+    out = edges.sparkSession.createDataFrame(pdf)
+    # preserve the slow path's column types exactly: node keeps the
+    # src/dst type, rank_micro is long
+    return out.select(
+        F.col("node").cast(src_t).alias("node"),
+        F.col("rank_micro").cast("long").alias("rank_micro"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 3,
@@ -807,6 +877,9 @@ def pagerank(
     # re-execute ~4× per round; a non-deterministic source could even
     # disagree with itself within one round (r3 session-2 review)
     edges = edges.localCheckpoint()
+    fast = _pagerank_driver(edges, iters, damping_pct, redistribute_dangling)
+    if fast is not None:
+        return fast
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -9552,6 +9625,13 @@ def personalized_pagerank(
     if not 1 <= damping_pct <= 100:
         raise ValueError("damping_pct must be in [1, 100]")
     edges = edges.localCheckpoint()
+    sd = seeds.select(F.col("node").cast("long").alias("node")).distinct()
+    seed_set = {int(r["node"]) for r in sd.collect()}
+    fast = _pagerank_driver(
+        edges, iters, damping_pct, False, seed_set=seed_set
+    )
+    if fast is not None:
+        return fast
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -9562,7 +9642,6 @@ def personalized_pagerank(
         F.count(F.lit(1)).alias("outdeg")
     ).localCheckpoint()
     teleport = (100 - damping_pct) * 10_000
-    sd = seeds.select(F.col("node").cast("long").alias("node")).distinct()
     # carry the seed FLAG, not the teleport value: deriving the flag back
     # from tele would divide by zero at damping_pct=100 (review finding —
     # teleport is 0 there, and pagerank() itself supports 100)
@@ -11384,6 +11463,68 @@ def chi2_terms(
     ).filter(F.col("rank") <= k)
 
 
+def _random_walks_driver(
+    e: DataFrame, seeds: DataFrame, seed_col: str, walk_len: int,
+    hash_budget: int = 3_000_000,
+) -> DataFrame | None:
+    """r6 driver fast path for random_walks (the kcore pattern): the
+    hash-guided argmin walk is a pure function of the distinct edge
+    list — md5 is the same bytes everywhere, so the per-step
+    min(hv·2³²+dst) choice is replayed exactly with hashlib.  Returns
+    None (caller runs the distributed loop) above the edge bound or if
+    the walk would evaluate more than hash_budget md5 candidates (a
+    hub-heavy worst case the distributed join absorbs better)."""
+    import hashlib
+
+    probe = e.limit(GRAPH_DRIVER_MAX_EDGES + 1).count()
+    if probe > GRAPH_DRIVER_MAX_EDGES:
+        return None
+    n_seed_probe = seeds.limit(100_001).count()
+    if n_seed_probe > 100_000:
+        return None
+    ep = e.toPandas()
+    adj: dict = {}
+    for s_, d_ in zip(ep["src"].tolist(), ep["dst"].tolist()):
+        adj.setdefault(int(s_), []).append(int(d_))
+    seed_rows = [
+        int(v)
+        for v in seeds.select(
+            F.col(seed_col).cast("long").alias("w")
+        ).toPandas()["w"].tolist()
+    ]
+    rows = [(w, 0, w) for w in seed_rows]
+    evals = 0
+    for w in sorted(set(seed_rows)):
+        cur = w
+        for s in range(1, walk_len + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            evals += len(nbrs)
+            if evals > hash_budget:
+                return None
+            best = None
+            for d_ in nbrs:
+                if not (0 <= d_ < 2**32):
+                    raise ValueError(
+                        "random_walks: dst outside [0, 2^32) packing bound"
+                    )
+                hv = int(
+                    hashlib.md5(f"{w}:{s}:{d_}".encode()).hexdigest()[:7], 16
+                )
+                p = hv * 2**32 + d_
+                if best is None or p < best:
+                    best = p
+            cur = best % 2**32
+            rows.append((w, s, cur))
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["walk_id", "step", "node"])
+    return e.sparkSession.createDataFrame(
+        pdf, schema="walk_id bigint, step int, node bigint"
+    )
+
+
 def random_walks(
     edges: DataFrame, seeds: DataFrame, walk_len: int = 4
 ) -> DataFrame:
@@ -11411,6 +11552,9 @@ def random_walks(
         raise ValueError("random_walks: walk_len in [1, 32]")
     e = edges.select("src", "dst").distinct()
     seed_col = seeds.columns[0]
+    fast = _random_walks_driver(e, seeds, seed_col, walk_len)
+    if fast is not None:
+        return fast
     frontier = seeds.select(
         F.col(seed_col).cast("long").alias("walk_id"),
         F.col(seed_col).cast("long").alias("cur"),

@@ -326,3 +326,50 @@ def test_betweenness_driver_matches_loop(spark, monkeypatch):
         for r in A.betweenness_approx(edges, seeds, max_depth=4).collect()
     }
     assert fast == slow
+
+
+# --------------------------------------------- random-walk driver parity
+def test_random_walks_driver_matches_loop(spark, monkeypatch):
+    rows = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (5, 6)]  # 6 is a sink
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (5,), (9,)], ["node"])
+    fast = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in A.random_walks(edges, seeds, walk_len=4).collect()
+    }
+    monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 0)
+    slow = {
+        (r["walk_id"], r["step"], r["node"])
+        for r in A.random_walks(edges, seeds, walk_len=4).collect()
+    }
+    assert fast == slow
+    assert (9, 0, 9) in fast and not any(w == 5 and s > 1 for w, s, _ in fast)
+
+
+# ----------------------------------------------- pagerank driver parity
+def test_pagerank_driver_matches_loop(spark, monkeypatch):
+    rows = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (0, 1), (5, 0)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])  # 4 is a sink
+    seeds = spark.createDataFrame([(0,), (3,)], ["node"])
+    for redis in (False, True):
+        fast = {
+            (r["node"], r["rank_micro"])
+            for r in A.pagerank(edges, iters=3, redistribute_dangling=redis).collect()
+        }
+        monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 0)
+        slow = {
+            (r["node"], r["rank_micro"])
+            for r in A.pagerank(edges, iters=3, redistribute_dangling=redis).collect()
+        }
+        monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 1_000_000)
+        assert fast == slow, redis
+    fast = {
+        (r["node"], r["rank_micro"])
+        for r in A.personalized_pagerank(edges, seeds, iters=2).collect()
+    }
+    monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 0)
+    slow = {
+        (r["node"], r["rank_micro"])
+        for r in A.personalized_pagerank(edges, seeds, iters=2).collect()
+    }
+    assert fast == slow
