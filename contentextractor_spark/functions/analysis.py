@@ -9281,6 +9281,37 @@ def bfs_levels(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     ).localCheckpoint()
+    if edges.limit(GRAPH_DRIVER_MAX_EDGES + 1).count() <= GRAPH_DRIVER_MAX_EDGES:
+        # r6 driver fast path (the _seed_bfs pattern, min-over-seeds
+        # collapse): ONE distance array seeded with every seed at 0 —
+        # first reach is shortest, identical (node, dist) rows.
+        import numpy as np
+        import pandas as pd
+
+        ep = edges.toPandas()
+        sp_ = dist.select("node").toPandas()
+        src = ep["src"].to_numpy(dtype=np.int64)
+        dst = ep["dst"].to_numpy(dtype=np.int64)
+        seedv = sp_["node"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([src, dst, seedv]))
+        lookup = {int(v): i for i, v in enumerate(nodes)}
+        si = np.fromiter((lookup[int(v)] for v in src), dtype=np.int64, count=len(src))
+        di = np.fromiter((lookup[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+        d = np.full(nodes.size, -1, dtype=np.int64)
+        for s_ in seedv:
+            d[lookup[int(s_)]] = 0
+        for r in range(1, max_depth + 1):
+            sel = d[si] == r - 1
+            if not sel.any():
+                break
+            reached = np.unique(di[sel])
+            new = reached[d[reached] == -1]
+            d[new] = r
+        m = d >= 0
+        pdf = pd.DataFrame({"node": nodes[m], "dist": d[m]})
+        return edges.sparkSession.createDataFrame(
+            pdf, schema="node bigint, dist bigint"
+        )
     for r in range(1, max_depth + 1):
         frontier = dist.filter(F.col("dist") == r - 1).select(
             F.col("node").alias("src")
@@ -15255,6 +15286,53 @@ def katz_centrality(
         .select("node", F.lit(1).cast("long").alias("w"))
         .localCheckpoint()
     )
+    if edges.limit(GRAPH_DRIVER_MAX_EDGES + 1).count() <= GRAPH_DRIVER_MAX_EDGES:
+        # r6 driver fast path (the pagerank pattern): the attenuated
+        # walk-count recursion is a linear integer pass over the edge
+        # list — replayed exactly in int64 numpy with the same per-node
+        # walk bound and per-level truncated attenuation.
+        import numpy as np
+        import pandas as pd
+
+        ep = edges.toPandas()
+        sp_ = w.select("node").toPandas()
+        src = ep["src"].to_numpy(dtype=np.int64)
+        dst = ep["dst"].to_numpy(dtype=np.int64)
+        seedv = sp_["node"].to_numpy(dtype=np.int64)
+        nodes = np.unique(np.concatenate([src, dst, seedv]))
+        lookup = {int(v): i for i, v in enumerate(nodes)}
+        si = np.fromiter((lookup[int(v)] for v in src), dtype=np.int64, count=len(src))
+        di = np.fromiter((lookup[int(v)] for v in dst), dtype=np.int64, count=len(dst))
+        wv = np.zeros(nodes.size, dtype=np.int64)
+        for s_ in seedv:
+            wv[lookup[int(s_)]] = 1
+        katz = np.zeros(nodes.size, dtype=np.int64)
+        nwalks = np.zeros(nodes.size, dtype=np.int64)
+        ever = np.zeros(nodes.size, dtype=bool)
+        for L in range(1, max_len + 1):
+            nw = np.zeros(nodes.size, dtype=np.int64)
+            np.add.at(nw, di, wv[si])
+            present = np.zeros(nodes.size, dtype=bool)
+            present[np.unique(di[wv[si] > 0])] = True
+            if (nw[present] >= walk_bound).any():
+                raise ValueError(
+                    f"katz_centrality: walk count >= {walk_bound} — "
+                    "lower max_len / beta_den or sample fewer seeds"
+                )
+            wv = np.where(present, nw, 0)
+            katz[present] += (nw[present] * 1000) // (beta_den ** L)
+            nwalks[present] += nw[present]
+            ever |= present
+        pdf = pd.DataFrame(
+            {
+                "node": nodes[ever],
+                "katz_milli": katz[ever],
+                "n_walks_total": nwalks[ever],
+            }
+        )
+        return edges.sparkSession.createDataFrame(
+            pdf, schema="node bigint, katz_milli bigint, n_walks_total bigint"
+        )
     guard = F.when(F.col("w") < F.lit(walk_bound), F.col("w")).otherwise(
         F.raise_error(
             F.lit(

