@@ -4381,7 +4381,19 @@ def _editdist_grams(
     silently lose its pairs (the paragraph_dedup refusal contract).
     glen = number of DISTINCT q-grams of the string (the count-filter
     denominator)."""
-    grams = docs.select(
+    grams = _editdist_gram_stream(docs, q, text_col)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("glen"))
+    return grams.join(sizes, "doc_id")
+
+
+def _editdist_gram_stream(
+    docs: DataFrame, q: int, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, gram): the distinct positional-free q-gram stream with
+    the per-row short-string refusal — the raw head of _editdist_grams
+    (r6: editdist_pairs consumes this directly and derives glen from
+    its fused per-doc aggregate instead of the sizes join)."""
+    return docs.select(
         "doc_id",
         F.when(
             F.length(text_col) < q,
@@ -4402,8 +4414,6 @@ def _editdist_grams(
             F.expr(f"transform(sequence(1, __n), i -> substring(__t, i, {q}))")
         ).alias("gram"),
     ).distinct()
-    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("glen"))
-    return grams.join(sizes, "doc_id")
 
 
 def editdist_pairs(
@@ -4458,25 +4468,47 @@ def editdist_pairs(
     EVERY shared prefix gram is capped)."""
     if max_d < 1:
         raise ValueError(f"max_d must be >= 1: {max_d}")
-    grams = _editdist_grams(docs, q, text_col)
+    # r6 (the jaccard_prefix fusion): ONE groupBy(doc_id) over the
+    # df-annotated gram stream yields glen, the (df ASC, gram ASC)
+    # prefix slice AND the verify array — the r5 form computed each
+    # separately (sizes aggregate + join, row_number window with its
+    # own exchange, third collect_list aggregation).
+    grams0 = _editdist_gram_stream(docs, q, text_col)
+    freq = grams0.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    ranked = grams0.join(freq, "gram")
+    docarr = (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("df", "gram"))).alias("__sa"),
+            F.collect_list("gram").alias("__arr"),
+        )
+        .select(
+            "doc_id", "__sa", "__arr", F.size("__sa").cast("long").alias("glen")
+        )
+    )
     if persist_grams:
-        # the gram stream feeds freq, prefix, the verify arrays, the
-        # short-side probe AND its join — five consumers (the
-        # jaccard_prefix persist rule)
+        # the per-doc array table feeds the prefix, the verify arrays
+        # and the short-side probe (the jaccard_prefix persist rule)
         from pyspark import StorageLevel
 
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+        docarr = docarr.persist(StorageLevel.MEMORY_AND_DISK)
         if cache_handle is not None:
-            cache_handle.append(grams)
+            cache_handle.append(docarr)
     lens = docs.select("doc_id", F.length(text_col).alias("len"))
-    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    ranked = grams.join(freq, "gram")
     L = q * max_d + 1
-    w = Window.partitionBy("doc_id").orderBy("df", "gram")
     pref = (
-        ranked.filter(F.col("glen") >= L)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= L)
+        docarr.filter(F.col("glen") >= L)
+        .select(
+            "doc_id",
+            "glen",
+            F.explode(F.slice("__sa", 1, L)).alias("__s"),
+        )
+        .select(
+            "doc_id",
+            "glen",
+            F.col("__s.df").alias("df"),
+            F.col("__s.gram").alias("gram"),
+        )
     )
     if max_prefix_df is not None:
         pref = pref.filter(F.col("df") <= max_prefix_df)
@@ -4497,16 +4529,13 @@ def editdist_pairs(
         .join(lb, "doc_b")
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_d)
     )
-    arrs = grams.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("gram")).alias("__arr")
-    )
     counted = (
         cand.join(
-            arrs.select(F.col("doc_id").alias("doc_a"), F.col("__arr").alias("__ga")),
+            docarr.select(F.col("doc_id").alias("doc_a"), F.col("__arr").alias("__ga")),
             "doc_a",
         )
         .join(
-            arrs.select(F.col("doc_id").alias("doc_b"), F.col("__arr").alias("__gb")),
+            docarr.select(F.col("doc_id").alias("doc_b"), F.col("__arr").alias("__gb")),
             "doc_b",
         )
         .filter(
@@ -4517,9 +4546,7 @@ def editdist_pairs(
     )
     # short path: strings whose DISTINCT gram count is below L get no
     # prefix guarantee — length-band join against the whole corpus
-    short_ids = (
-        grams.select("doc_id", "glen").distinct().filter(F.col("glen") < L)
-    )
+    short_ids = docarr.select("doc_id", "glen").filter(F.col("glen") < L)
     if not force:
         _refuse_above(
             short_ids,
