@@ -2783,7 +2783,14 @@ def substring_scrub(
     are few); fully-scrubbed docs survive with empty text via the left
     join from the original corpus."""
     spans = substring_dedup_spans(docs, k, min_grams, min_copies)
-    toks = docs.select(
+    # r6 (the repetition_signals lesson): repartition the DOC rows by
+    # doc_id ONCE — hash clustering on doc_id (a subset of every
+    # downstream key) satisfies the covered distinct, the anti-join and
+    # the rebuild groupBy, so the exploded token stream itself never
+    # crosses an exchange (previously it shuffled twice: once for the
+    # (doc_id, pos) anti-join, once for the rebuild aggregate).
+    rep = docs.select("doc_id", "text").repartition("doc_id")
+    toks = rep.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
     )
     covered = (
@@ -2795,7 +2802,23 @@ def substring_scrub(
         .select("doc_id", "pos")
         .distinct()
     )
-    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    # per-doc covered-position ARRAY instead of a (doc_id, pos)
+    # anti-join: joins only co-partition when partitioned on ALL join
+    # keys (requireAllClusterKeysForCoPartition), so the anti-join
+    # re-shuffled the full token stream on (doc_id, pos) — the doc_id
+    # array join + codegen'd array_contains keeps every stage in the
+    # one doc_id clustering (runs per doc are few, the membership scan
+    # is O(spans) per token)
+    cov_arr = covered.groupBy("doc_id").agg(
+        F.collect_list("pos").alias("__cps")
+    )
+    kept = (
+        toks.join(cov_arr, "doc_id", "left")
+        .filter(
+            F.col("__cps").isNull() | ~F.array_contains("__cps", F.col("pos"))
+        )
+        .select("doc_id", "pos", "tok")
+    )
     agg = kept.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("st"),
         F.count(F.lit(1)).alias("n_kept"),
@@ -2805,7 +2828,7 @@ def substring_scrub(
         F.concat_ws(" ", F.col("st.tok")).alias("clean_text"),
         F.col("n_kept"),
     )
-    orig = docs.select(
+    orig = rep.select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_orig")
     )
     return orig.join(rebuilt, "doc_id", "left").select(
