@@ -9617,7 +9617,12 @@ def simhash_eval(
     sims = simhash(docs, bits).localCheckpoint()
     # r6: truth/cand each feed exactly ONE consumer now (the fused
     # outer-join card), and both build from the checkpointed sims —
-    # their own checkpoints were two redundant materialization jobs
+    # their own checkpoints were two redundant materialization jobs.
+    # (Measured anti-lesson: thread-overlapping the two chains as
+    # separate checkpoint jobs read 2.45-2.9 s vs 2.2-2.7 for this
+    # single-DAG form — the card's outer join already runs both
+    # self-join subtrees as concurrent sibling stages; eager
+    # checkpoints only added materialization.  Do not retry.)
     truth = simhash_neardup_pairs(docs, bits, n_bands, sims=sims).select(
         "doc_id_a", "doc_id_b"
     )
