@@ -57,15 +57,23 @@ def test_recrawl_priority_single_url_shuffle(spark, docs):
     assert "hashpartitioning" in plan, plan
 
 
-def test_bfs_and_ppr_run_from_checkpoints(spark, docs):
-    # bfs_levels / personalized_pagerank return localCheckpoint-backed
-    # frames: the remaining plan must be trivial (the iteration lineage
-    # was cut — the pagerank re-execution lesson)
+def test_bfs_and_ppr_run_from_checkpoints(spark, docs, monkeypatch):
+    # r6: below GRAPH_DRIVER_MAX_EDGES the iteration replays on the
+    # driver and the result is a LocalTableScan (nothing left to
+    # re-execute at all); force the distributed loop to keep auditing
+    # the localCheckpoint lineage cut (the pagerank re-execution lesson)
     import sys
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entry
+    from contentextractor_spark.functions import analysis as A
 
+    for name in ("crawl_depth", "personalized_ppr"):
+        df = entry.queries()[name](spark, SF_DIR)
+        plan = _physical(df)
+        assert "LocalTableScan" in plan, (name, plan)
+        assert "Exchange" not in plan, (name, plan)
+    monkeypatch.setattr(A, "GRAPH_DRIVER_MAX_EDGES", 0)
     for name in ("crawl_depth", "personalized_ppr"):
         df = entry.queries()[name](spark, SF_DIR)
         plan = _physical(df)
