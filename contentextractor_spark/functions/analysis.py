@@ -13215,22 +13215,13 @@ def stylometry_delta(
         .filter(F.col("g") != "")
         .select("doc_id", F.col("g").alias("tok"))
     )
-    # r6: len = non-empty token count is a NARROW projection
-    # (size(array_remove(...)) — codegen'd array op, no explode, no
-    # exchange); the explode+groupBy form scanned and exploded the
-    # corpus a third time just for this count.  Same membership: only
-    # docs with >= 1 non-empty token appear (null/empty texts excluded
-    # exactly as the groupBy-over-zero-rows form excluded them).
-    lens = (
-        docs.filter(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.size(
-                F.array_remove(F.split(F.col("text"), " "), "")
-            ).cast("long").alias("len"),
-        )
-        .filter(F.col("len") > 0)
-    )
+    # r6 measured anti-lesson: replacing this explode+groupBy with a
+    # narrow size(array_remove(split)) projection read 2.32-2.63 s warm
+    # vs 1.45-2.0 for this form (ngram control row stable across the
+    # same sessions) — the "extra" explode shares the hot token-stream
+    # pipeline, the narrow form adds an independent full text
+    # scan+split.  Do not retry.
+    lens = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
     feats = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
