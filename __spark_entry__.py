@@ -4160,38 +4160,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check on the next snapshot before acting)
         docs = _docs(spark, sf_dir)
         plan = A.epoch_shuffle_plan(docs, n_shards=16, seed="epoch0")
-        d1 = docs.join(
-            plan.filter(F.col("shard") < 12).select("doc_id"), "doc_id"
-        )
         styled = (
             A.stylometry_delta(docs, m=10)
             .filter(F.col("delta_milli") <= 155)
             .select("source")
         )
-        d2 = d1.join(F.broadcast(styled), "source")
         qa = F.expr(
             "length(regexp_replace(text, '[^a-zA-Z]', '')) * 1000"
             " div (length(text) + 1)"
         )
-        d3 = d2.filter(qa >= 812)
+        # r6 (guide §2.4): the four stage counts were four separate
+        # one-row aggregates, each re-executing its nested gate chain
+        # (docs, docs⋈plan, ⋈styled, +qa filter).  One flag projection
+        # computes all four in ONE pass — plan assigns exactly one
+        # shard per doc_id and styled is one row per source, so the
+        # left-join flags multiply no rows and the nested-filter counts
+        # are the flag-product sums (a NULL qa row contributes no
+        # s1*s2*s3 term, exactly as the filter dropped it).
+        fl = (
+            docs.join(
+                plan.filter(F.col("shard") < 12)
+                .select("doc_id", F.lit(1).alias("__s1")),
+                "doc_id",
+                "left",
+            )
+            .join(
+                F.broadcast(styled.withColumn("__s2", F.lit(1))),
+                "source",
+                "left",
+            )
+            .select(
+                "doc_id",
+                "text",
+                F.coalesce("__s1", F.lit(0)).alias("s1"),
+                F.coalesce("__s2", F.lit(0)).alias("s2"),
+                (qa >= 812).cast("int").alias("s3"),
+            )
+        )
         ks = A.ks_two_sample(
-            d3.select(
+            fl.filter(
+                (F.col("s1") == 1) & (F.col("s2") == 1) & (F.col("s3") == 1)
+            ).select(
                 "text",
                 (F.col("doc_id") % 2).cast("string").alias("half"),
             ),
             group_col="half", group_a="0", group_b="1",
         )
-        card = (
-            docs.agg(F.count(F.lit(1)).alias("n_input"))
-            .crossJoin(
-                F.broadcast(d1.agg(F.count(F.lit(1)).alias("n_sampled")))
+        card = fl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_input"),
+            F.coalesce(F.sum("s1"), F.lit(0)).cast("long").alias("n_sampled"),
+            F.coalesce(F.sum(F.col("s1") * F.col("s2")), F.lit(0))
+            .cast("long")
+            .alias("n_styled"),
+            F.coalesce(
+                F.sum(F.col("s1") * F.col("s2") * F.col("s3")), F.lit(0)
             )
-            .crossJoin(
-                F.broadcast(d2.agg(F.count(F.lit(1)).alias("n_styled")))
-            )
-            .crossJoin(
-                F.broadcast(d3.agg(F.count(F.lit(1)).alias("n_quality")))
-            )
+            .cast("long")
+            .alias("n_quality"),
         )
         return card.crossJoin(F.broadcast(ks)).select(
             "n_input", "n_sampled", "n_styled", "n_quality",
@@ -4675,27 +4700,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).otherwise(F.lit("")),
         )
         cs = A.centroid_summary(d2.select("doc_id", sent_text.alias("text")))
-        n_input = docs.agg(F.count(F.lit(1)).cast("long").alias("n_input"))
-        n_unsp = d1.agg(
-            F.count(F.lit(1)).cast("long").alias("n_unspoofed")
+        # r6 (the curation_v9 count fusion): the three stage counts were
+        # three separate aggregates, each re-executing its nested gate
+        # chain.  quality_filter is a pure row-level projection (verdict
+        # independent of the surrounding set) and `clean` is one row per
+        # doc_id, so one flag pass computes all three counts.
+        fl = (
+            docs.join(clean.withColumn("__c1", F.lit(1)), "doc_id", "left")
+            .join(
+                A.quality_filter(docs).select(
+                    "doc_id", F.col("keep").alias("__qk")
+                ),
+                "doc_id",
+                "left",
+            )
+            .select(
+                F.coalesce("__c1", F.lit(0)).alias("c1"),
+                F.coalesce("__qk", F.lit(0)).alias("qk"),
+            )
         )
-        n_qual = d2.agg(F.count(F.lit(1)).cast("long").alias("n_quality"))
+        card = fl.agg(
+            F.count(F.lit(1)).cast("long").alias("n_input"),
+            F.coalesce(F.sum("c1"), F.lit(0)).cast("long").alias("n_unspoofed"),
+            F.coalesce(F.sum(F.col("c1") * F.col("qk")), F.lit(0))
+            .cast("long")
+            .alias("n_quality"),
+        )
         n_lead = cs.agg(
             F.sum((F.col("sent_pos") == 0).cast("long"))
             .cast("long")
             .alias("n_lead")
         )
-        return (
-            n_input.crossJoin(F.broadcast(n_unsp))
-            .crossJoin(F.broadcast(n_qual))
-            .crossJoin(F.broadcast(n_lead))
-            .select(
-                "n_input",
-                "n_unspoofed",
-                "n_quality",
-                "n_lead",
-                F.expr("n_lead * 1000 div n_quality").alias("lead_milli"),
-            )
+        return card.crossJoin(F.broadcast(n_lead)).select(
+            "n_input",
+            "n_unspoofed",
+            "n_quality",
+            "n_lead",
+            F.expr("n_lead * 1000 div n_quality").alias("lead_milli"),
         )
 
     def betweenness_approx(spark, sf_dir):

@@ -4281,13 +4281,12 @@ def jaccard_prefix_pairs(
     # and the verify array are all projections of this single aggregate;
     # the r5 form computed each separately (a sizes aggregate + join, a
     # row_number window with its own exchange + corpus-wide sort, and a
-    # third collect_list aggregation) — 3 exchanges removed,
-    # bit-identical output.
-    # two arrays from ONE aggregate: the (df, tok)-sorted struct array
-    # feeds the prefix slice; the PLAIN string array feeds the verify
-    # array_intersect (string arrays keep array_intersect's hash-set
-    # fast path — struct arrays fall back to pairwise equality, measured
-    # 2x slower end-to-end)
+    # third collect_list aggregation).  Two arrays from the one
+    # aggregate: the (df, tok)-sorted struct array feeds the prefix
+    # slice; the PLAIN string array feeds the verify array_intersect
+    # (string arrays keep array_intersect's hash-set fast path — struct
+    # arrays fall back to pairwise equality, measured 2x slower
+    # end-to-end).
     docarr = (
         ranked.groupBy("doc_id")
         .agg(
